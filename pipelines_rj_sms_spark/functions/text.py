@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference's regex surface (P8, C4 — e.g. the stigma-regex scan
+in transform/gemini/pacientes_restritos/tasks.py:30-35), these are the
+text-quality operators a 100 TB document pipeline needs: language ID,
+quality scoring, token counting, fingerprinting. All expression-only
+(split / regexp / aggregate) so they stay in WholeStageCodegen — no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# language ID. Deliberately small: the point is the *operator shape*
+# (score-per-language -> argmax), not lexicon quality.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "to", "in", "that", "it"],
+    "pt": ["de", "que", "nao", "uma", "para", "com", "os", "das"],
+    "es": ["el", "la", "los", "por", "una", "para", "del", "como"],
+    "fr": ["le", "la", "les", "des", "est", "pour", "dans", "une"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+}
+
+# Whitespace tokenization base; BPE-ish regex splits punctuation runs and
+# numbers off words, approximating subword-ish counts.
+_BPE_ISH = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of a lowercased document (empty strings removed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: words + number runs + punctuation marks."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(_BPE_ISH), F.lit(0)))
+
+
+def lang_score(col: Column | str, lang: str) -> Column:
+    """Fraction of tokens that are markers of ``lang``."""
+    toks = tokens(col)
+    markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax language over the marker sets; 'und' when nothing matches.
+
+    Expression-only argmax: build array<struct<score,neg_ord,lang>> and
+    take array_max (struct ordering compares fields in order, so ties
+    break toward the earliest-declared language deterministically).
+    """
+    scored = F.array(*[
+        F.struct(
+            lang_score(col, lang).alias("score"),
+            F.lit(-i).alias("neg_ord"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(_LANG_MARKERS)
+    ])
+    best = F.array_max(scored)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality score in [0,1]:
+
+    mean of (a) length adequacy (>=20 tokens), (b) alphabetic ratio,
+    (c) non-excessive punctuation, (d) mean-word-length sanity (2..12).
+    The shape mirrors C4-style heuristics; weights are engine policy.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    n_chars = F.greatest(F.length(c), F.lit(1))
+    alpha_ratio = F.length(F.regexp_replace(c, r"[^a-zA-Z]", "")) / n_chars
+    punct_ratio = F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", "")) / n_chars
+    mean_word = n_chars / F.greatest(n_tok, F.lit(1))
+    score = (
+        F.least(n_tok / F.lit(20.0), F.lit(1.0))
+        + alpha_ratio
+        + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
+        + F.when((mean_word >= 2) & (mean_word <= 12), 1.0).otherwise(0.0)
+    ) / 4
+    return score
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the dedup/minhash unit)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def fingerprint(col: Column | str, window: int = 8) -> Column:
+    """Document fingerprint: min xxhash64 over character 8-gram windows
+    (rolling-hash winnowing reduced to global-min — one pass, no UDF)."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - window + 1, F.lit(1)))
+    hashes = F.transform(idx, lambda i: F.xxhash64(c.substr(i, F.lit(window))))
+    return F.array_min(hashes)

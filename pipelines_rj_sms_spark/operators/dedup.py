@@ -1,0 +1,286 @@
+"""Deduplication operators — exact, keep-last, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding near-dup.
+
+The reference needs keyed keep-last dedup (bq_to_subpav/utils.py:299-350,
+minhasaude_mongodb/tasks.py:128-130 — W3/U2 in SURVEY §2) and cross-run
+key-set dedup (J5). The fuzzy family (MinHash/SimHash/Jaccard) is the
+training-data-pipeline extension: candidate generation must be *bucketed*
+(band-hash equi-join) so the join is a shuffle on short keys, never an
+O(n^2) cross product — that is the property that survives 100 TB.
+
+Design notes for scale:
+- keep-last uses a row_number window (deterministic under shuffle), never
+  dropDuplicates (which keeps an arbitrary row per key).
+- MinHash signatures are computed per-row with expression-only
+  transform/aggregate over shingles — no UDF, no explode of the corpus
+  until the (much smaller) banded candidate join.
+- candidate pairs are generated with id_a < id_b to halve the join and
+  avoid self-pairs; verification (exact Jaccard) runs only on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pipelines_rj_sms_spark.functions.text import shingles
+
+
+def _parallelize_narrow(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the input
+    arrives in fewer partitions (a small file = one task = one core busy).
+
+    At real scale, file splits already give enough partitions and this is
+    a no-op — it only pays the (tiny) shuffle when the input is narrower
+    than the cluster, which is exactly when it's worth it.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def dedup_keep_last(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """W3: deterministic keep-last per key (largest order_col wins; ties
+    broken by all remaining columns to stay deterministic under shuffle)."""
+    tiebreak = [F.col(c).desc() for c in df.columns if c not in keys and c != order_col]
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc(), *tiebreak)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact near-zero-cost dedup: keep the min-id row per identical text.
+
+    Hash-groupBy on md5(text) so the shuffle key is 16 bytes, not the
+    document body; map-side partial min keeps the shuffle tiny.
+    """
+    return (
+        df.withColumn("_h", F.md5(F.col(text_col)))
+        .withColumn(
+            "_keep",
+            F.min(id_col).over(Window.partitionBy("_h")),
+        )
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_h", "_keep")
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str, num_hashes: int = 32,
+                      shingle_n: int = 3, sig_col: str = "minhash",
+                      hash_fn: str = "xxhash64") -> DataFrame:
+    """Add a MinHash signature column (array<bigint> or array<string>).
+
+    Each hash slot i is min over shingles of hash(shingle, seed=i).
+    hash_fn='xxhash64' (default, fast JVM path): xxhash64 takes extra
+    literal args as part of the hashed tuple, giving num_hashes
+    independent permutation approximations in one projection.
+    hash_fn='md5' hashes the seed-prefixed shingle — slower, but
+    portable to any SQL engine (used for oracle-differential testing).
+    """
+    # Materialize the shingle array in its own projection: referencing the
+    # raw shingles() expression from every slot makes Catalyst duplicate
+    # the whole tokenize+shingle tree num_hashes times (~6x slower
+    # measured at 5k docs x 8 hashes).
+    shingled = df.withColumn("_sh", shingles(text_col, shingle_n))
+    sh = F.col("_sh")
+
+    # seed must be captured via a factory: a `lambda s, i=i` would be seen
+    # by pyspark as a binary (element, index) lambda and i would become
+    # the array-index column instead of the seed.
+    def md5_slot(i: int):
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
+
+    def xxh_slot(i: int):
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+
+    slot = md5_slot if hash_fn == "md5" else xxh_slot
+    return (
+        shingled.withColumn(sig_col, F.array(*[slot(i) for i in range(num_hashes)]))
+        .drop("_sh")
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
+                           num_hashes: int = 32, bands: int = 8,
+                           shingle_n: int = 3,
+                           hash_fn: str = "xxhash64") -> DataFrame:
+    """MinHash + LSH banding: returns candidate pairs (id_a, id_b).
+
+    shingle -> minhash -> split signature into ``bands`` bands -> hash each
+    band -> self-equi-join on (band_idx, band_hash). The join key has
+    ~corpus/bucket cardinality, so Catalyst plans a plain shuffled hash
+    join; no cross product ever materializes.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(_parallelize_narrow(df.select(id_col, text_col)),
+                            text_col, num_hashes, shingle_n, hash_fn=hash_fn)
+    band_hasher = F.md5 if hash_fn == "md5" else F.xxhash64
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                band_hasher(F.concat_ws(
+                    ",", *[F.col("minhash")[b * rows_per_band + r].cast("string")
+                           for r in range(rows_per_band)]
+                )).cast("string")
+                for b in range(bands)
+            ])
+        ).alias("band_idx", "band_hash"),
+    )
+    # persist: the self-join references `banded` twice — without this the
+    # whole shingle+hash pipeline runs once per side (2x measured cost at
+    # 5k docs; fatal at 100 TB).
+    banded = banded.persist()
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col(f"a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        shingle_n: int = 3, threshold: float = 0.8,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity over candidate pairs.
+
+    With ``candidates`` (e.g. from LSH) this verifies only those pairs;
+    without, candidates are generated by sharing at least one shingle
+    (equi-join on shingle — still never a cross product, but write
+    amplification is O(shared shingles); use LSH at scale).
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    sh = df.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
+    ).select(id_col, "_sh", F.size("_sh").alias("_n"))
+    sh = _parallelize_narrow(sh).persist()  # referenced by both join sides
+    if candidates is None:
+        exploded = sh.select(id_col, "_n", F.explode("_sh").alias("_s"))
+        a = exploded.alias("a")
+        b = exploded.alias("b")
+        inter = (
+            a.join(b, (F.col("a._s") == F.col("b._s"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a._n").alias("n_a"),
+                F.col("b._n").alias("n_b"),
+            )
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"),
+                      F.col("_n").alias("n_a"))
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"),
+                      F.col("_n").alias("n_b"))
+        inter = (
+            candidates.join(a, "id_a").join(b, "id_b")
+            .select(
+                "id_a", "id_b", "n_a", "n_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            )
+        )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, bits: int = 64,
+            out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash per document, expression-only.
+
+    Token hash = xxhash64(token); each bit of the fingerprint is the sign
+    of the sum over tokens of (+1 if bit set else -1). Built with
+    aggregate() over the token array — one projection, no UDF, no shuffle.
+    """
+    # token hashes materialized once (see minhash_signature note), so the
+    # 64 per-bit aggregates fold over a ready array<long>, not 64 copies
+    # of the tokenize+hash tree.
+    hashed = df.withColumn(
+        "_th",
+        F.transform(
+            F.array_distinct(
+                F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+            ),
+            lambda t: F.xxhash64(t),
+        ),
+    )
+
+    # counts[b] = sum over token-hashes of (bit b set ? 1 : -1)
+    # (factory so the merge lambda keeps 2-arg arity — pyspark inspects it)
+    def bit_contrib(b: int):
+        return F.aggregate(
+            F.col("_th"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_cols = []
+    for b in range(bits):
+        contrib = bit_contrib(b)
+        bit_cols.append(
+            F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        )
+    fingerprint = bit_cols[0]
+    for c in bit_cols[1:]:
+        fingerprint = fingerprint.bitwiseOR(c)
+    return hashed.withColumn(out_col, fingerprint).drop("_th")
+
+
+def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Candidate generation: split the 64-bit fingerprint into
+    (max_hamming+1) 16-bit blocks — by pigeonhole, any pair within the
+    distance budget agrees on at least one block, so an equi-join on
+    (block_idx, block_value) finds all candidates without a cross join.
+    """
+    blocks = 4
+    sh = simhash(_parallelize_narrow(df.select(id_col, text_col)), text_col)
+    parts = sh.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(blocks)
+        ])).alias("block_idx", "block_val"),
+    )
+    parts = parts.persist()  # referenced by both join sides
+    a, b = parts.alias("a"), parts.alias("b")
+    cand = (
+        a.join(b, (F.col("a.block_idx") == F.col("b.block_idx"))
+               & (F.col("a.block_val") == F.col("b.block_val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline extension (BASELINE.json): brute-force cosine
+top-k as the exact baseline, plus an LSH-bucketed variant as the scale
+path. Dot products are expression-only (zip_with + aggregate) so they run
+in the JVM; no Python per row.
+
+Scale notes:
+- brute-force against ONE query vector is a narrow map + top-k — fine at
+  any corpus size (top-k via orderBy+limit is a per-partition partial
+  top-k then a tiny driver merge — no full sort materialized thanks to
+  Spark's TakeOrderedAndProject).
+- all-pairs similarity must never be a cross join: the LSH variant
+  buckets by random-hyperplane sign bits and only joins within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Expression-only dot product of two array<numeric> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_top_k(df: DataFrame, query_vec: list[float], k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      round_to: int | None = None) -> DataFrame:
+    """Exact cosine top-k against one query vector.
+
+    Plan shape: scan -> project(similarity) -> TakeOrderedAndProject(k).
+    Ties broken by id for determinism; ordering uses the unrounded
+    similarity (round_to only affects the reported value).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    vec = F.col(vec_col).cast("array<double>")
+    out = (
+        df.select(F.col(id_col), cosine(vec, q).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+    if round_to is not None:
+        out = out.select(id_col, F.round("cosine_sim", round_to).alias("cosine_sim"))
+    return out
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — no numpy dependency
+    at plan-build time, reproducible across runs/executors)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append((state / float(1 << 31)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from random hyperplane projections."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = dot(vec_col, F.array(*[F.lit(x) for x in p]))
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def lsh_top_k(df: DataFrame, query_vec: list[float], k: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              n_planes: int = 8) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH prefilter, exact cosine re-rank.
+
+    At 100 TB the bucket filter is a partition-prunable predicate when the
+    corpus is written bucketed/partitioned by `lsh_bucket`; here it is a
+    pushed-down filter on a derived column. Recall is tunable via
+    n_planes (fewer planes = bigger buckets = higher recall).
+    """
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes)
+    vec = F.col(vec_col).cast("array<double>")
+    q_bucket_val = 0
+    for i, p in enumerate(planes):
+        proj = sum(a * b for a, b in zip(p, query_vec))
+        if proj > 0:
+            q_bucket_val |= 1 << i
+    with_bucket = df.withColumn("_bucket", lsh_bucket(vec, planes))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        with_bucket.filter(F.col("_bucket") == q_bucket_val)
+        .select(F.col(id_col), cosine(vec, q).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dupes(df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         threshold: float = 0.95,
+                         n_planes: int = 8) -> DataFrame:
+    """All-pairs near-duplicates by cosine >= threshold, LSH-bucketed.
+
+    Self-join only within hyperplane buckets (id_a < id_b), then exact
+    cosine verification — the standard blocked near-dup shape that avoids
+    the O(n^2) cross product.
+    """
+    first = df.select(vec_col).first()
+    dim = len(first[0]) if first else 0
+    planes = _hyperplanes(dim, n_planes)
+    vec = F.col(vec_col).cast("array<double>")
+    bucketed = df.select(
+        F.col(id_col), vec.alias("_v"), lsh_bucket(vec, planes).alias("_bucket")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a._bucket") == F.col("b._bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col("a._v"), F.col("b._v")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,115 @@
+"""SparkSession factory with the engine's physical-execution defaults.
+
+The reference pins every timestamp to America/Sao_Paulo
+(reference: pipelines/utils/tasks.py:663, pipelines/utils/time.py:74) and
+relies on BigQuery for optimization; here Catalyst + AQE take that role
+(SURVEY.md §4). Defaults chosen for a large multi-executor cluster but
+harmless on local[*]:
+
+- AQE on (runtime partition coalescing + skew-join splitting) so a plan
+  tuned at sf0.1 survives a 1000x scale-up without re-tuning.
+- dynamic partition overwrite, so `mode("overwrite")` replaces only the
+  date partitions present in the incoming batch (the reference's
+  append/overwrite lakehouse semantics, utils/tasks.py:812-933).
+- Arrow enabled for any Pandas-UDF path (the sanctioned slow path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_DEFAULTS: dict[str, str] = {
+    # UTC so naive timestamps round-trip bit-exact (the DuckDB oracle and
+    # parquet NTZ data agree); reference pipelines pin America/Sao_Paulo —
+    # pass extra_conf={"spark.sql.session.timeZone": "America/Sao_Paulo"}
+    # for that behavior (see SURVEY §1.2).
+    "spark.sql.session.timeZone": "UTC",
+    # driver testdata writes TIMESTAMP(NANOS); Spark has no nanos type, so
+    # read them as long and convert in load_tables (micros precision).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.parquet.compression.codec": "snappy",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # At 100 TB the default 128m split is fine; shuffle partitions are
+    # sized by AQE from this initial value.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+}
+
+
+def get_spark(
+    app_name: str = "pipelines_rj_sms_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when unset so the
+    same entry point works in tests and under the driver harness; on a
+    real cluster pass ``None`` and let spark-submit decide.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and not os.environ.get("SPARK_CONNECT_MODE_ENABLED"):
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(ENGINE_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — footer-only read."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+    except ImportError:  # pragma: no cover
+        return []
+    schema = pq.read_schema(path)
+    return [
+        f.name for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def read_parquet_normalized(spark: SparkSession, path: str):
+    """Parquet read that converts nanos-timestamp columns (read as long
+    under nanosAsLong) back to proper timestamps at micros precision.
+    The footer inspection is driver-side metadata only — no data read.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    for name in _nanos_timestamp_columns(path):
+        df = df.withColumn(name, F.expr(f"timestamp_micros(`{name}` DIV 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)) -> None:
+    """Register the driver's parquet tables as temp views.
+
+    Parquet scans get column pruning + filter pushdown from the DataSource
+    V2 reader for free; registering views keeps queries in pure Spark SQL.
+    """
+    found = 0
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            read_parquet_normalized(spark, path).createOrReplaceTempView(name)
+            found += 1
+    if not found:
+        # without this, a bad sf_dir would silently reuse views from a
+        # previous load_tables call — fail loudly instead
+        raise FileNotFoundError(f"no *.parquet tables found under {sf_dir}")

@@ -1,0 +1,96 @@
+"""Reverse-ETL JDBC sink with keyed upsert + transient-error retry (K5).
+
+The reference's MySQL loader (bq_to_subpav/utils.py:33-122) batches
+INSERT/UPDATE/REPLACE statements, commits per batch, retries deadlocks
+with backoff, and validates queries against forbidden keywords. Spark's
+JDBC writer has append/overwrite but no upsert, so upsert runs as
+foreachPartition with executemany — one DB connection per partition,
+batched commits, bounded retries.
+
+The DB driver (mysql-connector etc.) is injected as a connection factory
+so tests can pass an in-memory fake (sqlite3) and production passes the
+real client; no JDBC jar needed for the Python-side path.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+FORBIDDEN_KEYWORDS = ("drop ", "truncate ", "delete ", "grant ", "revoke ", "alter ")
+
+TRANSIENT_MARKERS = ("deadlock", "lock wait timeout", "try restarting transaction")
+
+
+def validate_statement(sql: str) -> None:
+    """Reject destructive statements (bq_to_subpav/utils.py forbidden-keyword
+    guard) — the sink only ever inserts/updates."""
+    low = f" {sql.lower()}"
+    for kw in FORBIDDEN_KEYWORDS:
+        if f" {kw}" in low:
+            raise ValueError(f"forbidden keyword in sink statement: {kw.strip()!r}")
+
+
+def upsert(df: DataFrame, table: str, key_cols: list[str],
+           connection_factory: Callable[[], object],
+           batch_size: int = 1000, max_retries: int = 5,
+           backoff_s: float = 0.5, dialect: str = "mysql") -> None:
+    """Keyed upsert via foreachPartition + executemany.
+
+    dialect='mysql'  -> INSERT ... ON DUPLICATE KEY UPDATE
+    dialect='sqlite' -> INSERT ... ON CONFLICT(key) DO UPDATE  (tests)
+    Batches commit independently; transient errors (deadlocks) retry with
+    linear backoff, mirroring the reference's _execute_batches policy.
+    """
+    cols = df.columns
+    placeholders = ", ".join(["%s" if dialect == "mysql" else "?"] * len(cols))
+    col_list = ", ".join(cols)
+    non_keys = [c for c in cols if c not in key_cols]
+    if dialect == "mysql":
+        updates = ", ".join(f"{c}=VALUES({c})" for c in non_keys)
+        sql = (f"INSERT INTO {table} ({col_list}) VALUES ({placeholders}) "
+               f"ON DUPLICATE KEY UPDATE {updates}")
+    else:
+        updates = ", ".join(f"{c}=excluded.{c}" for c in non_keys)
+        sql = (f"INSERT INTO {table} ({col_list}) VALUES ({placeholders}) "
+               f"ON CONFLICT({', '.join(key_cols)}) DO UPDATE SET {updates}")
+    validate_statement(sql)
+
+    def write_partition(rows) -> None:
+        conn = connection_factory()
+        cur = conn.cursor()
+        batch: list[tuple] = []
+
+        def flush() -> None:
+            if not batch:
+                return
+            for attempt in range(max_retries):
+                try:
+                    cur.executemany(sql, batch)
+                    conn.commit()
+                    batch.clear()
+                    return
+                except Exception as exc:  # noqa: BLE001 — classified below
+                    msg = str(exc).lower()
+                    transient = any(m in msg for m in TRANSIENT_MARKERS)
+                    if not transient or attempt == max_retries - 1:
+                        raise
+                    conn.rollback()
+                    time.sleep(backoff_s * (attempt + 1))
+
+        for row in rows:
+            batch.append(tuple(row))
+            if len(batch) >= batch_size:
+                flush()
+        flush()
+        conn.close()
+
+    df.foreachPartition(write_partition)
+
+
+def append_jdbc(df: DataFrame, url: str, table: str,
+                properties: dict[str, str] | None = None) -> None:
+    """Plain append path — native Spark JDBC writer (no upsert needed)."""
+    df.write.jdbc(url, table, mode="append", properties=properties or {})

@@ -1,0 +1,107 @@
+"""File sources — all-string CSV, JSON, fixed-width, SQL-dump (SURVEY §2.1/2.2).
+
+- read_csv_raw: the reference's `dtype=str, keep_default_na=False` posture
+  (utils/tasks.py:666, data_transformations.py:69-75) -> inferSchema off,
+  explicit string schema, empty strings preserved (F1).
+- read_fixed_width: the OpenBase dictionary-driven record parser
+  (prontuario_gcs/tasks.py:231-323, utils.py:113-318 — S24) as
+  spark.read.text + substring slicing, the classic distributed recipe.
+- read_sql_dump: the pg_dump INSERT-statement decoder
+  (prontuario_gcs/tasks.py:95-228 — S25) as text scan + regex extraction;
+  rows route per table by a groupBy-free filter per target.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+def read_csv_raw(spark: SparkSession, path: str, sep: str = ",",
+                 encoding: str = "UTF-8", header: bool = True) -> DataFrame:
+    """All-string CSV read; no NA coercion (empty stays '')."""
+    return (
+        spark.read.option("header", header)
+        .option("sep", sep)
+        .option("encoding", encoding)
+        .option("inferSchema", False)
+        .option("nullValue", "\u0000")  # sentinel: nothing maps to null
+        .option("emptyValue", "")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def sniff_separator(spark: SparkSession, path: str,
+                    candidates: tuple[str, ...] = (",", ";")) -> str:
+    """F8: pick the separator with most hits on the first line."""
+    first = spark.read.text(path).limit(1).collect()
+    if not first:
+        return candidates[0]
+    line = first[0][0]
+    return max(candidates, key=line.count)
+
+
+def read_fixed_width(spark: SparkSession, path: str,
+                     fields: list[tuple[str, int, int]],
+                     encoding: str = "UTF-8") -> DataFrame:
+    """S24: fixed-width text -> columns via substring slicing.
+
+    ``fields`` = [(name, start_1_based, length), ...]. One narrow
+    projection per file split — scales linearly, no Python parsing.
+    """
+    text = spark.read.option("encoding", encoding).text(path)
+    return text.select(*[
+        F.trim(F.substring(F.col("value"), start, length)).alias(name)
+        for name, start, length in fields
+    ])
+
+
+_INSERT_RE = r"(?i)^INSERT\s+INTO\s+([\w\.\"]+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.*);?\s*$"
+
+
+def read_sql_dump(spark: SparkSession, path: str) -> DataFrame:
+    """S25: parse single-line `INSERT INTO t (...) VALUES (...);` statements
+    into (table_name, columns array, values-tuple text) rows.
+
+    Multi-line statements are joined upstream (the reference accumulates
+    until ';'); here each complete statement is one text line. The heavy
+    per-tuple split runs distributed via regexp on executors.
+    """
+    text = spark.read.text(path)
+    parsed = text.select(
+        F.regexp_extract("value", _INSERT_RE, 1).alias("table_name"),
+        F.split(F.regexp_replace(F.regexp_extract("value", _INSERT_RE, 2), r"\s", ""), ",").alias("columns"),
+        F.regexp_extract("value", _INSERT_RE, 3).alias("values_raw"),
+    ).filter(F.col("table_name") != "")
+    # split multi-tuple VALUES (a,b),(c,d) into one row per tuple
+    tuples = parsed.select(
+        "table_name", "columns",
+        F.explode(
+            F.regexp_extract_all(F.col("values_raw"), F.lit(r"\(([^()]*)\)"), F.lit(1))
+        ).alias("tuple_raw"),
+    )
+    return tuples
+
+
+def dump_rows_for_table(dump: DataFrame, table: str) -> DataFrame:
+    """Route parsed dump tuples for one table; CSV-split the tuple body."""
+
+    @F.udf(returnType="array<string>")
+    def split_sql_tuple(s: str) -> list[str]:
+        # values may contain quoted commas — reuse csv reader with ' quote
+        reader = _csv.reader(io.StringIO(s), quotechar="'", skipinitialspace=True)
+        return next(reader, [])
+
+    return (
+        dump.filter(F.col("table_name") == table)
+        .withColumn("fields", split_sql_tuple("tuple_raw"))
+    )
+
+
+def all_string_schema(names: list[str]) -> StructType:
+    return StructType([StructField(n, StringType()) for n in names])

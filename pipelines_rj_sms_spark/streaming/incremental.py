@@ -1,0 +1,88 @@
+"""Structured-Streaming facet — the streaming analog of the reference's
+scheduled incremental loads (SURVEY §1.1: no true streaming exists in the
+reference; recurring 30-min monitors + daily windows map naturally onto
+Trigger.AvailableNow micro-batches and watermarked window aggregates).
+
+- incremental_ingest: file-source stream -> conform -> partitioned sink,
+  Trigger.AvailableNow (process-everything-then-stop — the scheduled-batch
+  semantics with streaming's exactly-once bookkeeping via checkpoint).
+- windowed_monitor: the HCI 30-minute monitoring aggregate
+  (reports/monitoramento_hci/tasks.py:17-70) as a watermarked tumbling
+  window groupBy — late events within the watermark still count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def incremental_ingest(spark: SparkSession, source_path: str,
+                       schema: StructType, sink_path: str,
+                       checkpoint_path: str, fmt: str = "parquet",
+                       ts_col: str | None = None) -> StreamingQuery:
+    """Exactly-once incremental file ingestion (the S10-S12 + K1 loop).
+
+    New files under ``source_path`` are discovered per micro-batch; the
+    checkpoint replaces the reference's progress table for this path
+    (O1 semantics at file granularity).
+    """
+    stream = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1000)
+        .load(source_path)
+        .withColumn("_loaded_at", F.current_timestamp())
+    )
+    if ts_col is not None:
+        d = F.col(ts_col).cast("date")
+        stream = (
+            stream.withColumn("ano_particao", F.year(d))
+            .withColumn("mes_particao", F.month(d))
+            .withColumn("data_particao", d)
+        )
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .outputMode("append")
+    )
+    if ts_col is not None:
+        writer = writer.partitionBy("ano_particao", "mes_particao", "data_particao")
+    return writer.start()
+
+
+def windowed_monitor(events: DataFrame, ts_col: str = "ts",
+                     group_cols: tuple[str, ...] = ("event_type",),
+                     window_duration: str = "30 minutes",
+                     watermark: str = "10 minutes") -> DataFrame:
+    """A1/A2 as a streaming aggregate: per-window event counts + approx
+    distinct users, tolerant of late data within the watermark.
+
+    approx_count_distinct (HLL) instead of exact distinct: exact distinct
+    over an unbounded stream needs unbounded state; HLL state is O(1) per
+    group-window — the 100 TB-safe choice.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), *group_cols)
+        .agg(
+            F.count("*").alias("qtd"),
+            F.approx_count_distinct("user_id").alias("usuarios"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *group_cols, "qtd", "usuarios",
+        )
+    )
+
+
+def run_stream_once(query: StreamingQuery, timeout_s: int = 300) -> None:
+    """Await an AvailableNow query's completion (test/driver helper)."""
+    query.awaitTermination(timeout_s)
+    if query.isActive:
+        query.stop()
