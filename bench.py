@@ -1,0 +1,73 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query executes its full plan through the noop sink (no driver
+collect, no result materialization cost in the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_pricing_summary",
+    "shipping_priority_top10",
+    "local_supplier_revenue",
+    "monitor_recent",
+    "revenue_by_brand",
+    "latest_order_per_customer",
+    "running_total_by_customer",
+    "stream_window_counts",
+    "sessionize_events",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "ngram_jaccard_pairs",
+    "simhash_near_dupes",
+    "text_quality_score",
+    "similarity_bruteforce",
+]
+
+
+def main() -> None:
+    from pipelines_rj_sms_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen warmup outside the measurement
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline-suite wall clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -49,7 +49,9 @@ def clean_text(col: Column | str) -> Column:
 def parse_decimal_comma(col: Column | str) -> Column:
     """'1.234,56' -> 1234.56 (C10): strip thousands dots, comma -> dot."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.regexp_replace(c, r"\.", ""), ",", ".").cast("double")
+    # try_cast: malformed input -> null (pd.to_numeric errors='coerce'
+    # parity; plain cast throws under Spark 4 ANSI mode)
+    return F.regexp_replace(F.regexp_replace(c, r"\.", ""), ",", ".").try_cast("double")
 
 
 def clean_column_name(name: str) -> str:

@@ -67,15 +67,20 @@ def cpf_is_valid(col: Column | str) -> Column:
 
     def digit(s: Column, n_digits: int) -> Column:
         # weighted sum of the first n_digits chars, weights n_digits+1 .. 2
+        # (try_cast: out-of-range substrings on short inputs yield null,
+        # which the ok_len guard then resolves to false — ANSI-safe)
         total = None
         for i in range(n_digits):
-            term = F.substring(s, i + 1, 1).cast("int") * F.lit(n_digits + 1 - i)
+            term = F.substring(s, i + 1, 1).try_cast("int") * F.lit(n_digits + 1 - i)
             total = term if total is None else total + term
         rem = total % 11
         return F.when(rem < 2, F.lit(0)).otherwise(F.lit(11) - rem)
 
-    same = d.rlike(r"^(\d)\1{10}$")
+    # all-same-digit numbers pass the check-digit math but are fakes, and
+    # 01234567890 is the classic sequential fake that also happens to be
+    # check-digit-valid (the reference's validate_docbr blacklists both)
+    blacklisted = d.rlike(r"^(\d)\1{10}$") | (d == "01234567890")
     ok_len = F.length(d) == 11
-    dv1 = digit(d, 9) == F.substring(d, 10, 1).cast("int")
-    dv2 = digit(d, 10) == F.substring(d, 11, 1).cast("int")
-    return ok_len & ~same & dv1 & dv2
+    dv1 = digit(d, 9) == F.substring(d, 10, 1).try_cast("int")
+    dv2 = digit(d, 10) == F.substring(d, 11, 1).try_cast("int")
+    return ok_len & ~blacklisted & dv1 & dv2

@@ -24,7 +24,7 @@ from pyspark.sql.types import StringType, StructField, StructType
 def read_csv_raw(spark: SparkSession, path: str, sep: str = ",",
                  encoding: str = "UTF-8", header: bool = True) -> DataFrame:
     """All-string CSV read; no NA coercion (empty stays '')."""
-    return (
+    df = (
         spark.read.option("header", header)
         .option("sep", sep)
         .option("encoding", encoding)
@@ -34,6 +34,12 @@ def read_csv_raw(spark: SparkSession, path: str, sep: str = ",",
         .option("mode", "PERMISSIVE")
         .csv(path)
     )
+    # univocity still yields null for unquoted empty fields regardless of
+    # emptyValue; the reference's keep_default_na=False means NO nulls ever
+    # in a raw read, so coalesce each column to '' (folds into the scan
+    # projection — no extra stage)
+    df = df.select(*[F.coalesce(F.col(c), F.lit("")).alias(c) for c in df.columns])
+    return df
 
 
 def sniff_separator(spark: SparkSession, path: str,

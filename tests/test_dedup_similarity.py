@@ -1,0 +1,107 @@
+from pyspark.sql import functions as F
+
+from pipelines_rj_sms_spark.operators.dedup import (
+    dedup_exact,
+    dedup_keep_last,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dupes,
+)
+from pipelines_rj_sms_spark.operators.similarity import (
+    brute_force_top_k,
+    embedding_near_dupes,
+    lsh_top_k,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup
+    (3, "the quick brown fox jumps over the lazy dog again and again tomorrow"),  # near dup
+    (4, "completely different words about spark dataframes and shuffle joins"),
+    (5, "short text"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_dedup_keep_last_deterministic(spark):
+    df = spark.createDataFrame(
+        [("u1", 1, "a"), ("u1", 2, "b"), ("u1", 2, "a"), ("u2", 1, "z")],
+        ["k", "ord", "payload"],
+    )
+    out = {r["k"]: (r["ord"], r["payload"])
+           for r in dedup_keep_last(df, ["k"], "ord").collect()}
+    assert out["u1"] == (2, "b")  # max ord, tie broken by payload desc
+    assert out["u2"] == (1, "z")
+
+
+def test_dedup_exact(spark):
+    kept = sorted(r["doc_id"] for r in dedup_exact(_docs(spark), "text", "doc_id").collect())
+    assert kept == [1, 3, 4, 5]  # doc 2 collapses into doc 1
+
+
+def test_minhash_lsh_finds_dups(spark):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_lsh_candidates(_docs(spark), "doc_id", "text").collect()}
+    assert (1, 2) in pairs          # exact dup always collides
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_md5_variant_matches_xxhash_pairs_for_exact_dups(spark):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_lsh_candidates(_docs(spark), "doc_id", "text",
+                                             num_hashes=8, bands=4,
+                                             hash_fn="md5").collect()}
+    assert (1, 2) in pairs
+
+
+def test_ngram_jaccard(spark):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(_docs(spark), "doc_id", "text",
+                                        threshold=0.5).collect()}
+    assert out[(1, 2)] == 1.0
+    assert 0.5 <= out[(1, 3)] < 1.0
+    assert (1, 4) not in out
+
+
+def test_simhash_identical_and_near(spark):
+    sh = {r["doc_id"]: r["simhash"]
+          for r in simhash(_docs(spark), "text").collect()}
+    assert sh[1] == sh[2]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_dupes(_docs(spark), "doc_id", "text",
+                                         max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def _emb(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_top_k(spark):
+    out = brute_force_top_k(_emb(spark), [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+    assert abs(out[0]["cosine_sim"] - 1.0) < 1e-12
+
+
+def test_lsh_top_k_contains_self(spark):
+    out = lsh_top_k(_emb(spark), [1.0, 0.0, 0.0], k=4, n_planes=2)
+    ids = [r["vec_id"] for r in out.collect()]
+    assert 1 in ids
+    assert 4 not in ids  # opposite vector lands in another bucket
+
+
+def test_embedding_near_dupes(spark):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in embedding_near_dupes(_emb(spark), threshold=0.9,
+                                           n_planes=2).collect()}
+    assert (1, 2) in pairs

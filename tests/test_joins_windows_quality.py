@@ -1,0 +1,115 @@
+import pytest
+from pyspark.sql import functions as F
+
+from pipelines_rj_sms_spark.operators.joins import (
+    coalesce_join,
+    lookup,
+    remaining_work,
+    seen_keys_filter,
+)
+from pipelines_rj_sms_spark.operators.windows import (
+    extreme,
+    latest_per_key,
+    ranked_over_threshold,
+    top_k,
+)
+from pipelines_rj_sms_spark.quality.checks import (
+    freshness_by_group,
+    non_empty,
+    reconcile_counts,
+    replication_gate,
+    schema_conformance,
+    truncation_guard,
+)
+
+
+def test_remaining_work_anti_join(spark):
+    cand = spark.createDataFrame([("a",), ("b",), ("c",)], ["operator_key"])
+    done = spark.createDataFrame([("b",)], ["operator_key"])
+    left = sorted(r["operator_key"] for r in remaining_work(cand, done).collect())
+    assert left == ["a", "c"]
+
+
+def test_lookup_broadcast(spark):
+    fact = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 5.0)], ["id_cnes", "v"])
+    dim = spark.createDataFrame([(1, "AP10"), (2, "AP21")], ["id_cnes", "ap"])
+    out = lookup(fact, dim, "id_cnes")
+    assert out.count() == 3
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_coalesce_join(spark):
+    left = spark.createDataFrame([(1, None), (2, 5.0)], ["k", "lat"])
+    right = spark.createDataFrame([(1, 9.0), (2, 7.0)], ["k", "lat_cep"])
+    out = {r["k"]: r["lat"]
+           for r in coalesce_join(left, right, "k", {"lat": "lat_cep"}).collect()}
+    assert out == {1: 9.0, 2: 5.0}
+
+
+def test_seen_keys_filter(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "cpf"])
+    seen = spark.createDataFrame([(1, "a")], ["id", "cpf"])
+    assert seen_keys_filter(df, seen, ["id", "cpf"]).count() == 1
+
+
+def test_latest_per_key_and_topk(spark):
+    df = spark.createDataFrame(
+        [("c1", 1, "2024-01-01"), ("c1", 2, "2024-01-02"), ("c2", 3, "2024-01-01")],
+        ["k", "id", "d"],
+    )
+    latest = {r["k"]: r["id"] for r in latest_per_key(df, ["k"], "d").collect()}
+    assert latest == {"c1": 2, "c2": 3}
+    assert top_k(df, [F.col("id").desc()], 1).first()["id"] == 3
+    assert extreme(df, "id", largest=False).first()["id"] == 1
+
+
+def test_ranked_over_threshold(spark):
+    df = spark.createDataFrame([(0.4,), (2.0,), (1.0,)], ["cost"])
+    out = ranked_over_threshold(df, "cost", 0.5).collect()
+    assert [(r["cost"], r["rank"]) for r in out] == [(2.0, 1), (1.0, 2)]
+
+
+def test_reconcile_counts(spark):
+    df = spark.range(95)
+    assert reconcile_counts(100, df, tolerance=0.05).passed
+    assert not reconcile_counts(100, df, tolerance=0.01).passed
+    with pytest.raises(AssertionError):
+        reconcile_counts(100, df, tolerance=0.01).expect()
+
+
+def test_truncation_guard(spark):
+    assert truncation_guard(spark.range(10), cap=100).passed
+    assert not truncation_guard(spark.range(100), cap=100).passed
+
+
+def test_freshness_by_group(spark):
+    df = spark.createDataFrame(
+        [("p1", "2020-01-01 00:00:00"), ("p2", "2099-01-01 00:00:00")],
+        ["provider", "ts"],
+    ).select("provider", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r["provider"]: r["is_stale"]
+           for r in freshness_by_group(df, "provider", "ts", 30).collect()}
+    assert out["p1"] is True and out["p2"] is False
+
+
+def test_replication_gate(spark):
+    from datetime import date
+    df = spark.createDataFrame([("2024-05-05",)], ["d"]).select(
+        F.col("d").cast("date").alias("d"))
+    assert replication_gate(df, "d", expected=date(2024, 5, 5)).passed
+    assert not replication_gate(df, "d", expected=date(2024, 5, 6)).passed
+
+
+def test_schema_conformance(spark):
+    df = spark.createDataFrame([(1, "x")], ["a", "b"])
+    ok = schema_conformance(df, {"a": "bigint", "b": "string"})
+    assert ok.passed
+    bad = schema_conformance(df, {"a": "string", "c": "int"})
+    assert not bad.passed
+    assert bad.details["missing"] == ["c"]
+    assert "a" in bad.details["mistyped"]
+
+
+def test_non_empty(spark):
+    assert non_empty(spark.range(1)).passed
+    assert not non_empty(spark.range(0)).passed

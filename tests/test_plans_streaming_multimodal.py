@@ -1,0 +1,126 @@
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from pipelines_rj_sms_spark.plans.runner import Model, ModelRunner
+from pipelines_rj_sms_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+)
+from pipelines_rj_sms_spark.streaming.incremental import (
+    incremental_ingest,
+    run_stream_once,
+    windowed_monitor,
+)
+
+
+def test_model_runner_dag(spark):
+    spark.createDataFrame([(1,), (2,), (3,)], ["x"]).createOrReplaceTempView("raw_src")
+    models = [
+        Model("mart", "SELECT sum(x2) AS total FROM stg", deps=["stg"], tags=["mart"]),
+        Model("stg", "SELECT x * 2 AS x2 FROM raw_src", tags=["stg"]),
+    ]
+    runner = ModelRunner(spark, models)
+    results = runner.run()
+    assert [r.name for r in results] == ["stg", "mart"]
+    assert spark.table("mart").first()["total"] == 12
+
+
+def test_model_runner_tag_selection_pulls_deps(spark):
+    spark.createDataFrame([(1,)], ["x"]).createOrReplaceTempView("raw_src")
+    models = [
+        Model("a", "SELECT x FROM raw_src"),
+        Model("b", "SELECT * FROM a", deps=["a"], tags=["daily"]),
+        Model("c", "SELECT 1 AS one"),
+    ]
+    runner = ModelRunner(spark, models)
+    assert runner.select("daily") == {"a", "b"}
+    results = runner.run("daily")
+    assert [r.name for r in results] == ["a", "b"]
+
+
+def test_model_runner_cycle_detection(spark):
+    models = [
+        Model("a", "SELECT 1", deps=["b"]),
+        Model("b", "SELECT 1", deps=["a"]),
+    ]
+    with pytest.raises(ValueError, match="cycle"):
+        ModelRunner(spark, models)._toposort({"a", "b"})
+
+
+def test_incremental_ingest_available_now(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("v", StringType()),
+    ])
+    df = spark.createDataFrame(
+        [(1, "2024-01-05 10:00:00", "a"), (2, "2024-02-06 11:00:00", "b")],
+        ["id", "ts", "v"],
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"), "v")
+    df.write.parquet(str(src / "batch1"))
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = incremental_ingest(spark, str(src / "batch1"), schema, sink, ckpt, ts_col="ts")
+    run_stream_once(q)
+    out = spark.read.option("basePath", sink).parquet(sink)
+    assert out.count() == 2
+    assert "data_particao" in out.columns
+    assert "_loaded_at" in out.columns
+
+    # second run with no new files: exactly-once, still 2 rows
+    q2 = incremental_ingest(spark, str(src / "batch1"), schema, sink, ckpt, ts_col="ts")
+    run_stream_once(q2)
+    assert spark.read.option("basePath", sink).parquet(sink).count() == 2
+
+
+def test_windowed_monitor_batch_shape(spark):
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00", 10, "click"),
+         (2, "2024-01-01 00:25:00", 10, "click"),
+         (3, "2024-01-01 00:35:00", 11, "view")],
+        ["event_id", "ts", "user_id", "event_type"],
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+             "user_id", "event_type")
+    out = {(str(r["window_start"]), r["event_type"]): r["qtd"]
+           for r in windowed_monitor(ev).collect()}
+    assert out[("2024-01-01 00:00:00", "click")] == 2
+    assert out[("2024-01-01 00:30:00", "view")] == 1
+
+
+def test_extract_features_stub(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"hello world"), "image"),
+         (2, bytearray(b""), "audio")],
+        ["media_id", "content", "media_type"],
+    )
+    out = {r["media_id"]: r for r in
+           extract_features(media, media_type_col="media_type").collect()}
+    assert out[1]["n_bytes"] == 11
+    assert len(out[1]["features"]) == 16
+    assert abs(sum(out[1]["features"]) - 1.0) < 1e-6
+    assert out[2]["n_bytes"] == 0
+
+
+def test_extract_features_real_decode_not_implemented(spark):
+    media = spark.createDataFrame([(1, bytearray(b"x"))], ["media_id", "content"])
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decode_stub=False)
+
+
+def test_sample_frames(spark):
+    vids = spark.createDataFrame([(1, 3500), (2, 0)], ["media_id", "duration_ms"])
+    out = sample_frames(vids, every_ms=1000)
+    counts = {r["media_id"]: 0 for r in out.collect()}
+    for r in out.collect():
+        counts[r["media_id"]] += 1
+    assert counts == {1: 4, 2: 1}  # 0,1000,2000,3000 / 0

@@ -1,0 +1,98 @@
+import os
+import sqlite3
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipelines_rj_sms_spark.sources.files import (
+    dump_rows_for_table,
+    read_csv_raw,
+    read_fixed_width,
+    read_sql_dump,
+    sniff_separator,
+)
+from pipelines_rj_sms_spark.sinks.jdbc_upsert import upsert, validate_statement
+from pipelines_rj_sms_spark.sinks.lakehouse import read_table, write_table
+
+
+def test_read_csv_raw_all_string(spark, tmp_path):
+    p = tmp_path / "x.csv"
+    p.write_text("a;b;c\n1;;x\n2;0;\n")
+    df = read_csv_raw(spark, str(p), sep=";")
+    assert all(t == "string" for _, t in df.dtypes)
+    rows = df.orderBy("a").collect()
+    assert rows[0]["b"] == ""  # empty stays '', not null
+    assert rows[1]["c"] == ""
+
+
+def test_sniff_separator(spark, tmp_path):
+    p = tmp_path / "semi.csv"
+    p.write_text("a;b;c\n1;2;3\n")
+    assert sniff_separator(spark, str(p)) == ";"
+
+
+def test_read_fixed_width(spark, tmp_path):
+    p = tmp_path / "fw.txt"
+    p.write_text("0001JOAO      2024\n0002MARIA     2023\n")
+    df = read_fixed_width(spark, str(p), [("id", 1, 4), ("nome", 5, 10), ("ano", 15, 4)])
+    rows = {r["id"]: (r["nome"], r["ano"]) for r in df.collect()}
+    assert rows["0001"] == ("JOAO", "2024")
+    assert rows["0002"] == ("MARIA", "2023")
+
+
+def test_read_sql_dump(spark, tmp_path):
+    p = tmp_path / "dump.sql"
+    p.write_text(
+        "INSERT INTO public.t1 (a, b) VALUES (1, 'x'), (2, 'y,z');\n"
+        "INSERT INTO t2 VALUES (9, 'w');\n"
+        "-- comment line\n"
+    )
+    dump = read_sql_dump(spark, str(p))
+    assert dump.count() == 3
+    t1 = dump_rows_for_table(dump, "public.t1").collect()
+    fields = sorted(tuple(r["fields"]) for r in t1)
+    assert fields == [("1", "x"), ("2", "y,z")]
+
+
+def test_lakehouse_write_partitioned(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00"), ("b", "2024-02-01 10:00:00")], ["v", "ts"]
+    ).select("v", F.col("ts").cast("timestamp").alias("ts"))
+    write_table(df, path, mode="append", ts_col="ts")
+    assert os.path.isdir(os.path.join(path, "ano_particao=2024", "mes_particao=1"))
+    back = read_table(spark, path)
+    assert back.count() == 2
+
+    # dynamic partition overwrite: rewriting Jan must not clobber Feb
+    jan = spark.createDataFrame([("a2", "2024-01-01 11:00:00")], ["v", "ts"]).select(
+        "v", F.col("ts").cast("timestamp").alias("ts"))
+    write_table(jan, path, mode="overwrite", ts_col="ts")
+    vals = sorted(r["v"] for r in read_table(spark, path).collect())
+    assert vals == ["a2", "b"]
+
+    # empty-input short-circuit (Q9)
+    write_table(df.limit(0), path, mode="overwrite", ts_col="ts")
+    assert read_table(spark, path).count() == 2
+
+
+def test_validate_statement_blocks_destructive():
+    with pytest.raises(ValueError):
+        validate_statement("INSERT INTO t VALUES (1); DROP TABLE t")
+    validate_statement("INSERT INTO t (a) VALUES (?)")
+
+
+def test_jdbc_upsert_sqlite(spark, tmp_path):
+    db = str(tmp_path / "up.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT)")
+    conn.execute("INSERT INTO t VALUES (1, 'old')")
+    conn.commit()
+    conn.close()
+
+    df = spark.createDataFrame([(1, "new"), (2, "b")], ["k", "v"]).coalesce(1)
+    upsert(df, "t", ["k"],
+           connection_factory=lambda: sqlite3.connect(db),
+           dialect="sqlite")
+    got = dict(sqlite3.connect(db).execute("SELECT k, v FROM t").fetchall())
+    assert got == {1: "new", 2: "b"}

@@ -1,0 +1,61 @@
+from pyspark.sql import functions as F
+
+from pipelines_rj_sms_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    shingles,
+    token_count,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("Hello,  world! 123 foo",), ("",)], ["text"])
+    rows = df.select(
+        token_count("text").alias("n"),
+        bpe_ish_token_count("text").alias("b"),
+    ).collect()
+    assert rows[0]["n"] == 4
+    # hello , world ! 123 foo -> 6 bpe-ish tokens
+    assert rows[0]["b"] == 6
+    assert rows[1]["n"] == 0
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
+    rows = df.select(shingles("text", 3).alias("s")).collect()
+    assert rows[0]["s"] == ["a b c", "b c d"]
+    assert rows[1]["s"] == ["a b"]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [("the cat is on the mat and it is happy",),
+         ("el perro y la casa por una calle del pueblo como siempre",),
+         ("xyzzy qwerty plugh",)],
+        ["text"],
+    )
+    out = [r["l"] for r in df.select(lang_id("text").alias("l")).collect()]
+    assert out == ["en", "es", "und"]
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [("a reasonable length document with plenty of normal readable words "
+          "that goes on for a while and has good composition overall",),
+         ("!!! ??? ### $$$",)],
+        ["text"],
+    )
+    rows = [r["q"] for r in df.select(quality_score("text").alias("q")).collect()]
+    assert rows[0] > 0.8
+    assert rows[1] < 0.5
+    assert all(0.0 <= q <= 1.0 for q in rows)
+
+
+def test_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([("same text here",), ("same text here",),
+                                ("other content",)], ["text"])
+    out = [r["f"] for r in df.select(fingerprint("text").alias("f")).collect()]
+    assert out[0] == out[1]
+    assert out[0] != out[2]
