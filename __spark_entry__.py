@@ -53,6 +53,23 @@ Query key -> SURVEY §2 rows covered:
   similarity_lsh            ANN: hyperplane-LSH bucketed top-k
   embedding_near_dupes      dedup: embedding cosine (rows-only)
   multimodal_features       multimodal plumbing (rows-only)
+  order_priority_exists     J6 (correlated EXISTS, TPC-H Q4 shape)
+  small_qty_revenue         J6 (correlated scalar subquery, Q17 shape)
+  order_count_distribution  J6 A1 (left-outer + re-aggregation, Q13 shape)
+  promo_revenue_share       A7 C17 (conditional aggregation, Q14 shape)
+  large_orders_having       A1 (HAVING gate, Q18 shape)
+  disjunctive_filter_revenue P2 (OR-of-conjuncts pushdown, Q19 shape)
+  rich_idle_customers       J1 A7 (NOT EXISTS + scalar avg subquery, Q22 shape)
+  nation_key_setops         U-family (INTERSECT / EXCEPT)
+  grouping_sets_counts      A1 (GROUPING SETS bonus)
+  pivot_linestatus          A1 (pivot via DataFrame API)
+  accent_clean              C1 C2 C3 (accent fold + scrub + lower chain)
+  age_computation           C9 (age with birthday-not-yet decrement)
+  cpf_validation            C12 (check-digit math, expression-only)
+  day_window_fanout         C6 S16 (sequence+explode day windows)
+  row_to_json               C13 (to_json(struct(*)))
+  freshness_gate            Q2 Q3 (per-group freshness + stale flag)
+  count_reconciliation      Q1 (source-vs-loaded ±5% tolerance)
 """
 
 from __future__ import annotations
@@ -271,6 +288,162 @@ WHERE bucket = qbucket
 ORDER BY list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC, vec_id
 LIMIT 10
 """
+
+
+# Shared-dialect SQL (valid verbatim in both Spark SQL and DuckDB).
+
+_Q4_EXISTS = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o.o_orderkey
+                AND l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+_Q17_CORRELATED = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem
+                    WHERE l_partkey = l.l_partkey)
+"""
+
+_Q13_DISTRIBUTION = """
+SELECT n_orders, COUNT(*) AS n_custs
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) AS per_cust
+GROUP BY n_orders
+"""
+
+_Q14_PROMO = """
+SELECT round(100.0
+  * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+  6) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+_Q18_HAVING = """
+SELECT o_orderkey, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+"""
+
+_Q19_DISJUNCTIVE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
+
+_Q22_IDLE = """
+SELECT COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+"""
+
+_SETOPS = """
+SELECT 'both' AS tag, nationkey
+FROM (SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier) AS a
+UNION ALL
+SELECT 'cust_only' AS tag, nationkey
+FROM (SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier) AS b
+"""
+
+_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS qtd
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+_RECONCILE = """
+SELECT n_src, n_loaded,
+       (abs(n_src - n_loaded) <= 0.05 * n_src) AS within_tolerance
+FROM (SELECT (SELECT COUNT(*) FROM events) AS n_src,
+             (SELECT COUNT(DISTINCT event_id) FROM events) AS n_loaded) AS t
+"""
+
+_FRESHNESS_GATE = """
+SELECT event_type, max(ts) AS last_seen,
+       (max(ts) >= TIMESTAMP '2024-01-29 00:00:00') AS fresh
+FROM events GROUP BY event_type
+"""
+
+_AGE_ORACLE = """
+SELECT o_orderkey,
+       year(DATE '1998-12-31') - year(o_orderdate)
+       - CASE WHEN (month(DATE '1998-12-31') < month(o_orderdate))
+                OR (month(DATE '1998-12-31') = month(o_orderdate)
+                    AND day(DATE '1998-12-31') < day(o_orderdate))
+              THEN 1 ELSE 0 END AS age
+FROM orders
+"""
+
+_DAY_FANOUT_DUCK = """
+WITH w AS (SELECT CAST(unnest(generate_series(DATE '1998-01-01', DATE '1998-03-31',
+                                              INTERVAL 1 DAY)) AS DATE) AS window_start)
+SELECT window_start, COUNT(o_orderkey) AS n_orders
+FROM w LEFT JOIN orders ON CAST(o_orderdate AS DATE) = window_start
+GROUP BY window_start
+"""
+
+
+def _cpf_oracle_sql() -> str:
+    """DuckDB-side CPF check-digit math (RE2 has no backreferences, so the
+    all-same-digit blacklist is enumerated)."""
+    def wsum(n_digits: int) -> str:
+        return " + ".join(
+            f"CAST(substr(cpf, {i + 1}, 1) AS INT) * {n_digits + 1 - i}"
+            for i in range(n_digits)
+        )
+
+    def dv(n_digits: int) -> str:
+        return (f"(CASE WHEN ({wsum(n_digits)}) % 11 < 2 THEN 0 "
+                f"ELSE 11 - (({wsum(n_digits)}) % 11) END)")
+
+    same = ", ".join(f"'{str(d) * 11}'" for d in range(10))
+    return f"""
+WITH c AS (SELECT c_custkey,
+                  lpad(CAST((c_custkey * 7919) % 100000000000 AS VARCHAR), 11, '0') AS cpf
+           FROM customer)
+SELECT c_custkey, cpf AS cpf_candidate,
+       (length(cpf) = 11
+        AND cpf NOT IN ({same}, '01234567890')
+        AND {dv(9)} = CAST(substr(cpf, 10, 1) AS INT)
+        AND {dv(10)} = CAST(substr(cpf, 11, 1) AS INT)) AS is_valid
+FROM c
+"""
+
+
+_ACCENT_DUCK = (
+    "SELECT n_nationkey, trim(lower(strip_accents("
+    "'  Ação Médica — ' || n_name || ' SÃO  '))) AS cleaned FROM nation"
+)
+
+_JSON_ROW_DUCK = (
+    "SELECT n_nationkey, "
+    "'{\"n_name\":\"' || n_name || '\",\"n_regionkey\":' || n_regionkey || '}' AS js "
+    "FROM nation"
+)
+
+_PIVOT_DUCK = (
+    'SELECT l_returnflag, '
+    'COUNT(CASE WHEN l_linestatus = \'F\' THEN 1 END) AS "F", '
+    'COUNT(CASE WHEN l_linestatus = \'O\' THEN 1 END) AS "O" '
+    "FROM lineitem GROUP BY l_returnflag"
+)
 
 
 # ------------------------------------------------------------- queries()
@@ -580,6 +753,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
         )
 
+    def pivot_linestatus(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            li.groupBy("l_returnflag")
+            .pivot("l_linestatus", ["F", "O"])
+            .agg(F.count(F.lit(1)))
+        )
+
+    def accent_clean(spark, sf_dir):
+        nation = _t(spark, sf_dir, "nation")
+        return nation.select(
+            "n_nationkey",
+            cleaning.clean_text(
+                F.concat(F.lit("  Ação Médica — "), F.col("n_name"), F.lit(" SÃO  "))
+            ).alias("cleaned"),
+        )
+
+    def age_computation(spark, sf_dir):
+        orders = _t(spark, sf_dir, "orders")
+        return orders.select(
+            "o_orderkey",
+            dates.age_years(F.col("o_orderdate"),
+                            as_of=F.lit("1998-12-31").cast("date")),
+        )
+
+    def cpf_validation(spark, sf_dir):
+        cust = _t(spark, sf_dir, "customer")
+        cand = cust.select(
+            "c_custkey",
+            F.lpad(((F.col("c_custkey") * 7919) % F.lit(100000000000))
+                   .cast("string"), 11, "0").alias("cpf_candidate"),
+        )
+        return cand.withColumn("is_valid", keys.cpf_is_valid("cpf_candidate"))
+
+    def day_window_fanout(spark, sf_dir):
+        orders = _t(spark, sf_dir, "orders")
+        w = dates.day_windows(spark, "1998-01-01", "1998-03-31").select("window_start")
+        o = orders.select("o_orderkey", F.col("o_orderdate").cast("date").alias("od"))
+        return (
+            w.join(o, w.window_start == o.od, "left")
+            .groupBy("window_start")
+            .agg(F.count("o_orderkey").alias("n_orders"))
+        )
+
+    def row_to_json(spark, sf_dir):
+        nation = _t(spark, sf_dir, "nation")
+        return nation.select(
+            "n_nationkey",
+            F.to_json(F.struct("n_name", "n_regionkey")).alias("js"),
+        )
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -641,6 +865,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": sim_lsh,
         "embedding_near_dupes": emb_near_dupes,
         "multimodal_features": multimodal_features,
+        "order_priority_exists": _sql(_Q4_EXISTS),
+        "small_qty_revenue": _sql(_Q17_CORRELATED),
+        "order_count_distribution": _sql(_Q13_DISTRIBUTION),
+        "promo_revenue_share": _sql(_Q14_PROMO),
+        "large_orders_having": _sql(_Q18_HAVING),
+        "disjunctive_filter_revenue": _sql(_Q19_DISJUNCTIVE),
+        "rich_idle_customers": _sql(_Q22_IDLE),
+        "nation_key_setops": _sql(_SETOPS),
+        "grouping_sets_counts": _sql(_GROUPING_SETS),
+        "pivot_linestatus": pivot_linestatus,
+        "accent_clean": accent_clean,
+        "age_computation": age_computation,
+        "cpf_validation": cpf_validation,
+        "day_window_fanout": day_window_fanout,
+        "row_to_json": row_to_json,
+        "freshness_gate": _sql(_FRESHNESS_GATE),
+        "count_reconciliation": _sql(_RECONCILE),
     }
 
 
@@ -815,4 +1056,21 @@ def oracle_sql() -> dict[str, str]:
         # embedding_near_dupes: plane-bucket parity is covered by
         # similarity_lsh; pair set checked rows-only
         # multimodal_features: mapInPandas — rows-only check
+        "order_priority_exists": _Q4_EXISTS,
+        "small_qty_revenue": _Q17_CORRELATED,
+        "order_count_distribution": _Q13_DISTRIBUTION,
+        "promo_revenue_share": _Q14_PROMO,
+        "large_orders_having": _Q18_HAVING,
+        "disjunctive_filter_revenue": _Q19_DISJUNCTIVE,
+        "rich_idle_customers": _Q22_IDLE,
+        "nation_key_setops": _SETOPS,
+        "grouping_sets_counts": _GROUPING_SETS,
+        "pivot_linestatus": _PIVOT_DUCK,
+        "accent_clean": _ACCENT_DUCK,
+        "age_computation": _AGE_ORACLE,
+        "cpf_validation": _cpf_oracle_sql(),
+        "day_window_fanout": _DAY_FANOUT_DUCK,
+        "row_to_json": _JSON_ROW_DUCK,
+        "freshness_gate": _FRESHNESS_GATE,
+        "count_reconciliation": _RECONCILE,
     }
