@@ -1,0 +1,191 @@
+"""Format decoders beyond CSV/JSON/Parquet (SURVEY §2.2).
+
+- F2/F3: DBF (dBase III, the DATASUS interchange format;
+  reference pipelines/datalake/utils/data_transformations.py:121-129 uses
+  pyreaddbc/simpledbf). Implemented here as a pure-Python parser of the
+  public dBase III layout, distributed per-file via the binaryFile reader
+  + mapInPandas: each executor task parses whole files from the `content`
+  bytes, so a directory of thousands of DATASUS files scales with the
+  cluster, not the driver. DBC (compressed DBF) needs the PKWare-implode
+  codec (pyreaddbc) — gated, raises with guidance when absent.
+- F4: XLSX — gated on openpyxl (not in this container); plumbing
+  (driver-side pandas read -> all-string createDataFrame) is real.
+- F7: encoding detection as a driver pre-pass (the reference chardets the
+  first bytes: vitacare_gdrive/utils.py:388-453); here strict-decode
+  trials over a candidate list, latin-1 as the never-fails fallback.
+- F9: zip/tar.gz selective unpack (utils/tasks.py:628-645,
+  prontuario_gcs/tasks.py:56-92) — a driver/fetch-stage step.
+
+All-string output everywhere (the reference's dtype=str posture).
+"""
+
+from __future__ import annotations
+
+import struct
+import tarfile
+import zipfile
+from collections.abc import Iterator
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+# --------------------------------------------------------------- DBF (F2/F3)
+
+def _parse_dbf_fields(header: bytes) -> list[tuple[str, int]]:
+    """Field descriptors: 32-byte entries from offset 32 until 0x0D."""
+    fields: list[tuple[str, int]] = []
+    off = 32
+    while off < len(header) and header[off] != 0x0D:
+        desc = header[off:off + 32]
+        if len(desc) < 32:
+            break
+        name = desc[:11].split(b"\x00")[0].decode("ascii", "replace").strip()
+        length = desc[16]
+        fields.append((name, length))
+        off += 32
+    return fields
+
+
+def _parse_dbf_bytes(content: bytes, encoding: str) -> tuple[list[str], list[list[str]]]:
+    """Decode one DBF file: (column names, rows-as-strings).
+
+    Header: record count at bytes 4-8 (LE), header size at 8-10, record
+    size at 10-12; each record = 1 deletion-flag byte + fixed-width fields;
+    0x2A marks deleted rows (skipped).
+    """
+    if len(content) < 32:
+        raise ValueError("truncated DBF header")
+    n_records, header_size, record_size = struct.unpack_from("<IHH", content, 4)
+    fields = _parse_dbf_fields(content[:header_size])
+    names = [n for n, _ in fields]
+    rows: list[list[str]] = []
+    off = header_size
+    for _ in range(n_records):
+        rec = content[off:off + record_size]
+        off += record_size
+        if len(rec) < record_size or rec[0:1] == b"\x2a":
+            continue
+        row, pos = [], 1
+        for _, length in fields:
+            row.append(rec[pos:pos + length].decode(encoding, "replace").strip())
+            pos += length
+        rows.append(row)
+    return names, rows
+
+
+def dbf_schema(sample_path: str, encoding: str = "latin-1") -> StructType:
+    """Driver pre-pass: column names from one file's header (footer-free
+    format — only the first KB is read)."""
+    with open(sample_path, "rb") as f:
+        head = f.read(32)
+        header_size = struct.unpack_from("<H", head, 8)[0]
+        f.seek(0)
+        header = f.read(header_size)
+    names = [n for n, _ in _parse_dbf_fields(header)]
+    return StructType(
+        [StructField(n, StringType()) for n in names]
+        + [StructField("_source_file", StringType())]
+    )
+
+
+def read_dbf(spark: SparkSession, path_glob: str, sample_path: str,
+             encoding: str = "latin-1") -> DataFrame:
+    """F3: distributed DBF read — binaryFile rows (one per file) parsed on
+    executors. All files must share the layout of ``sample_path`` (the
+    DATASUS convention: one schema per dataset, many monthly files)."""
+    schema = dbf_schema(sample_path, encoding)
+    names = schema.fieldNames()[:-1]
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for _, r in pdf.iterrows():
+                cols, rows = _parse_dbf_bytes(bytes(r["content"]), encoding)
+                for row in rows:
+                    aligned = dict(zip(cols, row))
+                    out_rows.append([aligned.get(n, "") for n in names] + [r["path"]])
+            yield pd.DataFrame(out_rows, columns=schema.fieldNames())
+
+    files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    return files.mapInPandas(parse, schema)
+
+
+def read_dbc(spark: SparkSession, path_glob: str, **kwargs) -> DataFrame:
+    """F2: DBC = PKWare-imploded DBF. Decompression needs pyreaddbc (not in
+    this container); decode to .dbf upstream, then read_dbf."""
+    try:
+        import pyreaddbc  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - depends on environment
+        raise NotImplementedError(
+            "DBC decompression requires pyreaddbc; decode to .dbf upstream "
+            "(dbf2dbc) and use read_dbf"
+        ) from exc
+    raise NotImplementedError("pyreaddbc present but DBC path not wired yet")
+
+
+# --------------------------------------------------------------- XLSX (F4)
+
+def read_xlsx(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
+    """F4: XLSX via driver-side pandas/openpyxl -> all-string DataFrame.
+    Workbooks are small config/report artifacts in the reference; driver
+    decode + createDataFrame is the right cost model."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - depends on environment
+        raise NotImplementedError(
+            "XLSX read requires openpyxl (not installed in this container)"
+        ) from exc
+    pdf = pd.read_excel(path, sheet_name=sheet, dtype=str).fillna("")
+    return spark.createDataFrame(pdf.astype(str))
+
+
+# ----------------------------------------------------- encoding probe (F7)
+
+def detect_encoding(path: str, candidates: tuple[str, ...] = ("utf-8", "cp1252"),
+                    sample_bytes: int = 1 << 20) -> str:
+    """F7: first candidate that strictly decodes a head sample; latin-1
+    (never fails) as the fallback — mirrors the reference's chardet +
+    cp1252/cp850 repair posture without the dependency."""
+    with open(path, "rb") as f:
+        sample = f.read(sample_bytes)
+    for enc in candidates:
+        try:
+            sample.decode(enc)
+            return enc
+        except UnicodeDecodeError:
+            continue
+    return "latin-1"
+
+
+# ------------------------------------------------------- archives (F9)
+
+def unpack_archive(archive_path: str, out_dir: str,
+                   suffixes: tuple[str, ...] | None = None) -> list[str]:
+    """F9: unpack zip / tar(.gz), optionally only members with the given
+    suffixes. Returns extracted paths. Fetch-stage (driver) step — the
+    extracted files then flow through the distributed readers."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    extracted: list[str] = []
+
+    def want(name: str) -> bool:
+        return not suffixes or any(name.lower().endswith(s) for s in suffixes)
+
+    if zipfile.is_zipfile(archive_path):
+        with zipfile.ZipFile(archive_path) as zf:
+            for m in zf.namelist():
+                if not m.endswith("/") and want(m):
+                    zf.extract(m, out)
+                    extracted.append(str(out / m))
+    elif tarfile.is_tarfile(archive_path):
+        with tarfile.open(archive_path) as tf:
+            for m in tf.getmembers():
+                if m.isfile() and want(m.name):
+                    tf.extract(m, out, filter="data")
+                    extracted.append(str(out / m.name))
+    else:
+        raise ValueError(f"not a zip or tar archive: {archive_path}")
+    return extracted
