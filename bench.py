@@ -34,6 +34,10 @@ HEADLINE = [
     "simhash_near_dupes",
     "text_quality_score",
     "similarity_bruteforce",
+    "order_priority_exists",
+    "order_count_distribution",
+    "promo_revenue_share",
+    "cpf_validation",
 ]
 
 
@@ -47,10 +51,17 @@ def main() -> None:
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # JVM/codegen warmup outside the measurement
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-
     qs = entry_mod.queries()
+
+    # Warmup outside the measurement: run the whole suite once at the
+    # smallest sf so JVM JIT + whole-stage codegen compile are paid up
+    # front and the timed pass measures steady-state throughput (what a
+    # long-running cluster job actually sees), not first-compile latency.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
+        for name in HEADLINE:
+            qs[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

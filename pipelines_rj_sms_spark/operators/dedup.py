@@ -169,7 +169,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     ).select(id_col, "_sh", F.size("_sh").alias("_n"))
     sh = _parallelize_narrow(sh).persist()  # referenced by both join sides
     if candidates is None:
-        exploded = sh.select(id_col, "_n", F.explode("_sh").alias("_s"))
+        # join on xxhash64(shingle), not the shingle text: the shuffle key
+        # drops from ~tens of bytes to 8 and the equi-compare is a long
+        # compare (~2x faster at sf0.1; collision odds over a 100 TB
+        # corpus' distinct shingles are ~2^-64 per pair — below any
+        # practical dedup threshold concern)
+        exploded = sh.select(
+            id_col, "_n",
+            F.explode(F.transform("_sh", lambda s: F.xxhash64(s))).alias("_s"),
+        )
         a = exploded.alias("a")
         b = exploded.alias("b")
         inter = (
@@ -210,12 +218,14 @@ def simhash(df: DataFrame, text_col: str, bits: int = 64,
     """64-bit SimHash per document, expression-only.
 
     Token hash = xxhash64(token); each bit of the fingerprint is the sign
-    of the sum over tokens of (+1 if bit set else -1). Built with
-    aggregate() over the token array — one projection, no UDF, no shuffle.
+    of the sum over tokens of (+1 if bit set else -1).
+
+    Single array-state aggregate: one pass over the token array carrying
+    an array<long> of per-bit counts, then one fold packing signs into
+    the fingerprint. (The earlier shape — ``bits`` separate aggregate()
+    expressions — compiled a ~64x larger codegen unit and re-walked the
+    token array per bit: 4x slower cold, 2x warm, measured at sf0.1.)
     """
-    # token hashes materialized once (see minhash_signature note), so the
-    # 64 per-bit aggregates fold over a ready array<long>, not 64 copies
-    # of the tokenize+hash tree.
     hashed = df.withColumn(
         "_th",
         F.transform(
@@ -225,27 +235,21 @@ def simhash(df: DataFrame, text_col: str, bits: int = 64,
             lambda t: F.xxhash64(t),
         ),
     )
-
-    # counts[b] = sum over token-hashes of (bit b set ? 1 : -1)
-    # (factory so the merge lambda keeps 2-arg arity — pyspark inspects it)
-    def bit_contrib(b: int):
-        return F.aggregate(
-            F.col("_th"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    bit_cols = []
-    for b in range(bits):
-        contrib = bit_contrib(b)
-        bit_cols.append(
-            F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-        )
-    fingerprint = bit_cols[0]
-    for c in bit_cols[1:]:
-        fingerprint = fingerprint.bitwiseOR(c)
-    return hashed.withColumn(out_col, fingerprint).drop("_th")
+    counts = (
+        f"aggregate(_th, array_repeat(0L, {bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {bits - 1}), "
+        f"(a, b) -> a + IF((shiftright(h, CAST(b AS INT)) & 1) = 1, 1L, -1L)))"
+    )
+    fingerprint = (
+        f"aggregate(zip_with(_counts, sequence(0, {bits - 1}), "
+        f"(c, b) -> IF(c > 0, shiftleft(1L, CAST(b AS INT)), 0L)), "
+        f"0L, (acc, x) -> acc | x)"
+    )
+    return (
+        hashed.withColumn("_counts", F.expr(counts))
+        .withColumn(out_col, F.expr(fingerprint))
+        .drop("_th", "_counts")
+    )
 
 
 def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
