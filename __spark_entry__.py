@@ -48,10 +48,10 @@ Query key -> SURVEY §2 rows covered:
   text_en_score             text: language scoring
   text_quality_score        text: quality scoring
   text_fingerprint          text: fingerprinting
-  text_lang_id              text: full argmax lang-id (rows-only)
+  text_lang_id              text: full argmax lang-id
   similarity_bruteforce     ANN: exact cosine top-k
   similarity_lsh            ANN: hyperplane-LSH bucketed top-k
-  embedding_near_dupes      dedup: embedding cosine (rows-only)
+  embedding_near_dupes      dedup: embedding cosine near-dup
   multimodal_features       multimodal plumbing (rows-only)
   order_priority_exists     J6 (correlated EXISTS, TPC-H Q4 shape)
   small_qty_revenue         J6 (correlated scalar subquery, Q17 shape)
@@ -427,6 +427,61 @@ FROM c
 """
 
 
+def _duck_near_dupes_sql(threshold: float = 0.35, n_planes: int = 3) -> str:
+    """DuckDB oracle for embedding_near_dupes: identical hyperplanes
+    inlined, bucket self-join, exact cosine filter on the unrounded value."""
+    planes = _hyperplanes(64, n_planes, seed=42)
+
+    def lit(p: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    def bucket_terms(var: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({var}, {lit(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    cos = ("list_dot_product(a.v, b.v) / "
+           "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))")
+    return f"""
+WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bucketed AS (SELECT vec_id, v, {bucket_terms('v')} AS bucket FROM vs)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine_sim
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
+def _duck_lang_id_sql() -> str:
+    """DuckDB oracle for lang_id: per-language marker scores + the same
+    argmax with earliest-declared tie-break (>= cascade in declaration
+    order). Scores are exact rationals in double — bit-identical on both
+    engines."""
+    from pipelines_rj_sms_spark.functions.text import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)
+    score_cols = ", ".join(
+        "len(list_filter(t, x -> list_contains(["
+        + ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+        + f"], x))) / greatest(len(t), 1) AS s_{lang}"
+        for lang in langs
+    )
+    cascade = f"WHEN greatest({', '.join('s_' + l for l in langs)}) = 0 THEN 'und' "
+    for i, lang in enumerate(langs):
+        rest = langs[i + 1:]
+        if rest:
+            conds = " AND ".join(f"s_{lang} >= s_{r}" for r in rest)
+            cascade += f"WHEN {conds} THEN '{lang}' "
+        else:
+            cascade += f"ELSE '{lang}' "
+    return f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sc AS (SELECT doc_id, {score_cols} FROM toks)
+SELECT doc_id, CASE {cascade}END AS lang_pred FROM sc
+"""
+
+
 _ACCENT_DUCK = (
     "SELECT n_nationkey, trim(lower(strip_accents("
     "'  Ação Médica — ' || n_name || ' SÃO  '))) AS cleaned FROM nation"
@@ -736,8 +791,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
     def emb_near_dupes(spark, sf_dir):
+        # threshold/planes sized to the synthetic corpus (random vectors,
+        # max pairwise cosine ~0.51) so the gate is non-trivial
         emb = _t(spark, sf_dir, "embeddings")
-        out = similarity.embedding_near_dupes(emb, threshold=0.8, n_planes=6)
+        out = similarity.embedding_near_dupes(emb, threshold=0.35, n_planes=3)
         return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
 
     def multimodal_features(spark, sf_dir):
@@ -1042,7 +1099,8 @@ def oracle_sql() -> dict[str, str]:
             f"sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks) "
             "SELECT doc_id, list_min(list_transform(s, x -> md5(x))) AS fp FROM sh"
         ),
-        # text_lang_id: argmax over struct ordering — rows-only check
+        "text_lang_id": _duck_lang_id_sql(),
+        "embedding_near_dupes": _duck_near_dupes_sql(),
         "similarity_bruteforce": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
             vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -1053,8 +1111,6 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "similarity_lsh": _duck_planes_sql(),
-        # embedding_near_dupes: plane-bucket parity is covered by
-        # similarity_lsh; pair set checked rows-only
         # multimodal_features: mapInPandas — rows-only check
         "order_priority_exists": _Q4_EXISTS,
         "small_qty_revenue": _Q17_CORRELATED,
