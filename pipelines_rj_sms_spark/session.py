@@ -33,6 +33,10 @@ ENGINE_DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # the reference's sources genuinely arrive in cp1252/cp850
+    # (vitacare_gdrive/utils.py:388-453); Spark 4's default charset
+    # whitelist would reject them
+    "spark.sql.legacy.javaCharsets": "true",
     "spark.sql.parquet.compression.codec": "snappy",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # At 100 TB the default 128m split is fine; shuffle partitions are
