@@ -73,16 +73,30 @@ def clean_column_name(name: str) -> str:
 
 
 def dedupe_column_names(names: list[str]) -> list[str]:
-    """Duplicate names get _1, _2 ... suffixes (ref: extract_gdb/tasks.py:175-193)."""
-    seen: dict[str, int] = {}
+    """Duplicate names get _1, _2 ... suffixes (ref: extract_gdb/tasks.py:175-193).
+
+    A generated suffix must not collide with any *original* name either
+    (['_', '_', '__1']: naive suffixing renames the second '_' to '__1'
+    and clobbers the real '__1' — found by the hypothesis property test),
+    so candidates skip both emitted and original names.
+    """
+    originals = set(names)
+    taken: set[str] = set()
+    counters: dict[str, int] = {}
     out: list[str] = []
     for n in names:
-        if n in seen:
-            seen[n] += 1
-            out.append(f"{n}_{seen[n]}")
-        else:
-            seen[n] = 0
+        if n not in taken:
             out.append(n)
+            taken.add(n)
+            continue
+        i = counters.get(n, 0) + 1
+        cand = f"{n}_{i}"
+        while cand in taken or cand in originals:
+            i += 1
+            cand = f"{n}_{i}"
+        counters[n] = i
+        out.append(cand)
+        taken.add(cand)
     return out
 
 
