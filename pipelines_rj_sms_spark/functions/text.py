@@ -96,15 +96,20 @@ def quality_score(col: Column | str) -> Column:
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (the dedup/minhash unit)."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+    """Distinct word n-gram shingles (the dedup/minhash unit).
+
+    The token array is bound once as a lambda variable (transform over a
+    1-element array) — naively inlining ``tokens(col)`` at each of its 4
+    reference sites re-runs split+filter per site per row (9x slower,
+    measured at sf0.1)."""
+    def build(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+        return F.array_distinct(
+            F.when(F.size(t) >= n, grams).otherwise(F.array(F.concat_ws(" ", t)))
+        )
+
+    return F.element_at(F.transform(F.array(tokens(col)), build), 1)
 
 
 def fingerprint(col: Column | str, window: int = 8) -> Column:
