@@ -46,12 +46,23 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(_BPE_ISH), F.lit(0)))
 
 
+def _bind(value: Column, build) -> Column:
+    """Evaluate ``value`` once and feed it to ``build`` as a lambda
+    variable (transform over a 1-element array). Spark inlines plain
+    column references per use site, so an expression referenced N times
+    runs N times per row — this is the expression-level `let`."""
+    return F.element_at(F.transform(F.array(value), build), 1)
+
+
+def _score_from_tokens(t: Column, lang: str) -> Column:
+    markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+    hits = F.size(F.filter(t, lambda x: F.array_contains(markers, x)))
+    return hits / F.greatest(F.size(t), F.lit(1))
+
+
 def lang_score(col: Column | str, lang: str) -> Column:
     """Fraction of tokens that are markers of ``lang``."""
-    toks = tokens(col)
-    markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
-    return hits / F.greatest(F.size(toks), F.lit(1))
+    return _bind(tokens(col), lambda t: _score_from_tokens(t, lang))
 
 
 def lang_id(col: Column | str) -> Column:
@@ -60,17 +71,22 @@ def lang_id(col: Column | str) -> Column:
     Expression-only argmax: build array<struct<score,neg_ord,lang>> and
     take array_max (struct ordering compares fields in order, so ties
     break toward the earliest-declared language deterministically).
+    Tokens bound once — 5 languages x 2 references would otherwise
+    re-tokenize 10x per row.
     """
-    scored = F.array(*[
-        F.struct(
-            lang_score(col, lang).alias("score"),
-            F.lit(-i).alias("neg_ord"),
-            F.lit(lang).alias("lang"),
-        )
-        for i, lang in enumerate(_LANG_MARKERS)
-    ])
-    best = F.array_max(scored)
-    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    def build(t: Column) -> Column:
+        scored = F.array(*[
+            F.struct(
+                _score_from_tokens(t, lang).alias("score"),
+                F.lit(-i).alias("neg_ord"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(_LANG_MARKERS)
+        ])
+        best = F.array_max(scored)
+        return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    return _bind(tokens(col), build)
 
 
 def quality_score(col: Column | str) -> Column:
@@ -81,18 +97,20 @@ def quality_score(col: Column | str) -> Column:
     The shape mirrors C4-style heuristics; weights are engine policy.
     """
     c = F.col(col) if isinstance(col, str) else col
-    n_tok = token_count(c)
-    n_chars = F.greatest(F.length(c), F.lit(1))
-    alpha_ratio = F.length(F.regexp_replace(c, r"[^a-zA-Z]", "")) / n_chars
-    punct_ratio = F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", "")) / n_chars
-    mean_word = n_chars / F.greatest(n_tok, F.lit(1))
-    score = (
-        F.least(n_tok / F.lit(20.0), F.lit(1.0))
-        + alpha_ratio
-        + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
-        + F.when((mean_word >= 2) & (mean_word <= 12), 1.0).otherwise(0.0)
-    ) / 4
-    return score
+
+    def build(n_tok: Column) -> Column:
+        n_chars = F.greatest(F.length(c), F.lit(1))
+        alpha_ratio = F.length(F.regexp_replace(c, r"[^a-zA-Z]", "")) / n_chars
+        punct_ratio = F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", "")) / n_chars
+        mean_word = n_chars / F.greatest(n_tok, F.lit(1))
+        return (
+            F.least(n_tok / F.lit(20.0), F.lit(1.0))
+            + alpha_ratio
+            + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
+            + F.when((mean_word >= 2) & (mean_word <= 12), 1.0).otherwise(0.0)
+        ) / 4
+
+    return _bind(token_count(c), build)
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
