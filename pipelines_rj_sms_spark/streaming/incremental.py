@@ -81,6 +81,36 @@ def windowed_monitor(events: DataFrame, ts_col: str = "ts",
     )
 
 
+def stream_upsert(stream_df: DataFrame, table: str, key_cols: list[str],
+                  order_col: str, connection_factory,
+                  checkpoint_path: str, dialect: str = "mysql",
+                  available_now: bool = True) -> StreamingQuery:
+    """Streaming reverse-ETL (the K5 upsert, stream-shaped): per
+    micro-batch, keep the latest row per key (W3 semantics — duplicate
+    keys within a batch collapse deterministically), then keyed upsert.
+
+    foreachBatch + the checkpoint give effectively-once delivery: a
+    replayed batch re-upserts the same keys idempotently.
+    """
+    from pipelines_rj_sms_spark.operators.dedup import dedup_keep_last
+    from pipelines_rj_sms_spark.sinks.jdbc_upsert import upsert
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        latest = dedup_keep_last(batch_df, keys=key_cols, order_col=order_col)
+        upsert(latest, table, key_cols, connection_factory, dialect=dialect)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_stream_once(query: StreamingQuery, timeout_s: int = 300) -> None:
     """Await an AvailableNow query's completion (test/driver helper)."""
     query.awaitTermination(timeout_s)

@@ -69,3 +69,33 @@ def test_windowed_monitor_streaming_e2e(spark, tmp_path):
     # stays open in state): 00:00 click x2 (2 users), 00:30 view x1
     assert rows_out[("2024-01-01 00:00:00", "click")] == (2, 2)
     assert rows_out[("2024-01-01 00:30:00", "view")] == (1, 1)
+
+
+def test_stream_upsert_sqlite(spark, tmp_path):
+    import sqlite3
+
+    from pipelines_rj_sms_spark.streaming.incremental import stream_upsert
+
+    db = str(tmp_path / "sink.db")
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT, ts TEXT)")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # duplicate key 1 within the batch: keep-last (ts order) must win
+    rows = [
+        {"k": 1, "v": "old", "ts": "2024-01-01 00:00:00"},
+        {"k": 1, "v": "new", "ts": "2024-01-01 01:00:00"},
+        {"k": 2, "v": "b", "ts": "2024-01-01 00:30:00"},
+    ]
+    import json as _json
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    stream = spark.readStream.schema("k long, v string, ts string").json(str(src))
+    q = stream_upsert(stream, "t", ["k"], "ts",
+                      lambda: sqlite3.connect(db), str(tmp_path / "chk"),
+                      dialect="sqlite")
+    q.awaitTermination(120)
+
+    got = dict(sqlite3.connect(db).execute("SELECT k, v FROM t").fetchall())
+    assert got == {1: "new", 2: "b"}
