@@ -1,0 +1,59 @@
+"""Skew mitigation for joins at scale — salting + bucketing helpers.
+
+AQE's skew-join splitting (on in the session defaults) handles sort-merge
+skew automatically; these are the explicit tools for the cases AQE can't
+fix: a hot key that must hash-join against a non-broadcastable side, and
+repeat joins on the same key that should shuffle once, not per query.
+
+- salted_join: probe side gets a uniform random salt in [0, salt), build
+  side is exploded salt-times, join key becomes (key, salt). The hot
+  key's rows spread over ``salt`` reducers at the cost of replicating
+  the build side salt-fold — use when build is small-ish but above the
+  broadcast threshold and probe has heavy keys.
+- write_bucketed / read_bucketed: persist a table hash-bucketed (and
+  sorted) by the join key so later joins are exchange-free on that side
+  (bucketed scan -> sort-merge join with zero shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(probe: DataFrame, build: DataFrame, on: str,
+                salt: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join on ``on`` with the key salted ``salt`` ways.
+
+    Semantics identical to probe.join(build, on, how) for inner/left
+    joins with unique build keys (every probe row meets every matching
+    build row exactly once, under exactly one salt value).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (semantics proof "
+                         "relies on probe-side salt uniqueness)")
+    salt_col = (F.rand(seed=42) * salt).cast("int")
+    p = probe.withColumn("_salt", salt_col)
+    b = build.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = p.join(b, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_col: str,
+                   n_buckets: int = 32) -> None:
+    """Persist hash-bucketed + sorted by the join key (catalog table —
+    bucket metadata lives in the metastore, so later reads skip the
+    exchange on this side of a join/aggregation)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.table(table_name)

@@ -1,0 +1,49 @@
+"""Tests: salted join equivalence + bucketed tables remove the exchange."""
+
+from pyspark.sql import functions as F
+
+from pipelines_rj_sms_spark.operators.skew import (
+    read_bucketed,
+    salted_join,
+    write_bucketed,
+)
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavy key 'hot' (90% of probe rows) + unique build keys
+    probe = spark.createDataFrame(
+        [(("hot" if i % 10 else f"k{i}"), i) for i in range(1000)], "k string, v long"
+    )
+    build = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"B{i}") for i in range(0, 1000, 10)],
+        "k string, label string",
+    )
+    plain = probe.join(build, "k", "inner")
+    salted = salted_join(probe, build, "k", salt=4)
+    assert salted.count() == plain.count()
+    a = {(r["k"], r["v"], r["label"]) for r in plain.collect()}
+    b = {(r["k"], r["v"], r["label"]) for r in salted.collect()}
+    assert a == b
+    # left join keeps unmatched probe rows exactly once
+    probe2 = probe.union(spark.createDataFrame([("nomatch", -1)], "k string, v long"))
+    left = salted_join(probe2, build, "k", salt=4, how="left")
+    assert left.filter("k = 'nomatch'").count() == 1
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    orders = spark.range(1000).select(
+        F.col("id").alias("o_key"), (F.col("id") % 7).alias("flag"))
+    items = spark.range(5000).select(
+        (F.col("id") % 1000).alias("o_key"), F.col("id").alias("item"))
+    write_bucketed(orders, "bkt_orders", "o_key", n_buckets=8)
+    write_bucketed(items, "bkt_lineitem", "o_key", n_buckets=8)
+
+    joined = read_bucketed(spark, "bkt_orders").join(
+        read_bucketed(spark, "bkt_lineitem"), "o_key")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # both sides bucketed on the key with equal bucket counts:
+    # the join needs no shuffle exchange
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == 5000
