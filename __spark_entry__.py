@@ -70,6 +70,8 @@ Query key -> SURVEY §2 rows covered:
   row_to_json               C13 (to_json(struct(*)))
   freshness_gate            Q2 Q3 (per-group freshness + stale flag)
   count_reconciliation      Q1 (source-vs-loaded ±5% tolerance)
+  order_fill_ratio          A9 A10 (array-size ratio + threshold buckets)
+  coalesce_segments         J3 (keyed join + per-column coalesce)
 """
 
 from __future__ import annotations
@@ -861,6 +863,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.to_json(F.struct("n_name", "n_regionkey")).alias("js"),
         )
 
+    def order_fill_ratio(spark, sf_dir):
+        # A9: per-order array of quantities -> ratio of sizes -> buckets
+        li = _t(spark, sf_dir, "lineitem")
+        arr = li.groupBy("l_orderkey").agg(
+            F.collect_list("l_quantity").alias("qts"))
+        ratio = F.size(F.filter("qts", lambda q: q > 25)) / F.size("qts")
+        return arr.select(
+            "l_orderkey",
+            F.round(ratio, 6).alias("fill_ratio"),
+            F.when(ratio >= 0.75, "high")
+            .when(ratio >= 0.25, "mid")
+            .otherwise("low").alias("status"),
+        )
+
+    def coalesce_segments(spark, sf_dir):
+        from pipelines_rj_sms_spark.operators.joins import coalesce_join
+        cust = _t(spark, sf_dir, "customer")
+        left = cust.select(
+            "c_custkey", F.nullif("c_mktsegment", F.lit("BUILDING")).alias("segment"))
+        right = cust.select(
+            "c_custkey", F.concat(F.lit("fb_"), F.col("c_name")).alias("fallback"))
+        return coalesce_join(left, right, "c_custkey", {"segment": "fallback"})
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -939,6 +964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_to_json": row_to_json,
         "freshness_gate": _sql(_FRESHNESS_GATE),
         "count_reconciliation": _sql(_RECONCILE),
+        "order_fill_ratio": order_fill_ratio,
+        "coalesce_segments": coalesce_segments,
     }
 
 
@@ -1112,6 +1139,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "similarity_lsh": _duck_planes_sql(),
         # multimodal_features: mapInPandas — rows-only check
+        "order_fill_ratio": """
+            WITH arr AS (SELECT l_orderkey, list(l_quantity) AS qts
+                         FROM lineitem GROUP BY l_orderkey)
+            SELECT l_orderkey,
+                   round(len(list_filter(qts, q -> q > 25)) / CAST(len(qts) AS DOUBLE), 6) AS fill_ratio,
+                   CASE WHEN len(list_filter(qts, q -> q > 25)) / CAST(len(qts) AS DOUBLE) >= 0.75 THEN 'high'
+                        WHEN len(list_filter(qts, q -> q > 25)) / CAST(len(qts) AS DOUBLE) >= 0.25 THEN 'mid'
+                        ELSE 'low' END AS status
+            FROM arr
+        """,
+        "coalesce_segments": (
+            "SELECT a.c_custkey, coalesce(nullif(a.c_mktsegment, 'BUILDING'), "
+            "'fb_' || b.c_name) AS segment "
+            "FROM customer a LEFT JOIN customer b ON a.c_custkey = b.c_custkey"
+        ),
         "order_priority_exists": _Q4_EXISTS,
         "small_qty_revenue": _Q17_CORRELATED,
         "order_count_distribution": _Q13_DISTRIBUTION,
