@@ -139,3 +139,22 @@ def test_write_records_http_retries(spark, tmp_path):
     write_records_http(df, "http://hub", poster=flaky_poster,
                        max_retries=3, backoff_s=0.01)
     assert len(list(marker.iterdir())) == 2  # one failure + one success
+
+
+def test_fetch_windows_executor_side(spark):
+    from pipelines_rj_sms_spark.functions.dates import hour_windows
+    from pipelines_rj_sms_spark.sources.api import fetch_windows
+
+    wins = hour_windows(spark, "2024-01-01 00:00:00", "2024-01-01 06:00:00", hours=2)
+
+    def fetcher(ws, we):
+        if "04:00" in ws:
+            raise ValueError("gateway timeout")
+        return {"window": ws, "n": 7}
+
+    out = fetch_windows(wins, fetcher, max_retries=2).collect()
+    by_start = {r["window_start"]: r for r in out}
+    assert len(out) == 4  # 00,02,04,06 starts (inclusive sequence)
+    ok = [r for r in out if r["status"] == "ok"]
+    assert len(ok) == 3
+    assert json.loads(by_start["2024-01-01 04:00:00"]["payload"])["error"].startswith("gateway")
