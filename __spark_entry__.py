@@ -72,6 +72,9 @@ Query key -> SURVEY §2 rows covered:
   count_reconciliation      Q1 (source-vs-loaded ±5% tolerance)
   order_fill_ratio          A9 A10 (array-size ratio + threshold buckets)
   coalesce_segments         J3 (keyed join + per-column coalesce)
+  similarity_ivf            ANN: IVF coarse-quantize + probe (rows-only)
+  curate_documents          curation funnel: exact+near dedup -> quality
+                            -> lang filters (rows-only)
 """
 
 from __future__ import annotations
@@ -886,6 +889,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c_custkey", F.concat(F.lit("fb_"), F.col("c_name")).alias("fallback"))
         return coalesce_join(left, right, "c_custkey", {"segment": "fallback"})
 
+    def similarity_ivf(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        qv = _embedding_query_vec(spark, sf_dir)
+        cents = similarity.train_ivf_centroids(emb, k=8, iters=5, sample=2000)
+        cells = similarity.assign_ivf_cells(emb, cents)
+        out = similarity.ivf_top_k(cells, cents, qv, k=10, nprobe=4)
+        return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+    def curate_docs(spark, sf_dir):
+        from pipelines_rj_sms_spark.operators.curation import curate_documents
+        docs = _t(spark, sf_dir, "documents")
+        curated, _ = curate_documents(
+            docs.select("doc_id", "text"),
+            jaccard_threshold=0.5, quality_threshold=0.5,
+            langs=("en", "pt", "es", "und"))
+        return curated.select("doc_id")
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -966,6 +986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_reconciliation": _sql(_RECONCILE),
         "order_fill_ratio": order_fill_ratio,
         "coalesce_segments": coalesce_segments,
+        "similarity_ivf": similarity_ivf,
+        "curate_documents": curate_docs,
     }
 
 

@@ -111,6 +111,78 @@ def lsh_top_k(df: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+def train_ivf_centroids(df: DataFrame, vec_col: str = "embedding",
+                        k: int = 16, iters: int = 10, sample: int = 10_000,
+                        seed: int = 42) -> list[list[float]]:
+    """IVF coarse quantizer: k-means on a bounded driver sample.
+
+    Sampling to the driver is the standard IVF training recipe (FAISS
+    trains on a subset too) — ``sample`` bounds driver memory regardless
+    of corpus size; assignment (the data-sized step) stays distributed.
+    """
+    import numpy as np
+
+    n = df.count()
+    frac = min(1.0, sample / max(n, 1))
+    rows = (df.sample(frac, seed=seed) if frac < 1.0 else df) \
+        .select(vec_col).limit(sample).collect()
+    x = np.array([[float(v) for v in r[0]] for r in rows])
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        # assign to nearest centroid by cosine (normalize once)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = (xn @ cn.T).argmax(axis=1)
+        for j in range(len(cents)):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in cents]
+
+
+def assign_ivf_cells(df: DataFrame, centroids: list[list[float]],
+                     vec_col: str = "embedding",
+                     cell_col: str = "ivf_cell") -> DataFrame:
+    """Distributed cell assignment: argmax cosine over centroid literals
+    (expression-only — centroids are plan constants, no UDF, no shuffle).
+    At scale, write the corpus partitioned/bucketed by ``cell_col`` so a
+    probe prunes to nprobe cells."""
+    vec = F.col(vec_col).cast("array<double>")
+    scored = F.array(*[
+        F.struct(
+            (dot(vec, F.array(*[F.lit(x) for x in c])) /
+             (norm(vec) * float(sum(v * v for v in c) ** 0.5))).alias("sim"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    return df.withColumn(cell_col, F.array_max(scored)["cell"])
+
+
+def ivf_top_k(df: DataFrame, centroids: list[list[float]],
+              query_vec: list[float], k: int = 10, nprobe: int = 4,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              cell_col: str = "ivf_cell") -> DataFrame:
+    """IVF probe: exact cosine top-k within the nprobe nearest cells.
+
+    ``df`` should already carry ``cell_col`` (from assign_ivf_cells — at
+    scale, precomputed at write time so the filter partition-prunes).
+    """
+    import math
+
+    qn = math.sqrt(sum(v * v for v in query_vec))
+    sims = []
+    for i, c in enumerate(centroids):
+        cn = math.sqrt(sum(v * v for v in c))
+        sims.append((sum(a * b for a, b in zip(c, query_vec)) / (cn * qn), i))
+    probe_cells = [i for _, i in sorted(sims, reverse=True)[:nprobe]]
+    return brute_force_top_k(
+        df.filter(F.col(cell_col).isin(probe_cells)), query_vec, k,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
 def embedding_near_dupes(df: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          threshold: float = 0.95,

@@ -105,3 +105,60 @@ def test_embedding_near_dupes(spark):
              for r in embedding_near_dupes(_emb(spark), threshold=0.9,
                                            n_planes=2).collect()}
     assert (1, 2) in pairs
+
+
+def test_ivf_top_k_recall(spark):
+    import numpy as np
+
+    from pipelines_rj_sms_spark.operators.similarity import (
+        assign_ivf_cells,
+        brute_force_top_k,
+        ivf_top_k,
+        train_ivf_centroids,
+    )
+    from pipelines_rj_sms_spark.session import read_parquet_normalized
+
+    emb = read_parquet_normalized(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 1").first()["embedding"]]
+
+    cents = train_ivf_centroids(emb, k=8, iters=5, sample=500)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    with_cells = assign_ivf_cells(emb, cents)
+    # every vector lands in exactly one valid cell
+    cells = with_cells.select("ivf_cell").distinct().collect()
+    assert all(0 <= r["ivf_cell"] < 8 for r in cells)
+
+    exact = [r["vec_id"] for r in brute_force_top_k(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_top_k(with_cells, cents, q, k=10, nprobe=4).collect()]
+    # the query vector itself must be found (it sits in a probed cell by
+    # construction: its own cell is the nearest centroid)
+    assert 1 in approx
+    # recall@10 with half the cells probed on random data: expect overlap
+    assert len(set(exact) & set(approx)) >= 4
+
+
+def test_curate_documents_funnel(spark):
+    from pipelines_rj_sms_spark.operators.curation import curate_documents
+
+    good = ("the quick brown fox jumps over the lazy dog and it is a fine day "
+            "in the park with many people walking around the green field")
+    rows = [
+        (1, good),                          # keeper
+        (2, good),                          # exact dup of 1 -> dropped
+        (3, good + " extra tail words"),    # near dup of 1 -> dropped
+        (4, "a!!! b??? c***"),              # junk -> quality-filtered
+        (5, "de que nao uma para com os das de que nao uma para com os das "
+            "de que nao uma para com os das"),   # portuguese -> lang-filtered
+        (6, "it is the best of days and the worst of days in that city and "
+            "the people of it keep walking to the old bridge every morning"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    curated, rep = curate_documents(
+        df, jaccard_threshold=0.5, quality_threshold=0.5, langs=("en",))
+    kept = sorted(r["doc_id"] for r in curated.collect())
+    assert kept == [1, 6]
+    assert rep.n_input == 6
+    assert rep.n_after_exact == 5      # exact dup gone
+    assert rep.n_after_near == 4       # near dup gone
+    assert rep.n_after_quality == 3    # junk gone
+    assert rep.n_after_lang == 2       # portuguese gone

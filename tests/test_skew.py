@@ -31,8 +31,14 @@ def test_salted_join_matches_plain_join(spark):
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
-    spark.sql("DROP TABLE IF EXISTS bkt_orders")
-    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    import shutil
+
+    for t in ("bkt_orders", "bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a crashed prior run can leave the managed location behind after
+        # the catalog entry is gone — remove it or saveAsTable refuses
+        loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{loc}/{t}", ignore_errors=True)
     orders = spark.range(1000).select(
         F.col("id").alias("o_key"), (F.col("id") % 7).alias("flag"))
     items = spark.range(5000).select(
