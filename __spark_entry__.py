@@ -75,6 +75,8 @@ Query key -> SURVEY §2 rows covered:
   similarity_ivf            ANN: IVF coarse-quantize + probe (rows-only)
   curate_documents          curation funnel: exact+near dedup -> quality
                             -> lang filters (rows-only)
+  asof_purchase_signup      as-of join (union+window, single shuffle)
+  range_error_purchases     bucketed range join (point-in-interval)
 """
 
 from __future__ import annotations
@@ -897,6 +899,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = similarity.ivf_top_k(cells, cents, qv, k=10, nprobe=4)
         return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
+    def asof_purchase_signup(spark, sf_dir):
+        from pipelines_rj_sms_spark.operators.timeseries import asof_join
+        ev = _t(spark, sf_dir, "events")
+        purch = ev.filter("event_type = 'purchase'").select("user_id", "ts", "event_id")
+        signup = ev.filter("event_type = 'signup'").select(
+            "user_id", "ts", F.col("event_id").alias("signup_id"))
+        out = asof_join(purch, signup, on="user_id", right_prefix="m_")
+        return out.select("event_id", "user_id", F.col("m_signup_id").alias("signup_id"))
+
+    def range_error_purchases(spark, sf_dir):
+        from pipelines_rj_sms_spark.operators.timeseries import range_join_bucketed
+        ev = _t(spark, sf_dir, "events")
+        errs = ev.filter("event_type = 'error'").select(
+            "user_id", F.col("event_id").alias("err_id"),
+            F.col("ts").alias("err_ts"),
+            (F.col("ts") + F.expr("interval 1 hour")).alias("err_end"))
+        purch = ev.filter("event_type = 'purchase'").select(
+            "user_id", F.col("event_id").alias("purch_id"),
+            F.col("ts").alias("purch_ts"))
+        out = range_join_bucketed(purch, errs, "purch_ts", "err_ts", "err_end",
+                                  on="user_id", bucket_seconds=1800)
+        return out.select("user_id", "err_id", "purch_id")
+
     def curate_docs(spark, sf_dir):
         from pipelines_rj_sms_spark.operators.curation import curate_documents
         docs = _t(spark, sf_dir, "documents")
@@ -988,6 +1013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coalesce_segments": coalesce_segments,
         "similarity_ivf": similarity_ivf,
         "curate_documents": curate_docs,
+        "asof_purchase_signup": asof_purchase_signup,
+        "range_error_purchases": range_error_purchases,
     }
 
 
@@ -1193,4 +1220,19 @@ def oracle_sql() -> dict[str, str]:
         "row_to_json": _JSON_ROW_DUCK,
         "freshness_gate": _FRESHNESS_GATE,
         "count_reconciliation": _RECONCILE,
+        "asof_purchase_signup": """
+            SELECT p.event_id AS event_id, p.user_id AS user_id,
+                   s.event_id AS signup_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+              ON p.user_id = s.user_id AND p.ts >= s.ts
+        """,
+        "range_error_purchases": """
+            SELECT e.user_id AS user_id, e.event_id AS err_id,
+                   p.event_id AS purch_id
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id
+             AND p.ts BETWEEN e.ts AND e.ts + INTERVAL 1 HOUR
+        """,
     }

@@ -1,0 +1,114 @@
+"""Time-series joins: as-of and range, shuffle-minimal by construction.
+
+The reference has no as-of/range joins (SURVEY §2.4 lists them as
+stretch), but any event-log lakehouse needs them, and the naive Spark
+spelling — a non-equi join condition — degenerates to a broadcast
+nested-loop / cartesian product that cannot survive 100 TB. Both
+operators here reduce to ONE hash shuffle on the join key:
+
+- ``asof_join``: the union+window trick. Tag left/right rows, union,
+  sort within each key partition by time, and carry the last-seen right
+  payload forward with an unbounded-preceding window. Cost = one
+  shuffle + one in-partition sort — the same plan shape a sort-merge
+  join would produce, with no O(n·m) pair enumeration.
+- ``range_join_bucketed``: quantize time into fixed buckets; points get
+  their single covering bucket, intervals explode to every bucket they
+  overlap, then an *equi* join on (key, bucket) + an exact residual
+  filter. This is the standard bucketed-range-join rewrite (Databricks
+  exposes it as a hint); pair enumeration is bounded per bucket instead
+  of per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS, _SIDE, _LPAY, _RPAY, _MATCH, _BKT = (
+    "__asof_ts", "__asof_is_left", "__asof_l", "__asof_r", "__asof_match",
+    "__range_bucket")
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
+              left_ts: str = "ts", right_ts: str | None = None,
+              direction: str = "backward",
+              tolerance_seconds: int | None = None,
+              right_prefix: str = "") -> DataFrame:
+    """Left as-of join: for each left row, the single right row (same
+    key) with the greatest ``right_ts <= left_ts`` (``backward``) or the
+    least ``right_ts >= left_ts`` (``forward``); inclusive, LEFT-outer
+    (unmatched left rows keep nulls). Matches DuckDB
+    ``ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts`` semantics.
+
+    ``tolerance_seconds`` voids matches farther than the tolerance.
+    Right-side columns (minus keys) are emitted with ``right_prefix``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    rcols = [c for c in right.columns if c not in keys]
+
+    l2 = left.select(
+        *keys,
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        F.struct(*[F.col(c) for c in left.columns]).alias(_LPAY),
+        F.lit(None).cast(
+            right.select(F.struct(*rcols).alias("s")).schema["s"].dataType
+        ).alias(_RPAY),
+    )
+    r2 = right.select(
+        *keys,
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        F.lit(None).cast(
+            left.select(F.struct("*").alias("s")).schema["s"].dataType
+        ).alias(_LPAY),
+        F.struct(*[F.col(c) for c in rcols]).alias(_RPAY),
+    )
+
+    ts_order = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
+    # at equal ts the right row must sort before the left row so the
+    # inclusive (<= / >=) match is visible to the window
+    w = (Window.partitionBy(*keys).orderBy(ts_order, F.col(_SIDE).asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+
+    u = l2.unionByName(r2).withColumn(_MATCH, F.last(_RPAY, ignorenulls=True).over(w))
+    out = u.filter(F.col(_SIDE) == 1)
+
+    match = F.col(_MATCH)
+    if tolerance_seconds is not None:
+        gap = F.abs(F.col(_TS).cast("double") - match[right_ts].cast("double"))
+        match = F.when(gap <= float(tolerance_seconds), match)
+
+    return out.select(
+        *[F.col(f"{_LPAY}.{c}").alias(c) for c in left.columns],
+        *[match[c].alias(f"{right_prefix}{c}") for c in rcols],
+    )
+
+
+def range_join_bucketed(points: DataFrame, intervals: DataFrame,
+                        point_ts: str, start_col: str, end_col: str,
+                        on: str | list[str] | None = None,
+                        bucket_seconds: int = 3600,
+                        how: str = "inner") -> DataFrame:
+    """Point-in-interval join as an equi join on (keys, time bucket).
+
+    Each point carries exactly one bucket, so a matched pair is emitted
+    exactly once (no post-join dedup). ``bucket_seconds`` should be on
+    the order of the typical interval length: too small explodes the
+    interval side, too large packs unrelated rows into one bucket.
+    Non-key column names must be disjoint between the two inputs.
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    p = points.withColumn(
+        _BKT, F.floor(F.unix_timestamp(F.col(point_ts)) / bucket_seconds))
+    i = intervals.withColumn(
+        _BKT,
+        F.explode(F.sequence(
+            F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds),
+            F.floor(F.unix_timestamp(F.col(end_col)) / bucket_seconds))))
+    joined = p.join(i, keys + [_BKT], how).filter(
+        F.col(point_ts).between(F.col(start_col), F.col(end_col)))
+    return joined.drop(_BKT)

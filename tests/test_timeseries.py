@@ -1,0 +1,117 @@
+"""Tests: as-of join + bucketed range join vs naive non-equi spellings."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from pipelines_rj_sms_spark.operators.timeseries import (
+    asof_join,
+    range_join_bucketed,
+)
+
+
+def _trades(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0, 0), "t1"),
+        (1, datetime(2024, 1, 1, 10, 5, 0), "t2"),
+        (2, datetime(2024, 1, 1, 9, 0, 0), "t3"),   # before any quote
+        (3, datetime(2024, 1, 1, 12, 0, 0), "t4"),  # key with no quotes
+    ]
+    return spark.createDataFrame(rows, "k long, ts timestamp, trade string")
+
+
+def _quotes(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 9, 59, 0), 100.0),
+        (1, datetime(2024, 1, 1, 10, 0, 0), 101.0),   # tie with t1's ts
+        (1, datetime(2024, 1, 1, 10, 4, 0), 102.0),
+        (2, datetime(2024, 1, 1, 9, 30, 0), 200.0),
+    ]
+    return spark.createDataFrame(rows, "k long, ts timestamp, px double")
+
+
+def test_asof_backward(spark):
+    out = asof_join(_trades(spark), _quotes(spark), on="k",
+                    right_prefix="q_")
+    got = {r["trade"]: (r["q_px"], r["q_ts"]) for r in out.collect()}
+    assert got["t1"][0] == 101.0          # inclusive: equal ts matches
+    assert got["t2"][0] == 102.0          # latest prior quote
+    assert got["t3"] == (None, None)      # trade precedes all quotes
+    assert got["t4"] == (None, None)      # key absent on right
+    assert out.count() == 4               # left-outer: every trade kept
+
+
+def test_asof_forward_and_tolerance(spark):
+    fwd = asof_join(_trades(spark), _quotes(spark), on="k",
+                    direction="forward", right_prefix="q_")
+    got = {r["trade"]: r["q_px"] for r in fwd.collect()}
+    assert got["t1"] == 101.0             # equal ts, inclusive
+    assert got["t2"] is None              # no later quote for k=1
+    assert got["t3"] == 200.0             # next quote after 9:00
+
+    tol = asof_join(_trades(spark), _quotes(spark), on="k",
+                    tolerance_seconds=30, right_prefix="q_")
+    got = {r["trade"]: r["q_px"] for r in tol.collect()}
+    assert got["t1"] == 101.0             # gap 0s <= 30s
+    assert got["t2"] is None              # gap 60s voided
+
+
+def test_asof_matches_naive_on_events(spark):
+    from pipelines_rj_sms_spark.session import read_parquet_normalized
+
+    ev = read_parquet_normalized(spark, "/root/testdata/sf0.001/events.parquet")
+    purch = ev.filter("event_type = 'purchase'").select("user_id", "ts", "event_id")
+    login = ev.filter("event_type = 'login'") \
+              .select("user_id", "ts", F.col("event_id").alias("login_id"))
+    # events data has no 'login' type — use 'signup' instead
+    login = ev.filter("event_type = 'signup'") \
+              .select("user_id", "ts", F.col("event_id").alias("login_id"))
+
+    out = asof_join(purch, login, on="user_id", right_prefix="m_")
+    # naive: non-equi join + max-ts-per-left-row (small data only)
+    naive = (
+        purch.alias("p")
+        .join(login.alias("l"),
+              (F.col("p.user_id") == F.col("l.user_id")) &
+              (F.col("p.ts") >= F.col("l.ts")), "left")
+        .groupBy("p.event_id")
+        .agg(F.max_by(F.col("l.login_id"), F.col("l.ts")).alias("m_login_id"))
+    )
+    a = {(r["event_id"], r["m_login_id"]) for r in out.collect()}
+    b = {(r["event_id"], r["m_login_id"]) for r in naive.collect()}
+    assert a == b and len(a) > 50
+
+
+def test_range_join_bucketed_matches_naive(spark):
+    from pipelines_rj_sms_spark.session import read_parquet_normalized
+
+    ev = read_parquet_normalized(spark, "/root/testdata/sf0.001/events.parquet")
+    errs = ev.filter("event_type = 'error'").select(
+        "user_id", F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+        (F.col("ts") + F.expr("interval 1 hour")).alias("err_end"))
+    purch = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("event_id").alias("purch_id"),
+        F.col("ts").alias("purch_ts"))
+
+    out = range_join_bucketed(purch, errs, "purch_ts", "err_ts", "err_end",
+                              on="user_id", bucket_seconds=1800)
+    naive = purch.alias("p").join(
+        errs.alias("e"),
+        (F.col("p.user_id") == F.col("e.user_id")) &
+        F.col("p.purch_ts").between(F.col("e.err_ts"), F.col("e.err_end")))
+    a = {(r["err_id"], r["purch_id"]) for r in out.collect()}
+    b = {(r["err_id"], r["purch_id"]) for r in naive.collect()}
+    assert a == b and len(a) > 0
+    # exactly-once emission per matched pair
+    assert out.count() == len(a)
+
+
+def test_asof_plan_single_shuffle(spark):
+    out = asof_join(_trades(spark), _quotes(spark), on="k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the whole as-of is one hashpartitioning exchange (the window), not
+    # a nested-loop join
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
