@@ -74,7 +74,7 @@ Query key -> SURVEY §2 rows covered:
   coalesce_segments         J3 (keyed join + per-column coalesce)
   similarity_ivf            ANN: IVF coarse-quantize + probe (rows-only)
   curate_documents          curation funnel: exact+near dedup -> quality
-                            -> lang filters (rows-only)
+                            -> lang filters (exact oracle, md5 minhash)
   asof_purchase_signup      as-of join (union+window, single shuffle)
   range_error_purchases     bucketed range join (point-in-interval)
 """
@@ -460,11 +460,11 @@ WHERE {cos} >= {threshold}
 """
 
 
-def _duck_lang_id_sql() -> str:
-    """DuckDB oracle for lang_id: per-language marker scores + the same
-    argmax with earliest-declared tie-break (>= cascade in declaration
-    order). Scores are exact rationals in double — bit-identical on both
-    engines."""
+def _duck_lang_parts() -> tuple[str, str]:
+    """(score_cols, argmax cascade) for the lang-id heuristic in DuckDB:
+    per-language marker scores + earliest-declared tie-break (>= cascade
+    in declaration order). Scores are exact rationals in double —
+    bit-identical on both engines."""
     from pipelines_rj_sms_spark.functions.text import _LANG_MARKERS
 
     langs = list(_LANG_MARKERS)
@@ -482,10 +482,73 @@ def _duck_lang_id_sql() -> str:
             cascade += f"WHEN {conds} THEN '{lang}' "
         else:
             cascade += f"ELSE '{lang}' "
+    return score_cols, cascade
+
+
+def _duck_lang_id_sql() -> str:
+    score_cols, cascade = _duck_lang_parts()
     return f"""
 WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
 sc AS (SELECT doc_id, {score_cols} FROM toks)
 SELECT doc_id, CASE {cascade}END AS lang_pred FROM sc
+"""
+
+
+def _duck_curation_sql(jaccard: float = 0.5, quality: float = 0.5,
+                       langs: tuple[str, ...] = ("en", "pt", "es", "und")) -> str:
+    """DuckDB oracle for the full curation funnel (operators/curation.py):
+    exact dedup -> MinHash(md5, 8 hashes/4 bands) LSH candidates -> exact
+    Jaccard verify (drop id_b) -> quality >= t -> lang-id allowlist.
+    Every stage reuses the already-oracle-proven building blocks."""
+    score_cols, cascade = _duck_lang_parts()
+    lang_list = ", ".join(f"'{l}'" for l in langs)
+    quality_raw = """(
+        least(n_tok / 20.0, 1.0)
+        + (len_alpha / n_chars)
+        + (1.0 - least((len_punct / n_chars) * 4, 1.0))
+        + CASE WHEN (n_chars / CAST(greatest(n_tok, 1) AS DOUBLE)) >= 2
+                    AND (n_chars / CAST(greatest(n_tok, 1) AS DOUBLE)) <= 12
+               THEN 1.0 ELSE 0.0 END
+      ) / 4"""
+    inter = "len(list_intersect(a.s, b.s))"
+    return f"""
+WITH keep0 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+docs1 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep0 USING (doc_id)),
+toks1 AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM docs1),
+sh1 AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks1),
+sig AS (SELECT doc_id,
+  {_MINHASH_SLOTS_DUCK}
+FROM sh1),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(m0 || ',' || m1) AS band_hash FROM sig
+  UNION ALL SELECT doc_id, 1, md5(m2 || ',' || m3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(m4 || ',' || m5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(m6 || ',' || m7) FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+sset AS (SELECT doc_id, s, len(s) AS n FROM sh1),
+dup AS (
+  SELECT DISTINCT c.id_b AS doc_id
+  FROM cand c
+  JOIN sset a ON a.doc_id = c.id_a
+  JOIN sset b ON b.doc_id = c.id_b
+  WHERE {inter} / (a.n + b.n - {inter}) >= {jaccard}),
+docs2 AS (SELECT * FROM docs1 WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+qbase AS (
+  SELECT doc_id, {_DUCK_NTOK} AS n_tok,
+         CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS len_alpha,
+         CAST(length(regexp_replace(text, {_DUCK_PUNCT_RE}, '', 'g')) AS DOUBLE) AS len_punct
+  FROM docs2),
+docs3 AS (
+  SELECT d.doc_id, d.text FROM docs2 d JOIN qbase USING (doc_id)
+  WHERE {quality_raw} >= {quality}),
+toks3 AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM docs3),
+sc AS (SELECT doc_id, {score_cols} FROM toks3)
+SELECT doc_id FROM sc WHERE (CASE {cascade}END) IN ({lang_list})
 """
 
 
@@ -928,7 +991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         curated, _ = curate_documents(
             docs.select("doc_id", "text"),
             jaccard_threshold=0.5, quality_threshold=0.5,
-            langs=("en", "pt", "es", "und"))
+            langs=("en", "pt", "es", "und"),
+            minhash_hashes=8, minhash_bands=4, hash_fn="md5")
         return curated.select("doc_id")
 
     return {
@@ -1235,4 +1299,5 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = p.user_id
              AND p.ts BETWEEN e.ts AND e.ts + INTERVAL 1 HOUR
         """,
+        "curate_documents": _duck_curation_sql(),
     }

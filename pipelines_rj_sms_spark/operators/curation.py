@@ -42,6 +42,7 @@ def curate_documents(df: DataFrame, id_col: str = "doc_id",
                      quality_threshold: float = 0.5,
                      langs: tuple[str, ...] = ("en",),
                      minhash_hashes: int = 32, minhash_bands: int = 8,
+                     hash_fn: str = "xxhash64",
                      ) -> tuple[DataFrame, CurationReport]:
     n_input = df.count()
 
@@ -52,7 +53,7 @@ def curate_documents(df: DataFrame, id_col: str = "doc_id",
     # 2. near: LSH candidates -> verify -> drop higher-id duplicate
     cands = dedup.minhash_lsh_candidates(
         exact, id_col, text_col,
-        num_hashes=minhash_hashes, bands=minhash_bands)
+        num_hashes=minhash_hashes, bands=minhash_bands, hash_fn=hash_fn)
     dupes = dedup.ngram_jaccard_pairs(
         exact, id_col, text_col,
         threshold=jaccard_threshold, candidates=cands)
