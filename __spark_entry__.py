@@ -72,7 +72,7 @@ Query key -> SURVEY §2 rows covered:
   count_reconciliation      Q1 (source-vs-loaded ±5% tolerance)
   order_fill_ratio          A9 A10 (array-size ratio + threshold buckets)
   coalesce_segments         J3 (keyed join + per-column coalesce)
-  similarity_ivf            ANN: IVF coarse-quantize + probe (rows-only)
+  similarity_ivf            ANN: IVF coarse-quantize + probe (exact oracle)
   curate_documents          curation funnel: exact+near dedup -> quality
                             -> lang filters (exact oracle, md5 minhash)
   asof_purchase_signup      as-of join (union+window, single shuffle)
@@ -955,9 +955,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return coalesce_join(left, right, "c_custkey", {"segment": "fallback"})
 
     def similarity_ivf(spark, sf_dir):
+        # deterministic centroids (first 8 vectors) so the assignment +
+        # probe semantics get an exact DuckDB oracle; the k-means trainer
+        # (train_ivf_centroids) is unit-tested separately
         emb = _t(spark, sf_dir, "embeddings")
         qv = _embedding_query_vec(spark, sf_dir)
-        cents = similarity.train_ivf_centroids(emb, k=8, iters=5, sample=2000)
+        rows = (emb.filter(F.col("vec_id") < 8).orderBy("vec_id")
+                .select("embedding").collect())
+        cents = [[float(x) for x in r[0]] for r in rows]
         cells = similarity.assign_ivf_cells(emb, cents)
         out = similarity.ivf_top_k(cells, cents, qv, k=10, nprobe=4)
         return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
@@ -1300,4 +1305,28 @@ def oracle_sql() -> dict[str, str]:
              AND p.ts BETWEEN e.ts AND e.ts + INTERVAL 1 HOUR
         """,
         "curate_documents": _duck_curation_sql(),
+        "similarity_ivf": """
+            WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cents AS (SELECT vec_id AS cell, v AS c FROM vs WHERE vec_id < 8),
+            q AS (SELECT v AS qv FROM vs WHERE vec_id = 0),
+            asg AS (
+              SELECT vs.vec_id, vs.v, cents.cell,
+                     list_dot_product(vs.v, cents.c) /
+                     (sqrt(list_dot_product(vs.v, vs.v)) * sqrt(list_dot_product(cents.c, cents.c))) AS sim
+              FROM vs CROSS JOIN cents),
+            cellof AS (
+              SELECT vec_id, v, cell FROM asg
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) = 1),
+            probe AS (
+              SELECT cents.cell,
+                     list_dot_product(cents.c, q.qv) /
+                     (sqrt(list_dot_product(cents.c, cents.c)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+              FROM cents CROSS JOIN q
+              ORDER BY sim DESC, cell DESC LIMIT 4)
+            SELECT vec_id,
+                   round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine_sim
+            FROM (SELECT f.vec_id, f.v FROM cellof f JOIN probe p ON f.cell = p.cell), q
+            ORDER BY list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC, vec_id
+            LIMIT 10
+        """,
     }

@@ -148,11 +148,13 @@ def assign_ivf_cells(df: DataFrame, centroids: list[list[float]],
     (expression-only — centroids are plan constants, no UDF, no shuffle).
     At scale, write the corpus partitioned/bucketed by ``cell_col`` so a
     probe prunes to nprobe cells."""
+    import math
+
     vec = F.col(vec_col).cast("array<double>")
     scored = F.array(*[
         F.struct(
             (dot(vec, F.array(*[F.lit(x) for x in c])) /
-             (norm(vec) * float(sum(v * v for v in c) ** 0.5))).alias("sim"),
+             (norm(vec) * math.sqrt(sum(v * v for v in c)))).alias("sim"),
             F.lit(i).alias("cell"),
         )
         for i, c in enumerate(centroids)
