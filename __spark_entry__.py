@@ -60,6 +60,10 @@ Query key -> SURVEY §2 rows covered:
   large_orders_having       A1 (HAVING gate, Q18 shape)
   disjunctive_filter_revenue P2 (OR-of-conjuncts pushdown, Q19 shape)
   rich_idle_customers       J1 A7 (NOT EXISTS + scalar avg subquery, Q22 shape)
+  forecast_revenue          A7 P2 (filter-agg, Q6 shape)
+  nation_trade_volume       J6 A1 (6-table join + year rollup, Q7 shape)
+  market_share              J6 A1 C17 (8-table join + conditional share, Q8 shape)
+  returned_items_top20      J6 A7 W4 (4-table join + top-k, Q10 shape)
   nation_key_setops         U-family (INTERSECT / EXCEPT)
   grouping_sets_counts      A1 (GROUPING SETS bonus)
   pivot_linestatus          A1 (pivot via DataFrame API)
@@ -332,6 +336,69 @@ SELECT round(100.0
   / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
   6) AS promo_share
 FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+_Q6_FORECAST = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+_Q7_VOLUME = """
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+_Q8_MKT_SHARE = """
+SELECT o_year,
+       round(CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    AND p_type = 'STANDARD'
+) all_nations
+GROUP BY o_year
+"""
+
+_Q10_RETURNS = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
 """
 
 _Q18_HAVING = """
@@ -1067,6 +1134,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": _sql(_Q14_PROMO),
         "large_orders_having": _sql(_Q18_HAVING),
         "disjunctive_filter_revenue": _sql(_Q19_DISJUNCTIVE),
+        "forecast_revenue": _sql(_Q6_FORECAST),
+        "nation_trade_volume": _sql(_Q7_VOLUME),
+        "market_share": _sql(_Q8_MKT_SHARE),
+        "returned_items_top20": _sql(_Q10_RETURNS),
         "rich_idle_customers": _sql(_Q22_IDLE),
         "nation_key_setops": _sql(_SETOPS),
         "grouping_sets_counts": _sql(_GROUPING_SETS),
@@ -1277,6 +1348,10 @@ def oracle_sql() -> dict[str, str]:
         "order_count_distribution": _Q13_DISTRIBUTION,
         "promo_revenue_share": _Q14_PROMO,
         "large_orders_having": _Q18_HAVING,
+        "forecast_revenue": _Q6_FORECAST,
+        "nation_trade_volume": _Q7_VOLUME,
+        "market_share": _Q8_MKT_SHARE,
+        "returned_items_top20": _Q10_RETURNS,
         "disjunctive_filter_revenue": _Q19_DISJUNCTIVE,
         "rich_idle_customers": _Q22_IDLE,
         "nation_key_setops": _SETOPS,
