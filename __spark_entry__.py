@@ -43,7 +43,7 @@ Query key -> SURVEY §2 rows covered:
   dedup_exact_docs          dedup: exact
   dedup_minhash_lsh         dedup: MinHash+LSH banding
   ngram_jaccard_pairs       dedup: n-gram Jaccard verification
-  simhash_near_dupes        dedup: SimHash (rows-only oracle)
+  simhash_near_dupes        dedup: SimHash Hamming pairs (exact oracle, md5)
   text_token_stats          text: token counting
   text_en_score             text: language scoring
   text_quality_score        text: quality scoring
@@ -561,6 +561,36 @@ SELECT doc_id, CASE {cascade}END AS lang_pred FROM sc
 """
 
 
+def _duck_simhash_sql(max_hamming: int = 3) -> str:
+    """DuckDB oracle for simhash_near_dupes(hash_fn='md5'): 60-bit token
+    hash from the first 15 md5 hex chars; fingerprint bit b set iff more
+    than half the distinct tokens have bit b set (identical to the
+    +1/-1 sum sign); 4x16-bit pigeonhole blocks; hamming <= k filter."""
+    fp_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(h, v -> (v >> {b}) & 1 = 1)) > len(h)"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(60)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t0 FROM documents),
+dt AS (SELECT doc_id, list_distinct(t0) AS t FROM toks),
+hs AS (SELECT doc_id,
+  list_transform(t, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS h
+FROM dt),
+fp AS (SELECT doc_id, {fp_terms} AS sh FROM hs),
+parts AS (
+  SELECT doc_id, sh, u.i AS block_idx, (sh >> (16 * u.i)) & 65535 AS block_val
+  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS i) u),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM parts a JOIN parts b
+    ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+   AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+
+
 def _duck_curation_sql(jaccard: float = 0.5, quality: float = 0.5,
                        langs: tuple[str, ...] = ("en", "pt", "es", "und")) -> str:
     """DuckDB oracle for the full curation funnel (operators/curation.py):
@@ -882,7 +912,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def simhash_pairs(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
-        return dedup.simhash_near_dupes(docs, "doc_id", "text", max_hamming=3)
+        out = dedup.simhash_near_dupes(docs, "doc_id", "text", max_hamming=3,
+                                       hash_fn="md5")
+        return out.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
     def token_stats(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
@@ -1296,7 +1328,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
         "dedup_minhash_lsh": _MINHASH_DUCK,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_DUCK,
-        # simhash_near_dupes: xxhash64-specific — rows-only check
+        "simhash_near_dupes": _duck_simhash_sql(),
         "text_token_stats": (
             f"SELECT doc_id, CAST({_DUCK_NTOK} AS BIGINT) AS n_tok, "
             r"CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe "

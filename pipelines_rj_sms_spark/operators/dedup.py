@@ -214,11 +214,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash(df: DataFrame, text_col: str, bits: int = 64,
-            out_col: str = "simhash") -> DataFrame:
+            out_col: str = "simhash", hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document, expression-only.
 
     Token hash = xxhash64(token); each bit of the fingerprint is the sign
     of the sum over tokens of (+1 if bit set else -1).
+    hash_fn='md5' derives a 60-bit token hash from the first 15 md5 hex
+    chars (conv base16->10) — slower than xxhash64 but portable to any
+    SQL engine, used for oracle-differential testing (fingerprint bits
+    60..63 are then deterministically 0 on both sides).
 
     Single array-state aggregate: one pass over the token array carrying
     an array<long> of per-bit counts, then one fold packing signs into
@@ -226,13 +230,19 @@ def simhash(df: DataFrame, text_col: str, bits: int = 64,
     expressions — compiled a ~64x larger codegen unit and re-walked the
     token array per bit: 4x slower cold, 2x warm, measured at sf0.1.)
     """
+    if hash_fn == "md5":
+        def tok_hash(t):
+            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    else:
+        def tok_hash(t):
+            return F.xxhash64(t)
     hashed = df.withColumn(
         "_th",
         F.transform(
             F.array_distinct(
                 F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
             ),
-            lambda t: F.xxhash64(t),
+            tok_hash,
         ),
     )
     counts = (
@@ -253,7 +263,8 @@ def simhash(df: DataFrame, text_col: str, bits: int = 64,
 
 
 def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Candidate generation: split the 64-bit fingerprint into
@@ -262,7 +273,8 @@ def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
     (block_idx, block_value) finds all candidates without a cross join.
     """
     blocks = 4
-    sh = simhash(_parallelize_narrow(df.select(id_col, text_col)), text_col)
+    sh = simhash(_parallelize_narrow(df.select(id_col, text_col)), text_col,
+                 hash_fn=hash_fn)
     parts = sh.select(
         id_col, "simhash",
         F.posexplode(F.array(*[
