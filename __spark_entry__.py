@@ -95,7 +95,10 @@ from pipelines_rj_sms_spark.session import load_tables, read_parquet_normalized
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return read_parquet_normalized(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    # registration is memoized per (session, sf_dir); spark.table() then
+    # just references the already-analyzed view plan — no footer re-reads
+    load_tables(spark, sf_dir)
+    return spark.table(name)
 
 
 def _sql(query: str) -> Callable[[SparkSession, str], DataFrame]:

@@ -98,15 +98,28 @@ def read_parquet_normalized(spark: SparkSession, path: str):
     return df
 
 
+# last-registered (sf_dir, names) per SparkSession — registration costs
+# ~100ms/table in JVM round-trips (listing + footer schema), so repeated
+# load_tables calls against the same directory (one per query in a
+# 70-query sweep) must be free. Keyed by id(session); re-registering
+# after a session restart or an sf_dir switch still happens.
+_REGISTERED: dict[int, tuple[str, tuple[str, ...]]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 )) -> None:
-    """Register the driver's parquet tables as temp views.
+    """Register the driver's parquet tables as temp views (idempotent and
+    memoized per session+directory; a different sf_dir re-registers).
 
     Parquet scans get column pruning + filter pushdown from the DataSource
     V2 reader for free; registering views keeps queries in pure Spark SQL.
     """
+    key = id(spark)
+    state = (os.path.abspath(sf_dir), names)
+    if _REGISTERED.get(key) == state:
+        return
     found = 0
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -117,3 +130,4 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = (
         # without this, a bad sf_dir would silently reuse views from a
         # previous load_tables call — fail loudly instead
         raise FileNotFoundError(f"no *.parquet tables found under {sf_dir}")
+    _REGISTERED[key] = state
