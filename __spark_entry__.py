@@ -64,6 +64,8 @@ Query key -> SURVEY §2 rows covered:
   nation_trade_volume       J6 A1 (6-table join + year rollup, Q7 shape)
   market_share              J6 A1 C17 (8-table join + conditional share, Q8 shape)
   returned_items_top20      J6 A7 W4 (4-table join + top-k, Q10 shape)
+  price_percentiles         ordered-set aggregates (exact interpolated
+                            percentile == DuckDB quantile_cont)
   nation_key_setops         U-family (INTERSECT / EXCEPT)
   grouping_sets_counts      A1 (GROUPING SETS bonus)
   pivot_linestatus          A1 (pivot via DataFrame API)
@@ -1169,6 +1171,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": _sql(_Q14_PROMO),
         "large_orders_having": _sql(_Q18_HAVING),
         "disjunctive_filter_revenue": _sql(_Q19_DISJUNCTIVE),
+        "price_percentiles": _sql(
+            "SELECT o_orderpriority, "
+            "round(percentile(o_totalprice, 0.5), 6) AS p50, "
+            "round(percentile(o_totalprice, 0.95), 6) AS p95, "
+            "round(percentile(o_totalprice, 0.99), 6) AS p99 "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
         "forecast_revenue": _sql(_Q6_FORECAST),
         "nation_trade_volume": _sql(_Q7_VOLUME),
         "market_share": _sql(_Q8_MKT_SHARE),
@@ -1383,6 +1392,13 @@ def oracle_sql() -> dict[str, str]:
         "order_count_distribution": _Q13_DISTRIBUTION,
         "promo_revenue_share": _Q14_PROMO,
         "large_orders_having": _Q18_HAVING,
+        "price_percentiles": (
+            "SELECT o_orderpriority, "
+            "round(quantile_cont(o_totalprice, 0.5), 6) AS p50, "
+            "round(quantile_cont(o_totalprice, 0.95), 6) AS p95, "
+            "round(quantile_cont(o_totalprice, 0.99), 6) AS p99 "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
         "forecast_revenue": _Q6_FORECAST,
         "nation_trade_volume": _Q7_VOLUME,
         "market_share": _Q8_MKT_SHARE,
