@@ -1,0 +1,81 @@
+"""Plan-shape assertions: the SCALE.md execution claims, pinned as tests.
+
+These run the real driver-contract queries at sf0.001 and assert on the
+executed-plan string — pushdown reaching the parquet scan, column
+pruning, broadcast-only dimension joins, codegen coverage. A regression
+that silently de-optimizes a plan (e.g. a cast blocking pushdown, a
+missing broadcast) fails here even though results stay correct.
+"""
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    plan = _plan(entry.queries()["filter_isin_notnull"](spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "In(c_mktsegment" in plan or "EqualTo(c_mktsegment" in plan
+    assert "IsNotNull(c_acctbal)" in plan
+
+
+def test_column_pruning_in_read_schema(spark):
+    # flagship touches 7 of lineitem's 11 columns; the pruned ReadSchema
+    # must not fetch join keys it never uses
+    plan = _plan(entry.queries()["flagship_pricing_summary"](spark, SF))
+    assert "ReadSchema" in plan
+    assert "l_partkey" not in plan
+    assert "l_suppkey" not in plan
+
+
+def test_dimension_joins_all_broadcast(spark):
+    # 8-table market-share query: every dimension join is broadcast, the
+    # fact side shuffles exactly once (the final group-by)
+    plan = _plan(entry.queries()["market_share"](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 7
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_aggregates_are_partial_plus_final(spark):
+    # map-side partial aggregation: two HashAggregate nodes per group-by
+    plan = _plan(entry.queries()["event_counts_scaled"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_topk_is_take_ordered_not_full_sort(spark):
+    plan = _plan(entry.queries()["returned_items_top20"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hot_paths_are_codegenerated(spark):
+    # text scoring is expression-only: whole-stage codegen, no Python eval
+    plan = _plan(entry.queries()["text_quality_score"](spark, SF))
+    # codegen'd operators print as "*(n) Operator" in the plan string
+    assert "*(1)" in plan or "*(2)" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_partition_date_filter_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pipelines_rj_sms_spark.operators.conform import with_date_partitions
+    from pipelines_rj_sms_spark.session import read_parquet_normalized
+
+    ev = read_parquet_normalized(spark, f"{SF}/events.parquet")
+    out = str(tmp_path / "events_part")
+    with_date_partitions(ev, "ts").write.partitionBy(
+        "ano_particao", "mes_particao", "data_particao").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("data_particao") == "2024-01-05")
+    plan = _plan(back)
+    # partition filters are listed separately from data filters and the
+    # scan reads only the matching directory
+    assert "PartitionFilters" in plan
+    assert "data_particao" in plan.split("PartitionFilters", 1)[1][:200]
