@@ -1101,7 +1101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.select("doc_id", "text"),
             jaccard_threshold=0.5, quality_threshold=0.5,
             langs=("en", "pt", "es", "und"),
-            minhash_hashes=8, minhash_bands=4, hash_fn="md5")
+            minhash_hashes=8, minhash_bands=4, hash_fn="md5",
+            with_report=False)
         return curated.select("doc_id")
 
     return {

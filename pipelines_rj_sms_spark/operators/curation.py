@@ -42,13 +42,11 @@ def curate_documents(df: DataFrame, id_col: str = "doc_id",
                      quality_threshold: float = 0.5,
                      langs: tuple[str, ...] = ("en",),
                      minhash_hashes: int = 32, minhash_bands: int = 8,
-                     hash_fn: str = "xxhash64",
-                     ) -> tuple[DataFrame, CurationReport]:
-    n_input = df.count()
-
-    # 1. exact
-    exact = dedup.dedup_exact(df, text_col, id_col)
-    n_exact = exact.count()
+                     hash_fn: str = "xxhash64", with_report: bool = True,
+                     ) -> tuple[DataFrame, CurationReport | None]:
+    # 1. exact — persisted: consumed by the LSH self-join (twice via its
+    # own persist), the anti-join probe side, and the survivor count
+    exact = dedup.dedup_exact(df, text_col, id_col).persist()
 
     # 2. near: LSH candidates -> verify -> drop higher-id duplicate
     cands = dedup.minhash_lsh_candidates(
@@ -58,15 +56,24 @@ def curate_documents(df: DataFrame, id_col: str = "doc_id",
         exact, id_col, text_col,
         threshold=jaccard_threshold, candidates=cands)
     drop = dupes.select(F.col("id_b").alias(id_col)).distinct()
-    near = exact.join(drop, id_col, "left_anti")
-    n_near = near.count()
+    near = exact.join(drop, id_col, "left_anti").persist()
 
     # 3. quality
     q = near.filter(quality_score(text_col) >= quality_threshold)
-    n_quality = q.count()
 
     # 4. language
     curated = q.filter(lang_id(text_col).isin(*langs))
-    n_lang = curated.count()
 
-    return curated, CurationReport(n_input, n_exact, n_near, n_quality, n_lang)
+    if not with_report:
+        return curated, None
+    # per-stage survivor counts (the reference's Q1-style observability);
+    # stages 3-4 are filters over the persisted `near`, so the extra
+    # actions rescan cached partitions, not the raw corpus
+    report = CurationReport(
+        n_input=df.count(),
+        n_after_exact=exact.count(),
+        n_after_near=near.count(),
+        n_after_quality=q.count(),
+        n_after_lang=curated.count(),
+    )
+    return curated, report
