@@ -180,9 +180,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         )
         a = exploded.alias("a")
         b = exploded.alias("b")
+        # length-ratio prune (PPJoin-style): jaccard <= min(n)/max(n), so
+        # pairs whose sizes differ beyond the threshold can never qualify —
+        # cut them in the join condition, before the intersection count
+        size_ok = (
+            F.least(F.col("a._n"), F.col("b._n"))
+            >= threshold * F.greatest(F.col("a._n"), F.col("b._n"))
+        )
         inter = (
             a.join(b, (F.col("a._s") == F.col("b._s"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                   & size_ok)
             .groupBy(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
@@ -198,6 +206,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                       F.col("_n").alias("n_b"))
         inter = (
             candidates.join(a, "id_a").join(b, "id_b")
+            # same length-ratio prune: skip the O(n) array_intersect for
+            # candidate pairs that cannot reach the threshold
+            .filter(F.least("n_a", "n_b") >= threshold * F.greatest("n_a", "n_b"))
             .select(
                 "id_a", "id_b", "n_a", "n_b",
                 F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
