@@ -107,6 +107,37 @@ def test_range_join_bucketed_matches_naive(spark):
     assert out.count() == len(a)
 
 
+def test_asof_matches_pandas_merge_asof_randomized(spark):
+    # independent oracle: pandas merge_asof on 400 random trades x 300
+    # random quotes over 20 keys (unique (key, ts) on the right — tie
+    # order between identical right timestamps is undefined in both)
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    trades = pd.DataFrame({
+        "k": rng.integers(0, 20, 400),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, 400), unit="s"),
+        "trade_id": np.arange(400),
+    })
+    quotes = pd.DataFrame({
+        "k": rng.integers(0, 20, 300),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, 300), unit="s"),
+        "px": rng.random(300).round(4),
+    }).drop_duplicates(["k", "ts"])
+
+    expected = pd.merge_asof(
+        trades.sort_values("ts"), quotes.sort_values("ts"),
+        on="ts", by="k", direction="backward", allow_exact_matches=True)
+
+    out = asof_join(spark.createDataFrame(trades),
+                    spark.createDataFrame(quotes), on="k", right_prefix="q_")
+    got = {r["trade_id"]: r["q_px"] for r in out.collect()}
+    exp = {int(r.trade_id): (None if pd.isna(r.px) else float(r.px))
+           for r in expected.itertuples()}
+    assert got == exp
+
+
 def test_asof_plan_single_shuffle(spark):
     out = asof_join(_trades(spark), _quotes(spark), on="k")
     plan = out._jdf.queryExecution().executedPlan().toString()
