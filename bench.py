@@ -42,6 +42,7 @@ HEADLINE = [
     "range_error_purchases",
     "market_share",
     "returned_items_top20",
+    "curate_documents",
 ]
 
 
