@@ -113,6 +113,41 @@ def extract_features(df: DataFrame, content_col: str = "content",
     return df.select(*cols).mapInPandas(kernel, _FEATURES_SCHEMA)
 
 
+_RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("content", BinaryType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+])
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  content_col: str = "content", id_col: str = "media_id",
+                  decode_stub: bool = True) -> DataFrame:
+    """Image resize via mapInPandas — same Arrow-batch contract as
+    extract_features (one batch of bytes in flight per task).
+
+    Stub kernel: passes bytes through and stamps the target dimensions
+    (a real kernel decodes -> resizes -> re-encodes in the same slot).
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real image resize requires PIL — not present in this "
+            "environment; plug the kernel into the stub's slot"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "content": pdf[content_col],
+                "width": width,
+                "height": height,
+            })
+
+    return df.select(id_col, content_col).mapInPandas(kernel, _RESIZED_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000,
                   id_col: str = "media_id",
                   duration_col: str = "duration_ms") -> DataFrame:

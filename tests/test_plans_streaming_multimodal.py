@@ -124,3 +124,19 @@ def test_sample_frames(spark):
     for r in out.collect():
         counts[r["media_id"]] += 1
     assert counts == {1: 4, 2: 1}  # 0,1000,2000,3000 / 0
+
+
+def test_resize_images_stub(spark):
+    from pipelines_rj_sms_spark.operators.multimodal import resize_images
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"imagebytes")), (2, bytearray(b""))],
+        ["media_id", "content"],
+    )
+    out = {r["media_id"]: r for r in resize_images(media, 224, 224).collect()}
+    assert bytes(out[1]["content"]) == b"imagebytes"  # stub passthrough
+    assert (out[1]["width"], out[1]["height"]) == (224, 224)
+    assert out[2]["width"] == 224
+
+    with pytest.raises(NotImplementedError):
+        resize_images(media, 64, 64, decode_stub=False)
