@@ -47,5 +47,68 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("basePath", path).parquet(path)
 
 
+def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
+                 keys: list[str], order_col: str,
+                 ts_col: str | None = None) -> None:
+    """Keyed upsert into a partitioned lakehouse table, touching ONLY the
+    date partitions present in the updates (MERGE-like semantics without
+    a table format: the reference's keep-last reverse-ETL upsert —
+    bq_to_subpav/utils.py:299-350 — applied to the lakehouse).
+
+    Plan: derive the updates' partition values -> read just those
+    partitions from the target (partition pruning, not a full scan) ->
+    union -> deterministic keep-last per key (W3 window, largest
+    ``order_col`` wins; incoming rows beat existing on ties) -> dynamic
+    overwrite rewrites only those partitions. Cost scales with the
+    touched partitions, never the table — a daily upsert against a
+    10-year table reads and rewrites one day.
+
+    Scope caveat (inherent to partition-scoped merges): a key whose rows
+    live in an UNtouched partition is not deduplicated against incoming
+    rows — if keys can move across dates, dedup at read time (W3) or
+    merge with the full partition span of the key.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if updates.isEmpty():
+        return
+    if ts_col is not None:
+        updates = with_date_partitions(updates, ts_col)
+    part_cols = [c for c in PARTITION_COLS if c in updates.columns]
+    if not part_cols:
+        raise ValueError("merge_upsert needs date-partition columns "
+                         f"({PARTITION_COLS}); pass ts_col to derive them")
+    updates = updates.withColumn("_is_update", F.lit(1))
+
+    if table_exists(path):
+        # partition-prune the target read to the updates' partitions;
+        # collect() here is bounded by the number of touched dates, not
+        # data size
+        touched = [tuple(r) for r in
+                   updates.select(*part_cols).distinct().collect()]
+        existing = read_table(spark, path).withColumn("_is_update", F.lit(0))
+        pred = F.lit(False)
+        for vals in touched:
+            row_match = F.lit(True)
+            for c, v in zip(part_cols, vals):
+                row_match = row_match & (F.col(c) == F.lit(v))
+            pred = pred | row_match
+        merged = existing.filter(pred).unionByName(updates)
+    else:
+        merged = updates
+
+    # keep-last: largest order_col wins; an update beats an existing row
+    # with the same order value (the reference's replace semantics)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), F.col("_is_update").desc())
+    result = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_is_update")
+    )
+    result.write.mode("overwrite").partitionBy(*part_cols).parquet(path)
+
+
 def table_exists(path: str) -> bool:
     return os.path.exists(path)

@@ -96,3 +96,49 @@ def test_jdbc_upsert_sqlite(spark, tmp_path):
            dialect="sqlite")
     got = dict(sqlite3.connect(db).execute("SELECT k, v FROM t").fetchall())
     assert got == {1: "new", 2: "b"}
+
+
+def test_lakehouse_merge_upsert_partition_scoped(spark, tmp_path):
+    from pipelines_rj_sms_spark.sinks.lakehouse import merge_upsert
+
+    path = str(tmp_path / "merge_tbl")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, ["k", "val", "version", "ts"]).select(
+            "k", "val", "version", F.col("ts").cast("timestamp").alias("ts"))
+
+    # initial: key 1 and 2 on Jan 1, key 3 on Feb 1
+    merge_upsert(spark, path, mk([
+        (1, "one-v1", 1, "2024-01-01 10:00:00"),
+        (2, "two-v1", 1, "2024-01-01 11:00:00"),
+        (3, "three-v1", 1, "2024-02-01 10:00:00"),
+    ]), keys=["k"], order_col="version", ts_col="ts")
+
+    # upsert: update key 1 (higher version), insert key 4 — Jan only
+    merge_upsert(spark, path, mk([
+        (1, "one-v2", 2, "2024-01-01 10:00:00"),
+        (4, "four-v1", 1, "2024-01-01 12:00:00"),
+    ]), keys=["k"], order_col="version", ts_col="ts")
+
+    got = {r["k"]: r["val"] for r in read_table(spark, path).collect()}
+    assert got == {1: "one-v2", 2: "two-v1", 3: "three-v1", 4: "four-v1"}
+
+    # stale update (lower version) must NOT win
+    merge_upsert(spark, path, mk([
+        (1, "one-v0", 0, "2024-01-01 10:00:00"),
+    ]), keys=["k"], order_col="version", ts_col="ts")
+    got = {r["k"]: r["val"] for r in read_table(spark, path).collect()}
+    assert got[1] == "one-v2"
+
+    # equal version: the incoming row wins (replace semantics)
+    merge_upsert(spark, path, mk([
+        (2, "two-v1-replaced", 1, "2024-01-01 11:00:00"),
+    ]), keys=["k"], order_col="version", ts_col="ts")
+    got = {r["k"]: r["val"] for r in read_table(spark, path).collect()}
+    assert got[2] == "two-v1-replaced"
+
+    # empty updates are a no-op
+    empty = mk([(9, "x", 1, "2024-01-01 10:00:00")]).limit(0)
+    merge_upsert(spark, path, empty, keys=["k"],
+                 order_col="version", ts_col="ts")
+    assert read_table(spark, path).count() == 4
