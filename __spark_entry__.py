@@ -83,6 +83,14 @@ Query key -> SURVEY §2 rows covered:
                             -> lang filters (exact oracle, md5 minhash)
   asof_purchase_signup      as-of join (union+window, single shuffle)
   range_error_purchases     bucketed range join (point-in-interval)
+  priority_line_counts      J6 A1 C17 (conditional counts, Q12 shape)
+  top_supplier_revenue      J6 (scalar-max subquery vs CTE, Q15 shape)
+  supplier_cnt_by_part      A2 J6 (distinct-count + NOT IN, Q16 shape)
+  late_supplier_waits       J6 (EXISTS + NOT EXISTS pair, Q21 shape)
+  profit_by_nation_year     J6 A1 (5-table join + decimal profit, Q9 shape)
+  customer_order_ranks      W-family (ntile/dense_rank/lag/lead/first_value)
+  ohlc_hourly_events        timeseries rollup (min_by/max_by OHLC downsample)
+  text_rolling_fingerprint  text: order-sensitive polynomial rolling hash
 """
 
 from __future__ import annotations
@@ -429,6 +437,106 @@ FROM customer c
 WHERE c_acctbal > (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                    FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+"""
+
+_Q12_PRIORITY = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+_Q15_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+_Q16_SUPPLIER_CNT = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+GROUP BY p_brand, p_type, p_size
+"""
+
+_Q21_LATE_SUPPLIER = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1
+                  FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+_Q9_PROFIT = """
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+           - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+"""
+
+_RANKS_WINDOW = """
+SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS price_quartile,
+       CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq,
+       lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+       first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order
+FROM orders
+"""
+
+_OHLC_DUCK = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+       arg_min(value, ts) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, ts) AS close,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_value
+FROM events GROUP BY 1, 2
+"""
+
+_ROLLING_FP_DUCK = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(t, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
+FROM toks
 """
 
 _SETOPS = """
@@ -1094,6 +1202,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   on="user_id", bucket_seconds=1800)
         return out.select("user_id", "err_id", "purch_id")
 
+    def ohlc_hourly(spark, sf_dir):
+        from pipelines_rj_sms_spark.operators.timeseries import downsample_ohlc
+        ev = _t(spark, sf_dir, "events")
+        return downsample_ohlc(ev, "ts", "value", keys=["event_type"],
+                               interval="1 hour")
+
+    def rolling_fp(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id", text.rolling_fingerprint("text", hash_fn="md5").alias("fp_roll"))
+
     def curate_docs(spark, sf_dir):
         from pipelines_rj_sms_spark.operators.curation import curate_documents
         docs = _t(spark, sf_dir, "documents")
@@ -1200,6 +1319,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_documents": curate_docs,
         "asof_purchase_signup": asof_purchase_signup,
         "range_error_purchases": range_error_purchases,
+        "priority_line_counts": _sql(_Q12_PRIORITY),
+        "top_supplier_revenue": _sql(_Q15_TOP_SUPPLIER),
+        "supplier_cnt_by_part": _sql(_Q16_SUPPLIER_CNT),
+        "late_supplier_waits": _sql(_Q21_LATE_SUPPLIER),
+        "profit_by_nation_year": _sql(_Q9_PROFIT),
+        "customer_order_ranks": _sql(_RANKS_WINDOW),
+        "ohlc_hourly_events": ohlc_hourly,
+        "text_rolling_fingerprint": rolling_fp,
     }
 
 
@@ -1432,6 +1559,14 @@ def oracle_sql() -> dict[str, str]:
              AND p.ts BETWEEN e.ts AND e.ts + INTERVAL 1 HOUR
         """,
         "curate_documents": _duck_curation_sql(),
+        "priority_line_counts": _Q12_PRIORITY,
+        "top_supplier_revenue": _Q15_TOP_SUPPLIER,
+        "supplier_cnt_by_part": _Q16_SUPPLIER_CNT,
+        "late_supplier_waits": _Q21_LATE_SUPPLIER,
+        "profit_by_nation_year": _Q9_PROFIT,
+        "customer_order_ranks": _RANKS_WINDOW,
+        "ohlc_hourly_events": _OHLC_DUCK,
+        "text_rolling_fingerprint": _ROLLING_FP_DUCK,
         "similarity_ivf": """
             WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             cents AS (SELECT vec_id AS cell, v AS c FROM vs WHERE vec_id < 8),

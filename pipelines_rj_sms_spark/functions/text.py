@@ -130,6 +130,39 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(tokens(col)), build), 1)
 
 
+def rolling_fingerprint(col: Column | str, hash_fn: str = "xxhash64",
+                        modulus: int = 1_000_000_007,
+                        multiplier: int = 31) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over the token stream, ``h = (h*m + hash(tok)) % p`` folded left to
+    right with ``aggregate`` — expression-only, stays in codegen.
+
+    Unlike the min-shingle ``fingerprint`` (order-insensitive set
+    semantics), this detects *exact sequence* duplicates: two documents
+    collide only if their token sequences match (mod collisions).
+
+    ``hash_fn='xxhash64'`` (default) is the fast JVM path;
+    ``'md5'`` derives a 32-bit token hash from the first 8 md5 hex
+    chars — portable arithmetic any engine reproduces exactly (the
+    DuckDB oracle spelling is ``list_reduce(list_prepend(0, ...))``).
+    """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be xxhash64|md5: {hash_fn}")
+
+    def tok_hash(x: Column) -> Column:
+        if hash_fn == "md5":
+            return F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+        # keep the folded value non-negative so % behaves identically
+        # to the md5 path (Java % keeps the dividend's sign)
+        return F.pmod(F.xxhash64(x), F.lit(modulus))
+
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * multiplier + tok_hash(x)) % modulus,
+    )
+
+
 def fingerprint(col: Column | str, window: int = 8) -> Column:
     """Document fingerprint: min xxhash64 over character 8-gram windows
     (rolling-hash winnowing reduced to global-min — one pass, no UDF)."""

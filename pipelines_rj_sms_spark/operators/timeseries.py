@@ -88,6 +88,42 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     )
 
 
+def downsample_ohlc(df: DataFrame, ts_col: str, value_col: str,
+                    keys: list[str] | None = None,
+                    interval: str = "1 hour") -> DataFrame:
+    """Hypertable-style rollup: per (keys, time bucket) emit
+    open/high/low/close/n/mean of ``value_col``.
+
+    open/close are ``min_by``/``max_by`` on the timestamp — a single
+    hash aggregation (partial + final, map-side combine free), no
+    window, no self-join. At 100 TB this is the only shape that works:
+    one shuffle keyed on (keys, bucket), state bounded per group. The
+    reference's freshness/monitoring rollups (SURVEY A3/Q3,
+    reports/monitoramento_hci/tasks.py:34-63) are the 1-bucket special
+    case of this operator.
+
+    Ties on the timestamp make open/close nondeterministic (same as
+    DuckDB ``arg_min``); callers with tie-prone data should pass a
+    composite ``ts_col`` expression instead.
+    """
+    keys = keys or []
+    bucket = F.window(F.col(ts_col), interval)
+    return (
+        df.groupBy(bucket.alias("__w"), *keys)
+        .agg(
+            F.min_by(value_col, ts_col).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, ts_col).alias("close"),
+            F.count("*").alias("n"),
+            (F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+             / F.count("*")).alias("mean_value"),
+        )
+        .select(F.col("__w.start").alias("bucket_start"), *keys,
+                "open", "high", "low", "close", "n", "mean_value")
+    )
+
+
 def range_join_bucketed(points: DataFrame, intervals: DataFrame,
                         point_ts: str, start_col: str, end_col: str,
                         on: str | list[str] | None = None,

@@ -59,3 +59,33 @@ def test_fingerprint_deterministic(spark):
     out = [r["f"] for r in df.select(fingerprint("text").alias("f")).collect()]
     assert out[0] == out[1]
     assert out[0] != out[2]
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from pipelines_rj_sms_spark.functions.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [("the quick fox",), ("fox quick the",), ("the quick fox",), ("",)],
+        ["text"])
+    for fn in ("xxhash64", "md5"):
+        rows = df.select(rolling_fingerprint("text", hash_fn=fn).alias("fp")).collect()
+        assert rows[0]["fp"] == rows[2]["fp"]      # identical sequence
+        assert rows[0]["fp"] != rows[1]["fp"]      # same tokens, other order
+        assert rows[3]["fp"] == 0                  # empty doc -> init value
+        assert all(0 <= r["fp"] < 1_000_000_007 for r in rows)
+
+
+def test_rolling_fingerprint_md5_reference_value(spark):
+    """Pin the md5 variant's arithmetic against a driver-side replay so
+    the DuckDB oracle spelling can't drift from the Spark one."""
+    import hashlib
+
+    from pipelines_rj_sms_spark.functions.text import rolling_fingerprint
+
+    text_val = "Hello rolling HASH world"
+    h = 0
+    for tok in text_val.lower().split():
+        h = (h * 31 + int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)) % 1_000_000_007
+    df = spark.createDataFrame([(text_val,)], ["text"])
+    got = df.select(rolling_fingerprint("text", hash_fn="md5").alias("fp")).first()["fp"]
+    assert got == h

@@ -146,3 +146,38 @@ def test_asof_plan_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_downsample_ohlc(spark):
+    from pipelines_rj_sms_spark.operators.timeseries import downsample_ohlc
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 10, 5), 3.0),
+        ("a", datetime(2024, 1, 1, 10, 20), 9.0),
+        ("a", datetime(2024, 1, 1, 10, 50), 1.0),
+        ("a", datetime(2024, 1, 1, 11, 10), 7.0),
+        ("b", datetime(2024, 1, 1, 10, 30), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = downsample_ohlc(df, "ts", "value", keys=["k"], interval="1 hour")
+    got = {(r["k"], r["bucket_start"].hour): r for r in out.collect()}
+
+    a10 = got[("a", 10)]
+    assert (a10["open"], a10["high"], a10["low"], a10["close"]) == (3.0, 9.0, 1.0, 1.0)
+    assert a10["n"] == 3
+    assert abs(a10["mean_value"] - 13.0 / 3) < 1e-9
+    assert got[("a", 11)]["open"] == 7.0
+    assert got[("b", 10)]["n"] == 1
+
+
+def test_downsample_ohlc_single_aggregation_plan(spark):
+    """The rollup must be ONE hash aggregate pair (partial+final), not a
+    window or self-join — the property that makes it scale."""
+    from pipelines_rj_sms_spark.operators.timeseries import downsample_ohlc
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 10, 5), 3.0)],
+        "k string, ts timestamp, value double")
+    plan = downsample_ohlc(df, "ts", "value", keys=["k"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Join" not in plan
