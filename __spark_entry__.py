@@ -91,6 +91,9 @@ Query key -> SURVEY §2 rows covered:
   customer_order_ranks      W-family (ntile/dense_rank/lag/lead/first_value)
   ohlc_hourly_events        timeseries rollup (min_by/max_by OHLC downsample)
   text_rolling_fingerprint  text: order-sensitive polynomial rolling hash
+  min_balance_supplier_per_part J6 (correlated min subquery, Q2 shape)
+  nation_value_share        A1 J6 (HAVING vs global-share scalar, Q11 shape)
+  heavy_red_suppliers       J6 (nested IN chain + HAVING, Q20 shape)
 """
 
 from __future__ import annotations
@@ -537,6 +540,39 @@ SELECT doc_id,
                       list_transform(t, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT))),
          (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
 FROM toks
+"""
+
+_Q2_MIN_SUPPLIER = """
+SELECT p_partkey, s_suppkey, s_name, s_acctbal
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size <= 3
+  AND s_acctbal = (SELECT min(s2.s_acctbal)
+                   FROM supplier s2 JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+                   WHERE l2.l_partkey = p_partkey)
+GROUP BY p_partkey, s_suppkey, s_name, s_acctbal
+"""
+
+_Q11_SHARE_HAVING = """
+SELECT s_nationkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+GROUP BY s_nationkey
+HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+     > (SELECT 0.04 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        FROM lineitem)
+"""
+
+_Q20_NESTED_IN = """
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
 """
 
 _SETOPS = """
@@ -1327,6 +1363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_ranks": _sql(_RANKS_WINDOW),
         "ohlc_hourly_events": ohlc_hourly,
         "text_rolling_fingerprint": rolling_fp,
+        "min_balance_supplier_per_part": _sql(_Q2_MIN_SUPPLIER),
+        "nation_value_share": _sql(_Q11_SHARE_HAVING),
+        "heavy_red_suppliers": _sql(_Q20_NESTED_IN),
     }
 
 
@@ -1567,6 +1606,9 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_ranks": _RANKS_WINDOW,
         "ohlc_hourly_events": _OHLC_DUCK,
         "text_rolling_fingerprint": _ROLLING_FP_DUCK,
+        "min_balance_supplier_per_part": _Q2_MIN_SUPPLIER,
+        "nation_value_share": _Q11_SHARE_HAVING,
+        "heavy_red_suppliers": _Q20_NESTED_IN,
         "similarity_ivf": """
             WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             cents AS (SELECT vec_id AS cell, v AS c FROM vs WHERE vec_id < 8),

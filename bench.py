@@ -43,6 +43,10 @@ HEADLINE = [
     "market_share",
     "returned_items_top20",
     "curate_documents",
+    "profit_by_nation_year",
+    "late_supplier_waits",
+    "ohlc_hourly_events",
+    "text_rolling_fingerprint",
 ]
 
 
