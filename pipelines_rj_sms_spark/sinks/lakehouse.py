@@ -112,3 +112,98 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
 
 def table_exists(path: str) -> bool:
     return os.path.exists(path)
+
+
+def partition_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-partition file census: (partition, n_files, total_bytes,
+    avg_file_bytes). Drives the compaction loop — a daily-append table
+    accretes one small file per run per partition; this surfaces the
+    partitions worth rewriting. Metadata-only (directory listing), no
+    data scan.
+    """
+    rows = []
+    for dirpath, _dirs, files in os.walk(path):
+        parquet = [f for f in files if f.endswith(".parquet")]
+        if not parquet:
+            continue
+        sizes = [os.path.getsize(os.path.join(dirpath, f)) for f in parquet]
+        rel = os.path.relpath(dirpath, path)
+        rows.append((rel if rel != "." else "", len(sizes), sum(sizes),
+                     float(sum(sizes)) / len(sizes)))
+    return spark.createDataFrame(
+        rows, "partition string, n_files int, total_bytes long, avg_file_bytes double")
+
+
+def compact_partitions(spark: SparkSession, path: str,
+                       target_file_bytes: int = 128 * 1024 * 1024,
+                       sort_cols: list[str] | None = None,
+                       small_file_bytes: int | None = None) -> int:
+    """Rewrite fragmented partitions into ~``target_file_bytes`` files
+    (the OPTIMIZE/compaction maintenance pass every append-heavy
+    lakehouse needs; with ``sort_cols`` it is OPTIMIZE ... ZORDER's
+    single-dimension analog: sorted files carry tight min/max footer
+    stats, so scans with predicates on ``sort_cols`` skip whole files).
+
+    Only partitions whose average file size is below ``small_file_bytes``
+    (default: target/2) are rewritten — dynamic partition overwrite
+    leaves the healthy ones untouched, so the pass costs O(fragmented
+    data), not O(table). Parallelism inside a partition is preserved by
+    salting the shuffle with ceil(bytes/target) buckets per partition —
+    one giant date never serializes into one task.
+
+    Returns the number of partitions rewritten.
+    """
+    from pyspark.sql import functions as F
+
+    small_file_bytes = small_file_bytes or target_file_bytes // 2
+    stats = [(r["partition"], r["total_bytes"]) for r in
+             partition_stats(spark, path)
+             .filter((F.col("avg_file_bytes") < small_file_bytes)
+                     & (F.col("n_files") > 1))
+             .collect()]
+    if not stats:
+        return 0
+
+    part_cols: list[str] = []
+    if stats and "=" in stats[0][0]:
+        part_cols = [seg.split("=")[0] for seg in stats[0][0].split(os.sep)]
+
+    df = read_table(spark, path)
+    if part_cols:
+        # restrict the rewrite to the fragmented partitions
+        pred = F.lit(False)
+        for rel, _bytes in stats:
+            row_match = F.lit(True)
+            for seg in rel.split(os.sep):
+                c, v = seg.split("=", 1)
+                row_match = row_match & (F.col(c).cast("string") == v)
+            pred = pred | row_match
+        frag = df.filter(pred)
+    else:
+        frag = df  # unpartitioned: the whole table is the rewrite unit
+
+    total_buckets = max(1, sum(-(-b // target_file_bytes) for _rel, b in stats))
+    if sort_cols:
+        # range-partition on (partition cols, sort cols): files come out
+        # with non-overlapping sort-key ranges — footer min/max stats
+        # then let scans skip whole files (ZORDER's 1-D analog)
+        cluster = [F.col(c) for c in part_cols + sort_cols]
+        frag = frag.repartitionByRange(total_buckets, *cluster)
+        # pre-sort on the partition cols first: the dynamic-partition
+        # writer requires that ordering and would otherwise inject its
+        # own (non-stable) sort, destroying the sort-key clustering
+        frag = frag.sortWithinPartitions(*part_cols, *sort_cols)
+        writer = frag.write.mode("overwrite")
+    else:
+        # plain bin-packing: hash-salt so one giant partition still
+        # compacts in parallel
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in frag.columns]),
+                      F.lit(total_buckets))
+        frag = frag.withColumn("_salt", salt)
+        frag = frag.repartition(*(part_cols + ["_salt"])) if part_cols \
+            else frag.repartition("_salt")
+        writer = frag.drop("_salt").write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(path)
+    return len(stats)

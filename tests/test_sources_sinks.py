@@ -142,3 +142,65 @@ def test_lakehouse_merge_upsert_partition_scoped(spark, tmp_path):
     merge_upsert(spark, path, empty, keys=["k"],
                  order_col="version", ts_col="ts")
     assert read_table(spark, path).count() == 4
+
+
+def test_lakehouse_compact_partitions(spark, tmp_path):
+    from pipelines_rj_sms_spark.sinks.lakehouse import (
+        compact_partitions,
+        partition_stats,
+    )
+
+    path = str(tmp_path / "frag")
+    # fragment one date with 8 tiny appends; keep another date healthy (1 file)
+    for i in range(8):
+        df = spark.createDataFrame(
+            [(i * 10 + j, "2024-01-01") for j in range(5)], "k long, data_particao string")
+        df.coalesce(1).write.mode("append").partitionBy("data_particao").parquet(path)
+    healthy = spark.createDataFrame(
+        [(900 + j, "2024-01-02") for j in range(5)], "k long, data_particao string")
+    healthy.coalesce(1).write.mode("append").partitionBy("data_particao").parquet(path)
+
+    before = {r["partition"]: r["n_files"] for r in partition_stats(spark, path).collect()}
+    assert before["data_particao=2024-01-01"] == 8
+
+    n = compact_partitions(spark, path, target_file_bytes=64 * 1024 * 1024,
+                           sort_cols=["k"])
+    assert n == 1  # only the fragmented date rewritten
+
+    after = {r["partition"]: r["n_files"] for r in partition_stats(spark, path).collect()}
+    assert after["data_particao=2024-01-01"] < before["data_particao=2024-01-01"]
+    assert after["data_particao=2024-01-02"] == 1  # untouched
+
+    got = sorted(r["k"] for r in read_table(spark, path).collect())
+    want = sorted([i * 10 + j for i in range(8) for j in range(5)]
+                  + [900, 901, 902, 903, 904])
+    assert got == want
+
+
+def test_lakehouse_compact_sorted_files_carry_tight_stats(spark, tmp_path):
+    """After compaction with sort_cols, each surviving file's min/max k
+    range must not overlap another file's — the property that makes
+    footer-stats data skipping work."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pipelines_rj_sms_spark.sinks.lakehouse import compact_partitions
+
+    path = str(tmp_path / "sorted")
+    for i in range(6):
+        df = spark.createDataFrame(
+            [(i * 100 + j, "2024-03-01") for j in range(50)],
+            "k long, data_particao string")
+        df.coalesce(1).write.mode("append").partitionBy("data_particao").parquet(path)
+
+    compact_partitions(spark, path, target_file_bytes=8 * 1024, sort_cols=["k"])
+
+    ranges = []
+    for f in glob.glob(f"{path}/data_particao=2024-03-01/*.parquet"):
+        ks = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        assert ks == sorted(ks)  # sorted within file
+        ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # non-overlapping -> skippable
