@@ -94,6 +94,8 @@ Query key -> SURVEY §2 rows covered:
   min_balance_supplier_per_part J6 (correlated min subquery, Q2 shape)
   nation_value_share        A1 J6 (HAVING vs global-share scalar, Q11 shape)
   heavy_red_suppliers       J6 (nested IN chain + HAVING, Q20 shape)
+  train_test_split          sampling: deterministic hash split (md5 replay)
+  group_sample_100          sampling: per-group hash-ranked N (md5 replay)
 """
 
 from __future__ import annotations
@@ -573,6 +575,26 @@ WHERE s_suppkey IN (
     AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
   GROUP BY l_suppkey
   HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+"""
+
+# DuckDB replay of sampling._key_hash(hash_fn='md5'): first 8 md5 hex
+# chars as a bigint — the portable split/sample arithmetic.
+def _duck_md5_bucket(key_expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({key_expr}), 1, 8)) AS BIGINT)"
+
+
+_SPLIT_DUCK = f"""
+SELECT c_custkey,
+       CASE WHEN {_duck_md5_bucket("CAST(c_custkey AS VARCHAR)")} % 100 < 80
+            THEN 'train' ELSE 'test' END AS split
+FROM customer
+"""
+
+_GROUP_SAMPLE_DUCK = f"""
+SELECT event_type, event_id FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY event_type
+  ORDER BY {_duck_md5_bucket("CAST(event_id AS VARCHAR)")}, event_id) <= 100
 """
 
 _SETOPS = """
@@ -1238,6 +1260,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   on="user_id", bucket_seconds=1800)
         return out.select("user_id", "err_id", "purch_id")
 
+    def train_test_split(spark, sf_dir):
+        from pipelines_rj_sms_spark.functions.sampling import hash_split
+        cust = _t(spark, sf_dir, "customer")
+        return hash_split(cust.select("c_custkey"), ["c_custkey"],
+                          train_pct=80, hash_fn="md5")
+
+    def group_sample(spark, sf_dir):
+        from pipelines_rj_sms_spark.functions.sampling import sample_per_group
+        ev = _t(spark, sf_dir, "events")
+        return sample_per_group(ev.select("event_type", "event_id"),
+                                ["event_type"], ["event_id"], n=100,
+                                hash_fn="md5")
+
     def ohlc_hourly(spark, sf_dir):
         from pipelines_rj_sms_spark.operators.timeseries import downsample_ohlc
         ev = _t(spark, sf_dir, "events")
@@ -1366,6 +1401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_balance_supplier_per_part": _sql(_Q2_MIN_SUPPLIER),
         "nation_value_share": _sql(_Q11_SHARE_HAVING),
         "heavy_red_suppliers": _sql(_Q20_NESTED_IN),
+        "train_test_split": train_test_split,
+        "group_sample_100": group_sample,
     }
 
 
@@ -1609,6 +1646,8 @@ def oracle_sql() -> dict[str, str]:
         "min_balance_supplier_per_part": _Q2_MIN_SUPPLIER,
         "nation_value_share": _Q11_SHARE_HAVING,
         "heavy_red_suppliers": _Q20_NESTED_IN,
+        "train_test_split": _SPLIT_DUCK,
+        "group_sample_100": _GROUP_SAMPLE_DUCK,
         "similarity_ivf": """
             WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             cents AS (SELECT vec_id AS cell, v AS c FROM vs WHERE vec_id < 8),

@@ -1,0 +1,70 @@
+"""Deterministic sampling for training-data pipelines.
+
+Random sampling (``df.sample``) is seed-and-partitioning dependent — a
+re-run after a repartition yields a different subset, which poisons
+train/test hygiene in a pipeline that reprocesses 100 TB incrementally.
+These operators derive membership from a *hash of the row key* instead:
+assignment is a pure function of the data, so it is stable across runs,
+cluster sizes, partitionings, and engines (the md5 variant reproduces
+bit-identically in any SQL engine — that is what the DuckDB oracle
+checks). This is the standard "salted hash split" used to keep a
+training corpus' holdout stable as new data arrives.
+
+Everything is expression-only (codegen'd, no UDF): a split is a
+projection, a per-group sample is one window rank — no extra shuffle
+beyond the group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _key_hash(cols: list[Column], hash_fn: str, salt: str) -> Column:
+    """Uniform-ish bigint >= 0 from the key columns. md5 path: first 8
+    hex chars as a 32-bit int — portable arithmetic any engine can
+    replay; xxhash64 path: fast JVM hash for production."""
+    key = F.concat_ws("|", *[c.cast("string") for c in cols])
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 8),
+                      16, 10).cast("long")
+    if hash_fn == "xxhash64":
+        return F.abs(F.xxhash64(F.lit(salt), key))
+    raise ValueError(f"hash_fn must be xxhash64|md5: {hash_fn}")
+
+
+def hash_split(df: DataFrame, key_cols: list[str], train_pct: int = 80,
+               out_col: str = "split", hash_fn: str = "xxhash64",
+               salt: str = "") -> DataFrame:
+    """Add a deterministic 'train'/'test' column: bucket = hash(key) %
+    100, train iff bucket < ``train_pct``.
+
+    Same key -> same side, always: all rows of one entity (user,
+    document) stay on one side of the split when keyed by that entity,
+    preventing leakage. ``salt`` re-deals the split without touching
+    the data.
+    """
+    bucket = _key_hash([F.col(c) for c in key_cols], hash_fn, salt) % 100
+    return df.withColumn(
+        out_col, F.when(bucket < train_pct, "train").otherwise("test"))
+
+
+def sample_per_group(df: DataFrame, group_cols: list[str],
+                     key_cols: list[str], n: int,
+                     hash_fn: str = "xxhash64", salt: str = "") -> DataFrame:
+    """Deterministic pseudo-random N rows per group: rank rows inside
+    each group by hash(key) and keep the first ``n``.
+
+    One window over the group key (single shuffle); the hash order is a
+    uniform pseudo-random permutation, so this is reservoir sampling's
+    deterministic cousin — same inputs, same sample, any cluster.
+    """
+    h = _key_hash([F.col(c) for c in key_cols], hash_fn, salt)
+    w = Window.partitionBy(*group_cols).orderBy(
+        h.asc(), *[F.col(c).asc() for c in key_cols])
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )

@@ -1,0 +1,59 @@
+"""Deterministic sampling: stability across repartitioning and salts."""
+
+from pyspark.sql import functions as F
+
+from pipelines_rj_sms_spark.functions.sampling import hash_split, sample_per_group
+
+
+def _users(spark, n=500):
+    return spark.range(n).select(F.col("id").alias("user_id"))
+
+
+def test_hash_split_stable_under_repartition(spark):
+    df = _users(spark)
+    a = {r["user_id"]: r["split"] for r in
+         hash_split(df, ["user_id"]).collect()}
+    b = {r["user_id"]: r["split"] for r in
+         hash_split(df.repartition(13), ["user_id"]).collect()}
+    assert a == b  # membership is a function of the key, not the layout
+
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.7 < frac < 0.9  # ~80/20
+
+
+def test_hash_split_salt_redeal(spark):
+    df = _users(spark)
+    a = {r["user_id"]: r["split"] for r in
+         hash_split(df, ["user_id"], salt="s1").collect()}
+    b = {r["user_id"]: r["split"] for r in
+         hash_split(df, ["user_id"], salt="s2").collect()}
+    assert a != b  # a new salt re-deals
+    for rows in (a, b):
+        frac = sum(1 for v in rows.values() if v == "train") / len(rows)
+        assert 0.7 < frac < 0.9
+
+
+def test_hash_split_md5_xxhash_both_uniform(spark):
+    df = _users(spark, 2000)
+    for fn in ("xxhash64", "md5"):
+        out = hash_split(df, ["user_id"], train_pct=50, hash_fn=fn)
+        frac = out.filter("split = 'train'").count() / 2000
+        assert 0.45 < frac < 0.55, fn
+
+
+def test_sample_per_group_deterministic_and_sized(spark):
+    rows = [(g, i) for g in ("a", "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    s1 = sorted((r["g"], r["k"]) for r in
+                sample_per_group(df, ["g"], ["k"], n=10).collect())
+    s2 = sorted((r["g"], r["k"]) for r in
+                sample_per_group(df.repartition(7), ["g"], ["k"], n=10).collect())
+    assert s1 == s2
+    assert len(s1) == 20
+    ks = [k for _g, k in s1]
+    assert ks != sorted(set(ks))[:20] or len(set(ks)) > 10  # not just first-N
+
+
+def test_sample_per_group_small_group_keeps_all(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "g string, k long")
+    assert sample_per_group(df, ["g"], ["k"], n=10).count() == 2
