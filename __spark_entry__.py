@@ -96,6 +96,7 @@ Query key -> SURVEY §2 rows covered:
   heavy_red_suppliers       J6 (nested IN chain + HAVING, Q20 shape)
   train_test_split          sampling: deterministic hash split (md5 replay)
   group_sample_100          sampling: per-group hash-ranked N (md5 replay)
+  gap_filled_hourly_counts  timeseries: sequence+explode spine densify
 """
 
 from __future__ import annotations
@@ -595,6 +596,19 @@ SELECT event_type, event_id FROM events
 QUALIFY row_number() OVER (
   PARTITION BY event_type
   ORDER BY {_duck_md5_bucket("CAST(event_id AS VARCHAR)")}, event_id) <= 100
+"""
+
+_GAP_FILL_DUCK = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS qtd
+  FROM events WHERE value > 95 GROUP BY 1, 2),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+        FROM hourly GROUP BY 1))
+SELECT s.event_type, s.bucket, coalesce(h.qtd, 0) AS qtd
+FROM spine s LEFT JOIN hourly h
+  ON s.event_type = h.event_type AND s.bucket = h.bucket
 """
 
 _SETOPS = """
@@ -1273,6 +1287,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 ["event_type"], ["event_id"], n=100,
                                 hash_fn="md5")
 
+    def gap_filled_hourly(spark, sf_dir):
+        from pipelines_rj_sms_spark.operators.timeseries import gap_fill
+        ev = _t(spark, sf_dir, "events")
+        hourly = (
+            ev.filter(F.col("value") > 95)
+            .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+            .agg(F.count("*").alias("qtd"))
+        )
+        return gap_fill(hourly, "bucket", keys=["event_type"],
+                        step="interval 1 hour", fill={"qtd": 0})
+
     def ohlc_hourly(spark, sf_dir):
         from pipelines_rj_sms_spark.operators.timeseries import downsample_ohlc
         ev = _t(spark, sf_dir, "events")
@@ -1403,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_red_suppliers": _sql(_Q20_NESTED_IN),
         "train_test_split": train_test_split,
         "group_sample_100": group_sample,
+        "gap_filled_hourly_counts": gap_filled_hourly,
     }
 
 
@@ -1648,6 +1674,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_red_suppliers": _Q20_NESTED_IN,
         "train_test_split": _SPLIT_DUCK,
         "group_sample_100": _GROUP_SAMPLE_DUCK,
+        "gap_filled_hourly_counts": _GAP_FILL_DUCK,
         "similarity_ivf": """
             WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             cents AS (SELECT vec_id AS cell, v AS c FROM vs WHERE vec_id < 8),

@@ -124,6 +124,36 @@ def downsample_ohlc(df: DataFrame, ts_col: str, value_col: str,
     )
 
 
+def gap_fill(df: DataFrame, bucket_col: str,
+             keys: list[str] | None = None,
+             step: str = "interval 1 hour",
+             fill: dict[str, object] | None = None) -> DataFrame:
+    """Densify a (possibly downsampled) series: emit one row per key per
+    time step between each key's min and max bucket, carrying observed
+    rows through and filling the gaps' value columns from ``fill``
+    (default null).
+
+    The bucket spine is `sequence()+explode` per key — generated
+    distributed, sized by each key's own span (not the global min/max,
+    which would explode sparse keys' row counts) — then a left join
+    back on (keys, bucket). Two shuffles total (the groupBy and the
+    join share the key partitioning under AQE).
+    """
+    keys = keys or []
+    fill = fill or {}
+    spine = (
+        df.groupBy(*keys).agg(
+            F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi"))
+        .select(*keys,
+                F.explode(F.sequence("_lo", "_hi", F.expr(step)))
+                .alias(bucket_col))
+    )
+    out = spine.join(df, keys + [bucket_col], "left")
+    for c, v in fill.items():
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+    return out
+
+
 def range_join_bucketed(points: DataFrame, intervals: DataFrame,
                         point_ts: str, start_col: str, end_col: str,
                         on: str | list[str] | None = None,

@@ -181,3 +181,31 @@ def test_downsample_ohlc_single_aggregation_plan(spark):
     plan = downsample_ohlc(df, "ts", "value", keys=["k"])._jdf \
         .queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_gap_fill(spark):
+    from pipelines_rj_sms_spark.operators.timeseries import gap_fill
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 10), 5),
+        ("a", datetime(2024, 1, 1, 13), 2),   # 11:00 and 12:00 missing
+        ("b", datetime(2024, 1, 1, 0), 1),    # single bucket, no gaps
+    ]
+    df = spark.createDataFrame(rows, "k string, bucket timestamp, qtd long")
+    out = gap_fill(df, "bucket", keys=["k"], step="interval 1 hour",
+                   fill={"qtd": 0})
+    got = {(r["k"], r["bucket"].hour): r["qtd"] for r in out.collect()}
+    assert got == {("a", 10): 5, ("a", 11): 0, ("a", 12): 0, ("a", 13): 2,
+                   ("b", 0): 1}
+
+
+def test_gap_fill_null_fill_default(spark):
+    from pipelines_rj_sms_spark.operators.timeseries import gap_fill
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 10), 5.0),
+         ("a", datetime(2024, 1, 1, 12), 7.0)],
+        "k string, bucket timestamp, v double")
+    out = gap_fill(df, "bucket", keys=["k"], step="interval 1 hour")
+    vals = {r["bucket"].hour: r["v"] for r in out.collect()}
+    assert vals[11] is None
