@@ -97,6 +97,8 @@ Query key -> SURVEY §2 rows covered:
   train_test_split          sampling: deterministic hash split (md5 replay)
   group_sample_100          sampling: per-group hash-ranked N (md5 replay)
   gap_filled_hourly_counts  timeseries: sequence+explode spine densify
+  winsorized_prices         robust stats: percentile clip (exact quantile)
+  mad_outlier_flags         robust stats: median-absolute-deviation outliers
 """
 
 from __future__ import annotations
@@ -610,6 +612,29 @@ SELECT s.event_type, s.bucket, coalesce(h.qtd, 0) AS qtd
 FROM spine s LEFT JOIN hourly h
   ON s.event_type = h.event_type AND s.bucket = h.bucket
 """
+
+# Winsorize / MAD-outlier: Spark `percentile` computes the same exact
+# interpolated quantile as DuckDB `quantile_cont` (already proven by
+# price_percentiles); only the function name differs per dialect.
+def _winsorize_sql(pct: str) -> str:
+    return f"""
+WITH b AS (SELECT {pct}(o_totalprice, 0.05) AS lo, {pct}(o_totalprice, 0.95) AS hi
+           FROM orders)
+SELECT o_orderkey,
+       round(least(greatest(o_totalprice, lo), hi), 6) AS clipped
+FROM orders, b
+"""
+
+
+def _mad_outlier_sql(pct: str) -> str:
+    return f"""
+WITH m AS (SELECT {pct}(value, 0.5) AS med FROM events),
+s AS (SELECT {pct}(abs(value - med), 0.5) AS mad FROM events, m)
+SELECT event_id,
+       (abs(value - med) > 3 * 1.4826 * mad) AS is_outlier
+FROM events, m, s
+"""
+
 
 _SETOPS = """
 SELECT 'both' AS tag, nationkey
@@ -1429,6 +1454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": train_test_split,
         "group_sample_100": group_sample,
         "gap_filled_hourly_counts": gap_filled_hourly,
+        "winsorized_prices": _sql(_winsorize_sql("percentile")),
+        "mad_outlier_flags": _sql(_mad_outlier_sql("percentile")),
     }
 
 
@@ -1675,6 +1702,8 @@ def oracle_sql() -> dict[str, str]:
         "train_test_split": _SPLIT_DUCK,
         "group_sample_100": _GROUP_SAMPLE_DUCK,
         "gap_filled_hourly_counts": _GAP_FILL_DUCK,
+        "winsorized_prices": _winsorize_sql("quantile_cont"),
+        "mad_outlier_flags": _mad_outlier_sql("quantile_cont"),
         "similarity_ivf": """
             WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             cents AS (SELECT vec_id AS cell, v AS c FROM vs WHERE vec_id < 8),
