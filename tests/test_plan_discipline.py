@@ -79,3 +79,42 @@ def test_partition_date_filter_prunes(spark, tmp_path):
     # scan reads only the matching directory
     assert "PartitionFilters" in plan
     assert "data_particao" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_not_in_is_null_aware_broadcast_anti_never_nested_loop(spark):
+    # NOT IN (subquery) is the classic nested-loop trap; with a
+    # broadcastable inner side Spark must plan the null-aware
+    # BroadcastHashJoin LeftAnti, never BroadcastNestedLoopJoin
+    plan = _plan(entry.queries()["supplier_cnt_by_part"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # IN (subquery) -> LeftSemi, same discipline
+    plan = _plan(entry.queries()["heavy_red_suppliers"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_double_exists_decorrelates_to_hash_joins(spark):
+    # Q21 shape: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, all hash
+    # joins (the correlated spelling must never survive as a per-row
+    # subquery or nested loop)
+    plan = _plan(entry.queries()["late_supplier_waits"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_spine_join_is_hash(spark):
+    plan = _plan(entry.queries()["gap_filled_hourly_counts"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sampling_split_is_pure_projection(spark):
+    # the split must add zero shuffles: membership is a per-row hash
+    plan = _plan(entry.queries()["train_test_split"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
