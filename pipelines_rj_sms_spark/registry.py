@@ -92,6 +92,16 @@ _SQL_FUNCTIONS: dict[str, str] = {
         "(a STRING, b STRING, c STRING) RETURNS STRING RETURN "
         "md5(concat_ws('|', coalesce(a, ''), coalesce(b, ''), coalesce(c, '')))"
     ),
+    "rolling_fingerprint": (
+        "(s STRING) RETURNS BIGINT RETURN "
+        r"aggregate(filter(split(lower(s), '\\s+'), x -> x != ''), "
+        "CAST(0 AS BIGINT), "
+        "(acc, x) -> (acc * 31 + pmod(xxhash64(x), 1000000007)) % 1000000007)"
+    ),
+    "hash_split_bucket": (
+        "(key STRING, salt STRING) RETURNS BIGINT RETURN "
+        "abs(xxhash64(coalesce(salt, ''), coalesce(key, ''))) % 100"
+    ),
 }
 
 

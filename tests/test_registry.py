@@ -81,3 +81,29 @@ def test_sql_udf_stays_expression_level(registered):
         "SELECT * FROM nums WHERE non_blank(s)"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+def test_sql_rolling_fingerprint_matches_column_api(registered):
+    from pipelines_rj_sms_spark.functions.text import rolling_fingerprint
+
+    spark = registered
+    df = spark.createDataFrame(
+        [("the quick brown fox",), ("",), ("one",)], ["text"])
+    df.createOrReplaceTempView("rf_docs")
+    via_sql = [r[0] for r in
+               spark.sql("SELECT rolling_fingerprint(text) FROM rf_docs").collect()]
+    via_col = [r[0] for r in
+               df.select(rolling_fingerprint("text")).collect()]
+    assert via_sql == via_col
+
+
+def test_sql_hash_split_bucket_matches_column_api(registered):
+    from pipelines_rj_sms_spark.functions.sampling import hash_split
+
+    spark = registered
+    df = spark.range(200).selectExpr("CAST(id AS STRING) AS k")
+    df.createOrReplaceTempView("hs_keys")
+    via_sql = {r["k"]: r["b"] for r in spark.sql(
+        "SELECT k, hash_split_bucket(k, 's') AS b FROM hs_keys").collect()}
+    via_col = {r["k"]: ("train" if via_sql[r["k"]] < 80 else "test") == r["split"]
+               for r in hash_split(df, ["k"], salt="s").collect()}
+    assert all(via_col.values())
