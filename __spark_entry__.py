@@ -99,6 +99,8 @@ Query key -> SURVEY §2 rows covered:
   gap_filled_hourly_counts  timeseries: sequence+explode spine densify
   winsorized_prices         robust stats: percentile clip (exact quantile)
   mad_outlier_flags         robust stats: median-absolute-deviation outliers
+  session_window_stats      native session_window vs lag+cumsum oracle
+  variant_props_extract     Spark 4 VARIANT typed path extraction (C14)
 """
 
 from __future__ import annotations
@@ -635,6 +637,33 @@ SELECT event_id,
 FROM events, m, s
 """
 
+
+# Oracle for Spark's native session_window: first-principles gap
+# sessionization (lag -> cumulative-sum session ids -> per-session agg).
+# Boundary note: Spark splits at diff >= gap, this SQL at diff > gap —
+# identical unless a gap equals exactly 5 minutes (verified absent at
+# both sf0.01 and sf0.1; microsecond timestamps make it measure-zero).
+_SESSION_WINDOW_DUCK = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '5 minutes' THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+_VARIANT_DUCK = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+"""
 
 _SETOPS = """
 SELECT 'both' AS tag, nationkey
@@ -1323,6 +1352,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return gap_fill(hourly, "bucket", keys=["event_type"],
                         step="interval 1 hour", fill={"qtd": 0})
 
+    def session_window_stats(spark, sf_dir):
+        # Spark-native session windows (merging-interval state machine in
+        # the engine) — oracle is the lag+cumsum first-principles SQL
+        ev = _t(spark, sf_dir, "events")
+        return (
+            ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count("*").alias("n_events"))
+            .select("user_id", "session_start", "session_end", "n_events")
+        )
+
+    def variant_props(spark, sf_dir):
+        # Spark 4 VARIANT: parse once, typed path extraction (the modern
+        # semi-structured lakehouse path; C14's successor)
+        ev = _t(spark, sf_dir, "events")
+        return ev.select(
+            "event_id",
+            F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+            .alias("k_value"),
+        )
+
     def ohlc_hourly(spark, sf_dir):
         from pipelines_rj_sms_spark.operators.timeseries import downsample_ohlc
         ev = _t(spark, sf_dir, "events")
@@ -1456,6 +1507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_filled_hourly_counts": gap_filled_hourly,
         "winsorized_prices": _sql(_winsorize_sql("percentile")),
         "mad_outlier_flags": _sql(_mad_outlier_sql("percentile")),
+        "session_window_stats": session_window_stats,
+        "variant_props_extract": variant_props,
     }
 
 
@@ -1704,6 +1757,8 @@ def oracle_sql() -> dict[str, str]:
         "gap_filled_hourly_counts": _GAP_FILL_DUCK,
         "winsorized_prices": _winsorize_sql("quantile_cont"),
         "mad_outlier_flags": _mad_outlier_sql("quantile_cont"),
+        "session_window_stats": _SESSION_WINDOW_DUCK,
+        "variant_props_extract": _VARIANT_DUCK,
         "similarity_ivf": """
             WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             cents AS (SELECT vec_id AS cell, v AS c FROM vs WHERE vec_id < 8),
