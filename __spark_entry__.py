@@ -101,6 +101,7 @@ Query key -> SURVEY §2 rows covered:
   mad_outlier_flags         robust stats: median-absolute-deviation outliers
   session_window_stats      native session_window vs lag+cumsum oracle
   variant_props_extract     Spark 4 VARIANT typed path extraction (C14)
+  winnow_fingerprint_sets   text: full winnowing sketch (MOSS algorithm)
 """
 
 from __future__ import annotations
@@ -663,6 +664,23 @@ _VARIANT_DUCK = """
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
 FROM events
+"""
+
+# DuckDB replay of text.winnow_fingerprints(k=8, w=4, hash_fn='md5'):
+# same k-gram hashes, same sliding-window mins, same distinct+sort.
+_WINNOW_DUCK = """
+WITH h AS (
+  SELECT doc_id,
+         list_transform(
+           range(greatest(length(text) - 7, 1)),
+           i -> CAST(('0x' || substr(md5(substr(lower(text), i + 1, 8)), 1, 8)) AS BIGINT)
+         ) AS hashes
+  FROM documents)
+SELECT doc_id,
+       list_sort(list_distinct(list_transform(
+         range(greatest(len(hashes) - 3, 1)),
+         j -> list_min(hashes[j + 1 : j + 4])))) AS fps
+FROM h
 """
 
 _SETOPS = """
@@ -1374,6 +1392,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("k_value"),
         )
 
+    def winnow_sets(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id",
+            text.winnow_fingerprints("text", k=8, w=4, hash_fn="md5")
+            .alias("fps"),
+        )
+
     def ohlc_hourly(spark, sf_dir):
         from pipelines_rj_sms_spark.operators.timeseries import downsample_ohlc
         ev = _t(spark, sf_dir, "events")
@@ -1509,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outlier_flags": _sql(_mad_outlier_sql("percentile")),
         "session_window_stats": session_window_stats,
         "variant_props_extract": variant_props,
+        "winnow_fingerprint_sets": winnow_sets,
     }
 
 
@@ -1759,6 +1786,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outlier_flags": _mad_outlier_sql("quantile_cont"),
         "session_window_stats": _SESSION_WINDOW_DUCK,
         "variant_props_extract": _VARIANT_DUCK,
+        "winnow_fingerprint_sets": _WINNOW_DUCK,
         "similarity_ivf": """
             WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             cents AS (SELECT vec_id AS cell, v AS c FROM vs WHERE vec_id < 8),

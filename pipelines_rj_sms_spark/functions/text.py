@@ -170,3 +170,42 @@ def fingerprint(col: Column | str, window: int = 8) -> Column:
     idx = F.sequence(F.lit(1), F.greatest(F.length(c) - window + 1, F.lit(1)))
     hashes = F.transform(idx, lambda i: F.xxhash64(c.substr(i, F.lit(window))))
     return F.array_min(hashes)
+
+
+def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4,
+                        hash_fn: str = "xxhash64") -> Column:
+    """Full winnowing (Schleimer/Wilkerson/Aiken, the MOSS algorithm):
+    hash every character k-gram, slide a window of ``w`` consecutive
+    hashes, keep each window's minimum — the distinct set is the
+    document's fingerprint sketch (sorted array<bigint>).
+
+    Guarantees: any shared substring of length >= k + w - 1 between two
+    documents yields at least one shared fingerprint, while only
+    ~2/(w+1) of positions are kept — the sketch is a guaranteed-recall,
+    tunable-size plagiarism/overlap detector that ``fingerprint``'s
+    single global min cannot provide. Sharing detection is then an
+    equi-join on exploded fingerprints (shuffle of 8-byte keys).
+
+    Expression-only (two transform passes over index ranges, no UDF);
+    ``hash_fn='md5'`` is the portable-arithmetic variant any SQL engine
+    replays exactly (32-bit int from the first 8 md5 hex chars).
+    """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be xxhash64|md5: {hash_fn}")
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+
+    def gram_hash(i: Column) -> Column:
+        gram = c.substr(i, F.lit(k))
+        if hash_fn == "md5":
+            return F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+        return F.xxhash64(gram)
+
+    def build(hashes: Column) -> Column:
+        n_wins = F.greatest(F.size(hashes) - w + 1, F.lit(1))
+        wins = F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda j: F.array_min(F.slice(hashes, j, w)))
+        return F.array_sort(F.array_distinct(wins))
+
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - k + 1, F.lit(1)))
+    return _bind(F.transform(idx, gram_hash), build)

@@ -89,3 +89,44 @@ def test_rolling_fingerprint_md5_reference_value(spark):
     df = spark.createDataFrame([(text_val,)], ["text"])
     got = df.select(rolling_fingerprint("text", hash_fn="md5").alias("fp")).first()["fp"]
     assert got == h
+
+
+def _winnow_py(text_val, k=8, w=4):
+    import hashlib
+
+    s = text_val.lower()
+    n = max(len(s) - k + 1, 1)
+    hashes = [int(hashlib.md5(s[i:i + k].encode()).hexdigest()[:8], 16)
+              for i in range(n)]
+    wins = [min(hashes[j:j + w]) for j in range(max(len(hashes) - w + 1, 1))]
+    return sorted(set(wins))
+
+
+def test_winnow_fingerprints_matches_reference_algorithm(spark):
+    from pipelines_rj_sms_spark.functions.text import winnow_fingerprints
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "tiny", ""]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [r["fps"] for r in
+           df.select(winnow_fingerprints("text", hash_fn="md5").alias("fps"))
+           .collect()]
+    assert got == [_winnow_py(t) for t in texts]
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Any shared substring of length >= k + w - 1 must yield at least
+    one shared fingerprint — the winnowing recall guarantee."""
+    from pipelines_rj_sms_spark.functions.text import winnow_fingerprints
+
+    shared = "a very distinctive shared passage of text"  # len 41 >= 11
+    df = spark.createDataFrame(
+        [("intro words before " + shared,),
+         (shared + " and completely different tail content",),
+         ("nothing in common with the others at all here",)],
+        ["text"])
+    fps = [set(r["fps"]) for r in
+           df.select(winnow_fingerprints("text", k=8, w=4).alias("fps"))
+           .collect()]
+    assert fps[0] & fps[1]          # overlap detected
+    assert not (fps[0] & fps[2])    # unrelated docs stay disjoint
