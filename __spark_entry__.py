@@ -102,6 +102,7 @@ Query key -> SURVEY §2 rows covered:
   session_window_stats      native session_window vs lag+cumsum oracle
   variant_props_extract     Spark 4 VARIANT typed path extraction (C14)
   winnow_fingerprint_sets   text: full winnowing sketch (MOSS algorithm)
+  winnow_overlap_pairs      dedup: substring-overlap pairs via winnowing
 """
 
 from __future__ import annotations
@@ -681,6 +682,27 @@ SELECT doc_id,
          range(greatest(len(hashes) - 3, 1)),
          j -> list_min(hashes[j + 1 : j + 4])))) AS fps
 FROM h
+"""
+
+_WINNOW_PAIRS_DUCK = """
+WITH h AS (
+  SELECT doc_id,
+         list_transform(
+           range(greatest(length(text) - 7, 1)),
+           i -> CAST(('0x' || substr(md5(substr(lower(text), i + 1, 8)), 1, 8)) AS BIGINT)
+         ) AS hashes
+  FROM documents),
+fp AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(greatest(len(hashes) - 3, 1)),
+           j -> list_min(hashes[j + 1 : j + 4])))) AS fp
+  FROM h)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 5
 """
 
 _SETOPS = """
@@ -1392,6 +1414,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("k_value"),
         )
 
+    def winnow_pairs(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        out = dedup.winnow_overlap_pairs(docs, "doc_id", "text",
+                                         k=8, w=4, min_shared=5,
+                                         hash_fn="md5")
+        return out.select("id_a", "id_b",
+                          F.col("n_shared").cast("bigint").alias("n_shared"))
+
     def winnow_sets(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return docs.select(
@@ -1536,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_stats": session_window_stats,
         "variant_props_extract": variant_props,
         "winnow_fingerprint_sets": winnow_sets,
+        "winnow_overlap_pairs": winnow_pairs,
     }
 
 
@@ -1787,6 +1818,7 @@ def oracle_sql() -> dict[str, str]:
         "session_window_stats": _SESSION_WINDOW_DUCK,
         "variant_props_extract": _VARIANT_DUCK,
         "winnow_fingerprint_sets": _WINNOW_DUCK,
+        "winnow_overlap_pairs": _WINNOW_PAIRS_DUCK,
         "similarity_ivf": """
             WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             cents AS (SELECT vec_id AS cell, v AS c FROM vs WHERE vec_id < 8),

@@ -224,6 +224,37 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
+                         k: int = 8, w: int = 4, min_shared: int = 2,
+                         hash_fn: str = "xxhash64") -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    (substring-level overlap/plagiarism detection, the MOSS pipeline).
+
+    Winnowing guarantees any shared substring of length >= k+w-1
+    produces a shared fingerprint, so recall is structural, not
+    probabilistic. Candidate generation is an equi-join on the exploded
+    8-byte fingerprints (never a cross product); the groupBy count then
+    ranks pairs by overlap strength. Returns (id_a, id_b, n_shared).
+    """
+    from pipelines_rj_sms_spark.functions.text import winnow_fingerprints
+
+    fps = df.select(
+        F.col(id_col),
+        F.explode(winnow_fingerprints(text_col, k=k, w=w, hash_fn=hash_fn))
+        .alias("_fp"),
+    )
+    fps = _parallelize_narrow(fps).persist()  # both join sides
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a._fp") == F.col("b._fp"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash(df: DataFrame, text_col: str, bits: int = 64,
             out_col: str = "simhash", hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document, expression-only.

@@ -162,3 +162,18 @@ def test_curate_documents_funnel(spark):
     assert rep.n_after_near == 4       # near dup gone
     assert rep.n_after_quality == 3    # junk gone
     assert rep.n_after_lang == 2       # portuguese gone
+
+
+def test_winnow_overlap_pairs(spark):
+    from pipelines_rj_sms_spark.operators.dedup import winnow_overlap_pairs
+
+    shared = "a very distinctive shared passage of considerable length here"
+    df = spark.createDataFrame(
+        [(1, "intro before " + shared),
+         (2, shared + " plus an entirely different continuation"),
+         (3, "no overlap with anything else in this tiny corpus")],
+        ["doc_id", "text"])
+    rows = winnow_overlap_pairs(df, "doc_id", "text", min_shared=2).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in rows}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in p for p in pairs)
