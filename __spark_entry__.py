@@ -697,10 +697,13 @@ fp AS (
          unnest(list_distinct(list_transform(
            range(greatest(len(hashes) - 3, 1)),
            j -> list_min(hashes[j + 1 : j + 4])))) AS fp
-  FROM h)
+  FROM h),
+dfreq AS (SELECT fp, count(*) AS df FROM fp GROUP BY 1),
+rare AS (SELECT f.doc_id, f.fp FROM fp f JOIN dfreq USING (fp)
+         WHERE df <= 50)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(count(*) AS BIGINT) AS n_shared
-FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= 5
 """
@@ -1418,7 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         out = dedup.winnow_overlap_pairs(docs, "doc_id", "text",
                                          k=8, w=4, min_shared=5,
-                                         hash_fn="md5")
+                                         max_df=50, hash_fn="md5")
         return out.select("id_a", "id_b",
                           F.col("n_shared").cast("bigint").alias("n_shared"))
 

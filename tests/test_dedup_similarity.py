@@ -177,3 +177,21 @@ def test_winnow_overlap_pairs(spark):
     pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in rows}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
     assert all(3 not in p for p in pairs)
+
+
+def test_winnow_overlap_max_df_drops_boilerplate(spark):
+    from pipelines_rj_sms_spark.operators.dedup import winnow_overlap_pairs
+
+    boiler = "standard legal disclaimer appended to every document here"
+    df = spark.createDataFrame(
+        [(i, f"unique content number {i} is this " + boiler) for i in range(4)],
+        ["doc_id", "text"])
+    # boilerplate fps appear in all 4 docs; with max_df=3 they are
+    # dropped and no pair survives on boilerplate alone
+    rows = winnow_overlap_pairs(df, "doc_id", "text", min_shared=2,
+                                max_df=3).collect()
+    assert rows == []
+    # uncapped, every pair matches on the shared boilerplate
+    rows = winnow_overlap_pairs(df, "doc_id", "text", min_shared=2,
+                                max_df=None).collect()
+    assert len(rows) == 6
