@@ -103,6 +103,7 @@ Query key -> SURVEY §2 rows covered:
   variant_props_extract     Spark 4 VARIANT typed path extraction (C14)
   winnow_fingerprint_sets   text: full winnowing sketch (MOSS algorithm)
   winnow_overlap_pairs      dedup: substring-overlap pairs via winnowing
+  tfidf_top_terms           text: corpus-relative term ranking (rational idf)
 """
 
 from __future__ import annotations
@@ -706,6 +707,19 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= 5
+"""
+
+_TFIDF_DUCK = f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term,
+       round(tf * ((n_docs + 1.0) / (df + 1.0)), 6) AS score
+FROM tf JOIN dfreq USING (term), n
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id
+  ORDER BY tf * ((n_docs + 1.0) / (df + 1.0)) DESC, term) <= 3
 """
 
 _SETOPS = """
@@ -1417,6 +1431,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("k_value"),
         )
 
+    def tfidf_terms(spark, sf_dir):
+        from pipelines_rj_sms_spark.operators.terms import tfidf_top_terms
+        docs = _t(spark, sf_dir, "documents")
+        return tfidf_top_terms(docs, "doc_id", "text", top_n=3)
+
     def winnow_pairs(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         out = dedup.winnow_overlap_pairs(docs, "doc_id", "text",
@@ -1570,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_props_extract": variant_props,
         "winnow_fingerprint_sets": winnow_sets,
         "winnow_overlap_pairs": winnow_pairs,
+        "tfidf_top_terms": tfidf_terms,
     }
 
 
@@ -1822,6 +1842,7 @@ def oracle_sql() -> dict[str, str]:
         "variant_props_extract": _VARIANT_DUCK,
         "winnow_fingerprint_sets": _WINNOW_DUCK,
         "winnow_overlap_pairs": _WINNOW_PAIRS_DUCK,
+        "tfidf_top_terms": _TFIDF_DUCK,
         "similarity_ivf": """
             WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             cents AS (SELECT vec_id AS cell, v AS c FROM vs WHERE vec_id < 8),

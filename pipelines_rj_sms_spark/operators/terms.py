@@ -1,0 +1,49 @@
+"""Corpus term statistics — TF-IDF-style term ranking.
+
+The reference's text surface stops at regex scans (SURVEY P8/C4); a
+training-data pipeline also needs corpus-relative term weighting for
+keyword extraction, topic sanity checks, and boilerplate detection.
+
+Scale shape: tokenize+explode is a narrow map; TF and DF are two hash
+aggregations on (doc, term) / (term); the final top-N is one window
+over the doc key. Shuffle keys are (id, term) strings — no document
+bodies move after tokenization. The corpus size enters as one driver
+scalar (a count, not a collect).
+
+The idf here is the *rational* variant (N+1)/(df+1) rather than
+log((N+1)/(df+1)): same ranking (log is monotonic), but division is
+IEEE-exact and bit-identical across engines, while libm log rounding
+may differ in the last ulp — which matters because the DuckDB oracle
+hash-compares the scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pipelines_rj_sms_spark.functions.text import tokens
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    top_n: int = 3) -> DataFrame:
+    """Top ``top_n`` terms per document by tf * (N+1)/(df+1).
+
+    Ties break lexicographically on the term so results are
+    deterministic. Returns (id, term, score) with score rounded to 6.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # tf has one row per (doc, term), so count(*) per term = doc frequency
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.count()
+
+    score = F.col("tf") * ((F.lit(n_docs) + F.lit(1.0))
+                           / (F.col("df") + F.lit(1.0)))
+    w = Window.partitionBy(id_col).orderBy(score.desc(), F.col("term").asc())
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_n)
+        .select(F.col(id_col), "term", F.round(score, 6).alias("score"))
+    )
