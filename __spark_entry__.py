@@ -104,6 +104,8 @@ Query key -> SURVEY §2 rows covered:
   winnow_fingerprint_sets   text: full winnowing sketch (MOSS algorithm)
   winnow_overlap_pairs      dedup: substring-overlap pairs via winnowing
   tfidf_top_terms           text: corpus-relative term ranking (rational idf)
+  dedup_components          dedup: cluster collapse via iterative min-label
+                            propagation (oracle: recursive-CTE closure)
 """
 
 from __future__ import annotations
@@ -720,6 +722,24 @@ FROM tf JOIN dfreq USING (term), n
 QUALIFY row_number() OVER (
   PARTITION BY doc_id
   ORDER BY tf * ((n_docs + 1.0) / (df + 1.0)) DESC, term) <= 3
+"""
+
+# Connected-components oracle: the jaccard pair query as a CTE, then a
+# recursive transitive closure (fine at oracle scale — 25 edges; the
+# Spark operator uses min-label propagation precisely because closure
+# does not scale) and min-reachable-node per doc.
+_COMPONENTS_DUCK = f"""
+WITH RECURSIVE jp AS ({_NGRAM_JACCARD_DUCK}),
+und AS (SELECT id_a AS src, id_b AS dst FROM jp
+        UNION SELECT id_b, id_a FROM jp),
+walk(src, dst) AS (
+    SELECT src, dst FROM und
+    UNION
+    SELECT w.src, u.dst FROM walk w JOIN und u ON w.dst = u.src),
+reach AS (SELECT src, min(dst) AS min_reach FROM walk GROUP BY src)
+SELECT d.doc_id AS node,
+       least(d.doc_id, coalesce(r.min_reach, d.doc_id)) AS component
+FROM documents d LEFT JOIN reach r ON d.doc_id = r.src
 """
 
 _SETOPS = """
@@ -1431,6 +1451,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("k_value"),
         )
 
+    def dedup_components(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        edges = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                          shingle_n=3, threshold=0.5)
+        return dedup.connected_components(
+            edges, nodes=docs, node_col="doc_id")
+
     def tfidf_terms(spark, sf_dir):
         from pipelines_rj_sms_spark.operators.terms import tfidf_top_terms
         docs = _t(spark, sf_dir, "documents")
@@ -1590,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint_sets": winnow_sets,
         "winnow_overlap_pairs": winnow_pairs,
         "tfidf_top_terms": tfidf_terms,
+        "dedup_components": dedup_components,
     }
 
 
@@ -1843,6 +1871,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprint_sets": _WINNOW_DUCK,
         "winnow_overlap_pairs": _WINNOW_PAIRS_DUCK,
         "tfidf_top_terms": _TFIDF_DUCK,
+        "dedup_components": _COMPONENTS_DUCK,
         "similarity_ivf": """
             WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             cents AS (SELECT vec_id AS cell, v AS c FROM vs WHERE vec_id < 8),

@@ -271,6 +271,77 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def connected_components(edges: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", nodes: DataFrame | None = None,
+                         node_col: str | None = None,
+                         max_iter: int = 50) -> DataFrame:
+    """Collapse duplicate-pair edges into clusters: returns (node,
+    component) where component = the smallest node id reachable through
+    the pair graph — the canonical representative every dedup pipeline
+    keeps while dropping the rest of the cluster.
+
+    Algorithm: synchronous min-label propagation — every node repeatedly
+    takes the min of its own label and its neighbors' labels; converges
+    in O(graph diameter) rounds (near-dup clusters are shallow, so
+    typically 2-5). Each round is one equi-join + one hash aggregation
+    on node ids — never materializing the transitive closure, which is
+    O(sum of cluster size^2) and the reason the naive all-pairs spelling
+    cannot survive a large corpus. Converged state is detected by an
+    any-label-changed probe; raises if ``max_iter`` rounds don't settle
+    (a diameter-``max_iter`` path graph — not a dedup-shaped input).
+
+    ``nodes``/``node_col`` adds isolated nodes (no edges) as their own
+    singleton components.
+    """
+    und = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    if nodes is not None:
+        if node_col is None:
+            raise ValueError("node_col required when nodes is given")
+        base = nodes.select(F.col(node_col).alias("node")).distinct()
+    else:
+        base = und.select(F.col("src").alias("node")).distinct()
+    labels = base.select("node", F.col("node").alias("label")).persist()
+
+    for _ in range(max_iter):
+        nbr = (
+            und.join(
+                labels.select(F.col("node").alias("dst"),
+                              F.col("label").alias("dst_label")),
+                "dst")
+            .groupBy("src").agg(F.min("dst_label").alias("nbr_min"))
+            .select(F.col("src").alias("node"), "nbr_min")
+        )
+        new_labels = (
+            labels.select("node", F.col("label").alias("old_label"))
+            .join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("old_label"),
+                        F.coalesce("nbr_min", F.col("old_label")))
+                .alias("label"),
+                "old_label",
+            )
+            .persist()
+        )
+        changed = (new_labels.filter(F.col("label") != F.col("old_label"))
+                   .limit(1).count())
+        labels.unpersist()
+        labels = new_labels.drop("old_label")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iter} rounds")
+    und.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
 def simhash(df: DataFrame, text_col: str, bits: int = 64,
             out_col: str = "simhash", hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document, expression-only.

@@ -195,3 +195,27 @@ def test_winnow_overlap_max_df_drops_boilerplate(spark):
     rows = winnow_overlap_pairs(df, "doc_id", "text", min_shared=2,
                                 max_df=None).collect()
     assert len(rows) == 6
+
+
+def test_connected_components_path_and_isolates(spark):
+    from pipelines_rj_sms_spark.operators.dedup import connected_components
+
+    # two clusters (a path 1-2-3-4 and a pair 10-11) + isolated node 99
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]],
+                                  ["doc_id"])
+    out = connected_components(edges, nodes=nodes, node_col="doc_id")
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_convergence_guard(spark):
+    from pipelines_rj_sms_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["id_a", "id_b"])
+    import pytest
+
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(edges, max_iter=2)
