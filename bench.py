@@ -47,6 +47,10 @@ HEADLINE = [
     "late_supplier_waits",
     "ohlc_hourly_events",
     "text_rolling_fingerprint",
+    "session_window_stats",
+    "train_test_split",
+    "gap_filled_hourly_counts",
+    "tfidf_top_terms",
 ]
 
 
