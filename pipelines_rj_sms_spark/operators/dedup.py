@@ -292,6 +292,14 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
 
     ``nodes``/``node_col`` adds isolated nodes (no edges) as their own
     singleton components.
+
+    Each round's labels are ``localCheckpoint``-ed: without lineage
+    truncation the logical plan doubles per iteration (labels(i) embeds
+    the full join tree of labels(i-1)) and plan compilation itself OOMs
+    after ~10 rounds — found by the randomized union-find equivalence
+    test, not by small fast-converging examples. On a cluster where
+    executor loss matters, set a checkpoint dir and swap in reliable
+    ``checkpoint()``; the truncation requirement is the same.
     """
     und = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -327,7 +335,7 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                 .alias("label"),
                 "old_label",
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (new_labels.filter(F.col("label") != F.col("old_label"))
                    .limit(1).count())
