@@ -89,21 +89,78 @@ def read_parquet_normalized(spark: SparkSession, path: str):
     """Parquet read that converts nanos-timestamp columns (read as long
     under nanosAsLong) back to proper timestamps at micros precision.
     The footer inspection is driver-side metadata only — no data read.
+
+    Self-contained on ANY SparkSession: the nanosAsLong conf is set at
+    runtime (it is runtime-settable on Spark 4) so callers that build a
+    vanilla session — e.g. an external harness — can still read the
+    TIMESTAMP(NANOS) parquet the test generator writes. Without this,
+    a conf-less session fails with PARQUET_TYPE_ILLEGAL at load time.
     """
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(path)
-    for name in _nanos_timestamp_columns(path):
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - conf locked (e.g. Connect policy)
+        pass
+
+    nanos_cols = _nanos_timestamp_columns(path)
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        if not nanos_cols:
+            raise
+        # Belt-and-braces: if the conf did not take effect (locked conf,
+        # older build), read with an explicit schema derived from the
+        # pyarrow footer, mapping ns-timestamps to long.
+        df = spark.read.schema(_long_for_nanos_schema(path)).parquet(path)
+    for name in nanos_cols:
         df = df.withColumn(name, F.expr(f"timestamp_micros(`{name}` DIV 1000)"))
     return df
 
 
-# last-registered (sf_dir, names) per SparkSession — registration costs
-# ~100ms/table in JVM round-trips (listing + footer schema), so repeated
-# load_tables calls against the same directory (one per query in a
-# 70-query sweep) must be free. Keyed by id(session); re-registering
-# after a session restart or an sf_dir switch still happens.
-_REGISTERED: dict[int, tuple[str, tuple[str, ...]]] = {}
+def _long_for_nanos_schema(path: str):
+    """Spark schema from the parquet footer with ns-timestamp cols as long."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    def _to_spark(t) -> T.DataType:
+        if pa.types.is_timestamp(t):
+            return T.LongType() if t.unit == "ns" else T.TimestampType()
+        mapping = {
+            pa.int8(): T.ByteType(), pa.int16(): T.ShortType(),
+            pa.int32(): T.IntegerType(), pa.int64(): T.LongType(),
+            pa.float32(): T.FloatType(), pa.float64(): T.DoubleType(),
+            pa.string(): T.StringType(), pa.large_string(): T.StringType(),
+            pa.bool_(): T.BooleanType(), pa.binary(): T.BinaryType(),
+            pa.large_binary(): T.BinaryType(), pa.date32(): T.DateType(),
+        }
+        if t in mapping:
+            return mapping[t]
+        if pa.types.is_decimal(t):
+            return T.DecimalType(t.precision, t.scale)
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return T.ArrayType(_to_spark(t.value_type))
+        if pa.types.is_struct(t):
+            return T.StructType([
+                T.StructField(f.name, _to_spark(f.type)) for f in t
+            ])
+        if pa.types.is_map(t):
+            return T.MapType(_to_spark(t.key_type), _to_spark(t.item_type))
+        raise TypeError(f"unmapped arrow type {t} in {path}")
+
+    schema = pq.read_schema(path)
+    return T.StructType([
+        T.StructField(f.name, _to_spark(f.type), f.nullable) for f in schema
+    ])
+
+
+# registration costs ~100ms/table in JVM round-trips (listing + footer
+# schema), so repeated load_tables calls against the same directory (one
+# per query in a 70-query sweep) must be free. The memo is stashed as an
+# attribute ON the session object — not keyed by id(), which a new
+# session can reuse after the old one is garbage-collected.
+_REGISTERED_ATTR = "_rj_sms_registered_tables"
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = (
@@ -116,9 +173,8 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = (
     Parquet scans get column pruning + filter pushdown from the DataSource
     V2 reader for free; registering views keeps queries in pure Spark SQL.
     """
-    key = id(spark)
     state = (os.path.abspath(sf_dir), names)
-    if _REGISTERED.get(key) == state:
+    if getattr(spark, _REGISTERED_ATTR, None) == state:
         return
     found = 0
     for name in names:
@@ -130,4 +186,4 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = (
         # without this, a bad sf_dir would silently reuse views from a
         # previous load_tables call — fail loudly instead
         raise FileNotFoundError(f"no *.parquet tables found under {sf_dir}")
-    _REGISTERED[key] = state
+    setattr(spark, _REGISTERED_ATTR, state)

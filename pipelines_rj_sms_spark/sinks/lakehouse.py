@@ -31,11 +31,13 @@ def write_table(df: DataFrame, path: str, mode: str = "append",
     """
     if df.isEmpty():
         return
-    writer = df.write.mode(mode)
+    if partition and ts_col is not None:
+        df = with_date_partitions(df, ts_col)
+    # per-write dynamic overwrite (Spark 3.0+): self-contained even on a
+    # session whose default is static — where mode('overwrite') to the
+    # base path would silently delete every partition not in this batch
+    writer = df.write.mode(mode).option("partitionOverwriteMode", "dynamic")
     if partition:
-        if ts_col is not None:
-            df = with_date_partitions(df, ts_col)
-            writer = df.write.mode(mode)
         present = [c for c in PARTITION_COLS if c in df.columns]
         if present:
             writer = writer.partitionBy(*present)
@@ -99,15 +101,22 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
         merged = updates
 
     # keep-last: largest order_col wins; an update beats an existing row
-    # with the same order value (the reference's replace semantics)
+    # with the same order value (the reference's replace semantics).
+    # Remaining columns are appended as tiebreaks so two updates sharing
+    # (key, order) pick a deterministic winner across shuffles — same
+    # discipline as dedup_keep_last.
+    tiebreaks = [F.col(c).desc() for c in merged.columns
+                 if c not in set(keys) | {order_col, "_is_update"}]
     w = Window.partitionBy(*keys).orderBy(
-        F.col(order_col).desc(), F.col("_is_update").desc())
+        F.col(order_col).desc(), F.col("_is_update").desc(), *tiebreaks)
     result = (
         merged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_is_update")
     )
-    result.write.mode("overwrite").partitionBy(*part_cols).parquet(path)
+    (result.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(*part_cols).parquet(path))
 
 
 def table_exists(path: str) -> bool:
@@ -193,7 +202,8 @@ def compact_partitions(spark: SparkSession, path: str,
         # writer requires that ordering and would otherwise inject its
         # own (non-stable) sort, destroying the sort-key clustering
         frag = frag.sortWithinPartitions(*part_cols, *sort_cols)
-        writer = frag.write.mode("overwrite")
+        writer = (frag.write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic"))
     else:
         # plain bin-packing: hash-salt so one giant partition still
         # compacts in parallel
@@ -202,7 +212,8 @@ def compact_partitions(spark: SparkSession, path: str,
         frag = frag.withColumn("_salt", salt)
         frag = frag.repartition(*(part_cols + ["_salt"])) if part_cols \
             else frag.repartition("_salt")
-        writer = frag.drop("_salt").write.mode("overwrite")
+        writer = (frag.drop("_salt").write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic"))
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(path)

@@ -94,18 +94,36 @@ def read_sql_dump(spark: SparkSession, path: str) -> DataFrame:
     return tuples
 
 
-def dump_rows_for_table(dump: DataFrame, table: str) -> DataFrame:
-    """Route parsed dump tuples for one table; CSV-split the tuple body."""
+def dump_rows_for_table(dump: DataFrame, table: str,
+                        ncols: int | None = None) -> DataFrame:
+    """Route parsed dump tuples for one table; CSV-split the tuple body.
 
-    @F.udf(returnType="array<string>")
-    def split_sql_tuple(s: str) -> list[str]:
-        # values may contain quoted commas — reuse csv reader with ' quote
-        reader = _csv.reader(io.StringIO(s), quotechar="'", skipinitialspace=True)
-        return next(reader, [])
-
+    The split is JVM-side `from_csv` with a single-quote quote char —
+    values with quoted commas (`'y,z'`) parse correctly and the whole
+    projection stays inside whole-stage codegen (no BatchEvalPython; the
+    round-1 row-at-a-time Python UDF here was the repo's one per-row
+    Python hot path). ``ncols`` sizes the CSV schema; when omitted it is
+    derived from one sample tuple (bounded 1-row driver fetch — tuples of
+    one table share an arity by construction of the INSERT statement).
+    """
+    routed = dump.filter(F.col("table_name") == table)
+    if ncols is None:
+        first = routed.select("tuple_raw").first()
+        if first is None:
+            return routed.withColumn(
+                "fields", F.lit(None).cast("array<string>"))
+        reader = _csv.reader(io.StringIO(first["tuple_raw"]),
+                             quotechar="'", skipinitialspace=True)
+        ncols = len(next(reader, []))
+    field_names = [f"_c{i}" for i in range(ncols)]
+    schema = ", ".join(f"`{n}` string" for n in field_names)
+    opts = {"quote": "'", "ignoreLeadingWhiteSpace": "true"}
+    parsed = routed.withColumn(
+        "_p", F.from_csv(F.col("tuple_raw"), F.lit(schema), opts))
     return (
-        dump.filter(F.col("table_name") == table)
-        .withColumn("fields", split_sql_tuple("tuple_raw"))
+        parsed.withColumn(
+            "fields", F.array(*[F.col(f"_p.{n}") for n in field_names]))
+        .drop("_p")
     )
 
 

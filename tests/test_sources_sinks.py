@@ -49,9 +49,18 @@ def test_read_sql_dump(spark, tmp_path):
     )
     dump = read_sql_dump(spark, str(p))
     assert dump.count() == 3
-    t1 = dump_rows_for_table(dump, "public.t1").collect()
-    fields = sorted(tuple(r["fields"]) for r in t1)
+    routed = dump_rows_for_table(dump, "public.t1")
+    fields = sorted(tuple(r["fields"]) for r in routed.collect())
     assert fields == [("1", "x"), ("2", "y,z")]
+    # the tuple split must stay JVM-side (from_csv), never a Python UDF
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # explicit arity path skips the sample fetch
+    t2 = dump_rows_for_table(dump, "t2", ncols=2).collect()
+    assert sorted(tuple(r["fields"]) for r in t2) == [("9", "w")]
+    # empty route: no rows, fields column still present
+    empty = dump_rows_for_table(dump, "nope")
+    assert empty.count() == 0 and "fields" in empty.columns
 
 
 def test_lakehouse_write_partitioned(spark, tmp_path):
