@@ -1,0 +1,53 @@
+"""Scoped-cache bookkeeping for operators that persist() intermediates.
+
+Several candidate-pair operators persist a subplan that both sides of a
+self-join consume (without it the whole upstream pipeline runs twice).
+Spark's CacheManager does NOT free those blocks when the Python objects
+go out of scope — in a long-lived session repeated operator calls would
+accumulate cached blocks until executor storage fills. The fix is a
+explicit lifecycle: operators register their persisted intermediates on
+the DataFrame they return via ``track``; callers release them with
+``release(df)`` once an action has materialized what they need.
+
+Blocks also remain evictable (MEMORY_AND_DISK default) so an unreleased
+handle degrades performance, not correctness — release() is hygiene for
+long sessions, mandatory nowhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_ATTR = "_rj_sms_persisted"
+
+
+def track(result: DataFrame, *persisted: DataFrame) -> DataFrame:
+    """Attach persisted intermediates to the result for later release.
+
+    Intermediates already tracked on any of the ``persisted`` frames are
+    carried over, so composed operators (curation funnel -> LSH ->
+    jaccard) accumulate one flat release list on the final result.
+    """
+    chain: list[DataFrame] = list(getattr(result, _ATTR, ()))
+    for p in persisted:
+        chain.extend(getattr(p, _ATTR, ()))
+        if p.is_cached:
+            chain.append(p)
+    setattr(result, _ATTR, tuple(chain))
+    return result
+
+
+def release(df: DataFrame) -> int:
+    """Unpersist every intermediate tracked on ``df`` (and ``df`` itself
+    if cached). Call after materializing the result (collect/write).
+    Returns the number of frames unpersisted."""
+    n = 0
+    for p in getattr(df, _ATTR, ()):
+        if p.is_cached:
+            p.unpersist()
+            n += 1
+    setattr(df, _ATTR, ())
+    if df.is_cached:
+        df.unpersist()
+        n += 1
+    return n

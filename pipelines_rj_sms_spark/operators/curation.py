@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from pipelines_rj_sms_spark.functions.text import lang_id, quality_score
 from pipelines_rj_sms_spark.operators import dedup
+from pipelines_rj_sms_spark.operators.cache import track
 
 
 @dataclass
@@ -63,6 +64,9 @@ def curate_documents(df: DataFrame, id_col: str = "doc_id",
 
     # 4. language
     curated = q.filter(lang_id(text_col).isin(*langs))
+    # carry every persisted intermediate (exact, near, and whatever the
+    # LSH/jaccard stages registered on `dupes`) for cache.release()
+    curated = track(curated, exact, dupes, near)
 
     if not with_report:
         return curated, None

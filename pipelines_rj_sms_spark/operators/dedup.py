@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pipelines_rj_sms_spark.functions.text import shingles
+from pipelines_rj_sms_spark.operators.cache import track
 
 
 def _parallelize_narrow(df: DataFrame) -> DataFrame:
@@ -53,20 +54,21 @@ def dedup_keep_last(df: DataFrame, keys: list[str], order_col: str) -> DataFrame
 
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Exact near-zero-cost dedup: keep the min-id row per identical text.
+    """Exact dedup: keep the min-id row per identical text.
 
-    Hash-groupBy on md5(text) so the shuffle key is 16 bytes, not the
-    document body; map-side partial min keeps the shuffle tiny.
+    Plan: groupBy(md5(text)).agg(min(id)) — the aggregation shuffles
+    16-byte hash + id pairs with a map-side partial min (never document
+    bodies) — then a semi join on (hash, id) brings back the full winner
+    rows. At 100 TB the winner set is the output size, and the agg-side
+    shuffle stays tiny regardless of duplicate skew; a window over the
+    hash would instead shuffle every body to the hash's partition.
     """
-    return (
-        df.withColumn("_h", F.md5(F.col(text_col)))
-        .withColumn(
-            "_keep",
-            F.min(id_col).over(Window.partitionBy("_h")),
-        )
-        .filter(F.col(id_col) == F.col("_keep"))
-        .drop("_h", "_keep")
+    hashed = df.withColumn("_h", F.md5(F.col(text_col)))
+    keep = (
+        hashed.select("_h", id_col)
+        .groupBy("_h").agg(F.min(id_col).alias(id_col))
     )
+    return hashed.join(keep, ["_h", id_col], "left_semi").drop("_h")
 
 
 def minhash_signature(df: DataFrame, text_col: str, num_hashes: int = 32,
@@ -150,7 +152,9 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
         )
         .distinct()
     )
-    return pairs
+    # register the persisted subplan for cache.release() — long-lived
+    # sessions calling this repeatedly must be able to free the blocks
+    return track(pairs, banded)
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -214,7 +218,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                 F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
             )
         )
-    return (
+    out = (
         inter.withColumn(
             "jaccard",
             F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
@@ -222,6 +226,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    out = track(out, sh)
+    if candidates is not None:
+        out = track(out, candidates)
+    return out
 
 
 def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -255,13 +263,14 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
         .alias("_fp"),
     )
     fps = _parallelize_narrow(fps).persist()  # both join sides
+    raw_fps = fps
     if max_df is not None:
         # sketch arrays are distinct per doc, so count(*) = doc frequency
         hot = (fps.groupBy("_fp").agg(F.count("*").alias("_df"))
                .filter(F.col("_df") > max_df).select("_fp"))
         fps = fps.join(hot, "_fp", "left_anti").persist()
     a, b = fps.alias("a"), fps.alias("b")
-    return (
+    out = (
         a.join(b, (F.col("a._fp") == F.col("b._fp"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"),
@@ -269,6 +278,7 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+    return track(out, raw_fps, fps)
 
 
 def connected_components(edges: DataFrame, id_a: str = "id_a",
@@ -432,8 +442,9 @@ def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    out = (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return track(out, parts)

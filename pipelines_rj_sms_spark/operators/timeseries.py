@@ -166,15 +166,32 @@ def range_join_bucketed(points: DataFrame, intervals: DataFrame,
     the order of the typical interval length: too small explodes the
     interval side, too large packs unrelated rows into one bucket.
     Non-key column names must be disjoint between the two inputs.
+
+    ``how`` is 'inner' or 'left'. The range predicate lives INSIDE the
+    join condition (not a post-join filter, which would silently drop
+    every unmatched left row and degrade left->inner). 'right'/'full'
+    are rejected: the interval side is bucket-exploded, so an unmatched
+    interval would surface once per bucket — duplicated, not once.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"range_join_bucketed supports how='inner'|'left', got {how!r}")
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     p = points.withColumn(
         _BKT, F.floor(F.unix_timestamp(F.col(point_ts)) / bucket_seconds))
+    # rename interval-side join columns so the mixed equi+range condition
+    # is unambiguous; they are dropped after the join (point side wins)
     i = intervals.withColumn(
         _BKT,
         F.explode(F.sequence(
             F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds),
             F.floor(F.unix_timestamp(F.col(end_col)) / bucket_seconds))))
-    joined = p.join(i, keys + [_BKT], how).filter(
-        F.col(point_ts).between(F.col(start_col), F.col(end_col)))
-    return joined.drop(_BKT)
+    renames = {k: f"_r_{k}" for k in keys + [_BKT]}
+    for old, new in renames.items():
+        i = i.withColumnRenamed(old, new)
+    cond = p[_BKT] == i[renames[_BKT]]
+    for k in keys:
+        cond = cond & (p[k] == i[renames[k]])
+    cond = cond & F.col(point_ts).between(F.col(start_col), F.col(end_col))
+    joined = p.join(i, cond, how)
+    return joined.drop(_BKT, *renames.values())

@@ -113,17 +113,37 @@ def read_dbf(spark: SparkSession, path_glob: str, sample_path: str,
     return files.mapInPandas(parse, schema)
 
 
-def read_dbc(spark: SparkSession, path_glob: str, **kwargs) -> DataFrame:
-    """F2: DBC = PKWare-imploded DBF. Decompression needs pyreaddbc (not in
-    this container); decode to .dbf upstream, then read_dbf."""
+def read_dbc(spark: SparkSession, path_glob: str,
+             sample_path: str | None = None, encoding: str = "latin-1",
+             tmp_dir: str | None = None) -> DataFrame:
+    """F2: DBC = PKWare-imploded DBF, the DATASUS distribution format
+    (reference: datalake/utils/data_transformations.py:121-125).
+
+    Decompression goes through pyreaddbc (import-gated — not in this
+    container) file-by-file on the driver: DBC files arrive via FTP at
+    single-digit-MB scale, so this is a fetch-stage step like the
+    archive unpack, not a distributed one. The decoded .dbf files then
+    flow through ``read_dbf``'s binaryFile+mapInPandas distributed
+    parse. ``tmp_dir`` overrides where the decoded files land.
+    """
     try:
-        import pyreaddbc  # noqa: F401
+        from pyreaddbc import dbc2dbf
     except ImportError as exc:  # pragma: no cover - depends on environment
         raise NotImplementedError(
             "DBC decompression requires pyreaddbc; decode to .dbf upstream "
-            "(dbf2dbc) and use read_dbf"
+            "(dbc2dbf) and use read_dbf"
         ) from exc
-    raise NotImplementedError("pyreaddbc present but DBC path not wired yet")
+    import glob as _glob
+    import tempfile
+
+    files = sorted(_glob.glob(path_glob))
+    if not files:
+        raise FileNotFoundError(f"no DBC files match {path_glob}")
+    out_dir = tmp_dir or tempfile.mkdtemp(prefix="dbc2dbf_")
+    for f in files:
+        dbc2dbf(f, str(Path(out_dir) / (Path(f).stem + ".dbf")))
+    sample = sample_path or str(Path(out_dir) / (Path(files[0]).stem + ".dbf"))
+    return read_dbf(spark, str(Path(out_dir) / "*.dbf"), sample, encoding)
 
 
 # --------------------------------------------------------------- XLSX (F4)

@@ -83,6 +83,35 @@ def test_read_dbc_gated(spark):
         read_dbc(spark, "/nonexistent/*.dbc")
 
 
+def test_read_dbc_wiring_with_stub_decoder(spark, tmp_path, monkeypatch):
+    """Exercise the decode->read_dbf wiring with a stand-in pyreaddbc:
+    the stub 'decompresses' by copying (the fixture .dbc IS a valid dbf
+    body), so everything except the PKWare inflate itself runs for real.
+    """
+    import shutil
+    import sys
+    import types
+
+    fields = [("CNES", 7), ("NOME", 10)]
+    _write_dbf(tmp_path / "jan.dbc", fields,
+               [["1234567", "POSTO A"], ["7654321", "POSTO B"]])
+    _write_dbf(tmp_path / "fev.dbc", fields, [["1111111", "POSTO C"]])
+
+    fake = types.ModuleType("pyreaddbc")
+    fake.dbc2dbf = lambda src, dst: shutil.copyfile(src, dst)
+    monkeypatch.setitem(sys.modules, "pyreaddbc", fake)
+
+    out_dir = tmp_path / "decoded"
+    out_dir.mkdir()
+    df = read_dbc(spark, str(tmp_path / "*.dbc"), tmp_dir=str(out_dir))
+    rows = sorted((r["CNES"], r["NOME"]) for r in df.collect())
+    assert rows == [("1111111", "POSTO C"), ("1234567", "POSTO A"),
+                    ("7654321", "POSTO B")]
+    # decoded files landed where directed
+    assert sorted(p.name for p in out_dir.glob("*.dbf")) == \
+        ["fev.dbf", "jan.dbf"]
+
+
 def test_detect_encoding(tmp_path):
     utf = tmp_path / "u.csv"
     utf.write_text("ação;médico\n", encoding="utf-8")

@@ -1,0 +1,60 @@
+"""Prefect shell: inline-flow semantics (retries, carry-on-failure) with
+a stub runner, plus the import gate when prefect is absent."""
+
+import pytest
+
+from pipelines_rj_sms_spark.jobs import IngestionConfig, IngestionReport
+from pipelines_rj_sms_spark.orchestration import (
+    build_ingest_flow,
+    run_flow_inline,
+)
+
+
+def _cfg(name):
+    return IngestionConfig(name=name, source_format="csv",
+                           source_path="/dev/null", sink_path="/dev/null")
+
+
+def test_inline_flow_retries_then_succeeds(spark):
+    attempts = {"a": 0}
+
+    def runner(s, cfg):
+        attempts["a"] += 1
+        if attempts["a"] < 3:
+            raise RuntimeError("transient")
+        return IngestionReport(cfg.name, 1, 1, [])
+
+    reports = run_flow_inline(spark, [_cfg("a")], retries=2, runner=runner)
+    assert attempts["a"] == 3
+    assert reports[0].ok and reports[0].name == "a"
+
+
+def test_inline_flow_failure_does_not_block_rest(spark):
+    def runner(s, cfg):
+        if cfg.name == "bad":
+            raise RuntimeError("permanent")
+        return IngestionReport(cfg.name, 1, 1, [])
+
+    seen = []
+    reports = run_flow_inline(
+        spark, [_cfg("bad"), _cfg("good")], retries=1, runner=runner,
+        on_report=lambda r: seen.append(r.name))
+    assert [r.name for r in reports] == ["bad", "good"]
+    assert not reports[0].ok and "ingestion_error" in \
+        {c.name for c in reports[0].checks}
+    assert reports[1].ok
+    assert seen == ["bad", "good"]
+
+
+def test_prefect_gate():
+    try:
+        import prefect  # noqa: F401
+        has_prefect = True
+    except ImportError:
+        has_prefect = False
+    if has_prefect:
+        flow = build_ingest_flow()
+        assert callable(flow)
+    else:
+        with pytest.raises(NotImplementedError, match="prefect"):
+            build_ingest_flow()

@@ -209,3 +209,37 @@ def test_gap_fill_null_fill_default(spark):
     out = gap_fill(df, "bucket", keys=["k"], step="interval 1 hour")
     vals = {r["bucket"].hour: r["v"] for r in out.collect()}
     assert vals[11] is None
+
+
+def test_range_join_bucketed_left_preserves_unmatched(spark):
+    import pytest
+    from pipelines_rj_sms_spark.session import read_parquet_normalized
+
+    ev = read_parquet_normalized(spark, "/root/testdata/sf0.001/events.parquet")
+    errs = ev.filter("event_type = 'error'").select(
+        "user_id", F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+        (F.col("ts") + F.expr("interval 1 hour")).alias("err_end"))
+    purch = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("event_id").alias("purch_id"),
+        F.col("ts").alias("purch_ts"))
+
+    out = range_join_bucketed(purch, errs, "purch_ts", "err_ts", "err_end",
+                              on="user_id", bucket_seconds=1800, how="left")
+    naive = purch.alias("p").join(
+        errs.alias("e"),
+        (F.col("p.user_id") == F.col("e.user_id")) &
+        F.col("p.purch_ts").between(F.col("e.err_ts"), F.col("e.err_end")),
+        "left")
+    a = sorted((r["purch_id"], r["err_id"]) for r in out.collect())
+    b = sorted((r["purch_id"], r["err_id"]) for r in naive.collect())
+    assert a == b
+    # left join must keep unmatched points (round-1 bug: post-join filter
+    # silently degraded left -> inner)
+    assert any(e is None for _p, e in a)
+    # keys come from the point side exactly once
+    assert out.columns.count("user_id") == 1
+
+    with pytest.raises(ValueError):
+        range_join_bucketed(purch, errs, "purch_ts", "err_ts", "err_end",
+                            on="user_id", how="full")

@@ -27,17 +27,16 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return sorted(out)
 
 
-def main() -> None:
+def run_sweep(spark, sf_dir: str, only: set[str] | None = None,
+              verbose: bool = True):
+    """Run every queries() entry vs its oracle; return
+    (n_pass, n_fail, n_rows_only, failures: list[str]). Reusable from
+    pytest with an existing session — the driver's t2 gate in-process.
+    """
     import duckdb
-    from pipelines_rj_sms_spark.session import get_spark
 
     import __spark_entry__ as entry_mod
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    spark = get_spark("verify-oracle")
-    spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -46,6 +45,12 @@ def main() -> None:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    failures: list[str] = []
+
+    def say(msg: str) -> None:
+        if verbose:
+            print(msg)
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -54,11 +59,12 @@ def main() -> None:
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
-            print(f"FAIL  {name}: spark error: {exc}")
+            failures.append(f"{name}: spark error: {exc}")
+            say(f"FAIL  {failures[-1]}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: rows={len(srows)} (no oracle)")
+            say(f"ROWS  {name}: rows={len(srows)} (no oracle)")
             n_rows_only += 1
             continue
         try:
@@ -66,7 +72,8 @@ def main() -> None:
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as exc:
-            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures.append(f"{name}: duckdb error: {exc}")
+            say(f"FAIL  {failures[-1]}")
             n_fail += 1
             continue
         problems = []
@@ -81,11 +88,25 @@ def main() -> None:
                 diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diffs}")
         if problems:
-            print(f"FAIL  {name}: " + "; ".join(problems))
+            failures.append(f"{name}: " + "; ".join(problems))
+            say(f"FAIL  {failures[-1]}")
             n_fail += 1
         else:
-            print(f"PASS  {name} ({len(srows)} rows)")
+            say(f"PASS  {name} ({len(srows)} rows)")
             n_pass += 1
+    con.close()
+    return n_pass, n_fail, n_rows_only, failures
+
+
+def main() -> None:
+    from pipelines_rj_sms_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("verify-oracle")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_pass, n_fail, n_rows_only, _failures = run_sweep(spark, sf_dir, only)
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     spark.stop()
     sys.exit(1 if n_fail else 0)
