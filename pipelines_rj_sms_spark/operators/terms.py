@@ -36,13 +36,15 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     # tf has one row per (doc, term), so count(*) per term = doc frequency
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = df.count()
+    # corpus size as a broadcast 1-row join, NOT df.count(): a driver
+    # count would be a second full scan of the corpus per invocation
+    n_docs = F.broadcast(df.agg(F.count("*").cast("double").alias("_n")))
 
-    score = F.col("tf") * ((F.lit(n_docs) + F.lit(1.0))
+    score = F.col("tf") * ((F.col("_n") + F.lit(1.0))
                            / (F.col("df") + F.lit(1.0)))
     w = Window.partitionBy(id_col).orderBy(score.desc(), F.col("term").asc())
     return (
-        tf.join(dfreq, "term")
+        tf.join(dfreq, "term").crossJoin(n_docs)
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= top_n)
         .select(F.col(id_col), "term", F.round(score, 6).alias("score"))

@@ -148,18 +148,120 @@ def read_dbc(spark: SparkSession, path_glob: str,
 
 # --------------------------------------------------------------- XLSX (F4)
 
-def read_xlsx(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
-    """F4: XLSX via driver-side pandas/openpyxl -> all-string DataFrame.
-    Workbooks are small config/report artifacts in the reference; driver
-    decode + createDataFrame is the right cost model."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - depends on environment
-        raise NotImplementedError(
-            "XLSX read requires openpyxl (not installed in this container)"
-        ) from exc
-    pdf = pd.read_excel(path, sheet_name=sheet, dtype=str).fillna("")
-    return spark.createDataFrame(pdf.astype(str))
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_XLSX_RNS = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
+             "relationships}")
+
+
+def _col_index(cell_ref: str) -> int:
+    """'B7' -> 1 (0-based column index from the letter prefix)."""
+    idx = 0
+    for ch in cell_ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
+
+
+def _xlsx_cell_text(cell, shared: list[str]) -> str:
+    t = cell.get("t", "n")
+    if t == "inlineStr":
+        return "".join(
+            el.text or "" for el in cell.iter(f"{_XLSX_NS}t"))
+    v = cell.find(f"{_XLSX_NS}v")
+    raw = v.text if v is not None and v.text is not None else ""
+    if t == "s":
+        return shared[int(raw)] if raw else ""
+    if t == "b":
+        return "TRUE" if raw == "1" else "FALSE"
+    return raw
+
+
+def parse_xlsx_rows(path: str, sheet: str | int = 0) -> list[list[str]]:
+    """Decode one worksheet to all-string rows using only the stdlib
+    (zipfile + ElementTree) — XLSX is a zip of XML parts. No openpyxl
+    dependency; iterparse keeps memory at one row, not one workbook.
+    """
+    import xml.etree.ElementTree as ET
+
+    with zipfile.ZipFile(path) as zf:
+        # workbook: ordered sheet name -> relationship id
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        sheets = [
+            (s.get("name"), s.get(f"{_XLSX_RNS}id"))
+            for s in wb.iter(f"{_XLSX_NS}sheet")
+        ]
+        if isinstance(sheet, int):
+            name, rid = sheets[sheet]
+        else:
+            matches = [(n, r) for n, r in sheets if n == sheet]
+            if not matches:
+                raise KeyError(f"sheet {sheet!r} not in {[n for n, _ in sheets]}")
+            name, rid = matches[0]
+        rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        target = next(
+            r.get("Target") for r in rels
+            if r.get("Id") == rid
+        )
+        sheet_path = "xl/" + target.lstrip("/").removeprefix("xl/")
+
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            ss = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            shared = [
+                "".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t"))
+                for si in ss.iter(f"{_XLSX_NS}si")
+            ]
+
+        rows: list[list[str]] = []
+        with zf.open(sheet_path) as f:
+            for _event, el in ET.iterparse(f):
+                if el.tag != f"{_XLSX_NS}row":
+                    continue
+                out: list[str] = []
+                for cell in el.iter(f"{_XLSX_NS}c"):
+                    ref = cell.get("r")
+                    ci = _col_index(ref) if ref else len(out)
+                    while len(out) <= ci:
+                        out.append("")
+                    out[ci] = _xlsx_cell_text(cell, shared)
+                rows.append(out)
+                el.clear()
+    width = max((len(r) for r in rows), default=0)
+    return [r + [""] * (width - len(r)) for r in rows]
+
+
+def read_xlsx(spark: SparkSession, path: str, sheet: str | int = 0,
+              header: bool = True) -> DataFrame:
+    """F4: XLSX -> all-string DataFrame, the reference's
+    `pd.read_excel(dtype=str)` posture (reference:
+    datalake/utils/data_transformations.py:130-131) without the
+    openpyxl dependency — stdlib zip+XML decode on the driver.
+    Workbooks are small config/report artifacts in the reference, so
+    driver decode + createDataFrame is the right cost model; bulk
+    tabular data goes through the CSV/parquet readers.
+    """
+    rows = parse_xlsx_rows(path, sheet)
+    if not rows:
+        raise ValueError(f"empty worksheet in {path}")
+    if header:
+        names, data = list(rows[0]), rows[1:]
+        # blank/duplicate header cells get positional fallbacks
+        seen: dict[str, int] = {}
+        for i, n in enumerate(names):
+            n = n or f"_c{i}"
+            if n in seen:
+                seen[n] += 1
+                n = f"{n}_{seen[n]}"
+            else:
+                seen[n] = 0
+            names[i] = n
+    else:
+        names = [f"_c{i}" for i in range(len(rows[0]))]
+        data = rows
+    from pipelines_rj_sms_spark.sources.files import all_string_schema
+
+    return spark.createDataFrame(data, all_string_schema(names))
 
 
 # ----------------------------------------------------- encoding probe (F7)
