@@ -505,6 +505,36 @@ WHERE o_orderstatus = 'F'
 GROUP BY s_name
 """
 
+# Spark-side rewrite of Q21: the EXISTS + NOT EXISTS pair re-scans
+# lineitem (and orders) twice more; at 100 TB that is two extra shuffles
+# over the fact table. One window over l_orderkey computes both
+# predicates from a single scan: EXISTS(other supplier) = order has >1
+# distinct supplier; NOT EXISTS(other LATE supplier) = this row is late
+# and the order's distinct late-supplier count is exactly 1. Spark has
+# no COUNT(DISTINCT) OVER, so `size(collect_set(..))` stands in (null
+# keys are dropped by collect_set, which the CASE relies on). The DuckDB
+# oracle keeps the textbook EXISTS form, so correctness is checked
+# against an independent formulation.
+_Q21_LATE_SUPPLIER_SPARK = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM (
+  SELECT l_suppkey, late,
+         size(collect_set(l_suppkey)
+              OVER (PARTITION BY l_orderkey)) AS n_supp,
+         size(collect_set(CASE WHEN late THEN l_suppkey END)
+              OVER (PARTITION BY l_orderkey)) AS n_late
+  FROM (
+    SELECT l_suppkey, l_orderkey,
+           l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F'
+  )
+) marked
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE late AND n_supp > 1 AND n_late = 1
+GROUP BY s_name
+"""
+
 _Q9_PROFIT = """
 SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
 FROM (
@@ -1599,7 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_line_counts": _sql(_Q12_PRIORITY),
         "top_supplier_revenue": _sql(_Q15_TOP_SUPPLIER),
         "supplier_cnt_by_part": _sql(_Q16_SUPPLIER_CNT),
-        "late_supplier_waits": _sql(_Q21_LATE_SUPPLIER),
+        "late_supplier_waits": _sql(_Q21_LATE_SUPPLIER_SPARK),
         "profit_by_nation_year": _sql(_Q9_PROFIT),
         "customer_order_ranks": _sql(_RANKS_WINDOW),
         "ohlc_hourly_events": ohlc_hourly,
