@@ -106,6 +106,8 @@ Query key -> SURVEY §2 rows covered:
   tfidf_top_terms           text: corpus-relative term ranking (rational idf)
   dedup_components          dedup: cluster collapse via iterative min-label
                             propagation (oracle: recursive-CTE closure)
+  order_lines_fanout        §2.12 UDTF surface: nested-JSON payload -> linked
+                            tables round-trip (oracle: the plain join)
 """
 
 from __future__ import annotations
@@ -1520,6 +1522,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return docs.select(
             "doc_id", text.rolling_fingerprint("text", hash_fn="md5").alias("fp_roll"))
 
+    def order_lines_fanout(spark, sf_dir):
+        """Nested-JSON entity fan-out (§2.12 UDTF surface; reference
+        cientificalab_api/tasks.py:100-200): build one JSON payload per
+        order with its lineitems nested as an array — the API-response
+        shape — then fan the payloads back out into linked relational
+        tables and return the child (line) table with its propagated FK.
+        The oracle is the plain relational join the round-trip must
+        reproduce exactly.
+        """
+        from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                       StringType, StructField, StructType)
+
+        from pipelines_rj_sms_spark.operators.fanout import Entity, fan_out
+
+        orders = _t(spark, sf_dir, "orders")
+        li = _t(spark, sf_dir, "lineitem")
+        nested = (
+            li.groupBy("l_orderkey")
+            .agg(F.collect_list(F.struct(
+                F.col("l_linenumber").alias("line_no"),
+                F.col("l_quantity").alias("qty"))).alias("lines"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(F.to_json(F.struct(
+                F.col("o_orderkey").alias("order_id"),
+                F.col("o_orderpriority").alias("priority"),
+                F.col("lines"))).alias("payload"))
+        )
+        schema = StructType([
+            StructField("order_id", LongType()),
+            StructField("priority", StringType()),
+            StructField("lines", ArrayType(StructType([
+                StructField("line_no", LongType()),
+                StructField("qty", DoubleType()),
+            ]))),
+        ])
+        spec = Entity("ord", key_fields=("order_id",),
+                      children=(("lines", Entity("line")),))
+        tables = fan_out(nested, "payload", schema, spec)
+        return tables["line"].select(
+            F.col("ord_order_id").alias("order_id"),
+            F.col("line_no"), F.col("qty"))
+
     def curate_docs(spark, sf_dir):
         from pipelines_rj_sms_spark.operators.curation import curate_documents
         docs = _t(spark, sf_dir, "documents")
@@ -1648,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap_pairs": winnow_pairs,
         "tfidf_top_terms": tfidf_terms,
         "dedup_components": dedup_components,
+        "order_lines_fanout": order_lines_fanout,
     }
 
 
@@ -1902,6 +1947,13 @@ def oracle_sql() -> dict[str, str]:
         "winnow_overlap_pairs": _WINNOW_PAIRS_DUCK,
         "tfidf_top_terms": _TFIDF_DUCK,
         "dedup_components": _COMPONENTS_DUCK,
+        # round-trip: nest lineitems into JSON per order, fan back out —
+        # must reproduce the plain join exactly
+        "order_lines_fanout": (
+            "SELECT l_orderkey AS order_id, "
+            "CAST(l_linenumber AS BIGINT) AS line_no, l_quantity AS qty "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey"
+        ),
         "similarity_ivf": """
             WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             cents AS (SELECT vec_id AS cell, v AS c FROM vs WHERE vec_id < 8),
