@@ -63,13 +63,33 @@ def plan_slices(spark: SparkSession, lo: int, hi: int,
     )
 
 
+def plan_slices_by_cap(spark: SparkSession, lo: int, hi: int,
+                       total: int, cap: int) -> DataFrame:
+    """S20 slice planning (reference `ser_metabase/tasks.py:24-222`):
+    the source reports ``total`` rows and truncates responses at ``cap``,
+    so the key range is cut into ceil(total/cap) even slices — each
+    expected to stay under the cap if keys are roughly uniform. Pair
+    with ``sliced_scan(..., cap=cap)`` to fail loudly when they aren't.
+    """
+    if total <= 0:
+        raise ValueError("total must be positive")
+    n = -(-total // cap)
+    width = max(1, -(-(hi - lo + 1) // n))
+    return plan_slices(spark, lo, hi, width)
+
+
 def sliced_scan(slices: DataFrame,
                 fetcher: Callable[[int, int], list[dict]],
-                max_retries: int = 3) -> DataFrame:
+                max_retries: int = 3, cap: int | None = None) -> DataFrame:
     """S6 fetch stage: run ``fetcher(lo, hi) -> list[dict]`` per slice on
     executors; one output row per document, JSON-encoded. Slices are
     repartitioned to one-per-task so a slow shard doesn't serialize the
     scan behind its neighbors in the same partition.
+
+    ``cap``: sources that silently truncate responses (S20's 1M-row
+    Metabase limit, Q4 posture) — a slice coming back with >= cap docs
+    is indistinguishable from a truncated one, so raise instead of
+    loading silently-short data.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -88,6 +108,11 @@ def sliced_scan(slices: DataFrame,
                     raise RuntimeError(
                         f"slice {sid} failed after {max_retries} tries"
                     ) from err
+                if cap is not None and len(docs) >= cap:
+                    raise RuntimeError(
+                        f"slice {sid} returned {len(docs)} docs at the "
+                        f"source cap {cap} — response likely truncated; "
+                        "re-plan with narrower slices")
                 if docs:
                     yield pd.DataFrame(
                         {"slice_id": sid,

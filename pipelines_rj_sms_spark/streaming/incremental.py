@@ -111,6 +111,54 @@ def stream_upsert(stream_df: DataFrame, table: str, key_cols: list[str],
     return writer.start()
 
 
+def stream_dedup(stream: DataFrame, keys: list[str], ts_col: str,
+                 delay: str = "10 minutes") -> DataFrame:
+    """Streaming W3/U2: drop duplicate keys arriving within the
+    watermark window (`dropDuplicatesWithinWatermark`, the bounded-state
+    form — plain dropDuplicates on a stream keeps ALL keys forever,
+    which is unbounded state at 100 TB/day). Duplicates separated by
+    more than ``delay`` are NOT collapsed; pair with the batch
+    dedup_keep_last compaction (K-family) for full-history dedup —
+    the standard lambda split of the reference's scheduled dedup jobs.
+    """
+    return (stream.withWatermark(ts_col, delay)
+            .dropDuplicatesWithinWatermark(keys))
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame,
+                         on: str | list[str],
+                         how: str = "left") -> DataFrame:
+    """Stream-static dimension enrich (the C21/geocode posture without
+    the HTTP hop): each micro-batch broadcast-joins the static dim —
+    stateless, no watermark needed, dim re-read per batch so a
+    lakehouse-refreshed dimension is picked up live.
+    """
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_interval_join(left: DataFrame, right: DataFrame,
+                         key: str, left_ts: str, right_ts: str,
+                         lower: str = "0 seconds",
+                         upper: str = "15 minutes",
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream equi-join with a time-interval predicate — the
+    streaming analog of the batch range/as-of join (timeseries.py):
+    right-side rows match a left row when right_ts lands in
+    [left_ts - lower-bound .. left_ts + upper]. Both sides carry
+    watermarks so Catalyst can bound join state (rows outside the
+    interval + watermark are evicted, keeping state O(window), not
+    O(stream)).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= F.expr(f"{left_ts} - interval {lower}"))
+        & (rw[right_ts] <= F.expr(f"{left_ts} + interval {upper}"))
+    )
+    return lw.join(rw, cond)
+
+
 def run_stream_once(query: StreamingQuery, timeout_s: int = 300) -> None:
     """Await an AvailableNow query's completion (test/driver helper)."""
     query.awaitTermination(timeout_s)

@@ -14,8 +14,9 @@ from pyspark.sql.types import (ArrayType, DoubleType, LongType, StringType,
 
 from pipelines_rj_sms_spark.operators.fanout import Entity, fan_out
 from pipelines_rj_sms_spark.quality.checks import reconcile_counts
-from pipelines_rj_sms_spark.sources.scroll import (plan_slices, scroll_scan,
-                                                   sliced_scan)
+from pipelines_rj_sms_spark.sources.scroll import (plan_slices,
+                                                   plan_slices_by_cap,
+                                                   scroll_scan, sliced_scan)
 
 # a fake 57-document collection keyed 0..56. Fetchers must close over
 # the data (pickled by value) — a module-level function would be pickled
@@ -43,6 +44,24 @@ def test_sliced_scan_fetches_every_doc_once(spark):
     assert got == list(range(57))
     # Q1 count reconcile against the source count, the reference's gate
     assert reconcile_counts(57, docs).passed
+
+
+def test_plan_slices_by_cap_metabase_shape(spark):
+    # 57 rows, cap 20 -> 3 slices over keys 0..56
+    rows = plan_slices_by_cap(spark, 0, 56, total=57, cap=20).collect()
+    assert len(rows) == 3
+    assert rows[0].lo == 0 and rows[-1].hi == 56
+
+
+def test_sliced_scan_truncation_guard(spark):
+    # every slice returns exactly `cap` docs — indistinguishable from a
+    # truncated response, so the scan must fail loudly (S20/Q4 posture)
+    slices = plan_slices(spark, 0, 9, 5)
+    capped = lambda lo, hi: [{"_id": i} for i in range(3)]  # noqa: E731
+    with pytest.raises(Exception, match="truncated"):
+        sliced_scan(slices, capped, cap=3).collect()
+    # under the cap: fine
+    assert sliced_scan(slices, capped, cap=4).count() == 6
 
 
 def test_sliced_scan_retries_then_raises(spark):

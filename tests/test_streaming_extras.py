@@ -1,0 +1,78 @@
+"""Streaming facet extras: bounded-state dedup, stream-static enrich,
+stream-stream interval join (M8 surface beyond the monitor/upsert e2e)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from pipelines_rj_sms_spark.streaming.incremental import (
+    run_stream_once, stream_dedup, stream_interval_join,
+    stream_static_enrich)
+
+
+def _write_json(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_json(src / "a.json", [
+        {"k": 1, "ts": "2024-01-01 10:00:00", "v": "first"},
+        {"k": 1, "ts": "2024-01-01 10:00:30", "v": "dupe-close"},
+        {"k": 2, "ts": "2024-01-01 10:01:00", "v": "other"},
+    ])
+    stream = (spark.readStream.schema("k long, ts string, v string")
+              .json(str(src))
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    deduped = stream_dedup(stream, ["k"], "ts", delay="10 minutes")
+    q = (deduped.writeStream.format("memory").queryName("dd")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    run_stream_once(q)
+    got = sorted((r.k, r.v) for r in spark.sql("SELECT * FROM dd").collect())
+    # k=1 collapsed to its first-seen row, k=2 untouched
+    assert got == [(1, "first"), (2, "other")]
+
+
+def test_stream_static_enrich_broadcasts(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_json(src / "a.json", [{"k": 1, "v": 10.0}, {"k": 3, "v": 30.0}])
+    dim = spark.createDataFrame([(1, "um"), (2, "dois")], ["k", "nome"])
+    stream = spark.readStream.schema("k long, v double").json(str(src))
+    enriched = stream_static_enrich(stream, dim, "k")
+    q = (enriched.writeStream.format("memory").queryName("en")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    run_stream_once(q)
+    got = sorted((r.k, r.nome) for r in spark.sql("SELECT * FROM en").collect())
+    assert got == [(1, "um"), (3, None)]
+
+
+def test_stream_interval_join_bounds_matches(spark, tmp_path):
+    lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+    _write_json(lsrc / "a.json", [
+        {"k": 1, "signup_ts": "2024-01-01 10:00:00"},
+        {"k": 2, "signup_ts": "2024-01-01 12:00:00"},
+    ])
+    _write_json(rsrc / "a.json", [
+        {"k": 1, "purchase_ts": "2024-01-01 10:05:00"},   # in window
+        {"k": 1, "purchase_ts": "2024-01-01 11:00:00"},   # past upper bound
+        {"k": 2, "purchase_ts": "2024-01-01 11:59:00"},   # before signup
+    ])
+    left = (spark.readStream.schema("k long, signup_ts string").json(str(lsrc))
+            .withColumn("signup_ts", F.col("signup_ts").cast("timestamp")))
+    right = (spark.readStream.schema("k long, purchase_ts string")
+             .json(str(rsrc))
+             .withColumn("purchase_ts", F.col("purchase_ts").cast("timestamp")))
+    joined = stream_interval_join(
+        left, right, key="k", left_ts="signup_ts", right_ts="purchase_ts",
+        lower="0 seconds", upper="15 minutes",
+    )
+    q = (joined.writeStream.format("memory").queryName("ij")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    run_stream_once(q)
+    rows = spark.sql("SELECT * FROM ij").collect()
+    assert len(rows) == 1
+    assert rows[0]["purchase_ts"].minute == 5
