@@ -108,6 +108,10 @@ Query key -> SURVEY §2 rows covered:
                             propagation (oracle: recursive-CTE closure)
   order_lines_fanout        §2.12 UDTF surface: nested-JSON payload -> linked
                             tables round-trip (oracle: the plain join)
+  pii_scrubbed_docs         privacy: CPF/CNS/phone/email regexp masking,
+                            expression-only (oracle: same RE2-safe chain)
+  contamination_check       train/eval decontamination: winnowing-fingerprint
+                            overlap, corpus half vs benchmark half
 """
 
 from __future__ import annotations
@@ -1511,6 +1515,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("fps"),
         )
 
+    def pii_scrub(spark, sf_dir):
+        """PII masking over free text. The synthetic identifiers are
+        appended in-query (the corpus itself is lorem text) so the mask
+        behavior — CPF, CNS, phone, email, in narrow-to-broad order —
+        is exercised on every row and replayed identically by the
+        DuckDB oracle."""
+        from pipelines_rj_sms_spark.functions import privacy
+        docs = _t(spark, sf_dir, "documents")
+        synth = F.concat(
+            F.substring("text", 1, 30),
+            F.lit(" CPF: 123.456.789-01 CNS: 123 4567 8901 2345"
+                  " tel (21) 99876-5432 mail user"),
+            F.col("doc_id").cast("string"), F.lit("@ex.com fim"))
+        return docs.select("doc_id", privacy.scrub_pii(synth).alias("scrubbed"))
+
+    def contamination(spark, sf_dir):
+        """Train/eval decontamination: corpus half vs benchmark half of
+        the documents table, winnowing-fingerprint overlap."""
+        docs = _t(spark, sf_dir, "documents")
+        out = dedup.contamination_overlap(
+            docs.filter(F.col("doc_id") >= 50),
+            docs.filter(F.col("doc_id") < 50),
+            "doc_id", "text", k=8, w=4, min_shared=5, max_df=50,
+            hash_fn="md5")
+        return out.select("id_corpus", "id_bench",
+                          F.col("n_shared").cast("bigint").alias("n_shared"))
+
     def ohlc_hourly(spark, sf_dir):
         from pipelines_rj_sms_spark.operators.timeseries import downsample_ohlc
         ev = _t(spark, sf_dir, "events")
@@ -1693,6 +1724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": tfidf_terms,
         "dedup_components": dedup_components,
         "order_lines_fanout": order_lines_fanout,
+        "pii_scrubbed_docs": pii_scrub,
+        "contamination_check": contamination,
     }
 
 
@@ -1947,6 +1980,46 @@ def oracle_sql() -> dict[str, str]:
         "winnow_overlap_pairs": _WINNOW_PAIRS_DUCK,
         "tfidf_top_terms": _TFIDF_DUCK,
         "dedup_components": _COMPONENTS_DUCK,
+        "pii_scrubbed_docs": r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         substr(text, 1, 30)
+           || ' CPF: 123.456.789-01 CNS: 123 4567 8901 2345 tel (21) 99876-5432 mail user'
+           || CAST(doc_id AS VARCHAR) || '@ex.com fim',
+         '[0-9]{3}\.[0-9]{3}\.[0-9]{3}-[0-9]{2}', '[CPF]', 'g'),
+         '[0-9]{3} [0-9]{4} [0-9]{4} [0-9]{4}', '[CNS]', 'g'),
+         '(?:\(?[0-9]{2}\)? ?)?[0-9]{4,5}-[0-9]{4}', '[TEL]', 'g'),
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g')
+       AS scrubbed
+FROM documents
+""",
+        # same winnowing CTEs as the pairs oracle; the df cap sees the
+        # whole table (= the Spark union of both disjoint halves) and
+        # the final join is side-filtered corpus-vs-benchmark
+        "contamination_check": """
+WITH h AS (
+  SELECT doc_id,
+         list_transform(
+           range(greatest(length(text) - 7, 1)),
+           i -> CAST(('0x' || substr(md5(substr(lower(text), i + 1, 8)), 1, 8)) AS BIGINT)
+         ) AS hashes
+  FROM documents),
+fp AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(greatest(len(hashes) - 3, 1)),
+           j -> list_min(hashes[j + 1 : j + 4])))) AS fp
+  FROM h),
+dfreq AS (SELECT fp, count(*) AS df FROM fp GROUP BY 1),
+rare AS (SELECT f.doc_id, f.fp FROM fp f JOIN dfreq USING (fp)
+         WHERE df <= 50)
+SELECT a.doc_id AS id_corpus, b.doc_id AS id_bench,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM rare a JOIN rare b ON a.fp = b.fp
+WHERE a.doc_id >= 50 AND b.doc_id < 50
+GROUP BY 1, 2
+HAVING count(*) >= 5
+""",
         # round-trip: nest lineitems into JSON per order, fan back out —
         # must reproduce the plain join exactly
         "order_lines_fanout": (

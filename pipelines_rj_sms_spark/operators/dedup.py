@@ -281,6 +281,54 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
     return track(out, raw_fps, fps)
 
 
+def contamination_overlap(corpus: DataFrame, benchmark: DataFrame,
+                          id_col: str, text_col: str,
+                          k: int = 8, w: int = 4, min_shared: int = 2,
+                          max_df: int | None = 1000,
+                          hash_fn: str = "xxhash64") -> DataFrame:
+    """Train/eval contamination check: corpus documents sharing >=
+    ``min_shared`` winnowing fingerprints with any benchmark document —
+    the standard decontamination gate before a corpus becomes training
+    data (same guarantee as winnow_overlap_pairs: any shared substring
+    of length >= k+w-1 is caught; recall is structural).
+
+    Both sides are fingerprinted once via a tagged union so the
+    boilerplate ``max_df`` cap sees combined document frequency (a
+    k-gram common across corpus AND benchmark is exactly the hot key
+    the cap exists for). The join is benchmark-side-filtered before the
+    shuffle; with a small benchmark (the usual case) AQE broadcasts it.
+    Returns (id_corpus, id_bench, n_shared).
+    """
+    from pipelines_rj_sms_spark.functions.text import winnow_fingerprints
+
+    tagged = (
+        corpus.select(F.col(id_col), F.col(text_col), F.lit("c").alias("_side"))
+        .unionByName(benchmark.select(
+            F.col(id_col), F.col(text_col), F.lit("b").alias("_side")))
+    )
+    fps = tagged.select(
+        "_side", F.col(id_col),
+        F.explode(winnow_fingerprints(text_col, k=k, w=w, hash_fn=hash_fn))
+        .alias("_fp"),
+    )
+    fps = _parallelize_narrow(fps).persist()
+    raw_fps = fps
+    if max_df is not None:
+        hot = (fps.groupBy("_fp").agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > max_df).select("_fp"))
+        fps = fps.join(hot, "_fp", "left_anti").persist()
+    c = fps.filter(F.col("_side") == "c").alias("c")
+    b = fps.filter(F.col("_side") == "b").alias("b")
+    out = (
+        c.join(b, F.col("c._fp") == F.col("b._fp"))
+        .groupBy(F.col(f"c.{id_col}").alias("id_corpus"),
+                 F.col(f"b.{id_col}").alias("id_bench"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return track(out, raw_fps, fps)
+
+
 def connected_components(edges: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", nodes: DataFrame | None = None,
                          node_col: str | None = None,
