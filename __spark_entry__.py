@@ -112,6 +112,8 @@ Query key -> SURVEY §2 rows covered:
                             expression-only (oracle: same RE2-safe chain)
   contamination_check       train/eval decontamination: winnowing-fingerprint
                             overlap, corpus half vs benchmark half
+  text_repetition_stats     Gopher-style repetition: dup-token fraction +
+                            top-bigram mass per doc
 """
 
 from __future__ import annotations
@@ -1542,6 +1544,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("id_corpus", "id_bench",
                           F.col("n_shared").cast("bigint").alias("n_shared"))
 
+    def repetition_stats(spark, sf_dir):
+        """Gopher-style repetition quality stats: duplicate-token
+        fraction + top-bigram mass fraction per document. The bigram
+        mode is explode -> two hash aggs keyed by doc_id (no window —
+        partial aggregation halves the shuffle), joined back to the
+        per-doc scalars."""
+        docs = _t(spark, sf_dir, "documents")
+        base = docs.select(
+            "doc_id",
+            text.dup_token_fraction("text").alias("_dup"),
+            text.token_bigrams("text").alias("_bgs"),
+        )
+        top = (base.select("doc_id", F.explode("_bgs").alias("_bg"))
+               .groupBy("doc_id", "_bg").agg(F.count("*").alias("_c"))
+               .groupBy("doc_id").agg(F.max("_c").alias("_top")))
+        return (base.join(top, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.round("_dup", 6).alias("dup_frac"),
+                    F.round(F.coalesce(
+                        F.col("_top") / F.size("_bgs"), F.lit(0.0)),
+                        6).alias("top_bigram_frac")))
+
     def ohlc_hourly(spark, sf_dir):
         from pipelines_rj_sms_spark.operators.timeseries import downsample_ohlc
         ev = _t(spark, sf_dir, "events")
@@ -1726,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_lines_fanout": order_lines_fanout,
         "pii_scrubbed_docs": pii_scrub,
         "contamination_check": contamination,
+        "text_repetition_stats": repetition_stats,
     }
 
 
@@ -1980,6 +2006,31 @@ def oracle_sql() -> dict[str, str]:
         "winnow_overlap_pairs": _WINNOW_PAIRS_DUCK,
         "tfidf_top_terms": _TFIDF_DUCK,
         "dedup_components": _COMPONENTS_DUCK,
+        "text_repetition_stats": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+base AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0
+              THEN 1.0 - len(list_distinct(toks)) / len(toks)
+              ELSE 0.0 END AS dup_frac,
+         CASE WHEN len(toks) > 1
+              THEN list_transform(range(len(toks) - 1),
+                                  i -> toks[i+1] || ' ' || toks[i+2])
+              ELSE [] END AS bgs
+  FROM t),
+ex AS (SELECT doc_id, unnest(bgs) AS bg FROM base),
+cnt AS (
+  SELECT doc_id, max(c) AS top
+  FROM (SELECT doc_id, bg, count(*) AS c FROM ex GROUP BY doc_id, bg)
+  GROUP BY doc_id)
+SELECT b.doc_id, round(dup_frac, 6) AS dup_frac,
+       round(COALESCE(top / len(bgs), 0.0), 6) AS top_bigram_frac
+FROM base b LEFT JOIN cnt USING (doc_id)
+""",
         "pii_scrubbed_docs": r"""
 SELECT doc_id,
        regexp_replace(regexp_replace(regexp_replace(regexp_replace(

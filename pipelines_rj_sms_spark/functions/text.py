@@ -130,6 +130,28 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(tokens(col)), build), 1)
 
 
+def dup_token_fraction(col: Column | str) -> Column:
+    """Gopher-style repetition signal: 1 - distinct_tokens/total_tokens
+    (0.0 for empty docs). Pure array expressions — one pass per row."""
+    return _bind(tokens(col), lambda t: F.when(
+        F.size(t) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(t)) / F.size(t),
+    ).otherwise(F.lit(0.0)))
+
+
+def token_bigrams(col: Column | str) -> Column:
+    """Adjacent word pairs ("a b") of the whitespace tokens; empty array
+    below 2 tokens. zip_with over two offset slices — no explode here,
+    so callers choose where the fan-out lands in the plan."""
+    return _bind(tokens(col), lambda t: F.when(
+        F.size(t) > 1,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b)),
+    ).otherwise(F.array().cast("array<string>")))
+
+
 def rolling_fingerprint(col: Column | str, hash_fn: str = "xxhash64",
                         modulus: int = 1_000_000_007,
                         multiplier: int = 31) -> Column:

@@ -130,3 +130,19 @@ def test_winnow_shared_substring_guarantee(spark):
            .collect()]
     assert fps[0] & fps[1]          # overlap detected
     assert not (fps[0] & fps[2])    # unrelated docs stay disjoint
+
+
+def test_dup_token_fraction_and_bigrams(spark):
+    from pipelines_rj_sms_spark.functions.text import (dup_token_fraction,
+                                                       token_bigrams)
+
+    df = spark.createDataFrame(
+        [("a a a a",), ("all words differ here",), ("",), ("single",)],
+        ["text"])
+    got = df.select(dup_token_fraction("text").alias("d"),
+                    token_bigrams("text").alias("b")).collect()
+    assert got[0].d == 0.75 and got[0].b == ["a a", "a a", "a a"]
+    assert got[1].d == 0.0 and got[1].b == ["all words", "words differ",
+                                            "differ here"]
+    assert got[2].d == 0.0 and got[2].b == []
+    assert got[3].d == 0.0 and got[3].b == []
