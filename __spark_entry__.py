@@ -114,6 +114,8 @@ Query key -> SURVEY §2 rows covered:
                             overlap, corpus half vs benchmark half
   text_repetition_stats     Gopher-style repetition: dup-token fraction +
                             top-bigram mass per doc
+  sequence_packing          concatenate-and-chunk packing into (shard, bin)
+                            training contexts, md5-replayable
 """
 
 from __future__ import annotations
@@ -1567,6 +1569,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("_top") / F.size("_bgs"), F.lit(0.0)),
                         6).alias("top_bigram_frac")))
 
+    def seq_packing(spark, sf_dir):
+        """Sequence packing: documents -> (shard, bin) training-context
+        assignments, md5-replayable so the oracle reproduces the exact
+        deal + chunking."""
+        from pipelines_rj_sms_spark.functions.sampling import pack_sequences
+        docs = _t(spark, sf_dir, "documents")
+        toks = docs.select("doc_id",
+                           text.token_count("text").alias("tok"))
+        out = pack_sequences(toks, ["doc_id"], "tok", max_tokens=512,
+                             n_shards=8, hash_fn="md5")
+        return out.select("doc_id",
+                          F.col("shard").cast("bigint").alias("shard"),
+                          F.col("bin").cast("bigint").alias("bin"))
+
     def ohlc_hourly(spark, sf_dir):
         from pipelines_rj_sms_spark.operators.timeseries import downsample_ohlc
         ev = _t(spark, sf_dir, "events")
@@ -1752,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrubbed_docs": pii_scrub,
         "contamination_check": contamination,
         "text_repetition_stats": repetition_stats,
+        "sequence_packing": seq_packing,
     }
 
 
@@ -2006,6 +2023,20 @@ def oracle_sql() -> dict[str, str]:
         "winnow_overlap_pairs": _WINNOW_PAIRS_DUCK,
         "tfidf_top_terms": _TFIDF_DUCK,
         "dedup_components": _COMPONENTS_DUCK,
+        "sequence_packing": f"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS tok,
+         {_duck_md5_bucket("CAST(doc_id AS VARCHAR)")} AS hv
+  FROM documents)
+SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
+       CAST(floor((sum(least(tok, 512)) OVER (
+                     PARTITION BY hv % 8 ORDER BY hv, doc_id
+                     ROWS UNBOUNDED PRECEDING)
+                   - least(tok, 512)) / 512) AS BIGINT) AS bin
+FROM d
+""",
         "text_repetition_stats": r"""
 WITH t AS (
   SELECT doc_id,

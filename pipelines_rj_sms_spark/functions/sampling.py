@@ -68,3 +68,43 @@ def sample_per_group(df: DataFrame, group_cols: list[str],
         .filter(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def pack_sequences(df: DataFrame, key_cols: list[str], token_col: str,
+                   max_tokens: int, n_shards: int = 1024,
+                   hash_fn: str = "xxhash64", salt: str = "",
+                   shard_col: str = "shard",
+                   bin_col: str = "bin") -> DataFrame:
+    """Concatenate-and-chunk sequence packing: assign each document to
+    the fixed-token-budget training bin where its starting offset lands.
+
+    The corpus is hash-dealt into ``n_shards`` independent streams
+    (deterministic, engine-portable — same `_key_hash` as the split
+    operators); within a shard, documents are ordered by (hash, key)
+    and the running token total is chunked every ``max_tokens``:
+    ``bin = floor((cumsum - tokens) / max_tokens)`` — exactly the
+    "concatenate the stream, cut every N tokens" packing used to build
+    pretraining batches, expressed as one window cumsum. A document
+    longer than ``max_tokens`` contributes at most ``max_tokens``
+    (it will be truncated downstream anyway), so bins stay dense.
+
+    Scale: one shuffle on shard; per-shard state is a running sum, so
+    shard count — not corpus size — bounds window memory. Pick
+    n_shards >= cluster cores; bins are globally identified by
+    (shard, bin).
+    """
+    h = _key_hash([F.col(c) for c in key_cols], hash_fn, salt)
+    tok = F.least(F.col(token_col), F.lit(max_tokens))
+    shard = (h % n_shards).cast("long")
+    w = (Window.partitionBy(shard_col)
+         .orderBy(F.col("_h").asc(),
+                  *[F.col(c).asc() for c in key_cols])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        df.withColumn("_h", h)
+        .withColumn(shard_col, shard)
+        .withColumn("_cum", F.sum(tok).over(w))
+        .withColumn(bin_col,
+                    F.floor((F.col("_cum") - tok) / max_tokens))
+        .drop("_h", "_cum")
+    )

@@ -57,3 +57,32 @@ def test_sample_per_group_deterministic_and_sized(spark):
 def test_sample_per_group_small_group_keeps_all(spark):
     df = spark.createDataFrame([("a", 1), ("a", 2)], "g string, k long")
     assert sample_per_group(df, ["g"], ["k"], n=10).count() == 2
+
+
+def test_pack_sequences_chunks_running_total(spark):
+    from pipelines_rj_sms_spark.functions.sampling import pack_sequences
+
+    # single shard -> one deterministic stream; hash order is fixed by
+    # (hash, key) so replaying gives identical bins
+    df = spark.createDataFrame(
+        [(i, 300) for i in range(10)], ["doc_id", "tok"])
+    out = pack_sequences(df, ["doc_id"], "tok", max_tokens=512,
+                         n_shards=1, hash_fn="md5")
+    rows = {r.doc_id: (r.shard, r.bin) for r in out.collect()}
+    assert all(s == 0 for s, _ in rows.values())
+    # 10 docs x 300 tok into 512-tok bins: starting offsets 0,300,600...
+    # -> bins 0,0,1,1,2,2,... (floor(start/512))
+    bins = sorted(b for _, b in rows.values())
+    assert bins == sorted((i * 300) // 512 for i in range(10))
+
+
+def test_pack_sequences_clips_oversized_doc(spark):
+    from pipelines_rj_sms_spark.functions.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 10_000), (2, 10), (3, 10)], ["doc_id", "tok"])
+    out = pack_sequences(df, ["doc_id"], "tok", max_tokens=512,
+                         n_shards=1, hash_fn="md5")
+    # the 10k-token doc contributes at most 512, so later docs land in
+    # adjacent bins, not 19 bins away
+    assert out.agg({"bin": "max"}).collect()[0][0] <= 2
