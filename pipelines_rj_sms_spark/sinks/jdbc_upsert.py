@@ -33,30 +33,55 @@ def validate_statement(sql: str) -> None:
             raise ValueError(f"forbidden keyword in sink statement: {kw.strip()!r}")
 
 
-def upsert(df: DataFrame, table: str, key_cols: list[str],
-           connection_factory: Callable[[], object],
-           batch_size: int = 1000, max_retries: int = 5,
-           backoff_s: float = 0.5, dialect: str = "mysql") -> None:
-    """Keyed upsert via foreachPartition + executemany.
-
-    dialect='mysql'  -> INSERT ... ON DUPLICATE KEY UPDATE
-    dialect='sqlite' -> INSERT ... ON CONFLICT(key) DO UPDATE  (tests)
-    Batches commit independently; transient errors (deadlocks) retry with
-    linear backoff, mirroring the reference's _execute_batches policy.
-    """
-    cols = df.columns
-    placeholders = ", ".join(["%s" if dialect == "mysql" else "?"] * len(cols))
+def build_upsert_sql(table: str, cols: list[str], key_cols: list[str],
+                     dialect: str) -> str:
+    """Parameterized upsert statement for one backend dialect (validated
+    against the forbidden-keyword guard). Split out of `upsert` so the
+    statement shape is unit-testable without a connection."""
+    mark = "%s" if dialect in ("mysql", "postgres") else "?"
+    placeholders = ", ".join([mark] * len(cols))
     col_list = ", ".join(cols)
     non_keys = [c for c in cols if c not in key_cols]
     if dialect == "mysql":
         updates = ", ".join(f"{c}=VALUES({c})" for c in non_keys)
         sql = (f"INSERT INTO {table} ({col_list}) VALUES ({placeholders}) "
                f"ON DUPLICATE KEY UPDATE {updates}")
-    else:
+    elif dialect in ("postgres", "sqlite"):
         updates = ", ".join(f"{c}=excluded.{c}" for c in non_keys)
         sql = (f"INSERT INTO {table} ({col_list}) VALUES ({placeholders}) "
                f"ON CONFLICT({', '.join(key_cols)}) DO UPDATE SET {updates}")
+    elif dialect == "mssql":
+        on = " AND ".join(f"t.{k} = src.{k}" for k in key_cols)
+        updates = ", ".join(f"t.{c} = src.{c}" for c in non_keys)
+        src_vals = ", ".join(f"src.{c}" for c in cols)
+        sql = (f"MERGE INTO {table} AS t "
+               f"USING (VALUES ({placeholders})) AS src ({col_list}) "
+               f"ON {on} "
+               f"WHEN MATCHED THEN UPDATE SET {updates} "
+               f"WHEN NOT MATCHED THEN INSERT ({col_list}) "
+               f"VALUES ({src_vals});")
+    else:
+        raise ValueError(f"unknown dialect: {dialect!r}")
     validate_statement(sql)
+    return sql
+
+
+def upsert(df: DataFrame, table: str, key_cols: list[str],
+           connection_factory: Callable[[], object],
+           batch_size: int = 1000, max_retries: int = 5,
+           backoff_s: float = 0.5, dialect: str = "mysql") -> None:
+    """Keyed upsert via foreachPartition + executemany.
+
+    One statement shape per backend the reference writes to
+    (smsrio MySQL, prontuario Postgres, vitacare MSSQL; sqlite = tests):
+      mysql    -> INSERT ... ON DUPLICATE KEY UPDATE          (%s params)
+      postgres -> INSERT ... ON CONFLICT(key) DO UPDATE        (%s params)
+      sqlite   -> INSERT ... ON CONFLICT(key) DO UPDATE        (? params)
+      mssql    -> MERGE INTO ... USING (VALUES ...) src        (? params)
+    Batches commit independently; transient errors (deadlocks) retry with
+    linear backoff, mirroring the reference's _execute_batches policy.
+    """
+    sql = build_upsert_sql(table, df.columns, key_cols, dialect)
 
     def write_partition(rows) -> None:
         conn = connection_factory()

@@ -213,3 +213,29 @@ def test_lakehouse_compact_sorted_files_carry_tight_stats(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # non-overlapping -> skippable
+
+
+def test_build_upsert_sql_all_dialects():
+    from pipelines_rj_sms_spark.sinks.jdbc_upsert import build_upsert_sql
+
+    cols, keys = ["id", "ts", "v"], ["id"]
+    mysql = build_upsert_sql("t", cols, keys, "mysql")
+    assert "ON DUPLICATE KEY UPDATE ts=VALUES(ts), v=VALUES(v)" in mysql
+    assert mysql.count("%s") == 3
+
+    pg = build_upsert_sql("t", cols, keys, "postgres")
+    assert "ON CONFLICT(id) DO UPDATE SET ts=excluded.ts" in pg
+    assert pg.count("%s") == 3
+
+    lite = build_upsert_sql("t", cols, keys, "sqlite")
+    assert "ON CONFLICT(id)" in lite and lite.count("?") == 3
+
+    ms = build_upsert_sql("t", cols, keys, "mssql")
+    assert ms.startswith("MERGE INTO t AS t ")
+    assert "WHEN MATCHED THEN UPDATE SET t.ts = src.ts" in ms
+    assert "WHEN NOT MATCHED THEN INSERT (id, ts, v)" in ms
+    assert ms.rstrip().endswith(";") and ms.count("?") == 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown dialect"):
+        build_upsert_sql("t", cols, keys, "oracle9i")
