@@ -116,6 +116,8 @@ Query key -> SURVEY §2 rows covered:
                             top-bigram mass per doc
   sequence_packing          concatenate-and-chunk packing into (shard, bin)
                             training contexts, md5-replayable
+  token_budget_sample       per-source corpus mixing by token budget
+                            (hash-ordered running total), md5-replayable
 """
 
 from __future__ import annotations
@@ -1583,6 +1585,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("shard").cast("bigint").alias("shard"),
                           F.col("bin").cast("bigint").alias("bin"))
 
+    def token_budget(spark, sf_dir):
+        """Per-source token-budget sampling: 600 whitespace tokens per
+        source, hash-ordered, md5-replayable."""
+        from pipelines_rj_sms_spark.functions.sampling import (
+            token_budget_sample)
+        docs = _t(spark, sf_dir, "documents")
+        toks = docs.select("doc_id", "source",
+                           text.token_count("text").alias("tok"))
+        out = token_budget_sample(toks, ["source"], ["doc_id"], "tok",
+                                  budget=600, hash_fn="md5")
+        return out.select("source", "doc_id",
+                          F.col("tok").cast("bigint").alias("tok"))
+
     def ohlc_hourly(spark, sf_dir):
         from pipelines_rj_sms_spark.operators.timeseries import downsample_ohlc
         ev = _t(spark, sf_dir, "events")
@@ -1769,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": contamination,
         "text_repetition_stats": repetition_stats,
         "sequence_packing": seq_packing,
+        "token_budget_sample": token_budget,
     }
 
 
@@ -2023,6 +2039,19 @@ def oracle_sql() -> dict[str, str]:
         "winnow_overlap_pairs": _WINNOW_PAIRS_DUCK,
         "tfidf_top_terms": _TFIDF_DUCK,
         "dedup_components": _COMPONENTS_DUCK,
+        "token_budget_sample": f"""
+WITH d AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS tok,
+         {_duck_md5_bucket("CAST(doc_id AS VARCHAR)")} AS hv
+  FROM documents)
+SELECT source, doc_id, tok
+FROM d
+QUALIFY sum(tok) OVER (PARTITION BY source ORDER BY hv, doc_id
+                       ROWS UNBOUNDED PRECEDING) <= 600
+     OR row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) = 1
+""",
         "sequence_packing": f"""
 WITH d AS (
   SELECT doc_id,

@@ -108,3 +108,31 @@ def pack_sequences(df: DataFrame, key_cols: list[str], token_col: str,
                     F.floor((F.col("_cum") - tok) / max_tokens))
         .drop("_h", "_cum")
     )
+
+
+def token_budget_sample(df: DataFrame, group_cols: list[str],
+                        key_cols: list[str], token_col: str,
+                        budget: int, hash_fn: str = "xxhash64",
+                        salt: str = "") -> DataFrame:
+    """Deterministic per-group corpus sampling by token budget: walk
+    each group's documents in hash(key) order and keep rows while the
+    running token total stays within ``budget`` (the "N tokens per
+    source/language" mixing knob of corpus curation, not N documents —
+    doc-count sampling over-represents short-doc sources).
+
+    The first document of a group is always kept even if it alone
+    exceeds the budget (a budget must sample *something* to be useful);
+    after that the cumulative total gates inclusion. One window over the
+    group key — same single-shuffle posture as sample_per_group, and the
+    same md5 replayability for cross-engine verification.
+    """
+    h = _key_hash([F.col(c) for c in key_cols], hash_fn, salt)
+    order = [h.asc(), *[F.col(c).asc() for c in key_cols]]
+    wsum = (Window.partitionBy(*group_cols).orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # row_number + cumsum share one window spec -> one shuffle, one sort
+    keep = (F.sum(F.col(token_col)).over(wsum) <= budget) | (
+        F.row_number().over(
+            Window.partitionBy(*group_cols).orderBy(*order)) == 1)
+    return (df.withColumn("_keep", keep)
+            .filter(F.col("_keep")).drop("_keep"))

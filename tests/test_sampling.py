@@ -86,3 +86,19 @@ def test_pack_sequences_clips_oversized_doc(spark):
     # the 10k-token doc contributes at most 512, so later docs land in
     # adjacent bins, not 19 bins away
     assert out.agg({"bin": "max"}).collect()[0][0] <= 2
+
+
+def test_token_budget_sample_gates_and_keeps_first(spark):
+    from pipelines_rj_sms_spark.functions.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [("a", i, 40) for i in range(10)] + [("b", 100, 999)],
+        ["src", "doc_id", "tok"])
+    out = token_budget_sample(df, ["src"], ["doc_id"], "tok",
+                              budget=100, hash_fn="md5")
+    rows = out.collect()
+    a = [r for r in rows if r.src == "a"]
+    # 40-token docs under a 100 budget -> exactly 2 kept
+    assert len(a) == 2
+    # group b's only doc exceeds the budget alone but is still kept
+    assert [r.doc_id for r in rows if r.src == "b"] == [100]
