@@ -118,6 +118,8 @@ Query key -> SURVEY §2 rows covered:
                             training contexts, md5-replayable
   token_budget_sample       per-source corpus mixing by token budget
                             (hash-ordered running total), md5-replayable
+  similarity_batch_topk     batched exact ANN: N probes in one corpus pass,
+                            two-stage (partition, query) top-k
 """
 
 from __future__ import annotations
@@ -1317,6 +1319,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = similarity.lsh_top_k(emb, qv, k=10, n_planes=8)
         return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
+    def sim_batch(spark, sf_dir):
+        """Batched exact ANN: 4 probe vectors answered in ONE corpus
+        pass (vs 4 scans of brute_force_top_k), two-stage top-k."""
+        emb = _t(spark, sf_dir, "embeddings")
+        probes = (emb.filter(F.col("vec_id") < 4)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+        out = similarity.batch_top_k(emb, probes, k=5, round_to=6)
+        return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                          "vec_id", "cosine_sim")
+
     def emb_near_dupes(spark, sf_dir):
         # threshold/planes sized to the synthetic corpus (random vectors,
         # max pairwise cosine ~0.51) so the gate is non-trivial
@@ -1785,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_stats": repetition_stats,
         "sequence_packing": seq_packing,
         "token_budget_sample": token_budget,
+        "similarity_batch_topk": sim_batch,
     }
 
 
@@ -1957,6 +1970,24 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "similarity_lsh": _duck_planes_sql(),
+        "similarity_batch_topk": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 4),
+            vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+            scored AS (
+              SELECT query_id, vec_id,
+                     list_dot_product(v, qv)
+                       / (sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product(qv, qv))) AS sim
+              FROM vs, q)
+            SELECT CAST(query_id AS BIGINT) AS query_id, vec_id,
+                   round(sim, 6) AS cosine_sim
+            FROM scored
+            QUALIFY row_number() OVER (
+              PARTITION BY query_id ORDER BY sim DESC, vec_id) <= 5
+        """,
         # multimodal_features: mapInPandas — rows-only check
         "order_fill_ratio": """
             WITH arr AS (SELECT l_orderkey, list(l_quantity) AS qts

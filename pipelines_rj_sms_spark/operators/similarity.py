@@ -213,3 +213,46 @@ def embedding_near_dupes(df: DataFrame, id_col: str = "vec_id",
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def batch_top_k(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id",
+                query_vec_col: str = "embedding",
+                round_to: int | None = None) -> DataFrame:
+    """Exact cosine top-k for a SET of query vectors in one pass over
+    the corpus (the batched form of brute_force_top_k — N probes cost
+    one corpus scan, not N).
+
+    Plan shape: corpus x broadcast(queries) -> project(similarity) ->
+    two-stage per-query top-k. The broadcast nested loop is deliberate
+    and bounded: |queries| rows per corpus row, the standard brute-force
+    batch-ANN layout, and what is shuffled afterwards is the narrow
+    (query, id, sim) triplet — embeddings never move. The top-k runs in
+    two windows: first over (input-partition id, query) — spreading the
+    cut across n_partitions * |queries| reducers instead of |queries|
+    hot keys — then the final window over query alone sees at most
+    k * n_partitions rows per query, never the corpus.
+    """
+    q = F.broadcast(queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(query_vec_col).cast("array<double>").alias("_qvec")))
+    vec = F.col(vec_col).cast("array<double>")
+    scored = (corpus.select(id_col, vec.alias("_v"))
+              .join(q)
+              .select(F.col("_qid").alias(query_id_col), F.col(id_col),
+                      cosine(F.col("_v"), F.col("_qvec")).alias("cosine_sim")))
+    from pyspark.sql import Window
+    local = Window.partitionBy(
+        F.spark_partition_id(), query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col))
+    pruned = (scored.withColumn("_lrk", F.row_number().over(local))
+              .filter(F.col("_lrk") <= k).drop("_lrk"))
+    final = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col))
+    out = (pruned.withColumn("_rk", F.row_number().over(final))
+           .filter(F.col("_rk") <= k).drop("_rk"))
+    if round_to is not None:
+        out = out.select(query_id_col, id_col,
+                         F.round("cosine_sim", round_to).alias("cosine_sim"))
+    return out

@@ -219,3 +219,21 @@ def test_connected_components_convergence_guard(spark):
 
     with pytest.raises(RuntimeError, match="no convergence"):
         connected_components(edges, max_iter=2)
+
+
+def test_batch_top_k_matches_single_probe(spark):
+    from pipelines_rj_sms_spark.operators import similarity
+
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = (emb.filter("vec_id < 3")
+              .selectExpr("vec_id AS query_id", "embedding"))
+    batched = similarity.batch_top_k(emb, probes, k=4, round_to=6)
+    got = {(r.query_id, r.vec_id, r.cosine_sim) for r in batched.collect()}
+    for qid, qvec in [(r[0], r[1]) for r in rows[:3]]:
+        single = similarity.brute_force_top_k(emb, qvec, k=4, round_to=6)
+        want = {(qid, r.vec_id, r.cosine_sim) for r in single.collect()}
+        assert want <= got
+    assert len(got) == 12
