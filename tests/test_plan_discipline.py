@@ -96,13 +96,14 @@ def test_not_in_is_null_aware_broadcast_anti_never_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_double_exists_decorrelates_to_hash_joins(spark):
-    # Q21 shape: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, all hash
-    # joins (the correlated spelling must never survive as a per-row
-    # subquery or nested loop)
+def test_q21_window_rewrite_scans_lineitem_once(spark):
+    # Q21 shape: the EXISTS + NOT EXISTS pair is rewritten as one window
+    # over l_orderkey (__spark_entry__._Q21_LATE_SUPPLIER_SPARK), so the
+    # fact table must appear in the plan exactly once — the textbook
+    # spelling scans it three times — and nothing may nested-loop
     plan = _plan(entry.queries()["late_supplier_waits"](spark, SF))
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
