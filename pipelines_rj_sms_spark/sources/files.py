@@ -42,6 +42,36 @@ def read_csv_raw(spark: SparkSession, path: str, sep: str = ",",
     return df
 
 
+def read_json_quarantine(spark: SparkSession, path: str,
+                         schema: StructType) -> tuple[DataFrame, DataFrame]:
+    """Schema-checked JSON read with corrupt-record routing: returns
+    (good, quarantine). Malformed lines land — whole — in the
+    quarantine frame instead of aborting the load or silently nulling
+    (the reference's posture for messy API dumps: load what parses,
+    keep the rest for inspection; FAILFAST would lose the batch,
+    DROPMALFORMED would lose the evidence).
+
+    One scan serves both frames (same cached source relation); the
+    split is a pair of codegen'd filters on the corrupt column.
+    """
+    with_corrupt = schema.add("_corrupt_record", StringType())
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # Spark forbids filtering on the corrupt column straight off the
+        # scan (SPARK-38523: referencing only internal columns); cache
+        # materializes the parse once and lifts the restriction.
+        .cache()
+    )
+    good = (df.filter(F.col("_corrupt_record").isNull())
+            .drop("_corrupt_record"))
+    bad = (df.filter(F.col("_corrupt_record").isNotNull())
+           .select(F.col("_corrupt_record").alias("raw")))
+    return good, bad
+
+
 def sniff_separator(spark: SparkSession, path: str,
                     candidates: tuple[str, ...] = (",", ";")) -> str:
     """F8: pick the separator with most hits on the first line."""

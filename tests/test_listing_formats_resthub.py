@@ -187,3 +187,26 @@ def test_fetch_windows_executor_side(spark):
     ok = [r for r in out if r["status"] == "ok"]
     assert len(ok) == 3
     assert json.loads(by_start["2024-01-01 04:00:00"]["payload"])["error"].startswith("gateway")
+
+
+def test_read_json_quarantine_routes_bad_lines(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pipelines_rj_sms_spark.sources.files import read_json_quarantine
+
+    p = tmp_path / "mixed.json"
+    p.write_text("\n".join([
+        '{"id": 1, "name": "ok"}',
+        '{"id": "not-a-number", "name": "bad type"}',
+        'not json at all {{{',
+        '{"id": 3, "name": "fine"}',
+    ]))
+    schema = StructType([StructField("id", LongType()),
+                         StructField("name", StringType())])
+    good, bad = read_json_quarantine(spark, str(p), schema)
+    assert sorted((r.id, r.name) for r in good.collect()) == [
+        (1, "ok"), (3, "fine")]
+    raws = [r.raw for r in bad.collect()]
+    assert len(raws) == 2
+    assert any("not json at all" in r for r in raws)
+    assert any("not-a-number" in r for r in raws)
