@@ -61,6 +61,14 @@ _SQL_FUNCTIONS: dict[str, str] = {
         r"'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F​-‏‪-‮﻿]', '')"
         f", '{_ACCENTED}', '{_PLAIN}')))"
     ),
+    "scrub_pii": (
+        "(s STRING) RETURNS STRING RETURN "
+        r"regexp_replace(regexp_replace(regexp_replace(regexp_replace(s, "
+        r"'[0-9]{3}\\.[0-9]{3}\\.[0-9]{3}-[0-9]{2}', '[CPF]'), "
+        r"'[0-9]{3} [0-9]{4} [0-9]{4} [0-9]{4}', '[CNS]'), "
+        r"'(?:\\(?[0-9]{2}\\)? ?)?[0-9]{4,5}-[0-9]{4}', '[TEL]'), "
+        r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]')"
+    ),
     "parse_decimal_comma": (
         "(s STRING) RETURNS DOUBLE RETURN "
         r"try_cast(regexp_replace(regexp_replace(s, '\\.', ''), ',', '.') AS DOUBLE)"

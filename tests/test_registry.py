@@ -107,3 +107,16 @@ def test_sql_hash_split_bucket_matches_column_api(registered):
     via_col = {r["k"]: ("train" if via_sql[r["k"]] < 80 else "test") == r["split"]
                for r in hash_split(df, ["k"], salt="s").collect()}
     assert all(via_col.values())
+
+
+def test_sql_scrub_pii_matches_column_api(spark):
+    from pipelines_rj_sms_spark.functions.privacy import scrub_pii
+    from pipelines_rj_sms_spark.registry import register_sql_functions
+
+    register_sql_functions(spark)
+    df = spark.createDataFrame(
+        [("CPF 123.456.789-01 tel (21) 99876-5432 a@b.com",)], ["t"])
+    df.createOrReplaceTempView("_pii_t")
+    via_sql = spark.sql("SELECT scrub_pii(t) AS s FROM _pii_t").collect()[0].s
+    via_col = df.select(scrub_pii("t").alias("s")).collect()[0].s
+    assert via_sql == via_col == "CPF [CPF] tel [TEL] [EMAIL]"

@@ -102,3 +102,22 @@ def test_token_budget_sample_gates_and_keeps_first(spark):
     assert len(a) == 2
     # group b's only doc exceeds the budget alone but is still kept
     assert [r.doc_id for r in rows if r.src == "b"] == [100]
+
+
+def test_pack_sequences_stable_under_repartition(spark):
+    """The packing claim that matters at scale: assignment is a pure
+    function of the data, so any physical partitioning yields the
+    identical (shard, bin) map."""
+    from pipelines_rj_sms_spark.functions.sampling import pack_sequences
+
+    import random
+    rng = random.Random(3)
+    df = spark.createDataFrame(
+        [(i, rng.randint(1, 900)) for i in range(200)], ["doc_id", "tok"])
+
+    def run(frame):
+        out = pack_sequences(frame, ["doc_id"], "tok", max_tokens=512,
+                             n_shards=4, hash_fn="md5")
+        return sorted((r.doc_id, r.shard, r.bin) for r in out.collect())
+
+    assert run(df) == run(df.repartition(7)) == run(df.coalesce(1))
