@@ -120,6 +120,8 @@ Query key -> SURVEY §2 rows covered:
                             (hash-ordered running total), md5-replayable
   similarity_batch_topk     batched exact ANN: N probes in one corpus pass,
                             two-stage (partition, query) top-k
+  k_anonymity_violations    privacy release gate: quasi-identifier cells
+                            below the k threshold
 """
 
 from __future__ import annotations
@@ -1610,6 +1612,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("source", "doc_id",
                           F.col("tok").cast("bigint").alias("tok"))
 
+    def k_anon(spark, sf_dir):
+        """k-anonymity release gate: (nation, mktsegment) cells with
+        fewer than 8 customers."""
+        from pipelines_rj_sms_spark.quality.checks import (
+            k_anonymity_violations)
+        cust = _t(spark, sf_dir, "customer")
+        out = k_anonymity_violations(
+            cust, ["c_nationkey", "c_mktsegment"], k=8)
+        return out.select("c_nationkey", "c_mktsegment",
+                          F.col("group_size").cast("bigint")
+                          .alias("group_size"))
+
     def ohlc_hourly(spark, sf_dir):
         from pipelines_rj_sms_spark.operators.timeseries import downsample_ohlc
         ev = _t(spark, sf_dir, "events")
@@ -1798,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": seq_packing,
         "token_budget_sample": token_budget,
         "similarity_batch_topk": sim_batch,
+        "k_anonymity_violations": k_anon,
     }
 
 
@@ -2070,6 +2085,11 @@ def oracle_sql() -> dict[str, str]:
         "winnow_overlap_pairs": _WINNOW_PAIRS_DUCK,
         "tfidf_top_terms": _TFIDF_DUCK,
         "dedup_components": _COMPONENTS_DUCK,
+        "k_anonymity_violations": """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM customer GROUP BY 1, 2 HAVING count(*) < 8
+""",
         "token_budget_sample": f"""
 WITH d AS (
   SELECT source, doc_id,

@@ -94,3 +94,20 @@ def schema_conformance(df: DataFrame, expected: dict[str, str]) -> CheckResult:
 def non_empty(df: DataFrame) -> CheckResult:
     """Q9: empty-input guard."""
     return CheckResult("non_empty", not df.isEmpty(), {})
+
+
+def k_anonymity_violations(df: DataFrame, quasi_cols: list[str],
+                           k: int = 5) -> DataFrame:
+    """Privacy gate for data release: quasi-identifier combinations
+    shared by fewer than ``k`` rows — each such group re-identifies its
+    members. Health-secretariat exports (the reference's domain) hinge
+    on this before any extract leaves the lake; pair with
+    functions.privacy.scrub_pii for the free-text columns.
+
+    One hash aggregate on the quasi columns (map-side partial combine);
+    returns the violating combinations with their sizes — empty result
+    = the release is k-anonymous at this granularity.
+    """
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count("*").alias("group_size"))
+            .filter(F.col("group_size") < k))
