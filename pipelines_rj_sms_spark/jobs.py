@@ -36,7 +36,7 @@ class IngestionConfig:
     """One TABELAS_CONFIG row, Spark-side."""
 
     name: str                                  # logical table name
-    source_format: str                         # csv | parquet | json | dbf
+    source_format: str                         # csv | parquet | json | dbf | xlsx
     source_path: str
     sink_path: str
     dump_mode: str = "append"                  # append | overwrite
@@ -47,6 +47,11 @@ class IngestionConfig:
     casts: dict[str, str] = field(default_factory=dict)
     run_id: str | None = None
     reconcile_tolerance: float = 0.05
+    # escape hatch for fetch-stage sources (sliced/scroll scans, API
+    # fan-out): a callable (spark, cfg) -> DataFrame used instead of
+    # source_format when set — the acquire stage stays pluggable the
+    # way the reference's per-flow extract tasks are
+    reader: object | None = None
 
 
 @dataclass
@@ -62,6 +67,8 @@ class IngestionReport:
 
 
 def _read_source(spark: SparkSession, cfg: IngestionConfig) -> DataFrame:
+    if cfg.reader is not None:
+        return cfg.reader(spark, cfg)
     fmt = cfg.source_format.lower()
     if fmt == "csv":
         sep = cfg.csv_sep or sniff_separator(spark, cfg.source_path)
@@ -74,6 +81,9 @@ def _read_source(spark: SparkSession, cfg: IngestionConfig) -> DataFrame:
     if fmt == "dbf":
         sample = _first_local_file(cfg.source_path)
         return read_dbf(spark, cfg.source_path, sample)
+    if fmt == "xlsx":
+        from pipelines_rj_sms_spark.sources.formats import read_xlsx
+        return read_xlsx(spark, _first_local_file(cfg.source_path))
     raise ValueError(f"unknown source_format: {cfg.source_format!r}")
 
 

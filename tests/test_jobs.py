@@ -72,3 +72,26 @@ def test_run_many(spark, tmp_path):
     ]
     reps = run_many(spark, cfgs)
     assert all(r.ok for r in reps) and len(reps) == 2
+
+
+def test_xlsx_ingestion_and_custom_reader(spark, tmp_path):
+    from test_xlsx import _make_xlsx
+
+    wb = tmp_path / "wb.xlsx"
+    _make_xlsx(wb)
+    cfg = IngestionConfig(name="x", source_format="xlsx",
+                          source_path=str(wb),
+                          sink_path=str(tmp_path / "lake_x"))
+    rep = run_ingestion(spark, cfg)
+    assert rep.ok and rep.rows_written == 2
+
+    # injectable acquire stage (the sliced/scroll/API sources plug here)
+    def fake_reader(spark_, cfg_):
+        return spark_.createDataFrame([("7", "2024-01-01 00:00:00")],
+                                      ["id", "ts"])
+
+    cfg2 = IngestionConfig(name="r", source_format="custom",
+                           source_path="", reader=fake_reader,
+                           sink_path=str(tmp_path / "lake_r"), ts_col="ts")
+    rep2 = run_ingestion(spark, cfg2)
+    assert rep2.ok and rep2.rows_written == 1
