@@ -119,3 +119,34 @@ def test_sampling_split_is_pure_projection(spark):
     plan = _plan(entry.queries()["train_test_split"](spark, SF))
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_every_query_plans_clean(spark):
+    """Suite-wide discipline sweep: no declared query may plan a
+    cartesian product, a broadcast nested loop (except the two
+    deliberate, documented bounded ones), or row-at-a-time Python
+    (BatchEvalPython). Arrow-batched Python (MapInPandas /
+    ArrowEvalPython) is the sanctioned slow path and stays allowed.
+    Plans only — nothing executes, so the sweep is cheap."""
+    # bounded-by-construction nested loops, documented at their site:
+    #   similarity_batch_topk — corpus x broadcast(4 probes)
+    #   the rest — 1-row scalar broadcasts (a global percentile /
+    #   corpus count joined to every row), the standard plan for a
+    #   scalar subquery: build side is exactly one row
+    allowed_bnlj = {"similarity_batch_topk", "monitor_recent",
+                    "winsorized_prices", "mad_outlier_flags",
+                    "tfidf_top_terms"}
+    failures = []
+    for name, fn in entry.queries().items():
+        try:
+            plan = _plan(fn(spark, SF))
+        except Exception as exc:  # noqa: BLE001 — surfaced below
+            failures.append(f"{name}: failed to plan ({exc})")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python UDF")
+        if "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
+            failures.append(f"{name}: BroadcastNestedLoopJoin")
+    assert not failures, failures
