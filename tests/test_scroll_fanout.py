@@ -169,3 +169,45 @@ def test_fan_out_stays_jvm_side(spark):
     for df in tables.values():
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------- crawl
+
+def _make_graph_fetcher():
+    graph = {
+        "ed1": ("edition one index", ["a1", "a2"]),
+        "ed2": ("edition two index", ["a2", "a3"]),
+        "a1": ("article one", []),
+        "a2": ("article two", ["a1"]),        # back-link: must not refetch
+        "a3": ("article three", ["missing"]),
+    }
+
+    def fetch(url):
+        if url not in graph:
+            raise KeyError(url)
+        return graph[url]
+
+    return fetch
+
+
+def test_crawl_scan_bfs_visits_once(spark):
+    from pipelines_rj_sms_spark.sources.crawl import crawl_scan
+
+    out = crawl_scan(spark, ["ed1", "ed2"], _make_graph_fetcher(),
+                     max_depth=2).collect()
+    by_url = {r.url: r for r in out}
+    # every page exactly once, at its first-seen depth
+    assert len(out) == len(by_url) == 6
+    assert by_url["ed1"].depth == 0 and by_url["a2"].depth == 1
+    assert by_url["a1"].depth == 1     # via ed1, not refetched via a2
+    assert by_url["a3"].content == "article three"
+    # unfetchable page recorded, not dropped
+    assert by_url["missing"].content.startswith("__error__")
+
+
+def test_crawl_scan_depth_bound(spark):
+    from pipelines_rj_sms_spark.sources.crawl import crawl_scan
+
+    out = crawl_scan(spark, ["ed1"], _make_graph_fetcher(),
+                     max_depth=0).collect()
+    assert [r.url for r in out] == ["ed1"]
