@@ -24,6 +24,15 @@ class Model:
     deps: list[str] = field(default_factory=list)
     tags: list[str] = field(default_factory=list)
     materialize_path: str | None = None   # None -> temp view only
+    # dbt materialized='incremental' analog: when the target exists,
+    # merge this run's rows into it by unique_key (keep-last on
+    # order_col) instead of rebuilding — the run processes the
+    # increment, not history. ts_col routes through the partition-scoped
+    # lakehouse merge (touched date partitions only).
+    incremental: bool = False
+    unique_key: list[str] = field(default_factory=list)
+    order_col: str | None = None
+    ts_col: str | None = None
 
 
 @dataclass
@@ -99,9 +108,48 @@ class ModelRunner:
             t0 = time.monotonic()
             df: DataFrame = self.spark.sql(model.sql)
             if model.materialize_path:
-                df.write.mode("overwrite").parquet(model.materialize_path)
-                df = self.spark.read.parquet(model.materialize_path)
+                df = self._materialize(model, df)
             df.createOrReplaceTempView(model.name)
             rows = df.count()
             results.append(ModelResult(model.name, rows, time.monotonic() - t0))
         return results
+
+    def _materialize(self, model: Model, df: DataFrame) -> DataFrame:
+        import os
+
+        path = model.materialize_path
+        if model.incremental and os.path.isdir(path):
+            if not model.unique_key or model.order_col is None:
+                raise ValueError(
+                    f"incremental model {model.name} needs unique_key "
+                    "and order_col")
+            if model.ts_col is not None:
+                # date-partitioned target: partition-scoped merge — the
+                # run's cost tracks touched partitions, not history
+                from pipelines_rj_sms_spark.sinks.lakehouse import (
+                    merge_upsert)
+                merge_upsert(self.spark, path, df, model.unique_key,
+                             model.order_col, ts_col=model.ts_col)
+            else:
+                # unpartitioned target: full merge via staging swap
+                # (never overwrite a path while reading it). Local-FS
+                # rename; on an object store use the partitioned path
+                # or a table format.
+                import shutil
+
+                from pipelines_rj_sms_spark.operators.dedup import (
+                    dedup_keep_last)
+                existing = self.spark.read.parquet(path)
+                # keep-last per key; order-value ties resolve via
+                # dedup_keep_last's deterministic remaining-column
+                # tiebreak (same winner on any cluster/partitioning)
+                merged = dedup_keep_last(
+                    df.unionByName(existing),
+                    keys=model.unique_key, order_col=model.order_col)
+                staging = f"{path}__staging"
+                merged.write.mode("overwrite").parquet(staging)
+                shutil.rmtree(path)
+                os.rename(staging, path)
+        else:
+            df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)

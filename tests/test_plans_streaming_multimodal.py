@@ -140,3 +140,35 @@ def test_resize_images_stub(spark):
 
     with pytest.raises(NotImplementedError):
         resize_images(media, 64, 64, decode_stub=False)
+
+
+def test_model_runner_incremental_merge(spark, tmp_path):
+    path = str(tmp_path / "inc_model")
+    spark.createDataFrame(
+        [(1, 10, "old"), (2, 10, "keep")], ["id", "v", "tag"]
+    ).createOrReplaceTempView("_inc_src")
+    m = Model(name="inc", sql="SELECT * FROM _inc_src",
+              materialize_path=path, incremental=True,
+              unique_key=["id"], order_col="v")
+    runner = ModelRunner(spark, [m])
+    runner.run()
+
+    # second run: id=1 updated (higher order), id=3 new, id=2 untouched
+    spark.createDataFrame(
+        [(1, 20, "new"), (3, 5, "add")], ["id", "v", "tag"]
+    ).createOrReplaceTempView("_inc_src")
+    runner.run()
+    got = {r.id: (r.v, r.tag) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (20, "new"), 2: (10, "keep"), 3: (5, "add")}
+
+
+def test_model_runner_incremental_requires_keys(spark, tmp_path):
+    path = str(tmp_path / "inc_bad")
+    spark.range(1).createOrReplaceTempView("_one")
+    m = Model(name="bad", sql="SELECT id FROM _one",
+              materialize_path=path, incremental=True)
+    runner = ModelRunner(spark, [m])
+    runner.run()          # first run: plain build, no merge needed
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unique_key"):
+        runner.run()      # second run must merge -> misconfigured
