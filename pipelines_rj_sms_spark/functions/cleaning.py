@@ -104,3 +104,56 @@ def clean_column_names(df: DataFrame) -> DataFrame:
     """Apply name cleaning + dedup to a whole DataFrame (driver-side only)."""
     cleaned = dedupe_column_names([clean_column_name(c) for c in df.columns])
     return df.toDF(*cleaned)
+
+
+# Portuguese filler words dropped first when a name must shrink
+# (reference: vitacare_gdrive/utils.py:184-252 shorten_column_name —
+# questionnaire exports carry sentence-length headers)
+_NAME_STOPWORDS = frozenset(
+    "a o os as de do da dos das quando vc com ou para seu sua isso que e"
+    .split())
+
+
+def shorten_column_name(name: str, max_len: int = 30,
+                        junk_patterns: tuple[str, ...] = (),
+                        keep_prefixes: tuple[str, ...] = ()) -> str:
+    """Target-compatible short column name (BigQuery-style length cap),
+    reimplementing the reference's shortening semantics: normalize via
+    clean_column_name, strip caller-supplied junk patterns (the TEA
+    export's artifacts), and only if the result still exceeds
+    ``max_len``, shrink it structurally — drop filler stopword tokens,
+    then drop tail tokens — rather than blind truncation, so the name
+    keeps its distinguishing words. Tokens in ``keep_prefixes`` are
+    never dropped (domain prefixes like questionnaire codes).
+    """
+    s = name
+    for pat in junk_patterns:
+        s = re.sub(pat, "", s, flags=re.IGNORECASE)
+    s = clean_column_name(s)
+    if len(s) <= max_len:
+        return s
+    tokens = [t for t in s.split("_") if t]
+    slimmed = [t for t in tokens
+               if t in keep_prefixes or t not in _NAME_STOPWORDS]
+    if not slimmed:
+        slimmed = tokens
+    while len("_".join(slimmed)) > max_len and len(slimmed) > 1:
+        # drop from the tail, but never a protected prefix token
+        for i in range(len(slimmed) - 1, -1, -1):
+            if slimmed[i] not in keep_prefixes:
+                del slimmed[i]
+                break
+        else:
+            break
+    return "_".join(slimmed)[:max_len].rstrip("_")
+
+
+def shorten_column_names(df: DataFrame, max_len: int = 30,
+                         junk_patterns: tuple[str, ...] = (),
+                         keep_prefixes: tuple[str, ...] = ()) -> DataFrame:
+    """Whole-frame shortening + collision-safe dedup (driver-side:
+    column names are metadata, never data)."""
+    short = dedupe_column_names([
+        shorten_column_name(c, max_len, junk_patterns, keep_prefixes)
+        for c in df.columns])
+    return df.toDF(*short)

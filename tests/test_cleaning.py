@@ -51,3 +51,34 @@ def test_parse_decimal_comma(spark):
     assert out[0] == 1234.56
     assert out[1] == 10.5
     assert out[2] is None
+
+
+def test_shorten_column_name_bounds_and_keeps_meaning():
+    from pipelines_rj_sms_spark.functions.cleaning import shorten_column_name
+
+    long = "Quando a criança brinca de faz de conta, ela usa objetos?"
+    out = shorten_column_name(long, max_len=30)
+    assert len(out) <= 30
+    assert "crianca" in out and "brinca" in out   # content words survive
+    assert "quando" not in out                    # filler dropped
+    # short names pass through untouched
+    assert shorten_column_name("CNES") == "cnes"
+    # junk patterns are caller-scoped (the TEA export's r/f artifacts)
+    assert shorten_column_name("Resp R/F campo", max_len=30,
+                               junk_patterns=(r"r[ _/-]*f",)) == "resp_campo"
+    # protected prefixes never drop
+    out2 = shorten_column_name(
+        "mchat quando vc aponta para algo muito distante la fora",
+        max_len=20, keep_prefixes=("mchat",))
+    assert out2.startswith("mchat") and len(out2) <= 20
+
+
+def test_shorten_column_names_frame_dedup(spark):
+    from pipelines_rj_sms_spark.functions.cleaning import shorten_column_names
+
+    df = spark.createDataFrame(
+        [(1, 2)], ["Pergunta de rastreio numero um e alguma coisa mais",
+                   "Pergunta de rastreio numero um e alguma coisa menos"])
+    out = shorten_column_names(df, max_len=24)
+    a, b = out.columns
+    assert a != b and all(len(c) <= 26 for c in (a, b))  # _N suffix may add
