@@ -75,13 +75,17 @@ def crawl_scan(spark: SparkSession, seeds: list[str],
     explode(out-links) minus visited (left_anti equi-join on url). The
     only driver-side state is the loop counter.
     """
+    from pipelines_rj_sms_spark.operators.cache import track
+
     visited = spark.createDataFrame([(u,) for u in dict.fromkeys(seeds)],
                                     ["url"])
     frontier = visited
     pages: list[DataFrame] = []
+    persisted: list[DataFrame] = []
     for depth in range(max_depth + 1):
         fetched = _fetch_level(frontier, fetcher, depth, max_retries)
         fetched = fetched.persist()
+        persisted.append(fetched)
         pages.append(fetched.select("url", "depth", "content"))
         if depth == max_depth:
             break
@@ -92,11 +96,14 @@ def crawl_scan(spark: SparkSession, seeds: list[str],
             .join(visited, "url", "left_anti")
             .persist()
         )
+        persisted.append(next_frontier)
         if next_frontier.isEmpty():
             break
         visited = visited.unionByName(next_frontier).persist()
+        persisted.append(visited)
         frontier = next_frontier
     out = pages[0]
     for p in pages[1:]:
         out = out.unionByName(p)
-    return out
+    # callers release the per-level caches via cache.release(result)
+    return track(out, *persisted)
