@@ -35,10 +35,18 @@ def _parallelize_narrow(df: DataFrame) -> DataFrame:
     a no-op — it only pays the (tiny) shuffle when the input is narrower
     than the cluster, which is exactly when it's worth it.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    spark = df.sparkSession
+    try:
+        target = spark.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover — Spark Connect has no SparkContext
+        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # width heuristic from inputFiles(), not df.rdd.getNumPartitions():
+    # touching .rdd forces a full plan translation per call. File-backed
+    # inputs with >= target splits are already wide enough; everything
+    # else (small local relations, narrow files) pays the tiny shuffle.
+    if len(df.inputFiles()) >= target:
+        return df
+    return df.repartition(target)
 
 
 def dedup_keep_last(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
