@@ -127,8 +127,20 @@ def run_ingestion(spark: SparkSession, cfg: IngestionConfig) -> IngestionReport:
     return IngestionReport(cfg.name, rows_read, rows_written, checks)
 
 
-def run_many(spark: SparkSession, configs: list[IngestionConfig]) -> list[IngestionReport]:
-    """The manager fan-out (O1/O2): one report per config row. Sequential
-    driver loop — each job is internally parallel across the cluster; use
-    the progress table (operators/progress.py) for resumability."""
-    return [run_ingestion(spark, cfg) for cfg in configs]
+def run_many(spark: SparkSession, configs: list[IngestionConfig],
+             parallelism: int = 1) -> list[IngestionReport]:
+    """The manager fan-out (O1/O2): one report per config row, in config
+    order. ``parallelism`` mirrors the reference's intra-flow
+    LocalDaskExecutor(num_workers=2) (relational_db/flows.py:104):
+    driver threads submit concurrent Spark jobs and the scheduler
+    interleaves their stages — useful when single tables underfill the
+    cluster (small files, skinny JDBC slices). Each job is already
+    internally parallel, so keep this small (the reference uses 2).
+    Use the progress table (operators/progress.py) for resumability.
+    """
+    if parallelism <= 1:
+        return [run_ingestion(spark, cfg) for cfg in configs]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(min(parallelism, len(configs))) as pool:
+        return list(pool.map(lambda c: run_ingestion(spark, c), configs))

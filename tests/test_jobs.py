@@ -95,3 +95,17 @@ def test_xlsx_ingestion_and_custom_reader(spark, tmp_path):
                            sink_path=str(tmp_path / "lake_r"), ts_col="ts")
     rep2 = run_ingestion(spark, cfg2)
     assert rep2.ok and rep2.rows_written == 1
+
+
+def test_run_many_parallel_threads(spark, tmp_path):
+    a = tmp_path / "p.csv"
+    a.write_text("x,ts\n1,2024-01-01 00:00:00\n2,2024-01-02 00:00:00\n")
+    cfgs = [
+        IngestionConfig(name=f"p{i}", source_format="csv", source_path=str(a),
+                        sink_path=str(tmp_path / f"plake_{i}"), ts_col="ts",
+                        csv_sep=",", csv_encoding="utf-8")
+        for i in range(3)
+    ]
+    reps = run_many(spark, cfgs, parallelism=2)
+    assert [r.name for r in reps] == ["p0", "p1", "p2"]  # order preserved
+    assert all(r.ok and r.rows_written == 2 for r in reps)
