@@ -133,3 +133,77 @@ def test_winnow_recall_random_shared_substrings(spark):
     got = {r["doc_id"]: set(r["fps"]) for r in fps.collect()}
     for i in range(20):
         assert got[2 * i] & got[2 * i + 1], f"pair {i} missed"
+
+
+@given(st.text(max_size=80), st.integers(min_value=8, max_value=40))
+@settings(max_examples=200, deadline=None)
+def test_shorten_column_name_bounded_idempotent(name, max_len):
+    from pipelines_rj_sms_spark.functions.cleaning import shorten_column_name
+
+    out = shorten_column_name(name, max_len=max_len)
+    assert len(out) <= max_len
+    # shortening an already-short name is the identity
+    assert shorten_column_name(out, max_len=max_len) == out
+
+
+def _flatten_lab(payloads):
+    """Pure-python expectation for the fan_out lab spec: (sol rows,
+    exame rows with sol FK, resultado rows with both FKs)."""
+    sols, exames, results = [], [], []
+    for p in payloads:
+        sols.append((p["sol_id"], p["cpf"]))
+        for ex in p["exames"]:
+            exames.append((p["sol_id"], ex["exame_id"], ex["nome"]))
+            for r in ex["resultados"]:
+                results.append((p["sol_id"], ex["exame_id"],
+                                r["analito"], r["valor"]))
+    return sorted(sols), sorted(exames), sorted(results)
+
+
+def test_fan_out_matches_pure_python_flattening(spark):
+    import json
+    import random
+
+    from pyspark.sql.types import (ArrayType, DoubleType, StringType,
+                                   StructField, StructType)
+
+    from pipelines_rj_sms_spark.operators.fanout import Entity, fan_out
+
+    rng = random.Random(11)
+    payloads = []
+    for i in range(30):
+        payloads.append({
+            "sol_id": f"S{i}", "cpf": str(rng.randint(0, 999)),
+            "exames": [
+                {"exame_id": f"S{i}E{j}", "nome": f"ex{j}",
+                 "resultados": [
+                     {"analito": f"a{k}", "valor": float(rng.randint(0, 50))}
+                     for k in range(rng.randint(0, 3))]}
+                for j in range(rng.randint(0, 4))],
+        })
+    schema = StructType([
+        StructField("sol_id", StringType()),
+        StructField("cpf", StringType()),
+        StructField("exames", ArrayType(StructType([
+            StructField("exame_id", StringType()),
+            StructField("nome", StringType()),
+            StructField("resultados", ArrayType(StructType([
+                StructField("analito", StringType()),
+                StructField("valor", DoubleType()),
+            ]))),
+        ]))),
+    ])
+    spec = Entity("sol", key_fields=("sol_id",),
+                  children=(("exames", Entity(
+                      "ex", key_fields=("exame_id",),
+                      children=(("resultados", Entity("res")),))),))
+    df = spark.createDataFrame(
+        [(json.dumps(p),) for p in payloads], ["payload"])
+    tables = fan_out(df, "payload", schema, spec)
+    want_sols, want_ex, want_res = _flatten_lab(payloads)
+    assert sorted((r.sol_id, r.cpf)
+                  for r in tables["sol"].collect()) == want_sols
+    assert sorted((r.sol_sol_id, r.exame_id, r.nome)
+                  for r in tables["ex"].collect()) == want_ex
+    assert sorted((r.sol_sol_id, r.ex_exame_id, r.analito, r.valor)
+                  for r in tables["res"].collect()) == want_res
