@@ -114,6 +114,8 @@ Query key -> SURVEY §2 rows covered:
                             overlap, corpus half vs benchmark half
   text_repetition_stats     Gopher-style repetition: dup-token fraction +
                             top-bigram mass per doc
+  paragraph_dedup_docs      C4-style sentence dedup: global first-occurrence
+                            wins, docs reassembled in order
   sequence_packing          concatenate-and-chunk packing into (shard, bin)
                             training contexts, md5-replayable
   token_budget_sample       per-source corpus mixing by token budget
@@ -1562,6 +1564,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("id_corpus", "id_bench",
                           F.col("n_shared").cast("bigint").alias("n_shared"))
 
+    def para_dedup(spark, sf_dir):
+        """C4-style sentence-level dedup across the corpus: first
+        occurrence of each distinct sentence survives, docs reassemble
+        in order."""
+        docs = _t(spark, sf_dir, "documents")
+        out = dedup.paragraph_dedup(docs.select("doc_id", "text"),
+                                    "doc_id", "text", sep=". ")
+        return out.select("doc_id", F.col("text").alias("text_dedup"))
+
     def repetition_stats(spark, sf_dir):
         """Gopher-style repetition quality stats: duplicate-token
         fraction + top-bigram mass fraction per document. The bigram
@@ -1809,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrubbed_docs": pii_scrub,
         "contamination_check": contamination,
         "text_repetition_stats": repetition_stats,
+        "paragraph_dedup_docs": para_dedup,
         "sequence_packing": seq_packing,
         "token_budget_sample": token_budget,
         "similarity_batch_topk": sim_batch,
@@ -2116,6 +2128,30 @@ SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
                      ROWS UNBOUNDED PRECEDING)
                    - least(tok, 512)) / 512) AS BIGINT) AS bin
 FROM d
+""",
+        # winner = min (doc_id, pos) per sentence hash; encoded
+        # numerically (pos < 100000 always holds here) so min() is
+        # portable — Spark's struct-min and this are equivalent
+        "paragraph_dedup_docs": """
+WITH d AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+flat AS (
+  SELECT doc_id, u.pos AS pos, u.para AS para
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(len(parts)),
+                      i -> struct_pack(pos := i, para := parts[i+1]))) AS u
+        FROM d)),
+keep AS (
+  SELECT md5(para) AS h, min(doc_id * 100000 + pos) AS w
+  FROM flat WHERE length(para) >= 1 GROUP BY 1)
+SELECT doc_id,
+       string_agg(para, '. ' ORDER BY pos) AS text_dedup
+FROM (
+  SELECT f.doc_id, f.pos, f.para
+  FROM flat f JOIN keep k
+    ON md5(f.para) = k.h AND f.doc_id * 100000 + f.pos = k.w
+  UNION ALL
+  SELECT doc_id, pos, para FROM flat WHERE length(para) < 1)
+GROUP BY doc_id
 """,
         "text_repetition_stats": r"""
 WITH t AS (

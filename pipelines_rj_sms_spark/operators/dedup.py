@@ -79,6 +79,52 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return hashed.join(keep, ["_h", id_col], "left_semi").drop("_h")
 
 
+def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
+                    sep: str = "\n\n", min_chars: int = 1,
+                    out_col: str | None = None) -> DataFrame:
+    """C4-style intra-corpus paragraph dedup: split each document on
+    ``sep``, keep only the globally FIRST occurrence of each distinct
+    paragraph (min (doc id, position)), and reassemble each document
+    from its surviving paragraphs in original order. A document whose
+    every comparable paragraph was seen earlier drops out of the result
+    (nothing left to carry) — the C4 rule, not a bug.
+
+    Plan: posexplode -> groupBy(md5(paragraph)).agg(min_by struct) —
+    16-byte hashes + (id, pos) pairs shuffle, never paragraph bodies,
+    with map-side partial min — then a semi join on (hash, id, pos)
+    keeps winners and one groupBy(id) rebuilds the text (array_sort by
+    kept position). Short fragments below ``min_chars`` pass through
+    uncompared (whitespace runs are not evidence of duplication).
+    """
+    out_col = out_col or text_col
+    # Spark split() takes a REGEX; \Q..\E quotes the separator literally
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(f"\\Q{sep}\\E")))
+        .alias("_pos", "_para"),
+    )
+    cmp = parts.filter(F.length("_para") >= min_chars)
+    keep = (
+        cmp.withColumn("_h", F.md5("_para"))
+        .groupBy("_h")
+        .agg(F.min(F.struct(id_col, "_pos")).alias("_w"))
+        .select(F.col(f"_w.{id_col}").alias(id_col),
+                F.col("_w._pos").alias("_pos"))
+    )
+    survivors = (
+        parts.filter(F.length("_para") < min_chars)
+        .unionByName(cmp.join(keep, [id_col, "_pos"], "left_semi"))
+    )
+    return (
+        survivors.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_para")))
+             .alias("_ps"))
+        .select(F.col(id_col),
+                F.array_join(F.transform("_ps", lambda s: s["_para"]),
+                             sep).alias(out_col))
+    )
+
+
 def minhash_signature(df: DataFrame, text_col: str, num_hashes: int = 32,
                       shingle_n: int = 3, sig_col: str = "minhash",
                       hash_fn: str = "xxhash64") -> DataFrame:

@@ -237,3 +237,24 @@ def test_batch_top_k_matches_single_probe(spark):
         want = {(qid, r.vec_id, r.cosine_sim) for r in single.collect()}
         assert want <= got
     assert len(got) == 12
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    from pipelines_rj_sms_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame([
+        (1, "alpha beta. shared sentence. unique one"),
+        (2, "shared sentence. gamma delta"),     # loses its copy
+        (3, "shared sentence"),                  # nothing left -> dropped
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r.text
+           for r in paragraph_dedup(docs, "doc_id", "text",
+                                    sep=". ").collect()}
+    assert out == {
+        1: "alpha beta. shared sentence. unique one",
+        2: "gamma delta",
+    }
+    # regex-special separator is treated literally
+    docs2 = spark.createDataFrame([(1, "a|b|a")], ["doc_id", "text"])
+    got = paragraph_dedup(docs2, "doc_id", "text", sep="|").collect()
+    assert got[0].text == "a|b"
