@@ -1350,7 +1350,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         feats = extract_features(media, media_type_col="media_type")
         return feats.select(
-            "media_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+            "media_id", "n_bytes",
+            # features are float32 (the Arrow contract for embedding
+            # kernels); widen BEFORE rounding so f0 is a clean double
+            F.round(F.element_at("features", 1).cast("double"), 6)
+            .alias("f0"),
         )
 
     def pivot_linestatus(spark, sf_dir):
@@ -2015,7 +2019,22 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY query_id ORDER BY sim DESC, vec_id) <= 5
         """,
-        # multimodal_features: mapInPandas — rows-only check
+        # multimodal_features: the deterministic stand-in kernel
+        # (byte-histogram % 16, L1-normalized — multimodal.py
+        # _fake_features) is pure arithmetic, so even the mapInPandas
+        # plumbing gets a value-exact oracle: the corpus is ASCII
+        # (verified: length == octet_length for every row) and under
+        # the kernel's 64 KiB cap, so bytes == characters
+        "multimodal_features": """
+SELECT doc_id AS media_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       round(CAST(CAST(
+               len(list_filter(range(length(text)),
+                   i -> ascii(substr(text, i + 1, 1)) % 16 = 0))
+               / CAST(greatest(length(text), 1) AS DOUBLE)
+             AS REAL) AS DOUBLE), 6) AS f0
+FROM documents
+""",
         "order_fill_ratio": """
             WITH arr AS (SELECT l_orderkey, list(l_quantity) AS qts
                          FROM lineitem GROUP BY l_orderkey)
