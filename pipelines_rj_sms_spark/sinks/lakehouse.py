@@ -218,3 +218,47 @@ def compact_partitions(spark: SparkSession, path: str,
         writer = writer.partitionBy(*part_cols)
     writer.parquet(path)
     return len(stats)
+
+
+def expire_partitions(path: str, keep_days: int,
+                      today: "date | None" = None,
+                      dry_run: bool = False) -> list[str]:
+    """Retention sweep: delete date partitions older than ``keep_days``
+    (the reference's per-date folder cleanup, made explicit and
+    guarded). Returns the partition-relative paths it removed — or
+    WOULD remove with ``dry_run=True``; run that first in anything
+    scheduled.
+
+    Driver-side directory walk only (cost is O(partition count), never
+    data); deletion is per data_particao leaf, so ano/mes levels shrink
+    naturally as their children empty.
+    """
+    import shutil
+    from datetime import date, timedelta
+
+    if keep_days < 1:
+        raise ValueError("keep_days must be >= 1 (refusing a full wipe)")
+    cutoff = (today or date.today()) - timedelta(days=keep_days)
+    removed: list[str] = []
+    for ano in sorted(os.listdir(path)):
+        if not ano.startswith("ano_particao="):
+            continue
+        ano_dir = os.path.join(path, ano)
+        for mes in sorted(os.listdir(ano_dir)):
+            mes_dir = os.path.join(ano_dir, mes)
+            for dp in sorted(os.listdir(mes_dir)):
+                if not dp.startswith("data_particao="):
+                    continue
+                try:
+                    d = date.fromisoformat(dp.split("=", 1)[1])
+                except ValueError:
+                    continue          # never delete what we can't parse
+                if d < cutoff:
+                    removed.append(os.path.join(ano, mes, dp))
+                    if not dry_run:
+                        shutil.rmtree(os.path.join(mes_dir, dp))
+            if not dry_run and not os.listdir(mes_dir):
+                os.rmdir(mes_dir)
+        if not dry_run and not os.listdir(ano_dir):
+            os.rmdir(ano_dir)
+    return removed

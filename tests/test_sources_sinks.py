@@ -239,3 +239,32 @@ def test_build_upsert_sql_all_dialects():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown dialect"):
         build_upsert_sql("t", cols, keys, "oracle9i")
+
+
+def test_expire_partitions_retention(spark, tmp_path):
+    from datetime import date
+
+    from pipelines_rj_sms_spark.sinks import lakehouse
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-20 00:00:00"),
+         (3, "2024-02-05 00:00:00")], ["id", "ts"])
+    path = str(tmp_path / "lake")
+    lakehouse.write_table(df.withColumn("ts", df.ts.cast("timestamp")),
+                          path, mode="append", ts_col="ts")
+
+    # dry run reports but deletes nothing
+    plan = lakehouse.expire_partitions(
+        path, keep_days=30, today=date(2024, 2, 10), dry_run=True)
+    assert len(plan) == 1 and "2024-01-01" in plan[0]
+    assert spark.read.parquet(path).count() == 3
+
+    removed = lakehouse.expire_partitions(
+        path, keep_days=30, today=date(2024, 2, 10))
+    assert removed == plan
+    left = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert left == [2, 3]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="full wipe"):
+        lakehouse.expire_partitions(path, keep_days=0)
