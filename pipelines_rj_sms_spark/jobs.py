@@ -52,6 +52,10 @@ class IngestionConfig:
     # source_format when set — the acquire stage stays pluggable the
     # way the reference's per-flow extract tasks are
     reader: object | None = None
+    # privacy release gate: (quasi-identifier columns, k) — the load is
+    # flagged (report.ok False) when any quasi combination identifies
+    # fewer than k rows; column names are the POST-conform cleaned ones
+    k_anon: tuple[list[str], int] | None = None
 
 
 @dataclass
@@ -123,6 +127,15 @@ def run_ingestion(spark: SparkSession, cfg: IngestionConfig) -> IngestionReport:
     if cfg.run_id is not None:
         written = written.filter(written["_run_id"] == cfg.run_id)
     checks.append(reconcile_counts(rows_read, written, cfg.reconcile_tolerance))
+    if cfg.k_anon is not None:
+        from pipelines_rj_sms_spark.quality.checks import (
+            k_anonymity_violations)
+
+        quasi, k = cfg.k_anon
+        n_bad = k_anonymity_violations(written, quasi, k).count()
+        checks.append(CheckResult(
+            "k_anonymity", n_bad == 0,
+            {"quasi": quasi, "k": k, "violating_groups": n_bad}))
     rows_written = written.count()
     return IngestionReport(cfg.name, rows_read, rows_written, checks)
 

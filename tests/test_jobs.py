@@ -109,3 +109,18 @@ def test_run_many_parallel_threads(spark, tmp_path):
     reps = run_many(spark, cfgs, parallelism=2)
     assert [r.name for r in reps] == ["p0", "p1", "p2"]  # order preserved
     assert all(r.ok and r.rows_written == 2 for r in reps)
+
+
+def test_k_anonymity_gate_flags_release(spark, tmp_path):
+    a = tmp_path / "k.csv"
+    # bairro B identifies a single person -> k=2 must flag
+    a.write_text("bairro,idade,ts\nA,30,2024-01-01 00:00:00\n"
+                 "A,30,2024-01-01 00:00:00\nB,44,2024-01-01 00:00:00\n")
+    cfg = IngestionConfig(name="k", source_format="csv", source_path=str(a),
+                          sink_path=str(tmp_path / "klake"), ts_col="ts",
+                          csv_sep=",", csv_encoding="utf-8",
+                          k_anon=(["bairro", "idade"], 2))
+    rep = run_ingestion(spark, cfg)
+    kcheck = [c for c in rep.checks if c.name == "k_anonymity"][0]
+    assert not kcheck.passed and kcheck.details["violating_groups"] == 1
+    assert not rep.ok
