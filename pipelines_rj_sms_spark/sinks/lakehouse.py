@@ -262,3 +262,88 @@ def expire_partitions(path: str, keep_days: int,
         if not dry_run and not os.listdir(ano_dir):
             os.rmdir(ano_dir)
     return removed
+
+
+def scd2_merge(spark: SparkSession, path: str, updates: DataFrame,
+               keys: list[str], ts_col: str,
+               valid_from: str = "valid_from",
+               valid_to: str = "valid_to") -> None:
+    """Type-2 history merge: instead of overwriting a changed row
+    (merge_upsert's type-1 semantics), close the current version
+    (``valid_to`` = the update's timestamp) and append the new one —
+    the full-history dimension the reference approximates with daily
+    snapshot partitions, at one row per actual change instead of one
+    row per key per day.
+
+    Change detection = md5 over the JSON of all non-key, non-validity
+    columns, so a re-delivered identical row is a no-op (idempotent
+    replays). Updates collapse to keep-last per key first; intra-batch
+    intermediate versions are not historized (same as running the
+    merges sequentially per batch).
+
+    Storage is an unpartitioned parquet snapshot rewritten via staging
+    swap (local-FS rename; use a table format on object stores).
+    History tables grow by changed rows only, and the rewrite cost is
+    the CURRENT row set + closed history — acceptable for dimensions,
+    wrong for facts (use append + dedup-at-read there).
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pipelines_rj_sms_spark.operators.dedup import dedup_keep_last
+
+    latest = dedup_keep_last(updates, keys=keys, order_col=ts_col)
+    # change detection looks only at business payload: the delivery
+    # timestamp and validity columns vary per batch by construction and
+    # would turn every re-delivery into a phantom change
+    payload_cols = [c for c in latest.columns
+                    if c not in keys and c not in (ts_col, valid_from,
+                                                   valid_to)]
+    incoming = (
+        latest.withColumn(valid_from, F.col(ts_col).cast("timestamp"))
+        .withColumn(valid_to, F.lit(None).cast("timestamp"))
+    )
+
+    def fingerprint(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "_fp", F.md5(F.to_json(F.struct(*sorted(payload_cols)))))
+
+    if not table_exists(path):
+        incoming.write.mode("overwrite").parquet(path)
+        return
+
+    cur = spark.read.parquet(path)
+    closed = cur.filter(F.col(valid_to).isNotNull())
+    open_rows = cur.filter(F.col(valid_to).isNull())
+
+    inc = fingerprint(incoming).alias("u")
+    opn = fingerprint(open_rows).alias("o")
+    j = opn.join(inc, keys, "full_outer")
+
+    key_cols = [F.col(k) for k in keys]
+    o_cols = [F.col(f"o.{c}") for c in cur.columns if c not in keys]
+    u_cols = [F.col(f"u.{c}") for c in cur.columns if c not in keys]
+
+    unchanged = (j.filter(F.col("o._fp").isNotNull()
+                          & (F.col("u._fp").isNull()
+                             | (F.col("u._fp") == F.col("o._fp"))))
+                 .select(*key_cols, *o_cols))
+    closed_now = (j.filter(F.col("o._fp").isNotNull()
+                           & F.col("u._fp").isNotNull()
+                           & (F.col("u._fp") != F.col("o._fp")))
+                  .select(*key_cols,
+                          *[F.col(f"u.{valid_from}").alias(valid_to)
+                            if c == valid_to else F.col(f"o.{c}")
+                            for c in cur.columns if c not in keys]))
+    new_open = (j.filter(F.col("u._fp").isNotNull()
+                         & (F.col("o._fp").isNull()
+                            | (F.col("u._fp") != F.col("o._fp"))))
+                .select(*key_cols, *u_cols))
+
+    result = closed.unionByName(
+        unchanged.unionByName(closed_now).unionByName(new_open))
+    staging = f"{path}__staging"
+    result.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)

@@ -268,3 +268,35 @@ def test_expire_partitions_retention(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="full wipe"):
         lakehouse.expire_partitions(path, keep_days=0)
+
+
+def test_scd2_merge_history(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pipelines_rj_sms_spark.sinks.lakehouse import scd2_merge
+
+    path = str(tmp_path / "dim")
+    day1 = spark.createDataFrame(
+        [(1, "POSTO A", "2024-01-01 00:00:00"),
+         (2, "POSTO B", "2024-01-01 00:00:00")],
+        ["cnes", "nome", "ts"]).withColumn("ts", F.col("ts").cast("timestamp"))
+    scd2_merge(spark, path, day1, keys=["cnes"], ts_col="ts")
+
+    # day 2: cnes=1 renamed, cnes=2 unchanged (re-delivered), cnes=3 new
+    day2 = spark.createDataFrame(
+        [(1, "POSTO A NOVO", "2024-01-02 00:00:00"),
+         (2, "POSTO B", "2024-01-02 00:00:00"),
+         (3, "POSTO C", "2024-01-02 00:00:00")],
+        ["cnes", "nome", "ts"]).withColumn("ts", F.col("ts").cast("timestamp"))
+    scd2_merge(spark, path, day2, keys=["cnes"], ts_col="ts")
+
+    rows = spark.read.parquet(path).collect()
+    open_rows = {r.cnes: r.nome for r in rows if r.valid_to is None}
+    closed = [(r.cnes, r.nome) for r in rows if r.valid_to is not None]
+    assert open_rows == {1: "POSTO A NOVO", 2: "POSTO B", 3: "POSTO C"}
+    assert closed == [(1, "POSTO A")]          # only the real change
+    assert len(rows) == 4                      # no snapshot inflation
+
+    # idempotent replay of day 2 changes nothing
+    scd2_merge(spark, path, day2, keys=["cnes"], ts_col="ts")
+    assert spark.read.parquet(path).count() == 4
