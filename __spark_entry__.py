@@ -124,6 +124,9 @@ Query key -> SURVEY §2 rows covered:
                             two-stage (partition, query) top-k
   k_anonymity_violations    privacy release gate: quasi-identifier cells
                             below the k threshold
+  sketch_distinct_rollup    mergeable HLL rollup (hypertable pattern):
+                            daily sketches merged to per-type distincts,
+                            oracle-audited 5% accuracy
 """
 
 from __future__ import annotations
@@ -1639,6 +1642,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("group_size").cast("bigint")
                           .alias("group_size"))
 
+    def sketch_rollup(spark, sf_dir):
+        """Mergeable HLL rollup (hypertable pattern): daily sketches of
+        distinct users per event_type, merged up to per-type totals.
+        The oracle hash-verifies the exact side AND that the merged
+        sketch estimate stays within 5% of it (within_tolerance must
+        come back true for every group)."""
+        from pipelines_rj_sms_spark.operators.sketches import (
+            distinct_rollup_check)
+        ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+        return distinct_rollup_check(
+            ev, ["event_type"], "user_id", "day", lg_k=12, tolerance=0.05)
+
     def ohlc_hourly(spark, sf_dir):
         from pipelines_rj_sms_spark.operators.timeseries import downsample_ohlc
         ev = _t(spark, sf_dir, "events")
@@ -1829,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": token_budget,
         "similarity_batch_topk": sim_batch,
         "k_anonymity_violations": k_anon,
+        "sketch_distinct_rollup": sketch_rollup,
     }
 
 
@@ -2120,6 +2136,15 @@ FROM documents
 SELECT c_nationkey, c_mktsegment,
        CAST(count(*) AS BIGINT) AS group_size
 FROM customer GROUP BY 1, 2 HAVING count(*) < 8
+""",
+        # the oracle asserts within_tolerance = true: if the Spark-side
+        # merged-sketch estimate drifts past 5% of exact, the hash goes red
+        "sketch_distinct_rollup": """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       CAST(count(*) AS BIGINT) AS row_count,
+       true AS within_tolerance
+FROM events GROUP BY event_type
 """,
         "token_budget_sample": f"""
 WITH d AS (

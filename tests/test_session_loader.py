@@ -1,14 +1,23 @@
 """Loader must work on ANY SparkSession, not just get_spark()'s.
 
 Round-1 regression: the driver harness builds a vanilla session (no
-ENGINE_DEFAULTS), and the testdata parquet carries TIMESTAMP(NANOS)
-columns — a conf-less read fails with PARQUET_TYPE_ILLEGAL. The loader
-now self-applies the nanosAsLong conf at runtime (and falls back to an
-explicit footer-derived schema if the conf cannot be set).
+ENGINE_DEFAULTS), and the round-1 testdata parquet carried
+TIMESTAMP(NANOS) columns — a conf-less read fails with
+PARQUET_TYPE_ILLEGAL. The loader now self-applies the nanosAsLong conf
+at runtime (and falls back to an explicit footer-derived schema if the
+conf cannot be set).
+
+Later testdata generations write micros, so the nanos-specific tests
+run against a synthesized nanos parquet fixture — the regression
+coverage must not depend on which resolution the driver happens to
+emit this round — while the conf-less smoke test always runs against
+the real testdata at whatever resolution it has.
 """
 
 import os
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import types as T
 
@@ -25,20 +34,49 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(SF_DIR), reason="driver testdata not present")
 
 
-def test_read_without_session_conf(spark):
+@pytest.fixture(scope="module")
+def nanos_parquet(tmp_path_factory):
+    """A parquet file with a genuine TIMESTAMP(NANOS) column."""
+    path = str(tmp_path_factory.mktemp("nanos") / "events_ns.parquet")
+    table = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000_001,
+                        1_700_000_600_000_000_002,
+                        1_700_001_200_000_000_003], pa.timestamp("ns")),
+        "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+    })
+    pq.write_table(table, path)
+    return path
+
+
+def test_read_nanos_without_session_conf(spark, nanos_parquet):
     """Simulate the driver's vanilla session: unset the nanos conf and
     prove read_parquet_normalized still loads nanos-timestamp parquet."""
+    assert _nanos_timestamp_columns(nanos_parquet) == ["ts"]
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = read_parquet_normalized(spark, nanos_parquet)
+        row = df.selectExpr("count(*) n", "max(ts) mx").collect()[0]
+        assert row["n"] == 3
+        # conversion produced a real timestamp column, not a long
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+        assert row["mx"] is not None
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_read_real_testdata_without_session_conf(spark):
+    """Whatever resolution this round's testdata uses, a conf-less
+    session must load it through the normalized reader."""
     path = os.path.join(SF_DIR, "events.parquet")
-    assert _nanos_timestamp_columns(path), "testdata no longer nanos?"
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     try:
         df = read_parquet_normalized(spark, path)
-        row = df.selectExpr(
-            "count(*) n", "max(ts) mx").collect()[0]
+        row = df.selectExpr("count(*) n", "max(ts) mx").collect()[0]
         assert row["n"] > 0
-        # conversion produced a real timestamp column, not a long
-        assert isinstance(
-            df.schema["ts"].dataType, T.TimestampType)
+        # NTZ or instant depending on the generator's isAdjustedToUTC flag
+        assert isinstance(df.schema["ts"].dataType,
+                          (T.TimestampType, T.TimestampNTZType))
         assert row["mx"] is not None
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -56,13 +94,12 @@ def test_load_tables_reregisters_after_unset(spark):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
-def test_explicit_schema_fallback(spark):
+def test_explicit_schema_fallback(spark, nanos_parquet):
     """The belt-and-braces path: read with the footer-derived schema that
     maps ns-timestamps to long — must agree with the conf-based read."""
-    path = os.path.join(SF_DIR, "events.parquet")
-    schema = _long_for_nanos_schema(path)
+    schema = _long_for_nanos_schema(nanos_parquet)
     assert isinstance(schema["ts"].dataType, T.LongType)
-    df = spark.read.schema(schema).parquet(path)
+    df = spark.read.schema(schema).parquet(nanos_parquet)
     n_fallback = df.count()
-    n_normal = read_parquet_normalized(spark, path).count()
+    n_normal = read_parquet_normalized(spark, nanos_parquet).count()
     assert n_fallback == n_normal
