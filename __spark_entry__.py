@@ -158,18 +158,86 @@ def _sql(query: str) -> Callable[[SparkSession, str], DataFrame]:
 # Spark SQL and DuckDB SQL differ in small dialect details (interval
 # literals, list functions); where they coincide the same string is reused.
 
-_FLAGSHIP_SPARK = """
+# ----- fixed-point money arithmetic (shared Spark/DuckDB dialect) -----
+# The revenue aggregates originally summed DECIMAL(18,2) products for
+# cross-engine bit-exactness, but the product type exceeds Spark's
+# long-backed decimal range, so every row pays BigDecimal accumulation
+# (~3.5x slower than a long sum, measured: 0.54s vs 0.21s on a bare
+# sf0.1 lineitem sum). Fixed-point does the same math exactly in BIGINT:
+# money columns become integer hundredths via floor(x*100+0.5) --
+# floor instead of round() because Spark's round() on doubles routes
+# through BigDecimal while floor stays in codegen'd double arithmetic;
+# identical results for the nonnegative money domains used here, and
+# identical in DuckDB.
+#
+# A plain BIGINT sum of price*(1-disc) units (<=1.05e9/row) would
+# overflow int64 at ~9e9 rows per group -- real at the 100 TB target.
+# So sums split into hi/lo partial sums (exact, associative, order-
+# independent: integer adds commute, unlike a naive SUM(DOUBLE) whose
+# value drifts with shuffle order): hi = x div 65536, lo = x mod 65536,
+# recombined as doubles only at the final one-row-per-group step.
+# Exactness bound: lo-sums hold to ~1.4e14 rows/group, hi-sums to
+# ~5.6e12 rows/group for the widest (charge) products -- two orders of
+# magnitude past TPC-H sf100k's largest groups. The recombine
+# (hi*65536.0 + lo) is correct-to-double and engine-identical because
+# both inputs are exact integers and 65536 is a power of two.
+# Truncating div/mod identities match between Spark (Java %) and DuckDB
+# (C %), so the same string runs on both engines -- negative units
+# (e.g. Q9's profit = revenue - cost) stay exact too.
+
+_FP_D = 65536
+
+
+def _c100(col: str) -> str:
+    """Nonnegative <=2dp money/rate column -> BIGINT hundredths."""
+    return f"CAST(floor({col}*100+0.5) AS BIGINT)"
+
+
+def _fp_sum(units: str, scale: int, alias: str | None = None) -> str:
+    """Exact order-independent SUM of BIGINT fixed-point ``units``,
+    emitted as DOUBLE divided by ``scale``."""
+    d = _FP_D
+    hi = f"SUM(CAST((({units}) - ({units}) % {d}) / {d}.0 AS BIGINT))"
+    lo = f"SUM(({units}) % {d})"
+    e = (f"(CAST({hi} AS DOUBLE) * {d}.0 + CAST({lo} AS DOUBLE))"
+         f" / {scale}.0")
+    return f"{e} AS {alias}" if alias else e
+
+
+# rev_u: extendedprice*(1-discount) in units of 1e-4 currency
+_REV_U = f"{_c100('l_extendedprice')} * (100 - {_c100('l_discount')})"
+
+
+def _fp_sum_col(units, scale: int):
+    """DataFrame-side twin of _fp_sum (same math, Column API)."""
+    d = float(_FP_D)
+    hi = F.sum(((units - units % _FP_D) / d).cast("bigint")).cast("double")
+    lo = F.sum(units % _FP_D).cast("double")
+    return (hi * d + lo) / float(scale)
+
+_FLAGSHIP_SPARK = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+       CAST(SUM(pc) AS DOUBLE) / 100.0 AS sum_base_price,
+       {_fp_sum('rev_u', 10000, 'sum_disc_price')},
+       {_fp_sum('chg_u', 1000000, 'sum_charge')},
+       CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(pc) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+       CAST(SUM(dc) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+FROM (
+  SELECT l_returnflag, l_linestatus, qty, pc, dc,
+         pc * (100 - dc) AS rev_u,
+         pc * (100 - dc) * (100 + tc) AS chg_u
+  FROM (
+    SELECT l_returnflag, l_linestatus,
+           CAST(floor(l_quantity+0.5) AS BIGINT) AS qty,
+           {_c100('l_extendedprice')} AS pc,
+           {_c100('l_discount')} AS dc,
+           {_c100('l_tax')} AS tc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00') raw
+) t
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -186,30 +254,34 @@ GROUP BY event_type
 
 _MONITOR_DUCK = _MONITOR_SPARK.replace("INTERVAL '7' DAY", "INTERVAL '7 days'")
 
-_Q3_SPARK = """
+_Q3_SPARK = f"""
 SELECT l_orderkey,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       {_fp_sum('rev_u', 10000, 'revenue')},
        o_orderdate, o_orderpriority
-FROM customer JOIN orders ON c_custkey = o_custkey
-              JOIN lineitem ON l_orderkey = o_orderkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+FROM (
+  SELECT l_orderkey, o_orderdate, o_orderpriority, {_REV_U} AS rev_u
+  FROM customer JOIN orders ON c_custkey = o_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00') t
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """
 
-_Q5_SPARK = """
+_Q5_SPARK = f"""
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
-FROM customer
-  JOIN orders   ON c_custkey = o_custkey
-  JOIN lineitem ON l_orderkey = o_orderkey
-  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-  JOIN nation   ON c_nationkey = n_nationkey
-  JOIN region   ON n_regionkey = r_regionkey
-WHERE r_name = 'ASIA'
+       {_fp_sum('rev_u', 10000, 'revenue')}
+FROM (
+  SELECT n_name, {_REV_U} AS rev_u
+  FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA') t
 GROUP BY n_name
 """
 
@@ -225,11 +297,12 @@ FROM marked GROUP BY user_id
 
 _SESSIONIZE_DUCK = _SESSIONIZE_SPARK.replace("INTERVAL '5' MINUTE", "INTERVAL '5 minutes'")
 
-_RUNNING_TOTAL = """
+_RUNNING_TOTAL = f"""
 SELECT o_custkey, o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       CAST(SUM({_c100('o_totalprice')})
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / 100.0 AS running_total
 FROM orders
 """
 
@@ -377,14 +450,14 @@ FROM (SELECT c_custkey, COUNT(o_orderkey) AS n_orders
 GROUP BY n_orders
 """
 
-_Q14_PROMO = """
+_Q14_PROMO = f"""
 SELECT round(100.0
-  * CAST(SUM(CASE WHEN p_type = 'PROMO'
-                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+  * ({_fp_sum("CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END", 10000)})
+  / ({_fp_sum('rev_u', 10000)}),
   6) AS promo_share
-FROM lineitem JOIN part ON l_partkey = p_partkey
+FROM (
+  SELECT p_type, {_REV_U} AS rev_u
+  FROM lineitem JOIN part ON l_partkey = p_partkey) t
 """
 
 _Q6_FORECAST = """
@@ -413,13 +486,13 @@ FROM (
 GROUP BY supp_nation, cust_nation, l_year
 """
 
-_Q8_MKT_SHARE = """
+_Q8_MKT_SHARE = f"""
 SELECT o_year,
-       round(CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+       round(({_fp_sum("CASE WHEN nation = 'NATION_2' THEN rev_u ELSE 0 END", 10000)})
+             / ({_fp_sum('rev_u', 10000)}), 6) AS mkt_share
 FROM (
   SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+         {_REV_U} AS rev_u,
          n2.n_name AS nation
   FROM part
   JOIN lineitem ON p_partkey = l_partkey
@@ -435,16 +508,18 @@ FROM (
 GROUP BY o_year
 """
 
-_Q10_RETURNS = """
+_Q10_RETURNS = f"""
 SELECT c_custkey, c_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       {_fp_sum('rev_u', 10000, 'revenue')},
        c_acctbal, n_name
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-JOIN nation ON c_nationkey = n_nationkey
-WHERE o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
-  AND l_returnflag = 'R'
+FROM (
+  SELECT c_custkey, c_name, c_acctbal, n_name, {_REV_U} AS rev_u
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
+    AND l_returnflag = 'R') t
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
@@ -556,13 +631,13 @@ WHERE late AND n_supp > 1 AND n_late = 1
 GROUP BY s_name
 """
 
-_Q9_PROFIT = """
-SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+_Q9_PROFIT = f"""
+SELECT nation, o_year, {_fp_sum('amount_u', 10000, 'sum_profit')}
 FROM (
   SELECT n_name AS nation,
          CAST(year(o_orderdate) AS BIGINT) AS o_year,
-         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
-           - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+         {_REV_U}
+           - {_c100('p_retailprice')} * CAST(floor(l_quantity+0.5) AS BIGINT) * 100 AS amount_u
   FROM part
   JOIN lineitem ON p_partkey = l_partkey
   JOIN supplier ON s_suppkey = l_suppkey
@@ -1121,13 +1196,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             joins.lookup(li, part.select("p_partkey", "p_brand"),
                          on=[li.l_partkey == F.col("p_partkey")], how="inner")
+            .withColumn(
+                "rev_u",
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+                * (100 - F.floor(F.col("l_discount") * 100 + 0.5)
+                   .cast("bigint")))
             .groupBy("p_brand")
-            .agg(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
-                      * (1 - F.col("l_discount").cast("decimal(18,2)")))
-                .cast("double").alias("revenue"),
-                F.count("*").alias("n_items"),
-            )
+            .agg(_fp_sum_col(F.col("rev_u"), 10000).alias("revenue"),
+                 F.count("*").alias("n_items"))
         )
 
     def semi_join(spark, sf_dir):
@@ -1903,11 +1979,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name FROM customer "
             "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
         ),
-        "revenue_by_brand": """
+        "revenue_by_brand": f"""
             SELECT p_brand,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                   {_fp_sum('rev_u', 10000, 'revenue')},
                    COUNT(*) AS n_items
-            FROM lineitem JOIN part ON l_partkey = p_partkey
+            FROM (SELECT p_brand, {_REV_U} AS rev_u
+                  FROM lineitem JOIN part ON l_partkey = p_partkey) t
             GROUP BY p_brand
         """,
         "customers_with_orders": (
