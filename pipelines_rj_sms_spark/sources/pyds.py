@@ -31,6 +31,11 @@ the engine already parses JVM-side (SQL dumps via regexp+from_csv,
 fixed-width via substring) stay on the built-in text source — wrapping
 those here would move a codegen'd parse into Python for API symmetry,
 which is the wrong trade.
+
+The module also ships a streaming source: ``ReplayDataSource``
+(format "replay") turns any static parquet dataset into a
+deterministic, offset-tracked, rate-controlled stream — the simulator
+the streaming operators' batch/stream parity tests run against.
 """
 
 from __future__ import annotations
@@ -42,6 +47,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -112,6 +118,117 @@ class _DbfReader(DataSourceReader):
             arrays, names=self._schema.fieldNames())
 
 
+# ------------------------------------------------------------ replay stream
+
+class ReplayDataSource(DataSource):
+    """Deterministic replay of a static parquet dataset as a stream.
+
+    ``spark.readStream.format("replay").option("rowsPerBatch", N)
+    .load(path_glob)`` emits the dataset in stable (file, row) order, N
+    rows per microbatch, with real offset tracking — a checkpointed
+    query restarts exactly where it stopped, with no duplicate or lost
+    rows. This is the stream simulator the engine's streaming operators
+    are tested against (batch/stream parity), replacing ad-hoc file
+    drops with a reproducible, rate-controlled feed.
+
+    Design notes:
+    - Offsets are global row positions over the sorted file list;
+      planning touches only parquet footers (row counts + row-group
+      boundaries).
+    - Built on ``SimpleDataSourceStreamReader`` deliberately: a paced
+      full ``DataSourceStreamReader`` must keep its own
+      latest-planned-offset counter, which restarts at zero on
+      recovery and can disagree with the restored checkpoint — the
+      Simple contract derives every batch from the engine-supplied
+      start offset and replays ranges via ``readBetweenOffsets``, so
+      exactly-once holds by construction. The trade-off (batches flow
+      through the driver) is the right one for a test/replay feed;
+      bulk production ingestion belongs on the native file source.
+    - Reads are row-group pruned: a batch materializes only the row
+      groups overlapping its offset range, then trims — never whole
+      files.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "replay"
+
+    def schema(self) -> StructType:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        first = _resolve_paths(self.options)[0]
+        return from_arrow_schema(pq.read_schema(first),
+                                 prefer_timestamp_ntz=True)
+
+    def simpleStreamReader(self, schema: StructType):
+        return _ReplayStreamReader(dict(self.options))
+
+
+class _ReplayStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        import pyarrow.parquet as pq
+
+        self._rows_per_batch = int(options.get("rowsperbatch", 1000))
+        # footer-only catalog: (path, cumulative start row, per-row-group counts)
+        self._files: list[tuple[str, int, list[int]]] = []
+        total = 0
+        for path in _resolve_paths(options):
+            meta = pq.ParquetFile(path).metadata
+            rg = [meta.row_group(i).num_rows
+                  for i in range(meta.num_row_groups)]
+            self._files.append((path, total, rg))
+            total += sum(rg)
+        self._total = total
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def read(self, start: dict):
+        lo = start["row"]
+        hi = min(lo + self._rows_per_batch, self._total)
+        if hi <= lo:
+            return iter([]), start
+        # a list iterator, not a generator: Spark's prefetch cache
+        # drains it with next() and pickles the batch to ship it to
+        # executors (generators can't pickle); size is bounded by
+        # rowsPerBatch
+        return iter(list(self._rows(lo, hi))), {"row": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # failure-recovery replay: same range -> same rows, always
+        return iter(list(self._rows(start["row"], end["row"])))
+
+    def _rows(self, lo: int, hi: int):
+        import pyarrow.parquet as pq
+
+        for path, file_start, rgs in self._files:
+            if file_start + sum(rgs) <= lo or file_start >= hi:
+                continue
+            rg_start = file_start
+            picked: list[int] = []
+            first_rg_start: int | None = None
+            for i, n in enumerate(rgs):
+                rg_end = rg_start + n
+                if rg_end > lo and rg_start < hi:
+                    if first_rg_start is None:
+                        first_rg_start = rg_start
+                    picked.append(i)
+                rg_start = rg_end
+            if not picked:
+                continue
+            table = pq.ParquetFile(path).read_row_groups(picked)
+            skip = max(0, lo - first_rg_start)
+            take = min(hi, file_start + sum(rgs)) - max(lo, first_rg_start)
+            sliced = table.slice(skip, take)
+            for batch in sliced.to_batches():
+                yield from zip(*[c.to_pylist() for c in batch.columns])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 def register_all(spark) -> None:
     """Register every engine Python data source on the session."""
     spark.dataSource.register(DbfDataSource)
+    spark.dataSource.register(ReplayDataSource)
