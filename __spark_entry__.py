@@ -127,6 +127,8 @@ Query key -> SURVEY §2 rows covered:
   sketch_distinct_rollup    mergeable HLL rollup (hypertable pattern):
                             daily sketches merged to per-type distincts,
                             oracle-audited 5% accuracy
+  incremental_dedup_new_docs  incremental LSH dedup of a batch against a
+                            signature store (corpus text never re-read)
 """
 
 from __future__ import annotations
@@ -1118,6 +1120,37 @@ def entry(spark: SparkSession) -> DataFrame:
     return spark.sql(_FLAGSHIP_SPARK)
 
 
+# incremental LSH dedup oracle: even ids = stored corpus (signatures
+# only), odd ids = incoming batch; a new doc is rejected on any band
+# collision with the store or a lower odd id that clears >=50%
+# signature agreement (the MinHash Jaccard estimate).
+_INCR_AGREE = " + ".join(f"CAST(x.m{i} = y.m{i} AS INT)" for i in range(8))
+_INCR_DEDUP_DUCK = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks),
+sig AS (SELECT doc_id,
+  {_MINHASH_SLOTS_DUCK}
+FROM sh),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(m0 || ',' || m1) AS band_hash FROM sig
+  UNION ALL SELECT doc_id, 1, md5(m2 || ',' || m3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(m4 || ',' || m5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(m6 || ',' || m7) FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS nid, b.doc_id AS oid
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 2 = 1
+    AND (b.doc_id % 2 = 0 OR b.doc_id < a.doc_id)),
+dup AS (
+  SELECT DISTINCT c.nid AS doc_id
+  FROM cand c JOIN sig x ON x.doc_id = c.nid JOIN sig y ON y.doc_id = c.oid
+  WHERE ({_INCR_AGREE}) / 8.0 >= 0.5)
+SELECT doc_id FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dup)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pipelines_rj_sms_spark.operators import dedup, joins, similarity, windows
     from pipelines_rj_sms_spark.functions import cleaning, dates, keys, text
@@ -1718,6 +1751,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("group_size").cast("bigint")
                           .alias("group_size"))
 
+    def incremental_dedup(spark, sf_dir):
+        """Incremental LSH dedup: even doc_ids are the already-ingested
+        corpus (present only as a signature store), odd doc_ids are the
+        incoming batch. Returns the accepted new doc_ids — batch docs
+        that near-match the store (band collision + >=50% signature
+        agreement) or a lower odd id are rejected, without ever
+        re-reading the stored corpus text."""
+        docs = _t(spark, sf_dir, "documents")
+        hist = docs.filter(F.col("doc_id") % 2 == 0)
+        new = docs.filter(F.col("doc_id") % 2 == 1)
+        store = dedup.minhash_signature(
+            hist.select("doc_id", "text"), "text",
+            num_hashes=8, shingle_n=3, hash_fn="md5",
+        ).select("doc_id", "minhash")
+        accepted, _sigs = dedup.incremental_lsh_dedup(
+            new.select("doc_id", "text"), store, "doc_id", "text",
+            num_hashes=8, bands=4, shingle_n=3, sim_threshold=0.5,
+            hash_fn="md5")
+        return accepted.select("doc_id")
+
     def sketch_rollup(spark, sf_dir):
         """Mergeable HLL rollup (hypertable pattern): daily sketches of
         distinct users per event_type, merged up to per-type totals.
@@ -1921,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_batch_topk": sim_batch,
         "k_anonymity_violations": k_anon,
         "sketch_distinct_rollup": sketch_rollup,
+        "incremental_dedup_new_docs": incremental_dedup,
     }
 
 
@@ -2223,6 +2277,7 @@ SELECT event_type,
        true AS within_tolerance
 FROM events GROUP BY event_type
 """,
+        "incremental_dedup_new_docs": _INCR_DEDUP_DUCK,
         "token_budget_sample": f"""
 WITH d AS (
   SELECT source, doc_id,

@@ -171,22 +171,9 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     ~corpus/bucket cardinality, so Catalyst plans a plain shuffled hash
     join; no cross product ever materializes.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signature(_parallelize_narrow(df.select(id_col, text_col)),
                             text_col, num_hashes, shingle_n, hash_fn=hash_fn)
-    band_hasher = F.md5 if hash_fn == "md5" else F.xxhash64
-    banded = sig.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(*[
-                band_hasher(F.concat_ws(
-                    ",", *[F.col("minhash")[b * rows_per_band + r].cast("string")
-                           for r in range(rows_per_band)]
-                )).cast("string")
-                for b in range(bands)
-            ])
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = lsh_bands(sig, id_col, num_hashes, bands, hash_fn=hash_fn)
     # persist: the self-join references `banded` twice — without this the
     # whole shingle+hash pipeline runs once per side (2x measured cost at
     # 5k docs; fatal at 100 TB).
@@ -209,6 +196,133 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     # register the persisted subplan for cache.release() — long-lived
     # sessions calling this repeatedly must be able to free the blocks
     return track(pairs, banded)
+
+
+def lsh_bands(sig_df: DataFrame, id_col: str, num_hashes: int,
+              bands: int, hash_fn: str = "xxhash64",
+              sig_col: str = "minhash") -> DataFrame:
+    """(id, band_idx, band_hash) rows from a signature table.
+
+    Pure expression over the signature array, so it applies equally to
+    a freshly computed batch and to a signature store read back from
+    the lakehouse — the incremental-dedup path depends on both sides
+    banding identically.
+    """
+    rows_per_band = num_hashes // bands
+    band_hasher = F.md5 if hash_fn == "md5" else F.xxhash64
+    return sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                band_hasher(F.concat_ws(
+                    ",", *[F.col(sig_col)[b * rows_per_band + r].cast("string")
+                           for r in range(rows_per_band)]
+                )).cast("string")
+                for b in range(bands)
+            ])
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def sig_agreement(sig_a, sig_b, num_hashes: int):
+    """Estimated Jaccard from two MinHash signatures: the fraction of
+    agreeing slots (an unbiased estimator of true shingle Jaccard)."""
+    return (
+        F.aggregate(
+            F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+            F.lit(0), lambda acc, x: acc + x,
+        ) / F.lit(float(num_hashes))
+    )
+
+
+def incremental_lsh_dedup(new_df: DataFrame, sig_store: DataFrame | None,
+                          id_col: str, text_col: str,
+                          num_hashes: int = 32, bands: int = 8,
+                          shingle_n: int = 3, sim_threshold: float = 0.5,
+                          hash_fn: str = "xxhash64",
+                          ) -> tuple[DataFrame, DataFrame]:
+    """Dedup an ingest batch against an already-ingested corpus WITHOUT
+    re-reading the corpus — the 100 TB continuous-ingestion shape.
+
+    ``sig_store`` is the persisted signature table of everything
+    accepted so far: (id, minhash array), ~num_hashes longs per doc
+    (a few hundred bytes — the corpus text itself never participates).
+    Candidates come from LSH band collisions (new vs store, plus new vs
+    new); each candidate is then *verified* from signatures alone via
+    slot agreement >= ``sim_threshold``, the unbiased MinHash estimate
+    of shingle Jaccard. Among new-batch duplicates the lowest id wins;
+    any new doc matching the store is dropped. Ids must be unique
+    across store and batch.
+
+    Returns ``(accepted, accepted_sigs)``; append ``accepted_sigs`` to
+    the store (e.g. via the lakehouse sink) to ingest the next batch.
+    Re-merging an already-appended batch is harmless for dedup
+    correctness (its re-ingested twins would just be rejected).
+
+    Scale: per batch this is two equi-joins on (band_idx, band_hash)
+    whose build side is the NEW batch's bands (small), never the
+    store's full band table on the probe side of a shuffle — plus the
+    batch's internal self-join. Store bands derive from the signature
+    array on the fly (pure projection); at 100 TB the store is still
+    only ~0.1% the corpus bytes.
+    """
+    new_sigs = minhash_signature(
+        _parallelize_narrow(new_df.select(id_col, text_col)),
+        text_col, num_hashes, shingle_n, hash_fn=hash_fn,
+    ).select(id_col, "minhash").persist()
+    new_bands = lsh_bands(new_sigs, id_col, num_hashes, bands,
+                          hash_fn=hash_fn).persist()
+
+    def verified(cands: DataFrame, other_sigs: DataFrame) -> DataFrame:
+        """Candidate (new_id, other_id) pairs -> distinct new_id whose
+        signature agreement clears the threshold."""
+        a = new_sigs.select(F.col(id_col).alias("new_id"),
+                            F.col("minhash").alias("_sa"))
+        b = other_sigs.select(F.col(id_col).alias("other_id"),
+                              F.col("minhash").alias("_sb"))
+        return (
+            cands.join(a, "new_id").join(b, "other_id")
+            .filter(sig_agreement(F.col("_sa"), F.col("_sb"),
+                                  num_hashes) >= sim_threshold)
+            .select("new_id").distinct()
+        )
+
+    dropped = []
+    if sig_store is not None:
+        store_bands = lsh_bands(sig_store, id_col, num_hashes, bands,
+                                hash_fn=hash_fn)
+        cand_hist = (
+            new_bands.alias("a")
+            .join(store_bands.alias("b"),
+                  (F.col("a.band_idx") == F.col("b.band_idx"))
+                  & (F.col("a.band_hash") == F.col("b.band_hash")))
+            .select(F.col(f"a.{id_col}").alias("new_id"),
+                    F.col(f"b.{id_col}").alias("other_id"))
+            .distinct()
+        )
+        dropped.append(verified(cand_hist, sig_store))
+
+    cand_new = (
+        new_bands.alias("a")
+        .join(new_bands.alias("b"),
+              (F.col("a.band_idx") == F.col("b.band_idx"))
+              & (F.col("a.band_hash") == F.col("b.band_hash"))
+              & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("new_id"),
+                F.col(f"b.{id_col}").alias("other_id"))
+        .distinct()
+    )
+    dropped.append(verified(cand_new, new_sigs))
+
+    drop_ids = dropped[0]
+    for d in dropped[1:]:
+        drop_ids = drop_ids.unionAll(d)
+    drop_ids = drop_ids.withColumnRenamed("new_id", id_col).distinct()
+
+    accepted = track(new_df.join(drop_ids, id_col, "left_anti"),
+                     new_sigs, new_bands)
+    accepted_sigs = new_sigs.join(drop_ids, id_col, "left_anti")
+    return accepted, accepted_sigs
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
