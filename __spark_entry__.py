@@ -436,8 +436,8 @@ WHERE EXISTS (SELECT 1 FROM lineitem
 GROUP BY o_orderpriority
 """
 
-_Q17_CORRELATED = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+_Q17_CORRELATED = f"""
+SELECT ({_fp_sum(_c100('l_extendedprice'), 100)}) / 7.0 AS avg_yearly
 FROM lineitem l JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#23'
   AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem
@@ -462,19 +462,21 @@ FROM (
   FROM lineitem JOIN part ON l_partkey = p_partkey) t
 """
 
-_Q6_FORECAST = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-FROM lineitem
-WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
-  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+_Q6_FORECAST = f"""
+SELECT {_fp_sum('disc_u', 10000, 'revenue')}
+FROM (
+  SELECT {_c100('l_extendedprice')} * {_c100('l_discount')} AS disc_u
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24) t
 """
 
-_Q7_VOLUME = """
-SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+_Q7_VOLUME = f"""
+SELECT supp_nation, cust_nation, l_year, {_fp_sum('volume', 10000, 'revenue')}
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS BIGINT) AS l_year,
-         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+         {_REV_U} AS volume
   FROM supplier
   JOIN lineitem ON s_suppkey = l_suppkey
   JOIN orders ON o_orderkey = l_orderkey
@@ -529,25 +531,25 @@ LIMIT 20
 
 _Q18_HAVING = """
 SELECT o_orderkey, o_totalprice,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+       CAST(SUM(CAST(floor(l_quantity+0.5) AS BIGINT)) AS DOUBLE) AS total_qty
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderkey, o_totalprice
-HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+HAVING SUM(CAST(floor(l_quantity+0.5) AS BIGINT)) > 150
 """
 
-_Q19_DISJUNCTIVE = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+_Q19_DISJUNCTIVE = f"""
+SELECT {_fp_sum(_REV_U, 10000, 'revenue')}
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
    OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
    OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
 """
 
-_Q22_IDLE = """
+_Q22_IDLE = f"""
 SELECT COUNT(*) AS n_custs,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+       {_fp_sum(_c100('c_acctbal'), 100, 'total_bal')}
 FROM customer c
-WHERE c_acctbal > (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+WHERE c_acctbal > (SELECT ({_fp_sum(_c100('c_acctbal'), 100)}) / COUNT(*)
                    FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
 """
@@ -563,10 +565,10 @@ WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
 GROUP BY l_returnflag
 """
 
-_Q15_TOP_SUPPLIER = """
+_Q15_TOP_SUPPLIER = f"""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+         {_fp_sum(_REV_U, 10000, 'total_revenue')}
   FROM lineitem
   WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
   GROUP BY l_suppkey)
@@ -694,14 +696,15 @@ WHERE p_size <= 3
 GROUP BY p_partkey, s_suppkey, s_name, s_acctbal
 """
 
-_Q11_SHARE_HAVING = """
+_PQTY_U = (f"{_c100('l_extendedprice')}"
+           " * CAST(floor(l_quantity+0.5) AS BIGINT)")
+_Q11_SHARE_HAVING = f"""
 SELECT s_nationkey,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+       {_fp_sum(_PQTY_U, 100, 'value')}
 FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
 GROUP BY s_nationkey
-HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-     > (SELECT 0.04 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-        FROM lineitem)
+HAVING {_fp_sum(_PQTY_U, 100)}
+     > (SELECT 0.04 * ({_fp_sum(_PQTY_U, 100)}) FROM lineitem)
 """
 
 _Q20_NESTED_IN = """
@@ -712,7 +715,7 @@ WHERE s_suppkey IN (
   WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
     AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
   GROUP BY l_suppkey
-  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+  HAVING SUM(CAST(floor(l_quantity+0.5) AS BIGINT)) > 300)
 """
 
 # DuckDB replay of sampling._key_hash(hash_fn='md5'): first 8 md5 hex
@@ -1355,7 +1358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             li.rollup("l_returnflag", "l_linestatus")
             .agg(
                 F.count("*").alias("qtd"),
-                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+                F.sum(F.floor(F.col("l_quantity") + 0.5).cast("bigint"))
+                .cast("double").alias("sum_qty"),
             )
         )
 
@@ -2105,7 +2109,7 @@ def oracle_sql() -> dict[str, str]:
         "running_total_by_customer": _RUNNING_TOTAL,
         "rollup_lineitem": (
             "SELECT l_returnflag, l_linestatus, COUNT(*) AS qtd, "
-            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+            "CAST(SUM(CAST(floor(l_quantity+0.5) AS BIGINT)) AS DOUBLE) AS sum_qty "
             "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
         "sessionize_events": _SESSIONIZE_DUCK,
