@@ -129,6 +129,8 @@ Query key -> SURVEY §2 rows covered:
                             oracle-audited 5% accuracy
   incremental_dedup_new_docs  incremental LSH dedup of a batch against a
                             signature store (corpus text never re-read)
+  dedup_canonical_docs      quality-aware canonicalization: best doc per
+                            near-dup cluster (components + argmax)
 """
 
 from __future__ import annotations
@@ -1755,6 +1757,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("group_size").cast("bigint")
                           .alias("group_size"))
 
+    def canonical_docs(spark, sf_dir):
+        """Quality-aware canonicalization: collapse near-dup clusters
+        (ngram-Jaccard edges -> connected components) and keep the
+        highest-quality doc per cluster, ties to the lowest id."""
+        docs = _t(spark, sf_dir, "documents")
+        edges = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                          shingle_n=3, threshold=0.5)
+        comp = dedup.connected_components(edges, nodes=docs,
+                                          node_col="doc_id")
+        scored = spark.sql(_TEXT_QUALITY_TEMPLATE.format(
+            n_tok=_SPARK_NTOK, quality=_QUALITY_EXPR_SPARK,
+            punct_re=_SPARK_PUNCT_RE, g_flag=""))
+        return dedup.canonical_per_cluster(
+            comp, scored, id_col="doc_id", score_col="quality")
+
     def incremental_dedup(spark, sf_dir):
         """Incremental LSH dedup: even doc_ids are the already-ingested
         corpus (present only as a signature store), odd doc_ids are the
@@ -1979,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_violations": k_anon,
         "sketch_distinct_rollup": sketch_rollup,
         "incremental_dedup_new_docs": incremental_dedup,
+        "dedup_canonical_docs": canonical_docs,
     }
 
 
@@ -2282,6 +2300,16 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
         "incremental_dedup_new_docs": _INCR_DEDUP_DUCK,
+        "dedup_canonical_docs": f"""
+WITH comp AS ({_COMPONENTS_DUCK}),
+q AS ({_TEXT_QUALITY_TEMPLATE.format(
+    n_tok=_DUCK_NTOK, quality=_QUALITY_EXPR_SPARK,
+    punct_re=_DUCK_PUNCT_RE, g_flag=", 'g'")})
+SELECT c.component, c.node AS doc_id, q.quality
+FROM comp c JOIN q ON q.doc_id = c.node
+QUALIFY row_number() OVER (PARTITION BY c.component
+                           ORDER BY q.quality DESC, c.node) = 1
+""",
         "token_budget_sample": f"""
 WITH d AS (
   SELECT source, doc_id,

@@ -576,6 +576,39 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     return labels.select("node", F.col("label").alias("component"))
 
 
+def canonical_per_cluster(components: DataFrame, scored: DataFrame,
+                          id_col: str, score_col: str,
+                          node_col: str = "node",
+                          comp_col: str = "component") -> DataFrame:
+    """Pick one representative per dedup cluster: highest ``score_col``
+    wins, ties break to the lowest id — the "keep the best copy, not an
+    arbitrary one" step after :func:`connected_components` (quality-
+    aware canonicalization; min-id keep is what you get if ``scored``
+    carries a constant score).
+
+    ``scored`` is (id, score) — typically the quality-score projection
+    of the corpus. Returns (component, id, score) of the winners; one
+    row per cluster, singletons included.
+
+    Scale: one equi-join on node id + one row_number window keyed on
+    the component label. Cluster sizes bound the window partitions and
+    near-dup clusters are small by construction, so no skew guard is
+    needed beyond AQE.
+    """
+    from pyspark.sql import Window
+
+    joined = components.join(
+        scored, components[node_col] == scored[id_col]
+    ).select(comp_col, F.col(id_col), F.col(score_col))
+    w = Window.partitionBy(comp_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    return (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
 def simhash(df: DataFrame, text_col: str, bits: int = 64,
             out_col: str = "simhash", hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document, expression-only.
