@@ -146,7 +146,8 @@ def partition_stats(spark: SparkSession, path: str) -> DataFrame:
 def compact_partitions(spark: SparkSession, path: str,
                        target_file_bytes: int = 128 * 1024 * 1024,
                        sort_cols: list[str] | None = None,
-                       small_file_bytes: int | None = None) -> int:
+                       small_file_bytes: int | None = None,
+                       zorder: bool = False) -> int:
     """Rewrite fragmented partitions into ~``target_file_bytes`` files
     (the OPTIMIZE/compaction maintenance pass every append-heavy
     lakehouse needs; with ``sort_cols`` it is OPTIMIZE ... ZORDER's
@@ -192,7 +193,19 @@ def compact_partitions(spark: SparkSession, path: str,
         frag = df  # unpartitioned: the whole table is the rewrite unit
 
     total_buckets = max(1, sum(-(-b // target_file_bytes) for _rel, b in stats))
-    if sort_cols:
+    if sort_cols and zorder and len(sort_cols) > 1:
+        # multi-column skipping: Morton-interleave the sort cols so
+        # every one of them gets partially tight footer stats
+        # (operators/zorder.py; Delta OPTIMIZE ZORDER semantics)
+        from pipelines_rj_sms_spark.operators.zorder import zorder_key
+
+        frag = frag.withColumn("_zkey", zorder_key(frag, sort_cols))
+        cluster = [F.col(c) for c in part_cols] + [F.col("_zkey")]
+        frag = (frag.repartitionByRange(total_buckets, *cluster)
+                .sortWithinPartitions(*part_cols, "_zkey").drop("_zkey"))
+        writer = (frag.write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic"))
+    elif sort_cols:
         # range-partition on (partition cols, sort cols): files come out
         # with non-overlapping sort-key ranges — footer min/max stats
         # then let scans skip whole files (ZORDER's 1-D analog)
