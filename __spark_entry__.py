@@ -131,6 +131,8 @@ Query key -> SURVEY §2 rows covered:
                             signature store (corpus text never re-read)
   dedup_canonical_docs      quality-aware canonicalization: best doc per
                             near-dup cluster (components + argmax)
+  similarity_pq_adc         ANN: product-quantization ADC scan (codes +
+                            lookup table; embeddings never rescanned)
 """
 
 from __future__ import annotations
@@ -1757,6 +1759,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("group_size").cast("bigint")
                           .alias("group_size"))
 
+    def similarity_pq(spark, sf_dir):
+        """PQ/ADC ANN with deterministic codebook (subvectors of the
+        first 4 embeddings per subspace) so encode + lookup-table
+        scoring get an exact DuckDB oracle; the k-means trainer
+        (train_pq_codebook) is unit-tested separately."""
+        emb = _t(spark, sf_dir, "embeddings")
+        qv = _embedding_query_vec(spark, sf_dir)
+        rows = (emb.filter(F.col("vec_id") < 4).orderBy("vec_id")
+                .select("embedding").collect())
+        m, sub = 4, len(rows[0][0]) // 4
+        book = [
+            [[float(x) for x in r[0][j * sub:(j + 1) * sub]] for r in rows]
+            for j in range(m)
+        ]
+        codes = similarity.pq_encode(emb, book)
+        return similarity.pq_adc_top_k(codes, book, qv, k=10, round_to=6)
+
     def canonical_docs(spark, sf_dir):
         """Quality-aware canonicalization: collapse near-dup clusters
         (ngram-Jaccard edges -> connected components) and keep the
@@ -1997,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct_rollup": sketch_rollup,
         "incremental_dedup_new_docs": incremental_dedup,
         "dedup_canonical_docs": canonical_docs,
+        "similarity_pq_adc": similarity_pq,
     }
 
 
@@ -2300,6 +2320,32 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
         "incremental_dedup_new_docs": _INCR_DEDUP_DUCK,
+        "similarity_pq_adc": """
+WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS c, v FROM vs WHERE vec_id < 4),
+subs AS (SELECT unnest(range(4)) AS j),
+q AS (SELECT v AS qv FROM vs WHERE vec_id = 0),
+enc AS (
+  SELECT vs.vec_id, subs.j, cents.c,
+         list_sum(list_transform(range(16),
+           i -> (vs.v[subs.j*16 + i + 1] - cents.v[subs.j*16 + i + 1])
+              * (vs.v[subs.j*16 + i + 1] - cents.v[subs.j*16 + i + 1]))) AS d
+  FROM vs CROSS JOIN subs CROSS JOIN cents),
+code AS (
+  SELECT vec_id, j, c FROM enc
+  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1),
+lut AS (
+  SELECT cents.c, subs.j,
+         list_sum(list_transform(range(16),
+           i -> cents.v[subs.j*16 + i + 1] * q.qv[subs.j*16 + i + 1])) AS ip
+  FROM cents CROSS JOIN subs, q),
+score AS (
+  SELECT code.vec_id, sum(lut.ip) AS s
+  FROM code JOIN lut ON code.j = lut.j AND code.c = lut.c
+  GROUP BY 1)
+SELECT vec_id, round(s, 6) AS approx_dot
+FROM score ORDER BY round(s, 6) DESC, vec_id LIMIT 10
+""",
         "dedup_canonical_docs": f"""
 WITH comp AS ({_COMPONENTS_DUCK}),
 q AS ({_TEXT_QUALITY_TEMPLATE.format(

@@ -16,6 +16,10 @@ Scale notes:
 
 from __future__ import annotations
 
+# module-level so pyspark can resolve stringified `pd.Series` type
+# hints of pandas UDFs against these globals
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -256,3 +260,139 @@ def batch_top_k(corpus: DataFrame, queries: DataFrame, k: int = 10,
         out = out.select(query_id_col, id_col,
                          F.round("cosine_sim", round_to).alias("cosine_sim"))
     return out
+
+
+# ------------------------------------------------------- product quantization
+
+def train_pq_codebook(df: DataFrame, vec_col: str = "embedding",
+                      m: int = 8, ksub: int = 16, iters: int = 10,
+                      sample: int = 10_000, seed: int = 42,
+                      ) -> list[list[list[float]]]:
+    """PQ codebook: independent L2 k-means per subspace on a bounded
+    driver sample (the FAISS training recipe — same cost class as
+    train_ivf_centroids). Returns codebook[j] = ksub centroids of
+    dim/m floats each. Encoding and scoring (the data-sized steps)
+    stay distributed.
+    """
+    import numpy as np
+
+    n = df.count()
+    frac = min(1.0, sample / max(n, 1))
+    rows = (df.sample(frac, seed=seed) if frac < 1.0 else df) \
+        .select(vec_col).limit(sample).collect()
+    x = np.array([[float(v) for v in r[0]] for r in rows])
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    book: list[list[list[float]]] = []
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        cents = xs[rng.choice(len(xs), size=min(ksub, len(xs)),
+                              replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        book.append([[float(v) for v in c] for c in cents])
+    return book
+
+
+def pq_encode(df: DataFrame, codebook: list[list[list[float]]],
+              vec_col: str = "embedding",
+              code_col: str = "pq_code") -> DataFrame:
+    """Expression-only PQ encode: per subspace, argmin L2 over the
+    centroid literals (ties -> lowest code). The codebook is a plan
+    constant, so the whole encode is one codegen'd projection — right
+    for small/medium ksub; for production-sized books (ksub=256) use
+    :func:`pq_encode_pandas`, the Arrow-vectorized twin.
+
+    Codes are ~m bytes per vector vs 4*dim for the raw floats — the
+    compressed corpus an ADC scan reads instead of embeddings.
+    """
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    vec = F.col(vec_col).cast("array<double>")
+
+    def code_for(j: int):
+        subvec = F.slice(vec, j * sub + 1, sub)
+        cands = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(subvec, F.array(*[F.lit(v) for v in c]),
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, v: acc + v,
+                ).alias("d"),
+                F.lit(ci).alias("c"),
+            )
+            for ci, c in enumerate(codebook[j])
+        ])
+        return F.array_min(cands)["c"]
+
+    return df.withColumn(code_col, F.array(*[code_for(j) for j in range(m)]))
+
+
+def pq_encode_pandas(df: DataFrame, codebook: list[list[list[float]]],
+                     vec_col: str = "embedding",
+                     code_col: str = "pq_code") -> DataFrame:
+    """Arrow-vectorized PQ encode for production-sized codebooks: numpy
+    argmin per batch (the sanctioned slow path — one python hop, all
+    math vectorized). Semantics identical to :func:`pq_encode`."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    book = [np.array(b) for b in codebook]
+    m = len(book)
+    sub = book[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            xs = x[:, j * sub:(j + 1) * sub]
+            d2 = ((xs[:, None, :] - book[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(code_col, encode(F.col(vec_col).cast("array<double>")))
+
+
+def pq_adc_top_k(df: DataFrame, codebook: list[list[list[float]]],
+                 query_vec: list[float], k: int = 10,
+                 id_col: str = "vec_id",
+                 code_col: str = "pq_code",
+                 round_to: int | None = None) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query builds one
+    m x ksub inner-product lookup table (driver-side, tiny); each row's
+    approximate dot product is m table lookups — the corpus scan reads
+    only the codes, never the embeddings. Returns (id, approx_dot)
+    ordered desc, ties to the id.
+    """
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    lut = [
+        [sum(c[i] * query_vec[j * sub + i] for i in range(sub))
+         for c in codebook[j]]
+        for j in range(m)
+    ]
+    score = None
+    for j in range(m):
+        term = F.element_at(F.array(*[F.lit(v) for v in lut[j]]),
+                            F.col(code_col)[j] + 1)
+        score = term if score is None else score + term
+    # PQ scores are heavily tied (ksub^m distinct values at most), so
+    # round BEFORE ordering when the caller wants reproducible output:
+    # ties then break purely on the id, immune to last-ulp summation
+    # differences across engines/partitionings
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (
+        df.select(id_col, score.alias("approx_dot"))
+        .orderBy(F.col("approx_dot").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
