@@ -164,3 +164,70 @@ def run_stream_once(query: StreamingQuery, timeout_s: int = 300) -> None:
     query.awaitTermination(timeout_s)
     if query.isActive:
         query.stop()
+
+
+def stream_corpus_dedup(stream_df: DataFrame, out_path: str,
+                        store_path: str, checkpoint_path: str,
+                        id_col: str, text_col: str,
+                        num_hashes: int = 32, bands: int = 8,
+                        sim_threshold: float = 0.5,
+                        hash_fn: str = "xxhash64",
+                        available_now: bool = True) -> StreamingQuery:
+    """Streaming corpus ingestion with cross-batch NEAR-dup dedup.
+
+    `stream_dedup` (watermarked dropDuplicates) removes exact key
+    repeats within the watermark; this operator removes *near*
+    duplicates against everything ever accepted, with no watermark
+    horizon: each micro-batch runs `dedup.incremental_lsh_dedup`
+    against the persisted signature store at ``store_path``, appends
+    survivors to ``out_path`` and their signatures to the store. State
+    is the store itself — ~a few hundred bytes per accepted doc, the
+    corpus text never re-read (the 100 TB continuous-curation shape).
+
+    Effectively-once without a transactional table format, via write
+    ordering + batch-id partitioning:
+    - accepted docs land in an ``_ingest_batch=<id>`` partition with
+      DYNAMIC overwrite — a replayed batch rewrites its own partition
+      instead of appending twice;
+    - signatures append AFTER the docs. Crash before the sig write ->
+      replay recomputes the identical accepted set (store unchanged)
+      and overwrites the same partition. Crash after it -> replay
+      rejects every doc as its own store duplicate, produces an empty
+      accepted set, and dynamic overwrite of an empty frame touches no
+      partitions — prior output stands, and no duplicate sigs append
+      (the rejected docs' sigs are filtered from accepted_sigs too).
+    Ids must be unique across batches, as in incremental_lsh_dedup.
+    """
+    from pipelines_rj_sms_spark.operators.cache import release
+    from pipelines_rj_sms_spark.operators.dedup import incremental_lsh_dedup
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            store = spark.read.parquet(store_path)
+        except Exception:
+            store = None
+        accepted, sigs = incremental_lsh_dedup(
+            batch_df, store, id_col, text_col,
+            num_hashes=num_hashes, bands=bands,
+            sim_threshold=sim_threshold, hash_fn=hash_fn)
+        sigs = sigs.persist()
+        sigs.count()  # pin before the store it reads is appended to
+        (accepted.withColumn("_ingest_batch", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_ingest_batch").parquet(out_path))
+        sigs.write.mode("append").parquet(store_path)
+        sigs.unpersist()
+        release(accepted)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -104,3 +104,53 @@ def test_lsh_bands_pure_projection_roundtrip(spark, tmp_path):
     a = set(map(tuple, lsh_bands(sigs, "doc_id", 16, 8).collect()))
     b = set(map(tuple, lsh_bands(back, "doc_id", 16, 8).collect()))
     assert a == b and len(a) == 16
+
+
+def test_stream_corpus_dedup_end_to_end(spark, tmp_path):
+    """Two paced microbatches with near-dup overlap, then a second
+    stream run re-ingesting similar content: survivors accumulate
+    exactly once, the store carries only accepted signatures."""
+    import json
+
+    from pipelines_rj_sms_spark.streaming.incremental import (
+        run_stream_once, stream_corpus_dedup)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: one unique doc + an internal near-dup pair
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in [
+        {"doc_id": 1, "text": TXT},
+        {"doc_id": 2, "text": NEAR},      # near-dup of 1 -> dropped
+        {"doc_id": 3, "text": OTHER},
+    ]))
+    # batch 2 (second file): re-sends TXT content under a new id
+    (src / "b.json").write_text(json.dumps(
+        {"doc_id": 10, "text": TXT}))
+
+    out, store, ck = (str(tmp_path / "out"), str(tmp_path / "store"),
+                      str(tmp_path / "ck"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    q = stream_corpus_dedup(
+        stream, out, store, ck, "doc_id", "text",
+        num_hashes=16, bands=8, sim_threshold=0.5)
+    run_stream_once(q)
+
+    accepted = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert accepted == {1, 3}
+    sig_ids = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+    assert sig_ids == {1, 3}
+
+    # a later run (fresh checkpoint, new ids, same content) rejects all
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    (src2 / "c.json").write_text("\n".join(json.dumps(r) for r in [
+        {"doc_id": 20, "text": TXT}, {"doc_id": 21, "text": OTHER}]))
+    stream2 = (spark.readStream.schema("doc_id long, text string")
+               .json(str(src2)))
+    q2 = stream_corpus_dedup(
+        stream2, out, store, str(tmp_path / "ck2"), "doc_id", "text",
+        num_hashes=16, bands=8, sim_threshold=0.5)
+    run_stream_once(q2)
+    accepted2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert accepted2 == {1, 3}  # nothing new survived
