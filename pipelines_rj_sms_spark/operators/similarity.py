@@ -396,3 +396,29 @@ def pq_adc_top_k(df: DataFrame, codebook: list[list[list[float]]],
         .orderBy(F.col("approx_dot").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_pq_top_k(df: DataFrame, centroids: list[list[float]],
+                 codebook: list[list[list[float]]],
+                 query_vec: list[float], k: int = 10, nprobe: int = 4,
+                 id_col: str = "vec_id", cell_col: str = "ivf_cell",
+                 code_col: str = "pq_code",
+                 round_to: int | None = None) -> DataFrame:
+    """IVFADC: the classic two-level ANN layout — IVF cells prune the
+    candidate set (partition pruning when the corpus is written
+    partitioned by cell), then the ADC lookup-table scan scores PQ
+    codes. ``df`` carries ``cell_col`` and ``code_col`` precomputed at
+    write time (assign_ivf_cells + pq_encode); neither step re-reads
+    embeddings at query time.
+    """
+    import math
+
+    qn = math.sqrt(sum(v * v for v in query_vec))
+    sims = []
+    for i, c in enumerate(centroids):
+        cn = math.sqrt(sum(v * v for v in c))
+        sims.append((sum(a * b for a, b in zip(c, query_vec)) / (cn * qn), i))
+    probe_cells = [i for _, i in sorted(sims, reverse=True)[:nprobe]]
+    return pq_adc_top_k(
+        df.filter(F.col(cell_col).isin(probe_cells)), codebook,
+        query_vec, k, id_col=id_col, code_col=code_col, round_to=round_to)

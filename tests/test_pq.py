@@ -85,3 +85,30 @@ def test_codes_compress_the_scan(emb, book):
     assert set(out.columns) == {"vec_id", "approx_dot"}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivfadc_composes_and_prunes(spark, emb, book):
+    """IVFADC: results come only from probed cells, and the scan input
+    is (id, cell, codes) — embeddings pruned."""
+    from pipelines_rj_sms_spark.operators.similarity import (
+        assign_ivf_cells, ivf_pq_top_k)
+
+    rows = (emb.filter("vec_id < 8").orderBy("vec_id")
+            .select("embedding").collect())
+    cents = [[float(x) for x in r[0]] for r in rows]
+    qv = [float(x) for x in
+          emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    prepared = pq_encode(assign_ivf_cells(emb, cents), book) \
+        .select("vec_id", "ivf_cell", "pq_code")
+    out = ivf_pq_top_k(prepared, cents, book, qv, k=10, nprobe=3)
+    got = out.collect()
+    assert 0 < len(got) <= 10
+    # every hit sits in one of the 3 probed cells
+    cell_of = {r["vec_id"]: r["ivf_cell"] for r in prepared.collect()}
+    probed = {cell_of[r["vec_id"]] for r in got}
+    assert len(probed) <= 3
+    # full-probe IVFADC == plain ADC (pruning, not a different metric)
+    full = ivf_pq_top_k(prepared, cents, book, qv, k=10, nprobe=8)
+    plain = pq_adc_top_k(prepared, book, qv, k=10)
+    assert [r["vec_id"] for r in full.collect()] == \
+        [r["vec_id"] for r in plain.collect()]
