@@ -333,8 +333,11 @@ SELECT id_a, id_b, inter / (n_a + n_b - inter) AS jaccard
 FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.5
 """
 
+# four 32-bit slots per md5 call (seed group i//4, hex offset i%4),
+# mirroring dedup.minhash_signature's sliced md5 family
 _MINHASH_SLOTS_DUCK = ",\n  ".join(
-    f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS m{i}" for i in range(8)
+    f"list_min(list_transform(s, x -> substr(md5('{i // 4}:' || x), "
+    f"{1 + 8 * (i % 4)}, 8))) AS m{i}" for i in range(8)
 )
 _MINHASH_DUCK = f"""
 WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
