@@ -4,5 +4,7 @@ from pipelines_rj_sms_spark.operators import (  # noqa: F401
     joins,
     multimodal,
     similarity,
+    sketches,
     windows,
+    zorder,
 )
