@@ -133,6 +133,9 @@ Query key -> SURVEY §2 rows covered:
                             near-dup cluster (components + argmax)
   similarity_pq_adc         ANN: product-quantization ADC scan (codes +
                             lookup table; embeddings never rescanned)
+  replay_stream_event_counts  true Structured Streaming execution (replay
+                            source, paced microbatches, complete mode)
+                            hash-matched against the batch oracle
 """
 
 from __future__ import annotations
@@ -1779,6 +1782,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         codes = similarity.pq_encode(emb, book)
         return similarity.pq_adc_top_k(codes, book, qv, k=10, round_to=6)
 
+    def replay_stream_counts(spark, sf_dir):
+        """TRUE streaming execution under the correctness gate: the
+        events table replays through the Python streaming source
+        (sources/pyds.ReplayDataSource) in paced microbatches into a
+        complete-mode aggregation; the final state must hash-match the
+        DuckDB batch aggregate. Sums use exact integer fixed-point so
+        the result is independent of microbatch partial-agg order."""
+        import tempfile
+
+        from pipelines_rj_sms_spark.sources.pyds import ReplayDataSource
+
+        spark.dataSource.register(ReplayDataSource)
+        stream = (spark.readStream.format("replay")
+                  .option("rowsPerBatch", 4000)
+                  .load(os.path.join(sf_dir, "events.parquet")))
+        agg = stream.groupBy("event_type").agg(
+            F.count("*").alias("qtd"),
+            (F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5))
+                   .cast("bigint")).cast("double") / 1000000.0)
+            .alias("total_value"))
+        ck = tempfile.mkdtemp(prefix="replay_gate_ck_")
+        q = (agg.writeStream.format("memory")
+             .queryName("replay_stream_gate")
+             .option("checkpointLocation", ck)
+             .outputMode("complete").start())
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        return spark.table("replay_stream_gate")
+
     def canonical_docs(spark, sf_dir):
         """Quality-aware canonicalization: collapse near-dup clusters
         (ngram-Jaccard edges -> connected components) and keep the
@@ -2020,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_new_docs": incremental_dedup,
         "dedup_canonical_docs": canonical_docs,
         "similarity_pq_adc": similarity_pq,
+        "replay_stream_event_counts": replay_stream_counts,
     }
 
 
@@ -2323,6 +2357,12 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
         "incremental_dedup_new_docs": _INCR_DEDUP_DUCK,
+        "replay_stream_event_counts": """
+SELECT event_type, count(*) AS qtd,
+       CAST(SUM(CAST(floor(value*1000000+0.5) AS BIGINT)) AS DOUBLE)
+       / 1000000.0 AS total_value
+FROM events GROUP BY event_type
+""",
         "similarity_pq_adc": """
 WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cents AS (SELECT vec_id AS c, v FROM vs WHERE vec_id < 4),
