@@ -136,6 +136,9 @@ Query key -> SURVEY §2 rows covered:
   replay_stream_event_counts  true Structured Streaming execution (replay
                             source, paced microbatches, complete mode)
                             hash-matched against the batch oracle
+  doc_chunks_sliding        pretraining context chunker: sliding token
+                            windows (size 64 / stride 48), one narrow
+                            projection
 """
 
 from __future__ import annotations
@@ -1782,6 +1785,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         codes = similarity.pq_encode(emb, book)
         return similarity.pq_adc_top_k(codes, book, qv, k=10, round_to=6)
 
+    def doc_chunks(spark, sf_dir):
+        """Sliding context windows (64 tokens, stride 48): the
+        pretraining chunker as one narrow projection."""
+        docs = _t(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id", F.inline(text.token_chunks("text", size=64, stride=48)))
+
     def replay_stream_counts(spark, sf_dir):
         """TRUE streaming execution under the correctness gate: the
         events table replays through the Python streaming source
@@ -2054,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_docs": canonical_docs,
         "similarity_pq_adc": similarity_pq,
         "replay_stream_event_counts": replay_stream_counts,
+        "doc_chunks_sliding": doc_chunks,
     }
 
 
@@ -2362,6 +2373,17 @@ SELECT event_type, count(*) AS qtd,
        CAST(SUM(CAST(floor(value*1000000+0.5) AS BIGINT)) AS DOUBLE)
        / 1000000.0 AS total_value
 FROM events GROUP BY event_type
+""",
+        "doc_chunks_sliding": f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+st AS (SELECT doc_id, t,
+              unnest(range(1, greatest(len(t), 1) + 1, 48)) AS s
+       FROM toks)
+SELECT doc_id,
+       CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+       array_to_string(t[s : s + 63], ' ') AS chunk_text,
+       CAST(len(t[s : s + 63]) AS BIGINT) AS n_tokens
+FROM st
 """,
         "similarity_pq_adc": """
 WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

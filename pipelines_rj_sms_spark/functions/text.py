@@ -231,3 +231,41 @@ def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4,
 
     idx = F.sequence(F.lit(1), F.greatest(F.length(c) - k + 1, F.lit(1)))
     return _bind(F.transform(idx, gram_hash), build)
+
+
+def token_chunks(col: Column | str, size: int, stride: int | None = None,
+                 id_within: str = "chunk_idx",
+                 text_out: str = "chunk_text") -> Column:
+    """Sliding token windows over a document — the pretraining context
+    chunker (size tokens per chunk, step ``stride``; stride < size
+    gives overlapping windows, stride == size is plain chunking).
+
+    Returns an array of structs (chunk_idx, chunk_text, n_tokens) to be
+    ``inline``d / exploded by the caller: expression-only, so a corpus
+    chunking pass is one narrow projection — no shuffle, no Python.
+    The final window may be shorter than ``size``; every token lands in
+    at least one chunk.
+    """
+    if stride is None:
+        stride = size
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    t = tokens(col)
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+
+        # two-arg lambda IS the (element, index) form — deliberately:
+        # the array index is the chunk number
+        def chunk(s: Column, i: Column) -> Column:
+            piece = F.slice(toks, s, size)
+            return F.struct(
+                i.cast("long").alias(id_within),
+                F.array_join(piece, " ").alias(text_out),
+                F.size(piece).cast("long").alias("n_tokens"),
+            )
+
+        return F.transform(starts, chunk)
+
+    return _bind(t, build)

@@ -146,3 +146,35 @@ def test_dup_token_fraction_and_bigrams(spark):
                                             "differ here"]
     assert got[2].d == 0.0 and got[2].b == []
     assert got[3].d == 0.0 and got[3].b == []
+
+
+def test_token_chunks_sliding_windows(spark):
+    from pipelines_rj_sms_spark.functions.text import token_chunks
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "")], ["doc_id", "text"])
+    out = (df.select("doc_id", F.inline(token_chunks("text", size=3, stride=2)))
+           .collect())
+    got = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+           for r in out}
+    # doc 1: 7 tokens, starts 1,3,5,7
+    assert got[(1, 0)] == ("a b c", 3)
+    assert got[(1, 1)] == ("c d e", 3)
+    assert got[(1, 2)] == ("e f g", 3)
+    assert got[(1, 3)] == ("g", 1)          # short tail window
+    assert got[(2, 0)] == ("x y", 2)
+    assert got[(3, 0)] == ("", 0)           # empty doc -> one empty chunk
+    # every token of doc 1 is covered at least once
+    covered = " ".join(got[(1, i)][0] for i in range(4)).split()
+    assert set(covered) == set("abcdefg")
+
+
+def test_token_chunks_validates_args(spark):
+    import pytest as _pytest
+
+    from pipelines_rj_sms_spark.functions.text import token_chunks
+    with _pytest.raises(ValueError):
+        token_chunks("text", size=0)
+    with _pytest.raises(ValueError):
+        token_chunks("text", size=4, stride=-1)
