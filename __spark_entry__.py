@@ -139,6 +139,8 @@ Query key -> SURVEY §2 rows covered:
   doc_chunks_sliding        pretraining context chunker: sliding token
                             windows (size 64 / stride 48), one narrow
                             projection
+  dense_row_ids             consecutive global ids in key order with NO
+                            single-partition window (zipWithIndex shape)
 """
 
 from __future__ import annotations
@@ -1785,6 +1787,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         codes = similarity.pq_encode(emb, book)
         return similarity.pq_adc_top_k(codes, book, qv, k=10, round_to=6)
 
+    def dense_ids(spark, sf_dir):
+        """Consecutive global row ids in key order WITHOUT the
+        single-partition window (range partition + offset join; the
+        plan-discipline test pins the absence of SinglePartition)."""
+        from pipelines_rj_sms_spark.operators.ids import dense_global_ids
+        orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+        return dense_global_ids(orders, ["o_orderkey"], num_partitions=8)
+
     def doc_chunks(spark, sf_dir):
         """Sliding context windows (64 tokens, stride 48): the
         pretraining chunker as one narrow projection."""
@@ -2065,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_pq_adc": similarity_pq,
         "replay_stream_event_counts": replay_stream_counts,
         "doc_chunks_sliding": doc_chunks,
+        "dense_row_ids": dense_ids,
     }
 
 
@@ -2385,6 +2396,10 @@ SELECT doc_id,
        CAST(len(t[s : s + 63]) AS BIGINT) AS n_tokens
 FROM st
 """,
+        "dense_row_ids": (
+            "SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey)"
+            " - 1 AS BIGINT) AS row_id FROM orders"
+        ),
         "similarity_pq_adc": """
 WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cents AS (SELECT vec_id AS c, v FROM vs WHERE vec_id < 4),
