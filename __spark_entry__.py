@@ -141,6 +141,9 @@ Query key -> SURVEY §2 rows covered:
                             projection
   dense_row_ids             consecutive global ids in key order with NO
                             single-partition window (zipWithIndex shape)
+  sketch_user_overlap       pairwise segment-intersection estimates from
+                            HLL sketches (inclusion-exclusion), oracle-
+                            audited 10% accuracy
 """
 
 from __future__ import annotations
@@ -1787,6 +1790,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         codes = similarity.pq_encode(emb, book)
         return similarity.pq_adc_top_k(codes, book, qv, k=10, round_to=6)
 
+    def sketch_overlap(spark, sf_dir):
+        """Pairwise shared-user estimates between event types from
+        per-type HLL sketches (inclusion-exclusion over register
+        merges — raw data never re-scanned for any pair). The oracle
+        hash-verifies the exact intersections AND that every estimate
+        lands within 10% of exact."""
+        from pipelines_rj_sms_spark.operators.sketches import (
+            build_sketches, pairwise_overlap)
+        ev = _t(spark, sf_dir, "events")
+        sk = build_sketches(ev, ["event_type"], "user_id", lg_k=12)
+        est = pairwise_overlap(sk, "event_type")
+        t = ev.select("event_type", "user_id").distinct()
+        exact = (
+            t.alias("a").join(
+                t.alias("b"),
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.col("a.event_type") < F.col("b.event_type")))
+            .groupBy(F.col("a.event_type").alias("key_a"),
+                     F.col("b.event_type").alias("key_b"))
+            .agg(F.count("*").alias("exact_overlap"))
+        )
+        rel = (F.abs(F.col("overlap_estimate") - F.col("exact_overlap"))
+               / F.col("exact_overlap"))
+        return (est.join(exact, ["key_a", "key_b"])
+                .select("key_a", "key_b", "exact_overlap",
+                        (rel <= 0.1).alias("within_tolerance")))
+
     def dense_ids(spark, sf_dir):
         """Consecutive global row ids in key order WITHOUT the
         single-partition window (range partition + offset join; the
@@ -2076,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replay_stream_event_counts": replay_stream_counts,
         "doc_chunks_sliding": doc_chunks,
         "dense_row_ids": dense_ids,
+        "sketch_user_overlap": sketch_overlap,
     }
 
 
@@ -2400,6 +2431,17 @@ FROM st
             "SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey)"
             " - 1 AS BIGINT) AS row_id FROM orders"
         ),
+        # within_tolerance asserted true: inclusion-exclusion estimates
+        # drifting past 10% of exact flip the hash red
+        "sketch_user_overlap": """
+WITH t AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT a.event_type AS key_a, b.event_type AS key_b,
+       CAST(count(*) AS BIGINT) AS exact_overlap,
+       true AS within_tolerance
+FROM t a JOIN t b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+""",
         "similarity_pq_adc": """
 WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cents AS (SELECT vec_id AS c, v FROM vs WHERE vec_id < 4),

@@ -109,3 +109,36 @@ def test_sketch_plan_is_two_hash_aggregates(spark, events):
         ["event_type"])._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_pairwise_overlap_inclusion_exclusion(spark, events):
+    from pipelines_rj_sms_spark.operators.sketches import pairwise_overlap
+
+    sk = build_sketches(events, ["event_type"], "user_id")
+    est = {(r["key_a"], r["key_b"]): r["overlap_estimate"]
+           for r in pairwise_overlap(sk, "event_type").collect()}
+    t = events.select("event_type", "user_id").distinct()
+    exact = {(r["a"], r["b"]): r["n"] for r in
+             t.alias("x").join(
+                 t.alias("y"),
+                 (F.col("x.user_id") == F.col("y.user_id"))
+                 & (F.col("x.event_type") < F.col("y.event_type")))
+             .groupBy(F.col("x.event_type").alias("a"),
+                      F.col("y.event_type").alias("b"))
+             .agg(F.count("*").alias("n")).collect()}
+    assert set(est) >= set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n <= 0.1, (k, est[k], n)
+
+
+def test_pairwise_overlap_disjoint_sets_near_zero(spark):
+    from pipelines_rj_sms_spark.operators.sketches import (
+        build_sketches as bs, pairwise_overlap as po)
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(200)] + [("b", 1000 + i) for i in range(200)],
+        ["seg", "uid"])
+    sk = bs(df, ["seg"], "uid")
+    row = po(sk, "seg").collect()[0]
+    # disjoint segments: estimate must be tiny relative to set sizes
+    assert row["overlap_estimate"] <= 10
