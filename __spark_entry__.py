@@ -144,6 +144,8 @@ Query key -> SURVEY §2 rows covered:
   sketch_user_overlap       pairwise segment-intersection estimates from
                             HLL sketches (inclusion-exclusion), oracle-
                             audited 10% accuracy
+  similarity_lsh_multiprobe ANN: multi-probe hyperplane LSH (query
+                            bucket + Hamming-1 neighbors)
 """
 
 from __future__ import annotations
@@ -416,7 +418,7 @@ from pipelines_rj_sms_spark.operators.similarity import _hyperplanes  # noqa: E4
 _PLANES = _hyperplanes(64, 8, seed=42)
 
 
-def _duck_planes_sql() -> str:
+def _duck_planes_sql(multiprobe: bool = False) -> str:
     def lit(p: list[float]) -> str:
         return "[" + ", ".join(repr(x) for x in p) + "]"
 
@@ -428,6 +430,14 @@ def _duck_planes_sql() -> str:
         f"(CASE WHEN list_dot_product(qv, {lit(p)}) > 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(_PLANES)
     )
+    if multiprobe:
+        # query bucket + every Hamming-1 neighbor (xor one plane bit)
+        where = " OR ".join(
+            ["bucket = qbucket"]
+            + [f"bucket = xor(qbucket, {1 << i})"
+               for i in range(len(_PLANES))])
+    else:
+        where = "bucket = qbucket"
     return f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
 vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -437,7 +447,7 @@ qb AS (SELECT qv, {q_bucket_terms} AS qbucket FROM q)
 SELECT vec_id,
        round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine_sim
 FROM bucketed, qb
-WHERE bucket = qbucket
+WHERE {where}
 ORDER BY list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC, vec_id
 LIMIT 10
 """
@@ -1457,6 +1467,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = similarity.lsh_top_k(emb, qv, k=10, n_planes=8)
         return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
+    def sim_lsh_multiprobe(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        qv = _embedding_query_vec(spark, sf_dir)
+        out = similarity.lsh_multiprobe_top_k(emb, qv, k=10, n_planes=8)
+        return out.select("vec_id",
+                          F.round("cosine_sim", 6).alias("cosine_sim"))
+
     def sim_batch(spark, sf_dir):
         """Batched exact ANN: 4 probe vectors answered in ONE corpus
         pass (vs 4 scans of brute_force_top_k), two-stage top-k."""
@@ -2107,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks_sliding": doc_chunks,
         "dense_row_ids": dense_ids,
         "sketch_user_overlap": sketch_overlap,
+        "similarity_lsh_multiprobe": sim_lsh_multiprobe,
     }
 
 
@@ -2280,6 +2298,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "similarity_lsh": _duck_planes_sql(),
+        "similarity_lsh_multiprobe": _duck_planes_sql(multiprobe=True),
         "similarity_batch_topk": """
             WITH q AS (SELECT vec_id AS query_id,
                               CAST(embedding AS DOUBLE[]) AS qv

@@ -112,3 +112,24 @@ def test_ivfadc_composes_and_prunes(spark, emb, book):
     plain = pq_adc_top_k(prepared, book, qv, k=10)
     assert [r["vec_id"] for r in full.collect()] == \
         [r["vec_id"] for r in plain.collect()]
+
+
+def test_lsh_multiprobe_dominates_single_probe(spark, emb):
+    """Multi-probe must (a) return a superset-or-equal candidate pool,
+    (b) never lose to single-probe on recall vs exact cosine top-k."""
+    from pipelines_rj_sms_spark.operators.similarity import (
+        brute_force_top_k, lsh_multiprobe_top_k, lsh_top_k)
+
+    qv = [float(x) for x in
+          emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    single = {r["vec_id"] for r in
+              lsh_top_k(emb, qv, k=10, n_planes=8).collect()}
+    multi = {r["vec_id"] for r in
+             lsh_multiprobe_top_k(emb, qv, k=10, n_planes=8).collect()}
+    exact = {r["vec_id"] for r in
+             brute_force_top_k(emb, qv, k=10).collect()}
+    assert len(multi) >= len(single)
+    assert len(multi & exact) >= len(single & exact)
+    # on this corpus the single bucket underfills k; probing the
+    # Hamming-1 neighbors must recover a full k
+    assert len(multi) == 10
