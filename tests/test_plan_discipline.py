@@ -130,12 +130,14 @@ def test_every_query_plans_clean(spark):
     Plans only — nothing executes, so the sweep is cheap."""
     # bounded-by-construction nested loops, documented at their site:
     #   similarity_batch_topk — corpus x broadcast(4 probes)
+    #   sketch_user_overlap — non-equi (key_a < key_b) pairwise join on
+    #     the post-aggregation sketch frame: O(groups^2), never O(rows)
     #   the rest — 1-row scalar broadcasts (a global percentile /
     #   corpus count joined to every row), the standard plan for a
     #   scalar subquery: build side is exactly one row
     allowed_bnlj = {"similarity_batch_topk", "monitor_recent",
                     "winsorized_prices", "mad_outlier_flags",
-                    "tfidf_top_terms"}
+                    "tfidf_top_terms", "sketch_user_overlap"}
     failures = []
     for name, fn in entry.queries().items():
         try:
