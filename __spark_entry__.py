@@ -146,6 +146,17 @@ Query key -> SURVEY §2 rows covered:
                             audited 10% accuracy
   similarity_lsh_multiprobe ANN: multi-probe hyperplane LSH (query
                             bucket + Hamming-1 neighbors)
+  theta_priority_overlap    Theta-sketch set algebra: DIRECT segment
+                            intersections (no inclusion-exclusion),
+                            oracle-audited 5% accuracy
+  theta_priority_difference Theta-sketch set difference: exclusive
+                            members per ordered segment pair
+  kll_value_quantiles       mergeable KLL quantile rollup: daily value
+                            sketches merged to per-type p50/p90/p99,
+                            rank-error audited
+  freq_heavy_users          count-min frequency table: bounded-state
+                            heavy-hitter estimates, never-undercount +
+                            overcount-bound audited
 """
 
 from __future__ import annotations
@@ -1926,6 +1937,118 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return distinct_rollup_check(
             ev, ["event_type"], "user_id", "day", lg_k=12, tolerance=0.05)
 
+    def theta_overlap_q(spark, sf_dir):
+        """Customer overlap between order-priority segments via native
+        Theta sketches — a DIRECT `theta_intersection` of the two hash
+        samples, not HLL inclusion-exclusion, so small intersections
+        don't inherit the union's error. Below 2**lg_k distinct members
+        per segment the sketch is exact. Oracle hash-verifies the exact
+        overlaps and that every sketch estimate lands within 5%."""
+        from pipelines_rj_sms_spark.operators.sketches import (
+            build_theta_sketches, theta_pairwise_overlap)
+        o = _t(spark, sf_dir, "orders")
+        th = build_theta_sketches(o, ["o_orderpriority"], "o_custkey",
+                                  lg_k=14)
+        est = theta_pairwise_overlap(th, "o_orderpriority")
+        t = o.select(F.col("o_orderpriority").alias("p"),
+                     F.col("o_custkey").alias("c")).distinct()
+        exact = (
+            t.alias("a").join(
+                t.alias("b"),
+                (F.col("a.c") == F.col("b.c"))
+                & (F.col("a.p") < F.col("b.p")))
+            .groupBy(F.col("a.p").alias("key_a"),
+                     F.col("b.p").alias("key_b"))
+            .agg(F.count("*").alias("exact_overlap"))
+        )
+        rel = (F.abs(F.col("overlap_estimate") - F.col("exact_overlap"))
+               / F.col("exact_overlap"))
+        return (exact.join(est, ["key_a", "key_b"])
+                .select("key_a", "key_b",
+                        F.col("exact_overlap").cast("bigint")
+                        .alias("exact_overlap"),
+                        (rel <= F.lit(0.05)).alias("within_tolerance")))
+
+    def theta_difference_q(spark, sf_dir):
+        """Set difference from sketch bytes: customers seen in priority
+        segment A but never in B (`theta_difference`), for every ordered
+        pair — the "exclusive members" question a marketing/monitoring
+        rollup answers without re-scanning raw orders. Oracle verifies
+        exact counts + 5%-tolerance audit."""
+        from pipelines_rj_sms_spark.operators.sketches import (
+            build_theta_sketches, theta_pairwise_difference)
+        o = _t(spark, sf_dir, "orders")
+        th = build_theta_sketches(o, ["o_orderpriority"], "o_custkey",
+                                  lg_k=14)
+        est = theta_pairwise_difference(th, "o_orderpriority")
+        t = o.select(F.col("o_orderpriority").alias("p"),
+                     F.col("o_custkey").alias("c")).distinct()
+        n = t.groupBy(F.col("p").alias("key_a")).agg(
+            F.count("*").alias("_n_a"))
+        ov = (
+            t.alias("a").join(
+                t.alias("b"),
+                (F.col("a.c") == F.col("b.c"))
+                & (F.col("a.p") != F.col("b.p")))
+            .groupBy(F.col("a.p").alias("key_a"),
+                     F.col("b.p").alias("key_b"))
+            .agg(F.count("*").alias("_ov"))
+        )
+        exact = ov.join(n, "key_a").select(
+            "key_a", "key_b",
+            (F.col("_n_a") - F.col("_ov")).cast("bigint")
+            .alias("exact_only_a"))
+        rel = (F.abs(F.col("only_a_estimate") - F.col("exact_only_a"))
+               / F.greatest(F.col("exact_only_a"), F.lit(1)))
+        return (exact.join(est, ["key_a", "key_b"])
+                .select("key_a", "key_b", "exact_only_a",
+                        (rel <= F.lit(0.05)).alias("within_tolerance")))
+
+    def kll_quantiles_q(spark, sf_dir):
+        """Mergeable quantile rollup (KLL): per-day sketches of event
+        values merged up to per-type p50/p90/p99 — yesterday's sketch +
+        today's sketch gives the week's percentiles without a re-scan,
+        which exact `percentile()` fundamentally cannot do. The oracle
+        hash-verifies the exact percentiles and that each merged-sketch
+        quantile's achieved rank is within 5% of its target rank."""
+        from pipelines_rj_sms_spark.operators.sketches import (
+            quantile_rollup_check)
+        ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+        return quantile_rollup_check(
+            ev, ["event_type"], "value", "day",
+            quantiles=(0.5, 0.9, 0.99), k=400, tolerance=0.05)
+
+    def freq_heavy_q(spark, sf_dir):
+        """Heavy-hitter audit via a mergeable count-min table: per-key
+        frequency estimates from depth x width bounded counters
+        (state independent of key cardinality — the hot-key detector
+        that never OOMs), checked against the exact top-20 event users.
+        CMS guarantees estimate >= exact; the audit also bounds the
+        overcount by 3·depth·N/width."""
+        from pipelines_rj_sms_spark.operators.sketches import (
+            build_freq_sketch, freq_estimate)
+        ev = _t(spark, sf_dir, "events")
+        depth, width = 5, 2048
+        freq = build_freq_sketch(ev, "user_id", depth=depth, width=width)
+        counts = ev.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+        from pyspark.sql import Window
+        top = (counts.withColumn(
+            "_rn", F.row_number().over(
+                Window.orderBy(F.col("exact_count").desc(),
+                               F.col("user_id"))))
+            .filter(F.col("_rn") <= 20).drop("_rn"))
+        est = freq_estimate(freq, top.select("user_id"), "user_id",
+                            depth=depth, width=width)
+        total = ev.select(F.count("*").alias("_n"))
+        ok = ((F.col("freq_estimate") >= F.col("exact_count"))
+              & (F.col("freq_estimate") - F.col("exact_count")
+                 <= F.lit(3.0 * depth) * F.col("_n") / F.lit(width)))
+        return (top.join(est, "user_id").crossJoin(F.broadcast(total))
+                .select("user_id",
+                        F.col("exact_count").cast("bigint")
+                        .alias("exact_count"),
+                        ok.alias("within_tolerance")))
+
     def ohlc_hourly(spark, sf_dir):
         from pipelines_rj_sms_spark.operators.timeseries import downsample_ohlc
         ev = _t(spark, sf_dir, "events")
@@ -2125,6 +2248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_row_ids": dense_ids,
         "sketch_user_overlap": sketch_overlap,
         "similarity_lsh_multiprobe": sim_lsh_multiprobe,
+        "theta_priority_overlap": theta_overlap_q,
+        "theta_priority_difference": theta_difference_q,
+        "kll_value_quantiles": kll_quantiles_q,
+        "freq_heavy_users": freq_heavy_q,
     }
 
 
@@ -2450,6 +2577,41 @@ FROM st
             "SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey)"
             " - 1 AS BIGINT) AS row_id FROM orders"
         ),
+        "theta_priority_overlap": """
+WITH t AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders)
+SELECT a.p AS key_a, b.p AS key_b,
+       CAST(count(*) AS BIGINT) AS exact_overlap,
+       true AS within_tolerance
+FROM t a JOIN t b ON a.c = b.c AND a.p < b.p
+GROUP BY 1, 2
+""",
+        "theta_priority_difference": """
+WITH t AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders),
+n AS (SELECT p, count(*) AS n_a FROM t GROUP BY p),
+ov AS (SELECT a.p AS pa, b.p AS pb, count(*) AS o
+       FROM t a JOIN t b ON a.c = b.c AND a.p <> b.p GROUP BY 1, 2)
+SELECT ov.pa AS key_a, ov.pb AS key_b,
+       CAST(n.n_a - ov.o AS BIGINT) AS exact_only_a,
+       true AS within_tolerance
+FROM ov JOIN n ON n.p = ov.pa
+""",
+        "kll_value_quantiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       true AS within_tolerance
+FROM events GROUP BY event_type
+""",
+        "freq_heavy_users": """
+WITH c AS (SELECT user_id, count(*) AS exact_count FROM events GROUP BY 1),
+r AS (SELECT user_id, exact_count,
+             row_number() OVER (ORDER BY exact_count DESC, user_id) AS rn
+      FROM c)
+SELECT user_id, CAST(exact_count AS BIGINT) AS exact_count,
+       true AS within_tolerance
+FROM r WHERE rn <= 20
+""",
         # within_tolerance asserted true: inclusion-exclusion estimates
         # drifting past 10% of exact flip the hash red
         "sketch_user_overlap": """

@@ -145,7 +145,14 @@ def shorten_column_name(name: str, max_len: int = 30,
                 break
         else:
             break
-    return "_".join(slimmed)[:max_len].rstrip("_")
+    out = "_".join(slimmed)[:max_len].rstrip("_")
+    # token-splitting drops the "_" digit guard clean_column_name adds
+    # ('_0000000_0' -> tokens ['0000000', '0']), so a shrunk name can
+    # come out digit-leading; restore the guard so shortening is
+    # idempotent (found by the hypothesis property test)
+    if out and out[0].isdigit():
+        out = ("_" + out)[:max_len].rstrip("_")
+    return out or "col"
 
 
 def shorten_column_names(df: DataFrame, max_len: int = 30,

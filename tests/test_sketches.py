@@ -142,3 +142,167 @@ def test_pairwise_overlap_disjoint_sets_near_zero(spark):
     row = po(sk, "seg").collect()[0]
     # disjoint segments: estimate must be tiny relative to set sizes
     assert row["overlap_estimate"] <= 10
+
+
+# ---------------------------------------------------------------------------
+# Theta sketches: set algebra from sketch bytes
+# ---------------------------------------------------------------------------
+
+def test_theta_exact_below_nominal(spark, events):
+    """Below 2**lg_k distinct members the theta sketch is a complete
+    hash sample: estimates are exactly the true distinct counts."""
+    from pipelines_rj_sms_spark.operators.sketches import (
+        build_theta_sketches, theta_rollup)
+    th = build_theta_sketches(events, ["event_type", "day"], "user_id")
+    rolled = {r["event_type"]: r["distinct_estimate"]
+              for r in theta_rollup(th, ["event_type"]).collect()}
+    exact = {r["event_type"]: r["x"]
+             for r in events.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("x")).collect()}
+    assert rolled == {k: float(v) for k, v in exact.items()}
+
+
+def test_theta_intersection_and_difference_exact(spark):
+    """Constructed segments with known overlap: intersection and
+    difference estimates must be exact in the sub-nominal regime."""
+    from pipelines_rj_sms_spark.operators.sketches import (
+        build_theta_sketches, theta_pairwise_difference,
+        theta_pairwise_overlap)
+    df = spark.createDataFrame(
+        [("a", i) for i in range(300)]            # a = 0..299
+        + [("b", i) for i in range(200, 500)],    # b = 200..499, overlap 100
+        ["seg", "uid"])
+    th = build_theta_sketches(df, ["seg"], "uid")
+    ov = theta_pairwise_overlap(th, "seg").collect()
+    assert len(ov) == 1 and ov[0]["overlap_estimate"] == 100.0
+    diff = {(r["key_a"], r["key_b"]): r["only_a_estimate"]
+            for r in theta_pairwise_difference(th, "seg").collect()}
+    assert diff == {("a", "b"): 200.0, ("b", "a"): 200.0}
+
+
+def test_theta_parquet_roundtrip_merge(spark, events, tmp_path):
+    """Theta sketch bytes survive the lakehouse roundtrip; merging the
+    persisted fine grain equals sketching raw directly."""
+    from pipelines_rj_sms_spark.operators.sketches import (
+        build_theta_sketches, theta_rollup)
+    out = str(tmp_path / "theta_rollup")
+    build_theta_sketches(
+        events, ["event_type", "day"], "user_id").write.parquet(out)
+    rolled = {r["event_type"]: r["distinct_estimate"]
+              for r in theta_rollup(
+                  spark.read.parquet(out), ["event_type"]).collect()}
+    direct = {r["event_type"]: r["distinct_estimate"]
+              for r in theta_rollup(
+                  build_theta_sketches(events, ["event_type"], "user_id"),
+                  ["event_type"]).collect()}
+    assert rolled == direct
+
+
+# ---------------------------------------------------------------------------
+# KLL sketches: mergeable quantiles
+# ---------------------------------------------------------------------------
+
+def test_kll_merge_rollup_rank_accuracy(spark, events):
+    """Merged per-day sketches answer per-type quantiles with achieved
+    rank within tolerance of the target rank (the KLL guarantee)."""
+    from pipelines_rj_sms_spark.operators.sketches import (
+        build_quantile_sketches, merge_quantile_rollup)
+    fine = build_quantile_sketches(events, ["event_type", "day"], "value")
+    rolled = merge_quantile_rollup(fine, ["event_type"],
+                                   quantiles=(0.5, 0.9))
+    est = {r["event_type"]: (r["q_50"], r["q_90"])
+           for r in rolled.collect()}
+    for etype, (v50, v90) in est.items():
+        sub = events.filter(F.col("event_type") == etype)
+        n = sub.count()
+        r50 = sub.filter(F.col("value") <= v50).count() / n
+        r90 = sub.filter(F.col("value") <= v90).count() / n
+        assert abs(r50 - 0.5) <= 0.05, (etype, r50)
+        assert abs(r90 - 0.9) <= 0.05, (etype, r90)
+
+
+def test_kll_rollup_check_within_tolerance(spark, events):
+    from pipelines_rj_sms_spark.operators.sketches import (
+        quantile_rollup_check)
+    rows = quantile_rollup_check(
+        events, ["event_type"], "value", "day").collect()
+    assert rows and all(r["within_tolerance"] for r in rows)
+    # exact percentile columns present and ordered p50 <= p90 <= p99
+    for r in rows:
+        assert r["p50"] <= r["p90"] <= r["p99"]
+
+
+def test_kll_parquet_roundtrip(spark, events, tmp_path):
+    from pipelines_rj_sms_spark.operators.sketches import (
+        build_quantile_sketches, merge_quantile_rollup)
+    out = str(tmp_path / "kll_rollup")
+    build_quantile_sketches(
+        events, ["event_type", "day"], "value").write.parquet(out)
+    rolled = merge_quantile_rollup(
+        spark.read.parquet(out), ["event_type"], quantiles=(0.5,))
+    assert rolled.count() == events.select("event_type").distinct().count()
+    assert "q_50" in rolled.columns and "row_count" in rolled.columns
+
+
+# ---------------------------------------------------------------------------
+# Count-min frequency table
+# ---------------------------------------------------------------------------
+
+def test_freq_sketch_never_undercounts(spark, events):
+    from pipelines_rj_sms_spark.operators.sketches import (
+        build_freq_sketch, freq_estimate)
+    freq = build_freq_sketch(events, "user_id", depth=5, width=2048)
+    # bounded state regardless of key cardinality
+    assert freq.count() <= 5 * 2048
+    exact = events.groupBy("user_id").agg(F.count("*").alias("c"))
+    est = freq_estimate(freq, exact.select("user_id"), "user_id",
+                        depth=5, width=2048)
+    j = exact.join(est, "user_id")
+    n = events.count()
+    assert j.filter(F.col("freq_estimate") < F.col("c")).count() == 0
+    over = j.select(F.max(F.col("freq_estimate") - F.col("c"))).collect()[0][0]
+    assert over <= 3 * 5 * n / 2048
+
+
+def test_freq_sketch_merge_is_additive(spark, events):
+    """Union+sum of two CMS tables == CMS of the concatenated data; a
+    key absent from the sketch estimates 0."""
+    from pipelines_rj_sms_spark.operators.sketches import (
+        build_freq_sketch, freq_estimate, merge_freq_sketches)
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    merged = merge_freq_sketches(
+        build_freq_sketch(half_a, "user_id"),
+        build_freq_sketch(half_b, "user_id"))
+    direct = build_freq_sketch(events, "user_id")
+    diff = (merged.alias("m").join(
+        direct.alias("d"),
+        (F.col("m.d") == F.col("d.d"))
+        & (F.col("m.bucket") == F.col("d.bucket")), "full")
+        .filter(F.coalesce(F.col("m.cnt"), F.lit(0))
+                != F.coalesce(F.col("d.cnt"), F.lit(0))))
+    assert diff.count() == 0
+    ghost = spark.createDataFrame([(10**12,)], ["user_id"])
+    est = freq_estimate(direct, ghost, "user_id").collect()[0]
+    # a never-seen key can only collide, never go negative
+    assert est["freq_estimate"] >= 0
+
+
+def test_new_sketch_plans_stay_jvm_side(spark, events):
+    """Plan discipline for all three new families: hash aggregates, no
+    Python eval nodes anywhere."""
+    from pipelines_rj_sms_spark.operators.sketches import (
+        build_freq_sketch, build_quantile_sketches, build_theta_sketches,
+        merge_quantile_rollup, theta_rollup)
+    plans = [
+        theta_rollup(build_theta_sketches(
+            events, ["event_type", "day"], "user_id"), ["event_type"]),
+        merge_quantile_rollup(build_quantile_sketches(
+            events, ["event_type", "day"], "value"), ["event_type"]),
+        build_freq_sketch(events, "user_id"),
+    ]
+    for df in plans:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "HashAggregate" in plan
