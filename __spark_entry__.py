@@ -157,6 +157,12 @@ Query key -> SURVEY §2 rows covered:
   freq_heavy_users          count-min frequency table: bounded-state
                             heavy-hitter estimates, never-undercount +
                             overcount-bound audited
+  corpus_mix_sample         deterministic per-language mixing rates
+                            (nested hash sampling, md5-replayable)
+  l_diversity_violations_daily  homogeneity-attack gate: daily slices
+                            with < 3 distinct sensitive values
+  semantic_dedup_survivors  SemDeDup: cell-scoped embedding near-dup
+                            drop (keep-lowest-id), exact oracle
 """
 
 from __future__ import annotations
@@ -2049,6 +2055,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("exact_count"),
                         ok.alias("within_tolerance")))
 
+    def corpus_mix_sample(spark, sf_dir):
+        """Corpus mixing: deterministic per-language sampling rates
+        (downweight the over-represented language, keep the rare ones)
+        — a pure hash projection, zero shuffle, md5-replayable so the
+        oracle reproduces membership bit-identically."""
+        from pipelines_rj_sms_spark.functions.sampling import (
+            sample_by_rates)
+        docs = _t(spark, sf_dir, "documents")
+        out = sample_by_rates(
+            docs, "lang", ["doc_id"],
+            rates={"en": 0.5, "zh": 1.0, "de": 0.25}, default_rate=0.1,
+            hash_fn="md5")
+        return out.select("doc_id", "lang", "source")
+
+    def l_diversity_check(spark, sf_dir):
+        """Homogeneity-attack gate: daily order slices whose sensitive
+        attribute (order status) shows fewer than 3 distinct values —
+        the l-diversity companion to the k-anonymity gate."""
+        from pipelines_rj_sms_spark.quality.checks import (
+            l_diversity_violations)
+        o = _t(spark, sf_dir, "orders")
+        out = l_diversity_violations(
+            o, ["o_orderpriority", "o_orderdate"], "o_orderstatus", ell=3)
+        return out.select(
+            "o_orderpriority", "o_orderdate",
+            F.col("group_size").cast("bigint").alias("group_size"),
+            F.col("distinct_sensitive").cast("bigint")
+            .alias("distinct_sensitive"))
+
+    def semantic_dedup_q(spark, sf_dir):
+        """SemDeDup (cluster-scoped embedding dedup): coarse cells from
+        deterministic centroids (first 4 vectors — exact-oracle form;
+        production uses train_ivf_centroids), drop rows with a lower-id
+        same-cell neighbor above the cosine threshold."""
+        emb = _t(spark, sf_dir, "embeddings")
+        rows = (emb.filter(F.col("vec_id") < 4).orderBy("vec_id")
+                .select("embedding").collect())
+        cents = [[float(x) for x in r[0]] for r in rows]
+        out = similarity.semantic_dedup(emb, cents, threshold=0.3)
+        return out.select("vec_id")
+
     def ohlc_hourly(spark, sf_dir):
         from pipelines_rj_sms_spark.operators.timeseries import downsample_ohlc
         ev = _t(spark, sf_dir, "events")
@@ -2252,6 +2299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_priority_difference": theta_difference_q,
         "kll_value_quantiles": kll_quantiles_q,
         "freq_heavy_users": freq_heavy_q,
+        "corpus_mix_sample": corpus_mix_sample,
+        "l_diversity_violations_daily": l_diversity_check,
+        "semantic_dedup_survivors": semantic_dedup_q,
     }
 
 
@@ -2611,6 +2661,42 @@ r AS (SELECT user_id, exact_count,
 SELECT user_id, CAST(exact_count AS BIGINT) AS exact_count,
        true AS within_tolerance
 FROM r WHERE rn <= 20
+""",
+        "corpus_mix_sample": f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_duck_md5_bucket("CAST(doc_id AS VARCHAR)")} % 1000000
+      < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 1000000
+                  WHEN 'de' THEN 250000 ELSE 100000 END
+""",
+        "l_diversity_violations_daily": """
+SELECT o_orderpriority, o_orderdate,
+       CAST(count(*) AS BIGINT) AS group_size,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS distinct_sensitive
+FROM orders GROUP BY 1, 2
+HAVING count(DISTINCT o_orderstatus) < 3
+""",
+        "semantic_dedup_survivors": """
+WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS c FROM vs WHERE vec_id < 4),
+asg AS (
+  SELECT vs.vec_id, vs.v, cents.cell,
+         list_dot_product(vs.v, cents.c) /
+         (sqrt(list_dot_product(vs.v, vs.v))
+          * sqrt(list_dot_product(cents.c, cents.c))) AS sim
+  FROM vs CROSS JOIN cents),
+cellof AS (
+  SELECT vec_id, v, cell FROM asg
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cell DESC) = 1),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM cellof a JOIN cellof b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))) >= 0.3)
+SELECT vec_id FROM vs
+WHERE vec_id NOT IN (SELECT vec_id FROM drops)
 """,
         # within_tolerance asserted true: inclusion-exclusion estimates
         # drifting past 10% of exact flip the hash red

@@ -136,3 +136,28 @@ def token_budget_sample(df: DataFrame, group_cols: list[str],
             Window.partitionBy(*group_cols).orderBy(*order)) == 1)
     return (df.withColumn("_keep", keep)
             .filter(F.col("_keep")).drop("_keep"))
+
+
+def sample_by_rates(df: DataFrame, group_col: str, key_cols: list[str],
+                    rates: dict[str, float], default_rate: float = 0.0,
+                    hash_fn: str = "xxhash64", salt: str = "") -> DataFrame:
+    """Deterministic stratified sampling — the corpus-mixing primitive:
+    keep each row with its group's rate (e.g. {'web': 0.3, 'wiki': 1.0}
+    to downweight common-crawl against curated sources when assembling
+    a training mix).
+
+    Membership is hash(key) % 1e6 < rate * 1e6 — a pure projection
+    (zero shuffle, no UDF), stable across runs/partitionings/engines
+    like every sampler here, and NESTED: raising a group's rate keeps
+    every row the lower rate kept (hash buckets are consistent), so
+    remixing is monotone — re-runs of a bigger mix are supersets, which
+    is what makes incremental corpus rebuilds cheap to diff. Groups
+    absent from ``rates`` get ``default_rate``.
+    """
+    bucket = _key_hash([F.col(c) for c in key_cols], hash_fn, salt) \
+        % 1_000_000
+    rate = F.lit(int(default_rate * 1_000_000))
+    for g, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g,
+                      F.lit(int(r * 1_000_000))).otherwise(rate)
+    return df.filter(bucket < rate)

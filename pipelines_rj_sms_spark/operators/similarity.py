@@ -455,3 +455,38 @@ def lsh_multiprobe_top_k(df: DataFrame, query_vec: list[float],
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(df: DataFrame, centroids: list[list[float]],
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   threshold: float = 0.9,
+                   cell_col: str = "ivf_cell") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embeddings, then drop every
+    row that has a LOWER-id neighbor with cosine >= ``threshold``
+    inside the same cluster cell. Returns the surviving rows.
+
+    The keep-lowest-id rule makes the result deterministic and
+    single-pass — no iterative connected components: within a near-dup
+    clique the minimum id survives, everything else has that minimum as
+    a qualifying lower-id neighbor and drops.
+
+    Scale shape: cell assignment is expression-only (centroid literals,
+    no shuffle); pair enumeration is an equi-join on the cell id, so
+    cost is O(sum of cell sizes squared), never corpus x corpus — pick
+    k ~ sqrt(n) cells (the SemDeDup recipe) to bound cell fan-out, and
+    feed `train_ivf_centroids` output at scale. The drop list carries
+    only ids; survivors come from one left_anti join.
+    """
+    cells = assign_ivf_cells(df, centroids, vec_col, cell_col)
+    vec = F.col(vec_col).cast("array<double>")
+    slim = cells.select(F.col(id_col), vec.alias("_v"), F.col(cell_col))
+    a, b = slim.alias("a"), slim.alias("b")
+    drops = (
+        a.join(b, (F.col(f"a.{cell_col}") == F.col(f"b.{cell_col}"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .filter(cosine(F.col("a._v"), F.col("b._v")) >= F.lit(threshold))
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return df.join(drops, id_col, "left_anti")

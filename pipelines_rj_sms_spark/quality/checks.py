@@ -111,3 +111,23 @@ def k_anonymity_violations(df: DataFrame, quasi_cols: list[str],
     return (df.groupBy(*quasi_cols)
             .agg(F.count("*").alias("group_size"))
             .filter(F.col("group_size") < k))
+
+
+def l_diversity_violations(df: DataFrame, quasi_cols: list[str],
+                           sensitive_col: str, ell: int = 2) -> DataFrame:
+    """The companion gate to k_anonymity_violations: a k-anonymous
+    group still leaks when every member shares the same sensitive value
+    (homogeneity attack) — distinct l-diversity requires at least
+    ``ell`` distinct sensitive values per quasi-identifier group.
+
+    One hash aggregate (count + count_distinct per quasi group);
+    returns violating groups with their size and distinct-sensitive
+    count — empty result = the release is l-diverse. Run both gates:
+    k-anonymity bounds group size, l-diversity bounds what the group
+    reveals.
+    """
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count("*").alias("group_size"),
+                 F.count_distinct(F.col(sensitive_col))
+                 .alias("distinct_sensitive"))
+            .filter(F.col("distinct_sensitive") < ell))

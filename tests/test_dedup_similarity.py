@@ -258,3 +258,45 @@ def test_paragraph_dedup_keeps_first_occurrence(spark):
     docs2 = spark.createDataFrame([(1, "a|b|a")], ["doc_id", "text"])
     got = paragraph_dedup(docs2, "doc_id", "text", sep="|").collect()
     assert got[0].text == "a|b"
+
+
+def test_semantic_dedup_keeps_min_id_per_clique(spark):
+    """Constructed near-identical embeddings: within a near-dup clique
+    the lowest id survives; distinct vectors all survive."""
+    from pipelines_rj_sms_spark.operators.similarity import semantic_dedup
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]     # cos ~ 0.9999 with base
+    other = [0.0, 1.0, 0.0, 0.0]       # orthogonal
+    other2 = [0.0, 0.98, 0.1, 0.0]     # near-dup of other
+    rows = [(0, base), (1, near), (2, other), (3, other2), (4, near)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [base, other]
+    survivors = {r["vec_id"] for r in semantic_dedup(
+        df, cents, threshold=0.95).collect()}
+    # 1 and 4 drop (lower-id 0 is a near neighbor); 3 drops against 2
+    assert survivors == {0, 2}
+
+
+def test_semantic_dedup_threshold_one_keeps_everything(spark):
+    from pipelines_rj_sms_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0, 0.0]) for i in range(6)],
+        ["vec_id", "embedding"])
+    out = semantic_dedup(df, [[1.0, 0.0, 0.0]], threshold=1.0001)
+    assert out.count() == 6
+    assert set(out.columns) == {"vec_id", "embedding"}
+
+
+def test_semantic_dedup_plan_no_cartesian(spark):
+    """Pair enumeration must be the cell equi-join, never a cross
+    product over the corpus."""
+    from pipelines_rj_sms_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], ["vec_id", "embedding"])
+    plan = semantic_dedup(df, [[1.0, 0.0], [0.0, 1.0]], threshold=0.99) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

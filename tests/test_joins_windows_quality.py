@@ -113,3 +113,22 @@ def test_schema_conformance(spark):
 def test_non_empty(spark):
     assert non_empty(spark.range(1)).passed
     assert not non_empty(spark.range(0)).passed
+
+
+def test_l_diversity_violations(spark):
+    """Distinct l-diversity: groups whose sensitive attribute shows
+    < ell distinct values are flagged; diverse groups pass."""
+    from pipelines_rj_sms_spark.quality.checks import l_diversity_violations
+
+    df = spark.createDataFrame(
+        [("11000", "M", "flu"), ("11000", "M", "flu"),      # homogeneous
+         ("22000", "F", "flu"), ("22000", "F", "cold"),     # diverse
+         ("33000", "M", "covid")],                          # singleton
+        ["zip", "sex", "diagnosis"])
+    out = {(r["zip"], r["sex"]): (r["group_size"], r["distinct_sensitive"])
+           for r in l_diversity_violations(
+               df, ["zip", "sex"], "diagnosis", ell=2).collect()}
+    assert out == {("11000", "M"): (2, 1), ("33000", "M"): (1, 1)}
+    # ell=1 can never flag anything
+    assert l_diversity_violations(
+        df, ["zip", "sex"], "diagnosis", ell=1).count() == 0

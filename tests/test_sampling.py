@@ -121,3 +121,46 @@ def test_pack_sequences_stable_under_repartition(spark):
         return sorted((r.doc_id, r.shard, r.bin) for r in out.collect())
 
     assert run(df) == run(df.repartition(7)) == run(df.coalesce(1))
+
+
+def test_sample_by_rates_nested_and_stable(spark):
+    """Raising a group's rate keeps every previously-kept row (hash
+    buckets are consistent), membership survives repartitioning, and
+    achieved rates track requested rates."""
+    from pipelines_rj_sms_spark.functions.sampling import sample_by_rates
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "web")
+        .when(F.col("id") % 3 == 1, "wiki")
+        .otherwise("books").alias("src"))
+    small = {r["doc_id"] for r in sample_by_rates(
+        df, "src", ["doc_id"], {"web": 0.2, "wiki": 0.5}).collect()}
+    big = {r["doc_id"] for r in sample_by_rates(
+        df, "src", ["doc_id"], {"web": 0.6, "wiki": 0.9}).collect()}
+    assert small <= big  # monotone: bigger mix is a superset
+    re_part = {r["doc_id"] for r in sample_by_rates(
+        df.repartition(7), "src", ["doc_id"],
+        {"web": 0.2, "wiki": 0.5}).collect()}
+    assert re_part == small
+    # default_rate=0 drops unlisted groups entirely
+    kept_srcs = {r["src"] for r in sample_by_rates(
+        df, "src", ["doc_id"], {"web": 0.2}).select("src").distinct()
+        .collect()}
+    assert kept_srcs == {"web"}
+    # achieved ~ requested (1000 rows/group, ±6pp slack)
+    n_web = sum(1 for d in big if d % 3 == 0)
+    assert abs(n_web / 1000 - 0.6) < 0.06
+
+
+def test_sample_by_rates_is_a_projection(spark):
+    """Zero shuffle, no Python: the mixing filter must not add an
+    Exchange or eval node."""
+    from pipelines_rj_sms_spark.functions.sampling import sample_by_rates
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("web").alias("src"))
+    plan = sample_by_rates(df, "src", ["doc_id"], {"web": 0.5}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
