@@ -137,7 +137,13 @@ def test_every_query_plans_clean(spark):
     #   scalar subquery: build side is exactly one row
     allowed_bnlj = {"similarity_batch_topk", "monitor_recent",
                     "winsorized_prices", "mad_outlier_flags",
-                    "tfidf_top_terms", "sketch_user_overlap"}
+                    "tfidf_top_terms", "sketch_user_overlap",
+                    # theta pairwise set algebra: same post-aggregation
+                    # O(groups^2) pairwise shape as sketch_user_overlap
+                    "theta_priority_overlap", "theta_priority_difference",
+                    # 1-row scalar broadcast (corpus total for the
+                    # overcount bound)
+                    "freq_heavy_users"}
     failures = []
     for name, fn in entry.queries().items():
         try:
