@@ -163,6 +163,13 @@ Query key -> SURVEY §2 rows covered:
                             with < 3 distinct sensitive values
   semantic_dedup_survivors  SemDeDup: cell-scoped embedding near-dup
                             drop (keep-lowest-id), exact oracle
+  event_funnel_conversion   windowed-funnel aggregate: furthest ordered
+                            stage per user, one hash agg + fold
+  cohort_retention_monthly  retention triangle (first-active cohort x
+                            month offset)
+  linked_addresses          record linkage: blocking equi-join +
+                            Levenshtein-ratio scoring, best match per
+                            record
 """
 
 from __future__ import annotations
@@ -2096,6 +2103,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = similarity.semantic_dedup(emb, cents, threshold=0.3)
         return out.select("vec_id")
 
+    def event_funnel(spark, sf_dir):
+        """Windowed-funnel aggregate (ClickHouse windowFunnel shape):
+        furthest signup→click→purchase stage per user via ONE hash agg
+        + an expression fold over the sorted event sequence — never
+        k self-joins of the fact table."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            funnel_counts)
+        ev = _t(spark, sf_dir, "events").filter(
+            ~((F.col("event_type") == "purchase") & (F.col("value") < 200)))
+        out = funnel_counts(ev, "user_id", "ts", "event_type",
+                            ["signup", "click", "purchase"],
+                            tiebreak_col="event_id")
+        return out.select(F.col("stage").cast("bigint").alias("stage"),
+                          F.col("n_users").cast("bigint").alias("n_users"))
+
+    def cohort_retention_q(spark, sf_dir):
+        """Retention triangle: users bucketed by first-active month,
+        counted per (cohort, month offset) — integer period arithmetic
+        so the result is engine-exact."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            cohort_retention)
+        ev = _t(spark, sf_dir, "events")
+        out = cohort_retention(ev, "user_id", "ts", "month")
+        return out.select(
+            F.col("cohort_period").cast("bigint").alias("cohort_period"),
+            F.col("period_offset").cast("bigint").alias("period_offset"),
+            F.col("n_users").cast("bigint").alias("n_users"))
+
+    def linked_addresses(spark, sf_dir):
+        """Record linkage demo with an exact oracle: a deterministically
+        perturbed copy of each customer address (5th char deleted) is
+        linked back to the clean table — blocking equi-join on
+        (nationkey, 4-char prefix), Levenshtein-ratio scoring, best
+        match per dirty record. The phonetic (soundex) blocking path is
+        unit-tested; this query uses the portable prefix block so DuckDB
+        can replay it bit-identically."""
+        from pipelines_rj_sms_spark.operators.linkage import (
+            levenshtein_ratio, link_records)
+        docs = _t(spark, sf_dir, "documents")
+        blk = F.substring(F.col("text"), 1, 4)
+        clean = docs.select(
+            F.col("doc_id").alias("c_id"),
+            F.substring("text", 1, 40).alias("c_addr"),
+            "lang", blk.alias("blk"))
+        dirty = docs.select(
+            F.col("doc_id").alias("d_id"),
+            F.concat(F.substring("text", 1, 4),
+                     F.substring("text", 6, 35)).alias("d_addr"),
+            "lang", blk.alias("blk"))
+        out = link_records(
+            dirty, clean, ["lang", "blk"],
+            levenshtein_ratio("d_addr", "c_addr"),
+            threshold=0.7, left_id="d_id", right_id="c_id")
+        return out.select("d_id", "c_id",
+                          F.round(F.col("score"), 6).alias("score"))
+
     def ohlc_hourly(spark, sf_dir):
         from pipelines_rj_sms_spark.operators.timeseries import downsample_ohlc
         ev = _t(spark, sf_dir, "events")
@@ -2302,6 +2365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_sample": corpus_mix_sample,
         "l_diversity_violations_daily": l_diversity_check,
         "semantic_dedup_survivors": semantic_dedup_q,
+        "event_funnel_conversion": event_funnel,
+        "cohort_retention_monthly": cohort_retention_q,
+        "linked_addresses": linked_addresses,
     }
 
 
@@ -2674,6 +2740,69 @@ SELECT o_orderpriority, o_orderdate,
        CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS distinct_sensitive
 FROM orders GROUP BY 1, 2
 HAVING count(DISTINCT o_orderstatus) < 3
+""",
+        # chained-min spelling (equivalent to the ordered fold when
+        # timestamps are distinct); deliberately avoids DuckDB 1.0's
+        # list_reduce over grouped lists, which miscomputes under
+        # parallel execution (verified against a pure-Python replay)
+        "event_funnel_conversion": """
+WITH ev AS (
+  SELECT * FROM events
+  WHERE NOT (event_type = 'purchase' AND value < 200)),
+users AS (SELECT DISTINCT user_id FROM ev),
+t1 AS (SELECT user_id, min(ts) AS ts1 FROM ev
+       WHERE event_type = 'signup' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM ev e JOIN t1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts >= t1.ts1 GROUP BY 1),
+t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM ev e JOIN t2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= t2.ts2 GROUP BY 1),
+stages AS (
+  SELECT u.user_id,
+         CASE WHEN t3.user_id IS NOT NULL THEN 3
+              WHEN t2.user_id IS NOT NULL THEN 2
+              WHEN t1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+  FROM users u
+  LEFT JOIN t1 ON u.user_id = t1.user_id
+  LEFT JOIN t2 ON u.user_id = t2.user_id
+  LEFT JOIN t3 ON u.user_id = t3.user_id)
+SELECT stage, CAST(count(*) AS BIGINT) AS n_users
+FROM stages GROUP BY stage
+""",
+        "cohort_retention_monthly": """
+WITH active AS (
+  SELECT DISTINCT user_id,
+         year(ts) * 12 + month(ts) - 1 AS p
+  FROM events),
+cohorts AS (SELECT user_id, min(p) AS cohort FROM active GROUP BY 1)
+SELECT CAST(c.cohort AS BIGINT) AS cohort_period,
+       CAST(a.p - c.cohort AS BIGINT) AS period_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active a JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+""",
+        "linked_addresses": """
+WITH clean AS (
+  SELECT doc_id AS c_id, substr(text, 1, 40) AS c_addr, lang,
+         substr(text, 1, 4) AS blk
+  FROM documents),
+dirty AS (
+  SELECT doc_id AS d_id,
+         concat(substr(text, 1, 4), substr(text, 6, 35)) AS d_addr,
+         lang, substr(text, 1, 4) AS blk
+  FROM documents),
+scored AS (
+  SELECT d.d_id, c.c_id,
+         1.0 - CAST(levenshtein(d.d_addr, c.c_addr) AS DOUBLE)
+               / greatest(length(d.d_addr), length(c.c_addr), 1) AS score
+  FROM dirty d
+  JOIN clean c ON d.lang = c.lang AND d.blk = c.blk
+  WHERE 1.0 - CAST(levenshtein(d.d_addr, c.c_addr) AS DOUBLE)
+        / greatest(length(d.d_addr), length(c.c_addr), 1) >= 0.7)
+SELECT d_id, c_id, round(score, 6) AS score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY d_id
+                           ORDER BY score DESC, c_id) = 1
 """,
         "semantic_dedup_survivors": """
 WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

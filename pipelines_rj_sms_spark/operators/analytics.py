@@ -1,0 +1,118 @@
+"""Event-sequence analytics: funnels and cohort retention.
+
+The reference's monitoring flows answer "how many users completed the
+HCI conversation flow?" with per-step BigQuery counts re-scanned per
+report (monitoramento_hci/tasks.py:34-63 shape). The scalable form is
+the windowed-funnel aggregate (the ClickHouse `windowFunnel` shape,
+public): ONE hash aggregation per user collecting the (ts, step)
+sequence, then an expression-only fold over the sorted array computing
+the furthest funnel stage reached — no per-step self-joins (k-step
+funnel via joins is k shuffles of the fact table; this is one).
+
+Cohort retention is the companion: bucket users by first-activity
+period, count distinct active users per (cohort, period offset) — two
+hash aggregations, shuffles carry (user, period) pairs, never events.
+
+Everything is JVM expressions (collect_list + sort_array + aggregate
+fold); no Python, no window over the event table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stages(df: DataFrame, user_col: str, ts_col: str,
+                  step_col: str, steps: list[str],
+                  within_seconds: float | None = None,
+                  tiebreak_col: str | None = None,
+                  stage_col: str = "stage") -> DataFrame:
+    """Furthest funnel stage per user: one row per user with the count
+    of ``steps`` prefix-matched IN ORDER through their event sequence.
+
+    A user at stage k completed steps[0..k-1] in timestamp order
+    (interleaved other events are fine; repeats are fine). With
+    ``within_seconds``, the whole funnel must complete within that many
+    seconds of the stage-1 event (the windowed-funnel semantic).
+
+    One hash aggregation (collect the per-user sequence) + a codegen'd
+    `aggregate` fold over the sorted array. Per-user state is the event
+    list — the same bound every sessionizer has; for heavy users cap
+    upstream. ``tiebreak_col`` makes same-timestamp ordering
+    deterministic (defaults to the step value itself).
+    """
+    tb = F.col(tiebreak_col) if tiebreak_col else F.col(step_col)
+    seq = F.sort_array(F.collect_list(F.struct(
+        F.col(ts_col).alias("ts"), tb.alias("tb"),
+        F.col(step_col).alias("step"))))
+    per_user = df.groupBy(user_col).agg(seq.alias("_seq"))
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+
+    if within_seconds is None:
+        fold = F.aggregate(
+            F.col("_seq"), F.lit(0),
+            lambda acc, x: F.when(
+                x["step"] == F.get(steps_arr, acc), acc + F.lit(1)
+            ).otherwise(acc))
+        return per_user.select(user_col, fold.alias(stage_col))
+
+    def ep(x: Column) -> Column:
+        return x["ts"].cast("double")
+
+    init = F.struct(F.lit(0).alias("stage"), F.lit(0.0).alias("t0"))
+    limit = F.lit(float(within_seconds))
+
+    def step_fn(acc: Column, x: Column) -> Column:
+        expected = F.get(steps_arr, acc["stage"])
+        in_window = (acc["stage"] == 0) | (ep(x) - acc["t0"] <= limit)
+        advance = (x["step"] == expected) & in_window
+        return F.when(advance, F.struct(
+            (acc["stage"] + 1).alias("stage"),
+            F.when(acc["stage"] == 0, ep(x)).otherwise(acc["t0"])
+            .alias("t0"),
+        )).otherwise(acc)
+
+    fold = F.aggregate(F.col("_seq"), init, step_fn)["stage"]
+    return per_user.select(user_col, fold.alias(stage_col))
+
+
+def funnel_counts(df: DataFrame, user_col: str, ts_col: str,
+                  step_col: str, steps: list[str],
+                  within_seconds: float | None = None,
+                  tiebreak_col: str | None = None) -> DataFrame:
+    """Funnel report: users per furthest-stage (stage 0 = entered
+    nothing). Cumulative "reached >= k" is a running sum over this
+    len(steps)+1-row result — driver-trivial by construction."""
+    stages = funnel_stages(df, user_col, ts_col, step_col, steps,
+                           within_seconds, tiebreak_col)
+    return (stages.groupBy("stage")
+            .agg(F.count("*").alias("n_users")))
+
+
+def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
+                     granularity: str = "month") -> DataFrame:
+    """Classic retention triangle: users bucketed by first-activity
+    period (their cohort), counted per (cohort, period-offset) they
+    were active in.
+
+    Offsets are integer period arithmetic (year*12+month for months,
+    day ordinals for days) so the result is engine-exact. Two hash
+    aggregations; the join ships (user, cohort) pairs only.
+    """
+    if granularity == "month":
+        period = (F.year(F.col(ts_col)) * 12
+                  + F.month(F.col(ts_col)) - 1).alias("_p")
+    elif granularity == "day":
+        period = F.datediff(F.to_date(F.col(ts_col)),
+                            F.lit("1970-01-01").cast("date")).alias("_p")
+    else:
+        raise ValueError(f"granularity must be month|day: {granularity}")
+    active = df.select(F.col(user_col).alias("_u"), period).distinct()
+    cohorts = active.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    return (
+        active.join(cohorts, "_u")
+        .groupBy(F.col("_cohort").alias("cohort_period"),
+                 (F.col("_p") - F.col("_cohort")).alias("period_offset"))
+        .agg(F.count("*").alias("n_users"))
+    )

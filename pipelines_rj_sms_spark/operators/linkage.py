@@ -1,0 +1,84 @@
+"""Probabilistic record linkage: blocking + similarity scoring.
+
+The reference's domain lives on linking the same person across systems
+(its SINAN ingestion carries a `ds_soundex` phonetic column —
+bq_to_subpav/schedules.py:91 — precisely the classic linkage blocking
+key), and its per-system patient tables are reconciled by CPF when
+present, fuzzily when not. This module is the engine-side shape of
+that: generate deterministic BLOCKING keys so candidate pairs come
+from an equi-join (never a cross product), score candidates with
+cheap expression-level similarities (Levenshtein ratio, exact-match
+indicators), and keep matches above a threshold — optionally only the
+best match per left record.
+
+All of it is JVM expressions (`soundex`, `levenshtein` are Spark
+built-ins); the blocking discipline is what makes it a 100 TB
+operator: pair count is bounded by block sizes, and a hot block (a
+very common surname) is visible as a skewed key — cap or salt it
+upstream, exactly like every other candidate generator in this repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def phonetic_block_key(name_col: Column | str,
+                       extra: list[Column] | None = None) -> Column:
+    """Soundex of the first + last name token (the standard linkage
+    block), optionally concatenated with coarse extra keys (birth year,
+    municipality) to shrink blocks further."""
+    c = F.col(name_col) if isinstance(name_col, str) else name_col
+    toks = F.split(F.trim(c), r"\s+")
+    key = F.concat_ws(
+        "|",
+        F.soundex(F.element_at(toks, 1)),
+        F.soundex(F.element_at(toks, -1)),
+        *(extra or []))
+    return key
+
+
+def levenshtein_ratio(a: Column | str, b: Column | str) -> Column:
+    """Normalized edit similarity in [0, 1]: 1 - lev(a,b)/max(len).
+    Integer Levenshtein is engine-exact, so the ratio reproduces
+    bit-identically in any SQL engine."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return (F.lit(1.0)
+            - F.levenshtein(ca, cb)
+            / F.greatest(F.length(ca), F.length(cb), F.lit(1)))
+
+
+def link_records(left: DataFrame, right: DataFrame,
+                 block_cols: list[str],
+                 score_expr: Column,
+                 threshold: float = 0.8,
+                 left_id: str = "left_id", right_id: str = "right_id",
+                 best_per_left: bool = True,
+                 score_col: str = "score") -> DataFrame:
+    """Candidate generation + scoring + (optionally) best-match pick.
+
+    ``left`` and ``right`` must both carry ``block_cols`` (from
+    phonetic_block_key or any deterministic blocking) and their id
+    columns; every other column should be pre-renamed to avoid
+    ambiguity (the convention: left columns ``l_*``, right ``r_*``).
+    ``score_expr`` is any expression over those columns (weighted
+    levenshtein_ratio sums, exact-match indicators...).
+
+    Plan shape: one equi-join on the block key (hash shuffle on the
+    block — never a cross product), a codegen'd score projection, a
+    threshold filter, and — with ``best_per_left`` — one window over
+    the already-filtered candidate pairs ranked by (score desc,
+    right_id) for a deterministic winner.
+    """
+    pairs = left.join(right, block_cols)
+    scored = (pairs
+              .withColumn(score_col, score_expr)
+              .filter(F.col(score_col) >= F.lit(threshold)))
+    if not best_per_left:
+        return scored
+    w = Window.partitionBy(left_id).orderBy(
+        F.col(score_col).desc(), F.col(right_id))
+    return (scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1).drop("_rk"))

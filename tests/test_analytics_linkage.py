@@ -1,0 +1,123 @@
+"""Funnel / cohort-retention / record-linkage operators."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from pipelines_rj_sms_spark.operators.analytics import (
+    cohort_retention,
+    funnel_counts,
+    funnel_stages,
+)
+from pipelines_rj_sms_spark.operators.linkage import (
+    levenshtein_ratio,
+    link_records,
+    phonetic_block_key,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, datetime(2024, 1, 1, 0, 0, s), st, i)
+         for i, (u, s, st) in enumerate(rows)],
+        ["user", "ts", "step", "eid"])
+
+
+def test_funnel_stages_ordered_prefix(spark):
+    """Steps must happen in order; interleaved noise and repeats are
+    fine; out-of-order steps don't advance."""
+    df = _ev(spark, [
+        (1, 0, "signup"), (1, 1, "x"), (1, 2, "click"), (1, 3, "buy"),
+        (2, 0, "click"), (2, 1, "signup"), (2, 2, "buy"),   # click early
+        (3, 0, "buy"), (3, 1, "click"), (3, 2, "signup"),   # reversed
+        (4, 0, "signup"), (4, 1, "signup"), (4, 2, "click"),
+    ])
+    out = {r["user"]: r["stage"] for r in funnel_stages(
+        df, "user", "ts", "step", ["signup", "click", "buy"],
+        tiebreak_col="eid").collect()}
+    assert out == {1: 3, 2: 1, 3: 1, 4: 2}
+    # user 2: signup@1 happens, but click came before -> stage 1
+
+
+def test_funnel_within_window(spark):
+    """windowFunnel semantics: the whole funnel must complete within
+    the window of the stage-1 event."""
+    df = _ev(spark, [
+        (1, 0, "a"), (1, 5, "b"),           # within 10s -> stage 2
+        (2, 0, "a"), (2, 30, "b"),          # b too late -> stage 1
+        (3, 0, "a"), (3, 30, "b"), (3, 31, "a"),  # late b, re-a doesn't reset
+    ])
+    out = {r["user"]: r["stage"] for r in funnel_stages(
+        df, "user", "ts", "step", ["a", "b"], within_seconds=10,
+        tiebreak_col="eid").collect()}
+    assert out == {1: 2, 2: 1, 3: 1}
+
+
+def test_funnel_counts_and_plan(spark):
+    df = _ev(spark, [(u, u, "a") for u in range(5)]
+             + [(u, u + 10, "b") for u in range(3)])
+    out = {r["stage"]: r["n_users"] for r in funnel_counts(
+        df, "user", "ts", "step", ["a", "b"], tiebreak_col="eid")
+        .collect()}
+    assert out == {2: 3, 1: 2}
+    plan = funnel_counts(df, "user", "ts", "step", ["a", "b"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # one sequence collection + fold: no join of the fact table per step
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cohort_retention_months(spark):
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 5)), (1, datetime(2024, 2, 5)),
+         (1, datetime(2024, 4, 5)),
+         (2, datetime(2024, 2, 1)), (2, datetime(2024, 2, 20)),  # same month
+         (3, datetime(2024, 1, 9))],
+        ["user", "ts"])
+    out = {(r["cohort_period"], r["period_offset"]): r["n_users"]
+           for r in cohort_retention(df, "user", "ts").collect()}
+    jan = 2024 * 12 + 0
+    feb = jan + 1
+    assert out == {(jan, 0): 2, (jan, 1): 1, (jan, 3): 1, (feb, 0): 1}
+
+
+def test_phonetic_block_key_groups_variant_spellings(spark):
+    df = spark.createDataFrame(
+        [("Maria da Silva",), ("Mariah  Silvah",), ("Jose Santos",)],
+        ["name"])
+    keys = [r["k"] for r in df.select(
+        phonetic_block_key("name").alias("k")).collect()]
+    assert keys[0] == keys[1]        # same soundex block
+    assert keys[0] != keys[2]
+
+
+def test_link_records_best_match_deterministic(spark):
+    left = spark.createDataFrame(
+        [(1, "maria silva", "B1"), (2, "ana souza", "B2")],
+        ["left_id", "l_name", "blk"])
+    right = spark.createDataFrame(
+        [(10, "maria silva", "B1"), (11, "maria silvas", "B1"),
+         (12, "zz", "B2")],
+        ["right_id", "r_name", "blk"])
+    out = link_records(
+        left, right, ["blk"],
+        levenshtein_ratio("l_name", "r_name"), threshold=0.5)
+    rows = {r["left_id"]: (r["right_id"], r["score"]) for r in out.collect()}
+    assert rows[1][0] == 10 and rows[1][1] == 1.0   # exact beats near
+    assert 2 not in rows                             # below threshold
+    all_pairs = link_records(
+        left, right, ["blk"],
+        levenshtein_ratio("l_name", "r_name"), threshold=0.5,
+        best_per_left=False)
+    assert all_pairs.count() == 2   # both B1 candidates survive
+
+
+def test_link_records_plan_is_equi_join(spark):
+    left = spark.createDataFrame([(1, "a", "B")], ["left_id", "l_n", "blk"])
+    right = spark.createDataFrame([(2, "a", "B")], ["right_id", "r_n", "blk"])
+    plan = link_records(left, right, ["blk"],
+                        levenshtein_ratio("l_n", "r_n")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
