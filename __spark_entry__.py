@@ -170,6 +170,8 @@ Query key -> SURVEY §2 rows covered:
   linked_addresses          record linkage: blocking equi-join +
                             Levenshtein-ratio scoring, best match per
                             record
+  scd2_user_state_history   SCD2 validity intervals from the event log
+                            (gaps-and-islands, single Exchange)
 """
 
 from __future__ import annotations
@@ -2159,6 +2161,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("d_id", "c_id",
                           F.round(F.col("score"), 6).alias("score"))
 
+    def scd2_history(spark, sf_dir):
+        """SCD2 validity intervals from the event log: one row per run
+        of consecutive identical event_type per user, with
+        valid_from/valid_to bounds — gaps-and-islands compression in a
+        single Exchange (both windows partition by user only; run
+        aggregates are recovered from the next run-start's position,
+        never a (key, island) re-shuffle)."""
+        from pipelines_rj_sms_spark.operators.scd import compress_history
+        ev = _t(spark, sf_dir, "events")
+        out = compress_history(ev, "user_id", "ts", ["event_type"],
+                               tiebreak_col="event_id")
+        return out.select(
+            "user_id", F.col("event_type").alias("state"),
+            "valid_from", "valid_to",
+            F.col("n_obs").cast("bigint").alias("n_obs"), "is_current")
+
     def ohlc_hourly(spark, sf_dir):
         from pipelines_rj_sms_spark.operators.timeseries import downsample_ohlc
         ev = _t(spark, sf_dir, "events")
@@ -2368,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel_conversion": event_funnel,
         "cohort_retention_monthly": cohort_retention_q,
         "linked_addresses": linked_addresses,
+        "scd2_user_state_history": scd2_history,
     }
 
 
@@ -2803,6 +2822,23 @@ SELECT d_id, c_id, round(score, 6) AS score
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY d_id
                            ORDER BY score DESC, c_id) = 1
+""",
+        "scd2_user_state_history": """
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt,
+         (row_number() OVER w = 1
+          OR lag(event_type) OVER w IS DISTINCT FROM event_type) AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+starts AS (SELECT * FROM ordered WHERE chg)
+SELECT user_id, event_type AS state, ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       coalesce(lead(rn) OVER w2, cnt + 1) - rn AS n_obs,
+       (lead(ts) OVER w2 IS NULL) AS is_current
+FROM starts
+WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
 """,
         "semantic_dedup_survivors": """
 WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
