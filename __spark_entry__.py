@@ -172,6 +172,9 @@ Query key -> SURVEY §2 rows covered:
                             record
   scd2_user_state_history   SCD2 validity intervals from the event log
                             (gaps-and-islands, single Exchange)
+  hourly_count_anomalies    rolling z-score anomaly flags over hourly
+                            rollups (prev-24 band, spike can't mask
+                            itself)
 """
 
 from __future__ import annotations
@@ -2183,6 +2186,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return downsample_ohlc(ev, "ts", "value", keys=["event_type"],
                                interval="1 hour")
 
+    def hourly_anomalies(spark, sf_dir):
+        """Rolling z-score anomaly flags over per-type hourly event
+        counts: the previous-24-buckets mean/stddev (current point
+        excluded) defines the expected band — the windowed form of the
+        reference's cron'd threshold monitors. The window moves
+        O(buckets) rollup rows, never raw events."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            rolling_anomalies)
+        ev = _t(spark, sf_dir, "events")
+        hourly = (ev.groupBy("event_type",
+                             F.date_trunc("hour", F.col("ts")).alias("hour"))
+                  .agg(F.count("*").alias("n")))
+        out = rolling_anomalies(hourly, "hour", "n", ["event_type"],
+                                lookback=24, z_threshold=2.5, min_points=5)
+        return out.select(
+            "event_type", "hour", F.col("n").cast("bigint").alias("n"),
+            F.col("n_history").cast("bigint").alias("n_history"),
+            F.round(F.col("z"), 6).alias("z"), "is_anomaly")
+
     def rolling_fp(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return docs.select(
@@ -2387,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_monthly": cohort_retention_q,
         "linked_addresses": linked_addresses,
         "scd2_user_state_history": scd2_history,
+        "hourly_count_anomalies": hourly_anomalies,
     }
 
 
@@ -2822,6 +2845,21 @@ SELECT d_id, c_id, round(score, 6) AS score
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY d_id
                            ORDER BY score DESC, c_id) = 1
+""",
+        "hourly_count_anomalies": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, hour, n,
+       count(n) OVER w AS n_history,
+       round(CASE WHEN count(n) OVER w >= 5 AND stddev_samp(n) OVER w > 0
+             THEN (n - avg(n) OVER w) / stddev_samp(n) OVER w END, 6) AS z,
+       (abs(CASE WHEN count(n) OVER w >= 5 AND stddev_samp(n) OVER w > 0
+             THEN (n - avg(n) OVER w) / stddev_samp(n) OVER w END)
+        >= 2.5) AS is_anomaly
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
 """,
         "scd2_user_state_history": """
 WITH ordered AS (

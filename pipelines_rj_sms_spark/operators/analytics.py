@@ -19,7 +19,7 @@ fold); no Python, no window over the event table.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -88,6 +88,43 @@ def funnel_counts(df: DataFrame, user_col: str, ts_col: str,
                            within_seconds, tiebreak_col)
     return (stages.groupBy("stage")
             .agg(F.count("*").alias("n_users")))
+
+
+def rolling_anomalies(df: DataFrame, ts_col: str, value_col: str,
+                      keys: list[str] | None = None,
+                      lookback: int = 24, z_threshold: float = 3.0,
+                      min_points: int = 5) -> DataFrame:
+    """Rolling z-score anomaly flags over a metric series.
+
+    For each row, the mean/stddev of the PREVIOUS ``lookback`` points
+    (current point excluded, so a spike cannot mask itself) within its
+    key series define the expected band; ``z`` is the deviation in
+    sigmas and ``is_anomaly`` fires at |z| >= ``z_threshold``. Rows
+    with fewer than ``min_points`` of history or zero variance get a
+    null z (cold start / constant series — not judgeable).
+
+    This is the monitoring half the reference runs as cron'd BigQuery
+    threshold checks (monitoramento flows): here it is one window over
+    the already-aggregated series — the input should be a per-bucket
+    rollup (e.g. `timeseries.downsample_ohlc` or a groupBy count), so
+    the window moves O(buckets) rows, never raw events. One Exchange
+    on ``keys``; the frame is row-bounded so per-row state is O(1).
+    """
+    part = keys or []
+    w = (Window.partitionBy(*part).orderBy(ts_col)
+         .rowsBetween(-lookback, -1))
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    npts = F.count(value_col).over(w)
+    z = F.when(
+        (npts >= min_points) & (sd > 0),
+        (F.col(value_col) - mean) / sd)
+    return df.select(
+        *part, ts_col, value_col,
+        npts.alias("n_history"),
+        z.alias("z"),
+        (F.abs(z) >= F.lit(z_threshold)).alias("is_anomaly"),
+    )
 
 
 def cohort_retention(df: DataFrame, user_col: str, ts_col: str,

@@ -121,3 +121,32 @@ def test_link_records_plan_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_rolling_anomalies_flags_spike(spark):
+    """A flat series with one spike: the spike is flagged, the flat
+    points are not, cold-start rows (< min_points history) get null z."""
+    from pipelines_rj_sms_spark.operators.analytics import rolling_anomalies
+    vals = [10.0, 11.0, 10.0, 11.0, 10.0, 11.0, 10.0, 100.0, 10.0]
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, h), v) for h, v in enumerate(vals)],
+        ["k", "ts", "v"])
+    out = {r["ts"].hour: (r["z"], r["is_anomaly"], r["n_history"])
+           for r in rolling_anomalies(
+               df, "ts", "v", ["k"], lookback=6, z_threshold=3.0,
+               min_points=5).collect()}
+    assert out[0][0] is None and out[4][0] is None      # cold start
+    assert out[7][1] is True and out[7][0] > 3          # the spike
+    assert out[6][1] is False                           # flat point
+    # history count is capped by the lookback frame
+    assert out[8][2] == 6
+
+
+def test_rolling_anomalies_zero_variance_null(spark):
+    from pipelines_rj_sms_spark.operators.analytics import rolling_anomalies
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, h), 5.0) for h in range(8)],
+        ["k", "ts", "v"])
+    rows = rolling_anomalies(df, "ts", "v", ["k"], lookback=6,
+                             min_points=3).collect()
+    assert all(r["z"] is None for r in rows)  # constant series: no verdict
