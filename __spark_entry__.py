@@ -175,6 +175,10 @@ Query key -> SURVEY §2 rows covered:
   hourly_count_anomalies    rolling z-score anomaly flags over hourly
                             rollups (prev-24 band, spike can't mask
                             itself)
+  bm25_search_results       BM25 top-k retrieval (query-term-pruned
+                            postings, broadcast corpus stats)
+  doc_unigram_logprob       add-one unigram-LM mean token logprob per
+                            doc (CCNet-style perplexity proxy)
 """
 
 from __future__ import annotations
@@ -2186,6 +2190,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return downsample_ohlc(ev, "ts", "value", keys=["event_type"],
                                interval="1 hour")
 
+    def bm25_search(spark, sf_dir):
+        """BM25 ranked retrieval for a bag-of-terms query: postings are
+        filtered to the query terms BEFORE any shuffle, corpus stats
+        (N, avgdl) ride in as one broadcast row, top-k is
+        TakeOrderedAndProject."""
+        from pipelines_rj_sms_spark.operators.terms import bm25_top_k
+        docs = _t(spark, sf_dir, "documents")
+        return bm25_top_k(docs, "doc_id", "text",
+                          ["spark", "join", "vector"], k=15)
+
+    def unigram_logprob_q(spark, sf_dir):
+        """Per-doc mean token log-probability under the corpus's own
+        add-one unigram LM — the CCNet-style perplexity-proxy quality
+        filter; three narrow hash aggs, no Python."""
+        from pipelines_rj_sms_spark.operators.terms import unigram_logprob
+        docs = _t(spark, sf_dir, "documents")
+        out = unigram_logprob(docs, "doc_id", "text")
+        return out.select("doc_id", "mean_logprob",
+                          F.col("n_tokens").cast("bigint").alias("n_tokens"))
+
     def hourly_anomalies(spark, sf_dir):
         """Rolling z-score anomaly flags over per-type hourly event
         counts: the previous-24-buckets mean/stddev (current point
@@ -2410,6 +2434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linked_addresses": linked_addresses,
         "scd2_user_state_history": scd2_history,
         "hourly_count_anomalies": hourly_anomalies,
+        "bm25_search_results": bm25_search,
+        "doc_unigram_logprob": unigram_logprob_q,
     }
 
 
@@ -2845,6 +2871,52 @@ SELECT d_id, c_id, round(score, 6) AS score
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY d_id
                            ORDER BY score DESC, c_id) = 1
+""",
+        "bm25_search_results": r"""
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+toks AS (
+  SELECT doc_id, CAST(len(l) AS DOUBLE) AS dl, unnest(l) AS term
+  FROM lists),
+qt AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM toks WHERE term IN ('spark', 'join', 'vector')
+  GROUP BY 1, 2, 3),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(l)) AS avgdl FROM lists),
+dfq AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM qt),
+scored AS (
+  SELECT doc_id,
+         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+             * (tf * 2.2)
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS s,
+         count(*) AS n_terms_hit
+  FROM dfq CROSS JOIN stats
+  GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS score, n_terms_hit
+FROM scored
+ORDER BY s DESC, doc_id
+LIMIT 15
+""",
+        "doc_unigram_logprob": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+cnt AS (SELECT term, count(*) AS ct FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS tot,
+               CAST(count(*) AS DOUBLE) AS vocab FROM cnt)
+SELECT doc_id,
+       round(sum(tf * ln((ct + 1.0) / (tot + vocab))) / sum(tf), 6)
+         AS mean_logprob,
+       sum(tf) AS n_tokens
+FROM tf JOIN cnt USING (term) CROSS JOIN tot
+GROUP BY doc_id
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

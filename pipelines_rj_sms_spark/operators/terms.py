@@ -29,6 +29,80 @@ from pyspark.sql import functions as F
 from pipelines_rj_sms_spark.functions.text import tokens
 
 
+def bm25_top_k(df: DataFrame, id_col: str, text_col: str,
+               query_terms: list[str], k: int = 10,
+               k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top ``k`` documents for a bag-of-terms query under BM25.
+
+    Classic Robertson/Spärck-Jones ranking (public formula):
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)), tf normalization
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+
+    Scale shape: tokens explode narrowly with the doc length computed
+    in the same projection (no second corpus pass for lengths); rows
+    are FILTERED TO THE QUERY TERMS before any shuffle, so the hash
+    aggregation and the per-term document-frequency window only ever
+    see |query| terms' postings — corpus-wide stats (N, avgdl) ride in
+    as one broadcast row. Final top-k is TakeOrderedAndProject. Returns
+    (id, score, n_terms_hit) with score rounded to 6.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("double").alias("dl"),
+        F.explode(tokens(text_col)).alias("term"),
+    ).filter(F.col("term").isin(list(query_terms)))
+    tf = toks.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+    # document frequency per query term: tf rows are (doc, term)-unique
+    dfreq = F.count("*").over(Window.partitionBy("term"))
+    stats = F.broadcast(df.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg(F.size(tokens(text_col))).alias("_avgdl")))
+    idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tf_norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl")))
+    scored = (
+        tf.withColumn("df", dfreq).crossJoin(stats)
+        .groupBy(id_col, "dl")
+        .agg(F.sum(idf * tf_norm).alias("_score"),
+             F.count("*").alias("n_terms_hit"))
+    )
+    return (scored
+            .orderBy(F.col("_score").desc(), F.col(id_col))
+            .limit(k)
+            .select(id_col, F.round("_score", 6).alias("score"),
+                    "n_terms_hit"))
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    add-one-smoothed unigram model — the cheap perplexity proxy the
+    CCNet-style quality filters use (docs far below the corpus mode are
+    boilerplate/gibberish; far above are repetitive).
+
+    p(t) = (count(t) + 1) / (total_tokens + vocab); the doc score is
+    sum(tf * ln p) / doc_len. Three hash aggregations, all on narrow
+    (id/term, count) rows; corpus totals enter as one broadcast row.
+    The term-count join key is the term itself — stopword skew is AQE's
+    standard skew-join case.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    cnt = toks.groupBy("term").agg(F.count("*").alias("ct"))
+    totals = F.broadcast(cnt.agg(
+        F.sum("ct").cast("double").alias("_tot"),
+        F.count("*").cast("double").alias("_vocab")))
+    logp = F.log((F.col("ct") + 1.0) / (F.col("_tot") + F.col("_vocab")))
+    return (
+        tf.join(cnt, "term").crossJoin(totals)
+        .groupBy(id_col)
+        .agg(F.round(
+            F.sum(F.col("tf") * logp) / F.sum("tf"), 6
+        ).alias("mean_logprob"),
+            F.sum("tf").alias("n_tokens"))
+    )
+
+
 def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
                     top_n: int = 3) -> DataFrame:
     """Top ``top_n`` terms per document by tf * (N+1)/(df+1).

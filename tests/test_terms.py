@@ -26,3 +26,46 @@ def test_tfidf_deterministic_across_layouts(spark):
     b = sorted(map(tuple, tfidf_top_terms(df.repartition(7), "doc_id", "text").collect()))
     assert a == b
     assert len(a) == 150  # 3 per doc
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    """A doc repeating the query term beats one mentioning it once;
+    docs without any query term don't appear; shorter docs win on
+    length normalization at equal tf."""
+    from pipelines_rj_sms_spark.operators.terms import bm25_top_k
+    df = spark.createDataFrame([
+        (1, "spark spark spark fast engine"),
+        (2, "spark is mentioned once here in a much longer document text"),
+        (3, "nothing relevant at all"),
+        (4, "spark engine"),
+    ], ["id", "txt"])
+    rows = bm25_top_k(df, "id", "txt", ["spark"], k=10).collect()
+    ids = [r["id"] for r in rows]
+    assert 3 not in ids and set(ids) == {1, 2, 4}
+    assert ids[0] in (1, 4)           # high tf or short doc lead
+    assert ids[-1] == 2               # long one-hit doc ranks last
+    assert all(r["n_terms_hit"] == 1 for r in rows)
+
+
+def test_bm25_multi_term_hit_count(spark):
+    from pipelines_rj_sms_spark.operators.terms import bm25_top_k
+    df = spark.createDataFrame([
+        (1, "alpha beta gamma"),
+        (2, "alpha alpha delta"),
+    ], ["id", "txt"])
+    out = {r["id"]: r["n_terms_hit"]
+           for r in bm25_top_k(df, "id", "txt", ["alpha", "beta"]).collect()}
+    assert out == {1: 2, 2: 1}
+
+
+def test_unigram_logprob_rare_tokens_score_lower(spark):
+    """A doc made of corpus-rare tokens has lower mean logprob than one
+    made of the corpus's dominant token."""
+    from pipelines_rj_sms_spark.operators.terms import unigram_logprob
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "zq xv jk qq"), (3, "the the zq the")],
+        ["id", "txt"])
+    out = {r["id"]: (r["mean_logprob"], r["n_tokens"])
+           for r in unigram_logprob(df, "id", "txt").collect()}
+    assert out[1][0] > out[3][0] > out[2][0]
+    assert out[1][1] == 4 and out[2][1] == 4
