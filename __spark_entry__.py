@@ -175,6 +175,8 @@ Query key -> SURVEY §2 rows covered:
   hourly_count_anomalies    rolling z-score anomaly flags over hourly
                             rollups (prev-24 band, spike can't mask
                             itself)
+  weighted_corpus_sample    A-ES weighted sampling, hash-deterministic
+                            (top-n per group by u^(1/weight))
   bm25_search_results       BM25 top-k retrieval (query-term-pruned
                             postings, broadcast corpus stats)
   doc_unigram_logprob       add-one unigram-LM mean token logprob per
@@ -2190,6 +2192,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return downsample_ohlc(ev, "ts", "value", keys=["event_type"],
                                interval="1 hour")
 
+    def weighted_sample(spark, sf_dir):
+        """Efraimidis–Spirakis weighted sampling with the random draw
+        replaced by the md5 key hash: per-language top-25 documents by
+        u^(1/n_chars) — weight-proportional selection that is a pure
+        function of the data (replayable in any engine)."""
+        from pipelines_rj_sms_spark.functions.sampling import (
+            weighted_sample_per_group)
+        docs = _t(spark, sf_dir, "documents")
+        out = weighted_sample_per_group(
+            docs, ["lang"], ["doc_id"], "n_chars", 25, hash_fn="md5")
+        return out.select("doc_id", "lang", "n_chars")
+
     def bm25_search(spark, sf_dir):
         """BM25 ranked retrieval for a bag-of-terms query: postings are
         filtered to the query terms BEFORE any shuffle, corpus stats
@@ -2434,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linked_addresses": linked_addresses,
         "scd2_user_state_history": scd2_history,
         "hourly_count_anomalies": hourly_anomalies,
+        "weighted_corpus_sample": weighted_sample,
         "bm25_search_results": bm25_search,
         "doc_unigram_logprob": unigram_logprob_q,
     }
@@ -2871,6 +2886,17 @@ SELECT d_id, c_id, round(score, 6) AS score
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY d_id
                            ORDER BY score DESC, c_id) = 1
+""",
+        "weighted_corpus_sample": f"""
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         pow(({_duck_md5_bucket("CAST(doc_id AS VARCHAR)")} % 1048576
+              + 0.5) / 1048576.0,
+             1.0 / n_chars) AS wk
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, lang, n_chars FROM w
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY wk DESC, doc_id) <= 25
 """,
         "bm25_search_results": r"""
 WITH lists AS (

@@ -70,6 +70,37 @@ def sample_per_group(df: DataFrame, group_cols: list[str],
     )
 
 
+def weighted_sample_per_group(df: DataFrame, group_cols: list[str],
+                              key_cols: list[str], weight_col: str,
+                              n: int, hash_fn: str = "xxhash64",
+                              salt: str = "") -> DataFrame:
+    """Deterministic weight-proportional N rows per group — the
+    Efraimidis–Spirakis A-ES reservoir scheme (public algorithm) with
+    the random draw replaced by a key hash: each row gets
+    u = (hash(key) mod 2^20 + 0.5) / 2^20 in (0,1) and sort key
+    u^(1/weight); the top ``n`` per group are the sample. Selection
+    probability is proportional to weight (exactly for n=1), yet the
+    sample is a pure function of the data — stable across runs,
+    partitionings, and engines, like every sampler here.
+
+    Rows with weight <= 0 or null are excluded (they can never be
+    drawn under A-ES semantics). One window over the group key; the
+    weighting knob for quality-aware corpus mixing ("prefer long /
+    high-quality docs without hard thresholds").
+    """
+    h = _key_hash([F.col(c) for c in key_cols], hash_fn, salt)
+    u = ((h % F.lit(1 << 20)) + 0.5) / F.lit(float(1 << 20))
+    wkey = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    w = Window.partitionBy(*group_cols).orderBy(
+        wkey.desc(), *[F.col(c).asc() for c in key_cols])
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
 def pack_sequences(df: DataFrame, key_cols: list[str], token_col: str,
                    max_tokens: int, n_shards: int = 1024,
                    hash_fn: str = "xxhash64", salt: str = "",

@@ -164,3 +164,35 @@ def test_sample_by_rates_is_a_projection(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    """With a 1000:1 weight ratio, the A-ES top-1 per group picks the
+    heavy row in (nearly) every group — and the draw is deterministic."""
+    from pipelines_rj_sms_spark.functions.sampling import (
+        weighted_sample_per_group)
+    rows = [(g, g * 10 + i, 1000.0 if i == 0 else 1.0)
+            for g in range(40) for i in range(5)]
+    df = spark.createDataFrame(rows, ["grp", "id", "w"])
+    out = weighted_sample_per_group(df, ["grp"], ["id"], "w", 1)
+    picked = [r["id"] % 10 for r in out.collect()]
+    assert len(picked) == 40
+    assert sum(1 for p in picked if p == 0) >= 35  # heavy row dominates
+
+
+def test_weighted_sample_deterministic_and_filters_nonpositive(spark):
+    from pipelines_rj_sms_spark.functions.sampling import (
+        weighted_sample_per_group)
+    df = spark.createDataFrame(
+        [(1, i, float(i % 7) - 1.0) for i in range(50)], ["grp", "id", "w"])
+    a = {r["id"] for r in weighted_sample_per_group(
+        df, ["grp"], ["id"], "w", 10).collect()}
+    b = {r["id"] for r in weighted_sample_per_group(
+        df.repartition(7), ["grp"], ["id"], "w", 10).collect()}
+    assert a == b and len(a) == 10
+    zero_or_neg = {i for i in range(50) if float(i % 7) - 1.0 <= 0}
+    assert not (a & zero_or_neg)
+    # a different salt re-deals the sample
+    c = {r["id"] for r in weighted_sample_per_group(
+        df, ["grp"], ["id"], "w", 10, salt="v2").collect()}
+    assert c != a
