@@ -175,6 +175,10 @@ Query key -> SURVEY §2 rows covered:
   hourly_count_anomalies    rolling z-score anomaly flags over hourly
                             rollups (prev-24 band, spike can't mask
                             itself)
+  profile_documents_table   single-pass unpivoted column profile
+                            (nulls/cardinality/mode/bounds, one agg)
+  bloom_filtered_orders     bloom-prefiltered exact semi-join (probe
+                            side sheds non-members before shuffling)
   weighted_corpus_sample    A-ES weighted sampling, hash-deterministic
                             (top-n per group by u^(1/weight))
   bm25_search_results       BM25 top-k retrieval (query-term-pruned
@@ -2192,6 +2196,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return downsample_ohlc(ev, "ts", "value", keys=["event_type"],
                                interval="1 hour")
 
+    def profile_docs(spark, sf_dir):
+        """Deequ-style column profile of the documents table in ONE
+        unpivoted pass: null counts, exact cardinality, modal value,
+        lexicographic bounds for every column from a single (column,
+        value) hash aggregation — not a job per column per metric."""
+        from pipelines_rj_sms_spark.quality.profile import profile_table
+        docs = _t(spark, sf_dir, "documents")
+        out = profile_table(docs, ["lang", "source", "n_chars"])
+        return out.select(
+            "column", F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_nulls").cast("bigint").alias("n_nulls"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            "min_value", "max_value", "top_value",
+            F.col("top_count").cast("bigint").alias("top_count"))
+
+    def bloom_orders(spark, sf_dir):
+        """Exact semi-join spelled as bloom-prefilter → shuffle only
+        survivors → verify: orders of high-balance customers. The
+        bitmap is one broadcast row; the probe side sheds non-members
+        before its Exchange (the Spark-internal runtime-filter
+        technique, exposed as an operator)."""
+        from pipelines_rj_sms_spark.operators.bloom import bloom_semi_join
+        cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+        orders = _t(spark, sf_dir, "orders")
+        out = bloom_semi_join(orders, cust, "o_custkey", "c_custkey",
+                              m_bits=1 << 16, k=7)
+        units = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        return (out.withColumn("_u", units).groupBy("o_custkey")
+                .agg(F.count("*").alias("n_orders"),
+                     _fp_sum_col(F.col("_u"), 100).alias("total_spent")))
+
     def weighted_sample(spark, sf_dir):
         """Efraimidis–Spirakis weighted sampling with the random draw
         replaced by the md5 key hash: per-language top-25 documents by
@@ -2448,6 +2483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linked_addresses": linked_addresses,
         "scd2_user_state_history": scd2_history,
         "hourly_count_anomalies": hourly_anomalies,
+        "profile_documents_table": profile_docs,
+        "bloom_filtered_orders": bloom_orders,
         "weighted_corpus_sample": weighted_sample,
         "bm25_search_results": bm25_search,
         "doc_unigram_logprob": unigram_logprob_q,
@@ -2886,6 +2923,37 @@ SELECT d_id, c_id, round(score, 6) AS score
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY d_id
                            ORDER BY score DESC, c_id) = 1
+""",
+        "profile_documents_table": """
+WITH vt AS (
+  SELECT 'lang' AS "column", CAST(lang AS VARCHAR) AS value FROM documents
+  UNION ALL
+  SELECT 'source', CAST(source AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+counts AS (
+  SELECT "column", value, count(*) AS cnt FROM vt GROUP BY 1, 2),
+agg AS (
+  SELECT "column", sum(cnt) AS n_rows,
+         sum(CASE WHEN value IS NULL THEN cnt ELSE 0 END) AS n_nulls,
+         count(CASE WHEN value IS NOT NULL THEN 1 END) AS n_distinct,
+         min(value) AS min_value, max(value) AS max_value
+  FROM counts GROUP BY 1),
+top AS (
+  SELECT "column", value AS top_value, cnt AS top_count
+  FROM counts WHERE value IS NOT NULL
+  QUALIFY row_number() OVER (PARTITION BY "column"
+                             ORDER BY cnt DESC, value DESC) = 1)
+SELECT agg."column", n_rows, n_nulls, n_distinct, min_value, max_value,
+       top_value, top_count
+FROM agg JOIN top USING ("column")
+""",
+        "bloom_filtered_orders": f"""
+SELECT o_custkey, COUNT(*) AS n_orders,
+       {_fp_sum(_c100('o_totalprice'), 100, 'total_spent')}
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+GROUP BY o_custkey
 """,
         "weighted_corpus_sample": f"""
 WITH w AS (

@@ -132,3 +132,30 @@ def test_l_diversity_violations(spark):
     # ell=1 can never flag anything
     assert l_diversity_violations(
         df, ["zip", "sex"], "diagnosis", ell=1).count() == 0
+
+
+def test_profile_table_metrics(spark):
+    from pipelines_rj_sms_spark.quality.profile import profile_table
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", None), (None, 2), ("a", None)],
+        "s string, n int")
+    out = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    s, n = out["s"], out["n"]
+    assert s["n_rows"] == 5 and s["n_nulls"] == 1 and s["n_distinct"] == 2
+    assert s["top_value"] == "a" and s["top_count"] == 3
+    assert n["n_nulls"] == 2 and n["n_distinct"] == 2
+    assert n["top_value"] == "2" and n["top_count"] == 2
+    assert n["min_value"] == "1" and n["max_value"] == "2"
+
+
+def test_profile_table_single_wide_shuffle(spark):
+    """All metrics for all columns come from ONE unpivoted (column,
+    value) aggregation — no per-column jobs."""
+    from pipelines_rj_sms_spark.quality.profile import profile_table
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("m"),
+        (F.col("id") % 2 == 0).alias("b"))
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    # counts agg + per-column agg + top window + broadcastable join:
+    # the unpivoted base is scanned once (explode appears once)
+    assert plan.count("Generate explode") == 1
