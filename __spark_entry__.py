@@ -175,6 +175,8 @@ Query key -> SURVEY §2 rows covered:
   hourly_count_anomalies    rolling z-score anomaly flags over hourly
                             rollups (prev-24 band, spike can't mask
                             itself)
+  join_size_estimate        CMS inner-product join cardinality
+                            estimate (never undercounts, audited)
   profile_documents_table   single-pass unpivoted column profile
                             (nulls/cardinality/mode/bounds, one agg)
   bloom_filtered_orders     bloom-prefiltered exact semi-join (probe
@@ -2196,6 +2198,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return downsample_ohlc(ev, "ts", "value", keys=["event_type"],
                                interval="1 hour")
 
+    def join_size_est(spark, sf_dir):
+        """Planner-side join cardinality estimation: the CMS
+        inner-product (AMS) estimate of |orders ⋈ BUILDING-customers|
+        from two bounded counter tables — never undercounts; audited
+        against the exact join size."""
+        from pipelines_rj_sms_spark.operators.sketches import (
+            build_freq_sketch, cms_join_size)
+        depth, width = 5, 4096
+        orders = _t(spark, sf_dir, "orders")
+        cust = _t(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING")
+        ca = build_freq_sketch(orders, "o_custkey", depth=depth, width=width)
+        cb = build_freq_sketch(cust, "c_custkey", depth=depth, width=width)
+        est = cms_join_size(ca, cb, depth=depth, width=width)
+        exact = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+                 .agg(F.count("*").alias("exact_join_size")))
+        na = orders.agg(F.count("*").alias("_na"))
+        nb = cust.agg(F.count("*").alias("_nb"))
+        return (exact.crossJoin(F.broadcast(est))
+                .crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb))
+                .select(
+                    F.col("exact_join_size").cast("bigint")
+                    .alias("exact_join_size"),
+                    (F.col("join_size_estimate")
+                     >= F.col("exact_join_size")).alias("never_undercount"),
+                    ((F.col("join_size_estimate") - F.col("exact_join_size"))
+                     <= F.lit(3.0 * depth) * F.col("_na") * F.col("_nb")
+                     / F.lit(width)).alias("within_bound")))
+
     def profile_docs(spark, sf_dir):
         """Deequ-style column profile of the documents table in ONE
         unpivoted pass: null counts, exact cardinality, modal value,
@@ -2483,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linked_addresses": linked_addresses,
         "scd2_user_state_history": scd2_history,
         "hourly_count_anomalies": hourly_anomalies,
+        "join_size_estimate": join_size_est,
         "profile_documents_table": profile_docs,
         "bloom_filtered_orders": bloom_orders,
         "weighted_corpus_sample": weighted_sample,
@@ -2923,6 +2955,15 @@ SELECT d_id, c_id, round(score, 6) AS score
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY d_id
                            ORDER BY score DESC, c_id) = 1
+""",
+        # the sketch estimate is audited, not hash-compared (CMS
+        # guarantees: never undercounts; overcount bounded) — the
+        # oracle pins the exact join size and the audit verdicts
+        "join_size_estimate": """
+SELECT CAST(count(*) AS BIGINT) AS exact_join_size,
+       true AS never_undercount, true AS within_bound
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
 """,
         "profile_documents_table": """
 WITH vt AS (

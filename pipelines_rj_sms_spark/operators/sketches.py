@@ -392,3 +392,31 @@ def freq_estimate(freq: DataFrame, keys: DataFrame, key_col: str,
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
              .alias(estimate_col))
     )
+
+
+def cms_join_size(a: DataFrame, b: DataFrame,
+                  depth: int = 5, width: int = 2048,
+                  estimate_col: str = "join_size_estimate") -> DataFrame:
+    """Equi-join cardinality estimate from two count-min tables built
+    with identical (depth, width): the classic AMS/CMS inner-product
+    result (public) — per depth row, sum over buckets of
+    cnt_a * cnt_b; the estimate is the min across depths. Colliding
+    keys only ever ADD nonnegative products, so the estimate NEVER
+    undercounts the true join size; expected overcount is
+    ~|A||B|/width per depth, driven down by the min.
+
+    This is the planner-side use of the sketches: decide
+    broadcast-vs-shuffle, pre-size shuffle partitions, or refuse a
+    runaway join BEFORE running it — from two bounded counter tables
+    (depth x width rows each), never from the data. The product join
+    is at most depth*width rows a side; output is one scalar row.
+    """
+    j = (a.alias("x").join(b.alias("y"), ["d", "bucket"])
+         .groupBy("d")
+         .agg(F.sum(F.col("x.cnt") * F.col("y.cnt")).alias("_ip")))
+    # a depth row with zero shared buckets means that hash family saw
+    # disjoint key sets: its inner product is 0, not "absent"
+    depths = a.select("d").distinct()
+    return (depths.join(j, "d", "left")
+            .agg(F.min(F.coalesce(F.col("_ip"), F.lit(0)))
+                 .alias(estimate_col)))

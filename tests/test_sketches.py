@@ -306,3 +306,41 @@ def test_new_sketch_plans_stay_jvm_side(spark, events):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "HashAggregate" in plan
+
+
+def test_cms_join_size_exact_when_no_collisions(spark):
+    """Few distinct keys + wide table -> no bucket collisions -> the
+    inner product IS the exact join size (sum of f_a(k)*f_b(k))."""
+    from pipelines_rj_sms_spark.operators.sketches import (
+        build_freq_sketch, cms_join_size)
+    a = spark.createDataFrame([(k,) for k in [1, 1, 2, 3, 3, 3]], ["k"])
+    b = spark.createDataFrame([(k,) for k in [1, 3, 3, 4]], ["k"])
+    ca = build_freq_sketch(a, "k", depth=3, width=1 << 14)
+    cb = build_freq_sketch(b, "k", depth=3, width=1 << 14)
+    est = cms_join_size(ca, cb, depth=3, width=1 << 14).collect()[0][0]
+    exact = a.join(b, "k").count()            # 2*1 + 3*2 = 8
+    assert est == exact == 8
+
+
+def test_cms_join_size_never_undercounts(spark):
+    from pyspark.sql import functions as F
+    from pipelines_rj_sms_spark.operators.sketches import (
+        build_freq_sketch, cms_join_size)
+    a = spark.range(2000).select((F.col("id") % 537).alias("k"))
+    b = spark.range(1000).select((F.col("id") % 211).alias("k"))
+    ca = build_freq_sketch(a, "k", depth=5, width=256)   # narrow: collides
+    cb = build_freq_sketch(b, "k", depth=5, width=256)
+    est = cms_join_size(ca, cb, depth=5, width=256).collect()[0][0]
+    exact = a.join(b, "k").count()
+    assert est >= exact
+
+
+def test_cms_join_size_disjoint_keys_zero(spark):
+    from pipelines_rj_sms_spark.operators.sketches import (
+        build_freq_sketch, cms_join_size)
+    a = spark.createDataFrame([(1,), (2,)], ["k"])
+    b = spark.createDataFrame([(900001,), (900002,)], ["k"])
+    ca = build_freq_sketch(a, "k", depth=3, width=1 << 16)
+    cb = build_freq_sketch(b, "k", depth=3, width=1 << 16)
+    assert cms_join_size(ca, cb, depth=3, width=1 << 16) \
+        .collect()[0][0] == 0
