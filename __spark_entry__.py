@@ -175,6 +175,9 @@ Query key -> SURVEY §2 rows covered:
   hourly_count_anomalies    rolling z-score anomaly flags over hourly
                             rollups (prev-24 band, spike can't mask
                             itself)
+  pagerank_part_supplier    PageRank power iteration over the
+                            part<->supplier graph (3 rounds, exact
+                            SQL replay)
   join_size_estimate        CMS inner-product join cardinality
                             estimate (never undercounts, audited)
   profile_documents_table   single-pass unpivoted column profile
@@ -791,6 +794,38 @@ WHERE s_suppkey IN (
 # chars as a bigint — the portable split/sample arithmetic.
 def _duck_md5_bucket(key_expr: str) -> str:
     return f"CAST(('0x' || substr(md5({key_expr}), 1, 8)) AS BIGINT)"
+
+
+def _duck_pagerank_sql(n_iter: int = 3, d: float = 0.85) -> str:
+    """Unrolled power iterations of graph.pagerank over the symmetric
+    part<->supplier graph; literals injected as exact double reprs so
+    both engines compute bit-identical constants."""
+    one_minus_d = repr(1.0 - d)
+    dd = repr(d)
+    parts = [f"""
+WITH fwd AS (
+  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+  FROM lineitem),
+edges AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+p0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn)"""]
+    prev = "p0"
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+m{i} AS (
+  SELECT e.dst AS node, sum(p.pr / d.outdeg) AS m
+  FROM edges e JOIN {prev} p ON e.src = p.node
+  JOIN deg d ON e.src = d.src GROUP BY e.dst),
+p{i} AS (
+  SELECT nodes.node,
+         CAST({one_minus_d} AS DOUBLE) / n
+         + CAST({dd} AS DOUBLE) * coalesce(m{i}.m, 0.0) AS pr
+  FROM nodes CROSS JOIN nn LEFT JOIN m{i} ON nodes.node = m{i}.node)""")
+        prev = f"p{i}"
+    parts.append(f"\nSELECT node, round(pr, 6) AS pr FROM {prev}")
+    return "".join(parts)
 
 
 _SPLIT_DUCK = f"""
@@ -2198,6 +2233,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return downsample_ohlc(ev, "ts", "value", keys=["event_type"],
                                interval="1 hour")
 
+    def pagerank_q(spark, sf_dir):
+        """PageRank over the symmetric part↔supplier co-occurrence
+        graph from lineitem (suppliers offset into their own id space):
+        3 fixed power iterations so both engines replay the identical
+        arithmetic. Each iteration is one equi-join + one hash agg on
+        node ids; no quadratic structure ever materializes."""
+        from pipelines_rj_sms_spark.operators.graph import pagerank
+        li = _t(spark, sf_dir, "lineitem")
+        fwd = li.select(F.col("l_partkey").alias("src"),
+                        (F.col("l_suppkey") + 1000000).alias("dst"))
+        edges = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        pr = pagerank(edges, n_iter=3)
+        return pr.select("node", F.round("pr", 6).alias("pr"))
+
     def join_size_est(spark, sf_dir):
         """Planner-side join cardinality estimation: the CMS
         inner-product (AMS) estimate of |orders ⋈ BUILDING-customers|
@@ -2514,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linked_addresses": linked_addresses,
         "scd2_user_state_history": scd2_history,
         "hourly_count_anomalies": hourly_anomalies,
+        "pagerank_part_supplier": pagerank_q,
         "join_size_estimate": join_size_est,
         "profile_documents_table": profile_docs,
         "bloom_filtered_orders": bloom_orders,
@@ -2956,6 +3007,7 @@ FROM scored
 QUALIFY row_number() OVER (PARTITION BY d_id
                            ORDER BY score DESC, c_id) = 1
 """,
+        "pagerank_part_supplier": _duck_pagerank_sql(3, 0.85),
         # the sketch estimate is audited, not hash-compared (CMS
         # guarantees: never undercounts; overcount bounded) — the
         # oracle pins the exact join size and the audit verdicts

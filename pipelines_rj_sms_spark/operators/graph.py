@@ -1,0 +1,98 @@
+"""Graph centrality over edge lists — PageRank power iteration.
+
+Companion to `dedup.connected_components`: components tell you WHICH
+rows form a cluster, PageRank tells you which nodes are *central* —
+canonical-record election in linkage graphs, authority scoring of
+interlinked documents, hub detection in entity co-occurrence graphs.
+
+Same execution discipline as the components operator: each power
+iteration is one equi-join + one hash aggregation keyed on node ids
+(never materializing anything quadratic), iteration state is
+``localCheckpoint``-ed so the logical plan does not double per round,
+and the only non-join state (node count, dangling mass) rides as
+broadcast one-row aggregates. O(n_iter) shuffles of (node, rank)
+pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, n_iter: int = 10,
+             nodes: DataFrame | None = None,
+             node_col: str | None = None) -> DataFrame:
+    """(node, pr) after ``n_iter`` synchronous power iterations of the
+    standard PageRank recurrence (public formulation):
+
+        pr(v) = (1-d)/N + d * (Σ_{u→v} pr(u)/outdeg(u) + dangling/N)
+
+    where ``dangling`` is the rank mass sitting on nodes with no
+    out-edges, redistributed uniformly (the textbook correction — rank
+    always sums to 1). Deterministic: fixed iteration count, no
+    convergence probe, so two engines can replay it exactly.
+
+    ``nodes``/``node_col`` widens the vertex set beyond edge
+    endpoints (isolated nodes hold (1-d)/N + d*dangling/N).
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")) \
+        .distinct().persist()
+    if nodes is not None:
+        if node_col is None:
+            raise ValueError("node_col required when nodes is given")
+        base = nodes.select(F.col(node_col).alias("node")).distinct()
+    else:
+        base = (e.select(F.col("_s").alias("node"))
+                .unionByName(e.select(F.col("_d").alias("node")))
+                .distinct())
+    base = base.persist()
+    deg = e.groupBy("_s").agg(F.count("*").alias("_outdeg")).persist()
+    n = F.broadcast(base.agg(F.count("*").cast("double").alias("_n")))
+
+    pr = base.crossJoin(n).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("pr")).localCheckpoint()
+
+    d = float(damping)
+    for _ in range(n_iter):
+        contrib = (
+            e.join(pr.select(F.col("node").alias("_s"),
+                             F.col("pr").alias("_spr")), "_s")
+            .join(deg, "_s")
+            .groupBy("_d")
+            .agg(F.sum(F.col("_spr") / F.col("_outdeg")).alias("_m"))
+            .select(F.col("_d").alias("node"), "_m")
+        )
+        dangling = F.broadcast(
+            pr.join(deg, pr["node"] == deg["_s"], "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm")))
+        pr = (
+            base.join(contrib, "node", "left")
+            .crossJoin(n).crossJoin(dangling)
+            .select(
+                "node",
+                (F.lit((1.0 - d)) / F.col("_n")
+                 + F.lit(d) * (F.coalesce(F.col("_m"), F.lit(0.0))
+                               + F.col("_dm") / F.col("_n"))).alias("pr"))
+            .localCheckpoint()
+        )
+    e.unpersist()
+    deg.unpersist()
+    base.unpersist()
+    return pr
+
+
+def degrees(edges: DataFrame, src: str = "src",
+            dst: str = "dst") -> DataFrame:
+    """(node, out_degree, in_degree) in one pass over distinct edges."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")) \
+        .distinct()
+    out_d = e.groupBy(F.col("_s").alias("node")) \
+        .agg(F.count("*").alias("out_degree"))
+    in_d = e.groupBy(F.col("_d").alias("node")) \
+        .agg(F.count("*").alias("in_degree"))
+    return (out_d.join(in_d, "node", "full")
+            .select("node",
+                    F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+                    F.coalesce("in_degree", F.lit(0)).alias("in_degree")))

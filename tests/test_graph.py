@@ -1,0 +1,58 @@
+"""PageRank / degrees (operators/graph.py)."""
+
+from pyspark.sql import functions as F
+
+from pipelines_rj_sms_spark.operators.graph import degrees, pagerank
+
+
+def _pr_numpy(edges, n_iter, d=0.85, nodes=None):
+    """Reference power iteration (dict-based)."""
+    nodes = set(nodes or [])
+    for s, t in edges:
+        nodes |= {s, t}
+    nodes = sorted(nodes)
+    out = {}
+    for s, t in set(edges):
+        out.setdefault(s, set()).add(t)
+    n = len(nodes)
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        dm = sum(pr[v] for v in nodes if v not in out)
+        nxt = {}
+        for v in nodes:
+            m = sum(pr[u] / len(out[u]) for u in nodes
+                    if u in out and v in out[u])
+            nxt[v] = (1.0 - d) / n + d * (m + dm / n)
+        pr = nxt
+    return pr
+
+
+def test_pagerank_matches_reference_iteration(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (3, 2), (4, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["pr"] for r in pagerank(df, n_iter=4).collect()}
+    want = _pr_numpy(edges, 4)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    # node 3 is dangling (no out-edges): total rank must still sum to 1
+    df = spark.createDataFrame([(1, 3), (2, 3)], ["src", "dst"])
+    rows = pagerank(df, n_iter=5).collect()
+    assert abs(sum(r["pr"] for r in rows) - 1.0) < 1e-9
+    got = {r["node"]: r["pr"] for r in rows}
+    assert got[3] > got[1] == got[2]
+
+
+def test_pagerank_isolated_nodes_and_degrees(spark):
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    nodes = spark.createDataFrame([(1,), (2,), (9,)], ["v"])
+    got = {r["node"]: r["pr"]
+           for r in pagerank(edges, n_iter=2, nodes=nodes,
+                             node_col="v").collect()}
+    assert 9 in got and got[9] < got[2]
+    deg = {r["node"]: (r["out_degree"], r["in_degree"])
+           for r in degrees(edges).collect()}
+    assert deg == {1: (1, 0), 2: (0, 1)}
