@@ -175,6 +175,8 @@ Query key -> SURVEY §2 rows covered:
   hourly_count_anomalies    rolling z-score anomaly flags over hourly
                             rollups (prev-24 band, spike can't mask
                             itself)
+  imputed_event_values      group-median repair of missing values
+                            (broadcast fill stats, no data shuffle)
   pagerank_part_supplier    PageRank power iteration over the
                             part<->supplier graph (3 rounds, exact
                             SQL replay)
@@ -2233,6 +2235,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return downsample_ohlc(ev, "ts", "value", keys=["event_type"],
                                interval="1 hour")
 
+    def imputed_values(spark, sf_dir):
+        """Group-aware repair: event values > 95 declared missing, then
+        filled with their event_type's exact median of the observed
+        values. Fill stats are one hash agg joined back broadcast — the
+        data never shuffles."""
+        from pipelines_rj_sms_spark.operators.impute import (
+            impute_group_stats)
+        ev = _t(spark, sf_dir, "events")
+        miss = ev.withColumn(
+            "value", F.when(F.col("value") <= 95, F.col("value")))
+        out = impute_group_stats(miss, ["event_type"], {"value": "median"})
+        return out.select(
+            "event_id", "event_type",
+            F.round("value", 6).alias("value_filled"), "value_was_missing")
+
     def pagerank_q(spark, sf_dir):
         """PageRank over the symmetric part↔supplier co-occurrence
         graph from lineitem (suppliers offset into their own id space):
@@ -2564,6 +2581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linked_addresses": linked_addresses,
         "scd2_user_state_history": scd2_history,
         "hourly_count_anomalies": hourly_anomalies,
+        "imputed_event_values": imputed_values,
         "pagerank_part_supplier": pagerank_q,
         "join_size_estimate": join_size_est,
         "profile_documents_table": profile_docs,
@@ -3006,6 +3024,19 @@ SELECT d_id, c_id, round(score, 6) AS score
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY d_id
                            ORDER BY score DESC, c_id) = 1
+""",
+        "imputed_event_values": """
+WITH miss AS (
+  SELECT event_id, event_type,
+         CASE WHEN value <= 95 THEN value END AS value
+  FROM events),
+med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM miss GROUP BY 1)
+SELECT event_id, event_type,
+       round(coalesce(value, m), 6) AS value_filled,
+       (value IS NULL) AS value_was_missing
+FROM miss JOIN med USING (event_type)
 """,
         "pagerank_part_supplier": _duck_pagerank_sql(3, 0.85),
         # the sketch estimate is audited, not hash-compared (CMS
