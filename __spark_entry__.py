@@ -172,6 +172,8 @@ Query key -> SURVEY §2 rows covered:
                             record
   scd2_user_state_history   SCD2 validity intervals from the event log
                             (gaps-and-islands, single Exchange)
+  linked_addresses_jw       record linkage scored by Jaro-Winkler
+                            (pandas UDF pinned to DuckDB semantics)
   hourly_count_anomalies    rolling z-score anomaly flags over hourly
                             rollups (prev-24 band, spike can't mask
                             itself)
@@ -2213,6 +2215,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("d_id", "c_id",
                           F.round(F.col("score"), 6).alias("score"))
 
+    def linked_addresses_jw(spark, sf_dir):
+        """The linkage demo re-scored with Jaro-Winkler (the classic
+        name-matching similarity; Arrow-batched pandas UDF pinned to
+        DuckDB's jaro_winkler_similarity semantics). Same blocking
+        equi-join — the UDF only ever sees block-bounded candidate
+        pairs."""
+        from pipelines_rj_sms_spark.operators.linkage import (
+            jaro_winkler, link_records)
+        docs = _t(spark, sf_dir, "documents")
+        blk = F.substring(F.col("text"), 1, 4)
+        clean = docs.select(
+            F.col("doc_id").alias("c_id"),
+            F.substring("text", 1, 40).alias("c_addr"),
+            "lang", blk.alias("blk"))
+        dirty = docs.select(
+            F.col("doc_id").alias("d_id"),
+            F.concat(F.substring("text", 1, 4),
+                     F.substring("text", 6, 35)).alias("d_addr"),
+            "lang", blk.alias("blk"))
+        out = link_records(
+            dirty, clean, ["lang", "blk"],
+            jaro_winkler("d_addr", "c_addr"),
+            threshold=0.93, left_id="d_id", right_id="c_id")
+        return out.select("d_id", "c_id",
+                          F.round(F.col("score"), 6).alias("score"))
+
     def scd2_history(spark, sf_dir):
         """SCD2 validity intervals from the event log: one row per run
         of consecutive identical event_type per user, with
@@ -2580,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_monthly": cohort_retention_q,
         "linked_addresses": linked_addresses,
         "scd2_user_state_history": scd2_history,
+        "linked_addresses_jw": linked_addresses_jw,
         "hourly_count_anomalies": hourly_anomalies,
         "imputed_event_values": imputed_values,
         "pagerank_part_supplier": pagerank_q,
@@ -3150,6 +3179,27 @@ SELECT event_type, hour, n,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+""",
+        "linked_addresses_jw": """
+WITH clean AS (
+  SELECT doc_id AS c_id, substr(text, 1, 40) AS c_addr, lang,
+         substr(text, 1, 4) AS blk
+  FROM documents),
+dirty AS (
+  SELECT doc_id AS d_id,
+         concat(substr(text, 1, 4), substr(text, 6, 35)) AS d_addr,
+         lang, substr(text, 1, 4) AS blk
+  FROM documents),
+scored AS (
+  SELECT d.d_id, c.c_id,
+         jaro_winkler_similarity(d.d_addr, c.c_addr) AS score
+  FROM dirty d
+  JOIN clean c ON d.lang = c.lang AND d.blk = c.blk
+  WHERE jaro_winkler_similarity(d.d_addr, c.c_addr) >= 0.93)
+SELECT d_id, c_id, round(score, 6) AS score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY d_id
+                           ORDER BY score DESC, c_id) = 1
 """,
         "scd2_user_state_history": """
 WITH ordered AS (

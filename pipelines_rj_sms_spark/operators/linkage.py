@@ -20,6 +20,8 @@ upstream, exactly like every other candidate generator in this repo.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -48,6 +50,70 @@ def levenshtein_ratio(a: Column | str, b: Column | str) -> Column:
     return (F.lit(1.0)
             - F.levenshtein(ca, cb)
             / F.greatest(F.length(ca), F.length(cb), F.lit(1)))
+
+
+def _jaro_winkler_py(a: str, b: str, prefix_weight: float = 0.1,
+                     boost_threshold: float = 0.7) -> float:
+    """Textbook Jaro-Winkler (public algorithm, matching DuckDB's
+    jaro_winkler_similarity semantics: empty strings score 0, Winkler
+    prefix boost applied above the 0.7 Jaro threshold)."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    if a == b:
+        return 1.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    b_matched = [False] * lb
+    a_matched = [False] * la
+    m = 0
+    for i, ch in enumerate(a):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not b_matched[j] and b[j] == ch:
+                a_matched[i] = b_matched[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(la):
+        if a_matched[i]:
+            while not b_matched[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    t //= 2
+    jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    if jaro <= boost_threshold:
+        return jaro
+    l = 0
+    for x, y in zip(a[:4], b[:4]):
+        if x != y:
+            break
+        l += 1
+    return jaro + l * prefix_weight * (1.0 - jaro)
+
+
+def jaro_winkler(a: Column | str, b: Column | str) -> Column:
+    """Jaro-Winkler similarity in [0, 1] as an Arrow-batched pandas
+    UDF — the sanctioned Python path (SCALE.md): JW's adaptive match
+    window has no expression-level spelling, and linkage scoring runs
+    AFTER blocking, so the UDF sees candidate pairs (block-bounded),
+    never the cross product. Use `levenshtein_ratio` when an
+    expression-only score suffices."""
+    @F.pandas_udf("double")
+    def _jw(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        return pd.Series([
+            0.0 if (x is None or y is None) else _jaro_winkler_py(x, y)
+            for x, y in zip(sa, sb)], dtype="float64")
+
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return _jw(ca, cb)
 
 
 def link_records(left: DataFrame, right: DataFrame,

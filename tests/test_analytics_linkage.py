@@ -150,3 +150,32 @@ def test_rolling_anomalies_zero_variance_null(spark):
     rows = rolling_anomalies(df, "ts", "v", ["k"], lookback=6,
                              min_points=3).collect()
     assert all(r["z"] is None for r in rows)  # constant series: no verdict
+
+
+def test_jaro_winkler_matches_duckdb_semantics(spark):
+    """Pin the UDF to DuckDB's jaro_winkler_similarity on textbook and
+    randomized pairs — the linkage score must replay cross-engine."""
+    import random
+
+    import duckdb
+
+    from pipelines_rj_sms_spark.operators.linkage import (
+        _jaro_winkler_py, jaro_winkler)
+    rng = random.Random(7)
+    alpha = "abcdef"
+    pairs = [("martha", "marhta"), ("dwayne", "duane"),
+             ("dixon", "dicksonx"), ("", ""), ("abc", ""), ("same", "same")]
+    pairs += [("".join(rng.choice(alpha) for _ in range(rng.randint(0, 9))),
+               "".join(rng.choice(alpha) for _ in range(rng.randint(0, 9))))
+              for _ in range(300)]
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        assert abs(_jaro_winkler_py(a, b) - want) < 1e-12, (a, b)
+
+    df = spark.createDataFrame(pairs[:6], ["a", "b"])
+    got = [r["s"] for r in
+           df.select(jaro_winkler("a", "b").alias("s")).collect()]
+    assert abs(got[0] - 0.9611111111111111) < 1e-12
+    assert got[3] == 0.0 and got[5] == 1.0
