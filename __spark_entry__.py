@@ -174,6 +174,9 @@ Query key -> SURVEY §2 rows covered:
                             (gaps-and-islands, single Exchange)
   linked_addresses_jw       record linkage scored by Jaro-Winkler
                             (pandas UDF pinned to DuckDB semantics)
+  kfold_assignment          hash-deterministic 5-fold CV deal by key
+  temporal_split_counts     train/embargo/test time split with a
+                            3-day purge window
   hourly_count_anomalies    rolling z-score anomaly flags over hourly
                             rollups (prev-24 band, spike can't mask
                             itself)
@@ -2215,6 +2218,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("d_id", "c_id",
                           F.round(F.col("score"), 6).alias("score"))
 
+    def kfold_q(spark, sf_dir):
+        """Leakage-safe 5-fold CV assignment by customer key (md5
+        variant — any engine replays the deal)."""
+        from pipelines_rj_sms_spark.functions.sampling import kfold_assign
+        cust = _t(spark, sf_dir, "customer")
+        return kfold_assign(cust, ["c_custkey"], k=5, hash_fn="md5") \
+            .select("c_custkey", "fold")
+
+    def temporal_split_q(spark, sf_dir):
+        """Time split with a 3-day purge window: train / embargo / test
+        counts per event type — the look-ahead-leak guard for
+        time-series features."""
+        from pipelines_rj_sms_spark.functions.sampling import temporal_split
+        ev = _t(spark, sf_dir, "events")
+        out = temporal_split(ev, "ts", "2024-01-22 00:00:00",
+                             embargo_days=3)
+        return (out.groupBy("event_type", "split")
+                .agg(F.count("*").alias("qtd")))
+
     def linked_addresses_jw(spark, sf_dir):
         """The linkage demo re-scored with Jaro-Winkler (the classic
         name-matching similarity; Arrow-batched pandas UDF pinned to
@@ -2609,6 +2631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linked_addresses": linked_addresses,
         "scd2_user_state_history": scd2_history,
         "linked_addresses_jw": linked_addresses_jw,
+        "kfold_assignment": kfold_q,
+        "temporal_split_counts": temporal_split_q,
         "hourly_count_anomalies": hourly_anomalies,
         "imputed_event_values": imputed_values,
         "pagerank_part_supplier": pagerank_q,
@@ -3179,6 +3203,21 @@ SELECT event_type, hour, n,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+""",
+        "kfold_assignment": f"""
+SELECT c_custkey,
+       CAST({_duck_md5_bucket("CAST(c_custkey AS VARCHAR)")} % 5 AS INT)
+         AS fold
+FROM customer
+""",
+        "temporal_split_counts": """
+SELECT event_type,
+       CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00' - INTERVAL 3 DAYS
+              THEN 'train'
+            WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 'test'
+            ELSE 'embargo' END AS split,
+       COUNT(*) AS qtd
+FROM events GROUP BY 1, 2
 """,
         "linked_addresses_jw": """
 WITH clean AS (

@@ -70,6 +70,36 @@ def sample_per_group(df: DataFrame, group_cols: list[str],
     )
 
 
+def kfold_assign(df: DataFrame, key_cols: list[str], k: int = 5,
+                 out_col: str = "fold", hash_fn: str = "xxhash64",
+                 salt: str = "") -> DataFrame:
+    """Deterministic k-fold assignment: fold = hash(key) % k. All rows
+    of one entity land in one fold (leakage-safe cross-validation, the
+    k-way generalization of hash_split); pure projection, engine-
+    replayable in the md5 variant."""
+    h = _key_hash([F.col(c) for c in key_cols], hash_fn, salt)
+    return df.withColumn(out_col, (h % k).cast("int"))
+
+
+def temporal_split(df: DataFrame, ts_col: str, test_start,
+                   embargo_days: int = 0,
+                   out_col: str = "split") -> DataFrame:
+    """Leakage-safe time split: 'train' strictly before
+    ``test_start - embargo_days``, 'test' at/after ``test_start``,
+    'embargo' in between (dropped by convention before training —
+    the purge window that keeps look-ahead features from leaking
+    across the boundary). Pure projection; at 100 TB this is exactly
+    the date-partition pruning predicate."""
+    t0 = F.lit(test_start).cast("timestamp")
+    lo = t0 - F.expr(f"INTERVAL {int(embargo_days)} DAYS")
+    c = F.col(ts_col)
+    return df.withColumn(
+        out_col,
+        F.when(c < lo, "train")
+        .when(c >= t0, "test")
+        .otherwise("embargo"))
+
+
 def weighted_sample_per_group(df: DataFrame, group_cols: list[str],
                               key_cols: list[str], weight_col: str,
                               n: int, hash_fn: str = "xxhash64",

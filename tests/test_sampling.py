@@ -196,3 +196,29 @@ def test_weighted_sample_deterministic_and_filters_nonpositive(spark):
     c = {r["id"] for r in weighted_sample_per_group(
         df, ["grp"], ["id"], "w", 10, salt="v2").collect()}
     assert c != a
+
+
+def test_kfold_leakage_safe_and_balanced(spark):
+    from pipelines_rj_sms_spark.functions.sampling import kfold_assign
+    df = spark.createDataFrame(
+        [(u, e) for u in range(200) for e in range(3)], ["user", "ev"])
+    out = kfold_assign(df, ["user"], k=5)
+    # every entity sits in exactly one fold, regardless of its rows
+    per_user = out.groupBy("user").agg(
+        F.count_distinct("fold").alias("nf")).collect()
+    assert all(r["nf"] == 1 for r in per_user)
+    sizes = [r["n"] for r in out.select("user", "fold").distinct()
+             .groupBy("fold").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) == 5 and min(sizes) > 20   # roughly balanced
+
+
+def test_temporal_split_embargo_band(spark):
+    from datetime import datetime
+
+    from pipelines_rj_sms_spark.functions.sampling import temporal_split
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, d, 12),) for d in range(1, 11)], ["ts"])
+    out = {r["ts"].day: r["split"] for r in temporal_split(
+        df, "ts", "2024-01-08 00:00:00", embargo_days=2).collect()}
+    assert out[5] == "train" and out[6] == "embargo" and out[7] == "embargo"
+    assert out[8] == "test" and out[10] == "test"
