@@ -174,6 +174,8 @@ Query key -> SURVEY §2 rows covered:
                             (gaps-and-islands, single Exchange)
   linked_addresses_jw       record linkage scored by Jaro-Winkler
                             (pandas UDF pinned to DuckDB semantics)
+  order_snapshot_diff       CDC between two keyed snapshots: rows
+                            collapse to (key, hash) before the join
   kfold_assignment          hash-deterministic 5-fold CV deal by key
   temporal_split_counts     train/embargo/test time split with a
                             3-day purge window
@@ -2218,6 +2220,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("d_id", "c_id",
                           F.round(F.col("score"), 6).alias("score"))
 
+    def snapshot_diff_q(spark, sf_dir):
+        """CDC without a changelog: classify every order key across two
+        snapshots as inserted/deleted/changed/unchanged. Rows collapse
+        to (key, xxhash64) in the scan projection, so the full-outer
+        join shuffles 16-byte pairs — bodies never move."""
+        from pipelines_rj_sms_spark.operators.diff import snapshot_diff
+        orders = _t(spark, sf_dir, "orders")
+        k = F.col("o_orderkey")
+        new = (orders.filter(k % 97 != 0)
+               .withColumn("o_totalprice",
+                           F.when(k % 13 == 0, F.col("o_totalprice") + 1)
+                           .otherwise(F.col("o_totalprice")))
+               .unionByName(
+                   orders.filter(k % 89 == 0)
+                   .withColumn("o_orderkey", k + 1000000000)))
+        return snapshot_diff(orders, new, ["o_orderkey"],
+                             ["o_totalprice", "o_orderstatus"])
+
     def kfold_q(spark, sf_dir):
         """Leakage-safe 5-fold CV assignment by customer key (md5
         variant — any engine replays the deal)."""
@@ -2632,6 +2652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_state_history": scd2_history,
         "linked_addresses_jw": linked_addresses_jw,
         "kfold_assignment": kfold_q,
+        "order_snapshot_diff": snapshot_diff_q,
         "temporal_split_counts": temporal_split_q,
         "hourly_count_anomalies": hourly_anomalies,
         "imputed_event_values": imputed_values,
@@ -3203,6 +3224,26 @@ SELECT event_type, hour, n,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+""",
+        "order_snapshot_diff": """
+WITH oldt AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+newt AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 89 = 0)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+            WHEN n.o_orderkey IS NULL THEN 'deleted'
+            WHEN o.o_totalprice = n.o_totalprice
+                 AND o.o_orderstatus = n.o_orderstatus THEN 'unchanged'
+            ELSE 'changed' END AS change
+FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
 """,
         "kfold_assignment": f"""
 SELECT c_custkey,
