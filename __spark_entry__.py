@@ -174,6 +174,8 @@ Query key -> SURVEY §2 rows covered:
                             (gaps-and-islands, single Exchange)
   linked_addresses_jw       record linkage scored by Jaro-Winkler
                             (pandas UDF pinned to DuckDB semantics)
+  embedding_label_cohesion  per-label centroid cohesion report
+                            (mean/min cosine, triplet-agg centroids)
   order_snapshot_diff       CDC between two keyed snapshots: rows
                             collapse to (key, hash) before the join
   kfold_assignment          hash-deterministic 5-fold CV deal by key
@@ -2220,6 +2222,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("d_id", "c_id",
                           F.round(F.col("score"), 6).alias("score"))
 
+    def cohesion_q(spark, sf_dir):
+        """Embedding cluster-quality report: per-label mean/min cosine
+        to the label centroid. Centroids are computed as (label, pos)
+        triplet aggregates — no whole-vector aggregation state — and
+        ride back broadcast."""
+        from pipelines_rj_sms_spark.operators.similarity import (
+            cluster_cohesion)
+        emb = _t(spark, sf_dir, "embeddings")
+        out = cluster_cohesion(emb, "label", "embedding")
+        return out.select(
+            F.col("label").cast("int").alias("label"),
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            F.round("mean_cos", 6).alias("mean_cos"),
+            F.round("min_cos", 6).alias("min_cos"))
+
     def snapshot_diff_q(spark, sf_dir):
         """CDC without a changelog: classify every order key across two
         snapshots as inserted/deleted/changed/unchanged. Rows collapse
@@ -2653,6 +2670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linked_addresses_jw": linked_addresses_jw,
         "kfold_assignment": kfold_q,
         "order_snapshot_diff": snapshot_diff_q,
+        "embedding_label_cohesion": cohesion_q,
         "temporal_split_counts": temporal_split_q,
         "hourly_count_anomalies": hourly_anomalies,
         "imputed_event_values": imputed_values,
@@ -3224,6 +3242,23 @@ SELECT event_type, hour, n,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+""",
+        "embedding_label_cohesion": f"""
+WITH vs AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT label,
+         list_value({", ".join(f"avg(v[{i}])" for i in range(1, 65))}) AS c
+  FROM vs GROUP BY label),
+scored AS (
+  SELECT vs.label,
+         list_dot_product(vs.v, cents.c)
+         / (sqrt(list_dot_product(vs.v, vs.v))
+            * sqrt(list_dot_product(cents.c, cents.c))) AS cos
+  FROM vs JOIN cents USING (label))
+SELECT CAST(label AS INT) AS label, CAST(count(*) AS BIGINT) AS n_vectors,
+       round(avg(cos), 6) AS mean_cos, round(min(cos), 6) AS min_cos
+FROM scored GROUP BY label
 """,
         "order_snapshot_diff": """
 WITH oldt AS (

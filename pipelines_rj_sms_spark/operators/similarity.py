@@ -490,3 +490,43 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
         .distinct()
     )
     return df.join(drops, id_col, "left_anti")
+
+
+def label_centroids(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-label mean vector, computed distributively: posexplode to
+    (label, pos, val) — a narrow map — then one hash aggregation per
+    (label, pos) and an ordered reassembly per label. Shuffle rows are
+    24-byte triplets; no vector ever sits whole in aggregation state,
+    so dimension and label cardinality scale independently (this is
+    also the k-means update step IVF training uses, generalized to any
+    label column)."""
+    pe = df.select(
+        F.col(label_col).alias("_lbl"),
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("_pos", "_val"))
+    per = pe.groupBy("_lbl", "_pos").agg(F.avg("_val").alias("_avg"))
+    return (per.groupBy("_lbl")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_avg"))),
+                lambda s: s["_avg"]).alias("centroid"))
+            .select(F.col("_lbl").alias(label_col), "centroid"))
+
+
+def cluster_cohesion(df: DataFrame, label_col: str = "label",
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Cluster-quality report: each vector's cosine to its own label
+    centroid, aggregated to per-label (n_vectors, mean_cos, min_cos).
+    A label whose mean cohesion drops release-over-release is drifting;
+    a low min flags mislabeled members. Centroids ride back broadcast
+    (labels ≪ rows) so scoring is a projection over the vectors."""
+    cents = label_centroids(df, label_col, vec_col)
+    joined = df.join(F.broadcast(cents), label_col)
+    cos = cosine(F.col(vec_col).cast("array<double>"), F.col("centroid"))
+    return (joined
+            .select(label_col, cos.alias("_cos"))
+            .groupBy(label_col)
+            .agg(F.count("*").alias("n_vectors"),
+                 F.avg("_cos").alias("mean_cos"),
+                 F.min("_cos").alias("min_cos")))

@@ -300,3 +300,29 @@ def test_semantic_dedup_plan_no_cartesian(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_label_centroids_exact_mean(spark):
+    from pipelines_rj_sms_spark.operators.similarity import label_centroids
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0]), (2, "a", [3.0, 2.0]), (3, "b", [5.0, 5.0])],
+        "vec_id int, label string, embedding array<double>")
+    got = {r["label"]: r["centroid"]
+           for r in label_centroids(df).collect()}
+    assert got["a"] == [2.0, 1.0] and got["b"] == [5.0, 5.0]
+
+
+def test_cluster_cohesion_orders_tight_clusters_first(spark):
+    from pipelines_rj_sms_spark.operators.similarity import cluster_cohesion
+    rows = (
+        # tight cluster: identical directions
+        [(i, "tight", [1.0, 0.0, 0.0]) for i in range(4)]
+        # loose cluster: orthogonal members
+        + [(10, "loose", [1.0, 0.0, 0.0]), (11, "loose", [0.0, 1.0, 0.0]),
+           (12, "loose", [0.0, 0.0, 1.0])])
+    df = spark.createDataFrame(
+        rows, "vec_id int, label string, embedding array<double>")
+    got = {r["label"]: r for r in cluster_cohesion(df).collect()}
+    assert abs(got["tight"]["mean_cos"] - 1.0) < 1e-12
+    assert got["loose"]["mean_cos"] < 0.8
+    assert got["tight"]["n_vectors"] == 4
