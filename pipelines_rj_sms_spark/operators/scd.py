@@ -80,6 +80,53 @@ def compress_history(
     )
 
 
+def merge_history(history: DataFrame, new_obs: DataFrame,
+                  key_col: str, ts_col: str,
+                  state_cols: list[str] | str,
+                  tiebreak_col: str | None = None) -> DataFrame:
+    """Incrementally merge an append-only observation batch into an
+    existing compressed history — the partition-scoped companion of
+    `compress_history` (same posture as the lakehouse merge_upsert and
+    the incremental LSH store: never recompute the world).
+
+    Only keys PRESENT IN THE BATCH are recompressed; everyone else's
+    intervals pass through untouched. Affected keys' history rows are
+    expanded to synthetic observations (each run contributes its
+    valid_from timestamp n_obs times — ordering and counts are all
+    compress_history consumes, so the expansion is lossless for
+    append-only batches where new timestamps follow the key's
+    history), unioned with the batch, and recompressed. Cost scales
+    with the batch's key set, not the history.
+
+    Requires batch timestamps at/after each key's last valid_from
+    (append-only CDC delivery — the common case; late-arriving
+    corrections need a full recompress of the affected keys from the
+    raw log).
+    """
+    if isinstance(state_cols, str):
+        state_cols = [state_cols]
+    touched = new_obs.select(key_col).distinct()
+    untouched = history.join(touched, key_col, "left_anti")
+    affected = history.join(touched, key_col, "left_semi")
+    synthetic = affected.select(
+        key_col, *state_cols,
+        F.col("valid_from").alias(ts_col),
+        F.explode(F.sequence(
+            F.lit(1).cast("long"),
+            F.col("n_obs").cast("long"))).alias("_tb"))
+    tb = tiebreak_col or state_cols[0]
+    # offset past any synthetic index so same-timestamp batch rows sort
+    # after the expanded history rows deterministically
+    batch = new_obs.select(
+        key_col, *state_cols, ts_col,
+        (F.row_number().over(
+            Window.partitionBy(key_col).orderBy(ts_col, tb))
+         + F.lit(1_000_000_000)).cast("long").alias("_tb"))
+    combined = synthetic.unionByName(batch)
+    redone = compress_history(combined, key_col, ts_col, state_cols, "_tb")
+    return untouched.unionByName(redone)
+
+
 def state_at(history: DataFrame, ts, key_col: str | None = None) -> DataFrame:
     """Point-in-time lookup against a compressed history: the rows
     whose interval contains ``ts`` (valid_from <= ts < valid_to, with

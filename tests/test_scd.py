@@ -59,3 +59,57 @@ def test_compress_history_single_exchange(spark):
     out = compress_history(_log(spark), "k", "ts", "state", "obs_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_merge_history_equals_full_recompute(spark):
+    """Incremental merge of a later batch must equal compressing the
+    whole log at once — including run merges across the boundary."""
+    import random
+    rng = random.Random(3)
+    log = []
+    for k in range(12):
+        t = 0
+        for i in range(rng.randint(1, 20)):
+            t += rng.randint(1, 3)
+            log.append((k, dt.datetime(2024, 1, 1) + dt.timedelta(hours=t),
+                        rng.choice("AB"), len(log)))
+    log.sort(key=lambda r: r[1])
+    cut = int(len(log) * 0.7)
+    head = [r for i, r in enumerate(log) if i < cut]
+    tail = [r for i, r in enumerate(log) if i >= cut]
+    # keep the append-only contract per key: move any tail row that
+    # predates its key's head max into head
+    head_max = {}
+    for r in head:
+        head_max[r[0]] = max(head_max.get(r[0], r[1]), r[1])
+    really_tail = [r for r in tail if r[1] >= head_max.get(r[0], r[1])]
+    head += [r for r in tail if r not in really_tail]
+
+    schema = "k bigint, ts timestamp, state string, obs_id bigint"
+    full = spark.createDataFrame(head + really_tail, schema)
+    hist = compress_history(
+        spark.createDataFrame(head, schema), "k", "ts", "state", "obs_id")
+    from pipelines_rj_sms_spark.operators.scd import merge_history
+    merged = merge_history(
+        hist, spark.createDataFrame(really_tail, schema),
+        "k", "ts", "state", "obs_id")
+    want = {tuple(r) for r in compress_history(
+        full, "k", "ts", "state", "obs_id").collect()}
+    got = {tuple(r) for r in merged.collect()}
+    assert got == want
+
+
+def test_merge_history_untouched_keys_pass_through(spark):
+    hist = compress_history(_log(spark), "k", "ts", "state", "obs_id")
+    batch = spark.createDataFrame(
+        [(1, _ts(9), "Z", 99)],
+        "k bigint, ts timestamp, state string, obs_id bigint")
+    from pipelines_rj_sms_spark.operators.scd import merge_history
+    out = merge_history(hist, batch, "k", "ts", "state", "obs_id")
+    got = {(r.k, r.state, r.valid_from, r.valid_to, r.n_obs)
+           for r in out.collect()}
+    # key 1 gains a Z run and its old tail closes; keys 2/3 unchanged
+    assert (1, "Z", _ts(9), None, 1) in got
+    assert (1, "A", _ts(4), _ts(9), 1) in got
+    assert (2, "X", _ts(5), None, 1) in got
+    assert (3, "C", _ts(3), None, 1) in got
