@@ -174,6 +174,10 @@ Query key -> SURVEY §2 rows covered:
                             (gaps-and-islands, single Exchange)
   linked_addresses_jw       record linkage scored by Jaro-Winkler
                             (pandas UDF pinned to DuckDB semantics)
+  concurrent_events_timeline  sweep-line active-interval counts per
+                            type (peak concurrency, one cumsum)
+  overlapping_error_purchases  interval-overlap join via bucketed
+                            equi-join, report-once emission
   embedding_label_cohesion  per-label centroid cohesion report
                             (mean/min cosine, triplet-agg centroids)
   order_snapshot_diff       CDC between two keyed snapshots: rows
@@ -2222,6 +2226,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("d_id", "c_id",
                           F.round(F.col("score"), 6).alias("score"))
 
+    def concurrency_q(spark, sf_dir):
+        """Sweep-line concurrency: events held open for floor(value)
+        minutes; how many are active per event_type at every boundary
+        (start inclusive, end exclusive). One hash agg of ±1 deltas +
+        one window cumsum — never an interval self-join."""
+        from pipelines_rj_sms_spark.operators.timeseries import concurrency
+        ev = _t(spark, sf_dir, "events")
+        iv = ev.select(
+            "event_type", F.col("ts").alias("s"),
+            (F.col("ts") + F.make_dt_interval(
+                F.lit(0), F.lit(0),
+                F.floor("value").cast("int"), F.lit(0))).alias("e"))
+        return concurrency(iv, "s", "e", ["event_type"])
+
+    def overlap_pairs_q(spark, sf_dir):
+        """Interval-overlap join: error events and purchase events of
+        the same user whose one-hour activity windows intersect —
+        bucketed equi-join with the overlap predicate inside the join
+        condition and first-shared-bucket report-once (no dedup
+        shuffle)."""
+        from pipelines_rj_sms_spark.operators.timeseries import (
+            overlap_join)
+        ev = _t(spark, sf_dir, "events")
+        hour = F.make_dt_interval(F.lit(0), F.lit(1), F.lit(0), F.lit(0))
+        err = ev.filter(F.col("event_type") == "error").select(
+            "user_id", F.col("event_id").alias("l_id"),
+            F.col("ts").alias("l_s"), (F.col("ts") + hour).alias("l_e"))
+        pur = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("r_id"),
+            F.col("ts").alias("r_s"), (F.col("ts") + hour).alias("r_e"))
+        out = overlap_join(err, pur, "l_s", "l_e", "r_s", "r_e",
+                           on="user_id", bucket_seconds=3600)
+        return out.select("user_id", "l_id", "r_id")
+
     def cohesion_q(spark, sf_dir):
         """Embedding cluster-quality report: per-label mean/min cosine
         to the label centroid. Centroids are computed as (label, pos)
@@ -2345,11 +2383,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         node ids; no quadratic structure ever materializes."""
         from pipelines_rj_sms_spark.operators.graph import pagerank
         li = _t(spark, sf_dir, "lineitem")
+        # dedup BEFORE the symmetric union: half the distinct's input,
+        # and the reversed copies are unique by construction (part and
+        # supplier id spaces are disjoint)
         fwd = li.select(F.col("l_partkey").alias("src"),
-                        (F.col("l_suppkey") + 1000000).alias("dst"))
+                        (F.col("l_suppkey") + 1000000).alias("dst")) \
+            .distinct()
         edges = fwd.unionByName(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        pr = pagerank(edges, n_iter=3)
+        pr = pagerank(edges, n_iter=3, assume_no_dangling=True,
+                      broadcast_ranks=True, assume_distinct_edges=True)
         return pr.select("node", F.round("pr", 6).alias("pr"))
 
     def join_size_est(spark, sf_dir):
@@ -2671,6 +2714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_assignment": kfold_q,
         "order_snapshot_diff": snapshot_diff_q,
         "embedding_label_cohesion": cohesion_q,
+        "concurrent_events_timeline": concurrency_q,
+        "overlapping_error_purchases": overlap_pairs_q,
         "temporal_split_counts": temporal_split_q,
         "hourly_count_anomalies": hourly_anomalies,
         "imputed_event_values": imputed_values,
@@ -3242,6 +3287,36 @@ SELECT event_type, hour, n,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+""",
+        "concurrent_events_timeline": """
+WITH iv AS (
+  SELECT event_type, ts AS s,
+         ts + to_minutes(CAST(floor(value) AS BIGINT)) AS e
+  FROM events),
+deltas AS (
+  SELECT event_type, ts, CAST(sum(d) AS BIGINT) AS d
+  FROM (
+    SELECT event_type, s AS ts, 1 AS d FROM iv
+    UNION ALL
+    SELECT event_type, e AS ts, -1 AS d FROM iv)
+  GROUP BY 1, 2)
+SELECT event_type, ts,
+       CAST(sum(d) OVER (PARTITION BY event_type ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS active
+FROM deltas
+""",
+        "overlapping_error_purchases": """
+WITH err AS (
+  SELECT user_id, event_id AS l_id, ts AS l_s,
+         ts + to_hours(1) AS l_e
+  FROM events WHERE event_type = 'error'),
+pur AS (
+  SELECT user_id, event_id AS r_id, ts AS r_s,
+         ts + to_hours(1) AS r_e
+  FROM events WHERE event_type = 'purchase')
+SELECT err.user_id, l_id, r_id
+FROM err JOIN pur ON err.user_id = pur.user_id
+WHERE l_s <= r_e AND r_s <= l_e
 """,
         "embedding_label_cohesion": f"""
 WITH vs AS (

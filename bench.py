@@ -51,6 +51,15 @@ HEADLINE = [
     "train_test_split",
     "gap_filled_hourly_counts",
     "tfidf_top_terms",
+    # round 4 additions
+    "event_funnel_conversion",
+    "scd2_user_state_history",
+    "hourly_count_anomalies",
+    "bm25_search_results",
+    "bloom_filtered_orders",
+    "order_snapshot_diff",
+    "pagerank_part_supplier",
+    "embedding_label_cohesion",
 ]
 
 

@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              damping: float = 0.85, n_iter: int = 10,
              nodes: DataFrame | None = None,
-             node_col: str | None = None) -> DataFrame:
+             node_col: str | None = None,
+             assume_no_dangling: bool = False,
+             broadcast_ranks: bool = False,
+             assume_distinct_edges: bool = False) -> DataFrame:
     """(node, pr) after ``n_iter`` synchronous power iterations of the
     standard PageRank recurrence (public formulation):
 
@@ -36,9 +39,32 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     ``nodes``/``node_col`` widens the vertex set beyond edge
     endpoints (isolated nodes hold (1-d)/N + d*dangling/N).
+    ``assume_no_dangling=True`` skips the per-iteration dangling-mass
+    aggregate — use it when every node provably has an out-edge
+    (symmetric/undirected graphs), saving one join+agg per round.
+    ``assume_distinct_edges=True`` skips the defensive edge dedup —
+    pass it when the caller already guarantees unique (src, dst) pairs
+    (e.g. built from a distinct projection), deleting a full shuffle
+    of the edge list from setup.
+    ``broadcast_ranks=True`` broadcasts the (node, rank) state into the
+    contribution join — the cached edge list is then never shuffled OR
+    sorted, and the only exchange per round is the map-side-combined
+    contribution aggregate. Right when the vertex set fits a broadcast
+    (≲ tens of millions); leave False for billion-node graphs, where
+    the pre-partitioned sort-merge path is the scalable one.
     """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")) \
-        .distinct().persist()
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if not assume_distinct_edges:
+        e = e.distinct()
+    if not broadcast_ranks:
+        # hash-partition + sort the edge list by source ONCE: every
+        # iteration's sort-merge contribution join then reuses this
+        # layout and only the (node, rank) side moves — without it,
+        # Catalyst re-exchanges and re-sorts the full edge list per
+        # round. (With broadcast_ranks the edges are never join-
+        # shuffled at all, so the extra pass would be pure waste.)
+        e = e.repartition(F.col("_s")).sortWithinPartitions("_s")
+    e = e.persist()
     if nodes is not None:
         if node_col is None:
             raise ValueError("node_col required when nodes is given")
@@ -51,32 +77,40 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     deg = e.groupBy("_s").agg(F.count("*").alias("_outdeg")).persist()
     n = F.broadcast(base.agg(F.count("*").cast("double").alias("_n")))
 
+    # non-eager checkpoints: lineage still truncates per round, but
+    # materialization folds into the caller's single action instead of
+    # one driver-blocking job per iteration
     pr = base.crossJoin(n).select(
-        "node", (F.lit(1.0) / F.col("_n")).alias("pr")).localCheckpoint()
+        "node",
+        (F.lit(1.0) / F.col("_n")).alias("pr")).localCheckpoint(False)
 
     d = float(damping)
     for _ in range(n_iter):
+        ranks = pr.select(F.col("node").alias("_s"),
+                          F.col("pr").alias("_spr"))
+        degs = deg
+        if broadcast_ranks:
+            ranks, degs = F.broadcast(ranks), F.broadcast(degs)
         contrib = (
-            e.join(pr.select(F.col("node").alias("_s"),
-                             F.col("pr").alias("_spr")), "_s")
-            .join(deg, "_s")
+            e.join(ranks, "_s")
+            .join(degs, "_s")
             .groupBy("_d")
             .agg(F.sum(F.col("_spr") / F.col("_outdeg")).alias("_m"))
             .select(F.col("_d").alias("node"), "_m")
         )
-        dangling = F.broadcast(
-            pr.join(deg, pr["node"] == deg["_s"], "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm")))
-        pr = (
-            base.join(contrib, "node", "left")
-            .crossJoin(n).crossJoin(dangling)
-            .select(
-                "node",
-                (F.lit((1.0 - d)) / F.col("_n")
-                 + F.lit(d) * (F.coalesce(F.col("_m"), F.lit(0.0))
-                               + F.col("_dm") / F.col("_n"))).alias("pr"))
-            .localCheckpoint()
-        )
+        nxt = base.join(contrib, "node", "left").crossJoin(n)
+        if assume_no_dangling:
+            rank = (F.lit((1.0 - d)) / F.col("_n")
+                    + F.lit(d) * F.coalesce(F.col("_m"), F.lit(0.0)))
+        else:
+            dangling = F.broadcast(
+                pr.join(deg, pr["node"] == deg["_s"], "left_anti")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm")))
+            nxt = nxt.crossJoin(dangling)
+            rank = (F.lit((1.0 - d)) / F.col("_n")
+                    + F.lit(d) * (F.coalesce(F.col("_m"), F.lit(0.0))
+                                  + F.col("_dm") / F.col("_n")))
+        pr = nxt.select("node", rank.alias("pr")).localCheckpoint(False)
     e.unpersist()
     deg.unpersist()
     base.unpersist()

@@ -195,3 +195,71 @@ def range_join_bucketed(points: DataFrame, intervals: DataFrame,
     cond = cond & F.col(point_ts).between(F.col(start_col), F.col(end_col))
     joined = p.join(i, cond, how)
     return joined.drop(_BKT, *renames.values())
+
+
+def overlap_join(left: DataFrame, right: DataFrame,
+                 l_start: str, l_end: str, r_start: str, r_end: str,
+                 on: str | list[str] | None = None,
+                 bucket_seconds: int = 3600) -> DataFrame:
+    """Interval-overlap join: all (left, right) pairs whose closed
+    intervals intersect (l_start <= r_end AND r_start <= l_end) —
+    concurrent sessions, conflicting bookings, co-active incidents.
+
+    Both sides explode into the time buckets they cover and meet in an
+    equi-join on (keys, bucket); the exact overlap predicate sits
+    INSIDE the join condition. A pair sharing several buckets is
+    emitted ONCE without any dedup shuffle: only the first co-covered
+    bucket — max(floor(l_start), floor(r_start)) — emits (the standard
+    report-once trick for bucketed spatial/temporal joins). Size
+    ``bucket_seconds`` near the typical interval length; a long-lived
+    interval costs rows proportional to its span, same trade as
+    range_join_bucketed. Non-key columns must be pre-renamed disjoint.
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+
+    def bkt(c):
+        return F.floor(F.unix_timestamp(F.col(c)) / bucket_seconds)
+
+    le = left.withColumn(
+        _BKT, F.explode(F.sequence(bkt(l_start), bkt(l_end))))
+    ri = right.withColumn(
+        _BKT, F.explode(F.sequence(bkt(r_start), bkt(r_end))))
+    renames = {k: f"_r_{k}" for k in keys + [_BKT]}
+    for old, new in renames.items():
+        ri = ri.withColumnRenamed(old, new)
+    cond = le[_BKT] == ri[renames[_BKT]]
+    for k in keys:
+        cond = cond & (le[k] == ri[renames[k]])
+    cond = (cond
+            & (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            # report-once: only the first shared bucket emits the pair
+            & (le[_BKT] == F.greatest(bkt(l_start), bkt(r_start))))
+    return le.join(ri, cond, "inner").drop(_BKT, *renames.values())
+
+
+def concurrency(df: DataFrame, start_col: str, end_col: str,
+                keys: list[str] | None = None,
+                out_col: str = "active") -> DataFrame:
+    """Sweep-line concurrency: for every distinct boundary timestamp,
+    how many intervals are active (start inclusive, end exclusive) —
+    peak-load / max-overlap analysis as ONE window cumsum.
+
+    Each interval becomes a +1 at start and a -1 at end; deltas are
+    pre-summed per (keys, ts) in a hash aggregation, then one ordered
+    cumsum per key yields the active count as of each boundary. Shuffle
+    carries (keys, ts, delta) triplets; window state is one running
+    integer. max(active) is the answer to "how many X at once".
+    """
+    part = keys or []
+    starts = df.select(*part, F.col(start_col).alias("_ts"),
+                       F.lit(1).alias("_delta"))
+    ends = df.select(*part, F.col(end_col).alias("_ts"),
+                     F.lit(-1).alias("_delta"))
+    deltas = (starts.unionByName(ends)
+              .groupBy(*part, "_ts").agg(F.sum("_delta").alias("_d")))
+    w = (Window.partitionBy(*part).orderBy("_ts")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (deltas
+            .withColumn(out_col, F.sum("_d").over(w).cast("bigint"))
+            .select(*part, F.col("_ts").alias("ts"), out_col))

@@ -243,3 +243,50 @@ def test_range_join_bucketed_left_preserves_unmatched(spark):
     with pytest.raises(ValueError):
         range_join_bucketed(purch, errs, "purch_ts", "err_ts", "err_end",
                             on="user_id", how="full")
+
+
+def test_overlap_join_equals_naive_nonequi(spark):
+    """Bucketed overlap join == the naive non-equi join, including
+    pairs spanning several buckets (emitted exactly once)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pipelines_rj_sms_spark.operators.timeseries import overlap_join
+    rng = random.Random(11)
+    base = datetime(2024, 1, 1)
+
+    def mk(n, pfx):
+        rows = []
+        for i in range(n):
+            s = base + timedelta(minutes=rng.randint(0, 600))
+            e = s + timedelta(minutes=rng.randint(0, 300))  # spans buckets
+            rows.append((rng.randint(0, 3), i, s, e))
+        return spark.createDataFrame(
+            rows, f"k int, {pfx}_id int, {pfx}_s timestamp, {pfx}_e timestamp")
+
+    left, right = mk(40, "l"), mk(40, "r")
+    got = {(r["k"], r["l_id"], r["r_id"]) for r in overlap_join(
+        left, right, "l_s", "l_e", "r_s", "r_e", on="k",
+        bucket_seconds=3600).collect()}
+    naive = left.join(right, "k").filter(
+        (F.col("l_s") <= F.col("r_e")) & (F.col("r_s") <= F.col("l_e")))
+    want = {(r["k"], r["l_id"], r["r_id"]) for r in naive.collect()}
+    assert got == want and len(got) > 50
+
+
+def test_concurrency_sweep_line(spark):
+    from datetime import datetime
+
+    from pipelines_rj_sms_spark.operators.timeseries import concurrency
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    df = spark.createDataFrame(
+        [("a", t(0), t(10)), ("a", t(5), t(15)), ("a", t(10), t(20))],
+        "k string, s timestamp, e timestamp")
+    got = {r["ts"].minute: r["active"]
+           for r in concurrency(df, "s", "e", ["k"]).collect()}
+    # end-exclusive: at minute 10 the first interval closed, third opened
+    assert got[0] == 1 and got[5] == 2 and got[10] == 2
+    assert got[15] == 1 and got[20] == 0
