@@ -174,6 +174,10 @@ Query key -> SURVEY §2 rows covered:
                             (gaps-and-islands, single Exchange)
   linked_addresses_jw       record linkage scored by Jaro-Winkler
                             (pandas UDF pinned to DuckDB semantics)
+  cns_validation            CNS (national health card) check-digit
+                            validation, expression-only
+  user_key_skew_report      heaviest-keys skew diagnosis (share, cum
+                            share, x-mean) via TakeOrdered
   concurrent_events_timeline  sweep-line active-interval counts per
                             type (peak concurrency, one cumsum)
   overlapping_error_purchases  interval-overlap join via bucketed
@@ -2226,6 +2230,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("d_id", "c_id",
                           F.round(F.col("score"), 6).alias("score"))
 
+    def skew_report_q(spark, sf_dir):
+        """Pre-flight shuffle-skew diagnosis: the 15 heaviest user_id
+        keys in events with row share, cumulative share, and ratio to
+        the mean group size — found by one hash agg + TakeOrdered,
+        before any join pays for the hot key."""
+        from pipelines_rj_sms_spark.operators.skew import key_skew_report
+        ev = _t(spark, sf_dir, "events")
+        out = key_skew_report(ev, ["user_id"], top_n=15)
+        return out.select(
+            "user_id", F.col("cnt").cast("bigint").alias("cnt"),
+            F.round("share", 6).alias("share"),
+            F.round("cum_share", 6).alias("cum_share"),
+            F.round("x_mean", 6).alias("x_mean"),
+            F.col("rank").cast("int").alias("rank"))
+
+    def cns_validation_q(spark, sf_dir):
+        """CNS check-digit validation (weighted-sum mod 11, public
+        algorithm) over deterministic 15-digit candidates — the CPF
+        companion for this domain's patient keys; expression-only."""
+        from pipelines_rj_sms_spark.functions.keys import cns_is_valid
+        cust = _t(spark, sf_dir, "customer")
+        cand = F.concat(
+            (F.col("c_custkey") % 9 + 1).cast("string"),
+            F.lpad(((F.col("c_custkey") * 6700417) % 100000000000000)
+                   .cast("string"), 14, "0"))
+        return cust.select(
+            "c_custkey", cand.alias("cns_candidate"),
+            cns_is_valid(cand).alias("is_valid"))
+
     def concurrency_q(spark, sf_dir):
         """Sweep-line concurrency: events held open for floor(value)
         minutes; how many are active per event_type at every boundary
@@ -2715,6 +2748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_snapshot_diff": snapshot_diff_q,
         "embedding_label_cohesion": cohesion_q,
         "concurrent_events_timeline": concurrency_q,
+        "cns_validation": cns_validation_q,
+        "user_key_skew_report": skew_report_q,
         "overlapping_error_purchases": overlap_pairs_q,
         "temporal_split_counts": temporal_split_q,
         "hourly_count_anomalies": hourly_anomalies,
@@ -3287,6 +3322,39 @@ SELECT event_type, hour, n,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+""",
+        "user_key_skew_report": """
+WITH counts AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS rows_, CAST(count(*) AS DOUBLE) AS keys_
+  FROM counts),
+top AS (
+  SELECT user_id, cnt, row_number() OVER (ORDER BY cnt DESC, user_id) AS rank
+  FROM counts
+  QUALIFY rank <= 15)
+SELECT user_id, cnt,
+       round(cnt / rows_, 6) AS share,
+       round(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+             / rows_, 6) AS cum_share,
+       round(cnt * keys_ / rows_, 6) AS x_mean,
+       CAST(rank AS INT) AS rank
+FROM top CROSS JOIN tot
+""",
+        "cns_validation": f"""
+WITH cand AS (
+  SELECT c_custkey,
+         concat(CAST(c_custkey % 9 + 1 AS VARCHAR),
+                lpad(CAST((c_custkey * 6700417) % 100000000000000
+                          AS VARCHAR), 14, '0')) AS cns_candidate
+  FROM customer)
+SELECT c_custkey, cns_candidate,
+       (length(cns_candidate) = 15
+        AND substr(cns_candidate, 1, 1) IN ('1', '2', '7', '8', '9')
+        AND ({" + ".join(
+            f"CAST(substr(cns_candidate, {i + 1}, 1) AS INT) * {15 - i}"
+            for i in range(15))}) % 11 = 0) AS is_valid
+FROM cand
 """,
         "concurrent_events_timeline": """
 WITH iv AS (

@@ -84,3 +84,26 @@ def cpf_is_valid(col: Column | str) -> Column:
     dv1 = digit(d, 9) == F.substring(d, 10, 1).try_cast("int")
     dv2 = digit(d, 10) == F.substring(d, 11, 1).try_cast("int")
     return ok_len & ~blacklisted & dv1 & dv2
+
+
+def cns_is_valid(col: Column | str) -> Column:
+    """CNS (Cartão Nacional de Saúde) validation as a pure Column
+    expression — the companion to cpf_is_valid for this domain (the
+    reference's patient tables carry `cns` keys everywhere, e.g.
+    smsrio tb_cns_provisorios / bq_to_subpav upserts).
+
+    Public algorithm: a CNS is 15 digits whose weighted sum
+    Σ digit[i] * (15 - i) is divisible by 11; definitive numbers start
+    with 1/2, provisional ones with 7/8/9. Expression-only, so it runs
+    inside codegen over billions of rows like the CPF check.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    d = F.regexp_replace(c.cast("string"), r"[^0-9]", "")
+    total = None
+    for i in range(15):
+        term = F.substring(d, i + 1, 1).try_cast("int") * F.lit(15 - i)
+        total = term if total is None else total + term
+    ok_len = F.length(d) == 15
+    first = F.substring(d, 1, 1)
+    ok_first = first.isin("1", "2", "7", "8", "9")
+    return ok_len & ok_first & (total % 11 == 0)

@@ -17,7 +17,7 @@ repeat joins on the same key that should shuffle once, not per query.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -57,3 +57,38 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_col: str,
 
 def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def key_skew_report(df: DataFrame, key_cols: list[str],
+                    top_n: int = 20) -> DataFrame:
+    """Shuffle-skew diagnosis for a prospective join/agg key: the
+    ``top_n`` heaviest key values with their row share and cumulative
+    share, plus each key's ratio to the mean group size. A top key
+    holding >1% of a 100 TB table is the salt/split candidate the AQE
+    skew threshold will otherwise discover at runtime — this report
+    finds it BEFORE the job, from one hash aggregation over the key.
+
+    Output: (key..., cnt, share, cum_share, x_mean, rank). Totals ride
+    as a broadcast one-row aggregate; the ranking window sees only the
+    collapsed per-key counts.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("cnt"))
+    totals = F.broadcast(counts.agg(
+        F.sum("cnt").cast("double").alias("_rows"),
+        F.count("*").cast("double").alias("_keys")))
+    order = [F.col("cnt").desc(), *[F.col(c).asc() for c in key_cols]]
+    # sort+limit compiles to TakeOrderedAndProject (per-partition
+    # partial top-N + driver merge) — the ranking window then only ever
+    # sees top_n rows, never the full key spectrum
+    top = counts.orderBy(*order).limit(top_n)
+    w = Window.orderBy(*order)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (top.crossJoin(totals)
+            .withColumn("rank", F.row_number().over(w))
+            .select(*key_cols, "cnt",
+                    (F.col("cnt") / F.col("_rows")).alias("share"),
+                    (F.sum("cnt").over(wcum) / F.col("_rows"))
+                    .alias("cum_share"),
+                    (F.col("cnt") * F.col("_keys") / F.col("_rows"))
+                    .alias("x_mean"),
+                    "rank"))

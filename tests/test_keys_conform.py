@@ -82,3 +82,29 @@ def test_safe_cast_columns(spark):
 def test_non_blank(spark):
     df = spark.createDataFrame([("  ",), ("x",), (None,)], ["v"])
     assert df.filter(non_blank("v")).count() == 1
+
+
+def test_cns_is_valid(spark):
+    """Definitive CNS numbers built by the public check-digit recipe
+    pass; perturbations, bad first digits, and short inputs fail."""
+    from pipelines_rj_sms_spark.functions.keys import cns_is_valid
+
+    def make(pis11):
+        s = sum(int(pis11[i]) * (15 - i) for i in range(11))
+        dv = 11 - (s % 11)
+        if dv == 11:
+            dv = 0
+        if dv == 10:
+            s2 = s + 2
+            dv = 11 - (s2 % 11)
+            return pis11 + "001" + str(dv)
+        return pis11 + "000" + str(dv)
+
+    good = [make(p) for p in ["12345678901", "20394857612", "29283746502"]]
+    bad = [good[0][:14] + str((int(good[0][14]) + 1) % 10),  # flip dv
+           "3" + good[1][1:],                                # bad first digit
+           "123", "", good[2] + "9"]
+    df = spark.createDataFrame([(s,) for s in good + bad], ["cns"])
+    got = [r["ok"] for r in
+           df.select(cns_is_valid("cns").alias("ok")).collect()]
+    assert got == [True] * 3 + [False] * 5

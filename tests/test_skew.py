@@ -53,3 +53,28 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     # the join needs no shuffle exchange
     assert "Exchange hashpartitioning" not in plan
     assert joined.count() == 5000
+
+
+def test_key_skew_report_finds_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from pipelines_rj_sms_spark.operators.skew import key_skew_report
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 600, F.lit(7))
+        .otherwise(F.col("id")).alias("k"))
+    rows = key_skew_report(df, ["k"], top_n=3).collect()
+    top = rows[0]
+    assert top["k"] == 7 and top["cnt"] == 600 and top["rank"] == 1
+    assert abs(top["share"] - 0.6) < 1e-9
+    assert top["x_mean"] > 100        # 600 rows vs ~2.5 mean group size
+    assert rows[1]["cnt"] == 1 and rows[1]["cum_share"] > 0.6
+
+
+def test_key_skew_report_plan_uses_take_ordered(spark):
+    from pyspark.sql import functions as F
+
+    from pipelines_rj_sms_spark.operators.skew import key_skew_report
+    df = spark.range(1000).select((F.col("id") % 50).alias("k"))
+    plan = key_skew_report(df, ["k"], top_n=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
