@@ -174,6 +174,8 @@ Query key -> SURVEY §2 rows covered:
                             (gaps-and-islands, single Exchange)
   linked_addresses_jw       record linkage scored by Jaro-Winkler
                             (pandas UDF pinned to DuckDB semantics)
+  top_event_paths           most common 3-step user journeys (n-gram
+                            transform over collected sequences)
   cns_validation            CNS (national health card) check-digit
                             validation, expression-only
   user_key_skew_report      heaviest-keys skew diagnosis (share, cum
@@ -2230,6 +2232,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("d_id", "c_id",
                           F.round(F.col("score"), 6).alias("score"))
 
+    def top_paths_q(spark, sf_dir):
+        """Top-20 three-step user journeys across the event log: one
+        sequence-collect per user, a codegen'd n-gram transform, and a
+        TakeOrdered count — never a k-way self-join."""
+        from pipelines_rj_sms_spark.operators.analytics import top_paths
+        ev = _t(spark, sf_dir, "events")
+        out = top_paths(ev, "user_id", "ts", "event_type",
+                        n=3, k=20, tiebreak_col="event_id")
+        return out.select("path", F.col("cnt").cast("bigint").alias("cnt"))
+
     def skew_report_q(spark, sf_dir):
         """Pre-flight shuffle-skew diagnosis: the 15 heaviest user_id
         keys in events with row share, cumulative share, and ratio to
@@ -2750,6 +2762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrent_events_timeline": concurrency_q,
         "cns_validation": cns_validation_q,
         "user_key_skew_report": skew_report_q,
+        "top_event_paths": top_paths_q,
         "overlapping_error_purchases": overlap_pairs_q,
         "temporal_split_counts": temporal_split_q,
         "hourly_count_anomalies": hourly_anomalies,
@@ -3322,6 +3335,22 @@ SELECT event_type, hour, n,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+""",
+        "top_event_paths": """
+WITH seqs AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS steps
+  FROM events GROUP BY 1),
+grams AS (
+  SELECT unnest(CASE WHEN len(steps) >= 3
+         THEN list_transform(range(len(steps) - 2),
+                             i -> array_to_string(steps[i+1:i+3], '>'))
+         ELSE CAST([] AS VARCHAR[]) END) AS path
+  FROM seqs),
+counted AS (
+  SELECT path, count(*) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, path) AS rn
+  FROM grams GROUP BY path)
+SELECT path, cnt FROM counted WHERE rn <= 20
 """,
         "user_key_skew_report": """
 WITH counts AS (

@@ -90,6 +90,38 @@ def funnel_counts(df: DataFrame, user_col: str, ts_col: str,
             .agg(F.count("*").alias("n_users")))
 
 
+def top_paths(df: DataFrame, user_col: str, ts_col: str, step_col: str,
+              n: int = 3, k: int = 20,
+              tiebreak_col: str | None = None) -> DataFrame:
+    """The ``k`` most common length-``n`` event sequences across user
+    journeys ("top paths"): collect each user's ordered step sequence
+    (one hash agg — same bound as the funnel), slide an n-gram window
+    over it as a codegen'd array transform, explode the n-grams, count,
+    and TakeOrdered the top k. Returns (path, cnt) with steps joined
+    by '>'.
+
+    Per-user state is the step sequence; heavy users should be capped
+    upstream (sample_per_group) exactly like the sessionizer. The
+    n-gram explode emits len-n+1 short strings per user — narrow."""
+    tb = F.col(tiebreak_col) if tiebreak_col else F.col(step_col)
+    seq = F.sort_array(F.collect_list(F.struct(
+        F.col(ts_col).alias("ts"), tb.alias("tb"),
+        F.col(step_col).alias("step"))))
+    steps = F.transform(seq, lambda s: s["step"])
+    grams = F.when(
+        F.size(steps) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(steps) - n),
+            lambda i: F.concat_ws(">", F.slice(steps, i + 1, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    per_user = df.groupBy(user_col).agg(grams.alias("_grams"))
+    return (per_user
+            .select(F.explode("_grams").alias("path"))
+            .groupBy("path").agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("path").asc())
+            .limit(k))
+
+
 def rolling_anomalies(df: DataFrame, ts_col: str, value_col: str,
                       keys: list[str] | None = None,
                       lookback: int = 24, z_threshold: float = 3.0,

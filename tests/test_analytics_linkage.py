@@ -179,3 +179,24 @@ def test_jaro_winkler_matches_duckdb_semantics(spark):
            df.select(jaro_winkler("a", "b").alias("s")).collect()]
     assert abs(got[0] - 0.9611111111111111) < 1e-12
     assert got[3] == 0.0 and got[5] == 1.0
+
+
+def test_top_paths_ngrams(spark):
+    from pipelines_rj_sms_spark.operators.analytics import top_paths
+    df = _ev(spark, [
+        (1, 0, "a"), (1, 1, "b"), (1, 2, "c"), (1, 3, "b"),
+        (2, 0, "a"), (2, 1, "b"), (2, 2, "c"),
+        (3, 0, "x"), (3, 1, "y"),             # too short for n=3
+    ])
+    got = {r["path"]: r["cnt"] for r in top_paths(
+        df, "user", "ts", "step", n=3, k=10,
+        tiebreak_col="eid").collect()}
+    assert got == {"a>b>c": 2, "b>c>b": 1}
+
+
+def test_top_paths_no_self_join_plan(spark):
+    from pipelines_rj_sms_spark.operators.analytics import top_paths
+    df = _ev(spark, [(1, 0, "a"), (1, 1, "b"), (1, 2, "c")])
+    plan = top_paths(df, "user", "ts", "step") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "TakeOrderedAndProject" in plan
