@@ -174,6 +174,8 @@ Query key -> SURVEY §2 rows covered:
                             (gaps-and-islands, single Exchange)
   linked_addresses_jw       record linkage scored by Jaro-Winkler
                             (pandas UDF pinned to DuckDB semantics)
+  value_equi_depth_histogram  equal-population buckets w/o a global
+                            sort (broadcast percentile boundaries)
   top_event_paths           most common 3-step user journeys (n-gram
                             transform over collected sequences)
   cns_validation            CNS (national health card) check-digit
@@ -2232,6 +2234,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("d_id", "c_id",
                           F.round(F.col("score"), 6).alias("score"))
 
+    def equi_depth_q(spark, sf_dir):
+        """Equal-population value histogram (8 buckets) without a
+        global sort: percentile boundaries broadcast, assignment is a
+        codegen'd filter-count, stats one hash agg."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            equi_depth_histogram)
+        ev = _t(spark, sf_dir, "events")
+        out = equi_depth_histogram(ev, "value", 8)
+        return out.select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round("lo", 6).alias("lo"), F.round("hi", 6).alias("hi"))
+
     def top_paths_q(spark, sf_dir):
         """Top-20 three-step user journeys across the event log: one
         sequence-collect per user, a codegen'd n-gram transform, and a
@@ -2763,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cns_validation": cns_validation_q,
         "user_key_skew_report": skew_report_q,
         "top_event_paths": top_paths_q,
+        "value_equi_depth_histogram": equi_depth_q,
         "overlapping_error_purchases": overlap_pairs_q,
         "temporal_split_counts": temporal_split_q,
         "hourly_count_anomalies": hourly_anomalies,
@@ -3335,6 +3351,17 @@ SELECT event_type, hour, n,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+""",
+        "value_equi_depth_histogram": f"""
+WITH b AS (
+  SELECT quantile_cont(value,
+           [{", ".join(str(i / 8) for i in range(1, 8))}]) AS q
+  FROM events)
+SELECT CAST(len(list_filter(q, x -> x < value)) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(min(value), 6) AS lo, round(max(value), 6) AS hi
+FROM events CROSS JOIN b
+GROUP BY 1
 """,
         "top_event_paths": """
 WITH seqs AS (

@@ -159,6 +159,30 @@ def rolling_anomalies(df: DataFrame, ts_col: str, value_col: str,
     )
 
 
+def equi_depth_histogram(df: DataFrame, value_col: str,
+                         n_buckets: int = 10) -> DataFrame:
+    """Equal-population histogram WITHOUT a global sort: bucket
+    boundaries are the exact interpolated percentiles (one aggregation
+    row, broadcast), assignment is a codegen'd count-of-boundaries-
+    below filter, and per-bucket (cnt, min, max) is one hash agg. The
+    ntile() spelling forces every row through a single-partition sort
+    — this shape never does. Values equal to a boundary land in the
+    lower bucket (strict comparison), so assignment is deterministic.
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = F.broadcast(df.agg(F.expr(
+        f"percentile({value_col}, array({', '.join(map(str, qs))}))")
+        .alias("_b")))
+    bucket = F.size(F.filter(
+        F.col("_b"), lambda b: b < F.col(value_col)))
+    return (df.crossJoin(bounds)
+            .select(bucket.alias("bucket"), F.col(value_col))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("cnt"),
+                 F.min(value_col).alias("lo"),
+                 F.max(value_col).alias("hi")))
+
+
 def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
                      granularity: str = "month") -> DataFrame:
     """Classic retention triangle: users bucketed by first-activity

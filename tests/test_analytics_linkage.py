@@ -200,3 +200,21 @@ def test_top_paths_no_self_join_plan(spark):
     plan = top_paths(df, "user", "ts", "step") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "TakeOrderedAndProject" in plan
+
+
+def test_equi_depth_histogram_balanced_no_global_sort(spark):
+    from pipelines_rj_sms_spark.operators.analytics import (
+        equi_depth_histogram)
+    df = spark.range(1000).select((F.col("id") * 7 % 1000)
+                                  .cast("double").alias("v"))
+    out = equi_depth_histogram(df, "v", 4)
+    rows = {r["bucket"]: r for r in out.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert all(240 <= rows[b]["cnt"] <= 260 for b in rows)
+    assert rows[0]["hi"] <= rows[1]["lo"] and rows[2]["hi"] <= rows[3]["lo"]
+    plan = out._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    # exactly one SinglePartition exchange (the 1-row percentile agg);
+    # a second one would be the ntile-style global data sort
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "Sort [v" not in plan

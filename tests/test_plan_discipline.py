@@ -143,7 +143,17 @@ def test_every_query_plans_clean(spark):
                     "theta_priority_overlap", "theta_priority_difference",
                     # 1-row scalar broadcast (corpus total for the
                     # overcount bound)
-                    "freq_heavy_users"}
+                    "freq_heavy_users",
+                    # 1-row scalar broadcasts: CMS estimate + side
+                    # counts; the bloom bitmap row; BM25 corpus stats;
+                    # unigram LM totals — each build side is exactly
+                    # one row by construction
+                    "join_size_estimate", "bloom_filtered_orders",
+                    "bm25_search_results", "doc_unigram_logprob",
+                    # 1-row totals joined to the top-N skew keys
+                    "user_key_skew_report",
+                    # 1-row percentile-boundary broadcast
+                    "value_equi_depth_histogram"}
     failures = []
     for name, fn in entry.queries().items():
         try:
