@@ -231,3 +231,92 @@ def stream_corpus_dedup(stream_df: DataFrame, out_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_scd2(stream_df: DataFrame, history_path: str,
+                checkpoint_path: str, key_col: str, ts_col: str,
+                state_cols: list[str] | str,
+                tiebreak_col: str | None = None,
+                n_buckets: int = 64,
+                available_now: bool = True) -> StreamingQuery:
+    """Continuously maintained SCD2 history: each micro-batch of
+    observations merges into the validity-interval table at
+    ``history_path`` via `scd.merge_history` — only batch-touched keys
+    recompress (append-only delivery per key, as that operator
+    requires).
+
+    The history is partitioned by a hash bucket of the key
+    (``_kb = pmod(xxhash64(key), n_buckets)``), so a batch touches only
+    its keys' buckets: the target read partition-prunes to those
+    buckets and DYNAMIC overwrite rewrites only them — cost scales
+    with the batch's key spread, never the table (the merge_upsert
+    posture applied to interval history).
+
+    Replay semantics: an ``_applied`` marker parquet records merged
+    batch ids; a replayed batch id is skipped, so the normal
+    crash/restart path is effectively-once. The unprotected window is
+    a crash BETWEEN the history write and the marker append — a replay
+    then re-merges that batch: interval boundaries stay correct
+    (states re-assert themselves), but that batch's ``n_obs``
+    contributions double. If exact observation counts matter across
+    that window, rebuild from the raw log (compress_history is the
+    oracle-checked full recompute).
+
+    Batch ids are scoped to the checkpoint: keep ONE checkpoint per
+    logical stream (ids then only ever grow). Starting a fresh
+    checkpoint against the same history treats same-numbered batches
+    as already applied — which is exactly right for reprocessing the
+    same source, and wrong for ingesting a *different* source into the
+    same history (use the original checkpoint for that).
+    """
+    from pipelines_rj_sms_spark.operators.scd import (
+        compress_history, merge_history)
+
+    if isinstance(state_cols, str):
+        state_cols = [state_cols]
+    marker_path = history_path.rstrip("/") + "_applied"
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            applied = {r[0] for r in
+                       spark.read.parquet(marker_path).collect()}
+        except Exception:
+            applied = set()
+        if batch_id in applied:
+            return
+        kb = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+        exists = True
+        try:
+            hist = spark.read.parquet(history_path)
+        except Exception:
+            exists = False
+        if exists:
+            touched = [r[0] for r in batch_df.select(
+                kb.alias("_kb")).distinct().collect()]  # ≤ n_buckets
+            hist_t = hist.filter(F.col("_kb").isin(touched)).drop("_kb")
+            merged = merge_history(hist_t, batch_df, key_col, ts_col,
+                                   state_cols, tiebreak_col)
+        else:
+            merged = compress_history(batch_df, key_col, ts_col,
+                                      state_cols, tiebreak_col)
+        out = merged.withColumn("_kb", F.pmod(F.xxhash64(F.col(key_col)),
+                                              F.lit(n_buckets))).persist()
+        out.count()  # materialize BEFORE overwriting the partitions read
+        (out.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_kb").parquet(history_path))
+        out.unpersist()
+        spark.createDataFrame([(batch_id,)], "batch_id long") \
+            .write.mode("append").parquet(marker_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

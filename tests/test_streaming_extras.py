@@ -76,3 +76,58 @@ def test_stream_interval_join_bounds_matches(spark, tmp_path):
     rows = spark.sql("SELECT * FROM ij").collect()
     assert len(rows) == 1
     assert rows[0]["purchase_ts"].minute == 5
+
+
+def test_stream_scd2_end_to_end(spark, tmp_path):
+    """Two paced microbatches of keyed observations maintain an SCD2
+    history equal to compressing the whole log at once; a replayed
+    batch id is skipped (marker idempotence)."""
+    import json
+
+    from pipelines_rj_sms_spark.operators.scd import compress_history
+    from pipelines_rj_sms_spark.streaming.incremental import (
+        run_stream_once, stream_scd2)
+
+    rows1 = [
+        {"k": 1, "ts": "2024-01-01T00:00:00", "state": "A", "oid": 1},
+        {"k": 1, "ts": "2024-01-01T01:00:00", "state": "A", "oid": 2},
+        {"k": 2, "ts": "2024-01-01T00:30:00", "state": "X", "oid": 3},
+    ]
+    rows2 = [
+        {"k": 1, "ts": "2024-01-01T02:00:00", "state": "B", "oid": 4},
+        {"k": 3, "ts": "2024-01-01T03:00:00", "state": "C", "oid": 5},
+    ]
+    src = tmp_path / "scdsrc"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows2))
+
+    schema = "k long, ts timestamp, state string, oid long"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    hist_path = str(tmp_path / "hist")
+    q = stream_scd2(stream, hist_path, str(tmp_path / "ck"),
+                    "k", "ts", "state", "oid", n_buckets=8)
+    run_stream_once(q)
+
+    got = {(r["k"], r["state"], r["valid_from"], r["valid_to"], r["n_obs"])
+           for r in spark.read.parquet(hist_path).drop("_kb").collect()}
+    full = spark.createDataFrame(
+        [(r["k"], r["ts"].replace("T", " "), r["state"], r["oid"])
+         for r in rows1 + rows2], "k long, ts string, state string, oid long"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "state", "oid")
+    want = {(r["k"], r["state"], r["valid_from"], r["valid_to"], r["n_obs"])
+            for r in compress_history(full, "k", "ts", "state",
+                                      "oid").collect()}
+    assert got == want
+
+    # replaying the same source with a fresh checkpoint but the same
+    # applied-batch markers must NOT double-merge
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).json(str(src)))
+    q2 = stream_scd2(stream2, hist_path, str(tmp_path / "ck2"),
+                     "k", "ts", "state", "oid", n_buckets=8)
+    run_stream_once(q2)
+    again = {(r["k"], r["state"], r["valid_from"], r["valid_to"], r["n_obs"])
+             for r in spark.read.parquet(hist_path).drop("_kb").collect()}
+    assert again == want
