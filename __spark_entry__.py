@@ -174,6 +174,8 @@ Query key -> SURVEY §2 rows covered:
                             (gaps-and-islands, single Exchange)
   linked_addresses_jw       record linkage scored by Jaro-Winkler
                             (pandas UDF pinned to DuckDB semantics)
+  nearest_supplier_sites    grid-bucketed nearest-site spatial join
+                            (haversine, exact 3x3 recall)
   value_equi_depth_histogram  equal-population buckets w/o a global
                             sort (broadcast percentile boundaries)
   top_event_paths           most common 3-step user journeys (n-gram
@@ -2234,6 +2236,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("d_id", "c_id",
                           F.round(F.col("score"), 6).alias("score"))
 
+    def nearest_site_q(spark, sf_dir):
+        """Nearest-site spatial join: customers (synthetic coords near
+        Rio) to their closest supplier within 5 km — 3x3 grid-bucket
+        equi-join with the haversine predicate inside the condition,
+        never a cross product; exact-recall oracle is the full
+        distance join."""
+        from pipelines_rj_sms_spark.operators.spatial import (
+            nearest_site_join)
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey",
+            (F.lit(-23.0) + (F.col("c_custkey") * 37 % 1000) / 1000.0
+             * 0.4).alias("lat"),
+            (F.lit(-43.5) + (F.col("c_custkey") * 61 % 1000) / 1000.0
+             * 0.4).alias("lon"))
+        sup = _t(spark, sf_dir, "supplier").select(
+            "s_suppkey",
+            (F.lit(-23.0) + (F.col("s_suppkey") * 53 % 1000) / 1000.0
+             * 0.4).alias("slat"),
+            (F.lit(-43.5) + (F.col("s_suppkey") * 29 % 1000) / 1000.0
+             * 0.4).alias("slon"))
+        out = nearest_site_join(cust, sup, "c_custkey", "lat", "lon",
+                                "s_suppkey", "slat", "slon",
+                                max_km=5.0, ref_lat_deg=-23.0)
+        return out.select("c_custkey", "s_suppkey",
+                          F.round("distance_km", 4).alias("distance_km"))
+
     def equi_depth_q(spark, sf_dir):
         """Equal-population value histogram (8 buckets) without a
         global sort: percentile boundaries broadcast, assignment is a
@@ -2779,6 +2807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_key_skew_report": skew_report_q,
         "top_event_paths": top_paths_q,
         "value_equi_depth_histogram": equi_depth_q,
+        "nearest_supplier_sites": nearest_site_q,
         "overlapping_error_purchases": overlap_pairs_q,
         "temporal_split_counts": temporal_split_q,
         "hourly_count_anomalies": hourly_anomalies,
@@ -3351,6 +3380,31 @@ SELECT event_type, hour, n,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+""",
+        "nearest_supplier_sites": """
+WITH pts AS (
+  SELECT c_custkey,
+         -23.0 + (c_custkey * 37 % 1000) / 1000.0 * 0.4 AS lat,
+         -43.5 + (c_custkey * 61 % 1000) / 1000.0 * 0.4 AS lon
+  FROM customer),
+sites AS (
+  SELECT s_suppkey,
+         -23.0 + (s_suppkey * 53 % 1000) / 1000.0 * 0.4 AS slat,
+         -43.5 + (s_suppkey * 29 % 1000) / 1000.0 * 0.4 AS slon
+  FROM supplier),
+pairs AS (
+  SELECT c_custkey, s_suppkey,
+         2 * 6371.0088 * asin(sqrt(
+           sin(radians(slat - lat) / 2) * sin(radians(slat - lat) / 2)
+           + cos(radians(lat)) * cos(radians(slat))
+             * sin(radians(slon - lon) / 2)
+             * sin(radians(slon - lon) / 2))) AS d
+  FROM pts CROSS JOIN sites)
+SELECT c_custkey, s_suppkey, round(d, 4) AS distance_km
+FROM pairs
+WHERE d <= 5.0
+QUALIFY row_number() OVER (PARTITION BY c_custkey
+                           ORDER BY d, s_suppkey) = 1
 """,
         "value_equi_depth_histogram": f"""
 WITH b AS (
