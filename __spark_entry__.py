@@ -3408,8 +3408,10 @@ QUALIFY row_number() OVER (PARTITION BY c_custkey
 """,
         "value_equi_depth_histogram": f"""
 WITH b AS (
-  SELECT quantile_cont(value,
-           [{", ".join(str(i / 8) for i in range(1, 8))}]) AS q
+  SELECT list_transform(
+           quantile_cont(value,
+             [{", ".join(str(i / 8) for i in range(1, 8))}]),
+           x -> round(x, 6)) AS q
   FROM events)
 SELECT CAST(len(list_filter(q, x -> x < value)) AS INT) AS bucket,
        CAST(count(*) AS BIGINT) AS cnt,

@@ -170,9 +170,14 @@ def equi_depth_histogram(df: DataFrame, value_col: str,
     lower bucket (strict comparison), so assignment is deterministic.
     """
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = F.broadcast(df.agg(F.expr(
-        f"percentile({value_col}, array({', '.join(map(str, qs))}))")
-        .alias("_b")))
+    # boundaries are rounded to 6 dp before assignment: engines
+    # interpolate (1-f)a+fb vs a+f(b-a), which differ in the last ulp
+    # exactly when a quantile lands on duplicated values — rounding
+    # pins the cut points so assignment is replayable cross-engine
+    bounds = F.broadcast(df.agg(F.transform(
+        F.expr(f"percentile({value_col}, "
+               f"array({', '.join(map(str, qs))}))"),
+        lambda b: F.round(b, 6)).alias("_b")))
     bucket = F.size(F.filter(
         F.col("_b"), lambda b: b < F.col(value_col)))
     return (df.crossJoin(bounds)
