@@ -174,6 +174,10 @@ Query key -> SURVEY §2 rows covered:
                             (gaps-and-islands, single Exchange)
   linked_addresses_jw       record linkage scored by Jaro-Winkler
                             (pandas UDF pinned to DuckDB semantics)
+  props_autoflatten         schema-free JSON flattening (sampled
+                            inference + typed columns)
+  value_psi_drift           PSI distribution-drift report vs the
+                            baseline's deciles
   nearest_supplier_sites    grid-bucketed nearest-site spatial join
                             (haversine, exact 3x3 recall)
   value_equi_depth_histogram  equal-population buckets w/o a global
@@ -2236,6 +2240,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("d_id", "c_id",
                           F.round(F.col("score"), 6).alias("score"))
 
+    def psi_drift_q(spark, sf_dir):
+        """Population-stability drift report: event values after
+        Jan 16 measured against the earlier baseline's deciles —
+        per-bucket shares and PSI contributions (Σ = the model-monitor
+        gate). Boundaries broadcast, two hash aggs, no row shuffles."""
+        from pipelines_rj_sms_spark.quality.drift import psi_report
+        ev = _t(spark, sf_dir, "events")
+        cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        out = psi_report(ev.filter(F.col("ts") < cut),
+                         ev.filter(F.col("ts") >= cut), "value", 10)
+        return out.select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round("expected_share", 6).alias("expected_share"),
+            F.round("actual_share", 6).alias("actual_share"),
+            F.round("psi_contrib", 6).alias("psi_contrib"))
+
+    def autoflatten_q(spark, sf_dir):
+        """Schema-free JSON flattening: infer the props payload schema
+        from a bounded driver sample (Spark's own JSON reader merges
+        sampled shapes), then flatten typed columns out — the
+        zero-config ingestion path for semi-structured feeds."""
+        from pipelines_rj_sms_spark.functions.jsonops import (
+            autoflatten_json)
+        ev = _t(spark, sf_dir, "events").select("event_id", "props")
+        out = autoflatten_json(ev, "props", prefix="p_")
+        return out.select("event_id",
+                          F.col("p_k").cast("bigint").alias("p_k"))
+
     def nearest_site_q(spark, sf_dir):
         """Nearest-site spatial join: customers (synthetic coords near
         Rio) to their closest supplier within 5 km — 3x3 grid-bucket
@@ -2808,6 +2840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_event_paths": top_paths_q,
         "value_equi_depth_histogram": equi_depth_q,
         "nearest_supplier_sites": nearest_site_q,
+        "props_autoflatten": autoflatten_q,
+        "value_psi_drift": psi_drift_q,
         "overlapping_error_purchases": overlap_pairs_q,
         "temporal_split_counts": temporal_split_q,
         "hourly_count_anomalies": hourly_anomalies,
@@ -3380,6 +3414,40 @@ SELECT event_type, hour, n,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+""",
+        "value_psi_drift": f"""
+WITH exp_side AS (
+  SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+act_side AS (
+  SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+b AS (
+  SELECT list_transform(
+           quantile_cont(value,
+             [{", ".join(str(i / 10) for i in range(1, 10))}]),
+           x -> round(x, 6)) AS q
+  FROM exp_side),
+ec AS (
+  SELECT len(list_filter(q, x -> x < value)) AS bucket, count(*) AS n
+  FROM exp_side CROSS JOIN b GROUP BY 1),
+ac AS (
+  SELECT len(list_filter(q, x -> x < value)) AS bucket, count(*) AS n
+  FROM act_side CROSS JOIN b GROUP BY 1),
+es AS (SELECT bucket, n / (SELECT CAST(sum(n) AS DOUBLE) FROM ec) AS sh
+       FROM ec),
+acs AS (SELECT bucket, n / (SELECT CAST(sum(n) AS DOUBLE) FROM ac) AS sh
+        FROM ac)
+SELECT CAST(coalesce(es.bucket, acs.bucket) AS INT) AS bucket,
+       round(coalesce(es.sh, 0.0), 6) AS expected_share,
+       round(coalesce(acs.sh, 0.0), 6) AS actual_share,
+       round((greatest(coalesce(acs.sh, 0.0), 1e-6)
+              - greatest(coalesce(es.sh, 0.0), 1e-6))
+             * ln(greatest(coalesce(acs.sh, 0.0), 1e-6)
+                  / greatest(coalesce(es.sh, 0.0), 1e-6)), 6)
+         AS psi_contrib
+FROM es FULL OUTER JOIN acs ON es.bucket = acs.bucket
+""",
+        "props_autoflatten": """
+SELECT event_id, CAST(props->>'k' AS BIGINT) AS p_k FROM events
 """,
         "nearest_supplier_sites": """
 WITH pts AS (

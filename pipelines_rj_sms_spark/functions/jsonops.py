@@ -49,3 +49,32 @@ def parse_json_blobs(df: DataFrame, json_col: str, schema: StructType | str,
         F.col(f"_parsed.{f}").alias(f"{prefix}{f}") for f in inner_fields
     ]
     return parsed.select(*cols)
+
+
+def infer_json_schema(df: DataFrame, json_col: str,
+                      sample_rows: int = 1000) -> StructType:
+    """Schema inference for a JSON-blob column from a bounded driver
+    sample: Spark's own JSON reader merges the sampled blobs' shapes
+    (the same machinery `spark.read.json` uses), so heterogeneous
+    payloads union into one nullable schema. The sample is
+    ``limit(sample_rows)`` — bounded driver work regardless of table
+    size; fields absent from the sample parse as null downstream
+    (raise the sample for long-tailed payloads, or store the inferred
+    schema in the job config once curated — the reference pins its
+    payload shapes in config the same way).
+    """
+    spark = df.sparkSession
+    blobs = (df.select(json_col).filter(F.col(json_col).isNotNull())
+             .limit(sample_rows))
+    sampled = spark.createDataFrame(blobs.collect(), blobs.schema)
+    return spark.read.json(
+        sampled.rdd.map(lambda r: r[0])).schema
+
+
+def autoflatten_json(df: DataFrame, json_col: str, prefix: str = "",
+                     sample_rows: int = 1000) -> DataFrame:
+    """`parse_json_blobs` without a hand-written schema: infer from a
+    bounded sample, then flatten — the "just give me the columns"
+    ingestion path for semi-structured feeds."""
+    schema = infer_json_schema(df, json_col, sample_rows)
+    return parse_json_blobs(df, json_col, schema, prefix)

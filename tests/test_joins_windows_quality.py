@@ -159,3 +159,30 @@ def test_profile_table_single_wide_shuffle(spark):
     # counts agg + per-column agg + top window + broadcastable join:
     # the unpivoted base is scanned once (explode appears once)
     assert plan.count("Generate explode") == 1
+
+
+def test_psi_report_detects_shift(spark):
+    """A mean-shifted actual sample produces a large PSI; an identical
+    sample produces ~0."""
+    from pipelines_rj_sms_spark.quality.drift import psi_report
+    base = spark.range(2000).select(
+        ((F.col("id") * 37 % 1000) / 10.0).alias("v"))
+    same = psi_report(base, base, "v", 10)
+    total_same = same.agg(F.sum("psi_contrib")).collect()[0][0]
+    assert abs(total_same) < 1e-9
+
+    shifted = base.select((F.col("v") + 40.0).alias("v"))
+    drift = psi_report(base, shifted, "v", 10)
+    total_drift = drift.agg(F.sum("psi_contrib")).collect()[0][0]
+    assert total_drift > 0.25                      # "act" territory
+    rows = {r["bucket"]: r for r in drift.collect()}
+    assert rows[9]["actual_share"] > rows[9]["expected_share"]
+
+
+def test_psi_report_all_contributions_nonnegative(spark):
+    from pipelines_rj_sms_spark.quality.drift import psi_report
+    a = spark.range(500).select((F.col("id") % 97).cast("double").alias("v"))
+    b = spark.range(500).select(((F.col("id") * 7) % 89)
+                                .cast("double").alias("v"))
+    rows = psi_report(a, b, "v", 8).collect()
+    assert all(r["psi_contrib"] >= -1e-12 for r in rows)

@@ -153,7 +153,9 @@ def test_every_query_plans_clean(spark):
                     # 1-row totals joined to the top-N skew keys
                     "user_key_skew_report",
                     # 1-row percentile-boundary broadcast
-                    "value_equi_depth_histogram"}
+                    "value_equi_depth_histogram",
+                    # 1-row boundary + per-side total broadcasts
+                    "value_psi_drift"}
     failures = []
     for name, fn in entry.queries().items():
         try:

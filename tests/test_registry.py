@@ -120,3 +120,22 @@ def test_sql_scrub_pii_matches_column_api(spark):
     via_sql = spark.sql("SELECT scrub_pii(t) AS s FROM _pii_t").collect()[0].s
     via_col = df.select(scrub_pii("t").alias("s")).collect()[0].s
     assert via_sql == via_col == "CPF [CPF] tel [TEL] [EMAIL]"
+
+
+def test_autoflatten_json_infers_merged_schema(spark):
+    """Heterogeneous payloads union into one nullable schema; typed
+    columns come out without any hand-written schema."""
+    from pipelines_rj_sms_spark.functions.jsonops import (
+        autoflatten_json, infer_json_schema)
+    df = spark.createDataFrame(
+        [(1, '{"a": 1, "b": "x"}'),
+         (2, '{"a": 2, "c": 3.5}'),
+         (3, None)],
+        "id int, payload string")
+    schema = infer_json_schema(df, "payload")
+    assert {f.name for f in schema.fields} == {"a", "b", "c"}
+    out = {r["id"]: (r["p_a"], r["p_b"], r["p_c"])
+           for r in autoflatten_json(df, "payload", "p_").collect()}
+    assert out[1] == (1, "x", None)
+    assert out[2] == (2, None, 3.5)
+    assert out[3] == (None, None, None)
