@@ -174,6 +174,8 @@ Query key -> SURVEY §2 rows covered:
                             (gaps-and-islands, single Exchange)
   linked_addresses_jw       record linkage scored by Jaro-Winkler
                             (pandas UDF pinned to DuckDB semantics)
+  lineitem_correlations     pairwise Pearson matrix in one agg pass
+  event_value_mutual_info   categorical dependency audit (MI in nats)
   props_autoflatten         schema-free JSON flattening (sampled
                             inference + typed columns)
   value_psi_drift           PSI distribution-drift report vs the
@@ -2240,6 +2242,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("d_id", "c_id",
                           F.round(F.col("score"), 6).alias("score"))
 
+    def correlations_q(spark, sf_dir):
+        """All pairwise Pearson correlations of lineitem's numeric
+        measures in ONE aggregation pass (6 corr states in a single
+        HashAggregate), unpivoted to tidy rows."""
+        from pipelines_rj_sms_spark.quality.profile import (
+            correlation_matrix)
+        li = _t(spark, sf_dir, "lineitem")
+        out = correlation_matrix(
+            li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+        return out.select("col_a", "col_b",
+                          F.round("corr", 6).alias("corr"))
+
+    def mutual_info_q(spark, sf_dir):
+        """Mutual information between event_type and the value decade —
+        the nonlinear-dependency audit; margins computed over the
+        collapsed joint table, never the data."""
+        from pipelines_rj_sms_spark.quality.profile import (
+            mutual_information)
+        ev = _t(spark, sf_dir, "events").withColumn(
+            "value_decade", F.floor(F.col("value") / 10))
+        out = mutual_information(ev, "event_type", "value_decade")
+        return out.select(F.round("mi_nats", 6).alias("mi_nats"),
+                          "n_rows")
+
     def psi_drift_q(spark, sf_dir):
         """Population-stability drift report: event values after
         Jan 16 measured against the earlier baseline's deciles —
@@ -2842,6 +2868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_supplier_sites": nearest_site_q,
         "props_autoflatten": autoflatten_q,
         "value_psi_drift": psi_drift_q,
+        "lineitem_correlations": correlations_q,
+        "event_value_mutual_info": mutual_info_q,
         "overlapping_error_purchases": overlap_pairs_q,
         "temporal_split_counts": temporal_split_q,
         "hourly_count_anomalies": hourly_anomalies,
@@ -3414,6 +3442,44 @@ SELECT event_type, hour, n,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+""",
+        "lineitem_correlations": """
+SELECT * FROM (
+  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+         round(corr(l_quantity, l_extendedprice), 6) AS corr
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', 'l_discount',
+         round(corr(l_quantity, l_discount), 6) FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', 'l_tax',
+         round(corr(l_quantity, l_tax), 6) FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_discount',
+         round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_tax',
+         round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', 'l_tax',
+         round(corr(l_discount, l_tax), 6) FROM lineitem)
+""",
+        "event_value_mutual_info": """
+WITH j AS (
+  SELECT coalesce(CAST(event_type AS VARCHAR), chr(0) || 'null') AS a,
+         coalesce(CAST(CAST(floor(value / 10) AS BIGINT) AS VARCHAR),
+                  chr(0) || 'null') AS b,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM j),
+m AS (
+  SELECT n, sum(n) OVER (PARTITION BY a) AS na,
+         sum(n) OVER (PARTITION BY b) AS nb
+  FROM j)
+SELECT round(sum((n / tot) * ln((n / tot) / ((na / tot) * (nb / tot)))),
+             6) AS mi_nats,
+       CAST(sum(n) AS BIGINT) AS n_rows
+FROM m CROSS JOIN t
 """,
         "value_psi_drift": f"""
 WITH exp_side AS (

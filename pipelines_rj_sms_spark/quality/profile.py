@@ -67,3 +67,57 @@ def profile_table(df: DataFrame,
         top["value"].alias("top_value"),
         top["cnt"].alias("top_count"),
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns in ONE pass:
+    all p·(p−1)/2 `corr` aggregates ride in a single HashAggregate
+    (one scan, no matter how many pairs), then unpivot to
+    (col_a, col_b, corr) rows. The profiling companion for feature
+    redundancy and sanity checks; for p large enough that p² state
+    matters, sample first — corr estimates converge fast.
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = [F.corr(a, b).alias(f"_c_{i}") for i, (a, b) in enumerate(pairs)]
+    wide = df.agg(*aggs)
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                 F.col(f"_c_{i}").alias("corr"))
+        for i, (a, b) in enumerate(pairs)]))
+    return wide.select(rows.alias("_r")).select(
+        "_r.col_a", "_r.col_b", "_r.corr")
+
+
+def mutual_information(df: DataFrame, col_a: str,
+                       col_b: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns —
+    the dependency detector that catches what correlation can't
+    (nonlinear / non-ordinal association), standard in feature audits.
+
+    MI = Σ_ij p_ij · ln(p_ij / (p_i · p_j)) over the joint
+    distribution. One (a, b) hash aggregation builds the joint table;
+    margins come from window sums OVER THE COLLAPSED JOINT (at most
+    |A|·|B| rows — never the data); the result is one row:
+    (mi_nats, n_rows). Nulls count as a category of their own (they
+    carry dependency signal too).
+    """
+    from pyspark.sql import Window
+
+    joint = (df.select(
+        F.coalesce(F.col(col_a).cast("string"), F.lit("\x00null"))
+        .alias("_a"),
+        F.coalesce(F.col(col_b).cast("string"), F.lit("\x00null"))
+        .alias("_b"))
+        .groupBy("_a", "_b").agg(F.count("*").alias("_n")))
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
+    wt = Window.partitionBy()
+    tot = F.sum("_n").over(wt).cast("double")
+    pij = F.col("_n") / tot
+    pi = F.sum("_n").over(wa) / tot
+    pj = F.sum("_n").over(wb) / tot
+    contrib = pij * F.log(pij / (pi * pj))
+    return (joint
+            .select(contrib.alias("_mi"), F.col("_n"))
+            .agg(F.sum("_mi").alias("mi_nats"),
+                 F.sum("_n").cast("bigint").alias("n_rows")))

@@ -186,3 +186,34 @@ def test_psi_report_all_contributions_nonnegative(spark):
                                 .cast("double").alias("v"))
     rows = psi_report(a, b, "v", 8).collect()
     assert all(r["psi_contrib"] >= -1e-12 for r in rows)
+
+
+def test_correlation_matrix_single_pass(spark):
+    from pipelines_rj_sms_spark.quality.profile import correlation_matrix
+    df = spark.range(500).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2 + 1).cast("double").alias("y"),     # corr 1
+        (-F.col("id")).cast("double").alias("z"))            # corr -1
+    got = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in correlation_matrix(df, ["x", "y", "z"]).collect()}
+    assert abs(got[("x", "y")] - 1.0) < 1e-9
+    assert abs(got[("x", "z")] + 1.0) < 1e-9
+    assert len(got) == 3
+    plan = correlation_matrix(df, ["x", "y", "z"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 2 or "SortAggregate" in plan
+
+
+def test_mutual_information_independent_vs_dependent(spark):
+    from pipelines_rj_sms_spark.quality.profile import mutual_information
+    # b == a: fully dependent -> MI = entropy > 0; c independent of a
+    df = spark.range(4000).select(
+        (F.col("id") % 4).alias("a"),
+        (F.col("id") % 4).alias("b"),
+        (F.col("id") % 5).alias("c"))
+    dep = mutual_information(df, "a", "b").collect()[0]
+    ind = mutual_information(df, "a", "c").collect()[0]
+    import math
+    assert abs(dep["mi_nats"] - math.log(4)) < 1e-9   # H(uniform 4)
+    assert abs(ind["mi_nats"]) < 1e-9                 # independence
+    assert dep["n_rows"] == 4000
