@@ -174,6 +174,8 @@ Query key -> SURVEY §2 rows covered:
                             (gaps-and-islands, single Exchange)
   linked_addresses_jw       record linkage scored by Jaro-Winkler
                             (pandas UDF pinned to DuckDB semantics)
+  resolved_document_entities  end-to-end entity resolution (blocking
+                            -> score -> components -> min-id labels)
   lineitem_correlations     pairwise Pearson matrix in one agg pass
   event_value_mutual_info   categorical dependency audit (MI in nats)
   props_autoflatten         schema-free JSON flattening (sampled
@@ -2242,6 +2244,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("d_id", "c_id",
                           F.round(F.col("score"), 6).alias("score"))
 
+    def resolve_entities_q(spark, sf_dir):
+        """End-to-end entity resolution: documents plus perturbed
+        copies (5th char deleted, offset ids) resolve into entities —
+        blocking self-join, Levenshtein threshold, connected
+        components, min-id labels. Exact oracle: the recursive-CTE
+        transitive closure of the same scored pairs."""
+        from pipelines_rj_sms_spark.operators.linkage import (
+            levenshtein_ratio, resolve_entities)
+        docs = _t(spark, sf_dir, "documents")
+        clean = docs.select(
+            "doc_id", "lang", F.substring("text", 1, 40).alias("t"))
+        dirty = docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "lang",
+            F.concat(F.substring("text", 1, 4),
+                     F.substring("text", 6, 35)).alias("t"))
+        allr = (clean.unionByName(dirty)
+                .withColumn("blk", F.substring("t", 1, 4)))
+        out = resolve_entities(
+            allr, "doc_id", ["lang", "blk"],
+            levenshtein_ratio("l_t", "r_t"), 0.7, ["t"])
+        return out.select("doc_id", "entity_id")
+
     def correlations_q(spark, sf_dir):
         """All pairwise Pearson correlations of lineitem's numeric
         measures in ONE aggregation pass (6 corr states in a single
@@ -2869,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_autoflatten": autoflatten_q,
         "value_psi_drift": psi_drift_q,
         "lineitem_correlations": correlations_q,
+        "resolved_document_entities": resolve_entities_q,
         "event_value_mutual_info": mutual_info_q,
         "overlapping_error_purchases": overlap_pairs_q,
         "temporal_split_counts": temporal_split_q,
@@ -3442,6 +3467,36 @@ SELECT event_type, hour, n,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+""",
+        "resolved_document_entities": """
+WITH RECURSIVE all_recs AS (
+  SELECT doc_id, lang, substr(text, 1, 40) AS t,
+         substr(text, 1, 4) AS blk
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         lang,
+         concat(substr(text, 1, 4), substr(text, 6, 35)) AS t,
+         substr(concat(substr(text, 1, 4), substr(text, 6, 35)),
+                1, 4) AS blk
+  FROM documents),
+pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb
+  FROM all_recs a
+  JOIN all_recs b
+    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE 1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+        / greatest(length(a.t), length(b.t), 1) >= 0.7),
+und AS (SELECT ida AS src, idb AS dst FROM pairs
+        UNION SELECT idb, ida FROM pairs),
+walk(src, dst) AS (
+    SELECT src, dst FROM und
+    UNION
+    SELECT w.src, u.dst FROM walk w JOIN und u ON w.dst = u.src),
+reach AS (SELECT src, min(dst) AS min_reach FROM walk GROUP BY src)
+SELECT a.doc_id,
+       least(a.doc_id, coalesce(r.min_reach, a.doc_id)) AS entity_id
+FROM all_recs a LEFT JOIN reach r ON a.doc_id = r.src
 """,
         "lineitem_correlations": """
 SELECT * FROM (

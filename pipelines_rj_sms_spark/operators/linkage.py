@@ -148,3 +148,40 @@ def link_records(left: DataFrame, right: DataFrame,
         F.col(score_col).desc(), F.col(right_id))
     return (scored.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1).drop("_rk"))
+
+
+def resolve_entities(df: DataFrame, id_col: str, block_cols: list[str],
+                     score_expr: Column, threshold: float = 0.8,
+                     payload_cols: list[str] | None = None,
+                     max_iter: int = 50) -> DataFrame:
+    """End-to-end entity resolution over ONE table: every record gets
+    an ``entity_id`` (the smallest member id of its duplicate
+    cluster). Composes the repo's primitives — blocking self-join →
+    similarity threshold → duplicate edges → `dedup.connected_
+    components` → min-id canonical label — each stage inheriting its
+    scale posture (equi-join candidates, O(diameter) label rounds).
+
+    ``payload_cols`` are the columns ``score_expr`` reads; they are
+    exposed to it with ``l_``/``r_`` prefixes (e.g.
+    ``jaro_winkler("l_name", "r_name")``). Pairs are generated once
+    (id_a < id_b); records sharing no block with anyone stay their own
+    entity.
+    """
+    from pipelines_rj_sms_spark.operators.dedup import connected_components
+
+    payload_cols = payload_cols or []
+    left = df.select(
+        F.col(id_col).alias("_ida"), *block_cols,
+        *[F.col(c).alias(f"l_{c}") for c in payload_cols])
+    right = df.select(
+        F.col(id_col).alias("_idb"), *block_cols,
+        *[F.col(c).alias(f"r_{c}") for c in payload_cols])
+    edges = (left.join(right, block_cols)
+             .filter(F.col("_ida") < F.col("_idb"))
+             .filter(score_expr >= F.lit(threshold))
+             .select("_ida", "_idb"))
+    comp = connected_components(edges, "_ida", "_idb",
+                                nodes=df, node_col=id_col,
+                                max_iter=max_iter)
+    return comp.select(F.col("node").alias(id_col),
+                       F.col("component").alias("entity_id"))

@@ -218,3 +218,20 @@ def test_equi_depth_histogram_balanced_no_global_sort(spark):
     # a second one would be the ntile-style global data sort
     assert plan.count("Exchange SinglePartition") <= 1
     assert "Sort [v" not in plan
+
+
+def test_resolve_entities_clusters_duplicates(spark):
+    """Perturbed copies resolve to their source's entity; unrelated
+    records keep their own id as entity."""
+    from pipelines_rj_sms_spark.operators.linkage import (
+        levenshtein_ratio, resolve_entities)
+    df = spark.createDataFrame([
+        (1, "b1", "maria da silva santos"),
+        (2, "b1", "maria da silva santoz"),   # near-dup of 1
+        (3, "b1", "joao pereira lima......"),
+        (4, "b2", "maria da silva santos"),   # other block: own entity
+    ], ["id", "blk", "name"])
+    got = {r["id"]: r["entity_id"] for r in resolve_entities(
+        df, "id", ["blk"], levenshtein_ratio("l_name", "r_name"),
+        0.8, ["name"]).collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4}
