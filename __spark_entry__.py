@@ -174,6 +174,8 @@ Query key -> SURVEY §2 rows covered:
                             (gaps-and-islands, single Exchange)
   linked_addresses_jw       record linkage scored by Jaro-Winkler
                             (pandas UDF pinned to DuckDB semantics)
+  customer_density_clusters grid-density clustering (DBSCAN shape,
+                            cell-graph components, noise = null)
   resolved_document_entities  end-to-end entity resolution (blocking
                             -> score -> components -> min-id labels)
   lineitem_correlations     pairwise Pearson matrix in one agg pass
@@ -827,6 +829,14 @@ WHERE s_suppkey IN (
 # chars as a bigint — the portable split/sample arithmetic.
 def _duck_md5_bucket(key_expr: str) -> str:
     return f"CAST(('0x' || substr(md5({key_expr}), 1, 8)) AS BIGINT)"
+
+
+# grid constants for customer_density_clusters — must equal
+# operators/spatial.grid_density_clusters(cell_km=2, ref_lat_deg=-23)
+import math as _math  # noqa: E402
+
+_DENSITY_DEG_LAT = 3.0 / 110.574
+_DENSITY_DEG_LON = 3.0 / (111.320 * abs(_math.cos(_math.radians(-23.0))))
 
 
 def _duck_pagerank_sql(n_iter: int = 3, d: float = 0.85) -> str:
@@ -2244,6 +2254,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("d_id", "c_id",
                           F.round(F.col("score"), 6).alias("score"))
 
+    def density_clusters_q(spark, sf_dir):
+        """Grid-density clustering (scalable DBSCAN shape): 2 km cells
+        with >= 8 customers are core, clusters are connected core-cell
+        components, everyone else is noise. Cluster graph is CELLS,
+        not points."""
+        from pipelines_rj_sms_spark.operators.spatial import (
+            grid_density_clusters)
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey",
+            (F.lit(-23.0) + F.pow((F.col("c_custkey") * 37 % 1000)
+                                  / 1000.0, 2) * 0.4).alias("lat"),
+            (F.lit(-43.5) + F.pow((F.col("c_custkey") * 61 % 1000)
+                                  / 1000.0, 2) * 0.4).alias("lon"))
+        out = grid_density_clusters(cust, "c_custkey", "lat", "lon",
+                                    cell_km=3.0, min_pts=10,
+                                    ref_lat_deg=-23.0)
+        return out.select("c_custkey", "cluster")
+
     def resolve_entities_q(spark, sf_dir):
         """End-to-end entity resolution: documents plus perturbed
         copies (5th char deleted, offset ids) resolve into entities —
@@ -2894,6 +2922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_psi_drift": psi_drift_q,
         "lineitem_correlations": correlations_q,
         "resolved_document_entities": resolve_entities_q,
+        "customer_density_clusters": density_clusters_q,
         "event_value_mutual_info": mutual_info_q,
         "overlapping_error_purchases": overlap_pairs_q,
         "temporal_split_counts": temporal_split_q,
@@ -3467,6 +3496,36 @@ SELECT event_type, hour, n,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+""",
+        "customer_density_clusters": f"""
+WITH RECURSIVE pts AS (
+  SELECT c_custkey,
+         -23.0 + pow((c_custkey * 37 % 1000) / 1000.0, 2) * 0.4 AS lat,
+         -43.5 + pow((c_custkey * 61 % 1000) / 1000.0, 2) * 0.4 AS lon
+  FROM customer),
+cells AS (
+  SELECT c_custkey,
+         CAST((floor(lat / {_DENSITY_DEG_LAT!r}) + 1048576) * 2097152
+              + (floor(lon / {_DENSITY_DEG_LON!r})
+                 + 1048576) AS BIGINT) AS cell
+  FROM pts),
+core AS (SELECT cell FROM cells GROUP BY 1 HAVING count(*) >= 10),
+und AS (
+  SELECT a.cell AS src, b.cell AS dst
+  FROM core a JOIN core b
+    ON (b.cell - a.cell) IN (1, -1, 2097151, -2097151, 2097152,
+                             -2097152, 2097153, -2097153)),
+walk(src, dst) AS (
+    SELECT src, dst FROM und
+    UNION
+    SELECT w.src, u.dst FROM walk w JOIN und u ON w.dst = u.src),
+reach AS (SELECT src, min(dst) AS min_reach FROM walk GROUP BY src),
+labels AS (
+  SELECT core.cell,
+         least(core.cell, coalesce(r.min_reach, core.cell)) AS cluster
+  FROM core LEFT JOIN reach r ON core.cell = r.src)
+SELECT c.c_custkey, l.cluster
+FROM cells c LEFT JOIN labels l ON c.cell = l.cell
 """,
         "resolved_document_entities": """
 WITH RECURSIVE all_recs AS (

@@ -97,3 +97,51 @@ def nearest_site_join(points: DataFrame, sites: DataFrame,
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
             .select(p_id, s_id, dist.alias("distance_km")))
+
+
+def grid_density_clusters(points: DataFrame, p_id: str,
+                          lat: str, lon: str,
+                          cell_km: float, min_pts: int,
+                          ref_lat_deg: float = -23.0) -> DataFrame:
+    """Grid-density clustering (the scalable DBSCAN approximation,
+    public technique): cells with >= ``min_pts`` points are *core*;
+    clusters are connected components of 8-adjacent core cells; points
+    in core cells get their component's id (encoded cell id of the
+    smallest member cell), everyone else is noise (null cluster).
+
+    Resolution is the grid — a cluster's granularity is ``cell_km``,
+    which is the trade that removes DBSCAN's per-point neighbor scans:
+    the whole operator is one cell-count aggregation, one bounded
+    core-cell adjacency equi-join (x8 neighbor offsets on one side),
+    min-label propagation over CELLS (a graph orders of magnitude
+    smaller than the points), and one broadcast-able map back. Returns
+    (p_id, cluster) with deterministic ids.
+    """
+    from pipelines_rj_sms_spark.operators.dedup import connected_components
+
+    deg_lat = cell_km / 110.574
+    deg_lon = cell_km / (111.320 *
+                         abs(math.cos(math.radians(ref_lat_deg))))
+    cx, cy = _cell(F.col(lat), F.col(lon), deg_lat, deg_lon)
+    off = 1 << 20
+    cell_id = ((cx + off) * (1 << 21) + (cy + off)).cast("long")
+    p = points.select(F.col(p_id), cell_id.alias("_cell"))
+    core = (p.groupBy("_cell").agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") >= min_pts)
+            .select("_cell"))
+
+    w = 1 << 21
+    neighbors = F.explode(F.array(*[
+        F.lit(dx * w + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)]))
+    edges = (core.withColumn("_d", neighbors)
+             .select(F.col("_cell").alias("_a"),
+                     (F.col("_cell") + F.col("_d")).alias("_b"))
+             .join(core.select(F.col("_cell").alias("_b")), "_b")
+             .filter(F.col("_a") < F.col("_b")))
+    comp = connected_components(edges, "_a", "_b",
+                                nodes=core, node_col="_cell")
+    return (p.join(comp.select(F.col("node").alias("_cell"),
+                               F.col("component").alias("cluster")),
+                   "_cell", "left")
+            .select(p_id, "cluster"))

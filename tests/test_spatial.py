@@ -64,3 +64,27 @@ def test_nearest_site_join_no_cartesian(spark):
         p, s, "pid", "lat", "lon", "sid", "slat", "slon", 5.0) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_grid_density_clusters(spark):
+    """Two dense blobs far apart cluster separately; sparse points are
+    noise; adjacent dense cells merge into one cluster."""
+    from pipelines_rj_sms_spark.operators.spatial import (
+        grid_density_clusters)
+    rows = []
+    # blob A: 12 points in ~one cell; plus 8 in the adjacent cell
+    rows += [(i, -23.001 + i * 1e-5, -43.001) for i in range(12)]
+    rows += [(100 + i, -23.001 + i * 1e-5, -43.03) for i in range(8)]
+    # blob B: far away
+    rows += [(200 + i, -22.70 + i * 1e-5, -43.40) for i in range(9)]
+    # noise
+    rows += [(300, -22.85, -43.2), (301, -22.95, -43.1)]
+    df = spark.createDataFrame(rows, ["pid", "lat", "lon"])
+    got = {r["pid"]: r["cluster"] for r in grid_density_clusters(
+        df, "pid", "lat", "lon", cell_km=3.0, min_pts=5).collect()}
+    a = {got[i] for i in range(12)} | {got[100 + i] for i in range(8)}
+    b = {got[200 + i] for i in range(9)}
+    assert len(a) == 1 and None not in a      # adjacent cells merged
+    assert len(b) == 1 and None not in b
+    assert a != b                             # far blobs separate
+    assert got[300] is None and got[301] is None
