@@ -2762,6 +2762,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             with_report=False)
         return curated.select("doc_id")
 
+    def nb_lang_pred(spark, sf_dir):
+        """Multinomial Naive Bayes trained on the corpus's own lang
+        labels, then applied back to every document — the fastText-style
+        bag-of-words classifier pattern (quality / language scoring at
+        corpus scale) expressed as pure hash aggregations + a broadcast
+        model join. Scores round to 6dp BEFORE the argmax so the
+        predicted label replays exactly in any engine."""
+        from pipelines_rj_sms_spark.operators.classify import (
+            nb_predict, nb_train)
+        docs = _t(spark, sf_dir, "documents")
+        terms, classes = nb_train(docs, "lang", "text")
+        pred = nb_predict(docs, "doc_id", "text", terms, classes)
+        return (pred.join(docs.select("doc_id", "lang"), "doc_id")
+                .select("doc_id",
+                        F.col("label").alias("predicted_lang"),
+                        "score",
+                        F.col("lang").alias("actual_lang"),
+                        (F.col("label") == F.col("lang")).alias("match")))
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -2935,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_corpus_sample": weighted_sample,
         "bm25_search_results": bm25_search,
         "doc_unigram_logprob": unigram_logprob_q,
+        "nb_lang_predictions": nb_lang_pred,
     }
 
 
@@ -3481,6 +3501,44 @@ SELECT doc_id,
        sum(tf) AS n_tokens
 FROM tf JOIN cnt USING (term) CROSS JOIN tot
 GROUP BY doc_id
+""",
+        "nb_lang_predictions": r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tc AS (SELECT lang AS label, term, count(*) AS n_lt FROM toks GROUP BY 1, 2),
+ct AS (SELECT label, sum(n_lt) AS tok_c FROM tc GROUP BY 1),
+vocab AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tc),
+priors AS (SELECT lang AS label, count(*) AS n_c FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n_c) AS DOUBLE) AS n FROM priors),
+classes AS (
+  SELECT label, ln(n_c / n) AS ln_prior, ln(tok_c + v) AS ln_denom
+  FROM priors JOIN ct USING (label) CROSS JOIN vocab CROSS JOIN tot),
+model AS (SELECT label, term, ln(n_lt + 1.0) AS lw FROM tc),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS DOUBLE) AS dl
+  FROM documents),
+hits AS (
+  SELECT doc_id, label, sum(tf * lw) AS hit
+  FROM tf JOIN model USING (term) GROUP BY 1, 2),
+scores AS (
+  SELECT doc_id, label,
+         round(ln_prior - dl * ln_denom + coalesce(hit, 0.0), 6) AS score
+  FROM dl CROSS JOIN classes
+  LEFT JOIN hits USING (doc_id, label)),
+best AS (
+  SELECT doc_id, label, score
+  FROM scores
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, label) = 1)
+SELECT b.doc_id, b.label AS predicted_lang, b.score,
+       d.lang AS actual_lang, b.label = d.lang AS match
+FROM best b JOIN documents d ON b.doc_id = d.doc_id
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

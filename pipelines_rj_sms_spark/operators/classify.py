@@ -1,0 +1,124 @@
+"""Distributed multinomial Naive Bayes text classification.
+
+The reference's enrichment surface includes LLM-backed categorization of
+free-text records (reference: pipelines/datalake/transform utilities and
+the LLM enrichment tasks); a training-data pipeline needs the cheap,
+corpus-trained counterpart — the fastText-style quality / language
+classifier used to score billions of documents (CCNet, GPT-3 WebText
+filtering both use exactly this shape: a linear bag-of-words model).
+Multinomial NB with add-one smoothing is that model, and it trains and
+scores entirely in hash aggregations — no gradient loop, no Python.
+
+Scale shape (100 TB corpus, |V| vocab, |C| classes):
+- TRAIN is two hash aggregations over (label, term) — narrow rows after
+  the tokenize+explode projection; document bodies never shuffle. The
+  model is |V|x|C| rows at most (in practice far sparser) plus a |C|-row
+  class table — megabytes, independent of corpus size.
+- SCORE decomposes the joint log-likelihood so that the model joins the
+  per-doc term-frequency rows with a plain INNER equi-join on the term:
+
+      score(d, c) = ln prior_c  -  dl_d * ln(tok_c + V)
+                    + sum_{t in d} tf_t * ln(n_{t,c} + 1)
+
+  Terms absent from class c contribute ln(0 + 1) = 0, so the inner join
+  IS the smoothing — no outer join, no missing-pair densification. The
+  model side is broadcast (it is bounded by vocab, not data), so the
+  corpus-side term rows never shuffle for the join; the only Exchange is
+  the per-(doc, class) partial-sum aggregation on narrow keys.
+- The per-class constants (prior, denominator) ride in as a broadcast
+  |C|-row frame cross-joined under each document — never a driver
+  collect of data-dependent size beyond the class list.
+
+Scores are rounded to 6 decimals BEFORE the argmax so the winning label
+is a pure function of the data across engines/accumulation orders (ties
+break on the label ascending).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pipelines_rj_sms_spark.functions.text import tokens
+
+__all__ = ["nb_train", "nb_score", "nb_predict"]
+
+
+def nb_train(df: DataFrame, label_col: str, text_col: str,
+             ) -> tuple[DataFrame, DataFrame]:
+    """Train multinomial NB; returns ``(model_terms, model_classes)``.
+
+    ``model_terms``: (label, term, lw) where ``lw = ln(n_{t,c} + 1)``.
+    ``model_classes``: (label, ln_prior, ln_denom) where
+    ``ln_denom = ln(tok_c + |V|)`` — the add-one denominator.
+
+    Both are small (bounded by vocab x classes) and are meant to be
+    broadcast by :func:`nb_score`; persist them when scoring many
+    batches so training aggregations run once.
+    """
+    toks = df.select(F.col(label_col).alias("label"),
+                     F.explode(tokens(text_col)).alias("term"))
+    term_counts = toks.groupBy("label", "term").agg(
+        F.count("*").alias("_n_lt"))
+    model_terms = term_counts.select(
+        "label", "term", F.log(F.col("_n_lt") + F.lit(1.0)).alias("lw"))
+
+    class_tokens = term_counts.groupBy("label").agg(
+        F.sum("_n_lt").alias("_tok_c"))
+    vocab = F.broadcast(term_counts.agg(
+        F.count_distinct("term").cast("double").alias("_vocab")))
+    priors = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("_n_c"))
+    total = F.broadcast(priors.agg(F.sum("_n_c").cast("double").alias("_n")))
+    model_classes = (
+        priors.join(class_tokens, "label")
+        .crossJoin(vocab).crossJoin(total)
+        .select(
+            "label",
+            F.log(F.col("_n_c") / F.col("_n")).alias("ln_prior"),
+            F.log(F.col("_tok_c") + F.col("_vocab")).alias("ln_denom")))
+    return model_terms, model_classes
+
+
+def nb_score(df: DataFrame, id_col: str, text_col: str,
+             model_terms: DataFrame, model_classes: DataFrame) -> DataFrame:
+    """Joint log-likelihood of every (document, class) pair.
+
+    Returns (id, label, score) with one row per document per class;
+    ``score`` is rounded to 6 decimals. The model sides are broadcast —
+    the corpus never shuffles for the model join.
+    """
+    docs = df.select(F.col(id_col),
+                     tokens(text_col).alias("_toks")).select(
+        id_col,
+        F.size("_toks").cast("double").alias("_dl"),
+        F.explode_outer("_toks").alias("term"))
+    tf = docs.groupBy(id_col, "_dl", "term").agg(F.count("*").alias("_tf"))
+    hits = (tf.join(F.broadcast(model_terms), "term")
+            .groupBy(id_col, "label")
+            .agg(F.sum(F.col("_tf") * F.col("lw")).alias("_hit")))
+    frame = (df.select(F.col(id_col),
+                       F.size(tokens(text_col)).cast("double").alias("_dl"))
+             .crossJoin(F.broadcast(model_classes)))
+    return (frame.join(hits, [id_col, "label"], "left")
+            .select(
+                id_col, "label",
+                F.round(
+                    F.col("ln_prior") - F.col("_dl") * F.col("ln_denom")
+                    + F.coalesce(F.col("_hit"), F.lit(0.0)),
+                    6).alias("score")))
+
+
+def nb_predict(df: DataFrame, id_col: str, text_col: str,
+               model_terms: DataFrame, model_classes: DataFrame) -> DataFrame:
+    """Argmax class per document: (id, label, score).
+
+    The argmax runs over the 6-decimal-rounded scores (ties break on the
+    label ascending) so the winner is replayable bit-for-bit in any
+    engine; one window over |C| rows per document.
+    """
+    scores = nb_score(df, id_col, text_col, model_terms, model_classes)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("label").asc())
+    return (scores.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1).drop("_rk"))

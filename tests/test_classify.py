@@ -1,0 +1,81 @@
+import math
+
+from pyspark.sql import functions as F
+
+from pipelines_rj_sms_spark.operators.classify import (
+    nb_predict, nb_score, nb_train)
+
+
+def _toy(spark):
+    rows = [
+        (1, "spam", "buy cheap pills now buy now"),
+        (2, "spam", "cheap pills cheap offer"),
+        (3, "ham", "meeting notes for the project"),
+        (4, "ham", "project review meeting tomorrow"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "label", "text"])
+
+
+def test_nb_train_model_shapes(spark):
+    df = _toy(spark)
+    terms, classes = nb_train(df, "label", "text")
+    c = {r["label"]: r.asDict() for r in classes.collect()}
+    assert set(c) == {"spam", "ham"}
+    # equal priors: ln(2/4)
+    assert abs(c["spam"]["ln_prior"] - math.log(0.5)) < 1e-12
+    t = {(r["label"], r["term"]): r["lw"] for r in terms.collect()}
+    # "cheap" appears 3x in spam -> ln(4)
+    assert abs(t[("spam", "cheap")] - math.log(4.0)) < 1e-12
+    assert ("ham", "cheap") not in t
+
+
+def test_nb_score_matches_hand_computation(spark):
+    df = _toy(spark)
+    terms, classes = nb_train(df, "label", "text")
+    scores = nb_score(df, "doc_id", "text", terms, classes)
+    got = {(r["doc_id"], r["label"]): r["score"] for r in scores.collect()}
+    # every (doc, class) pair present
+    assert len(got) == 8
+    # hand-compute doc 2 ("cheap pills cheap offer") under spam:
+    # vocab V = distinct terms across both classes
+    toks_spam = "buy cheap pills now buy now cheap pills cheap offer".split()
+    toks_ham = ("meeting notes for the project "
+                "project review meeting tomorrow").split()
+    vocab = len(set(toks_spam) | set(toks_ham))
+    denom = len(toks_spam) + vocab
+    expect = math.log(0.5)
+    for tok in "cheap pills cheap offer".split():
+        expect += math.log((toks_spam.count(tok) + 1) / denom)
+    assert abs(got[(2, "spam")] - round(expect, 6)) < 1e-6
+
+
+def test_nb_predict_separates_classes(spark):
+    df = _toy(spark)
+    terms, classes = nb_train(df, "label", "text")
+    test = spark.createDataFrame(
+        [(10, "cheap pills offer now"), (11, "project meeting review")],
+        ["doc_id", "text"])
+    pred = {r["doc_id"]: r["label"]
+            for r in nb_predict(test, "doc_id", "text",
+                                terms, classes).collect()}
+    assert pred == {10: "spam", 11: "ham"}
+
+
+def test_nb_score_probe_side_has_no_model_shuffle(spark):
+    df = _toy(spark)
+    terms, classes = nb_train(df, "label", "text")
+    plan = nb_score(
+        df, "doc_id", "text", terms, classes
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_nb_unknown_terms_fall_back_to_prior(spark):
+    df = _toy(spark)
+    terms, classes = nb_train(df, "label", "text")
+    # all-unknown doc: score = ln_prior - dl * ln_denom, argmax = class
+    # with the smaller denominator (ham has fewer tokens) given equal
+    # priors
+    test = spark.createDataFrame([(20, "zzz qqq")], ["doc_id", "text"])
+    out = nb_predict(test, "doc_id", "text", terms, classes).collect()
+    assert out[0]["label"] == "ham"
