@@ -2781,6 +2781,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("lang").alias("actual_lang"),
                         (F.col("label") == F.col("lang")).alias("match")))
 
+    def brand_rules_q(spark, sf_dir):
+        """Market-basket association rules over order baskets of part
+        brands: pairwise support / directional confidence / lift from a
+        basket-key self-equi-join (item_a < item_b inside the join
+        condition — one emission per pair, never a cross product), with
+        the per-basket size cap as the hot-key guard."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            association_rules)
+        li = _t(spark, sf_dir, "lineitem")
+        part = _t(spark, sf_dir, "part")
+        baskets = li.join(part, li.l_partkey == part.p_partkey).select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("p_brand").alias("item"))
+        return association_rules(baskets, "basket", "item",
+                                 min_pair_count=3,
+                                 max_items_per_basket=200)
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -2955,6 +2972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_results": bm25_search,
         "doc_unigram_logprob": unigram_logprob_q,
         "nb_lang_predictions": nb_lang_pred,
+        "brand_basket_rules": brand_rules_q,
     }
 
 
@@ -3539,6 +3557,28 @@ best AS (
 SELECT b.doc_id, b.label AS predicted_lang, b.score,
        d.lang AS actual_lang, b.label = d.lang AS match
 FROM best b JOIN documents d ON b.doc_id = d.doc_id
+""",
+        "brand_basket_rules": r"""
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+sized AS (SELECT b, i, count(*) OVER (PARTITION BY b) AS sz FROM base),
+kept AS (SELECT b, i FROM sized WHERE sz <= 200),
+n AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM kept),
+ic AS (SELECT i, count(*) AS ni FROM kept GROUP BY 1),
+pairs AS (
+  SELECT a.i AS item_a, c.i AS item_b, CAST(count(*) AS BIGINT) AS pair_count
+  FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2 HAVING count(*) >= 3)
+SELECT item_a, item_b, pair_count,
+       round(pair_count / n, 6) AS support,
+       round(pair_count / na.ni, 6) AS conf_a_to_b,
+       round(pair_count / nb.ni, 6) AS conf_b_to_a,
+       round(pair_count * n / (na.ni * nb.ni), 6) AS lift
+FROM pairs
+JOIN ic na ON item_a = na.i
+JOIN ic nb ON item_b = nb.i
+CROSS JOIN n
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

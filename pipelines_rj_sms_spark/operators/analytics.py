@@ -214,3 +214,67 @@ def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
                  (F.col("_p") - F.col("_cohort")).alias("period_offset"))
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def association_rules(df: DataFrame, basket_col: str, item_col: str,
+                      min_pair_count: int = 2,
+                      max_items_per_basket: int = 200) -> DataFrame:
+    """Pairwise market-basket association rules: support, directional
+    confidences, and lift for every co-occurring item pair.
+
+    The classic Apriori-to-pairs shape (Agrawal/Srikant, public): the
+    candidate generator is a SELF-EQUI-JOIN on the basket key with the
+    ``item_a < item_b`` ordering inside the join condition — never a
+    cross product, and each pair is emitted once. ``max_items_per_basket``
+    is the hot-key guard (a basket with k items fans out k*(k-1)/2
+    pairs; the cap bounds the worst key to max²/2 — same posture as the
+    winnowing max_df cap). Dropped baskets are dropped from BOTH the
+    pair counts and the denominators, so the probabilities stay
+    consistent over the measured population.
+
+    Scale shape: distinct (basket, item) → one Exchange on the basket
+    key that the size-cap window AND both join sides reuse (Catalyst
+    sees the same partitioning, no re-shuffle); item margins are one
+    hash agg joined back on the item key; the global basket count rides
+    in as a broadcast 1-row frame. Rows after the first projection are
+    narrow (basket, item) pairs — fact bodies never move.
+
+    Returns (item_a, item_b, pair_count, support, conf_a_to_b,
+    conf_b_to_a, lift), floats rounded to 6.
+    """
+    base = df.select(F.col(basket_col).alias("_b"),
+                     F.col(item_col).alias("_i")).distinct()
+    sized = base.withColumn(
+        "_sz", F.count("*").over(Window.partitionBy("_b")))
+    kept = sized.filter(F.col("_sz") <= max_items_per_basket).drop("_sz")
+
+    n_baskets = F.broadcast(
+        kept.select("_b").distinct()
+        .agg(F.count("*").cast("double").alias("_n")))
+    item_counts = kept.groupBy(F.col("_i").alias("_it")).agg(
+        F.count("*").alias("_ni"))
+
+    a = kept.select(F.col("_b"), F.col("_i").alias("item_a"))
+    b = kept.select(F.col("_b"), F.col("_i").alias("item_b"))
+    pairs = (a.join(b, (a["_b"] == b["_b"])
+                    & (F.col("item_a") < F.col("item_b")))
+             .groupBy("item_a", "item_b")
+             .agg(F.count("*").alias("pair_count"))
+             .filter(F.col("pair_count") >= min_pair_count))
+
+    return (
+        pairs
+        .join(item_counts.withColumnRenamed("_ni", "_na"),
+              F.col("item_a") == F.col("_it")).drop("_it")
+        .join(item_counts.withColumnRenamed("_ni", "_nb"),
+              F.col("item_b") == F.col("_it")).drop("_it")
+        .crossJoin(n_baskets)
+        .select(
+            "item_a", "item_b", "pair_count",
+            F.round(F.col("pair_count") / F.col("_n"), 6).alias("support"),
+            F.round(F.col("pair_count") / F.col("_na"), 6)
+            .alias("conf_a_to_b"),
+            F.round(F.col("pair_count") / F.col("_nb"), 6)
+            .alias("conf_b_to_a"),
+            F.round(F.col("pair_count") * F.col("_n")
+                    / (F.col("_na") * F.col("_nb")), 6).alias("lift")))
