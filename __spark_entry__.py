@@ -2798,6 +2798,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  min_pair_count=3,
                                  max_items_per_basket=200)
 
+    def supplier_triangles_q(spark, sf_dir):
+        """Triangle census of the supplier co-occurrence graph (edges =
+        supplier pairs sharing an order): degree-ordered orientation
+        bounds the wedge fan-out at m^1.5, each triangle listed once.
+        The oracle replays the orientation-INVARIANT spelling (a<b<c
+        over canonical undirected edges) — per-node counts are
+        identical by construction."""
+        from pipelines_rj_sms_spark.operators.cache import release
+        from pipelines_rj_sms_spark.operators.graph import triangle_counts
+        li = _t(spark, sf_dir, "lineitem")
+        items = li.select(F.col("l_orderkey").alias("o"),
+                          F.col("l_suppkey").alias("s")).distinct()
+        a, b = items.alias("a"), items.alias("b")
+        edges = a.join(b, (F.col("a.o") == F.col("b.o"))
+                       & (F.col("a.s") < F.col("b.s"))).select(
+            F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        out = triangle_counts(edges, "src", "dst")
+        release(out)
+        return out.select(
+            F.col("node").alias("suppkey"), "degree",
+            F.col("triangles").cast("bigint").alias("triangles"),
+            "clustering_coeff")
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -2973,6 +2996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_logprob": unigram_logprob_q,
         "nb_lang_predictions": nb_lang_pred,
         "brand_basket_rules": brand_rules_q,
+        "supplier_cooccurrence_triangles": supplier_triangles_q,
     }
 
 
@@ -3579,6 +3603,33 @@ FROM pairs
 JOIN ic na ON item_a = na.i
 JOIN ic nb ON item_b = nb.i
 CROSS JOIN n
+""",
+        "supplier_cooccurrence_triangles": r"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+und AS (
+  SELECT DISTINCT a.s AS a, b.s AS b
+  FROM items a JOIN items b ON a.o = b.o AND a.s < b.s),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY 1),
+tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+per_node AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT unnest([x, y, z]) AS node FROM tris)
+  GROUP BY 1)
+SELECT d.node AS suppkey, d.degree,
+       CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * coalesce(p.triangles, 0)
+                       / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END, 6) AS clustering_coeff
+FROM deg d LEFT JOIN per_node p USING (node)
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

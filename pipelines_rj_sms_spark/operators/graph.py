@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pipelines_rj_sms_spark.operators.cache import track
+
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              damping: float = 0.85, n_iter: int = 10,
@@ -130,3 +132,72 @@ def degrees(edges: DataFrame, src: str = "src",
             .select("node",
                     F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
                     F.coalesce("in_degree", F.lit(0)).alias("in_degree")))
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient
+    over the undirected graph of ``edges``.
+
+    The node-iterator++ / degree-ordered orientation (Suri &
+    Vassilvitskii's MapReduce formulation, public): orient every
+    undirected edge from the endpoint of lower (degree, id) rank to the
+    higher, enumerate wedges as a self-equi-join of the oriented list on
+    the APEX node, and close each wedge with one more equi-join against
+    the oriented edges. Orientation bounds every node's out-degree by
+    O(sqrt(m)), so the wedge fan-out — the quadratic danger in skewed
+    graphs (celebrity nodes) — is capped at m^1.5 total regardless of
+    the degree distribution; that is the best known bound for exact
+    triangle listing. Each triangle is produced exactly once.
+
+    Shuffle discipline: ranks join on node keys; wedges shuffle on the
+    apex; the closing join shuffles (v, w) pairs — all narrow rows.
+    Per-node counts come from exploding each triangle's three vertices
+    into one hash aggregation. Returns
+    (node, degree, triangles, clustering_coeff) with the coefficient
+    2t / (deg*(deg-1)) rounded to 6 (0.0 for degree < 2).
+    """
+    und = (edges.select(F.least(F.col(src), F.col(dst)).alias("_a"),
+                        F.greatest(F.col(src), F.col(dst)).alias("_b"))
+           .filter(F.col("_a") != F.col("_b"))
+           .distinct())
+    deg = (und.select(F.col("_a").alias("node"))
+           .unionByName(und.select(F.col("_b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("degree")))
+
+    da = deg.select(F.col("node").alias("_a"), F.col("degree").alias("_ad"))
+    db = deg.select(F.col("node").alias("_b"), F.col("degree").alias("_bd"))
+    ranked = und.join(da, "_a").join(db, "_b")
+    a_first = (F.col("_ad") < F.col("_bd")) | (
+        (F.col("_ad") == F.col("_bd")) & (F.col("_a") < F.col("_b")))
+    oriented = ranked.select(
+        F.when(a_first, F.col("_a")).otherwise(F.col("_b")).alias("_u"),
+        F.when(a_first, F.col("_b")).otherwise(F.col("_a")).alias("_v"),
+        F.when(a_first, F.col("_bd")).otherwise(F.col("_ad")).alias("_vd"),
+    ).persist()
+
+    e1 = oriented.select(F.col("_u"), F.col("_v").alias("_x"),
+                         F.col("_vd").alias("_xd"))
+    e2 = oriented.select(F.col("_u"), F.col("_v").alias("_y"),
+                         F.col("_vd").alias("_yd"))
+    x_first = (F.col("_xd") < F.col("_yd")) | (
+        (F.col("_xd") == F.col("_yd")) & (F.col("_x") < F.col("_y")))
+    wedges = e1.join(e2, "_u").filter(x_first)
+    closing = oriented.select(F.col("_u").alias("_x"),
+                              F.col("_v").alias("_y"))
+    tris = wedges.join(closing, ["_x", "_y"]).select("_u", "_x", "_y")
+
+    per_node = (tris.select(F.explode(F.array("_u", "_x", "_y"))
+                            .alias("node"))
+                .groupBy("node").agg(F.count("*").alias("triangles")))
+    out = (deg.join(per_node, "node", "left")
+           .select(
+               "node", "degree",
+               F.coalesce("triangles", F.lit(0)).alias("triangles"),
+               F.round(
+                   F.when(F.col("degree") >= 2,
+                          2.0 * F.coalesce("triangles", F.lit(0))
+                          / (F.col("degree")
+                             * (F.col("degree") - F.lit(1))))
+                   .otherwise(F.lit(0.0)), 6).alias("clustering_coeff")))
+    return track(out, oriented)
