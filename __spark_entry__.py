@@ -2821,6 +2821,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("triangles").cast("bigint").alias("triangles"),
             "clustering_coeff")
 
+    def attribution_q(spark, sf_dir):
+        """Linear multi-touch attribution of purchases to the user's
+        preceding view/click/signup touches within a 7-day lookback:
+        the interval predicate rides INSIDE the user-key equi-join
+        condition (bounded fan-out), credit = 1/n per conversion via
+        one window over the narrow credit rows."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            attribution_credits)
+        ev = _t(spark, sf_dir, "events")
+        return attribution_credits(
+            ev, "user_id", "ts", "event_type",
+            conversion_events=["purchase"],
+            touch_events=["view", "click", "signup"],
+            model="linear", lookback_seconds=604800)
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -2997,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lang_predictions": nb_lang_pred,
         "brand_basket_rules": brand_rules_q,
         "supplier_cooccurrence_triangles": supplier_triangles_q,
+        "purchase_attribution_linear": attribution_q,
     }
 
 
@@ -3630,6 +3646,25 @@ SELECT d.node AS suppkey, d.degree,
                        / (d.degree * (d.degree - 1))
                   ELSE 0.0 END, 6) AS clustering_coeff
 FROM deg d LEFT JOIN per_node p USING (node)
+""",
+        "purchase_attribution_linear": r"""
+WITH conv AS (
+  SELECT user_id AS u, ts AS cts FROM events
+  WHERE event_type = 'purchase'),
+touch AS (
+  SELECT user_id AS tu, ts AS tts, event_type AS channel FROM events
+  WHERE event_type IN ('view', 'click', 'signup')),
+joined AS (
+  SELECT u, cts, tts, channel
+  FROM conv JOIN touch
+    ON u = tu AND tts < cts AND tts >= cts - INTERVAL 604800 SECOND),
+cred AS (
+  SELECT channel,
+         1.0 / count(*) OVER (PARTITION BY u, cts) AS credit
+  FROM joined)
+SELECT channel, round(sum(credit), 6) AS credited,
+       CAST(count(*) AS BIGINT) AS n_touches
+FROM cred GROUP BY 1
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

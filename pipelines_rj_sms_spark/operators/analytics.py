@@ -278,3 +278,62 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
             .alias("conf_b_to_a"),
             F.round(F.col("pair_count") * F.col("_n")
                     / (F.col("_na") * F.col("_nb")), 6).alias("lift")))
+
+
+def attribution_credits(df: DataFrame, user_col: str, ts_col: str,
+                        event_col: str,
+                        conversion_events: list[str],
+                        touch_events: list[str],
+                        model: str = "linear",
+                        lookback_seconds: float | None = None,
+                        ) -> DataFrame:
+    """Multi-touch attribution: split each conversion's credit across
+    the user's preceding touch events.
+
+    ``model``: ``linear`` (1/n to each touch in the window),
+    ``first_touch`` / ``last_touch`` (all credit to the earliest /
+    latest touch; ties on the timestamp break by the event id order of
+    appearance being irrelevant — (ts, event) lexicographic). Touches
+    strictly before the conversion qualify; ``lookback_seconds`` bounds
+    the window (and the join fan-out — unbounded lookback on a hot user
+    is the quadratic case, so pass it at scale).
+
+    Scale shape: both sides collapse to (user, ts, channel) BEFORE the
+    equi-join on the user key; the range predicate rides inside the join
+    condition so no post-filter row ever materializes. Per-conversion
+    statistics (n touches, min/max rank) come from a window over the
+    joined credit rows keyed by (user, conversion ts) — narrow rows,
+    one extra Exchange. Returns (channel, credited, n_touches) where
+    ``credited`` sums each conversion's [0, 1] credit per touch channel,
+    rounded to 6.
+    """
+    if model not in ("linear", "first_touch", "last_touch"):
+        raise ValueError(f"unknown attribution model: {model}")
+    conv = df.filter(F.col(event_col).isin(list(conversion_events))).select(
+        F.col(user_col).alias("_u"), F.col(ts_col).alias("_cts"))
+    touch = df.filter(F.col(event_col).isin(list(touch_events))).select(
+        F.col(user_col).alias("_tu"), F.col(ts_col).alias("_tts"),
+        F.col(event_col).alias("channel"))
+    cond = (conv["_u"] == touch["_tu"]) & (touch["_tts"] < conv["_cts"])
+    if lookback_seconds is not None:
+        cond = cond & (touch["_tts"] >= conv["_cts"]
+                       - F.expr(f"INTERVAL {float(lookback_seconds)} SECOND"))
+    joined = conv.join(touch, cond).drop("_tu")
+
+    w = Window.partitionBy("_u", "_cts")
+    if model == "linear":
+        credit = F.lit(1.0) / F.count("*").over(w)
+    else:
+        # row_number (not a min/max-struct match) so EXACTLY one touch
+        # row per conversion carries the credit even under duplicate
+        # (ts, channel) touches
+        if model == "first_touch":
+            wo = w.orderBy(F.col("_tts").asc(), F.col("channel").asc())
+        else:
+            wo = w.orderBy(F.col("_tts").desc(), F.col("channel").desc())
+        credit = F.when(F.row_number().over(wo) == 1,
+                        F.lit(1.0)).otherwise(F.lit(0.0))
+    return (joined.withColumn("_credit", credit)
+            .groupBy("channel")
+            .agg(F.round(F.sum("_credit"), 6).alias("credited"),
+                 F.count("*").alias("n_touches")))
