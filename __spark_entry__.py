@@ -2836,6 +2836,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             touch_events=["view", "click", "signup"],
             model="linear", lookback_seconds=604800)
 
+    def ab_t_test_q(spark, sf_dir):
+        """Welch unequal-variance t between click-event and view-event
+        values: the A/B readout as ONE conditional hash aggregation
+        (never a scan per group)."""
+        from pipelines_rj_sms_spark.quality.stats import welch_t_test
+        ev = _t(spark, sf_dir, "events")
+        return welch_t_test(ev, "event_type", "value", "click", "view")
+
+    def benford_q(spark, sf_dir):
+        """Benford first-digit audit of order prices: 9-row digit
+        histogram + chi-square terms; the digit comes from the BIGINT
+        fixed-point rendering so both engines extract it with exact
+        integer arithmetic (never floor(log10(x)))."""
+        from pipelines_rj_sms_spark.quality.stats import benford_first_digit
+        orders = _t(spark, sf_dir, "orders")
+        return benford_first_digit(orders, "o_totalprice")
+
+    def cusum_q(spark, sf_dir):
+        """Cumulative-deviation (CUSUM chart) scan of monthly order
+        revenue: per-series stats from one hash agg ride back as a
+        broadcast row; the cumulative sum is one window over O(months)
+        rollup rows."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            cusum_deviations)
+        orders = _t(spark, sf_dir, "orders")
+        units = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        monthly = (orders.withColumn("_u", units)
+                   .groupBy(F.date_trunc("month", F.col("o_orderdate"))
+                            .alias("month"))
+                   .agg((F.sum("_u") / 100.0).alias("revenue")))
+        return cusum_deviations(monthly, "month", "revenue",
+                                threshold_sigmas=1.0)
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3013,6 +3046,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_basket_rules": brand_rules_q,
         "supplier_cooccurrence_triangles": supplier_triangles_q,
         "purchase_attribution_linear": attribution_q,
+        "ab_value_t_test": ab_t_test_q,
+        "benford_price_digits": benford_q,
+        "monthly_revenue_cusum": cusum_q,
     }
 
 
@@ -3665,6 +3701,57 @@ cred AS (
 SELECT channel, round(sum(credit), 6) AS credited,
        CAST(count(*) AS BIGINT) AS n_touches
 FROM cred GROUP BY 1
+""",
+        "ab_value_t_test": r"""
+WITH agg AS (
+  SELECT count(value) FILTER (event_type = 'click') AS n_a,
+         count(value) FILTER (event_type = 'view') AS n_b,
+         avg(value) FILTER (event_type = 'click') AS ma,
+         avg(value) FILTER (event_type = 'view') AS mb,
+         var_samp(value) FILTER (event_type = 'click') AS va,
+         var_samp(value) FILTER (event_type = 'view') AS vb
+  FROM events WHERE event_type IN ('click', 'view'))
+SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS t_stat,
+       round(pow(va / n_a + vb / n_b, 2)
+             / (pow(va / n_a, 2) / (n_a - 1)
+                + pow(vb / n_b, 2) / (n_b - 1)), 6) AS deg_freedom
+FROM agg
+""",
+        "benford_price_digits": r"""
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS first_digit,
+         count(*) AS n
+  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM digits),
+exp AS (SELECT d, CAST(share0 AS DOUBLE) AS share FROM (VALUES (1, 0.301029995664), (2, 0.176091259056), (3, 0.124938736608), (4, 0.096910013008), (5, 0.079181246048), (6, 0.066946789631), (7, 0.057991946978), (8, 0.051152522447), (9, 0.045757490561)) AS e0(d, share0))
+SELECT first_digit, n,
+       round(n / t, 6) AS observed_share,
+       round(share, 6) AS expected_share,
+       round(pow(n - share * t, 2) / (share * t), 6) AS chi2_term
+FROM digits JOIN exp ON first_digit = d CROSS JOIN tot
+""",
+        "monthly_revenue_cusum": r"""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+           AS revenue
+  FROM orders GROUP BY 1),
+stats AS (
+  SELECT avg(revenue) AS mu,
+         coalesce(stddev_samp(revenue), 0.0) AS sd,
+         count(*) AS n
+  FROM monthly)
+SELECT month, revenue,
+       round(sum(revenue - mu) OVER (ORDER BY month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS cusum,
+       round(1.0 * sd * sqrt(n), 6) AS band,
+       abs(sum(revenue - mu) OVER (ORDER BY month
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         > 1.0 * sd * sqrt(n) AS exceeds
+FROM monthly CROSS JOIN stats
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

@@ -337,3 +337,38 @@ def attribution_credits(df: DataFrame, user_col: str, ts_col: str,
             .groupBy("channel")
             .agg(F.round(F.sum("_credit"), 6).alias("credited"),
                  F.count("*").alias("n_touches")))
+
+
+def cusum_deviations(df: DataFrame, ts_col: str, value_col: str,
+                     key_cols: list[str] | None = None,
+                     threshold_sigmas: float = 3.0) -> DataFrame:
+    """Cumulative-deviation change detection over an ordered series
+    (the non-resetting CUSUM chart): C_i = Σ_{j<=i} (x_j - mean), with
+    the crossing flag |C_i| > h·σ·√N. The max-|C| row is the classic
+    change-point location estimate; the flag column marks every
+    excursion beyond the band.
+
+    Per-key global mean/stddev/count come from ONE hash aggregation
+    joined back broadcast-style on the key (the series rows themselves
+    never shuffle twice); the cumulative sum is one window with O(1)
+    running state. Series-level operator — feed it a rollup (e.g.
+    hourly counts), not raw events, and the window moves O(buckets)
+    rows. Returns the input keys + (ts, value, cusum, band, exceeds).
+    """
+    keys = list(key_cols or [])
+    stats = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.avg(value_col).alias("_mu"),
+        F.coalesce(F.stddev_samp(value_col), F.lit(0.0)).alias("_sd"),
+        F.count("*").alias("_n"))
+    joined = df.join(F.broadcast(stats), keys) if keys else \
+        df.crossJoin(F.broadcast(stats))
+    w = (Window.partitionBy(*[F.col(k) for k in keys])
+         .orderBy(F.col(ts_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cusum = F.sum(F.col(value_col) - F.col("_mu")).over(w)
+    band = F.lit(float(threshold_sigmas)) * F.col("_sd") * F.sqrt("_n")
+    return joined.select(
+        *keys, F.col(ts_col), F.col(value_col),
+        F.round(cusum, 6).alias("cusum"),
+        F.round(band, 6).alias("band"),
+        (F.abs(cusum) > band).alias("exceeds"))

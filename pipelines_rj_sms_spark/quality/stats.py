@@ -1,0 +1,101 @@
+"""Statistical release gates: two-sample comparison and digit-law audit.
+
+The reference's quality surface is threshold checks (count deltas,
+freshness); a data platform also needs the *statistical* gates: "did
+this metric actually move between cohorts?" (A/B experiment readout,
+pre/post deploy comparison) and "does this numeric column look
+fabricated/corrupted?" (Benford's-law screening — the classic audit
+test for invoice/price columns, public method).
+
+Both are single hash aggregations over the fact table — group moments
+for Welch, a 9-row digit histogram for Benford — so they run at any
+scale for the cost of one scan; no sorts, no windows over the data.
+
+Cross-engine determinism: every derived float is rounded to 6 decimals;
+Benford's first digit is taken from the INTEGER fixed-point rendering of
+the value (floor(x*100+0.5) as BIGINT, then the first character of the
+integer's decimal string) — never floor(log10(x)), whose libm rounding
+can disagree between engines at exact powers of ten.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["welch_t_test", "benford_first_digit"]
+
+
+def welch_t_test(df: DataFrame, group_col: str, value_col: str,
+                 group_a, group_b) -> DataFrame:
+    """Welch's unequal-variance t statistic between two groups.
+
+    One row: (n_a, n_b, mean_a, mean_b, t_stat, deg_freedom) with the
+    Welch–Satterthwaite degrees of freedom. One hash aggregation over
+    the two groups' rows (conditional aggregates — the table is scanned
+    once, not once per group); the arithmetic is textbook:
+
+        t  = (m_a - m_b) / sqrt(s²_a/n_a + s²_b/n_b)
+        df = (s²_a/n_a + s²_b/n_b)² /
+             ((s²_a/n_a)²/(n_a-1) + (s²_b/n_b)²/(n_b-1))
+    """
+    v = F.col(value_col)
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    agg = df.filter(in_a | in_b).agg(
+        F.count(F.when(in_a, v)).alias("n_a"),
+        F.count(F.when(in_b, v)).alias("n_b"),
+        F.avg(F.when(in_a, v)).alias("_ma"),
+        F.avg(F.when(in_b, v)).alias("_mb"),
+        F.var_samp(F.when(in_a, v)).alias("_va"),
+        F.var_samp(F.when(in_b, v)).alias("_vb"))
+    sea = F.col("_va") / F.col("n_a")
+    seb = F.col("_vb") / F.col("n_b")
+    t = (F.col("_ma") - F.col("_mb")) / F.sqrt(sea + seb)
+    dof = (F.pow(sea + seb, 2)
+           / (F.pow(sea, 2) / (F.col("n_a") - 1)
+              + F.pow(seb, 2) / (F.col("n_b") - 1)))
+    return agg.select(
+        "n_a", "n_b",
+        F.round("_ma", 6).alias("mean_a"),
+        F.round("_mb", 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("deg_freedom"))
+
+
+def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law.
+
+    Returns 9 rows (first_digit, n, observed_share, expected_share,
+    chi2_term) where ``expected_share = log10(1 + 1/d)`` and
+    ``chi2_term = (n - e)²/e`` with ``e = N * expected_share`` — sum the
+    column for the chi-square statistic (8 degrees of freedom). Only
+    strictly positive values participate.
+
+    The digit comes from the fixed-point BIGINT rendering (integer
+    hundredths), so both engines extract it with exact integer/string
+    arithmetic. Expected shares are Python-computed literals — identical
+    bytes in both plans.
+    """
+    units = F.floor(F.col(value_col) * 100 + 0.5).cast("bigint")
+    digits = (df.filter(F.col(value_col) > 0)
+              .select(F.substring(units.cast("string"), 1, 1)
+                      .cast("int").alias("first_digit"))
+              .groupBy("first_digit").agg(F.count("*").alias("n")))
+    total = F.broadcast(digits.agg(
+        F.sum("n").cast("double").alias("_t")))
+    expected = F.create_map(*[
+        F.lit(x) for d in range(1, 10)
+        for x in (d, round(math.log10(1.0 + 1.0 / d), 12))])
+    return (digits.crossJoin(total)
+            .withColumn("_e", expected[F.col("first_digit")] * F.col("_t"))
+            .select(
+                "first_digit", "n",
+                F.round(F.col("n") / F.col("_t"), 6)
+                .alias("observed_share"),
+                F.round(expected[F.col("first_digit")], 6)
+                .alias("expected_share"),
+                F.round(F.pow(F.col("n") - F.col("_e"), 2) / F.col("_e"), 6)
+                .alias("chi2_term")))

@@ -1,0 +1,70 @@
+import math
+import statistics
+from datetime import datetime
+
+import pytest
+
+from pipelines_rj_sms_spark.operators.analytics import cusum_deviations
+from pipelines_rj_sms_spark.quality.stats import (
+    benford_first_digit, welch_t_test)
+
+
+def test_welch_t_matches_scipy_formula(spark):
+    a = [10.1, 12.3, 9.8, 11.5, 10.9, 12.0]
+    b = [13.2, 14.1, 12.8, 15.0, 13.7]
+    rows = [("a", v) for v in a] + [("b", v) for v in b] \
+        + [("c", 99.0)]  # other groups ignored
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    out = welch_t_test(df, "grp", "val", "a", "b").collect()[0]
+    va, vb = statistics.variance(a), statistics.variance(b)
+    na, nb = len(a), len(b)
+    se = va / na + vb / nb
+    t = (statistics.mean(a) - statistics.mean(b)) / math.sqrt(se)
+    dof = se ** 2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert out["n_a"] == na and out["n_b"] == nb
+    assert out["t_stat"] == pytest.approx(t, abs=1e-6)
+    assert out["deg_freedom"] == pytest.approx(dof, abs=1e-6)
+
+
+def test_benford_digit_extraction_and_chi2(spark):
+    # values whose first significant digits are known after the
+    # fixed-point (x*100) rendering
+    vals = [1.23, 19.99, 123.0, 2.5, 29.0, 3.14, 0.42, -5.0, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["val"])
+    out = {r["first_digit"]: r.asDict()
+           for r in benford_first_digit(df, "val").collect()}
+    # -5.0 and 0.0 excluded; 0.42 -> units 42 -> digit 4
+    assert sum(r["n"] for r in out.values()) == 7
+    assert out[1]["n"] == 3 and out[2]["n"] == 2 and out[3]["n"] == 1
+    assert out[4]["n"] == 1
+    assert out[1]["expected_share"] == pytest.approx(
+        math.log10(2), abs=1e-6)
+    e = 7 * math.log10(2)
+    assert out[1]["chi2_term"] == pytest.approx((3 - e) ** 2 / e, abs=1e-5)
+
+
+def test_cusum_flags_level_shift(spark):
+    # flat 10s then flat 20s: |cusum| peaks at the break
+    rows = [(datetime(2024, 1, 1, h), 10.0) for h in range(8)] \
+        + [(datetime(2024, 1, 2, h), 20.0) for h in range(8)]
+    df = spark.createDataFrame(rows, ["ts", "v"])
+    out = cusum_deviations(df, "ts", "v", threshold_sigmas=0.5)
+    got = out.orderBy("ts").collect()
+    cusums = [r["cusum"] for r in got]
+    # mean = 15 -> cusum walks to -40 at the boundary then back to 0
+    assert min(cusums) == pytest.approx(-40.0)
+    assert cusums[-1] == pytest.approx(0.0)
+    assert got[7]["exceeds"]  # the break point exceeds the band
+
+
+def test_cusum_keyed_series_independent(spark):
+    rows = [("a", datetime(2024, 1, 1, h), float(h)) for h in range(4)] \
+        + [("b", datetime(2024, 1, 1, h), 5.0) for h in range(4)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = cusum_deviations(df, "ts", "v", key_cols=["k"])
+    got = {(r["k"], r["ts"].hour): r["cusum"] for r in out.collect()}
+    # constant series: cusum identically 0
+    assert all(got[("b", h)] == 0.0 for h in range(4))
+    # mean of a = 1.5 -> cusums -1.5, -2, -1.5, 0
+    assert got[("a", 3)] == pytest.approx(0.0)
+    assert got[("a", 1)] == pytest.approx(-2.0)
