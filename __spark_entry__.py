@@ -2869,6 +2869,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cusum_deviations(monthly, "month", "revenue",
                                 threshold_sigmas=1.0)
 
+    def rfm_q(spark, sf_dir):
+        """RFM segmentation of customers from the order log: one
+        entity rollup, exact interpolated-percentile tier boundaries
+        (6dp-pinned, broadcast), codegen'd assignment — no ntile
+        single-partition sort anywhere."""
+        from pipelines_rj_sms_spark.operators.analytics import rfm_scores
+        orders = _t(spark, sf_dir, "orders")
+        return rfm_scores(orders, "o_custkey", "o_orderdate",
+                          "o_totalprice", n_tiers=5)
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3049,6 +3059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_value_t_test": ab_t_test_q,
         "benford_price_digits": benford_q,
         "monthly_revenue_cusum": cusum_q,
+        "customer_rfm_segments": rfm_q,
     }
 
 
@@ -3752,6 +3763,36 @@ SELECT month, revenue,
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          > 1.0 * sd * sqrt(n) AS exceeds
 FROM monthly CROSS JOIN stats
+""",
+        "customer_rfm_segments": r"""
+WITH per AS (
+  SELECT o_custkey AS entity,
+         max(o_orderdate) AS last_ts,
+         count(*) AS frequency,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+           AS monetary
+  FROM orders GROUP BY 1),
+asf AS (SELECT max(o_orderdate) AS asof_ts FROM orders),
+per2 AS (
+  SELECT entity,
+         date_diff('day', CAST(last_ts AS DATE), CAST(asof_ts AS DATE))
+           AS recency_days,
+         frequency, monetary
+  FROM per CROSS JOIN asf),
+b AS (
+  SELECT
+    list_transform(quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]),
+                   x -> round(x, 6)) AS rb,
+    list_transform(quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]),
+                   x -> round(x, 6)) AS fb,
+    list_transform(quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]),
+                   x -> round(x, 6)) AS mb
+  FROM per2)
+SELECT entity, recency_days, frequency, monetary,
+       6 - (len(list_filter(rb, x -> x < recency_days)) + 1) AS r_score,
+       len(list_filter(fb, x -> x < frequency)) + 1 AS f_score,
+       len(list_filter(mb, x -> x < monetary)) + 1 AS m_score
+FROM per2 CROSS JOIN b
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

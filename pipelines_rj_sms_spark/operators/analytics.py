@@ -372,3 +372,65 @@ def cusum_deviations(df: DataFrame, ts_col: str, value_col: str,
         F.round(cusum, 6).alias("cusum"),
         F.round(band, 6).alias("band"),
         (F.abs(cusum) > band).alias("exceeds"))
+
+
+def rfm_scores(df: DataFrame, entity_col: str, ts_col: str,
+               amount_col: str, n_tiers: int = 5,
+               asof_ts=None) -> DataFrame:
+    """RFM segmentation: per entity recency / frequency / monetary plus
+    1..``n_tiers`` quantile scores on each dimension.
+
+    Recency is days from the entity's latest activity to ``asof_ts``
+    (defaults to the corpus max timestamp, delivered as a broadcast
+    1-row aggregate — never a driver collect); frequency is the
+    activity count; monetary sums the amount in BIGINT fixed-point
+    hundredths (engine-exact). Scores use exact interpolated-percentile
+    boundaries over the PER-ENTITY table (one aggregation row,
+    broadcast; boundaries rounded to 6 dp so assignment replays across
+    engines — same discipline as `equi_depth_histogram`), with higher =
+    better: recent, frequent, high-spend entities score ``n_tiers``.
+
+    Shape: one hash agg entity-rollup from the fact table, one
+    boundary aggregation over the rollup, one broadcast-assignment
+    projection. The fact table is scanned once.
+    """
+    units = F.floor(F.col(amount_col) * 100 + 0.5).cast("bigint")
+    per = df.groupBy(F.col(entity_col).alias("entity")).agg(
+        F.max(ts_col).alias("_last"),
+        F.count("*").alias("frequency"),
+        (F.sum(units) / 100.0).alias("monetary"))
+    if asof_ts is None:
+        asof = F.broadcast(df.agg(F.max(ts_col).alias("_asof")))
+        per = per.crossJoin(asof)
+    else:
+        per = per.withColumn("_asof", F.lit(asof_ts).cast("timestamp"))
+    per = per.withColumn(
+        "recency_days",
+        F.datediff(F.to_date("_asof"), F.to_date("_last"))).drop(
+        "_asof", "_last")
+
+    qs = [i / n_tiers for i in range(1, n_tiers)]
+    qlist = ", ".join(map(str, qs))
+
+    def _bounds(col: str) -> F.Column:
+        return F.transform(
+            F.expr(f"percentile({col}, array({qlist}))"),
+            lambda b: F.round(b, 6))
+
+    bounds = F.broadcast(per.agg(
+        _bounds("recency_days").alias("_rb"),
+        _bounds("frequency").alias("_fb"),
+        _bounds("monetary").alias("_mb")))
+
+    def _tier(col: str, barr: str) -> F.Column:
+        return (F.size(F.filter(F.col(barr),
+                                lambda b: b < F.col(col))) + 1)
+
+    return (per.crossJoin(bounds)
+            .select(
+                "entity", "recency_days", "frequency", "monetary",
+                # recency inverts: smaller days-since = better score
+                (F.lit(n_tiers + 1) - _tier("recency_days", "_rb"))
+                .alias("r_score"),
+                _tier("frequency", "_fb").alias("f_score"),
+                _tier("monetary", "_mb").alias("m_score")))
