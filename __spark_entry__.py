@@ -2879,6 +2879,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return rfm_scores(orders, "o_custkey", "o_orderdate",
                           "o_totalprice", n_tiers=5)
 
+    def twap_q(spark, sf_dir):
+        """Hourly time-weighted average of event values per type (LOCF
+        step-interpolation weights, clipped at bucket boundaries): one
+        lead window + one hash agg — no spine densification, no
+        self-join. Timestamp arithmetic is micros/1e6 in double on both
+        engines, bit-identical."""
+        from pipelines_rj_sms_spark.operators.timeseries import (
+            time_weighted_avg)
+        ev = _t(spark, sf_dir, "events")
+        return time_weighted_avg(ev, "ts", "value",
+                                 key_cols=["event_type"], bucket="hour")
+
+    def interp_q(spark, sf_dir):
+        """Linear interpolation over the gap-filled hourly purchase
+        series: nearest-observation carries via ignorenulls windows
+        (O(1) state), edges clamp — the `interpolate()` companion to
+        the sequence+explode spine."""
+        from pipelines_rj_sms_spark.operators.timeseries import (
+            gap_fill, interpolate_linear)
+        ev = _t(spark, sf_dir, "events")
+        hourly = (ev.filter((F.col("event_type") == "purchase")
+                            & (F.col("value") > 97))
+                  .groupBy(F.date_trunc("hour", F.col("ts"))
+                           .alias("bucket"))
+                  .agg(F.round(F.avg("value"), 6).alias("v")))
+        dense = gap_fill(hourly, "bucket", keys=[],
+                         step="interval 1 hour")
+        return interpolate_linear(dense, "bucket", "v")
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3060,6 +3089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_price_digits": benford_q,
         "monthly_revenue_cusum": cusum_q,
         "customer_rfm_segments": rfm_q,
+        "hourly_value_twap": twap_q,
+        "interpolated_hourly_values": interp_q,
     }
 
 
@@ -3793,6 +3824,60 @@ SELECT entity, recency_days, frequency, monetary,
        len(list_filter(fb, x -> x < frequency)) + 1 AS f_score,
        len(list_filter(mb, x -> x < monetary)) + 1 AS m_score
 FROM per2 CROSS JOIN b
+""",
+        "hourly_value_twap": r"""
+WITH s AS (
+  SELECT event_type, ts, value,
+         lead(ts) OVER (PARTITION BY event_type ORDER BY ts) AS nxt,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket
+  FROM events),
+r AS (
+  SELECT event_type, bucket, value,
+         epoch_us(least(nxt, bucket + INTERVAL 1 HOUR)) / 1000000.0
+           - epoch_us(ts) / 1000000.0 AS dur
+  FROM s)
+SELECT event_type, bucket,
+       round(CASE WHEN sum(dur) > 0 THEN sum(value * dur) / sum(dur)
+                  ELSE avg(value) END, 6) AS twap,
+       count(*) AS n_obs
+FROM r GROUP BY 1, 2
+""",
+        "interpolated_hourly_values": r"""
+WITH hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         round(avg(value), 6) AS v
+  FROM events WHERE event_type = 'purchase' AND value > 97
+  GROUP BY 1),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM (SELECT min(bucket) AS lo, max(bucket) AS hi FROM hourly)),
+dense AS (
+  SELECT s.bucket, h.v FROM spine s LEFT JOIN hourly h USING (bucket)),
+w AS (
+  SELECT bucket, v,
+         last_value(v IGNORE NULLS) OVER
+           (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+           OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         first_value(v IGNORE NULLS) OVER
+           (ORDER BY bucket
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+           OVER (ORDER BY bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM dense)
+SELECT bucket,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+              round(pv + (nv - pv)
+                    * (epoch_us(bucket) / 1000000.0
+                       - epoch_us(pt) / 1000000.0)
+                    / (epoch_us(nt) / 1000000.0
+                       - epoch_us(pt) / 1000000.0), 6)
+            ELSE coalesce(pv, nv) END AS v
+FROM w
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

@@ -263,3 +263,93 @@ def concurrency(df: DataFrame, start_col: str, end_col: str,
     return (deltas
             .withColumn(out_col, F.sum("_d").over(w).cast("bigint"))
             .select(*part, F.col("_ts").alias("ts"), out_col))
+
+
+def _epoch_secs(c):
+    """Epoch seconds in double; NTZ timestamps route through one
+    TZ-cast (session TZ is pinned UTC, so this equals DuckDB's
+    epoch_us(naive)/1e6 bit-for-bit)."""
+    return c.cast("timestamp").cast("double")
+
+
+def time_weighted_avg(df: DataFrame, ts_col: str, value_col: str,
+                      key_cols: list[str] | None = None,
+                      bucket: str | None = None) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled series: each
+    observation's value holds until the next observation (step / LOCF
+    interpolation), so the average weights every value by how long it
+    was in force — the TWAP spelling (public; what TimescaleDB calls
+    `time_weight('LOCF', ...)`).
+
+    With ``bucket`` (a `date_trunc` unit, e.g. ``"hour"``), the weight
+    of an observation is clipped at its bucket's end and the LAST
+    observation of a bucket carries into the boundary; per-key series
+    with a single observation in a bucket fall back to the plain value.
+    Without ``bucket``, one row per key over the whole series.
+
+    Shape: one `lead` window per key series (O(1) state, narrow rows)
+    + one hash aggregation. No self-join, no spine densification.
+    Returns keys [+ bucket] + (twap, n_obs); twap rounds to 6.
+    """
+    keys = list(key_cols or [])
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(ts_col))
+    nxt = F.lead(ts_col).over(w)
+    if bucket is None:
+        dur = _epoch_secs(F.col("_nxt")) - _epoch_secs(F.col(ts_col))
+        rows = df.withColumn("_nxt", nxt)
+        grp = [F.col(k) for k in keys]
+    else:
+        bstart = F.date_trunc(bucket, F.col(ts_col))
+        bend = bstart + F.expr(f"INTERVAL 1 {bucket}")
+        rows = (df.withColumn("_nxt", F.least(nxt, bend))
+                .withColumn("_bucket", bstart))
+        dur = _epoch_secs(F.col("_nxt")) - _epoch_secs(F.col(ts_col))
+        grp = [F.col(k) for k in keys] + [F.col("_bucket").alias("bucket")]
+    # rows with no successor (series tail) carry zero duration; a
+    # series/bucket whose durations all collapse to zero falls back to
+    # the plain average of its observations
+    wsum = F.sum(F.col(value_col) * dur)
+    tsum = F.sum(dur)
+    return (rows.groupBy(*grp)
+            .agg(F.round(
+                F.when(tsum > 0, wsum / tsum)
+                .otherwise(F.avg(value_col)), 6).alias("twap"),
+                F.count("*").alias("n_obs")))
+
+
+def interpolate_linear(df: DataFrame, ts_col: str, value_col: str,
+                       key_cols: list[str] | None = None,
+                       out_col: str | None = None) -> DataFrame:
+    """Fill null gaps in a series by linear interpolation between the
+    nearest non-null neighbors (the `interpolate()` companion to
+    `gap_fill`'s null spine): for a null row at t between observations
+    (t0, v0) and (t1, v1), the fill is v0 + (v1-v0)·(t-t0)/(t1-t0).
+    Leading/trailing nulls clamp to the nearest observed value; series
+    with no observation stay null.
+
+    Two windows per key series (prev-observation carry via
+    last(..., ignorenulls) over the preceding frame, next via
+    first(...) over the following frame) — O(1) running state, one
+    Exchange on the key, no self-join and no per-gap explode. Non-null
+    rows pass through untouched (bit-identical, not re-derived).
+    """
+    keys = [F.col(k) for k in (key_cols or [])]
+    wp = (Window.partitionBy(*keys).orderBy(F.col(ts_col))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = (Window.partitionBy(*keys).orderBy(F.col(ts_col))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    v = F.col(value_col)
+    obs_ts = F.when(v.isNotNull(), F.col(ts_col))
+    pv = F.last(v, ignorenulls=True).over(wp)
+    pt = F.last(obs_ts, ignorenulls=True).over(wp)
+    nv = F.first(v, ignorenulls=True).over(wn)
+    nt = F.first(obs_ts, ignorenulls=True).over(wn)
+    t = _epoch_secs(F.col(ts_col))
+    frac = (t - _epoch_secs(pt)) / (_epoch_secs(nt) - _epoch_secs(pt))
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(pv.isNotNull() & nv.isNotNull(),
+              F.round(pv + (nv - pv) * frac, 6))
+        .otherwise(F.coalesce(pv, nv)))
+    return df.withColumn(out_col or value_col, filled)
