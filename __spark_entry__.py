@@ -2908,6 +2908,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          step="interval 1 hour")
         return interpolate_linear(dense, "bucket", "v")
 
+    def geohash_cells_q(spark, sf_dir):
+        """Spatial binning by geohash cell (precision 5, ~5 km): the
+        cross-engine-safe spatial bucketing key, computed by ONE shared
+        SQL expression (exact integer bit math — no libm, no UDF) that
+        both engines evaluate bit-identically."""
+        from pipelines_rj_sms_spark.functions.geo import geohash
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey",
+            (F.lit(-23.0) + (F.col("c_custkey") * 37 % 1000) / 1000.0
+             * 0.4).alias("lat"),
+            (F.lit(-43.5) + (F.col("c_custkey") * 61 % 1000) / 1000.0
+             * 0.4).alias("lon"))
+        return (cust.select("c_custkey",
+                            geohash("lat", "lon", 5).alias("cell"))
+                .groupBy("cell")
+                .agg(F.count("*").alias("n_customers"),
+                     F.min("c_custkey").alias("min_custkey"),
+                     F.max("c_custkey").alias("max_custkey")))
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3091,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm_segments": rfm_q,
         "hourly_value_twap": twap_q,
         "interpolated_hourly_values": interp_q,
+        "customer_geohash_cells": geohash_cells_q,
     }
 
 
@@ -3879,6 +3899,20 @@ SELECT bucket,
             ELSE coalesce(pv, nv) END AS v
 FROM w
 """,
+        "customer_geohash_cells": ("""
+WITH c AS (
+  SELECT c_custkey,
+         -23.0 + (c_custkey * 37 % 1000) / 1000.0 * 0.4 AS lat,
+         -43.5 + (c_custkey * 61 % 1000) / 1000.0 * 0.4 AS lon
+  FROM customer)
+SELECT """ + __import__('pipelines_rj_sms_spark.functions.geo',
+                        fromlist=['geohash_sql_expr']
+                        ).geohash_sql_expr('lat', 'lon', 5) + """ AS cell,
+       count(*) AS n_customers,
+       min(c_custkey) AS min_custkey,
+       max(c_custkey) AS max_custkey
+FROM c GROUP BY 1
+"""),
         "hourly_count_anomalies": """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n

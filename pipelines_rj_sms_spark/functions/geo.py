@@ -122,3 +122,59 @@ def lonlat_to_utm_udf():
         return pd.DataFrame({"easting": e, "northing": n})
 
     return _convert
+
+
+# ------------------------------------------------------------------ geohash
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_sql_expr(lat: str, lon: str, precision: int = 8) -> str:
+    """SQL expression (valid in BOTH Spark SQL and DuckDB — only shared
+    functions: floor/least/greatest/CAST/%/substr/concat) computing the
+    standard geohash (public algorithm: interleave lon/lat quantization
+    bits MSB-first, base32-encode 5 bits per character).
+
+    Bit extraction is exact double arithmetic (floor(x / 2^b) % 2 on
+    integers below 2^21 — no engine-specific shift operators), so the
+    cell id replays bit-identically across engines; that makes geohash
+    the cross-engine-safe spatial bucketing key (the grid companion to
+    `operators/spatial.py`'s radius join, and a partition-prunable
+    prefix for written layouts).
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in 1..12")
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    lon_i = (f"least(CAST(floor(({lon} + 180.0) / 360.0 * {2 ** lon_bits})"
+             f" AS BIGINT), {2 ** lon_bits - 1})")
+    lat_i = (f"least(CAST(floor(({lat} + 90.0) / 180.0 * {2 ** lat_bits})"
+             f" AS BIGINT), {2 ** lat_bits - 1})")
+    chars = []
+    for k in range(precision):
+        terms = []
+        for j in range(5):
+            idx = 5 * k + j  # global bit index, MSB first
+            if idx % 2 == 0:
+                var, b = "_gh_lon", lon_bits - 1 - idx // 2
+            else:
+                var, b = "_gh_lat", lat_bits - 1 - (idx - 1) // 2
+            terms.append(
+                f"(CAST(floor({var} / {2 ** b}.0) AS BIGINT) % 2)"
+                f" * {2 ** (4 - j)}")
+        digit = " + ".join(terms)
+        chars.append(
+            f"substr('{_GEOHASH32}', CAST({digit} AS INT) + 1, 1)")
+    body = "concat(" + ", ".join(chars) + ")"
+    # bind the quantized integers once via a scalar subquery-free
+    # rewrite: inline them (engines CSE the repeated floor chains)
+    return body.replace("_gh_lon", f"({lon_i})").replace(
+        "_gh_lat", f"({lat_i})")
+
+
+def geohash(lat_col: str, lon_col: str, precision: int = 8):
+    """Column form of :func:`geohash_sql_expr` (expression-only; stays
+    inside whole-stage codegen — no UDF)."""
+    from pyspark.sql import functions as F
+    return F.expr(geohash_sql_expr(lat_col, lon_col, precision))
