@@ -2927,6 +2927,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.min("c_custkey").alias("min_custkey"),
                      F.max("c_custkey").alias("max_custkey")))
 
+    def readability_q(spark, sf_dir):
+        """Flesch reading-ease per document (vowel-group syllable
+        proxy) — the readability axis of the quality-score family,
+        expression-only regexp counting."""
+        from pipelines_rj_sms_spark.functions.text import (
+            flesch_reading_ease)
+        docs = _t(spark, sf_dir, "documents")
+        fre = flesch_reading_ease("text")
+        return docs.select(
+            "doc_id", fre["n_sentences"].alias("n_sentences"),
+            fre["n_words"].alias("n_words"),
+            fre["n_syllables"].alias("n_syllables"),
+            fre["score"].alias("score"))
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3111,6 +3125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_value_twap": twap_q,
         "interpolated_hourly_values": interp_q,
         "customer_geohash_cells": geohash_cells_q,
+        "doc_readability_scores": readability_q,
     }
 
 
@@ -3913,6 +3928,21 @@ SELECT """ + __import__('pipelines_rj_sms_spark.functions.geo',
        max(c_custkey) AS max_custkey
 FROM c GROUP BY 1
 """),
+        "doc_readability_scores": r"""
+WITH m AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS n_words,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents)
+SELECT doc_id, n_sentences, n_words, n_syllables,
+       CASE WHEN n_words > 0 THEN
+         round(206.835 - 1.015 * n_words / greatest(n_sentences, 1)
+               - 84.6 * n_syllables / n_words, 6)
+       END AS score
+FROM m
+""",
         "hourly_count_anomalies": """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n

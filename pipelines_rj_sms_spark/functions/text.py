@@ -269,3 +269,27 @@ def token_chunks(col: Column | str, size: int, stride: int | None = None,
         return F.transform(starts, chunk)
 
     return _bind(t, build)
+
+
+def flesch_reading_ease(col: Column | str) -> Column:
+    """Flesch reading-ease heuristic (public formula:
+    206.835 - 1.015·words/sentences - 84.6·syllables/words), with the
+    standard cheap proxies: sentences = runs of [.!?], syllables =
+    vowel-group runs of the lowercased text. Expression-only regexp
+    counting — stays in codegen, replays identically in any engine with
+    RE2-class regexps. Returns a struct (n_sentences, n_words,
+    n_syllables, score); score is null for empty docs, rounded to 6.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    sents = F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), F.lit(0)))
+    words = F.size(tokens(c))
+    sylls = F.size(F.regexp_extract_all(
+        F.lower(c), F.lit(r"[aeiouy]+"), F.lit(0)))
+    score = F.when(
+        words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * words / F.greatest(sents, F.lit(1))
+            - F.lit(84.6) * sylls / words, 6))
+    return F.struct(sents.alias("n_sentences"), words.alias("n_words"),
+                    sylls.alias("n_syllables"), score.alias("score"))

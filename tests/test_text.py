@@ -178,3 +178,28 @@ def test_token_chunks_validates_args(spark):
         token_chunks("text", size=0)
     with _pytest.raises(ValueError):
         token_chunks("text", size=4, stride=-1)
+
+
+def test_flesch_reading_ease_hand_computed(spark):
+    from pipelines_rj_sms_spark.functions.text import flesch_reading_ease
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "")], ["id", "t"])
+    out = {r["id"]: r["fre"].asDict() for r in df.select(
+        "id", flesch_reading_ease("t").alias("fre")).collect()}
+    r = out[1]
+    # sentences: ". " and "!" -> 2; words 6; vowel groups:
+    # e,a,a,e,o,a -> 6
+    assert r["n_sentences"] == 2
+    assert r["n_words"] == 6
+    assert r["n_syllables"] == 6
+    expect = 206.835 - 1.015 * 6 / 2 - 84.6 * 6 / 6
+    assert abs(r["score"] - round(expect, 6)) < 1e-9
+    assert out[2]["score"] is None and out[2]["n_words"] == 0
+
+
+def test_flesch_stays_in_codegen(spark):
+    from pipelines_rj_sms_spark.functions.text import flesch_reading_ease
+    df = spark.createDataFrame([(1, "a b c.")], ["id", "t"])
+    plan = df.select(flesch_reading_ease("t").alias("f")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
