@@ -2941,6 +2941,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fre["n_syllables"].alias("n_syllables"),
             fre["score"].alias("score"))
 
+    def kcore_q(spark, sf_dir):
+        """80-core of the part co-purchase graph: iterative peel (one
+        degree agg + two semi-joins per round, lineage-truncated).
+        Peeling is monotone, so the fixed 6-round schedule replays
+        identically in the unrolled SQL oracle — rounds past the
+        fixpoint are no-ops by construction."""
+        from pipelines_rj_sms_spark.operators.graph import k_core
+        li = _t(spark, sf_dir, "lineitem")
+        items = li.select(F.col("l_orderkey").alias("o"),
+                          F.col("l_partkey").alias("p")).distinct()
+        a, b = items.alias("a"), items.alias("b")
+        edges = a.join(b, (F.col("a.o") == F.col("b.o"))
+                       & (F.col("a.p") < F.col("b.p"))).select(
+            F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        out = k_core(edges, 80, max_rounds=6)
+        return out.select(F.col("node").alias("partkey"), "degree")
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3126,6 +3143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolated_hourly_values": interp_q,
         "customer_geohash_cells": geohash_cells_q,
         "doc_readability_scores": readability_q,
+        "part_graph_kcore": kcore_q,
     }
 
 
@@ -3942,6 +3960,72 @@ SELECT doc_id, n_sentences, n_words, n_syllables,
                - 84.6 * n_syllables / n_words, 6)
        END AS score
 FROM m
+""",
+        "part_graph_kcore": """
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.p AS a, b.p AS b
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+d1 AS MATERIALIZED (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+  GROUP BY 1),
+k1 AS MATERIALIZED (SELECT node FROM d1 WHERE degree >= 80),
+e1 AS MATERIALIZED (
+  SELECT a, b FROM e0
+  WHERE a IN (SELECT node FROM k1)
+    AND b IN (SELECT node FROM k1)),
+d2 AS MATERIALIZED (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
+  GROUP BY 1),
+k2 AS MATERIALIZED (SELECT node FROM d2 WHERE degree >= 80),
+e2 AS MATERIALIZED (
+  SELECT a, b FROM e1
+  WHERE a IN (SELECT node FROM k2)
+    AND b IN (SELECT node FROM k2)),
+d3 AS MATERIALIZED (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+  GROUP BY 1),
+k3 AS MATERIALIZED (SELECT node FROM d3 WHERE degree >= 80),
+e3 AS MATERIALIZED (
+  SELECT a, b FROM e2
+  WHERE a IN (SELECT node FROM k3)
+    AND b IN (SELECT node FROM k3)),
+d4 AS MATERIALIZED (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+  GROUP BY 1),
+k4 AS MATERIALIZED (SELECT node FROM d4 WHERE degree >= 80),
+e4 AS MATERIALIZED (
+  SELECT a, b FROM e3
+  WHERE a IN (SELECT node FROM k4)
+    AND b IN (SELECT node FROM k4)),
+d5 AS MATERIALIZED (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
+  GROUP BY 1),
+k5 AS MATERIALIZED (SELECT node FROM d5 WHERE degree >= 80),
+e5 AS MATERIALIZED (
+  SELECT a, b FROM e4
+  WHERE a IN (SELECT node FROM k5)
+    AND b IN (SELECT node FROM k5)),
+d6 AS MATERIALIZED (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e5 UNION ALL SELECT b FROM e5)
+  GROUP BY 1),
+k6 AS MATERIALIZED (SELECT node FROM d6 WHERE degree >= 80),
+e6 AS MATERIALIZED (
+  SELECT a, b FROM e5
+  WHERE a IN (SELECT node FROM k6)
+    AND b IN (SELECT node FROM k6))
+SELECT node AS partkey, degree FROM (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e6 UNION ALL SELECT b FROM e6)
+  GROUP BY 1)
+WHERE degree >= 80
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

@@ -201,3 +201,39 @@ def triangle_counts(edges: DataFrame, src: str = "src",
                              * (F.col("degree") - F.lit(1))))
                    .otherwise(F.lit(0.0)), 6).alias("clustering_coeff")))
     return track(out, oriented)
+
+
+def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
+           max_rounds: int = 8) -> DataFrame:
+    """Nodes of the ``k``-core: iteratively peel nodes of degree < k
+    (with the edges they carry) until stable — the standard graph
+    cleaning pass before community/centrality analysis (drops pendant
+    chains and weak periphery that inflate linkage clusters).
+
+    Each peel round is one degree hash-aggregation + two semi-joins on
+    node keys — narrow (src, dst) rows only, ``localCheckpoint``
+    lineage truncation per round like the other iterative operators.
+    Peeling is MONOTONE: once stable, further rounds are no-ops, so a
+    fixed ``max_rounds`` replays identically in any engine regardless
+    of where the fixpoint landed (rounds beyond it change nothing);
+    real-world graphs converge in a handful of rounds because each
+    round must delete at least one node to continue. Returns
+    (node, degree) of the surviving core with its within-core degree.
+    """
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("_a"),
+                      F.greatest(F.col(src), F.col(dst)).alias("_b"))
+         .filter(F.col("_a") != F.col("_b"))
+         .distinct()
+         .localCheckpoint(False))
+    for _ in range(max_rounds):
+        deg = (e.select(F.col("_a").alias("node"))
+               .unionByName(e.select(F.col("_b").alias("node")))
+               .groupBy("node").agg(F.count("*").alias("degree")))
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        e = (e.join(keep.withColumnRenamed("node", "_a"), "_a", "semi")
+             .join(keep.withColumnRenamed("node", "_b"), "_b", "semi")
+             .localCheckpoint(False))
+    deg = (e.select(F.col("_a").alias("node"))
+           .unionByName(e.select(F.col("_b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("degree")))
+    return deg.filter(F.col("degree") >= k)
