@@ -2958,6 +2958,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = k_core(edges, 80, max_rounds=6)
         return out.select(F.col("node").alias("partkey"), "degree")
 
+    def pmi_q(spark, sf_dir):
+        """Top collocations by pointwise mutual information: two
+        narrow token hash aggs, corpus totals as one broadcast row,
+        TakeOrdered top-k — Church & Hanks' association measure over
+        the documents corpus."""
+        from pipelines_rj_sms_spark.operators.terms import (
+            pmi_collocations)
+        docs = _t(spark, sf_dir, "documents")
+        return pmi_collocations(docs, "text", min_count=5, k=40)
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3144,6 +3154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_geohash_cells": geohash_cells_q,
         "doc_readability_scores": readability_q,
         "part_graph_kcore": kcore_q,
+        "top_pmi_collocations": pmi_q,
     }
 
 
@@ -4026,6 +4037,35 @@ SELECT node AS partkey, degree FROM (
     SELECT a AS node FROM e6 UNION ALL SELECT b FROM e6)
   GROUP BY 1)
 WHERE degree >= 80
+""",
+        "top_pmi_collocations": r"""
+WITH docs_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+bgs AS (
+  SELECT unnest(CASE WHEN len(toks) > 1
+                     THEN list_transform(range(len(toks) - 1),
+                                         i -> toks[i+1] || ' ' || toks[i+2])
+                     ELSE [] END) AS bg
+  FROM docs_t),
+big AS (
+  SELECT bg, count(*) AS n_ab FROM bgs GROUP BY 1
+  HAVING count(*) >= 5),
+tk AS (SELECT unnest(toks) AS t FROM docs_t),
+uni AS (SELECT t, count(*) AS n FROM tk GROUP BY 1),
+tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM bgs) AS nbig,
+               (SELECT CAST(count(*) AS DOUBLE) FROM tk) AS ntok)
+SELECT bg, n_ab,
+       round(ln((n_ab / nbig)
+                / ((ua.n / ntok) * (ub.n / ntok))), 6) AS pmi
+FROM big
+JOIN uni ua ON string_split(bg, ' ')[1] = ua.t
+JOIN uni ub ON string_split(bg, ' ')[2] = ub.t
+CROSS JOIN tot
+ORDER BY pmi DESC, bg
+LIMIT 40
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pipelines_rj_sms_spark.functions.text import tokens
+from pipelines_rj_sms_spark.functions.text import token_bigrams, tokens
 
 
 def bm25_top_k(df: DataFrame, id_col: str, text_col: str,
@@ -127,3 +127,41 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("_rk") <= top_n)
         .select(F.col(id_col), "term", F.round(score, 6).alias("score"))
     )
+
+
+def pmi_collocations(df: DataFrame, text_col: str,
+                     min_count: int = 5, k: int = 50) -> DataFrame:
+    """Top-``k`` two-word collocations by pointwise mutual information
+    (Church & Hanks' association measure, public):
+
+        pmi(a,b) = ln( [n_ab / N_big] / ([n_a / N_tok]·[n_b / N_tok]) )
+
+    ``min_count`` drops rare bigrams (PMI's classic noise at n_ab=1).
+
+    Scale shape: one bigram hash agg + one unigram hash agg over
+    narrow exploded tokens (bodies never shuffle); corpus totals ride
+    as ONE broadcast row; the two unigram joins key on the word. The
+    final top-k is TakeOrderedAndProject. Ties break on the bigram
+    text. Returns (bigram, n_ab, pmi) with pmi rounded to 6.
+    """
+    bgs = df.select(F.explode(token_bigrams(text_col)).alias("bg"))
+    big = (bgs.groupBy("bg").agg(F.count("*").alias("n_ab"))
+           .filter(F.col("n_ab") >= min_count))
+    toks = df.select(F.explode(tokens(text_col)).alias("t"))
+    uni = toks.groupBy("t").agg(F.count("*").alias("_n"))
+    totals = F.broadcast(
+        bgs.agg(F.count("*").cast("double").alias("_nbig")).crossJoin(
+            toks.agg(F.count("*").cast("double").alias("_ntok"))))
+    w1 = F.split(F.col("bg"), " ")[0]
+    w2 = F.split(F.col("bg"), " ")[1]
+    ua = uni.select(F.col("t").alias("_w1"), F.col("_n").alias("_na"))
+    ub = uni.select(F.col("t").alias("_w2"), F.col("_n").alias("_nb"))
+    pmi = F.log((F.col("n_ab") / F.col("_nbig"))
+                / ((F.col("_na") / F.col("_ntok"))
+                   * (F.col("_nb") / F.col("_ntok"))))
+    return (big.withColumn("_w1", w1).withColumn("_w2", w2)
+            .join(ua, "_w1").join(ub, "_w2")
+            .crossJoin(totals)
+            .select("bg", "n_ab", F.round(pmi, 6).alias("pmi"))
+            .orderBy(F.col("pmi").desc(), F.col("bg").asc())
+            .limit(k))

@@ -69,3 +69,29 @@ def test_unigram_logprob_rare_tokens_score_lower(spark):
            for r in unigram_logprob(df, "id", "txt").collect()}
     assert out[1][0] > out[3][0] > out[2][0]
     assert out[1][1] == 4 and out[2][1] == 4
+
+
+def test_pmi_collocations_hand_computed(spark):
+    from pipelines_rj_sms_spark.operators.terms import pmi_collocations
+    import math
+    # "new york" always together; "the" everywhere
+    docs = [(1, "new york the city"), (2, "new york the park"),
+            (3, "the new york")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["bg"]: r for r in pmi_collocations(
+        df, "text", min_count=3, k=10).collect()}
+    assert "new york" in out
+    r = out["new york"]
+    n_ab, n_big, n_tok, n_a, n_b = 3, 8, 11, 3, 3
+    expect = math.log((n_ab / n_big) / ((n_a / n_tok) * (n_b / n_tok)))
+    assert r["n_ab"] == 3
+    assert abs(r["pmi"] - round(expect, 6)) < 1e-9
+
+
+def test_pmi_min_count_filters(spark):
+    from pipelines_rj_sms_spark.operators.terms import pmi_collocations
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c d")], ["doc_id", "text"])
+    got = [r["bg"] for r in pmi_collocations(
+        df, "text", min_count=2, k=10).collect()]
+    assert got == ["a b"]
