@@ -2968,6 +2968,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return pmi_collocations(docs, "text", min_count=5, k=40)
 
+    def expectations_q(spark, sf_dir):
+        """Declarative data-contract suite over orders — five
+        expectations (not-null / unique / range / set / regex)
+        evaluated in ONE conditional hash aggregation + one explode,
+        never a job per check."""
+        from pipelines_rj_sms_spark.quality.expectations import (
+            between, isin, matches, not_null, run_expectations, unique)
+        orders = _t(spark, sf_dir, "orders")
+        suite = [
+            not_null("o_custkey"),
+            unique("o_orderkey"),
+            between("o_totalprice", 0.0, 500000.0, tolerance=0.01),
+            isin("o_orderstatus", ["O", "F", "P"]),
+            matches("o_orderpriority", "^[1-5]-", tolerance=0.0),
+        ]
+        return run_expectations(orders, suite)
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3155,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_readability_scores": readability_q,
         "part_graph_kcore": kcore_q,
         "top_pmi_collocations": pmi_q,
+        "orders_contract_report": expectations_q,
     }
 
 
@@ -4066,6 +4084,42 @@ JOIN uni ub ON string_split(bg, ' ')[2] = ub.t
 CROSS JOIN tot
 ORDER BY pmi DESC, bg
 LIMIT 40
+""",
+        "orders_contract_report": r"""
+WITH agg AS MATERIALIZED (
+  SELECT count(*) AS n,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v0,
+         count(o_orderkey) - count(DISTINCT o_orderkey) AS v1,
+         sum(CASE WHEN o_totalprice IS NOT NULL
+                   AND NOT (o_totalprice BETWEEN 0.0 AND 500000.0)
+                  THEN 1 ELSE 0 END) AS v2,
+         sum(CASE WHEN o_orderstatus IS NOT NULL
+                   AND o_orderstatus NOT IN ('O', 'F', 'P')
+                  THEN 1 ELSE 0 END) AS v3,
+         sum(CASE WHEN o_orderpriority IS NOT NULL
+                   AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                  THEN 1 ELSE 0 END) AS v4
+  FROM orders),
+tidy AS (
+  SELECT * FROM (
+    SELECT 0 AS rank, 'o_custkey_not_null' AS expectation, n AS n_rows,
+           CAST(v0 AS BIGINT) AS n_violations, 0.0 AS tol FROM agg
+    UNION ALL SELECT 1, 'o_orderkey_unique', n,
+           CAST(v1 AS BIGINT), 0.0 FROM agg
+    UNION ALL SELECT 2, 'o_totalprice_between', n,
+           CAST(v2 AS BIGINT), 0.01 FROM agg
+    UNION ALL SELECT 3, 'o_orderstatus_isin', n,
+           CAST(v3 AS BIGINT), 0.0 FROM agg
+    UNION ALL SELECT 4, 'o_orderpriority_matches', n,
+           CAST(v4 AS BIGINT), 0.0 FROM agg))
+SELECT rank, expectation, n_rows, n_violations,
+       round(CASE WHEN n_rows > 0
+                  THEN CAST(n_violations AS DOUBLE) / n_rows
+                  ELSE 0.0 END, 6) AS violation_rate,
+       (CASE WHEN n_rows > 0
+             THEN CAST(n_violations AS DOUBLE) / n_rows
+             ELSE 0.0 END) <= tol AS passed
+FROM tidy
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (
