@@ -2985,6 +2985,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return run_expectations(orders, suite)
 
+    def dp_counts_q(spark, sf_dir):
+        """ε-DP Laplace-mechanism noisy counts per event type
+        (ε=0.5): exact inverse-CDF transform over the md5 hash-draw —
+        replayable, so the oracle verifies the release arithmetic
+        end-to-end."""
+        from pipelines_rj_sms_spark.functions.privacy import (
+            dp_noisy_counts)
+        ev = _t(spark, sf_dir, "events")
+        return dp_noisy_counts(ev, ["event_type"], epsilon=0.5)
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3173,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_graph_kcore": kcore_q,
         "top_pmi_collocations": pmi_q,
         "orders_contract_report": expectations_q,
+        "dp_event_type_counts": dp_counts_q,
     }
 
 
@@ -4120,6 +4131,19 @@ SELECT rank, expectation, n_rows, n_violations,
              THEN CAST(n_violations AS DOUBLE) / n_rows
              ELSE 0.0 END) <= tol AS passed
 FROM tidy
+""",
+        "dp_event_type_counts": r"""
+WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+u AS (
+  SELECT event_type, n,
+         ((CAST(('0x' || substr(md5('dp' || event_type), 1, 8)) AS BIGINT)
+           % 1048576) + 0.5) / 1048576.0 AS u
+  FROM c)
+SELECT event_type,
+       round(greatest(
+         n + (-2.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)),
+         0.0), 6) AS noisy_count
+FROM u
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

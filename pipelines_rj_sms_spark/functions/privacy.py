@@ -47,3 +47,37 @@ def scrub_pii(col: str | Column) -> Column:
     """All masks, narrowest-first. One nested expression — Catalyst
     folds the chain into a single projection pass over the column."""
     return mask_email(mask_phone(mask_cns(mask_cpf(col))))
+
+
+def dp_noisy_counts(df, group_cols: list[str], epsilon: float,
+                    sensitivity: float = 1.0, salt: str = "dp",
+                    clamp_nonnegative: bool = True):
+    """Laplace-mechanism noisy counts per group — the release-side
+    companion to the k-anonymity/l-diversity gates: counts leave with
+    Lap(sensitivity/epsilon) noise added (the standard ε-DP mechanism
+    for counting queries, public).
+
+    The uniform draw is the repo's md5 hash-draw over the GROUP KEY
+    (same discipline as the sampling operators), u = (h%2^20 + 0.5)/2^20,
+    noise = -(s/ε)·sign(u-½)·ln(1-2|u-½|) — the exact inverse-CDF
+    transform. That makes releases REPLAYABLE (and oracle-checkable);
+    it is deliberately not cryptographic randomness — production
+    deployments swap the draw for a CSPRNG per release and keep
+    everything else. One hash aggregation; the noise projection is
+    expression-only. Returns group cols + (true hidden) `noisy_count`
+    rounded to 6, clamped at 0 by default.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    counts = df.groupBy(*gcols).agg(F.count("*").alias("_n"))
+    key = F.concat_ws("|", *[c.cast("string") for c in gcols])
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 8),
+               16, 10).cast("long")
+    u = ((h % 1048576) + 0.5) / 1048576.0
+    b = float(sensitivity) / float(epsilon)
+    noise = (F.lit(-b) * F.signum(u - 0.5)
+             * F.log(1.0 - 2.0 * F.abs(u - 0.5)))
+    noisy = F.col("_n") + noise
+    if clamp_nonnegative:
+        noisy = F.greatest(noisy, F.lit(0.0))
+    return counts.select(*group_cols,
+                         F.round(noisy, 6).alias("noisy_count"))

@@ -43,3 +43,36 @@ def test_contamination_overlap_two_sided(spark):
     rows = out.collect()
     assert [(r.id_corpus, r.id_bench) for r in rows] == [(101, 1)]
     assert rows[0].n_shared >= 3
+
+
+def test_dp_noisy_counts_deterministic_and_close(spark):
+    import math
+    from pipelines_rj_sms_spark.functions.privacy import dp_noisy_counts
+    rows = [("a",)] * 100 + [("b",)] * 50
+    df = spark.createDataFrame(rows, ["g"])
+    out1 = {r["g"]: r["noisy_count"]
+            for r in dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+    out2 = {r["g"]: r["noisy_count"]
+            for r in dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+    assert out1 == out2                      # replayable
+    assert abs(out1["a"] - 100) < 15         # Lap(1) rarely exceeds ~7
+    assert abs(out1["b"] - 50) < 15
+    # hand-verify the exact inverse-CDF arithmetic for group "a"
+    import hashlib
+    h = int(hashlib.md5(b"dpa").hexdigest()[:8], 16)
+    u = ((h % 1048576) + 0.5) / 1048576.0
+    noise = -1.0 * math.copysign(1, u - 0.5) * math.log(1 - 2 * abs(u - 0.5))
+    assert abs(out1["a"] - round(max(100 + noise, 0.0), 6)) < 1e-9
+
+
+def test_dp_noisy_counts_epsilon_scales_noise(spark):
+    from pipelines_rj_sms_spark.functions.privacy import dp_noisy_counts
+    rows = [(f"g{i}", ) for i in range(200) for _ in range(3)]
+    df = spark.createDataFrame(rows, ["g"])
+    tight = dp_noisy_counts(df, ["g"], epsilon=10.0,
+                            clamp_nonnegative=False).collect()
+    loose = dp_noisy_counts(df, ["g"], epsilon=0.1,
+                            clamp_nonnegative=False).collect()
+    dev_t = sum(abs(r["noisy_count"] - 3) for r in tight)
+    dev_l = sum(abs(r["noisy_count"] - 3) for r in loose)
+    assert dev_l > dev_t * 10  # b scales 100x
