@@ -2995,6 +2995,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _t(spark, sf_dir, "events")
         return dp_noisy_counts(ev, ["event_type"], epsilon=0.5)
 
+    def ewma_q(spark, sf_dir):
+        """EWMA-smoothed daily revenue (α=0.3, 10-term bounded window):
+        the truncated-recursion form — independent per-row lag terms
+        with literal weights, so there is NO sequential dependency and
+        NO accumulation order for engines to disagree on."""
+        from pipelines_rj_sms_spark.operators.analytics import ewma_smooth
+        orders = _t(spark, sf_dir, "orders")
+        units = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        daily = (orders.withColumn("_u", units)
+                 .groupBy(F.to_date("o_orderdate").alias("day"))
+                 .agg((F.sum("_u") / 100.0).alias("revenue")))
+        return ewma_smooth(daily, "day", "revenue",
+                           alpha=0.3, lookback=10)
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3184,6 +3198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_pmi_collocations": pmi_q,
         "orders_contract_report": expectations_q,
         "dp_event_type_counts": dp_counts_q,
+        "ewma_daily_revenue": ewma_q,
     }
 
 
@@ -4144,6 +4159,19 @@ SELECT event_type,
          n + (-2.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)),
          0.0), 6) AS noisy_count
 FROM u
+""",
+        "ewma_daily_revenue": r"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+           AS revenue
+  FROM orders GROUP BY 1),
+s AS (SELECT day, revenue, revenue AS v FROM daily)
+SELECT day, revenue,
+       round((CASE WHEN v IS NOT NULL THEN 1.0 * v END + coalesce(CASE WHEN lag(v, 1) OVER w IS NOT NULL THEN 0.7 * lag(v, 1) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 2) OVER w IS NOT NULL THEN 0.48999999999999994 * lag(v, 2) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 3) OVER w IS NOT NULL THEN 0.3429999999999999 * lag(v, 3) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 4) OVER w IS NOT NULL THEN 0.24009999999999995 * lag(v, 4) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 5) OVER w IS NOT NULL THEN 0.16806999999999994 * lag(v, 5) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 6) OVER w IS NOT NULL THEN 0.11764899999999996 * lag(v, 6) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 7) OVER w IS NOT NULL THEN 0.08235429999999996 * lag(v, 7) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 8) OVER w IS NOT NULL THEN 0.05764800999999997 * lag(v, 8) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 9) OVER w IS NOT NULL THEN 0.04035360699999998 * lag(v, 9) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 10) OVER w IS NOT NULL THEN 0.028247524899999984 * lag(v, 10) OVER w END, 0.0))
+             / (CASE WHEN v IS NOT NULL THEN 1.0 END + coalesce(CASE WHEN lag(v, 1) OVER w IS NOT NULL THEN 0.7 END, 0.0) + coalesce(CASE WHEN lag(v, 2) OVER w IS NOT NULL THEN 0.48999999999999994 END, 0.0) + coalesce(CASE WHEN lag(v, 3) OVER w IS NOT NULL THEN 0.3429999999999999 END, 0.0) + coalesce(CASE WHEN lag(v, 4) OVER w IS NOT NULL THEN 0.24009999999999995 END, 0.0) + coalesce(CASE WHEN lag(v, 5) OVER w IS NOT NULL THEN 0.16806999999999994 END, 0.0) + coalesce(CASE WHEN lag(v, 6) OVER w IS NOT NULL THEN 0.11764899999999996 END, 0.0) + coalesce(CASE WHEN lag(v, 7) OVER w IS NOT NULL THEN 0.08235429999999996 END, 0.0) + coalesce(CASE WHEN lag(v, 8) OVER w IS NOT NULL THEN 0.05764800999999997 END, 0.0) + coalesce(CASE WHEN lag(v, 9) OVER w IS NOT NULL THEN 0.04035360699999998 END, 0.0) + coalesce(CASE WHEN lag(v, 10) OVER w IS NOT NULL THEN 0.028247524899999984 END, 0.0)), 6) AS ewma
+FROM s
+WINDOW w AS (ORDER BY day)
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

@@ -434,3 +434,34 @@ def rfm_scores(df: DataFrame, entity_col: str, ts_col: str,
                 .alias("r_score"),
                 _tier("frequency", "_fb").alias("f_score"),
                 _tier("monetary", "_mb").alias("m_score")))
+
+
+def ewma_smooth(df: DataFrame, ts_col: str, value_col: str,
+                key_cols: list[str] | None = None,
+                alpha: float = 0.3, lookback: int = 12,
+                out_col: str = "ewma") -> DataFrame:
+    """Exponentially weighted moving average in its bounded-window
+    form: ewma_i = Σ_{j=0..L} (1-α)^j·x_{i-j} / Σ_{j avail} (1-α)^j.
+
+    This truncates the classic recursion at ``lookback`` terms (the
+    dropped tail carries (1-α)^(L+1) of the weight — <1% at the
+    defaults), which buys two things the recursive form can't give a
+    distributed engine: no sequential dependency (every row computes
+    independently from its L predecessors via lag() over ONE window
+    spec) and cross-engine replayability (the weights are Python float
+    literals baked into both plans; no accumulation ordering exists).
+    Leading rows renormalize over the weights actually present. O(L)
+    expressions per row, O(1) window state, one Exchange on the keys.
+    """
+    keys = [F.col(k) for k in (key_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col))
+    num = None
+    den = None
+    for j in range(lookback + 1):
+        wj = (1.0 - alpha) ** j
+        xj = F.col(value_col) if j == 0 else F.lag(value_col, j).over(w)
+        term = F.when(xj.isNotNull(), F.lit(wj) * xj)
+        dterm = F.when(xj.isNotNull(), F.lit(wj))
+        num = term if num is None else num + F.coalesce(term, F.lit(0.0))
+        den = dterm if den is None else den + F.coalesce(dterm, F.lit(0.0))
+    return df.withColumn(out_col, F.round(num / den, 6))
