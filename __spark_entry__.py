@@ -225,6 +225,40 @@ Query key -> SURVEY §2 rows covered:
                             postings, broadcast corpus stats)
   doc_unigram_logprob       add-one unigram-LM mean token logprob per
                             doc (CCNet-style perplexity proxy)
+  nb_lang_predictions       multinomial Naive Bayes classifier (train
+                            via hash aggs; inner model join IS the
+                            add-one smoothing; broadcast model)
+  brand_basket_rules        market-basket association rules (support /
+                            confidence / lift; capped basket self-join)
+  supplier_cooccurrence_triangles  triangle census + local clustering
+                            coefficients (degree-ordered orientation)
+  part_graph_kcore          k-core peel (monotone fixed-round schedule,
+                            unrolled-CTE oracle)
+  purchase_attribution_linear  multi-touch attribution (lookback inside
+                            the join condition; credit mass = 1/conv)
+  ab_value_t_test           Welch two-sample t in one conditional agg
+  benford_price_digits      Benford first-digit audit (fixed-point
+                            BIGINT digit extraction, chi-square terms)
+  monthly_revenue_cusum     cumulative-deviation CUSUM chart over the
+                            monthly rollup
+  customer_rfm_segments     RFM quantile segmentation (broadcast
+                            6dp-pinned percentile boundaries)
+  hourly_value_twap         time-weighted average (LOCF weights, lead
+                            window, bucket-boundary clipping)
+  interpolated_hourly_values  linear interpolation over the gap-filled
+                            spine (ignorenulls windows, clamped edges)
+  ewma_daily_revenue        EWMA smoothing (truncated-recursion lag
+                            terms; no accumulation order)
+  customer_geohash_cells    geohash spatial binning (shared
+                            dual-dialect integer bit-math expression)
+  doc_readability_scores    Flesch reading ease (vowel-group syllable
+                            proxy, expression-only)
+  top_pmi_collocations      PMI collocations (Church-Hanks; broadcast
+                            corpus totals, TakeOrdered top-k)
+  orders_contract_report    declarative expectations suite in ONE
+                            conditional hash agg (data contract gate)
+  dp_event_type_counts      Laplace-mechanism noisy counts (replayable
+                            inverse-CDF hash draw)
 """
 
 from __future__ import annotations
