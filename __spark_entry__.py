@@ -3043,6 +3043,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ewma_smooth(daily, "day", "revenue",
                            alpha=0.3, lookback=10)
 
+    def apply_changes_q(spark, sf_dir):
+        """CDC apply (the inverse of the snapshot diff / batch MERGE
+        shape): keep-last change per key, deletes drop, upserts
+        replace; untouched snapshot rows only ever see an 8-byte
+        anti-join probe. Change log synthesized from the order stream
+        (post-cutoff orders; finished status = delete)."""
+        from pipelines_rj_sms_spark.operators.diff import apply_changes
+        orders = _t(spark, sf_dir, "orders")
+        cutoff = F.lit("1997-01-01").cast("timestamp")
+        snap = orders.filter(F.col("o_orderdate") < cutoff)
+        chg = (orders.filter(F.col("o_orderdate") >= cutoff)
+               .withColumn("op", F.when(F.col("o_orderstatus") == "F",
+                                        F.lit("D")).otherwise(F.lit("U"))))
+        out = apply_changes(snap, chg, ["o_orderkey"],
+                            op_col="op", order_col="o_orderdate")
+        return out.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3233,6 +3250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_contract_report": expectations_q,
         "dp_event_type_counts": dp_counts_q,
         "ewma_daily_revenue": ewma_q,
+        "orders_cdc_applied": apply_changes_q,
     }
 
 
@@ -4206,6 +4224,23 @@ SELECT day, revenue,
              / (CASE WHEN v IS NOT NULL THEN 1.0 END + coalesce(CASE WHEN lag(v, 1) OVER w IS NOT NULL THEN 0.7 END, 0.0) + coalesce(CASE WHEN lag(v, 2) OVER w IS NOT NULL THEN 0.48999999999999994 END, 0.0) + coalesce(CASE WHEN lag(v, 3) OVER w IS NOT NULL THEN 0.3429999999999999 END, 0.0) + coalesce(CASE WHEN lag(v, 4) OVER w IS NOT NULL THEN 0.24009999999999995 END, 0.0) + coalesce(CASE WHEN lag(v, 5) OVER w IS NOT NULL THEN 0.16806999999999994 END, 0.0) + coalesce(CASE WHEN lag(v, 6) OVER w IS NOT NULL THEN 0.11764899999999996 END, 0.0) + coalesce(CASE WHEN lag(v, 7) OVER w IS NOT NULL THEN 0.08235429999999996 END, 0.0) + coalesce(CASE WHEN lag(v, 8) OVER w IS NOT NULL THEN 0.05764800999999997 END, 0.0) + coalesce(CASE WHEN lag(v, 9) OVER w IS NOT NULL THEN 0.04035360699999998 END, 0.0) + coalesce(CASE WHEN lag(v, 10) OVER w IS NOT NULL THEN 0.028247524899999984 END, 0.0)), 6) AS ewma
 FROM s
 WINDOW w AS (ORDER BY day)
+""",
+        "orders_cdc_applied": r"""
+WITH snap AS (
+  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+chg AS (
+  SELECT *, CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+latest AS (
+  SELECT * FROM chg
+  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                             ORDER BY o_orderdate DESC,
+                                      (op = 'D') DESC) = 1)
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM snap
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM latest
+WHERE op <> 'D'
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

@@ -17,7 +17,7 @@ only for keys that actually changed).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -65,3 +65,34 @@ def changed_rows(old: DataFrame, new: DataFrame, key_cols: list[str],
             .filter(F.col("change").isin(kinds))
             .select(*key_cols))
     return new.join(keys, key_cols, "left_semi")
+
+
+def apply_changes(snapshot: DataFrame, changes: DataFrame,
+                  key_cols: list[str], op_col: str = "op",
+                  order_col: str = "ts",
+                  delete_op: str = "D") -> DataFrame:
+    """Apply a CDC change log onto a keyed snapshot — the inverse of
+    :func:`snapshot_diff` (and the batch form of Delta's MERGE /
+    `APPLY CHANGES INTO`): the LAST change per key wins (ordered by
+    ``order_col``, ties broken by preferring the delete so a
+    delete+reinsert at the same instant is conservative), deletes drop
+    the key, anything else upserts the change row's payload.
+
+    Scale shape: the change log collapses to one row per key via the
+    keep-last window (narrow — only changed keys move); survivors =
+    snapshot LEFT-ANTI the changed keys (ships 8-byte keys) UNION the
+    non-delete winners. Both shuffles key on ``key_cols``; untouched
+    snapshot rows are never rewritten, re-sorted, or re-hashed beyond
+    the anti-join probe. Output schema = snapshot schema.
+    """
+    data_cols = [c for c in snapshot.columns]
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(
+        F.col(order_col).desc(),
+        (F.col(op_col) == F.lit(delete_op)).desc())
+    latest = (changes.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") == 1).drop("_rk"))
+    survivors = snapshot.join(latest.select(*key_cols), key_cols,
+                              "left_anti")
+    upserts = (latest.filter(F.col(op_col) != F.lit(delete_op))
+               .select(*data_cols))
+    return survivors.unionByName(upserts)
