@@ -3060,6 +3060,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             op_col="op", order_col="o_orderdate")
         return out.select("o_orderkey", "o_orderstatus", "o_totalprice")
 
+    def feature_hash_q(spark, sf_dir):
+        """Hashing-trick features (signed, dim 64) for every document
+        in sparse tidy form — vocabulary-free featurization: no fit
+        step, no vocab broadcast, one narrow hash aggregation."""
+        from pipelines_rj_sms_spark.operators.terms import feature_hash
+        docs = _t(spark, sf_dir, "documents")
+        return feature_hash(docs, "doc_id", "text", dim=64,
+                            signed=True, hash_fn="md5")
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3251,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_event_type_counts": dp_counts_q,
         "ewma_daily_revenue": ewma_q,
         "orders_cdc_applied": apply_changes_q,
+        "doc_feature_hash_vectors": feature_hash_q,
     }
 
 
@@ -4241,6 +4251,23 @@ WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
 UNION ALL
 SELECT o_orderkey, o_orderstatus, o_totalprice FROM latest
 WHERE op <> 'D'
+""",
+        "doc_feature_hash_vectors": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('fh' || w), 1, 8)) AS BIGINT) % 64
+           AS bucket,
+         CASE WHEN CAST(('0x' || substr(md5('fs' || w), 1, 8)) AS BIGINT)
+                   % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM toks)
+SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
+FROM h GROUP BY 1, 2
+HAVING sum(s) <> 0
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

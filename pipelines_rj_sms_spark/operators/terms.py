@@ -165,3 +165,40 @@ def pmi_collocations(df: DataFrame, text_col: str,
             .select("bg", "n_ab", F.round(pmi, 6).alias("pmi"))
             .orderBy(F.col("pmi").desc(), F.col("bg").asc())
             .limit(k))
+
+
+def feature_hash(df: DataFrame, id_col: str, text_col: str,
+                 dim: int = 1024, signed: bool = True,
+                 hash_fn: str = "xxhash64") -> DataFrame:
+    """The hashing trick (Weinberger et al., public): fixed-``dim``
+    bag-of-words features without a vocabulary table — bucket =
+    hash(term) % dim, and with ``signed`` a second hash contributes a
+    ±1 sign so collisions cancel in expectation (the unbiased variant).
+    This is the featurizer that feeds linear/NB models at corpus scale:
+    no vocab broadcast, no fit step, memory O(dim) per doc.
+
+    Output is the SPARSE tidy form (id, bucket, weight) — one narrow
+    hash aggregation over exploded tokens; downstream models join on
+    the bucket or pivot locally. ``hash_fn="md5"`` swaps in the
+    portable-arithmetic hash (replayable in any engine) at ~2x the
+    cost of the JVM xxhash64 path.
+    """
+    t = F.col("_t")
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(F.concat(F.lit("fh"), t)), 1, 8),
+                   16, 10).cast("long")
+        s = F.conv(F.substring(F.md5(F.concat(F.lit("fs"), t)), 1, 8),
+                   16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        h = F.abs(F.xxhash64(F.lit("fh"), t))
+        s = F.abs(F.xxhash64(F.lit("fs"), t))
+    else:
+        raise ValueError(f"hash_fn must be xxhash64|md5: {hash_fn}")
+    sign = (F.when(s % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+            if signed else F.lit(1))
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+    return (toks
+            .select(id_col, (h % dim).alias("bucket"), sign.alias("_s"))
+            .groupBy(id_col, "bucket")
+            .agg(F.sum("_s").alias("weight"))
+            .filter(F.col("weight") != 0))

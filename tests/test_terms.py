@@ -95,3 +95,44 @@ def test_pmi_min_count_filters(spark):
     got = [r["bg"] for r in pmi_collocations(
         df, "text", min_count=2, k=10).collect()]
     assert got == ["a b"]
+
+
+def test_feature_hash_deterministic_and_sparse(spark):
+    from pipelines_rj_sms_spark.operators.terms import feature_hash
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma")], ["doc_id", "text"])
+    a = sorted(map(tuple, feature_hash(df, "doc_id", "text",
+                                       dim=32).collect()))
+    b = sorted(map(tuple, feature_hash(df, "doc_id", "text",
+                                       dim=32).collect()))
+    assert a == b and len(a) >= 2
+    # buckets bounded by dim
+    assert all(0 <= r[1] < 32 for r in a)
+
+
+def test_feature_hash_unsigned_counts_tokens(spark):
+    from pipelines_rj_sms_spark.operators.terms import feature_hash
+    df = spark.createDataFrame([(1, "x x x")], ["doc_id", "text"])
+    out = feature_hash(df, "doc_id", "text", dim=8,
+                       signed=False).collect()
+    assert len(out) == 1 and abs(out[0]["weight"]) == 3
+
+
+def test_feature_hash_md5_portable(spark):
+    import duckdb
+    from pipelines_rj_sms_spark.operators.terms import feature_hash
+    df = spark.createDataFrame(
+        [(1, "spark duck parity check")], ["doc_id", "text"])
+    got = sorted((r["bucket"], r["weight"]) for r in feature_hash(
+        df, "doc_id", "text", dim=16, hash_fn="md5").collect())
+    duck = duckdb.sql(r"""
+      WITH t AS (SELECT unnest(['spark','duck','parity','check']) AS w),
+      h AS (SELECT
+        CAST(('0x' || substr(md5('fh' || w), 1, 8)) AS BIGINT) % 16
+          AS bucket,
+        CASE WHEN CAST(('0x' || substr(md5('fs' || w), 1, 8)) AS BIGINT)
+                  % 2 = 0 THEN 1 ELSE -1 END AS s
+        FROM t)
+      SELECT bucket, sum(s) AS weight FROM h GROUP BY 1
+      HAVING sum(s) <> 0 ORDER BY 1""").fetchall()
+    assert [(b, int(w)) for b, w in duck] == [(b, int(w)) for b, w in got]
