@@ -3069,6 +3069,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return feature_hash(docs, "doc_id", "text", dim=64,
                             signed=True, hash_fn="md5")
 
+    def concentration_q(spark, sf_dir):
+        """Revenue-concentration audit per market segment (Gini / HHI /
+        top-customer share): ascending-rank window + one hash agg;
+        tie order provably cancels out of the closed-form Gini."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            concentration_metrics)
+        orders = _t(spark, sf_dir, "orders")
+        cust = _t(spark, sf_dir, "customer")
+        units = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        per_cust = (orders.withColumn("_u", units)
+                    .join(cust, orders.o_custkey == cust.c_custkey)
+                    .groupBy("c_mktsegment", "c_custkey")
+                    .agg(F.sum("_u").alias("revenue_units")))
+        out = concentration_metrics(per_cust, ["c_mktsegment"],
+                                    "revenue_units")
+        return out.select(
+            "c_mktsegment", "n",
+            F.round(F.col("total") / 100.0, 2).alias("total"),
+            "top_share", "hhi", "gini")
+
+    def survival_q(spark, sf_dir):
+        """Kaplan–Meier signup→purchase conversion curve: per-user
+        durations (censored at the corpus horizon when no purchase
+        follows), then the K-M product as exp(Σ ln(1-d/n)) over ONE
+        window on the per-duration rollup."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            survival_curve)
+        ev = _t(spark, sf_dir, "events")
+        su = (ev.filter(F.col("event_type") == "signup")
+              .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+        pu = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("_pu"), F.col("ts").alias("p_ts"))
+        first_p = (su.join(pu, (su.user_id == pu["_pu"])
+                           & (pu.p_ts >= su.s_ts), "left")
+                   .groupBy("user_id", "s_ts")
+                   .agg(F.min("p_ts").alias("fp")))
+        horizon = F.broadcast(ev.agg(F.max("ts").alias("_h")))
+        durs = (first_p.crossJoin(horizon)
+                .select(
+                    F.datediff(F.to_date(F.coalesce("fp", "_h")),
+                               F.to_date("s_ts")).alias("dur"),
+                    F.col("fp").isNotNull().cast("int").alias("ev")))
+        return survival_curve(durs, "dur", "ev")
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3261,6 +3305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily_revenue": ewma_q,
         "orders_cdc_applied": apply_changes_q,
         "doc_feature_hash_vectors": feature_hash_q,
+        "market_concentration_by_segment": concentration_q,
+        "signup_purchase_survival": survival_q,
     }
 
 
@@ -4268,6 +4314,75 @@ h AS (
 SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
 FROM h GROUP BY 1, 2
 HAVING sum(s) <> 0
+""",
+        "market_concentration_by_segment": r"""
+WITH per_cust AS (
+  SELECT c_mktsegment, c_custkey,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS u
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT c_mktsegment, u,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY u ASC) AS rk
+  FROM per_cust),
+agg AS (
+  SELECT c_mktsegment, count(*) AS n, sum(u) AS tot,
+         sum(rk * u) AS rx, max(u) AS mx,
+         sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE)) AS sq
+  FROM ranked GROUP BY 1)
+SELECT c_mktsegment, n, round(tot / 100.0, 2) AS total,
+       round(mx / tot, 6) AS top_share,
+       round(sq / (CAST(tot AS DOUBLE) * tot), 6) AS hhi,
+       round(2.0 * rx / (n * tot) - (n + 1.0) / n, 6) AS gini
+FROM agg
+""",
+        "signup_purchase_survival": r"""
+WITH su AS (
+  SELECT user_id, min(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+fp AS (
+  SELECT su.user_id, su.s_ts, min(e.ts) AS fp
+  FROM su LEFT JOIN events e
+    ON e.user_id = su.user_id AND e.event_type = 'purchase'
+   AND e.ts >= su.s_ts
+  GROUP BY 1, 2),
+h AS (SELECT max(ts) AS horizon FROM events),
+durs AS (
+  SELECT date_diff('day', CAST(s_ts AS DATE),
+                   CAST(coalesce(fp, horizon) AS DATE)) AS dur,
+         CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM fp CROSS JOIN h),
+per AS (
+  SELECT dur AS duration, CAST(sum(ev) AS BIGINT) AS n_events,
+         CAST(sum(1 - ev) AS BIGINT) AS n_censored
+  FROM durs GROUP BY 1),
+tot AS (SELECT sum(n_events + n_censored) AS total FROM per),
+r AS (
+  SELECT duration, n_events, n_censored,
+         total - coalesce(sum(n_events + n_censored) OVER
+           (ORDER BY duration
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at_risk
+  FROM per CROSS JOIN tot),
+s AS (
+  SELECT *,
+         max(CASE WHEN n_events >= n_at_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS dead,
+         sum(CASE WHEN n_events < n_at_risk
+                  THEN ln(1.0 - CAST(n_events AS DOUBLE) / n_at_risk)
+                  ELSE 0.0 END)
+           OVER (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS lnsum
+  FROM r)
+SELECT duration, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       n_events, n_censored,
+       round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(lnsum) END, 6)
+         AS survival
+FROM s
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

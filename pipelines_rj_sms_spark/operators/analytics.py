@@ -465,3 +465,87 @@ def ewma_smooth(df: DataFrame, ts_col: str, value_col: str,
         num = term if num is None else num + F.coalesce(term, F.lit(0.0))
         den = dterm if den is None else den + F.coalesce(dterm, F.lit(0.0))
     return df.withColumn(out_col, F.round(num / den, 6))
+
+
+def concentration_metrics(df: DataFrame, key_cols: list[str],
+                          value_col: str) -> DataFrame:
+    """Per-group market-concentration report: Gini coefficient,
+    Herfindahl–Hirschman index, and top-contributor share over a
+    positive value column (the "is revenue/volume dominated by a few
+    members?" audit — the reference's monitoring analog is manual
+    BigQuery share queries).
+
+    One ascending-rank window inside each group feeds the closed-form
+    Gini (2·Σ rank·x / (n·Σx) − (n+1)/n — tie order provably cancels,
+    so no tiebreak column is needed for determinism) and ONE hash
+    aggregation computes n / total / Σrank·x / max / Σx² together;
+    HHI = Σ(x/total)², top_share = max/total. O(1) window state, one
+    Exchange on the keys, floats rounded to 6.
+
+    Sums keep the value column's native type — pass BIGINT fixed-point
+    units for engine-exact totals (double sums of ~1e9 magnitude differ
+    across engines at the 6dp grid); only the Σx² term (a ratio input)
+    is computed in double to dodge int64 overflow.
+    """
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    ranked = df.withColumn("_rk", F.row_number().over(w))
+    agg = ranked.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum(value_col).alias("_tot"),
+        F.sum(F.col("_rk") * F.col(value_col)).alias("_rx"),
+        F.max(value_col).alias("_mx"),
+        F.sum(F.col(value_col).cast("double")
+              * F.col(value_col).cast("double")).alias("_sq"))
+    gini = (2.0 * F.col("_rx") / (F.col("n") * F.col("_tot"))
+            - (F.col("n") + 1.0) / F.col("n"))
+    return agg.select(
+        *key_cols, "n",
+        F.round("_tot", 6).alias("total"),
+        F.round(F.col("_mx") / F.col("_tot"), 6).alias("top_share"),
+        F.round(F.col("_sq") / (F.col("_tot").cast("double")
+                                * F.col("_tot")), 6).alias("hhi"),
+        F.round(gini, 6).alias("gini"))
+
+
+def survival_curve(df: DataFrame, duration_col: str, event_col: str,
+                  key_cols: list[str] | None = None) -> DataFrame:
+    """Kaplan–Meier survival estimator (public formula) over
+    right-censored durations: one row per distinct duration with
+    (n_at_risk, n_events, n_censored, survival), where survival(t) =
+    Π_{s<=t} (1 - d_s/n_s) — the time-to-event readout (signup →
+    conversion, admission → discharge, install → churn).
+
+    The product reformulates as exp(Σ ln(1-d/n)) so it computes as ONE
+    window cumsum over the per-duration rollup (O(distinct durations)
+    rows, never raw subjects); a risk set that empties (d=n) pins
+    survival to exactly 0.0 from that point by an explicit flag, not
+    ln(0). Per-key totals ride back via broadcast. Floats round to 6.
+    ``event_col``: 1 = event observed, 0 = censored at that duration.
+    """
+    keys = [F.col(k) for k in (key_cols or [])]
+    kn = list(key_cols or [])
+    per = df.groupBy(*keys, F.col(duration_col).alias("duration")).agg(
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+        F.sum((F.lit(1) - F.col(event_col)).cast("long"))
+        .alias("n_censored"))
+    totals = per.groupBy(*keys).agg(
+        F.sum(F.col("n_events") + F.col("n_censored")).alias("_total"))
+    joined = (per.join(F.broadcast(totals), kn) if kn
+              else per.crossJoin(F.broadcast(totals)))
+    wo = Window.partitionBy(*keys).orderBy(F.col("duration"))
+    prior = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored"))
+        .over(wo.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+    at_risk = (F.col("_total") - prior).alias("n_at_risk")
+    frame = joined.withColumn("n_at_risk", at_risk)
+    dead = (F.col("n_events") >= F.col("n_at_risk")).cast("int")
+    wc = wo.rowsBetween(Window.unboundedPreceding, 0)
+    ln_term = F.when(F.col("n_events") < F.col("n_at_risk"),
+                     F.log(1.0 - F.col("n_events")
+                           / F.col("n_at_risk"))).otherwise(F.lit(0.0))
+    survival = F.when(F.max(dead).over(wc) == 1, F.lit(0.0)) \
+        .otherwise(F.exp(F.sum(ln_term).over(wc)))
+    return frame.select(
+        *kn, "duration", "n_at_risk", "n_events", "n_censored",
+        F.round(survival, 6).alias("survival"))

@@ -68,3 +68,33 @@ def test_cusum_keyed_series_independent(spark):
     # mean of a = 1.5 -> cusums -1.5, -2, -1.5, 0
     assert got[("a", 3)] == pytest.approx(0.0)
     assert got[("a", 1)] == pytest.approx(-2.0)
+
+
+def test_concentration_metrics_known_values(spark):
+    from pipelines_rj_sms_spark.operators.analytics import (
+        concentration_metrics)
+    # group a: perfectly equal -> gini 0, hhi 1/4
+    rows = [("a", 10.0)] * 4 + [("b", 0.00001), ("b", 100.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r["g"]: r.asDict()
+           for r in concentration_metrics(df, ["g"], "v").collect()}
+    assert got["a"]["gini"] == 0.0
+    assert got["a"]["hhi"] == 0.25
+    assert got["a"]["top_share"] == 0.25
+    # group b: near-total concentration
+    assert got["b"]["gini"] > 0.49
+    assert got["b"]["hhi"] > 0.99
+    assert got["b"]["top_share"] > 0.99
+
+
+def test_concentration_tie_order_invariant(spark):
+    from pipelines_rj_sms_spark.operators.analytics import (
+        concentration_metrics)
+    import random
+    rows = [("g", float(v)) for v in [5, 5, 5, 9, 9, 1]]
+    rng = random.Random(3)
+    for _ in range(3):
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, ["g", "v"]).repartition(4)
+        r = concentration_metrics(df, ["g"], "v").collect()[0]
+        assert r["gini"] == pytest.approx(0.254902, abs=1e-6)
