@@ -3113,6 +3113,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.col("fp").isNotNull().cast("int").alias("ev")))
         return survival_curve(durs, "dur", "ev")
 
+    def trend_q(spark, sf_dir):
+        """OLS drift detection per event type: daily counts regressed
+        on the day ordinal with the SQL-standard regr_* aggregate
+        family — one hash agg, closed form, no iteration."""
+        from pipelines_rj_sms_spark.operators.analytics import trend_fit
+        ev = _t(spark, sf_dir, "events")
+        daily = (ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"),
+                       F.lit("2024-01-01").cast("date")).alias("x"))
+            .agg(F.count("*").cast("double").alias("y")))
+        return trend_fit(daily, "x", "y", key_cols=["event_type"])
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3307,6 +3320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_feature_hash_vectors": feature_hash_q,
         "market_concentration_by_segment": concentration_q,
         "signup_purchase_survival": survival_q,
+        "event_type_trends": trend_q,
     }
 
 
@@ -4383,6 +4397,19 @@ SELECT duration, CAST(n_at_risk AS BIGINT) AS n_at_risk,
        round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(lnsum) END, 6)
          AS survival
 FROM s
+""",
+        "event_type_trends": r"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2)
+SELECT event_type,
+       CAST(regr_count(y, x) AS BIGINT) AS n,
+       round(regr_slope(y, x), 6) AS slope,
+       round(regr_intercept(y, x), 6) AS intercept,
+       round(regr_r2(y, x), 6) AS r2
+FROM daily GROUP BY 1
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

@@ -549,3 +549,21 @@ def survival_curve(df: DataFrame, duration_col: str, event_col: str,
     return frame.select(
         *kn, "duration", "n_at_risk", "n_events", "n_censored",
         F.round(survival, 6).alias("survival"))
+
+
+def trend_fit(df: DataFrame, x_col: str, y_col: str,
+              key_cols: list[str] | None = None) -> DataFrame:
+    """Per-group ordinary-least-squares trend line: (n, slope,
+    intercept, r2) — "is this metric drifting and how fast?" as a
+    closed-form aggregation (the `regr_*` SQL-standard family; both
+    Spark and DuckDB implement it JVM/vector-side). ONE hash
+    aggregation, no iteration, no driver math; feed it a rollup series
+    (e.g. day ordinal vs daily count). Floats round to 6.
+    """
+    keys = [F.col(k) for k in (key_cols or [])]
+    y, x = F.col(y_col), F.col(x_col)
+    return df.groupBy(*keys).agg(
+        F.regr_count(y, x).cast("bigint").alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"))

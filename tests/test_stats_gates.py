@@ -98,3 +98,17 @@ def test_concentration_tie_order_invariant(spark):
         df = spark.createDataFrame(rows, ["g", "v"]).repartition(4)
         r = concentration_metrics(df, ["g"], "v").collect()[0]
         assert r["gini"] == pytest.approx(0.254902, abs=1e-6)
+
+
+def test_trend_fit_exact_line(spark):
+    from pipelines_rj_sms_spark.operators.analytics import trend_fit
+    rows = [("a", float(x), 2.0 * x + 1.0) for x in range(10)] \
+        + [("b", 0.0, 5.0), ("b", 1.0, 4.0), ("b", 2.0, 5.0)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {r["g"]: r.asDict()
+           for r in trend_fit(df, "x", "y", key_cols=["g"]).collect()}
+    assert got["a"]["slope"] == pytest.approx(2.0)
+    assert got["a"]["intercept"] == pytest.approx(1.0)
+    assert got["a"]["r2"] == pytest.approx(1.0)
+    assert got["b"]["slope"] == pytest.approx(0.0)
+    assert got["b"]["r2"] == pytest.approx(0.0)
