@@ -3126,6 +3126,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").cast("double").alias("y")))
         return trend_fit(daily, "x", "y", key_cols=["event_type"])
 
+    def nb_eval_q(spark, sf_dir):
+        """Evaluation loop closed: per-class precision/recall/F1 of
+        the NB language classifier's resubstitution predictions —
+        metrics derive from the |C|² confusion rollup, predictions are
+        scanned once."""
+        from pipelines_rj_sms_spark.operators.cache import release
+        from pipelines_rj_sms_spark.operators.classify import (
+            classification_report, nb_predict, nb_train)
+        docs = _t(spark, sf_dir, "documents")
+        terms, classes = nb_train(docs, "lang", "text")
+        pred = nb_predict(docs, "doc_id", "text", terms, classes)
+        pairs = (pred.join(docs.select("doc_id", "lang"), "doc_id")
+                 .select(F.col("lang").alias("actual"),
+                         F.col("label").alias("predicted")))
+        out = classification_report(pairs, "actual", "predicted")
+        release(out)
+        return out
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3321,6 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_concentration_by_segment": concentration_q,
         "signup_purchase_survival": survival_q,
         "event_type_trends": trend_q,
+        "nb_lang_eval_report": nb_eval_q,
     }
 
 
@@ -4410,6 +4429,72 @@ SELECT event_type,
        round(regr_intercept(y, x), 6) AS intercept,
        round(regr_r2(y, x), 6) AS r2
 FROM daily GROUP BY 1
+""",
+        "nb_lang_eval_report": r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tc AS (SELECT lang AS label, term, count(*) AS n_lt FROM toks GROUP BY 1, 2),
+ct AS (SELECT label, sum(n_lt) AS tok_c FROM tc GROUP BY 1),
+vocab AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tc),
+priors AS (SELECT lang AS label, count(*) AS n_c FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n_c) AS DOUBLE) AS n FROM priors),
+classes AS (
+  SELECT label, ln(n_c / n) AS ln_prior, ln(tok_c + v) AS ln_denom
+  FROM priors JOIN ct USING (label) CROSS JOIN vocab CROSS JOIN tot),
+model AS (SELECT label, term, ln(n_lt + 1.0) AS lw FROM tc),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS DOUBLE) AS dl
+  FROM documents),
+hits AS (
+  SELECT doc_id, label, sum(tf * lw) AS hit
+  FROM tf JOIN model USING (term) GROUP BY 1, 2),
+scores AS (
+  SELECT doc_id, label,
+         round(ln_prior - dl * ln_denom + coalesce(hit, 0.0), 6) AS score
+  FROM dl CROSS JOIN classes
+  LEFT JOIN hits USING (doc_id, label)),
+best AS (
+  SELECT doc_id, label, score
+  FROM scores
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, label) = 1),
+pairs AS (
+  SELECT d.lang AS a, b.label AS p
+  FROM best b JOIN documents d ON b.doc_id = d.doc_id),
+joint AS (SELECT a, p, count(*) AS n FROM pairs GROUP BY 1, 2),
+cls AS (
+  SELECT a AS label FROM joint UNION SELECT p FROM joint),
+tp AS (SELECT a AS label, n AS tp FROM joint WHERE a = p),
+sup AS (SELECT a AS label, sum(n) AS support FROM joint GROUP BY 1),
+pn AS (SELECT p AS label, sum(n) AS pn FROM joint GROUP BY 1),
+m AS (
+  SELECT c.label,
+         coalesce(tp.tp, 0) AS tp,
+         coalesce(sup.support, 0) AS support,
+         coalesce(pn.pn, 0) AS pn
+  FROM cls c
+  LEFT JOIN tp USING (label)
+  LEFT JOIN sup USING (label)
+  LEFT JOIN pn USING (label)),
+r AS (
+  SELECT label, support,
+         CASE WHEN pn > 0 THEN CAST(tp AS DOUBLE) / pn ELSE 0.0 END AS prec,
+         CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / support
+              ELSE 0.0 END AS rec
+  FROM m)
+SELECT label, CAST(support AS BIGINT) AS support,
+       round(prec, 6) AS precision,
+       round(rec, 6) AS recall,
+       round(CASE WHEN prec + rec > 0
+                  THEN 2.0 * prec * rec / (prec + rec)
+                  ELSE 0.0 END, 6) AS f1
+FROM r
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

@@ -122,3 +122,51 @@ def nb_predict(df: DataFrame, id_col: str, text_col: str,
         F.col("score").desc(), F.col("label").asc())
     return (scores.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1).drop("_rk"))
+
+
+def classification_report(df: DataFrame, actual_col: str,
+                          predicted_col: str) -> DataFrame:
+    """Per-class precision / recall / F1 / support from (actual,
+    predicted) pairs — the evaluation half of the classifier loop.
+
+    One hash aggregation collapses the data to the confusion-matrix
+    joint counts (|C|² rows at most); every derived metric is computed
+    on that tiny rollup (diagonal = TP, row margins = support, column
+    margins = predicted counts) — the raw predictions are scanned
+    once. Classes present only in predictions (or only in truth) get
+    the conventional 0 for the undefined ratio. Floats round to 6.
+    """
+    joint = (df.groupBy(F.col(actual_col).alias("_a"),
+                        F.col(predicted_col).alias("_p"))
+             .agg(F.count("*").alias("_n"))
+             .persist())
+    classes = (joint.select(F.col("_a").alias("label"))
+               .unionByName(joint.select(F.col("_p").alias("label")))
+               .distinct())
+    tp = (joint.filter(F.col("_a") == F.col("_p"))
+          .select(F.col("_a").alias("label"), F.col("_n").alias("_tp")))
+    support = joint.groupBy(F.col("_a").alias("label")).agg(
+        F.sum("_n").alias("support"))
+    pred_n = joint.groupBy(F.col("_p").alias("label")).agg(
+        F.sum("_n").alias("_pn"))
+    out = (classes.join(tp, "label", "left")
+           .join(support, "label", "left")
+           .join(pred_n, "label", "left")
+           .select("label",
+                   F.coalesce("_tp", F.lit(0)).alias("_tp"),
+                   F.coalesce("support", F.lit(0)).alias("support"),
+                   F.coalesce("_pn", F.lit(0)).alias("_pn")))
+    prec = F.when(F.col("_pn") > 0, F.col("_tp") / F.col("_pn")) \
+        .otherwise(F.lit(0.0))
+    rec = F.when(F.col("support") > 0, F.col("_tp") / F.col("support")) \
+        .otherwise(F.lit(0.0))
+    f1 = F.when(prec + rec > 0, 2.0 * prec * rec / (prec + rec)) \
+        .otherwise(F.lit(0.0))
+    from pipelines_rj_sms_spark.operators.cache import track
+    return track(
+        out.select("label",
+                   F.col("support").cast("bigint").alias("support"),
+                   F.round(prec, 6).alias("precision"),
+                   F.round(rec, 6).alias("recall"),
+                   F.round(f1, 6).alias("f1")),
+        joint)

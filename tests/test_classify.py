@@ -79,3 +79,25 @@ def test_nb_unknown_terms_fall_back_to_prior(spark):
     test = spark.createDataFrame([(20, "zzz qqq")], ["doc_id", "text"])
     out = nb_predict(test, "doc_id", "text", terms, classes).collect()
     assert out[0]["label"] == "ham"
+
+
+def test_classification_report_hand_computed(spark):
+    from pipelines_rj_sms_spark.operators.cache import release
+    from pipelines_rj_sms_spark.operators.classify import (
+        classification_report)
+    pairs = [("a", "a"), ("a", "a"), ("a", "b"),
+             ("b", "b"), ("b", "a"),
+             ("c", "a")]  # class c never predicted
+    df = spark.createDataFrame(pairs, ["actual", "pred"])
+    out = classification_report(df, "actual", "pred")
+    got = {r["label"]: r.asDict() for r in out.collect()}
+    release(out)
+    # a: tp=2, pred_n=4, support=3
+    assert got["a"]["precision"] == 0.5
+    assert got["a"]["recall"] == round(2 / 3, 6)
+    assert got["a"]["support"] == 3
+    # b: tp=1, pred_n=2, support=2
+    assert got["b"]["precision"] == 0.5 and got["b"]["recall"] == 0.5
+    assert got["b"]["f1"] == 0.5
+    # c: never predicted -> precision 0, recall 0, f1 0
+    assert got["c"]["precision"] == 0.0 and got["c"]["f1"] == 0.0
