@@ -259,6 +259,17 @@ Query key -> SURVEY §2 rows covered:
                             conditional hash agg (data contract gate)
   dp_event_type_counts      Laplace-mechanism noisy counts (replayable
                             inverse-CDF hash draw)
+  orders_cdc_applied        CDC apply-changes (keep-last winner,
+                            delete-preferred ties; 8-byte anti probe)
+  doc_feature_hash_vectors  hashing-trick features (signed, sparse
+                            tidy form; vocabulary-free)
+  market_concentration_by_segment  Gini / HHI / top-share concentration
+                            (rank window + one agg, exact fixed point)
+  signup_purchase_survival  Kaplan-Meier conversion curve (censored at
+                            horizon; exp-sum-ln product form)
+  event_type_trends         OLS drift per type (regr_* aggregates)
+  nb_lang_eval_report       classifier eval: per-class P/R/F1 from the
+                            confusion rollup
 """
 
 from __future__ import annotations
