@@ -155,7 +155,19 @@ def test_every_query_plans_clean(spark):
                     # 1-row percentile-boundary broadcast
                     "value_equi_depth_histogram",
                     # 1-row boundary + per-side total broadcasts
-                    "value_psi_drift"}
+                    "value_psi_drift",
+                    # NB: |C|-row class-constant frame under every doc
+                    # (bounded by the class count) + 1-row vocab/total
+                    "nb_lang_predictions", "nb_lang_eval_report",
+                    # 1-row basket-count broadcast
+                    "brand_basket_rules",
+                    # 1-row as-of + percentile-boundary broadcasts
+                    "customer_rfm_segments",
+                    # 1-row corpus-totals broadcast
+                    "top_pmi_collocations",
+                    # 1-row digit-total / series-stats / horizon rows
+                    "benford_price_digits", "monthly_revenue_cusum",
+                    "signup_purchase_survival"}
     failures = []
     for name, fn in entry.queries().items():
         try:
