@@ -2634,8 +2634,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .distinct()
         edges = fwd.unionByName(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        # symmetric graph: the src column alone is the full vertex set
+        # (half the distinct input of the default src∪dst union)
         pr = pagerank(edges, n_iter=3, assume_no_dangling=True,
-                      broadcast_ranks=True, assume_distinct_edges=True)
+                      broadcast_ranks=True, assume_distinct_edges=True,
+                      nodes=edges, node_col="src")
         return pr.select("node", F.round("pr", 6).alias("pr"))
 
     def join_size_est(spark, sf_dir):
@@ -2850,7 +2853,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         The oracle replays the orientation-INVARIANT spelling (a<b<c
         over canonical undirected edges) — per-node counts are
         identical by construction."""
-        from pipelines_rj_sms_spark.operators.cache import release
         from pipelines_rj_sms_spark.operators.graph import triangle_counts
         li = _t(spark, sf_dir, "lineitem")
         items = li.select(F.col("l_orderkey").alias("o"),
@@ -2860,7 +2862,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        & (F.col("a.s") < F.col("b.s"))).select(
             F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
         out = triangle_counts(edges, "src", "dst")
-        release(out)
         return out.select(
             F.col("node").alias("suppkey"), "degree",
             F.col("triangles").cast("bigint").alias("triangles"),
@@ -3142,7 +3143,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the NB language classifier's resubstitution predictions —
         metrics derive from the |C|² confusion rollup, predictions are
         scanned once."""
-        from pipelines_rj_sms_spark.operators.cache import release
         from pipelines_rj_sms_spark.operators.classify import (
             classification_report, nb_predict, nb_train)
         docs = _t(spark, sf_dir, "documents")
@@ -3151,9 +3151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = (pred.join(docs.select("doc_id", "lang"), "doc_id")
                  .select(F.col("lang").alias("actual"),
                          F.col("label").alias("predicted")))
-        out = classification_report(pairs, "actual", "predicted")
-        release(out)
-        return out
+        return classification_report(pairs, "actual", "predicted")
 
     return {
         "flagship_pricing_summary": flagship,

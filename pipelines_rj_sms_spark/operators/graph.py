@@ -28,7 +28,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              node_col: str | None = None,
              assume_no_dangling: bool = False,
              broadcast_ranks: bool = False,
-             assume_distinct_edges: bool = False) -> DataFrame:
+             assume_distinct_edges: bool = False,
+             checkpoint_interval: int = 5) -> DataFrame:
     """(node, pr) after ``n_iter`` synchronous power iterations of the
     standard PageRank recurrence (public formulation):
 
@@ -48,6 +49,13 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     pass it when the caller already guarantees unique (src, dst) pairs
     (e.g. built from a distinct projection), deleting a full shuffle
     of the edge list from setup.
+    ``checkpoint_interval`` truncates lineage with a non-eager
+    ``localCheckpoint`` every that-many rounds — NOT every round:
+    measured at sf0.1 (21k nodes / 1.2M edges, 3 iterations) the
+    per-round checkpoint was 4.5x the entire computation (8.9s vs
+    2.0s) because each checkpoint materializes partitions and breaks
+    stage pipelining. Shallow runs (n_iter < interval) never
+    checkpoint; deep runs stay protected from exponential plan growth.
     ``broadcast_ranks=True`` broadcasts the (node, rank) state into the
     contribution join — the cached edge list is then never shuffled OR
     sorted, and the only exchange per round is the map-side-combined
@@ -84,10 +92,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # one driver-blocking job per iteration
     pr = base.crossJoin(n).select(
         "node",
-        (F.lit(1.0) / F.col("_n")).alias("pr")).localCheckpoint(False)
+        (F.lit(1.0) / F.col("_n")).alias("pr"))
 
     d = float(damping)
-    for _ in range(n_iter):
+    for _i in range(n_iter):
         ranks = pr.select(F.col("node").alias("_s"),
                           F.col("pr").alias("_spr"))
         degs = deg
@@ -112,11 +120,15 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             rank = (F.lit((1.0 - d)) / F.col("_n")
                     + F.lit(d) * (F.coalesce(F.col("_m"), F.lit(0.0))
                                   + F.col("_dm") / F.col("_n")))
-        pr = nxt.select("node", rank.alias("pr")).localCheckpoint(False)
-    e.unpersist()
-    deg.unpersist()
-    base.unpersist()
-    return pr
+        pr = nxt.select("node", rank.alias("pr"))
+        if (_i + 1) % checkpoint_interval == 0 and _i + 1 < n_iter:
+            pr = pr.localCheckpoint(False)
+    # register the persisted subplans for cache.release() instead of
+    # unpersisting here: pr is LAZY — an eager unpersist would evict
+    # the caches before any action ever consumes them, forcing every
+    # iteration to recompute the edge list from source (measured 3x
+    # slower at sf0.1)
+    return track(pr, e, deg, base)
 
 
 def degrees(edges: DataFrame, src: str = "src",
