@@ -3153,6 +3153,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.col("label").alias("predicted")))
         return classification_report(pairs, "actual", "predicted")
 
+    def balanced_q(spark, sf_dir):
+        """Class-rebalanced corpus: every lang downsampled to the
+        minority class size with data-dependent rates kept IN-PLAN
+        (class counts agg + broadcast min — no driver collect), md5
+        hash-draw membership."""
+        from pipelines_rj_sms_spark.functions.sampling import (
+            balanced_sample)
+        docs = _t(spark, sf_dir, "documents")
+        out = balanced_sample(docs, "lang", ["doc_id"], hash_fn="md5")
+        return out.select("doc_id", "lang")
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3349,6 +3360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signup_purchase_survival": survival_q,
         "event_type_trends": trend_q,
         "nb_lang_eval_report": nb_eval_q,
+        "balanced_lang_sample": balanced_q,
     }
 
 
@@ -4504,6 +4516,15 @@ SELECT label, CAST(support AS BIGINT) AS support,
                   THEN 2.0 * prec * rec / (prec + rec)
                   ELSE 0.0 END, 6) AS f1
 FROM r
+""",
+        "balanced_lang_sample": r"""
+WITH counts AS (SELECT lang, count(*) AS nc FROM documents GROUP BY 1),
+mn AS (SELECT min(nc) AS minn FROM counts)
+SELECT doc_id, lang
+FROM documents JOIN counts USING (lang) CROSS JOIN mn
+WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1048576 AS DOUBLE)
+      < 1048576.0 * minn / nc
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

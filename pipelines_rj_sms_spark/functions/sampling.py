@@ -222,3 +222,31 @@ def sample_by_rates(df: DataFrame, group_col: str, key_cols: list[str],
         rate = F.when(F.col(group_col) == g,
                       F.lit(int(r * 1_000_000))).otherwise(rate)
     return df.filter(bucket < rate)
+
+
+def balanced_sample(df: DataFrame, label_col: str, key_cols: list[str],
+                    hash_fn: str = "xxhash64",
+                    salt: str = "") -> DataFrame:
+    """Deterministic class rebalancing: downsample every class to
+    (approximately) the minority class's size — the classifier-prep
+    step for skewed labels. Keep probability per class is
+    ``min_class_count / class_count``; membership is the same
+    hash-draw as every sampler here (pure function of the key —
+    replayable, nested, no RNG state).
+
+    The data-dependent rates stay IN-PLAN: class counts are one hash
+    aggregation, the global minimum rides back as a broadcast 1-row
+    frame, and the filter compares hash(key) % 2^20 against
+    rate * 2^20 — no driver collect, no Python. Expected output size is
+    |C|·min_count; exact-size guarantees need the window-rank sampler
+    (`sample_per_group`) instead.
+    """
+    counts = df.groupBy(F.col(label_col).alias("_lbl")).agg(
+        F.count("*").alias("_nc"))
+    min_n = F.broadcast(counts.agg(F.min("_nc").alias("_minn")))
+    rates = F.broadcast(counts.crossJoin(min_n))
+    h = _key_hash([F.col(c) for c in key_cols], hash_fn, salt)
+    return (df.join(rates, F.col(label_col) == F.col("_lbl"))
+            .filter((h % 1048576).cast("double")
+                    < F.lit(1048576.0) * F.col("_minn") / F.col("_nc"))
+            .drop("_lbl", "_nc", "_minn"))

@@ -222,3 +222,29 @@ def test_temporal_split_embargo_band(spark):
         df, "ts", "2024-01-08 00:00:00", embargo_days=2).collect()}
     assert out[5] == "train" and out[6] == "embargo" and out[7] == "embargo"
     assert out[8] == "test" and out[10] == "test"
+
+
+def test_balanced_sample_downsamples_majority(spark):
+    from pipelines_rj_sms_spark.functions.sampling import balanced_sample
+    rows = [(i, "big") for i in range(2000)] \
+        + [(i + 10000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "lbl"])
+    out = balanced_sample(df, "lbl", ["id"], hash_fn="md5")
+    got = {r["lbl"]: 0 for r in out.collect()}
+    by = out.groupBy("lbl").count().collect()
+    counts = {r["lbl"]: r["count"] for r in by}
+    # minority kept (rate 1.0 -> all 100); majority ~100 (±sampling)
+    assert counts["small"] == 100
+    assert 60 <= counts["big"] <= 140
+    # deterministic replay
+    again = {r["lbl"]: r["count"] for r in balanced_sample(
+        df, "lbl", ["id"], hash_fn="md5").groupBy("lbl").count().collect()}
+    assert again == counts
+
+
+def test_balanced_sample_no_collect_in_plan(spark):
+    from pipelines_rj_sms_spark.functions.sampling import balanced_sample
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "lbl"])
+    plan = balanced_sample(df, "lbl", ["id"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
