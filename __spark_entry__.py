@@ -3164,6 +3164,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = balanced_sample(docs, "lang", ["doc_id"], hash_fn="md5")
         return out.select("doc_id", "lang")
 
+    def leakage_safe_split_q(spark, sf_dir):
+        """Near-dup-aware train/test split: the split key is the
+        dedup COMPONENT, not the document — near-duplicate docs can
+        never straddle train and test (the contamination mode a plain
+        per-doc split invites). Composes ngram-Jaccard edges →
+        connected components → md5 hash split on the component id."""
+        from pipelines_rj_sms_spark.functions.sampling import hash_split
+        docs = _t(spark, sf_dir, "documents")
+        edges = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                          shingle_n=3, threshold=0.5)
+        comp = dedup.connected_components(edges, nodes=docs,
+                                          node_col="doc_id")
+        out = hash_split(comp, ["component"], train_pct=80,
+                         hash_fn="md5")
+        return out.select(F.col("node").alias("doc_id"),
+                          "component", "split")
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3361,6 +3378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_trends": trend_q,
         "nb_lang_eval_report": nb_eval_q,
         "balanced_lang_sample": balanced_q,
+        "leakage_safe_split": leakage_safe_split_q,
     }
 
 
@@ -4525,6 +4543,13 @@ FROM documents JOIN counts USING (lang) CROSS JOIN mn
 WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                 AS BIGINT) % 1048576 AS DOUBLE)
       < 1048576.0 * minn / nc
+""",
+        "leakage_safe_split": f"""
+WITH comp AS ({_COMPONENTS_DUCK})
+SELECT node AS doc_id, component,
+       CASE WHEN {_duck_md5_bucket("CAST(component AS VARCHAR)")} % 100 < 80
+            THEN 'train' ELSE 'test' END AS split
+FROM comp
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (
