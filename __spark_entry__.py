@@ -3181,6 +3181,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(F.col("node").alias("doc_id"),
                           "component", "split")
 
+    def pop_q(spark, sf_dir):
+        """Month-over-month revenue deltas and growth ratios per
+        priority class: one lag window over the monthly rollup."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            period_over_period)
+        orders = _t(spark, sf_dir, "orders")
+        units = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        monthly = (orders.withColumn("_u", units)
+                   .groupBy("o_orderpriority",
+                            F.date_trunc("month", F.col("o_orderdate"))
+                            .alias("month"))
+                   .agg((F.sum("_u") / 100.0).alias("revenue")))
+        return period_over_period(monthly, "month", "revenue",
+                                  key_cols=["o_orderpriority"])
+
+    def seasonal_q(spark, sf_dir):
+        """Day-of-week seasonality fingerprint of event values per
+        type: season rollup + broadcast overall mean — which weekday
+        carries the load, and by what factor."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            seasonal_profile)
+        ev = _t(spark, sf_dir, "events")
+        return seasonal_profile(ev, "ts", "value",
+                                key_cols=["event_type"], season="dow")
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3379,6 +3404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lang_eval_report": nb_eval_q,
         "balanced_lang_sample": balanced_q,
         "leakage_safe_split": leakage_safe_split_q,
+        "monthly_revenue_growth": pop_q,
+        "event_dow_seasonality": seasonal_q,
     }
 
 
@@ -4550,6 +4577,38 @@ SELECT node AS doc_id, component,
        CASE WHEN {_duck_md5_bucket("CAST(component AS VARCHAR)")} % 100 < 80
             THEN 'train' ELSE 'test' END AS split
 FROM comp
+""",
+        "monthly_revenue_growth": r"""
+WITH monthly AS (
+  SELECT o_orderpriority,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+           AS revenue
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderpriority, month, revenue,
+       lag(revenue, 1) OVER w AS prev_value,
+       round(revenue - lag(revenue, 1) OVER w, 6) AS delta,
+       round(CASE WHEN lag(revenue, 1) OVER w <> 0
+                  THEN (revenue - lag(revenue, 1) OVER w)
+                       / lag(revenue, 1) OVER w END, 6) AS growth
+FROM monthly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+""",
+        "event_dow_seasonality": r"""
+WITH per AS (
+  SELECT event_type, dayofweek(ts) + 1 AS season_idx,
+         sum(value) AS s, count(*) AS n_obs
+  FROM events GROUP BY 1, 2),
+overall AS (
+  SELECT event_type, sum(s) / sum(n_obs) AS omean
+  FROM per GROUP BY 1)
+SELECT event_type, season_idx, n_obs,
+       round(s / n_obs, 6) AS season_mean,
+       round(omean, 6) AS overall_mean,
+       round(s / n_obs - omean, 6) AS deviation,
+       round(CASE WHEN omean <> 0 THEN (s / n_obs) / omean END, 6)
+         AS seasonal_index
+FROM per JOIN overall USING (event_type)
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

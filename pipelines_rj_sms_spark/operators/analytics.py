@@ -567,3 +567,58 @@ def trend_fit(df: DataFrame, x_col: str, y_col: str,
         F.round(F.regr_slope(y, x), 6).alias("slope"),
         F.round(F.regr_intercept(y, x), 6).alias("intercept"),
         F.round(F.regr_r2(y, x), 6).alias("r2"))
+
+
+def period_over_period(df: DataFrame, ts_col: str, value_col: str,
+                       key_cols: list[str] | None = None,
+                       lag_periods: int = 1) -> DataFrame:
+    """Period-over-period change report over a rollup series: previous
+    value at ``lag_periods`` back, absolute delta, and growth ratio
+    (null when the base is 0 or missing) — the MoM/YoY reporting shape.
+    One lag window per key series, O(1) state; feed it a bucketed
+    rollup so rows moved are O(buckets). Ratios round to 6.
+    """
+    keys = [F.col(k) for k in (key_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col))
+    prev = F.lag(value_col, lag_periods).over(w)
+    delta = F.col(value_col) - prev
+    growth = F.when(prev != 0, delta / prev)
+    return df.select(
+        *(key_cols or []), ts_col, value_col,
+        prev.alias("prev_value"),
+        F.round(delta, 6).alias("delta"),
+        F.round(growth, 6).alias("growth"))
+
+
+def seasonal_profile(df: DataFrame, ts_col: str, value_col: str,
+                     key_cols: list[str] | None = None,
+                     season: str = "dow") -> DataFrame:
+    """Seasonality fingerprint of a series: per (keys, season index)
+    mean and its deviation from the key's overall mean — "is Monday
+    systematically heavier?" / "which hour carries the load?".
+    ``season``: ``dow`` (1=Sunday..7, Spark dayofweek convention) or
+    ``hour``. Two hash aggregations (season rollup + key rollup), the
+    overall mean rides back broadcast on the key. Floats round to 6.
+    """
+    if season == "dow":
+        idx = F.dayofweek(F.col(ts_col)).alias("season_idx")
+    elif season == "hour":
+        idx = F.hour(F.col(ts_col)).alias("season_idx")
+    else:
+        raise ValueError(f"season must be dow|hour: {season}")
+    keys = [F.col(k) for k in (key_cols or [])]
+    kn = list(key_cols or [])
+    per = df.groupBy(*keys, idx).agg(
+        F.sum(value_col).alias("_s"), F.count("*").alias("n_obs"))
+    overall = per.groupBy(*keys).agg(
+        (F.sum("_s") / F.sum("n_obs")).alias("_omean"))
+    joined = (per.join(F.broadcast(overall), kn) if kn
+              else per.crossJoin(F.broadcast(overall)))
+    mean = F.col("_s") / F.col("n_obs")
+    return joined.select(
+        *kn, "season_idx", "n_obs",
+        F.round(mean, 6).alias("season_mean"),
+        F.round(F.col("_omean"), 6).alias("overall_mean"),
+        F.round(mean - F.col("_omean"), 6).alias("deviation"),
+        F.round(F.when(F.col("_omean") != 0, mean / F.col("_omean")), 6)
+        .alias("seasonal_index"))

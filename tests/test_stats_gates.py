@@ -112,3 +112,34 @@ def test_trend_fit_exact_line(spark):
     assert got["a"]["r2"] == pytest.approx(1.0)
     assert got["b"]["slope"] == pytest.approx(0.0)
     assert got["b"]["r2"] == pytest.approx(0.0)
+
+
+def test_period_over_period(spark):
+    from datetime import datetime
+    from pipelines_rj_sms_spark.operators.analytics import (
+        period_over_period)
+    rows = [(datetime(2024, m, 1), float(m * 10)) for m in range(1, 5)]
+    df = spark.createDataFrame(rows, ["ts", "v"])
+    out = {r["ts"].month: r.asDict() for r in period_over_period(
+        df, "ts", "v").collect()}
+    assert out[1]["prev_value"] is None and out[1]["growth"] is None
+    assert out[2]["delta"] == 10.0
+    assert out[2]["growth"] == 1.0
+    assert out[4]["growth"] == pytest.approx(round(10 / 30, 6))
+
+
+def test_seasonal_profile_dow(spark):
+    from datetime import datetime
+    from pipelines_rj_sms_spark.operators.analytics import (
+        seasonal_profile)
+    # 2024-01-07 is a Sunday (dayofweek=1)
+    rows = [(datetime(2024, 1, 7), 10.0), (datetime(2024, 1, 14), 20.0),
+            (datetime(2024, 1, 8), 40.0)]  # Mondays heavier
+    df = spark.createDataFrame(rows, ["ts", "v"])
+    out = {r["season_idx"]: r.asDict() for r in seasonal_profile(
+        df, "ts", "v", season="dow").collect()}
+    assert out[1]["season_mean"] == 15.0      # Sundays
+    assert out[2]["season_mean"] == 40.0      # Monday
+    assert out[1]["overall_mean"] == pytest.approx(round(70 / 3, 6))
+    assert out[2]["seasonal_index"] == pytest.approx(
+        round(40 / (70 / 3), 6))
