@@ -3206,6 +3206,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return seasonal_profile(ev, "ts", "value",
                                 key_cols=["event_type"], season="dow")
 
+    def bipartite_q(spark, sf_dir):
+        """Cosine-weighted co-purchase projection of the order↔brand
+        bipartite table (Salton-index degree correction so hub brands
+        don't dominate) — the graph-construction step in front of the
+        components/PageRank/triangle operators."""
+        from pipelines_rj_sms_spark.operators.graph import (
+            project_bipartite)
+        li = _t(spark, sf_dir, "lineitem")
+        part = _t(spark, sf_dir, "part")
+        m = li.join(part, li.l_partkey == part.p_partkey).select(
+            F.col("l_orderkey").alias("g"), F.col("p_brand").alias("i"))
+        return project_bipartite(m, "g", "i", min_common=3)
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3406,6 +3419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": leakage_safe_split_q,
         "monthly_revenue_growth": pop_q,
         "event_dow_seasonality": seasonal_q,
+        "brand_cooccurrence_graph": bipartite_q,
     }
 
 
@@ -4609,6 +4623,24 @@ SELECT event_type, season_idx, n_obs,
        round(CASE WHEN omean <> 0 THEN (s / n_obs) / omean END, 6)
          AS seasonal_index
 FROM per JOIN overall USING (event_type)
+""",
+        "brand_cooccurrence_graph": r"""
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS g, p_brand AS i
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+sized AS (SELECT g, i, count(*) OVER (PARTITION BY g) AS sz FROM base),
+kept AS (SELECT g, i FROM sized WHERE sz <= 1000),
+ic AS (SELECT i, count(*) AS ni FROM kept GROUP BY 1),
+pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_common
+  FROM kept a JOIN kept b ON a.g = b.g AND a.i < b.i
+  GROUP BY 1, 2 HAVING count(*) >= 3)
+SELECT item_a, item_b, n_common,
+       round(n_common / sqrt(CAST(na.ni AS DOUBLE) * nb.ni), 6)
+         AS cosine
+FROM pairs
+JOIN ic na ON item_a = na.i
+JOIN ic nb ON item_b = nb.i
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

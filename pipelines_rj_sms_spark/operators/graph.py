@@ -16,7 +16,7 @@ pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pipelines_rj_sms_spark.operators.cache import track
@@ -249,3 +249,47 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
            .unionByName(e.select(F.col("_b").alias("node")))
            .groupBy("node").agg(F.count("*").alias("degree")))
     return deg.filter(F.col("degree") >= k)
+
+
+def project_bipartite(df: DataFrame, group_col: str, item_col: str,
+                      min_common: int = 1,
+                      max_items_per_group: int = 1000) -> DataFrame:
+    """Weighted unipartite projection of a bipartite membership table:
+    items become nodes, and two items are linked with weight =
+    co-membership count plus its cosine normalization
+    n_ab / sqrt(n_a·n_b) (Salton index — degree-corrected so hub items
+    don't dominate). This is the standard graph-construction step in
+    front of components / PageRank / triangles / k-core (co-purchase,
+    co-authorship, co-diagnosis graphs).
+
+    Same scale posture as `analytics.association_rules`: the candidate
+    generator is a group-key self-equi-join with ``item_a < item_b``
+    inside the condition, one Exchange shared by the dedup, the cap
+    window and both join sides; ``max_items_per_group`` bounds the
+    worst group's fan-out (cap²/2). Degrees join back on item keys.
+    Returns (item_a, item_b, n_common, cosine) with cosine rounded 6.
+    """
+    base = df.select(F.col(group_col).alias("_g"),
+                     F.col(item_col).alias("_i")).distinct()
+    sized = base.withColumn(
+        "_sz", F.count("*").over(Window.partitionBy("_g")))
+    kept = sized.filter(F.col("_sz") <= max_items_per_group).drop("_sz")
+    counts = kept.groupBy(F.col("_i").alias("_it")).agg(
+        F.count("*").alias("_ni"))
+    a = kept.select("_g", F.col("_i").alias("item_a"))
+    b = kept.select("_g", F.col("_i").alias("item_b"))
+    pairs = (a.join(b, (a["_g"] == b["_g"])
+                    & (F.col("item_a") < F.col("item_b")))
+             .groupBy("item_a", "item_b")
+             .agg(F.count("*").alias("n_common"))
+             .filter(F.col("n_common") >= min_common))
+    return (pairs
+            .join(counts.withColumnRenamed("_ni", "_na"),
+                  F.col("item_a") == F.col("_it")).drop("_it")
+            .join(counts.withColumnRenamed("_ni", "_nb"),
+                  F.col("item_b") == F.col("_it")).drop("_it")
+            .select("item_a", "item_b", "n_common",
+                    F.round(F.col("n_common")
+                            / F.sqrt(F.col("_na").cast("double")
+                                     * F.col("_nb")), 6)
+                    .alias("cosine")))

@@ -56,3 +56,25 @@ def test_pagerank_isolated_nodes_and_degrees(spark):
     deg = {r["node"]: (r["out_degree"], r["in_degree"])
            for r in degrees(edges).collect()}
     assert deg == {1: (1, 0), 2: (0, 1)}
+
+
+def test_project_bipartite_weights(spark):
+    from pipelines_rj_sms_spark.operators.graph import project_bipartite
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z")]
+    df = spark.createDataFrame(rows, ["g", "i"])
+    out = {(r["item_a"], r["item_b"]): r.asDict()
+           for r in project_bipartite(df, "g", "i").collect()}
+    xy = out[("x", "y")]
+    assert xy["n_common"] == 2
+    # n_x=3, n_y=2 -> 2/sqrt(6)
+    assert abs(xy["cosine"] - round(2 / 6 ** 0.5, 6)) < 1e-9
+    assert out[("x", "z")]["n_common"] == 1
+
+
+def test_project_bipartite_cap_guard(spark):
+    from pipelines_rj_sms_spark.operators.graph import project_bipartite
+    rows = [(9, f"i{k}") for k in range(30)] + [(1, "a"), (1, "b")]
+    df = spark.createDataFrame(rows, ["g", "i"])
+    out = project_bipartite(df, "g", "i",
+                            max_items_per_group=10).collect()
+    assert {(r["item_a"], r["item_b"]) for r in out} == {("a", "b")}
