@@ -270,6 +270,14 @@ Query key -> SURVEY §2 rows covered:
   event_type_trends         OLS drift per type (regr_* aggregates)
   nb_lang_eval_report       classifier eval: per-class P/R/F1 from the
                             confusion rollup
+  balanced_lang_sample      class-rebalanced corpus (in-plan rates,
+                            md5 hash-draw)
+  leakage_safe_split        train/test split keyed on the dedup
+                            COMPONENT — near-dups never straddle
+  monthly_revenue_growth    MoM deltas + growth ratios (lag window)
+  event_dow_seasonality     day-of-week seasonal indices per type
+  brand_cooccurrence_graph  cosine-weighted bipartite projection
+                            (Salton index, capped self-join)
 """
 
 from __future__ import annotations
