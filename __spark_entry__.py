@@ -3227,6 +3227,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("l_orderkey").alias("g"), F.col("p_brand").alias("i"))
         return project_bipartite(m, "g", "i", min_common=3)
 
+    def containment_q(spark, sf_dir):
+        """Asymmetric containment pairs over the documents corpus —
+        Broder's coefficient both ways per pair; catches short-inside-
+        long duplication the symmetric Jaccard threshold misses."""
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.containment_pairs(docs, "doc_id", "text",
+                                       shingle_n=3, threshold=0.6)
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3428,6 +3436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_revenue_growth": pop_q,
         "event_dow_seasonality": seasonal_q,
         "brand_cooccurrence_graph": bipartite_q,
+        "doc_containment_pairs": containment_q,
     }
 
 
@@ -4649,6 +4658,21 @@ SELECT item_a, item_b, n_common,
 FROM pairs
 JOIN ic na ON item_a = na.i
 JOIN ic nb ON item_b = nb.i
+""",
+        "doc_containment_pairs": f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks),
+ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, inter,
+       round(inter / n_a, 6) AS containment_a,
+       round(inter / n_b, 6) AS containment_b
+FROM pairs
+WHERE greatest(inter / n_a, inter / n_b) >= 0.6
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

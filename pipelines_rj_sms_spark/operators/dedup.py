@@ -727,3 +727,46 @@ def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
         .select("id_a", "id_b", "hamming")
     )
     return track(out, parts)
+
+
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      shingle_n: int = 3,
+                      threshold: float = 0.8) -> DataFrame:
+    """Asymmetric shingle containment — the quote/subset detector the
+    symmetric Jaccard misses: a short doc fully embedded in a long one
+    has tiny Jaccard but containment(short→long) ≈ 1. Broder's
+    containment coefficient |A∩B|/|A| (public), both directions per
+    pair; pairs qualify when EITHER direction reaches ``threshold``.
+
+    Same execution shape as `ngram_jaccard_pairs` (8-byte shingle-hash
+    equi-join, id_a < id_b inside the condition, persisted shingle
+    subplan) minus the length-ratio prune — size asymmetry is exactly
+    what containment looks for, so that prune would delete the signal.
+    Consequence: hot shingles fan out unpruned; at scale feed LSH/
+    winnowing candidates upstream or cap document frequency before
+    this verify. Returns (id_a, id_b, inter, containment_a,
+    containment_b) — containment_a = share of A's shingles inside B.
+    """
+    sh = df.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
+    ).select(id_col, "_sh", F.size("_sh").alias("_n"))
+    sh = _parallelize_narrow(sh).persist()
+    exploded = sh.select(
+        id_col, "_n",
+        F.explode(F.transform("_sh", lambda s: F.xxhash64(s))).alias("_s"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a._s") == F.col("b._s"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"),
+                 F.col("a._n").alias("_na"),
+                 F.col("b._n").alias("_nb"))
+        .agg(F.count("*").alias("inter")))
+    ca = F.col("inter") / F.col("_na")
+    cb = F.col("inter") / F.col("_nb")
+    out = (inter.filter(F.greatest(ca, cb) >= threshold)
+           .select("id_a", "id_b", "inter",
+                   F.round(ca, 6).alias("containment_a"),
+                   F.round(cb, 6).alias("containment_b")))
+    return track(out, sh)

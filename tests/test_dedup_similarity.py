@@ -326,3 +326,24 @@ def test_cluster_cohesion_orders_tight_clusters_first(spark):
     assert abs(got["tight"]["mean_cos"] - 1.0) < 1e-12
     assert got["loose"]["mean_cos"] < 0.8
     assert got["tight"]["n_vectors"] == 4
+
+
+def test_containment_detects_embedded_quote(spark):
+    from pipelines_rj_sms_spark.operators.cache import release
+    from pipelines_rj_sms_spark.operators.dedup import containment_pairs
+    long = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi omicron pi rho sigma")
+    short = "delta epsilon zeta eta theta iota"
+    other = "one two three four five six seven eight nine"
+    df = spark.createDataFrame(
+        [(1, long), (2, short), (3, other)], ["doc_id", "text"])
+    out = containment_pairs(df, "doc_id", "text", shingle_n=3,
+                            threshold=0.9)
+    rows = out.collect()
+    release(out)
+    got = {(r["id_a"], r["id_b"]): r.asDict() for r in rows}
+    assert (1, 2) in got
+    # every one of short's 4 shingles appears in long
+    assert got[(1, 2)]["containment_b"] == 1.0
+    assert got[(1, 2)]["containment_a"] < 0.5
+    assert not any(3 in k for k in got)
