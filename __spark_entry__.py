@@ -3235,6 +3235,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.containment_pairs(docs, "doc_id", "text",
                                        shingle_n=3, threshold=0.6)
 
+    def diversity_q(spark, sf_dir):
+        """Corpus-mix audit per source: language entropy / normalized
+        entropy / Simpson concentration from the collapsed
+        (source, lang) rollup — margins never touch raw rows."""
+        from pipelines_rj_sms_spark.quality.profile import (
+            diversity_report)
+        docs = _t(spark, sf_dir, "documents")
+        return diversity_report(docs, ["source"], "lang")
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3437,6 +3446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_dow_seasonality": seasonal_q,
         "brand_cooccurrence_graph": bipartite_q,
         "doc_containment_pairs": containment_q,
+        "source_lang_diversity": diversity_q,
     }
 
 
@@ -4673,6 +4683,23 @@ SELECT id_a, id_b, inter,
        round(inter / n_b, 6) AS containment_b
 FROM pairs
 WHERE greatest(inter / n_a, inter / n_b) >= 0.6
+""",
+        "source_lang_diversity": r"""
+WITH joint AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+p AS (
+  SELECT source, lang, n,
+         CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY source) AS p
+  FROM joint)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       count(*) AS n_categories,
+       round(sum(-p * ln(p)), 6) AS entropy,
+       round(CASE WHEN count(*) > 1
+                  THEN sum(-p * ln(p)) / ln(CAST(count(*) AS DOUBLE))
+                  ELSE 0.0 END, 6) AS entropy_normalized,
+       round(sum(p * p), 6) AS simpson
+FROM p GROUP BY 1
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

@@ -121,3 +121,39 @@ def mutual_information(df: DataFrame, col_a: str,
             .select(contrib.alias("_mi"), F.col("_n"))
             .agg(F.sum("_mi").alias("mi_nats"),
                  F.sum("_n").cast("bigint").alias("n_rows")))
+
+
+def diversity_report(df, group_cols: list[str], category_col: str):
+    """Per-group categorical diversity audit: Shannon entropy (nats),
+    normalized entropy (vs ln of the category count), and the Simpson
+    concentration Σp² — the corpus-mix gate ("is this source all one
+    language?" / "did the mix collapse after filtering?").
+
+    One hash aggregation collapses to (group, category) counts; group
+    margins come from a window over the COLLAPSED rollup (cardinality
+    = groups x categories), never the data — same discipline as
+    `mutual_information`. Nulls count as a category. Floats round 6.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    gcols = [F.col(c) for c in group_cols]
+    joint = df.groupBy(*gcols, F.col(category_col).alias("_cat")).agg(
+        F.count("*").alias("_n"))
+    w = Window.partitionBy(*gcols)
+    tot = F.sum("_n").over(w)
+    p = F.col("_n") / tot
+    return (joint
+            .withColumn("_p", p)
+            .groupBy(*gcols)
+            .agg(F.sum("_n").cast("bigint").alias("n_rows"),
+                 F.count("*").alias("n_categories"),
+                 F.round(F.sum(-F.col("_p") * F.log("_p")), 6)
+                 .alias("entropy"),
+                 F.round(F.when(
+                     F.count("*") > 1,
+                     F.sum(-F.col("_p") * F.log("_p"))
+                     / F.log(F.count("*").cast("double")))
+                     .otherwise(F.lit(0.0)), 6)
+                 .alias("entropy_normalized"),
+                 F.round(F.sum(F.col("_p") * F.col("_p")), 6)
+                 .alias("simpson")))

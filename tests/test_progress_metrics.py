@@ -52,3 +52,21 @@ def test_scan_metrics_and_cost(spark, tmp_path):
     assert rep["alert"] is False  # tiny scan, far below $0.50
     # cost model constant: 1 TiB -> $6.25
     assert estimate_cost_usd(1 << 40) == 6.25
+
+
+def test_diversity_report_uniform_vs_collapsed(spark):
+    import math
+    import pytest
+    from pipelines_rj_sms_spark.quality.profile import diversity_report
+    rows = [("u", c) for c in "abcd"] + [("k", "x")] * 4
+    df = spark.createDataFrame(rows, ["g", "cat"])
+    got = {r["g"]: r.asDict()
+           for r in diversity_report(df, ["g"], "cat").collect()}
+    u = got["u"]
+    assert u["n_categories"] == 4
+    assert u["entropy"] == pytest.approx(round(math.log(4), 6))
+    assert u["entropy_normalized"] == 1.0
+    assert u["simpson"] == 0.25
+    k = got["k"]
+    assert k["entropy"] == 0.0 and k["simpson"] == 1.0
+    assert k["entropy_normalized"] == 0.0
