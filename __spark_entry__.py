@@ -3244,6 +3244,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return diversity_report(docs, ["source"], "lang")
 
+    def calibration_q(spark, sf_dir):
+        """Reliability table for the NB classifier: accuracy per
+        score quintile (6dp-pinned equal-population boundaries, no
+        global sort) — do higher scores predict more reliably?"""
+        from pipelines_rj_sms_spark.operators.classify import (
+            calibration_report, nb_predict, nb_train)
+        docs = _t(spark, sf_dir, "documents")
+        terms, classes = nb_train(docs, "lang", "text")
+        pred = nb_predict(docs, "doc_id", "text", terms, classes)
+        scored = (pred.join(docs.select("doc_id", "lang"), "doc_id")
+                  .select("score",
+                          (F.col("label") == F.col("lang"))
+                          .alias("correct")))
+        return calibration_report(scored, "score", "correct",
+                                  n_buckets=5)
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3447,6 +3463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_cooccurrence_graph": bipartite_q,
         "doc_containment_pairs": containment_q,
         "source_lang_diversity": diversity_q,
+        "nb_score_calibration": calibration_q,
     }
 
 
@@ -4700,6 +4717,54 @@ SELECT source,
                   ELSE 0.0 END, 6) AS entropy_normalized,
        round(sum(p * p), 6) AS simpson
 FROM p GROUP BY 1
+""",
+        "nb_score_calibration": r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tc AS (SELECT lang AS label, term, count(*) AS n_lt FROM toks GROUP BY 1, 2),
+ct AS (SELECT label, sum(n_lt) AS tok_c FROM tc GROUP BY 1),
+vocab AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tc),
+priors AS (SELECT lang AS label, count(*) AS n_c FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n_c) AS DOUBLE) AS n FROM priors),
+classes AS (
+  SELECT label, ln(n_c / n) AS ln_prior, ln(tok_c + v) AS ln_denom
+  FROM priors JOIN ct USING (label) CROSS JOIN vocab CROSS JOIN tot),
+model AS (SELECT label, term, ln(n_lt + 1.0) AS lw FROM tc),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS DOUBLE) AS dl
+  FROM documents),
+hits AS (
+  SELECT doc_id, label, sum(tf * lw) AS hit
+  FROM tf JOIN model USING (term) GROUP BY 1, 2),
+scores AS (
+  SELECT doc_id, label,
+         round(ln_prior - dl * ln_denom + coalesce(hit, 0.0), 6) AS score
+  FROM dl CROSS JOIN classes
+  LEFT JOIN hits USING (doc_id, label)),
+best AS (
+  SELECT doc_id, label, score
+  FROM scores
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, label) = 1),
+scored AS (
+  SELECT b.score, b.label = d.lang AS correct
+  FROM best b JOIN documents d ON b.doc_id = d.doc_id),
+bnd AS (
+  SELECT list_transform(quantile_cont(score, [0.2, 0.4, 0.6, 0.8]),
+                        x -> round(x, 6)) AS bb
+  FROM scored)
+SELECT len(list_filter(bb, x -> x < score)) AS bucket,
+       count(*) AS n,
+       round(avg(score), 6) AS mean_score,
+       round(avg(CASE WHEN correct THEN 1 ELSE 0 END), 6) AS accuracy
+FROM scored CROSS JOIN bnd
+GROUP BY 1
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

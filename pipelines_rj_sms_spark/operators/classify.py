@@ -170,3 +170,33 @@ def classification_report(df: DataFrame, actual_col: str,
                    F.round(rec, 6).alias("recall"),
                    F.round(f1, 6).alias("f1")),
         joint)
+
+
+def calibration_report(df: DataFrame, score_col: str, correct_col: str,
+                       n_buckets: int = 10) -> DataFrame:
+    """Score-calibration diagnostic: bucket predictions into
+    equal-population score deciles and report accuracy per bucket —
+    "are higher-confidence predictions actually more often right?"
+    (the reliability-diagram table; for log-likelihood scores it reads
+    as a ranking diagnostic rather than probability calibration).
+
+    Same no-global-sort discipline as `equi_depth_histogram`: exact
+    interpolated percentile boundaries (6dp-pinned, one broadcast
+    row), codegen'd count-of-boundaries-below assignment, one hash
+    aggregation. Returns (bucket, n, mean_score, accuracy), floats
+    rounded to 6.
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = F.broadcast(df.agg(F.transform(
+        F.expr(f"percentile({score_col}, "
+               f"array({', '.join(map(str, qs))}))"),
+        lambda b: F.round(b, 6)).alias("_b")))
+    bucket = F.size(F.filter(F.col("_b"),
+                             lambda b: b < F.col(score_col)))
+    return (df.crossJoin(bounds)
+            .select(bucket.alias("bucket"), F.col(score_col).alias("_s"),
+                    F.col(correct_col).cast("int").alias("_c"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("_s"), 6).alias("mean_score"),
+                 F.round(F.avg("_c"), 6).alias("accuracy")))

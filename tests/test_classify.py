@@ -101,3 +101,19 @@ def test_classification_report_hand_computed(spark):
     assert got["b"]["f1"] == 0.5
     # c: never predicted -> precision 0, recall 0, f1 0
     assert got["c"]["precision"] == 0.0 and got["c"]["f1"] == 0.0
+
+
+def test_calibration_report_monotone_toy(spark):
+    from pipelines_rj_sms_spark.operators.classify import (
+        calibration_report)
+    # scores 0..99; correct iff score >= 50 -> low buckets 0 accuracy,
+    # high buckets 1.0
+    rows = [(float(s), s >= 50) for s in range(100)]
+    df = spark.createDataFrame(rows, ["score", "correct"])
+    out = {r["bucket"]: r.asDict()
+           for r in calibration_report(df, "score", "correct",
+                                       n_buckets=4).collect()}
+    assert out[0]["accuracy"] == 0.0
+    assert out[3]["accuracy"] == 1.0
+    assert sum(r["n"] for r in out.values()) == 100
+    assert out[0]["mean_score"] < out[3]["mean_score"]
