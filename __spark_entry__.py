@@ -892,6 +892,45 @@ _DENSITY_DEG_LAT = 3.0 / 110.574
 _DENSITY_DEG_LON = 3.0 / (111.320 * abs(_math.cos(_math.radians(-23.0))))
 
 
+def _duck_ppr_sql(n_iter: int = 3, d: float = 0.85) -> str:
+    """Unrolled personalized PageRank (seed = Brand#11 parts) over the
+    symmetric part<->supplier graph — companion to _duck_pagerank_sql
+    with the teleport mass on the seed distribution."""
+    one_minus_d = repr(1.0 - d)
+    dd = repr(d)
+    parts = [f"""
+WITH fwd AS (
+  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+  FROM lineitem),
+edges AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+seeds AS (
+  SELECT p_partkey AS node, 1.0 AS w FROM part
+  WHERE p_brand = 'Brand#11'),
+wt AS (SELECT sum(w) AS wt FROM seeds),
+pv AS (
+  SELECT nodes.node,
+         coalesce(s.w / wt.wt, 0.0) AS pv
+  FROM nodes CROSS JOIN wt LEFT JOIN seeds s ON nodes.node = s.node),
+p0 AS (SELECT node, pv AS pr FROM pv)"""]
+    prev = "p0"
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+m{i} AS (
+  SELECT e.dst AS node, sum(p.pr / d.outdeg) AS m
+  FROM edges e JOIN {prev} p ON e.src = p.node
+  JOIN deg d ON e.src = d.src GROUP BY e.dst),
+p{i} AS (
+  SELECT pv.node,
+         CAST({one_minus_d} AS DOUBLE) * pv.pv
+         + CAST({dd} AS DOUBLE) * coalesce(m{i}.m, 0.0) AS pr
+  FROM pv LEFT JOIN m{i} ON pv.node = m{i}.node)""")
+        prev = f"p{i}"
+    parts.append(f"\nSELECT node, round(pr, 6) AS pr FROM {prev}")
+    return "".join(parts)
+
+
 def _duck_pagerank_sql(n_iter: int = 3, d: float = 0.85) -> str:
     """Unrolled power iterations of graph.pagerank over the symmetric
     part<->supplier graph; literals injected as exact double reprs so
@@ -3260,6 +3299,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return calibration_report(scored, "score", "correct",
                                   n_buckets=5)
 
+    def ppr_q(spark, sf_dir):
+        """Personalized PageRank (random walk with restart) seeded on
+        Brand#11's parts over the part↔supplier graph — 'related
+        items' scoring relative to a seed set; teleport mass lands on
+        the seeds only."""
+        from pipelines_rj_sms_spark.operators.graph import pagerank
+        li = _t(spark, sf_dir, "lineitem")
+        part = _t(spark, sf_dir, "part")
+        fwd = li.select(F.col("l_partkey").alias("src"),
+                        (F.col("l_suppkey") + 1000000).alias("dst")) \
+            .distinct()
+        edges = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst")))
+        seeds = (part.filter(F.col("p_brand") == "Brand#11")
+                 .select(F.col("p_partkey").alias("node"),
+                         F.lit(1.0).alias("weight")))
+        pr = pagerank(edges, n_iter=3, assume_no_dangling=True,
+                      assume_distinct_edges=True, broadcast_ranks=True,
+                      nodes=edges, node_col="src",
+                      personalization=seeds)
+        return pr.select("node", F.round("pr", 6).alias("pr"))
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3464,6 +3526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_containment_pairs": containment_q,
         "source_lang_diversity": diversity_q,
         "nb_score_calibration": calibration_q,
+        "personalized_pagerank_brand11": ppr_q,
     }
 
 
@@ -3914,6 +3977,7 @@ SELECT event_id, event_type,
 FROM miss JOIN med USING (event_type)
 """,
         "pagerank_part_supplier": _duck_pagerank_sql(3, 0.85),
+        "personalized_pagerank_brand11": _duck_ppr_sql(3, 0.85),
         # the sketch estimate is audited, not hash-compared (CMS
         # guarantees: never undercounts; overcount bounded) — the
         # oracle pins the exact join size and the audit verdicts

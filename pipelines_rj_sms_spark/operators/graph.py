@@ -29,7 +29,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              assume_no_dangling: bool = False,
              broadcast_ranks: bool = False,
              assume_distinct_edges: bool = False,
-             checkpoint_interval: int = 5) -> DataFrame:
+             checkpoint_interval: int = 5,
+             personalization: DataFrame | None = None,
+             personalization_node_col: str = "node",
+             personalization_weight_col: str = "weight") -> DataFrame:
     """(node, pr) after ``n_iter`` synchronous power iterations of the
     standard PageRank recurrence (public formulation):
 
@@ -49,6 +52,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     pass it when the caller already guarantees unique (src, dst) pairs
     (e.g. built from a distinct projection), deleting a full shuffle
     of the edge list from setup.
+    ``personalization`` switches to personalized PageRank (the
+    random-walk-with-restart form): the teleport mass lands on the
+    seed distribution instead of uniformly — pr = (1-d)·p(v) +
+    d·(Σ contrib + dangling·p(v)), p normalized over the seed weights
+    and 0 elsewhere. Seeds ride as one broadcast join onto the vertex
+    frame; everything else is unchanged. Initial state = p(v).
     ``checkpoint_interval`` truncates lineage with a non-eager
     ``localCheckpoint`` every that-many rounds — NOT every round:
     measured at sf0.1 (21k nodes / 1.2M edges, 3 iterations) the
@@ -86,13 +95,26 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     base = base.persist()
     deg = e.groupBy("_s").agg(F.count("*").alias("_outdeg")).persist()
     n = F.broadcast(base.agg(F.count("*").cast("double").alias("_n")))
+    if personalization is not None:
+        seeds = personalization.select(
+            F.col(personalization_node_col).alias("node"),
+            F.col(personalization_weight_col).cast("double").alias("_w"))
+        wtot = F.broadcast(seeds.agg(F.sum("_w").alias("_wt")))
+        pv = seeds.crossJoin(wtot).select(
+            "node", (F.col("_w") / F.col("_wt")).alias("_pv"))
+        base = (base.join(F.broadcast(pv), "node", "left")
+                .select("node", F.coalesce("_pv", F.lit(0.0)).alias("_pv"))
+                .persist())
 
     # non-eager checkpoints: lineage still truncates per round, but
     # materialization folds into the caller's single action instead of
     # one driver-blocking job per iteration
-    pr = base.crossJoin(n).select(
-        "node",
-        (F.lit(1.0) / F.col("_n")).alias("pr"))
+    if personalization is not None:
+        pr = base.select("node", F.col("_pv").alias("pr"))
+    else:
+        pr = base.crossJoin(n).select(
+            "node",
+            (F.lit(1.0) / F.col("_n")).alias("pr"))
 
     d = float(damping)
     for _i in range(n_iter):
@@ -109,17 +131,19 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             .select(F.col("_d").alias("node"), "_m")
         )
         nxt = base.join(contrib, "node", "left").crossJoin(n)
+        reset = (F.col("_pv") if personalization is not None
+                 else F.lit(1.0) / F.col("_n"))
         if assume_no_dangling:
-            rank = (F.lit((1.0 - d)) / F.col("_n")
+            rank = (F.lit((1.0 - d)) * reset
                     + F.lit(d) * F.coalesce(F.col("_m"), F.lit(0.0)))
         else:
             dangling = F.broadcast(
                 pr.join(deg, pr["node"] == deg["_s"], "left_anti")
                 .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm")))
             nxt = nxt.crossJoin(dangling)
-            rank = (F.lit((1.0 - d)) / F.col("_n")
+            rank = (F.lit((1.0 - d)) * reset
                     + F.lit(d) * (F.coalesce(F.col("_m"), F.lit(0.0))
-                                  + F.col("_dm") / F.col("_n")))
+                                  + F.col("_dm") * reset))
         pr = nxt.select("node", rank.alias("pr"))
         if (_i + 1) % checkpoint_interval == 0 and _i + 1 < n_iter:
             pr = pr.localCheckpoint(False)

@@ -78,3 +78,31 @@ def test_project_bipartite_cap_guard(spark):
     out = project_bipartite(df, "g", "i",
                             max_items_per_group=10).collect()
     assert {(r["item_a"], r["item_b"]) for r in out} == {("a", "b")}
+
+
+def test_personalized_pagerank_concentrates_near_seed(spark):
+    from pipelines_rj_sms_spark.operators.graph import pagerank
+    # path graph 1-2-3-4-5 (symmetric), seed on node 1
+    und = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"])
+    seeds = spark.createDataFrame([(1, 1.0)], ["node", "weight"])
+    pr = {r["node"]: r["pr"] for r in pagerank(
+        edges, n_iter=8, assume_no_dangling=True,
+        personalization=seeds).collect()}
+    # monotone decay away from the seed; mass conserved
+    assert pr[1] > pr[2] > pr[3] > pr[4]
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_zero_for_unreachable(spark):
+    from pipelines_rj_sms_spark.operators.graph import pagerank
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (4, 3)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1, 1.0)], ["node", "weight"])
+    pr = {r["node"]: r["pr"] for r in pagerank(
+        edges, n_iter=6, assume_no_dangling=True,
+        personalization=seeds).collect()}
+    # disconnected component gets no teleport and no walk mass
+    assert pr[3] == 0.0 and pr[4] == 0.0
+    assert pr[1] > 0.5
