@@ -3322,6 +3322,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       personalization=seeds)
         return pr.select("node", F.round("pr", 6).alias("pr"))
 
+    def bigram_lm_q(spark, sf_dir):
+        """Per-doc mean bigram log-probability under the corpus's own
+        add-one bigram LM — the sharper perplexity proxy (catches
+        scrambled word salad unigram scoring can't see)."""
+        from pipelines_rj_sms_spark.operators.terms import bigram_logprob
+        docs = _t(spark, sf_dir, "documents")
+        return bigram_logprob(docs, "doc_id", "text")
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3527,6 +3535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_lang_diversity": diversity_q,
         "nb_score_calibration": calibration_q,
         "personalized_pagerank_brand11": ppr_q,
+        "doc_bigram_logprob": bigram_lm_q,
     }
 
 
@@ -4829,6 +4838,37 @@ SELECT len(list_filter(bb, x -> x < score)) AS bucket,
        round(avg(CASE WHEN correct THEN 1 ELSE 0 END), 6) AS accuracy
 FROM scored CROSS JOIN bnd
 GROUP BY 1
+""",
+        "doc_bigram_logprob": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+bgs AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) > 1
+                     THEN list_transform(range(len(toks) - 1),
+                                         i -> toks[i+1] || ' ' || toks[i+2])
+                     ELSE [] END) AS bg
+  FROM t),
+tf AS (SELECT doc_id, bg, count(*) AS tf FROM bgs GROUP BY 1, 2),
+cnt AS (SELECT bg, count(*) AS cbg FROM bgs GROUP BY 1),
+ctx AS (
+  SELECT string_split(bg, ' ')[1] AS v, count(*) AS cv
+  FROM bgs GROUP BY 1),
+vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab
+  FROM (SELECT unnest(toks) AS tok FROM t))
+SELECT doc_id,
+       round(sum(tf * ln((cbg + 1.0) / (cv + vocab))) / sum(tf), 6)
+         AS mean_bigram_logprob,
+       sum(tf) AS n_bigrams
+FROM tf
+JOIN cnt USING (bg)
+JOIN ctx ON string_split(bg, ' ')[1] = ctx.v
+CROSS JOIN vocab
+GROUP BY doc_id
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

@@ -202,3 +202,36 @@ def feature_hash(df: DataFrame, id_col: str, text_col: str,
             .groupBy(id_col, "bucket")
             .agg(F.sum("_s").alias("weight"))
             .filter(F.col("weight") != 0))
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean BIGRAM log-probability under the corpus's own
+    add-one-smoothed bigram model — the sharper perplexity proxy
+    (unigram scoring can't see scrambled word salad; a bigram model
+    can): p(w|v) = (count(v w) + 1) / (count(v·) + V), doc score =
+    Σ tf·ln p / n_bigrams.
+
+    Same shape as `unigram_logprob` one order up: bigram explode is a
+    narrow projection, counts are hash aggs keyed on short strings,
+    context totals join on the first word, vocab rides broadcast.
+    Returns (id, mean_bigram_logprob, n_bigrams); docs under 2 tokens
+    get a null score.
+    """
+    bgs = df.select(F.col(id_col),
+                    F.explode(token_bigrams(text_col)).alias("bg"))
+    tf = bgs.groupBy(id_col, "bg").agg(F.count("*").alias("tf"))
+    cnt = bgs.groupBy("bg").agg(F.count("*").alias("cbg"))
+    ctx = (bgs.select(F.split(F.col("bg"), " ")[0].alias("v"))
+           .groupBy("v").agg(F.count("*").alias("cv")))
+    vocab = F.broadcast(
+        df.select(F.explode(tokens(text_col)).alias("t"))
+        .agg(F.count_distinct("t").cast("double").alias("_vocab")))
+    logp = F.log((F.col("cbg") + 1.0) / (F.col("cv") + F.col("_vocab")))
+    return (tf.join(cnt, "bg")
+            .withColumn("v", F.split(F.col("bg"), " ")[0])
+            .join(ctx, "v")
+            .crossJoin(vocab)
+            .groupBy(id_col)
+            .agg(F.round(F.sum(F.col("tf") * logp) / F.sum("tf"), 6)
+                 .alias("mean_bigram_logprob"),
+                 F.sum("tf").alias("n_bigrams")))

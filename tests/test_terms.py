@@ -136,3 +136,29 @@ def test_feature_hash_md5_portable(spark):
       SELECT bucket, sum(s) AS weight FROM h GROUP BY 1
       HAVING sum(s) <> 0 ORDER BY 1""").fetchall()
     assert [(b, int(w)) for b, w in duck] == [(b, int(w)) for b, w in got]
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+    from pipelines_rj_sms_spark.operators.terms import bigram_logprob
+    docs = [(1, "a b a b"), (2, "a b")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict()
+           for r in bigram_logprob(df, "doc_id", "text").collect()}
+    # corpus bigrams: doc1: "a b","b a","a b"; doc2: "a b"
+    # counts: "a b"->3, "b a"->1 ; contexts: a->3, b->1 ; vocab=2
+    p_ab = math.log((3 + 1) / (3 + 2))
+    p_ba = math.log((1 + 1) / (1 + 2))
+    exp1 = (2 * p_ab + 1 * p_ba) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["mean_bigram_logprob"] - round(exp1, 6)) < 1e-9
+    assert abs(out[2]["mean_bigram_logprob"] - round(p_ab, 6)) < 1e-9
+
+
+def test_bigram_logprob_short_doc_excluded(spark):
+    from pipelines_rj_sms_spark.operators.terms import bigram_logprob
+    df = spark.createDataFrame([(1, "solo"), (2, "a b")],
+                               ["doc_id", "text"])
+    got = {r["doc_id"] for r in bigram_logprob(
+        df, "doc_id", "text").collect()}
+    assert got == {2}  # 1-token doc emits no bigram rows
