@@ -3330,6 +3330,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return bigram_logprob(docs, "doc_id", "text")
 
+    def zipf_q(spark, sf_dir):
+        """Zipf spectrum fit of the documents corpus (ln freq vs ln
+        rank OLS): natural text ≈ slope -1; the boilerplate/synthetic
+        corpus detector. Rank window runs over the collapsed
+        vocabulary only."""
+        from pipelines_rj_sms_spark.operators.terms import zipf_fit
+        docs = _t(spark, sf_dir, "documents")
+        return zipf_fit(docs, "text", min_count=2)
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3536,6 +3545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_score_calibration": calibration_q,
         "personalized_pagerank_brand11": ppr_q,
         "doc_bigram_logprob": bigram_lm_q,
+        "corpus_zipf_fit": zipf_q,
     }
 
 
@@ -4869,6 +4879,24 @@ JOIN cnt USING (bg)
 JOIN ctx ON string_split(bg, ' ')[1] = ctx.v
 CROSS JOIN vocab
 GROUP BY doc_id
+""",
+        "corpus_zipf_fit": r"""
+WITH cnt AS (
+  SELECT tok AS t, count(*) AS c FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents)
+  GROUP BY 1 HAVING count(*) >= 2),
+ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, t ASC) AS DOUBLE))
+           AS lr,
+         ln(CAST(c AS DOUBLE)) AS lf
+  FROM cnt)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(lf, lr), 6) AS slope,
+       round(regr_intercept(lf, lr), 6) AS intercept,
+       round(regr_r2(lf, lr), 6) AS r2
+FROM ranked
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

@@ -235,3 +235,30 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .agg(F.round(F.sum(F.col("tf") * logp) / F.sum("tf"), 6)
                  .alias("mean_bigram_logprob"),
                  F.sum("tf").alias("n_bigrams")))
+
+
+def zipf_fit(df: DataFrame, text_col: str,
+             min_count: int = 2) -> DataFrame:
+    """Zipf's-law diagnostic of the corpus's token frequency spectrum:
+    OLS fit of ln(freq) against ln(rank) — natural text sits near
+    slope -1; heavily templated/boilerplate or synthetic corpora bend
+    away (too flat = deduped boilerplate, too steep = tiny vocab).
+
+    One token hash agg, one rank window over the COLLAPSED vocabulary
+    (|V| rows, never tokens), one regr_* aggregation. Ranks order by
+    (freq desc, term asc) so ties are deterministic. Returns a single
+    row (n_terms, slope, intercept, r2), floats rounded to 6.
+    """
+    cnt = (df.select(F.explode(tokens(text_col)).alias("t"))
+           .groupBy("t").agg(F.count("*").alias("c"))
+           .filter(F.col("c") >= min_count))
+    w = Window.orderBy(F.col("c").desc(), F.col("t").asc())
+    ranked = cnt.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lr"),
+        F.log(F.col("c").cast("double")).alias("lf"))
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.round(F.regr_slope(F.col("lf"), F.col("lr")), 6).alias("slope"),
+        F.round(F.regr_intercept(F.col("lf"), F.col("lr")), 6)
+        .alias("intercept"),
+        F.round(F.regr_r2(F.col("lf"), F.col("lr")), 6).alias("r2"))

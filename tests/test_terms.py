@@ -162,3 +162,16 @@ def test_bigram_logprob_short_doc_excluded(spark):
     got = {r["doc_id"] for r in bigram_logprob(
         df, "doc_id", "text").collect()}
     assert got == {2}  # 1-token doc emits no bigram rows
+
+
+def test_zipf_fit_synthetic_power_law(spark):
+    from pipelines_rj_sms_spark.operators.terms import zipf_fit
+    # construct counts following freq = 1000 / rank exactly
+    words = []
+    for rank in range(1, 21):
+        words += [f"w{rank:02d}"] * (1000 // rank)
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    out = zipf_fit(df, "text").collect()[0]
+    assert out["n_terms"] == 20
+    assert -1.1 < out["slope"] < -0.9
+    assert out["r2"] > 0.99
