@@ -320,3 +320,53 @@ def stream_scd2(stream_df: DataFrame, history_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_expectations(stream_df: DataFrame, expectations,
+                        report_path: str, checkpoint_path: str,
+                        quarantine_path: str | None = None,
+                        available_now: bool = True) -> StreamingQuery:
+    """Streaming data-contract gate: evaluate the declarative
+    expectations suite (`quality/expectations.py`) on EVERY
+    micro-batch and append the per-batch report (batch id + one row
+    per expectation) to a parquet history — the continuous form of the
+    reference's cron'd quality checks, with the same one-scan
+    evaluation inside each batch.
+
+    With ``quarantine_path``, rows violating any row-level expectation
+    (everything except `unique`) are appended there instead of being
+    silently counted — the split-the-stream pattern (clean rows are
+    the caller's stream; this gate only observes). foreachBatch +
+    checkpoint give effectively-once report/quarantine appends on
+    replay (batch-id partition overwrite).
+    """
+    from pyspark.sql import functions as F
+
+    from pipelines_rj_sms_spark.quality.expectations import (
+        run_expectations)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        report = run_expectations(batch_df, expectations) \
+            .withColumn("batch_id", F.lit(batch_id))
+        (report.coalesce(1).write.mode("overwrite")
+         .partitionBy("batch_id").parquet(report_path))
+        if quarantine_path is not None:
+            viol = None
+            for e in expectations:
+                v = e.violation()
+                if v is not None:
+                    viol = v if viol is None else (viol | v)
+            if viol is not None:
+                bad = batch_df.filter(viol) \
+                    .withColumn("batch_id", F.lit(batch_id))
+                (bad.write.mode("overwrite").partitionBy("batch_id")
+                 .parquet(quarantine_path))
+
+    writer = (stream_df.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_path)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

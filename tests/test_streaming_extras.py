@@ -131,3 +131,34 @@ def test_stream_scd2_end_to_end(spark, tmp_path):
     again = {(r["k"], r["state"], r["valid_from"], r["valid_to"], r["n_obs"])
              for r in spark.read.parquet(hist_path).drop("_kb").collect()}
     assert again == want
+
+
+def test_stream_expectations_gate_e2e(spark, tmp_path):
+    from pipelines_rj_sms_spark.quality.expectations import (
+        between, not_null)
+    from pipelines_rj_sms_spark.streaming.incremental import (
+        stream_expectations)
+    src = tmp_path / "src"
+    _write_json(src / "a.json", [
+        {"k": 1, "v": 10.0}, {"k": 2, "v": 999.0},
+        {"k": 3, "v": None}, {"k": 4, "v": 50.0},
+    ])
+    stream = spark.readStream.schema("k long, v double").json(str(src))
+    suite = [not_null("v", tolerance=0.5),
+             between("v", 0.0, 100.0, tolerance=0.0)]
+    q = stream_expectations(
+        stream, suite,
+        report_path=str(tmp_path / "report"),
+        checkpoint_path=str(tmp_path / "ck"),
+        quarantine_path=str(tmp_path / "bad"))
+    run_stream_once(q)
+    rep = {r["expectation"]: r.asDict()
+           for r in spark.read.parquet(str(tmp_path / "report")).collect()}
+    assert rep["v_not_null"]["n_violations"] == 1
+    assert rep["v_not_null"]["passed"]
+    assert rep["v_between"]["n_violations"] == 1
+    assert not rep["v_between"]["passed"]
+    bad = {r["k"] for r in spark.read.parquet(
+        str(tmp_path / "bad")).collect()}
+    # null v violates not_null; 999 violates between
+    assert bad == {2, 3}
