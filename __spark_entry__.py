@@ -3339,6 +3339,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return zipf_fit(docs, "text", min_count=2)
 
+    def compression_q(spark, sf_dir):
+        """Gopher-style redundancy signal: zlib compression ratio per
+        document via the sanctioned Arrow-batched pandas UDF (rows-only
+        gate — zlib is deterministic but not SQL-expressible)."""
+        from pipelines_rj_sms_spark.functions.text import (
+            compression_ratio_udf)
+        docs = _t(spark, sf_dir, "documents")
+        ratio = compression_ratio_udf()
+        return docs.select(
+            "doc_id", F.round(ratio("text"), 6).alias("compression_ratio"),
+            "n_chars")
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3546,6 +3558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank_brand11": ppr_q,
         "doc_bigram_logprob": bigram_lm_q,
         "corpus_zipf_fit": zipf_q,
+        "doc_compression_ratio": compression_q,
     }
 
 

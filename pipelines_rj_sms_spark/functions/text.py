@@ -10,6 +10,8 @@ Python in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -293,3 +295,31 @@ def flesch_reading_ease(col: Column | str) -> Column:
             - F.lit(84.6) * sylls / words, 6))
     return F.struct(sents.alias("n_sentences"), words.alias("n_words"),
                     sylls.alias("n_syllables"), score.alias("score"))
+
+
+def compression_ratio_udf():
+    """Arrow-batched pandas UDF computing the zlib compression ratio
+    (compressed bytes / raw bytes, level 6) of a text column — the
+    Gopher-style redundancy signal: highly repetitive boilerplate
+    compresses far below natural prose (~0.3), random noise refuses to
+    compress (~1.0). Deterministic for a fixed zlib version, but not
+    expressible in SQL — the contract gate for it is rows-only.
+
+    This is the sanctioned Python slow path (ArrowEvalPython, never
+    row-at-a-time): one C-speed zlib call per document inside the Arrow
+    batch loop; null/empty texts yield null.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None or len(t) == 0:
+                return None
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / len(raw)
+        return texts.map(one)
+
+    return _ratio

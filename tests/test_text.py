@@ -203,3 +203,30 @@ def test_flesch_stays_in_codegen(spark):
     plan = df.select(flesch_reading_ease("t").alias("f")) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_compression_ratio_separates_repetition(spark):
+    from pipelines_rj_sms_spark.functions.text import compression_ratio_udf
+    import random
+    rng = random.Random(5)
+    noise = " ".join("".join(rng.choices("abcdefghijklmnop", k=8))
+                     for _ in range(200))
+    boiler = "the same sentence again and again. " * 200
+    df = spark.createDataFrame(
+        [(1, boiler), (2, noise), (3, None), (4, "")],
+        "doc_id long, text string")
+    ratio = compression_ratio_udf()
+    got = {r["doc_id"]: r["cr"] for r in df.select(
+        "doc_id", ratio("text").alias("cr")).collect()}
+    assert got[1] < 0.05            # boilerplate crushes
+    assert got[2] > 0.4             # noise resists
+    assert got[3] is None and got[4] is None
+
+
+def test_compression_ratio_is_arrow_not_rowwise(spark):
+    from pipelines_rj_sms_spark.functions.text import compression_ratio_udf
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    plan = df.select(compression_ratio_udf()("text").alias("c")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
