@@ -370,3 +370,57 @@ def stream_expectations(stream_df: DataFrame, expectations,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_sketch_rollup(stream_df: DataFrame, rollup_path: str,
+                         checkpoint_path: str,
+                         group_cols: list[str], value_col: str,
+                         date_col: str, lg_k: int = 12,
+                         available_now: bool = True) -> StreamingQuery:
+    """Continuous-aggregate maintenance for the HLL distinct rollup
+    (the hypertable pattern, stream-shaped): each micro-batch builds
+    fine-grain (date x group) sketches and MERGES them into the
+    persisted rollup table — re-reading only the date partitions the
+    batch touches, union-merging sketch bytes (`hll_union_agg`), and
+    dynamic-overwriting just those partitions. Late data folds into
+    its own date's sketch; queries at any coarser grain keep using
+    `sketches.merge_rollup` over the same table unchanged.
+
+    State lives in the parquet rollup, not the stream. Replay
+    semantics, stated precisely: the DISTINCT estimates are
+    exactly-once under replay — a re-merged batch's values fold onto
+    registers they already set, so HLL union is idempotent for
+    duplicates. The companion ``row_count`` is a plain additive sum
+    and therefore at-least-once under replay; treat it as a freshness
+    signal, not an exact count (the exact path is the lakehouse
+    merge_upsert with batch markers, as in `stream_scd2`).
+    """
+    from pipelines_rj_sms_spark.operators.sketches import build_sketches
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fresh = build_sketches(batch_df, [date_col, *group_cols],
+                               value_col, lg_k=lg_k)
+        dates = [r[0] for r in fresh.select(date_col).distinct().collect()]
+        try:
+            existing = (spark.read.parquet(rollup_path)
+                        .filter(F.col(date_col).isin(dates)))
+            both = existing.unionByName(fresh)
+        except Exception:
+            both = fresh
+        merged = (both.groupBy(date_col, *group_cols)
+                  .agg(F.hll_union_agg(F.col("distinct_sketch"),
+                                       F.lit(True))
+                       .alias("distinct_sketch"),
+                       F.sum("row_count").alias("row_count")))
+        (merged.write.mode("overwrite").partitionBy(date_col)
+         .parquet(rollup_path))
+
+    writer = (stream_df.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_path)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -162,3 +162,34 @@ def test_stream_expectations_gate_e2e(spark, tmp_path):
         str(tmp_path / "bad")).collect()}
     # null v violates not_null; 999 violates between
     assert bad == {2, 3}
+
+
+def test_stream_sketch_rollup_merges_batches(spark, tmp_path):
+    from pipelines_rj_sms_spark.operators.sketches import merge_rollup
+    from pipelines_rj_sms_spark.streaming.incremental import (
+        stream_sketch_rollup)
+    src = tmp_path / "src"
+    # batch files land separately -> separate micro-batches under
+    # maxFilesPerTrigger
+    _write_json(src / "a.json", [
+        {"d": "2024-01-01", "g": "x", "u": i} for i in range(50)])
+    _write_json(src / "b.json", [
+        {"d": "2024-01-01", "g": "x", "u": i} for i in range(25, 75)
+    ] + [{"d": "2024-01-02", "g": "x", "u": 1}])
+    stream = (spark.readStream.schema("d string, g string, u long")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    q = stream_sketch_rollup(
+        stream, rollup_path=str(tmp_path / "rollup"),
+        checkpoint_path=str(tmp_path / "ck"),
+        group_cols=["g"], value_col="u", date_col="d")
+    run_stream_once(q)
+    rollup = spark.read.parquet(str(tmp_path / "rollup"))
+    est = {(str(r["d"]), r["g"]): r["distinct_estimate"]
+           for r in merge_rollup(rollup, ["d", "g"]).collect()}
+    assert est, "rollup table empty"
+    # day 1 saw 0..74 distinct across two merged batches
+    assert abs(est[("2024-01-01", "x")] - 75) <= 3
+    assert est[("2024-01-02", "x")] == 1
+    # coarser grain over the same table
+    total = merge_rollup(rollup, ["g"]).collect()[0]["distinct_estimate"]
+    assert abs(total - 75) <= 3
