@@ -3351,6 +3351,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round(ratio("text"), 6).alias("compression_ratio"),
             "n_chars")
 
+    def bpe_q(spark, sf_dir):
+        """BPE tokenizer training on the corpus (24 merges): after one
+        corpus pass the state is the |vocab|-bounded word-frequency
+        table; each merge round is a pair-count agg + a 1-row argmax +
+        an expression-only merge fold. Rows-only gate — the
+        data-dependent merge loop is not SQL-expressible; exactness is
+        pinned by the unit equivalence against an independent
+        reference implementation."""
+        from pipelines_rj_sms_spark.operators.tokenizer import bpe_train
+        docs = _t(spark, sf_dir, "documents")
+        merges = bpe_train(docs, "text", n_merges=24)
+        rows = [(i, l, r, l + r, c)
+                for i, (l, r, c) in enumerate(merges)]
+        return spark.createDataFrame(
+            rows, "rank int, left string, right string, "
+                  "merged string, pair_count long")
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3559,6 +3576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_logprob": bigram_lm_q,
         "corpus_zipf_fit": zipf_q,
         "doc_compression_ratio": compression_q,
+        "bpe_merge_table": bpe_q,
     }
 
 
