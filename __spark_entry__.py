@@ -278,6 +278,19 @@ Query key -> SURVEY §2 rows covered:
   event_dow_seasonality     day-of-week seasonal indices per type
   brand_cooccurrence_graph  cosine-weighted bipartite projection
                             (Salton index, capped self-join)
+  doc_containment_pairs     asymmetric Broder containment (catches
+                            short-inside-long quotes)
+  source_lang_diversity     entropy/Simpson corpus-mix audit
+  nb_score_calibration      reliability table: accuracy per score
+                            quintile (no global sort)
+  personalized_pagerank_brand11  random walk with restart (teleport on
+                            the seed set)
+  doc_bigram_logprob        add-one bigram LM perplexity proxy
+  corpus_zipf_fit           Zipf spectrum OLS (boilerplate detector)
+  doc_compression_ratio     zlib redundancy signal (Arrow UDF,
+                            rows-only by design)
+  bpe_merge_table           distributed BPE tokenizer training
+                            (rows-only; unit-pinned vs reference)
 """
 
 from __future__ import annotations
