@@ -3381,6 +3381,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows, "rank int, left string, right string, "
                   "merged string, pair_count long")
 
+    def ann_recall_q(spark, sf_dir):
+        """ANN quality harness: recall@10 of the hyperplane-LSH and
+        multi-probe variants against the exact scan — the accept/
+        reject gate you run before trusting an approximate index at
+        scale. Each method's hit set intersects the exact top-k via a
+        semi-join; one summary row per method."""
+        emb = _t(spark, sf_dir, "embeddings")
+        qv = _embedding_query_vec(spark, sf_dir)
+        exact = similarity.brute_force_top_k(emb, qv, k=10, round_to=6) \
+            .select("vec_id")
+        rows = []
+        for method, fn in (
+                ("lsh", similarity.lsh_top_k),
+                ("multiprobe", similarity.lsh_multiprobe_top_k)):
+            hits = (fn(emb, qv, k=10, n_planes=8).select("vec_id")
+                    .join(exact, "vec_id", "semi")
+                    .agg(F.count("*").alias("n_hits"))
+                    .select(F.lit(method).alias("method"),
+                            F.col("n_hits").cast("bigint").alias("n_hits"),
+                            F.round(F.col("n_hits") / 10.0, 6)
+                            .alias("recall_at_10")))
+            rows.append(hits)
+        return rows[0].unionByName(rows[1])
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3590,6 +3614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_zipf_fit": zipf_q,
         "doc_compression_ratio": compression_q,
         "bpe_merge_table": bpe_q,
+        "ann_recall_report": ann_recall_q,
     }
 
 
@@ -4942,6 +4967,26 @@ SELECT CAST(count(*) AS BIGINT) AS n_terms,
        round(regr_r2(lf, lr), 6) AS r2
 FROM ranked
 """,
+        "ann_recall_report": ("""
+WITH exact AS (SELECT vec_id FROM (""" + """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+            vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT vec_id,
+                   round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine_sim
+            FROM vs, q
+            ORDER BY list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC, vec_id
+            LIMIT 10
+        """ + """)),
+lsh AS (SELECT vec_id FROM (""" + _duck_planes_sql() + """)),
+mp AS (SELECT vec_id FROM (""" + _duck_planes_sql(multiprobe=True) + """))
+SELECT 'lsh' AS method, CAST(count(*) AS BIGINT) AS n_hits,
+       round(count(*) / 10.0, 6) AS recall_at_10
+FROM lsh JOIN exact USING (vec_id)
+UNION ALL
+SELECT 'multiprobe', CAST(count(*) AS BIGINT),
+       round(count(*) / 10.0, 6)
+FROM mp JOIN exact USING (vec_id)
+"""),
         "hourly_count_anomalies": """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
