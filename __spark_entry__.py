@@ -3405,6 +3405,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows.append(hits)
         return rows[0].unionByName(rows[1])
 
+    def theil_sen_q(spark, sf_dir):
+        """Outlier-immune drift per event type: Theil–Sen slope
+        (median of pairwise slopes) over daily counts — the robust
+        companion to the OLS trend_fit."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            theil_sen_trend)
+        ev = _t(spark, sf_dir, "events")
+        daily = (ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"),
+                       F.lit("2024-01-01").cast("date"))
+            .cast("double").alias("x"))
+            .agg(F.count("*").cast("double").alias("y")))
+        return theil_sen_trend(daily, "x", "y", key_cols=["event_type"])
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3615,6 +3630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_compression_ratio": compression_q,
         "bpe_merge_table": bpe_q,
         "ann_recall_report": ann_recall_q,
+        "event_type_robust_trend": theil_sen_q,
     }
 
 
@@ -4987,6 +5003,30 @@ SELECT 'multiprobe', CAST(count(*) AS BIGINT),
        round(count(*) / 10.0, 6)
 FROM mp JOIN exact USING (vec_id)
 """),
+        "event_type_robust_trend": r"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS DOUBLE) AS x,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.x < b.x),
+sl AS (
+  SELECT event_type, quantile_cont(s, 0.5) AS slope,
+         count(*) AS n_pairs
+  FROM pairs GROUP BY 1),
+res AS (
+  SELECT d.event_type, sl.slope, sl.n_pairs,
+         d.y - sl.slope * d.x AS r
+  FROM daily d JOIN sl USING (event_type))
+SELECT event_type, round(any_value(slope), 6) AS slope,
+       round(quantile_cont(r, 0.5), 6) AS intercept,
+       CAST(any_value(n_pairs) AS BIGINT) AS n_pairs
+FROM res GROUP BY 1
+""",
         "hourly_count_anomalies": """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n

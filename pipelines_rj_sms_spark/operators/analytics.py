@@ -622,3 +622,43 @@ def seasonal_profile(df: DataFrame, ts_col: str, value_col: str,
         F.round(mean - F.col("_omean"), 6).alias("deviation"),
         F.round(F.when(F.col("_omean") != 0, mean / F.col("_omean")), 6)
         .alias("seasonal_index"))
+
+
+def theil_sen_trend(df: DataFrame, x_col: str, y_col: str,
+                    key_cols: list[str] | None = None) -> DataFrame:
+    """Robust trend per key: the Theil–Sen estimator (median of all
+    pairwise slopes, public) — immune to the outliers that drag OLS
+    (`trend_fit`) around; the pair's intercept is median(y − slope·x).
+
+    Series-level operator: feed it a ROLLUP (e.g. monthly totals), not
+    raw rows — the pairwise self-join on the key is O(buckets²) per
+    series by construction (80 months → 3k pairs), never O(data²).
+    Exact interpolated medians (same percentile spelling both
+    engines), slopes from ties-on-x excluded. Floats round to 6.
+    """
+    keys = list(key_cols or [])
+    a = df.select(*keys, F.col(x_col).alias("_xa"),
+                  F.col(y_col).alias("_ya"))
+    b = df.select(*keys, F.col(x_col).alias("_xb"),
+                  F.col(y_col).alias("_yb"))
+    cond = [a[k] == b[k] for k in keys] if keys else []
+    pairs = (a.join(b, cond + [a["_xa"] < b["_xb"]]) if keys
+             else a.join(b, a["_xa"] < b["_xb"]))
+    # drop the duplicated key columns from the right side
+    pairs = pairs.select(*[a[k] for k in keys], "_xa", "_ya", "_xb", "_yb")
+    slopes = pairs.select(
+        *keys,
+        ((F.col("_yb") - F.col("_ya"))
+         / (F.col("_xb") - F.col("_xa"))).alias("_s"))
+    slope = slopes.groupBy(*keys).agg(
+        F.expr("percentile(_s, 0.5)").alias("slope"),
+        F.count("*").alias("n_pairs"))
+    base = df.join(F.broadcast(slope), keys) if keys \
+        else df.crossJoin(F.broadcast(slope))
+    return (base
+            .withColumn("_r", F.col(y_col) - F.col("slope") * F.col(x_col))
+            .groupBy(*keys)
+            .agg(F.round(F.first("slope"), 6).alias("slope"),
+                 F.round(F.expr("percentile(_r, 0.5)"), 6)
+                 .alias("intercept"),
+                 F.first("n_pairs").cast("bigint").alias("n_pairs")))

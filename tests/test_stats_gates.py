@@ -143,3 +143,15 @@ def test_seasonal_profile_dow(spark):
     assert out[1]["overall_mean"] == pytest.approx(round(70 / 3, 6))
     assert out[2]["seasonal_index"] == pytest.approx(
         round(40 / (70 / 3), 6))
+
+
+def test_theil_sen_ignores_outlier(spark):
+    from pipelines_rj_sms_spark.operators.analytics import theil_sen_trend
+    # y = 3x + 2 with one wild outlier that would wreck OLS
+    rows = [("a", float(x), 3.0 * x + 2.0) for x in range(10)]
+    rows[5] = ("a", 5.0, 1000.0)
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = theil_sen_trend(df, "x", "y", key_cols=["g"]).collect()[0]
+    assert out["slope"] == pytest.approx(3.0, abs=1e-6)
+    assert out["intercept"] == pytest.approx(2.0, abs=1e-6)
+    assert out["n_pairs"] == 45
