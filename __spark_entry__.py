@@ -3420,6 +3420,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").cast("double").alias("y")))
         return theil_sen_trend(daily, "x", "y", key_cols=["event_type"])
 
+    def decomposition_q(spark, sf_dir):
+        """Which market segments drove the 1996→1997 revenue change:
+        waterfall decomposition in ONE conditional hash agg with
+        fixed-point money (engine-exact deltas)."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            change_decomposition)
+        orders = _t(spark, sf_dir, "orders")
+        cust = _t(spark, sf_dir, "customer")
+        units = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        base = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+                .select(F.year("o_orderdate").alias("yr"),
+                        "c_mktsegment", units.alias("u")))
+        out = change_decomposition(base, "yr", ["c_mktsegment"], "u",
+                                   1996, 1997)
+        return out.select(
+            "c_mktsegment",
+            (F.col("value_a") / 100.0).alias("revenue_1996"),
+            (F.col("value_b") / 100.0).alias("revenue_1997"),
+            (F.col("delta") / 100.0).alias("delta"),
+            "share_of_change")
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3631,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_table": bpe_q,
         "ann_recall_report": ann_recall_q,
         "event_type_robust_trend": theil_sen_q,
+        "segment_revenue_decomposition": decomposition_q,
     }
 
 
@@ -5026,6 +5048,26 @@ SELECT event_type, round(any_value(slope), 6) AS slope,
        round(quantile_cont(r, 0.5), 6) AS intercept,
        CAST(any_value(n_pairs) AS BIGINT) AS n_pairs
 FROM res GROUP BY 1
+""",
+        "segment_revenue_decomposition": r"""
+WITH base AS (
+  SELECT year(o_orderdate) AS yr, c_mktsegment,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS u
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+seg AS (
+  SELECT c_mktsegment,
+         sum(CASE WHEN yr = 1996 THEN u ELSE 0 END) AS va,
+         sum(CASE WHEN yr = 1997 THEN u ELSE 0 END) AS vb
+  FROM base WHERE yr IN (1996, 1997) GROUP BY 1),
+tot AS (SELECT sum(vb - va) AS td FROM seg)
+SELECT c_mktsegment,
+       va / 100.0 AS revenue_1996,
+       vb / 100.0 AS revenue_1997,
+       (vb - va) / 100.0 AS delta,
+       round(CASE WHEN td <> 0
+                  THEN CAST(vb - va AS DOUBLE) / td END, 6)
+         AS share_of_change
+FROM seg CROSS JOIN tot
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

@@ -662,3 +662,32 @@ def theil_sen_trend(df: DataFrame, x_col: str, y_col: str,
                  F.round(F.expr("percentile(_r, 0.5)"), 6)
                  .alias("intercept"),
                  F.first("n_pairs").cast("bigint").alias("n_pairs")))
+
+
+def change_decomposition(df: DataFrame, period_col, segment_cols: list[str],
+                         value_col: str, period_a, period_b) -> DataFrame:
+    """Waterfall decomposition of a metric change: which segments drove
+    the move between two periods? Per segment: the value in each
+    period, the delta, and its share of the total delta (null share
+    when the total didn't move).
+
+    ONE conditional hash aggregation over the two periods' rows
+    (never a scan per period), total delta as a broadcast 1-row frame.
+    Keep ``value_col`` in BIGINT fixed-point for engine-exact money
+    totals. Shares round to 6.
+    """
+    p = F.col(period_col)
+    in_a, in_b = p == F.lit(period_a), p == F.lit(period_b)
+    seg = (df.filter(in_a | in_b)
+           .groupBy(*[F.col(c) for c in segment_cols])
+           .agg(F.sum(F.when(in_a, F.col(value_col))
+                      .otherwise(F.lit(0))).alias("value_a"),
+                F.sum(F.when(in_b, F.col(value_col))
+                      .otherwise(F.lit(0))).alias("value_b")))
+    seg = seg.withColumn("delta", F.col("value_b") - F.col("value_a"))
+    total = F.broadcast(seg.agg(F.sum("delta").alias("_td")))
+    return (seg.crossJoin(total)
+            .select(*segment_cols, "value_a", "value_b", "delta",
+                    F.round(F.when(F.col("_td") != 0,
+                                   F.col("delta") / F.col("_td")), 6)
+                    .alias("share_of_change")))

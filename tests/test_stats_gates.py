@@ -155,3 +155,19 @@ def test_theil_sen_ignores_outlier(spark):
     assert out["slope"] == pytest.approx(3.0, abs=1e-6)
     assert out["intercept"] == pytest.approx(2.0, abs=1e-6)
     assert out["n_pairs"] == 45
+
+
+def test_change_decomposition_shares_sum_to_one(spark):
+    from pipelines_rj_sms_spark.operators.analytics import (
+        change_decomposition)
+    rows = [("2023", "x", 100), ("2023", "y", 50),
+            ("2024", "x", 160), ("2024", "y", 40),
+            ("2022", "x", 999)]  # other periods ignored
+    df = spark.createDataFrame(rows, ["period", "seg", "v"])
+    out = {r["seg"]: r.asDict() for r in change_decomposition(
+        df, "period", ["seg"], "v", "2023", "2024").collect()}
+    assert out["x"]["delta"] == 60 and out["y"]["delta"] == -10
+    assert out["x"]["share_of_change"] == pytest.approx(1.2)
+    assert out["y"]["share_of_change"] == pytest.approx(-0.2)
+    assert sum(r["share_of_change"] for r in out.values()) \
+        == pytest.approx(1.0)
