@@ -3441,6 +3441,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("delta") / 100.0).alias("delta"),
             "share_of_change")
 
+    def negatives_q(spark, sf_dir):
+        """Contrastive negative sampling: 2 pseudo-random partners per
+        document — hash-ranked pairing, no cross join, exact count,
+        self-pairs excluded by index arithmetic, md5-replayable."""
+        from pipelines_rj_sms_spark.functions.sampling import (
+            negative_pairs)
+        docs = _t(spark, sf_dir, "documents")
+        return negative_pairs(docs.select("doc_id"), ["doc_id"],
+                              n_negatives=2, hash_fn="md5")
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3653,6 +3663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": ann_recall_q,
         "event_type_robust_trend": theil_sen_q,
         "segment_revenue_decomposition": decomposition_q,
+        "doc_negative_pairs": negatives_q,
     }
 
 
@@ -5068,6 +5079,28 @@ SELECT c_mktsegment,
                   THEN CAST(vb - va AS DOUBLE) / td END, 6)
          AS share_of_change
 FROM seg CROSS JOIN tot
+""",
+        "doc_negative_pairs": f"""
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY {_duck_md5_bucket("'negrank' || CAST(doc_id AS VARCHAR)")},
+                    doc_id) - 1 AS rk
+  FROM documents),
+n AS (SELECT count(*) AS n FROM ranked),
+anchors AS (
+  SELECT doc_id, rk, j,
+         {_duck_md5_bucket(
+             "'neg' || CAST(doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR)")}
+           % (n - 1) AS draw
+  FROM ranked CROSS JOIN n
+  CROSS JOIN (SELECT unnest([0, 1]) AS j)),
+tgt AS (
+  SELECT doc_id, j AS neg_index,
+         CASE WHEN draw >= rk THEN draw + 1 ELSE draw END AS t
+  FROM anchors)
+SELECT tgt.doc_id, neg_index, r.doc_id AS neg_doc_id
+FROM tgt JOIN ranked r ON tgt.t = r.rk
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

@@ -250,3 +250,44 @@ def balanced_sample(df: DataFrame, label_col: str, key_cols: list[str],
             .filter((h % 1048576).cast("double")
                     < F.lit(1048576.0) * F.col("_minn") / F.col("_nc"))
             .drop("_lbl", "_nc", "_minn"))
+
+
+def negative_pairs(df: DataFrame, key_cols: list[str],
+                   n_negatives: int = 1, salt: str = "neg",
+                   hash_fn: str = "xxhash64") -> DataFrame:
+    """Deterministic negative sampling for contrastive training: pair
+    every row with ``n_negatives`` pseudo-random OTHER rows, without a
+    cross join and without RNG state — the partner is picked by rank:
+
+        partner_rank(row, j) = hash(key, j) % (N - 1),  skipping self
+
+    Ranks come from `operators.ids.dense_global_ids` over the hash of
+    the key (an arbitrary-but-fixed total order, assigned WITHOUT a
+    single-partition global sort), N rides as a broadcast 1-row
+    frame, and the pairing is ONE equi-join on the partner rank —
+    uniform-ish over the corpus, md5-replayable in any engine, and
+    every row gets exactly ``n_negatives`` partners. Self-pairs are
+    skipped by index arithmetic (never filtered, so the count per row
+    is exact). Returns the anchor keys + ``neg_`` partner keys + j.
+    """
+    from pipelines_rj_sms_spark.operators.ids import dense_global_ids
+    keys = [F.col(c) for c in key_cols]
+    hashed = df.select(*keys).withColumn(
+        "_h", _key_hash(keys, hash_fn, salt + "rank"))
+    ranked = dense_global_ids(hashed, ["_h", *key_cols],
+                              id_col="_rk").drop("_h")
+    ranked = ranked.persist()
+    n = F.broadcast(ranked.agg(F.count("*").alias("_n")))
+    js = F.explode(F.array(*[F.lit(j) for j in range(n_negatives)]))
+    anchors = (ranked.crossJoin(n)
+               .withColumn("_j", js))
+    draw = _key_hash(keys + [F.col("_j")], hash_fn, salt) % (F.col("_n") - 1)
+    # indices >= own rank shift up by one: uniform over the N-1 others
+    target = F.when(draw >= F.col("_rk"), draw + 1).otherwise(draw)
+    anchors = anchors.withColumn("_tgt", target)
+    partners = ranked.select(
+        *[F.col(c).alias(f"neg_{c}") for c in key_cols],
+        F.col("_rk").alias("_tgt"))
+    return (anchors.join(partners, "_tgt")
+            .select(*key_cols, F.col("_j").alias("neg_index"),
+                    *[f"neg_{c}" for c in key_cols]))

@@ -248,3 +248,33 @@ def test_balanced_sample_no_collect_in_plan(spark):
     plan = balanced_sample(df, "lbl", ["id"])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_negative_pairs_exact_count_no_self(spark):
+    from pipelines_rj_sms_spark.functions.sampling import negative_pairs
+    df = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
+    out = negative_pairs(df, ["doc_id"], n_negatives=3, hash_fn="md5")
+    rows = out.collect()
+    assert len(rows) == 150
+    assert all(r["doc_id"] != r["neg_doc_id"] for r in rows)
+    per = {}
+    for r in rows:
+        per[r["doc_id"]] = per.get(r["doc_id"], 0) + 1
+    assert set(per.values()) == {3}
+    # deterministic replay
+    again = negative_pairs(df, ["doc_id"], n_negatives=3,
+                           hash_fn="md5").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_negative_pairs_roughly_uniform(spark):
+    from pipelines_rj_sms_spark.functions.sampling import negative_pairs
+    df = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+    out = negative_pairs(df, ["doc_id"], n_negatives=10, hash_fn="md5")
+    hits = {}
+    for r in out.collect():
+        hits[r["neg_doc_id"]] = hits.get(r["neg_doc_id"], 0) + 1
+    # 400 draws over 40 targets: each target drawn at least once and
+    # no target hoards more than a quarter of the mass
+    assert len(hits) >= 35
+    assert max(hits.values()) < 100
