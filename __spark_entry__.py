@@ -3451,6 +3451,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return negative_pairs(docs.select("doc_id"), ["doc_id"],
                               n_negatives=2, hash_fn="md5")
 
+    def lpa_q(spark, sf_dir):
+        """Deterministic synchronous label propagation (3 rounds,
+        smallest-label ties) over the part co-purchase graph —
+        community structure finer than connected components; the
+        oracle replays the identical unrolled rounds."""
+        from pipelines_rj_sms_spark.operators.graph import (
+            label_propagation)
+        li = _t(spark, sf_dir, "lineitem")
+        items = li.select(F.col("l_orderkey").alias("o"),
+                          F.col("l_partkey").alias("p")).distinct()
+        a, b = items.alias("a"), items.alias("b")
+        edges = a.join(b, (F.col("a.o") == F.col("b.o"))
+                       & (F.col("a.p") < F.col("b.p"))).select(
+            F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        out = label_propagation(edges, n_rounds=3)
+        return out.select(F.col("node").alias("partkey"), "community")
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3664,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_robust_trend": theil_sen_q,
         "segment_revenue_decomposition": decomposition_q,
         "doc_negative_pairs": negatives_q,
+        "part_copurchase_communities": lpa_q,
     }
 
 
@@ -5101,6 +5119,42 @@ tgt AS (
   FROM anchors)
 SELECT tgt.doc_id, neg_index, r.doc_id AS neg_doc_id
 FROM tgt JOIN ranked r ON tgt.t = r.rk
+""",
+        "part_copurchase_communities": """
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.p AS a, b.p AS b
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+und AS MATERIALIZED (
+  SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS label FROM und),
+c1 AS MATERIALIZED (
+  SELECT und.a AS node, l0.label, count(*) AS c
+  FROM und JOIN l0 ON und.b = l0.node
+  GROUP BY 1, 2),
+l1 AS MATERIALIZED (
+  SELECT node, label FROM c1
+  QUALIFY row_number() OVER (PARTITION BY node
+                             ORDER BY c DESC, label ASC) = 1),
+c2 AS MATERIALIZED (
+  SELECT und.a AS node, l1.label, count(*) AS c
+  FROM und JOIN l1 ON und.b = l1.node
+  GROUP BY 1, 2),
+l2 AS MATERIALIZED (
+  SELECT node, label FROM c2
+  QUALIFY row_number() OVER (PARTITION BY node
+                             ORDER BY c DESC, label ASC) = 1),
+c3 AS MATERIALIZED (
+  SELECT und.a AS node, l2.label, count(*) AS c
+  FROM und JOIN l2 ON und.b = l2.node
+  GROUP BY 1, 2),
+l3 AS MATERIALIZED (
+  SELECT node, label FROM c3
+  QUALIFY row_number() OVER (PARTITION BY node
+                             ORDER BY c DESC, label ASC) = 1)
+SELECT node AS partkey, label AS community FROM l3
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

@@ -317,3 +317,48 @@ def project_bipartite(df: DataFrame, group_col: str, item_col: str,
                             / F.sqrt(F.col("_na").cast("double")
                                      * F.col("_nb")), 6)
                     .alias("cosine")))
+
+
+def label_propagation(edges: DataFrame, n_rounds: int = 5,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al., public) made DETERMINISTIC: every node starts as its own
+    label; each round it adopts the most frequent label among its
+    neighbors, ties broken by the smallest label — so the result is a
+    pure function of the graph and the round count (the classic
+    random-order variant is not replayable; the synchronous fixed-
+    round form is). Communities are finer-grained than connected
+    components: a bridge edge joins components but LPA keeps dense
+    clusters separate.
+
+    Per round: one equi-join of the undirected edge list with the
+    label frame + one (node, label) count agg + one argmax window over
+    the collapsed counts — all narrow rows, lineage truncated per
+    round. Known LPA caveat, documented not hidden: synchronous
+    updates can oscillate on bipartite-ish structures; run components
+    first when you need a converged partition, or raise n_rounds and
+    compare consecutive rounds. Returns (node, community).
+    """
+    und = (edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+           .filter(F.col("_a") != F.col("_b"))
+           .unionByName(
+               edges.select(F.col(dst).alias("_a"),
+                            F.col(src).alias("_b"))
+               .filter(F.col("_a") != F.col("_b")))
+           .distinct()
+           .persist())
+    labels = und.select(F.col("_a").alias("node")).distinct() \
+        .withColumn("label", F.col("node"))
+    for _ in range(n_rounds):
+        nbr = (und.join(labels.select(F.col("node").alias("_b"),
+                                      F.col("label")), "_b")
+               .groupBy(F.col("_a").alias("node"), "label")
+               .agg(F.count("*").alias("_c")))
+        w = Window.partitionBy("node").orderBy(
+            F.col("_c").desc(), F.col("label").asc())
+        labels = (nbr.withColumn("_rk", F.row_number().over(w))
+                  .filter(F.col("_rk") == 1)
+                  .select("node", "label")
+                  .localCheckpoint(False))
+    und.unpersist()
+    return labels.select("node", F.col("label").alias("community"))

@@ -106,3 +106,30 @@ def test_personalized_pagerank_zero_for_unreachable(spark):
     # disconnected component gets no teleport and no walk mass
     assert pr[3] == 0.0 and pr[4] == 0.0
     assert pr[1] > 0.5
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    import itertools
+    from pipelines_rj_sms_spark.operators.graph import label_propagation
+    # two K4 cliques joined by one bridge edge: LPA separates them
+    # (components would merge them)
+    c1 = list(itertools.combinations([1, 2, 3, 4], 2))
+    c2 = list(itertools.combinations([11, 12, 13, 14], 2))
+    edges = spark.createDataFrame(c1 + c2 + [(4, 11)], ["src", "dst"])
+    out = {r["node"]: r["community"]
+           for r in label_propagation(edges, n_rounds=4).collect()}
+    assert len({out[n] for n in (1, 2, 3, 4)}) == 1
+    assert len({out[n] for n in (11, 12, 13, 14)}) == 1
+    assert out[1] != out[11]
+
+
+def test_label_propagation_deterministic(spark):
+    import random
+    from pipelines_rj_sms_spark.operators.graph import label_propagation
+    rng = random.Random(2)
+    edges = [(a, b) for a in range(30) for b in range(30)
+             if a < b and rng.random() < 0.15]
+    df = spark.createDataFrame(edges, ["src", "dst"]).repartition(7)
+    one = sorted(map(tuple, label_propagation(df, 3).collect()))
+    two = sorted(map(tuple, label_propagation(df, 3).collect()))
+    assert one == two
