@@ -291,6 +291,16 @@ Query key -> SURVEY §2 rows covered:
                             rows-only by design)
   bpe_merge_table           distributed BPE tokenizer training
                             (rows-only; unit-pinned vs reference)
+  ann_recall_report         recall@10 of LSH + multiprobe vs the
+                            exact scan (index accept/reject gate)
+  event_type_robust_trend   Theil–Sen slope (median of pairwise
+                            slopes; outlier-immune)
+  segment_revenue_decomposition  waterfall: which segments drove the
+                            period-over-period change
+  doc_negative_pairs        contrastive negatives via hash-rank
+                            pairing (no cross join, exact count)
+  part_copurchase_communities  deterministic synchronous LPA
+                            (3 unrolled rounds)
 """
 
 from __future__ import annotations
@@ -3468,6 +3478,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = label_propagation(edges, n_rounds=3)
         return out.select(F.col("node").alias("partkey"), "community")
 
+    def standardize_q(spark, sf_dir):
+        """Per-type z-score standardization of event values: stats
+        for the column come from one hash agg broadcast back on the
+        key — the data never shuffles; constant groups yield null, not
+        Inf."""
+        from pipelines_rj_sms_spark.operators.conform import standardize
+        ev = _t(spark, sf_dir, "events")
+        out = standardize(ev.select("event_id", "event_type", "value"),
+                          ["value"], key_cols=["event_type"])
+        return out.select("event_id", "event_type", "value", "value_z")
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3682,6 +3703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_revenue_decomposition": decomposition_q,
         "doc_negative_pairs": negatives_q,
         "part_copurchase_communities": lpa_q,
+        "standardized_event_values": standardize_q,
     }
 
 
@@ -5155,6 +5177,14 @@ l3 AS MATERIALIZED (
   QUALIFY row_number() OVER (PARTITION BY node
                              ORDER BY c DESC, label ASC) = 1)
 SELECT node AS partkey, label AS community FROM l3
+""",
+        "standardized_event_values": r"""
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY 1)
+SELECT event_id, event_type, value,
+       CASE WHEN sd > 0 THEN round((value - mu) / sd, 6) END AS value_z
+FROM events JOIN stats USING (event_type)
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

@@ -76,3 +76,34 @@ def non_blank(col: Column | str) -> Column:
     """P7: trimmed-non-empty predicate (fillna('').strip() != '')."""
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(F.coalesce(c, F.lit(""))) != ""
+
+
+def standardize(df, cols: list[str], key_cols: list[str] | None = None,
+                suffix: str = "_z"):
+    """Z-score feature standardization: (x - mean) / stddev per column,
+    optionally within groups — the scalable expression form of the
+    fit/transform scaler (the applyInPandas robust variant lives in
+    `operators/grouped.py`; this one never ships rows to Python).
+
+    Stats for ALL columns come from ONE hash aggregation (broadcast
+    back on the keys, or as a 1-row frame globally); constant columns
+    (stddev 0/null) yield null scores rather than Inf. Appends
+    ``<col><suffix>`` columns, originals untouched. Rounded to 6.
+    """
+    from pyspark.sql import functions as F
+    keys = list(key_cols or [])
+    aggs = []
+    for c in cols:
+        aggs += [F.avg(c).alias(f"_mu_{c}"),
+                 F.stddev_samp(c).alias(f"_sd_{c}")]
+    stats = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    joined = (df.join(F.broadcast(stats), keys) if keys
+              else df.crossJoin(F.broadcast(stats)))
+    out = joined
+    for c in cols:
+        z = F.when(F.col(f"_sd_{c}") > 0,
+                   F.round((F.col(c) - F.col(f"_mu_{c}"))
+                           / F.col(f"_sd_{c}"), 6))
+        out = out.withColumn(f"{c}{suffix}", z)
+    return out.drop(*[f"_mu_{c}" for c in cols],
+                    *[f"_sd_{c}" for c in cols])

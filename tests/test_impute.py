@@ -47,3 +47,19 @@ def test_impute_no_data_shuffle(spark):
     plan = impute_group_stats(df, ["g"], {"v": "median"}) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_standardize_global_and_grouped(spark):
+    import pytest
+    from pipelines_rj_sms_spark.operators.conform import standardize
+    rows = [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 10.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {(r["g"], r["v"]): r["v_z"]
+           for r in standardize(df, ["v"], key_cols=["g"]).collect()}
+    # group a: mean 2, sd sqrt(2) -> z = ±0.707107
+    assert out[("a", 3.0)] == pytest.approx(0.707107, abs=1e-6)
+    assert out[("a", 1.0)] == pytest.approx(-0.707107, abs=1e-6)
+    # constant group -> null, never Inf
+    assert out[("b", 10.0)] is None
+    glob = standardize(df, ["v"]).collect()
+    assert all(r["v_z"] is not None for r in glob)
