@@ -3489,6 +3489,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           ["value"], key_cols=["event_type"])
         return out.select("event_id", "event_type", "value", "value_z")
 
+    def proportion_q(spark, sf_dir):
+        """Two-proportion z-test: share of high-value (>90) events
+        between click and view cohorts — the conversion-rate A/B gate
+        in one conditional hash agg."""
+        from pipelines_rj_sms_spark.quality.stats import (
+            two_proportion_test)
+        ev = _t(spark, sf_dir, "events")
+        return two_proportion_test(ev, "event_type",
+                                   F.col("value") > 90, "click", "view")
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3704,6 +3714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_negative_pairs": negatives_q,
         "part_copurchase_communities": lpa_q,
         "standardized_event_values": standardize_q,
+        "ab_conversion_z_test": proportion_q,
     }
 
 
@@ -5185,6 +5196,27 @@ WITH stats AS (
 SELECT event_id, event_type, value,
        CASE WHEN sd > 0 THEN round((value - mu) / sd, 6) END AS value_z
 FROM events JOIN stats USING (event_type)
+""",
+        "ab_conversion_z_test": r"""
+WITH agg AS (
+  SELECT count(*) FILTER (event_type = 'click') AS n_a,
+         count(*) FILTER (event_type = 'view') AS n_b,
+         CAST(sum(CASE WHEN value > 90 THEN 1 ELSE 0 END)
+              FILTER (event_type = 'click') AS BIGINT) AS s_a,
+         CAST(sum(CASE WHEN value > 90 THEN 1 ELSE 0 END)
+              FILTER (event_type = 'view') AS BIGINT) AS s_b
+  FROM events WHERE event_type IN ('click', 'view'))
+SELECT n_a, n_b, s_a AS successes_a, s_b AS successes_b,
+       round(CAST(s_a AS DOUBLE) / n_a, 6) AS rate_a,
+       round(CAST(s_b AS DOUBLE) / n_b, 6) AS rate_b,
+       round(CASE WHEN sqrt((CAST(s_a + s_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(s_a + s_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)) > 0
+             THEN (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+                  / sqrt((CAST(s_a + s_b AS DOUBLE) / (n_a + n_b))
+                         * (1.0 - CAST(s_a + s_b AS DOUBLE) / (n_a + n_b))
+                         * (1.0 / n_a + 1.0 / n_b)) END, 6) AS z_stat
+FROM agg
 """,
         "hourly_count_anomalies": """
 WITH hourly AS (

@@ -22,10 +22,11 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["welch_t_test", "benford_first_digit"]
+__all__ = ["welch_t_test", "benford_first_digit",
+           "two_proportion_test"]
 
 
 def welch_t_test(df: DataFrame, group_col: str, value_col: str,
@@ -99,3 +100,35 @@ def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
                 .alias("expected_share"),
                 F.round(F.pow(F.col("n") - F.col("_e"), 2) / F.col("_e"), 6)
                 .alias("chi2_term")))
+
+
+def two_proportion_test(df: DataFrame, group_col: str, success_col,
+                        group_a, group_b) -> DataFrame:
+    """Two-proportion z-test (pooled standard error, textbook): the
+    conversion-rate companion to :func:`welch_t_test` — n, successes,
+    and rate per group, plus z = (p_a - p_b) / sqrt(p̂(1-p̂)(1/n_a+1/n_b))
+    with p̂ the pooled rate. One conditional hash aggregation; pass
+    ``success_col`` as a boolean column/expression. Floats round to 6.
+    """
+    s = success_col if isinstance(success_col, Column) \
+        else F.col(success_col)
+    s = s.cast("int")
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    agg = df.filter(in_a | in_b).agg(
+        F.count(F.when(in_a, F.lit(1))).alias("n_a"),
+        F.count(F.when(in_b, F.lit(1))).alias("n_b"),
+        F.sum(F.when(in_a, s).otherwise(F.lit(0))).alias("s_a"),
+        F.sum(F.when(in_b, s).otherwise(F.lit(0))).alias("s_b"))
+    pa = F.col("s_a") / F.col("n_a")
+    pb = F.col("s_b") / F.col("n_b")
+    pooled = (F.col("s_a") + F.col("s_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pooled * (1.0 - pooled)
+                * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return agg.select(
+        "n_a", "n_b",
+        F.col("s_a").cast("bigint").alias("successes_a"),
+        F.col("s_b").cast("bigint").alias("successes_b"),
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(F.when(se > 0, (pa - pb) / se), 6).alias("z_stat"))

@@ -171,3 +171,19 @@ def test_change_decomposition_shares_sum_to_one(spark):
     assert out["y"]["share_of_change"] == pytest.approx(-0.2)
     assert sum(r["share_of_change"] for r in out.values()) \
         == pytest.approx(1.0)
+
+
+def test_two_proportion_test_formula(spark):
+    import math
+    from pyspark.sql import functions as F
+    from pipelines_rj_sms_spark.quality.stats import two_proportion_test
+    rows = [("a", True)] * 30 + [("a", False)] * 70 \
+        + [("b", True)] * 50 + [("b", False)] * 50 \
+        + [("c", True)] * 5
+    df = spark.createDataFrame(rows, ["g", "ok"])
+    out = two_proportion_test(df, "g", F.col("ok"), "a", "b").collect()[0]
+    assert (out["n_a"], out["n_b"]) == (100, 100)
+    assert out["rate_a"] == 0.3 and out["rate_b"] == 0.5
+    pooled = 80 / 200
+    se = math.sqrt(pooled * (1 - pooled) * (1 / 100 + 1 / 100))
+    assert out["z_stat"] == pytest.approx(round((0.3 - 0.5) / se, 6))
