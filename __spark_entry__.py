@@ -301,6 +301,10 @@ Query key -> SURVEY §2 rows covered:
                             pairing (no cross join, exact count)
   part_copurchase_communities  deterministic synchronous LPA
                             (3 unrolled rounds)
+  standardized_event_values per-type z-score standardization
+                            (broadcast stats, null not Inf)
+  ab_conversion_z_test      two-proportion z (pooled SE) conversion
+                            gate
 """
 
 from __future__ import annotations
