@@ -424,3 +424,62 @@ def stream_sketch_rollup(stream_df: DataFrame, rollup_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_additive_rollup(stream_df: DataFrame, rollup_path: str,
+                           checkpoint_path: str,
+                           group_cols: list[str], date_col: str,
+                           sum_cols: list[str] | None = None,
+                           available_now: bool = True) -> StreamingQuery:
+    """EXACT continuous aggregate — the additive companion to
+    `stream_sketch_rollup`: each micro-batch's per-(date x group)
+    counts and sums merge into the persisted rollup by ADDITION,
+    touching only the batch's date partitions (partition-pruned read +
+    dynamic overwrite).
+
+    Addition is not replay-idempotent, so this one carries the
+    `_applied` batch-marker guard (same discipline and same documented
+    crash window as `stream_scd2`): a replayed batch id is skipped
+    outright. Queries aggregate the rollup further with plain
+    sum()/group-by at any coarser grain — additivity is the whole
+    point (count/sum only; for distincts use the sketch rollup, for
+    keyed upserts use merge_upsert).
+    """
+    sums = list(sum_cols or [])
+    marker_path = rollup_path.rstrip("/") + "_applied"
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            applied = {r[0] for r in
+                       spark.read.parquet(marker_path).collect()}
+        except Exception:
+            applied = set()
+        if batch_id in applied:
+            return
+        aggs = [F.count("*").alias("row_count")] + [
+            F.sum(c).alias(f"sum_{c}") for c in sums]
+        fresh = batch_df.groupBy(date_col, *group_cols).agg(*aggs)
+        dates = [r[0] for r in fresh.select(date_col).distinct().collect()]
+        try:
+            existing = (spark.read.parquet(rollup_path)
+                        .filter(F.col(date_col).isin(dates)))
+            both = existing.unionByName(fresh)
+        except Exception:
+            both = fresh
+        merged = both.groupBy(date_col, *group_cols).agg(
+            F.sum("row_count").alias("row_count"),
+            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sums])
+        (merged.write.mode("overwrite").partitionBy(date_col)
+         .parquet(rollup_path))
+        spark.createDataFrame([(batch_id,)], "batch_id long") \
+            .write.mode("append").parquet(marker_path)
+
+    writer = (stream_df.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_path)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -193,3 +193,37 @@ def test_stream_sketch_rollup_merges_batches(spark, tmp_path):
     # coarser grain over the same table
     total = merge_rollup(rollup, ["g"]).collect()[0]["distinct_estimate"]
     assert abs(total - 75) <= 3
+
+
+def test_stream_additive_rollup_exact_and_replay_safe(spark, tmp_path):
+    from pipelines_rj_sms_spark.streaming.incremental import (
+        stream_additive_rollup)
+    src = tmp_path / "src"
+    _write_json(src / "a.json", [
+        {"d": "2024-01-01", "g": "x", "v": 10.0},
+        {"d": "2024-01-01", "g": "x", "v": 5.0}])
+    _write_json(src / "b.json", [
+        {"d": "2024-01-01", "g": "x", "v": 1.0},
+        {"d": "2024-01-02", "g": "y", "v": 2.0}])
+    stream = (spark.readStream.schema("d string, g string, v double")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    q = stream_additive_rollup(
+        stream, rollup_path=str(tmp_path / "roll"),
+        checkpoint_path=str(tmp_path / "ck"),
+        group_cols=["g"], date_col="d", sum_cols=["v"])
+    run_stream_once(q)
+    got = {(str(r["d"]), r["g"]): (r["row_count"], r["sum_v"])
+           for r in spark.read.parquet(str(tmp_path / "roll")).collect()}
+    assert got[("2024-01-01", "x")] == (3, 16.0)
+    assert got[("2024-01-02", "y")] == (1, 2.0)
+    # same checkpoint restart: markers skip both batches, totals stable
+    stream2 = (spark.readStream.schema("d string, g string, v double")
+               .option("maxFilesPerTrigger", 1).json(str(src)))
+    q2 = stream_additive_rollup(
+        stream2, rollup_path=str(tmp_path / "roll"),
+        checkpoint_path=str(tmp_path / "ck2"),
+        group_cols=["g"], date_col="d", sum_cols=["v"])
+    run_stream_once(q2)
+    again = {(str(r["d"]), r["g"]): (r["row_count"], r["sum_v"])
+             for r in spark.read.parquet(str(tmp_path / "roll")).collect()}
+    assert again == got
