@@ -177,7 +177,9 @@ def test_every_query_plans_clean(spark):
                     "personalized_pagerank_brand11",
                     # 1-row vocab / total-delta scalar broadcasts
                     "doc_bigram_logprob",
-                    "segment_revenue_decomposition"}
+                    "segment_revenue_decomposition",
+                    # 1-row corpus-size frame under the rank pairing
+                    "doc_negative_pairs"}
     failures = []
     for name, fn in entry.queries().items():
         try:
