@@ -2977,7 +2977,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Cumulative-deviation (CUSUM chart) scan of monthly order
         revenue: per-series stats from one hash agg ride back as a
         broadcast row; the cumulative sum is one window over O(months)
-        rollup rows."""
+        rollup rows. The series is INTEGER cents: every partial sum
+        stays below 2^53, so the mean and cumulative sums are exact in
+        any accumulation order — dollar-valued doubles let the mean's
+        last-ulp error amplify by the series length and flip the 6dp
+        rounding (observed intermittently before this spelling)."""
         from pipelines_rj_sms_spark.operators.analytics import (
             cusum_deviations)
         orders = _t(spark, sf_dir, "orders")
@@ -2985,9 +2989,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         monthly = (orders.withColumn("_u", units)
                    .groupBy(F.date_trunc("month", F.col("o_orderdate"))
                             .alias("month"))
-                   .agg((F.sum("_u") / 100.0).alias("revenue")))
-        return cusum_deviations(monthly, "month", "revenue",
-                                threshold_sigmas=1.0)
+                   .agg(F.sum("_u").alias("u")))
+        out = cusum_deviations(monthly, "month", "u",
+                               threshold_sigmas=1.0)
+        return out.select(
+            "month", (F.col("u") / 100.0).alias("revenue"),
+            F.round(F.col("cusum") / 100.0, 6).alias("cusum"),
+            F.round(F.col("band") / 100.0, 6).alias("band"),
+            "exceeds")
 
     def rfm_q(spark, sf_dir):
         """RFM segmentation of customers from the order log: one
@@ -4406,20 +4415,19 @@ FROM digits JOIN exp ON first_digit = d CROSS JOIN tot
         "monthly_revenue_cusum": r"""
 WITH monthly AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
-           AS revenue
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS u
   FROM orders GROUP BY 1),
 stats AS (
-  SELECT avg(revenue) AS mu,
-         coalesce(stddev_samp(revenue), 0.0) AS sd,
+  SELECT sum(u) / CAST(count(*) AS DOUBLE) AS mu,
+         coalesce(stddev_samp(u), 0.0) AS sd,
          count(*) AS n
   FROM monthly)
-SELECT month, revenue,
-       round(sum(revenue - mu) OVER (ORDER BY month
+SELECT month, u / 100.0 AS revenue,
+       round(round(sum(u - mu) OVER (ORDER BY month
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-         AS cusum,
-       round(1.0 * sd * sqrt(n), 6) AS band,
-       abs(sum(revenue - mu) OVER (ORDER BY month
+             / 100.0, 6) AS cusum,
+       round(round(1.0 * sd * sqrt(n), 6) / 100.0, 6) AS band,
+       abs(sum(u - mu) OVER (ORDER BY month
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          > 1.0 * sd * sqrt(n) AS exceeds
 FROM monthly CROSS JOIN stats
