@@ -3512,6 +3512,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return two_proportion_test(ev, "event_type",
                                    F.col("value") > 90, "click", "view")
 
+    def pca_q(spark, sf_dir):
+        """PCA of the embedding corpus to 4 components: distributed
+        sufficient statistics (d + d² bounded accumulator rows),
+        driver eigensolve (d×d — a model constant), expression-only
+        projection with inlined literal components. Rows-only gate —
+        training is data-dependent; exactness is unit-pinned against
+        numpy's eigensolver."""
+        from pipelines_rj_sms_spark.operators.pca import (
+            pca_project, pca_train)
+        emb = _t(spark, sf_dir, "embeddings")
+        comps, mean, _ = pca_train(emb, "embedding", k=4)
+        return pca_project(emb, "vec_id", "embedding", comps, mean)
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3728,6 +3741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_copurchase_communities": lpa_q,
         "standardized_event_values": standardize_q,
         "ab_conversion_z_test": proportion_q,
+        "embedding_pca_projection": pca_q,
     }
 
 

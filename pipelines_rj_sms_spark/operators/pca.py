@@ -1,0 +1,100 @@
+"""PCA over embedding columns — dimensionality reduction next to the
+PQ/IVF quantizers.
+
+Same coordination shape as the IVF k-means trainer (`similarity.py`):
+the DISTRIBUTED part computes exactly the sufficient statistics — the
+per-position mean (d rows) and the Gram/covariance sums (d² rows,
+bounded by the embedding dimension, never by data) — and the driver
+does the d×d eigensolve with numpy (64×64 here; trivial at any corpus
+size because d is a model constant). Projection is then EXPRESSION-ONLY:
+the learned components are inlined as literal arrays, so encoding
+billions of vectors is whole-stage-codegen'd dot products — the same
+inlined-literal discipline as the LSH hyperplanes.
+
+Determinism: eigenvectors have a sign ambiguity; each component's sign
+is fixed by making its largest-|coordinate| entry positive, so two
+training runs (and the unit test's independent numpy PCA) agree
+exactly. The explained-variance ratios order components descending.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pca_train", "pca_project"]
+
+
+def pca_train(df: DataFrame, vec_col: str,
+              k: int) -> tuple[list[list[float]], list[float], list[float]]:
+    """Fit PCA; returns ``(components, mean, explained_var_ratio)``
+    with ``components`` as ``k`` rows of length ``d`` (descending
+    eigenvalue order, sign-fixed).
+
+    One pass for n/mean/Gram: positions explode to (i, x_i), pairs to
+    (i, j, x_i·x_j) — the shuffle carries at most d + d² keyed
+    accumulator rows after map-side combine. Covariance derives from
+    the Gram sums and the mean on the driver (d² floats), never a
+    second data pass.
+    """
+    # stamp row ids ONCE on a persisted base — two separate
+    # monotonically_increasing_id projections would not align
+    base = df.select(F.monotonically_increasing_id().alias("_r"),
+                     F.col(vec_col).cast("array<double>").alias("_v"))
+    base = base.persist()
+    ex = base.select("_r", F.posexplode("_v").alias("_i", "_x"))
+    pos = ex.groupBy("_i").agg(F.sum("_x").alias("_s"),
+                               F.count("*").alias("_n"))
+    stats = {r["_i"]: (r["_s"], r["_n"]) for r in pos.collect()}
+    d = len(stats)
+    n = stats[0][1]
+    mean = np.array([stats[i][0] / n for i in range(d)])
+
+    a = base.select("_r", F.posexplode("_v").alias("_i", "_xi"))
+    b = base.select("_r", F.posexplode("_v").alias("_j", "_xj"))
+    gram_rows = (a.join(b, "_r")
+                 .filter(F.col("_i") <= F.col("_j"))
+                 .groupBy("_i", "_j")
+                 .agg(F.sum(F.col("_xi") * F.col("_xj")).alias("_g"))
+                 .collect())
+    g = np.zeros((d, d))
+    for r in gram_rows:
+        g[r["_i"], r["_j"]] = r["_g"]
+        g[r["_j"], r["_i"]] = r["_g"]
+    cov = g / n - np.outer(mean, mean)
+    base.unpersist()
+
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    ratios = []
+    total = float(np.sum(np.clip(vals, 0, None))) or 1.0
+    for idx in order:
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+        ratios.append(max(float(vals[idx]), 0.0) / total)
+    return comps, [float(x) for x in mean], ratios
+
+
+def pca_project(df: DataFrame, id_col: str, vec_col: str,
+                components: list[list[float]], mean: list[float],
+                out_col: str = "pca", round_to: int | None = 6) -> DataFrame:
+    """Project vectors onto the learned components — expression-only:
+    centered dot products against literal component arrays (no UDF, no
+    model join; the model IS the plan)."""
+    centered = F.zip_with(F.col(vec_col).cast("array<double>"),
+                          F.array(*[F.lit(m) for m in mean]),
+                          lambda x, m: x - m)
+    dots = []
+    for comp in components:
+        carr = F.array(*[F.lit(c) for c in comp])
+        dot = F.aggregate(
+            F.zip_with(centered, carr, lambda x, c: x * c),
+            F.lit(0.0), lambda acc, v: acc + v)
+        dots.append(F.round(dot, round_to) if round_to else dot)
+    return df.select(F.col(id_col), F.array(*dots).alias(out_col))
