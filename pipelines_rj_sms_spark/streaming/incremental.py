@@ -483,3 +483,54 @@ def stream_additive_rollup(stream_df: DataFrame, rollup_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_quantile_rollup(stream_df: DataFrame, rollup_path: str,
+                           checkpoint_path: str,
+                           group_cols: list[str], value_col: str,
+                           date_col: str, k: int = 400,
+                           available_now: bool = True) -> StreamingQuery:
+    """Continuous KLL quantile rollup — the percentile companion to
+    `stream_sketch_rollup`: per micro-batch, build fine-grain
+    (date x group) KLL sketches and merge them into the persisted
+    rollup (partition-pruned read of the batch's dates + dynamic
+    overwrite). Query any coarser grain with
+    `sketches.merge_quantile_rollup`, unchanged.
+
+    Replay semantics: re-merging a batch re-inserts its values, which
+    doubles their WEIGHT uniformly — quantile estimates are
+    scale-invariant under uniform duplication, so replayed estimates
+    stay within the sketch's rank-error bound; ``row_count`` is
+    additive and therefore at-least-once (same trade documented on the
+    additive rollup, resolved there with batch markers when exactness
+    matters).
+    """
+    from pipelines_rj_sms_spark.operators.sketches import (
+        build_quantile_sketches)
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fresh = build_quantile_sketches(
+            batch_df, [date_col, *group_cols], value_col, k=k)
+        dates = [r[0] for r in fresh.select(date_col).distinct().collect()]
+        try:
+            existing = (spark.read.parquet(rollup_path)
+                        .filter(F.col(date_col).isin(dates)))
+            both = existing.unionByName(fresh)
+        except Exception:
+            both = fresh
+        merged = (both.groupBy(date_col, *group_cols)
+                  .agg(F.kll_merge_agg_double(F.col("quantile_sketch"))
+                       .alias("quantile_sketch"),
+                       F.sum("row_count").alias("row_count")))
+        (merged.write.mode("overwrite").partitionBy(date_col)
+         .parquet(rollup_path))
+
+    writer = (stream_df.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_path)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

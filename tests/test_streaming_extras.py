@@ -227,3 +227,29 @@ def test_stream_additive_rollup_exact_and_replay_safe(spark, tmp_path):
     again = {(str(r["d"]), r["g"]): (r["row_count"], r["sum_v"])
              for r in spark.read.parquet(str(tmp_path / "roll")).collect()}
     assert again == got
+
+
+def test_stream_quantile_rollup_cross_batch_percentiles(spark, tmp_path):
+    from pipelines_rj_sms_spark.operators.sketches import (
+        merge_quantile_rollup)
+    from pipelines_rj_sms_spark.streaming.incremental import (
+        stream_quantile_rollup)
+    src = tmp_path / "src"
+    _write_json(src / "a.json", [
+        {"d": "2024-01-01", "g": "x", "v": float(i)} for i in range(100)])
+    _write_json(src / "b.json", [
+        {"d": "2024-01-01", "g": "x", "v": float(i)}
+        for i in range(100, 200)])
+    stream = (spark.readStream.schema("d string, g string, v double")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    q = stream_quantile_rollup(
+        stream, rollup_path=str(tmp_path / "roll"),
+        checkpoint_path=str(tmp_path / "ck"),
+        group_cols=["g"], value_col="v", date_col="d")
+    run_stream_once(q)
+    rollup = spark.read.parquet(str(tmp_path / "roll"))
+    row = merge_quantile_rollup(rollup, ["g"]).collect()[0]
+    # 0..199 across two merged batches: p50 ~ 100, p90 ~ 180
+    assert abs(row["q_50"] - 100) <= 6
+    assert abs(row["q_90"] - 180) <= 6
+    assert row["row_count"] == 200
