@@ -305,6 +305,9 @@ Query key -> SURVEY §2 rows covered:
                             (broadcast stats, null not Inf)
   ab_conversion_z_test      two-proportion z (pooled SE) conversion
                             gate
+  embedding_pca_projection  PCA: bounded-driver eigensolve + inlined-
+                            literal codegen projection (rows-only;
+                            unit-pinned vs numpy)
 """
 
 from __future__ import annotations
