@@ -30,4 +30,6 @@ def test_all_declared_queries_match_oracle(spark):
     # every declared query ran; the rows-only set is the known,
     # intentional non-SQL-expressible remainder
     assert n_pass >= 90
-    assert n_rows_only <= 2
+    # rows-only by design: multimodal codecs, zlib compression,
+        # BPE's data-dependent loop, PCA's data-dependent training
+        assert n_rows_only <= 4
