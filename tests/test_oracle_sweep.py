@@ -31,5 +31,5 @@ def test_all_declared_queries_match_oracle(spark):
     # intentional non-SQL-expressible remainder
     assert n_pass >= 90
     # rows-only by design: multimodal codecs, zlib compression,
-        # BPE's data-dependent loop, PCA's data-dependent training
-        assert n_rows_only <= 4
+    # BPE's data-dependent loop, PCA's data-dependent training
+    assert n_rows_only <= 4
