@@ -262,12 +262,12 @@ def stream_scd2(stream_df: DataFrame, history_path: str,
     that window, rebuild from the raw log (compress_history is the
     oracle-checked full recompute).
 
-    Batch ids are scoped to the checkpoint: keep ONE checkpoint per
-    logical stream (ids then only ever grow). Starting a fresh
-    checkpoint against the same history treats same-numbered batches
-    as already applied — which is exactly right for reprocessing the
-    same source, and wrong for ingesting a *different* source into the
-    same history (use the original checkpoint for that).
+    Batch ids are scoped to the checkpoint, so the marker rows carry
+    the checkpoint's fingerprint alongside the id: a restart on the
+    SAME checkpoint skips its replayed batches, while a different
+    query (fresh checkpoint, e.g. a second source feeding the same
+    history) gets its own marker namespace instead of having its
+    batch 0 silently swallowed by the first query's batch 0.
     """
     from pipelines_rj_sms_spark.operators.scd import (
         compress_history, merge_history)
@@ -275,17 +275,13 @@ def stream_scd2(stream_df: DataFrame, history_path: str,
     if isinstance(state_cols, str):
         state_cols = [state_cols]
     marker_path = history_path.rstrip("/") + "_applied"
+    ck_id = _checkpoint_fingerprint(checkpoint_path)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        try:
-            applied = {r[0] for r in
-                       spark.read.parquet(marker_path).collect()}
-        except Exception:
-            applied = set()
-        if batch_id in applied:
+        if _batch_already_applied(spark, marker_path, ck_id, batch_id):
             return
         kb = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
         exists = True
@@ -309,8 +305,7 @@ def stream_scd2(stream_df: DataFrame, history_path: str,
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("_kb").parquet(history_path))
         out.unpersist()
-        spark.createDataFrame([(batch_id,)], "batch_id long") \
-            .write.mode("append").parquet(marker_path)
+        _mark_batch_applied(spark, marker_path, ck_id, batch_id)
 
     writer = (
         stream_df.writeStream.foreachBatch(handle)
@@ -320,6 +315,57 @@ def stream_scd2(stream_df: DataFrame, history_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _checkpoint_fingerprint(checkpoint_path: str) -> str:
+    """Stable id for a streaming query's checkpoint. Spark batch ids
+    are scoped PER CHECKPOINT (two queries both start at batch 0), so
+    replay markers key on (checkpoint, batch_id) — a bare batch-id
+    marker would make a second query's batch 0 look already-applied."""
+    import hashlib
+    return hashlib.md5(checkpoint_path.encode("utf-8")).hexdigest()[:16]
+
+
+def _batch_already_applied(spark, marker_path: str, ck_id: str,
+                           batch_id: int) -> bool:
+    try:
+        marks = spark.read.parquet(marker_path)
+    except Exception:
+        return False
+    return bool(
+        marks.filter((F.col("ck") == ck_id)
+                     & (F.col("batch_id") == batch_id)).take(1))
+
+
+def _mark_batch_applied(spark, marker_path: str, ck_id: str,
+                        batch_id: int) -> None:
+    spark.createDataFrame([(ck_id, batch_id)],
+                          "ck string, batch_id long") \
+        .write.mode("append").parquet(marker_path)
+
+
+def _overwrite_touched_partitions(merged: DataFrame, rollup_path: str,
+                                  date_col: str) -> None:
+    """Safely replace just the date partitions present in ``merged``.
+
+    Two failure modes on a vanilla SparkSession are closed here (both
+    found in review): (1) a static `mode("overwrite")` deletes EVERY
+    prior date partition, not just the touched ones — the explicit
+    `partitionOverwriteMode=dynamic` writer option makes the scope
+    per-partition regardless of session defaults; (2) the merge plan
+    lazily reads the same files the overwrite is about to delete, so
+    the frame is persisted and forced with a count() BEFORE any file is
+    touched (the same discipline `stream_scd2` uses). The count is one
+    row per (date x group) — bounded by the rollup grain, not the data.
+    """
+    merged = merged.persist()
+    try:
+        merged.count()
+        (merged.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(date_col).parquet(rollup_path))
+    finally:
+        merged.unpersist()
 
 
 def stream_expectations(stream_df: DataFrame, expectations,
@@ -351,6 +397,7 @@ def stream_expectations(stream_df: DataFrame, expectations,
         report = run_expectations(batch_df, expectations) \
             .withColumn("batch_id", F.lit(batch_id))
         (report.coalesce(1).write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
          .partitionBy("batch_id").parquet(report_path))
         if quarantine_path is not None:
             viol = None
@@ -361,8 +408,9 @@ def stream_expectations(stream_df: DataFrame, expectations,
             if viol is not None:
                 bad = batch_df.filter(viol) \
                     .withColumn("batch_id", F.lit(batch_id))
-                (bad.write.mode("overwrite").partitionBy("batch_id")
-                 .parquet(quarantine_path))
+                (bad.write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("batch_id").parquet(quarantine_path))
 
     writer = (stream_df.writeStream.foreachBatch(handle)
               .option("checkpointLocation", checkpoint_path)
@@ -415,8 +463,7 @@ def stream_sketch_rollup(stream_df: DataFrame, rollup_path: str,
                                        F.lit(True))
                        .alias("distinct_sketch"),
                        F.sum("row_count").alias("row_count")))
-        (merged.write.mode("overwrite").partitionBy(date_col)
-         .parquet(rollup_path))
+        _overwrite_touched_partitions(merged, rollup_path, date_col)
 
     writer = (stream_df.writeStream.foreachBatch(handle)
               .option("checkpointLocation", checkpoint_path)
@@ -447,17 +494,13 @@ def stream_additive_rollup(stream_df: DataFrame, rollup_path: str,
     """
     sums = list(sum_cols or [])
     marker_path = rollup_path.rstrip("/") + "_applied"
+    ck_id = _checkpoint_fingerprint(checkpoint_path)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        try:
-            applied = {r[0] for r in
-                       spark.read.parquet(marker_path).collect()}
-        except Exception:
-            applied = set()
-        if batch_id in applied:
+        if _batch_already_applied(spark, marker_path, ck_id, batch_id):
             return
         aggs = [F.count("*").alias("row_count")] + [
             F.sum(c).alias(f"sum_{c}") for c in sums]
@@ -472,10 +515,8 @@ def stream_additive_rollup(stream_df: DataFrame, rollup_path: str,
         merged = both.groupBy(date_col, *group_cols).agg(
             F.sum("row_count").alias("row_count"),
             *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sums])
-        (merged.write.mode("overwrite").partitionBy(date_col)
-         .parquet(rollup_path))
-        spark.createDataFrame([(batch_id,)], "batch_id long") \
-            .write.mode("append").parquet(marker_path)
+        _overwrite_touched_partitions(merged, rollup_path, date_col)
+        _mark_batch_applied(spark, marker_path, ck_id, batch_id)
 
     writer = (stream_df.writeStream.foreachBatch(handle)
               .option("checkpointLocation", checkpoint_path)
@@ -525,8 +566,7 @@ def stream_quantile_rollup(stream_df: DataFrame, rollup_path: str,
                   .agg(F.kll_merge_agg_double(F.col("quantile_sketch"))
                        .alias("quantile_sketch"),
                        F.sum("row_count").alias("row_count")))
-        (merged.write.mode("overwrite").partitionBy(date_col)
-         .parquet(rollup_path))
+        _overwrite_touched_partitions(merged, rollup_path, date_col)
 
     writer = (stream_df.writeStream.foreachBatch(handle)
               .option("checkpointLocation", checkpoint_path)

@@ -121,11 +121,14 @@ def test_stream_scd2_end_to_end(spark, tmp_path):
                                       "oid").collect()}
     assert got == want
 
-    # replaying the same source with a fresh checkpoint but the same
-    # applied-batch markers must NOT double-merge
+    # replay on the SAME checkpoint path with its state wiped (lost
+    # checkpoint, batch ids restart at 0): the (checkpoint, batch_id)
+    # markers recognize the replayed ids and must NOT double-merge
+    import shutil
+    shutil.rmtree(str(tmp_path / "ck"))
     stream2 = (spark.readStream.schema(schema)
                .option("maxFilesPerTrigger", 1).json(str(src)))
-    q2 = stream_scd2(stream2, hist_path, str(tmp_path / "ck2"),
+    q2 = stream_scd2(stream2, hist_path, str(tmp_path / "ck"),
                      "k", "ts", "state", "oid", n_buckets=8)
     run_stream_once(q2)
     again = {(r["k"], r["state"], r["valid_from"], r["valid_to"], r["n_obs"])
@@ -216,12 +219,16 @@ def test_stream_additive_rollup_exact_and_replay_safe(spark, tmp_path):
            for r in spark.read.parquet(str(tmp_path / "roll")).collect()}
     assert got[("2024-01-01", "x")] == (3, 16.0)
     assert got[("2024-01-02", "y")] == (1, 2.0)
-    # same checkpoint restart: markers skip both batches, totals stable
+    # replay on the same checkpoint path with its state wiped: batch
+    # ids restart at 0, (checkpoint, batch_id) markers skip both
+    # batches, totals stay exact
+    import shutil
+    shutil.rmtree(str(tmp_path / "ck"))
     stream2 = (spark.readStream.schema("d string, g string, v double")
                .option("maxFilesPerTrigger", 1).json(str(src)))
     q2 = stream_additive_rollup(
         stream2, rollup_path=str(tmp_path / "roll"),
-        checkpoint_path=str(tmp_path / "ck2"),
+        checkpoint_path=str(tmp_path / "ck"),
         group_cols=["g"], date_col="d", sum_cols=["v"])
     run_stream_once(q2)
     again = {(str(r["d"]), r["g"]): (r["row_count"], r["sum_v"])
@@ -253,3 +260,34 @@ def test_stream_quantile_rollup_cross_batch_percentiles(spark, tmp_path):
     assert abs(row["q_50"] - 100) <= 6
     assert abs(row["q_90"] - 180) <= 6
     assert row["row_count"] == 200
+
+
+def test_rollup_overwrite_scoped_on_static_session(spark, tmp_path):
+    """Regression: on a session WITHOUT the dynamic-overwrite default,
+    a micro-batch touching only day 2 must not delete day 1's rollup
+    partition (the writers set partitionOverwriteMode explicitly)."""
+    from pipelines_rj_sms_spark.streaming.incremental import (
+        stream_additive_rollup)
+    src1 = tmp_path / "src1"
+    src2 = tmp_path / "src2"
+    _write_json(src1 / "a.json", [{"d": "2024-01-01", "g": "x", "v": 1.0}])
+    _write_json(src2 / "b.json", [{"d": "2024-01-02", "g": "y", "v": 2.0}])
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        for i, src in enumerate((src1, src2)):
+            stream = (spark.readStream
+                      .schema("d string, g string, v double")
+                      .json(str(src)))
+            q = stream_additive_rollup(
+                stream, rollup_path=str(tmp_path / "roll"),
+                checkpoint_path=str(tmp_path / f"ck{i}"),
+                group_cols=["g"], date_col="d", sum_cols=["v"])
+            run_stream_once(q)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    got = {(str(r["d"]), r["g"]): (r["row_count"], r["sum_v"])
+           for r in spark.read.parquet(str(tmp_path / "roll")).collect()}
+    # day 1 survives the day-2-only batch under static session default
+    assert got == {("2024-01-01", "x"): (1, 1.0),
+                   ("2024-01-02", "y"): (1, 2.0)}
