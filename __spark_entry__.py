@@ -3118,14 +3118,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run_expectations(orders, suite)
 
     def dp_counts_q(spark, sf_dir):
-        """ε-DP Laplace-mechanism noisy counts per event type
-        (ε=0.5): exact inverse-CDF transform over the md5 hash-draw —
-        replayable, so the oracle verifies the release arithmetic
-        end-to-end."""
+        """Laplace-mechanism noisy-count release arithmetic per event
+        type (ε=0.5): exact inverse-CDF transform over the md5
+        hash-draw via `replayable_noisy_counts` — the deliberately
+        NON-private deterministic variant, so the oracle verifies the
+        release arithmetic end-to-end (the private API,
+        `dp_noisy_counts`, requires an out-of-band secret seed and is
+        unit-tested instead)."""
         from pipelines_rj_sms_spark.functions.privacy import (
-            dp_noisy_counts)
+            replayable_noisy_counts)
         ev = _t(spark, sf_dir, "events")
-        return dp_noisy_counts(ev, ["event_type"], epsilon=0.5)
+        return replayable_noisy_counts(ev, ["event_type"], epsilon=0.5)
 
     def ewma_q(spark, sf_dir):
         """EWMA-smoothed daily revenue (α=0.3, 10-term bounded window):

@@ -49,23 +49,25 @@ def scrub_pii(col: str | Column) -> Column:
     return mask_email(mask_phone(mask_cns(mask_cpf(col))))
 
 
-def dp_noisy_counts(df, group_cols: list[str], epsilon: float,
-                    sensitivity: float = 1.0, salt: str = "dp",
-                    clamp_nonnegative: bool = True):
-    """Laplace-mechanism noisy counts per group — the release-side
-    companion to the k-anonymity/l-diversity gates: counts leave with
-    Lap(sensitivity/epsilon) noise added (the standard ε-DP mechanism
-    for counting queries, public).
+def replayable_noisy_counts(df, group_cols: list[str], epsilon: float,
+                            sensitivity: float = 1.0, salt: str = "dp",
+                            clamp_nonnegative: bool = True):
+    """Laplace-SHAPED noisy counts with REPLAYABLE noise — NOT a
+    differential-privacy release. The noise is a deterministic md5
+    function of the released group key and ``salt``: anyone who knows
+    (or guesses) the salt recomputes the noise from the released row
+    itself and recovers the exact count. Privacy with a known or
+    default salt is therefore ZERO — this exists for pipeline testing
+    and oracle parity (the noise distribution and plan shape are the
+    real mechanism's), never for protecting data. For an actual ε-DP
+    release use :func:`dp_noisy_counts`, which demands a secret seed.
 
-    The uniform draw is the repo's md5 hash-draw over the GROUP KEY
-    (same discipline as the sampling operators), u = (h%2^20 + 0.5)/2^20,
-    noise = -(s/ε)·sign(u-½)·ln(1-2|u-½|) — the exact inverse-CDF
-    transform. That makes releases REPLAYABLE (and oracle-checkable);
-    it is deliberately not cryptographic randomness — production
-    deployments swap the draw for a CSPRNG per release and keep
-    everything else. One hash aggregation; the noise projection is
-    expression-only. Returns group cols + (true hidden) `noisy_count`
-    rounded to 6, clamped at 0 by default.
+    Mechanics: u = (h%2^20 + 0.5)/2^20 from the md5 hash-draw (same
+    discipline as the sampling operators), noise =
+    -(s/ε)·sign(u-½)·ln(1-2|u-½|) — the exact Laplace inverse-CDF
+    transform. One hash aggregation; the noise projection is
+    expression-only. Returns group cols + `noisy_count` rounded to 6,
+    clamped at 0 by default.
     """
     gcols = [F.col(c) for c in group_cols]
     counts = df.groupBy(*gcols).agg(F.count("*").alias("_n"))
@@ -81,3 +83,39 @@ def dp_noisy_counts(df, group_cols: list[str], epsilon: float,
         noisy = F.greatest(noisy, F.lit(0.0))
     return counts.select(*group_cols,
                          F.round(noisy, 6).alias("noisy_count"))
+
+
+def dp_noisy_counts(df, group_cols: list[str], epsilon: float,
+                    secret_seed: str, sensitivity: float = 1.0,
+                    clamp_nonnegative: bool = True):
+    """Laplace-mechanism noisy counts per group — the release-side
+    companion to the k-anonymity/l-diversity gates: counts leave with
+    Lap(sensitivity/epsilon) noise (the standard ε-DP counting
+    mechanism, public).
+
+    The noise draw is seeded by ``secret_seed`` — REQUIRED, no
+    default, because the draw is a deterministic function of
+    (seed, group key): if the seed is known, the noise is recomputable
+    from the released row and the release has ZERO privacy, not merely
+    weak randomness. The seed must be high-entropy (≥16 chars
+    enforced), held out-of-band, and — since reusing one across
+    releases of the same groups repeats the noise — fresh per release
+    (per-release ε still composes across releases as usual). Hash-
+    seeded noise is pseudo-random, not cryptographic: for releases
+    where an adversary may attack the PRF itself, draw real CSPRNG
+    noise per group outside Spark and join it in; this function's
+    plan (one hash agg + expression-only projection) stays the same.
+    """
+    seed = (secret_seed or "").strip()
+    if len(seed) < 16 or seed.lower() in {"dp", "salt", "secret",
+                                          "changeme", "default"}:
+        raise ValueError(
+            "dp_noisy_counts needs a high-entropy secret_seed "
+            "(>=16 chars, out-of-band). With a known/guessable seed "
+            "the noise is recomputable from the released rows and the "
+            "release has no privacy. For deterministic test releases "
+            "use replayable_noisy_counts, which is explicit about "
+            "being non-private.")
+    return replayable_noisy_counts(
+        df, group_cols, epsilon, sensitivity=sensitivity,
+        salt=seed, clamp_nonnegative=clamp_nonnegative)

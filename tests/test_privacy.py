@@ -47,13 +47,16 @@ def test_contamination_overlap_two_sided(spark):
 
 def test_dp_noisy_counts_deterministic_and_close(spark):
     import math
-    from pipelines_rj_sms_spark.functions.privacy import dp_noisy_counts
+    from pipelines_rj_sms_spark.functions.privacy import (
+        replayable_noisy_counts)
     rows = [("a",)] * 100 + [("b",)] * 50
     df = spark.createDataFrame(rows, ["g"])
     out1 = {r["g"]: r["noisy_count"]
-            for r in dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+            for r in replayable_noisy_counts(
+                df, ["g"], epsilon=1.0).collect()}
     out2 = {r["g"]: r["noisy_count"]
-            for r in dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+            for r in replayable_noisy_counts(
+                df, ["g"], epsilon=1.0).collect()}
     assert out1 == out2                      # replayable
     assert abs(out1["a"] - 100) < 15         # Lap(1) rarely exceeds ~7
     assert abs(out1["b"] - 50) < 15
@@ -66,13 +69,31 @@ def test_dp_noisy_counts_deterministic_and_close(spark):
 
 
 def test_dp_noisy_counts_epsilon_scales_noise(spark):
-    from pipelines_rj_sms_spark.functions.privacy import dp_noisy_counts
+    from pipelines_rj_sms_spark.functions.privacy import (
+        replayable_noisy_counts)
     rows = [(f"g{i}", ) for i in range(200) for _ in range(3)]
     df = spark.createDataFrame(rows, ["g"])
-    tight = dp_noisy_counts(df, ["g"], epsilon=10.0,
-                            clamp_nonnegative=False).collect()
-    loose = dp_noisy_counts(df, ["g"], epsilon=0.1,
-                            clamp_nonnegative=False).collect()
+    tight = replayable_noisy_counts(df, ["g"], epsilon=10.0,
+                                    clamp_nonnegative=False).collect()
+    loose = replayable_noisy_counts(df, ["g"], epsilon=0.1,
+                                    clamp_nonnegative=False).collect()
     dev_t = sum(abs(r["noisy_count"] - 3) for r in tight)
     dev_l = sum(abs(r["noisy_count"] - 3) for r in loose)
     assert dev_l > dev_t * 10  # b scales 100x
+
+
+def test_dp_noisy_counts_requires_secret_seed(spark):
+    import pytest
+    from pipelines_rj_sms_spark.functions.privacy import (
+        dp_noisy_counts, replayable_noisy_counts)
+    df = spark.createDataFrame([("a",)] * 10, ["g"])
+    for bad in ("dp", "", "short", "changeme"):
+        with pytest.raises(ValueError):
+            dp_noisy_counts(df, ["g"], epsilon=1.0, secret_seed=bad)
+    seed = "f3a9c1e7b2d8a4f6deadbeef"
+    got = {r["g"]: r["noisy_count"] for r in dp_noisy_counts(
+        df, ["g"], epsilon=1.0, secret_seed=seed).collect()}
+    # delegates to the replayable core with the seed as salt
+    want = {r["g"]: r["noisy_count"] for r in replayable_noisy_counts(
+        df, ["g"], epsilon=1.0, salt=seed).collect()}
+    assert got == want
