@@ -4973,17 +4973,23 @@ JOIN ic nb ON item_b = nb.i
         "doc_containment_pairs": f"""
 WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks),
-ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+-- same max_df boilerplate cap as the Spark operator (default 1000)
+hot AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) > 1000),
+ex AS (SELECT doc_id, g FROM ex0 ANTI JOIN hot USING (g)),
+sized AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
 pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          CAST(count(*) AS BIGINT) AS inter
   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4)
+  GROUP BY 1, 2)
 SELECT id_a, id_b, inter,
-       round(inter / n_a, 6) AS containment_a,
-       round(inter / n_b, 6) AS containment_b
+       round(inter / na.n, 6) AS containment_a,
+       round(inter / nb.n, 6) AS containment_b
 FROM pairs
-WHERE greatest(inter / n_a, inter / n_b) >= 0.6
+JOIN sized na ON id_a = na.doc_id
+JOIN sized nb ON id_b = nb.doc_id
+WHERE greatest(inter / na.n, inter / nb.n) >= 0.6
 """,
         "source_lang_diversity": r"""
 WITH joint AS (

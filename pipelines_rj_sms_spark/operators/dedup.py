@@ -731,7 +731,8 @@ def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
 
 def containment_pairs(df: DataFrame, id_col: str, text_col: str,
                       shingle_n: int = 3,
-                      threshold: float = 0.8) -> DataFrame:
+                      threshold: float = 0.8,
+                      max_df: int | None = 1000) -> DataFrame:
     """Asymmetric shingle containment — the quote/subset detector the
     symmetric Jaccard misses: a short doc fully embedded in a long one
     has tiny Jaccard but containment(short→long) ≈ 1. Broder's
@@ -742,31 +743,50 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     equi-join, id_a < id_b inside the condition, persisted shingle
     subplan) minus the length-ratio prune — size asymmetry is exactly
     what containment looks for, so that prune would delete the signal.
-    Consequence: hot shingles fan out unpruned; at scale feed LSH/
-    winnowing candidates upstream or cap document frequency before
-    this verify. Returns (id_a, id_b, inter, containment_a,
-    containment_b) — containment_a = share of A's shingles inside B.
+    The fan-out bound comes from ``max_df`` instead (same cap as
+    `winnow_overlap_pairs`): shingle hashes appearing in more than
+    ``max_df`` docs are boilerplate, not quotation signal, and are
+    dropped BEFORE the self-join — per-shingle pair fan-out is then
+    bounded by max_df², where unpruned a single 1M-doc boilerplate
+    shingle would emit ~10¹² pairs. Containment stays EXACT over the
+    retained shingle vocabulary: the per-doc denominator is recomputed
+    as the doc's count of surviving shingles, so both numerator and
+    denominator see the same vocabulary (an unbiased restriction, not
+    a truncation of the numerator only). ``max_df=None`` disables the
+    cap for small corpora. Returns (id_a, id_b, inter, containment_a,
+    containment_b) — containment_a = share of A's retained shingles
+    inside B.
     """
     sh = df.select(
-        F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
-    ).select(id_col, "_sh", F.size("_sh").alias("_n"))
+        F.col(id_col), shingles(text_col, shingle_n).alias("_sh"))
     sh = _parallelize_narrow(sh).persist()
     exploded = sh.select(
-        id_col, "_n",
+        id_col,
         F.explode(F.transform("_sh", lambda s: F.xxhash64(s))).alias("_s"))
+    if max_df is not None:
+        # shingle arrays are distinct per doc -> count(*) = doc freq
+        hot = (exploded.groupBy("_s").agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > max_df).select("_s"))
+        exploded = exploded.join(hot, "_s", "left_anti")
+    exploded = exploded.persist()  # both self-join sides + sizes
+    sized = exploded.groupBy(id_col).agg(F.count("*").alias("_n"))
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(b, (F.col("a._s") == F.col("b._s"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                 F.col(f"b.{id_col}").alias("id_b"),
-                 F.col("a._n").alias("_na"),
-                 F.col("b._n").alias("_nb"))
+                 F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count("*").alias("inter")))
+    out = (
+        inter
+        .join(sized.select(F.col(id_col).alias("id_a"),
+                           F.col("_n").alias("_na")), "id_a")
+        .join(sized.select(F.col(id_col).alias("id_b"),
+                           F.col("_n").alias("_nb")), "id_b"))
     ca = F.col("inter") / F.col("_na")
     cb = F.col("inter") / F.col("_nb")
-    out = (inter.filter(F.greatest(ca, cb) >= threshold)
+    out = (out.filter(F.greatest(ca, cb) >= threshold)
            .select("id_a", "id_b", "inter",
                    F.round(ca, 6).alias("containment_a"),
                    F.round(cb, 6).alias("containment_b")))
-    return track(out, sh)
+    return track(out, sh, exploded)

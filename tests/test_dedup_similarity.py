@@ -347,3 +347,36 @@ def test_containment_detects_embedded_quote(spark):
     assert got[(1, 2)]["containment_b"] == 1.0
     assert got[(1, 2)]["containment_a"] < 0.5
     assert not any(3 in k for k in got)
+
+
+def test_containment_max_df_bounds_hot_shingle_fanout(spark):
+    """A boilerplate shingle shared by every doc must not produce the
+    all-pairs explosion: with max_df below the corpus size the hot
+    shingle is dropped before the self-join, and containment is exact
+    over the retained vocabulary (denominator recomputed)."""
+    from pipelines_rj_sms_spark.operators.cache import release
+    from pipelines_rj_sms_spark.operators.dedup import containment_pairs
+    boiler = "subscribe to our newsletter"
+    docs = [(i, f"unique{i} token{i} filler{i} {boiler}")
+            for i in range(30)]
+    # plus one genuine quote pair sharing real content
+    docs += [(100, f"alpha beta gamma delta epsilon zeta {boiler}"),
+             (101, f"alpha beta gamma delta epsilon zeta extra{0} "
+                   f"more{0} words{0} here{0} now{0} {boiler}")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = containment_pairs(df, "doc_id", "text", shingle_n=3,
+                            threshold=0.5, max_df=5)
+    rows = out.collect()
+    release(out)
+    got = {(r["id_a"], r["id_b"]): r.asDict() for r in rows}
+    # the 30 boilerplate-only docs share nothing after the cap
+    assert all(k == (100, 101) for k in got), got.keys()
+    # doc 100 retains 6 shingles after the cap; the 4 fully inside
+    # the quoted run appear in 101, the 2 junction shingles don't
+    assert got[(100, 101)]["containment_a"] == 0.666667
+    # uncapped, the same corpus DOES all-pair on the hot shingle
+    out2 = containment_pairs(df, "doc_id", "text", shingle_n=3,
+                             threshold=0.0, max_df=None)
+    n_uncapped = out2.count()
+    release(out2)
+    assert n_uncapped > 400  # ~32*31/2 pairs from the shared boiler
