@@ -3076,9 +3076,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def kcore_q(spark, sf_dir):
         """80-core of the part co-purchase graph: iterative peel (one
         degree agg + two semi-joins per round, lineage-truncated).
-        Peeling is monotone, so the fixed 6-round schedule replays
-        identically in the unrolled SQL oracle — rounds past the
-        fixpoint are no-ops by construction."""
+        The operator peels to the DETECTED fixpoint (edge count
+        stable); the SQL oracle unrolls 6 rounds, which the fixture
+        converges well inside — rounds past the fixpoint are no-ops
+        by construction, so the two agree exactly."""
         from pipelines_rj_sms_spark.operators.graph import k_core
         li = _t(spark, sf_dir, "lineitem")
         items = li.select(F.col("l_orderkey").alias("o"),
@@ -3087,7 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges = a.join(b, (F.col("a.o") == F.col("b.o"))
                        & (F.col("a.p") < F.col("b.p"))).select(
             F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-        out = k_core(edges, 80, max_rounds=6)
+        out = k_core(edges, 80)
         return out.select(F.col("node").alias("partkey"), "degree")
 
     def pmi_q(spark, sf_dir):

@@ -240,28 +240,36 @@ def triangle_counts(edges: DataFrame, src: str = "src",
 
 
 def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
-           max_rounds: int = 8) -> DataFrame:
+           max_rounds: int = 64) -> DataFrame:
     """Nodes of the ``k``-core: iteratively peel nodes of degree < k
-    (with the edges they carry) until stable — the standard graph
+    (with the edges they carry) until STABLE — the standard graph
     cleaning pass before community/centrality analysis (drops pendant
     chains and weak periphery that inflate linkage clusters).
 
     Each peel round is one degree hash-aggregation + two semi-joins on
     node keys — narrow (src, dst) rows only, ``localCheckpoint``
     lineage truncation per round like the other iterative operators.
-    Peeling is MONOTONE: once stable, further rounds are no-ops, so a
-    fixed ``max_rounds`` replays identically in any engine regardless
-    of where the fixpoint landed (rounds beyond it change nothing);
-    real-world graphs converge in a handful of rounds because each
-    round must delete at least one node to continue. Returns
-    (node, degree) of the surviving core with its within-core degree.
+    Convergence is DETECTED, not assumed: the per-round
+    localCheckpoint already materializes the edge set, so reading its
+    count is free, and peeling stops the first round the edge count
+    stops shrinking (peeling is monotone — equal count means no node
+    fell below k, i.e. the true fixpoint). Most real graphs converge
+    in a handful of rounds, but adversarial shapes (long pendant
+    chains shed one tip per round) need O(diameter); if ``max_rounds``
+    is hit first the function RAISES rather than silently returning a
+    superset of the core. Returns (node, degree) of the surviving
+    core with its within-core degree.
     """
     e = (edges.select(F.least(F.col(src), F.col(dst)).alias("_a"),
                       F.greatest(F.col(src), F.col(dst)).alias("_b"))
          .filter(F.col("_a") != F.col("_b"))
          .distinct()
          .localCheckpoint(False))
+    n_edges = e.count()
+    converged = n_edges == 0
     for _ in range(max_rounds):
+        if converged:
+            break
         deg = (e.select(F.col("_a").alias("node"))
                .unionByName(e.select(F.col("_b").alias("node")))
                .groupBy("node").agg(F.count("*").alias("degree")))
@@ -269,6 +277,15 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
         e = (e.join(keep.withColumnRenamed("node", "_a"), "_a", "semi")
              .join(keep.withColumnRenamed("node", "_b"), "_b", "semi")
              .localCheckpoint(False))
+        remaining = e.count()
+        converged = remaining == n_edges or remaining == 0
+        n_edges = remaining
+    if not converged:
+        raise RuntimeError(
+            f"k_core did not reach its fixpoint within {max_rounds} "
+            f"rounds ({n_edges} edges still peeling); raise max_rounds "
+            "— the result would otherwise be a superset of the true "
+            f"{k}-core.")
     deg = (e.select(F.col("_a").alias("node"))
            .unionByName(e.select(F.col("_b").alias("node")))
            .groupBy("node").agg(F.count("*").alias("degree")))

@@ -39,3 +39,23 @@ def test_kcore_randomized_vs_python_peel(spark):
     got = {r["node"]: r["degree"]
            for r in k_core(df, 4, max_rounds=10).collect()}
     assert got == _py_kcore(edges, 4)
+
+
+def test_kcore_long_pendant_chain_converges(spark):
+    """A 12-node pendant chain hanging off a triangle sheds one tip
+    per round — needs ~12 peel rounds, more than the old fixed-8
+    schedule. Fixpoint detection must fully dissolve the chain."""
+    chain = [(100 + i, 101 + i) for i in range(12)]
+    edges = [(1, 2), (2, 3), (1, 3), (3, 100)] + chain
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["degree"] for r in k_core(df, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_raises_when_rounds_exhausted(spark):
+    import pytest
+    chain = [(100 + i, 101 + i) for i in range(12)]
+    edges = [(1, 2), (2, 3), (1, 3), (3, 100)] + chain
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(df, 2, max_rounds=3)
