@@ -308,6 +308,8 @@ Query key -> SURVEY §2 rows covered:
   embedding_pca_projection  PCA: bounded-driver eigensolve + inlined-
                             literal codegen projection (rows-only;
                             unit-pinned vs numpy)
+  embedding_pca2_closed_form 2-D PCA vs the oracle's algebraic 2x2
+                            eigensolve — exact train->project parity
 """
 
 from __future__ import annotations
@@ -3532,6 +3534,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         comps, mean, _ = pca_train(emb, "embedding", k=4)
         return pca_project(emb, "vec_id", "embedding", comps, mean)
 
+    def pca2_q(spark, sf_dir):
+        """Closed-form-checkable PCA: train on the first TWO embedding
+        coordinates, where the 2x2 covariance eigensolve has an exact
+        algebraic solution a SQL oracle can replay (eigenvalues from
+        the trace/discriminant, eigenvectors (cxy, lam-cxx) normalized,
+        the operator's largest-|coordinate|-positive sign fix). This
+        pins the whole train->project pipeline (sufficient statistics,
+        eigensolve, sign convention, expression-only projection)
+        against an independent derivation — the exactness gate the
+        64-d rows-only query can't have."""
+        from pipelines_rj_sms_spark.operators.pca import (
+            pca_project, pca_train)
+        emb = _t(spark, sf_dir, "embeddings")
+        two = emb.select(
+            "vec_id",
+            F.array(F.col("embedding")[0].cast("double"),
+                    F.col("embedding")[1].cast("double")).alias("v"))
+        comps, mean, _ = pca_train(two, "v", k=2)
+        out = pca_project(two, "vec_id", "v", comps, mean)
+        return out.select("vec_id",
+                          F.col("pca")[0].alias("pc1"),
+                          F.col("pca")[1].alias("pc2"))
+
     return {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3749,6 +3774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standardized_event_values": standardize_q,
         "ab_conversion_z_test": proportion_q,
         "embedding_pca_projection": pca_q,
+        "embedding_pca2_closed_form": pca2_q,
     }
 
 
@@ -3921,6 +3947,55 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC, vec_id
             LIMIT 10
         """,
+        "embedding_pca2_closed_form": """
+WITH pts AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+m AS (
+  SELECT count(*) AS n, sum(x) / count(*) AS mx, sum(y) / count(*) AS my,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM pts),
+c AS (
+  SELECT mx, my,
+         sxx / n - mx * mx AS cxx,
+         sxy / n - mx * my AS cxy,
+         syy / n - my * my AS cyy
+  FROM m),
+e AS (
+  SELECT *,
+         (cxx + cyy) / 2
+           + sqrt(((cxx - cyy) / 2) * ((cxx - cyy) / 2) + cxy * cxy) AS l1,
+         (cxx + cyy) / 2
+           - sqrt(((cxx - cyy) / 2) * ((cxx - cyy) / 2) + cxy * cxy) AS l2
+  FROM c),
+raw AS (  -- eigenvectors (cxy, lam - cxx), unnormalized
+  SELECT mx, my,
+         cxy AS v1x, l1 - cxx AS v1y,
+         cxy AS v2x, l2 - cxx AS v2y
+  FROM e),
+unit AS (
+  SELECT mx, my,
+         v1x / sqrt(v1x * v1x + v1y * v1y) AS u1x,
+         v1y / sqrt(v1x * v1x + v1y * v1y) AS u1y,
+         v2x / sqrt(v2x * v2x + v2y * v2y) AS u2x,
+         v2y / sqrt(v2x * v2x + v2y * v2y) AS u2y
+  FROM raw),
+model AS (  -- largest-|coordinate| entry positive (ties -> index 0)
+  SELECT mx, my,
+         CASE WHEN (CASE WHEN abs(u1x) >= abs(u1y) THEN u1x ELSE u1y END) < 0
+              THEN -u1x ELSE u1x END AS u1x,
+         CASE WHEN (CASE WHEN abs(u1x) >= abs(u1y) THEN u1x ELSE u1y END) < 0
+              THEN -u1y ELSE u1y END AS u1y,
+         CASE WHEN (CASE WHEN abs(u2x) >= abs(u2y) THEN u2x ELSE u2y END) < 0
+              THEN -u2x ELSE u2x END AS u2x,
+         CASE WHEN (CASE WHEN abs(u2x) >= abs(u2y) THEN u2x ELSE u2y END) < 0
+              THEN -u2y ELSE u2y END AS u2y
+  FROM unit)
+SELECT vec_id,
+       round((x - mx) * u1x + (y - my) * u1y, 6) AS pc1,
+       round((x - mx) * u2x + (y - my) * u2y, 6) AS pc2
+FROM pts, model
+""",
         "similarity_lsh": _duck_planes_sql(),
         "similarity_lsh_multiprobe": _duck_planes_sql(multiprobe=True),
         "similarity_batch_topk": """

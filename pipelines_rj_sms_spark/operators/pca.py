@@ -33,18 +33,17 @@ def pca_train(df: DataFrame, vec_col: str,
     with ``components`` as ``k`` rows of length ``d`` (descending
     eigenvalue order, sign-fixed).
 
-    One pass for n/mean/Gram: positions explode to (i, x_i), pairs to
-    (i, j, x_i·x_j) — the shuffle carries at most d + d² keyed
-    accumulator rows after map-side combine. Covariance derives from
-    the Gram sums and the mean on the driver (d² floats), never a
-    second data pass.
+    One pass for n/mean, one for the Gram: positions explode to
+    (i, x_i); the upper-triangle products are generated INSIDE a
+    single array expression per row (nested indexed transform +
+    flatten — no self-join, no row ids) and hash-aggregated, so the
+    shuffle carries at most d + d(d+1)/2 keyed accumulator rows after
+    map-side combine. Covariance derives from the Gram sums and the
+    mean on the driver (d² floats), never a second data pass.
     """
-    # stamp row ids ONCE on a persisted base — two separate
-    # monotonically_increasing_id projections would not align
-    base = df.select(F.monotonically_increasing_id().alias("_r"),
-                     F.col(vec_col).cast("array<double>").alias("_v"))
+    base = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
     base = base.persist()
-    ex = base.select("_r", F.posexplode("_v").alias("_i", "_x"))
+    ex = base.select(F.posexplode("_v").alias("_i", "_x"))
     pos = ex.groupBy("_i").agg(F.sum("_x").alias("_s"),
                                F.count("*").alias("_n"))
     stats = {r["_i"]: (r["_s"], r["_n"]) for r in pos.collect()}
@@ -52,12 +51,21 @@ def pca_train(df: DataFrame, vec_col: str,
     n = stats[0][1]
     mean = np.array([stats[i][0] / n for i in range(d)])
 
-    a = base.select("_r", F.posexplode("_v").alias("_i", "_xi"))
-    b = base.select("_r", F.posexplode("_v").alias("_j", "_xj"))
-    gram_rows = (a.join(b, "_r")
-                 .filter(F.col("_i") <= F.col("_j"))
-                 .groupBy("_i", "_j")
-                 .agg(F.sum(F.col("_xi") * F.col("_xj")).alias("_g"))
+    # (i, j>=i, x_i*x_j) built row-locally: outer indexed transform
+    # over the vector, inner transform over its tail slice — emits
+    # exactly the upper triangle, whole-stage-codegen'd, zero shuffle
+    # before the d(d+1)/2-key hash agg
+    tri = F.flatten(F.transform(
+        "_v",
+        lambda xi, i: F.transform(
+            F.slice(F.col("_v"), i + 1, d),
+            lambda xj, o: F.struct(
+                i.alias("_i"), (i + o).alias("_j"),
+                (xi * xj).alias("_p")))))
+    gram_rows = (base.select(F.explode(tri).alias("_t"))
+                 .groupBy(F.col("_t._i").alias("_i"),
+                          F.col("_t._j").alias("_j"))
+                 .agg(F.sum("_t._p").alias("_g"))
                  .collect())
     g = np.zeros((d, d))
     for r in gram_rows:
