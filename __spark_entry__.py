@@ -245,6 +245,8 @@ Query key -> SURVEY §2 rows covered:
                             6dp-pinned percentile boundaries)
   hourly_value_twap         time-weighted average (LOCF weights, lead
                             window, bucket-boundary clipping)
+  hourly_value_twap_carry   gap-spanning bucketed LOCF TWAP (spanned-
+                            bucket explode, empty buckets n_obs=0)
   interpolated_hourly_values  linear interpolation over the gap-filled
                             spine (ignorenulls windows, clamped edges)
   ewma_daily_revenue        EWMA smoothing (truncated-recursion lag
@@ -3025,6 +3027,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return time_weighted_avg(ev, "ts", "value",
                                  key_cols=["event_type"], bucket="hour")
 
+    def twap_carry_q(spark, sf_dir):
+        """Gap-spanning bucketed LOCF TWAP (TimescaleDB time_weight
+        semantics): sparse observations (value > 95) whose next sample
+        lies hours later credit every spanned bucket via sequence +
+        explode; empty-but-covered buckets appear with n_obs = 0. The
+        oracle replays the same span generation with generate_series."""
+        from pipelines_rj_sms_spark.operators.timeseries import (
+            time_weighted_avg)
+        ev = _t(spark, sf_dir, "events").filter(F.col("value") > 95)
+        return time_weighted_avg(ev, "ts", "value",
+                                 key_cols=["event_type"], bucket="hour",
+                                 carry_in=True)
+
     def interp_q(spark, sf_dir):
         """Linear interpolation over the gap-filled hourly purchase
         series: nearest-observation carries via ignorenulls windows
@@ -3739,6 +3754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_revenue_cusum": cusum_q,
         "customer_rfm_segments": rfm_q,
         "hourly_value_twap": twap_q,
+        "hourly_value_twap_carry": twap_carry_q,
         "interpolated_hourly_values": interp_q,
         "customer_geohash_cells": geohash_cells_q,
         "doc_readability_scores": readability_q,
@@ -4573,6 +4589,38 @@ SELECT event_type, bucket,
        round(CASE WHEN sum(dur) > 0 THEN sum(value * dur) / sum(dur)
                   ELSE avg(value) END, 6) AS twap,
        count(*) AS n_obs
+FROM r GROUP BY 1, 2
+""",
+        "hourly_value_twap_carry": r"""
+WITH s AS (
+  SELECT event_type, ts, value,
+         lead(ts) OVER (PARTITION BY event_type ORDER BY ts) AS nxt
+  FROM events WHERE value > 95),
+sp AS (
+  SELECT event_type, ts, value, nxt,
+         unnest(CASE WHEN nxt IS NULL
+                THEN [CAST(date_trunc('hour', ts) AS TIMESTAMP)]
+                ELSE generate_series(
+                  CAST(date_trunc('hour', ts) AS TIMESTAMP),
+                  CAST(date_trunc('hour',
+                       greatest(nxt - INTERVAL 1 MICROSECOND, ts))
+                       AS TIMESTAMP),
+                  INTERVAL 1 HOUR) END) AS bucket
+  FROM s),
+r AS (
+  SELECT event_type, bucket, value,
+         greatest(epoch_us(least(nxt, bucket + INTERVAL 1 HOUR))
+                    / 1000000.0
+                  - epoch_us(greatest(ts, bucket)) / 1000000.0,
+                  0.0) AS dur,
+         CASE WHEN CAST(date_trunc('hour', ts) AS TIMESTAMP) = bucket
+              THEN 1 ELSE 0 END AS own
+  FROM sp)
+SELECT event_type, bucket,
+       round(CASE WHEN sum(dur) > 0 THEN sum(value * dur) / sum(dur)
+                  ELSE avg(CASE WHEN own = 1 THEN value END) END,
+             6) AS twap,
+       CAST(sum(own) AS BIGINT) AS n_obs
 FROM r GROUP BY 1, 2
 """,
         "interpolated_hourly_values": r"""

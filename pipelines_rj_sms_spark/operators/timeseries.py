@@ -274,21 +274,34 @@ def _epoch_secs(c):
 
 def time_weighted_avg(df: DataFrame, ts_col: str, value_col: str,
                       key_cols: list[str] | None = None,
-                      bucket: str | None = None) -> DataFrame:
+                      bucket: str | None = None,
+                      carry_in: bool = False) -> DataFrame:
     """Time-weighted average of an irregularly-sampled series: each
     observation's value holds until the next observation (step / LOCF
     interpolation), so the average weights every value by how long it
     was in force — the TWAP spelling (public; what TimescaleDB calls
     `time_weight('LOCF', ...)`).
 
-    With ``bucket`` (a `date_trunc` unit, e.g. ``"hour"``), the weight
-    of an observation is clipped at its bucket's end and the LAST
-    observation of a bucket carries into the boundary; per-key series
-    with a single observation in a bucket fall back to the plain value.
-    Without ``bucket``, one row per key over the whole series.
+    With ``bucket`` (a `date_trunc` unit, e.g. ``"hour"``) and the
+    default ``carry_in=False``, an observation's weight is CLIPPED at
+    its own bucket's end: a value whose next observation lies several
+    buckets later is NOT credited to the intervening buckets, and
+    buckets containing no observation are OMITTED from the output —
+    a deliberate one-window/one-agg shape with no densification, but
+    NOT TimescaleDB's gap-spanning LOCF semantic. Set
+    ``carry_in=True`` for the true bucketed-LOCF semantic: each
+    observation's [ts, next) interval is split across every bucket it
+    spans (sequence + explode, fan-out = spanned-bucket count — the
+    same bounded blow-up posture as `gap_fill`), so gap-spanning
+    values credit the buckets they were in force during and those
+    buckets appear in the output (n_obs = 0 there). The series tail
+    (no successor) carries to its own bucket's end, matching the
+    clipped variant's boundary rule (least() skips the null next-ts
+    on both engines). Without ``bucket``, one row per key over the
+    whole series.
 
     Shape: one `lead` window per key series (O(1) state, narrow rows)
-    + one hash aggregation. No self-join, no spine densification.
+    + one hash aggregation (+ the carry explode when requested).
     Returns keys [+ bucket] + (twap, n_obs); twap rounds to 6.
     """
     keys = list(key_cols or [])
@@ -299,13 +312,43 @@ def time_weighted_avg(df: DataFrame, ts_col: str, value_col: str,
         dur = _epoch_secs(F.col("_nxt")) - _epoch_secs(F.col(ts_col))
         rows = df.withColumn("_nxt", nxt)
         grp = [F.col(k) for k in keys]
-    else:
+    elif not carry_in:
         bstart = F.date_trunc(bucket, F.col(ts_col))
         bend = bstart + F.expr(f"INTERVAL 1 {bucket}")
         rows = (df.withColumn("_nxt", F.least(nxt, bend))
                 .withColumn("_bucket", bstart))
         dur = _epoch_secs(F.col("_nxt")) - _epoch_secs(F.col(ts_col))
         grp = [F.col(k) for k in keys] + [F.col("_bucket").alias("bucket")]
+    else:
+        step = F.expr(f"INTERVAL 1 {bucket}")
+        one_us = F.expr("INTERVAL 1 MICROSECOND")
+        ts = F.col(ts_col).cast("timestamp")
+        # buckets spanned by [ts, next): trunc(ts) .. trunc(next-1us);
+        # greatest() guards duplicate timestamps (next == ts)
+        stop = F.date_trunc(bucket, F.greatest(
+            F.col("_nxt").cast("timestamp") - one_us, ts))
+        spans = F.when(
+            F.col("_nxt").isNotNull(),
+            F.sequence(F.date_trunc(bucket, ts), stop, step)
+        ).otherwise(F.array(F.date_trunc(bucket, ts)))
+        rows = (df.withColumn("_nxt", nxt)
+                .withColumn("_bucket", F.explode(spans)))
+        seg_start = F.greatest(ts, F.col("_bucket"))
+        seg_end = F.least(F.col("_nxt").cast("timestamp"),
+                          F.col("_bucket") + step)
+        dur = F.greatest(
+            _epoch_secs(seg_end) - _epoch_secs(seg_start), F.lit(0.0))
+        own = F.date_trunc(bucket, ts) == F.col("_bucket")
+        wsum = F.sum(F.col(value_col) * dur)
+        tsum = F.sum(dur)
+        return (rows.groupBy(*[F.col(k) for k in keys],
+                             F.col("_bucket").alias("bucket"))
+                .agg(F.round(
+                    F.when(tsum > 0, wsum / tsum)
+                    .otherwise(F.avg(F.when(own, F.col(value_col)))),
+                    6).alias("twap"),
+                    F.sum(F.when(own, 1).otherwise(0))
+                    .cast("bigint").alias("n_obs")))
     # rows with no successor (series tail) carry zero duration; a
     # series/bucket whose durations all collapse to zero falls back to
     # the plain average of its observations
