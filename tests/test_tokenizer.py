@@ -83,3 +83,36 @@ def test_bpe_encode_unseen_word_falls_back_to_chars(spark):
     df = spark.createDataFrame([(1, "xyz low")], ["doc_id", "text"])
     toks = df.select(enc("text").alias("t")).collect()[0]["t"]
     assert toks == ["x", "y", "z", "</w>", "low", "</w>"]
+
+
+def test_bpe_batched_rounds_match_sequential(spark):
+    """Batched training (max_batch=16) must be bit-identical to the
+    one-merge-per-round trainer AND the reference, in far fewer
+    rounds — the batch rule only accepts prefixes whose sequential
+    equivalence is provable from the round's own counts."""
+    corpus = CORPUS + [
+        "hugging bugging tugging jogging logging",
+        "painter painted painting paints repaint",
+        "sunlight moonlight lighting lightest lighter",
+        "transformer transforms transformed transform",
+    ] * 3
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                               ["doc_id", "text"])
+    wf = {r["w"]: r["freq"]
+          for r in word_freq_table(df, "text").collect()}
+    expect = _ref_bpe(wf, n_merges=40)
+    seq_stats, bat_stats, drv_stats = {}, {}, {}
+    # force the distributed path for the sequential/batched comparison
+    seq = bpe_train(df, "text", n_merges=40, max_batch=1,
+                    driver_vocab_limit=0, stats=seq_stats)
+    bat = bpe_train(df, "text", n_merges=40, max_batch=16,
+                    driver_vocab_limit=0, stats=bat_stats)
+    drv = bpe_train(df, "text", n_merges=40, stats=drv_stats)
+    assert seq == expect
+    assert bat == expect
+    assert drv == expect                      # driver fast path
+    assert drv_stats == {"rounds": 0, "mode": "driver"}
+    assert seq_stats["rounds"] == len(seq)
+    assert bat_stats["mode"] == "distributed"
+    # batching never does worse, and helps despite char-level overlap
+    assert bat_stats["rounds"] < seq_stats["rounds"], bat_stats
