@@ -60,6 +60,23 @@ HEADLINE = [
     "order_snapshot_diff",
     "pagerank_part_supplier",
     "embedding_label_cohesion",
+    # round 5: the heavy non-headline tail — iterative graph ops,
+    # O(buckets^2) regressions, rule mining, multi-join resolution —
+    # benched so quadratic regressions show up here, not in production
+    "supplier_cooccurrence_triangles",
+    "part_graph_kcore",
+    "part_copurchase_communities",
+    "event_type_robust_trend",
+    "brand_basket_rules",
+    "resolved_document_entities",
+    "doc_containment_pairs",
+    "contamination_check",
+    "winnow_overlap_pairs",
+    "leakage_safe_split",
+    "ann_recall_report",
+    "customer_rfm_segments",
+    "hourly_value_twap_carry",
+    "embedding_pca2_closed_form",
 ]
 
 

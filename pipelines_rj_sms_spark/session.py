@@ -43,6 +43,13 @@ ENGINE_DEFAULTS: dict[str, str] = {
     # sized by AQE from this initial value.
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Local mode runs driver and executors in ONE JVM; the 1g default
+    # heap can't hold broadcast builds + iterative-operator
+    # localCheckpoint blocks at bench scale. Heap is lazily committed,
+    # so a roomy ceiling costs nothing when idle. Ignored on a real
+    # cluster (spark-submit sizes the already-running driver JVM).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                          "16g"),
 }
 
 
