@@ -100,9 +100,85 @@ class ModelRunner:
                     stack.append(d)
         return base
 
+    # ---- dbt state:modified analog ---------------------------------
+    # The reference round-trips dbt artifacts through GCS and passes
+    # --state so CI builds only models whose compiled definition
+    # changed (datalake/transform/dbt/tasks.py:346-390 + the --state
+    # flag at :116-118). Here the manifest is a JSON snapshot of each
+    # model's normalized definition; selection diffs the live DAG
+    # against it.
+
+    def manifest(self) -> dict[str, dict]:
+        """Current-state manifest: a fingerprint per model covering
+        everything dbt's state:modified considers — SQL (whitespace-
+        normalized), deps, tags and materialization config."""
+        import hashlib
+        import json as _json
+
+        out: dict[str, dict] = {}
+        for name, m in self.models.items():
+            norm_sql = " ".join(m.sql.split())
+            payload = _json.dumps({
+                "sql": norm_sql, "deps": sorted(m.deps),
+                "tags": sorted(m.tags), "path": m.materialize_path,
+                "incremental": m.incremental,
+                "unique_key": sorted(m.unique_key),
+                "order_col": m.order_col, "ts_col": m.ts_col,
+            }, sort_keys=True)
+            out[name] = {"fingerprint":
+                         hashlib.md5(payload.encode()).hexdigest()}
+        return out
+
+    def write_state(self, state_path: str) -> None:
+        """Persist the manifest (dbt's upload-artifacts step; call
+        after a successful build so the next CI run diffs against it)."""
+        import json as _json
+
+        with open(state_path, "w", encoding="utf-8") as f:
+            _json.dump(self.manifest(), f, indent=1, sort_keys=True)
+
+    def select_state_modified(self, state_path: str,
+                              with_downstream: bool = True) -> set[str]:
+        """Models whose fingerprint differs from the stored state
+        (edited SQL, changed deps/config, or brand new), plus —
+        by default, dbt's `state:modified+` — their transitive
+        dependents. Upstream deps are NOT pulled in: unchanged parents
+        already exist from the previous build, which is the entire
+        point of state selection."""
+        import json as _json
+
+        with open(state_path, encoding="utf-8") as f:
+            stored = _json.load(f)
+        live = self.manifest()
+        base = {n for n, fp in live.items()
+                if n not in stored
+                or stored[n]["fingerprint"] != fp["fingerprint"]}
+        if with_downstream:
+            changed = True
+            while changed:
+                changed = False
+                for n, m in self.models.items():
+                    if n not in base and any(d in base for d in m.deps):
+                        base.add(n)
+                        changed = True
+        return base
+
+    def run_state_modified(self, state_path: str,
+                           with_downstream: bool = True
+                           ) -> list[ModelResult]:
+        """Build only what changed since ``state_path`` (+downstream).
+        Unchanged upstreams must already be registered/materialized
+        from the prior build — same contract as dbt --state."""
+        selected = self.select_state_modified(state_path,
+                                              with_downstream)
+        return self._run_selected(selected)
+
     def run(self, tag: str | None = None,
             with_downstream: bool = False) -> list[ModelResult]:
         selected = self.select(tag, with_downstream)
+        return self._run_selected(selected)
+
+    def _run_selected(self, selected: set[str]) -> list[ModelResult]:
         results: list[ModelResult] = []
         for model in self._toposort(selected):
             t0 = time.monotonic()

@@ -45,6 +45,41 @@ def test_model_runner_tag_selection_pulls_deps(spark):
     assert [r.name for r in results] == ["a", "b"]
 
 
+def test_model_runner_state_modified_selection(spark, tmp_path):
+    """dbt --state analog: after a full build + state snapshot, editing
+    one model's SQL rebuilds only it and its downstream; unchanged
+    parents are reused from the prior build, not re-run."""
+    spark.createDataFrame([(1,), (2,)], ["x"])         .createOrReplaceTempView("raw_src")
+    def dag(b_sql):
+        return [
+            Model("a", "SELECT x FROM raw_src"),
+            Model("b", b_sql, deps=["a"]),
+            Model("c", "SELECT sum(x3) AS total FROM b", deps=["b"]),
+            Model("d", "SELECT 1 AS one"),
+        ]
+    state = str(tmp_path / "manifest.json")
+    first = ModelRunner(spark, dag("SELECT x * 2 AS x3 FROM a"))
+    assert [r.name for r in first.run()] == ["a", "b", "c", "d"]
+    first.write_state(state)
+    # no edits -> nothing selected
+    assert first.select_state_modified(state) == set()
+    # edit b: selection is b + downstream c, NOT parent a, NOT d
+    edited = ModelRunner(spark, dag("SELECT x * 3 AS x3 FROM a"))
+    assert edited.select_state_modified(state) == {"b", "c"}
+    results = edited.run_state_modified(state)
+    assert [r.name for r in results] == ["b", "c"]
+    assert spark.table("c").first()["total"] == 9  # (1+2)*3
+    # whitespace-only edits are not modifications
+    ws = ModelRunner(spark, dag("SELECT   x * 3 AS x3\n  FROM a"))
+    ws_state = str(tmp_path / "m2.json")
+    edited.write_state(ws_state)
+    assert ws.select_state_modified(ws_state) == set()
+    # a brand-new model counts as modified
+    grown = ModelRunner(spark, dag("SELECT x * 3 AS x3 FROM a")
+                        + [Model("e", "SELECT 2 AS two")])
+    assert grown.select_state_modified(ws_state) == {"e"}
+
+
 def test_model_runner_cycle_detection(spark):
     models = [
         Model("a", "SELECT 1", deps=["b"]),
