@@ -119,20 +119,16 @@ def read_dbc(spark: SparkSession, path_glob: str,
     """F2: DBC = PKWare-imploded DBF, the DATASUS distribution format
     (reference: datalake/utils/data_transformations.py:121-125).
 
-    Decompression goes through pyreaddbc (import-gated — not in this
-    container) file-by-file on the driver: DBC files arrive via FTP at
-    single-digit-MB scale, so this is a fetch-stage step like the
-    archive unpack, not a distributed one. The decoded .dbf files then
-    flow through ``read_dbf``'s binaryFile+mapInPandas distributed
-    parse. ``tmp_dir`` overrides where the decoded files land.
+    Decompression is the built-in pure-Python PKWare DCL decoder
+    (`sources/pkdcl.py` — no native dependency), file-by-file on the
+    driver: DBC files arrive via FTP at single-digit-MB scale, so this
+    is a fetch-stage step like the archive unpack, not a distributed
+    one. The decoded .dbf files then flow through ``read_dbf``'s
+    binaryFile+mapInPandas distributed parse. ``tmp_dir`` overrides
+    where the decoded files land.
     """
-    try:
-        from pyreaddbc import dbc2dbf
-    except ImportError as exc:  # pragma: no cover - depends on environment
-        raise NotImplementedError(
-            "DBC decompression requires pyreaddbc; decode to .dbf upstream "
-            "(dbc2dbf) and use read_dbf"
-        ) from exc
+    from pipelines_rj_sms_spark.sources.pkdcl import dbc_to_dbf_bytes
+
     import glob as _glob
     import tempfile
 
@@ -141,7 +137,8 @@ def read_dbc(spark: SparkSession, path_glob: str,
         raise FileNotFoundError(f"no DBC files match {path_glob}")
     out_dir = tmp_dir or tempfile.mkdtemp(prefix="dbc2dbf_")
     for f in files:
-        dbc2dbf(f, str(Path(out_dir) / (Path(f).stem + ".dbf")))
+        out = Path(out_dir) / (Path(f).stem + ".dbf")
+        out.write_bytes(dbc_to_dbf_bytes(Path(f).read_bytes()))
     sample = sample_path or str(Path(out_dir) / (Path(files[0]).stem + ".dbf"))
     return read_dbf(spark, str(Path(out_dir) / "*.dbf"), sample, encoding)
 

@@ -78,28 +78,30 @@ def test_read_dbf_distributed(spark, tmp_path):
     assert all(t == "string" for _, t in df.dtypes)
 
 
-def test_read_dbc_gated(spark):
-    with pytest.raises(NotImplementedError, match="pyreaddbc"):
+def test_read_dbc_missing_files(spark):
+    with pytest.raises(FileNotFoundError, match="no DBC files"):
         read_dbc(spark, "/nonexistent/*.dbc")
 
 
-def test_read_dbc_wiring_with_stub_decoder(spark, tmp_path, monkeypatch):
-    """Exercise the decode->read_dbf wiring with a stand-in pyreaddbc:
-    the stub 'decompresses' by copying (the fixture .dbc IS a valid dbf
-    body), so everything except the PKWare inflate itself runs for real.
-    """
-    import shutil
-    import sys
-    import types
+def test_read_dbc_end_to_end(spark, tmp_path):
+    """Full DBC path, no stubs: fixture .dbc files are genuinely
+    PKWare-imploded (pkdcl.implode_literal), decoded by the built-in
+    pure-Python explode, then distributed-parsed by read_dbf."""
+    from pipelines_rj_sms_spark.sources.pkdcl import implode_literal
+
+    def write_dbc(path, fields, rows):
+        dbf_path = path.with_suffix(".tmp")
+        _write_dbf(dbf_path, fields, rows)
+        dbf = dbf_path.read_bytes()
+        dbf_path.unlink()
+        hlen = struct.unpack_from("<H", dbf, 8)[0]
+        path.write_bytes(dbf[:hlen] + b"\x00\x00\x00\x00"
+                         + implode_literal(dbf[hlen:]))
 
     fields = [("CNES", 7), ("NOME", 10)]
-    _write_dbf(tmp_path / "jan.dbc", fields,
-               [["1234567", "POSTO A"], ["7654321", "POSTO B"]])
-    _write_dbf(tmp_path / "fev.dbc", fields, [["1111111", "POSTO C"]])
-
-    fake = types.ModuleType("pyreaddbc")
-    fake.dbc2dbf = lambda src, dst: shutil.copyfile(src, dst)
-    monkeypatch.setitem(sys.modules, "pyreaddbc", fake)
+    write_dbc(tmp_path / "jan.dbc", fields,
+              [["1234567", "POSTO A"], ["7654321", "POSTO B"]])
+    write_dbc(tmp_path / "fev.dbc", fields, [["1111111", "POSTO C"]])
 
     out_dir = tmp_path / "decoded"
     out_dir.mkdir()
