@@ -58,3 +58,58 @@ def test_prefect_gate():
     else:
         with pytest.raises(NotImplementedError, match="prefect"):
             build_ingest_flow()
+
+
+def test_build_ingest_flow_wiring_with_stub_prefect(spark, tmp_path,
+                                                   monkeypatch):
+    """Execute build_ingest_flow's actual wiring (task mapping, retry
+    config, flow naming) through an injected stand-in prefect module —
+    the path that otherwise never runs in this container. The stub's
+    decorators record their kwargs and add one retry re-invocation, so
+    the flow body, the per-table task fan-out, the retry plumbing and
+    a REAL ingestion all execute."""
+    import sys
+    import types
+
+    recorded = {}
+
+    fake = types.ModuleType("prefect")
+
+    def task(**kwargs):
+        recorded["task_kwargs"] = kwargs
+
+        def deco(fn):
+            def wrapped(*a, **kw):
+                for attempt in range(kwargs.get("retries", 0) + 1):
+                    try:
+                        return fn(*a, **kw)
+                    except Exception:
+                        if attempt >= kwargs.get("retries", 0):
+                            raise
+            return wrapped
+        return deco
+
+    def flow(**kwargs):
+        recorded["flow_kwargs"] = kwargs
+
+        def deco(fn):
+            return fn
+        return deco
+
+    fake.task = task
+    fake.flow = flow
+    monkeypatch.setitem(sys.modules, "prefect", fake)
+
+    ingest_flow = build_ingest_flow(retries=3, retry_delay_seconds=5)
+    assert recorded["task_kwargs"] == {"retries": 3,
+                                       "retry_delay_seconds": 5}
+    assert recorded["flow_kwargs"] == {"name": "rj-sms-spark-ingest"}
+
+    src = tmp_path / "src.csv"
+    src.write_text("codigo;valor\n1;10\n2;20\n")
+    cfg = IngestionConfig(name="t1", source_format="csv",
+                          source_path=str(src),
+                          sink_path=str(tmp_path / "lake"))
+    reports = ingest_flow([cfg])
+    assert len(reports) == 1
+    assert reports[0].ok and reports[0].rows_read == 2
