@@ -69,3 +69,65 @@ def test_read_window_pushes_between(spark, derby):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert " Filter (" not in plan
     assert "JDBCRelation" in plan
+
+
+def test_upsert_via_staging_on_derby(spark, derby):
+    """Keyed upsert through the REAL JDBC driver path: Spark JDBC
+    bulk-load into staging, one driver-side MERGE into the target
+    (Derby executes the ANSI MERGE). Overlapping keys update, new
+    keys insert."""
+    from pipelines_rj_sms_spark.sinks.jdbc_upsert import (
+        upsert_via_staging)
+
+    target = spark.createDataFrame(
+        [(1, "old_a", 10), (2, "old_b", 20)],
+        "id int, name string, score int")
+    (target.write.format("jdbc")
+     .option("url", derby).option("driver", DRIVER)
+     .option("dbtable", "scores").mode("overwrite").save())
+
+    incoming = spark.createDataFrame(
+        [(2, "new_b", 99), (3, "new_c", 30)],
+        "id int, name string, score int")
+    upsert_via_staging(spark, incoming, derby, "scores", ["id"],
+                       driver=DRIVER, quote='"')
+
+    got = {r["id"]: (r["name"], r["score"]) for r in
+           (spark.read.format("jdbc")
+            .option("url", derby).option("driver", DRIVER)
+            .option("dbtable", "scores").load().collect())}
+    assert got == {1: ("old_a", 10),      # untouched
+                   2: ("new_b", 99),      # matched -> updated
+                   3: ("new_c", 30)}      # new -> inserted
+    # idempotent: re-running the same merge changes nothing
+    upsert_via_staging(spark, incoming, derby, "scores", ["id"],
+                       driver=DRIVER, quote='"')
+    n = (spark.read.format("jdbc")
+         .option("url", derby).option("driver", DRIVER)
+         .option("dbtable", "scores").load().count())
+    assert n == 3
+
+
+def test_execute_with_retry_deadlock_then_success():
+    from pipelines_rj_sms_spark.sinks.jdbc_upsert import (
+        execute_with_retry)
+    calls = {"n": 0, "rolled_back": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("Deadlock found when trying to get lock; "
+                               "try restarting transaction")
+        return "done"
+
+    out = execute_with_retry(
+        flaky, rollback=lambda: calls.__setitem__(
+            "rolled_back", calls["rolled_back"] + 1),
+        max_retries=5, backoff_s=0.0)
+    assert out == "done" and calls["n"] == 3 and calls["rolled_back"] == 2
+
+    import pytest
+    with pytest.raises(ValueError, match="syntax"):
+        execute_with_retry(
+            lambda: (_ for _ in ()).throw(ValueError("syntax error")),
+            max_retries=5, backoff_s=0.0)
