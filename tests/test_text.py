@@ -230,3 +230,34 @@ def test_compression_ratio_is_arrow_not_rowwise(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_compression_ratio_exact_on_fixture_corpus(spark):
+    """Oracle-hardening for the rows-only doc_compression_ratio gate:
+    every ratio the Spark UDF emits over the sf0.001 documents fixture
+    must equal an INDEPENDENT driver-side zlib recomputation of the
+    same text, to the query's 6-dp rounding — the full Arrow
+    round-trip (utf-8 bytes, level 6, null handling) is pinned, not
+    just the two-point separation smoke."""
+    import os
+    import zlib
+
+    from pipelines_rj_sms_spark.functions.text import compression_ratio_udf
+    from pipelines_rj_sms_spark.session import read_parquet_normalized
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_SMALL",
+                            "/root/testdata/sf0.001")
+    docs = read_parquet_normalized(
+        spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    ratio = compression_ratio_udf()
+    got = {r["doc_id"]: r["c"] for r in docs.select(
+        "doc_id", F.round(ratio("text"), 6).alias("c")).collect()}
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(got) == len(raw) > 0
+    for doc_id, text in raw.items():
+        if text is None or len(text) == 0:
+            assert got[doc_id] is None
+            continue
+        b = text.encode("utf-8")
+        expect = round(len(zlib.compress(b, 6)) / len(b), 6)
+        assert got[doc_id] == expect, doc_id
