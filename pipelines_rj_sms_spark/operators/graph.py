@@ -188,6 +188,12 @@ def triangle_counts(edges: DataFrame, src: str = "src",
 
     Shuffle discipline: ranks join on node keys; wedges shuffle on the
     apex; the closing join shuffles (v, w) pairs — all narrow rows.
+    (The edge-iterator alternative — adjacency arrays per node +
+    array_intersect per edge — was implemented and MEASURED SLOWER on
+    the dense sf0.1 bench graph, 36 s vs 12.9 s: duplicating ~450-long
+    neighbor arrays onto every edge through two joins costs more than
+    streaming narrow wedge rows through the broadcast closing join, so
+    the wedge form stays.)
     Per-node counts come from exploding each triangle's three vertices
     into one hash aggregation. Returns
     (node, degree, triangles, clustering_coeff) with the coefficient
