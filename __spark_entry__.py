@@ -2934,14 +2934,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         The oracle replays the orientation-INVARIANT spelling (a<b<c
         over canonical undirected edges) — per-node counts are
         identical by construction."""
-        from pipelines_rj_sms_spark.operators.graph import triangle_counts
+        from pipelines_rj_sms_spark.operators.graph import (
+            cooccurrence_edges, triangle_counts)
         li = _t(spark, sf_dir, "lineitem")
-        items = li.select(F.col("l_orderkey").alias("o"),
-                          F.col("l_suppkey").alias("s")).distinct()
-        a, b = items.alias("a"), items.alias("b")
-        edges = a.join(b, (F.col("a.o") == F.col("b.o"))
-                       & (F.col("a.s") < F.col("b.s"))).select(
-            F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        edges = cooccurrence_edges(li, "l_orderkey", "l_suppkey",
+                                   max_items_per_group=None)
         out = triangle_counts(edges, "src", "dst")
         return out.select(
             F.col("node").alias("suppkey"), "degree",
@@ -3097,14 +3094,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stable); the SQL oracle unrolls 6 rounds, which the fixture
         converges well inside — rounds past the fixpoint are no-ops
         by construction, so the two agree exactly."""
-        from pipelines_rj_sms_spark.operators.graph import k_core
+        from pipelines_rj_sms_spark.operators.graph import (
+            cooccurrence_edges, k_core)
         li = _t(spark, sf_dir, "lineitem")
-        items = li.select(F.col("l_orderkey").alias("o"),
-                          F.col("l_partkey").alias("p")).distinct()
-        a, b = items.alias("a"), items.alias("b")
-        edges = a.join(b, (F.col("a.o") == F.col("b.o"))
-                       & (F.col("a.p") < F.col("b.p"))).select(
-            F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                                   max_items_per_group=None)
         out = k_core(edges, 80)
         return out.select(F.col("node").alias("partkey"), "degree")
 
@@ -3504,14 +3498,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         community structure finer than connected components; the
         oracle replays the identical unrolled rounds."""
         from pipelines_rj_sms_spark.operators.graph import (
-            label_propagation)
+            cooccurrence_edges, label_propagation)
         li = _t(spark, sf_dir, "lineitem")
-        items = li.select(F.col("l_orderkey").alias("o"),
-                          F.col("l_partkey").alias("p")).distinct()
-        a, b = items.alias("a"), items.alias("b")
-        edges = a.join(b, (F.col("a.o") == F.col("b.o"))
-                       & (F.col("a.p") < F.col("b.p"))).select(
-            F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                                   max_items_per_group=None)
         out = label_propagation(edges, n_rounds=3)
         return out.select(F.col("node").alias("partkey"), "community")
 

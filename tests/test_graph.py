@@ -133,3 +133,17 @@ def test_label_propagation_deterministic(spark):
     one = sorted(map(tuple, label_propagation(df, 3).collect()))
     two = sorted(map(tuple, label_propagation(df, 3).collect()))
     assert one == two
+
+
+def test_cooccurrence_edges_matches_selfjoin_and_caps(spark):
+    from pipelines_rj_sms_spark.operators.graph import cooccurrence_edges
+    rows = [("o1", 3), ("o1", 1), ("o1", 2), ("o1", 1),  # dup member
+            ("o2", 2), ("o2", 3), ("o3", 9)]              # singleton
+    df = spark.createDataFrame(rows, ["g", "i"])
+    got = {(r["src"], r["dst"])
+           for r in cooccurrence_edges(df, "g", "i").collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+    # hot-group cap drops the whole group, keeps the rest
+    capped = {(r["src"], r["dst"]) for r in cooccurrence_edges(
+        df, "g", "i", max_items_per_group=2).collect()}
+    assert capped == {(2, 3)}
