@@ -233,10 +233,16 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     (node, degree, triangles, clustering_coeff) with the coefficient
     2t / (deg*(deg-1)) rounded to 6 (0.0 for degree < 2).
     """
+    # und is consumed three times (deg twice + ranked); persist it —
+    # upstream edge builds with nondeterministic aggregates (e.g.
+    # collect_set in cooccurrence_edges) block Spark's exchange reuse,
+    # so without the persist the whole build would re-execute per
+    # reference (measured +6 s at sf0.1)
     und = (edges.select(F.least(F.col(src), F.col(dst)).alias("_a"),
                         F.greatest(F.col(src), F.col(dst)).alias("_b"))
            .filter(F.col("_a") != F.col("_b"))
-           .distinct())
+           .distinct()
+           .persist())
     deg = (und.select(F.col("_a").alias("node"))
            .unionByName(und.select(F.col("_b").alias("node")))
            .groupBy("node").agg(F.count("*").alias("degree")))
@@ -276,7 +282,7 @@ def triangle_counts(edges: DataFrame, src: str = "src",
                           / (F.col("degree")
                              * (F.col("degree") - F.lit(1))))
                    .otherwise(F.lit(0.0)), 6).alias("clustering_coeff")))
-    return track(out, oriented)
+    return track(out, und, oriented)
 
 
 def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
