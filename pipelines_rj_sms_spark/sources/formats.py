@@ -6,10 +6,14 @@
   public dBase III layout, distributed per-file via the binaryFile reader
   + mapInPandas: each executor task parses whole files from the `content`
   bytes, so a directory of thousands of DATASUS files scales with the
-  cluster, not the driver. DBC (compressed DBF) needs the PKWare-implode
-  codec (pyreaddbc) — gated, raises with guidance when absent.
-- F4: XLSX — gated on openpyxl (not in this container); plumbing
-  (driver-side pandas read -> all-string createDataFrame) is real.
+  cluster, not the driver. DBC (compressed DBF) decodes through the
+  built-in pure-Python PKWare DCL codec (`sources/pkdcl.py`) — no
+  native dependency.
+- F4: XLSX — built-in stdlib parse (zipfile + ElementTree over the
+  OOXML parts): shared strings, inline strings, cached formula
+  values; no openpyxl. Driver-side decode -> all-string
+  createDataFrame (report-sized workbooks; columnar data belongs in
+  parquet/CSV).
 - F7: encoding detection as a driver pre-pass (the reference chardets the
   first bytes: vitacare_gdrive/utils.py:388-453); here strict-decode
   trials over a candidate list, latin-1 as the never-fails fallback.
