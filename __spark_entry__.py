@@ -221,6 +221,8 @@ Query key -> SURVEY §2 rows covered:
                             side sheds non-members before shuffling)
   weighted_corpus_sample    A-ES weighted sampling, hash-deterministic
                             (top-n per group by u^(1/weight))
+  hybrid_rrf_search         hybrid BM25+cosine retrieval fused by
+                            reciprocal rank (RAG recipe, rank-based)
   bm25_search_results       BM25 top-k retrieval (query-term-pruned
                             postings, broadcast corpus stats)
   doc_unigram_logprob       add-one unigram-LM mean token logprob per
@@ -2804,6 +2806,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bm25_top_k(docs, "doc_id", "text",
                           ["spark", "join", "vector"], k=15)
 
+    def hybrid_rrf_q(spark, sf_dir):
+        """Hybrid retrieval the RAG way: BM25 top-20 (lexical) and
+        exact-cosine top-20 against query vector 0 (dense; vec_id
+        aligns with doc_id in the corpus) fused by reciprocal rank,
+        1/(60+rank) — rank-based, so no score calibration across
+        retrievers. Upstream retrievers do the corpus-scale work; the
+        fusion window sorts only the two 20-row candidate lists."""
+        from pipelines_rj_sms_spark.operators.similarity import (
+            brute_force_top_k, rrf_fuse)
+        from pipelines_rj_sms_spark.operators.terms import bm25_top_k
+        docs = _t(spark, sf_dir, "documents")
+        emb = _t(spark, sf_dir, "embeddings")
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+                .select("embedding").first()[0]]
+        lex = bm25_top_k(docs, "doc_id", "text",
+                         ["spark", "join", "vector"], k=20)
+        dense = brute_force_top_k(emb, qvec, k=20)             .select(F.col("vec_id").alias("doc_id"), "cosine_sim")
+        return rrf_fuse([lex, dense], "doc_id",
+                        ["score", "cosine_sim"], rrf_k=60, top=10)
+
     def unigram_logprob_q(spark, sf_dir):
         """Per-doc mean token log-probability under the corpus's own
         add-one unigram LM — the CCNet-style perplexity-proxy quality
@@ -3734,6 +3756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filtered_orders": bloom_orders,
         "weighted_corpus_sample": weighted_sample,
         "bm25_search_results": bm25_search,
+        "hybrid_rrf_search": hybrid_rrf_q,
         "doc_unigram_logprob": unigram_logprob_q,
         "nb_lang_predictions": nb_lang_pred,
         "brand_basket_rules": brand_rules_q,
@@ -4370,6 +4393,56 @@ SELECT doc_id, round(s, 6) AS score, n_terms_hit
 FROM scored
 ORDER BY s DESC, doc_id
 LIMIT 15
+""",
+        "hybrid_rrf_search": r"""
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+toks AS (
+  SELECT doc_id, CAST(len(l) AS DOUBLE) AS dl, unnest(l) AS term
+  FROM lists),
+qt AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM toks WHERE term IN ('spark', 'join', 'vector')
+  GROUP BY 1, 2, 3),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(l)) AS avgdl FROM lists),
+dfq AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM qt),
+lex AS (
+  SELECT doc_id,
+         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+             * (tf * 2.2)
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS s
+  FROM dfq CROSS JOIN stats
+  GROUP BY doc_id
+  ORDER BY s DESC, doc_id
+  LIMIT 20),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+       WHERE vec_id = 0),
+dense AS (
+  SELECT vec_id AS doc_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+           / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(qv, qv))) AS s
+  FROM embeddings, qv
+  ORDER BY s DESC, doc_id
+  LIMIT 20),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM lex
+  UNION ALL
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM dense)
+SELECT doc_id,
+       round(sum(1.0 / (60.0 + r)), 6) AS rrf_score,
+       count(*) AS n_rankers
+FROM ranked
+GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
 """,
         "doc_unigram_logprob": r"""
 WITH toks AS (

@@ -530,3 +530,41 @@ def cluster_cohesion(df: DataFrame, label_col: str = "label",
             .agg(F.count("*").alias("n_vectors"),
                  F.avg("_cos").alias("mean_cos"),
                  F.min("_cos").alias("min_cos")))
+
+
+def rrf_fuse(rankings: list[DataFrame], id_col: str,
+             score_cols: list[str], rrf_k: int = 60,
+             top: int = 10) -> DataFrame:
+    """Hybrid-retrieval fusion by reciprocal rank (Cormack, Clarke &
+    Büttcher 2009, public): each input ranking contributes
+    1/(rrf_k + rank) per candidate; candidates missing from a ranking
+    simply contribute nothing. The standard RAG recipe for combining
+    lexical (BM25) and dense (embedding cosine) retrieval without
+    score calibration — ranks are scale-free.
+
+    CONTRACT: inputs are top-k CANDIDATE LISTS (tens to thousands of
+    rows — the upstream retrievers did the data-scale work), so ranks
+    come from an unpartitioned row_number window: a deliberate
+    single-partition sort over k rows, not a corpus-scale operation.
+    Ranks order by (score desc, id asc) for determinism. Returns
+    (id, rrf_score, n_rankers) — n_rankers = how many lists surfaced
+    the candidate (the agreement signal).
+    """
+    from pyspark.sql import Window
+
+    parts = []
+    for df, score_col in zip(rankings, score_cols):
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        parts.append(df.select(
+            F.col(id_col),
+            F.row_number().over(w).alias("_rank")))
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (allp.groupBy(id_col)
+            .agg(F.round(F.sum(1.0 / (F.lit(float(rrf_k))
+                                      + F.col("_rank"))), 6)
+                 .alias("rrf_score"),
+                 F.count("*").alias("n_rankers"))
+            .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+            .limit(top))

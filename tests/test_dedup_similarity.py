@@ -380,3 +380,22 @@ def test_containment_max_df_bounds_hot_shingle_fanout(spark):
     n_uncapped = out2.count()
     release(out2)
     assert n_uncapped > 400  # ~32*31/2 pairs from the shared boiler
+
+
+def test_rrf_fuse_ranks_and_agreement(spark):
+    from pipelines_rj_sms_spark.operators.similarity import rrf_fuse
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], ["id", "score"])
+    dense = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8), (1, 0.7)], ["id", "cos"])
+    rows = rrf_fuse([lex, dense], "id", ["score", "cos"],
+                    rrf_k=60, top=10).collect()
+    got = {r["id"]: (r["rrf_score"], r["n_rankers"]) for r in rows}
+    # doc 2: rank 2 lexical + rank 1 dense; doc 1: rank 1 + rank 3
+    assert got[2] == (round(1/62 + 1/61, 6), 2)
+    assert got[1] == (round(1/61 + 1/63, 6), 2)
+    assert got[3] == (round(1/63, 6), 1)
+    assert got[4] == (round(1/62, 6), 1)
+    # agreement beats a single strong rank
+    order = [r["id"] for r in rows]
+    assert order[0] == 2 and order[1] == 1
