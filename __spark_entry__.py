@@ -221,6 +221,8 @@ Query key -> SURVEY §2 rows covered:
                             side sheds non-members before shuffling)
   weighted_corpus_sample    A-ES weighted sampling, hash-deterministic
                             (top-n per group by u^(1/weight))
+  similarity_sq_int8        int8 scalar-quantized cosine top-k
+                            (scales cancel; engine-portable codes)
   hybrid_rrf_search         hybrid BM25+cosine retrieval fused by
                             reciprocal rank (RAG recipe, rank-based)
   bm25_search_results       BM25 top-k retrieval (query-term-pruned
@@ -2826,6 +2828,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return rrf_fuse([lex, dense], "doc_id",
                         ["score", "cosine_sim"], rrf_k=60, top=10)
 
+    def sq_topk_q(spark, sf_dir):
+        """int8 scalar-quantized cosine top-10 for query vector 0:
+        per-vector scales cancel in the cosine, so scoring is integer
+        dot products over 4x-smaller codes; floor(+0.5) quantization
+        makes the codes engine-portable, hence the exact oracle."""
+        from pipelines_rj_sms_spark.operators.similarity import sq_top_k
+        emb = _t(spark, sf_dir, "embeddings")
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+                .select("embedding").first()[0]]
+        return sq_top_k(emb, qvec, k=10)
+
     def unigram_logprob_q(spark, sf_dir):
         """Per-doc mean token log-probability under the corpus's own
         add-one unigram LM — the CCNet-style perplexity-proxy quality
@@ -3757,6 +3770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_corpus_sample": weighted_sample,
         "bm25_search_results": bm25_search,
         "hybrid_rrf_search": hybrid_rrf_q,
+        "similarity_sq_int8": sq_topk_q,
         "doc_unigram_logprob": unigram_logprob_q,
         "nb_lang_predictions": nb_lang_pred,
         "brand_basket_rules": brand_rules_q,
@@ -4393,6 +4407,45 @@ SELECT doc_id, round(s, 6) AS score, n_terms_hit
 FROM scored
 ORDER BY s DESC, doc_id
 LIMIT 15
+""",
+        "similarity_sq_int8": r"""
+WITH qraw AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id = 0),
+qq AS (
+  SELECT list_transform(
+           v, x -> CAST(floor(x / (list_max(list_transform(v,
+                 y -> abs(y))) / 127.0) + 0.5) AS INT)) AS q
+  FROM qraw),
+quant AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x / (CASE WHEN m > 0 THEN m / 127.0
+                                     ELSE 1.0 END) + 0.5) AS INT)) AS qd
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       y -> abs(y))) AS m
+        FROM embeddings)),
+scored AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_dot_product(
+                  list_transform(qd, x -> CAST(x AS DOUBLE)),
+                  list_transform(qd, x -> CAST(x AS DOUBLE)))) > 0
+              THEN list_dot_product(
+                     list_transform(qd, x -> CAST(x AS DOUBLE)),
+                     list_transform(q, x -> CAST(x AS DOUBLE)))
+                   / (sqrt(list_dot_product(
+                        list_transform(qd, x -> CAST(x AS DOUBLE)),
+                        list_transform(qd, x -> CAST(x AS DOUBLE))))
+                      * sqrt(list_dot_product(
+                          list_transform(q, x -> CAST(x AS DOUBLE)),
+                          list_transform(q, x -> CAST(x AS DOUBLE)))))
+              ELSE 0.0 END AS s
+  FROM quant, qq)
+SELECT vec_id, round(s, 6) AS sq_cosine
+FROM scored
+ORDER BY s DESC, vec_id
+LIMIT 10
 """,
         "hybrid_rrf_search": r"""
 WITH lists AS (

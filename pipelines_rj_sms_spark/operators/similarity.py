@@ -38,7 +38,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; zero vectors yield null (try_divide) rather
+    than an ANSI divide-by-zero error — padding/empty embeddings are a
+    data reality, not a crash."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_top_k(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -568,3 +571,61 @@ def rrf_fuse(rankings: list[DataFrame], id_col: str,
                  F.count("*").alias("n_rankers"))
             .orderBy(F.col("rrf_score").desc(), F.col(id_col))
             .limit(top))
+
+
+def scalar_quantize(df: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column:
+    per-vector scale = max|v|/127, codes = floor(v/scale + 0.5) in
+    [-127, 127] — 4x smaller than float32 at rest and in shuffle, the
+    standard first rung of the vector-compression ladder below PQ.
+    Rounding is spelled floor(x + 0.5) (NOT round()) so every engine
+    reproduces identical codes — round() half-even/half-up conventions
+    differ across engines. Expression-only; zero vectors get scale 1
+    and all-zero codes. Returns (id, sq_scale, qvec array<int>).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    maxabs = F.aggregate(v, F.lit(0.0),
+                         lambda a, x: F.greatest(a, F.abs(x)))
+    scale = F.when(maxabs > 0, maxabs / 127.0).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5))
+                    .cast("int"))
+    return df.select(F.col(id_col), scale.alias("sq_scale"),
+                     q.alias("qvec"))
+
+
+def sq_top_k(df: DataFrame, query_vec: list[float], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             round_to: int | None = 6) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors: the
+    per-vector scales CANCEL in the cosine, so scoring is pure integer
+    dot products over the codes — sum(qd*qq) / (|qd| |qq|) — inside
+    whole-stage codegen, reading 1/4 the bytes of the float path. The
+    query is quantized driver-side with the same floor(+0.5) rule.
+    Exact-oracle-checkable because every step is deterministic
+    arithmetic; accuracy vs exact cosine is pinned by the unit (int8
+    keeps cosine within ~1e-2 for unit-scale embeddings).
+    """
+    mx = max(abs(float(x)) for x in query_vec) or 1.0
+    qs = mx / 127.0
+    import math
+    qq = [int(math.floor(float(x) / qs + 0.5)) for x in query_vec]
+    qarr = F.array(*[F.lit(x) for x in qq])
+    qnorm = math.sqrt(sum(x * x for x in qq)) or 1.0
+
+    quant = scalar_quantize(df, id_col, vec_col)
+    qd = F.col("qvec")
+    dotqq = F.aggregate(F.zip_with(qd, qarr, lambda a, b: a * b),
+                        F.lit(0.0), lambda acc, x: acc + x)
+    dnorm = F.sqrt(F.aggregate(
+        F.transform(qd, lambda a: (a * a).cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    score = F.when(dnorm > 0, dotqq / (dnorm * F.lit(qnorm))) \
+        .otherwise(F.lit(0.0))
+    out = (quant.select(F.col(id_col), score.alias("sq_cosine"))
+           .orderBy(F.col("sq_cosine").desc(), F.col(id_col))
+           .limit(k))
+    if round_to is not None:
+        out = out.select(id_col,
+                         F.round("sq_cosine", round_to).alias("sq_cosine"))
+    return out

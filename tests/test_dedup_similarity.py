@@ -399,3 +399,35 @@ def test_rrf_fuse_ranks_and_agreement(spark):
     # agreement beats a single strong rank
     order = [r["id"] for r in rows]
     assert order[0] == 2 and order[1] == 1
+
+
+def test_scalar_quantize_codes_and_accuracy(spark):
+    from pipelines_rj_sms_spark.operators.similarity import (
+        brute_force_top_k, scalar_quantize, sq_top_k)
+    import random
+    rng = random.Random(3)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(32)])
+            for i in range(50)] + [(99, [0.0] * 32)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = scalar_quantize(df).collect()
+    for r in q:
+        assert all(-127 <= x <= 127 for x in r["qvec"])
+    zero = [r for r in q if r["vec_id"] == 99][0]
+    assert zero["sq_scale"] == 1.0 and set(zero["qvec"]) == {0}
+    # max-|coordinate| code is exactly +-127
+    nonzero = [r for r in q if r["vec_id"] == 0][0]
+    assert max(abs(x) for x in nonzero["qvec"]) == 127
+    # quantized cosine tracks exact cosine within int8 error
+    query = vecs[1][1]
+    exact = {r["vec_id"]: r["cosine_sim"]
+             for r in brute_force_top_k(df, query, k=51).collect()}
+    approx = {r["vec_id"]: r["sq_cosine"]
+              for r in sq_top_k(df, query, k=51).collect()}
+    for vid, cos in approx.items():
+        if exact[vid] is None:        # zero vector: exact cosine null
+            assert cos == 0.0 and vid == 99
+        else:
+            assert abs(cos - exact[vid]) < 0.02, vid
+    # top-1 (the query itself) survives quantization
+    top = sq_top_k(df, query, k=1).collect()[0]
+    assert top["vec_id"] == 1
