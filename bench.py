@@ -77,6 +77,8 @@ HEADLINE = [
     "customer_rfm_segments",
     "hourly_value_twap_carry",
     "embedding_pca2_closed_form",
+    "hybrid_rrf_search",
+    "similarity_sq_int8",
 ]
 
 
