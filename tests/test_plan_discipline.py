@@ -136,6 +136,9 @@ def test_every_query_plans_clean(spark):
     #   corpus count joined to every row), the standard plan for a
     #   scalar subquery: build side is exactly one row
     allowed_bnlj = {"similarity_batch_topk", "monitor_recent",
+                    # BM25 corpus-stats 1-row broadcast inside the
+                    # lexical leg of the hybrid fusion
+                    "hybrid_rrf_search",
                     "winsorized_prices", "mad_outlier_flags",
                     "tfidf_top_terms", "sketch_user_overlap",
                     # theta pairwise set algebra: same post-aggregation
@@ -194,3 +197,33 @@ def test_every_query_plans_clean(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
             failures.append(f"{name}: BroadcastNestedLoopJoin")
     assert not failures, failures
+
+
+def test_sq_int8_is_scan_project_topk(spark):
+    # quantized cosine: no shuffle at all before TakeOrdered — one scan,
+    # codegen'd integer arithmetic, top-k
+    plan = _plan(entry.queries()["similarity_sq_int8"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cooccurrence_edges_build_has_no_join(spark):
+    # the pair explosion happens in-array from each group's single row;
+    # the only operators are aggregates + generate + distinct
+    from pyspark.sql import functions as F
+
+    from pipelines_rj_sms_spark.operators.graph import cooccurrence_edges
+    from pipelines_rj_sms_spark.session import read_parquet_normalized
+    li = read_parquet_normalized(spark, f"{SF}/lineitem.parquet")
+    plan = _plan(cooccurrence_edges(li, "l_orderkey", "l_suppkey"))
+    assert "Join" not in plan
+    assert "Generate explode" in plan
+
+
+def test_rrf_fusion_inputs_stay_topk_shaped(spark):
+    # both retriever legs end in TakeOrdered before fusion — the
+    # corpus-scale work happens upstream, the fusion window sorts only
+    # candidate lists
+    plan = _plan(entry.queries()["hybrid_rrf_search"](spark, SF))
+    assert plan.count("TakeOrderedAndProject") >= 2
