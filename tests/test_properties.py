@@ -207,3 +207,30 @@ def test_fan_out_matches_pure_python_flattening(spark):
                   for r in tables["ex"].collect()) == want_ex
     assert sorted((r.sol_sol_id, r.ex_exame_id, r.analito, r.valor)
                   for r in tables["res"].collect()) == want_res
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=150, deadline=None)
+def test_pkdcl_literal_roundtrip_property(data):
+    """explode(implode_literal(x)) == x for arbitrary byte strings —
+    the bitstream writer/reader pair and the end-code handling are
+    exact inverses regardless of content or length parity."""
+    from pipelines_rj_sms_spark.sources.pkdcl import (
+        explode, implode_literal)
+    assert explode(implode_literal(data)) == data
+
+
+@given(st.integers(4, 6), st.binary(min_size=1, max_size=200),
+       st.integers(2, 40), st.integers(1, 32))
+@settings(max_examples=150, deadline=None)
+def test_pkdcl_copy_matches_python_window(dict_bits, lits, length, dist):
+    """Hand-assembled length/distance copies decode identically to a
+    straightforward Python sliding-window reference."""
+    from tests.test_pkdcl import _match_stream
+    from pipelines_rj_sms_spark.sources.pkdcl import explode
+    dist = min(dist, len(lits))          # stay inside the window
+    out = bytearray(lits)
+    for _ in range(length):
+        out.append(out[-dist])
+    assert explode(_match_stream(bytes(lits), length, dist,
+                                 dict_bits)) == bytes(out)
