@@ -221,6 +221,10 @@ Query key -> SURVEY §2 rows covered:
                             side sheds non-members before shuffling)
   weighted_corpus_sample    A-ES weighted sampling, hash-deterministic
                             (top-n per group by u^(1/weight))
+  fs_linkage_scores         Fellegi-Sunter probabilistic linkage
+                            (md5-replayable u estimation, log2 weights)
+  psi_value_drift           PSI drift gate (reference-quantile bins,
+                            per-bin terms + total)
   similarity_sq_int8        int8 scalar-quantized cosine top-k
                             (scales cancel; engine-portable codes)
   hybrid_rrf_search         hybrid BM25+cosine retrieval fused by
@@ -2839,6 +2843,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("embedding").first()[0]]
         return sq_top_k(emb, qvec, k=10)
 
+    def fs_link_q(spark, sf_dir):
+        """Fellegi-Sunter probabilistic linkage of documents against
+        perturbed copies (5th char deleted): u probabilities estimated
+        from md5-rank random pairings (replayable — the oracle
+        reproduces the exact pairing and averages), m from domain
+        priors, the log2 likelihood weight summed per blocked pair as
+        one codegen expression. The health-data record-linkage recipe
+        with the repo's standard blocking/plan shape."""
+        from pipelines_rj_sms_spark.operators.linkage import (
+            fs_score, fs_u_probabilities)
+        docs = _t(spark, sf_dir, "documents")
+        base = docs.select(F.col("doc_id").alias("id"), "lang",
+                           F.substring("text", 1, 30).alias("t"),
+                           F.length("text").alias("len"))
+        pert = docs.select((F.col("doc_id") + 1000000).alias("id"),
+                           "lang",
+                           F.concat(F.substring("text", 1, 4),
+                                    F.substring("text", 6, 26)).alias("t"),
+                           (F.length("text") - 1).alias("len"))
+        agree = {
+            "lang": F.col("l_lang") == F.col("r_lang"),
+            "prefix": F.substring("l_t", 1, 4)
+            == F.substring("r_t", 1, 4),
+            "len": F.abs(F.col("l_len") - F.col("r_len")) <= F.lit(2),
+        }
+        u = fs_u_probabilities(base, pert, agree, sample_pairs=500)
+        m = {"lang": 0.95, "prefix": 0.9, "len": 0.9}
+        left = base.select(*[F.col(c).alias(f"l_{c}")
+                             for c in base.columns])
+        right = pert.select(*[F.col(c).alias(f"r_{c}")
+                              for c in pert.columns])
+        pairs = left.join(
+            right, (F.col("l_lang") == F.col("r_lang"))
+            & (F.substring("l_t", 1, 4) == F.substring("r_t", 1, 4)))
+        return (pairs.select(
+            F.col("l_id").alias("left_id"),
+            F.col("r_id").alias("right_id"),
+            F.round(fs_score(m, u, agree), 6).alias("fs_score"))
+            .filter(F.col("fs_score") >= 2.0))
+
+    def psi_q(spark, sf_dir):
+        """PSI drift gate between view-event and purchase-event value
+        distributions: bin edges are the reference side's EXACT
+        quantiles (both engines share the (n-1)p interpolation), each
+        side buckets in one conditional agg, per-bin terms + total."""
+        from pipelines_rj_sms_spark.quality.stats import (
+            population_stability_index)
+        ev = _t(spark, sf_dir, "events")
+        ref = ev.filter(F.col("event_type") == "view")
+        cur = ev.filter(F.col("event_type") == "purchase")
+        return population_stability_index(ref, cur, "value", n_bins=10)
+
     def unigram_logprob_q(spark, sf_dir):
         """Per-doc mean token log-probability under the corpus's own
         add-one unigram LM — the CCNet-style perplexity-proxy quality
@@ -3771,6 +3827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_results": bm25_search,
         "hybrid_rrf_search": hybrid_rrf_q,
         "similarity_sq_int8": sq_topk_q,
+        "fs_linkage_scores": fs_link_q,
+        "psi_value_drift": psi_q,
         "doc_unigram_logprob": unigram_logprob_q,
         "nb_lang_predictions": nb_lang_pred,
         "brand_basket_rules": brand_rules_q,
@@ -4407,6 +4465,86 @@ SELECT doc_id, round(s, 6) AS score, n_terms_hit
 FROM scored
 ORDER BY s DESC, doc_id
 LIMIT 15
+""",
+        "fs_linkage_scores": r"""
+WITH base AS (
+  SELECT doc_id AS id, lang, substr(text, 1, 30) AS t,
+         length(text) AS len FROM documents),
+pert AS (
+  SELECT doc_id + 1000000 AS id, lang,
+         substr(text, 1, 4) || substr(text, 6, 26) AS t,
+         length(text) - 1 AS len FROM documents),
+lr AS (
+  SELECT CAST(('0x' || substr(md5('fsul' ||
+           concat_ws('|', CAST(id AS VARCHAR), CAST(lang AS VARCHAR),
+                     CAST(t AS VARCHAR), CAST(len AS VARCHAR))), 1, 15))
+         AS BIGINT) % 500 AS rk,
+         lang AS l_lang, t AS l_t, len AS l_len
+  FROM base),
+rr AS (
+  SELECT CAST(('0x' || substr(md5('fsur' ||
+           concat_ws('|', CAST(id AS VARCHAR), CAST(lang AS VARCHAR),
+                     CAST(t AS VARCHAR), CAST(len AS VARCHAR))), 1, 15))
+         AS BIGINT) % 500 AS rk,
+         lang AS r_lang, t AS r_t, len AS r_len
+  FROM pert),
+u AS (
+  SELECT
+    least(greatest(avg(CAST(l_lang = r_lang AS INT)), 1e-6),
+          1 - 1e-6) AS u_lang,
+    least(greatest(avg(CAST(substr(l_t, 1, 4) = substr(r_t, 1, 4)
+                            AS INT)), 1e-6), 1 - 1e-6) AS u_prefix,
+    least(greatest(avg(CAST(abs(l_len - r_len) <= 2 AS INT)), 1e-6),
+          1 - 1e-6) AS u_len
+  FROM lr JOIN rr USING (rk)),
+pairs AS (
+  SELECT b.id AS left_id, p.id AS right_id,
+         b.lang AS l_lang, p.lang AS r_lang,
+         b.t AS l_t, p.t AS r_t, b.len AS l_len, p.len AS r_len
+  FROM base b JOIN pert p
+    ON b.lang = p.lang AND substr(b.t, 1, 4) = substr(p.t, 1, 4)),
+scored AS (
+  SELECT left_id, right_id,
+    (CASE WHEN l_lang = r_lang THEN ln(0.95 / u_lang) / ln(2)
+          ELSE ln(0.05 / (1 - u_lang)) / ln(2) END)
+  + (CASE WHEN substr(l_t, 1, 4) = substr(r_t, 1, 4)
+          THEN ln(0.9 / u_prefix) / ln(2)
+          ELSE ln(0.1 / (1 - u_prefix)) / ln(2) END)
+  + (CASE WHEN abs(l_len - r_len) <= 2 THEN ln(0.9 / u_len) / ln(2)
+          ELSE ln(0.1 / (1 - u_len)) / ln(2) END) AS s
+  FROM pairs CROSS JOIN u)
+SELECT left_id, right_id, round(s, 6) AS fs_score
+FROM scored WHERE s >= 2.0
+""",
+        "psi_value_drift": r"""
+WITH ref AS (SELECT value FROM events
+             WHERE event_type = 'view' AND value IS NOT NULL),
+cur AS (SELECT value FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL),
+e AS (SELECT list_transform(quantile_cont(value,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        x -> round(x, 6)) AS ed FROM ref),
+rb AS (
+  SELECT len(list_filter(ed, x -> value > x)) AS bin, count(*) AS n
+  FROM ref CROSS JOIN e GROUP BY 1),
+cb AS (
+  SELECT len(list_filter(ed, x -> value > x)) AS bin, count(*) AS n
+  FROM cur CROSS JOIN e GROUP BY 1),
+rs AS (SELECT bin, n / CAST(sum(n) OVER () AS DOUBLE) AS ref_share
+       FROM rb),
+cs AS (SELECT bin, n / CAST(sum(n) OVER () AS DOUBLE) AS cur_share
+       FROM cb),
+j AS (
+  SELECT coalesce(rs.bin, cs.bin) AS bin,
+         round(coalesce(ref_share, 0.0), 6) AS ref_share,
+         round(coalesce(cur_share, 0.0), 6) AS cur_share,
+         greatest(round(coalesce(ref_share, 0.0), 6), 1e-6) AS p,
+         greatest(round(coalesce(cur_share, 0.0), 6), 1e-6) AS q
+  FROM rs FULL JOIN cs ON rs.bin = cs.bin)
+SELECT bin, ref_share, cur_share,
+       round((p - q) * ln(p / q), 6) AS psi_term,
+       round(sum((p - q) * ln(p / q)) OVER (), 6) AS psi_total
+FROM j ORDER BY bin
 """,
         "similarity_sq_int8": r"""
 WITH qraw AS (

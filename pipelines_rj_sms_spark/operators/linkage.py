@@ -185,3 +185,59 @@ def resolve_entities(df: DataFrame, id_col: str, block_cols: list[str],
                                 max_iter=max_iter)
     return comp.select(F.col("node").alias(id_col),
                        F.col("component").alias("entity_id"))
+
+
+def fs_u_probabilities(left: DataFrame, right: DataFrame,
+                       agreement_exprs: dict[str, Column],
+                       sample_pairs: int = 100_000,
+                       salt: str = "fsu") -> dict[str, float]:
+    """Estimate Fellegi-Sunter ``u`` probabilities — P(field agrees |
+    records do NOT refer to the same entity) — from RANDOM pairings:
+    random pairs are almost surely non-matches at population scale, so
+    the chance-agreement rate per field IS u (the standard estimator;
+    Fellegi & Sunter 1969, public).
+
+    The random pairing is the repo's replayable md5 hash-draw: both
+    sides get a rank in [0, sample_pairs) from their id hash, pairs
+    join on the rank — two narrow shuffles, no RNG coordination, no
+    cross product. Column expressions in ``agreement_exprs`` must read
+    the prefixed ``l_*``/``r_*`` columns. Returns {field: u}, clamped
+    away from 0/1 for finite log-weights.
+    """
+    def ranked(df, prefix):
+        cols = [F.col(c).alias(f"{prefix}_{c}") for c in df.columns]
+        rank = F.pmod(F.conv(F.substring(F.md5(
+            F.concat(F.lit(salt + prefix),
+                     F.concat_ws("|", *[F.col(c).cast("string")
+                                        for c in df.columns]))),
+            1, 15), 16, 10).cast("long"), F.lit(sample_pairs))
+        return df.select(rank.alias("_rk"), *cols)
+
+    pairs = ranked(left, "l").join(ranked(right, "r"), "_rk")
+    aggs = [F.avg(expr.cast("int")).alias(name)
+            for name, expr in agreement_exprs.items()]
+    row = pairs.agg(*aggs).first()
+    return {name: min(max(float(row[name] or 0.0), 1e-6), 1.0 - 1e-6)
+            for name in agreement_exprs}
+
+
+def fs_score(m: dict[str, float], u: dict[str, float],
+             agreement_exprs: dict[str, Column]) -> Column:
+    """Fellegi-Sunter log-likelihood match weight as ONE codegen
+    expression: sum over fields of log2(m/u) when the field agrees,
+    log2((1-m)/(1-u)) when it disagrees (null comparisons count as
+    disagreement — the conservative convention). ``m`` = P(agree |
+    match), from labeled data or domain priors; ``u`` from
+    `fs_u_probabilities`. Use with `link_records` as the score_expr:
+    probabilistic linkage with exactly the same blocking/plan shape
+    as the deterministic scorers.
+    """
+    import math
+
+    total = None
+    for name, expr in agreement_exprs.items():
+        agree_w = math.log2(m[name] / u[name])
+        disagree_w = math.log2((1.0 - m[name]) / (1.0 - u[name]))
+        term = F.when(expr, F.lit(agree_w)).otherwise(F.lit(disagree_w))
+        total = term if total is None else total + term
+    return total

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["welch_t_test", "benford_first_digit",
@@ -132,3 +132,65 @@ def two_proportion_test(df: DataFrame, group_col: str, success_col,
         F.round(pa, 6).alias("rate_a"),
         F.round(pb, 6).alias("rate_b"),
         F.round(F.when(se > 0, (pa - pb) / se), 6).alias("z_stat"))
+
+
+def population_stability_index(ref: DataFrame, cur: DataFrame,
+                               value_col: str,
+                               n_bins: int = 10) -> DataFrame:
+    """PSI drift gate between a reference snapshot and a current one —
+    the standard monitoring statistic for "did this feature's
+    distribution move" (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25
+    shifted; credit-scoring folklore thresholds, public).
+
+    Bin edges are the REFERENCE's exact quantiles (Spark `percentile`,
+    sort-based exact — both engines use the same (n-1)p linear
+    interpolation, so the oracle replays edges bit-exact); both
+    snapshots then bucket with one conditional-sum aggregation each —
+    no join between the datasets, the only coordination is the
+    broadcast edge row. PSI = sum over bins (p - q) * ln(p / q) with
+    1e-6 floors so empty bins stay finite. Returns one row per bin
+    (bin, ref_share, cur_share, psi_term) plus the total via
+    `sum(psi_term) over ()` in column `psi_total` — one number,
+    auditable per bin.
+    """
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    # edges round to 6 dp before bucketing: exact-percentile
+    # interpolation can differ between engines in the LAST ULP, and a
+    # data value equal to an edge would then flip buckets; rounded
+    # edges make the binning engine-portable (the edges are arbitrary
+    # boundaries — their 7th decimal carries no information)
+    edges = [round(float(x), 6) for x in ref.agg(
+        F.percentile(F.col(value_col), F.array(
+            *[F.lit(f) for f in fracs]))).first()[0]]
+
+    def bucket(c):
+        b = F.lit(0)
+        for i, e in enumerate(edges):
+            b = F.when(F.col(c) > F.lit(e), F.lit(i + 1)).otherwise(b)
+        return b
+
+    def shares(df, out):
+        return (df.filter(F.col(value_col).isNotNull())
+                .groupBy(bucket(value_col).alias("bin"))
+                .agg(F.count("*").alias("_n"))
+                .select("bin", (F.col("_n") / F.sum("_n").over(
+                    Window.partitionBy())).alias(out)))
+
+    eps = 1e-6
+    joined = (shares(ref, "ref_share")
+              .join(shares(cur, "cur_share"), "bin", "full")
+              .select(
+                  "bin",
+                  F.round(F.coalesce("ref_share", F.lit(0.0)), 6)
+                  .alias("ref_share"),
+                  F.round(F.coalesce("cur_share", F.lit(0.0)), 6)
+                  .alias("cur_share")))
+    p = F.greatest(F.col("ref_share"), F.lit(eps))
+    q = F.greatest(F.col("cur_share"), F.lit(eps))
+    term = (p - q) * F.log(p / q)
+    return (joined
+            .withColumn("psi_term", F.round(term, 6))
+            .withColumn("psi_total",
+                        F.round(F.sum(term).over(Window.partitionBy()),
+                                6))
+            .orderBy("bin"))

@@ -4,6 +4,8 @@ from datetime import datetime
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from pipelines_rj_sms_spark.operators.analytics import cusum_deviations
 from pipelines_rj_sms_spark.quality.stats import (
     benford_first_digit, welch_t_test)
@@ -187,3 +189,46 @@ def test_two_proportion_test_formula(spark):
     pooled = 80 / 200
     se = math.sqrt(pooled * (1 - pooled) * (1 / 100 + 1 / 100))
     assert out["z_stat"] == pytest.approx(round((0.3 - 0.5) / se, 6))
+
+
+def test_psi_detects_shift_and_is_zero_on_identical(spark):
+    from pipelines_rj_sms_spark.quality.stats import (
+        population_stability_index)
+    ref = spark.range(2000).select(
+        (F.col("id") % 100).cast("double").alias("v"))
+    same = population_stability_index(ref, ref, "v", n_bins=10).collect()
+    assert all(r["psi_term"] == 0.0 for r in same)
+    assert same[0]["psi_total"] == 0.0
+    shifted = spark.range(2000).select(
+        ((F.col("id") % 100) + 60).cast("double").alias("v"))
+    drift = population_stability_index(ref, shifted, "v",
+                                       n_bins=10).collect()
+    assert drift[0]["psi_total"] > 0.25  # "shifted" per the folklore
+
+
+def test_fs_weights_separate_matches_from_nonmatches(spark):
+    from pipelines_rj_sms_spark.operators.linkage import (
+        fs_score, fs_u_probabilities)
+    left = spark.createDataFrame(
+        [(i, f"name{i}", i % 5) for i in range(200)],
+        ["id", "name", "grp"])
+    right = spark.createDataFrame(
+        [(i + 1000, f"name{i}", i % 5) for i in range(200)],
+        ["id", "name", "grp"])
+    agree = {"name": F.col("l_name") == F.col("r_name"),
+             "grp": F.col("l_grp") == F.col("r_grp")}
+    u = fs_u_probabilities(left, right, agree, sample_pairs=100)
+    assert 0 < u["name"] < 0.1      # chance name agreement is rare
+    assert 0.1 < u["grp"] < 0.4     # 5 groups -> ~0.2 by chance
+    m = {"name": 0.95, "grp": 0.95}
+    l = left.select(*[F.col(c).alias(f"l_{c}") for c in left.columns])
+    r = right.select(*[F.col(c).alias(f"r_{c}")
+                       for c in right.columns])
+    pairs = l.join(r, F.col("l_grp") == F.col("r_grp"))
+    scored = pairs.select(
+        "l_id", "r_id", fs_score(m, u, agree).alias("w"))
+    true_w = [r["w"] for r in scored.filter(
+        F.col("r_id") - F.col("l_id") == 1000).collect()]
+    false_w = [r["w"] for r in scored.filter(
+        F.col("r_id") - F.col("l_id") != 1000).collect()]
+    assert min(true_w) > max(false_w)  # clean separation
