@@ -146,10 +146,13 @@ def test_extract_features_stub(spark):
     assert out[2]["n_bytes"] == 0
 
 
-def test_extract_features_real_decode_not_implemented(spark):
-    media = spark.createDataFrame([(1, bytearray(b"x"))], ["media_id", "content"])
-    with pytest.raises(NotImplementedError):
-        extract_features(media, decode_stub=False)
+def test_extract_features_real_decode_gates_unknown_formats(spark):
+    # the real kernel decodes BMP/WAV natively (see the round-trip
+    # tests below); anything else raises per payload at collect time
+    media = spark.createDataFrame([(1, bytearray(b"xjunkpayload"))],
+                                  ["media_id", "content"])
+    with pytest.raises(Exception, match="PIL/ffmpeg"):
+        extract_features(media, decode_stub=False).collect()
 
 
 def test_sample_frames(spark):
@@ -173,8 +176,10 @@ def test_resize_images_stub(spark):
     assert (out[1]["width"], out[1]["height"]) == (224, 224)
     assert out[2]["width"] == 224
 
-    with pytest.raises(NotImplementedError):
-        resize_images(media, 64, 64, decode_stub=False)
+    # real path on junk bytes raises at the codec slot (per payload,
+    # inside the Arrow kernel)
+    with pytest.raises(Exception, match="BMP"):
+        resize_images(media, 64, 64, decode_stub=False).collect()
 
 
 def test_model_runner_incremental_merge(spark, tmp_path):
@@ -207,3 +212,81 @@ def test_model_runner_incremental_requires_keys(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unique_key"):
         runner.run()      # second run must merge -> misconfigured
+
+
+def _make_bmp(w, h, rgb):
+    """Solid-color 24bpp BMP via the module's own encoder is cheating
+    for a round-trip test, so build it independently with struct."""
+    import struct
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for _ in range(h):
+        row = bytes([rgb[2], rgb[1], rgb[0]]) * w
+        rows += row + b"\x00" * (stride - len(row))
+    return (b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                          len(rows), 2835, 2835, 0, 0) + rows)
+
+
+def _make_wav(rate=8000, seconds=0.5, freq=440):
+    import io
+    import math
+    import struct
+    import wave
+    buf = io.BytesIO()
+    n = int(rate * seconds)
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(b"".join(
+            struct.pack("<h", int(20000 * math.sin(
+                2 * math.pi * freq * i / rate))) for i in range(n)))
+    return buf.getvalue()
+
+
+def test_real_bmp_wav_feature_extraction(spark):
+    """decode_stub=False really decodes: BMP dims + channel means and
+    WAV duration/RMS come out of the Arrow kernel matching independent
+    fixture construction; unknown bytes raise at the codec slot."""
+    import pytest
+    from pipelines_rj_sms_spark.operators.multimodal import (
+        extract_features)
+    rows = [(1, bytearray(_make_bmp(6, 4, (255, 0, 0)))),
+            (2, bytearray(_make_wav(rate=8000, seconds=0.25)))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r.asDict() for r in extract_features(
+        df, decode_stub=False).collect()}
+    img = got[1]
+    assert img["media_type"] == "image"
+    assert img["features"][0] == 6.0 and img["features"][1] == 4.0
+    # solid red: mean R=255, G=0, B=0
+    assert img["features"][2] == 255.0
+    assert img["features"][3] == 0.0 and img["features"][4] == 0.0
+    aud = got[2]
+    assert aud["media_type"] == "audio"
+    assert abs(aud["features"][0] - 0.25) < 1e-6      # duration_s
+    # 440 Hz sine at amplitude 20000/32768: rms ~ amp/sqrt(2)
+    assert abs(aud["features"][1] - (20000 / 32768) / 2 ** 0.5) < 0.01
+    bad = spark.createDataFrame([(3, bytearray(b"GIF89a----------"))],
+                                "media_id long, content binary")
+    with pytest.raises(Exception, match="PIL/ffmpeg"):
+        extract_features(bad, decode_stub=False).collect()
+
+
+def test_real_bmp_resize_roundtrip(spark):
+    """decode_stub=False resize: output bytes are a valid BMP of the
+    target size whose pixels survive decode (nearest-neighbor of a
+    solid image is the same solid)."""
+    from pipelines_rj_sms_spark.operators.multimodal import (
+        decode_bmp, resize_images)
+    df = spark.createDataFrame(
+        [(1, bytearray(_make_bmp(16, 8, (10, 200, 30))))],
+        "media_id long, content binary")
+    out = resize_images(df, width=4, height=2,
+                        decode_stub=False).collect()[0]
+    assert (out["width"], out["height"]) == (4, 2)
+    w, h, px = decode_bmp(bytes(out["content"]))
+    assert (w, h) == (4, 2)
+    assert px.shape == (2, 4, 3)
+    assert (px == [10, 200, 30]).all()
