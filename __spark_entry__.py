@@ -4474,20 +4474,28 @@ pert AS (
   SELECT doc_id + 1000000 AS id, lang,
          substr(text, 1, 4) || substr(text, 6, 26) AS t,
          length(text) - 1 AS len FROM documents),
-lr AS (
+lk AS (
   SELECT CAST(('0x' || substr(md5('fsul' ||
            concat_ws('|', CAST(id AS VARCHAR), CAST(lang AS VARCHAR),
                      CAST(t AS VARCHAR), CAST(len AS VARCHAR))), 1, 15))
-         AS BIGINT) % 500 AS rk,
-         lang AS l_lang, t AS l_t, len AS l_len
+         AS BIGINT) AS k, lang, t, len
   FROM base),
-rr AS (
+rk_ AS (
   SELECT CAST(('0x' || substr(md5('fsur' ||
            concat_ws('|', CAST(id AS VARCHAR), CAST(lang AS VARCHAR),
                      CAST(t AS VARCHAR), CAST(len AS VARCHAR))), 1, 15))
-         AS BIGINT) % 500 AS rk,
-         lang AS r_lang, t AS r_t, len AS r_len
+         AS BIGINT) AS k, lang, t, len
   FROM pert),
+-- one row per bucket: hash-minimal winner (replays Spark's
+-- min(struct(key, cols)) argmin; keys are 60-bit, collision-free here)
+lr AS (
+  SELECT k % 500 AS rk, arg_min(lang, k) AS l_lang,
+         arg_min(t, k) AS l_t, arg_min(len, k) AS l_len
+  FROM lk GROUP BY 1),
+rr AS (
+  SELECT k % 500 AS rk, arg_min(lang, k) AS r_lang,
+         arg_min(t, k) AS r_t, arg_min(len, k) AS r_len
+  FROM rk_ GROUP BY 1),
 u AS (
   SELECT
     least(greatest(avg(CAST(l_lang = r_lang AS INT)), 1e-6),

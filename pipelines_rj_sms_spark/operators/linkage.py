@@ -197,21 +197,31 @@ def fs_u_probabilities(left: DataFrame, right: DataFrame,
     the chance-agreement rate per field IS u (the standard estimator;
     Fellegi & Sunter 1969, public).
 
-    The random pairing is the repo's replayable md5 hash-draw: both
-    sides get a rank in [0, sample_pairs) from their id hash, pairs
-    join on the rank — two narrow shuffles, no RNG coordination, no
-    cross product. Column expressions in ``agreement_exprs`` must read
-    the prefixed ``l_*``/``r_*`` columns. Returns {field: u}, clamped
-    away from 0/1 for finite log-weights.
+    The random pairing is the repo's replayable md5 hash-draw, made
+    QUADRATIC-PROOF for corpora far larger than ``sample_pairs``: each
+    side buckets rows by hash mod sample_pairs, keeps exactly ONE row
+    per bucket (the hash-minimal one — a single min(struct) hash agg,
+    deterministic), and the bucket join is therefore at most 1:1 —
+    never the (n/samples)² per-bucket fan-out a raw rank join would
+    produce at population scale. Two narrow shuffles, no RNG
+    coordination, no cross product. Column expressions in
+    ``agreement_exprs`` must read the prefixed ``l_*``/``r_*``
+    columns. Returns {field: u}, clamped away from 0/1 for finite
+    log-weights.
     """
     def ranked(df, prefix):
-        cols = [F.col(c).alias(f"{prefix}_{c}") for c in df.columns]
-        rank = F.pmod(F.conv(F.substring(F.md5(
+        key = F.conv(F.substring(F.md5(
             F.concat(F.lit(salt + prefix),
                      F.concat_ws("|", *[F.col(c).cast("string")
                                         for c in df.columns]))),
-            1, 15), 16, 10).cast("long"), F.lit(sample_pairs))
-        return df.select(rank.alias("_rk"), *cols)
+            1, 15), 16, 10).cast("long")
+        picked = (df.select(key.alias("_k"), *df.columns)
+                  .groupBy(F.pmod(F.col("_k"), F.lit(sample_pairs))
+                           .alias("_rk"))
+                  .agg(F.min(F.struct("_k", *df.columns)).alias("_w")))
+        return picked.select(
+            "_rk", *[F.col(f"_w.{c}").alias(f"{prefix}_{c}")
+                     for c in df.columns])
 
     pairs = ranked(left, "l").join(ranked(right, "r"), "_rk")
     aggs = [F.avg(expr.cast("int")).alias(name)

@@ -232,3 +232,22 @@ def test_fs_weights_separate_matches_from_nonmatches(spark):
     false_w = [r["w"] for r in scored.filter(
         F.col("r_id") - F.col("l_id") != 1000).collect()]
     assert min(true_w) > max(false_w)  # clean separation
+
+
+def test_fs_u_pairing_bounded_when_corpus_exceeds_samples(spark):
+    """sample_pairs << corpus: the per-bucket argmin keeps the pairing
+    at most 1:1 per bucket — never the (n/samples)^2 fan-out a raw
+    rank join would produce. 2000 rows into 16 buckets must evaluate
+    agreement over <= 16 pairs (and the estimate still lands near the
+    chance rate)."""
+    from pipelines_rj_sms_spark.operators.linkage import (
+        fs_u_probabilities)
+    left = spark.createDataFrame(
+        [(i, i % 4) for i in range(2000)], ["id", "grp"])
+    right = spark.createDataFrame(
+        [(i + 10_000, i % 4) for i in range(2000)], ["id", "grp"])
+    agree = {"grp": F.col("l_grp") == F.col("r_grp")}
+    u = fs_u_probabilities(left, right, agree, sample_pairs=16)
+    # 4 groups -> chance agreement ~0.25; 16 samples is noisy but the
+    # estimate must be a small-sample average, not a blown-up join
+    assert 0.0 < u["grp"] < 0.8
