@@ -136,7 +136,8 @@ def two_proportion_test(df: DataFrame, group_col: str, success_col,
 
 def population_stability_index(ref: DataFrame, cur: DataFrame,
                                value_col: str,
-                               n_bins: int = 10) -> DataFrame:
+                               n_bins: int = 10,
+                               approx_edges: bool = False) -> DataFrame:
     """PSI drift gate between a reference snapshot and a current one —
     the standard monitoring statistic for "did this feature's
     distribution move" (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25
@@ -144,7 +145,13 @@ def population_stability_index(ref: DataFrame, cur: DataFrame,
 
     Bin edges are the REFERENCE's exact quantiles (Spark `percentile`,
     sort-based exact — both engines use the same (n-1)p linear
-    interpolation, so the oracle replays edges bit-exact); both
+    interpolation, so the oracle replays edges bit-exact). Exact
+    percentile BUFFERS the column per aggregation — fine for the
+    monitored samples PSI normally runs on, wrong for a raw
+    billion-row column: pass ``approx_edges=True`` there
+    (approx_percentile, bounded-memory sketch; PSI only needs edges
+    that roughly decile the reference, so sketch error is immaterial —
+    but the result is then not bit-replayable, hence opt-in). Both
     snapshots then bucket with one conditional-sum aggregation each —
     no join between the datasets, the only coordination is the
     broadcast edge row. PSI = sum over bins (p - q) * ln(p / q) with
@@ -159,8 +166,9 @@ def population_stability_index(ref: DataFrame, cur: DataFrame,
     # data value equal to an edge would then flip buckets; rounded
     # edges make the binning engine-portable (the edges are arbitrary
     # boundaries — their 7th decimal carries no information)
+    pct = (F.approx_percentile if approx_edges else F.percentile)
     edges = [round(float(x), 6) for x in ref.agg(
-        F.percentile(F.col(value_col), F.array(
+        pct(F.col(value_col), F.array(
             *[F.lit(f) for f in fracs]))).first()[0]]
 
     def bucket(c):

@@ -251,3 +251,16 @@ def test_fs_u_pairing_bounded_when_corpus_exceeds_samples(spark):
     # 4 groups -> chance agreement ~0.25; 16 samples is noisy but the
     # estimate must be a small-sample average, not a blown-up join
     assert 0.0 < u["grp"] < 0.8
+
+
+def test_psi_approx_edges_close_to_exact(spark):
+    from pipelines_rj_sms_spark.quality.stats import (
+        population_stability_index)
+    ref = spark.range(5000).select(
+        (F.col("id") % 997).cast("double").alias("v"))
+    cur = spark.range(5000).select(
+        ((F.col("id") % 997) + 100).cast("double").alias("v"))
+    exact = population_stability_index(ref, cur, "v").collect()
+    approx = population_stability_index(ref, cur, "v",
+                                        approx_edges=True).collect()
+    assert abs(exact[0]["psi_total"] - approx[0]["psi_total"]) < 0.05
