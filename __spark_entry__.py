@@ -221,6 +221,8 @@ Query key -> SURVEY §2 rows covered:
                             side sheds non-members before shuffling)
   weighted_corpus_sample    A-ES weighted sampling, hash-deterministic
                             (top-n per group by u^(1/weight))
+  standardized_purchase_rates  crude / direct-standardized / SMR rate
+                            triplet (epi standardization, 1-row out)
   fs_linkage_scores         Fellegi-Sunter probabilistic linkage
                             (md5-replayable u estimation, log2 weights)
   psi_value_drift           PSI drift gate (reference-quantile bins,
@@ -2883,6 +2885,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(fs_score(m, u, agree), 6).alias("fs_score"))
             .filter(F.col("fs_score") >= 2.0))
 
+    def std_rates_q(spark, sf_dir):
+        """Direct + indirect standardized purchase rates across
+        hour-of-day strata (epi's crude-vs-DSR-vs-SMR triplet): one
+        per-stratum hash agg collapses the events, literal weight /
+        reference-rate CASE chains bind on the |strata|-row frame."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            standardized_rates)
+        ev = _t(spark, sf_dir, "events")
+        df = ev.select(
+            F.lpad(F.hour("ts").cast("string"), 2, "0").alias("hh"),
+            "event_type")
+        weights = {f"{h:02d}": (2.0 if 8 <= h < 20 else 1.0)
+                   for h in range(24)}
+        refs = {f"{h:02d}": 200.0 for h in range(24)}
+        return standardized_rates(
+            df, "hh", F.col("event_type") == "purchase",
+            std_weights=weights, reference_rates=refs, per=1000.0)
+
     def psi_q(spark, sf_dir):
         """PSI drift gate between view-event and purchase-event value
         distributions: bin edges are the reference side's EXACT
@@ -3829,6 +3849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_sq_int8": sq_topk_q,
         "fs_linkage_scores": fs_link_q,
         "psi_value_drift": psi_q,
+        "standardized_purchase_rates": std_rates_q,
         "doc_unigram_logprob": unigram_logprob_q,
         "nb_lang_predictions": nb_lang_pred,
         "brand_basket_rules": brand_rules_q,
@@ -3888,6 +3909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca2_closed_form", "hourly_value_twap_carry",
         "hybrid_rrf_search", "similarity_sq_int8",
         "fs_linkage_scores", "psi_value_drift",
+        "standardized_purchase_rates",
         "doc_containment_pairs", "part_graph_kcore",
         "part_copurchase_communities", "supplier_cooccurrence_triangles",
         "dp_event_type_counts", "hourly_value_twap",
@@ -4536,6 +4558,25 @@ scored AS (
   FROM pairs CROSS JOIN u)
 SELECT left_id, right_id, round(s, 6) AS fs_score
 FROM scored WHERE s >= 2.0
+""",
+        "standardized_purchase_rates": r"""
+WITH strata AS (
+  SELECT lpad(CAST(EXTRACT(hour FROM ts) AS VARCHAR), 2, '0') AS s,
+         count(*) AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ev
+  FROM events GROUP BY 1),
+enriched AS (
+  SELECT s, n, ev,
+         CASE WHEN CAST(s AS INT) BETWEEN 8 AND 19 THEN 2.0
+              ELSE 1.0 END AS w,
+         200.0 AS ref
+  FROM strata)
+SELECT CAST(sum(n) AS BIGINT) AS n_total,
+       CAST(sum(ev) AS BIGINT) AS events_total,
+       round(1000.0 * sum(ev) / sum(n), 6) AS crude_rate,
+       round(1000.0 * sum(w * ev / n) / sum(w), 6) AS dsr,
+       round(sum(ev) / sum(n * ref / 1000.0), 6) AS smr
+FROM enriched
 """,
         "psi_value_drift": r"""
 WITH ref AS (SELECT value FROM events

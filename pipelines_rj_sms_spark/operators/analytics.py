@@ -691,3 +691,60 @@ def change_decomposition(df: DataFrame, period_col, segment_cols: list[str],
                     F.round(F.when(F.col("_td") != 0,
                                    F.col("delta") / F.col("_td")), 6)
                     .alias("share_of_change")))
+
+
+def standardized_rates(df: DataFrame, strata_col: str,
+                       event_pred: Column,
+                       std_weights: dict[str, float],
+                       reference_rates: dict[str, float] | None = None,
+                       per: float = 1000.0) -> DataFrame:
+    """Direct (and optionally indirect) standardization of an event
+    rate across strata — the classic epidemiology comparison statistic
+    (a health secretariat compares districts/periods with different
+    age structures; crude rates mislead, standardized ones don't).
+    Public formulas:
+
+    - crude        = total events / total n, per ``per``
+    - direct (DSR) = Σ w_s · rate_s / Σ w_s — the rate the population
+      WOULD have under the standard weights ``std_weights``
+    - indirect SMR = observed / expected, expected = Σ n_s · ref_s,
+      when per-stratum ``reference_rates`` are supplied (the
+      small-strata-robust alternative)
+
+    One hash aggregation over the rows (events and n per stratum in
+    the same pass) collapses the data to |strata| rows; weights and
+    reference rates enter as literal CASE chains over that tiny frame,
+    and a second |strata|-row aggregation emits the statistic — no
+    joins, no second data scan. Strata
+    missing from ``std_weights`` contribute only to the crude rate
+    (documented epi convention: the standard population defines the
+    standardization domain). Returns ONE row: (n_total, events_total,
+    crude_rate, dsr[, smr]) rounded to 6.
+    """
+    ev = event_pred.cast("int")
+    per_stratum = (df.groupBy(F.col(strata_col).alias("_s"))
+                   .agg(F.count("*").alias("_n"),
+                        F.sum(ev).alias("_ev")))
+    wcol = F.lit(None).cast("double")
+    for k, v in std_weights.items():
+        wcol = F.when(F.col("_s") == k, F.lit(float(v))).otherwise(wcol)
+    refcol = F.lit(None).cast("double")
+    for k, v in (reference_rates or {}).items():
+        refcol = F.when(F.col("_s") == k,
+                        F.lit(float(v))).otherwise(refcol)
+    enriched = per_stratum.select(
+        "_s", "_n", "_ev", wcol.alias("_w"),
+        refcol.alias("_ref") if reference_rates else
+        F.lit(None).cast("double").alias("_ref"))
+    out = enriched.agg(
+        F.sum("_n").alias("n_total"),
+        F.sum("_ev").alias("events_total"),
+        F.round(F.lit(per) * F.sum("_ev") / F.sum("_n"), 6)
+        .alias("crude_rate"),
+        F.round(F.lit(per)
+                * F.sum(F.col("_w") * F.col("_ev") / F.col("_n"))
+                / F.sum("_w"), 6).alias("dsr"),
+        *([F.round(F.sum("_ev")
+                   / F.sum(F.col("_n") * F.col("_ref") / F.lit(per)),
+                   6).alias("smr")] if reference_rates else []))
+    return out

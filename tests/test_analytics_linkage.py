@@ -235,3 +235,25 @@ def test_resolve_entities_clusters_duplicates(spark):
         df, "id", ["blk"], levenshtein_ratio("l_name", "r_name"),
         0.8, ["name"]).collect()}
     assert got == {1: 1, 2: 1, 3: 3, 4: 4}
+
+
+def test_standardized_rates_closed_form(spark):
+    """Two strata with known rates: crude blends by population, DSR by
+    the standard weights, SMR = observed/expected under reference
+    rates — each checked against hand arithmetic."""
+    from pipelines_rj_sms_spark.operators.analytics import (
+        standardized_rates)
+    rows = ([("young", 1)] * 10 + [("young", 0)] * 90     # rate 100/1k
+            + [("old", 1)] * 30 + [("old", 0)] * 70)      # rate 300/1k
+    df = spark.createDataFrame(rows, ["band", "sick"])
+    out = standardized_rates(
+        df, "band", F.col("sick") == 1,
+        std_weights={"young": 3.0, "old": 1.0},
+        reference_rates={"young": 200.0, "old": 200.0},
+        per=1000.0).collect()[0]
+    assert out["n_total"] == 200 and out["events_total"] == 40
+    assert out["crude_rate"] == 200.0            # 40/200 * 1000
+    # DSR = (3*0.1 + 1*0.3)/4 * 1000 = 150
+    assert out["dsr"] == 150.0
+    # expected = 200 people * 200/1000 = 40 -> SMR = 40/40 = 1
+    assert out["smr"] == 1.0
