@@ -79,6 +79,9 @@ HEADLINE = [
     "embedding_pca2_closed_form",
     "hybrid_rrf_search",
     "similarity_sq_int8",
+    "fs_linkage_scores",
+    "psi_value_drift",
+    "standardized_purchase_rates",
 ]
 
 
