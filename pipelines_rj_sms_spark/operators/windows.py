@@ -40,9 +40,20 @@ def extreme(df: DataFrame, col: str, largest: bool = True) -> DataFrame:
 
 def ranked_over_threshold(df: DataFrame, value_col: str, threshold: float,
                           desc: bool = True) -> DataFrame:
-    """W6: filter above threshold, rank desc (cost-report shape)."""
-    order = F.col(value_col).desc() if desc else F.col(value_col).asc()
-    return (
-        df.filter(F.col(value_col) > threshold)
-        .withColumn("rank", F.row_number().over(Window.orderBy(order)))
-    )
+    """W6: filter above threshold, rank desc (cost-report shape).
+
+    Ranks come from range-partitioned dense ids
+    (`operators/ids.dense_global_ids`), NOT a global row_number
+    window: a weak threshold over a huge scan still ranks distributed
+    instead of funneling through one partition. Ties order
+    stable-arbitrarily within equal values (as the window form did).
+    Release the tracked intermediate with `operators.cache.release`.
+    """
+    from pipelines_rj_sms_spark.operators.ids import dense_global_ids
+
+    filtered = df.filter(F.col(value_col) > threshold)
+    key = (-F.col(value_col)).alias("_rk_key") if desc         else F.col(value_col).alias("_rk_key")
+    ranked = dense_global_ids(filtered.withColumn("_rk_key", key),
+                              ["_rk_key"], id_col="rank")
+    return (ranked.withColumn("rank", (F.col("rank") + 1).cast("int"))
+            .drop("_rk_key"))
