@@ -259,13 +259,23 @@ def zipf_fit(df: DataFrame, text_col: str,
     cnt = (df.select(F.explode(tokens(text_col)).alias("t"))
            .groupBy("t").agg(F.count("*").alias("c"))
            .filter(F.col("c") >= min_count))
-    w = Window.orderBy(F.col("c").desc(), F.col("t").asc())
-    ranked = cnt.select(
-        F.log(F.row_number().over(w).cast("double")).alias("lr"),
+    # ranks via range-partitioned dense ids, not a global row_number
+    # window: a web-scale vocabulary (tens of millions of terms) would
+    # otherwise sort through one partition. Total order (c desc, t
+    # asc) is preserved as (-c, t) ascending — identical ranks.
+    from pipelines_rj_sms_spark.operators.ids import dense_global_ids
+
+    ranked_ids = dense_global_ids(
+        cnt.withColumn("_nc", -F.col("c")), ["_nc", "t"], id_col="_rk")
+    ranked = ranked_ids.select(
+        F.log((F.col("_rk") + 1).cast("double")).alias("lr"),
         F.log(F.col("c").cast("double")).alias("lf"))
-    return ranked.agg(
+    from pipelines_rj_sms_spark.operators.cache import track
+
+    return track(ranked.agg(
         F.count("*").cast("bigint").alias("n_terms"),
         F.round(F.regr_slope(F.col("lf"), F.col("lr")), 6).alias("slope"),
         F.round(F.regr_intercept(F.col("lf"), F.col("lr")), 6)
         .alias("intercept"),
-        F.round(F.regr_r2(F.col("lf"), F.col("lr")), 6).alias("r2"))
+        F.round(F.regr_r2(F.col("lf"), F.col("lr")), 6).alias("r2")),
+        ranked_ids)

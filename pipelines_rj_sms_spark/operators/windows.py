@@ -53,7 +53,10 @@ def ranked_over_threshold(df: DataFrame, value_col: str, threshold: float,
 
     filtered = df.filter(F.col(value_col) > threshold)
     key = (-F.col(value_col)).alias("_rk_key") if desc         else F.col(value_col).alias("_rk_key")
+    from pipelines_rj_sms_spark.operators.cache import track
+
     ranked = dense_global_ids(filtered.withColumn("_rk_key", key),
                               ["_rk_key"], id_col="rank")
-    return (ranked.withColumn("rank", (F.col("rank") + 1).cast("int"))
-            .drop("_rk_key"))
+    out = (ranked.withColumn("rank", (F.col("rank") + 1).cast("int"))
+           .drop("_rk_key"))
+    return track(out, ranked)  # withColumn drops the tracked-attr chain
