@@ -3613,7 +3613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         li = _t(spark, sf_dir, "lineitem")
         edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
                                    max_items_per_group=None)
-        out = label_propagation(edges, n_rounds=3)
+        out = label_propagation(edges, n_rounds=3,
+                                edges_distinct=True)
         return out.select(F.col("node").alias("partkey"), "community")
 
     def standardize_q(spark, sf_dir):

@@ -383,7 +383,8 @@ def project_bipartite(df: DataFrame, group_col: str, item_col: str,
 
 
 def label_propagation(edges: DataFrame, n_rounds: int = 5,
-                      src: str = "src", dst: str = "dst") -> DataFrame:
+                      src: str = "src", dst: str = "dst",
+                      edges_distinct: bool = False) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al., public) made DETERMINISTIC: every node starts as its own
     label; each round it adopts the most frequent label among its
@@ -412,9 +413,13 @@ def label_propagation(edges: DataFrame, n_rounds: int = 5,
            .unionByName(
                edges.select(F.col(dst).alias("_a"),
                             F.col(src).alias("_b"))
-               .filter(F.col("_a") != F.col("_b")))
-           .distinct()
-           .persist())
+               .filter(F.col("_a") != F.col("_b"))))
+    if not edges_distinct:
+        und = und.distinct()
+    # edges_distinct=True: input is canonical (src < dst, deduped —
+    # e.g. cooccurrence_edges output), so the symmetrized union is
+    # already duplicate-free and the extra 2x-edge shuffle is skipped
+    und = und.persist()
     labels = und.select(F.col("_a").alias("node")).distinct() \
         .withColumn("label", F.col("node"))
     for _ in range(n_rounds):
