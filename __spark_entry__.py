@@ -3050,7 +3050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         li = _t(spark, sf_dir, "lineitem")
         edges = cooccurrence_edges(li, "l_orderkey", "l_suppkey",
                                    max_items_per_group=None)
-        out = triangle_counts(edges, "src", "dst")
+        out = triangle_counts(edges, "src", "dst",
+                              edges_canonical=True)
         return out.select(
             F.col("node").alias("suppkey"), "degree",
             F.col("triangles").cast("bigint").alias("triangles"),
@@ -3210,7 +3211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         li = _t(spark, sf_dir, "lineitem")
         edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
                                    max_items_per_group=None)
-        out = k_core(edges, 80)
+        out = k_core(edges, 80, edges_canonical=True)
         return out.select(F.col("node").alias("partkey"), "degree")
 
     def pmi_q(spark, sf_dir):

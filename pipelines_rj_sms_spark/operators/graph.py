@@ -205,7 +205,8 @@ def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str,
 
 
 def triangle_counts(edges: DataFrame, src: str = "src",
-                    dst: str = "dst") -> DataFrame:
+                    dst: str = "dst",
+                    edges_canonical: bool = False) -> DataFrame:
     """Per-node triangle participation + local clustering coefficient
     over the undirected graph of ``edges``.
 
@@ -238,11 +239,17 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     # collect_set in cooccurrence_edges) block Spark's exchange reuse,
     # so without the persist the whole build would re-execute per
     # reference (measured +6 s at sf0.1)
-    und = (edges.select(F.least(F.col(src), F.col(dst)).alias("_a"),
-                        F.greatest(F.col(src), F.col(dst)).alias("_b"))
-           .filter(F.col("_a") != F.col("_b"))
-           .distinct()
-           .persist())
+    if edges_canonical:
+        # input contract: src < dst, deduped (e.g. cooccurrence_edges
+        # output) — the least/greatest + distinct shuffle is skipped
+        und = edges.select(F.col(src).alias("_a"),
+                           F.col(dst).alias("_b")).persist()
+    else:
+        und = (edges.select(F.least(F.col(src), F.col(dst)).alias("_a"),
+                            F.greatest(F.col(src), F.col(dst)).alias("_b"))
+               .filter(F.col("_a") != F.col("_b"))
+               .distinct()
+               .persist())
     deg = (und.select(F.col("_a").alias("node"))
            .unionByName(und.select(F.col("_b").alias("node")))
            .groupBy("node").agg(F.count("*").alias("degree")))
@@ -286,7 +293,8 @@ def triangle_counts(edges: DataFrame, src: str = "src",
 
 
 def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
-           max_rounds: int = 64) -> DataFrame:
+           max_rounds: int = 64,
+           edges_canonical: bool = False) -> DataFrame:
     """Nodes of the ``k``-core: iteratively peel nodes of degree < k
     (with the edges they carry) until STABLE — the standard graph
     cleaning pass before community/centrality analysis (drops pendant
@@ -306,11 +314,16 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
     superset of the core. Returns (node, degree) of the surviving
     core with its within-core degree.
     """
-    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("_a"),
-                      F.greatest(F.col(src), F.col(dst)).alias("_b"))
-         .filter(F.col("_a") != F.col("_b"))
-         .distinct()
-         .localCheckpoint(False))
+    if edges_canonical:  # src < dst deduped by contract: skip the
+        e = (edges.select(F.col(src).alias("_a"),  # canonicalize pass
+                          F.col(dst).alias("_b"))
+             .localCheckpoint(False))
+    else:
+        e = (edges.select(F.least(F.col(src), F.col(dst)).alias("_a"),
+                          F.greatest(F.col(src), F.col(dst)).alias("_b"))
+             .filter(F.col("_a") != F.col("_b"))
+             .distinct()
+             .localCheckpoint(False))
     n_edges = e.count()
     converged = n_edges == 0
     for _ in range(max_rounds):
