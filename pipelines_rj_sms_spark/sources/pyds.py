@@ -35,7 +35,11 @@ which is the wrong trade.
 The module also ships a streaming source: ``ReplayDataSource``
 (format "replay") turns any static parquet dataset into a
 deterministic, offset-tracked, rate-controlled stream — the simulator
-the streaming operators' batch/stream parity tests run against.
+the streaming operators' batch/stream parity tests run against; and a
+WRITER: ``JsonlCommitDataSource`` (format "jsonlcommit"), a JSONL sink
+with the full two-phase commit protocol (task staging -> driver
+publish + _SUCCESS manifest, abort cleanup) — all three legs of the
+Spark-4 Python DataSource surface exercised.
 """
 
 from __future__ import annotations
@@ -46,6 +50,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -232,3 +237,101 @@ def register_all(spark) -> None:
     """Register every engine Python data source on the session."""
     spark.dataSource.register(DbfDataSource)
     spark.dataSource.register(ReplayDataSource)
+
+
+# --------------------------------------------------------- JSONL sink (K7+)
+# A Python DataSource WRITER with a real two-phase commit protocol —
+# the third leg of the Spark-4 Python DataSource surface next to the
+# batch reader (dbf) and stream reader (replay). Semantics mirror
+# Spark's own file-sink commit: every task writes to a hidden staging
+# directory and returns its file name as the commit message; only the
+# DRIVER's commit() publishes (atomic per-file rename into the target
+# + a _SUCCESS manifest listing exactly the committed files), and
+# abort() deletes the orphaned staging files. A reader that honors the
+# manifest never observes a half-written batch — task retries and
+# speculative duplicates die in staging.
+
+
+class JsonlCommitDataSource(DataSource):
+    """``df.write.format("jsonlcommit").option("path", dir).save()`` —
+    newline-delimited JSON with commit-protocol atomicity, no JVM
+    writer involved. The record-hub posture of `sinks/rest_hub.py` as
+    a first-class writable format (reference K7's batch semantics)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlcommit"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("jsonlcommit requires .option('path', dir)")
+        return _JsonlCommitWriter(path, schema, overwrite)
+
+
+class _JsonlCommitWriter(DataSourceWriter):
+    def __init__(self, path: str, schema: StructType,
+                 overwrite: bool) -> None:
+        self.path = path
+        self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    # -- executor side -------------------------------------------------
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark.sql.datasource import WriterCommitMessage
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(staging, fname), "w",
+                  encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(
+                    {k: row[k] for k in self.fields},
+                    default=str) + "\n")
+                n += 1
+
+        class _Msg(WriterCommitMessage):
+            pass
+
+        msg = _Msg()
+        msg.fname = fname
+        msg.n_rows = n
+        return msg
+
+    # -- driver side ---------------------------------------------------
+    def commit(self, messages) -> None:
+        import json
+        import os
+        import shutil
+
+        staging = os.path.join(self.path, "_staging")
+        published = []
+        total = 0
+        if self.overwrite:
+            for old in os.listdir(self.path):
+                if old.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, old))
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(os.path.join(staging, m.fname),
+                       os.path.join(self.path, m.fname))
+            published.append(m.fname)
+            total += m.n_rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w",
+                  encoding="utf-8") as f:
+            json.dump({"files": sorted(published), "rows": total}, f)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"),
+                      ignore_errors=True)

@@ -6,6 +6,8 @@ from pathlib import Path
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from pipelines_rj_sms_spark.sources.pyds import DbfDataSource, register_all
 from tests.test_listing_formats_resthub import _write_dbf
 
@@ -65,3 +67,54 @@ def test_format_dbf_missing_path_raises(spark, dbf_dir):
     register_all(spark)
     with pytest.raises(Exception, match="no files match"):
         spark.read.format("dbf").load(str(dbf_dir / "*.nope")).collect()
+
+
+def test_jsonlcommit_writer_commit_protocol(spark, tmp_path):
+    """Happy path: partitions stage, driver publishes atomically, the
+    _SUCCESS manifest lists exactly the committed files, rows
+    round-trip through spark.read.json."""
+    import json
+    import os
+
+    from pipelines_rj_sms_spark.sources.pyds import JsonlCommitDataSource
+    spark.dataSource.register(JsonlCommitDataSource)
+    out = tmp_path / "hub"
+    out.mkdir()
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") * 2).alias("v")).repartition(4)
+    df.write.format("jsonlcommit").option("path", str(out)) \
+        .mode("append").save()
+    manifest = json.loads((out / "_SUCCESS").read_text())
+    files = sorted(p.name for p in out.glob("*.jsonl"))
+    assert manifest["files"] == files and manifest["rows"] == 100
+    assert not (out / "_staging").exists()      # staging cleaned
+    back = spark.read.json(str(out / "*.jsonl"))
+    assert back.count() == 100
+    assert back.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(100))
+
+
+def test_jsonlcommit_writer_abort_leaves_no_partials(spark, tmp_path):
+    """A failing task aborts the batch: no .jsonl files publish, no
+    _SUCCESS appears, staging is cleaned — a manifest-honoring reader
+    never sees the half-written batch."""
+    import pytest
+
+    from pipelines_rj_sms_spark.sources.pyds import JsonlCommitDataSource
+    spark.dataSource.register(JsonlCommitDataSource)
+    out = tmp_path / "hub2"
+    out.mkdir()
+
+    @F.udf("long")
+    def boom(x):
+        if x == 7:
+            raise RuntimeError("injected task failure")
+        return x
+
+    df = spark.range(10).select(boom(F.col("id")).alias("id")) \
+        .repartition(2)
+    with pytest.raises(Exception, match="injected task failure"):
+        df.write.format("jsonlcommit").option("path", str(out)) \
+            .mode("append").save()
+    assert list(out.glob("*.jsonl")) == []
+    assert not (out / "_SUCCESS").exists()
+    assert not (out / "_staging").exists()
