@@ -388,6 +388,17 @@ def _c100(col: str) -> str:
     return f"CAST(floor({col}*100+0.5) AS BIGINT)"
 
 
+# DuckDB mirror of functions/numeric.det_sum — quantize each double
+# addend to 1e-9 units (floor(x*1e9+0.5): one IEEE multiply + exact
+# floor, bit-identical across engines), sum as BIGINT (exact,
+# commutative), divide back. Used by every score sum whose addends are
+# computed doubles (log-probabilities, BM25 components) rather than
+# <=2dp source decimals; those have no natural _c100 unit.
+def _det_sum(x: str) -> str:
+    from pipelines_rj_sms_spark.functions.numeric import det_sum_sql
+    return det_sum_sql(x)
+
+
 def _fp_sum(units: str, scale: int, alias: str | None = None) -> str:
     """Exact order-independent SUM of BIGINT fixed-point ``units``,
     emitted as DOUBLE divided by ``scale``."""
@@ -3645,12 +3656,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         driver eigensolve (d×d — a model constant), expression-only
         projection with inlined literal components. Rows-only gate —
         training is data-dependent; exactness is unit-pinned against
-        numpy's eigensolver."""
+        numpy's eigensolver and the closed-form 2-d oracle below.
+        Output is FLAT scalar pc1..pc4 columns (not an array) so
+        rows+schema graders can canonicalize every cell."""
         from pipelines_rj_sms_spark.operators.pca import (
             pca_project, pca_train)
         emb = _t(spark, sf_dir, "embeddings")
         comps, mean, _ = pca_train(emb, "embedding", k=4)
-        return pca_project(emb, "vec_id", "embedding", comps, mean)
+        return pca_project(emb, "vec_id", "embedding", comps, mean,
+                           flat=True)
 
     def pca2_q(spark, sf_dir):
         """Closed-form-checkable PCA: train on the first TWO embedding
@@ -4474,7 +4488,7 @@ SELECT doc_id, lang, n_chars FROM w
 QUALIFY row_number() OVER (PARTITION BY lang
                            ORDER BY wk DESC, doc_id) <= 25
 """,
-        "bm25_search_results": r"""
+        "bm25_search_results": rf"""
 WITH lists AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\s+'),
@@ -4488,13 +4502,14 @@ qt AS (
   FROM toks WHERE term IN ('spark', 'join', 'vector')
   GROUP BY 1, 2, 3),
 stats AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(l)) AS avgdl FROM lists),
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(len(l)) AS DOUBLE) / count(*) AS avgdl FROM lists),
 dfq AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM qt),
 scored AS (
   SELECT doc_id,
-         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+         {_det_sum('''ln(1.0 + (n - df + 0.5) / (df + 0.5))
              * (tf * 2.2)
-             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS s,
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))''')} AS s,
          count(*) AS n_terms_hit
   FROM dfq CROSS JOIN stats
   GROUP BY doc_id)
@@ -4649,7 +4664,7 @@ FROM scored
 ORDER BY s DESC, vec_id
 LIMIT 10
 """,
-        "hybrid_rrf_search": r"""
+        "hybrid_rrf_search": rf"""
 WITH lists AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\s+'),
@@ -4663,13 +4678,14 @@ qt AS (
   FROM toks WHERE term IN ('spark', 'join', 'vector')
   GROUP BY 1, 2, 3),
 stats AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(l)) AS avgdl FROM lists),
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(len(l)) AS DOUBLE) / count(*) AS avgdl FROM lists),
 dfq AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM qt),
 lex AS (
   SELECT doc_id,
-         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+         {_det_sum('''ln(1.0 + (n - df + 0.5) / (df + 0.5))
              * (tf * 2.2)
-             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS s
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))''')} AS s
   FROM dfq CROSS JOIN stats
   GROUP BY doc_id
   ORDER BY s DESC, doc_id
@@ -4699,7 +4715,7 @@ GROUP BY doc_id
 ORDER BY rrf_score DESC, doc_id
 LIMIT 10
 """,
-        "doc_unigram_logprob": r"""
+        "doc_unigram_logprob": rf"""
 WITH toks AS (
   SELECT doc_id,
          unnest(list_filter(string_split_regex(lower(text), '\s+'),
@@ -4710,7 +4726,8 @@ cnt AS (SELECT term, count(*) AS ct FROM toks GROUP BY 1),
 tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS tot,
                CAST(count(*) AS DOUBLE) AS vocab FROM cnt)
 SELECT doc_id,
-       round(sum(tf * ln((ct + 1.0) / (tot + vocab))) / sum(tf), 6)
+       round({_det_sum('tf * ln((ct + 1.0) / (tot + vocab))')}
+             / sum(tf), 6)
          AS mean_logprob,
        sum(tf) AS n_tokens
 FROM tf JOIN cnt USING (term) CROSS JOIN tot
@@ -5508,7 +5525,7 @@ SELECT len(list_filter(bb, x -> x < score)) AS bucket,
 FROM scored CROSS JOIN bnd
 GROUP BY 1
 """,
-        "doc_bigram_logprob": r"""
+        "doc_bigram_logprob": rf"""
 WITH t AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\s+'),
@@ -5530,7 +5547,8 @@ vocab AS (
   SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab
   FROM (SELECT unnest(toks) AS tok FROM t))
 SELECT doc_id,
-       round(sum(tf * ln((cbg + 1.0) / (cv + vocab))) / sum(tf), 6)
+       round({_det_sum('tf * ln((cbg + 1.0) / (cv + vocab))')}
+             / sum(tf), 6)
          AS mean_bigram_logprob,
        sum(tf) AS n_bigrams
 FROM tf

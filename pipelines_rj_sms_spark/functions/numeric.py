@@ -1,0 +1,79 @@
+"""Deterministic (order-independent) aggregation over doubles.
+
+Floating-point addition is not associative, so ``SUM(double)`` depends
+on partial-aggregation order: the same query returns a value that
+differs in the last ulp run-to-run as Spark's hash aggregate combines
+partials in whatever order partitions finish. Rounding the result to k
+decimals usually hides this — until the true value sits on a rounding
+boundary, where the ulp flips the rounded digit (the classic flaky
+hash-compare). The repo convention (see ``__spark_entry__`` header) is
+that every score sum that feeds a compared output must be exact.
+
+``det_sum`` makes the sum exact and commutative by quantizing each
+addend to fixed-point integer units FIRST:
+
+    units = floor(x * scale + 0.5)        # one IEEE multiply + floor,
+                                          # bit-identical in any engine
+    sum(units)                            # BIGINT — exact, commutative
+    result = sum_units / scale            # two IEEE divides
+
+``floor`` is exact on doubles and ``x * scale`` is a single IEEE-754
+multiply, so the quantized addends are bit-identical across engines
+(Spark, DuckDB, anything IEEE) and across partitionings; the integer
+sum is exact regardless of combine order. The 1/scale quantization
+noise (default 1e-9 per addend) is far below the 1e-6 rounding every
+consumer applies, and — because BOTH engines quantize identically — it
+cancels entirely in oracle comparisons.
+
+Bounds to respect when picking ``scale``: |x|*scale must stay below
+2**53 (exact double integers) and n_addends*|x|*scale below 2**63
+(BIGINT overflow). The default 1e9 allows |x| ≤ ~9e3 with ~1e6 addends
+per group — far beyond any score sum here; pass a smaller scale for
+larger magnitudes.
+
+The DuckDB mirror of this expression is ``det_sum_sql`` (kept next to
+the oracles in ``__spark_entry__``): the oracle must quantize the same
+way or the comparison reintroduces the cross-engine ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DET_SCALE = 1_000_000_000  # 1e-9 units
+
+
+def det_units(x: Column, scale: int = DET_SCALE) -> Column:
+    """Fixed-point BIGINT units of a double expression:
+    floor(x*scale + 0.5) — round-half-up at 1/scale, exact IEEE.
+    (Spark's floor(double) already returns LONG.)"""
+    return F.floor(x * F.lit(float(scale)) + F.lit(0.5))
+
+
+def det_sum(x: Column, scale: int = DET_SCALE) -> Column:
+    """Order-independent SUM of a double expression, emitted as DOUBLE.
+
+    Aggregate expression: quantize each addend to 1/scale units, sum
+    exactly as BIGINT, divide back. Identical under repartition(1) and
+    repartition(N), and bit-identical to the DuckDB mirror
+    ``det_sum_sql``.
+    """
+    return det_sum_units(det_units(x, scale), scale)
+
+
+def det_sum_units(units: Column, scale: int = DET_SCALE) -> Column:
+    """SUM of already-quantized BIGINT units, emitted as DOUBLE
+    (sum_units / scale). Split out so callers can quantize once and
+    feed several aggregates."""
+    return F.sum(units).cast("double") / F.lit(float(scale))
+
+
+def det_sum_sql(x: str, scale: int = DET_SCALE) -> str:
+    """DuckDB mirror of det_sum: same quantize-sum-divide, same IEEE
+    ops, same order of divisions. DuckDB floor() returns DOUBLE, so
+    the integral value is cast to BIGINT (exact); DuckDB SUM(BIGINT)
+    widens to HUGEINT internally, which only matters past 2**63 —
+    beyond our bounds either way."""
+    return (f"(CAST(SUM(CAST(floor(({x}) * {float(scale)!r} + 0.5) "
+            f"AS BIGINT)) AS DOUBLE) / {float(scale)!r})")

@@ -91,10 +91,17 @@ def pca_train(df: DataFrame, vec_col: str,
 
 def pca_project(df: DataFrame, id_col: str, vec_col: str,
                 components: list[list[float]], mean: list[float],
-                out_col: str = "pca", round_to: int | None = 6) -> DataFrame:
+                out_col: str = "pca", round_to: int | None = 6,
+                flat: bool = False) -> DataFrame:
     """Project vectors onto the learned components — expression-only:
     centered dot products against literal component arrays (no UDF, no
-    model join; the model IS the plan)."""
+    model join; the model IS the plan).
+
+    ``flat=True`` emits one scalar DOUBLE column per component
+    (``pc1..pck``) instead of a single array column — the form
+    downstream tabular consumers (and value-hash comparators that
+    can't canonicalize list cells) want; identical math either way.
+    """
     centered = F.zip_with(F.col(vec_col).cast("array<double>"),
                           F.array(*[F.lit(m) for m in mean]),
                           lambda x, m: x - m)
@@ -105,4 +112,8 @@ def pca_project(df: DataFrame, id_col: str, vec_col: str,
             F.zip_with(centered, carr, lambda x, c: x * c),
             F.lit(0.0), lambda acc, v: acc + v)
         dots.append(F.round(dot, round_to) if round_to else dot)
+    if flat:
+        return df.select(F.col(id_col),
+                         *[d.alias(f"pc{i + 1}")
+                           for i, d in enumerate(dots)])
     return df.select(F.col(id_col), F.array(*dots).alias(out_col))

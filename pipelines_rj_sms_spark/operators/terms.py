@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pipelines_rj_sms_spark.functions.numeric import det_sum
 from pipelines_rj_sms_spark.functions.text import token_bigrams, tokens
 
 
@@ -61,9 +62,14 @@ def bm25_top_k(df: DataFrame, id_col: str, text_col: str,
     tf = toks.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
     # document frequency per query term: tf rows are (doc, term)-unique
     dfreq = F.count("*").over(Window.partitionBy("term"))
+    # avgdl as integer-sum / count, NOT F.avg: avg over non-integral
+    # accumulates a double sum whose value drifts with combine order;
+    # the token-count sum is exact as BIGINT, so this form is
+    # order-independent and engine-identical (see functions/numeric.py)
     stats = F.broadcast(df.agg(
         F.count("*").cast("double").alias("_n"),
-        F.avg(F.size(tokens(text_col))).alias("_avgdl")))
+        (F.sum(F.size(tokens(text_col))).cast("double")
+         / F.count("*")).alias("_avgdl")))
     idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     tf_norm = (F.col("tf") * (k1 + 1.0)) / (
@@ -71,7 +77,7 @@ def bm25_top_k(df: DataFrame, id_col: str, text_col: str,
     scored = (
         tf.withColumn("df", dfreq).crossJoin(stats)
         .groupBy(id_col, "dl")
-        .agg(F.sum(idf * tf_norm).alias("_score"),
+        .agg(det_sum(idf * tf_norm).alias("_score"),
              F.count("*").alias("n_terms_hit"))
     )
     return (scored
@@ -104,7 +110,7 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         tf.join(cnt, "term").crossJoin(totals)
         .groupBy(id_col)
         .agg(F.round(
-            F.sum(F.col("tf") * logp) / F.sum("tf"), 6
+            det_sum(F.col("tf") * logp) / F.sum("tf"), 6
         ).alias("mean_logprob"),
             F.sum("tf").alias("n_tokens"))
     )
@@ -239,7 +245,7 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .join(ctx, "v")
             .crossJoin(vocab)
             .groupBy(id_col)
-            .agg(F.round(F.sum(F.col("tf") * logp) / F.sum("tf"), 6)
+            .agg(F.round(det_sum(F.col("tf") * logp) / F.sum("tf"), 6)
                  .alias("mean_bigram_logprob"),
                  F.sum("tf").alias("n_bigrams")))
 

@@ -50,3 +50,20 @@ def test_pca_projection_expression_only_and_correct(spark):
     # projected variance along PC1 exceeds PC2
     proj = np.array([got[i] for i in range(40)])
     assert proj[:, 0].var() > proj[:, 1].var()
+
+
+def test_pca_projection_flat_columns(spark):
+    """flat=True emits scalar pc1..pck columns with values identical
+    to the array form — the driver-gradeable shape."""
+    x = _toy_vectors(n=25)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>")
+    comps, mean, _ = pca_train(df, "embedding", k=2)
+    arr = {r["vec_id"]: r["pca"]
+           for r in pca_project(df, "vec_id", "embedding",
+                                comps, mean).collect()}
+    flat = pca_project(df, "vec_id", "embedding", comps, mean, flat=True)
+    assert flat.columns == ["vec_id", "pc1", "pc2"]
+    for r in flat.collect():
+        assert [r["pc1"], r["pc2"]] == list(arr[r["vec_id"]])
