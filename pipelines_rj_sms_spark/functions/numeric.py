@@ -69,6 +69,25 @@ def det_sum_units(units: Column, scale: int = DET_SCALE) -> Column:
     return F.sum(units).cast("double") / F.lit(float(scale))
 
 
+def det_sum_big(x: Column, scale: int = DET_SCALE) -> Column:
+    """Capacity-proof det_sum: the quantized BIGINT units are summed as
+    DECIMAL(38,0) (exact integer arithmetic with 38 digits of headroom)
+    instead of BIGINT, so group cardinality × magnitude can exceed 2**63
+    without overflow — the form for corpus-wide sufficient statistics
+    (PCA moments, corpus totals) that must survive billion-row groups.
+    The long→decimal cast is exact; only the final decimal→double
+    conversion rounds (nearest, engine-identical)."""
+    return (F.sum(det_units(x, scale).cast("decimal(38,0)"))
+            .cast("double") / F.lit(float(scale)))
+
+
+def det_sum_big_sql(x: str, scale: int = DET_SCALE) -> str:
+    """DuckDB mirror of det_sum_big: HUGEINT accumulation of the same
+    floor-quantized units."""
+    return (f"(CAST(SUM(CAST(floor(({x}) * {float(scale)!r} + 0.5) "
+            f"AS HUGEINT)) AS DOUBLE) / {float(scale)!r})")
+
+
 def det_sum_sql(x: str, scale: int = DET_SCALE) -> str:
     """DuckDB mirror of det_sum: same quantize-sum-divide, same IEEE
     ops, same order of divisions. DuckDB floor() returns DOUBLE, so

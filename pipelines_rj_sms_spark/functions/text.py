@@ -323,3 +323,44 @@ def compression_ratio_udf():
         return texts.map(one)
 
     return _ratio
+
+
+def char_entropy(col: Column | str) -> Column:
+    """Per-document character-level Shannon entropy in NATS — the
+    oracle-expressible sibling of the zlib `compression_ratio_udf`
+    redundancy signal (low entropy = repetitive/templated text, high =
+    diverse prose or noise), usable wherever an exact cross-engine
+    gate is needed.
+
+    EXPRESSION-ONLY and per-row: H = ln(n) − Σ_c cnt_c·ln(cnt_c) / n
+    over the row's own characters, built from array ops (distinct
+    chars × count-filter) — O(distinct·len) per row, NO explode, NO
+    shuffle: at corpus scale this is a projection, where a
+    char-explode + groupBy would shuffle one row per character.
+
+    Determinism: the Σ term quantizes each cnt·ln(cnt) addend to 1e-9
+    fixed-point units and folds exact BIGINTs (functions/numeric.py),
+    so the value is bit-identical in any engine; ties in nothing,
+    order in nothing. Empty/null texts yield null.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import DET_SCALE
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.filter(F.split(c, ""), lambda x: x != F.lit(""))
+
+    def _h(ch):
+        n = F.size(ch)
+
+        def term(u):
+            cnt = F.size(F.filter(ch, lambda x: x == u)).cast("double")
+            return F.floor(cnt * F.log(cnt)
+                           * F.lit(float(DET_SCALE)) + F.lit(0.5))
+
+        su = F.aggregate(
+            F.transform(F.array_distinct(ch), term),
+            F.lit(0).cast("long"), lambda acc, v: acc + v)
+        return F.when(
+            n > 0,
+            F.log(n.cast("double"))
+            - (su.cast("double") / float(DET_SCALE)) / n)
+
+    return _bind(chars, _h)

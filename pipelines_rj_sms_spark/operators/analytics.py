@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pipelines_rj_sms_spark.functions.numeric import det_sum, det_units
+
 
 def funnel_stages(df: DataFrame, user_col: str, ts_col: str,
                   step_col: str, steps: list[str],
@@ -145,9 +147,21 @@ def rolling_anomalies(df: DataFrame, ts_col: str, value_col: str,
     part = keys or []
     w = (Window.partitionBy(*part).orderBy(ts_col)
          .rowsBetween(-lookback, -1))
-    mean = F.avg(value_col).over(w)
-    sd = F.stddev_samp(value_col).over(w)
+    # windowed moments from det-quantized Σx / Σx² (closed-form sample
+    # variance): windowed avg/stddev_samp accumulate doubles in an
+    # engine-internal frame order, so the last ulp — and occasionally
+    # the 6dp-rounded z — differs across engines; integer-unit window
+    # sums are exact under any association (functions/numeric.py)
+    from pipelines_rj_sms_spark.functions.numeric import (DET_SCALE,
+                                                          det_units)
+    v = F.col(value_col)
     npts = F.count(value_col).over(w)
+    s = (F.sum(det_units(v)).over(w).cast("double") / float(DET_SCALE))
+    q = (F.sum(det_units(v * v)).over(w).cast("double")
+         / float(DET_SCALE))
+    mean = s / npts
+    var = F.when(npts > 1, (q - s * s / npts) / (npts - 1))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
     z = F.when(
         (npts >= min_points) & (sd > 0),
         (F.col(value_col) - mean) / sd)
@@ -333,15 +347,20 @@ def attribution_credits(df: DataFrame, user_col: str, ts_col: str,
             wo = w.orderBy(F.col("_tts").desc(), F.col("channel").desc())
         credit = F.when(F.row_number().over(wo) == 1,
                         F.lit(1.0)).otherwise(F.lit(0.0))
+    # det_sum: linear credits are 1/k doubles summed across partitions
+    # — quantized accumulation keeps `credited` identical under any
+    # combine order (functions/numeric.py)
     return (joined.withColumn("_credit", credit)
             .groupBy("channel")
-            .agg(F.round(F.sum("_credit"), 6).alias("credited"),
+            .agg(F.round(det_sum(F.col("_credit")), 6).alias("credited"),
                  F.count("*").alias("n_touches")))
 
 
 def cusum_deviations(df: DataFrame, ts_col: str, value_col: str,
                      key_cols: list[str] | None = None,
-                     threshold_sigmas: float = 3.0) -> DataFrame:
+                     threshold_sigmas: float = 3.0,
+                     integral_values: bool = False,
+                     det_scale: int = 10**6) -> DataFrame:
     """Cumulative-deviation change detection over an ordered series
     (the non-resetting CUSUM chart): C_i = Σ_{j<=i} (x_j - mean), with
     the crossing flag |C_i| > h·σ·√N. The max-|C| row is the classic
@@ -354,18 +373,45 @@ def cusum_deviations(df: DataFrame, ts_col: str, value_col: str,
     running state. Series-level operator — feed it a rollup (e.g.
     hourly counts), not raw events, and the window moves O(buckets)
     rows. Returns the input keys + (ts, value, cusum, band, exceeds).
+
+    Determinism: with ``integral_values=True`` (the value column holds
+    integer fixed-point units) the mean and stddev come from EXACT
+    decimal(38,0) sums — the closed-form variance from Σx / Σx² — so
+    every statistic is combine-order-independent and engine-identical;
+    the default path keeps avg/stddev_samp for arbitrary doubles. The
+    running sum always quantizes its (x - mean) addends to 1/det_scale
+    units (functions/numeric.py) so the cumulative values match across
+    engines regardless of how each engine associates the window frame
+    additions (Spark runs sequentially; a segment-tree combine would
+    associate differently).
     """
     keys = list(key_cols or [])
-    stats = df.groupBy(*[F.col(k) for k in keys]).agg(
-        F.avg(value_col).alias("_mu"),
-        F.coalesce(F.stddev_samp(value_col), F.lit(0.0)).alias("_sd"),
-        F.count("*").alias("_n"))
+    if integral_values:
+        dv = F.col(value_col).cast("decimal(38,0)")
+        stats0 = df.groupBy(*[F.col(k) for k in keys]).agg(
+            F.sum(dv).alias("_s"),
+            F.sum(dv * dv).alias("_q"),
+            F.count("*").alias("_n"))
+        mu = F.col("_s").cast("double") / F.col("_n")
+        var = F.when(
+            F.col("_n") > 1,
+            (F.col("_q").cast("double") - mu * mu * F.col("_n"))
+            / (F.col("_n") - 1)).otherwise(F.lit(0.0))
+        stats = stats0.select(
+            *keys, "_n", mu.alias("_mu"),
+            F.sqrt(F.greatest(var, F.lit(0.0))).alias("_sd"))
+    else:
+        stats = df.groupBy(*[F.col(k) for k in keys]).agg(
+            F.avg(value_col).alias("_mu"),
+            F.coalesce(F.stddev_samp(value_col), F.lit(0.0)).alias("_sd"),
+            F.count("*").alias("_n"))
     joined = df.join(F.broadcast(stats), keys) if keys else \
         df.crossJoin(F.broadcast(stats))
     w = (Window.partitionBy(*[F.col(k) for k in keys])
          .orderBy(F.col(ts_col))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cusum = F.sum(F.col(value_col) - F.col("_mu")).over(w)
+    cusum = (F.sum(det_units(F.col(value_col) - F.col("_mu"), det_scale))
+             .over(w).cast("double") / float(det_scale))
     band = F.lit(float(threshold_sigmas)) * F.col("_sd") * F.sqrt("_n")
     return joined.select(
         *keys, F.col(ts_col), F.col(value_col),
@@ -484,8 +530,9 @@ def concentration_metrics(df: DataFrame, key_cols: list[str],
 
     Sums keep the value column's native type — pass BIGINT fixed-point
     units for engine-exact totals (double sums of ~1e9 magnitude differ
-    across engines at the 6dp grid); only the Σx² term (a ratio input)
-    is computed in double to dodge int64 overflow.
+    across engines at the 6dp grid); the Σx² term is summed as
+    DECIMAL(38,0) so it stays exact past int64 without falling back to
+    an order-sensitive double sum.
     """
     keys = [F.col(k) for k in key_cols]
     w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
@@ -495,16 +542,21 @@ def concentration_metrics(df: DataFrame, key_cols: list[str],
         F.sum(value_col).alias("_tot"),
         F.sum(F.col("_rk") * F.col(value_col)).alias("_rx"),
         F.max(value_col).alias("_mx"),
-        F.sum(F.col(value_col).cast("double")
-              * F.col(value_col).cast("double")).alias("_sq"))
+        # decimal(38,0) squares: the sum-of-squares of unit values is
+        # exact and combine-order-independent (a double-product sum
+        # drifts in the last ulp with shuffle order); cast BEFORE the
+        # multiply so the square itself never rounds
+        F.sum(F.col(value_col).cast("decimal(19,0)")
+              * F.col(value_col).cast("decimal(19,0)")).alias("_sq"))
     gini = (2.0 * F.col("_rx") / (F.col("n") * F.col("_tot"))
             - (F.col("n") + 1.0) / F.col("n"))
     return agg.select(
         *key_cols, "n",
         F.round("_tot", 6).alias("total"),
         F.round(F.col("_mx") / F.col("_tot"), 6).alias("top_share"),
-        F.round(F.col("_sq") / (F.col("_tot").cast("double")
-                                * F.col("_tot")), 6).alias("hhi"),
+        F.round(F.col("_sq").cast("double")
+                / (F.col("_tot").cast("double")
+                   * F.col("_tot")), 6).alias("hhi"),
         F.round(gini, 6).alias("gini"))
 
 
@@ -544,8 +596,15 @@ def survival_curve(df: DataFrame, duration_col: str, event_col: str,
     ln_term = F.when(F.col("n_events") < F.col("n_at_risk"),
                      F.log(1.0 - F.col("n_events")
                            / F.col("n_at_risk"))).otherwise(F.lit(0.0))
+    # quantize the ln terms before the window cumsum: the frame's
+    # addition order is engine-internal (sequential vs segment-tree),
+    # so a raw double cumsum can differ in the last ulp across engines;
+    # integer units make it exact (functions/numeric.py)
+    from pipelines_rj_sms_spark.functions.numeric import (DET_SCALE,
+                                                          det_units)
     survival = F.when(F.max(dead).over(wc) == 1, F.lit(0.0)) \
-        .otherwise(F.exp(F.sum(ln_term).over(wc)))
+        .otherwise(F.exp(F.sum(det_units(ln_term)).over(wc)
+                         .cast("double") / float(DET_SCALE)))
     return frame.select(
         *kn, "duration", "n_at_risk", "n_events", "n_censored",
         F.round(survival, 6).alias("survival"))
@@ -559,14 +618,45 @@ def trend_fit(df: DataFrame, x_col: str, y_col: str,
     Spark and DuckDB implement it JVM/vector-side). ONE hash
     aggregation, no iteration, no driver math; feed it a rollup series
     (e.g. day ordinal vs daily count). Floats round to 6.
+
+    The slope/intercept/r2 come from the normal-equation closed form
+    over det-quantized sums (Σx, Σy, Σxy, Σx², Σy²), not the built-in
+    regr_* aggregates: those accumulate running co-moments in doubles,
+    so their last ulp moves with combine order and disagrees across
+    engines; quantized sums are exact and associate freely
+    (functions/numeric.py). Same formula, deterministic arithmetic:
+
+        slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+        r2    = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
     """
+    from pipelines_rj_sms_spark.functions.numeric import (det_sum,
+                                                          det_sum_big)
     keys = [F.col(k) for k in (key_cols or [])]
-    y, x = F.col(y_col), F.col(x_col)
-    return df.groupBy(*keys).agg(
-        F.regr_count(y, x).cast("bigint").alias("n"),
-        F.round(F.regr_slope(y, x), 6).alias("slope"),
-        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
-        F.round(F.regr_r2(y, x), 6).alias("r2"))
+    y0, x0 = F.col(y_col), F.col(x_col)
+    both = x0.isNotNull() & y0.isNotNull()
+    x = F.when(both, x0)
+    y = F.when(both, y0)
+    agg = df.groupBy(*keys).agg(
+        F.count(x).alias("n"),
+        det_sum(x).alias("_sx"),
+        det_sum(y).alias("_sy"),
+        det_sum_big(x * y).alias("_sxy"),
+        det_sum_big(x * x).alias("_sxx"),
+        det_sum_big(y * y).alias("_syy"))
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    varx_n = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vary_n = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = F.when(varx_n != 0, cov_n / varx_n)
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / n
+    r2 = F.when((varx_n != 0) & (vary_n != 0),
+                cov_n * cov_n / (varx_n * vary_n))
+    return agg.select(
+        *(key_cols or []),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"))
 
 
 def period_over_period(df: DataFrame, ts_col: str, value_col: str,
@@ -606,15 +696,24 @@ def seasonal_profile(df: DataFrame, ts_col: str, value_col: str,
         idx = F.hour(F.col(ts_col)).alias("season_idx")
     else:
         raise ValueError(f"season must be dow|hour: {season}")
+    from pipelines_rj_sms_spark.functions.numeric import (DET_SCALE,
+                                                          det_units)
     keys = [F.col(k) for k in (key_cols or [])]
     kn = list(key_cols or [])
+    # carry quantized BIGINT units through BOTH aggregation levels so
+    # the season and overall means are combine-order-exact; dividing
+    # back to doubles only at the final projection
+    # (functions/numeric.py)
     per = df.groupBy(*keys, idx).agg(
-        F.sum(value_col).alias("_s"), F.count("*").alias("n_obs"))
+        F.sum(det_units(F.col(value_col))).alias("_su"),
+        F.count("*").alias("n_obs"))
     overall = per.groupBy(*keys).agg(
-        (F.sum("_s") / F.sum("n_obs")).alias("_omean"))
+        ((F.sum("_su").cast("double") / float(DET_SCALE))
+         / F.sum("n_obs")).alias("_omean"))
     joined = (per.join(F.broadcast(overall), kn) if kn
               else per.crossJoin(F.broadcast(overall)))
-    mean = F.col("_s") / F.col("n_obs")
+    mean = (F.col("_su").cast("double") / float(DET_SCALE)
+            / F.col("n_obs"))
     return joined.select(
         *kn, "season_idx", "n_obs",
         F.round(mean, 6).alias("season_mean"),
@@ -741,10 +840,12 @@ def standardized_rates(df: DataFrame, strata_col: str,
         F.sum("_ev").alias("events_total"),
         F.round(F.lit(per) * F.sum("_ev") / F.sum("_n"), 6)
         .alias("crude_rate"),
+        # det_sum on the weighted-rate terms: per-stratum doubles whose
+        # combine order must not move the 6dp result
         F.round(F.lit(per)
-                * F.sum(F.col("_w") * F.col("_ev") / F.col("_n"))
-                / F.sum("_w"), 6).alias("dsr"),
+                * det_sum(F.col("_w") * F.col("_ev") / F.col("_n"))
+                / det_sum(F.col("_w")), 6).alias("dsr"),
         *([F.round(F.sum("_ev")
-                   / F.sum(F.col("_n") * F.col("_ref") / F.lit(per)),
+                   / det_sum(F.col("_n") * F.col("_ref") / F.lit(per)),
                    6).alias("smr")] if reference_rates else []))
     return out

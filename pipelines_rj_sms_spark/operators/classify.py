@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pipelines_rj_sms_spark.functions.numeric import det_sum
 from pipelines_rj_sms_spark.functions.text import tokens
 
 __all__ = ["nb_train", "nb_score", "nb_predict"]
@@ -94,9 +95,12 @@ def nb_score(df: DataFrame, id_col: str, text_col: str,
         F.size("_toks").cast("double").alias("_dl"),
         F.explode_outer("_toks").alias("term"))
     tf = docs.groupBy(id_col, "_dl", "term").agg(F.count("*").alias("_tf"))
+    # det_sum, not SUM(double): the per-class log-likelihood feeds a
+    # rounded compare AND nb_predict's argmax — both must be immune to
+    # partial-aggregation order (see functions/numeric.py)
     hits = (tf.join(F.broadcast(model_terms), "term")
             .groupBy(id_col, "label")
-            .agg(F.sum(F.col("_tf") * F.col("lw")).alias("_hit")))
+            .agg(det_sum(F.col("_tf") * F.col("lw")).alias("_hit")))
     frame = (df.select(F.col(id_col),
                        F.size(tokens(text_col)).cast("double").alias("_dl"))
              .crossJoin(F.broadcast(model_classes)))

@@ -89,14 +89,29 @@ def standardize(df, cols: list[str], key_cols: list[str] | None = None,
     back on the keys, or as a 1-row frame globally); constant columns
     (stddev 0/null) yield null scores rather than Inf. Appends
     ``<col><suffix>`` columns, originals untouched. Rounded to 6.
+
+    Mean/stddev come from det-quantized Σx and Σx² (closed-form sample
+    variance), not avg/stddev_samp, so the fitted scaler is identical
+    under any partial-aggregation order (functions/numeric.py).
     """
     from pyspark.sql import functions as F
+
+    from pipelines_rj_sms_spark.functions.numeric import (det_sum,
+                                                          det_sum_big)
     keys = list(key_cols or [])
     aggs = []
     for c in cols:
-        aggs += [F.avg(c).alias(f"_mu_{c}"),
-                 F.stddev_samp(c).alias(f"_sd_{c}")]
+        aggs += [F.count(c).alias(f"_n_{c}"),
+                 det_sum(F.col(c)).alias(f"_s_{c}"),
+                 det_sum_big(F.col(c) * F.col(c)).alias(f"_q_{c}")]
     stats = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    mcols = []
+    for c in cols:
+        n, s, q = (F.col(f"_n_{c}"), F.col(f"_s_{c}"), F.col(f"_q_{c}"))
+        var = F.when(n > 1, (q - s * s / n) / (n - 1))
+        mcols += [(s / n).alias(f"_mu_{c}"),
+                  F.sqrt(F.greatest(var, F.lit(0.0))).alias(f"_sd_{c}")]
+    stats = stats.select(*keys, *mcols)
     joined = (df.join(F.broadcast(stats), keys) if keys
               else df.crossJoin(F.broadcast(stats)))
     out = joined

@@ -24,6 +24,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pipelines_rj_sms_spark.functions.numeric import det_sum_big
+
 __all__ = ["pca_train", "pca_project"]
 
 
@@ -43,8 +45,13 @@ def pca_train(df: DataFrame, vec_col: str,
     """
     base = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
     base = base.persist()
+    # det_sum_big: the sufficient statistics are double sums whose
+    # combine order must not perturb the trained model (the eigensolve
+    # amplifies a last-ulp difference into sign/rotation wiggle);
+    # quantized decimal accumulation is exact at any group size
+    # (functions/numeric.py)
     ex = base.select(F.posexplode("_v").alias("_i", "_x"))
-    pos = ex.groupBy("_i").agg(F.sum("_x").alias("_s"),
+    pos = ex.groupBy("_i").agg(det_sum_big(F.col("_x")).alias("_s"),
                                F.count("*").alias("_n"))
     stats = {r["_i"]: (r["_s"], r["_n"]) for r in pos.collect()}
     d = len(stats)
@@ -65,7 +72,7 @@ def pca_train(df: DataFrame, vec_col: str,
     gram_rows = (base.select(F.explode(tri).alias("_t"))
                  .groupBy(F.col("_t._i").alias("_i"),
                           F.col("_t._j").alias("_j"))
-                 .agg(F.sum("_t._p").alias("_g"))
+                 .agg(det_sum_big(F.col("_t._p")).alias("_g"))
                  .collect())
     g = np.zeros((d, d))
     for r in gram_rows:

@@ -564,6 +564,11 @@ def rrf_fuse(rankings: list[DataFrame], id_col: str,
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionByName(p)
+    # plain SUM is safe here (no det_sum needed): each candidate has at
+    # most len(rankings) addends — 2 for the standard lexical+dense
+    # fusion — and IEEE addition of two doubles is commutative, so no
+    # combine order exists that changes the value. Revisit only if
+    # fusing 3+ rankings where (a+b)+c vs a+(b+c) could differ.
     return (allp.groupBy(id_col)
             .agg(F.round(F.sum(1.0 / (F.lit(float(rrf_k))
                                       + F.col("_rank"))), 6)

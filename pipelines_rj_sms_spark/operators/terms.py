@@ -258,7 +258,9 @@ def zipf_fit(df: DataFrame, text_col: str,
     away (too flat = deduped boilerplate, too steep = tiny vocab).
 
     One token hash agg, one rank window over the COLLAPSED vocabulary
-    (|V| rows, never tokens), one regr_* aggregation. Ranks order by
+    (|V| rows, never tokens), one closed-form OLS aggregation over
+    det-quantized sums (regr_* accumulates order-sensitive double
+    co-moments — see functions/numeric.py). Ranks order by
     (freq desc, term asc) so ties are deterministic. Returns a single
     row (n_terms, slope, intercept, r2), floats rounded to 6.
     """
@@ -276,12 +278,28 @@ def zipf_fit(df: DataFrame, text_col: str,
     ranked = ranked_ids.select(
         F.log((F.col("_rk") + 1).cast("double")).alias("lr"),
         F.log(F.col("c").cast("double")).alias("lf"))
+    from pipelines_rj_sms_spark.functions.numeric import det_sum_big
     from pipelines_rj_sms_spark.operators.cache import track
 
-    return track(ranked.agg(
+    lr, lf = F.col("lr"), F.col("lf")
+    agg = ranked.agg(
         F.count("*").cast("bigint").alias("n_terms"),
-        F.round(F.regr_slope(F.col("lf"), F.col("lr")), 6).alias("slope"),
-        F.round(F.regr_intercept(F.col("lf"), F.col("lr")), 6)
+        det_sum_big(lr).alias("_sx"),
+        det_sum_big(lf).alias("_sy"),
+        det_sum_big(lr * lf).alias("_sxy"),
+        det_sum_big(lr * lr).alias("_sxx"),
+        det_sum_big(lf * lf).alias("_syy"))
+    n = F.col("n_terms").cast("double")
+    cov_n = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    varx_n = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vary_n = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = F.when(varx_n != 0, cov_n / varx_n)
+    return track(agg.select(
+        "n_terms",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("_sy") - slope * F.col("_sx")) / n, 6)
         .alias("intercept"),
-        F.round(F.regr_r2(F.col("lf"), F.col("lr")), 6).alias("r2")),
+        F.round(F.when((varx_n != 0) & (vary_n != 0),
+                       cov_n * cov_n / (varx_n * vary_n)), 6)
+        .alias("r2")),
         ranked_ids)

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pipelines_rj_sms_spark.functions.numeric import det_sum
+
 _TS, _SIDE, _LPAY, _RPAY, _MATCH, _BKT = (
     "__asof_ts", "__asof_is_left", "__asof_l", "__asof_r", "__asof_match",
     "__range_bucket")
@@ -339,25 +341,32 @@ def time_weighted_avg(df: DataFrame, ts_col: str, value_col: str,
         dur = F.greatest(
             _epoch_secs(seg_end) - _epoch_secs(seg_start), F.lit(0.0))
         own = F.date_trunc(bucket, ts) == F.col("_bucket")
-        wsum = F.sum(F.col(value_col) * dur)
-        tsum = F.sum(dur)
+        # det_sum on the duration-weighted terms: value*dur products
+        # are doubles whose combine order must not move the 6dp twap
+        # (functions/numeric.py); the all-zero-duration fallback mean
+        # is spelled det_sum/count for the same reason
+        wsum = det_sum(F.col(value_col) * dur)
+        tsum = det_sum(dur)
         return (rows.groupBy(*[F.col(k) for k in keys],
                              F.col("_bucket").alias("bucket"))
                 .agg(F.round(
                     F.when(tsum > 0, wsum / tsum)
-                    .otherwise(F.avg(F.when(own, F.col(value_col)))),
+                    .otherwise(det_sum(F.when(own, F.col(value_col)))
+                               / F.count(F.when(own, F.col(value_col)))),
                     6).alias("twap"),
                     F.sum(F.when(own, 1).otherwise(0))
                     .cast("bigint").alias("n_obs")))
     # rows with no successor (series tail) carry zero duration; a
     # series/bucket whose durations all collapse to zero falls back to
-    # the plain average of its observations
-    wsum = F.sum(F.col(value_col) * dur)
-    tsum = F.sum(dur)
+    # the plain average of its observations (spelled det_sum/count so
+    # it, too, is combine-order-independent)
+    wsum = det_sum(F.col(value_col) * dur)
+    tsum = det_sum(dur)
     return (rows.groupBy(*grp)
             .agg(F.round(
                 F.when(tsum > 0, wsum / tsum)
-                .otherwise(F.avg(value_col)), 6).alias("twap"),
+                .otherwise(det_sum(F.col(value_col))
+                           / F.count(value_col)), 6).alias("twap"),
                 F.count("*").alias("n_obs")))
 
 

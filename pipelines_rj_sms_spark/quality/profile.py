@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pipelines_rj_sms_spark.functions.numeric import det_sum
+
 
 def profile_table(df: DataFrame,
                   columns: list[str] | None = None) -> DataFrame:
@@ -69,7 +71,8 @@ def profile_table(df: DataFrame,
     )
 
 
-def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+def correlation_matrix(df: DataFrame, cols: list[str],
+                       scale: int = 10**9) -> DataFrame:
     """Pairwise Pearson correlations of numeric columns in ONE pass:
     all p·(p−1)/2 `corr` aggregates ride in a single HashAggregate
     (one scan, no matter how many pairs), then unpivot to
@@ -77,12 +80,41 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     redundancy and sanity checks; for p large enough that p² state
     matters, sample first — corr estimates converge fast.
     """
+    # closed-form Pearson over det-quantized sums, not F.corr: the
+    # built-in accumulates running co-moments in doubles whose combine
+    # order moves the last ulp across runs/engines; quantized Σx, Σy,
+    # Σxy, Σx², Σy² are exact and associate freely
+    # (functions/numeric.py). Still ONE HashAggregate pass.
+    # ``scale``: quantization is exact only while |x²|·scale < 2^53 —
+    # for columns up to ~1e2 the 1e9 default holds; pass a smaller
+    # scale for money-magnitude columns (1e4 keeps 1e10 squares exact).
+    from pipelines_rj_sms_spark.functions.numeric import (det_sum,
+                                                          det_sum_big)
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
-    aggs = [F.corr(a, b).alias(f"_c_{i}") for i, (a, b) in enumerate(pairs)]
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        x = F.when(both, F.col(a))
+        y = F.when(both, F.col(b))
+        aggs += [F.count(x).alias(f"_n_{i}"),
+                 det_sum(x, scale).alias(f"_sx_{i}"),
+                 det_sum(y, scale).alias(f"_sy_{i}"),
+                 det_sum_big(x * y, scale).alias(f"_sxy_{i}"),
+                 det_sum_big(x * x, scale).alias(f"_sxx_{i}"),
+                 det_sum_big(y * y, scale).alias(f"_syy_{i}")]
     wide = df.agg(*aggs)
+
+    def _corr(i):
+        n = F.col(f"_n_{i}").cast("double")
+        cov_n = n * F.col(f"_sxy_{i}") - F.col(f"_sx_{i}") * F.col(f"_sy_{i}")
+        vx = n * F.col(f"_sxx_{i}") - F.col(f"_sx_{i}") * F.col(f"_sx_{i}")
+        vy = n * F.col(f"_syy_{i}") - F.col(f"_sy_{i}") * F.col(f"_sy_{i}")
+        return F.when((vx > 0) & (vy > 0),
+                      cov_n / F.sqrt(vx * vy))
+
     rows = F.explode(F.array(*[
         F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
-                 F.col(f"_c_{i}").alias("corr"))
+                 _corr(i).alias("corr"))
         for i, (a, b) in enumerate(pairs)]))
     return wide.select(rows.alias("_r")).select(
         "_r.col_a", "_r.col_b", "_r.corr")
@@ -117,9 +149,12 @@ def mutual_information(df: DataFrame, col_a: str,
     pi = F.sum("_n").over(wa) / tot
     pj = F.sum("_n").over(wb) / tot
     contrib = pij * F.log(pij / (pi * pj))
+    # det_sum: the MI contributions are computed doubles summed across
+    # partitions — quantized accumulation keeps the single-row output
+    # identical under any combine order (functions/numeric.py)
     return (joint
             .select(contrib.alias("_mi"), F.col("_n"))
-            .agg(F.sum("_mi").alias("mi_nats"),
+            .agg(det_sum(F.col("_mi")).alias("mi_nats"),
                  F.sum("_n").cast("bigint").alias("n_rows")))
 
 
@@ -147,13 +182,15 @@ def diversity_report(df, group_cols: list[str], category_col: str):
             .groupBy(*gcols)
             .agg(F.sum("_n").cast("bigint").alias("n_rows"),
                  F.count("*").alias("n_categories"),
-                 F.round(F.sum(-F.col("_p") * F.log("_p")), 6)
+                 # det_sum on every p-term: order-independent under
+                 # partial aggregation (functions/numeric.py)
+                 F.round(det_sum(-F.col("_p") * F.log("_p")), 6)
                  .alias("entropy"),
                  F.round(F.when(
                      F.count("*") > 1,
-                     F.sum(-F.col("_p") * F.log("_p"))
+                     det_sum(-F.col("_p") * F.log("_p"))
                      / F.log(F.count("*").cast("double")))
                      .otherwise(F.lit(0.0)), 6)
                  .alias("entropy_normalized"),
-                 F.round(F.sum(F.col("_p") * F.col("_p")), 6)
+                 F.round(det_sum(F.col("_p") * F.col("_p")), 6)
                  .alias("simpson")))

@@ -25,6 +25,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pipelines_rj_sms_spark.functions.numeric import DET_SCALE, det_units
+
 __all__ = ["welch_t_test", "benford_first_digit",
            "two_proportion_test"]
 
@@ -41,17 +43,33 @@ def welch_t_test(df: DataFrame, group_col: str, value_col: str,
         t  = (m_a - m_b) / sqrt(s²_a/n_a + s²_b/n_b)
         df = (s²_a/n_a + s²_b/n_b)² /
              ((s²_a/n_a)²/(n_a-1) + (s²_b/n_b)²/(n_b-1))
+
+    Moments are computed from det-quantized Σx and Σx² (closed-form
+    sample variance), NOT avg/var_samp: streaming-moment aggregates
+    accumulate doubles whose combine order moves the last ulp, and a
+    6dp-rounded statistic can land a boundary differently run-to-run
+    or engine-to-engine (functions/numeric.py).
     """
+    from pipelines_rj_sms_spark.functions.numeric import (det_sum,
+                                                          det_sum_big)
     v = F.col(value_col)
     in_a = F.col(group_col) == F.lit(group_a)
     in_b = F.col(group_col) == F.lit(group_b)
     agg = df.filter(in_a | in_b).agg(
         F.count(F.when(in_a, v)).alias("n_a"),
         F.count(F.when(in_b, v)).alias("n_b"),
-        F.avg(F.when(in_a, v)).alias("_ma"),
-        F.avg(F.when(in_b, v)).alias("_mb"),
-        F.var_samp(F.when(in_a, v)).alias("_va"),
-        F.var_samp(F.when(in_b, v)).alias("_vb"))
+        det_sum(F.when(in_a, v)).alias("_sa"),
+        det_sum(F.when(in_b, v)).alias("_sb"),
+        det_sum_big(F.when(in_a, v * v)).alias("_qa"),
+        det_sum_big(F.when(in_b, v * v)).alias("_qb"))
+    agg = agg.select(
+        "n_a", "n_b",
+        (F.col("_sa") / F.col("n_a")).alias("_ma"),
+        (F.col("_sb") / F.col("n_b")).alias("_mb"),
+        ((F.col("_qa") - F.col("_sa") * F.col("_sa") / F.col("n_a"))
+         / (F.col("n_a") - 1)).alias("_va"),
+        ((F.col("_qb") - F.col("_sb") * F.col("_sb") / F.col("n_b"))
+         / (F.col("n_b") - 1)).alias("_vb"))
     sea = F.col("_va") / F.col("n_a")
     seb = F.col("_vb") / F.col("n_b")
     t = (F.col("_ma") - F.col("_mb")) / F.sqrt(sea + seb)
@@ -196,9 +214,14 @@ def population_stability_index(ref: DataFrame, cur: DataFrame,
     p = F.greatest(F.col("ref_share"), F.lit(eps))
     q = F.greatest(F.col("cur_share"), F.lit(eps))
     term = (p - q) * F.log(p / q)
+    # psi_total sums computed doubles across an unordered window —
+    # quantize each term first (det_units) so the total is identical
+    # under any row order (functions/numeric.py)
     return (joined
             .withColumn("psi_term", F.round(term, 6))
             .withColumn("psi_total",
-                        F.round(F.sum(term).over(Window.partitionBy()),
+                        F.round(F.sum(det_units(term))
+                                .over(Window.partitionBy())
+                                .cast("double") / float(DET_SCALE),
                                 6))
             .orderBy("bin"))

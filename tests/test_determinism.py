@@ -83,3 +83,101 @@ def test_det_sum_exact_and_order_independent(spark):
     expected = sum(math.floor(v * 1e9 + 0.5) for v in vals) / 1e9
     got = outs.pop()
     assert abs(got - expected) < 1e-12
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def _check(df, fn):
+    a = sorted(tuple(r) for r in fn(df.repartition(1)).collect())
+    b = sorted(tuple(r) for r in fn(df.repartition(64)).collect())
+    assert a == b
+
+
+@needs_data
+def test_nb_score_partition_invariant(spark):
+    from pipelines_rj_sms_spark.operators.classify import (nb_score,
+                                                           nb_train)
+    docs = _docs(spark)
+    mt, mc = nb_train(docs, "lang", "text")
+    mt, mc = mt.cache(), mc.cache()
+    _check(docs, lambda d: nb_score(d, "doc_id", "text", mt, mc))
+
+
+@needs_data
+def test_profile_stats_partition_invariant(spark):
+    from pipelines_rj_sms_spark.quality.profile import (
+        correlation_matrix, diversity_report, mutual_information)
+    ev = _events(spark)
+    _check(ev, lambda d: mutual_information(d, "event_type", "user_id"))
+    _check(_docs(spark),
+           lambda d: diversity_report(d, ["source"], "lang"))
+    _check(ev, lambda d: correlation_matrix(d, ["value", "user_id"],
+                                            scale=10**4))
+
+
+@needs_data
+def test_analytics_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from pipelines_rj_sms_spark.operators.analytics import (
+        attribution_credits, cusum_deviations, rolling_anomalies,
+        seasonal_profile, standardized_rates, survival_curve, trend_fit)
+    ev = _events(spark)
+    _check(ev, lambda d: attribution_credits(
+        d, "user_id", "ts", "event_type", ["purchase"],
+        ["view", "click", "signup"], lookback_seconds=604800))
+    _check(ev, lambda d: seasonal_profile(
+        d, "ts", "value", key_cols=["event_type"]))
+    _check(ev, lambda d: standardized_rates(
+        d, "event_type", F.col("value") > 50, {"view": 1.0, "click": 2.0}))
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts")).alias("h"))
+              .agg(F.count("*").alias("n")))
+    _check(hourly, lambda d: cusum_deviations(
+        d, "h", "n", key_cols=["event_type"], integral_values=True))
+    _check(hourly, lambda d: rolling_anomalies(
+        d, "h", "n", ["event_type"], lookback=10, min_points=3))
+    daily = (ev.groupBy("event_type",
+                        F.datediff(F.col("ts").cast("date"),
+                                   F.lit("2024-01-01").cast("date"))
+                        .alias("x"))
+             .agg(F.count("*").cast("double").alias("y")))
+    _check(daily, lambda d: trend_fit(d, "x", "y",
+                                      key_cols=["event_type"]))
+    durs = ev.select((F.col("user_id") % 7).alias("dur"),
+                     (F.col("value") > 50).cast("int").alias("e"))
+    _check(durs, lambda d: survival_curve(d, "dur", "e"))
+
+
+@needs_data
+def test_stats_twap_pagerank_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from pipelines_rj_sms_spark.operators.conform import standardize
+    from pipelines_rj_sms_spark.operators.graph import pagerank
+    from pipelines_rj_sms_spark.operators.timeseries import (
+        time_weighted_avg)
+    from pipelines_rj_sms_spark.quality.stats import welch_t_test
+    ev = _events(spark)
+    _check(ev, lambda d: welch_t_test(d, "event_type", "value",
+                                      "click", "view"))
+    _check(ev, lambda d: standardize(d, ["value"],
+                                     key_cols=["event_type"])
+           .select("event_id", "value_z"))
+    _check(ev, lambda d: time_weighted_avg(
+        d, "ts", "value", key_cols=["event_type"], bucket="hour"))
+    edges = ev.select((F.col("user_id") % 50).alias("src"),
+                      (F.col("event_id") % 37).alias("dst")).distinct()
+    _check(edges, lambda d: pagerank(d, n_iter=3)
+           .select("node", F.round("pr", 9).alias("pr")))
+
+
+@needs_data
+def test_pca_train_partition_invariant(spark):
+    from pipelines_rj_sms_spark.operators.pca import pca_train
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    models = [pca_train(emb.repartition(n), "embedding", k=2)
+              for n in (1, 64)]
+    assert models[0] == models[1]

@@ -5,6 +5,14 @@ from pyspark.sql import functions as F
 from pipelines_rj_sms_spark.operators.graph import degrees, pagerank
 
 
+def _det(xs):
+    """Mirror functions/numeric.det_sum: floor-quantized 1e-9 units,
+    exact integer sum, divide back — the operator's contribution and
+    dangling-mass sums use this, so the reference must too."""
+    import math
+    return sum(math.floor(x * 1e9 + 0.5) for x in xs) / 1e9
+
+
 def _pr_numpy(edges, n_iter, d=0.85, nodes=None):
     """Reference power iteration (dict-based)."""
     nodes = set(nodes or [])
@@ -17,11 +25,11 @@ def _pr_numpy(edges, n_iter, d=0.85, nodes=None):
     n = len(nodes)
     pr = {v: 1.0 / n for v in nodes}
     for _ in range(n_iter):
-        dm = sum(pr[v] for v in nodes if v not in out)
+        dm = _det(pr[v] for v in nodes if v not in out)
         nxt = {}
         for v in nodes:
-            m = sum(pr[u] / len(out[u]) for u in nodes
-                    if u in out and v in out[u])
+            m = _det(pr[u] / len(out[u]) for u in nodes
+                     if u in out and v in out[u])
             nxt[v] = (1.0 - d) / n + d * (m + dm / n)
         pr = nxt
     return pr
@@ -41,7 +49,9 @@ def test_pagerank_dangling_mass_conserved(spark):
     # node 3 is dangling (no out-edges): total rank must still sum to 1
     df = spark.createDataFrame([(1, 3), (2, 3)], ["src", "dst"])
     rows = pagerank(df, n_iter=5).collect()
-    assert abs(sum(r["pr"] for r in rows) - 1.0) < 1e-9
+    # tolerance: det_sum quantizes each aggregate to 1e-9 units, so
+    # mass conservation holds to ~n_iter·nodes·0.5e-9, not machine eps
+    assert abs(sum(r["pr"] for r in rows) - 1.0) < 1e-7
     got = {r["node"]: r["pr"] for r in rows}
     assert got[3] > got[1] == got[2]
 
