@@ -6,6 +6,13 @@ Prints ONE JSON line:
 
 Each query executes its full plan through the noop sink (no driver
 collect, no result materialization cost in the measurement).
+
+``--full`` benches EVERY declared query (the whole contract surface,
+not just the headline set) at $SPARK_GRAFT_FULL_SF_DIR (default
+sf0.01 — cheap enough to sweep 200+ queries), single pass, and adds a
+per-family budget rollup so a quadratic regression anywhere on the
+surface shows up as its family's budget blowing out between rounds.
+The headline sf0.1 run stays the tracked number.
 """
 
 from __future__ import annotations
@@ -85,6 +92,96 @@ HEADLINE = [
 ]
 
 
+# family buckets for the --full per-family budget rollup; first match
+# wins, fallback "relational" (the TPC-H-shape SQL core)
+_FAMILIES = [
+    ("dedup", ("dedup", "minhash", "simhash", "jaccard", "containment",
+               "winnow", "contamination", "negative_pairs")),
+    ("similarity", ("similarity", "ann_", "embedding", "hybrid_rrf",
+                    "pca")),
+    ("graph", ("pagerank", "graph", "kcore", "communities", "triangle",
+               "cooccurrence", "copurchase", "resolved", "linked")),
+    ("text", ("doc_", "text_", "corpus", "tfidf", "bm25", "pmi", "bpe",
+              "token", "nb_", "lang", "readability", "chunk",
+              "feature_hash", "pii", "accent")),
+    ("sketch", ("sketch", "theta", "kll", "freq_", "bloom")),
+    ("streaming", ("stream", "replay", "session", "cdc")),
+    ("sampling", ("sample", "split", "kfold", "packing", "budget",
+                  "corpus_mix")),
+    ("quality-stats", ("psi", "drift", "anomal", "benford", "t_test",
+                       "z_test", "trend", "cusum", "survival",
+                       "linkage", "mutual", "diversity", "profile",
+                       "quality", "contract", "reconcil", "freshness",
+                       "skew_report", "anonymity", "l_diversity",
+                       "fs_", "dp_", "calibration", "eval_report",
+                       "correlations", "zipf", "entropy",
+                       "compression")),
+    ("analytics-timeseries", ("twap", "ohlc", "interpolat", "gap_",
+                              "asof", "range_", "overlap",
+                              "concurrent", "ewma", "seasonal",
+                              "growth", "retention", "funnel", "rfm",
+                              "attribution", "decomposition",
+                              "concentration", "standardized",
+                              "geohash", "density", "nearest",
+                              "timeline", "paths", "histogram",
+                              "winsorized", "mad_", "imputed",
+                              "percentile", "equi_depth", "scd2",
+                              "snapshot", "diff", "survival")),
+]
+
+
+def _family(name: str) -> str:
+    for fam, pats in _FAMILIES:
+        if any(p in name for p in pats):
+            return fam
+    return "relational"
+
+
+def run_full() -> None:
+    from pipelines_rj_sms_spark.session import get_spark, load_tables
+    import __spark_entry__ as entry_mod
+
+    sf_dir = os.environ.get("SPARK_GRAFT_FULL_SF_DIR",
+                            "/root/testdata/sf0.01")
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench-full")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    load_tables(spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, fn in qs.items():
+        t0 = time.monotonic()
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # keep sweeping; a red here is a bug
+            errors[name] = str(exc)[:200]
+    fams: dict[str, dict] = {}
+    for name, sec in timings.items():
+        f = fams.setdefault(_family(name), {"sec": 0.0, "n": 0,
+                                            "max_query": None,
+                                            "max_sec": 0.0})
+        f["sec"] = round(f["sec"] + sec, 3)
+        f["n"] += 1
+        if sec > f["max_sec"]:
+            f["max_sec"], f["max_query"] = sec, name
+    print(json.dumps({
+        "metric": "full-surface wall clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "families": dict(sorted(fams.items(),
+                                key=lambda kv: -kv[1]["sec"])),
+        "queries": timings,
+        "errors": errors,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
 def main() -> None:
     from pipelines_rj_sms_spark.session import get_spark
     import __spark_entry__ as entry_mod
@@ -150,4 +247,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--full" in sys.argv:
+        run_full()
+    else:
+        main()
