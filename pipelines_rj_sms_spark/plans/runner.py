@@ -129,26 +129,46 @@ class ModelRunner:
                          hashlib.md5(payload.encode()).hexdigest()}
         return out
 
-    def write_state(self, state_path: str) -> None:
+    def write_state(self, state_path: str, store=None) -> None:
         """Persist the manifest (dbt's upload-artifacts step; call
-        after a successful build so the next CI run diffs against it)."""
+        after a successful build so the next CI run diffs against it).
+
+        With ``store`` (a `plans.artifacts.ObjectStore`), the manifest
+        is PUT under key ``state_path`` instead of the local
+        filesystem — the reference's artifact-upload leg
+        (datalake/transform/dbt/tasks.py:346-390), so two runner
+        instances on different machines share state through the same
+        bucket."""
         import json as _json
 
+        payload = _json.dumps(self.manifest(), indent=1, sort_keys=True)
+        if store is not None:
+            store.put(state_path, payload.encode("utf-8"))
+            return
         with open(state_path, "w", encoding="utf-8") as f:
-            _json.dump(self.manifest(), f, indent=1, sort_keys=True)
+            f.write(payload)
 
     def select_state_modified(self, state_path: str,
-                              with_downstream: bool = True) -> set[str]:
+                              with_downstream: bool = True,
+                              store=None) -> set[str]:
         """Models whose fingerprint differs from the stored state
         (edited SQL, changed deps/config, or brand new), plus —
         by default, dbt's `state:modified+` — their transitive
         dependents. Upstream deps are NOT pulled in: unchanged parents
         already exist from the previous build, which is the entire
-        point of state selection."""
+        point of state selection. ``store`` reads the manifest from an
+        ObjectStore key instead of the local filesystem (the
+        artifact-download leg); a missing key selects everything —
+        first deploy builds the world, same as dbt without --state."""
         import json as _json
 
-        with open(state_path, encoding="utf-8") as f:
-            stored = _json.load(f)
+        if store is not None:
+            if not store.exists(state_path):
+                return set(self.models)
+            stored = _json.loads(store.get(state_path).decode("utf-8"))
+        else:
+            with open(state_path, encoding="utf-8") as f:
+                stored = _json.load(f)
         live = self.manifest()
         base = {n for n, fp in live.items()
                 if n not in stored
@@ -164,13 +184,14 @@ class ModelRunner:
         return base
 
     def run_state_modified(self, state_path: str,
-                           with_downstream: bool = True
-                           ) -> list[ModelResult]:
+                           with_downstream: bool = True,
+                           store=None) -> list[ModelResult]:
         """Build only what changed since ``state_path`` (+downstream).
         Unchanged upstreams must already be registered/materialized
         from the prior build — same contract as dbt --state."""
         selected = self.select_state_modified(state_path,
-                                              with_downstream)
+                                              with_downstream,
+                                              store=store)
         return self._run_selected(selected)
 
     def run(self, tag: str | None = None,

@@ -290,3 +290,57 @@ def test_real_bmp_resize_roundtrip(spark):
     assert (w, h) == (4, 2)
     assert px.shape == (2, 4, 3)
     assert (px == [10, 200, 30]).all()
+
+
+def test_model_runner_remote_state_store(spark):
+    """dbt artifact up/download analog (reference dbt/tasks.py:346-390):
+    two runner instances — think two CI runs on different machines —
+    share the state manifest through an ObjectStore; only the modified
+    model and its downstream rebuild, and a missing key (first deploy)
+    selects the whole DAG."""
+    from pipelines_rj_sms_spark.plans.artifacts import (LocalFileStore,
+                                                       MemoryStore,
+                                                       ObjectStore)
+    spark.createDataFrame([(5,)], ["x"]).createOrReplaceTempView("raw_src")
+
+    def dag(b_sql):
+        return [
+            Model("a", "SELECT x FROM raw_src"),
+            Model("b", b_sql, deps=["a"]),
+            Model("c", "SELECT sum(x2) AS total FROM b", deps=["b"]),
+        ]
+
+    store = MemoryStore()
+    assert isinstance(store, ObjectStore)
+    key = "dbt/state/prod/manifest.json"
+    ci_run_1 = ModelRunner(spark, dag("SELECT x * 2 AS x2 FROM a"))
+    # first deploy: no artifact in the bucket -> build the world
+    assert ci_run_1.select_state_modified(key, store=store) \
+        == {"a", "b", "c"}
+    ci_run_1.run()
+    ci_run_1.write_state(key, store=store)
+
+    # second machine: fresh runner, same bucket, one edit
+    ci_run_2 = ModelRunner(spark, dag("SELECT x * 4 AS x2 FROM a"))
+    assert ci_run_2.select_state_modified(key, store=store) == {"b", "c"}
+    results = ci_run_2.run_state_modified(key, store=store)
+    assert [r.name for r in results] == ["b", "c"]
+    assert spark.table("c").first()["total"] == 20
+    ci_run_2.write_state(key, store=store)
+    # convergence: a third unchanged run selects nothing
+    ci_run_3 = ModelRunner(spark, dag("SELECT x * 4 AS x2 FROM a"))
+    assert ci_run_3.select_state_modified(key, store=store) == set()
+
+
+def test_local_file_store_atomic_and_sandboxed(tmp_path):
+    from pipelines_rj_sms_spark.plans.artifacts import LocalFileStore
+    import pytest as _pytest
+    st = LocalFileStore(str(tmp_path / "bucket"))
+    assert not st.exists("a/b.json")
+    st.put("a/b.json", b'{"k": 1}')
+    assert st.exists("a/b.json") and st.get("a/b.json") == b'{"k": 1}'
+    # no stray temp files left behind (atomic publish)
+    names = [p.name for p in (tmp_path / "bucket" / "a").iterdir()]
+    assert names == ["b.json"]
+    with _pytest.raises(ValueError):
+        st.put("../escape.json", b"x")
