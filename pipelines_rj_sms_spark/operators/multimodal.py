@@ -7,13 +7,15 @@ per-item decode runs as Arrow-batched Pandas iterators (`mapInPandas`).
 Decode support is tiered honestly:
 
 - REAL decoders, no native deps: uncompressed BMP images (struct parse
-  of the public BITMAPINFOHEADER layout + numpy pixel math) and PCM
+  of the public BITMAPINFOHEADER layout + numpy pixel math), baseline
+  sequential JPEG (`operators/jpeg.py`: full T.81 marker parse +
+  Huffman entropy decode + numpy IDCT + YCbCr transform) and PCM
   WAV audio (stdlib `wave` + numpy), selected by magic-byte sniffing
   with `decode_stub=False`. These exercise the full
   bytes->decode->feature/resize path end-to-end in tests.
-- Formats needing PIL/ffmpeg/torchaudio (jpeg/png/mp3/mp4/...) raise
-  NotImplementedError at the exact kernel slot a real codec plugs
-  into.
+- Formats needing PIL/ffmpeg/torchaudio (progressive jpeg/png/mp3/
+  mp4/...) raise NotImplementedError at the exact kernel slot a real
+  codec plugs into.
 - `decode_stub=True` (default) keeps the deterministic byte-histogram
   stand-in for pipeline tests that don't care about pixels.
 
@@ -164,24 +166,37 @@ def decode_wav(content: bytes):
     return rate, n, x
 
 
+def _image_feats(w: int, h: int, px, dim: int):
+    """Shared image feature recipe: [w, h, mean RGB, (dim-5)-bucket
+    luminance histogram] — identical regardless of which codec
+    produced the pixel array, so BMP and JPEG of the same pixels give
+    the same vector."""
+    import numpy as np
+
+    lum = px.astype(np.float64).mean(axis=2)
+    hist, _ = np.histogram(lum, bins=dim - 5, range=(0, 255))
+    hist = hist / (hist.sum() or 1)
+    return [float(w), float(h),
+            *(float(px[:, :, c].mean()) for c in range(3)),
+            *(float(v) for v in hist)]
+
+
 def _real_features(content: bytes, dim: int = _FEATURE_DIM):
-    """Magic-byte-routed REAL feature kernel. BMP -> [w, h, mean RGB,
-    11-bucket luminance histogram]; WAV -> [duration_s, rms, zero-cross
-    rate, 13 log-energy FFT bands]. Unknown formats raise at the exact
-    slot a PIL/ffmpeg codec plugs into."""
+    """Magic-byte-routed REAL feature kernel. BMP/JPEG -> [w, h, mean
+    RGB, 11-bucket luminance histogram]; WAV -> [duration_s, rms,
+    zero-cross rate, 13 log-energy FFT bands]. Unknown formats raise
+    at the exact slot a PIL/ffmpeg codec plugs into."""
     import numpy as np
 
     if content is None:
         return "missing", [0.0] * dim
     if content[:2] == b"BM":
         w, h, px = decode_bmp(content)
-        lum = px.astype(np.float64).mean(axis=2)
-        hist, _ = np.histogram(lum, bins=dim - 5, range=(0, 255))
-        hist = hist / (hist.sum() or 1)
-        feats = [float(w), float(h),
-                 *(float(px[:, :, c].mean()) for c in range(3)),
-                 *(float(v) for v in hist)]
-        return "image", feats
+        return "image", _image_feats(w, h, px, dim)
+    if content[:2] == b"\xff\xd8":
+        from pipelines_rj_sms_spark.operators.jpeg import decode_jpeg
+        w, h, px = decode_jpeg(content)
+        return "image", _image_feats(w, h, px, dim)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         rate, n, x = decode_wav(content)
         dur = n / rate if rate else 0.0
@@ -193,8 +208,9 @@ def _real_features(content: bytes, dim: int = _FEATURE_DIM):
                  *(float(np.log1p(b.sum())) for b in bands)]
         return "audio", feats
     raise NotImplementedError(
-        "native decode covers BMP and PCM WAV; this payload needs "
-        "PIL/ffmpeg — plug the codec into _real_features's slot")
+        "native decode covers BMP, baseline JPEG and PCM WAV; this "
+        "payload needs PIL/ffmpeg — plug the codec into "
+        "_real_features's slot")
 
 
 def extract_features(df: DataFrame, content_col: str = "content",
