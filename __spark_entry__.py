@@ -5635,8 +5635,9 @@ bnd AS (
   FROM scored)
 SELECT len(list_filter(bb, x -> x < score)) AS bucket,
        count(*) AS n,
-       round(avg(score), 6) AS mean_score,
-       round(avg(CASE WHEN correct THEN 1 ELSE 0 END), 6) AS accuracy
+       round((CAST(SUM(CAST(floor((score) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0) / count(*), 6) AS mean_score,
+       round(CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS accuracy
 FROM scored CROSS JOIN bnd
 GROUP BY 1
 """,
@@ -6222,7 +6223,7 @@ WITH vs AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cents AS (
   SELECT label,
-         list_value({", ".join(f"avg(v[{i}])" for i in range(1, 65))}) AS c
+         list_value({", ".join(f"({_det_sum(f'v[{i}]')} / count(*))" for i in range(1, 65))}) AS c
   FROM vs GROUP BY label),
 scored AS (
   SELECT vs.label,
@@ -6231,7 +6232,8 @@ scored AS (
             * sqrt(list_dot_product(cents.c, cents.c))) AS cos
   FROM vs JOIN cents USING (label))
 SELECT CAST(label AS INT) AS label, CAST(count(*) AS BIGINT) AS n_vectors,
-       round(avg(cos), 6) AS mean_cos, round(min(cos), 6) AS min_cos
+       round((CAST(SUM(CAST(floor((cos) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0) / count(*), 6) AS mean_cos,
+       round(min(cos), 6) AS min_cos
 FROM scored GROUP BY label
 """,
         "order_snapshot_diff": """

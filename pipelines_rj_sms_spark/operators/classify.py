@@ -201,6 +201,11 @@ def calibration_report(df: DataFrame, score_col: str, correct_col: str,
             .select(bucket.alias("bucket"), F.col(score_col).alias("_s"),
                     F.col(correct_col).cast("int").alias("_c"))
             .groupBy("bucket")
+            # mean_score via det_sum/count: the scores are doubles, so
+            # a plain avg drifts with combine order; accuracy's 0/1
+            # ints would stay exact either way but mirror the spelling
             .agg(F.count("*").alias("n"),
-                 F.round(F.avg("_s"), 6).alias("mean_score"),
-                 F.round(F.avg("_c"), 6).alias("accuracy")))
+                 F.round(det_sum(F.col("_s")) / F.count("*"), 6)
+                 .alias("mean_score"),
+                 F.round(F.sum("_c").cast("double") / F.count("*"), 6)
+                 .alias("accuracy")))

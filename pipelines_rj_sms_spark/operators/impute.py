@@ -38,7 +38,11 @@ def impute_group_stats(df: DataFrame, group_cols: list[str],
     mode_cols = []
     for c, s in strategies.items():
         if s == "mean":
-            numeric_aggs.append(F.avg(c).alias(f"_fill_{c}"))
+            # det_sum/count: the fill value lands in compared output
+            # columns, so the mean must be combine-order-exact
+            from pipelines_rj_sms_spark.functions.numeric import det_sum
+            numeric_aggs.append(
+                (det_sum(F.col(c)) / F.count(c)).alias(f"_fill_{c}"))
         elif s == "median":
             numeric_aggs.append(
                 F.expr(f"percentile({c}, 0.5)").alias(f"_fill_{c}"))

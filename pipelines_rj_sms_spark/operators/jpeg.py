@@ -275,3 +275,110 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
     rgb = np.clip(np.round(np.stack([r, g, b], axis=2)), 0,
                   255).astype(np.uint8)
     return w, h, rgb
+
+
+# --------------------------------------------------------------------
+# PNG — kept in this module as the second pure-Python image codec
+# (shared consumer: multimodal._real_features). The hard half of PNG
+# (DEFLATE) is stdlib zlib; what's implemented here is the container
+# and pixel reconstruction: chunk walk + IHDR parse, IDAT concat +
+# inflate, per-scanline unfiltering (None/Sub/Up/Average/Paeth — the
+# five public filter types of RFC 2083), and layout to HxWx3 RGB.
+# Supported: 8-bit gray (0), RGB (2), palette (3, via PLTE), gray+
+# alpha (4) and RGBA (6) — alpha dropped, non-8-bit depths and
+# interlacing honestly gated.
+# --------------------------------------------------------------------
+
+def decode_png(content: bytes):
+    """Decode a PNG; returns (width, height, HxWx3 uint8 RGB)."""
+    import zlib
+
+    if content is None or len(content) < 8 \
+            or content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG file")
+    pos = 8
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (clen,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4: pos + 8]
+        data = content[pos + 8: pos + 8 + clen]
+        pos += 12 + clen   # len + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth}")
+            if interlace != 0:
+                raise NotImplementedError("interlaced (Adam7) PNG")
+            if color not in (0, 2, 3, 4, 6):
+                raise ValueError(f"PNG color type {color}")
+            ihdr = (w, h, color)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8) \
+                .reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, color = ihdr
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    # unfilter scanlines (RFC 2083 §6); prior = reconstructed row above
+    out = np.zeros((h, stride), dtype=np.uint8)
+    fp = nch   # filter unit = bytes per pixel at 8-bit depth
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride, offset=off + 1).copy()
+        prior = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:      # Sub
+            rec = line
+            for i in range(fp, stride):
+                rec[i] = (int(rec[i]) + int(rec[i - fp])) & 0xFF
+        elif ftype == 2:      # Up
+            rec = (line.astype(np.int16) + prior) % 256
+            rec = rec.astype(np.uint8)
+        elif ftype == 3:      # Average
+            rec = line
+            for i in range(stride):
+                left = int(rec[i - fp]) if i >= fp else 0
+                rec[i] = (int(rec[i])
+                          + ((left + int(prior[i])) >> 1)) & 0xFF
+        elif ftype == 4:      # Paeth
+            rec = line
+            for i in range(stride):
+                a = int(rec[i - fp]) if i >= fp else 0
+                b = int(prior[i])
+                c = int(prior[i - fp]) if i >= fp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                rec[i] = (int(rec[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        out[y] = rec
+    px = out.reshape(h, w, nch)
+    if color == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif color == 2:
+        rgb = px
+    elif color == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        rgb = palette[px[:, :, 0]]
+    elif color == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:  # 6: RGBA
+        rgb = px[:, :, :3]
+    return w, h, np.ascontiguousarray(rgb)

@@ -197,6 +197,10 @@ def _real_features(content: bytes, dim: int = _FEATURE_DIM):
         from pipelines_rj_sms_spark.operators.jpeg import decode_jpeg
         w, h, px = decode_jpeg(content)
         return "image", _image_feats(w, h, px, dim)
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        from pipelines_rj_sms_spark.operators.jpeg import decode_png
+        w, h, px = decode_png(content)
+        return "image", _image_feats(w, h, px, dim)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         rate, n, x = decode_wav(content)
         dur = n / rate if rate else 0.0

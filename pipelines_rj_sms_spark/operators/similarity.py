@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pipelines_rj_sms_spark.functions.numeric import det_sum
+
 
 def dot(a: Column, b: Column) -> Column:
     """Expression-only dot product of two array<numeric> columns."""
@@ -508,7 +510,11 @@ def label_centroids(df: DataFrame, label_col: str = "label",
         F.col(label_col).alias("_lbl"),
         F.posexplode(F.col(vec_col).cast("array<double>"))
         .alias("_pos", "_val"))
-    per = pe.groupBy("_lbl", "_pos").agg(F.avg("_val").alias("_avg"))
+    # det_sum/count, not avg: centroid coordinates feed rounded cosine
+    # comparisons downstream, so the mean must be combine-order-exact
+    # (functions/numeric.py)
+    per = pe.groupBy("_lbl", "_pos").agg(
+        (det_sum(F.col("_val")) / F.count("_val")).alias("_avg"))
     return (per.groupBy("_lbl")
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("_pos", "_avg"))),
@@ -531,7 +537,8 @@ def cluster_cohesion(df: DataFrame, label_col: str = "label",
             .select(label_col, cos.alias("_cos"))
             .groupBy(label_col)
             .agg(F.count("*").alias("n_vectors"),
-                 F.avg("_cos").alias("mean_cos"),
+                 (det_sum(F.col("_cos")) / F.count("*"))
+                 .alias("mean_cos"),
                  F.min("_cos").alias("min_cos")))
 
 

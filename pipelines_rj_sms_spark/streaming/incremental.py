@@ -491,6 +491,12 @@ def stream_additive_rollup(stream_df: DataFrame, rollup_path: str,
     sum()/group-by at any coarser grain — additivity is the whole
     point (count/sum only; for distincts use the sketch rollup, for
     keyed upserts use merge_upsert).
+
+    Determinism note: ``sum_cols`` keep their native type — pass
+    BIGINT fixed-point units (or pre-quantized `det_units`) for
+    replay-exact rollups; a raw double sum here carries the usual
+    combine-order ulp (see functions/numeric.py), which matters if the
+    rollup feeds hash-compared downstream outputs.
     """
     sums = list(sum_cols or [])
     marker_path = rollup_path.rstrip("/") + "_applied"

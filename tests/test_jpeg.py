@@ -256,3 +256,107 @@ def test_decode_jpeg_color_444():
                                 yv + 1.772 * cbp]), 0, 255)
         got = rgb[by * 8 + 3, bx * 8 + 3]
         assert (got == exp.astype(np.uint8)).all(), (got, exp)
+
+
+# ---------------------------------------------------------------- PNG
+
+def encode_png(rgb: np.ndarray, color: int = 2,
+               filters=None) -> bytes:
+    """Minimal PNG writer for fixtures (stdlib zlib; filter per row).
+    color=2 RGB, color=0 grayscale (rgb[:, :, 0] used), color=6 RGBA
+    (alpha=255)."""
+    import zlib
+
+    h, w = rgb.shape[:2]
+    if color == 0:
+        plane = rgb[:, :, 0:1]
+    elif color == 2:
+        plane = rgb
+    else:
+        plane = np.concatenate(
+            [rgb, np.full((h, w, 1), 255, dtype=np.uint8)], axis=2)
+    nch = plane.shape[2]
+    fp = nch
+    filters = filters or [0] * h
+    raw = bytearray()
+    prior = np.zeros(w * nch, dtype=np.uint8)
+    for y in range(h):
+        line = plane[y].reshape(-1)
+        f = filters[y]
+        raw.append(f)
+        if f == 0:
+            enc = line
+        elif f == 1:   # Sub
+            enc = line.astype(np.int16).copy()
+            enc[fp:] -= line[:-fp]
+            enc = (enc % 256).astype(np.uint8)
+        elif f == 2:   # Up
+            enc = ((line.astype(np.int16) - prior) % 256).astype(np.uint8)
+        elif f == 3:   # Average
+            enc = np.zeros_like(line)
+            for i in range(len(line)):
+                left = int(line[i - fp]) if i >= fp else 0
+                enc[i] = (int(line[i])
+                          - ((left + int(prior[i])) >> 1)) & 0xFF
+        elif f == 4:   # Paeth
+            enc = np.zeros_like(line)
+            for i in range(len(line)):
+                a = int(line[i - fp]) if i >= fp else 0
+                b = int(prior[i])
+                c = int(prior[i - fp]) if i >= fp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                enc[i] = (int(line[i]) - pred) & 0xFF
+        else:
+            raise ValueError(f)
+        raw += enc.tobytes()
+        prior = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        import zlib as _z
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", _z.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def _png_pixels():
+    rng = np.random.default_rng(7)
+    return rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+
+
+def test_decode_png_all_filters_exact():
+    from pipelines_rj_sms_spark.operators.jpeg import decode_png
+    px = _png_pixels()
+    # exercise all five filter types across rows
+    filters = [(0, 1, 2, 3, 4)[y % 5] for y in range(px.shape[0])]
+    w, h, rgb = decode_png(encode_png(px, filters=filters))
+    assert (w, h) == (9, 13)
+    assert (rgb == px).all()
+
+
+def test_decode_png_gray_and_rgba():
+    from pipelines_rj_sms_spark.operators.jpeg import decode_png
+    px = _png_pixels()
+    gray = px.copy()
+    gray[:, :, 1] = gray[:, :, 0]
+    gray[:, :, 2] = gray[:, :, 0]
+    _, _, g = decode_png(encode_png(gray, color=0))
+    assert (g == gray).all()
+    _, _, a = decode_png(encode_png(px, color=6))
+    assert (a == px).all()
+
+
+def test_png_features_match_bmp_path_exactly():
+    from pipelines_rj_sms_spark.operators.multimodal import (
+        _real_features, encode_bmp)
+    px = _png_pixels()
+    kind_p, feats_p = _real_features(encode_png(px))
+    kind_b, feats_b = _real_features(encode_bmp(px))
+    assert kind_p == kind_b == "image"
+    assert feats_p == feats_b
