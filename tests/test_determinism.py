@@ -181,3 +181,29 @@ def test_pca_train_partition_invariant(spark):
     models = [pca_train(emb.repartition(n), "embedding", k=2)
               for n in (1, 64)]
     assert models[0] == models[1]
+
+
+def test_det_sum_property_matches_exact_rational(spark):
+    """Property: det_sum equals the EXACT rational sum of the
+    floor-quantized addends (computed with Fraction — no float error)
+    for random magnitudes spanning 12 orders, under multiple
+    partitionings."""
+    import math
+    import random
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from pipelines_rj_sms_spark.functions.numeric import det_sum
+
+    rng = random.Random(1234)
+    for trial in range(5):
+        vals = [rng.uniform(-1, 1) * 10 ** rng.randint(-6, 5)
+                for _ in range(400)]
+        expected = float(
+            Fraction(sum(math.floor(v * 1e9 + 0.5) for v in vals))
+            / Fraction(10 ** 9))
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        outs = {df.repartition(n).agg(det_sum(F.col("x")).alias("s"))
+                .collect()[0]["s"] for n in (1, 13)}
+        assert outs == {expected}, (trial, outs, expected)
