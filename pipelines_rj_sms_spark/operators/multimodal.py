@@ -9,11 +9,15 @@ Decode support is tiered honestly:
 - REAL decoders, no native deps: uncompressed BMP images (struct parse
   of the public BITMAPINFOHEADER layout + numpy pixel math), baseline
   sequential JPEG (`operators/jpeg.py`: full T.81 marker parse +
-  Huffman entropy decode + numpy IDCT + YCbCr transform) and PCM
-  WAV audio (stdlib `wave` + numpy), selected by magic-byte sniffing
+  Huffman entropy decode + numpy IDCT + YCbCr transform; PNG via
+  stdlib zlib + RFC 2083 unfiltering in the same module), PCM WAV
+  audio (stdlib `wave` + numpy) and lossless FLAC
+  (`operators/flac.py`: Rice-partitioned residuals, FIXED/LPC
+  predictors, stereo decorrelation modes), selected by magic-byte
+  sniffing
   with `decode_stub=False`. These exercise the full
   bytes->decode->feature/resize path end-to-end in tests.
-- Formats needing PIL/ffmpeg/torchaudio (progressive jpeg/png/mp3/
+- Formats needing PIL/ffmpeg/torchaudio (progressive jpeg, mp3,
   mp4/...) raise NotImplementedError at the exact kernel slot a real
   codec plugs into.
 - `decode_stub=True` (default) keeps the deterministic byte-histogram
@@ -181,6 +185,20 @@ def _image_feats(w: int, h: int, px, dim: int):
             *(float(v) for v in hist)]
 
 
+def _audio_feats(rate: int, n: int, x, dim: int):
+    """Shared audio feature recipe over (rate, n_frames, mono [-1,1])
+    samples — identical for WAV and FLAC of the same signal:
+    [duration_s, rms, zero-cross rate, (dim-3) log-energy FFT bands]."""
+    import numpy as np
+
+    dur = n / rate if rate else 0.0
+    rms = float(np.sqrt((x ** 2).mean())) if len(x) else 0.0
+    zcr = float((np.diff(np.sign(x)) != 0).mean()) if len(x) > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x[:65536]))
+    bands = np.array_split(spec, dim - 3)
+    return [dur, rms, zcr, *(float(np.log1p(b.sum())) for b in bands)]
+
+
 def _real_features(content: bytes, dim: int = _FEATURE_DIM):
     """Magic-byte-routed REAL feature kernel. BMP/JPEG -> [w, h, mean
     RGB, 11-bucket luminance histogram]; WAV -> [duration_s, rms,
@@ -202,15 +220,10 @@ def _real_features(content: bytes, dim: int = _FEATURE_DIM):
         w, h, px = decode_png(content)
         return "image", _image_feats(w, h, px, dim)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
-        rate, n, x = decode_wav(content)
-        dur = n / rate if rate else 0.0
-        rms = float(np.sqrt((x ** 2).mean())) if len(x) else 0.0
-        zcr = float((np.diff(np.sign(x)) != 0).mean()) if len(x) > 1 else 0.0
-        spec = np.abs(np.fft.rfft(x[:65536]))
-        bands = np.array_split(spec, dim - 3)
-        feats = [dur, rms, zcr,
-                 *(float(np.log1p(b.sum())) for b in bands)]
-        return "audio", feats
+        return "audio", _audio_feats(*decode_wav(content), dim)
+    if content[:4] == b"fLaC":
+        from pipelines_rj_sms_spark.operators.flac import decode_flac
+        return "audio", _audio_feats(*decode_flac(content), dim)
     raise NotImplementedError(
         "native decode covers BMP, baseline JPEG and PCM WAV; this "
         "payload needs PIL/ffmpeg — plug the codec into "
