@@ -3,9 +3,12 @@
 Each ``queries()`` entry is one implemented operator family from
 SURVEY.md §2 (tag in the key docstring table below); ``oracle_sql()``
 holds the DuckDB-equivalent SQL run side-by-side by the driver at
-sf=0.01. Column names/aliases match exactly on both sides; sums over
-doubles go through DECIMAL casts so both engines produce bit-identical
-doubles regardless of accumulation order.
+sf=0.01. Column names/aliases match exactly on both sides; every sum
+over doubles goes through deterministic fixed-point accumulation
+(functions/numeric.det_sum — floor-quantized BIGINT/DECIMAL units,
+mirrored expression-for-expression in the oracle SQL) so both engines
+produce bit-identical values regardless of accumulation order; source
+decimals use the _fp_sum hi/lo BIGINT spelling below.
 
 Query key -> SURVEY §2 rows covered:
   flagship_pricing_summary  A1 A7 (TPC-H Q1 shape; flagship)
