@@ -3266,6 +3266,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return run_expectations(orders, suite)
 
+    def t_closeness_q(spark, sf_dir):
+        """t-closeness report completing the release-privacy trio
+        (k-anonymity / l-diversity / t-closeness): per event_type, the
+        rank-normalized Earth Mover's Distance between the group's
+        value-bucket distribution and the table-wide one, over the
+        groups×m densified grid (collapsed frames only — the data is
+        scanned once). det-quantized EMD sum, exact oracle."""
+        from pipelines_rj_sms_spark.quality.checks import (
+            t_closeness_report)
+        ev = _t(spark, sf_dir, "events")
+        b = ev.select(
+            "event_type",
+            F.floor(F.col("value") / 50).cast("bigint").alias("vb"))
+        out = t_closeness_report(b, ["event_type"], "vb", t=0.05)
+        return out.select("event_type",
+                          F.col("group_size").cast("bigint")
+                          .alias("group_size"),
+                          "emd", "violates")
+
     def dp_counts_q(spark, sf_dir):
         """Laplace-mechanism noisy-count release arithmetic per event
         type (ε=0.5): exact inverse-CDF transform over the md5
@@ -3375,6 +3394,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        F.lit("2024-01-01").cast("date")).alias("x"))
             .agg(F.count("*").cast("double").alias("y")))
         return trend_fit(daily, "x", "y", key_cols=["event_type"])
+
+    def mann_kendall_q(spark, sf_dir):
+        """Mann-Kendall monotonic-trend test per event type over the
+        daily-count rollup — the significance half of the robust-trend
+        pair (Theil-Sen estimates the slope). S and the tie correction
+        are integer sums; the pairwise join is O(buckets²) per series
+        by construction."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            mann_kendall_test)
+        ev = _t(spark, sf_dir, "events")
+        daily = (ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"),
+                       F.lit("2024-01-01").cast("date")).alias("x"))
+            .agg(F.count("*").cast("double").alias("y")))
+        return mann_kendall_test(daily, "x", "y",
+                                 key_cols=["event_type"])
 
     def nb_eval_q(spark, sf_dir):
         """Evaluation loop closed: per-class precision/recall/F1 of
@@ -3911,12 +3947,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_pmi_collocations": pmi_q,
         "orders_contract_report": expectations_q,
         "dp_event_type_counts": dp_counts_q,
+        "t_closeness_value_report": t_closeness_q,
         "ewma_daily_revenue": ewma_q,
         "orders_cdc_applied": apply_changes_q,
         "doc_feature_hash_vectors": feature_hash_q,
         "market_concentration_by_segment": concentration_q,
         "signup_purchase_survival": survival_q,
         "event_type_trends": trend_q,
+        "event_type_mann_kendall": mann_kendall_q,
         "nb_lang_eval_report": nb_eval_q,
         "balanced_lang_sample": balanced_q,
         "leakage_safe_split": leakage_safe_split_q,
@@ -3986,7 +4024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_hourly_events", "text_rolling_fingerprint",
         "min_balance_supplier_per_part", "nation_value_share",
         "heavy_red_suppliers", "train_test_split", "group_sample_100",
-        "gap_filled_hourly_counts", "winsorized_prices",
+        # round-6 additions (t-closeness trio completion, MK test)
+        "t_closeness_value_report", "event_type_mann_kendall",
     ]
     head = {"flagship_pricing_summary":
             q.pop("flagship_pricing_summary")}
@@ -5260,6 +5299,36 @@ SELECT rank, expectation, n_rows, n_violations,
              ELSE 0.0 END) <= tol AS passed
 FROM tidy
 """,
+        "t_closeness_value_report": rf"""
+WITH joint AS (
+  SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS v,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+vals AS (SELECT v, sum(n) AS gn FROM joint GROUP BY 1),
+tot AS (SELECT sum(gn) AS tot, count(*) AS m FROM vals),
+grp AS (SELECT event_type, sum(n) AS group_size FROM joint GROUP BY 1),
+grid AS (
+  SELECT g.event_type, g.group_size, v.v, v.gn, t.tot, t.m,
+         coalesce(j.n, 0) AS n
+  FROM grp g CROSS JOIN vals v CROSS JOIN tot t
+  LEFT JOIN joint j ON j.event_type = g.event_type AND j.v = v.v),
+c AS (
+  SELECT event_type, group_size, m,
+         abs(CAST(sum(n) OVER w AS DOUBLE) / group_size
+             - CAST(sum(gn) OVER w AS DOUBLE) / tot) AS t0
+  FROM grid
+  WINDOW w AS (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+e AS (
+  SELECT event_type, CAST(any_value(group_size) AS BIGINT)
+           AS group_size,
+         round(CASE WHEN any_value(m) > 1
+                    THEN {_det_sum('t0')} / (any_value(m) - 1)
+                    ELSE 0.0 END, 6) AS emd
+  FROM c GROUP BY event_type)
+SELECT event_type, group_size, emd, emd > 0.05 AS violates
+FROM e ORDER BY event_type
+""",
         "dp_event_type_counts": r"""
 WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
 u AS (
@@ -5388,6 +5457,42 @@ SELECT duration, CAST(n_at_risk AS BIGINT) AS n_at_risk,
        round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(lnsum) END, 6)
          AS survival
 FROM s
+""",
+        "event_type_mann_kendall": r"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT a.event_type,
+         CAST(sum(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.x < b.x
+  GROUP BY 1),
+n AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1),
+tc AS (
+  SELECT event_type,
+         sum(CAST(t AS DOUBLE) * (t - 1) * (2 * t + 5)) AS tc
+  FROM (SELECT event_type, y, count(*) AS t FROM daily
+        GROUP BY 1, 2 HAVING count(*) > 1)
+  GROUP BY 1),
+v AS (
+  SELECT n.event_type, n.n, s.s_stat,
+         (CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+          - coalesce(tc.tc, 0.0)) / 18.0 AS var_s
+  FROM n JOIN s USING (event_type)
+  LEFT JOIN tc USING (event_type))
+SELECT event_type, CAST(n AS BIGINT) AS n, s_stat,
+       round(var_s, 6) AS var_s,
+       round(CASE WHEN var_s > 0 THEN
+                    CASE WHEN s_stat > 0
+                         THEN (s_stat - 1) / sqrt(var_s)
+                         WHEN s_stat < 0
+                         THEN (s_stat + 1) / sqrt(var_s)
+                         ELSE 0.0 END
+                  ELSE 0.0 END, 6) AS z
+FROM v
 """,
         "event_type_trends": r"""
 WITH daily AS (

@@ -849,3 +849,60 @@ def standardized_rates(df: DataFrame, strata_col: str,
                    / det_sum(F.col("_n") * F.col("_ref") / F.lit(per)),
                    6).alias("smr")] if reference_rates else []))
     return out
+
+
+def mann_kendall_test(df: DataFrame, x_col: str, y_col: str,
+                      key_cols: list[str] | None = None) -> DataFrame:
+    """Mann–Kendall monotonic-trend TEST per key — the significance
+    half of the robust-trend pair (`theil_sen_trend` estimates the
+    slope; this says whether a monotonic trend exists at all), the
+    standard nonparametric choice for environmental/epi series (public
+    method):
+
+        S      = Σ_{i<j} sign(y_j − y_i)          (ordered by x)
+        var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+                 (t = sizes of tied-y groups)
+        z      = (S∓1)/√var(S)   (continuity-corrected, 0 when S=0)
+
+    Series-level operator like theil_sen_trend: feed a ROLLUP — the
+    pairwise self-join is O(buckets²) per key by construction. S and
+    the tie correction are INTEGER sums (exact, order-free); only the
+    final z touches floats. Ties on x are excluded from pairs (the
+    standard treatment when x is a strictly-ordering time axis; equal
+    x carries no order information). Returns (keys..., n, s_stat,
+    var_s, z) with var/z rounded to 6.
+    """
+    keys = list(key_cols or [])
+    a = df.select(*keys, F.col(x_col).alias("_xa"),
+                  F.col(y_col).alias("_ya"))
+    b = df.select(*keys, F.col(x_col).alias("_xb"),
+                  F.col(y_col).alias("_yb"))
+    cond = [a[k] == b[k] for k in keys] if keys else []
+    pairs = (a.join(b, cond + [a["_xa"] < b["_xb"]]) if keys
+             else a.join(b, a["_xa"] < b["_xb"]))
+    pairs = pairs.select(*[a[k] for k in keys], "_ya", "_yb")
+    s = pairs.groupBy(*keys).agg(
+        F.sum(F.signum(F.col("_yb") - F.col("_ya")).cast("long"))
+        .alias("s_stat"))
+    n = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    t = F.col("_t").cast("double")
+    ties = (df.groupBy(*keys, F.col(y_col).alias("_y"))
+            .agg(F.count("*").alias("_t"))
+            .filter(F.col("_t") > 1)
+            .groupBy(*keys)
+            .agg(F.sum(t * (t - 1) * (2 * t + 5)).alias("_tc")))
+    nn = F.col("n").cast("double")
+    var_s = (nn * (nn - 1) * (2 * nn + 5)
+             - F.coalesce(F.col("_tc"), F.lit(0.0))) / 18.0
+    sgn = F.col("s_stat")
+    z = F.when(sgn > 0, (sgn - 1) / F.sqrt(var_s)) \
+        .when(sgn < 0, (sgn + 1) / F.sqrt(var_s)) \
+        .otherwise(F.lit(0.0))
+    out = (n.join(s, keys) if keys else n.crossJoin(s))
+    out = (out.join(ties, keys, "left") if keys
+           else out.crossJoin(ties.select(F.col("_tc"))))
+    return out.select(
+        *keys, "n", "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(F.when(var_s > 0, z).otherwise(F.lit(0.0)), 6)
+        .alias("z"))

@@ -131,3 +131,66 @@ def l_diversity_violations(df: DataFrame, quasi_cols: list[str],
                  F.count_distinct(F.col(sensitive_col))
                  .alias("distinct_sensitive"))
             .filter(F.col("distinct_sensitive") < ell))
+
+
+def t_closeness_report(df: DataFrame, quasi_cols: list[str],
+                       sensitive_col: str,
+                       t: float = 0.2) -> DataFrame:
+    """The third gate of the release-privacy trio (k-anonymity bounds
+    group size, l-diversity bounds value variety, t-closeness bounds
+    DISTRIBUTION skew): a group whose sensitive-value distribution
+    sits far from the table-wide distribution leaks attribute
+    inference even when diverse (the classic salary example — all of
+    a group's values being "high" tells you plenty). Distance is the
+    Earth Mover's Distance over the ORDERED sensitive domain with the
+    standard 1/(m-1) rank normalization (Li, Li & Venkatasubramanian
+    2007, public):
+
+        EMD(Q, P) = Σ_i |cumQ_i − cumP_i| / (m − 1)
+
+    where the cumulative sums run over the m distinct sensitive values
+    in order. Continuous attributes should be bucketed first (deciles
+    via `analytics.equi_depth_histogram` boundaries) so m stays small.
+
+    Shape: one (quasi, value) hash rollup + one value rollup, a
+    groups×m densified grid built by joining the DISTINCT frames (both
+    collapsed — never the data), cumulative window sums over the grid,
+    and a det-quantized |diff| sum (functions/numeric.py) so the EMD
+    replays bit-identically cross-engine. Returns one row per group:
+    (quasi..., group_size, emd, violates) with emd rounded to 6 —
+    filter ``violates`` for the gate, keep the full report for audit.
+    """
+    from pyspark.sql import Window
+
+    from pipelines_rj_sms_spark.functions.numeric import det_sum
+
+    s = F.col(sensitive_col)
+    joint = (df.groupBy(*quasi_cols, s.alias("_v"))
+             .agg(F.count("*").alias("_n")))
+    joint = joint.persist()
+    vals = (joint.groupBy("_v").agg(F.sum("_n").alias("_gn")))
+    total = F.broadcast(vals.agg(
+        F.sum("_gn").alias("_tot"),
+        F.count("*").alias("_m")))
+    groups = (joint.groupBy(*quasi_cols)
+              .agg(F.sum("_n").alias("group_size")))
+    grid = (groups.crossJoin(vals.crossJoin(total))
+            .join(joint, [*quasi_cols, "_v"], "left")
+            .na.fill({"_n": 0}))
+    wq = (Window.partitionBy(*quasi_cols)
+          .orderBy("_v")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum_q = F.sum("_n").over(wq) / F.col("group_size")
+    cum_p = (F.sum("_gn").over(wq) / F.col("_tot"))
+    term = F.abs(cum_q - cum_p)
+    out = (grid
+           .select(*quasi_cols, "group_size", "_m", term.alias("_t"))
+           .groupBy(*quasi_cols)
+           .agg(F.first("group_size").alias("group_size"),
+                F.round(
+                    F.when(F.first("_m") > 1,
+                           det_sum(F.col("_t"))
+                           / (F.first("_m") - 1))
+                    .otherwise(F.lit(0.0)), 6).alias("emd")))
+    return (out.withColumn("violates", F.col("emd") > F.lit(float(t)))
+            .orderBy(*quasi_cols))

@@ -219,3 +219,38 @@ def test_mutual_information_independent_vs_dependent(spark):
     assert abs(dep["mi_nats"] - math.log(4)) < 1e-7   # H(uniform 4)
     assert abs(ind["mi_nats"]) < 1e-7                 # independence
     assert dep["n_rows"] == 4000
+
+
+def test_t_closeness_report_hand_computed(spark):
+    from pipelines_rj_sms_spark.quality.checks import t_closeness_report
+    rows = ([("A", "high")] * 10 + [("B", "high")] * 5
+            + [("B", "low")] * 5 + [("C", "low")] * 20)
+    df = spark.createDataFrame(rows, "g string, s string")
+    got = {r["g"]: r for r in
+           t_closeness_report(df, ["g"], "s", t=0.2).collect()}
+    # global: high 15/40, low 25/40; m=2 so EMD = |cumQ_high - 0.375|
+    assert got["A"]["emd"] == 0.625 and got["A"]["violates"]
+    assert got["B"]["emd"] == 0.125 and not got["B"]["violates"]
+    assert got["C"]["emd"] == 0.375 and got["C"]["violates"]
+    assert got["A"]["group_size"] == 10
+
+
+def test_mann_kendall_hand_computed(spark):
+    from pipelines_rj_sms_spark.operators.analytics import (
+        mann_kendall_test)
+    # y=[1,2,2,3]: S=5; one tie pair -> var=(4*3*13-18)/18=7.666667
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 2.0), (4, 3.0)], "x int, y double")
+    r = mann_kendall_test(df, "x", "y").collect()[0]
+    assert (r["n"], r["s_stat"]) == (4, 5)
+    assert r["var_s"] == 7.666667
+    assert abs(r["z"] - 4 / 7.666667 ** 0.5) < 1e-6
+    # keyed, strictly decreasing, no ties
+    df2 = spark.createDataFrame(
+        [("a", 1, 3.0), ("a", 2, 2.0), ("a", 3, 1.0),
+         ("b", 1, 5.0), ("b", 2, 5.0)], "k string, x int, y double")
+    got = {r["k"]: r for r in
+           mann_kendall_test(df2, "x", "y", ["k"]).collect()}
+    assert got["a"]["s_stat"] == -3
+    # all-tied series: S=0, var_s=0 -> z pinned to 0
+    assert got["b"]["s_stat"] == 0 and got["b"]["z"] == 0.0
