@@ -159,6 +159,11 @@ def test_every_query_plans_clean(spark):
                     "value_equi_depth_histogram",
                     # 1-row boundary + per-side total broadcasts
                     "value_psi_drift",
+                    # t-closeness densified grid: |groups| x m cross
+                    # join of two COLLAPSED frames (quasi-combos x
+                    # distinct sensitive values) — bounded by rollup
+                    # cardinalities, never by data
+                    "t_closeness_value_report",
                     # NB: |C|-row class-constant frame under every doc
                     # (bounded by the class count) + 1-row vocab/total
                     "nb_lang_predictions", "nb_lang_eval_report",
