@@ -325,6 +325,16 @@ Query key -> SURVEY §2 rows covered:
                             unit-pinned vs numpy)
   embedding_pca2_closed_form 2-D PCA vs the oracle's algebraic 2x2
                             eigensolve — exact train->project parity
+  quantity_price_spearman   Spearman rho (average-rank ties in exact
+                            half-units; rank windows over collapsed
+                            value tables, never the data)
+  priority_status_chi2      chi-square independence + Cramér's V
+                            (absent-cell mass in closed form)
+  customer_target_encoding  leave-one-out target encoding (cents-
+                            exact; broadcast stats, facts never
+                            shuffle; singleton global-LOO fallback)
+  doc_lexical_diversity     per-doc type-token ratio + hapax share
+  corpus_vocabulary_report  corpus vocab mass / hapax-dis legomena
 """
 
 from __future__ import annotations
@@ -3752,6 +3762,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("pca")[0].alias("pc1"),
                           F.col("pca")[1].alias("pc2"))
 
+    def spearman_q(spark, sf_dir):
+        """Spearman rank correlation between quantity and extended
+        price — exact average-rank ties in half-units, cumulative rank
+        windows over the COLLAPSED distinct-value tables (never the
+        data), DECIMAL(38,0) integer moments."""
+        from pipelines_rj_sms_spark.quality.profile import (
+            spearman_correlation)
+        li = _t(spark, sf_dir, "lineitem")
+        return spearman_correlation(li, "l_quantity", "l_extendedprice")
+
+    def chi2_q(spark, sf_dir):
+        """Chi-square independence test + Cramér's V between order
+        priority and status: one contingency hash agg, margins via
+        windows over the collapsed rollup, det-quantized chi2 total."""
+        from pipelines_rj_sms_spark.quality.profile import (
+            chi2_independence)
+        orders = _t(spark, sf_dir, "orders")
+        return chi2_independence(orders, "o_orderpriority",
+                                 "o_orderstatus")
+
+    def te_loo_q(spark, sf_dir):
+        """Leave-one-out target encoding of the customer key against
+        order value (cents-exact): per-category sums collapse map-side
+        and broadcast back — the fact rows never shuffle; singleton
+        categories fall back to the global LOO mean."""
+        from pipelines_rj_sms_spark.operators.features import (
+            target_encode_loo)
+        orders = _t(spark, sf_dir, "orders")
+        out = target_encode_loo(orders, "o_custkey", "o_totalprice",
+                                scale=100)
+        return out.select("o_orderkey", "o_custkey", "te_loo")
+
+    def lexdiv_q(spark, sf_dir):
+        """Per-document lexical diversity (type-token ratio + hapax
+        share): two narrow hash aggs over (doc, term) counts."""
+        from pipelines_rj_sms_spark.operators.terms import (
+            lexical_diversity)
+        docs = _t(spark, sf_dir, "documents")
+        return lexical_diversity(docs, "doc_id", "text")
+
+    def vocab_q(spark, sf_dir):
+        """One-row corpus vocabulary audit: token mass, vocab size,
+        hapax/dis legomena — the collapsed-term-table aggregate."""
+        from pipelines_rj_sms_spark.operators.terms import (
+            corpus_vocabulary_report)
+        docs = _t(spark, sf_dir, "documents")
+        return corpus_vocabulary_report(docs, "doc_id", "text")
+
     q = {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -3979,6 +4037,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_conversion_z_test": proportion_q,
         "embedding_pca_projection": pca_q,
         "embedding_pca2_closed_form": pca2_q,
+        "quantity_price_spearman": spearman_q,
+        "priority_status_chi2": chi2_q,
+        "customer_target_encoding": te_loo_q,
+        "doc_lexical_diversity": lexdiv_q,
+        "corpus_vocabulary_report": vocab_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -6634,4 +6697,126 @@ HAVING count(*) >= 5
             ORDER BY list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC, vec_id
             LIMIT 10
         """,
+        # Spearman: half-unit average ranks from cumulative windows
+        # over the collapsed distinct-value tables; HUGEINT moments
+        # mirror Spark's DECIMAL(38,0) sums exactly
+        "quantity_price_spearman": """
+WITH base AS (
+  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+joint AS (SELECT x, y, count(*) AS n FROM base GROUP BY 1, 2),
+xr AS (
+  SELECT x, 2 * sum(c) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - c + 1 AS r2x
+  FROM (SELECT x, sum(n) AS c FROM joint GROUP BY 1)),
+yr AS (
+  SELECT y, 2 * sum(c) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - c + 1 AS r2y
+  FROM (SELECT y, sum(n) AS c FROM joint GROUP BY 1)),
+tot AS (SELECT sum(n) AS nt FROM joint),
+m AS (
+  SELECT max(nt) AS n_rows,
+         sum(CAST(n AS HUGEINT) * (r2x - (nt + 1)) * (r2y - (nt + 1))) AS sxy,
+         sum(CAST(n AS HUGEINT) * (r2x - (nt + 1)) * (r2x - (nt + 1))) AS sxx,
+         sum(CAST(n AS HUGEINT) * (r2y - (nt + 1)) * (r2y - (nt + 1))) AS syy
+  FROM joint JOIN xr USING (x) JOIN yr USING (y) CROSS JOIN tot)
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+       round(CASE WHEN sxx > 0 AND syy > 0 THEN
+               CAST(sxy AS DOUBLE)
+               / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))
+             END, 6) AS rho_spearman
+FROM m
+""",
+        # chi-square independence: margins via windows over the
+        # collapsed contingency rollup; chi2 total det-quantized at
+        # 1e-6 units (same fixed-point convention as det_sum)
+        "priority_status_chi2": """
+WITH joint AS (
+  SELECT coalesce(CAST(o_orderpriority AS VARCHAR), chr(0) || 'null') AS a,
+         coalesce(CAST(o_orderstatus AS VARCHAR), chr(0) || 'null') AS b,
+         count(*) AS n
+  FROM orders GROUP BY 1, 2),
+cells AS (
+  SELECT n, a, b,
+         CAST(sum(n) OVER (PARTITION BY a) AS DOUBLE) AS ra,
+         CAST(sum(n) OVER (PARTITION BY b) AS DOUBLE) AS cb,
+         CAST(sum(n) OVER () AS DOUBLE) AS nt
+  FROM joint),
+terms AS (
+  SELECT n, a, b,
+         (CAST(n AS DOUBLE) - ra * cb / nt)
+         * (CAST(n AS DOUBLE) - ra * cb / nt)
+         / (ra * cb / nt) AS term,
+         ra * cb / nt AS e
+  FROM cells),
+agg AS (
+  -- absent cells owe (0-e)^2/e = e; their total is N - sum(present e)
+  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+         count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b,
+         CAST(sum(CAST(floor(term * 1000000.0 + 0.5) AS HUGEINT))
+              AS DOUBLE) / 1000000.0
+         + (CAST(sum(n) AS DOUBLE)
+            - CAST(sum(CAST(floor(e * 1000000.0 + 0.5) AS HUGEINT))
+                   AS DOUBLE) / 1000000.0) AS chi2
+  FROM terms)
+SELECT n_rows, n_a, n_b,
+       (n_a - 1) * (n_b - 1) AS dof,
+       round(chi2, 6) AS chi2,
+       round(CASE WHEN n_a > 1 AND n_b > 1 THEN
+               sqrt(chi2 / (n_rows * (least(n_a, n_b) - 1))) END, 6)
+         AS cramers_v
+FROM agg
+""",
+        # LOO target encoding: cents-exact integer sums; singleton
+        # categories fall back to the global leave-one-out mean
+        "customer_target_encoding": """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS yu
+  FROM orders),
+stats AS (SELECT o_custkey, sum(yu) AS s, count(*) AS n
+          FROM base GROUP BY 1),
+gmean AS (SELECT sum(yu) AS sa, count(*) AS na FROM base)
+SELECT o_orderkey, o_custkey,
+       round((CASE WHEN n > 1 THEN CAST(s - yu AS DOUBLE) / (n - 1)
+                   ELSE CAST(sa - yu AS DOUBLE) / (na - 1) END)
+             / 100.0, 6) AS te_loo
+FROM base JOIN stats USING (o_custkey) CROSS JOIN gmean
+""",
+        "doc_lexical_diversity": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax,
+       round(CAST(count(*) AS DOUBLE) / sum(tf), 6) AS ttr,
+       round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(tf), 6) AS hapax_share
+FROM tf GROUP BY doc_id
+""",
+        "corpus_vocabulary_report": r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+cnt AS (SELECT term, count(*) AS ct FROM toks GROUP BY 1)
+SELECT CAST(sum(ct) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hapax_count,
+       CAST(sum(CASE WHEN ct = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dis_count,
+       round(CAST(sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hapax_vocab_share
+FROM cnt
+""",
     }
+

@@ -1,0 +1,125 @@
+"""Supervised categorical feature encoding (target / impact encoding).
+
+The training-data side of the house (dedup, sampling, splits —
+functions/sampling.py) feeds models whose tabular features need the
+standard high-cardinality-categorical treatment: replace the category
+with a statistic of the training target over that category. The naive
+mean leaks the row's own label into its feature; the two public fixes
+are leave-one-out (drop the row's own target from its category mean)
+and K-fold (encode each fold with statistics fitted on the others) —
+both implemented here, exactly, with the same leakage discipline as
+``sampling.hash_split`` (fold/key-based, replayable).
+
+Scale shape: one hash aggregation collapses the data to per-category
+(or per category x fold) sufficient statistics — map-side combine makes
+the shuffle proportional to the CATEGORY cardinality, not the data —
+and the statistics join back. With ``broadcast_stats=True`` (default)
+the join is a broadcast hash join and the fact rows never shuffle at
+all; switch it off for category cardinalities that don't fit a
+broadcast (the join then shuffles on the category key, still one
+Exchange of narrow rows).
+
+Determinism: the target is quantized to fixed-point units once
+(``det_units`` — functions/numeric.py), so every sum is an exact
+BIGINT and the encoded value is an exact rational divided out in one
+IEEE operation — identical under any partitioning and bit-identical
+to the DuckDB oracle mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pipelines_rj_sms_spark.functions.numeric import det_units
+
+__all__ = ["target_encode_loo", "target_encode_kfold"]
+
+
+def target_encode_loo(df: DataFrame, category_col: str, target_col: str,
+                      out_col: str = "te_loo", scale: int = 100,
+                      broadcast_stats: bool = True) -> DataFrame:
+    """Leave-one-out target encoding:
+
+        enc_i = (sum(target over category) - target_i) / (n_category - 1)
+
+    For singleton categories (n == 1) the row's own target is the whole
+    category and LOO is undefined — those rows fall back to the GLOBAL
+    mean with the row's own target removed, (S - y_i) / (N - 1), the
+    same statistic at the coarsest grain (keeps the no-self-leakage
+    guarantee instead of silently leaking via a plain global mean).
+
+    ``scale`` quantizes the target (default 100 = money cents); pick it
+    so |target| * scale < 2**53 and the per-category sum < 2**63
+    (functions/numeric.py capacity rule). Output rounds to 6 decimals.
+    """
+    base = df.withColumn("_y_units", det_units(F.col(target_col), scale))
+    stats = (base.groupBy(category_col)
+             .agg(F.sum("_y_units").alias("_s_units"),
+                  F.count("*").alias("_n_cat")))
+    if broadcast_stats:
+        stats = F.broadcast(stats)
+    glob = F.broadcast(base.agg(
+        F.sum("_y_units").alias("_s_all"),
+        F.count("*").alias("_n_all")))
+    loo = F.when(
+        F.col("_n_cat") > 1,
+        (F.col("_s_units") - F.col("_y_units")).cast("double")
+        / (F.col("_n_cat") - 1)
+    ).otherwise(
+        (F.col("_s_all") - F.col("_y_units")).cast("double")
+        / (F.col("_n_all") - 1))
+    return (base.join(stats, category_col).crossJoin(glob)
+            .withColumn(out_col,
+                        F.round(loo / F.lit(float(scale)), 6))
+            .drop("_y_units", "_s_units", "_n_cat", "_s_all", "_n_all"))
+
+
+def target_encode_kfold(df: DataFrame, category_col: str,
+                        target_col: str, fold_col: str,
+                        out_col: str = "te_kfold", scale: int = 100,
+                        broadcast_stats: bool = True) -> DataFrame:
+    """K-fold target encoding: rows in fold f are encoded with the
+    category's target mean computed over the OTHER folds,
+
+        enc = (S_cat - S_cat_fold) / (n_cat - n_cat_fold)
+
+    — the cross-fit construction that pairs with
+    ``sampling.kfold_assign`` (pass its fold column). Categories whose
+    rows all sit in one fold have no out-of-fold evidence; they fall
+    back to the global out-of-fold mean (S - S_fold) / (N - n_fold).
+
+    Statistics: ONE (category, fold) hash aggregation; per-category
+    totals come from a second aggregation OVER THE COLLAPSED rollup
+    (at most |categories| x k rows — never the data), same discipline
+    as quality/profile.py's margin windows.
+    """
+    base = df.withColumn("_y_units", det_units(F.col(target_col), scale))
+    cf = (base.groupBy(category_col, fold_col)
+          .agg(F.sum("_y_units").alias("_s_cf"),
+               F.count("*").alias("_n_cf")))
+    cat = (cf.groupBy(category_col)
+           .agg(F.sum("_s_cf").alias("_s_cat"),
+                F.sum("_n_cf").alias("_n_cat")))
+    stats = cf.join(cat, category_col)
+    if broadcast_stats:
+        stats = F.broadcast(stats)
+    fold_tot = (cf.groupBy(fold_col)
+                .agg(F.sum("_s_cf").alias("_s_f"),
+                     F.sum("_n_cf").alias("_n_f")))
+    glob = F.broadcast(fold_tot.crossJoin(
+        cat.agg(F.sum("_s_cat").alias("_s_all"),
+                F.sum("_n_cat").alias("_n_all"))))
+    oof_n = F.col("_n_cat") - F.col("_n_cf")
+    oof = F.when(
+        oof_n > 0,
+        (F.col("_s_cat") - F.col("_s_cf")).cast("double") / oof_n
+    ).otherwise(
+        (F.col("_s_all") - F.col("_s_f")).cast("double")
+        / (F.col("_n_all") - F.col("_n_f")))
+    return (base
+            .join(stats, [category_col, fold_col])
+            .join(glob, fold_col)
+            .withColumn(out_col, F.round(oof / F.lit(float(scale)), 6))
+            .drop("_y_units", "_s_cf", "_n_cf", "_s_cat", "_n_cat",
+                  "_s_f", "_n_f", "_s_all", "_n_all"))

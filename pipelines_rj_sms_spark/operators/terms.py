@@ -303,3 +303,58 @@ def zipf_fit(df: DataFrame, text_col: str,
                        cov_n * cov_n / (varx_n * vary_n)), 6)
         .alias("r2")),
         ranked_ids)
+
+
+def lexical_diversity(df: DataFrame, id_col: str,
+                      text_col: str) -> DataFrame:
+    """Per-document lexical-diversity metrics — the vocabulary-richness
+    quality signals next to the repetition stats (Gopher rules in
+    functions/text.py): type-token ratio (distinct/total tokens) and
+    the within-document hapax share (fraction of the doc's tokens that
+    occur exactly once in it). Low TTR = repetitive/boilerplate; very
+    high hapax on long docs = gibberish/OCR noise.
+
+    Scale shape: explode to (doc, term) → ONE (doc, term) hash
+    aggregation → one per-doc rollup over the collapsed counts. The
+    shuffle carries (id, term, count) rows only — bodies never move
+    after tokenization. Floats round to 6.
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    return (tf.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("tf") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint").alias("n_hapax"))
+        .select(
+            id_col, "n_tokens", "n_types", "n_hapax",
+            F.round(F.col("n_types").cast("double") / F.col("n_tokens"),
+                    6).alias("ttr"),
+            F.round(F.col("n_hapax").cast("double") / F.col("n_tokens"),
+                    6).alias("hapax_share")))
+
+
+def corpus_vocabulary_report(df: DataFrame, id_col: str,
+                             text_col: str) -> DataFrame:
+    """One-row corpus vocabulary audit: total tokens, vocabulary size,
+    corpus-level hapax/dis legomena counts (terms occurring exactly
+    once/twice anywhere) and their share of the vocabulary — the
+    aggregate signal for "is this corpus mostly unique junk tokens?"
+    (OCR noise, ids-in-text) that the per-doc view can't see.
+
+    Two hash aggregations over narrow (term, count) rows; the corpus
+    never materializes beyond the collapsed term table.
+    """
+    toks = df.select(F.explode(tokens(text_col)).alias("term"))
+    cnt = toks.groupBy("term").agg(F.count("*").alias("ct"))
+    return cnt.agg(
+        F.sum("ct").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum(F.when(F.col("ct") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint").alias("hapax_count"),
+        F.sum(F.when(F.col("ct") == 2, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint").alias("dis_count"),
+        F.round((F.sum(F.when(F.col("ct") == 1, F.lit(1))
+                       .otherwise(F.lit(0))).cast("double")
+                 / F.count("*")), 6).alias("hapax_vocab_share"))

@@ -158,6 +158,141 @@ def mutual_information(df: DataFrame, col_a: str,
                  F.sum("_n").cast("bigint").alias("n_rows")))
 
 
+def spearman_correlation(df: DataFrame, col_a: str,
+                         col_b: str) -> DataFrame:
+    """Spearman rank correlation (average-rank tie method), exact and
+    scalable — the monotone-association companion to
+    :func:`correlation_matrix` (Pearson misses nonlinear-but-monotone
+    relations; Spearman is Pearson over the ranks).
+
+    Scale shape: global fractional ranks normally mean a global sort of
+    the data. Here each column first collapses to its distinct-value
+    counts (one hash aggregation), the cumulative window that turns
+    counts into average ranks runs OVER THE COLLAPSED value table —
+    cardinality |distinct values|, never the data — and the joint
+    (a, b) contingency rollup joins the two small rank maps back. The
+    data itself is touched by exactly two hash aggregations.
+
+    Determinism: average ranks are held in half-units (2·rank is an
+    integer even when ties average to .5), centered by the integer
+    n + 1, and every moment is an exact DECIMAL(38,0) integer sum.
+    Only the final rho division happens in doubles — one expression,
+    engine-identical (functions/numeric.py discipline). Output is one
+    row: (n_rows, rho_spearman), rho rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    base = (df.filter(F.col(col_a).isNotNull()
+                      & F.col(col_b).isNotNull())
+            .select(F.col(col_a).alias("_x"), F.col(col_b).alias("_y")))
+    joint = base.groupBy("_x", "_y").agg(F.count("*").alias("_n"))
+
+    def rank_map(c):
+        # avg rank of value v = (#less) + (count(v) + 1) / 2; in
+        # half-units: 2*cum - cnt + 1 with cum the inclusive cumsum
+        # over the ordered DISTINCT-value table
+        vals = joint.groupBy(c).agg(F.sum("_n").alias("_c"))
+        cum = F.sum("_c").over(
+            Window.orderBy(c)
+            .rowsBetween(Window.unboundedPreceding, 0))
+        return vals.select(
+            c, (2 * cum - F.col("_c") + 1).alias(f"_r2{c}"))
+
+    d38 = "decimal(38,0)"
+    rx = F.col("_r2_x").cast(d38)
+    ry = F.col("_r2_y").cast(d38)
+    n_tot = F.col("_nt").cast(d38)
+    w = F.col("_n").cast(d38)
+    # centered half-ranks: mean of 2*rank is exactly n + 1, so the
+    # centered sums are zero by construction and rho reduces to
+    # cov / sqrt(var_x * var_y) with no mean terms
+    cx = rx - (n_tot + 1)
+    cy = ry - (n_tot + 1)
+    tot = F.broadcast(joint.agg(F.sum("_n").alias("_nt")))
+    moments = (joint
+               .join(rank_map("_x"), "_x")
+               .join(rank_map("_y"), "_y")
+               .crossJoin(tot)
+               .agg(F.max("_nt").alias("n_rows"),
+                    F.sum(w * cx * cy).alias("_sxy"),
+                    F.sum(w * cx * cx).alias("_sxx"),
+                    F.sum(w * cy * cy).alias("_syy")))
+    rho = F.when(
+        (F.col("_sxx") > 0) & (F.col("_syy") > 0),
+        F.col("_sxy").cast("double")
+        / F.sqrt(F.col("_sxx").cast("double")
+                 * F.col("_syy").cast("double")))
+    return moments.select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round(rho, 6).alias("rho_spearman"))
+
+
+def chi2_independence(df: DataFrame, col_a: str,
+                      col_b: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V — the effect-size the raw statistic lacks
+    (chi2 grows with N; V = sqrt(chi2 / (N·(min(r,c)−1))) is 0..1).
+    The significance-testing sibling of :func:`mutual_information`.
+
+    One (a, b) hash aggregation builds the contingency rollup; margins
+    come from window sums OVER THE COLLAPSED rollup (at most |A|·|B|
+    rows — never the data). Nulls count as a category. Expected counts
+    and per-cell terms are single double expressions over exact integer
+    counts (engine-identical); the chi2 total accumulates det-quantized
+    at 1e-6 units via DECIMAL so cell-combine order can't move it
+    (functions/numeric.py). One row: (n_rows, n_a, n_b, dof, chi2,
+    cramers_v), floats rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    from pipelines_rj_sms_spark.functions.numeric import det_units
+
+    joint = (df.select(
+        F.coalesce(F.col(col_a).cast("string"), F.lit("\x00null"))
+        .alias("_a"),
+        F.coalesce(F.col(col_b).cast("string"), F.lit("\x00null"))
+        .alias("_b"))
+        .groupBy("_a", "_b").agg(F.count("*").alias("_n")))
+    wa, wb, wt = (Window.partitionBy("_a"), Window.partitionBy("_b"),
+                  Window.partitionBy())
+    ra = F.sum("_n").over(wa).cast("double")
+    cb = F.sum("_n").over(wb).cast("double")
+    nt = F.sum("_n").over(wt).cast("double")
+    e = ra * cb / nt
+    term = (F.col("_n").cast("double") - e) * (F.col("_n") - e) / e
+    scale = 1_000_000  # chi2 cells can reach N; 1e-6 units keep
+    # |term|*scale < 2**53 to N ~ 9e9 rows (capacity rule)
+
+    # cells with zero observed count never appear in the rollup, but
+    # each still owes its expected mass to chi2 ((0-e)²/e = e); their
+    # total is N - Σ_present e, closed-form from the present cells —
+    # no dense |A|x|B| materialization needed
+    agg = (joint
+           .select(F.col("_n"), F.col("_a"), F.col("_b"),
+                   det_units(term, scale).alias("_t_units"),
+                   det_units(e, scale).alias("_e_units"))
+           .agg(F.sum("_n").cast("bigint").alias("n_rows"),
+                F.count_distinct("_a").alias("n_a"),
+                F.count_distinct("_b").alias("n_b"),
+                (F.sum(F.col("_t_units").cast("decimal(38,0)"))
+                 .cast("double") / F.lit(float(scale))).alias("_chi2_p"),
+                (F.sum(F.col("_e_units").cast("decimal(38,0)"))
+                 .cast("double") / F.lit(float(scale))).alias("_e_p"))
+           .withColumn("_chi2",
+                       F.col("_chi2_p")
+                       + (F.col("n_rows").cast("double") - F.col("_e_p"))))
+    v = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1),
+        F.sqrt(F.col("_chi2")
+               / (F.col("n_rows")
+                  * (F.least(F.col("n_a"), F.col("n_b")) - 1))))
+    return agg.select(
+        "n_rows", "n_a", "n_b",
+        ((F.col("n_a") - 1) * (F.col("n_b") - 1)).alias("dof"),
+        F.round("_chi2", 6).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"))
+
+
 def diversity_report(df, group_cols: list[str], category_col: str):
     """Per-group categorical diversity audit: Shannon entropy (nats),
     normalized entropy (vs ln of the category count), and the Simpson

@@ -1,0 +1,149 @@
+"""Unit pins for target encoding, Spearman, chi-square independence,
+and the lexical-diversity operators (the oracle sweep covers their
+query spellings; these pin hand-computed values and edge semantics)."""
+
+import math
+
+from pipelines_rj_sms_spark.operators.features import (target_encode_kfold,
+                                                       target_encode_loo)
+from pipelines_rj_sms_spark.operators.terms import (corpus_vocabulary_report,
+                                                    lexical_diversity)
+from pipelines_rj_sms_spark.quality.profile import (chi2_independence,
+                                                    spearman_correlation)
+
+
+def test_target_encode_loo_hand_computed(spark):
+    rows = [("a", 10.0, 1), ("a", 20.0, 2), ("a", 30.0, 3),
+            ("b", 40.0, 4), ("b", 60.0, 5),
+            ("c", 100.0, 6)]  # singleton -> global LOO fallback
+    df = spark.createDataFrame(rows, ["cat", "y", "id"])
+    out = {r["id"]: r["te_loo"]
+           for r in target_encode_loo(df, "cat", "y").collect()}
+    assert out[1] == 25.0          # (20+30)/2
+    assert out[2] == 20.0          # (10+30)/2
+    assert out[4] == 60.0
+    # singleton: (sum_all - own) / (n_all - 1) = (260-100)/5
+    assert out[6] == 32.0
+
+
+def test_target_encode_loo_no_self_leak(spark):
+    # two rows per category with distinct targets: each row's encoding
+    # must equal the OTHER row's target exactly
+    rows = [("a", 1.0, 1), ("a", 9.0, 2), ("b", 3.0, 3), ("b", 7.0, 4)]
+    df = spark.createDataFrame(rows, ["cat", "y", "id"])
+    out = {r["id"]: r["te_loo"]
+           for r in target_encode_loo(df, "cat", "y").collect()}
+    assert out == {1: 9.0, 2: 1.0, 3: 7.0, 4: 3.0}
+
+
+def test_target_encode_kfold_out_of_fold_only(spark):
+    rows = [("a", 10.0, 0), ("a", 20.0, 0), ("a", 60.0, 1),
+            ("b", 5.0, 0), ("b", 15.0, 1)]
+    df = spark.createDataFrame(rows, ["cat", "y", "fold"])
+    out = target_encode_kfold(df, "cat", "y", "fold").collect()
+    by = {(r["cat"], r["fold"], r["y"]): r["te_kfold"] for r in out}
+    # fold-0 'a' rows see only the fold-1 row
+    assert by[("a", 0, 10.0)] == 60.0
+    assert by[("a", 0, 20.0)] == 60.0
+    # fold-1 'a' row sees the fold-0 mean
+    assert by[("a", 1, 60.0)] == 15.0
+    assert by[("b", 0, 5.0)] == 15.0
+    assert by[("b", 1, 15.0)] == 5.0
+
+
+def test_target_encode_kfold_single_fold_category_fallback(spark):
+    # category 'c' lives entirely in fold 0 -> fallback to the global
+    # out-of-fold mean for fold 0 (mean over fold-1 rows)
+    rows = [("a", 10.0, 0), ("a", 30.0, 1), ("c", 99.0, 0)]
+    df = spark.createDataFrame(rows, ["cat", "y", "fold"])
+    out = {(r["cat"], r["y"]): r["te_kfold"]
+           for r in target_encode_kfold(df, "cat", "y", "fold").collect()}
+    assert out[("c", 99.0)] == 30.0
+
+
+def test_spearman_perfect_monotone(spark):
+    # monotone nonlinear: Pearson < 1 but Spearman exactly 1
+    rows = [(float(i), float(i ** 3)) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = spearman_correlation(df, "x", "y").collect()[0]
+    assert out["n_rows"] == 29
+    assert out["rho_spearman"] == 1.0
+    anti = spark.createDataFrame([(x, -y) for x, y in rows], ["x", "y"])
+    assert spearman_correlation(anti, "x", "y") \
+        .collect()[0]["rho_spearman"] == -1.0
+
+
+def test_spearman_ties_match_scipy_formula(spark):
+    # hand-checked with the average-rank definition:
+    # x = [1,1,2,3], y = [10,20,20,30]
+    # rx = [1.5,1.5,3,4], ry = [1,2.5,2.5,4]
+    rows = [(1.0, 10.0), (1.0, 20.0), (2.0, 20.0), (3.0, 30.0)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    rho = spearman_correlation(df, "x", "y").collect()[0]["rho_spearman"]
+    rx = [1.5, 1.5, 3, 4]
+    ry = [1, 2.5, 2.5, 4]
+    mx, my = sum(rx) / 4, sum(ry) / 4
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(sum((a - mx) ** 2 for a in rx)
+                    * sum((b - my) ** 2 for b in ry))
+    assert abs(rho - num / den) < 1e-6
+
+
+def test_spearman_partition_invariance(spark):
+    rows = [(float(i % 17), float((i * 7) % 23)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    a = spearman_correlation(df.coalesce(1), "x", "y").collect()[0]
+    b = spearman_correlation(df.repartition(16), "x", "y").collect()[0]
+    assert a == b
+
+
+def test_chi2_independent_columns_zero(spark):
+    # perfectly independent 2x2 with equal cells: chi2 == 0
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")] * 10
+    df = spark.createDataFrame(rows, ["u", "v"])
+    out = chi2_independence(df, "u", "v").collect()[0]
+    assert out["chi2"] == 0.0
+    assert out["cramers_v"] == 0.0
+    assert out["dof"] == 1
+
+
+def test_chi2_perfect_association(spark):
+    # u determines v exactly: chi2 = N, Cramér's V = 1
+    rows = [("a", "x")] * 12 + [("b", "y")] * 8
+    df = spark.createDataFrame(rows, ["u", "v"])
+    out = chi2_independence(df, "u", "v").collect()[0]
+    assert out["n_rows"] == 20
+    assert abs(out["chi2"] - 20.0) < 1e-6
+    assert abs(out["cramers_v"] - 1.0) < 1e-6
+
+
+def test_chi2_nulls_are_a_category(spark):
+    rows = [("a", "x"), ("a", None), (None, "x"), (None, None)]
+    df = spark.createDataFrame(rows, ["u", "v"])
+    out = chi2_independence(df, "u", "v").collect()[0]
+    assert out["n_a"] == 2 and out["n_b"] == 2
+    assert out["n_rows"] == 4
+
+
+def test_lexical_diversity_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "x x x x"), (3, "only unique words here")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict()
+           for r in lexical_diversity(df, "doc_id", "text").collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_types"] == 3
+    assert out[1]["n_hapax"] == 2 and out[1]["ttr"] == 0.75
+    assert out[2]["ttr"] == 0.25 and out[2]["n_hapax"] == 0
+    assert out[3]["ttr"] == 1.0 and out[3]["hapax_share"] == 1.0
+
+
+def test_corpus_vocabulary_report(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c d")], ["doc_id", "text"])
+    out = corpus_vocabulary_report(df, "doc_id", "text").collect()[0]
+    # counts: a=2, b=2, c=1, d=1
+    assert out["n_tokens"] == 6
+    assert out["vocab_size"] == 4
+    assert out["hapax_count"] == 2
+    assert out["dis_count"] == 2
+    assert out["hapax_vocab_share"] == 0.5
