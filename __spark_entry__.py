@@ -335,6 +335,10 @@ Query key -> SURVEY §2 rows covered:
                             shuffle; singleton global-LOO fallback)
   doc_lexical_diversity     per-doc type-token ratio + hapax share
   corpus_vocabulary_report  corpus vocab mass / hapax-dis legomena
+  purchase_click_ks_test    two-sample KS: exact integer ECDF cross-
+                            products over the collapsed support
+  purchase_click_mann_whitney  Mann-Whitney U (tie-corrected z; exact
+                            half-unit rank sums)
 """
 
 from __future__ import annotations
@@ -3810,6 +3814,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return corpus_vocabulary_report(docs, "doc_id", "text")
 
+    def ks_q(spark, sf_dir):
+        """Two-sample KS between purchase and click value
+        distributions: ECDF gap as exact integer cross-products over
+        the collapsed value support."""
+        from pipelines_rj_sms_spark.quality.stats import ks_two_sample
+        ev = _t(spark, sf_dir, "events")
+        return ks_two_sample(ev, "event_type", "value",
+                             "purchase", "click")
+
+    def mwu_q(spark, sf_dir):
+        """Mann-Whitney U (rank-sum, tie-corrected z) between purchase
+        and click values: exact half-unit average ranks over the
+        collapsed support, DECIMAL moments."""
+        from pipelines_rj_sms_spark.quality.stats import mann_whitney_u
+        ev = _t(spark, sf_dir, "events")
+        return mann_whitney_u(ev, "event_type", "value",
+                              "purchase", "click")
+
     q = {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -4042,6 +4064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_target_encoding": te_loo_q,
         "doc_lexical_diversity": lexdiv_q,
         "corpus_vocabulary_report": vocab_q,
+        "purchase_click_ks_test": ks_q,
+        "purchase_click_mann_whitney": mwu_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -6818,5 +6842,84 @@ SELECT CAST(sum(ct) AS BIGINT) AS n_tokens,
              / count(*), 6) AS hapax_vocab_share
 FROM cnt
 """,
+        # KS: exact integer ECDF cross-products over the collapsed
+        # support; only D and the one-term p are doubles
+        "purchase_click_ks_test": """
+WITH counts AS (
+  SELECT value AS v,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+  GROUP BY 1),
+cum AS (
+  SELECT v,
+         CAST(sum(ca) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+           AS cum_a,
+         CAST(sum(cb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+           AS cum_b,
+         CAST(sum(ca) OVER () AS HUGEINT) AS na,
+         CAST(sum(cb) OVER () AS HUGEINT) AS nb
+  FROM counts),
+best AS (
+  SELECT na, nb, abs(cum_a * nb - cum_b * na) AS gap, v
+  FROM cum
+  ORDER BY gap DESC, v ASC LIMIT 1)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(gap AS BIGINT) AS d_numerator,
+       round(CAST(gap AS DOUBLE) / CAST(na * nb AS DOUBLE), 6)
+         AS ks_stat,
+       v AS at_value,
+       round(least(1.0, 2.0 * exp(
+         -2.0 * (CAST(na * nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+         * (CAST(gap AS DOUBLE) / CAST(na * nb AS DOUBLE))
+         * (CAST(gap AS DOUBLE) / CAST(na * nb AS DOUBLE)))), 6)
+         AS p_approx
+FROM best
+""",
+        # Mann-Whitney: half-unit average ranks over the collapsed
+        # support; HUGEINT mirrors Spark's DECIMAL(38,0) sums
+        "purchase_click_mann_whitney": """
+WITH counts AS (
+  SELECT value AS v,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+  GROUP BY 1),
+ranked AS (
+  SELECT ca, cb, ca + cb AS t,
+         CAST(2 * sum(ca + cb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (ca + cb) + 1 AS HUGEINT) AS r2
+  FROM counts),
+agg AS (
+  SELECT CAST(sum(ca) AS HUGEINT) AS na,
+         CAST(sum(cb) AS HUGEINT) AS nb,
+         sum(CAST(ca AS HUGEINT) * r2) AS ra2,
+         sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+             - CAST(t AS HUGEINT)) AS ties
+  FROM ranked),
+u AS (
+  SELECT na, nb, ra2 - na * (na + 1) AS u2a,
+         2 * na * nb - (ra2 - na * (na + 1)) AS u2b,
+         na + nb AS n, ties
+  FROM agg)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(u2a AS DOUBLE) / 2.0 AS u_a,
+       CAST(u2b AS DOUBLE) / 2.0 AS u_b,
+       round(CASE WHEN sqrt(CAST(na * nb * (n + 1) AS DOUBLE) / 3.0
+                  * (1.0 - CAST(ties AS DOUBLE)
+                     / CAST(n * (n + 1) * (n - 1) AS DOUBLE))) > 0
+         THEN (CAST(u2a AS DOUBLE) - CAST(na * nb AS DOUBLE))
+              / sqrt(CAST(na * nb * (n + 1) AS DOUBLE) / 3.0
+                     * (1.0 - CAST(ties AS DOUBLE)
+                        / CAST(n * (n + 1) * (n - 1) AS DOUBLE)))
+         END, 6) AS z_stat
+FROM u
+""",
     }
+
 

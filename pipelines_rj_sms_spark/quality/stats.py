@@ -225,3 +225,122 @@ def population_stability_index(ref: DataFrame, cur: DataFrame,
                                 .cast("double") / float(DET_SCALE),
                                 6))
             .orderBy("bin"))
+
+
+def ks_two_sample(df: DataFrame, group_col: str, value_col: str,
+                  group_a, group_b) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: D = max |F_a(x) − F_b(x)|
+    over the observed support — the distribution-shape companion to
+    :func:`welch_t_test` (which only sees moments) and the PSI gate
+    (which needs binning; KS is binning-free).
+
+    Scale shape: the data collapses to per-distinct-value counts for
+    each group in ONE conditional hash aggregation; the ECDF cumsums
+    run over the COLLAPSED value table (cardinality |support|, never
+    the data). Exactness: the gap is held as the integer cross-product
+    |cum_a·n_b − cum_b·n_a| (DECIMAL(38,0) — exact past 2**63), so the
+    max and its location are exact; the single division to D and the
+    one-term asymptotic p ≈ 2·exp(−2·m·D²) (m = harmonic sample size)
+    happen once, on the driver-side scalar row. Returns one row:
+    (n_a, n_b, d_numerator, ks_stat, at_value, p_approx).
+    """
+    from pyspark.sql import Window
+
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    counts = (df.filter((in_a | in_b) & F.col(value_col).isNotNull())
+              .groupBy(F.col(value_col).alias("_v"))
+              .agg(F.sum(in_a.cast("long")).alias("_ca"),
+                   F.sum(in_b.cast("long")).alias("_cb")))
+    w = (Window.orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy()
+    d38 = "decimal(38,0)"
+    cum_a = F.sum("_ca").over(w).cast(d38)
+    cum_b = F.sum("_cb").over(w).cast(d38)
+    na = F.sum("_ca").over(wt).cast(d38)
+    nb = F.sum("_cb").over(wt).cast(d38)
+    gap = F.abs(cum_a * nb - cum_b * na)
+    # winner = largest gap, smallest value on ties (max over the
+    # struct with the value negated) — deterministic
+    best = F.max(F.struct(F.col("_gap").alias("g"),
+                          (-F.col("_v")).alias("nv")))
+    agg = (counts
+           .select(F.col("_v"), gap.alias("_gap"),
+                   na.alias("_na"), nb.alias("_nb"))
+           .agg(best.alias("_best"),
+                F.max("_na").alias("_n_a"),
+                F.max("_nb").alias("_n_b")))
+    d = (F.col("_best.g").cast("double")
+         / (F.col("_n_a") * F.col("_n_b")).cast("double"))
+    m = ((F.col("_n_a") * F.col("_n_b")).cast("double")
+         / (F.col("_n_a") + F.col("_n_b")).cast("double"))
+    return agg.select(
+        F.col("_n_a").cast("bigint").alias("n_a"),
+        F.col("_n_b").cast("bigint").alias("n_b"),
+        F.col("_best.g").cast("bigint").alias("d_numerator"),
+        F.round(d, 6).alias("ks_stat"),
+        (-F.col("_best.nv")).alias("at_value"),
+        F.round(F.least(F.lit(1.0),
+                        2.0 * F.exp(-2.0 * m * d * d)), 6)
+        .alias("p_approx"))
+
+
+def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
+                   group_a, group_b) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test with the normal
+    approximation and tie correction — the nonparametric two-sample
+    location test (Welch without the normality assumption; public
+    formulas).
+
+    Ranks use the same exact half-unit average-rank construction as
+    ``quality/profile.spearman_correlation``: the combined sample
+    collapses to per-value counts, the rank window runs over the
+    collapsed support, and R_a accumulates as exact DECIMAL(38,0)
+    integers (2·U is an integer even with .5 average ranks). The tie
+    term Σ(t³−t) is exact the same way. Only z's final expression runs
+    in doubles — engine-identical. One row: (n_a, n_b, u_a, u_b,
+    z_stat), floats rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    counts = (df.filter((in_a | in_b) & F.col(value_col).isNotNull())
+              .groupBy(F.col(value_col).alias("_v"))
+              .agg(F.sum(in_a.cast("long")).alias("_ca"),
+                   F.sum(in_b.cast("long")).alias("_cb")))
+    w = (Window.orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    t = F.col("_ca") + F.col("_cb")
+    cum = F.sum(t).over(w)
+    # average rank of tied block in half-units: 2*cum - t + 1
+    d38 = "decimal(38,0)"
+    r2 = (2 * cum - t + 1).cast(d38)
+    agg = (counts
+           .select("_ca", "_cb", t.alias("_t"), r2.alias("_r2"))
+           .agg(F.sum("_ca").cast(d38).alias("_na"),
+                F.sum("_cb").cast(d38).alias("_nb"),
+                F.sum(F.col("_ca").cast(d38) * F.col("_r2"))
+                .alias("_ra2"),
+                F.sum(F.col("_t").cast(d38) * F.col("_t").cast(d38)
+                      * F.col("_t").cast(d38)
+                      - F.col("_t").cast(d38)).alias("_ties")))
+    na, nb = F.col("_na"), F.col("_nb")
+    n = na + nb
+    # 2*U_a = 2*R_a - n_a(n_a+1); _ra2 is already 2*R_a
+    u2_a = F.col("_ra2") - na * (na + 1)
+    u2_b = 2 * na * nb - u2_a
+    mu2 = (na * nb).cast("double")            # 2 * n_a n_b / 2
+    tie_adj = (F.lit(1.0)
+               - F.col("_ties").cast("double")
+               / (n * (n + 1) * (n - 1)).cast("double"))
+    sigma2 = F.sqrt((na * nb * (n + 1)).cast("double") / 3.0 * tie_adj)
+    z = F.when(sigma2 > 0,
+               (u2_a.cast("double") - mu2) / sigma2)
+    return agg.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        (u2_a.cast("double") / 2.0).alias("u_a"),
+        (u2_b.cast("double") / 2.0).alias("u_b"),
+        F.round(z, 6).alias("z_stat"))

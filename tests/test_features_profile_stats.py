@@ -147,3 +147,59 @@ def test_corpus_vocabulary_report(spark):
     assert out["hapax_count"] == 2
     assert out["dis_count"] == 2
     assert out["hapax_vocab_share"] == 0.5
+
+
+def test_ks_two_sample_hand_computed(spark):
+    from pipelines_rj_sms_spark.quality.stats import ks_two_sample
+    rows = ([("a", 1.0), ("a", 2.0), ("a", 3.0),
+             ("b", 2.0), ("b", 3.0), ("b", 4.0)])
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+    # ECDF gaps (x9): 3,3,3,0 -> D = 3/9, first achieved at v=1
+    assert out["n_a"] == 3 and out["n_b"] == 3
+    assert out["d_numerator"] == 3
+    assert abs(out["ks_stat"] - 1 / 3) < 1e-6
+    assert out["at_value"] == 1.0
+
+
+def test_ks_identical_distributions_zero(spark):
+    from pipelines_rj_sms_spark.quality.stats import ks_two_sample
+    rows = [("a", float(i % 5)) for i in range(50)] + \
+           [("b", float(i % 5)) for i in range(50)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+    assert out["ks_stat"] == 0.0
+    assert out["p_approx"] == 1.0
+
+
+def test_mann_whitney_no_ties(spark):
+    from pipelines_rj_sms_spark.quality.stats import mann_whitney_u
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)], ["g", "v"])
+    out = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert out["u_a"] == 0.0 and out["u_b"] == 4.0
+    assert abs(out["z_stat"] - (-1.549193)) < 1e-6
+
+
+def test_mann_whitney_tie_correction(spark):
+    from pipelines_rj_sms_spark.quality.stats import mann_whitney_u
+    # A=[1,2,2], B=[2,3]: R_a=7, U_a=1, ties sum(t^3-t)=24,
+    # sigma=sqrt(6/12*(6-24/20))=sqrt(2.4), z=(1-3)/sqrt(2.4)
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)],
+        ["g", "v"])
+    out = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert out["u_a"] == 1.0
+    assert abs(out["z_stat"] - (-1.290994)) < 1e-6
+
+
+def test_ks_mwu_partition_invariance(spark):
+    from pipelines_rj_sms_spark.quality.stats import (ks_two_sample,
+                                                      mann_whitney_u)
+    rows = [("a" if i % 3 else "b", float((i * 13) % 40))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    for fn in (ks_two_sample, mann_whitney_u):
+        one = fn(df.coalesce(1), "g", "v", "a", "b").collect()[0]
+        many = fn(df.repartition(16), "g", "v", "a", "b").collect()[0]
+        assert one == many
