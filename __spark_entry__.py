@@ -339,6 +339,9 @@ Query key -> SURVEY §2 rows covered:
                             products over the collapsed support
   purchase_click_mann_whitney  Mann-Whitney U (tie-corrected z; exact
                             half-unit rank sums)
+  event_value_quantile_norm quantile normalization onto the pooled
+                            distribution (all-integer ranks; union+
+                            window sort-merge order-statistic lookup)
 """
 
 from __future__ import annotations
@@ -3832,6 +3835,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mann_whitney_u(ev, "event_type", "value",
                               "purchase", "click")
 
+    def qnorm_q(spark, sf_dir):
+        """Quantile normalization of per-type value distributions onto
+        the pooled distribution — fully exact (integer rank arithmetic,
+        output values are original data values; sort-merge interval
+        lookup over collapsed supports, no non-equi join)."""
+        from pipelines_rj_sms_spark.operators.features import (
+            quantile_normalize)
+        ev = _t(spark, sf_dir, "events")
+        out = quantile_normalize(ev, "event_type", "value")
+        return out.select("event_id", "event_type", "value", "q_norm")
+
     q = {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -4066,6 +4080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocabulary_report": vocab_q,
         "purchase_click_ks_test": ks_q,
         "purchase_click_mann_whitney": mwu_q,
+        "event_value_quantile_norm": qnorm_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -6919,6 +6934,35 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
                         / CAST(n * (n + 1) * (n - 1) AS DOUBLE)))
          END, 6) AS z_stat
 FROM u
+""",
+# quantile normalization: the oracle may use the non-equi
+        # interval join DuckDB handles fine at oracle scale; the Spark
+        # side replaces it with the union+window sort-merge lookup
+        "event_value_quantile_norm": """
+WITH base AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE value IS NOT NULL),
+gv AS (SELECT g, v, count(*) AS ct FROM base GROUP BY 1, 2),
+gr AS (SELECT g, v, ct,
+         sum(ct) OVER (PARTITION BY g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(ct) OVER (PARTITION BY g) AS ng
+       FROM gv),
+nt AS (SELECT count(*) AS n FROM base),
+qk AS (SELECT g, v,
+         greatest(1, ((2 * cum - ct) * n + 2 * ng - 1) // (2 * ng)) AS k
+       FROM gr CROSS JOIN nt),
+gcnt AS (SELECT v, count(*) AS ct FROM base GROUP BY 1),
+gpos AS (SELECT v AS tv, ct,
+           sum(ct) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pos
+         FROM gcnt),
+mapping AS (
+  SELECT qk.g, qk.v, gpos.tv AS q_norm
+  FROM qk JOIN gpos ON qk.k BETWEEN gpos.pos - gpos.ct + 1 AND gpos.pos)
+SELECT e.event_id, e.event_type, e.value, m.q_norm
+FROM events e
+LEFT JOIN mapping m ON e.event_type = m.g AND e.value = m.v
 """,
     }
 

@@ -123,3 +123,82 @@ def target_encode_kfold(df: DataFrame, category_col: str,
             .withColumn(out_col, F.round(oof / F.lit(float(scale)), 6))
             .drop("_y_units", "_s_cf", "_n_cf", "_s_cat", "_n_cat",
                   "_s_f", "_n_f", "_s_all", "_n_all"))
+
+
+def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
+                       out_col: str = "q_norm") -> DataFrame:
+    """Quantile normalization: map each group's value distribution onto
+    the GLOBAL (pooled) distribution — the classic cross-source feature
+    alignment (microarray "quantile normalization", public method, here
+    in its nearest-rank form): a value at within-group mid-quantile
+    q = (rank − 0.5) / n_g is replaced by the pooled distribution's
+    order statistic at position ceil(q·N).
+
+    Entirely exact: within-group average ranks use the half-unit
+    construction (``quality/profile.spearman_correlation``), the target
+    position is integer ceil-division (SQL ``div`` — never a double),
+    and the output is an ORIGINAL data value — the whole operator has
+    no floating-point arithmetic to drift.
+
+    Scale shape: both rank computations collapse to per-(group, value)
+    and per-value counts first (two hash aggs); the order-statistic
+    lookup is a union of the collapsed query and lookup rows with ONE
+    forward-looking window over it ("next lookup at position ≥ k" —
+    the sort-merge interval-lookup trick, no non-equi join); the final
+    map back to rows is an equi-join on (group, value). Windows only
+    ever see collapsed supports, never the data. Capacity: positions
+    multiply up to (2·n_g)·N — exact in BIGINT to ~2e9 rows; beyond
+    that swap the position arithmetic to DECIMAL(38,0).
+
+    Rows with NULL values keep NULL in ``out_col``.
+    """
+    from pyspark.sql import Window
+
+    vtype = dict((f.name, f.dataType.simpleString())
+                 for f in df.schema.fields)[value_col]
+    base = (df.filter(F.col(value_col).isNotNull())
+            .select(F.col(group_col).alias("_g"),
+                    F.col(value_col).alias("_v")))
+    gv = base.groupBy("_g", "_v").agg(F.count("*").alias("_ct"))
+    wg = (Window.partitionBy("_g").orderBy("_v")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wgt = Window.partitionBy("_g")
+    tot = F.broadcast(gv.agg(F.sum("_ct").alias("_n")))
+    ranked = (gv
+              .withColumn("_cum", F.sum("_ct").over(wg))
+              .withColumn("_ng", F.sum("_ct").over(wgt))
+              .crossJoin(tot)
+              # r2 = 2*avg_rank in half-units; k = ceil(q*N) with
+              # q = (r2-1)/(2*ng), all-integer ceil division
+              .withColumn("_r2", 2 * F.col("_cum") - F.col("_ct") + 1)
+              .withColumn("_num", (F.col("_r2") - 1) * F.col("_n")
+                          + 2 * F.col("_ng") - 1)
+              .withColumn("_k", F.greatest(
+                  F.lit(1).cast("long"),
+                  F.expr("_num div (2 * _ng)"))))
+    glob = (base.groupBy("_v").agg(F.count("*").alias("_ct"))
+            .withColumn("_pos", F.sum("_ct").over(
+                Window.orderBy("_v")
+                .rowsBetween(Window.unboundedPreceding, 0))))
+    lookups = glob.select(
+        F.col("_pos"), F.lit(1).alias("_lk"),
+        F.col("_v").alias("_tgt"))
+    queries_ = ranked.select(
+        F.col("_g"), F.col("_v"),
+        F.col("_k").alias("_pos"), F.lit(0).alias("_lk"),
+        F.lit(None).cast(vtype).alias("_tgt"))
+    unioned = queries_.unionByName(lookups, allowMissingColumns=True)
+    # first lookup value at position >= k; query rows sort before
+    # lookups at equal position, so k == cum resolves to that value
+    nxt = F.first("_tgt", ignorenulls=True).over(
+        Window.orderBy("_pos", "_lk")
+        .rowsBetween(0, Window.unboundedFollowing))
+    mapping = (unioned.withColumn("_mapped", nxt)
+               .filter(F.col("_lk") == 0)
+               .select(F.col("_g"), F.col("_v"),
+                       F.col("_mapped").alias(out_col)))
+    return (df.join(mapping,
+                    (F.col(group_col) == mapping["_g"])
+                    & (F.col(value_col) == mapping["_v"]),
+                    "left")
+            .drop("_g", "_v"))

@@ -203,3 +203,50 @@ def test_ks_mwu_partition_invariance(spark):
         one = fn(df.coalesce(1), "g", "v", "a", "b").collect()[0]
         many = fn(df.repartition(16), "g", "v", "a", "b").collect()[0]
         assert one == many
+
+
+def test_quantile_normalize_identity_single_group(spark):
+    from pipelines_rj_sms_spark.operators.features import (
+        quantile_normalize)
+    # one group: every value maps to its own order statistic (ties too)
+    rows = [("s", float(v), i)
+            for i, v in enumerate([5, 3, 3, 8, 1, 5, 5])]
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    out = quantile_normalize(df, "g", "v").collect()
+    assert all(r["q_norm"] == r["v"] for r in out)
+
+
+def test_quantile_normalize_hand_computed(spark):
+    from pipelines_rj_sms_spark.operators.features import (
+        quantile_normalize)
+    # A=[1,2,3,4], B=[10,20,30,40]; pooled sorted =
+    # [1,2,3,4,10,20,30,40]; mid-quantiles hit order stats 1,3,5,7
+    rows = ([("A", float(v), i) for i, v in enumerate([1, 2, 3, 4])]
+            + [("B", float(v), 4 + i)
+               for i, v in enumerate([10, 20, 30, 40])])
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    out = {(r["g"], r["v"]): r["q_norm"]
+           for r in quantile_normalize(df, "g", "v").collect()}
+    assert out[("A", 1.0)] == 1.0 and out[("A", 2.0)] == 3.0
+    assert out[("A", 3.0)] == 10.0 and out[("A", 4.0)] == 30.0
+    assert out[("B", 10.0)] == 1.0 and out[("B", 20.0)] == 3.0
+    assert out[("B", 30.0)] == 10.0 and out[("B", 40.0)] == 30.0
+
+
+def test_quantile_normalize_null_passthrough_and_invariance(spark):
+    from pipelines_rj_sms_spark.operators.features import (
+        quantile_normalize)
+    rows = [("a" if i % 3 else "b",
+             None if i % 11 == 0 else float((i * 7) % 20), i)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    import pyspark.sql.functions as F2
+    out = quantile_normalize(df, "g", "v")
+    nulls = out.filter(F2.col("v").isNull())
+    assert nulls.filter(F2.col("q_norm").isNotNull()).count() == 0
+    key = lambda r: (r["g"], r["v"] is None, r["v"] or 0.0, r["id"])
+    a = sorted(quantile_normalize(df.coalesce(1), "g", "v").collect(),
+               key=key)
+    b = sorted(quantile_normalize(df.repartition(16), "g", "v").collect(),
+               key=key)
+    assert a == b
