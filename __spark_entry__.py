@@ -6925,6 +6925,8 @@ u AS (
 SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        CAST(u2a AS DOUBLE) / 2.0 AS u_a,
        CAST(u2b AS DOUBLE) / 2.0 AS u_b,
+       round(CAST(u2a - u2b AS DOUBLE)
+             / CAST(2 * na * nb AS DOUBLE), 6) AS cliffs_delta,
        round(CASE WHEN sqrt(CAST(na * nb * (n + 1) AS DOUBLE) / 3.0
                   * (1.0 - CAST(ties AS DOUBLE)
                      / CAST(n * (n + 1) * (n - 1) AS DOUBLE))) > 0

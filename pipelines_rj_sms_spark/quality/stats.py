@@ -338,9 +338,14 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
     sigma2 = F.sqrt((na * nb * (n + 1)).cast("double") / 3.0 * tie_adj)
     z = F.when(sigma2 > 0,
                (u2_a.cast("double") - mu2) / sigma2)
+    # Cliff's delta (the rank effect size) is free from U:
+    # delta = (U_a - U_b) / (n_a * n_b), an exact rational in 2U units
+    delta = ((u2_a - u2_b).cast("double")
+             / (2 * na * nb).cast("double"))
     return agg.select(
         na.cast("bigint").alias("n_a"),
         nb.cast("bigint").alias("n_b"),
         (u2_a.cast("double") / 2.0).alias("u_a"),
         (u2_b.cast("double") / 2.0).alias("u_b"),
-        F.round(z, 6).alias("z_stat"))
+        F.round(z, 6).alias("z_stat"),
+        F.round(delta, 6).alias("cliffs_delta"))

@@ -179,6 +179,7 @@ def test_mann_whitney_no_ties(spark):
     out = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
     assert out["u_a"] == 0.0 and out["u_b"] == 4.0
     assert abs(out["z_stat"] - (-1.549193)) < 1e-6
+    assert out["cliffs_delta"] == -1.0  # complete separation
 
 
 def test_mann_whitney_tie_correction(spark):
@@ -191,6 +192,8 @@ def test_mann_whitney_tie_correction(spark):
     out = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
     assert out["u_a"] == 1.0
     assert abs(out["z_stat"] - (-1.290994)) < 1e-6
+    # delta = (U_a - U_b) / (n_a n_b) = (1 - 5) / 6
+    assert abs(out["cliffs_delta"] - (-0.666667)) < 1e-6
 
 
 def test_ks_mwu_partition_invariance(spark):
