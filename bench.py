@@ -109,7 +109,9 @@ _FAMILIES = [
     ("sampling", ("sample", "split", "kfold", "packing", "budget",
                   "corpus_mix")),
     ("quality-stats", ("psi", "drift", "anomal", "benford", "t_test",
-                       "z_test", "trend", "cusum", "survival",
+                       "z_test", "ks_test", "mann_whitney", "spearman",
+                       "chi2", "target_encoding", "quantile_norm",
+                       "trend", "cusum", "survival",
                        "linkage", "mutual", "diversity", "profile",
                        "quality", "contract", "reconcil", "freshness",
                        "skew_report", "anonymity", "l_diversity",
