@@ -342,6 +342,8 @@ Query key -> SURVEY §2 rows covered:
   event_value_quantile_norm quantile normalization onto the pooled
                             distribution (all-integer ranks; union+
                             window sort-merge order-statistic lookup)
+  en_score_auc              exact ROC-AUC (normalized Mann-Whitney;
+                            average-rank ties = trapezoidal rule)
 """
 
 from __future__ import annotations
@@ -3846,6 +3848,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = quantile_normalize(ev, "event_type", "value")
         return out.select("event_id", "event_type", "value", "q_norm")
 
+    def auc_q(spark, sf_dir):
+        """Exact ROC-AUC of the English marker score against the true
+        lang label: Mann-Whitney rank form over the collapsed score
+        support — average-rank ties ARE the trapezoidal correction."""
+        from pipelines_rj_sms_spark.operators.classify import binary_auc
+        docs = _t(spark, sf_dir, "documents")
+        scored = docs.select(
+            F.round(text.lang_score("text", "en"), 6).alias("en_score"),
+            (F.col("lang") == "en").alias("is_en"))
+        return binary_auc(scored, "en_score", "is_en")
+
     q = {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -4081,6 +4094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_click_ks_test": ks_q,
         "purchase_click_mann_whitney": mwu_q,
         "event_value_quantile_norm": qnorm_q,
+        "en_score_auc": auc_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -6965,6 +6979,31 @@ mapping AS (
 SELECT e.event_id, e.event_type, e.value, m.q_norm
 FROM events e
 LEFT JOIN mapping m ON e.event_type = m.g AND e.value = m.v
+""",
+        # exact AUC = normalized Mann-Whitney over the collapsed
+        # rounded-score support (average ranks = trapezoidal ties)
+        "en_score_auc": f"""
+WITH base AS (
+  SELECT round(len(list_filter({_DUCK_TOKS},
+                x -> list_contains([{_EN_MARKERS}], x)))
+         / greatest(len({_DUCK_TOKS}), 1), 6) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+sv AS (SELECT s, sum(y) AS p, count(*) AS t FROM base GROUP BY 1),
+r AS (SELECT p, t,
+        CAST(2 * sum(t) OVER (ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - t + 1 AS HUGEINT) AS r2
+      FROM sv),
+agg AS (SELECT CAST(sum(p) AS HUGEINT) AS np,
+               CAST(sum(t - p) AS HUGEINT) AS nn,
+               sum(CAST(p AS HUGEINT) * r2) AS rp2
+        FROM r)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       round(CASE WHEN np > 0 AND nn > 0 THEN
+               CAST(rp2 - np * (np + 1) AS DOUBLE)
+               / CAST(2 * np * nn AS DOUBLE) END, 6) AS auc
+FROM agg
 """,
     }
 

@@ -209,3 +209,51 @@ def calibration_report(df: DataFrame, score_col: str, correct_col: str,
                  .alias("mean_score"),
                  F.round(F.sum("_c").cast("double") / F.count("*"), 6)
                  .alias("accuracy")))
+
+
+def binary_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
+    """Exact ROC-AUC for a binary label over a score column — the
+    threshold-free companion to :func:`classification_report` (which
+    needs a hard argmax) and :func:`calibration_report` (which needs
+    binning). AUC is the probability a random positive outranks a
+    random negative, i.e. the Mann-Whitney statistic normalized:
+
+        AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos · n_neg)
+
+    with R_pos the positives' rank sum under AVERAGE ranks — which is
+    exactly the trapezoidal tie correction (tied scores count 1/2).
+
+    Exactness and scale follow ``quality/stats.mann_whitney_u``: the
+    data collapses to per-distinct-score (positives, total) counts in
+    one hash aggregation; the rank window runs over the collapsed
+    score support; rank sums are DECIMAL(38,0) integers in half-units;
+    AUC is one final double division, bit-identical to the oracle.
+    One row: (n_pos, n_neg, auc). Pass ``label_col`` as a column name
+    or boolean Column expression.
+    """
+    from pyspark.sql import Column, Window
+
+    lab = (label_col if isinstance(label_col, Column)
+           else F.col(label_col)).cast("int")
+    base = (df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+            .select(F.col(score_col).alias("_s"), lab.alias("_y")))
+    sv = base.groupBy("_s").agg(F.sum("_y").alias("_p"),
+                                F.count("*").alias("_t"))
+    w = (Window.orderBy("_s")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    d38 = "decimal(38,0)"
+    r2 = (2 * F.sum("_t").over(w) - F.col("_t") + 1).cast(d38)
+    agg = (sv.select("_p", "_t", r2.alias("_r2"))
+           .agg(F.sum("_p").cast(d38).alias("_np"),
+                F.sum(F.col("_t") - F.col("_p")).cast(d38).alias("_nn"),
+                F.sum(F.col("_p").cast(d38) * F.col("_r2"))
+                .alias("_rp2")))
+    np_, nn = F.col("_np"), F.col("_nn")
+    auc = F.when(
+        (np_ > 0) & (nn > 0),
+        (F.col("_rp2") - np_ * (np_ + 1)).cast("double")
+        / (2 * np_ * nn).cast("double"))
+    return agg.select(
+        np_.cast("bigint").alias("n_pos"),
+        nn.cast("bigint").alias("n_neg"),
+        F.round(auc, 6).alias("auc"))

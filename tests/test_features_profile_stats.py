@@ -253,3 +253,41 @@ def test_quantile_normalize_null_passthrough_and_invariance(spark):
     b = sorted(quantile_normalize(df.repartition(16), "g", "v").collect(),
                key=key)
     assert a == b
+
+
+def test_binary_auc_perfect_and_reversed(spark):
+    from pipelines_rj_sms_spark.operators.classify import binary_auc
+    rows = [(0.9, 1), (0.8, 1), (0.3, 0), (0.1, 0)]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    assert binary_auc(df, "s", "y").collect()[0]["auc"] == 1.0
+    rev = spark.createDataFrame([(1 - s, y) for s, y in rows], ["s", "y"])
+    assert binary_auc(rev, "s", "y").collect()[0]["auc"] == 0.0
+
+
+def test_binary_auc_all_tied_is_half(spark):
+    from pipelines_rj_sms_spark.operators.classify import binary_auc
+    df = spark.createDataFrame(
+        [(0.5, 1)] * 7 + [(0.5, 0)] * 13, ["s", "y"])
+    out = binary_auc(df, "s", "y").collect()[0]
+    assert out["n_pos"] == 7 and out["n_neg"] == 13
+    assert out["auc"] == 0.5
+
+
+def test_binary_auc_hand_computed_with_ties(spark):
+    from pipelines_rj_sms_spark.operators.classify import binary_auc
+    # scores: pos=[0.8, 0.5], neg=[0.5, 0.2]
+    # pairs: (0.8>0.5)=1, (0.8>0.2)=1, (0.5=0.5)=0.5, (0.5>0.2)=1
+    # AUC = 3.5 / 4
+    df = spark.createDataFrame(
+        [(0.8, 1), (0.5, 1), (0.5, 0), (0.2, 0)], ["s", "y"])
+    assert binary_auc(df, "s", "y").collect()[0]["auc"] == 0.875
+
+
+def test_binary_auc_boolean_expression_label(spark):
+    import pyspark.sql.functions as F2
+    from pipelines_rj_sms_spark.operators.classify import binary_auc
+    df = spark.createDataFrame(
+        [(0.9, "en"), (0.7, "en"), (0.2, "pt"), (0.4, "pt")],
+        ["s", "lang"])
+    out = binary_auc(df, "s", F2.col("lang") == "en").collect()[0]
+    assert out["auc"] == 1.0
