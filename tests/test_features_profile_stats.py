@@ -291,3 +291,54 @@ def test_binary_auc_boolean_expression_label(spark):
         ["s", "lang"])
     out = binary_auc(df, "s", F2.col("lang") == "en").collect()[0]
     assert out["auc"] == 1.0
+
+
+def test_quantile_normalize_matches_bruteforce_random(spark):
+    import random
+    from pipelines_rj_sms_spark.operators.features import (
+        quantile_normalize)
+    rng = random.Random(17)
+    rows = [(rng.choice("abc"), float(rng.randint(0, 12)), i)
+            for i in range(120)]
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    out = {r["id"]: r["q_norm"]
+           for r in quantile_normalize(df, "g", "v").collect()}
+
+    pooled = sorted(v for _, v, _ in rows)
+    n_tot = len(pooled)
+    by_g = {}
+    for g, v, _ in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, v, i in rows:
+        vals = sorted(by_g[g])
+        lt = sum(1 for x in vals if x < v)
+        eq = sum(1 for x in vals if x == v)
+        r2 = 2 * lt + eq + 1            # 2 * average rank
+        ng = len(vals)
+        k = max(1, -((-((r2 - 1) * n_tot)) // (2 * ng)))  # ceil div
+        assert out[i] == pooled[k - 1], (g, v, i)
+
+
+def test_spearman_matches_bruteforce_random(spark):
+    import random
+    from pipelines_rj_sms_spark.quality.profile import (
+        spearman_correlation)
+    rng = random.Random(5)
+    rows = [(float(rng.randint(0, 9)), float(rng.randint(0, 9)))
+            for _ in range(150)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    rho = spearman_correlation(df, "x", "y").collect()[0]["rho_spearman"]
+
+    def avg_ranks(vals):
+        s = sorted(vals)
+        return [(sum(1 for z in s if z < v) * 2
+                 + sum(1 for z in s if z == v) + 1) / 2 for v in vals]
+
+    rx = avg_ranks([x for x, _ in rows])
+    ry = avg_ranks([y for _, y in rows])
+    n = len(rows)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (sum((a - mx) ** 2 for a in rx)
+           * sum((b - my) ** 2 for b in ry)) ** 0.5
+    assert abs(rho - num / den) < 1e-6
