@@ -344,6 +344,8 @@ Query key -> SURVEY §2 rows covered:
                             window sort-merge order-statistic lookup)
   en_score_auc              exact ROC-AUC (normalized Mann-Whitney;
                             average-rank ties = trapezoidal rule)
+  quantity_discount_ordinal_assoc  Goodman-Kruskal gamma + Kendall
+                            tau-b from collapsed contingency cells
 """
 
 from __future__ import annotations
@@ -3859,6 +3861,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("lang") == "en").alias("is_en"))
         return binary_auc(scored, "en_score", "is_en")
 
+    def ordinal_q(spark, sf_dir):
+        """Goodman-Kruskal gamma + Kendall tau-b between quantity and
+        discount (both ordinal): concordant/discordant pairs from a
+        self-join of the COLLAPSED contingency cells only."""
+        from pipelines_rj_sms_spark.quality.profile import (
+            ordinal_association)
+        li = _t(spark, sf_dir, "lineitem")
+        return ordinal_association(li, "l_quantity", "l_discount")
+
     q = {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -4095,6 +4106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_click_mann_whitney": mwu_q,
         "event_value_quantile_norm": qnorm_q,
         "en_score_auc": auc_q,
+        "quantity_discount_ordinal_assoc": ordinal_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -7004,6 +7016,43 @@ SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
                CAST(rp2 - np * (np + 1) AS DOUBLE)
                / CAST(2 * np * nn AS DOUBLE) END, 6) AS auc
 FROM agg
+""",
+        # gamma / tau-b: pair counts from the collapsed contingency
+        # cells; HUGEINT mirrors Spark's DECIMAL(38,0)
+        "quantity_discount_ordinal_assoc": """
+WITH joint AS (
+  SELECT l_quantity AS a, l_discount AS b, count(*) AS n
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT CAST(x.n AS HUGEINT) * CAST(y.n AS HUGEINT) AS w,
+         CASE WHEN y.b > x.b THEN 1
+              WHEN y.b < x.b THEN -1 ELSE 0 END AS sgn
+  FROM joint x JOIN joint y ON y.a > x.a),
+pa AS (
+  SELECT coalesce(sum(CASE WHEN sgn = 1 THEN w END), 0) AS c,
+         coalesce(sum(CASE WHEN sgn = -1 THEN w END), 0) AS d
+  FROM pairs),
+ta AS (SELECT sum(t * (t - 1) // 2) AS n1
+       FROM (SELECT CAST(sum(n) AS HUGEINT) AS t FROM joint GROUP BY a)),
+tb AS (SELECT sum(t * (t - 1) // 2) AS n2
+       FROM (SELECT CAST(sum(n) AS HUGEINT) AS t FROM joint GROUP BY b)),
+nr AS (SELECT CAST(sum(n) AS HUGEINT) AS n_rows FROM joint)
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(c AS BIGINT) AS concordant,
+       CAST(d AS BIGINT) AS discordant,
+       round(CASE WHEN c + d > 0 THEN
+               CAST(c - d AS DOUBLE) / CAST(c + d AS DOUBLE) END, 6)
+         AS gamma,
+       round(CASE WHEN sqrt(
+                CAST(n_rows * (n_rows - 1) // 2 - n1 AS DOUBLE)
+                * CAST(n_rows * (n_rows - 1) // 2 - n2 AS DOUBLE)) > 0
+             THEN CAST(c - d AS DOUBLE)
+                  / sqrt(CAST(n_rows * (n_rows - 1) // 2 - n1 AS DOUBLE)
+                         * CAST(n_rows * (n_rows - 1) // 2 - n2 AS DOUBLE))
+             END, 6) AS tau_b
+FROM pa, ta, tb, nr
 """,
     }
 

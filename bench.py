@@ -110,7 +110,7 @@ _FAMILIES = [
                   "corpus_mix")),
     ("quality-stats", ("psi", "drift", "anomal", "benford", "t_test", "auc",
                        "z_test", "ks_test", "mann_whitney", "spearman",
-                       "chi2", "target_encoding", "quantile_norm",
+                       "chi2", "target_encoding", "quantile_norm", "ordinal",
                        "trend", "cusum", "survival",
                        "linkage", "mutual", "diversity", "profile",
                        "quality", "contract", "reconcil", "freshness",

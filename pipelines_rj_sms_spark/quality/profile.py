@@ -329,3 +329,70 @@ def diversity_report(df, group_cols: list[str], category_col: str):
                  .alias("entropy_normalized"),
                  F.round(det_sum(F.col("_p") * F.col("_p")), 6)
                  .alias("simpson")))
+
+
+def ordinal_association(df: DataFrame, col_a: str,
+                        col_b: str) -> DataFrame:
+    """Goodman–Kruskal gamma and Kendall tau-b between two ORDINAL
+    columns — the monotone-association measures for ordered categories
+    (priority scales, severity grades), where chi-square ignores order
+    and Spearman over raw codes is the degenerate case. Both are
+    functions of concordant/discordant pair counts (public formulas):
+
+        gamma = (C − D) / (C + D)
+        tau_b = (C − D) / sqrt((n0 − n1)(n0 − n2)),
+        n0 = n(n−1)/2,  n1/n2 = Σ t(t−1)/2 over the a/b margins
+
+    Scale shape: the data collapses to the contingency rollup in one
+    hash aggregation; pair enumeration is a self-join of the COLLAPSED
+    cells with the (a2 > a1) inequality — ordinal scales are small by
+    nature, so |cells|² is bounded (a 50×50 scale is 6.25M cell pairs,
+    trivial; this operator is NOT for high-cardinality nominals —
+    that's :func:`mutual_information`'s job). All pair counts are
+    exact DECIMAL(38,0) integers; gamma and tau_b are one final double
+    expression each. One row: (n_rows, concordant, discordant, gamma,
+    tau_b), floats rounded to 6.
+    """
+    joint = (df.filter(F.col(col_a).isNotNull()
+                       & F.col(col_b).isNotNull())
+             .groupBy(F.col(col_a).alias("_a"),
+                      F.col(col_b).alias("_b"))
+             .agg(F.count("*").alias("_n")))
+    d38 = "decimal(38,0)"
+    lo = joint.select(F.col("_a").alias("_a1"),
+                      F.col("_b").alias("_b1"),
+                      F.col("_n").cast(d38).alias("_n1"))
+    hi = joint.select(F.col("_a").alias("_a2"),
+                      F.col("_b").alias("_b2"),
+                      F.col("_n").cast(d38).alias("_n2"))
+    pairs = lo.join(hi, F.col("_a2") > F.col("_a1"))
+    pair_agg = F.broadcast(pairs.agg(
+        F.coalesce(F.sum(F.when(F.col("_b2") > F.col("_b1"),
+                                F.col("_n1") * F.col("_n2"))),
+                   F.lit(0).cast(d38)).alias("_c"),
+        F.coalesce(F.sum(F.when(F.col("_b2") < F.col("_b1"),
+                                F.col("_n1") * F.col("_n2"))),
+                   F.lit(0).cast(d38)).alias("_d")))
+
+    def tie_pairs(c):
+        m = joint.groupBy(c).agg(F.sum("_n").cast(d38).alias("_t"))
+        return m.agg((F.sum(F.col("_t") * (F.col("_t") - 1))
+                      / 2).cast(d38).alias("_tp"))
+
+    totals = (joint.agg(F.sum("_n").cast(d38).alias("_nr"))
+              .crossJoin(tie_pairs("_a").withColumnRenamed("_tp", "_n1t"))
+              .crossJoin(tie_pairs("_b").withColumnRenamed("_tp", "_n2t"))
+              .crossJoin(pair_agg))
+    n0 = (F.col("_nr") * (F.col("_nr") - 1) / 2).cast(d38)
+    cd = (F.col("_c") - F.col("_d")).cast("double")
+    gamma = F.when((F.col("_c") + F.col("_d")) > 0,
+                   cd / (F.col("_c") + F.col("_d")).cast("double"))
+    denom = F.sqrt((n0 - F.col("_n1t")).cast("double")
+                   * (n0 - F.col("_n2t")).cast("double"))
+    tau_b = F.when(denom > 0, cd / denom)
+    return totals.select(
+        F.col("_nr").cast("bigint").alias("n_rows"),
+        F.col("_c").cast("bigint").alias("concordant"),
+        F.col("_d").cast("bigint").alias("discordant"),
+        F.round(gamma, 6).alias("gamma"),
+        F.round(tau_b, 6).alias("tau_b"))

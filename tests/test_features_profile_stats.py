@@ -342,3 +342,36 @@ def test_spearman_matches_bruteforce_random(spark):
     den = (sum((a - mx) ** 2 for a in rx)
            * sum((b - my) ** 2 for b in ry)) ** 0.5
     assert abs(rho - num / den) < 1e-6
+
+
+def test_ordinal_association_perfect(spark):
+    from pipelines_rj_sms_spark.quality.profile import (
+        ordinal_association)
+    df = spark.createDataFrame(
+        [(1, 1)] * 5 + [(2, 2)] * 5, ["a", "b"])
+    out = ordinal_association(df, "a", "b").collect()[0]
+    assert out["concordant"] == 25 and out["discordant"] == 0
+    assert out["gamma"] == 1.0 and out["tau_b"] == 1.0
+
+
+def test_ordinal_association_hand_computed(spark):
+    from pipelines_rj_sms_spark.quality.profile import (
+        ordinal_association)
+    # cells (1,1)x2 (1,2)x1 (2,1)x1 (2,2)x2: C=4, D=1
+    # gamma = 3/5; tau_b = 3/sqrt((15-6)(15-6)) = 1/3
+    rows = [(1, 1)] * 2 + [(1, 2)] + [(2, 1)] + [(2, 2)] * 2
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = ordinal_association(df, "a", "b").collect()[0]
+    assert out["n_rows"] == 6
+    assert out["concordant"] == 4 and out["discordant"] == 1
+    assert abs(out["gamma"] - 0.6) < 1e-6
+    assert abs(out["tau_b"] - 1 / 3) < 1e-6
+
+
+def test_ordinal_association_reversed_sign(spark):
+    from pipelines_rj_sms_spark.quality.profile import (
+        ordinal_association)
+    df = spark.createDataFrame(
+        [(1, 3)] * 4 + [(2, 2)] * 4 + [(3, 1)] * 4, ["a", "b"])
+    out = ordinal_association(df, "a", "b").collect()[0]
+    assert out["gamma"] == -1.0 and out["tau_b"] == -1.0
