@@ -405,3 +405,62 @@ def interpolate_linear(df: DataFrame, ts_col: str, value_col: str,
               F.round(pv + (nv - pv) * frac, 6))
         .otherwise(F.coalesce(pv, nv)))
     return df.withColumn(out_col or value_col, filled)
+
+
+def seasonal_decompose(df: DataFrame, ts_col: str,
+                       period: int = 7) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily count
+    series: observed = trend + seasonal + resid (public textbook
+    method — centered moving-average trend, period-position means of
+    the detrended series, zero-centered seasonal component).
+
+    ``period`` must be ODD (7 = weekly on daily buckets) so the
+    centered window is symmetric; trend is null at the (period−1)/2
+    edge days and resid is null with it. The series must be gap-free —
+    compose with :func:`gap_fill` first — because the centered frame is
+    a ROWS window.
+
+    Exactness: observed is an integer count, the trend is an integer
+    window sum divided once, detrended means accumulate det-quantized
+    (1e-6 units) so the seasonal component is order-independent, and
+    the centering mean runs over the collapsed ``period``-row table.
+    Scale shape: one hash aggregation to the daily rollup; every
+    window (trend, seasonal margins, centering) runs over collapsed
+    tables — never the events.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_units
+    if period % 2 == 0:
+        raise ValueError("period must be odd (centered MA window)")
+    half = period // 2
+    scale = 1_000_000
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = (df.groupBy(day.alias("bucket"))
+             .agg(F.count("*").alias("observed")))
+    w = (Window.orderBy("bucket").rowsBetween(-half, half))
+    trend = F.when(
+        F.count("*").over(w) == period,
+        F.sum("observed").over(w).cast("double") / float(period))
+    pos = F.pmod(F.datediff(F.col("bucket"),
+                            F.lit("1970-01-01").cast("date")),
+                 F.lit(period))
+    base = (daily
+            .withColumn("pos", pos)
+            .withColumn("trend", trend)
+            .withColumn("_det", F.col("observed") - F.col("trend")))
+    seas = (base.filter(F.col("trend").isNotNull())
+            .groupBy("pos")
+            .agg((F.sum(det_units(F.col("_det"), scale)).cast("double")
+                  / float(scale) / F.count("*")).alias("_s_raw")))
+    center = (F.sum(det_units(F.col("_s_raw"), scale))
+              .over(Window.partitionBy()).cast("double")
+              / float(scale) / F.count("*").over(Window.partitionBy()))
+    seas = seas.withColumn("seasonal", F.col("_s_raw") - center)
+    out = (base.join(F.broadcast(seas.select("pos", "seasonal")), "pos")
+           .select(
+               "bucket", "pos",
+               F.col("observed").cast("bigint").alias("observed"),
+               F.round("trend", 6).alias("trend"),
+               F.round("seasonal", 6).alias("seasonal"),
+               F.round(F.col("observed") - F.col("trend")
+                       - F.col("seasonal"), 6).alias("resid")))
+    return out

@@ -375,3 +375,42 @@ def test_ordinal_association_reversed_sign(spark):
         [(1, 3)] * 4 + [(2, 2)] * 4 + [(3, 1)] * 4, ["a", "b"])
     out = ordinal_association(df, "a", "b").collect()[0]
     assert out["gamma"] == -1.0 and out["tau_b"] == -1.0
+
+
+def test_seasonal_decompose_recovers_planted_pattern(spark):
+    from datetime import datetime
+    from pipelines_rj_sms_spark.operators.timeseries import (
+        seasonal_decompose)
+    # constant level 10 + seasonal bump of +7 on pos-0 days, 4 weeks:
+    # one event row per unit of count
+    from datetime import timedelta
+    rows = []
+    for d in range(28):
+        ts = datetime(2024, 1, 1) + timedelta(days=d)
+        n = 10 + (7 if (ts - datetime(1970, 1, 1)).days % 7 == 0 else 0)
+        rows += [(ts, i) for i in range(n)]
+    df = spark.createDataFrame(rows, ["ts", "i"])
+    out = {r["bucket"].isoformat(): r.asDict()
+           for r in seasonal_decompose(df, "ts", period=7).collect()}
+    assert len(out) == 28
+    vals = list(out.values())
+    # every full-window trend equals the true level + bump/7 = 11
+    trends = [v["trend"] for v in vals if v["trend"] is not None]
+    assert len(trends) == 22 and all(t == 11.0 for t in trends)
+    # seasonal: +6 on the bump position, -1 elsewhere (centered)
+    for v in vals:
+        if v["trend"] is None:
+            assert v["resid"] is None
+            continue
+        expect = 6.0 if v["pos"] == 0 else -1.0
+        assert abs(v["seasonal"] - expect) < 1e-5, v
+        assert abs(v["resid"]) < 1e-5
+
+
+def test_seasonal_decompose_rejects_even_period(spark):
+    import pytest
+    from pipelines_rj_sms_spark.operators.timeseries import (
+        seasonal_decompose)
+    df = spark.createDataFrame([("2024-01-01 00:00:00",)], ["ts"])
+    with pytest.raises(ValueError):
+        seasonal_decompose(df, "ts", period=4)
