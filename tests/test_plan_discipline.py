@@ -187,7 +187,15 @@ def test_every_query_plans_clean(spark):
                     "doc_bigram_logprob",
                     "segment_revenue_decomposition",
                     # 1-row corpus-size frame under the rank pairing
-                    "doc_negative_pairs"}
+                    "doc_negative_pairs",
+                    # round-6 second pass — all bounded by construction:
+                    # 1-row total-count broadcasts under collapsed
+                    # rank/margin frames
+                    "quantity_price_spearman", "customer_target_encoding",
+                    "event_value_quantile_norm",
+                    # inequality self-join of the COLLAPSED contingency
+                    # cells (bounded by the ordinal scale, documented)
+                    "quantity_discount_ordinal_assoc"}
     failures = []
     for name, fn in entry.queries().items():
         try:
