@@ -348,6 +348,8 @@ Query key -> SURVEY §2 rows covered:
                             tau-b from collapsed contingency cells
   daily_count_decomposition classical additive decomposition (centered
                             MA trend, det-quantized seasonal, resid)
+  event_type_value_anova    one-way ANOVA + eta-squared (det-quantized
+                            k-group sufficient statistics)
 """
 
 from __future__ import annotations
@@ -3881,6 +3883,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _t(spark, sf_dir, "events")
         return seasonal_decompose(ev, "ts", period=7)
 
+    def anova_q(spark, sf_dir):
+        """One-way ANOVA of event value across all event types:
+        det-quantized per-group sufficient statistics, k-row fold."""
+        from pipelines_rj_sms_spark.quality.stats import one_way_anova
+        ev = _t(spark, sf_dir, "events")
+        return one_way_anova(ev, "event_type", "value")
+
     q = {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -4119,6 +4128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "en_score_auc": auc_q,
         "quantity_discount_ordinal_assoc": ordinal_q,
         "daily_count_decomposition": decompose_q,
+        "event_type_value_anova": anova_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -7099,6 +7109,43 @@ SELECT bucket, pos,
        round(seasonal, 6) AS seasonal,
        round(observed - trend - seasonal, 6) AS resid
 FROM tr JOIN seas USING (pos)
+""",
+        # one-way ANOVA: det-quantized group moments; the second-level
+        # sums over the k-row rollup quantize at 1e-6 units
+        "event_type_value_anova": rf"""
+WITH g AS (
+  SELECT event_type,
+         count(*) AS n,
+         {_det_sum('value')} AS s,
+         {_det_sum_big('value * value')} AS q
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1),
+agg AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(CAST(floor((s * s / n) * 1000000.0 + 0.5) AS HUGEINT))
+              AS DOUBLE) / 1000000.0 AS sb_term,
+         CAST(sum(CAST(floor(q * 1000000.0 + 0.5) AS HUGEINT))
+              AS DOUBLE) / 1000000.0 AS qt,
+         CAST(sum(CAST(floor(s * 1000000.0 + 0.5) AS HUGEINT))
+              AS DOUBLE) / 1000000.0 AS st
+  FROM g)
+SELECT n_rows, n_groups,
+       round(CASE WHEN (qt - st * st / n_rows)
+                       - (sb_term - st * st / n_rows) > 0
+                   AND n_groups > 1 AND n_rows - n_groups > 0 THEN
+               ((sb_term - st * st / n_rows) / (n_groups - 1))
+               / (((qt - st * st / n_rows)
+                   - (sb_term - st * st / n_rows))
+                  / (n_rows - n_groups)) END, 6) AS f_stat,
+       round(CASE WHEN (qt - st * st / n_rows) > 0 THEN
+               (sb_term - st * st / n_rows)
+               / (qt - st * st / n_rows) END, 6) AS eta_sq,
+       round(sb_term - st * st / n_rows, 6) AS ss_between,
+       round((qt - st * st / n_rows)
+             - (sb_term - st * st / n_rows), 6) AS ss_within
+FROM agg
 """,
     }
 

@@ -349,3 +349,63 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
         (u2_b.cast("double") / 2.0).alias("u_b"),
         F.round(z, 6).alias("z_stat"),
         F.round(delta, 6).alias("cliffs_delta"))
+
+
+def one_way_anova(df: DataFrame, group_col: str,
+                  value_col: str) -> DataFrame:
+    """One-way fixed-effects ANOVA across ALL groups — the k-group
+    generalization of :func:`welch_t_test` (textbook decomposition,
+    public): SST = Σ(x−x̄)², SSB = Σ n_g(x̄_g−x̄)², SSW = SST − SSB,
+
+        F = (SSB / (k−1)) / (SSW / (N−k)),   eta² = SSB / SST
+
+    (eta² is the effect size the raw F lacks — share of variance
+    explained by the grouping.)
+
+    One conditional hash aggregation collapses the data to per-group
+    (n, Σx, Σx²) sufficient statistics — det-quantized fixed-point, so
+    the moments are exact integers under any combine order
+    (functions/numeric.py); group means never materialize per row. The
+    k-row rollup then folds to one row: (n_rows, n_groups, f_stat,
+    eta_sq, ss_between, ss_within), floats rounded to 6. Scale: the
+    data is touched once; everything after is O(k).
+    """
+    from pipelines_rj_sms_spark.functions.numeric import (det_sum,
+                                                          det_sum_big,
+                                                          det_units)
+    v = F.col(value_col)
+    g = (df.filter(v.isNotNull() & F.col(group_col).isNotNull())
+         .groupBy(group_col)
+         .agg(F.count("*").alias("_n"),
+              det_sum(v).alias("_s"),
+              det_sum_big(v * v).alias("_q")))
+    # SSB and SST from the k-row rollup: SST = ΣQ − S²/N,
+    # SSB = Σ s_g²/n_g − S²/N. The per-group terms s_g²/n_g are
+    # computed doubles summed across the rollup — det-quantize them
+    # so the one-row output is order-independent.
+    scale = 1_000_000
+    agg = g.agg(
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_groups"),
+        (F.sum(det_units(F.col("_s") * F.col("_s") / F.col("_n"),
+                         scale).cast("decimal(38,0)"))
+         .cast("double") / F.lit(float(scale))).alias("_sb_term"),
+        (F.sum(det_units(F.col("_q"), scale).cast("decimal(38,0)"))
+         .cast("double") / F.lit(float(scale))).alias("_qt"),
+        (F.sum(det_units(F.col("_s"), scale).cast("decimal(38,0)"))
+         .cast("double") / F.lit(float(scale))).alias("_st"))
+    grand = F.col("_st") * F.col("_st") / F.col("n_rows")
+    ssb = F.col("_sb_term") - grand
+    sst = F.col("_qt") - grand
+    ssw = sst - ssb
+    k1 = (F.col("n_groups") - 1).cast("double")
+    nk = (F.col("n_rows") - F.col("n_groups")).cast("double")
+    f_stat = F.when((ssw > 0) & (F.col("n_groups") > 1) & (nk > 0),
+                    (ssb / k1) / (ssw / nk))
+    eta = F.when(sst > 0, ssb / sst)
+    return agg.select(
+        "n_rows", "n_groups",
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(eta, 6).alias("eta_sq"),
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"))

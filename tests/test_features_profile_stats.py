@@ -414,3 +414,38 @@ def test_seasonal_decompose_rejects_even_period(spark):
     df = spark.createDataFrame([("2024-01-01 00:00:00",)], ["ts"])
     with pytest.raises(ValueError):
         seasonal_decompose(df, "ts", period=4)
+
+
+def test_one_way_anova_hand_computed(spark):
+    from pipelines_rj_sms_spark.quality.stats import one_way_anova
+    # groups: a=[1,2,3] (mean 2), b=[5,6,7] (mean 6); grand mean 4
+    # SSB = 3*(2-4)^2 + 3*(6-4)^2 = 24; SSW = 2 + 2 = 4
+    # F = (24/1) / (4/4) = 24; eta^2 = 24/28
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 5.0), ("b", 6.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = one_way_anova(df, "g", "v").collect()[0]
+    assert out["n_rows"] == 6 and out["n_groups"] == 2
+    assert abs(out["ss_between"] - 24.0) < 1e-5
+    assert abs(out["ss_within"] - 4.0) < 1e-5
+    assert abs(out["f_stat"] - 24.0) < 1e-4
+    assert abs(out["eta_sq"] - 24.0 / 28.0) < 1e-6
+
+
+def test_one_way_anova_identical_groups_f_zero(spark):
+    from pipelines_rj_sms_spark.quality.stats import one_way_anova
+    rows = [(g, float(v)) for g in "abc" for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = one_way_anova(df, "g", "v").collect()[0]
+    assert out["ss_between"] == 0.0
+    assert out["f_stat"] == 0.0
+
+
+def test_one_way_anova_partition_invariance(spark):
+    from pipelines_rj_sms_spark.quality.stats import one_way_anova
+    rows = [("g%d" % (i % 5), float((i * 13) % 97) / 7)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    a = one_way_anova(df.coalesce(1), "g", "v").collect()[0]
+    b = one_way_anova(df.repartition(16), "g", "v").collect()[0]
+    assert a == b
