@@ -380,23 +380,26 @@ def interpolate_linear(df: DataFrame, ts_col: str, value_col: str,
     Leading/trailing nulls clamp to the nearest observed value; series
     with no observation stay null.
 
-    Two windows per key series (prev-observation carry via
-    last(..., ignorenulls) over the preceding frame, next via
-    first(...) over the following frame) — O(1) running state, one
-    Exchange on the key, no self-join and no per-gap explode. Non-null
-    rows pass through untouched (bit-identical, not re-derived).
+    Two running windows per key series: prev-observation carry via
+    last(..., ignorenulls) over the ascending preceding frame, next
+    via the SAME running frame over the descending order — never
+    first() over a [current, unboundedFollowing] frame, which Spark
+    recomputes from scratch per row (O(series²); the reversed running
+    frame is incremental). One Exchange on the key (the two sorts are
+    local), no self-join and no per-gap explode. Non-null rows pass
+    through untouched (bit-identical, not re-derived).
     """
     keys = [F.col(k) for k in (key_cols or [])]
     wp = (Window.partitionBy(*keys).orderBy(F.col(ts_col))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    wn = (Window.partitionBy(*keys).orderBy(F.col(ts_col))
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    wn = (Window.partitionBy(*keys).orderBy(F.col(ts_col).desc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     v = F.col(value_col)
     obs_ts = F.when(v.isNotNull(), F.col(ts_col))
     pv = F.last(v, ignorenulls=True).over(wp)
     pt = F.last(obs_ts, ignorenulls=True).over(wp)
-    nv = F.first(v, ignorenulls=True).over(wn)
-    nt = F.first(obs_ts, ignorenulls=True).over(wn)
+    nv = F.last(v, ignorenulls=True).over(wn)
+    nt = F.last(obs_ts, ignorenulls=True).over(wn)
     t = _epoch_secs(F.col(ts_col))
     frac = (t - _epoch_secs(pt)) / (_epoch_secs(nt) - _epoch_secs(pt))
     filled = (
