@@ -350,6 +350,8 @@ Query key -> SURVEY §2 rows covered:
                             MA trend, det-quantized seasonal, resid)
   event_type_value_anova    one-way ANOVA + eta-squared (det-quantized
                             k-group sufficient statistics)
+  event_value_bootstrap_ci  Poisson-bootstrap percentile CI (replayable
+                            md5 draws through the exact inverse CDF)
 """
 
 from __future__ import annotations
@@ -3890,6 +3892,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _t(spark, sf_dir, "events")
         return one_way_anova(ev, "event_type", "value")
 
+    def bootstrap_q(spark, sf_dir):
+        """Poisson-bootstrap percentile CI for the mean event value:
+        replayable md5 per-(row, replica) draws through the exact
+        Poisson(1) inverse CDF; replica means are exact rationals."""
+        from pipelines_rj_sms_spark.quality.stats import (
+            poisson_bootstrap_mean_ci)
+        ev = _t(spark, sf_dir, "events")
+        return poisson_bootstrap_mean_ci(ev, "value", "event_id",
+                                         n_replicas=100)
+
     q = {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -4129,6 +4141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_discount_ordinal_assoc": ordinal_q,
         "daily_count_decomposition": decompose_q,
         "event_type_value_anova": anova_q,
+        "event_value_bootstrap_ci": bootstrap_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -4188,6 +4201,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fill = max(0, 50 - len(head))
     return {**head, **dict(items[-fill:] if fill else []), **no_oracle,
             **dict(items[:-fill] if fill else items)}
+
+
+def _bootstrap_ci_sql() -> str:
+    from pipelines_rj_sms_spark.quality.stats import POISSON1_CDF
+    case = "CASE " + " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(POISSON1_CDF)
+    ) + f" ELSE {len(POISSON1_CDF)} END"
+    return f"""
+WITH base AS (
+  SELECT CAST(event_id AS VARCHAR) AS id,
+         CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS u_units
+  FROM events WHERE value IS NOT NULL),
+rep AS (
+  SELECT id, u_units, b
+  FROM base CROSS JOIN (SELECT unnest(range(100)) AS b)),
+dr AS (
+  SELECT u_units, b,
+         ((CAST(('0x' || substr(md5('boot' || id || '|'
+             || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1048576) + 0.5) / 1048576.0 AS u
+  FROM rep),
+wt AS (SELECT u_units, b, {case} AS w FROM dr),
+means AS (
+  SELECT b, CAST(sum(w * u_units) AS DOUBLE) / sum(w) / 1000.0 AS m
+  FROM wt GROUP BY b),
+obs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(u_units) AS DOUBLE) / count(*) / 1000.0 AS mean_obs
+  FROM base),
+ci AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+         quantile_cont(m, 0.025) AS lo,
+         quantile_cont(m, 0.975) AS hi
+  FROM means)
+SELECT n_rows, n_replicas,
+       round(mean_obs, 6) AS mean_obs,
+       round(lo, 6) AS ci_lo,
+       round(hi, 6) AS ci_hi
+FROM ci, obs
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7147,6 +7200,10 @@ SELECT n_rows, n_groups,
              - (sb_term - st * st / n_rows), 6) AS ss_within
 FROM agg
 """,
+        # Poisson bootstrap: the CASE thresholds are generated from
+        # quality.stats.POISSON1_CDF — bit-identical literals in both
+        # engines; draws replay the md5 (salt, id, replica) uniform
+        "event_value_bootstrap_ci": _bootstrap_ci_sql(),
     }
 
 

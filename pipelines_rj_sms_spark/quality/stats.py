@@ -409,3 +409,76 @@ def one_way_anova(df: DataFrame, group_col: str,
         F.round(eta, 6).alias("eta_sq"),
         F.round(ssb, 6).alias("ss_between"),
         F.round(ssw, 6).alias("ss_within"))
+
+
+# Poisson(1) cumulative probabilities e^{-1} Σ 1/i!, i = 0..8 — the
+# inverse-CDF thresholds for the bootstrap resampling weights. Single
+# source of truth: the oracle SQL is generated FROM this tuple, so the
+# engine and DuckDB compare against bit-identical literals.
+POISSON1_CDF = (0.36787944117144233, 0.7357588823428847,
+                0.9196986029286058, 0.9810118431238462,
+                0.9963401531726563, 0.9994058151824183,
+                0.9999167588507119, 0.9999897508033253,
+                0.9999988747974021)
+
+
+def poisson_bootstrap_mean_ci(df: DataFrame, value_col: str,
+                              id_col: str, n_replicas: int = 100,
+                              alpha: float = 0.05,
+                              salt: str = "boot",
+                              scale: int = 1000) -> DataFrame:
+    """Percentile bootstrap confidence interval for the mean via the
+    POISSON bootstrap — the distributed form of the bootstrap (public
+    method: resampling counts per row are iid Poisson(1), so replicas
+    need no global coordination, just a per-(row, replica) draw).
+
+    The draws are replayable md5 hash-uniforms of (salt, id, replica)
+    — same discipline as the sampling operators and the DP release —
+    pushed through the exact Poisson(1) inverse CDF (thresholds
+    ``POISSON1_CDF``, truncated at 9: P(>9) < 1.1e-7). Replica means
+    are exact rationals (det-quantized value units, integer weight
+    sums); the CI is the exact percentile pair over the B-row replica
+    table — both engines interpolate (n−1)p identically.
+
+    Scale shape: the replica explode is a narrow map (×B rows, no
+    wide columns); the per-replica aggregation collapses map-side to
+    B rows per partition before one tiny shuffle. Cost is B passes of
+    expression arithmetic over the data — the bootstrap's intrinsic
+    price; run it on the aggregate/sample of interest, not a raw
+    100 TB fact table. One row: (n_rows, n_replicas, mean_obs,
+    ci_lo, ci_hi).
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_units
+
+    v_units = det_units(F.col(value_col), scale)
+    base = (df.filter(F.col(value_col).isNotNull())
+            .select(F.col(id_col).cast("string").alias("_id"),
+                    v_units.alias("_u")))
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1)))
+    rep = base.select("_id", "_u", b.alias("_b"))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col("_id"), F.lit("|"),
+                       F.col("_b").cast("string"))), 1, 8),
+        16, 10).cast("long")
+    u = ((h % 1048576) + 0.5) / 1048576.0
+    w = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    means = (rep.withColumn("_w", w)
+             .groupBy("_b")
+             .agg((F.sum(F.col("_w") * F.col("_u")).cast("double")
+                   / F.sum("_w") / F.lit(float(scale))).alias("_m")))
+    obs = F.broadcast(base.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.sum("_u").cast("double") / F.count("*")
+         / F.lit(float(scale))).alias("_mean_obs")))
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    ci = means.agg(
+        F.count("*").cast("bigint").alias("n_replicas"),
+        F.percentile(F.col("_m"), F.lit(lo)).alias("_lo"),
+        F.percentile(F.col("_m"), F.lit(hi)).alias("_hi"))
+    return (ci.crossJoin(obs)
+            .select("n_rows", "n_replicas",
+                    F.round("_mean_obs", 6).alias("mean_obs"),
+                    F.round("_lo", 6).alias("ci_lo"),
+                    F.round("_hi", 6).alias("ci_hi")))

@@ -449,3 +449,47 @@ def test_one_way_anova_partition_invariance(spark):
     a = one_way_anova(df.coalesce(1), "g", "v").collect()[0]
     b = one_way_anova(df.repartition(16), "g", "v").collect()[0]
     assert a == b
+
+
+def test_bootstrap_ci_brackets_mean_and_is_replayable(spark):
+    from pipelines_rj_sms_spark.quality.stats import (
+        poisson_bootstrap_mean_ci)
+    rows = [(i, float(10 + (i * 7) % 5)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = poisson_bootstrap_mean_ci(df, "v", "id",
+                                    n_replicas=50).collect()[0]
+    assert out["n_rows"] == 400 and out["n_replicas"] == 50
+    # CI must bracket the observed mean and be tight for a bounded var
+    assert out["ci_lo"] <= out["mean_obs"] <= out["ci_hi"]
+    assert out["ci_hi"] - out["ci_lo"] < 1.0
+    # replayable: identical under repartition
+    again = poisson_bootstrap_mean_ci(
+        df.repartition(16), "v", "id", n_replicas=50).collect()[0]
+    assert out == again
+
+
+def test_bootstrap_degenerate_constant_series(spark):
+    from pipelines_rj_sms_spark.quality.stats import (
+        poisson_bootstrap_mean_ci)
+    df = spark.createDataFrame([(i, 5.0) for i in range(50)],
+                               ["id", "v"])
+    out = poisson_bootstrap_mean_ci(df, "v", "id",
+                                    n_replicas=30).collect()[0]
+    assert out["mean_obs"] == 5.0
+    assert out["ci_lo"] == 5.0 and out["ci_hi"] == 5.0
+
+
+def test_poisson_weights_mean_one(spark):
+    # the inverse-CDF weights over many draws must average ~1
+    # (Poisson(1)); checked through the public operator: a huge
+    # replica count over one row -> weight mean == replica-mean ratio
+    from pyspark.sql import functions as F2
+    from pipelines_rj_sms_spark.quality.stats import POISSON1_CDF
+    import math
+    # the tuple itself must be the Poisson(1) CDF
+    c, f = 0.0, 1.0
+    for i, lit in enumerate(POISSON1_CDF):
+        if i:
+            f *= i
+        c += 1.0 / f
+        assert abs(lit - math.exp(-1) * c) < 1e-15
