@@ -352,6 +352,8 @@ Query key -> SURVEY §2 rows covered:
                             k-group sufficient statistics)
   event_value_bootstrap_ci  Poisson-bootstrap percentile CI (replayable
                             md5 draws through the exact inverse CDF)
+  purchase_click_randomization_test  permutation-style significance of
+                            the mean gap (replayable label re-draws)
 """
 
 from __future__ import annotations
@@ -3902,6 +3904,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return poisson_bootstrap_mean_ci(ev, "value", "event_id",
                                          n_replicas=100)
 
+    def permtest_q(spark, sf_dir):
+        """Randomization test: is the purchase-vs-click mean value gap
+        significant? Replayable binomial label re-draws, exact-rational
+        replicate diffs, add-one p-value."""
+        from pipelines_rj_sms_spark.quality.stats import (
+            randomization_test_mean_diff)
+        ev = _t(spark, sf_dir, "events")
+        return randomization_test_mean_diff(
+            ev, "event_type", "value", "event_id",
+            "purchase", "click", n_replicas=200)
+
     q = {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -4142,6 +4155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_count_decomposition": decompose_q,
         "event_type_value_anova": anova_q,
         "event_value_bootstrap_ci": bootstrap_q,
+        "purchase_click_randomization_test": permtest_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -7204,6 +7218,56 @@ FROM agg
         # quality.stats.POISSON1_CDF — bit-identical literals in both
         # engines; draws replay the md5 (salt, id, replica) uniform
         "event_value_bootstrap_ci": _bootstrap_ci_sql(),
+        # randomization test: same generated-draw parity as the
+        # bootstrap (md5 (salt, id, replica) uniforms)
+        "purchase_click_randomization_test": """
+WITH base AS (
+  SELECT CAST(event_id AS VARCHAR) AS id,
+         event_type = 'purchase' AS is_a,
+         CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS u_units
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+obs AS (
+  SELECT count(*) FILTER (is_a) AS n_a,
+         count(*) FILTER (NOT is_a) AS n_b,
+         sum(u_units) FILTER (is_a) AS sa,
+         sum(u_units) FILTER (NOT is_a) AS sb
+  FROM base),
+rep AS (
+  SELECT id, u_units, b
+  FROM base CROSS JOIN (SELECT unnest(range(200)) AS b)),
+dr AS (
+  SELECT u_units, b,
+         ((CAST(('0x' || substr(md5('perm' || id || '|'
+             || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1048576) + 0.5) / 1048576.0 AS u
+  FROM rep),
+reps AS (
+  SELECT b,
+         sum(u_units) FILTER (u < n_a / (n_a + n_b)) AS ra,
+         count(*) FILTER (u < n_a / (n_a + n_b)) AS na,
+         sum(u_units) FILTER (u >= n_a / (n_a + n_b)) AS rb,
+         count(*) FILTER (u >= n_a / (n_a + n_b)) AS nb
+  FROM dr CROSS JOIN obs
+  GROUP BY b
+  HAVING count(*) FILTER (u < n_a / (n_a + n_b)) > 0
+     AND count(*) FILTER (u >= n_a / (n_a + n_b)) > 0),
+hits AS (
+  SELECT count(*) AS kept,
+         sum(CASE WHEN abs(CAST(ra AS DOUBLE) / na
+                           - CAST(rb AS DOUBLE) / nb)
+                       >= abs(CAST(sa AS DOUBLE) / n_a
+                              - CAST(sb AS DOUBLE) / n_b)
+                  THEN 1 ELSE 0 END) AS ge
+  FROM reps CROSS JOIN obs)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(kept AS BIGINT) AS n_replicas,
+       round((CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)
+             / 1000.0, 6) AS mean_diff_obs,
+       round((ge + 1) / (kept + 1), 6) AS p_value
+FROM hits CROSS JOIN obs
+""",
     }
 
 

@@ -482,3 +482,75 @@ def poisson_bootstrap_mean_ci(df: DataFrame, value_col: str,
                     F.round("_mean_obs", 6).alias("mean_obs"),
                     F.round("_lo", 6).alias("ci_lo"),
                     F.round("_hi", 6).alias("ci_hi")))
+
+
+def randomization_test_mean_diff(df: DataFrame, group_col: str,
+                                 value_col: str, id_col: str,
+                                 group_a, group_b,
+                                 n_replicas: int = 200,
+                                 salt: str = "perm",
+                                 scale: int = 1000) -> DataFrame:
+    """Approximate randomization (permutation) test for the difference
+    of group means — the assumption-free significance companion to
+    :func:`welch_t_test` (public method: under H0 labels are
+    exchangeable, so re-draw them and count how often the shuffled
+    |mean_a − mean_b| reaches the observed one).
+
+    Labels are re-drawn iid with the observed group-a share (the
+    binomial randomization variant — no global shuffle needed, which
+    is what makes it distributed) from replayable md5 hash-uniforms of
+    (salt, id, replica), the same draw discipline as the bootstrap and
+    the sampling operators. Replicate mean-diffs are exact rationals
+    (quantized units / integer counts); the p-value uses the add-one
+    convention (1 + #{|diff_b| ≥ |diff_obs|}) / (B + 1) so it is never
+    exactly zero. One row: (n_a, n_b, n_replicas, mean_diff_obs,
+    p_value).
+
+    Scale: ×B narrow explode, per-replica conditional sums collapse
+    map-side to B rows; same intrinsic B-passes cost (and the same
+    advice) as :func:`poisson_bootstrap_mean_ci`.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_units
+
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    base = (df.filter((in_a | in_b) & F.col(value_col).isNotNull())
+            .select(F.col(id_col).cast("string").alias("_id"),
+                    in_a.alias("_is_a"),
+                    det_units(F.col(value_col), scale).alias("_u")))
+    obs = F.broadcast(base.agg(
+        F.count(F.when(F.col("_is_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("_is_a"), 1)).alias("n_b"),
+        F.sum(F.when(F.col("_is_a"), F.col("_u"))).alias("_sa"),
+        F.sum(F.when(~F.col("_is_a"), F.col("_u"))).alias("_sb")))
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1)))
+    rep = base.select("_id", "_u", b.alias("_b")).crossJoin(obs)
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col("_id"), F.lit("|"),
+                       F.col("_b").cast("string"))), 1, 8),
+        16, 10).cast("long")
+    u = ((h % 1048576) + 0.5) / 1048576.0
+    p_a = F.col("n_a") / (F.col("n_a") + F.col("n_b"))
+    draw_a = u < p_a
+    reps = (rep.groupBy("_b")
+            .agg(F.sum(F.when(draw_a, F.col("_u"))).alias("_ra"),
+                 F.count(F.when(draw_a, 1)).alias("_na"),
+                 F.sum(F.when(~draw_a, F.col("_u"))).alias("_rb"),
+                 F.count(F.when(~draw_a, 1)).alias("_nb"))
+            .filter((F.col("_na") > 0) & (F.col("_nb") > 0)))
+    diff_b = (F.col("_ra").cast("double") / F.col("_na")
+              - F.col("_rb").cast("double") / F.col("_nb"))
+    diff_obs = (F.col("_sa").cast("double") / F.col("n_a")
+                - F.col("_sb").cast("double") / F.col("n_b"))
+    hits = reps.crossJoin(obs).agg(
+        F.count("*").alias("_kept"),
+        F.sum((F.abs(diff_b) >= F.abs(diff_obs)).cast("long"))
+        .alias("_ge"))
+    return (hits.crossJoin(obs).select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("_kept").cast("bigint").alias("n_replicas"),
+        F.round(diff_obs / F.lit(float(scale)), 6)
+        .alias("mean_diff_obs"),
+        F.round((F.col("_ge") + 1).cast("double")
+                / (F.col("_kept") + 1), 6).alias("p_value")))

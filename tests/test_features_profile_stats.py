@@ -493,3 +493,44 @@ def test_poisson_weights_mean_one(spark):
             f *= i
         c += 1.0 / f
         assert abs(lit - math.exp(-1) * c) < 1e-15
+
+
+def test_randomization_test_detects_large_gap(spark):
+    from pipelines_rj_sms_spark.quality.stats import (
+        randomization_test_mean_diff)
+    # a: ~100, b: ~1 — the observed gap should beat essentially every
+    # label re-draw
+    rows = ([("a", float(100 + i % 3), i) for i in range(60)]
+            + [("b", float(1 + i % 3), 100 + i) for i in range(60)])
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    out = randomization_test_mean_diff(
+        df, "g", "v", "id", "a", "b", n_replicas=100).collect()[0]
+    assert out["n_a"] == 60 and out["n_b"] == 60
+    assert abs(out["mean_diff_obs"] - 99.0) < 0.1
+    assert out["p_value"] <= 2.0 / 101
+
+
+def test_randomization_test_null_when_identical(spark):
+    from pipelines_rj_sms_spark.quality.stats import (
+        randomization_test_mean_diff)
+    rows = ([("a", float(i % 7), i) for i in range(80)]
+            + [("b", float(i % 7), 100 + i) for i in range(80)])
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    out = randomization_test_mean_diff(
+        df, "g", "v", "id", "a", "b", n_replicas=100).collect()[0]
+    # identical distributions: the observed diff is tiny and many
+    # re-draws should reach it
+    assert out["p_value"] > 0.05
+
+
+def test_randomization_test_replayable(spark):
+    from pipelines_rj_sms_spark.quality.stats import (
+        randomization_test_mean_diff)
+    rows = [("a" if i % 2 else "b", float((i * 13) % 23), i)
+            for i in range(150)]
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    a = randomization_test_mean_diff(
+        df.coalesce(1), "g", "v", "id", "a", "b").collect()[0]
+    b = randomization_test_mean_diff(
+        df.repartition(16), "g", "v", "id", "a", "b").collect()[0]
+    assert a == b
