@@ -195,7 +195,11 @@ def test_every_query_plans_clean(spark):
                     "event_value_quantile_norm",
                     # inequality self-join of the COLLAPSED contingency
                     # cells (bounded by the ordinal scale, documented)
-                    "quantity_discount_ordinal_assoc"}
+                    "quantity_discount_ordinal_assoc",
+                    # 1-row observed-stats / CI scalar broadcasts under
+                    # the replica frames (resampling queries)
+                    "event_value_bootstrap_ci",
+                    "purchase_click_randomization_test"}
     failures = []
     for name, fn in entry.queries().items():
         try:
