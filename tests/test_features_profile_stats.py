@@ -534,3 +534,28 @@ def test_randomization_test_replayable(spark):
     b = randomization_test_mean_diff(
         df.repartition(16), "g", "v", "id", "a", "b").collect()[0]
     assert a == b
+
+
+def test_remaining_new_operators_partition_invariant(spark):
+    # combine-order perturbation for the round-6 additions not already
+    # pinned individually (same gate as tests/test_determinism.py)
+    import pyspark.sql.functions as F2
+    from pipelines_rj_sms_spark.operators.classify import binary_auc
+    from pipelines_rj_sms_spark.operators.features import (
+        target_encode_loo)
+    from pipelines_rj_sms_spark.quality.profile import (
+        chi2_independence, ordinal_association)
+
+    rows = [("g%d" % (i % 6), "h%d" % ((i * 5) % 4),
+             float((i * 13) % 37) / 3, i % 2, i) for i in range(300)]
+    df = spark.createDataFrame(rows, ["a", "b", "v", "y", "id"])
+
+    def both(fn):
+        one = sorted(tuple(r) for r in fn(df.repartition(1)).collect())
+        many = sorted(tuple(r) for r in fn(df.repartition(64)).collect())
+        assert one == many, fn
+
+    both(lambda d: chi2_independence(d, "a", "b"))
+    both(lambda d: ordinal_association(d, "a", "b"))
+    both(lambda d: binary_auc(d, "v", "y"))
+    both(lambda d: target_encode_loo(d, "a", "v"))
