@@ -354,6 +354,10 @@ Query key -> SURVEY §2 rows covered:
                             md5 draws through the exact inverse CDF)
   purchase_click_randomization_test  permutation-style significance of
                             the mean gap (replayable label re-draws)
+  copurchase_assortativity  Newman degree assortativity (exact integer
+                            moments over orientation rows)
+  copurchase_community_modularity  modularity Q of the LPA partition
+                            (integer-numerator form, no quantization)
 """
 
 from __future__ import annotations
@@ -3915,6 +3919,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, "event_type", "value", "event_id",
             "purchase", "click", n_replicas=200)
 
+    def assort_q(spark, sf_dir):
+        """Degree assortativity of the part co-purchase graph: exact
+        integer moments over the 2m orientation rows."""
+        from pipelines_rj_sms_spark.operators.graph import (
+            assortativity, cooccurrence_edges)
+        li = _t(spark, sf_dir, "lineitem")
+        edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                                   max_items_per_group=None)
+        return assortativity(edges)
+
+    def modularity_q(spark, sf_dir):
+        """Newman modularity of the 3-round LPA partition over the
+        co-purchase graph — integer-numerator form (4mL_c - d_c²)/4m²,
+        exact with no quantization step."""
+        from pipelines_rj_sms_spark.operators.graph import (
+            cooccurrence_edges, label_propagation, modularity)
+        li = _t(spark, sf_dir, "lineitem")
+        edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                                   max_items_per_group=None)
+        labels = label_propagation(edges, n_rounds=3,
+                                   edges_distinct=True)
+        return modularity(edges, labels)
+
     q = {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -4156,6 +4183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_value_anova": anova_q,
         "event_value_bootstrap_ci": bootstrap_q,
         "purchase_click_randomization_test": permtest_q,
+        "copurchase_assortativity": assort_q,
+        "copurchase_community_modularity": modularity_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -7267,6 +7296,90 @@ SELECT CAST(n_a AS BIGINT) AS n_a,
              / 1000.0, 6) AS mean_diff_obs,
        round((ge + 1) / (kept + 1), 6) AS p_value
 FROM hits CROSS JOIN obs
+""",
+        # assortativity: exact HUGEINT moments over orientation rows
+        "copurchase_assortativity": """
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.p AS a, b.p AS b
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+und AS MATERIALIZED (
+  SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+deg AS (SELECT a AS node, count(*) AS d FROM und GROUP BY 1),
+paired AS (
+  SELECT d1.d AS du, d2.d AS dv
+  FROM und JOIN deg d1 ON und.a = d1.node
+           JOIN deg d2 ON und.b = d2.node),
+agg AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(du AS HUGEINT)) AS sx,
+         sum(CAST(du AS HUGEINT) * CAST(dv AS HUGEINT)) AS sxy,
+         sum(CAST(du AS HUGEINT) * CAST(du AS HUGEINT)) AS sxx
+  FROM paired),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT n_nodes,
+       CAST(n // 2 AS BIGINT) AS n_edges,
+       round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 THEN
+               CAST(n * sxy - sx * sx AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) END, 6)
+         AS assortativity
+FROM agg, nn
+""",
+        # modularity of the SAME unrolled 3-round LPA labels the
+        # part_copurchase_communities oracle replays
+        "copurchase_community_modularity": """
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.p AS a, b.p AS b
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+und AS MATERIALIZED (
+  SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS label FROM und),
+c1 AS MATERIALIZED (
+  SELECT und.a AS node, l0.label, count(*) AS c
+  FROM und JOIN l0 ON und.b = l0.node
+  GROUP BY 1, 2),
+l1 AS MATERIALIZED (
+  SELECT node, label FROM c1
+  QUALIFY row_number() OVER (PARTITION BY node
+                             ORDER BY c DESC, label ASC) = 1),
+c2 AS MATERIALIZED (
+  SELECT und.a AS node, l1.label, count(*) AS c
+  FROM und JOIN l1 ON und.b = l1.node
+  GROUP BY 1, 2),
+l2 AS MATERIALIZED (
+  SELECT node, label FROM c2
+  QUALIFY row_number() OVER (PARTITION BY node
+                             ORDER BY c DESC, label ASC) = 1),
+c3 AS MATERIALIZED (
+  SELECT und.a AS node, l2.label, count(*) AS c
+  FROM und JOIN l2 ON und.b = l2.node
+  GROUP BY 1, 2),
+l3 AS MATERIALIZED (
+  SELECT node, label FROM c3
+  QUALIFY row_number() OVER (PARTITION BY node
+                             ORDER BY c DESC, label ASC) = 1),
+labels AS MATERIALIZED (SELECT node, label AS community FROM l3),
+deg AS (SELECT a AS node, count(*) AS d FROM und GROUP BY 1),
+mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e0),
+dc AS (SELECT l.community AS c, CAST(sum(d.d) AS HUGEINT) AS dsum
+       FROM labels l JOIN deg d ON l.node = d.node GROUP BY 1),
+intra AS (SELECT l1.community AS c, CAST(count(*) AS HUGEINT) AS li
+          FROM e0 JOIN labels l1 ON e0.a = l1.node
+                  JOIN labels l2 ON e0.b = l2.node
+          WHERE l1.community = l2.community GROUP BY 1),
+terms AS (
+  SELECT 4 * m * coalesce(li, CAST(0 AS HUGEINT)) - dsum * dsum AS t,
+         m
+  FROM dc LEFT JOIN intra USING (c) CROSS JOIN mm)
+SELECT CAST(max(m) AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_communities,
+       round(CAST(sum(t) AS DOUBLE)
+             / CAST(4 * max(m) * max(m) AS DOUBLE), 6) AS modularity
+FROM terms
 """,
     }
 

@@ -506,3 +506,108 @@ def label_propagation(edges: DataFrame, n_rounds: int = 5,
                   .localCheckpoint(False))
     und.unpersist()
     return labels.select("node", F.col("label").alias("community"))
+
+
+def assortativity(edges: DataFrame, src: str = "src",
+                  dst: str = "dst") -> DataFrame:
+    """Degree assortativity coefficient of the undirected graph —
+    Newman's r (public formula): the Pearson correlation of the total
+    degrees at the two ends of every edge, each undirected edge
+    counted once per orientation. r > 0 = hubs link to hubs (social
+    shape), r < 0 = hubs link to leaves (hub-and-spoke / dependency
+    shape) — the one-number audit of a co-occurrence graph's topology.
+
+    Exactness: degrees are integers, every moment is an exact
+    DECIMAL(38,0) sum over the 2m orientation rows, and by symmetry
+    Σd_u = Σd_v and Σd_u² = Σd_v², so
+
+        r = (n·Σd_u d_v − (Σd_u)²) / (n·Σd_u² − (Σd_u)²),  n = 2m
+
+    is one final double expression. Scale shape: one degree hash agg,
+    one equi-join of the (node, degree) map onto each endpoint (narrow
+    rows), one fold. One row: (n_nodes, n_edges, assortativity).
+    """
+    e = (edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+         .distinct())
+    both = e.unionByName(e.select(F.col("_b").alias("_a"),
+                                  F.col("_a").alias("_b")))
+    deg = both.groupBy("_a").agg(F.count("*").alias("_d"))
+    d38 = "decimal(38,0)"
+    du = F.col("_du").cast(d38)
+    dv = F.col("_dv").cast(d38)
+    paired = (both
+              .join(deg.select(F.col("_a"), F.col("_d").alias("_du")),
+                    "_a")
+              .join(deg.select(F.col("_a").alias("_b"),
+                               F.col("_d").alias("_dv")), "_b"))
+    agg = paired.agg(
+        F.count("*").cast(d38).alias("_n"),
+        F.sum(du).alias("_sx"),
+        F.sum(du * dv).alias("_sxy"),
+        F.sum(du * du).alias("_sxx"))
+    nodes = F.broadcast(deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes")))
+    num = (F.col("_n") * F.col("_sxy")
+           - F.col("_sx") * F.col("_sx")).cast("double")
+    den = (F.col("_n") * F.col("_sxx")
+           - F.col("_sx") * F.col("_sx")).cast("double")
+    return (agg.crossJoin(nodes)
+            .select("n_nodes",
+                    (F.col("_n") / 2).cast("bigint").alias("n_edges"),
+                    F.round(F.when(den > 0, num / den), 6)
+                    .alias("assortativity")))
+
+
+def modularity(edges: DataFrame, labels: DataFrame,
+               node_col: str = "node",
+               community_col: str = "community",
+               src: str = "src", dst: str = "dst") -> DataFrame:
+    """Newman modularity Q of a community partition over an undirected
+    graph — the quality score for :func:`label_propagation` /
+    :func:`connected_components` output (public formula):
+
+        Q = Σ_c [ L_c/m − (d_c/(2m))² ]
+          = Σ_c (4m·L_c − d_c²) / (4m²)
+
+    The second form is how it's computed here: L_c (intra-community
+    edges), d_c (community degree mass) and m are integers, so the
+    numerator is ONE exact DECIMAL(38,0) sum and Q is a single double
+    division — order-independent with no quantization step at all.
+
+    Scale shape: one degree agg, two narrow label joins onto the edge
+    endpoints, one (community) hash agg over collapsed rows. One row:
+    (n_edges, n_communities, modularity).
+    """
+    e = (edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+         .distinct())
+    lab = labels.select(F.col(node_col).alias("_n"),
+                        F.col(community_col).alias("_c"))
+    both = e.unionByName(e.select(F.col("_b").alias("_a"),
+                                  F.col("_a").alias("_b")))
+    deg = both.groupBy("_a").agg(F.count("*").alias("_d"))
+    d38 = "decimal(38,0)"
+    dc = (lab.join(deg, lab["_n"] == deg["_a"])
+          .groupBy("_c").agg(F.sum("_d").cast(d38).alias("_dsum")))
+    intra = (e
+             .join(lab.select(F.col("_n").alias("_a"),
+                              F.col("_c").alias("_ca")), "_a")
+             .join(lab.select(F.col("_n").alias("_b"),
+                              F.col("_c").alias("_cb")), "_b")
+             .filter(F.col("_ca") == F.col("_cb"))
+             .groupBy(F.col("_ca").alias("_c"))
+             .agg(F.count("*").cast(d38).alias("_intra")))
+    m = F.broadcast(e.agg(F.count("*").cast(d38).alias("_m")))
+    terms = (dc.join(intra, "_c", "left")
+             .crossJoin(m)
+             .select(
+                 (4 * F.col("_m")
+                  * F.coalesce(F.col("_intra"),
+                               F.lit(0).cast(d38))
+                  - F.col("_dsum") * F.col("_dsum")).alias("_t"),
+                 F.col("_m")))
+    return terms.agg(
+        F.max(F.col("_m")).cast("bigint").alias("n_edges"),
+        F.count("*").cast("bigint").alias("n_communities"),
+        F.round(F.sum("_t").cast("double")
+                / (4 * F.max(F.col("_m")) * F.max(F.col("_m")))
+                .cast("double"), 6).alias("modularity"))

@@ -157,3 +157,48 @@ def test_cooccurrence_edges_matches_selfjoin_and_caps(spark):
     capped = {(r["src"], r["dst"]) for r in cooccurrence_edges(
         df, "g", "i", max_items_per_group=2).collect()}
     assert capped == {(2, 3)}
+
+
+def test_assortativity_star_is_negative(spark):
+    from pipelines_rj_sms_spark.operators.graph import assortativity
+    # star K1,4: hub degree 4, leaves 1 -> r = -1
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], ["src", "dst"])
+    out = assortativity(edges).collect()[0]
+    assert out["n_nodes"] == 5 and out["n_edges"] == 4
+    assert out["assortativity"] == -1.0
+
+
+def test_assortativity_regular_graph_null(spark):
+    from pipelines_rj_sms_spark.operators.graph import assortativity
+    # cycle C4: every degree 2 -> zero variance -> null (not NaN/Inf)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3)], ["src", "dst"])
+    out = assortativity(edges).collect()[0]
+    assert out["assortativity"] is None
+
+
+def test_modularity_two_cliques(spark):
+    from pipelines_rj_sms_spark.operators.graph import modularity
+    # two disjoint triangles labeled by component: the textbook value
+    # Q = sum_c (L_c/m - (d_c/2m)^2) = 2*(3/6 - (6/12)^2) = 0.5
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)],
+        ["src", "dst"])
+    labels = spark.createDataFrame(
+        [(i, 0) for i in range(3)] + [(i, 1) for i in range(3, 6)],
+        ["node", "community"])
+    out = modularity(edges, labels).collect()[0]
+    assert out["n_edges"] == 6 and out["n_communities"] == 2
+    assert out["modularity"] == 0.5
+
+
+def test_modularity_single_community_zero(spark):
+    from pipelines_rj_sms_spark.operators.graph import modularity
+    # everything in one community: L_c = m, d_c = 2m -> Q = 0 exactly
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], ["src", "dst"])
+    labels = spark.createDataFrame([(i, 7) for i in range(4)],
+                                   ["node", "community"])
+    out = modularity(edges, labels).collect()[0]
+    assert out["modularity"] == 0.0
