@@ -22,12 +22,16 @@ PARTITION_COLS = ["ano_particao", "mes_particao", "data_particao"]
 
 def write_table(df: DataFrame, path: str, mode: str = "append",
                 ts_col: str | None = None,
-                partition: bool = True) -> None:
+                partition: bool = True,
+                file_format: str = "parquet") -> None:
     """K1/K2: write a batch to the lakehouse.
 
     mode='append'  -> add files to existing partitions
     mode='overwrite' -> replace only the partitions present in ``df``
     Empty inputs short-circuit (Q9, utils/tasks.py:950-951).
+    ``file_format``: any Spark batch sink built in to the distribution
+    ("parquet" default; "orc" / "json" / "csv" verified) — the same
+    dynamic-partition-overwrite semantics apply to all of them.
     """
     if df.isEmpty():
         return
@@ -41,12 +45,14 @@ def write_table(df: DataFrame, path: str, mode: str = "append",
         present = [c for c in PARTITION_COLS if c in df.columns]
         if present:
             writer = writer.partitionBy(*present)
-    writer.parquet(path)
+    writer.format(file_format).save(path)
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
+def read_table(spark: SparkSession, path: str,
+               file_format: str = "parquet") -> DataFrame:
     """Partition-discovering read of a lakehouse table."""
-    return spark.read.option("basePath", path).parquet(path)
+    return (spark.read.option("basePath", path)
+            .format(file_format).load(path))
 
 
 def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,

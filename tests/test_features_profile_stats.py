@@ -559,3 +559,23 @@ def test_remaining_new_operators_partition_invariant(spark):
     both(lambda d: ordinal_association(d, "a", "b"))
     both(lambda d: binary_auc(d, "v", "y"))
     both(lambda d: target_encode_loo(d, "a", "v"))
+
+
+def test_lakehouse_orc_roundtrip(spark, tmp_path):
+    # ORC sink path: same dynamic-partition-overwrite semantics as
+    # parquet, Spark-builtin format (no external jars)
+    from datetime import datetime
+    from pipelines_rj_sms_spark.sinks.lakehouse import (read_table,
+                                                        write_table)
+    df = spark.createDataFrame(
+        [(1, "a", datetime(2024, 1, 1)), (2, "b", datetime(2024, 1, 2))],
+        ["id", "v", "ts"])
+    path = str(tmp_path / "orc_tbl")
+    write_table(df, path, mode="overwrite", ts_col="ts",
+                file_format="orc")
+    back = read_table(spark, path, file_format="orc")
+    assert back.count() == 2
+    assert {r["v"] for r in back.collect()} == {"a", "b"}
+    # partition layout present
+    import os
+    assert any("ano_particao=" in d for d in os.listdir(path))
