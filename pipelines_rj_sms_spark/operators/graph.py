@@ -527,11 +527,16 @@ def assortativity(edges: DataFrame, src: str = "src",
     one equi-join of the (node, degree) map onto each endpoint (narrow
     rows), one fold. One row: (n_nodes, n_edges, assortativity).
     """
+    from pipelines_rj_sms_spark.operators.cache import track
+
+    # the distinct edge list feeds both orientations and the degree
+    # map feeds both endpoint joins — persist each so the upstream
+    # (possibly expensive) edge construction runs once
     e = (edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
-         .distinct())
+         .distinct().persist())
     both = e.unionByName(e.select(F.col("_b").alias("_a"),
                                   F.col("_a").alias("_b")))
-    deg = both.groupBy("_a").agg(F.count("*").alias("_d"))
+    deg = both.groupBy("_a").agg(F.count("*").alias("_d")).persist()
     d38 = "decimal(38,0)"
     du = F.col("_du").cast(d38)
     dv = F.col("_dv").cast(d38)
@@ -551,11 +556,12 @@ def assortativity(edges: DataFrame, src: str = "src",
            - F.col("_sx") * F.col("_sx")).cast("double")
     den = (F.col("_n") * F.col("_sxx")
            - F.col("_sx") * F.col("_sx")).cast("double")
-    return (agg.crossJoin(nodes)
-            .select("n_nodes",
-                    (F.col("_n") / 2).cast("bigint").alias("n_edges"),
-                    F.round(F.when(den > 0, num / den), 6)
-                    .alias("assortativity")))
+    return track(agg.crossJoin(nodes)
+                 .select("n_nodes",
+                         (F.col("_n") / 2).cast("bigint")
+                         .alias("n_edges"),
+                         F.round(F.when(den > 0, num / den), 6)
+                         .alias("assortativity")), e, deg)
 
 
 def modularity(edges: DataFrame, labels: DataFrame,
@@ -578,10 +584,16 @@ def modularity(edges: DataFrame, labels: DataFrame,
     endpoints, one (community) hash agg over collapsed rows. One row:
     (n_edges, n_communities, modularity).
     """
+    from pipelines_rj_sms_spark.operators.cache import track
+
+    # labels are often an ITERATIVE plan (LPA / components) — persist
+    # them and the distinct edges, or every consumer re-runs the
+    # whole propagation
     e = (edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
-         .distinct())
-    lab = labels.select(F.col(node_col).alias("_n"),
-                        F.col(community_col).alias("_c"))
+         .distinct().persist())
+    lab = (labels.select(F.col(node_col).alias("_n"),
+                         F.col(community_col).alias("_c"))
+           .persist())
     both = e.unionByName(e.select(F.col("_b").alias("_a"),
                                   F.col("_a").alias("_b")))
     deg = both.groupBy("_a").agg(F.count("*").alias("_d"))
@@ -605,9 +617,9 @@ def modularity(edges: DataFrame, labels: DataFrame,
                                F.lit(0).cast(d38))
                   - F.col("_dsum") * F.col("_dsum")).alias("_t"),
                  F.col("_m")))
-    return terms.agg(
+    return track(terms.agg(
         F.max(F.col("_m")).cast("bigint").alias("n_edges"),
         F.count("*").cast("bigint").alias("n_communities"),
         F.round(F.sum("_t").cast("double")
                 / (4 * F.max(F.col("_m")) * F.max(F.col("_m")))
-                .cast("double"), 6).alias("modularity"))
+                .cast("double"), 6).alias("modularity")), e, lab)

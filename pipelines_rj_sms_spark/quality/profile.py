@@ -182,10 +182,15 @@ def spearman_correlation(df: DataFrame, col_a: str,
     """
     from pyspark.sql import Window
 
+    from pipelines_rj_sms_spark.operators.cache import track
+
     base = (df.filter(F.col(col_a).isNotNull()
                       & F.col(col_b).isNotNull())
             .select(F.col(col_a).alias("_x"), F.col(col_b).alias("_y")))
-    joint = base.groupBy("_x", "_y").agg(F.count("*").alias("_n"))
+    # the collapsed joint feeds both rank maps, the total AND the
+    # moment join — persist so the data aggregates once
+    joint = (base.groupBy("_x", "_y").agg(F.count("*").alias("_n"))
+             .persist())
 
     def rank_map(c):
         # avg rank of value v = (#less) + (count(v) + 1) / 2; in
@@ -222,9 +227,9 @@ def spearman_correlation(df: DataFrame, col_a: str,
         F.col("_sxy").cast("double")
         / F.sqrt(F.col("_sxx").cast("double")
                  * F.col("_syy").cast("double")))
-    return moments.select(
+    return track(moments.select(
         F.col("n_rows").cast("bigint").alias("n_rows"),
-        F.round(rho, 6).alias("rho_spearman"))
+        F.round(rho, 6).alias("rho_spearman")), joint)
 
 
 def chi2_independence(df: DataFrame, col_a: str,
@@ -353,11 +358,16 @@ def ordinal_association(df: DataFrame, col_a: str,
     expression each. One row: (n_rows, concordant, discordant, gamma,
     tau_b), floats rounded to 6.
     """
+    from pipelines_rj_sms_spark.operators.cache import track
+
+    # the contingency cells feed the pair self-join (both sides), two
+    # margin rollups and the totals — persist the collapsed frame
     joint = (df.filter(F.col(col_a).isNotNull()
                        & F.col(col_b).isNotNull())
              .groupBy(F.col(col_a).alias("_a"),
                       F.col(col_b).alias("_b"))
-             .agg(F.count("*").alias("_n")))
+             .agg(F.count("*").alias("_n"))
+             .persist())
     d38 = "decimal(38,0)"
     lo = joint.select(F.col("_a").alias("_a1"),
                       F.col("_b").alias("_b1"),
@@ -390,9 +400,9 @@ def ordinal_association(df: DataFrame, col_a: str,
     denom = F.sqrt((n0 - F.col("_n1t")).cast("double")
                    * (n0 - F.col("_n2t")).cast("double"))
     tau_b = F.when(denom > 0, cd / denom)
-    return totals.select(
+    return track(totals.select(
         F.col("_nr").cast("bigint").alias("n_rows"),
         F.col("_c").cast("bigint").alias("concordant"),
         F.col("_d").cast("bigint").alias("discordant"),
         F.round(gamma, 6).alias("gamma"),
-        F.round(tau_b, 6).alias("tau_b"))
+        F.round(tau_b, 6).alias("tau_b")), joint)
