@@ -467,3 +467,34 @@ def seasonal_decompose(df: DataFrame, ts_col: str,
                F.round(F.col("observed") - F.col("trend")
                        - F.col("seasonal"), 6).alias("resid")))
     return out
+
+
+def seasonal_anomalies(df: DataFrame, ts_col: str, period: int = 7,
+                       n_sigma: float = 2.0) -> DataFrame:
+    """Seasonality-aware anomaly flags: :func:`seasonal_decompose`'s
+    residuals scored against their own spread — a day is anomalous
+    when |resid| > n_sigma·σ(resid), which catches level breaks the
+    plain rolling z-score (analytics.rolling_anomalies) confounds
+    with weekly shape. σ comes from det-quantized Σr/Σr² over the
+    COLLAPSED daily table (one broadcast row); the output keeps the
+    decomposition columns plus (resid_z, is_anomaly). Edge days with
+    null trend carry null z and false flags.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import (det_sum,
+                                                          det_sum_big)
+    dec = seasonal_decompose(df, ts_col, period=period)
+    r = F.col("resid")
+    stats = F.broadcast(dec.filter(r.isNotNull()).agg(
+        F.count("*").alias("_n"),
+        det_sum(r, 1_000_000).alias("_s"),
+        det_sum_big(r * r, 1_000_000).alias("_q")))
+    var = (F.col("_q") - F.col("_s") * F.col("_s") / F.col("_n")) \
+        / F.col("_n")
+    sigma = F.sqrt(var)
+    z = F.when(sigma > 0, r / sigma)
+    return (dec.crossJoin(stats)
+            .select("bucket", "pos", "observed", "trend", "seasonal",
+                    "resid",
+                    F.round(z, 6).alias("resid_z"),
+                    F.coalesce(F.abs(z) > F.lit(float(n_sigma)),
+                               F.lit(False)).alias("is_anomaly")))

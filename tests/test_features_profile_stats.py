@@ -579,3 +579,32 @@ def test_lakehouse_orc_roundtrip(spark, tmp_path):
     # partition layout present
     import os
     assert any("ano_particao=" in d for d in os.listdir(path))
+
+
+def test_seasonal_anomalies_flags_planted_spike(spark):
+    from datetime import datetime, timedelta
+    from pipelines_rj_sms_spark.operators.timeseries import (
+        seasonal_anomalies)
+    rows = []
+    for d in range(28):
+        ts = datetime(2024, 1, 1) + timedelta(days=d)
+        n = 10 + (7 if (ts - datetime(1970, 1, 1)).days % 7 == 0 else 0)
+        if d == 15:
+            n += 40  # planted spike
+        rows += [(ts, i) for i in range(n)]
+    df = spark.createDataFrame(rows, ["ts", "i"])
+    out = {r["bucket"].isoformat(): r
+           for r in seasonal_anomalies(df, "ts", period=7).collect()}
+    spike_day = (datetime(2024, 1, 1)
+                 + timedelta(days=15)).date().isoformat()
+    assert out[spike_day]["is_anomaly"] is True
+    quiet = [r for k, r in out.items()
+             if k != spike_day and r["trend"] is not None
+             # the spike bleeds into its 7-day MA neighborhood
+             and abs((datetime.fromisoformat(k).date()
+                      - datetime.fromisoformat(spike_day).date()).days)
+             > 3]
+    assert quiet and all(not r["is_anomaly"] for r in quiet)
+    # edge days: null z, false flag
+    assert out["2024-01-01"]["resid_z"] is None
+    assert out["2024-01-01"]["is_anomaly"] is False
