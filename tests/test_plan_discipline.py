@@ -199,7 +199,12 @@ def test_every_query_plans_clean(spark):
                     # 1-row observed-stats / CI scalar broadcasts under
                     # the replica frames (resampling queries)
                     "event_value_bootstrap_ci",
-                    "purchase_click_randomization_test"}
+                    "purchase_click_randomization_test",
+                    # 1-row scalar broadcasts: node-count / edge-count m
+                    # / residual-spread rows
+                    "copurchase_assortativity",
+                    "copurchase_community_modularity",
+                    "daily_count_seasonal_anomalies"}
     failures = []
     for name, fn in entry.queries().items():
         try:
