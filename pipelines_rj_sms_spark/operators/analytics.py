@@ -906,3 +906,72 @@ def mann_kendall_test(df: DataFrame, x_col: str, y_col: str,
         F.round(var_s, 6).alias("var_s"),
         F.round(F.when(var_s > 0, z).otherwise(F.lit(0.0)), 6)
         .alias("z"))
+
+
+def log_rank_test(df: DataFrame, duration_col: str, event_col: str,
+                  group_col: str, group_a, group_b) -> DataFrame:
+    """Log-rank test between two survival curves — the significance
+    companion to :func:`survival_curve` (public formula): at every
+    event time t, group A's observed deaths are compared with the
+    hypergeometric expectation d_t·nA_t/n_t given the pooled risk set;
+
+        z = (O − E) / sqrt(V),   chi2 = z²,
+        V = Σ d_t·nA_t·(n_t−nA_t)·(n_t−d_t) / (n_t²·(n_t−1))
+
+    Scale shape: subjects collapse to a per-(duration) pivoted rollup
+    (dA, cA, dB, cB) in one hash aggregation; risk sets are cumulative
+    windows OVER THE COLLAPSED duration table (never the subjects);
+    every count is an exact integer, the per-time E and V terms are
+    single double expressions over those integers, and the three
+    totals accumulate det-quantized (1e-6 units) in DECIMAL so the
+    one-row output is order-independent. Output: (n_a, n_b,
+    observed_a, expected_a, chi2, z_stat), floats rounded to 6.
+    ``event_col``: 1 = event observed, 0 = right-censored.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_units
+
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    ev = F.col(event_col).cast("long")
+    per = (df.filter(in_a | in_b)
+           .groupBy(F.col(duration_col).alias("_t"))
+           .agg(F.sum(F.when(in_a, ev).otherwise(0)).alias("_da"),
+                F.sum(F.when(in_a, 1 - ev).otherwise(0)).alias("_ca"),
+                F.sum(F.when(in_b, ev).otherwise(0)).alias("_db"),
+                F.sum(F.when(in_b, 1 - ev).otherwise(0)).alias("_cb")))
+    wt = Window.partitionBy()
+    wo = (Window.orderBy("_t")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    tot_a = F.sum(F.col("_da") + F.col("_ca")).over(wt)
+    tot_b = F.sum(F.col("_db") + F.col("_cb")).over(wt)
+    prior_a = F.coalesce(
+        F.sum(F.col("_da") + F.col("_ca")).over(wo), F.lit(0))
+    prior_b = F.coalesce(
+        F.sum(F.col("_db") + F.col("_cb")).over(wo), F.lit(0))
+    frame = per.select(
+        "_da", "_db",
+        tot_a.alias("_ta"), tot_b.alias("_tb"),
+        (tot_a - prior_a).alias("_na"),
+        (tot_a - prior_a + tot_b - prior_b).alias("_n"))
+    d = F.col("_da") + F.col("_db")
+    na, n = F.col("_na"), F.col("_n")
+    e_term = F.when(d > 0, d * na / n)
+    v_term = F.when((d > 0) & (n > 1),
+                    d * na / n * (n - na) / n * (n - d) / (n - 1))
+    scale = 1_000_000
+    d38 = "decimal(38,0)"
+    agg = frame.agg(
+        F.max("_ta").cast("bigint").alias("n_a"),
+        F.max("_tb").cast("bigint").alias("n_b"),
+        F.sum("_da").cast("bigint").alias("observed_a"),
+        (F.sum(det_units(e_term, scale).cast(d38)).cast("double")
+         / F.lit(float(scale))).alias("_e"),
+        (F.sum(det_units(v_term, scale).cast(d38)).cast("double")
+         / F.lit(float(scale))).alias("_v"))
+    z = F.when(F.col("_v") > 0,
+               (F.col("observed_a") - F.col("_e")) / F.sqrt("_v"))
+    return agg.select(
+        "n_a", "n_b", "observed_a",
+        F.round("_e", 6).alias("expected_a"),
+        F.round(z * z, 6).alias("chi2"),
+        F.round(z, 6).alias("z_stat"))

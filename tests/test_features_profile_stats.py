@@ -608,3 +608,32 @@ def test_seasonal_anomalies_flags_planted_spike(spark):
     # edge days: null z, false flag
     assert out["2024-01-01"]["resid_z"] is None
     assert out["2024-01-01"]["is_anomaly"] is False
+
+
+def test_log_rank_hand_computed(spark):
+    import math
+    from pipelines_rj_sms_spark.operators.analytics import log_rank_test
+    # A: events at t=1,2; B: event at t=3, censored at t=4
+    rows = [("A", 1, 1), ("A", 2, 1), ("B", 3, 1), ("B", 4, 0)]
+    df = spark.createDataFrame(rows, ["g", "dur", "ev"])
+    out = log_rank_test(df, "dur", "ev", "g", "A", "B").collect()[0]
+    # t=1: n=4 nA=2 d=1 -> E+=0.5,  V+=0.25
+    # t=2: n=3 nA=1 d=1 -> E+=1/3,  V+=2/9
+    # t=3: n=2 nA=0 d=1 -> E+=0,    V+=0
+    e = 0.5 + 1 / 3
+    v = 0.25 + 2 / 9
+    z = (2 - e) / math.sqrt(v)
+    assert out["n_a"] == 2 and out["n_b"] == 2
+    assert out["observed_a"] == 2
+    assert abs(out["expected_a"] - e) < 1e-5
+    assert abs(out["z_stat"] - z) < 1e-4
+    assert abs(out["chi2"] - z * z) < 1e-3
+
+
+def test_log_rank_identical_groups_zero(spark):
+    from pipelines_rj_sms_spark.operators.analytics import log_rank_test
+    rows = [(g, d, 1) for g in "AB" for d in (1, 2, 3, 4, 5)]
+    df = spark.createDataFrame(rows, ["g", "dur", "ev"])
+    out = log_rank_test(df, "dur", "ev", "g", "A", "B").collect()[0]
+    # perfectly matched curves: O == E exactly at every time
+    assert out["z_stat"] == 0.0 and out["chi2"] == 0.0
