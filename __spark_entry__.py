@@ -362,6 +362,9 @@ Query key -> SURVEY §2 rows covered:
                             (seasonality-aware level-break detector)
   signup_purchase_log_rank  log-rank survival comparison (pooled-risk-
                             set windows over collapsed durations)
+  event_markov_transitions  Laplace-smoothed first-order Markov next-
+                            event matrix (one sequence window pass,
+                            all math on the K² rollup)
 """
 
 from __future__ import annotations
@@ -3978,6 +3981,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.col("fp").isNotNull().cast("int").alias("ev")))
         return log_rank_test(durs, "dur", "ev", "cohort", 0, 1)
 
+    def markov_q(spark, sf_dir):
+        """First-order Markov next-event matrix over per-user event
+        sequences, Laplace-smoothed over the observed state space —
+        one window pass over the fact table, every later step on the
+        collapsed K² (src,dst) rollup; the state count K is the
+        standard 1-row scalar broadcast."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            markov_transitions)
+        ev = _t(spark, sf_dir, "events")
+        return markov_transitions(ev, "user_id", "event_type",
+                                  ["ts", "event_id"])
+
     q = {
         "flagship_pricing_summary": flagship,
         "monitor_recent": _sql(_MONITOR_SPARK),
@@ -4223,6 +4238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_community_modularity": modularity_q,
         "daily_count_seasonal_anomalies": seasonal_anom_q,
         "signup_purchase_log_rank": log_rank_q,
+        "event_markov_transitions": markov_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -7526,6 +7542,30 @@ SELECT n_a, n_b, observed_a,
        round(CASE WHEN v > 0 THEN (observed_a - e) / sqrt(v) END, 6)
          AS z_stat
 FROM agg
+""",
+        "event_markov_transitions": r"""
+WITH seq AS (
+  SELECT event_type AS src_state,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst_state
+  FROM events),
+ru AS (
+  SELECT src_state, dst_state, count(*) AS cnt
+  FROM seq WHERE dst_state IS NOT NULL GROUP BY 1, 2),
+tot AS (
+  SELECT src_state, dst_state, cnt,
+         sum(cnt) OVER (PARTITION BY src_state) AS src_total
+  FROM ru),
+k AS (
+  SELECT count(*) AS _k FROM (
+    SELECT src_state AS s FROM ru
+    UNION SELECT dst_state FROM ru))
+SELECT src_state, dst_state, cnt,
+       CAST(src_total AS BIGINT) AS src_total,
+       round((CAST(cnt AS DOUBLE) + 1.0)
+             / (CAST(src_total AS DOUBLE)
+                + 1.0 * CAST(_k AS DOUBLE)), 6) AS prob
+FROM tot CROSS JOIN k
 """,
     }
 

@@ -121,7 +121,7 @@ _FAMILIES = [
     ("analytics-timeseries", ("twap", "ohlc", "interpolat", "gap_", "decomposition",
                               "asof", "range_", "overlap",
                               "concurrent", "ewma", "seasonal",
-                              "growth", "retention", "funnel", "rfm",
+                              "growth", "retention", "funnel", "rfm", "markov",
                               "attribution", "decomposition",
                               "concentration", "standardized",
                               "geohash", "density", "nearest",

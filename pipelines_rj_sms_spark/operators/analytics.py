@@ -975,3 +975,54 @@ def log_rank_test(df: DataFrame, duration_col: str, event_col: str,
         F.round("_e", 6).alias("expected_a"),
         F.round(z * z, 6).alias("chi2"),
         F.round(z, 6).alias("z_stat"))
+
+
+def markov_transitions(df: DataFrame, seq_col: str, state_col: str,
+                       order_cols: list[str],
+                       alpha: float = 1.0) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences — the sequence-model companion to :func:`funnel_stages`
+    (the reference's monitoring flows count step completions; the
+    transition matrix is the full next-step model those counts sample —
+    public textbook method).
+
+    Each sequence (one per ``seq_col`` value, ordered by
+    ``order_cols`` — include a unique id as the last tiebreak column
+    so ordering is total) contributes (state_t → state_{t+1}) pairs;
+    transitions never cross sequence boundaries. Probabilities are
+    Laplace-smoothed over the observed state space K (states appearing
+    as src or dst anywhere):
+
+        p(dst|src) = (cnt + alpha) / (src_total + alpha*K)
+
+    Scale shape: ONE window pass over the event table partitioned by
+    sequence key (the same shuffle a sessionize does), then every
+    later step runs on the COLLAPSED (src,dst) rollup — at most K²
+    rows no matter how many events. K itself is a 1-row aggregate of
+    the collapsed state list, broadcast-joined back (the standard
+    scalar-subquery plan; build side is exactly one row). Counts are
+    exact integers; the probability is a single double division —
+    deterministic under any partitioning. Returns (src_state,
+    dst_state, cnt, src_total, prob) with prob rounded to 6.
+    """
+    w = Window.partitionBy(seq_col).orderBy(*order_cols)
+    pairs = (df.select(F.col(state_col).alias("src_state"),
+                       F.lead(state_col).over(w).alias("dst_state"))
+             .filter(F.col("dst_state").isNotNull()))
+    rollup = (pairs.groupBy("src_state", "dst_state")
+              .agg(F.count("*").alias("cnt")))
+    wsrc = Window.partitionBy("src_state")
+    rollup = rollup.withColumn(
+        "src_total", F.sum("cnt").over(wsrc))
+    states = (rollup.select(F.col("src_state").alias("_s"))
+              .union(rollup.select(F.col("dst_state").alias("_s")))
+              .distinct().agg(F.count("*").alias("_k")))
+    a = float(alpha)
+    out = rollup.join(F.broadcast(states))
+    prob = ((F.col("cnt").cast("double") + F.lit(a))
+            / (F.col("src_total").cast("double")
+               + F.lit(a) * F.col("_k").cast("double")))
+    return out.select(
+        "src_state", "dst_state", "cnt",
+        F.col("src_total").cast("bigint").alias("src_total"),
+        F.round(prob, 6).alias("prob"))

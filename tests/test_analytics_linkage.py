@@ -257,3 +257,32 @@ def test_standardized_rates_closed_form(spark):
     assert out["dsr"] == 150.0
     # expected = 200 people * 200/1000 = 40 -> SMR = 40/40 = 1
     assert out["smr"] == 1.0
+
+
+def test_markov_transitions_hand_counts(spark):
+    """One user path a->b->a->b, one path b->c: transition counts
+    (a,b)=2 (b,a)=1 (b,c)=1; K=3 observed states; Laplace alpha=1:
+    p(b|a) = (2+1)/(2+3) = 0.6."""
+    from pipelines_rj_sms_spark.operators.analytics import (
+        markov_transitions)
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+            (2, 1, "b"), (2, 2, "c")]
+    df = spark.createDataFrame(rows, ["u", "t", "s"])
+    out = {(r["src_state"], r["dst_state"]): r
+           for r in markov_transitions(df, "u", "s", ["t"]).collect()}
+    assert set(out) == {("a", "b"), ("b", "a"), ("b", "c")}
+    assert out[("a", "b")]["cnt"] == 2
+    assert out[("a", "b")]["src_total"] == 2
+    assert out[("a", "b")]["prob"] == 0.6       # (2+1)/(2+3)
+    assert out[("b", "a")]["prob"] == 0.4       # (1+1)/(2+3)
+    # transitions never cross user boundaries: no (b,b) from u1->u2
+    assert ("b", "b") not in out
+
+
+def test_markov_transitions_rows_never_cross_sequences(spark):
+    """Single-event sequences contribute no transitions."""
+    from pipelines_rj_sms_spark.operators.analytics import (
+        markov_transitions)
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")], ["u", "t", "s"])
+    assert markov_transitions(df, "u", "s", ["t"]).count() == 0

@@ -207,7 +207,10 @@ def test_every_query_plans_clean(spark):
                     "daily_count_seasonal_anomalies",
                     # 1-row corpus-horizon broadcast under the duration
                     # construction (same shape as the KM survival query)
-                    "signup_purchase_log_rank"}
+                    "signup_purchase_log_rank",
+                    # 1-row state-count K broadcast under the collapsed
+                    # K² transition rollup (Laplace denominator)
+                    "event_markov_transitions"}
     failures = []
     for name, fn in entry.queries().items():
         try:
