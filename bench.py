@@ -123,7 +123,7 @@ _FAMILIES = [
                               "concurrent", "ewma", "seasonal",
                               "growth", "retention", "funnel", "rfm", "markov",
                               "attribution", "decomposition",
-                              "concentration", "standardized",
+                              "concentration", "gini", "standardized",
                               "geohash", "density", "nearest",
                               "timeline", "paths", "histogram",
                               "winsorized", "mad_", "imputed",

@@ -1026,3 +1026,55 @@ def markov_transitions(df: DataFrame, seq_col: str, state_col: str,
         "src_state", "dst_state", "cnt",
         F.col("src_total").cast("bigint").alias("src_total"),
         F.round(prob, 6).alias("prob"))
+
+
+def gini_coefficient(df: DataFrame, units_col: str,
+                     key_cols: list[str] | None = None) -> DataFrame:
+    """Gini concentration coefficient per key over NON-NEGATIVE
+    integer-unit values (callers quantize doubles to fixed-point units
+    first — the det_sum convention) — the inequality companion to the
+    HHI in :func:`market_concentration` (public formula):
+
+        G = (2·Σᵢ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ),  x ascending, i=1..n
+
+    Scale shape: the facts collapse to the (key, units, count) value
+    support in one hash aggregation; the rank-sum runs over that
+    COLLAPSED support (the rank-statistics posture used by the
+    Spearman/KS/MWU suite). A group of c ties at cumulative position
+    ``base`` contributes x·(c·base + c(c+1)/2) to Σ i·xᵢ — integer
+    arithmetic throughout, accumulated in DECIMAL(38,0) so position ×
+    magnitude survives billion-row groups; the single final division
+    is the only float op. Ties need no tiebreak: Σ i·xᵢ is invariant
+    under permutations within equal x. Returns (keys..., n, sum_units,
+    gini) with gini rounded to 6; NULL gini when the key has no mass
+    (Σx = 0) or a single row.
+    """
+    keys = list(key_cols or [])
+    d38 = "decimal(38,0)"
+    sup = (df.groupBy(*keys, F.col(units_col).alias("_x"))
+           .agg(F.count("*").alias("_c")))
+    w = (Window.partitionBy(*keys).orderBy("_x")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    base = F.coalesce(F.sum("_c").over(w), F.lit(0)).cast(d38)
+    cdec = F.col("_c").cast(d38)
+    # c(c+1) is always even: integer div is exact, stays scale-0 LONG
+    # (c ≤ ~3e9 ties per value before c(c+1) nears the LONG bound)
+    pos_mass = cdec * base + F.expr("_c * (_c + 1) div 2").cast(d38)
+    sup = sup.select(
+        *keys, "_x", "_c",
+        (F.col("_x").cast(d38) * pos_mass).cast(d38).alias("_rx"))
+    agg = sup.groupBy(*keys).agg(
+        F.sum("_c").alias("n"),
+        F.sum(F.col("_x").cast(d38) * F.col("_c").cast(d38))
+        .cast(d38).alias("sum_units"),
+        F.sum("_rx").cast(d38).alias("_r"))
+    n = F.col("n").cast(d38)
+    s = F.col("sum_units")
+    num = (F.lit(2).cast(d38) * F.col("_r")
+           - (n + 1) * s).cast("double")
+    den = (n * s).cast("double")
+    return agg.select(
+        *keys, F.col("n").cast("bigint").alias("n"),
+        F.col("sum_units").cast("double").alias("sum_units"),
+        F.round(F.when((F.col("n") > 1) & (s > 0), num / den), 6)
+        .alias("gini"))

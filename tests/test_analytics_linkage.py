@@ -286,3 +286,34 @@ def test_markov_transitions_rows_never_cross_sequences(spark):
     df = spark.createDataFrame(
         [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")], ["u", "t", "s"])
     assert markov_transitions(df, "u", "s", ["t"]).count() == 0
+
+
+def test_gini_hand_computed(spark):
+    """x=[1,1,2,4]: Σx=8, Σi·x=25, G=(50−40)/32=0.3125; equal values
+    G=0; single row and zero mass → NULL."""
+    from pipelines_rj_sms_spark.operators.analytics import (
+        gini_coefficient)
+    rows = ([("a", 1), ("a", 1), ("a", 2), ("a", 4)]
+            + [("b", 5), ("b", 5), ("b", 5)]
+            + [("c", 7)] + [("d", 0), ("d", 0)])
+    df = spark.createDataFrame(rows, ["k", "u"])
+    out = {r["k"]: r for r in
+           gini_coefficient(df, "u", ["k"]).collect()}
+    assert out["a"]["gini"] == 0.3125 and out["a"]["n"] == 4
+    assert out["a"]["sum_units"] == 8.0
+    assert out["b"]["gini"] == 0.0
+    assert out["c"]["gini"] is None          # single row
+    assert out["d"]["gini"] is None          # zero mass
+
+
+def test_gini_tie_order_invariant(spark):
+    """Repartitioning must not move the result (integer rank-sums)."""
+    from pipelines_rj_sms_spark.operators.analytics import (
+        gini_coefficient)
+    import random
+    rng = random.Random(7)
+    rows = [("k", rng.randrange(0, 50)) for _ in range(500)]
+    df = spark.createDataFrame(rows, ["k", "u"])
+    a = gini_coefficient(df.repartition(1), "u", ["k"]).collect()[0]
+    b = gini_coefficient(df.repartition(64), "u", ["k"]).collect()[0]
+    assert a["gini"] == b["gini"] and a["gini"] is not None
