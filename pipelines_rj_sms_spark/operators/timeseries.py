@@ -498,3 +498,62 @@ def seasonal_anomalies(df: DataFrame, ts_col: str, period: int = 7,
                     F.round(z, 6).alias("resid_z"),
                     F.coalesce(F.abs(z) > F.lit(float(n_sigma)),
                                F.lit(False)).alias("is_anomaly")))
+
+
+def autocorrelation(df: DataFrame, t_col: str, units_col: str,
+                    max_lag: int = 10,
+                    key_cols: list[str] | None = None) -> DataFrame:
+    """Sample autocorrelation function (ACF) at lags 1..``max_lag``
+    over an integer-indexed, integer-unit series (callers collapse the
+    facts to a (t, units) rollup and quantize first — the det_sum
+    convention):
+
+        acf(k) = Σ_t d_t·d_{t+k} / Σ_t d_t²,   d_t = n·u_t − Σu
+
+    The n-scaled deviation d_t clears the fractional mean, so the
+    numerator and denominator are EXACT integers (the n² factors
+    cancel in the ratio); accumulation runs in DECIMAL(38,0) so
+    deviation² × series length survives long horizons, and the single
+    final division is the only float op — order-independent under any
+    partitioning, bit-identical to the HUGEINT oracle mirror.
+
+    Scale shape: everything runs on the COLLAPSED series (one row per
+    time bucket — days/hours, thousands of rows for years of data,
+    never the facts). Global n/Σu/Σd² come from unbounded windows over
+    that collapsed frame; lagged pairs are an EQUI-join on
+    (key, t+lag) against the lag-exploded series — max_lag·|series|
+    rows, no nested loop. Gaps in the index simply contribute no pair
+    at lags that would bridge them (document or gap_fill upstream).
+    Returns (keys..., lag, n, acf) with acf rounded to 6; NULL when
+    the series is constant (zero variance).
+    """
+    keys = list(key_cols or [])
+    d38 = "decimal(38,0)"
+    w_all = Window.partitionBy(*keys) if keys else \
+        Window.partitionBy(F.lit(1))
+    ser = (df.select(*keys, F.col(t_col).alias("_t"),
+                     F.col(units_col).alias("_u"))
+           .withColumn("_n", F.count("*").over(w_all))
+           .withColumn("_tot", F.sum("_u").over(w_all)))
+    ser = ser.withColumn(
+        "_d", (F.col("_n").cast(d38) * F.col("_u").cast(d38)
+               - F.col("_tot").cast(d38)).cast(d38))
+    ser = ser.withColumn(
+        "_den", F.sum((F.col("_d") * F.col("_d")).cast(d38))
+        .over(w_all).cast(d38))
+    a = ser.withColumn(
+        "lag", F.explode(F.sequence(F.lit(1), F.lit(int(max_lag)))))
+    b = ser.select(*keys, F.col("_t").alias("_tb"),
+                   F.col("_d").alias("_db"))
+    cond = [a[k] == b[k] for k in keys]
+    pairs = a.join(b, cond + [b["_tb"] == a["_t"] + a["lag"]])
+    agg = pairs.groupBy(*[a[k] for k in keys], "lag").agg(
+        F.max(a["_n"]).cast("bigint").alias("n"),
+        F.max(a["_den"]).alias("_dn"),
+        F.sum((a["_d"] * F.col("_db")).cast(d38)).cast(d38)
+        .alias("_num"))
+    return agg.select(
+        *keys, "lag", "n",
+        F.round(F.when(F.col("_dn") > 0,
+                       F.col("_num").cast("double")
+                       / F.col("_dn").cast("double")), 6).alias("acf"))

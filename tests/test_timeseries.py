@@ -290,3 +290,46 @@ def test_concurrency_sweep_line(spark):
     # end-exclusive: at minute 10 the first interval closed, third opened
     assert got[0] == 1 and got[5] == 2 and got[10] == 2
     assert got[15] == 1 and got[20] == 0
+
+
+def test_acf_hand_computed(spark):
+    """u=[1..5]: d=5u−15, den=250; lag1 num=100 → 0.4; lag2 num=−25
+    → −0.1; constant series → NULL acf."""
+    from pipelines_rj_sms_spark.operators.timeseries import (
+        autocorrelation)
+    df = spark.createDataFrame(
+        [(t, u) for t, u in enumerate([1, 2, 3, 4, 5])], ["t", "u"])
+    out = {r["lag"]: r for r in
+           autocorrelation(df, "t", "u", max_lag=2).collect()}
+    assert out[1]["acf"] == 0.4 and out[1]["n"] == 5
+    assert out[2]["acf"] == -0.1
+    const = spark.createDataFrame([(0, 7), (1, 7), (2, 7)], ["t", "u"])
+    for r in autocorrelation(const, "t", "u", max_lag=1).collect():
+        assert r["acf"] is None
+
+
+def test_acf_gaps_contribute_no_bridging_pairs(spark):
+    """t=[0,1,3]: lag-1 pairs = {(0,1)} only — the gap never pairs."""
+    from pipelines_rj_sms_spark.operators.timeseries import (
+        autocorrelation)
+    df = spark.createDataFrame([(0, 1), (1, 5), (3, 9)], ["t", "u"])
+    out = {r["lag"]: r for r in
+           autocorrelation(df, "t", "u", max_lag=2).collect()}
+    # d = 3u−15 = [−12, 0, 12]; den = 288
+    # lag1: only (0,1): (−12)(0) = 0 → acf 0.0
+    # lag2: only (1,3): (0)(12) = 0 → acf 0.0
+    assert out[1]["acf"] == 0.0 and out[2]["acf"] == 0.0
+
+
+def test_acf_partition_invariant(spark):
+    from pipelines_rj_sms_spark.operators.timeseries import (
+        autocorrelation)
+    import random
+    rng = random.Random(3)
+    df = spark.createDataFrame(
+        [(t, rng.randrange(0, 1000)) for t in range(200)], ["t", "u"])
+    a = {r["lag"]: r["acf"] for r in
+         autocorrelation(df.repartition(1), "t", "u", 5).collect()}
+    b = {r["lag"]: r["acf"] for r in
+         autocorrelation(df.repartition(64), "t", "u", 5).collect()}
+    assert a == b
