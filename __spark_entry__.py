@@ -371,6 +371,9 @@ Query key -> SURVEY §2 rows covered:
   daily_revenue_acf         sample autocorrelation at lags 1..10
                             (exact n-scaled integer deviations on the
                             collapsed daily series, t+lag equi-join)
+  purchase_click_lead_lag   ±7-lag cross-correlation of two daily
+                            series (shared zero-filled spine, exact
+                            integer moments, n² cancellation)
 """
 
 from __future__ import annotations
@@ -4003,6 +4006,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 * 1000.0 + F.lit(0.5)).cast("long")).alias("u")))
         return autocorrelation(daily, "t", "u", max_lag=10)
 
+    def xcorr_q(spark, sf_dir):
+        """Lead-lag cross-correlation between daily purchase and click
+        counts at lags ±7 — zero-filled shared spine, exact integer
+        deviations, ±L equi-join; positive lag = clicks lag
+        purchases."""
+        from pipelines_rj_sms_spark.operators.timeseries import (
+            cross_correlation)
+        ev = _t(spark, sf_dir, "events")
+        spine = (ev.groupBy(
+            F.datediff(F.to_date("ts"),
+                       F.lit("2024-01-01").cast("date")).alias("t"))
+            .agg(F.sum((F.col("event_type") == "purchase")
+                       .cast("long")).alias("x"),
+                 F.sum((F.col("event_type") == "click")
+                       .cast("long")).alias("y")))
+        return cross_correlation(spine, "t", "x", "y", max_lag=7)
+
     def gini_q(spark, sf_dir):
         """Gini concentration of customer lifetime order value per
         market segment — cents-exact units, rank-sum over the
@@ -4284,6 +4304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_markov_transitions": markov_q,
         "segment_value_gini": gini_q,
         "daily_revenue_acf": acf_q,
+        "purchase_click_lead_lag": xcorr_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -7669,6 +7690,37 @@ SELECT lg AS lag, CAST(max(n) AS BIGINT) AS n,
        round(CASE WHEN max(den) > 0 THEN
                CAST(sum(p) AS DOUBLE)
                / CAST(max(den) AS DOUBLE) END, 6) AS acf
+FROM pairs GROUP BY 1
+""",
+        "purchase_click_lead_lag": r"""
+WITH spine AS (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1),
+ser AS (
+  SELECT t, x, y, count(*) OVER () AS n,
+         sum(x) OVER () AS sx, sum(y) OVER () AS sy
+  FROM spine),
+dev AS (
+  SELECT t, CAST(n AS BIGINT) AS n,
+         CAST(n AS HUGEINT) * x - CAST(sx AS HUGEINT) AS dx,
+         CAST(n AS HUGEINT) * y - CAST(sy AS HUGEINT) AS dy
+  FROM ser),
+dd AS (
+  SELECT t, n, dx, dy,
+         sum(dx * dx) OVER () AS vx, sum(dy * dy) OVER () AS vy
+  FROM dev),
+lags AS (SELECT unnest(range(-7, 8)) AS lg),
+pairs AS (
+  SELECT a.lg, a.n, a.vx, a.vy, a.dx * b.dy AS p
+  FROM (SELECT dd.*, lg FROM dd CROSS JOIN lags) a
+  JOIN dd b ON b.t = a.t + a.lg)
+SELECT lg AS lag, CAST(max(n) AS BIGINT) AS n,
+       round(CASE WHEN max(vx) > 0 AND max(vy) > 0 THEN
+               CAST(sum(p) AS DOUBLE)
+               / sqrt(CAST(max(vx) AS DOUBLE)
+                      * CAST(max(vy) AS DOUBLE)) END, 6) AS xcorr
 FROM pairs GROUP BY 1
 """,
     }

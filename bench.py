@@ -118,7 +118,7 @@ _FAMILIES = [
                        "fs_", "dp_", "calibration", "eval_report",
                        "correlations", "zipf", "entropy",
                        "compression")),
-    ("analytics-timeseries", ("twap", "ohlc", "interpolat", "gap_", "decomposition", "_acf",
+    ("analytics-timeseries", ("twap", "ohlc", "interpolat", "gap_", "decomposition", "_acf", "lead_lag",
                               "asof", "range_", "overlap",
                               "concurrent", "ewma", "seasonal",
                               "growth", "retention", "funnel", "rfm", "markov",

@@ -557,3 +557,62 @@ def autocorrelation(df: DataFrame, t_col: str, units_col: str,
         F.round(F.when(F.col("_dn") > 0,
                        F.col("_num").cast("double")
                        / F.col("_dn").cast("double")), 6).alias("acf"))
+
+
+def cross_correlation(df: DataFrame, t_col: str, x_col: str,
+                      y_col: str, max_lag: int = 7) -> DataFrame:
+    """Lead-lag cross-correlation between two integer-unit series on a
+    shared integer index (callers build the zero-filled spine — one
+    row per bucket with both series' units):
+
+        r(L) = Σ_t dx_t·dy_{t+L} / √(Σdx² · Σdy²),   L = −max..+max
+
+    Positive L means y LAGS x by L buckets (x leads); the argmax row
+    is the lead-lag estimate. Same exactness posture as
+    :func:`autocorrelation`: d = n·u − Σu clears the fractional mean,
+    n² cancels between numerator and denominator, all moments are
+    exact DECIMAL(38,0) integers, and the only float ops are the final
+    multiply/√/divide — one fixed expression, identical in the oracle.
+
+    Scale shape: all math on the COLLAPSED spine; the ±L shift is an
+    equi-join on t+L against the lag-exploded frame (2L+1 × |spine|
+    rows). Returns (lag, n, xcorr) rounded to 6; NULL for a constant
+    side.
+    """
+    d38 = "decimal(38,0)"
+    w = Window.partitionBy(F.lit(1))
+    ser = (df.select(F.col(t_col).alias("_t"),
+                     F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+           .withColumn("_n", F.count("*").over(w))
+           .withColumn("_sx", F.sum("_x").over(w))
+           .withColumn("_sy", F.sum("_y").over(w)))
+    ser = (ser.withColumn(
+        "_dx", (F.col("_n").cast(d38) * F.col("_x").cast(d38)
+                - F.col("_sx").cast(d38)).cast(d38))
+        .withColumn(
+        "_dy", (F.col("_n").cast(d38) * F.col("_y").cast(d38)
+                - F.col("_sy").cast(d38)).cast(d38)))
+    ser = (ser.withColumn(
+        "_vx", F.sum((F.col("_dx") * F.col("_dx")).cast(d38))
+        .over(w).cast(d38))
+        .withColumn(
+        "_vy", F.sum((F.col("_dy") * F.col("_dy")).cast(d38))
+        .over(w).cast(d38)))
+    a = ser.withColumn(
+        "lag", F.explode(F.sequence(F.lit(-int(max_lag)),
+                                    F.lit(int(max_lag)))))
+    b = ser.select(F.col("_t").alias("_tb"), F.col("_dy").alias("_dyb"))
+    pairs = a.join(b, b["_tb"] == a["_t"] + a["lag"])
+    agg = pairs.groupBy("lag").agg(
+        F.max(a["_n"]).cast("bigint").alias("n"),
+        F.max(a["_vx"]).alias("_mvx"),
+        F.max(a["_vy"]).alias("_mvy"),
+        F.sum((a["_dx"] * F.col("_dyb")).cast(d38)).cast(d38)
+        .alias("_num"))
+    den = F.sqrt(F.col("_mvx").cast("double")
+                 * F.col("_mvy").cast("double"))
+    return agg.select(
+        "lag", "n",
+        F.round(F.when((F.col("_mvx") > 0) & (F.col("_mvy") > 0),
+                       F.col("_num").cast("double") / den), 6)
+        .alias("xcorr"))

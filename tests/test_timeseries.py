@@ -333,3 +333,32 @@ def test_acf_partition_invariant(spark):
     b = {r["lag"]: r["acf"] for r in
          autocorrelation(df.repartition(64), "t", "u", 5).collect()}
     assert a == b
+
+
+def test_cross_correlation_detects_planted_shift(spark):
+    """y is x shifted by +2 buckets: the lag=+2 correlation is the
+    (near-)maximum and lag=0 is lower; a perfectly shifted copy pairs
+    exactly where the spine overlaps."""
+    from pipelines_rj_sms_spark.operators.timeseries import (
+        cross_correlation)
+    import random
+    rng = random.Random(11)
+    xs = [rng.randrange(0, 100) for _ in range(60)]
+    rows = [(t, xs[t], xs[t - 2] if t >= 2 else 0)
+            for t in range(60)]
+    df = spark.createDataFrame(rows, ["t", "x", "y"])
+    out = {r["lag"]: r["xcorr"] for r in
+           cross_correlation(df, "t", "x", "y", max_lag=4).collect()}
+    assert len(out) == 9
+    best = max(out, key=lambda k: out[k])
+    assert best == 2
+    assert out[2] > 0.8 and out[2] > out[0]
+
+
+def test_cross_correlation_constant_side_null(spark):
+    from pipelines_rj_sms_spark.operators.timeseries import (
+        cross_correlation)
+    df = spark.createDataFrame(
+        [(t, t % 5, 3) for t in range(20)], ["t", "x", "y"])
+    for r in cross_correlation(df, "t", "x", "y", 2).collect():
+        assert r["xcorr"] is None
