@@ -374,6 +374,9 @@ Query key -> SURVEY §2 rows covered:
   purchase_click_lead_lag   ±7-lag cross-correlation of two daily
                             series (shared zero-filled spine, exact
                             integer moments, n² cancellation)
+  purchase_click_jsd        Jensen-Shannon divergence over fixed-width
+                            bins (symmetric bounded drift; exact
+                            rational shares, det-quantized total)
 """
 
 from __future__ import annotations
@@ -4023,6 +4026,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        .cast("long")).alias("y")))
         return cross_correlation(spine, "t", "x", "y", max_lag=7)
 
+    def jsd_q(spark, sf_dir):
+        """Jensen-Shannon divergence between purchase and click value
+        distributions over 20 fixed-width bins — symmetric bounded
+        drift measure; exact rational shares, det-quantized total."""
+        from pipelines_rj_sms_spark.quality.stats import (
+            jensen_shannon_divergence)
+        ev = _t(spark, sf_dir, "events")
+        return jensen_shannon_divergence(
+            ev, "event_type", "value", "purchase", "click",
+            lo=0.0, hi=500.0, n_bins=20)
+
     def gini_q(spark, sf_dir):
         """Gini concentration of customer lifetime order value per
         market segment — cents-exact units, rank-sum over the
@@ -4305,6 +4319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_value_gini": gini_q,
         "daily_revenue_acf": acf_q,
         "purchase_click_lead_lag": xcorr_q,
+        "purchase_click_jsd": jsd_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -7722,6 +7737,41 @@ SELECT lg AS lag, CAST(max(n) AS BIGINT) AS n,
                / sqrt(CAST(max(vx) AS DOUBLE)
                       * CAST(max(vy) AS DOUBLE)) END, 6) AS xcorr
 FROM pairs GROUP BY 1
+""",
+        "purchase_click_jsd": r"""
+WITH base AS (
+  SELECT least(greatest(CAST(floor((value - 0.0) / 25.0) AS INTEGER),
+                        0), 19) AS bin,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS ca,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+  GROUP BY 1),
+tot AS (
+  SELECT bin, ca, cb,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM base),
+t AS (
+  SELECT bin, ca, cb,
+         CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS p,
+         CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS q
+  FROM tot),
+tt AS (
+  SELECT bin, p, q,
+         (CASE WHEN ca > 0
+               THEN 0.5 * p * ln(p / ((p + q) / 2.0))
+               ELSE 0.0 END
+          + CASE WHEN cb > 0
+                 THEN 0.5 * q * ln(q / ((p + q) / 2.0))
+                 ELSE 0.0 END) AS term
+  FROM t)
+SELECT bin, round(p, 6) AS share_a, round(q, 6) AS share_b,
+       round(term, 6) AS jsd_term,
+       round(CAST(SUM(CAST(floor(term * 1000000000.0 + 0.5)
+                           AS BIGINT)) OVER () AS DOUBLE)
+             / 1000000000.0, 6) AS jsd_total
+FROM tt
 """,
     }
 

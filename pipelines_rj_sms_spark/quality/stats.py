@@ -554,3 +554,63 @@ def randomization_test_mean_diff(df: DataFrame, group_col: str,
         .alias("mean_diff_obs"),
         F.round((F.col("_ge") + 1).cast("double")
                 / (F.col("_kept") + 1), 6).alias("p_value")))
+
+
+def jensen_shannon_divergence(df: DataFrame, group_col: str,
+                              value_col: str, group_a, group_b,
+                              lo: float, hi: float,
+                              n_bins: int = 20) -> DataFrame:
+    """Jensen-Shannon divergence between two groups' value
+    distributions over fixed equal-width bins — the SYMMETRIC, bounded
+    ([0, ln 2]) companion to the PSI gate (PSI explodes on empty bins
+    and is asymmetric; JSD is the standard choice for corpus-mix /
+    train-vs-eval distribution comparison in data-pipeline QA — public
+    formula):
+
+        m = (p+q)/2
+        JSD = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m)    (0-mass terms are 0)
+
+    Fixed [lo, hi) equal-width bins, outliers clamped to the edge
+    bins — no quantile estimation, so the binning is trivially
+    engine-portable. p and q are exact rationals (BIGINT bin count /
+    BIGINT group total, one division each); each bin's term is a
+    single fixed double expression, and the total accumulates
+    det-quantized over the ≤n_bins collapsed rows — order-independent.
+
+    Scale shape: ONE conditional hash aggregation over the facts to
+    the (bin, count_a, count_b) rollup; totals are unbounded windows
+    over those ≤n_bins rows. Returns one row per occupied bin
+    (bin, share_a, share_b, jsd_term, jsd_total).
+    """
+    width = (float(hi) - float(lo)) / int(n_bins)
+    raw_bin = F.floor((F.col(value_col) - F.lit(float(lo)))
+                      / F.lit(width)).cast("int")
+    bin_c = F.least(F.greatest(raw_bin, F.lit(0)),
+                    F.lit(int(n_bins) - 1))
+    base = (df.filter(F.col(value_col).isNotNull()
+                      & F.col(group_col).isin(group_a, group_b))
+            .groupBy(bin_c.alias("bin"))
+            .agg(F.sum((F.col(group_col) == group_a).cast("long"))
+                 .alias("_ca"),
+                 F.sum((F.col(group_col) == group_b).cast("long"))
+                 .alias("_cb")))
+    w = Window.partitionBy(F.lit(1))
+    base = (base.withColumn("_na", F.sum("_ca").over(w))
+            .withColumn("_nb", F.sum("_cb").over(w)))
+    p = F.col("_ca").cast("double") / F.col("_na").cast("double")
+    q = F.col("_cb").cast("double") / F.col("_nb").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (F.when(F.col("_ca") > 0,
+                   F.lit(0.5) * p * F.log(p / m)).otherwise(F.lit(0.0))
+            + F.when(F.col("_cb") > 0,
+                     F.lit(0.5) * q * F.log(q / m))
+            .otherwise(F.lit(0.0)))
+    return (base
+            .withColumn("share_a", F.round(p, 6))
+            .withColumn("share_b", F.round(q, 6))
+            .withColumn("jsd_term", F.round(term, 6))
+            .withColumn("jsd_total",
+                        F.round(F.sum(det_units(term)).over(w)
+                                .cast("double") / float(DET_SCALE), 6))
+            .select("bin", "share_a", "share_b", "jsd_term",
+                    "jsd_total"))

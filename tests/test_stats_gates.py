@@ -264,3 +264,38 @@ def test_psi_approx_edges_close_to_exact(spark):
     approx = population_stability_index(ref, cur, "v",
                                         approx_edges=True).collect()
     assert abs(exact[0]["psi_total"] - approx[0]["psi_total"]) < 0.05
+
+
+def test_jsd_identical_distributions_zero(spark):
+    """Same distribution in both groups → every term 0, total 0."""
+    from pipelines_rj_sms_spark.quality.stats import (
+        jensen_shannon_divergence)
+    rows = [("a", float(v)) for v in range(10) for _ in range(3)] + \
+           [("b", float(v)) for v in range(10) for _ in range(3)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = jensen_shannon_divergence(df, "g", "v", "a", "b",
+                                    lo=0.0, hi=10.0, n_bins=5).collect()
+    assert all(r["jsd_term"] == 0.0 for r in out)
+    assert all(r["jsd_total"] == 0.0 for r in out)
+
+
+def test_jsd_disjoint_distributions_ln2(spark):
+    """Fully disjoint supports → JSD = ln 2 ≈ 0.693147 (the bound)."""
+    from pipelines_rj_sms_spark.quality.stats import (
+        jensen_shannon_divergence)
+    rows = [("a", 1.0)] * 20 + [("b", 9.0)] * 20
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = jensen_shannon_divergence(df, "g", "v", "a", "b",
+                                    lo=0.0, hi=10.0, n_bins=5).collect()
+    assert out[0]["jsd_total"] == 0.693147
+
+
+def test_jsd_outliers_clamp_to_edge_bins(spark):
+    """Values past [lo, hi) land in bins 0 / n_bins−1, never NULL."""
+    from pipelines_rj_sms_spark.quality.stats import (
+        jensen_shannon_divergence)
+    rows = [("a", -50.0)] * 5 + [("a", 3.0)] * 5 + [("b", 99.0)] * 10
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["bin"] for r in jensen_shannon_divergence(
+        df, "g", "v", "a", "b", lo=0.0, hi=10.0, n_bins=5).collect()}
+    assert out == {0, 1, 4}
