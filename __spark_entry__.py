@@ -377,6 +377,9 @@ Query key -> SURVEY §2 rows covered:
   purchase_click_jsd        Jensen-Shannon divergence over fixed-width
                             bins (symmetric bounded drift; exact
                             rational shares, det-quantized total)
+  event_type_dispersion     Poisson overdispersion screen (exact
+                            rational VMR/chi2 from integer daily-count
+                            moments in DECIMAL)
 """
 
 from __future__ import annotations
@@ -4037,6 +4040,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, "event_type", "value", "purchase", "click",
             lo=0.0, hi=500.0, n_bins=20)
 
+    def dispersion_q(spark, sf_dir):
+        """Overdispersion screen: variance-to-mean ratio of daily
+        event counts per type — exact rational VMR/chi2 from integer
+        sufficient statistics in DECIMAL(38,0)."""
+        from pipelines_rj_sms_spark.quality.stats import (
+            dispersion_index)
+        ev = _t(spark, sf_dir, "events")
+        daily = (ev.groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"))
+            .agg(F.count("*").alias("c")))
+        return dispersion_index(daily, "c", ["event_type"])
+
     def gini_q(spark, sf_dir):
         """Gini concentration of customer lifetime order value per
         market segment — cents-exact units, rank-sum over the
@@ -4320,6 +4336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_revenue_acf": acf_q,
         "purchase_click_lead_lag": xcorr_q,
         "purchase_click_jsd": jsd_q,
+        "event_type_dispersion": dispersion_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -7772,6 +7789,27 @@ SELECT bin, round(p, 6) AS share_a, round(q, 6) AS share_b,
                            AS BIGINT)) OVER () AS DOUBLE)
              / 1000000000.0, 6) AS jsd_total
 FROM tt
+""",
+        "event_type_dispersion": r"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+  FROM daily GROUP BY 1)
+SELECT event_type, n,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+       round(CASE WHEN n > 1 AND s > 0 THEN
+               CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE)
+               / CAST((CAST(n AS HUGEINT) - 1) * s AS DOUBLE) END, 6)
+         AS vmr,
+       round(CASE WHEN n > 1 AND s > 0 THEN
+               CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE)
+               / CAST(s AS DOUBLE) END, 6) AS chi2
+FROM agg
 """,
     }
 

@@ -614,3 +614,41 @@ def jensen_shannon_divergence(df: DataFrame, group_col: str,
                                 .cast("double") / float(DET_SCALE), 6))
             .select("bin", "share_a", "share_b", "jsd_term",
                     "jsd_total"))
+
+
+def dispersion_index(df: DataFrame, count_col: str,
+                     key_cols: list[str] | None = None) -> DataFrame:
+    """Variance-to-mean ratio (index of dispersion) per key over a
+    COUNT rollup — the standard overdispersion screen (VMR = 1 under
+    Poisson; > 1 flags clumping/burstiness, the usual reason a Poisson
+    rate model misfits event streams — public formula). With integer
+    counts the whole statistic is exact rational arithmetic:
+
+        VMR  = s²/x̄ = (n·Σc² − (Σc)²) / ((n−1)·Σc)
+        chi2 = (n−1)·VMR = (n·Σc² − (Σc)²) / Σc    (~χ²_{n−1} under H0)
+
+    Scale shape: callers collapse facts to per-bucket counts first
+    (days, hours — the rollup is the input); this is then ONE hash
+    aggregation to (n, Σc, Σc²) per key with DECIMAL(38,0) moments
+    (Σc² survives billion-bucket × large-count keys), and the final
+    division is the only float op. Returns (keys..., n, mean, vmr,
+    chi2) rounded to 6; NULL vmr/chi2 when n < 2 or Σc = 0.
+    """
+    keys = list(key_cols or [])
+    d38 = "decimal(38,0)"
+    c = F.col(count_col).cast(d38)
+    agg = df.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum(c).cast(d38).alias("_s"),
+        F.sum((c * c).cast(d38)).cast(d38).alias("_q"))
+    n = F.col("n").cast(d38)
+    num = (n * F.col("_q") - F.col("_s") * F.col("_s")).cast("double")
+    ok = (F.col("n") > 1) & (F.col("_s") > 0)
+    return agg.select(
+        *keys, F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("_s").cast("double")
+                / F.col("n").cast("double"), 6).alias("mean"),
+        F.round(F.when(ok, num / ((n - 1) * F.col("_s"))
+                       .cast("double")), 6).alias("vmr"),
+        F.round(F.when(ok, num / F.col("_s").cast("double")), 6)
+        .alias("chi2"))

@@ -299,3 +299,18 @@ def test_jsd_outliers_clamp_to_edge_bins(spark):
     out = {r["bin"] for r in jensen_shannon_divergence(
         df, "g", "v", "a", "b", lo=0.0, hi=10.0, n_bins=5).collect()}
     assert out == {0, 1, 4}
+
+
+def test_dispersion_index_hand_computed(spark):
+    """counts [2,4,6]: n=3, S=12, Q=56; var=(3·56−144)/6=4, mean=4 →
+    VMR=1.0, chi2=2.0. Constant counts → VMR=0. n=1 → NULL."""
+    from pipelines_rj_sms_spark.quality.stats import dispersion_index
+    rows = ([("a", 2), ("a", 4), ("a", 6)]
+            + [("b", 5), ("b", 5)] + [("c", 9)])
+    df = spark.createDataFrame(rows, ["k", "c"])
+    out = {r["k"]: r for r in
+           dispersion_index(df, "c", ["k"]).collect()}
+    assert out["a"]["vmr"] == 1.0 and out["a"]["chi2"] == 2.0
+    assert out["a"]["mean"] == 4.0 and out["a"]["n"] == 3
+    assert out["b"]["vmr"] == 0.0
+    assert out["c"]["vmr"] is None
