@@ -380,6 +380,9 @@ Query key -> SURVEY §2 rows covered:
   event_type_dispersion     Poisson overdispersion screen (exact
                             rational VMR/chi2 from integer daily-count
                             moments in DECIMAL)
+  daily_revenue_runs_test   Wald-Wolfowitz runs test around the exact
+                            median (integer run/side counts, 1-row
+                            median broadcast, one closed-form z)
 """
 
 from __future__ import annotations
@@ -4053,6 +4056,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").alias("c")))
         return dispersion_index(daily, "c", ["event_type"])
 
+    def runs_q(spark, sf_dir):
+        """Wald-Wolfowitz runs test on daily revenue around its exact
+        median — serial-dependence screen; integer run counts over the
+        collapsed daily series, 1-row median broadcast."""
+        from pipelines_rj_sms_spark.quality.stats import runs_test
+        li = _t(spark, sf_dir, "lineitem")
+        daily = (li.groupBy(
+            F.datediff(F.to_date("l_shipdate"),
+                       F.lit("1995-01-01").cast("date")).alias("t"))
+            .agg(F.sum(F.floor(
+                (F.col("l_extendedprice") * (F.lit(1.0)
+                                             - F.col("l_discount")))
+                * 1000.0 + F.lit(0.5)).cast("long")).alias("u")))
+        return runs_test(daily, "t", "u")
+
     def gini_q(spark, sf_dir):
         """Gini concentration of customer lifetime order value per
         market segment — cents-exact units, rank-sum over the
@@ -4337,6 +4355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_click_lead_lag": xcorr_q,
         "purchase_click_jsd": jsd_q,
         "event_type_dispersion": dispersion_q,
+        "daily_revenue_runs_test": runs_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -7810,6 +7829,45 @@ SELECT event_type, n,
                CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE)
                / CAST(s AS DOUBLE) END, 6) AS chi2
 FROM agg
+""",
+        "daily_revenue_runs_test": r"""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01',
+                   CAST(l_shipdate AS DATE)) AS t,
+         SUM(CAST(floor((l_extendedprice * (1.0 - l_discount))
+                        * 1000.0 + 0.5) AS BIGINT)) AS u
+  FROM lineitem GROUP BY 1),
+med AS (SELECT quantile_cont(CAST(u AS DOUBLE), 0.5) AS m FROM daily),
+ser AS (
+  SELECT t, CASE WHEN CAST(u AS DOUBLE) > m THEN 1 ELSE 0 END AS s
+  FROM daily CROSS JOIN med
+  WHERE CAST(u AS DOUBLE) != m),
+chg AS (
+  SELECT s,
+         coalesce(CAST(s != lag(s) OVER (ORDER BY t) AS INTEGER), 0)
+           AS c
+  FROM ser),
+agg AS (
+  SELECT CAST(sum(s) AS BIGINT) AS n_above,
+         CAST(count(*) - sum(s) AS BIGINT) AS n_below,
+         CAST(sum(c) + 1 AS BIGINT) AS runs
+  FROM chg),
+o AS (
+  SELECT n_above, n_below, runs,
+         CAST(n_above AS DOUBLE) AS n1, CAST(n_below AS DOUBLE) AS n2,
+         CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE) AS m
+  FROM agg)
+SELECT n_above, n_below, runs,
+       round(CASE WHEN n_above > 0 AND n_below > 0
+               THEN 2.0 * n1 * n2 / m + 1.0 END, 6) AS expected_runs,
+       round(CASE WHEN n_above > 0 AND n_below > 0
+                  AND (2.0 * n1 * n2 * (2.0 * n1 * n2 - m)
+                       / (m * m * (m - 1.0))) > 0
+               THEN (CAST(runs AS DOUBLE)
+                     - (2.0 * n1 * n2 / m + 1.0))
+                    / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - m)
+                           / (m * m * (m - 1.0))) END, 6) AS z
+FROM o
 """,
     }
 

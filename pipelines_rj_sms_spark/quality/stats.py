@@ -652,3 +652,56 @@ def dispersion_index(df: DataFrame, count_col: str,
                        .cast("double")), 6).alias("vmr"),
         F.round(F.when(ok, num / F.col("_s").cast("double")), 6)
         .alias("chi2"))
+
+
+def runs_test(df: DataFrame, t_col: str, units_col: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of a series around its
+    median — the classic screen for serial dependence/regime structure
+    that a mean-level gate misses (public formula). Values equal to
+    the median are dropped (the standard treatment); with n1 above /
+    n2 below and R observed runs:
+
+        μ = 2·n1·n2/(n1+n2) + 1
+        σ² = 2·n1·n2·(2·n1·n2 − n1 − n2)
+             / ((n1+n2)²·(n1+n2−1))
+        z = (R − μ)/σ
+
+    Scale shape: the input is the COLLAPSED integer-unit series (one
+    row per bucket); the median is Spark's exact sort-based
+    `percentile` — both engines interpolate lo + (hi−lo)·frac over
+    exact integers, so the above/below classification is bit-portable
+    — broadcast back as the standard 1-row scalar frame. Run
+    boundaries come from one lag window over the collapsed series
+    (single-partition global order: the rank-statistics posture, fine
+    for bucket counts, never the facts). n1/n2/R are exact integers;
+    μ/σ/z is one fixed double expression. Returns one row (n_above,
+    n_below, runs, expected_runs, z) rounded to 6; NULL z when a side
+    is empty or σ² ≤ 0.
+    """
+    med = df.agg(F.percentile(F.col(units_col), F.lit(0.5))
+                 .alias("_med"))
+    ser = (df.join(F.broadcast(med))
+           .filter(F.col(units_col).cast("double") != F.col("_med"))
+           .select(F.col(t_col).alias("_t"),
+                   (F.col(units_col).cast("double") > F.col("_med"))
+                   .cast("int").alias("_s")))
+    w = Window.orderBy("_t")
+    chg = (F.col("_s") != F.lag("_s").over(w)).cast("int")
+    ser = ser.withColumn("_chg", F.coalesce(chg, F.lit(0)))
+    agg = ser.agg(
+        F.sum("_s").cast("bigint").alias("n_above"),
+        (F.count("*") - F.sum("_s")).cast("bigint").alias("n_below"),
+        (F.sum("_chg") + 1).cast("bigint").alias("runs"))
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    m = n1 + n2
+    mu = F.lit(2.0) * n1 * n2 / m + F.lit(1.0)
+    var = (F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - m)
+           / (m * m * (m - F.lit(1.0))))
+    ok = (F.col("n_above") > 0) & (F.col("n_below") > 0) & (var > 0)
+    return agg.select(
+        "n_above", "n_below", "runs",
+        F.round(F.when((F.col("n_above") > 0) & (F.col("n_below") > 0),
+                       mu), 6).alias("expected_runs"),
+        F.round(F.when(ok, (F.col("runs").cast("double") - mu)
+                       / F.sqrt(var)), 6).alias("z"))

@@ -210,7 +210,10 @@ def test_every_query_plans_clean(spark):
                     "signup_purchase_log_rank",
                     # 1-row state-count K broadcast under the collapsed
                     # K² transition rollup (Laplace denominator)
-                    "event_markov_transitions"}
+                    "event_markov_transitions",
+                    # 1-row exact-median broadcast over the collapsed
+                    # daily series (runs-test above/below split)
+                    "daily_revenue_runs_test"}
     failures = []
     for name, fn in entry.queries().items():
         try:

@@ -314,3 +314,25 @@ def test_dispersion_index_hand_computed(spark):
     assert out["a"]["mean"] == 4.0 and out["a"]["n"] == 3
     assert out["b"]["vmr"] == 0.0
     assert out["c"]["vmr"] is None
+
+
+def test_runs_test_hand_computed(spark):
+    """Series 1,9,1,9,1,9 (median 5): perfect alternation → R=6,
+    n1=n2=3, μ=4, σ²=2·3·3·12/(36·5)=1.2 → z=(6−4)/√1.2≈1.825742."""
+    from pipelines_rj_sms_spark.quality.stats import runs_test
+    df = spark.createDataFrame(
+        [(t, v) for t, v in enumerate([1, 9, 1, 9, 1, 9])], ["t", "u"])
+    out = runs_test(df, "t", "u").collect()[0]
+    assert out["n_above"] == 3 and out["n_below"] == 3
+    assert out["runs"] == 6 and out["expected_runs"] == 4.0
+    assert out["z"] == 1.825742
+
+
+def test_runs_test_median_values_dropped(spark):
+    """Values equal to the median never count to either side."""
+    from pipelines_rj_sms_spark.quality.stats import runs_test
+    df = spark.createDataFrame(
+        [(t, v) for t, v in enumerate([1, 5, 5, 5, 9])], ["t", "u"])
+    out = runs_test(df, "t", "u").collect()[0]
+    assert out["n_above"] == 1 and out["n_below"] == 1
+    assert out["runs"] == 2
