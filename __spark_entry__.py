@@ -383,6 +383,9 @@ Query key -> SURVEY §2 rows covered:
   daily_revenue_runs_test   Wald-Wolfowitz runs test around the exact
                             median (integer run/side counts, 1-row
                             median broadcast, one closed-form z)
+  price_ridge_regression    closed-form 2-feature ridge (exact integer
+                            moments, explicit 2×2 inverse, λ damping,
+                            no iteration)
 """
 
 from __future__ import annotations
@@ -4071,6 +4074,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 * 1000.0 + F.lit(0.5)).cast("long")).alias("u")))
         return runs_test(daily, "t", "u")
 
+    def ridge_q(spark, sf_dir):
+        """Closed-form ridge regression of line price on quantity and
+        discount — exact integer sufficient statistics in DECIMAL, one
+        fixed 2×2-inverse double expression, no iteration."""
+        from pipelines_rj_sms_spark.operators.features import (
+            ridge_regression_2f)
+        li = _t(spark, sf_dir, "lineitem")
+        base = li.select(
+            F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5))
+            .cast("long").alias("x1"),
+            F.floor(F.col("l_discount") * 10000.0 + F.lit(0.5))
+            .cast("long").alias("x2"),
+            F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+            .cast("long").alias("y"))
+        return ridge_regression_2f(base, "x1", "x2", "y", lam=1.0)
+
     def gini_q(spark, sf_dir):
         """Gini concentration of customer lifetime order value per
         market segment — cents-exact units, rank-sum over the
@@ -4356,6 +4375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_click_jsd": jsd_q,
         "event_type_dispersion": dispersion_q,
         "daily_revenue_runs_test": runs_q,
+        "price_ridge_regression": ridge_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -7868,6 +7888,49 @@ SELECT n_above, n_below, runs,
                     / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - m)
                            / (m * m * (m - 1.0))) END, 6) AS z
 FROM o
+""",
+        "price_ridge_regression": r"""
+WITH base AS (
+  SELECT CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS x1,
+         CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT) AS x2,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+  FROM lineitem),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x1 AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(sum(CAST(x2 AS HUGEINT)) AS HUGEINT) AS s2,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+         CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+         CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+         CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+         CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y
+  FROM base),
+o AS (
+  SELECT n,
+         CAST(CAST(n AS HUGEINT) * s11 - s1 * s1 AS DOUBLE)
+           + CAST(n AS DOUBLE) * 1.0 AS m11,
+         CAST(CAST(n AS HUGEINT) * s22 - s2 * s2 AS DOUBLE)
+           + CAST(n AS DOUBLE) * 1.0 AS m22,
+         CAST(CAST(n AS HUGEINT) * s12 - s1 * s2 AS DOUBLE) AS m12,
+         CAST(CAST(n AS HUGEINT) * s1y - s1 * sy AS DOUBLE) AS c1,
+         CAST(CAST(n AS HUGEINT) * s2y - s2 * sy AS DOUBLE) AS c2,
+         CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+         CAST(sy AS DOUBLE) AS syd, CAST(n AS DOUBLE) AS nd
+  FROM m),
+sol AS (
+  SELECT n, nd, s1d, s2d, syd,
+         m11 * m22 - m12 * m12 AS det,
+         (c1 * m22 - c2 * m12) AS nb1,
+         (c2 * m11 - c1 * m12) AS nb2
+  FROM o)
+SELECT n,
+       round(CASE WHEN det != 0.0 THEN nb1 / det END, 6) AS coef_x1,
+       round(CASE WHEN det != 0.0 THEN nb2 / det END, 6) AS coef_x2,
+       round(CASE WHEN det != 0.0 THEN
+               (syd - (nb1 / det) * s1d - (nb2 / det) * s2d) / nd
+             END, 6) AS intercept
+FROM sol
 """,
     }
 

@@ -212,3 +212,66 @@ def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
                          & (F.col(value_col) == mapping["_v"]),
                          "left")
                  .drop("_g", "_v"), gv)
+
+
+def ridge_regression_2f(df: DataFrame, x1_units: str, x2_units: str,
+                        y_units: str, lam: float = 1.0) -> DataFrame:
+    """Closed-form ridge regression with two features + intercept —
+    the simplest useful "fit a model IN the engine" primitive
+    (feature-importance screens, drift-adjusted baselines) solved
+    exactly from sufficient statistics, no iteration (public normal-
+    equations algebra).
+
+    Inputs are integer-unit columns (callers det-quantize doubles
+    first), so the eight moments n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2²,
+    Σx1y, Σx2y are EXACT integers accumulated in DECIMAL(38,0) — one
+    hash aggregation over the facts, map-side combined, any partition
+    order. Centering happens algebraically (A = n·Σxx − Σx·Σx etc.,
+    the n²-covariance trick), and the ridge-damped 2×2 system
+
+        (A + n·λI)·b = c,   intercept = (Σy − b·Σx)/n
+
+    is solved by the explicit 2×2 inverse in ONE fixed double
+    expression over those exact integers — deterministic, and
+    bit-identical to the oracle spelling the same expression.
+    Coefficients are in UNIT space (per-unit-of-x per unit-of-y);
+    ``lam`` is in squared-unit metric (λ=0 gives OLS). Returns one row
+    (n, coef_x1, coef_x2, intercept) rounded to 6; NULL coefficients
+    when the damped system is singular (det = 0 — constant features
+    with λ=0).
+    """
+    d38 = "decimal(38,0)"
+    x1 = F.col(x1_units).cast(d38)
+    x2 = F.col(x2_units).cast(d38)
+    y = F.col(y_units).cast(d38)
+    m = df.agg(
+        F.count("*").alias("n"),
+        F.sum(x1).cast(d38).alias("_s1"),
+        F.sum(x2).cast(d38).alias("_s2"),
+        F.sum(y).cast(d38).alias("_sy"),
+        F.sum((x1 * x1).cast(d38)).cast(d38).alias("_s11"),
+        F.sum((x1 * x2).cast(d38)).cast(d38).alias("_s12"),
+        F.sum((x2 * x2).cast(d38)).cast(d38).alias("_s22"),
+        F.sum((x1 * y).cast(d38)).cast(d38).alias("_s1y"),
+        F.sum((x2 * y).cast(d38)).cast(d38).alias("_s2y"))
+    n = F.col("n").cast(d38)
+    a11 = (n * F.col("_s11") - F.col("_s1") * F.col("_s1"))
+    a12 = (n * F.col("_s12") - F.col("_s1") * F.col("_s2"))
+    a22 = (n * F.col("_s22") - F.col("_s2") * F.col("_s2"))
+    c1 = (n * F.col("_s1y") - F.col("_s1") * F.col("_sy"))
+    c2 = (n * F.col("_s2y") - F.col("_s2") * F.col("_sy"))
+    nd = F.col("n").cast("double")
+    m11 = a11.cast("double") + nd * F.lit(float(lam))
+    m22 = a22.cast("double") + nd * F.lit(float(lam))
+    m12 = a12.cast("double")
+    det = m11 * m22 - m12 * m12
+    b1 = (c1.cast("double") * m22 - c2.cast("double") * m12) / det
+    b2 = (c2.cast("double") * m11 - c1.cast("double") * m12) / det
+    icept = (F.col("_sy").cast("double") - b1 * F.col("_s1")
+             .cast("double") - b2 * F.col("_s2").cast("double")) / nd
+    ok = det != F.lit(0.0)
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.when(ok, b1), 6).alias("coef_x1"),
+        F.round(F.when(ok, b2), 6).alias("coef_x2"),
+        F.round(F.when(ok, icept), 6).alias("intercept"))

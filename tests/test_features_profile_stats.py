@@ -637,3 +637,29 @@ def test_log_rank_identical_groups_zero(spark):
     out = log_rank_test(df, "dur", "ev", "g", "A", "B").collect()[0]
     # perfectly matched curves: O == E exactly at every time
     assert out["z_stat"] == 0.0 and out["chi2"] == 0.0
+
+
+def test_ridge_ols_recovers_exact_linear_fit(spark):
+    """λ=0 on exactly-linear integer data recovers y=3x1+2x2+5."""
+    from pipelines_rj_sms_spark.operators.features import (
+        ridge_regression_2f)
+    rows = [(a, b, 3 * a + 2 * b + 5)
+            for a in range(0, 10) for b in range(0, 7)]
+    df = spark.createDataFrame(rows, ["x1", "x2", "y"])
+    out = ridge_regression_2f(df, "x1", "x2", "y", lam=0.0).collect()[0]
+    assert out["coef_x1"] == 3.0 and out["coef_x2"] == 2.0
+    assert out["intercept"] == 5.0 and out["n"] == 70
+
+
+def test_ridge_lambda_shrinks_and_singular_guard(spark):
+    from pipelines_rj_sms_spark.operators.features import (
+        ridge_regression_2f)
+    rows = [(a, b, 3 * a + 2 * b + 5)
+            for a in range(0, 10) for b in range(0, 7)]
+    df = spark.createDataFrame(rows, ["x1", "x2", "y"])
+    out = ridge_regression_2f(df, "x1", "x2", "y", lam=50.0).collect()[0]
+    assert 0 < out["coef_x1"] < 3.0 and 0 < out["coef_x2"] < 2.0
+    # constant features with λ=0: A and c are all-zero → det=0 → NULL
+    const = spark.createDataFrame([(1, 1, 4)] * 5, ["x1", "x2", "y"])
+    o2 = ridge_regression_2f(const, "x1", "x2", "y", lam=0.0).collect()[0]
+    assert o2["coef_x1"] is None and o2["intercept"] is None
