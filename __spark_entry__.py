@@ -386,6 +386,9 @@ Query key -> SURVEY §2 rows covered:
   price_ridge_regression    closed-form 2-feature ridge (exact integer
                             moments, explicit 2×2 inverse, λ damping,
                             no iteration)
+  supplier_graph_bfs_hops   level-synchronous BFS shortest hops over
+                            the weighted co-occurrence graph (bounded
+                            recursive-CTE oracle, min-hop semantics)
 """
 
 from __future__ import annotations
@@ -4090,6 +4093,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("long").alias("y"))
         return ridge_regression_2f(base, "x1", "x2", "y", lam=1.0)
 
+    def bfs_q(spark, sf_dir):
+        """BFS shortest hops from supplier 1 over the ≥32-shared-order
+        supplier co-occurrence graph — level-synchronous frontier
+        expansion, fixed 3 rounds, one edge repartition; the oracle is
+        a bounded recursive CTE taking min(hop)."""
+        from pipelines_rj_sms_spark.operators.graph import bfs_hops
+        li = _t(spark, sf_dir, "lineitem")
+        po = li.select("l_orderkey", "l_suppkey").distinct()
+        sets = (po.groupBy("l_orderkey")
+                .agg(F.sort_array(F.collect_set("l_suppkey"))
+                     .alias("_it")))
+        pairs = F.flatten(F.transform(
+            "_it", lambda x, i: F.transform(
+                F.slice(F.col("_it"), i + 2, F.size("_it")),
+                lambda y: F.struct(x.alias("u"), y.alias("v")))))
+        wp = (sets.select(F.explode(pairs).alias("_p"))
+              .select(F.col("_p.u").alias("src"),
+                      F.col("_p.v").alias("dst"))
+              .groupBy("src", "dst").agg(F.count("*").alias("w"))
+              .filter(F.col("w") >= 32)
+              .select("src", "dst"))
+        return bfs_hops(wp, 1, max_hops=3, edges_distinct=True)
+
     def gini_q(spark, sf_dir):
         """Gini concentration of customer lifetime order value per
         market segment — cents-exact units, rank-sum over the
@@ -4376,6 +4402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_dispersion": dispersion_q,
         "daily_revenue_runs_test": runs_q,
         "price_ridge_regression": ridge_q,
+        "supplier_graph_bfs_hops": bfs_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -7931,6 +7958,23 @@ SELECT n,
                (syd - (nb1 / det) * s1d - (nb2 / det) * s2d) / nd
              END, 6) AS intercept
 FROM sol
+""",
+        "supplier_graph_bfs_hops": r"""
+WITH RECURSIVE po AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+pairs AS (
+  SELECT a.s AS u, b.s AS v
+  FROM po a JOIN po b ON a.o = b.o AND a.s < b.s),
+w AS (SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 32),
+und AS (SELECT u, v FROM w UNION ALL SELECT v, u FROM w),
+bfs(node, hop) AS (
+  SELECT u, 0 FROM (SELECT DISTINCT u FROM und) su WHERE u = 1
+  UNION ALL
+  SELECT und.v, bfs.hop + 1
+  FROM bfs JOIN und ON und.u = bfs.node
+  WHERE bfs.hop < 3)
+SELECT node, CAST(min(hop) AS INTEGER) AS hops
+FROM bfs GROUP BY node
 """,
     }
 

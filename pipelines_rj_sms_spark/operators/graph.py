@@ -623,3 +623,52 @@ def modularity(edges: DataFrame, labels: DataFrame,
         F.round(F.sum("_t").cast("double")
                 / (4 * F.max(F.col("_m")) * F.max(F.col("_m")))
                 .cast("double"), 6).alias("modularity")), e, lab)
+
+
+def bfs_hops(edges: DataFrame, source, max_hops: int = 3,
+             src: str = "src", dst: str = "dst",
+             edges_distinct: bool = False) -> DataFrame:
+    """Shortest hop counts from ``source`` by level-synchronous BFS —
+    the neighborhood/reachability primitive (blast-radius queries,
+    ego-network feature extraction) over the same undirected edge
+    frames the other graph operators take.
+
+    Classic BSP BFS, fixed ``max_hops`` rounds (no data-dependent
+    driver loop): the frontier — tiny relative to the graph for
+    hub-seeded neighborhoods, hence broadcast — expands through one
+    equi-join per level against the edge list hash-partitioned ONCE by
+    the receiving endpoint (the LPA trick: the per-level distinct
+    reuses that partitioning, so levels run with no new edge
+    shuffle); a left-anti join against the visited frame implements
+    first-visit = min-hop semantics. Lineage is truncated per level
+    with localCheckpoint. For frontiers too big to broadcast (dense
+    expander graphs), drop the broadcast hint — the join degrades
+    gracefully to shuffle-on-key. Returns (node, hops) for every node
+    within ``max_hops``; a source absent from the graph returns 0
+    rows.
+    """
+    und = (edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+           .filter(F.col("_a") != F.col("_b"))
+           .unionByName(
+               edges.select(F.col(dst).alias("_a"),
+                            F.col(src).alias("_b"))
+               .filter(F.col("_a") != F.col("_b"))))
+    if not edges_distinct:
+        und = und.distinct()
+    und = und.repartition(F.col("_a")).persist()
+    frontier = (und.select("_a").distinct()
+                .filter(F.col("_a") == F.lit(source))
+                .select(F.col("_a").alias("node"))
+                .withColumn("hops", F.lit(0)))
+    visited = frontier
+    for h in range(1, int(max_hops) + 1):
+        nxt = (und.join(F.broadcast(
+                   frontier.select(F.col("node").alias("_a"))), "_a")
+               .select(F.col("_b").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("hops", F.lit(h))
+               .localCheckpoint(False))
+        visited = visited.unionByName(nxt).localCheckpoint(False)
+        frontier = nxt
+    und.unpersist()
+    return visited

@@ -202,3 +202,30 @@ def test_modularity_single_community_zero(spark):
                                    ["node", "community"])
     out = modularity(edges, labels).collect()[0]
     assert out["modularity"] == 0.0
+
+
+def test_bfs_hops_path_and_bounds(spark):
+    """Path 1-2-3-4-5, max_hops=2 → hops {1:0, 2:1, 3:2}; nodes past
+    the bound absent; undirected so seeding at 3 reaches both ways."""
+    from pipelines_rj_sms_spark.operators.graph import bfs_hops
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["src", "dst"])
+    out = {r["node"]: r["hops"]
+           for r in bfs_hops(edges, 1, max_hops=2).collect()}
+    assert out == {1: 0, 2: 1, 3: 2}
+    mid = {r["node"]: r["hops"]
+           for r in bfs_hops(edges, 3, max_hops=1).collect()}
+    assert mid == {3: 0, 2: 1, 4: 1}
+
+
+def test_bfs_hops_min_hop_on_diamond_and_missing_source(spark):
+    """Diamond 1-2-4, 1-3-4 plus slow path 1-5-6-4: node 4 gets hop 2
+    (first visit wins); an absent source returns no rows."""
+    from pipelines_rj_sms_spark.operators.graph import bfs_hops
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (1, 5), (5, 6), (6, 4)],
+        ["src", "dst"])
+    out = {r["node"]: r["hops"]
+           for r in bfs_hops(edges, 1, max_hops=3).collect()}
+    assert out[4] == 2 and out[6] == 2
+    assert bfs_hops(edges, 99, max_hops=3).count() == 0
