@@ -389,6 +389,9 @@ Query key -> SURVEY §2 rows covered:
   supplier_graph_bfs_hops   level-synchronous BFS shortest hops over
                             the weighted co-occurrence graph (bounded
                             recursive-CTE oracle, min-hop semantics)
+  customer_name_fuzzy_pairs SymSpell deletion-neighborhood fuzzy join
+                            (edit-distance ≤ 1; variant equi-join
+                            blocking, exact levenshtein verify)
 """
 
 from __future__ import annotations
@@ -4116,6 +4119,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               .select("src", "dst"))
         return bfs_hops(wp, 1, max_hops=3, edges_distinct=True)
 
+    def symspell_q(spark, sf_dir):
+        """Edit-distance-1 fuzzy self-join on customer names via the
+        SymSpell deletion neighborhood — variant-key equi-join
+        candidates (never all-pairs), exact levenshtein verify."""
+        from pipelines_rj_sms_spark.operators.linkage import (
+            deletion_neighborhood_pairs)
+        cust = _t(spark, sf_dir, "customer")
+        return deletion_neighborhood_pairs(
+            cust.select(F.col("c_custkey").alias("id"),
+                        F.col("c_name").alias("name")),
+            "id", "name", max_group=1000)
+
     def gini_q(spark, sf_dir):
         """Gini concentration of customer lifetime order value per
         market segment — cents-exact units, rank-sum over the
@@ -4403,6 +4418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_revenue_runs_test": runs_q,
         "price_ridge_regression": ridge_q,
         "supplier_graph_bfs_hops": bfs_q,
+        "customer_name_fuzzy_pairs": symspell_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -7975,6 +7991,26 @@ bfs(node, hop) AS (
   WHERE bfs.hop < 3)
 SELECT node, CAST(min(hop) AS INTEGER) AS hops
 FROM bfs GROUP BY node
+""",
+        "customer_name_fuzzy_pairs": r"""
+WITH names AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+vars AS (
+  SELECT DISTINCT id, s,
+         CASE WHEN i = 0 THEN s
+              ELSE substr(s, 1, i - 1)
+                   || substr(s, i + 1, length(s)) END AS v
+  FROM names, (SELECT unnest(range(0, 64)) AS i) ii
+  WHERE i <= length(s)),
+ok AS (SELECT v FROM vars GROUP BY v
+       HAVING count(*) >= 2 AND count(*) <= 1000),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, a.s AS name_a,
+                  b.id AS id_b, b.s AS name_b
+  FROM vars a JOIN ok ON ok.v = a.v
+  JOIN vars b ON b.v = a.v AND a.id < b.id)
+SELECT id_a, name_a, id_b, name_b,
+       CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+FROM cand WHERE levenshtein(name_a, name_b) <= 1
 """,
     }
 

@@ -100,7 +100,8 @@ _FAMILIES = [
     ("similarity", ("similarity", "ann_", "embedding", "hybrid_rrf",
                     "pca")),
     ("graph", ("pagerank", "graph", "kcore", "communities", "triangle",
-               "cooccurrence", "copurchase", "resolved", "linked")),
+               "cooccurrence", "copurchase", "resolved", "linked",
+               "fuzzy_pairs")),
     ("text", ("doc_", "text_", "corpus", "tfidf", "bm25", "pmi", "bpe",
               "token", "nb_", "lang", "readability", "chunk",
               "feature_hash", "pii", "accent")),

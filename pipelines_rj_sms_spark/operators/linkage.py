@@ -251,3 +251,64 @@ def fs_score(m: dict[str, float], u: dict[str, float],
         term = F.when(expr, F.lit(agree_w)).otherwise(F.lit(disagree_w))
         total = term if total is None else total + term
     return total
+
+
+def deletion_neighborhood_pairs(df: DataFrame, id_col: str,
+                                text_col: str,
+                                max_group: int | None = 1000
+                                ) -> DataFrame:
+    """Edit-distance-1 fuzzy pairs via the SymSpell deletion-
+    neighborhood trick (public algorithm): two strings are within one
+    edit iff they are equal, one is a single-character deletion of the
+    other, or they share a single-deletion variant — so generating the
+    ≤(len+1) deletion variants per string and equi-joining on the
+    variant key finds EVERY candidate without any all-pairs scan, the
+    blocking-discipline answer to "fuzzy join on a name column" that a
+    naive levenshtein-θ join (a cross product) can never give at
+    scale.
+
+    Shape: one projection explodes each (id, text) into its distinct
+    variants; variant groups collapse via collect_set and in-array
+    pair combinations (the `cooccurrence_edges` pattern — pairs are
+    emitted inside codegen, bounded by group size²); a final distinct
+    + exact `levenshtein ≤ 1` verification removes the few
+    hash-coincidence false candidates. ``max_group`` drops variant
+    groups larger than the cap — the hot-block guard (an empty/very
+    short string's variants collide massively); groups it drops could
+    only contribute pairs of near-identical ultra-short strings.
+    Returns (id_a, name_a, id_b, name_b, dist) with id_a < id_b.
+    """
+    s = F.col(text_col)
+    variants = F.array_distinct(F.concat(
+        F.array(s),
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(F.substring(s, F.lit(1), i - 1),
+                               F.substring(s, i + 1,
+                                           F.length(s))))))
+    vars_df = (df.select(F.col(id_col).alias("_id"),
+                         s.alias("_s"),
+                         F.explode(variants).alias("_v"))
+               .distinct())
+    sets = (vars_df.groupBy("_v")
+            .agg(F.sort_array(F.collect_set(
+                F.struct(F.col("_id").alias("i"),
+                         F.col("_s").alias("t")))).alias("_m")))
+    sets = sets.filter(F.size("_m") >= 2)
+    if max_group is not None:
+        sets = sets.filter(F.size("_m") <= int(max_group))
+    pairs = F.flatten(F.transform(
+        "_m", lambda x, i: F.transform(
+            F.slice(F.col("_m"), i + 2, F.size("_m")),
+            lambda y: F.struct(x["i"].alias("ia"), x["t"].alias("ta"),
+                               y["i"].alias("ib"), y["t"].alias("tb")))))
+    cand = (sets.select(F.explode(pairs).alias("_p"))
+            .select(F.col("_p.ia").alias("id_a"),
+                    F.col("_p.ta").alias("name_a"),
+                    F.col("_p.ib").alias("id_b"),
+                    F.col("_p.tb").alias("name_b"))
+            .distinct())
+    dist = F.levenshtein("name_a", "name_b")
+    return (cand.filter(dist <= 1)
+            .select("id_a", "name_a", "id_b", "name_b",
+                    dist.cast("int").alias("dist")))

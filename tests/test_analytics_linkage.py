@@ -317,3 +317,38 @@ def test_gini_tie_order_invariant(spark):
     a = gini_coefficient(df.repartition(1), "u", ["k"]).collect()[0]
     b = gini_coefficient(df.repartition(64), "u", ["k"]).collect()[0]
     assert a["gini"] == b["gini"] and a["gini"] is not None
+
+
+def test_deletion_neighborhood_finds_all_ed1_pairs(spark):
+    """Substitution, deletion, and insertion neighbors all surface;
+    distance-2 names don't."""
+    from pipelines_rj_sms_spark.operators.linkage import (
+        deletion_neighborhood_pairs)
+    rows = [(1, "maria"), (2, "marla"),    # substitution
+            (3, "mara"),                    # deletion of i
+            (4, "marias"),                  # insertion
+            (5, "xx")]                      # far away
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in deletion_neighborhood_pairs(df, "id", "name")
+           .collect()}
+    assert (1, 2) in out and out[(1, 2)] == 1
+    assert (1, 3) in out and (1, 4) in out
+    assert (2, 3) in out          # marla/mara share deletion "mara"?
+    assert all(5 not in k for k in out)
+    # exactness: every reported pair really is within one edit
+    assert all(d <= 1 for d in out.values())
+
+
+def test_deletion_neighborhood_group_cap_drops_hot_variant(spark):
+    """With a tiny cap the shared-variant group is dropped — the
+    hot-block guard semantics, not a silent truncation."""
+    from pipelines_rj_sms_spark.operators.linkage import (
+        deletion_neighborhood_pairs)
+    rows = [(i, "ab") for i in range(1, 5)]  # identical strings
+    df = spark.createDataFrame(rows, ["id", "name"])
+    full = deletion_neighborhood_pairs(df, "id", "name",
+                                       max_group=None).count()
+    capped = deletion_neighborhood_pairs(df, "id", "name",
+                                         max_group=3).count()
+    assert full == 6 and capped == 0
