@@ -392,6 +392,9 @@ Query key -> SURVEY §2 rows covered:
   customer_name_fuzzy_pairs SymSpell deletion-neighborhood fuzzy join
                             (edit-distance ≤ 1; variant equi-join
                             blocking, exact levenshtein verify)
+  nation_order_odds_mh      Mantel-Haenszel pooled odds ratio + χ²
+                            across nation strata (integer 2×2 rollup,
+                            det-quantized cross-stratum sums)
 """
 
 from __future__ import annotations
@@ -4131,6 +4134,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("c_name").alias("name")),
             "id", "name", max_group=1000)
 
+    def mh_q(spark, sf_dir):
+        """Mantel-Haenszel pooled odds ratio of (acctbal > 5000) →
+        (has orders) stratified by nation — K exact integer 2×2 rows,
+        det-quantized cross-stratum sums."""
+        from pipelines_rj_sms_spark.quality.stats import (
+            mantel_haenszel)
+        cust = _t(spark, sf_dir, "customer")
+        orders = _t(spark, sf_dir, "orders")
+        has = orders.select("o_custkey").distinct()
+        base = (cust.join(has, cust["c_custkey"] == has["o_custkey"],
+                          "left")
+                .select(F.col("c_nationkey").alias("k"),
+                        (F.col("c_acctbal") > 5000.0).alias("ex"),
+                        F.col("o_custkey").isNotNull().alias("oc")))
+        return mantel_haenszel(base, "k", "ex", "oc")
+
     def gini_q(spark, sf_dir):
         """Gini concentration of customer lifetime order value per
         market segment — cents-exact units, rank-sum over the
@@ -4419,6 +4438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_ridge_regression": ridge_q,
         "supplier_graph_bfs_hops": bfs_q,
         "customer_name_fuzzy_pairs": symspell_q,
+        "nation_order_odds_mh": mh_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -8011,6 +8031,55 @@ cand AS (
 SELECT id_a, name_a, id_b, name_b,
        CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
 FROM cand WHERE levenshtein(name_a, name_b) <= 1
+""",
+        "nation_order_odds_mh": r"""
+WITH base AS (
+  SELECT c_nationkey AS k,
+         (c_acctbal > 5000.0) AS ex,
+         (o.o_custkey IS NOT NULL) AS oc
+  FROM customer c
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+    ON o.o_custkey = c.c_custkey),
+per AS (
+  SELECT k,
+         SUM(CASE WHEN ex AND oc THEN 1 ELSE 0 END) AS ai,
+         SUM(CASE WHEN ex AND NOT oc THEN 1 ELSE 0 END) AS bi,
+         SUM(CASE WHEN NOT ex AND oc THEN 1 ELSE 0 END) AS ci,
+         SUM(CASE WHEN NOT ex AND NOT oc THEN 1 ELSE 0 END) AS di
+  FROM base GROUP BY 1),
+t AS (
+  SELECT ai,
+         CAST(ai AS DOUBLE) AS a, CAST(bi AS DOUBLE) AS b,
+         CAST(ci AS DOUBLE) AS c, CAST(di AS DOUBLE) AS d,
+         CAST(ai AS DOUBLE) + CAST(bi AS DOUBLE)
+           + CAST(ci AS DOUBLE) + CAST(di AS DOUBLE) AS n
+  FROM per),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+         CAST(sum(ai) AS BIGINT) AS observed_exposed_cases,
+         CAST(SUM(CAST(floor((CASE WHEN n > 0 THEN a * d / n END)
+               * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS sad,
+         CAST(SUM(CAST(floor((CASE WHEN n > 0 THEN b * c / n END)
+               * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS sbc,
+         CAST(SUM(CAST(floor((CASE WHEN n > 0
+               THEN (a + b) * (a + c) / n END)
+               * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS se,
+         CAST(SUM(CAST(floor((CASE WHEN n > 1
+               THEN (a + b) * (c + d) * (a + c) * (b + d)
+                    / (n * n * (n - 1)) END)
+               * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS sv
+  FROM t)
+SELECT n_strata, observed_exposed_cases,
+       round(CASE WHEN sbc > 0 THEN sad / sbc END, 6) AS or_mh,
+       round(CASE WHEN sv > 0 THEN
+               (CAST(observed_exposed_cases AS DOUBLE) - se)
+               * (CAST(observed_exposed_cases AS DOUBLE) - se)
+               / sv END, 6) AS chi2_mh
+FROM agg
 """,
     }
 

@@ -705,3 +705,62 @@ def runs_test(df: DataFrame, t_col: str, units_col: str) -> DataFrame:
                        mu), 6).alias("expected_runs"),
         F.round(F.when(ok, (F.col("runs").cast("double") - mu)
                        / F.sqrt(var)), 6).alias("z"))
+
+
+def mantel_haenszel(df: DataFrame, stratum_col: str, exposed_col,
+                    outcome_col) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio + test across K strata — the
+    confounder-adjusted companion to :func:`two_proportion_test`
+    (standardized_rates adjusts RATES by weights; MH pools the
+    exposure-outcome association itself, the standard epi method for
+    "is the effect real after stratifying" — public formula). Per
+    stratum the 2×2 is (a,b,c,d), n = a+b+c+d:
+
+        OR_MH = Σ a·d/n ÷ Σ b·c/n
+        χ²_MH = (Σa − Σ (a+b)(a+c)/n)² / Σ V,
+        V = (a+b)(c+d)(a+c)(b+d) / (n²(n−1))     (no continuity corr.)
+
+    Scale shape: ONE conditional hash aggregation collapses the facts
+    to K integer 2×2 rows; every per-stratum term is a single double
+    expression over those exact integers, and the four cross-stratum
+    sums accumulate det-quantized (1e-6 units) in BIGINT so the
+    one-row output is order-independent. Strata with n < 2 contribute
+    no V (and no information); empty cells are fine. Returns
+    (n_strata, observed_exposed_cases, or_mh, chi2_mh) rounded to 6;
+    NULL or_mh when Σb·c/n = 0, NULL chi2 when ΣV = 0.
+    """
+    ex = F.col(exposed_col) if isinstance(exposed_col, str) else \
+        exposed_col
+    oc = F.col(outcome_col) if isinstance(outcome_col, str) else \
+        outcome_col
+    per = df.groupBy(F.col(stratum_col).alias("_k")).agg(
+        F.sum((ex & oc).cast("long")).alias("_a"),
+        F.sum((ex & ~oc).cast("long")).alias("_b"),
+        F.sum((~ex & oc).cast("long")).alias("_c"),
+        F.sum((~ex & ~oc).cast("long")).alias("_d"))
+    a, b, c, d = (F.col(x).cast("double")
+                  for x in ("_a", "_b", "_c", "_d"))
+    n = a + b + c + d
+    e_term = F.when(n > 0, (a + b) * (a + c) / n)
+    v_term = F.when(n > 1, (a + b) * (c + d) * (a + c) * (b + d)
+                    / (n * n * (n - 1)))
+    scale = 1_000_000
+    agg = per.agg(
+        F.count("*").cast("bigint").alias("n_strata"),
+        F.sum("_a").cast("bigint").alias("observed_exposed_cases"),
+        (F.sum(det_units(F.when(n > 0, a * d / n), scale))
+         .cast("double") / F.lit(float(scale))).alias("_sad"),
+        (F.sum(det_units(F.when(n > 0, b * c / n), scale))
+         .cast("double") / F.lit(float(scale))).alias("_sbc"),
+        (F.sum(det_units(e_term, scale))
+         .cast("double") / F.lit(float(scale))).alias("_se"),
+        (F.sum(det_units(v_term, scale))
+         .cast("double") / F.lit(float(scale))).alias("_sv"))
+    dev = F.col("observed_exposed_cases").cast("double") - F.col("_se")
+    return agg.select(
+        "n_strata", "observed_exposed_cases",
+        F.round(F.when(F.col("_sbc") > 0,
+                       F.col("_sad") / F.col("_sbc")), 6)
+        .alias("or_mh"),
+        F.round(F.when(F.col("_sv") > 0, dev * dev / F.col("_sv")), 6)
+        .alias("chi2_mh"))

@@ -336,3 +336,35 @@ def test_runs_test_median_values_dropped(spark):
     out = runs_test(df, "t", "u").collect()[0]
     assert out["n_above"] == 1 and out["n_below"] == 1
     assert out["runs"] == 2
+
+
+def test_mantel_haenszel_single_stratum_equals_plain_or(spark):
+    """One stratum: OR_MH = ad/bc. a=30,b=10,c=20,d=40 → OR=6.0;
+    E=(40·50)/100=20, V=40·60·50·50/(100²·99)=6.0606… →
+    chi2=(30−20)²/V."""
+    from pipelines_rj_sms_spark.quality.stats import mantel_haenszel
+    rows = ([("s", True, True)] * 30 + [("s", True, False)] * 10
+            + [("s", False, True)] * 20 + [("s", False, False)] * 40)
+    df = spark.createDataFrame(rows, ["k", "ex", "oc"])
+    out = mantel_haenszel(df, "k", "ex", "oc").collect()[0]
+    assert out["n_strata"] == 1
+    assert out["observed_exposed_cases"] == 30
+    assert out["or_mh"] == 6.0
+    v = 40 * 60 * 50 * 50 / (100 * 100 * 99)
+    assert abs(out["chi2_mh"] - 100 / v) < 1e-3
+
+
+def test_mantel_haenszel_null_association_pools_to_one(spark):
+    """Two strata with OR=1 inside each (independent margins) →
+    OR_MH = 1 even when crude pooling would confound."""
+    from pipelines_rj_sms_spark.quality.stats import mantel_haenszel
+    rows = []
+    # stratum A: 50% exposed, 80% outcome, independent
+    for ex in (True, False):
+        rows += [("A", ex, True)] * 8 + [("A", ex, False)] * 2
+    # stratum B: independent again, different margins
+    for ex in (True, False):
+        rows += [("B", ex, True)] * 2 + [("B", ex, False)] * 8
+    df = spark.createDataFrame(rows, ["k", "ex", "oc"])
+    out = mantel_haenszel(df, "k", "ex", "oc").collect()[0]
+    assert out["or_mh"] == 1.0 and out["chi2_mh"] == 0.0
