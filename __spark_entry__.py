@@ -395,6 +395,9 @@ Query key -> SURVEY §2 rows covered:
   nation_order_odds_mh      Mantel-Haenszel pooled odds ratio + χ²
                             across nation strata (integer 2×2 rollup,
                             det-quantized cross-stratum sums)
+  lang_id_kappa             Cohen's kappa of lang-id vs labels (exact
+                            integer (N·diag−S)/(N²−S) over the |C|²
+                            confusion rollup)
 """
 
 from __future__ import annotations
@@ -1381,6 +1384,36 @@ def _duck_lang_id_sql() -> str:
 WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
 sc AS (SELECT doc_id, {score_cols} FROM toks)
 SELECT doc_id, CASE {cascade}END AS lang_pred FROM sc
+"""
+
+
+def _duck_lang_kappa_sql() -> str:
+    """Cohen's kappa between the replayed lang-id cascade and the
+    labeled lang column — same prediction CTEs as text_lang_id, then
+    the exact-integer kappa algebra on the confusion cells."""
+    score_cols, cascade = _duck_lang_parts()
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {_DUCK_TOKS} AS t FROM documents),
+sc AS (SELECT doc_id, lang, {score_cols} FROM toks),
+pair AS (SELECT lang AS la, CASE {cascade}END AS lb FROM sc),
+cells AS (SELECT la, lb, count(*) AS c FROM pair GROUP BY 1, 2),
+rw AS (SELECT la AS k, sum(c) AS r FROM cells GROUP BY 1),
+cl AS (SELECT lb AS k, sum(c) AS cc FROM cells GROUP BY 1),
+s AS (SELECT CAST(coalesce(sum(CAST(r AS HUGEINT) * cc), 0)
+              AS HUGEINT) AS s
+      FROM rw JOIN cl USING (k)),
+tot AS (SELECT CAST(sum(c) AS HUGEINT) AS n,
+               CAST(coalesce(sum(CASE WHEN la = lb THEN c END), 0)
+                    AS HUGEINT) AS diag
+        FROM cells)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(diag AS BIGINT) AS observed_agree,
+       round(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+       round(CAST(s AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS pe,
+       round(CASE WHEN CAST(n * n - s AS DOUBLE) != 0.0 THEN
+               CAST(n * diag - s AS DOUBLE)
+               / CAST(n * n - s AS DOUBLE) END, 6) AS kappa
+FROM tot CROSS JOIN s
 """
 
 
@@ -4150,6 +4183,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("o_custkey").isNotNull().alias("oc")))
         return mantel_haenszel(base, "k", "ex", "oc")
 
+    def kappa_q(spark, sf_dir):
+        """Cohen's kappa between the heuristic lang-id prediction and
+        the labeled lang column — chance-corrected agreement as a
+        ratio of exact integers over the |C|² confusion rollup."""
+        from pipelines_rj_sms_spark.quality.stats import cohens_kappa
+        docs = _t(spark, sf_dir, "documents")
+        pair = docs.select(F.col("lang").alias("a"),
+                           text.lang_id("text").alias("b"))
+        return cohens_kappa(pair, "a", "b")
+
     def gini_q(spark, sf_dir):
         """Gini concentration of customer lifetime order value per
         market segment — cents-exact units, rank-sum over the
@@ -4439,6 +4482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_graph_bfs_hops": bfs_q,
         "customer_name_fuzzy_pairs": symspell_q,
         "nation_order_odds_mh": mh_q,
+        "lang_id_kappa": kappa_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -8081,6 +8125,7 @@ SELECT n_strata, observed_exposed_cases,
                / sv END, 6) AS chi2_mh
 FROM agg
 """,
+        "lang_id_kappa": _duck_lang_kappa_sql(),
     }
 
 

@@ -764,3 +764,56 @@ def mantel_haenszel(df: DataFrame, stratum_col: str, exposed_col,
         .alias("or_mh"),
         F.round(F.when(F.col("_sv") > 0, dev * dev / F.col("_sv")), 6)
         .alias("chi2_mh"))
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two label
+    columns (classifier vs ground truth, annotator vs annotator): the
+    evaluation-loop statistic `classification_report` doesn't give
+    (public formula). Fully exact: with confusion counts n_kl, row
+    totals r_k, column totals c_k, N = Σn and S = Σ_k r_k·c_k,
+
+        po = diag/N,  pe = S/N²,
+        κ = (po − pe)/(1 − pe) = (N·diag − S)/(N² − S)
+
+    — a ratio of exact integers, one final division.
+
+    Scale shape: one hash aggregation collapses the facts to the |C|²
+    confusion cells; marginals and S come from tiny per-label rollups
+    of those cells (an equi-join on the label, broadcast-sized); the
+    (N, diag) and S one-row frames cross-join — the standard 1-row
+    scalar-broadcast plan. DECIMAL(38,0) products so N² survives
+    billion-row inputs. Returns one row (n, observed_agree, po, pe,
+    kappa) rounded to 6; NULL kappa when pe = 1 (degenerate single
+    label on both sides).
+    """
+    d38 = "decimal(38,0)"
+    cells = (df.groupBy(F.col(col_a).alias("_la"),
+                        F.col(col_b).alias("_lb"))
+             .agg(F.count("*").alias("_c")))
+    rows = cells.groupBy(F.col("_la").alias("_k")) \
+        .agg(F.sum("_c").alias("_r"))
+    cols = cells.groupBy(F.col("_lb").alias("_k")) \
+        .agg(F.sum("_c").alias("_cc"))
+    s = (rows.join(cols, "_k")
+         .agg(F.coalesce(
+             F.sum((F.col("_r").cast(d38)
+                    * F.col("_cc").cast(d38)).cast(d38)),
+             F.lit(0).cast(d38)).cast(d38).alias("_s")))
+    tot = cells.agg(
+        F.sum("_c").cast(d38).alias("_n"),
+        F.coalesce(F.sum(F.when(F.col("_la") == F.col("_lb"),
+                                F.col("_c"))), F.lit(0))
+        .cast(d38).alias("_diag"))
+    out = tot.join(F.broadcast(s))
+    n, diag, sv = F.col("_n"), F.col("_diag"), F.col("_s")
+    den = (n * n - sv).cast("double")
+    return out.select(
+        n.cast("bigint").alias("n"),
+        diag.cast("bigint").alias("observed_agree"),
+        F.round(diag.cast("double") / n.cast("double"), 6).alias("po"),
+        F.round(sv.cast("double") / (n * n).cast("double"), 6)
+        .alias("pe"),
+        F.round(F.when(den != 0.0,
+                       (n * diag - sv).cast("double") / den), 6)
+        .alias("kappa"))

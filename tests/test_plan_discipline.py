@@ -213,7 +213,10 @@ def test_every_query_plans_clean(spark):
                     "event_markov_transitions",
                     # 1-row exact-median broadcast over the collapsed
                     # daily series (runs-test above/below split)
-                    "daily_revenue_runs_test"}
+                    "daily_revenue_runs_test",
+                    # 1-row (N, diag) × 1-row S scalar cross-join over
+                    # the collapsed confusion cells
+                    "lang_id_kappa"}
     failures = []
     for name, fn in entry.queries().items():
         try:

@@ -368,3 +368,26 @@ def test_mantel_haenszel_null_association_pools_to_one(spark):
     df = spark.createDataFrame(rows, ["k", "ex", "oc"])
     out = mantel_haenszel(df, "k", "ex", "oc").collect()[0]
     assert out["or_mh"] == 1.0 and out["chi2_mh"] == 0.0
+
+
+def test_cohens_kappa_textbook_2x2(spark):
+    """Classic 2×2: diag=45+15=60 of N=100, rows (50,50) cols (55,45)
+    → po=0.6, pe=(50·55+50·45)/10000=0.5, κ=(0.6−0.5)/0.5=0.2."""
+    from pipelines_rj_sms_spark.quality.stats import cohens_kappa
+    rows = ([("y", "y")] * 45 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 40)
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = cohens_kappa(df, "a", "b").collect()[0]
+    assert out["n"] == 100 and out["observed_agree"] == 85
+    # recompute: diag=85, S=50*55+50*45=5000 → po=.85, pe=.5, κ=.7
+    assert out["po"] == 0.85 and out["pe"] == 0.5
+    assert out["kappa"] == 0.7
+
+
+def test_cohens_kappa_perfect_and_degenerate(spark):
+    from pipelines_rj_sms_spark.quality.stats import cohens_kappa
+    perfect = spark.createDataFrame(
+        [("x", "x")] * 3 + [("y", "y")] * 7, ["a", "b"])
+    assert cohens_kappa(perfect, "a", "b").collect()[0]["kappa"] == 1.0
+    degen = spark.createDataFrame([("x", "x")] * 5, ["a", "b"])
+    assert cohens_kappa(degen, "a", "b").collect()[0]["kappa"] is None
