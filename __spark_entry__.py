@@ -398,6 +398,9 @@ Query key -> SURVEY §2 rows covered:
   lang_id_kappa             Cohen's kappa of lang-id vs labels (exact
                             integer (N·diag−S)/(N²−S) over the |C|²
                             confusion rollup)
+  priority_return_trend     Cochran-Armitage linear-trend test across
+                            ordered priority levels (exact integer T
+                            and variance, one √ at the end)
 """
 
 from __future__ import annotations
@@ -4193,6 +4196,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            text.lang_id("text").alias("b"))
         return cohens_kappa(pair, "a", "b")
 
+    def ca_trend_q(spark, sf_dir):
+        """Cochran-Armitage dose-response trend: does the share of
+        orders with a returned line rise monotonically across the five
+        ordered priority levels — exact integer T and variance."""
+        from pipelines_rj_sms_spark.quality.stats import (
+            cochran_armitage)
+        orders = _t(spark, sf_dir, "orders")
+        li = _t(spark, sf_dir, "lineitem")
+        ret = (li.filter(F.col("l_returnflag") == "R")
+               .select("l_orderkey").distinct())
+        base = (orders.join(ret,
+                            orders["o_orderkey"] == ret["l_orderkey"],
+                            "left")
+                .select(F.substring("o_orderpriority", 1, 1)
+                        .cast("int").alias("w"),
+                        F.col("l_orderkey").isNotNull().alias("s")))
+        return cochran_armitage(base, "w", "s")
+
     def gini_q(spark, sf_dir):
         """Gini concentration of customer lifetime order value per
         market segment — cents-exact units, rank-sum over the
@@ -4483,6 +4504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_name_fuzzy_pairs": symspell_q,
         "nation_order_odds_mh": mh_q,
         "lang_id_kappa": kappa_q,
+        "priority_return_trend": ca_trend_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -8126,6 +8148,37 @@ SELECT n_strata, observed_exposed_cases,
 FROM agg
 """,
         "lang_id_kappa": _duck_lang_kappa_sql(),
+        "priority_return_trend": r"""
+WITH ret AS (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+base AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS w,
+         (r.l_orderkey IS NOT NULL) AS s
+  FROM orders o LEFT JOIN ret r ON r.l_orderkey = o.o_orderkey),
+per AS (
+  SELECT w, count(*) AS n,
+         SUM(CASE WHEN s THEN 1 ELSE 0 END) AS a
+  FROM base GROUP BY 1),
+agg AS (
+  SELECT CAST(sum(n) AS HUGEINT) AS nn,
+         CAST(sum(a) AS HUGEINT) AS aa,
+         CAST(sum(CAST(w AS HUGEINT) * a) AS HUGEINT) AS swa,
+         CAST(sum(CAST(w AS HUGEINT) * n) AS HUGEINT) AS swn,
+         CAST(sum(CAST(w AS HUGEINT) * w * n) AS HUGEINT) AS swwn
+  FROM per),
+o AS (
+  SELECT nn, aa,
+         nn * swa - aa * swn AS tn,
+         aa * (nn - aa) * (nn * swwn - swn * swn) AS vbig
+  FROM agg)
+SELECT CAST(nn AS BIGINT) AS n, CAST(aa AS BIGINT) AS successes,
+       round(CAST(tn AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS t_scaled,
+       round(CASE WHEN vbig > 0 THEN
+               CAST(tn AS DOUBLE)
+               / sqrt(CAST(vbig AS DOUBLE) / CAST(nn AS DOUBLE))
+             END, 6) AS z_ca
+FROM o
+""",
     }
 
 

@@ -817,3 +817,54 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.round(F.when(den != 0.0,
                        (n * diag - sv).cast("double") / den), 6)
         .alias("kappa"))
+
+
+def cochran_armitage(df: DataFrame, score_col: str,
+                     success_col) -> DataFrame:
+    """Cochran-Armitage test for a linear trend in proportions across
+    ordered exposure levels — the dose-response screen a plain χ²
+    can't give (χ² asks "different?", CA asks "monotone in the
+    scores?"; public formula). With per-level trials n_i, successes
+    a_i, integer scores w_i, N = Σn, A = Σa:
+
+        T·N   = N·Σwᵢaᵢ − A·Σwᵢnᵢ
+        z     = T·N / √( A·(N−A)·(N·Σwᵢ²nᵢ − (Σwᵢnᵢ)²) / N )
+
+    — every term inside the √ and the numerator is an EXACT integer
+    (DECIMAL(38,0)); the divide-and-√ is one fixed double expression.
+
+    Scale shape: one conditional hash aggregation collapses the facts
+    to the ≤|levels| (score, n, a) rollup; the five cross-level sums
+    are a second tiny aggregation. Returns one row (n, successes,
+    t_scaled, z_ca) rounded to 6; NULL z when the variance term is 0
+    (all one level, or A ∈ {0, N}).
+    """
+    d38 = "decimal(38,0)"
+    suc = F.col(success_col) if isinstance(success_col, str) else \
+        success_col
+    per = (df.groupBy(F.col(score_col).alias("_w"))
+           .agg(F.count("*").alias("_n"),
+                F.sum(suc.cast("long")).alias("_a")))
+    w = F.col("_w").cast(d38)
+    agg = per.agg(
+        F.sum("_n").cast(d38).alias("_nn"),
+        F.sum("_a").cast(d38).alias("_aa"),
+        F.sum((w * F.col("_a").cast(d38)).cast(d38)).cast(d38)
+        .alias("_swa"),
+        F.sum((w * F.col("_n").cast(d38)).cast(d38)).cast(d38)
+        .alias("_swn"),
+        F.sum((w * w * F.col("_n").cast(d38)).cast(d38)).cast(d38)
+        .alias("_swwn"))
+    n, a = F.col("_nn"), F.col("_aa")
+    tn = (n * F.col("_swa") - a * F.col("_swn")).cast(d38)
+    vbig = (a * (n - a)
+            * (n * F.col("_swwn")
+               - F.col("_swn") * F.col("_swn"))).cast(d38)
+    z = tn.cast("double") / F.sqrt(vbig.cast("double")
+                                   / n.cast("double"))
+    return agg.select(
+        n.cast("bigint").alias("n"),
+        a.cast("bigint").alias("successes"),
+        F.round(tn.cast("double") / n.cast("double"), 6)
+        .alias("t_scaled"),
+        F.round(F.when(vbig > 0, z), 6).alias("z_ca"))

@@ -391,3 +391,31 @@ def test_cohens_kappa_perfect_and_degenerate(spark):
     assert cohens_kappa(perfect, "a", "b").collect()[0]["kappa"] == 1.0
     degen = spark.createDataFrame([("x", "x")] * 5, ["a", "b"])
     assert cohens_kappa(degen, "a", "b").collect()[0]["kappa"] is None
+
+
+def test_cochran_armitage_hand_computed(spark):
+    """(n,a) = (10,1),(10,5),(10,9) at scores 1,2,3: T·N=240,
+    V-term=135000 → z = 240/√4500 = 3.577709; a flat gradient → 0."""
+    from pipelines_rj_sms_spark.quality.stats import cochran_armitage
+    rows = []
+    for w, a in ((1, 1), (2, 5), (3, 9)):
+        rows += [(w, True)] * a + [(w, False)] * (10 - a)
+    df = spark.createDataFrame(rows, ["w", "s"])
+    out = cochran_armitage(df, "w", "s").collect()[0]
+    assert out["n"] == 30 and out["successes"] == 15
+    assert out["t_scaled"] == 8.0
+    assert out["z_ca"] == 3.577709
+    flat = []
+    for w in (1, 2, 3):
+        flat += [(w, True)] * 4 + [(w, False)] * 6
+    z0 = cochran_armitage(
+        spark.createDataFrame(flat, ["w", "s"]), "w", "s").collect()[0]
+    assert z0["z_ca"] == 0.0
+
+
+def test_cochran_armitage_degenerate_null(spark):
+    """All successes (A=N) → zero variance → NULL z."""
+    from pipelines_rj_sms_spark.quality.stats import cochran_armitage
+    df = spark.createDataFrame(
+        [(1, True)] * 5 + [(2, True)] * 5, ["w", "s"])
+    assert cochran_armitage(df, "w", "s").collect()[0]["z_ca"] is None
