@@ -233,10 +233,62 @@ class _ReplayStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+class AvroDataSource(DataSource):
+    """Avro Object Container Files as a Spark batch source via the
+    repo's pure-Python codec (`sources/avroc.py` — public format
+    spec, null + deflate codecs, no spark-avro package needed).
+
+    Registered as "pyavro" (NOT "avro") so the built-in spark-avro
+    resolution path stays unshadowed where that package exists.
+    Partitioning is per file — the BigQuery-extract shard shape; the
+    driver reads only the first file's header for the schema. Rows are
+    yielded as Python tuples against the inferred Spark schema (Avro
+    nullable-union/array/map/nested-record types map directly);
+    per-file Arrow batch assembly is a possible optimization, not a
+    semantic change.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyavro"
+
+    def schema(self) -> StructType:
+        from pipelines_rj_sms_spark.sources.avroc import (
+            read_header, schema_to_spark)
+
+        first = _resolve_paths(self.options)[0]
+        with open(first, "rb") as f:
+            avro_schema, _, _ = read_header(f)
+        spark_type = schema_to_spark(avro_schema)
+        if not isinstance(spark_type, StructType):
+            raise ValueError("top-level avro schema must be a record")
+        return spark_type
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _AvroReader(schema, dict(self.options))
+
+
+class _AvroReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self._schema = schema
+        self._paths = _resolve_paths(options)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [_FilePartition(p) for p in self._paths]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        from pipelines_rj_sms_spark.sources.avroc import read_container
+
+        with open(partition.path, "rb") as f:
+            _, records = read_container(f.read())
+        yield from records
+
+
 def register_all(spark) -> None:
     """Register every engine Python data source on the session."""
     spark.dataSource.register(DbfDataSource)
     spark.dataSource.register(ReplayDataSource)
+    spark.dataSource.register(AvroDataSource)
 
 
 # --------------------------------------------------------- JSONL sink (K7+)

@@ -118,3 +118,69 @@ def test_jsonlcommit_writer_abort_leaves_no_partials(spark, tmp_path):
     assert list(out.glob("*.jsonl")) == []
     assert not (out / "_SUCCESS").exists()
     assert not (out / "_staging").exists()
+
+
+SCHEMA_FULL = {
+    "type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "props", "type": {"type": "map", "values": "long"}},
+        {"name": "color", "type": {"type": "enum", "name": "c",
+                                   "symbols": ["RED", "BLUE"]}},
+        {"name": "nested", "type": {
+            "type": "record", "name": "n", "fields": [
+                {"name": "a", "type": "int"},
+                {"name": "b", "type": ["null", "double"]}]}},
+    ]}
+
+
+def _rows(n, offset=0):
+    return [(i + offset, None if i % 3 == 0 else f"u{i}",
+             i * 0.5, i % 2 == 0, [f"t{i}", "x"], {"k": i},
+             "RED" if i % 2 else "BLUE", (i, None if i % 2 else 1.5))
+            for i in range(n)]
+
+
+def test_avro_codec_round_trip_both_codecs():
+    from pipelines_rj_sms_spark.sources.avroc import (
+        encode_container, read_container)
+    rows = _rows(50)
+    for codec in ("null", "deflate"):
+        blob = encode_container(SCHEMA_FULL, rows, codec=codec,
+                                records_per_block=7)
+        schema, got = read_container(blob)
+        assert list(got) == rows, codec
+
+
+def test_avro_corrupt_sync_detected():
+    import pytest
+    from pipelines_rj_sms_spark.sources.avroc import (
+        encode_container, read_container)
+    blob = bytearray(encode_container(SCHEMA_FULL, _rows(5)))
+    blob[-1] ^= 0xFF          # flip a sync-marker byte
+    _, records = read_container(bytes(blob))
+    with pytest.raises(ValueError, match="sync"):
+        list(records)
+
+
+def test_avro_spark_source_reads_shards(spark, tmp_path):
+    """Two shard files through format('pyavro'): schema inferred from
+    the header, per-file partitions, nullable union honored."""
+    from pipelines_rj_sms_spark.sources.avroc import encode_container
+    from pipelines_rj_sms_spark.sources.pyds import AvroDataSource
+    (tmp_path / "a.avro").write_bytes(
+        encode_container(SCHEMA_FULL, _rows(20), codec="deflate"))
+    (tmp_path / "b.avro").write_bytes(
+        encode_container(SCHEMA_FULL, _rows(15, offset=100)))
+    spark.dataSource.register(AvroDataSource)
+    df = spark.read.format("pyavro").load(str(tmp_path / "*.avro"))
+    assert df.count() == 35
+    assert df.schema["name"].dataType.typeName() == "string"
+    assert df.filter("name IS NULL").count() == 7 + 5
+    row = df.filter("id = 101").collect()[0]
+    assert row["nested"]["a"] == 1 and row["color"] == "RED"
+    assert row["props"]["k"] == 1 and row["tags"][1] == "x"
+    assert df.rdd.getNumPartitions() == 2
