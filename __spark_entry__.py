@@ -4525,6 +4525,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-graded) or re-verified by the in-suite full sweep —
         # re-grading long-green names would burn exposure slots.
         "doc_bigram_logprob",
+        # round-6 session-3 additions — new operators, never graded,
+        # all locally oracle-verified at sf0.01
+        "event_markov_transitions", "segment_value_gini",
+        "daily_revenue_acf", "purchase_click_lead_lag",
+        "purchase_click_jsd", "event_type_dispersion",
+        "daily_revenue_runs_test", "price_ridge_regression",
+        "supplier_graph_bfs_hops", "customer_name_fuzzy_pairs",
+        "nation_order_odds_mh", "lang_id_kappa",
+        "priority_return_trend",
     ]
     never_graded = [
         # double duty: changed this round (det-quantized accumulation)
@@ -4544,12 +4553,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_gate", "count_reconciliation", "order_fill_ratio",
         "coalesce_segments", "similarity_ivf", "curate_documents",
         "asof_purchase_signup", "range_error_purchases",
-        "priority_line_counts", "top_supplier_revenue",
-        "supplier_cnt_by_part", "late_supplier_waits",
-        "profit_by_nation_year", "customer_order_ranks",
-        "ohlc_hourly_events", "text_rolling_fingerprint",
-        "min_balance_supplier_per_part", "nation_value_share",
-        "heavy_red_suppliers", "train_test_split", "group_sample_100",
+        # (13 long-green TPC-H-shape names — priority_line_counts
+        # through group_sample_100 — deferred to the r7 window to make
+        # room for the 13 session-3 additions above; they stay
+        # sweep-verified and never-graded, not dropped)
         # round-6 additions (t-closeness trio completion, MK test)
         "t_closeness_value_report", "event_type_mann_kendall",
     ]
