@@ -868,3 +868,103 @@ def cochran_armitage(df: DataFrame, score_col: str,
         F.round(tn.cast("double") / n.cast("double"), 6)
         .alias("t_scaled"),
         F.round(F.when(vbig > 0, z), 6).alias("z_ca"))
+
+
+def pettitt_test(df: DataFrame, t_col: str,
+                 units_col: str) -> DataFrame:
+    """Pettitt change-point test — nonparametric "when did the level
+    shift" companion to the CUSUM chart (CUSUM draws the drift curve;
+    Pettitt locates the single most likely break and attaches a
+    significance; public method). Rank formulation over the series:
+
+        U_t = 2·Σ_{i≤t} R_i − t·(n+1)   (average ranks for ties)
+        K   = max_{t<n} |U_t|,   t* = argmax (earliest on ties)
+        p   ≈ min(1, 2·exp(−6K² / (n³+n²)))
+
+    Exactness: ranks use the half-unit integer construction
+    (2R = 2·rank_min + ties − 1, the MWU convention), so U_t is an
+    exact integer in 2U units; only the final p expression runs in
+    doubles. Scale shape: all windows run over the COLLAPSED
+    (bucket, units) series — rank over the value order, cumsum over
+    the time order, both single-partition over bucket counts (the
+    rank-statistics posture; thousands of rows for years of daily
+    data, never the facts). Returns one row (n, change_t, k_stat,
+    p_value) rounded to 6; NULL for n < 2.
+    """
+    w_all = Window.partitionBy(F.lit(1))
+    r2 = (2 * F.rank().over(Window.orderBy("_u"))
+          + F.count("*").over(Window.partitionBy("_u")) - 1)
+    ser = (df.select(F.col(t_col).alias("_t"),
+                     F.col(units_col).alias("_u"))
+           .withColumn("_r2", r2.cast("long"))
+           .withColumn("_n", F.count("*").over(w_all)))
+    wt = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, 0)
+    ser = (ser.withColumn("_idx", F.row_number().over(Window.orderBy("_t")))
+           .withColumn(
+               "_u2", F.sum("_r2").over(wt)
+               - F.col("_idx") * (F.col("_n") + 1)))
+    inner = ser.filter(F.col("_idx") < F.col("_n"))
+    best = inner.agg(
+        F.max("_n").cast("bigint").alias("n"),
+        F.max(F.struct(F.abs(F.col("_u2")).alias("k2"),
+                       (-F.col("_t")).alias("mt"))).alias("_b"))
+    nd = F.col("n").cast("double")
+    k = F.col("_b.k2").cast("double") / F.lit(2.0)
+    p = F.least(F.lit(1.0),
+                F.lit(2.0) * F.exp(F.lit(-6.0) * k * k
+                                   / (nd * nd * nd + nd * nd)))
+    return best.select(
+        "n", (-F.col("_b.mt")).alias("change_t"),
+        F.round(k, 6).alias("k_stat"),
+        F.round(F.when(F.col("n") > 1, p), 6).alias("p_value"))
+
+
+def uncertainty_coefficient(df: DataFrame, x_col: str,
+                            y_col: str) -> DataFrame:
+    """Theil's uncertainty coefficient between two categorical columns
+    — the normalized, ASYMMETRIC "how much of Y does knowing X
+    explain" (U(Y|X) = I(X;Y)/H(Y)), the standard categorical
+    association profile for feature screens where Cramér's V hides
+    direction (public formula). Entropies in nats via the count form
+    H = ln N − (Σ c·ln c)/N, so
+
+        MI = H(X) + H(Y) − H(X,Y),
+        U(Y|X) = MI/H(Y),  U(X|Y) = MI/H(X)
+
+    Scale shape: one hash aggregation to the |X|·|Y| contingency
+    cells; margins are rollups OF THE CELLS; the three c·ln c sums
+    accumulate det-quantized (1e-9 units — at extreme N·ln N
+    magnitudes pass a smaller scale via det_units' capacity rule) so
+    the one-row output is order-independent; the 1-row margin frames
+    cross-join as scalar broadcasts. Returns (n, h_x, h_y, mi,
+    u_y_given_x, u_x_given_y) rounded to 6; NULL U when the
+    denominator entropy is 0 (constant column).
+    """
+    c = F.col("_c")
+    clnc = c.cast("double") * F.log(c.cast("double"))
+    cells = (df.groupBy(F.col(x_col).alias("_x"),
+                        F.col(y_col).alias("_y"))
+             .agg(F.count("*").alias("_c")))
+    tot = cells.agg(
+        F.sum("_c").cast("bigint").alias("n"),
+        (F.sum(det_units(clnc)).cast("double")
+         / float(DET_SCALE)).alias("_sxy"))
+    mx = (cells.groupBy("_x").agg(F.sum("_c").alias("_c"))
+          .agg((F.sum(det_units(clnc)).cast("double")
+                / float(DET_SCALE)).alias("_sx")))
+    my = (cells.groupBy("_y").agg(F.sum("_c").alias("_c"))
+          .agg((F.sum(det_units(clnc)).cast("double")
+                / float(DET_SCALE)).alias("_sy")))
+    out = tot.join(F.broadcast(mx)).join(F.broadcast(my))
+    nd = F.col("n").cast("double")
+    h_x = F.log(nd) - F.col("_sx") / nd
+    h_y = F.log(nd) - F.col("_sy") / nd
+    h_xy = F.log(nd) - F.col("_sxy") / nd
+    mi = h_x + h_y - h_xy
+    return out.select(
+        "n",
+        F.round(h_x, 6).alias("h_x"),
+        F.round(h_y, 6).alias("h_y"),
+        F.round(mi, 6).alias("mi"),
+        F.round(F.when(h_y > 0, mi / h_y), 6).alias("u_y_given_x"),
+        F.round(F.when(h_x > 0, mi / h_x), 6).alias("u_x_given_y"))

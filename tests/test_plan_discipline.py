@@ -216,7 +216,10 @@ def test_every_query_plans_clean(spark):
                     "daily_revenue_runs_test",
                     # 1-row (N, diag) × 1-row S scalar cross-join over
                     # the collapsed confusion cells
-                    "lang_id_kappa"}
+                    "lang_id_kappa",
+                    # 1-row margin-entropy frames cross-joined under
+                    # the contingency-cell rollup
+                    "source_lang_uncertainty"}
     failures = []
     for name, fn in entry.queries().items():
         try:

@@ -419,3 +419,52 @@ def test_cochran_armitage_degenerate_null(spark):
     df = spark.createDataFrame(
         [(1, True)] * 5 + [(2, True)] * 5, ["w", "s"])
     assert cochran_armitage(df, "w", "s").collect()[0]["z_ca"] is None
+
+
+def test_pettitt_finds_planted_level_shift(spark):
+    """5 low then 5 high values: K2 peaks at the boundary (t=4),
+    K = 12.5, p = 2·exp(−6K²/(n³+n²))."""
+    import math
+    from pipelines_rj_sms_spark.quality.stats import pettitt_test
+    rows = [(t, 1) for t in range(5)] + [(t, 9) for t in range(5, 10)]
+    df = spark.createDataFrame(rows, ["t", "u"])
+    out = pettitt_test(df, "t", "u").collect()[0]
+    assert out["n"] == 10 and out["change_t"] == 4
+    assert out["k_stat"] == 12.5
+    assert out["p_value"] == round(
+        min(1.0, 2.0 * math.exp(-6.0 * 12.5 * 12.5 / (1000 + 100))), 6)
+
+
+def test_pettitt_flat_series_k_zero_p_capped(spark):
+    """A constant series has U_t ≡ 0 → K = 0, p capped at 1."""
+    from pipelines_rj_sms_spark.quality.stats import pettitt_test
+    df = spark.createDataFrame([(t, 7) for t in range(8)], ["t", "u"])
+    out = pettitt_test(df, "t", "u").collect()[0]
+    assert out["k_stat"] == 0.0 and out["p_value"] == 1.0
+
+
+def test_uncertainty_coefficient_determined_and_independent(spark):
+    """Y a deterministic function of X → U(Y|X)=1; independent
+    uniform grid → MI=0, U=0."""
+    from pipelines_rj_sms_spark.quality.stats import (
+        uncertainty_coefficient)
+    det = spark.createDataFrame(
+        [("a", "A")] * 4 + [("b", "B")] * 4 + [("c", "A")] * 4,
+        ["x", "y"])
+    out = uncertainty_coefficient(det, "x", "y").collect()[0]
+    assert out["u_y_given_x"] == 1.0
+    assert out["u_x_given_y"] < 1.0        # X not recoverable from Y
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "AB" for _ in range(3)],
+        ["x", "y"])
+    o2 = uncertainty_coefficient(ind, "x", "y").collect()[0]
+    assert o2["mi"] == 0.0 and o2["u_y_given_x"] == 0.0
+
+
+def test_uncertainty_coefficient_constant_column_null(spark):
+    from pipelines_rj_sms_spark.quality.stats import (
+        uncertainty_coefficient)
+    df = spark.createDataFrame([("a", "Z")] * 5 + [("b", "Z")] * 5,
+                               ["x", "y"])
+    out = uncertainty_coefficient(df, "x", "y").collect()[0]
+    assert out["h_y"] == 0.0 and out["u_y_given_x"] is None
