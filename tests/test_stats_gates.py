@@ -468,3 +468,44 @@ def test_uncertainty_coefficient_constant_column_null(spark):
                                ["x", "y"])
     out = uncertainty_coefficient(df, "x", "y").collect()[0]
     assert out["h_y"] == 0.0 and out["u_y_given_x"] is None
+
+
+def test_welch_bh_planted_shift_detected_with_fdr(spark):
+    """Group 'hot' sits far from the rest → p_adj 0, rejected. (The
+    other groups also reject here — vs-REST semantics: their
+    complement contains 'hot', so they genuinely differ from it.)
+    A separate all-null panel must produce no rejections."""
+    import random
+    from pipelines_rj_sms_spark.quality.stats import welch_vs_rest_bh
+    rng = random.Random(5)
+    rows = []
+    for g in "abcd":
+        rows += [(g, rng.randrange(90, 110)) for _ in range(200)]
+    rows += [("hot", rng.randrange(190, 210)) for _ in range(200)]
+    df = spark.createDataFrame(rows, ["k", "u"])
+    out = {r["key"]: r for r in
+           welch_vs_rest_bh(df, "k", "u").collect()}
+    assert out["hot"]["reject"] is True
+    assert out["hot"]["p_adj"] == 0.0       # |z| enormous
+    assert out["hot"]["z"] > 0
+    null_rows = []
+    for g in "abcd":
+        null_rows += [(g, rng.randrange(0, 1000)) for _ in range(300)]
+    null_out = welch_vs_rest_bh(
+        spark.createDataFrame(null_rows, ["k", "u"]), "k", "u").collect()
+    assert not any(r["reject"] for r in null_out)
+
+
+def test_bh_adjustment_monotonicity(spark):
+    """p_adj is non-decreasing in p_raw rank and ≥ p_raw."""
+    import random
+    from pipelines_rj_sms_spark.quality.stats import welch_vs_rest_bh
+    rng = random.Random(9)
+    rows = [(str(g), rng.randrange(0, 1000))
+            for g in range(8) for _ in range(50)]
+    df = spark.createDataFrame(rows, ["k", "u"])
+    out = sorted(welch_vs_rest_bh(df, "k", "u").collect(),
+                 key=lambda r: (r["p_raw"], r["key"]))
+    adjs = [r["p_adj"] for r in out]
+    assert adjs == sorted(adjs)
+    assert all(r["p_adj"] >= r["p_raw"] - 1e-9 for r in out)
