@@ -1069,3 +1069,58 @@ def welch_vs_rest_bh(df: DataFrame, key_col: str, units_col: str,
                     F.round("_adj", 6).alias("p_adj"),
                     (F.col("_adj") <= F.lit(float(alpha)))
                     .alias("reject")))
+
+
+def partial_correlation(df: DataFrame, x_units: str, y_units: str,
+                        z_units: str) -> DataFrame:
+    """First-order partial correlation r_xy·z — "are x and y related
+    once the confounder z is held fixed", the screen that separates a
+    real association from one both variables inherit from a third
+    (public formula):
+
+        r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)·(1−r_yz²))
+
+    Exactness: inputs are integer-unit columns; ONE hash aggregation
+    produces the nine DECIMAL(38,0) moments; each pairwise r is the
+    n-scaled-covariance ratio (n·Σxy − Σx·Σy over the √ of the
+    matching variance products — n² cancels), a fixed double
+    expression over exact integers, and the partial-r combination is
+    one more fixed expression. Returns one row (n, r_xy, r_xz, r_yz,
+    r_xy_z) rounded to 6; NULL r's where a variance is 0, NULL
+    partial where a control correlation is ±1.
+    """
+    d38 = "decimal(38,0)"
+    x = F.col(x_units).cast(d38)
+    y = F.col(y_units).cast(d38)
+    z = F.col(z_units).cast(d38)
+    m = df.agg(
+        F.count("*").alias("n"),
+        *[F.sum(expr.cast(d38)).cast(d38).alias(name)
+          for name, expr in (
+              ("_sx", x), ("_sy", y), ("_sz", z),
+              ("_sxx", x * x), ("_syy", y * y), ("_szz", z * z),
+              ("_sxy", x * y), ("_sxz", x * z), ("_syz", y * z))])
+    n = F.col("n").cast(d38)
+
+    def cov(sab, sa, sb):
+        return (n * F.col(sab) - F.col(sa) * F.col(sb)).cast("double")
+
+    def var(saa, sa):
+        return (n * F.col(saa) - F.col(sa) * F.col(sa)).cast("double")
+
+    vx, vy, vz = var("_sxx", "_sx"), var("_syy", "_sy"), \
+        var("_szz", "_sz")
+    r_xy = F.when((vx > 0) & (vy > 0),
+                  cov("_sxy", "_sx", "_sy") / F.sqrt(vx * vy))
+    r_xz = F.when((vx > 0) & (vz > 0),
+                  cov("_sxz", "_sx", "_sz") / F.sqrt(vx * vz))
+    r_yz = F.when((vy > 0) & (vz > 0),
+                  cov("_syz", "_sy", "_sz") / F.sqrt(vy * vz))
+    den = (F.lit(1.0) - r_xz * r_xz) * (F.lit(1.0) - r_yz * r_yz)
+    partial = F.when(den > 0, (r_xy - r_xz * r_yz) / F.sqrt(den))
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(r_xy, 6).alias("r_xy"),
+        F.round(r_xz, 6).alias("r_xz"),
+        F.round(r_yz, 6).alias("r_yz"),
+        F.round(partial, 6).alias("r_xy_z"))

@@ -509,3 +509,31 @@ def test_bh_adjustment_monotonicity(spark):
     adjs = [r["p_adj"] for r in out]
     assert adjs == sorted(adjs)
     assert all(r["p_adj"] >= r["p_raw"] - 1e-9 for r in out)
+
+
+def test_partial_correlation_removes_common_driver(spark):
+    """x and y both equal z plus independent noise: r_xy is strong,
+    but controlling z it collapses toward 0."""
+    import random
+    from pipelines_rj_sms_spark.quality.stats import partial_correlation
+    rng = random.Random(13)
+    rows = []
+    for _ in range(2000):
+        z = rng.randrange(0, 1000)
+        rows.append((z + rng.randrange(0, 200),
+                     z + rng.randrange(0, 200), z))
+    df = spark.createDataFrame(rows, ["x", "y", "z"])
+    out = partial_correlation(df, "x", "y", "z").collect()[0]
+    assert out["r_xy"] > 0.85
+    assert abs(out["r_xy_z"]) < 0.1
+
+
+def test_partial_correlation_degenerate_controls(spark):
+    """Constant z → r_xz undefined → NULL partial; constant x →
+    NULL r_xy too."""
+    from pipelines_rj_sms_spark.quality.stats import partial_correlation
+    df = spark.createDataFrame(
+        [(i, 2 * i, 7) for i in range(10)], ["x", "y", "z"])
+    out = partial_correlation(df, "x", "y", "z").collect()[0]
+    assert out["r_xy"] == 1.0 and out["r_xz"] is None
+    assert out["r_xy_z"] is None
