@@ -413,6 +413,10 @@ Query key -> SURVEY §2 rows covered:
   quantity_revenue_partial_corr  first-order partial correlation
                             (nine exact DECIMAL moments, n² cancels
                             in every correlation ratio)
+  price_conformal_interval  split-conformal 90% interval (md5 split,
+                            exact-moment ridge fit, k-th order
+                            statistic on the quantized residual
+                            support)
 """
 
 from __future__ import annotations
@@ -4344,6 +4348,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("long").alias("z"))
         return partial_correlation(base, "x", "y", "z")
 
+    def conformal_q(spark, sf_dir):
+        """Split-conformal 90% prediction interval around the ridge
+        price model — md5-replayable fit/cal split, exact-moment fit,
+        k-th-order-statistic half-width over the quantized residual
+        support."""
+        from pipelines_rj_sms_spark.operators.features import (
+            split_conformal_2f)
+        li = _t(spark, sf_dir, "lineitem")
+        base = li.select(
+            "l_orderkey", "l_linenumber",
+            F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5))
+            .cast("long").alias("x1"),
+            F.floor(F.col("l_discount") * 10000.0 + F.lit(0.5))
+            .cast("long").alias("x2"),
+            F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+            .cast("long").alias("y"))
+        return split_conformal_2f(
+            base, "x1", "x2", "y",
+            key_cols=["l_orderkey", "l_linenumber"],
+            alpha=0.1, fit_pct=60, lam=1.0)
+
     def gini_q(spark, sf_dir):
         """Gini concentration of customer lifetime order value per
         market segment — cents-exact units, rank-sum over the
@@ -4639,6 +4664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_lang_uncertainty": theil_u_q,
         "event_type_value_bh": bh_q,
         "quantity_revenue_partial_corr": partial_q,
+        "price_conformal_interval": conformal_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -4669,7 +4695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_order_odds_mh", "lang_id_kappa",
         "priority_return_trend", "event_count_pettitt",
         "source_lang_uncertainty", "event_type_value_bh",
-        "quantity_revenue_partial_corr",
+        "quantity_revenue_partial_corr", "price_conformal_interval",
     ]
     never_graded = [
         # double duty: changed this round (det-quantized accumulation)
@@ -4684,7 +4710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue", "nation_trade_volume", "market_share",
         "returned_items_top20", "rich_idle_customers",
         "nation_key_setops", "grouping_sets_counts",
-        "pivot_linestatus", "accent_clean", "age_computation",
+        "pivot_linestatus", "age_computation",
         "cpf_validation", "row_to_json",
         "freshness_gate", "count_reconciliation", "order_fill_ratio",
         "coalesce_segments", "similarity_ivf",
@@ -8431,6 +8457,81 @@ SELECT n, round(r_xy, 6) AS r_xy, round(r_xz, 6) AS r_xz,
                     / sqrt((1.0 - r_xz * r_xz)
                            * (1.0 - r_yz * r_yz)) END, 6) AS r_xy_z
 FROM r
+""",
+        "price_conformal_interval": r"""
+WITH base AS (
+  SELECT CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS x1,
+         CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT) AS x2,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y,
+         (CAST(('0x' || substr(md5('conf' ||
+            concat_ws('|', CAST(l_orderkey AS VARCHAR),
+                      CAST(l_linenumber AS VARCHAR))), 1, 8))
+            AS BIGINT) % 100) < 60 AS fit
+  FROM lineitem),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x1 AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(sum(CAST(x2 AS HUGEINT)) AS HUGEINT) AS s2,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+         CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+         CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+         CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+         CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y
+  FROM base WHERE fit),
+o AS (
+  SELECT n,
+         CAST(CAST(n AS HUGEINT) * s11 - s1 * s1 AS DOUBLE)
+           + CAST(n AS DOUBLE) * 1.0 AS m11,
+         CAST(CAST(n AS HUGEINT) * s22 - s2 * s2 AS DOUBLE)
+           + CAST(n AS DOUBLE) * 1.0 AS m22,
+         CAST(CAST(n AS HUGEINT) * s12 - s1 * s2 AS DOUBLE) AS m12,
+         CAST(CAST(n AS HUGEINT) * s1y - s1 * sy AS DOUBLE) AS c1,
+         CAST(CAST(n AS HUGEINT) * s2y - s2 * sy AS DOUBLE) AS c2,
+         CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+         CAST(sy AS DOUBLE) AS syd, CAST(n AS DOUBLE) AS nd
+  FROM m),
+sol AS (
+  SELECT n AS n_fit,
+         round((c1 * m22 - c2 * m12) / (m11 * m22 - m12 * m12), 6)
+           AS coef_x1,
+         round((c2 * m11 - c1 * m12) / (m11 * m22 - m12 * m12), 6)
+           AS coef_x2,
+         round((syd
+                - ((c1 * m22 - c2 * m12)
+                   / (m11 * m22 - m12 * m12)) * s1d
+                - ((c2 * m11 - c1 * m12)
+                   / (m11 * m22 - m12 * m12)) * s2d) / nd, 6)
+           AS intercept
+  FROM o),
+cal AS (
+  SELECT CAST(floor(abs(CAST(y AS DOUBLE)
+                        - (coef_x1 * CAST(x1 AS DOUBLE)
+                           + coef_x2 * CAST(x2 AS DOUBLE)
+                           + intercept)) * 1000.0 + 0.5) AS BIGINT)
+           AS r,
+         n_fit, coef_x1, coef_x2, intercept
+  FROM base CROSS JOIN sol WHERE NOT fit),
+sup AS (
+  SELECT r, n_fit, coef_x1, coef_x2, intercept,
+         count(*) AS c
+  FROM cal GROUP BY 1, 2, 3, 4, 5),
+cum AS (
+  SELECT r, n_fit, coef_x1, coef_x2, intercept,
+         sum(c) OVER () AS ncal,
+         sum(c) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         CAST(ceil((sum(c) OVER () + 1) * 0.9) AS BIGINT) AS k
+  FROM sup)
+SELECT max(n_fit) AS n_fit,
+       CAST(max(ncal) AS BIGINT) AS n_cal,
+       CAST(max(k) AS BIGINT) AS k,
+       max(coef_x1) AS coef_x1, max(coef_x2) AS coef_x2,
+       max(intercept) AS intercept,
+       round(CASE WHEN max(k) <= max(ncal) THEN
+               CAST(min(CASE WHEN cum >= k THEN r END) AS DOUBLE)
+               / 1000.0 END, 6) AS q_hat
+FROM cum
 """,
     }
 

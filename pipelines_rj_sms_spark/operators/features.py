@@ -28,7 +28,7 @@ to the DuckDB oracle mirror.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pipelines_rj_sms_spark.functions.numeric import det_units
@@ -275,3 +275,75 @@ def ridge_regression_2f(df: DataFrame, x1_units: str, x2_units: str,
         F.round(F.when(ok, b1), 6).alias("coef_x1"),
         F.round(F.when(ok, b2), 6).alias("coef_x2"),
         F.round(F.when(ok, icept), 6).alias("intercept"))
+
+
+def split_conformal_2f(df: DataFrame, x1_units: str, x2_units: str,
+                       y_units: str, key_cols: list[str],
+                       alpha: float = 0.1, fit_pct: int = 60,
+                       lam: float = 1.0, salt: str = "conf",
+                       resid_scale: int = 1000) -> DataFrame:
+    """Split-conformal prediction intervals around the closed-form
+    ridge fit — the distribution-free "±how much" guarantee modern ML
+    pipelines attach to point predictions (public method: split the
+    data, fit on one part, take the ⌈(n_cal+1)(1−α)⌉-th smallest
+    absolute calibration residual as the interval half-width;
+    coverage ≥ 1−α on exchangeable data, no normality assumption).
+
+    Determinism end-to-end: the fit/calibration split is the repo's
+    replayable md5 hash bucket (same rows land the same side in any
+    engine); the fit is :func:`ridge_regression_2f`'s exact-moment
+    closed form (identical coefficient doubles); residuals are
+    quantized to 1/``resid_scale`` units (floor(x·s + 0.5), exact
+    IEEE, identical in both engines) so the order statistic runs over
+    an INTEGER support — the k-th smallest is the first support value
+    whose cumulative count reaches k, one cumulative window over the
+    COLLAPSED residual support (the quantile-norm interval-lookup
+    posture — never a sort of the calibration rows).
+
+    Returns one row (n_fit, n_cal, k, coef_x1, coef_x2, intercept,
+    q_hat): q_hat is the interval half-width in y units; NULL when α
+    is too small for the calibration size (k > n_cal).
+    """
+    from pipelines_rj_sms_spark.functions.sampling import _key_hash
+
+    bucket = _key_hash([F.col(c) for c in key_cols], "md5", salt) % 100
+    tagged = df.withColumn("_fit", bucket < F.lit(int(fit_pct)))
+    coefs = ridge_regression_2f(
+        tagged.filter(F.col("_fit")), x1_units, x2_units, y_units,
+        lam=lam).select(
+            F.col("n").alias("n_fit"), "coef_x1", "coef_x2",
+            "intercept")
+    cal = tagged.filter(~F.col("_fit")).join(F.broadcast(coefs))
+    pred = (F.col("coef_x1") * F.col(x1_units).cast("double")
+            + F.col("coef_x2") * F.col(x2_units).cast("double")
+            + F.col("intercept"))
+    resid_u = F.floor(F.abs(F.col(y_units).cast("double") - pred)
+                      * F.lit(float(resid_scale))
+                      + F.lit(0.5)).cast("long")
+    sup = (cal.select(resid_u.alias("_r"), "n_fit", "coef_x1",
+                      "coef_x2", "intercept")
+           .groupBy("_r", "n_fit", "coef_x1", "coef_x2", "intercept")
+           .agg(F.count("*").alias("_c")))
+    w_all = Window.partitionBy(F.lit(1))
+    w_cum = (Window.orderBy("_r")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    sup = (sup.withColumn("_ncal", F.sum("_c").over(w_all))
+           .withColumn("_cum", F.sum("_c").over(w_cum))
+           .withColumn("_k", F.ceil((F.col("_ncal") + 1)
+                                    * F.lit(1.0 - float(alpha)))
+                       .cast("long")))
+    agg = sup.agg(
+        F.max("n_fit").alias("n_fit"),
+        F.max("_ncal").cast("bigint").alias("n_cal"),
+        F.max("_k").cast("bigint").alias("k"),
+        F.max("coef_x1").alias("coef_x1"),
+        F.max("coef_x2").alias("coef_x2"),
+        F.max("intercept").alias("intercept"),
+        F.min(F.when(F.col("_cum") >= F.col("_k"), F.col("_r")))
+        .alias("_qu"))
+    return agg.select(
+        "n_fit", "n_cal", "k", "coef_x1", "coef_x2", "intercept",
+        F.round(F.when(F.col("k") <= F.col("n_cal"),
+                       F.col("_qu").cast("double")
+                       / F.lit(float(resid_scale))), 6)
+        .alias("q_hat"))

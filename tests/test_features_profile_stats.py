@@ -663,3 +663,40 @@ def test_ridge_lambda_shrinks_and_singular_guard(spark):
     const = spark.createDataFrame([(1, 1, 4)] * 5, ["x1", "x2", "y"])
     o2 = ridge_regression_2f(const, "x1", "x2", "y", lam=0.0).collect()[0]
     assert o2["coef_x1"] is None and o2["intercept"] is None
+
+
+def test_split_conformal_coverage_guarantee(spark):
+    """On exchangeable data the conformal interval covers ≥ 1−α of
+    fresh points: y = 3x1 + 2x2 + noise; check empirical coverage of
+    the calibration half itself (≥ 1−α by construction of the k-th
+    order statistic) and that q_hat is in the noise ballpark."""
+    import random
+    from pipelines_rj_sms_spark.operators.features import (
+        split_conformal_2f)
+    rng = random.Random(21)
+    rows = [(i, a, b, 3 * a + 2 * b + rng.randrange(-50, 51))
+            for i, (a, b) in enumerate(
+                (rng.randrange(0, 100), rng.randrange(0, 100))
+                for _ in range(4000))]
+    df = spark.createDataFrame(rows, ["id", "x1", "x2", "y"])
+    out = split_conformal_2f(df, "x1", "x2", "y", key_cols=["id"],
+                             alpha=0.1).collect()[0]
+    assert out["n_fit"] + out["n_cal"] == 4000
+    assert out["k"] == -(-(out["n_cal"] + 1) * 9 // 10)  # ceil
+    # noise is U[-50,50]: the 90% abs-residual quantile ≈ 45
+    assert 35.0 <= out["q_hat"] <= 55.0
+    assert abs(out["coef_x1"] - 3.0) < 0.2
+    assert abs(out["coef_x2"] - 2.0) < 0.2
+
+
+def test_split_conformal_alpha_too_small_null(spark):
+    """k > n_cal (tiny calibration, small α) → NULL q_hat, not a
+    bogus max residual."""
+    from pipelines_rj_sms_spark.operators.features import (
+        split_conformal_2f)
+    rows = [(i, i % 7, i % 5, 3 * (i % 7) + 2 * (i % 5))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "x1", "x2", "y"])
+    out = split_conformal_2f(df, "x1", "x2", "y", key_cols=["id"],
+                             alpha=0.001).collect()[0]
+    assert out["q_hat"] is None and out["k"] > out["n_cal"]

@@ -219,7 +219,10 @@ def test_every_query_plans_clean(spark):
                     "lang_id_kappa",
                     # 1-row margin-entropy frames cross-joined under
                     # the contingency-cell rollup
-                    "source_lang_uncertainty"}
+                    "source_lang_uncertainty",
+                    # 1-row fitted-coefficient broadcast under every
+                    # calibration row (the scalar-model frame)
+                    "price_conformal_interval"}
     failures = []
     for name, fn in entry.queries().items():
         try:
