@@ -308,3 +308,72 @@ def encode_container(schema: dict, records: list, codec: str = "null",
         out.write(raw)
         out.write(sync)
     return out.getvalue()
+
+
+def spark_to_avro_schema(schema: T.StructType,
+                         name: str = "spark_export") -> dict:
+    """Spark StructType → Avro record schema (the write-side inverse
+    of :func:`schema_to_spark`). Every field is emitted as the
+    nullable [null, X] union — Spark columns are nullable by default
+    and Avro unions cost one varint per value. Nested structs, arrays
+    and string-keyed maps map directly; unsupported Spark types raise
+    rather than corrupt."""
+    def conv(dt: T.DataType, path: str):
+        prim = {T.BooleanType: "boolean", T.IntegerType: "int",
+                T.ShortType: "int", T.ByteType: "int",
+                T.LongType: "long", T.FloatType: "float",
+                T.DoubleType: "double", T.BinaryType: "bytes",
+                T.StringType: "string"}
+        for k, v in prim.items():
+            if isinstance(dt, k):
+                return v
+        if isinstance(dt, T.StructType):
+            return {"type": "record", "name": path.replace(".", "_"),
+                    "fields": [
+                        {"name": f.name,
+                         "type": ["null", conv(f.dataType,
+                                               f"{path}.{f.name}")]}
+                        for f in dt.fields]}
+        if isinstance(dt, T.ArrayType):
+            return {"type": "array",
+                    "items": ["null", conv(dt.elementType,
+                                           path + ".item")]}
+        if isinstance(dt, T.MapType):
+            if not isinstance(dt.keyType, T.StringType):
+                raise ValueError("avro maps require string keys")
+            return {"type": "map",
+                    "values": ["null", conv(dt.valueType,
+                                            path + ".value")]}
+        raise ValueError(f"unsupported Spark type for avro: {dt}")
+
+    return {"type": "record", "name": name,
+            "fields": [{"name": f.name,
+                        "type": ["null", conv(f.dataType, f.name)]}
+                       for f in schema.fields]}
+
+
+def row_to_avro(schema: dict, row) -> tuple:
+    """Spark Row → the tuple shape ``encode_container`` expects for a
+    record schema (recursing into nested structs/arrays/maps)."""
+    def conv(s, v):
+        if v is None:
+            return None
+        if isinstance(s, list):
+            other = next(x for x in s if x != "null")
+            return conv(other, v)
+        if isinstance(s, dict):
+            t = s["type"]
+            if t == "record":
+                return tuple(conv(f["type"], v[f["name"]])
+                             for f in s["fields"])
+            if t == "array":
+                return [conv(s["items"], x) for x in v]
+            if t == "map":
+                return {k: conv(s["values"], x)
+                        for k, x in v.items()}
+        if s == "bytes":
+            return bytes(v)
+        return v
+
+    return tuple(conv(f["type"], row[f["name"]])
+                 for f in schema["fields"])

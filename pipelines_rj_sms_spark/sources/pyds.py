@@ -267,6 +267,13 @@ class AvroDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return _AvroReader(schema, dict(self.options))
 
+    def writer(self, schema: StructType, overwrite: bool):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("pyavro write requires a save path")
+        codec = self.options.get("codec", "deflate")
+        return _AvroCommitWriter(path, schema, overwrite, codec)
+
 
 class _AvroReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict) -> None:
@@ -282,6 +289,74 @@ class _AvroReader(DataSourceReader):
         with open(partition.path, "rb") as f:
             _, records = read_container(f.read())
         yield from records
+
+
+class _AvroCommitWriter(DataSourceWriter):
+    """Write-side of the "pyavro" format: every task encodes its
+    partition into ONE container file (deflate by default) under a
+    hidden staging dir; only the driver's commit() renames the task
+    files into place — the same two-phase protocol as the JSONL sink,
+    so task retries/speculation never publish duplicates."""
+
+    def __init__(self, path: str, schema: StructType,
+                 overwrite: bool, codec: str) -> None:
+        from pipelines_rj_sms_spark.sources.avroc import (
+            spark_to_avro_schema)
+
+        self.path = path
+        self.schema = schema
+        self.avro_schema = spark_to_avro_schema(schema)
+        self.overwrite = overwrite
+        self.codec = codec
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        from pyspark.sql.datasource import WriterCommitMessage
+
+        from pipelines_rj_sms_spark.sources.avroc import (
+            encode_container, row_to_avro)
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        records = [row_to_avro(self.avro_schema, r) for r in iterator]
+        fname = f"part-{uuid.uuid4().hex}.avro"
+        blob = encode_container(self.avro_schema, records,
+                                codec=self.codec)
+        with open(os.path.join(staging, fname), "wb") as f:
+            f.write(blob)
+
+        class _Msg(WriterCommitMessage):
+            pass
+
+        msg = _Msg()
+        msg.fname = fname
+        msg.n_rows = len(records)
+        return msg
+
+    def commit(self, messages) -> None:
+        import os
+        import shutil
+
+        staging = os.path.join(self.path, "_staging")
+        if self.overwrite:
+            for old in os.listdir(self.path):
+                if old.endswith(".avro"):
+                    os.remove(os.path.join(self.path, old))
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(os.path.join(staging, m.fname),
+                       os.path.join(self.path, m.fname))
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"),
+                      ignore_errors=True)
 
 
 def register_all(spark) -> None:

@@ -184,3 +184,29 @@ def test_avro_spark_source_reads_shards(spark, tmp_path):
     assert row["nested"]["a"] == 1 and row["color"] == "RED"
     assert row["props"]["k"] == 1 and row["tags"][1] == "x"
     assert df.rdd.getNumPartitions() == 2
+
+
+def test_avro_write_read_round_trip(spark, tmp_path):
+    """df.write.format('pyavro') → read back: schema and values
+    survive, including nulls, arrays, maps, and nested structs; the
+    staging dir is gone after commit."""
+    import os
+    from pyspark.sql import functions as F
+    from pipelines_rj_sms_spark.sources.pyds import AvroDataSource
+    spark.dataSource.register(AvroDataSource)
+    df = spark.createDataFrame(
+        [(1, "a", [1, 2], {"k": 1.5}, (7, None)),
+         (2, None, [], {}, (8, "x"))],
+        "id long, s string, arr array<int>, m map<string,double>, "
+        "nested struct<a:int, b:string>")
+    out = str(tmp_path / "t")
+    df.repartition(2).write.format("pyavro").mode("overwrite").save(out)
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    assert len([f for f in os.listdir(out) if f.endswith(".avro")]) == 2
+    back = spark.read.format("pyavro").load(out + "/*.avro")
+    assert back.count() == 2
+    r = {x["id"]: x for x in back.collect()}
+    assert r[1]["arr"] == [1, 2] and r[1]["m"]["k"] == 1.5
+    assert r[1]["nested"]["a"] == 7 and r[1]["nested"]["b"] is None
+    assert r[2]["s"] is None and r[2]["arr"] == []
+    assert back.schema["m"].dataType.simpleString() == "map<string,double>"
