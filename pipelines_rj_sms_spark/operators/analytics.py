@@ -1078,3 +1078,59 @@ def gini_coefficient(df: DataFrame, units_col: str,
         F.col("sum_units").cast("double").alias("sum_units"),
         F.round(F.when((F.col("n") > 1) & (s > 0), num / den), 6)
         .alias("gini"))
+
+
+def nelson_aalen(df: DataFrame, duration_col: str, event_col: str,
+                 key_cols: list[str] | None = None) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator — the additive
+    companion to :func:`survival_curve` (KM multiplies survival
+    fractions; NA sums the hazard increments d/n, the better-behaved
+    quantity for comparing cumulative risk between cohorts and the
+    basis of the log-rank expectation; public formula):
+
+        H(t) = Σ_{s≤t} d_s/n_s,     Var(t) = Σ_{s≤t} d_s/n_s²
+
+    Identical scale shape to the KM curve: subjects collapse to the
+    per-duration rollup once, risk sets are cumulative windows over
+    that collapsed frame, and both running sums accumulate
+    det-quantized (the d/n terms are data-dependent doubles; integer
+    units make the window cumsum engine- and order-exact). Returns
+    one row per distinct duration (keys..., duration, n_at_risk,
+    n_events, n_censored, cum_hazard, hazard_se) rounded to 6.
+    ``event_col``: 1 = event observed, 0 = right-censored.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import (DET_SCALE,
+                                                          det_units)
+
+    keys = [F.col(k) for k in (key_cols or [])]
+    kn = list(key_cols or [])
+    per = df.groupBy(*keys, F.col(duration_col).alias("duration")).agg(
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+        F.sum((F.lit(1) - F.col(event_col)).cast("long"))
+        .alias("n_censored"))
+    totals = per.groupBy(*keys).agg(
+        F.sum(F.col("n_events") + F.col("n_censored")).alias("_total"))
+    joined = (per.join(F.broadcast(totals), kn) if kn
+              else per.crossJoin(F.broadcast(totals)))
+    wo = Window.partitionBy(*keys).orderBy(F.col("duration"))
+    prior = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored"))
+        .over(wo.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+    frame = joined.withColumn("n_at_risk",
+                              F.col("_total") - prior)
+    wc = wo.rowsBetween(Window.unboundedPreceding, 0)
+    nr = F.col("n_at_risk").cast("double")
+    h_term = F.when(F.col("n_at_risk") > 0,
+                    F.col("n_events").cast("double") / nr) \
+        .otherwise(F.lit(0.0))
+    v_term = F.when(F.col("n_at_risk") > 0,
+                    F.col("n_events").cast("double") / (nr * nr)) \
+        .otherwise(F.lit(0.0))
+    cum_h = (F.sum(det_units(h_term)).over(wc).cast("double")
+             / float(DET_SCALE))
+    cum_v = (F.sum(det_units(v_term)).over(wc).cast("double")
+             / float(DET_SCALE))
+    return frame.select(
+        *kn, "duration", "n_at_risk", "n_events", "n_censored",
+        F.round(cum_h, 6).alias("cum_hazard"),
+        F.round(F.sqrt(cum_v), 6).alias("hazard_se"))

@@ -222,7 +222,11 @@ def test_every_query_plans_clean(spark):
                     "source_lang_uncertainty",
                     # 1-row fitted-coefficient broadcast under every
                     # calibration row (the scalar-model frame)
-                    "price_conformal_interval"}
+                    "price_conformal_interval",
+                    # 1-row corpus-horizon + totals broadcasts — the
+                    # same duration construction as the KM/log-rank
+                    # queries
+                    "signup_purchase_cum_hazard"}
     failures = []
     for name, fn in entry.queries().items():
         try:
