@@ -1409,6 +1409,70 @@ SELECT doc_id, CASE {cascade}END AS lang_pred FROM sc
 """
 
 
+def _duck_hw_sql(m: int = 7, horizon: int = 7, alpha: float = 0.3,
+                 beta: float = 0.1, gamma: float = 0.2) -> str:
+    """Holt-Winters oracle: the coupled recursion replayed as a
+    bounded recursive CTE, one state row per step, with the SAME
+    literal constants and IEEE op order as the Catalyst fold in
+    `timeseries.holt_winters_additive` (1−α etc. precomputed in
+    Python so both engines parse identical decimals)."""
+    a, b_, g = float(alpha), float(beta), float(gamma)
+    oa, ob, og = 1.0 - a, 1.0 - b_, 1.0 - g
+    els = ", ".join(
+        f"max(CASE WHEN i = {k} THEN y END) AS y{k}"
+        for k in range(2 * m))
+    mean1 = "(" + " + ".join(f"y{k}" for k in range(m)) + f") / {float(m)!r}"
+    mean2 = "(" + " + ".join(f"y{k}" for k in range(m, 2 * m)) \
+        + f") / {float(m)!r}"
+    s0 = "[" + ", ".join(f"y{k} - l0" for k in range(m)) + "]"
+    si = f"s[(rec.i % {m}) + 1]"
+    l_new = f"({a!r} * (ix.y - {si}) + {oa!r} * (rec.l + rec.b))"
+    s_val = f"({g!r} * (ix.y - {l_new}) + {og!r} * {si})"
+    pred = f"(rec.l + rec.b + {si})"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT date_diff('day', DATE '1995-01-01',
+                   CAST(l_shipdate AS DATE)) AS t,
+         SUM(CAST(floor((l_extendedprice * (1.0 - l_discount))
+                        * 1000.0 + 0.5) AS BIGINT)) AS u
+  FROM lineitem GROUP BY 1),
+ix AS (
+  SELECT CAST(row_number() OVER (ORDER BY t) - 1 AS INTEGER) AS i,
+         CAST(u AS DOUBLE) / 1000.0 AS y
+  FROM daily),
+els AS (SELECT {els}, CAST(count(*) AS INTEGER) AS n FROM ix),
+init AS (
+  SELECT n, {mean1} AS l0,
+         ({mean2} - {mean1}) / {float(m)!r} AS b0
+  FROM els WHERE n >= {2 * m}),
+s_init AS (
+  SELECT init.n, init.l0, init.b0, {s0} AS s0
+  FROM init JOIN els ON TRUE),
+rec AS (
+  SELECT CAST({m} AS INTEGER) AS i, l0 AS l, b0 AS b, s0 AS s,
+         CAST(0.0 AS DOUBLE) AS sse, n
+  FROM s_init
+  UNION ALL
+  SELECT rec.i + 1,
+         {l_new},
+         ({b_!r} * ({l_new} - rec.l) + {ob!r} * rec.b),
+         s[1:(rec.i % {m})] || [{s_val}]
+           || s[(rec.i % {m}) + 2:{m}],
+         rec.sse + (ix.y - {pred}) * (ix.y - {pred}),
+         rec.n
+  FROM rec JOIN ix ON ix.i = rec.i),
+fin AS (SELECT * FROM rec WHERE i = n),
+hs AS (SELECT unnest(range(1, {horizon + 1})) AS h)
+SELECT CAST(h AS INTEGER) AS h,
+       round(l + CAST(h AS DOUBLE) * b
+             + s[((n + h - 1) % {m}) + 1], 6) AS forecast,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       round(sse, 6) AS sse_insample,
+       CAST(n AS BIGINT) AS n
+FROM fin CROSS JOIN hs
+"""
+
+
 def _duck_bh_sql() -> str:
     """Welch-vs-rest + BH oracle: the z pipeline is spelled with the
     same expression structure as `quality/stats.welch_vs_rest_bh`,
@@ -4395,6 +4459,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.col("fp").isNotNull().cast("int").alias("ev")))
         return nelson_aalen(durs, "dur", "ev")
 
+    def hw_q(spark, sf_dir):
+        """Holt-Winters additive fit + 7-day forecast of daily
+        revenue — the coupled seasonal recursion as ONE Catalyst
+        aggregate fold over the collapsed series; the oracle replays
+        it as a bounded recursive CTE with identical literals."""
+        from pipelines_rj_sms_spark.operators.timeseries import (
+            holt_winters_additive)
+        li = _t(spark, sf_dir, "lineitem")
+        daily = (li.groupBy(
+            F.datediff(F.to_date("l_shipdate"),
+                       F.lit("1995-01-01").cast("date")).alias("t"))
+            .agg((F.sum(F.floor(
+                (F.col("l_extendedprice") * (F.lit(1.0)
+                                             - F.col("l_discount")))
+                * 1000.0 + F.lit(0.5)).cast("long")).cast("double")
+                / F.lit(1000.0)).alias("y")))
+        return holt_winters_additive(daily, "t", "y", period=7,
+                                     alpha=0.3, beta=0.1, gamma=0.2,
+                                     horizon=7)
+
     def gini_q(spark, sf_dir):
         """Gini concentration of customer lifetime order value per
         market segment — cents-exact units, rank-sum over the
@@ -4692,6 +4776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_revenue_partial_corr": partial_q,
         "price_conformal_interval": conformal_q,
         "signup_purchase_cum_hazard": na_hazard_q,
+        "daily_revenue_holt_winters": hw_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -4723,7 +4808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_return_trend", "event_count_pettitt",
         "source_lang_uncertainty", "event_type_value_bh",
         "quantity_revenue_partial_corr", "price_conformal_interval",
-        "signup_purchase_cum_hazard",
+        "signup_purchase_cum_hazard", "daily_revenue_holt_winters",
     ]
     never_graded = [
         # double duty: changed this round (det-quantized accumulation)
@@ -4737,8 +4822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_filter_revenue", "price_percentiles",
         "forecast_revenue", "nation_trade_volume", "market_share",
         "returned_items_top20", "rich_idle_customers",
-        "nation_key_setops", "grouping_sets_counts",
-        "pivot_linestatus", "age_computation",
+        "nation_key_setops", "grouping_sets_counts", "age_computation",
         "cpf_validation",
         "freshness_gate", "count_reconciliation", "order_fill_ratio",
         "coalesce_segments", "similarity_ivf",
@@ -8613,6 +8697,7 @@ SELECT duration, CAST(n_at_risk AS BIGINT) AS n_at_risk,
        round(sqrt(cv), 6) AS hazard_se
 FROM s
 """,
+        "daily_revenue_holt_winters": _duck_hw_sql(),
     }
 
 

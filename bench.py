@@ -119,7 +119,7 @@ _FAMILIES = [
                        "fs_", "dp_", "calibration", "eval_report",
                        "correlations", "zipf", "entropy",
                        "compression")),
-    ("analytics-timeseries", ("twap", "ohlc", "interpolat", "gap_", "decomposition", "_acf", "lead_lag",
+    ("analytics-timeseries", ("twap", "ohlc", "interpolat", "gap_", "decomposition", "_acf", "lead_lag", "holt_winters",
                               "asof", "range_", "overlap",
                               "concurrent", "ewma", "seasonal",
                               "growth", "retention", "funnel", "rfm", "markov",

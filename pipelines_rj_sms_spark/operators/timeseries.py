@@ -616,3 +616,104 @@ def cross_correlation(df: DataFrame, t_col: str, x_col: str,
         F.round(F.when((F.col("_mvx") > 0) & (F.col("_mvy") > 0),
                        F.col("_num").cast("double") / den), 6)
         .alias("xcorr"))
+
+
+def holt_winters_additive(df: DataFrame, t_col: str, y_col: str,
+                          period: int = 7, alpha: float = 0.3,
+                          beta: float = 0.1, gamma: float = 0.2,
+                          horizon: int = 7) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) fit +
+    h-step forecast — the seasonal-trend forecaster the EWMA/decompose
+    pair can't give, because its level/trend/seasonal recursions are
+    COUPLED and genuinely sequential (public method):
+
+        l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+        s_t = γ(y_t − l_t) + (1−γ)s_{t−m}
+
+    Execution model: the caller passes the COLLAPSED series (one row
+    per bucket); it folds as ONE Catalyst `aggregate` expression over
+    the sorted value array — an explicit state machine
+    (level, trend, seasonal[m], sse) entirely inside whole-stage
+    codegen: no Python, no driver loop, no per-step shuffle. The
+    sequentiality is intrinsic to the model, so confining it to a
+    single fold over an already-collapsed array IS the scale answer
+    (thousands of buckets for years of data; facts were reduced in
+    the one upstream aggregation).
+
+    Cross-engine determinism: smoothing constants are emitted as
+    Python float literals (α and 1−α both precomputed), the
+    initialization means are explicit fixed-order element sums (not an
+    engine fold), and the recursion's expression tree is spelled
+    identically in the DuckDB recursive-CTE oracle — every step is
+    the same IEEE op sequence, so the fold is bit-identical.
+    Init (standard): l₀ = mean(first period), b₀ = (mean(second
+    period) − mean(first period))/m, s = first-period deviations;
+    the fold runs over indices m..n−1. Returns ``horizon`` rows
+    (h, forecast, level, trend, sse_insample, n) rounded to 6;
+    empty when n < 2·period.
+    """
+    m = int(period)
+    a, b_, g = float(alpha), float(beta), float(gamma)
+    one_a, one_b, one_g = 1.0 - a, 1.0 - b_, 1.0 - g
+    ser = (df.select(F.col(t_col).alias("_t"),
+                     F.col(y_col).cast("double").alias("_y"))
+           .agg(F.sort_array(F.collect_list(F.struct(
+               F.col("_t").alias("t"), F.col("_y").alias("y"))))
+               .alias("_arr")))
+    ys = F.transform(F.col("_arr"), lambda s: s["y"])
+    n = F.size(ys)
+    ser = ser.select(ys.alias("_ys"), n.alias("_n")) \
+        .filter(F.col("_n") >= 2 * m)
+
+    def el(i):  # 0-based element
+        return F.get(F.col("_ys"), i)
+
+    mean1 = sum([el(j) for j in range(1, m)], el(0)) / F.lit(float(m))
+    mean2 = sum([el(m + j) for j in range(1, m)], el(m)) \
+        / F.lit(float(m))
+    l0 = mean1
+    b0 = (mean2 - mean1) / F.lit(float(m))
+    s0 = F.transform(F.slice(F.col("_ys"), 1, m),
+                     lambda x: x - l0)
+    state0 = F.struct(l0.alias("l"), b0.alias("b"), s0.alias("s"),
+                      F.lit(0.0).alias("sse"))
+    idx = F.sequence(F.lit(m), F.col("_n") - 1)
+
+    def step(acc, i):
+        y = F.get(F.col("_ys"), i)
+        si = (i % F.lit(m)).cast("int")
+        s_i = F.get(acc["s"], si)
+        l_new = (F.lit(a) * (y - s_i)
+                 + F.lit(one_a) * (acc["l"] + acc["b"]))
+        b_new = (F.lit(b_) * (l_new - acc["l"])
+                 + F.lit(one_b) * acc["b"])
+        s_val = F.lit(g) * (y - l_new) + F.lit(one_g) * s_i
+        s_new = F.concat(
+            F.slice(acc["s"], 1, si),
+            F.array(s_val),
+            F.slice(acc["s"], si + 2, F.lit(m) - si - 1))
+        pred = acc["l"] + acc["b"] + s_i
+        return F.struct(l_new.alias("l"), b_new.alias("b"),
+                        s_new.alias("s"),
+                        (acc["sse"] + (y - pred) * (y - pred))
+                        .alias("sse"))
+
+    fin = F.aggregate(idx, state0, step)
+    ser = ser.select("_n", fin.alias("_f"))
+    hs = ser.select(
+        "_n", "_f",
+        F.explode(F.sequence(F.lit(1), F.lit(int(horizon))))
+        .alias("h"))
+    fc = (F.col("_f.l")
+          + F.col("h").cast("double") * F.col("_f.b")
+          + F.get(F.col("_f.s"),
+                  ((F.col("_n") + F.col("h") - 1) % F.lit(m))
+                  .cast("int")))
+    return hs.select(
+        "h",
+        F.round(fc, 6).alias("forecast"),
+        F.round(F.col("_f.l"), 6).alias("level"),
+        F.round(F.col("_f.b"), 6).alias("trend"),
+        F.round(F.col("_f.sse"), 6).alias("sse_insample"),
+        F.col("_n").cast("bigint").alias("n"))

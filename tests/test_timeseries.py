@@ -362,3 +362,52 @@ def test_cross_correlation_constant_side_null(spark):
         [(t, t % 5, 3) for t in range(20)], ["t", "x", "y"])
     for r in cross_correlation(df, "t", "x", "y", 2).collect():
         assert r["xcorr"] is None
+
+
+def test_holt_winters_tracks_planted_trend_seasonality(spark):
+    """y = 10·(t mod 7) + 0.5t: forecasts continue the pattern within
+    a tolerance after 5 full seasons; short series → empty."""
+    from pipelines_rj_sms_spark.operators.timeseries import (
+        holt_winters_additive)
+    rows = [(t, 10.0 * (t % 7) + 0.5 * t) for t in range(35)]
+    df = spark.createDataFrame(rows, ["t", "y"])
+    out = {r["h"]: r for r in
+           holt_winters_additive(df, "t", "y", period=7,
+                                 horizon=7).collect()}
+    assert out[1]["n"] == 35
+    for h, r in out.items():
+        truth = 10.0 * ((35 + h - 1) % 7) + 0.5 * (35 + h - 1)
+        assert abs(r["forecast"] - truth) < 1.5
+    assert out[1]["trend"] > 0          # upward drift learned
+    short = spark.createDataFrame(rows[:13], ["t", "y"])
+    assert holt_winters_additive(short, "t", "y",
+                                 period=7).count() == 0
+
+
+def test_holt_winters_matches_reference_recursion(spark):
+    """The Catalyst fold equals a plain-Python replay of the same
+    recursion (identical init, identical update order) to 6 dp."""
+    import random
+    from pipelines_rj_sms_spark.operators.timeseries import (
+        holt_winters_additive)
+    rng = random.Random(17)
+    ys = [50.0 + 8.0 * (t % 7) + 0.3 * t + rng.randrange(-3, 4)
+          for t in range(42)]
+    df = spark.createDataFrame(list(enumerate(ys)), ["t", "y"])
+    m, a, b_, g = 7, 0.3, 0.1, 0.2
+    l = sum(ys[:m]) / float(m)
+    b = (sum(ys[m:2 * m]) / float(m) - sum(ys[:m]) / float(m)) / m
+    s = [y - l for y in ys[:m]]
+    for i in range(m, len(ys)):
+        si = i % m
+        l_new = a * (ys[i] - s[si]) + (1 - a) * (l + b)
+        b = b_ * (l_new - l) + (1 - b_) * b
+        s[si] = g * (ys[i] - l_new) + (1 - g) * s[si]
+        l = l_new
+    out = {r["h"]: r for r in
+           holt_winters_additive(df, "t", "y", period=7,
+                                 horizon=3).collect()}
+    n = len(ys)
+    for h in (1, 2, 3):
+        want = l + h * b + s[(n + h - 1) % m]
+        assert abs(out[h]["forecast"] - round(want, 6)) < 2e-6
