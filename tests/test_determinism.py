@@ -207,3 +207,76 @@ def test_det_sum_property_matches_exact_rational(spark):
         outs = {df.repartition(n).agg(det_sum(F.col("x")).alias("s"))
                 .collect()[0]["s"] for n in (1, 13)}
         assert outs == {expected}, (trial, outs, expected)
+
+
+def test_session3_stats_partition_invariant(spark):
+    """Round-6 session-3 operators: every det-quantized / exact-
+    integer statistic must be bit-identical under repartition(1) vs
+    repartition(64)."""
+    import random
+    from pyspark.sql import functions as F
+    from pipelines_rj_sms_spark.operators.analytics import (
+        gini_coefficient, markov_transitions, nelson_aalen)
+    from pipelines_rj_sms_spark.operators.timeseries import (
+        autocorrelation, cross_correlation, holt_winters_additive)
+    from pipelines_rj_sms_spark.quality.stats import (
+        cochran_armitage, cohens_kappa, dispersion_index,
+        jensen_shannon_divergence, mantel_haenszel,
+        partial_correlation, pettitt_test, runs_test,
+        uncertainty_coefficient, welch_vs_rest_bh)
+
+    rng = random.Random(42)
+
+    def inv(df, fn):
+        a = sorted(map(tuple, fn(df.repartition(1)).collect()))
+        b = sorted(map(tuple, fn(df.repartition(64)).collect()))
+        assert a == b and a
+
+    seq = spark.createDataFrame(
+        [(rng.randrange(0, 40), t, "abcde"[rng.randrange(5)])
+         for t in range(2000)], ["u", "t", "s"])
+    inv(seq, lambda d: markov_transitions(d, "u", "s", ["t"]))
+
+    vals = spark.createDataFrame(
+        [("abc"[rng.randrange(3)], rng.randrange(0, 10000))
+         for _ in range(3000)], ["k", "v"])
+    inv(vals, lambda d: gini_coefficient(d, "v", ["k"]))
+    inv(vals, lambda d: dispersion_index(d, "v", ["k"]))
+    inv(vals, lambda d: welch_vs_rest_bh(d, "k", "v"))
+    inv(vals, lambda d: jensen_shannon_divergence(
+        d, "k", "v", "a", "b", lo=0.0, hi=10000.0, n_bins=20))
+    inv(vals.withColumn("v7", F.col("v") % 7),
+        lambda d: uncertainty_coefficient(d, "k", "v7"))
+
+    ser = spark.createDataFrame(
+        [(t, rng.randrange(0, 5000)) for t in range(300)], ["t", "u"])
+    inv(ser, lambda d: autocorrelation(d, "t", "u", max_lag=5))
+    inv(ser, lambda d: runs_test(d, "t", "u"))
+    inv(ser, lambda d: pettitt_test(d, "t", "u"))
+    two = spark.createDataFrame(
+        [(t, rng.randrange(0, 100), rng.randrange(0, 100))
+         for t in range(300)], ["t", "x", "y"])
+    inv(two, lambda d: cross_correlation(d, "t", "x", "y", max_lag=3))
+    inv(two, lambda d: partial_correlation(d, "x", "y", "t"))
+    hwin = spark.createDataFrame(
+        [(t, float(rng.randrange(100, 200))) for t in range(50)],
+        ["t", "y"])
+    inv(hwin, lambda d: holt_winters_additive(d, "t", "y", period=7,
+                                              horizon=3))
+
+    epi = spark.createDataFrame(
+        [(rng.randrange(0, 5), rng.random() < 0.4, rng.random() < 0.3)
+         for _ in range(2000)], ["k", "ex", "oc"])
+    inv(epi, lambda d: mantel_haenszel(d, "k", "ex", "oc"))
+    ca = spark.createDataFrame(
+        [(rng.randrange(1, 6), rng.random() < 0.3)
+         for _ in range(2000)], ["w", "s"])
+    inv(ca, lambda d: cochran_armitage(d, "w", "s"))
+    pairs = spark.createDataFrame(
+        [("ab"[rng.randrange(2)], "AB"[rng.randrange(2)])
+         for _ in range(1000)], ["a", "b"])
+    inv(pairs, lambda d: cohens_kappa(d, "a", "b"))
+    surv = spark.createDataFrame(
+        [(rng.randrange(1, 30), rng.randrange(0, 2))
+         for _ in range(1000)], ["dur", "ev"])
+    inv(surv, lambda d: nelson_aalen(d, "dur", "ev"))
