@@ -420,6 +420,10 @@ Query key -> SURVEY §2 rows covered:
   signup_purchase_cum_hazard  Nelson-Aalen cumulative hazard (additive
                             K-M companion; det-quantized d/n running
                             sums over the per-duration rollup)
+  doc_length_kruskal_wallis  Kruskal-Wallis rank ANOVA across
+                            languages (collapsed-support half-unit
+                            ranks, DECIMAL rank sums, det-summed
+                            H-magnitude group deviations)
 """
 
 from __future__ import annotations
@@ -4479,6 +4483,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      alpha=0.3, beta=0.1, gamma=0.2,
                                      horizon=7)
 
+    def kw_q(spark, sf_dir):
+        """Kruskal-Wallis rank test: do document lengths (whitespace
+        token counts) share a location across languages? Collapsed-
+        support half-unit ranks, DECIMAL(38,0) rank sums, det-summed
+        H-magnitude per-group deviations."""
+        from pipelines_rj_sms_spark.quality.stats import kruskal_wallis
+        from pipelines_rj_sms_spark.functions.text import token_count
+        docs = _t(spark, sf_dir, "documents")
+        d = docs.select("lang", token_count("text").alias("toks"))
+        return kruskal_wallis(d, "lang", "toks")
+
     def gini_q(spark, sf_dir):
         """Gini concentration of customer lifetime order value per
         market segment — cents-exact units, rank-sum over the
@@ -4777,6 +4792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_conformal_interval": conformal_q,
         "signup_purchase_cum_hazard": na_hazard_q,
         "daily_revenue_holt_winters": hw_q,
+        "doc_length_kruskal_wallis": kw_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -8698,6 +8714,57 @@ SELECT duration, CAST(n_at_risk AS BIGINT) AS n_at_risk,
 FROM s
 """,
         "daily_revenue_holt_winters": _duck_hw_sql(),
+        "doc_length_kruskal_wallis": f"""
+WITH vals AS (
+  SELECT lang AS g, len({_DUCK_TOKS}) AS v FROM documents
+  WHERE lang IS NOT NULL AND text IS NOT NULL),
+counts AS (SELECT g, v, count(*) AS c FROM vals GROUP BY 1, 2),
+support AS (SELECT v, CAST(sum(c) AS BIGINT) AS t
+            FROM counts GROUP BY 1),
+ranked AS (
+  SELECT v, CAST(2 * sum(t) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - t + 1 AS HUGEINT) AS r2
+  FROM support),
+per_group AS (
+  SELECT g, CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS ng,
+         CAST(sum(CAST(c AS HUGEINT) * r2) AS HUGEINT) AS r2g
+  FROM counts JOIN ranked USING (v) GROUP BY 1),
+tie AS (SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT)
+          AS ties FROM support),
+totals AS (SELECT CAST(sum(ng) AS HUGEINT) AS n, count(*) AS k
+           FROM per_group),
+dev AS (
+  SELECT {_det_sum(
+      "CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)"
+      " / (4.0 * CAST(ng AS DOUBLE)) * 12.0"
+      " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
+      " - 3.0 * (CAST(n AS DOUBLE) + 1.0) * CAST(ng AS DOUBLE)"
+      " / CAST(n AS DOUBLE)")} AS h0,
+         max(n) AS n, max(k) AS k
+  FROM per_group, totals)
+SELECT CAST(n AS BIGINT) AS n_total,
+       CAST(k AS INTEGER) AS k_groups,
+       round(CASE WHEN (1.0 - CAST(ties AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) > 0 THEN
+           h0 / (1.0 - CAST(ties AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) END, 6)
+         AS h_stat,
+       CAST(k - 1 AS INTEGER) AS df,
+       round(CASE WHEN CAST(n AS DOUBLE) > CAST(k AS DOUBLE) THEN
+           (CASE WHEN (1.0 - CAST(ties AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) > 0 THEN
+             h0 / (1.0 - CAST(ties AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) END
+            - CAST(k AS DOUBLE) + 1.0)
+           / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) END, 6)
+         AS epsilon_sq
+FROM dev, tie
+""",
     }
 
 

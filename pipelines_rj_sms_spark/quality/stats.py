@@ -1124,3 +1124,81 @@ def partial_correlation(df: DataFrame, x_units: str, y_units: str,
         F.round(r_xz, 6).alias("r_xz"),
         F.round(r_yz, 6).alias("r_yz"),
         F.round(partial, 6).alias("r_xy_z"))
+
+
+def kruskal_wallis(df: DataFrame, group_col: str,
+                   value_col: str) -> DataFrame:
+    """Kruskal–Wallis H test — the k-group rank ANOVA (public formula;
+    reference analog: the ad-hoc per-group comparisons in the SMS
+    monitoring SQL, generalized): "do the k groups share a location?"
+    without the normality assumption one_way_anova needs.
+
+        H = [ 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1) ] / C
+        C = 1 − Σ(t³−t)/(N³−N)          (tie correction)
+
+    Exactness (the repo's collapsed-support rank construction, as in
+    ``mann_whitney_u``): values collapse to per-(group, value) counts;
+    average ranks are exact half-unit integers over the collapsed
+    support (r2 = 2·cumcount − t + 1); per-group rank sums accumulate
+    as DECIMAL(38,0) (R2_g = 2·R_g is an integer). The Σ_g term is
+    evaluated as a per-group DEVIATION from its null expectation
+    (term'_g = R2_g²/(4n_g)·12/(N(N+1)) − 3(N+1)·n_g/N, a fixed IEEE
+    expression whose addends are H-magnitude, not N-magnitude) and
+    det-summed across groups, so the result is partition- and
+    engine-invariant at any N within det_units capacity.
+
+    Scale shape: one hash agg to the collapsed (group,value) counts,
+    one window cumsum over the collapsed VALUE SUPPORT (single ordered
+    pass over distinct values — the domain, not the rows), one hash
+    agg per group, one global agg over k group rows. Returns one row
+    (n_total, k_groups, h_stat, df, epsilon_sq) with floats rounded
+    to 6; epsilon² = (H − k + 1)/(N − k) is the rank effect size.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_sum
+
+    d38 = "decimal(38,0)"
+    counts = (df.filter(F.col(group_col).isNotNull()
+                        & F.col(value_col).isNotNull())
+              .groupBy(F.col(group_col).alias("_g"),
+                       F.col(value_col).alias("_v"))
+              .agg(F.count("*").alias("_c")))
+    support = counts.groupBy("_v").agg(F.sum("_c").alias("_t"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = support.select(
+        "_v",
+        (2 * F.sum("_t").over(w) - F.col("_t") + 1).cast(d38)
+        .alias("_r2"))
+    per_group = (counts.join(ranked, "_v")
+                 .groupBy("_g")
+                 .agg(F.sum("_c").cast(d38).alias("_ng"),
+                      F.sum(F.col("_c").cast(d38) * F.col("_r2"))
+                      .cast(d38).alias("_r2g")))
+    ties = support.agg(
+        F.sum(F.col("_t").cast(d38) * F.col("_t").cast(d38)
+              * F.col("_t").cast(d38) - F.col("_t").cast(d38))
+        .alias("_ties"))
+    totals = per_group.agg(F.sum("_ng").cast(d38).alias("_n"),
+                           F.count("*").alias("_k"))
+    nd = F.col("_n").cast("double")
+    td = F.col("_r2g").cast("double")
+    ngd = F.col("_ng").cast("double")
+    # per-group deviation from the null expectation — H-magnitude
+    # addends, det-summed so the k-way combine order cannot matter
+    dev = (td * td / (4.0 * ngd) * 12.0 / (nd * (nd + 1.0))
+           - 3.0 * (nd + 1.0) * ngd / nd)
+    stat = (per_group.crossJoin(F.broadcast(totals))
+            .agg(det_sum(dev).alias("_h0"),
+                 F.max("_n").alias("_n"), F.max("_k").alias("_k"))
+            .crossJoin(F.broadcast(ties)))
+    n2 = F.col("_n").cast("double")
+    c_tie = (F.lit(1.0) - F.col("_ties").cast("double")
+             / (n2 * n2 * n2 - n2))
+    h = F.when(c_tie > 0, F.col("_h0") / c_tie)
+    kd = F.col("_k").cast("double")
+    eps2 = F.when(n2 > kd, (h - kd + 1.0) / (n2 - kd))
+    return stat.select(
+        F.col("_n").cast("bigint").alias("n_total"),
+        F.col("_k").cast("int").alias("k_groups"),
+        F.round(h, 6).alias("h_stat"),
+        (F.col("_k") - 1).cast("int").alias("df"),
+        F.round(eps2, 6).alias("epsilon_sq"))

@@ -221,7 +221,7 @@ def test_session3_stats_partition_invariant(spark):
         autocorrelation, cross_correlation, holt_winters_additive)
     from pipelines_rj_sms_spark.quality.stats import (
         cochran_armitage, cohens_kappa, dispersion_index,
-        jensen_shannon_divergence, mantel_haenszel,
+        jensen_shannon_divergence, kruskal_wallis, mantel_haenszel,
         partial_correlation, pettitt_test, runs_test,
         uncertainty_coefficient, welch_vs_rest_bh)
 
@@ -243,6 +243,7 @@ def test_session3_stats_partition_invariant(spark):
     inv(vals, lambda d: gini_coefficient(d, "v", ["k"]))
     inv(vals, lambda d: dispersion_index(d, "v", ["k"]))
     inv(vals, lambda d: welch_vs_rest_bh(d, "k", "v"))
+    inv(vals, lambda d: kruskal_wallis(d, "k", "v"))
     inv(vals, lambda d: jensen_shannon_divergence(
         d, "k", "v", "a", "b", lo=0.0, hi=10000.0, n_bins=20))
     inv(vals.withColumn("v7", F.col("v") % 7),

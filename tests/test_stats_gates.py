@@ -537,3 +537,44 @@ def test_partial_correlation_degenerate_controls(spark):
     out = partial_correlation(df, "x", "y", "z").collect()[0]
     assert out["r_xy"] == 1.0 and out["r_xz"] is None
     assert out["r_xy_z"] is None
+
+
+def test_kruskal_wallis_textbook_no_ties(spark):
+    """Three groups {1,2,3},{4,5,6},{7,8,9}: ranks are 1..9, rank sums
+    6/15/24, H = 12/90*(12+75+192) - 30 = 7.2 exactly (no ties)."""
+    from pipelines_rj_sms_spark.quality.stats import kruskal_wallis
+    rows = [("a", 1), ("a", 2), ("a", 3),
+            ("b", 4), ("b", 5), ("b", 6),
+            ("c", 7), ("c", 8), ("c", 9)]
+    out = kruskal_wallis(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v").collect()[0]
+    assert out["n_total"] == 9 and out["k_groups"] == 3
+    assert out["df"] == 2
+    assert out["h_stat"] == 7.2
+    assert abs(out["epsilon_sq"] - (7.2 - 3 + 1) / 6) < 1e-6
+
+
+def test_kruskal_wallis_all_tied_null(spark):
+    """Every value identical: the tie correction divides out the whole
+    statistic (C = 0) -> NULL h_stat rather than 0/0."""
+    from pipelines_rj_sms_spark.quality.stats import kruskal_wallis
+    rows = [("a", 5)] * 4 + [("b", 5)] * 4
+    out = kruskal_wallis(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v").collect()[0]
+    assert out["h_stat"] is None
+
+
+def test_kruskal_wallis_two_groups_matches_mann_whitney(spark):
+    """With k = 2 the tie-corrected H equals the (tie-corrected)
+    Mann-Whitney z squared — the standard identity; pins the rank and
+    tie arithmetic against the independently-coded MW operator."""
+    import random
+    from pipelines_rj_sms_spark.quality.stats import (kruskal_wallis,
+                                                      mann_whitney_u)
+    rng = random.Random(7)
+    rows = [("a", rng.randrange(0, 40)) for _ in range(120)] + \
+           [("b", rng.randrange(5, 45)) for _ in range(90)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    h = kruskal_wallis(df, "g", "v").collect()[0]["h_stat"]
+    z = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]["z_stat"]
+    assert abs(h - z * z) < 1e-3
