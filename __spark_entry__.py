@@ -424,6 +424,9 @@ Query key -> SURVEY §2 rows covered:
                             languages (collapsed-support half-unit
                             ranks, DECIMAL rank sums, det-summed
                             H-magnitude group deviations)
+  retrieval_ndcg_report     NDCG@10 / AP@10 / P@10 ranking eval of
+                            per-term BM25 pools (exact 2^rel-1 gains,
+                            det-summed <=k-addend DCG/AP sums)
 """
 
 from __future__ import annotations
@@ -3097,6 +3100,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bm25_top_k(docs, "doc_id", "text",
                           ["spark", "join", "vector"], k=15)
 
+    def ndcg_q(spark, sf_dir):
+        """Ranked-retrieval eval: NDCG@10 / AP@10 / P@10 for three
+        single-term BM25 queries, graded relevance rel = min(tf,4)-1
+        (tf=1 docs are retrieved-but-irrelevant, so precision/AP are
+        non-trivial). Postings-pruned candidate pools; det-summed
+        <=10-addend gain sums."""
+        from pipelines_rj_sms_spark.operators.terms import (
+            bm25_term_postings, ranking_metrics)
+        docs = _t(spark, sf_dir, "documents")
+        pool = (bm25_term_postings(docs, "doc_id", "text",
+                                   ["spark", "join", "vector"])
+                .withColumn("rel", F.least(F.col("tf"), F.lit(4))
+                            - F.lit(1)))
+        return ranking_metrics(pool, "term", "doc_id", "score",
+                               "rel", k=10)
+
     def hybrid_rrf_q(spark, sf_dir):
         """Hybrid retrieval the RAG way: BM25 top-20 (lexical) and
         exact-cosine top-20 against query vector 0 (dense; vec_id
@@ -4793,6 +4812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signup_purchase_cum_hazard": na_hazard_q,
         "daily_revenue_holt_winters": hw_q,
         "doc_length_kruskal_wallis": kw_q,
+        "retrieval_ndcg_report": ndcg_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -5483,6 +5503,72 @@ SELECT doc_id, round(s, 6) AS score, n_terms_hit
 FROM scored
 ORDER BY s DESC, doc_id
 LIMIT 15
+""",
+        "retrieval_ndcg_report": rf"""
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+toks AS (
+  SELECT doc_id, CAST(len(l) AS DOUBLE) AS dl, unnest(l) AS term
+  FROM lists),
+qt AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM toks WHERE term IN ('spark', 'join', 'vector')
+  GROUP BY 1, 2, 3),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(len(l)) AS DOUBLE) / count(*) AS avgdl FROM lists),
+dfq AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM qt),
+scored AS (
+  SELECT term AS q, doc_id,
+         ln(1.0 + (n - df + 0.5) / (df + 0.5))
+             * (tf * 2.2)
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s,
+         least(tf, 4) - 1 AS rel
+  FROM dfq CROSS JOIN stats),
+ranked AS (
+  SELECT q, doc_id, rel,
+         row_number() OVER (PARTITION BY q
+                            ORDER BY s DESC, doc_id) AS rk,
+         row_number() OVER (PARTITION BY q
+                            ORDER BY rel DESC, doc_id) AS irk
+  FROM scored),
+perq AS (
+  SELECT q, count(*) AS n_candidates,
+         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_relevant
+  FROM scored GROUP BY 1),
+top AS (
+  SELECT q, rel, rk,
+         CAST((CAST(1 AS BIGINT) << rel) - 1 AS DOUBLE)
+           / ln(CAST(rk AS DOUBLE) + 1.0) AS gain,
+         CASE WHEN rel > 0 THEN
+           CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY q ORDER BY rk
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / CAST(rk AS DOUBLE)
+         ELSE 0.0 END AS pai
+  FROM ranked WHERE rk <= 10),
+dcg AS (
+  SELECT q, {_det_sum('gain')} AS dcg_v, {_det_sum('pai')} AS apnum,
+         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits_k
+  FROM top GROUP BY 1),
+idcg AS (
+  SELECT q, {_det_sum(
+      "CAST((CAST(1 AS BIGINT) << rel) - 1 AS DOUBLE)"
+      " / ln(CAST(irk AS DOUBLE) + 1.0)")} AS idcg_v
+  FROM ranked WHERE irk <= 10 GROUP BY 1)
+SELECT q AS "query", n_candidates, n_relevant,
+       round(CAST(hits_k AS DOUBLE) / 10.0, 6) AS precision_at_k,
+       round(CASE WHEN idcg_v > 0 THEN dcg_v / idcg_v END, 6)
+         AS ndcg_at_k,
+       round(CASE WHEN n_relevant > 0 THEN
+           apnum / CAST(least(n_relevant, 10) AS DOUBLE) END, 6)
+         AS ap_at_k
+FROM perq JOIN dcg USING (q) JOIN idcg USING (q)
 """,
         "fs_linkage_scores": r"""
 WITH base AS (

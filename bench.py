@@ -102,7 +102,7 @@ _FAMILIES = [
     ("graph", ("pagerank", "graph", "kcore", "communities", "triangle",
                "cooccurrence", "copurchase", "resolved", "linked",
                "fuzzy_pairs")),
-    ("text", ("doc_", "text_", "corpus", "tfidf", "bm25", "pmi", "bpe",
+    ("text", ("doc_", "text_", "corpus", "tfidf", "bm25", "pmi", "bpe", "retrieval",
               "token", "nb_", "lang", "readability", "chunk",
               "feature_hash", "pii", "accent")),
     ("sketch", ("sketch", "theta", "kll", "freq_", "bloom")),

@@ -358,3 +358,108 @@ def corpus_vocabulary_report(df: DataFrame, id_col: str,
         F.round((F.sum(F.when(F.col("ct") == 1, F.lit(1))
                        .otherwise(F.lit(0))).cast("double")
                  / F.count("*")), 6).alias("hapax_vocab_share"))
+
+
+def bm25_term_postings(df: DataFrame, id_col: str, text_col: str,
+                       query_terms: list[str], k1: float = 1.2,
+                       b: float = 0.75) -> DataFrame:
+    """Per-(term, doc) BM25 partial scores for a set of single-term
+    queries — the scored candidate pools a ranking-metrics evaluation
+    (``ranking_metrics``) grades. Same postings discipline as
+    ``bm25_top_k``: tokenize once, FILTER to the query terms before
+    any shuffle, corpus stats broadcast as one row. Returns
+    (term, id, tf, score) — one row per query term per doc containing
+    it; score is a single fixed IEEE expression (no cross-term sum, so
+    no det-quantization is needed for determinism).
+    """
+    toks = df.select(
+        F.col(id_col), tokens(text_col).alias("_tk")
+    ).select(
+        F.col(id_col),
+        F.size("_tk").cast("double").alias("dl"),
+        F.explode("_tk").alias("term"),
+    ).filter(F.col("term").isin(list(query_terms)))
+    tf = toks.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = F.count("*").over(Window.partitionBy("term"))
+    stats = F.broadcast(df.agg(
+        F.count("*").cast("double").alias("_n"),
+        (F.sum(F.size(tokens(text_col))).cast("double")
+         / F.count("*")).alias("_avgdl")))
+    idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tf_norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl")))
+    return (tf.withColumn("df", dfreq).crossJoin(stats)
+            .select("term", F.col(id_col), "tf",
+                    (idf * tf_norm).alias("score")))
+
+
+def ranking_metrics(df: DataFrame, query_col: str, id_col: str,
+                    score_col: str, rel_col: str,
+                    k: int = 10) -> DataFrame:
+    """Ranked-retrieval quality metrics per query — NDCG@k (graded
+    gains (2^rel − 1)/ln(rank+1); the ln base cancels in the
+    DCG/IDCG ratio), AP@k (binary rel > 0, normalized by
+    min(R, k)), and precision@k. The offline eval harness every
+    retrieval stack needs before swapping rankers (public formulas).
+
+    Input: one row per (query, candidate) with a score and a graded
+    relevance label; ranking is score DESC with id ASC tiebreak
+    (deterministic). The ideal ranking reorders the SAME candidate
+    pool by rel DESC, so NDCG grades the ranker against the best
+    achievable ordering of what it retrieved.
+
+    Exactness: gains use an exact integer (1<<rel)−1 numerator; the
+    ≤k-addend DCG/IDCG/AP sums are det-quantized (det_sum) so hash
+    aggregation combine order cannot move the 6dp rounding. Scale
+    shape: two row_number windows partitioned BY QUERY over the
+    candidate pool (callers feed pruned pools — postings-filtered
+    candidates, not the corpus), then one hash agg per query; no
+    driver-side work.
+    """
+    rel = F.coalesce(F.col(rel_col), F.lit(0)).cast("int")
+    w = (Window.partitionBy(query_col)
+         .orderBy(F.col(score_col).desc(), F.col(id_col)))
+    wi = (Window.partitionBy(query_col)
+          .orderBy(F.col(rel_col).desc(), F.col(id_col)))
+    base = df.select(
+        F.col(query_col).alias("_q"), rel.alias("_rel"),
+        F.row_number().over(w).alias("_rk"),
+        F.row_number().over(wi).alias("_irk"))
+    per_q = base.groupBy("_q").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum((F.col("_rel") > 0).cast("long")).alias("n_relevant"))
+    # exact integer gains (2^rel - 1); the DataFrame-API shiftleft
+    # only takes a literal bit count, the SQL form takes a column
+    gain_num = (F.expr("shiftleft(1L, _rel)") - 1).cast("double")
+    wc = (Window.partitionBy("_q").orderBy("_rk")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    hits = F.sum((F.col("_rel") > 0).cast("long")).over(wc)
+    top = base.filter(F.col("_rk") <= k).select(
+        "_q", "_rel", "_rk",
+        (gain_num / F.log(F.col("_rk").cast("double") + 1.0))
+        .alias("_gain"),
+        F.when(F.col("_rel") > 0,
+               hits.cast("double") / F.col("_rk").cast("double"))
+        .otherwise(F.lit(0.0)).alias("_pai"))
+    dcg = top.groupBy("_q").agg(
+        det_sum(F.col("_gain")).alias("_dcg"),
+        det_sum(F.col("_pai")).alias("_apnum"),
+        F.sum((F.col("_rel") > 0).cast("long")).alias("_hits_k"))
+    itop = base.filter(F.col("_irk") <= k)
+    idcg = itop.groupBy("_q").agg(
+        det_sum(gain_num
+                / F.log(F.col("_irk").cast("double") + 1.0))
+        .alias("_idcg"))
+    out = (per_q.join(dcg, "_q").join(idcg, "_q"))
+    r_base = F.least(F.col("n_relevant"), F.lit(k)).cast("double")
+    return out.select(
+        F.col("_q").alias("query"), "n_candidates", "n_relevant",
+        F.round(F.col("_hits_k").cast("double") / float(k), 6)
+        .alias("precision_at_k"),
+        F.round(F.when(F.col("_idcg") > 0,
+                       F.col("_dcg") / F.col("_idcg")), 6)
+        .alias("ndcg_at_k"),
+        F.round(F.when(F.col("n_relevant") > 0,
+                       F.col("_apnum") / r_base), 6)
+        .alias("ap_at_k"))

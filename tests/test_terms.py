@@ -175,3 +175,37 @@ def test_zipf_fit_synthetic_power_law(spark):
     assert out["n_terms"] == 20
     assert -1.1 < out["slope"] < -0.9
     assert out["r2"] > 0.99
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """One query, k=3: DCG/IDCG/AP recomputed independently in
+    Python from the public formulas."""
+    import math
+    from pipelines_rj_sms_spark.operators.terms import ranking_metrics
+    rows = [("q", 1, 5.0, 0), ("q", 2, 4.0, 2), ("q", 3, 3.0, 1),
+            ("q", 4, 2.0, 0), ("q", 5, 1.0, 1)]
+    df = spark.createDataFrame(rows, ["q", "id", "s", "rel"])
+    out = ranking_metrics(df, "q", "id", "s", "rel", k=3).collect()[0]
+    dcg = 3 / math.log(3) + 1 / math.log(4)          # ranks 2, 3
+    idcg = 3 / math.log(2) + 1 / math.log(3) + 1 / math.log(4)
+    ap = (1 / 2 + 2 / 3) / 3                         # R = 3 >= k
+    assert out["n_candidates"] == 5 and out["n_relevant"] == 3
+    assert abs(out["precision_at_k"] - 2 / 3) < 1e-6
+    assert abs(out["ndcg_at_k"] - dcg / idcg) < 1e-6
+    assert abs(out["ap_at_k"] - ap) < 1e-6
+
+
+def test_ranking_metrics_perfect_and_empty(spark):
+    """A ranker that orders by relevance scores NDCG=AP=1; a query
+    with no relevant candidates gets NULL AP and 0 precision."""
+    from pipelines_rj_sms_spark.operators.terms import ranking_metrics
+    rows = ([("good", i, 10.0 - i, 3 - min(i, 3)) for i in range(6)]
+            + [("none", i, float(-i), 0) for i in range(4)])
+    df = spark.createDataFrame(rows, ["q", "id", "s", "rel"])
+    out = {r["query"]: r for r in
+           ranking_metrics(df, "q", "id", "s", "rel", k=4).collect()}
+    assert out["good"]["ndcg_at_k"] == 1.0
+    assert out["good"]["ap_at_k"] == 1.0
+    assert out["none"]["ap_at_k"] is None
+    assert out["none"]["ndcg_at_k"] is None
+    assert out["none"]["precision_at_k"] == 0.0
