@@ -427,6 +427,9 @@ Query key -> SURVEY §2 rows covered:
   retrieval_ndcg_report     NDCG@10 / AP@10 / P@10 ranking eval of
                             per-term BM25 pools (exact 2^rel-1 gains,
                             det-summed <=k-addend DCG/AP sums)
+  part_link_prediction      common-neighbors / Jaccard / Adamic-Adar
+                            link scores for 2-hop non-edges (center-
+                            node wedge join, hub cap, det-summed AA)
 """
 
 from __future__ import annotations
@@ -3970,6 +3973,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 edges_distinct=True)
         return out.select(F.col("node").alias("partkey"), "community")
 
+    def linkpred_q(spark, sf_dir):
+        """Link prediction on the part co-purchase graph: common
+        neighbors / Jaccard / Adamic-Adar for 2-hop non-edges via the
+        center-node wedge join (never all-pairs), top 20 by AA with a
+        full deterministic tiebreak."""
+        from pipelines_rj_sms_spark.operators.graph import (
+            cooccurrence_edges, link_prediction)
+        li = _t(spark, sf_dir, "lineitem")
+        edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                                   max_items_per_group=None)
+        out = link_prediction(edges)
+        return (out.orderBy(F.col("adamic_adar").desc(),
+                            F.col("common_neighbors").desc(),
+                            "src", "dst")
+                .limit(20)
+                .select(F.col("src").alias("part_a"),
+                        F.col("dst").alias("part_b"),
+                        "common_neighbors", "jaccard", "adamic_adar"))
+
     def standardize_q(spark, sf_dir):
         """Per-type z-score standardization of event values: stats
         for the column come from one hash agg broadcast back on the
@@ -4813,6 +4835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_revenue_holt_winters": hw_q,
         "doc_length_kruskal_wallis": kw_q,
         "retrieval_ndcg_report": ndcg_q,
+        "part_link_prediction": linkpred_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -6866,6 +6889,41 @@ tgt AS (
   FROM anchors)
 SELECT tgt.doc_id, neg_index, r.doc_id AS neg_doc_id
 FROM tgt JOIN ranked r ON tgt.t = r.rk
+""",
+        "part_link_prediction": rf"""
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.p AS a, b.p AS b
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+adj AS MATERIALIZED (
+  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+deg AS MATERIALIZED (SELECT a, count(*) AS d FROM adj GROUP BY 1),
+centers AS (
+  SELECT adj.a AS w, adj.b AS n, deg.d AS wd
+  FROM adj JOIN deg ON adj.a = deg.a),
+wedges AS (
+  SELECT l.n AS u, r.n AS v, l.wd
+  FROM centers l JOIN centers r ON l.w = r.w AND l.n < r.n),
+cand AS (
+  SELECT u, v, count(*) AS cn,
+         {_det_sum('1.0 / ln(CAST(wd AS DOUBLE))')} AS aa
+  FROM wedges GROUP BY 1, 2),
+ne AS (
+  SELECT cand.* FROM cand LEFT JOIN e0
+    ON cand.u = e0.a AND cand.v = e0.b
+  WHERE e0.a IS NULL),
+j AS (
+  SELECT u, v, cn, aa, du.d AS du, dv.d AS dv
+  FROM ne JOIN deg du ON ne.u = du.a JOIN deg dv ON ne.v = dv.a)
+SELECT u AS part_a, v AS part_b,
+       CAST(cn AS BIGINT) AS common_neighbors,
+       round(CAST(cn AS DOUBLE) / CAST(du + dv - cn AS DOUBLE), 6)
+         AS jaccard,
+       round(aa, 6) AS adamic_adar
+FROM j
+ORDER BY round(aa, 6) DESC, cn DESC, u, v
+LIMIT 20
 """,
         "part_copurchase_communities": """
 WITH items AS MATERIALIZED (

@@ -672,3 +672,64 @@ def bfs_hops(edges: DataFrame, source, max_hops: int = 3,
         frontier = nxt
     und.unpersist()
     return visited
+
+
+def link_prediction(edges: DataFrame, src: str = "src",
+                    dst: str = "dst",
+                    max_center_degree: int | None = None) -> DataFrame:
+    """Neighborhood link-prediction scores for 2-hop NON-edges —
+    common neighbors, Jaccard, and Adamic-Adar (public formulas;
+    Liben-Nowell & Kleinberg 2003), the classic "which edge appears
+    next" candidate ranker (recommend a part, suggest a co-author).
+
+        cn(u,v) = |Γu ∩ Γv|
+        jac     = cn / (|Γu| + |Γv| − cn)
+        aa      = Σ_{w ∈ Γu∩Γv} 1/ln(deg w)
+
+    Input: distinct undirected edges with src < dst. Candidates are
+    enumerated by the CENTER-node wedge join (adjacency ⋈ adjacency on
+    the shared neighbor, u < v), never an all-pairs product, then
+    existing edges leave via one anti-join. A common neighbor has
+    degree ≥ 2 by construction, so ln(deg w) ≥ ln 2 — no zero guard
+    needed. The AA sum det-quantizes (functions/numeric.py) so its
+    ranking and 6dp rounding are combine-order-free.
+
+    Scale: wedge fan-out is Σ_w deg(w)² — the same celebrity-hub term
+    every triangle/wedge algorithm owns. ``max_center_degree`` drops
+    hub CENTERS above the cap (a 100k-degree hub contributes 5×10⁹
+    candidate pairs each weighted a negligible 1/ln(10⁵) — pruning
+    them is the standard approximation; None keeps exact semantics
+    for bounded graphs).
+    """
+    und = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    adj = und.union(und.select(F.col("_b").alias("_a"),
+                               F.col("_a").alias("_b")))
+    deg = adj.groupBy("_a").agg(F.count("*").alias("_deg"))
+    centers = (adj.join(deg, "_a")
+               .select(F.col("_a").alias("_w"),
+                       F.col("_b").alias("_n"),
+                       F.col("_deg").alias("_wdeg")))
+    if max_center_degree is not None:
+        centers = centers.filter(F.col("_wdeg") <= max_center_degree)
+    left = centers.select("_w", "_wdeg", F.col("_n").alias("_u"))
+    right = centers.select("_w", F.col("_n").alias("_v"))
+    wedges = (left.join(right, "_w")
+              .filter(F.col("_u") < F.col("_v")))
+    cand = (wedges.groupBy("_u", "_v")
+            .agg(F.count("*").alias("common_neighbors"),
+                 det_sum(F.lit(1.0)
+                         / F.log(F.col("_wdeg").cast("double")))
+                 .alias("_aa")))
+    non_edges = cand.join(
+        und.select(F.col("_a").alias("_u"), F.col("_b").alias("_v")),
+        ["_u", "_v"], "left_anti")
+    du = deg.select(F.col("_a").alias("_u"), F.col("_deg").alias("_du"))
+    dv = deg.select(F.col("_a").alias("_v"), F.col("_deg").alias("_dv"))
+    out = (non_edges.join(du, "_u").join(dv, "_v"))
+    union_size = F.col("_du") + F.col("_dv") - F.col("common_neighbors")
+    return out.select(
+        F.col("_u").alias(src), F.col("_v").alias(dst),
+        "common_neighbors",
+        F.round(F.col("common_neighbors").cast("double")
+                / union_size.cast("double"), 6).alias("jaccard"),
+        F.round(F.col("_aa"), 6).alias("adamic_adar"))

@@ -229,3 +229,37 @@ def test_bfs_hops_min_hop_on_diamond_and_missing_source(spark):
            for r in bfs_hops(edges, 1, max_hops=3).collect()}
     assert out[4] == 2 and out[6] == 2
     assert bfs_hops(edges, 99, max_hops=3).count() == 0
+
+
+def test_link_prediction_path_and_square(spark):
+    """Path 1-2-3: the only 2-hop non-edge is (1,3) with cn=1,
+    jaccard=1/(1+1-1)=1, aa=1/ln(2). Square 5-6-7-8: non-edges are
+    the diagonals, each with cn=2, aa=2/ln(2)."""
+    import math
+    from pipelines_rj_sms_spark.operators.graph import link_prediction
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (6, 7), (7, 8), (5, 8)],
+        ["src", "dst"])
+    out = {(r["src"], r["dst"]): r
+           for r in link_prediction(edges).collect()}
+    assert set(out) == {(1, 3), (5, 7), (6, 8)}
+    assert out[(1, 3)]["common_neighbors"] == 1
+    assert out[(1, 3)]["jaccard"] == 1.0
+    assert abs(out[(1, 3)]["adamic_adar"] - 1 / math.log(2)) < 1e-6
+    assert out[(5, 7)]["common_neighbors"] == 2
+    assert abs(out[(5, 7)]["adamic_adar"] - 2 / math.log(2)) < 1e-6
+
+
+def test_link_prediction_excludes_existing_edges_and_caps_hubs(spark):
+    """Triangle + pendant: (1,2),(2,3),(1,3),(3,4). Existing edges
+    never appear even when they share neighbors; with the hub cap
+    below the center degree nothing is emitted."""
+    from pipelines_rj_sms_spark.operators.graph import link_prediction
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"])
+    out = {(r["src"], r["dst"]): r
+           for r in link_prediction(edges).collect()}
+    assert (1, 2) not in out and (2, 3) not in out
+    assert set(out) == {(1, 4), (2, 4)}
+    capped = link_prediction(edges, max_center_degree=1).collect()
+    assert capped == []
