@@ -430,6 +430,18 @@ Query key -> SURVEY §2 rows covered:
   part_link_prediction      common-neighbors / Jaccard / Adamic-Adar
                             link scores for 2-hop non-edges (center-
                             node wedge join, hub cap, det-summed AA)
+  daily_count_durbin_watson Durbin-Watson residual autocorrelation
+                            around the OLS trend (exact DECIMAL fit
+                            moments, det-quantized quadratic sums)
+  daily_revenue_jarque_bera Jarque-Bera normality gate (exact-moment
+                            standardization, det-quantized z-power
+                            sums, closed-form skew/kurtosis)
+  price_grubbs_outlier      Grubbs max-studentized outlier statistic
+                            (exact moments, order-free max, struct
+                            tiebreak for the extreme value)
+  source_good_turing        Good-Turing unseen mass + Chao1 richness
+                            per source (exact integer frequency-of-
+                            frequency arithmetic)
 """
 
 from __future__ import annotations
@@ -510,6 +522,14 @@ def _det_sum(x: str) -> str:
 def _det_sum_big(x: str) -> str:
     from pipelines_rj_sms_spark.functions.numeric import det_sum_big_sql
     return det_sum_big_sql(x)
+
+
+def _det_sum_s(x: str, scale: int) -> str:
+    """det_sum mirror at an explicit quantization scale — for sums
+    whose addends exceed the default 1e9-unit capacity bound
+    (squared residuals, z-power sums; see functions/numeric.py)."""
+    from pipelines_rj_sms_spark.functions.numeric import det_sum_sql
+    return det_sum_sql(x, scale)
 
 
 def _fp_sum(units: str, scale: int, alias: str | None = None) -> str:
@@ -4535,6 +4555,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = docs.select("lang", token_count("text").alias("toks"))
         return kruskal_wallis(d, "lang", "toks")
 
+    def dw_q(spark, sf_dir):
+        """Durbin-Watson serial-correlation check on the residuals of
+        the daily event-count OLS trend — exact DECIMAL moments for
+        the fit, det-quantized quadratic sums, one lag window over
+        the collapsed daily spine."""
+        from pipelines_rj_sms_spark.quality.stats import durbin_watson
+        ev = _t(spark, sf_dir, "events")
+        daily = (ev.groupBy(
+            F.datediff(F.to_date("ts"),
+                       F.lit("2024-01-01").cast("date")).alias("t"))
+            .agg(F.count("*").alias("c")))
+        return durbin_watson(daily, "t", "c")
+
+    def jb_q(spark, sf_dir):
+        """Jarque-Bera normality gate on daily revenue (1e-4 currency
+        units): exact integer moments standardize each bucket, then
+        det-quantized z-power sums feed the closed-form statistic."""
+        from pipelines_rj_sms_spark.quality.stats import jarque_bera
+        li = _t(spark, sf_dir, "lineitem")
+        rev_u = (F.floor(F.col("l_extendedprice") * 100 + 0.5)
+                 .cast("bigint")
+                 * (100 - F.floor(F.col("l_discount") * 100 + 0.5)
+                    .cast("bigint")))
+        daily = (li.groupBy(F.to_date("l_shipdate").alias("day"))
+                 .agg(F.sum(rev_u).alias("u")))
+        return jarque_bera(daily, "u")
+
+    def grubbs_q(spark, sf_dir):
+        """Grubbs max-studentized outlier statistic on item prices
+        (cents units) — exact DECIMAL mean/variance, order-free max,
+        deterministic extreme-value tiebreak."""
+        from pipelines_rj_sms_spark.quality.stats import (
+            grubbs_statistic)
+        li = _t(spark, sf_dir, "lineitem")
+        base = li.select(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("bigint").alias("u"))
+        return grubbs_statistic(base, "u")
+
+    def gt_q(spark, sf_dir):
+        """Good-Turing unseen vocabulary mass + bias-corrected Chao1
+        richness per document source — exact integer frequency-of-
+        frequency arithmetic over the collapsed term table."""
+        from pipelines_rj_sms_spark.operators.terms import (
+            good_turing_richness)
+        docs = _t(spark, sf_dir, "documents")
+        return good_turing_richness(docs, "text", ["source"])
+
     def gini_q(spark, sf_dir):
         """Gini concentration of customer lifetime order value per
         market segment — cents-exact units, rank-sum over the
@@ -4836,6 +4904,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_kruskal_wallis": kw_q,
         "retrieval_ndcg_report": ndcg_q,
         "part_link_prediction": linkpred_q,
+        "daily_count_durbin_watson": dw_q,
+        "daily_revenue_jarque_bera": jb_q,
+        "price_grubbs_outlier": grubbs_q,
+        "source_good_turing": gt_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -6924,6 +6996,130 @@ SELECT u AS part_a, v AS part_b,
 FROM j
 ORDER BY round(aa, 6) DESC, cn DESC, u, v
 LIMIT 20
+""",
+        "daily_count_durbin_watson": rf"""
+WITH daily AS (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+         count(*) AS c
+  FROM events GROUP BY 1),
+m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT) AS st,
+         CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+         CAST(sum(CAST(t AS HUGEINT) * c) AS HUGEINT) AS sty
+  FROM daily),
+ab AS (
+  SELECT n,
+         CAST(n * sty - st * sy AS DOUBLE)
+           / CAST(n * stt - st * st AS DOUBLE) AS b
+  FROM m),
+ab2 AS (
+  SELECT ab.n AS n, b,
+         (CAST(m.sy AS DOUBLE) - b * CAST(m.st AS DOUBLE))
+           / CAST(ab.n AS DOUBLE) AS a
+  FROM ab, m),
+er AS (
+  SELECT t,
+         CAST(c AS DOUBLE) - (a + b * CAST(t AS DOUBLE)) AS e
+  FROM daily, ab2),
+lg AS (
+  SELECT e, lag(e) OVER (ORDER BY t) AS ep FROM er)
+SELECT CAST(n AS BIGINT) AS n,
+       round(b, 6) AS slope, round(a, 6) AS intercept,
+       round(CASE WHEN {_det_sum_s('e * e', 1_000_000)} > 0 THEN
+           {_det_sum_s(
+               "CASE WHEN ep IS NOT NULL THEN (e - ep) * (e - ep)"
+               " ELSE 0.0 END", 1_000_000)}
+           / {_det_sum_s('e * e', 1_000_000)} END, 6) AS dw
+FROM lg, ab2
+GROUP BY n, b, a
+""",
+        "daily_revenue_jarque_bera": rf"""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         CAST(sum(CAST({_c100('l_extendedprice')} AS HUGEINT)
+                  * (100 - {_c100('l_discount')})) AS HUGEINT) AS u
+  FROM lineitem GROUP BY 1),
+m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(u) AS HUGEINT) AS s,
+         CAST(sum(u * u) AS HUGEINT) AS q
+  FROM daily),
+ab AS (
+  SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         sqrt(CAST(n * q - s * s AS DOUBLE)) / CAST(n AS DOUBLE)
+           AS sigma
+  FROM m),
+zt AS (
+  SELECT (CAST(u AS DOUBLE) - mu) / sigma AS z FROM daily, ab),
+ms AS (
+  SELECT max(n) AS n,
+         {_det_sum_s('z * z', 1_000_000)} AS m2s,
+         {_det_sum_s('z * z * z', 1_000_000)} AS m3s,
+         {_det_sum_s('z * z * z * z', 1_000_000)} AS m4s
+  FROM zt, ab),
+g AS (
+  SELECT n,
+         CASE WHEN m2s / CAST(n AS DOUBLE) > 0 THEN
+           (m3s / CAST(n AS DOUBLE))
+           / sqrt((m2s / CAST(n AS DOUBLE)) * (m2s / CAST(n AS DOUBLE))
+                  * (m2s / CAST(n AS DOUBLE))) END AS g1,
+         CASE WHEN m2s / CAST(n AS DOUBLE) > 0 THEN
+           (m4s / CAST(n AS DOUBLE))
+           / ((m2s / CAST(n AS DOUBLE)) * (m2s / CAST(n AS DOUBLE)))
+         END AS g2
+  FROM ms)
+SELECT CAST(n AS BIGINT) AS n,
+       round(g1, 6) AS skewness, round(g2, 6) AS kurtosis,
+       round(CAST(n AS DOUBLE) * (g1 * g1 / 6.0
+             + (g2 - 3.0) * (g2 - 3.0) / 24.0), 6) AS jb_stat
+FROM g
+""",
+        "price_grubbs_outlier": rf"""
+WITH rows_ AS (
+  SELECT {_c100('l_extendedprice')} AS u FROM lineitem),
+m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(u AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS q
+  FROM rows_),
+ab AS (
+  SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         sqrt(CAST(n * q - s * s AS DOUBLE)
+              / CAST(n * (n - 1) AS DOUBLE)) AS sd
+  FROM m),
+dv AS (
+  SELECT abs(CAST(u AS DOUBLE) - mu) AS d, CAST(u AS DOUBLE) AS v
+  FROM rows_, ab),
+mx AS (SELECT max(d) AS md FROM dv),
+ev AS (SELECT max(v) AS mv FROM dv, mx WHERE d = md)
+SELECT CAST(n AS BIGINT) AS n, round(mu, 6) AS mean,
+       round(sd, 6) AS stddev,
+       round(CASE WHEN sd > 0 THEN md / sd END, 6) AS g_stat,
+       round(mv, 6) AS extreme_value
+FROM ab, mx, ev
+""",
+        "source_good_turing": rf"""
+WITH t AS (
+  SELECT source, unnest({_DUCK_TOKS}) AS term FROM documents),
+cnt AS (SELECT source, term, count(*) AS ct FROM t GROUP BY 1, 2),
+agg AS (
+  SELECT source,
+         CAST(sum(ct) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab_size,
+         CAST(sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS f1,
+         CAST(sum(CASE WHEN ct = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS f2
+  FROM cnt GROUP BY 1)
+SELECT source, n_tokens, vocab_size, f1, f2,
+       round(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS gt_unseen_mass,
+       round(CAST(vocab_size AS DOUBLE)
+             + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+               / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) AS chao1
+FROM agg
 """,
         "part_copurchase_communities": """
 WITH items AS MATERIALIZED (

@@ -102,7 +102,7 @@ _FAMILIES = [
     ("graph", ("pagerank", "graph", "kcore", "communities", "triangle", "link_prediction",
                "cooccurrence", "copurchase", "resolved", "linked",
                "fuzzy_pairs")),
-    ("text", ("doc_", "text_", "corpus", "tfidf", "bm25", "pmi", "bpe", "retrieval",
+    ("text", ("doc_", "text_", "corpus", "tfidf", "bm25", "pmi", "bpe", "retrieval", "good_turing",
               "token", "nb_", "lang", "readability", "chunk",
               "feature_hash", "pii", "accent")),
     ("sketch", ("sketch", "theta", "kll", "freq_", "bloom")),
@@ -110,7 +110,7 @@ _FAMILIES = [
     ("sampling", ("sample", "split", "kfold", "packing", "budget",
                   "corpus_mix")),
     ("quality-stats", ("psi", "drift", "anomal", "benford", "t_test", "auc", "jsd", "dispersion", "runs_test", "ridge", "odds_mh", "kappa", "pettitt", "_bh", "partial_corr", "conformal", "hazard",
-                       "z_test", "ks_test", "mann_whitney", "spearman", "anova", "bootstrap", "randomization", "log_rank",
+                       "z_test", "ks_test", "mann_whitney", "spearman", "anova", "bootstrap", "randomization", "log_rank", "kruskal", "durbin", "jarque", "grubbs",
                        "chi2", "target_encoding", "quantile_norm", "ordinal",
                        "trend", "cusum", "survival",
                        "linkage", "mutual", "diversity", "profile",

@@ -463,3 +463,39 @@ def ranking_metrics(df: DataFrame, query_col: str, id_col: str,
         F.round(F.when(F.col("n_relevant") > 0,
                        F.col("_apnum") / r_base), 6)
         .alias("ap_at_k"))
+
+
+def good_turing_richness(df: DataFrame, text_col: str,
+                         key_cols: list[str] | None = None) -> DataFrame:
+    """Vocabulary richness / unseen-mass estimates per key — the "how
+    much vocabulary haven't we crawled yet" readout for corpus
+    acquisition planning (public estimators):
+
+        gt_unseen_mass = F1 / N          (Good-Turing missing mass)
+        chao1 = V + F1·(F1−1)/(2·(F2+1)) (bias-corrected Chao1
+                                          richness lower bound)
+
+    where V = distinct terms, N = total tokens, F1/F2 = terms seen
+    exactly once/twice. Everything is exact integer arithmetic off the
+    collapsed (key, term, count) table — two hash aggregations, one
+    final double divide per estimate. Returns one row per key:
+    (keys..., n_tokens, vocab_size, f1, f2, gt_unseen_mass, chao1)
+    with floats rounded to 6.
+    """
+    keys = list(key_cols or [])
+    toks = df.select(*keys, F.explode(tokens(text_col)).alias("term"))
+    cnt = toks.groupBy(*keys, "term").agg(F.count("*").alias("ct"))
+    agg = cnt.groupBy(*keys).agg(
+        F.sum("ct").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum((F.col("ct") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("ct") == 2).cast("long")).alias("f2"))
+    f1 = F.col("f1").cast("double")
+    return agg.select(
+        *keys, "n_tokens", "vocab_size", "f1", "f2",
+        F.round(f1 / F.col("n_tokens").cast("double"), 6)
+        .alias("gt_unseen_mass"),
+        F.round(F.col("vocab_size").cast("double")
+                + f1 * (f1 - 1.0)
+                / (2.0 * (F.col("f2").cast("double") + 1.0)), 6)
+        .alias("chao1"))

@@ -1202,3 +1202,158 @@ def kruskal_wallis(df: DataFrame, group_col: str,
         F.round(h, 6).alias("h_stat"),
         (F.col("_k") - 1).cast("int").alias("df"),
         F.round(eps2, 6).alias("epsilon_sq"))
+
+
+def durbin_watson(df: DataFrame, t_col: str,
+                  units_col: str) -> DataFrame:
+    """Durbin-Watson first-order serial-correlation statistic of the
+    residuals around the series' OLS trend line (public formula;
+    DW ≈ 2 means no lag-1 autocorrelation, → 0 positive, → 4
+    negative) — the residual-independence check behind every
+    trend-line readout (`trend_fit`, ridge), which assumes i.i.d.
+    errors.
+
+        DW = Σ_{t≥2} (e_t − e_{t−1})² / Σ e_t²
+
+    Exactness: the OLS fit comes from one DECIMAL(38,0) moment
+    aggregation (exact integers; slope/intercept are fixed double
+    expressions); residuals are one IEEE expression per row;
+    the two quadratic sums det-quantize at 1e-6 units (addends are
+    squared residuals — |e|² · 1e6 must stay < 2⁵³, i.e. |e| < 9e4
+    units; pass count-like or collapsed series, not raw cents).
+    Scale shape: input is a COLLAPSED series (daily buckets); one
+    1-row broadcast of the fit, one lag window over the collapsed
+    spine, one final agg. Returns (n, slope, intercept, dw) rounded
+    to 6.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_sum
+
+    d38 = "decimal(38,0)"
+    t = F.col(t_col).cast(d38)
+    y = F.col(units_col).cast(d38)
+    m = F.broadcast(df.agg(
+        F.count("*").alias("_n"),
+        F.sum(t).cast(d38).alias("_st"),
+        F.sum(y).cast(d38).alias("_sy"),
+        F.sum((t * t).cast(d38)).cast(d38).alias("_stt"),
+        F.sum((t * y).cast(d38)).cast(d38).alias("_sty")))
+    n = F.col("_n").cast(d38)
+    b = ((n * F.col("_sty") - F.col("_st") * F.col("_sy"))
+         .cast("double")
+         / (n * F.col("_stt") - F.col("_st") * F.col("_st"))
+         .cast("double"))
+    a = ((F.col("_sy").cast("double")
+          - b * F.col("_st").cast("double"))
+         / F.col("_n").cast("double"))
+    e = (F.col(units_col).cast("double")
+         - (a + b * F.col(t_col).cast("double")))
+    w = Window.orderBy(t_col)
+    scale = 1_000_000
+    rows = (df.crossJoin(m)
+            .select(F.col(t_col), e.alias("_e"),
+                    F.lag(e).over(w).alias("_ep"),
+                    F.col("_n"), a.alias("_a"), b.alias("_b")))
+    agg = rows.agg(
+        F.max("_n").alias("n"),
+        F.max("_a").alias("intercept"),
+        F.max("_b").alias("slope"),
+        det_sum(F.when(F.col("_ep").isNotNull(),
+                       (F.col("_e") - F.col("_ep"))
+                       * (F.col("_e") - F.col("_ep")))
+                .otherwise(F.lit(0.0)), scale).alias("_num"),
+        det_sum(F.col("_e") * F.col("_e"), scale).alias("_den"))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round(F.when(F.col("_den") > 0,
+                       F.col("_num") / F.col("_den")), 6).alias("dw"))
+
+
+def jarque_bera(df: DataFrame, units_col: str) -> DataFrame:
+    """Jarque-Bera normality test from standardized sample moments
+    (public formula): JB = n·(g1²/6 + (g2−3)²/24), g1 = skewness,
+    g2 = kurtosis — the distribution-shape gate in front of any
+    "assume it's normal" model (Welch, control charts, z anomalies).
+
+    Determinism route: μ and population σ come from EXACT
+    DECIMAL(38,0) integer moments (two fixed double expressions);
+    each row standardizes z = (u − μ)/σ in one IEEE expression, and
+    Σz², Σz³, Σz⁴ det-quantize at 1e-6 units. |z| ≤ √n by
+    construction, so the biggest addend z⁴ ≤ n² — capacity holds to
+    n ~ 5e4 buckets at 1e-6 units and the g-ratios self-correct any
+    σ rounding (g1 = m3/m2^1.5 uses the measured m2, not 1). Input
+    is a collapsed/bucketed series, one hash agg + one broadcast +
+    one final agg. One row: (n, skewness, kurtosis, jb_stat) @6dp.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_sum
+
+    d38 = "decimal(38,0)"
+    u = F.col(units_col).cast(d38)
+    m = F.broadcast(df.agg(
+        F.count("*").alias("_n"),
+        F.sum(u).cast(d38).alias("_s"),
+        F.sum((u * u).cast(d38)).cast(d38).alias("_q")))
+    n = F.col("_n").cast(d38)
+    var_num = (n * F.col("_q") - F.col("_s") * F.col("_s"))
+    mu = F.col("_s").cast("double") / F.col("_n").cast("double")
+    sigma = (F.sqrt(var_num.cast("double"))
+             / F.col("_n").cast("double"))
+    z = (F.col(units_col).cast("double") - mu) / sigma
+    scale = 1_000_000
+    agg = (df.crossJoin(m)
+           .agg(F.max("_n").alias("n"),
+                det_sum(z * z, scale).alias("_m2s"),
+                det_sum(z * z * z, scale).alias("_m3s"),
+                det_sum(z * z * z * z, scale).alias("_m4s")))
+    nd = F.col("n").cast("double")
+    m2 = F.col("_m2s") / nd
+    m3 = F.col("_m3s") / nd
+    m4 = F.col("_m4s") / nd
+    g1 = F.when(m2 > 0, m3 / F.sqrt(m2 * m2 * m2))
+    g2 = F.when(m2 > 0, m4 / (m2 * m2))
+    jb = nd * (g1 * g1 / 6.0
+               + (g2 - 3.0) * (g2 - 3.0) / 24.0)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(g1, 6).alias("skewness"),
+        F.round(g2, 6).alias("kurtosis"),
+        F.round(jb, 6).alias("jb_stat"))
+
+
+def grubbs_statistic(df: DataFrame, units_col: str) -> DataFrame:
+    """Grubbs' max-studentized-deviation outlier statistic
+    G = max|u − ū| / s (sample s, public formula) plus the offending
+    value — the single-most-extreme-point screen that quantile fences
+    (winsorize/MAD) don't report. Exact DECIMAL moments for ū and s;
+    the max is order-free, so no quantization is needed anywhere.
+    One row: (n, mean, stddev, g_stat, extreme_value) @6dp.
+    """
+    d38 = "decimal(38,0)"
+    u = F.col(units_col).cast(d38)
+    m = F.broadcast(df.agg(
+        F.count("*").alias("_n"),
+        F.sum(u).cast(d38).alias("_s"),
+        F.sum((u * u).cast(d38)).cast(d38).alias("_q")))
+    n = F.col("_n").cast(d38)
+    mu = F.col("_s").cast("double") / F.col("_n").cast("double")
+    # sample variance: (n·Σu² − S²) / (n·(n−1)), exact integer top
+    svar = ((n * F.col("_q") - F.col("_s") * F.col("_s"))
+            .cast("double")
+            / (n * (n - 1)).cast("double"))
+    s = F.sqrt(svar)
+    dev = F.abs(F.col(units_col).cast("double") - mu)
+    agg = (df.crossJoin(m)
+           .agg(F.max("_n").alias("n"), F.max(mu).alias("_mu"),
+                F.max(s).alias("_sd"),
+                F.max(F.struct(dev.alias("d"),
+                               F.col(units_col).cast("double")
+                               .alias("v"))).alias("_mx")))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("_mu", 6).alias("mean"),
+        F.round("_sd", 6).alias("stddev"),
+        F.round(F.when(F.col("_sd") > 0,
+                       F.col("_mx.d") / F.col("_sd")), 6)
+        .alias("g_stat"),
+        F.round(F.col("_mx.v"), 6).alias("extreme_value"))

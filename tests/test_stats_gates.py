@@ -578,3 +578,61 @@ def test_kruskal_wallis_two_groups_matches_mann_whitney(spark):
     h = kruskal_wallis(df, "g", "v").collect()[0]["h_stat"]
     z = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]["z_stat"]
     assert abs(h - z * z) < 1e-3
+
+
+def test_durbin_watson_numpy_cross_check(spark):
+    """DW on a fixed series matches an independent numpy residual
+    computation; a perfectly linear series has zero residuals and a
+    NULL (0/0) statistic."""
+    import random
+    import numpy as np
+    from pipelines_rj_sms_spark.quality.stats import durbin_watson
+    rng = random.Random(11)
+    ys = [100 + 3 * t + rng.randrange(-20, 21) for t in range(200)]
+    df = spark.createDataFrame(list(enumerate(ys)), ["t", "y"])
+    out = durbin_watson(df, "t", "y").collect()[0]
+    t = np.arange(200.0)
+    yv = np.array(ys, dtype=float)
+    b, a = np.polyfit(t, yv, 1)
+    e = yv - (a + b * t)
+    dw = np.sum(np.diff(e) ** 2) / np.sum(e ** 2)
+    assert abs(out["dw"] - dw) < 1e-4
+    assert abs(out["slope"] - b) < 1e-6
+    lin = spark.createDataFrame(
+        [(t, 7 + 2 * t) for t in range(50)], ["t", "y"])
+    assert durbin_watson(lin, "t", "y").collect()[0]["dw"] is None
+
+
+def test_jarque_bera_numpy_cross_check(spark):
+    """Skewness/kurtosis/JB match numpy population moments on a fixed
+    skewed sample; a symmetric sample has (rounded) zero skew."""
+    import random
+    import numpy as np
+    from pipelines_rj_sms_spark.quality.stats import jarque_bera
+    rng = random.Random(3)
+    vals = [rng.randrange(0, 50) ** 2 for _ in range(500)]
+    out = jarque_bera(
+        spark.createDataFrame([(v,) for v in vals], ["u"]),
+        "u").collect()[0]
+    x = np.array(vals, dtype=float)
+    z = (x - x.mean()) / x.std()
+    g1 = (z ** 3).mean() / (z ** 2).mean() ** 1.5
+    g2 = (z ** 4).mean() / (z ** 2).mean() ** 2
+    jb = 500 * (g1 ** 2 / 6 + (g2 - 3) ** 2 / 24)
+    assert abs(out["skewness"] - g1) < 1e-4
+    assert abs(out["kurtosis"] - g2) < 1e-4
+    assert abs(out["jb_stat"] - jb) < max(1e-3, abs(jb) * 1e-4)
+    sym = spark.createDataFrame(
+        [(v,) for v in (-2, -1, -1, 0, 0, 0, 1, 1, 2)], ["u"])
+    assert jarque_bera(sym, "u").collect()[0]["skewness"] == 0.0
+
+
+def test_grubbs_hand_computed(spark):
+    """[0,0,0,10]: mean 2.5, sample s = sqrt((4*100-100)/(4*3)) =
+    5.0, G = 7.5/5 = 1.5 with the extreme value reported."""
+    from pipelines_rj_sms_spark.quality.stats import grubbs_statistic
+    df = spark.createDataFrame([(0,), (0,), (0,), (10,)], ["u"])
+    out = grubbs_statistic(df, "u").collect()[0]
+    assert out["mean"] == 2.5 and out["stddev"] == 5.0
+    assert out["g_stat"] == 1.5
+    assert out["extreme_value"] == 10.0

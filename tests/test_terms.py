@@ -209,3 +209,20 @@ def test_ranking_metrics_perfect_and_empty(spark):
     assert out["none"]["ap_at_k"] is None
     assert out["none"]["ndcg_at_k"] is None
     assert out["none"]["precision_at_k"] == 0.0
+
+
+def test_good_turing_hand_computed(spark):
+    """Source A = 'a a b c': N=4 V=3 F1=2 F2=1 -> unseen 0.5,
+    chao1 = 3 + 2*1/(2*2) = 3.5. Source B = 'x y': F2=0 exercises
+    the bias-corrected denominator (chao1 = 2 + 2*1/2 = 3)."""
+    from pipelines_rj_sms_spark.operators.terms import (
+        good_turing_richness)
+    df = spark.createDataFrame(
+        [("A", "a a b c"), ("B", "x y")], ["source", "text"])
+    out = {r["source"]: r for r in
+           good_turing_richness(df, "text", ["source"]).collect()}
+    a = out["A"]
+    assert (a["n_tokens"], a["vocab_size"], a["f1"], a["f2"]) == (4, 3, 2, 1)
+    assert a["gt_unseen_mass"] == 0.5 and a["chao1"] == 3.5
+    b = out["B"]
+    assert b["gt_unseen_mass"] == 1.0 and b["chao1"] == 3.0
