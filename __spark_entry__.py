@@ -442,6 +442,9 @@ Query key -> SURVEY §2 rows covered:
   source_good_turing        Good-Turing unseen mass + Chao1 richness
                             per source (exact integer frequency-of-
                             frequency arithmetic)
+  en_score_brier            Brier score + Murphy reliability /
+                            resolution / uncertainty decomposition
+                            (equal-width bins, auditable identity)
 """
 
 from __future__ import annotations
@@ -4160,6 +4163,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("lang") == "en").alias("is_en"))
         return binary_auc(scored, "en_score", "is_en")
 
+    def brier_q(spark, sf_dir):
+        """Brier score + Murphy reliability/resolution/uncertainty
+        decomposition of the English marker score against the true
+        label — equal-width probability bins, exact integer outcome
+        ratios, det-quantized forecast sums."""
+        from pipelines_rj_sms_spark.operators.classify import (
+            brier_decomposition)
+        docs = _t(spark, sf_dir, "documents")
+        scored = docs.select(
+            F.round(text.lang_score("text", "en"), 6).alias("p"),
+            (F.col("lang") == "en").alias("y"))
+        return brier_decomposition(scored, "p", "y", n_bins=10)
+
     def ordinal_q(spark, sf_dir):
         """Goodman-Kruskal gamma + Kendall tau-b between quantity and
         discount (both ordinal): concordant/discordant pairs from a
@@ -4908,6 +4924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_revenue_jarque_bera": jb_q,
         "price_grubbs_outlier": grubbs_q,
         "source_good_turing": gt_q,
+        "en_score_brier": brier_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -8089,6 +8106,50 @@ SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
        round(CASE WHEN np > 0 AND nn > 0 THEN
                CAST(rp2 - np * (np + 1) AS DOUBLE)
                / CAST(2 * np * nn AS DOUBLE) END, 6) AS auc
+FROM agg
+""",
+        "en_score_brier": f"""
+WITH base AS (
+  SELECT round(len(list_filter({_DUCK_TOKS},
+                x -> list_contains([{_EN_MARKERS}], x)))
+         / greatest(len({_DUCK_TOKS}), 1), 6) AS p,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS o
+  FROM documents),
+binned AS (
+  SELECT p, o, least(CAST(floor(p * 10.0) AS INTEGER), 9) AS b
+  FROM base),
+per AS (
+  SELECT b, count(*) AS nk, CAST(sum(o) AS BIGINT) AS ok,
+         {_det_sum('p')} AS sp,
+         {_det_sum('(p - o) * (p - o)')} AS sq
+  FROM binned GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(nk) AS BIGINT) AS n,
+         CAST(sum(ok) AS BIGINT) AS opos
+  FROM per),
+agg AS (
+  SELECT max(n) AS n,
+         max(CAST(opos AS DOUBLE) / CAST(n AS DOUBLE)) AS obar,
+         {_det_sum(
+             "CAST(nk AS DOUBLE) / CAST(n AS DOUBLE)"
+             " * (sp / CAST(nk AS DOUBLE)"
+             "    - CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE))"
+             " * (sp / CAST(nk AS DOUBLE)"
+             "    - CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE))")} AS rel,
+         {_det_sum(
+             "CAST(nk AS DOUBLE) / CAST(n AS DOUBLE)"
+             " * (CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE)"
+             "    - CAST(opos AS DOUBLE) / CAST(n AS DOUBLE))"
+             " * (CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE)"
+             "    - CAST(opos AS DOUBLE) / CAST(n AS DOUBLE))")} AS res,
+         {_det_sum('sq / CAST(n AS DOUBLE)')} AS bs
+  FROM per, tot)
+SELECT CAST(n AS BIGINT) AS n, round(obar, 6) AS base_rate,
+       round(bs, 6) AS brier, round(rel, 6) AS reliability,
+       round(res, 6) AS resolution,
+       round(obar * (1.0 - obar), 6) AS uncertainty,
+       round(bs - (rel - res + (obar * (1.0 - obar))), 6)
+         AS within_bin_term
 FROM agg
 """,
         # gamma / tau-b: pair counts from the collapsed contingency

@@ -116,7 +116,7 @@ _FAMILIES = [
                        "linkage", "mutual", "diversity", "profile",
                        "quality", "contract", "reconcil", "freshness",
                        "skew_report", "anonymity", "l_diversity",
-                       "fs_", "dp_", "calibration", "eval_report",
+                       "fs_", "dp_", "calibration", "eval_report", "brier",
                        "correlations", "zipf", "entropy",
                        "compression")),
     ("analytics-timeseries", ("twap", "ohlc", "interpolat", "gap_", "decomposition", "_acf", "lead_lag", "holt_winters",

@@ -257,3 +257,67 @@ def binary_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
         np_.cast("bigint").alias("n_pos"),
         nn.cast("bigint").alias("n_neg"),
         F.round(auc, 6).alias("auc"))
+
+
+def brier_decomposition(df: DataFrame, prob_col: str, outcome_col: str,
+                        n_bins: int = 10) -> DataFrame:
+    """Brier score with the Murphy (1973) calibration decomposition —
+    the probability-forecast quality readout `calibration_report`'s
+    accuracy table doesn't quantify (public formulas):
+
+        BS   = mean (p − o)²                 (raw score, lower better)
+        REL  = Σ_k (n_k/N)·(p̄_k − ō_k)²      (calibration error)
+        RES  = Σ_k (n_k/N)·(ō_k − ō)²        (discrimination)
+        UNC  = ō·(1 − ō)                     (outcome entropy)
+
+    with equal-width probability bins k (clamped to [0, n_bins−1]).
+    For bin-constant forecasts BS = REL − RES + UNC exactly; on raw
+    forecasts the remainder is the within-bin term
+    E_k[var_k(p)] − 2·E_k[cov_k(p, o)] (sign-indefinite) — returned
+    so the identity is auditable.
+
+    Exactness: ō_k / ō are exact integer ratios; p̄_k and the raw BS
+    det-quantize their double sums; REL/RES addends are (n_k/N)-
+    weighted squared deviations ≤ 1, det-summed over ≤ n_bins rows.
+    Scale: one row-level hash agg into bins + one ≤ n_bins rollup.
+    One row: (n, base_rate, brier, reliability, resolution,
+    uncertainty, within_bin_var) @6dp.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_sum
+
+    p = F.col(prob_col).cast("double")
+    o = F.col(outcome_col).cast("int")
+    b = F.least(F.floor(p * float(n_bins)).cast("int"),
+                F.lit(n_bins - 1))
+    rows = df.select(p.alias("_p"), o.alias("_o"), b.alias("_b"))
+    per = rows.groupBy("_b").agg(
+        F.count("*").alias("_nk"),
+        F.sum("_o").cast("bigint").alias("_ok"),
+        det_sum(F.col("_p")).alias("_sp"),
+        det_sum((F.col("_p") - F.col("_o"))
+                * (F.col("_p") - F.col("_o"))).alias("_sq"))
+    tot = F.broadcast(per.agg(
+        F.sum("_nk").cast("bigint").alias("_n"),
+        F.sum("_ok").cast("bigint").alias("_opos")))
+    nd = F.col("_n").cast("double")
+    obar = F.col("_opos").cast("double") / nd
+    pbar_k = F.col("_sp") / F.col("_nk").cast("double")
+    obar_k = F.col("_ok").cast("double") / F.col("_nk").cast("double")
+    wk = F.col("_nk").cast("double") / nd
+    agg = (per.crossJoin(tot)
+           .agg(F.max("_n").alias("n"), F.max(obar).alias("_obar"),
+                det_sum(wk * (pbar_k - obar_k) * (pbar_k - obar_k))
+                .alias("_rel"),
+                det_sum(wk * (obar_k - obar) * (obar_k - obar))
+                .alias("_res"),
+                det_sum(F.col("_sq") / nd).alias("_bs")))
+    unc = F.col("_obar") * (F.lit(1.0) - F.col("_obar"))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("_obar", 6).alias("base_rate"),
+        F.round("_bs", 6).alias("brier"),
+        F.round("_rel", 6).alias("reliability"),
+        F.round("_res", 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(F.col("_bs") - (F.col("_rel") - F.col("_res") + unc),
+                6).alias("within_bin_term"))

@@ -117,3 +117,37 @@ def test_calibration_report_monotone_toy(spark):
     assert out[3]["accuracy"] == 1.0
     assert sum(r["n"] for r in out.values()) == 100
     assert out[0]["mean_score"] < out[3]["mean_score"]
+
+
+def test_brier_decomposition_hand_computed(spark):
+    """Bin-constant forecasts: identity BS = REL - RES + UNC holds
+    exactly (within_bin_term = 0). Forecasts 0.25 (bin 2) and 0.75
+    (bin 7): outcome rates 0.5 and 1.0, base rate 0.75."""
+    from pipelines_rj_sms_spark.operators.classify import (
+        brier_decomposition)
+    rows = [(0.25, 0), (0.25, 1), (0.75, 1), (0.75, 1)]
+    out = brier_decomposition(
+        spark.createDataFrame(rows, ["p", "y"]), "p", "y",
+        n_bins=10).collect()[0]
+    bs = (0.25 ** 2 + 0.75 ** 2 + 2 * 0.25 ** 2) / 4
+    rel = 0.5 * (0.25 - 0.5) ** 2 + 0.5 * (0.75 - 1.0) ** 2
+    res = 0.5 * (0.5 - 0.75) ** 2 + 0.5 * (1.0 - 0.75) ** 2
+    unc = 0.75 * 0.25
+    assert out["n"] == 4 and out["base_rate"] == 0.75
+    assert abs(out["brier"] - bs) < 1e-6
+    assert abs(out["reliability"] - rel) < 1e-6
+    assert abs(out["resolution"] - res) < 1e-6
+    assert abs(out["uncertainty"] - unc) < 1e-6
+    assert abs(out["within_bin_term"]) < 1e-6
+
+
+def test_brier_perfect_forecaster(spark):
+    """p = o exactly: BS = 0 and the decomposition closes with
+    REL = 0, RES = UNC. p = 1.0 exercises the top-bin clamp."""
+    from pipelines_rj_sms_spark.operators.classify import (
+        brier_decomposition)
+    rows = [(0.0, 0)] * 3 + [(1.0, 1)] * 2
+    out = brier_decomposition(
+        spark.createDataFrame(rows, ["p", "y"]), "p", "y").collect()[0]
+    assert out["brier"] == 0.0 and out["reliability"] == 0.0
+    assert out["resolution"] == out["uncertainty"] == 0.24
