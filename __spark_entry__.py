@@ -445,6 +445,10 @@ Query key -> SURVEY §2 rows covered:
   en_score_brier            Brier score + Murphy reliability /
                             resolution / uncertainty decomposition
                             (equal-width bins, auditable identity)
+  supplier_hits_scores      HITS hubs/authorities over the supplier->
+                            part graph (max-normalized half-steps,
+                            det-quantized neighbor sums, unrolled
+                            oracle)
 """
 
 from __future__ import annotations
@@ -1122,6 +1126,37 @@ p{i} AS (
         prev = f"p{i}"
     parts.append(f"\nSELECT node, round(pr, 6) AS pr FROM {prev}")
     return "".join(parts)
+
+
+def _duck_hits_sql(n_iter: int = 3) -> str:
+    """Unrolled HITS iterations mirroring operators/graph.hits:
+    det-quantized neighbor sums, max-normalized half-steps, top-10
+    hubs + authorities with (score DESC, node) tiebreak."""
+    parts = ["""WITH e AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS d FROM lineitem),
+h0 AS (SELECT DISTINCT s, 1.0 AS h FROM e)"""]
+    prev_h = "h0"
+    for i in range(1, n_iter + 1):
+        parts.append(f"""a{i}r AS MATERIALIZED (
+  SELECT d, {_det_sum('h')} AS r
+  FROM e JOIN {prev_h} USING (s) GROUP BY d)""")
+        parts.append(f"""a{i} AS MATERIALIZED (
+  SELECT d, r / (SELECT max(r) FROM a{i}r) AS a FROM a{i}r)""")
+        parts.append(f"""h{i}r AS MATERIALIZED (
+  SELECT s, {_det_sum('a')} AS r
+  FROM e JOIN a{i} USING (d) GROUP BY s)""")
+        parts.append(f"""h{i} AS MATERIALIZED (
+  SELECT s, r / (SELECT max(r) FROM h{i}r) AS h FROM h{i}r)""")
+        prev_h = f"h{i}"
+    return ",\n".join(parts) + f"""
+SELECT * FROM (
+  SELECT 'hub' AS node_type, s AS node, round(h, 6) AS score
+  FROM h{n_iter} ORDER BY h DESC, s LIMIT 10)
+UNION ALL
+SELECT * FROM (
+  SELECT 'authority' AS node_type, d AS node, round(a, 6) AS score
+  FROM a{n_iter} ORDER BY a DESC, d LIMIT 10)
+"""
 
 
 def _duck_pagerank_sql(n_iter: int = 3, d: float = 0.85) -> str:
@@ -4163,6 +4198,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("lang") == "en").alias("is_en"))
         return binary_auc(scored, "en_score", "is_en")
 
+    def hits_q(spark, sf_dir):
+        """HITS hubs (suppliers) and authorities (parts) over the
+        supplier→part supply graph — max-normalized half-steps (the
+        order-free normalizer), det-quantized neighbor sums, top 10
+        of each with full tiebreaks."""
+        from pipelines_rj_sms_spark.operators.graph import hits
+        li = _t(spark, sf_dir, "lineitem")
+        e = li.select(F.col("l_suppkey").alias("src"),
+                      F.col("l_partkey").alias("dst")).distinct()
+        hubs, auths = hits(e, n_iter=3, edges_distinct=True)
+        top_h = (hubs.orderBy(F.col("score").desc(), "node").limit(10)
+                 .select(F.lit("hub").alias("node_type"), "node",
+                         F.round("score", 6).alias("score")))
+        top_a = (auths.orderBy(F.col("score").desc(), "node")
+                 .limit(10)
+                 .select(F.lit("authority").alias("node_type"), "node",
+                         F.round("score", 6).alias("score")))
+        return top_h.unionByName(top_a)
+
     def brier_q(spark, sf_dir):
         """Brier score + Murphy reliability/resolution/uncertainty
         decomposition of the English marker score against the true
@@ -4925,6 +4979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_grubbs_outlier": grubbs_q,
         "source_good_turing": gt_q,
         "en_score_brier": brier_q,
+        "supplier_hits_scores": hits_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -5535,6 +5590,7 @@ FROM miss JOIN med USING (event_type)
 """,
         "pagerank_part_supplier": _duck_pagerank_sql(3, 0.85),
         "personalized_pagerank_brand11": _duck_ppr_sql(3, 0.85),
+        "supplier_hits_scores": _duck_hits_sql(3),
         # the sketch estimate is audited, not hash-compared (CMS
         # guarantees: never undercounts; overcount bounded) — the
         # oracle pins the exact join size and the audit verdicts

@@ -99,7 +99,7 @@ _FAMILIES = [
                "winnow", "contamination", "negative_pairs")),
     ("similarity", ("similarity", "ann_", "embedding", "hybrid_rrf",
                     "pca")),
-    ("graph", ("pagerank", "graph", "kcore", "communities", "triangle", "link_prediction",
+    ("graph", ("pagerank", "graph", "kcore", "communities", "triangle", "link_prediction", "hits",
                "cooccurrence", "copurchase", "resolved", "linked",
                "fuzzy_pairs")),
     ("text", ("doc_", "text_", "corpus", "tfidf", "bm25", "pmi", "bpe", "retrieval", "good_turing",

@@ -733,3 +733,56 @@ def link_prediction(edges: DataFrame, src: str = "src",
         F.round(F.col("common_neighbors").cast("double")
                 / union_size.cast("double"), 6).alias("jaccard"),
         F.round(F.col("_aa"), 6).alias("adamic_adar"))
+
+
+def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
+         n_iter: int = 3,
+         edges_distinct: bool = False) -> tuple[DataFrame, DataFrame]:
+    """HITS hubs-and-authorities scores (Kleinberg 1999, public
+    formula) over a directed edge set — "good hubs point at good
+    authorities": a = Σ_{u→v} h(u), h = Σ_{u→v} a(v), renormalized
+    each half-step. Returns (hubs, authorities) DataFrames with
+    (node, score).
+
+    Determinism: normalization divides by the MAX score (the standard
+    max-norm HITS variant) instead of the L2 norm — max is order-free
+    where a norm's square sum is not — and every neighbor sum is
+    det-quantized (functions/numeric.py), so each iteration's scores
+    are bit-identical across partitionings and engines.
+
+    Scale shape: each half-step is one equi-join of edges with the
+    ≤|V|-row score table plus one hash agg; the max rides back as a
+    1-row broadcast. O(n_iter) shuffles of (node, score) — the same
+    posture as `pagerank`. Edges are deduped once up front (pass
+    ``edges_distinct=True`` to skip) and persisted across the 2·n_iter
+    joins.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_sum
+    from pipelines_rj_sms_spark.operators.cache import track
+
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if not edges_distinct:
+        e = e.distinct()
+    e = track(e.persist())
+    h = e.select("_s").distinct().withColumn("_h", F.lit(1.0))
+    a = None
+    for _ in range(n_iter):
+        # persist each ≤|V|-row rollup: its max-aggregate AND the
+        # normalize projection both consume it, and downstream rounds
+        # re-reference it — without the persist the recompute tree
+        # doubles per half-step (measured: 790 stages -> 60 at sf0.01)
+        ar = track((e.join(h, "_s").groupBy("_d")
+                    .agg(det_sum(F.col("_h")).alias("_r"))).persist())
+        amax = F.broadcast(ar.agg(F.max("_r").alias("_m")))
+        a = ar.crossJoin(amax).select(
+            "_d", (F.col("_r") / F.col("_m")).alias("_a"))
+        hr = track((e.join(a, "_d").groupBy("_s")
+                    .agg(det_sum(F.col("_a")).alias("_r"))).persist())
+        hmax = F.broadcast(hr.agg(F.max("_r").alias("_m")))
+        h = hr.crossJoin(hmax).select(
+            "_s", (F.col("_r") / F.col("_m")).alias("_h"))
+    hubs = h.select(F.col("_s").alias("node"),
+                    F.col("_h").alias("score"))
+    auths = a.select(F.col("_d").alias("node"),
+                     F.col("_a").alias("score"))
+    return hubs, auths

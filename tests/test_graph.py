@@ -263,3 +263,18 @@ def test_link_prediction_excludes_existing_edges_and_caps_hubs(spark):
     assert set(out) == {(1, 4), (2, 4)}
     capped = link_prediction(edges, max_center_degree=1).collect()
     assert capped == []
+
+
+def test_hits_hand_computed_two_iterations(spark):
+    """s1->{d1,d2}, s2->{d1}; max-normalized: after round 2 the
+    authority scores are d1=1, d2=0.6 and hubs s1=1, s2=0.625."""
+    from pipelines_rj_sms_spark.operators.graph import hits
+    e = spark.createDataFrame(
+        [(1, 101), (1, 102), (2, 101)], ["src", "dst"])
+    hubs, auths = hits(e, n_iter=2, edges_distinct=True)
+    hv = {r["node"]: r["score"] for r in hubs.collect()}
+    av = {r["node"]: r["score"] for r in auths.collect()}
+    assert abs(av[101] - 1.0) < 1e-9
+    assert abs(av[102] - 0.6) < 1e-9
+    assert abs(hv[1] - 1.0) < 1e-9
+    assert abs(hv[2] - 0.625) < 1e-9
