@@ -1357,3 +1357,67 @@ def grubbs_statistic(df: DataFrame, units_col: str) -> DataFrame:
                        F.col("_mx.d") / F.col("_sd")), 6)
         .alias("g_stat"),
         F.round(F.col("_mx.v"), 6).alias("extreme_value"))
+
+
+def friedman_test(df: DataFrame, block_col: str, treatment_col: str,
+                  units_col: str) -> DataFrame:
+    """Friedman rank test for k related treatments over n blocks —
+    "do the treatments differ when each block is its own control?"
+    (repeated-measures rank ANOVA; public formula, Conover's
+    tie-corrected form). Input must be COMPLETE blocks (one row per
+    (block, treatment); gap-fill zeros first if a block can miss a
+    treatment).
+
+    Exactness: within-block average ranks in half-units
+    (r2 = 2·min_rank + ties − 1, an integer window expression over
+    each ≤k-row block); Conover's statistic in the 2-rank scale —
+
+        T = (k−1)·Σ_j (R2_j − n(k+1))² / (Σ r2² − n·k·(k+1)²)
+
+    — where the 4s cancel, so numerator and denominator are EXACT
+    DECIMAL(38,0) integers and the single final division is the only
+    float op. Degenerate blocks-all-tied data has a zero denominator
+    → NULL. Scale shape: one rank window partitioned BY BLOCK (≤k
+    rows each), one hash agg per treatment, one k-row final agg.
+    One row: (n_blocks, k_treatments, statistic, df) @6dp.
+    """
+    d38 = "decimal(38,0)"
+    wb = (Window.partitionBy(block_col)
+          .orderBy(F.col(units_col)))
+    wt = Window.partitionBy(block_col, units_col)
+    r2 = (2 * F.rank().over(wb) + F.count("*").over(wt) - 1).cast(d38)
+    ranked = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(treatment_col).alias("_trt"), r2.alias("_r2"))
+    per_t = ranked.groupBy("_trt").agg(
+        F.count("*").cast(d38).alias("_n"),
+        F.sum("_r2").cast(d38).alias("_rj"),
+        F.sum((F.col("_r2") * F.col("_r2")).cast(d38)).cast(d38)
+        .alias("_rsq"))
+    agg = per_t.agg(
+        F.max("_n").alias("_nb"),
+        F.count("*").alias("_k"),
+        F.sum("_rsq").cast(d38).alias("_a"))
+    # Σ_j (R2_j − n(k+1))² needs n and k first; fold via a second
+    # pass over the k-row rollup (broadcast of the 1-row totals)
+    tot = F.broadcast(agg.select("_nb", "_k", "_a"))
+    n = F.col("_nb").cast(d38)
+    k = F.col("_k").cast(d38)
+    dev = F.col("_rj") - n * (k + 1)
+    stat = (per_t.crossJoin(tot)
+            .agg(F.max("_nb").alias("n_blocks"),
+                 F.max("_k").alias("k_treatments"),
+                 F.sum((dev * dev).cast(d38)).cast(d38).alias("_num"),
+                 F.max((F.col("_a")
+                        - n * k * ((k + 1) * (k + 1)).cast(d38))
+                       .cast(d38)).alias("_den")))
+    t1 = F.when(
+        F.col("_den") > 0,
+        (F.col("k_treatments") - 1).cast("double")
+        * (F.col("_num").cast("double")
+           / F.col("_den").cast("double")))
+    return stat.select(
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        F.col("k_treatments").cast("int").alias("k_treatments"),
+        F.round(t1, 6).alias("statistic"),
+        (F.col("k_treatments") - 1).cast("int").alias("df"))

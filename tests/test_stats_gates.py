@@ -636,3 +636,28 @@ def test_grubbs_hand_computed(spark):
     assert out["mean"] == 2.5 and out["stddev"] == 5.0
     assert out["g_stat"] == 1.5
     assert out["extreme_value"] == 10.0
+
+
+def test_friedman_textbook_no_ties(spark):
+    """Two blocks, three treatments, identical orderings: classic
+    Friedman chi2 = 12/(nk(k+1))*sum(Rj^2) - 3n(k+1) = 4, and
+    Conover's tie-corrected T equals it when there are no ties."""
+    from pipelines_rj_sms_spark.quality.stats import friedman_test
+    rows = [("b1", "t1", 1), ("b1", "t2", 5), ("b1", "t3", 9),
+            ("b2", "t1", 2), ("b2", "t2", 6), ("b2", "t3", 8)]
+    out = friedman_test(
+        spark.createDataFrame(rows, ["blk", "trt", "v"]),
+        "blk", "trt", "v").collect()[0]
+    assert out["n_blocks"] == 2 and out["k_treatments"] == 3
+    assert out["df"] == 2
+    assert out["statistic"] == 4.0
+
+
+def test_friedman_all_tied_null(spark):
+    """Every block fully tied: denominator 0 -> NULL statistic."""
+    from pipelines_rj_sms_spark.quality.stats import friedman_test
+    rows = [(b, t, 7) for b in ("b1", "b2") for t in ("x", "y")]
+    out = friedman_test(
+        spark.createDataFrame(rows, ["blk", "trt", "v"]),
+        "blk", "trt", "v").collect()[0]
+    assert out["statistic"] is None
