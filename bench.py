@@ -112,7 +112,7 @@ _FAMILIES = [
     ("quality-stats", ("psi", "drift", "anomal", "benford", "t_test", "auc", "jsd", "dispersion", "runs_test", "ridge", "odds_mh", "kappa", "pettitt", "_bh", "partial_corr", "conformal", "hazard",
                        "z_test", "ks_test", "mann_whitney", "spearman", "anova", "bootstrap", "randomization", "log_rank", "kruskal", "durbin", "jarque", "grubbs", "friedman",
                        "chi2", "target_encoding", "quantile_norm", "ordinal",
-                       "trend", "cusum", "survival",
+                       "trend", "cusum", "survival", "gumbel",
                        "linkage", "mutual", "diversity", "profile",
                        "quality", "contract", "reconcil", "freshness",
                        "skew_report", "anonymity", "l_diversity",

@@ -1134,3 +1134,44 @@ def nelson_aalen(df: DataFrame, duration_col: str, event_col: str,
         *kn, "duration", "n_at_risk", "n_events", "n_censored",
         F.round(cum_h, 6).alias("cum_hazard"),
         F.round(F.sqrt(cum_v), 6).alias("hazard_se"))
+
+
+def gumbel_block_maxima(df: DataFrame, block_col: str, units_col: str,
+                        return_period: int = 12) -> DataFrame:
+    """Gumbel (EV-I) fit to block maxima by the method of moments —
+    the capacity-planning readout ("how big is the once-a-year worst
+    day?") for any bursty series (public formulas):
+
+        β̂ = s·√6/π,   μ̂ = x̄ − γ·β̂   (γ = Euler-Mascheroni)
+        return level x_T = μ̂ − β̂·ln(−ln(1 − 1/T))
+
+    Pipeline: one hash agg to per-block integer maxima (max is
+    order-free), one DECIMAL(38,0) moment agg over the ≤#blocks rows
+    (x̄ and sample s are fixed double expressions over exact
+    integers), closed-form everything — no sorting, no iteration.
+    One row: (n_blocks, mean_max, beta, mu, return_level) @6dp;
+    NULL fit when fewer than 2 blocks or zero variance.
+    """
+    d38 = "decimal(38,0)"
+    mx = (df.groupBy(F.col(block_col))
+          .agg(F.max(F.col(units_col)).alias("_m")))
+    u = F.col("_m").cast(d38)
+    agg = mx.agg(F.count("*").alias("_nb"),
+                 F.sum(u).cast(d38).alias("_s"),
+                 F.sum((u * u).cast(d38)).cast(d38).alias("_q"))
+    n = F.col("_nb").cast(d38)
+    mean = F.col("_s").cast("double") / F.col("_nb").cast("double")
+    svar = ((n * F.col("_q") - F.col("_s") * F.col("_s"))
+            .cast("double") / (n * (n - 1)).cast("double"))
+    ok = (F.col("_nb") > 1) & (svar > 0)
+    beta = F.sqrt(svar) * (F.sqrt(F.lit(6.0))
+                           / F.lit(3.141592653589793))
+    mu = mean - F.lit(0.5772156649015329) * beta
+    t = float(return_period)
+    rl = mu - beta * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / F.lit(t)))
+    return agg.select(
+        F.col("_nb").cast("bigint").alias("n_blocks"),
+        F.round(mean, 6).alias("mean_max"),
+        F.round(F.when(ok, beta), 6).alias("beta"),
+        F.round(F.when(ok, mu), 6).alias("mu"),
+        F.round(F.when(ok, rl), 6).alias("return_level"))

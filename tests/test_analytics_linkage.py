@@ -352,3 +352,27 @@ def test_deletion_neighborhood_group_cap_drops_hot_variant(spark):
     capped = deletion_neighborhood_pairs(df, "id", "name",
                                          max_group=3).count()
     assert full == 6 and capped == 0
+
+
+def test_gumbel_block_maxima_moments(spark):
+    """Maxima {10, 20, 30} across blocks: mean 20, sample s = 10,
+    beta = 10*sqrt(6)/pi, mu = 20 - gamma*beta, and the return level
+    recomputes from the public formula; a single block is NULL."""
+    import math
+    from pipelines_rj_sms_spark.operators.analytics import (
+        gumbel_block_maxima)
+    rows = [("a", 4), ("a", 10), ("b", 20), ("c", 30), ("c", 1)]
+    out = gumbel_block_maxima(
+        spark.createDataFrame(rows, ["blk", "u"]), "blk", "u",
+        return_period=12).collect()[0]
+    beta = 10 * math.sqrt(6) / math.pi
+    mu = 20 - 0.5772156649015329 * beta
+    rl = mu - beta * math.log(-math.log(1 - 1 / 12))
+    assert out["n_blocks"] == 3 and out["mean_max"] == 20.0
+    assert abs(out["beta"] - beta) < 1e-6
+    assert abs(out["mu"] - mu) < 1e-6
+    assert abs(out["return_level"] - rl) < 1e-6
+    one = gumbel_block_maxima(
+        spark.createDataFrame([("a", 5)], ["blk", "u"]),
+        "blk", "u").collect()[0]
+    assert one["beta"] is None and one["return_level"] is None
