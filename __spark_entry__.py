@@ -455,6 +455,9 @@ Query key -> SURVEY §2 rows covered:
   monthly_peak_gumbel       Gumbel EV-I block-maxima fit + 12-period
                             return level (order-free maxima, exact
                             DECIMAL moments, closed form)
+  signup_purchase_rmst      restricted mean survival time: area under
+                            the K-M step curve (det-summed lag-window
+                            integration over the duration rollup)
 """
 
 from __future__ import annotations
@@ -4204,6 +4207,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("lang") == "en").alias("is_en"))
         return binary_auc(scored, "en_score", "is_en")
 
+    def rmst_q(spark, sf_dir):
+        """Restricted mean survival time of signup→purchase: the area
+        under the K-M step curve to the last observed duration —
+        'expected conversion-free days in the window' as one number;
+        det-summed lag-window integration over the K-M rollup."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            restricted_mean_survival)
+        ev = _t(spark, sf_dir, "events")
+        su = (ev.filter(F.col("event_type") == "signup")
+              .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+        pu = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("_pu"), F.col("ts").alias("p_ts"))
+        first_p = (su.join(pu, (su.user_id == pu["_pu"])
+                           & (pu.p_ts >= su.s_ts), "left")
+                   .groupBy("user_id", "s_ts")
+                   .agg(F.min("p_ts").alias("fp")))
+        horizon = F.broadcast(ev.agg(F.max("ts").alias("_h")))
+        durs = (first_p.crossJoin(horizon)
+                .select(
+                    F.datediff(F.to_date(F.coalesce("fp", "_h")),
+                               F.to_date("s_ts")).alias("dur"),
+                    F.col("fp").isNotNull().cast("int").alias("ev")))
+        return restricted_mean_survival(durs, "dur", "ev")
+
     def gumbel_q(spark, sf_dir):
         """Gumbel EV-I fit to monthly maxima of daily revenue with a
         12-period return level — order-free block maxima, exact
@@ -5021,6 +5048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_hits_scores": hits_q,
         "event_type_friedman": friedman_q,
         "monthly_peak_gumbel": gumbel_q,
+        "signup_purchase_rmst": rmst_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -6614,6 +6642,63 @@ SELECT duration, CAST(n_at_risk AS BIGINT) AS n_at_risk,
        round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(lnsum) END, 6)
          AS survival
 FROM s
+""",
+        "signup_purchase_rmst": rf"""
+WITH su AS (
+  SELECT user_id, min(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+fp AS (
+  SELECT su.user_id, su.s_ts, min(e.ts) AS fp
+  FROM su LEFT JOIN events e
+    ON e.user_id = su.user_id AND e.event_type = 'purchase'
+   AND e.ts >= su.s_ts
+  GROUP BY 1, 2),
+h AS (SELECT max(ts) AS horizon FROM events),
+durs AS (
+  SELECT date_diff('day', CAST(s_ts AS DATE),
+                   CAST(coalesce(fp, horizon) AS DATE)) AS dur,
+         CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM fp CROSS JOIN h),
+per AS (
+  SELECT dur AS duration, CAST(sum(ev) AS BIGINT) AS n_events,
+         CAST(sum(1 - ev) AS BIGINT) AS n_censored
+  FROM durs GROUP BY 1),
+tot AS (SELECT sum(n_events + n_censored) AS total FROM per),
+r AS (
+  SELECT duration, n_events, n_censored,
+         total - coalesce(sum(n_events + n_censored) OVER
+           (ORDER BY duration
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at_risk
+  FROM per CROSS JOIN tot),
+s AS (
+  SELECT *,
+         max(CASE WHEN n_events >= n_at_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS dead,
+         CAST(sum(CAST(floor((CASE WHEN n_events < n_at_risk
+                  THEN ln(1.0 - CAST(n_events AS DOUBLE) / n_at_risk)
+                  ELSE 0.0 END) * 1000000000.0 + 0.5) AS BIGINT))
+           OVER (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) / 1000000000.0 AS lnsum
+  FROM r),
+km AS (
+  SELECT duration,
+         round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(lnsum) END, 6)
+           AS survival
+  FROM s),
+lw AS (
+  SELECT duration,
+         lag(survival, 1, 1.0) OVER (ORDER BY duration) AS sp,
+         lag(duration, 1, 0) OVER (ORDER BY duration) AS tp
+  FROM km)
+SELECT CAST(count(*) AS BIGINT) AS n_durations,
+       CAST(max(duration) AS BIGINT) AS tau,
+       round({_det_sum('sp * CAST(duration - tp AS DOUBLE)')}, 6)
+         AS rmst
+FROM lw
 """,
         "event_type_mann_kendall": r"""
 WITH daily AS (

@@ -1175,3 +1175,31 @@ def gumbel_block_maxima(df: DataFrame, block_col: str, units_col: str,
         F.round(F.when(ok, beta), 6).alias("beta"),
         F.round(F.when(ok, mu), 6).alias("mu"),
         F.round(F.when(ok, rl), 6).alias("return_level"))
+
+
+def restricted_mean_survival(df: DataFrame, duration_col: str,
+                             event_col: str) -> DataFrame:
+    """Restricted mean survival time (RMST) to the last observed
+    duration τ — the area under the Kaplan-Meier step curve, i.e.
+    "expected event-free days within the window" (public formula;
+    the single-number summary hazard ratios can't give when curves
+    cross). Composes `survival_curve`:
+
+        RMST = Σ_i S(t_{i−1})·(t_i − t_{i−1}),  t_0 = 0, S(0) = 1
+
+    One lag window over the ≤|distinct durations| K-M rollup; the
+    addends (6dp-pinned survival × integer day gaps) det-quantize so
+    the final sum is combine-order-free. One row:
+    (n_durations, tau, rmst) @6dp.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_sum
+
+    km = survival_curve(df, duration_col, event_col)
+    w = Window.orderBy("duration")
+    sp = F.lag("survival", 1, 1.0).over(w)
+    tp = F.lag("duration", 1, 0).over(w)
+    addend = sp * (F.col("duration") - tp).cast("double")
+    return (km.select("duration", addend.alias("_a"))
+            .agg(F.count("*").cast("bigint").alias("n_durations"),
+                 F.max("duration").cast("bigint").alias("tau"),
+                 F.round(det_sum(F.col("_a")), 6).alias("rmst")))

@@ -376,3 +376,18 @@ def test_gumbel_block_maxima_moments(spark):
         spark.createDataFrame([("a", 5)], ["blk", "u"]),
         "blk", "u").collect()[0]
     assert one["beta"] is None and one["return_level"] is None
+
+
+def test_rmst_hand_computed(spark):
+    """Durations 2 (event), 5 (censored): S(2) = 0.5, S(5) = 0.5.
+    RMST = 1*2 + 0.5*3 = 3.5 with tau = 5. All-immediate events
+    (dur 0) give RMST 0."""
+    from pipelines_rj_sms_spark.operators.analytics import (
+        restricted_mean_survival)
+    df = spark.createDataFrame([(2, 1), (5, 0)], ["dur", "ev"])
+    out = restricted_mean_survival(df, "dur", "ev").collect()[0]
+    assert out["n_durations"] == 2 and out["tau"] == 5
+    assert out["rmst"] == 3.5
+    zero = spark.createDataFrame([(0, 1), (0, 1)], ["dur", "ev"])
+    assert restricted_mean_survival(
+        zero, "dur", "ev").collect()[0]["rmst"] == 0.0
