@@ -458,6 +458,9 @@ Query key -> SURVEY §2 rows covered:
   signup_purchase_rmst      restricted mean survival time: area under
                             the K-M step curve (det-summed lag-window
                             integration over the duration rollup)
+  daily_revenue_ljung_box   Ljung-Box portmanteau whiteness test over
+                            the exact-integer ACF (det-summed
+                            rho^2/(n-k) addends, chi2_m reference)
 """
 
 from __future__ import annotations
@@ -4413,6 +4416,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 * 1000.0 + F.lit(0.5)).cast("long")).alias("u")))
         return autocorrelation(daily, "t", "u", max_lag=10)
 
+    def ljung_q(spark, sf_dir):
+        """Ljung-Box whiteness test on daily revenue at lags 1..10 —
+        composes the exact-integer ACF; det-summed rho²/(n-k)
+        addends, NULL on any undefined lag."""
+        from pipelines_rj_sms_spark.operators.timeseries import (
+            ljung_box)
+        li = _t(spark, sf_dir, "lineitem")
+        daily = (li.groupBy(
+            F.datediff(F.to_date("l_shipdate"),
+                       F.lit("1995-01-01").cast("date")).alias("t"))
+            .agg(F.sum(F.floor(
+                (F.col("l_extendedprice") * (F.lit(1.0)
+                                             - F.col("l_discount")))
+                * 1000.0 + F.lit(0.5)).cast("long")).alias("u")))
+        return ljung_box(daily, "t", "u", max_lag=10)
+
     def xcorr_q(spark, sf_dir):
         """Lead-lag cross-correlation between daily purchase and click
         counts at lags ±7 — zero-filled shared spine, exact integer
@@ -5049,6 +5068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_friedman": friedman_q,
         "monthly_peak_gumbel": gumbel_q,
         "signup_purchase_rmst": rmst_q,
+        "daily_revenue_ljung_box": ljung_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -8845,6 +8865,41 @@ SELECT lg AS lag, CAST(max(n) AS BIGINT) AS n,
                CAST(sum(p) AS DOUBLE)
                / CAST(max(den) AS DOUBLE) END, 6) AS acf
 FROM pairs GROUP BY 1
+""",
+        "daily_revenue_ljung_box": rf"""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01',
+                   CAST(l_shipdate AS DATE)) AS t,
+         SUM(CAST(floor((l_extendedprice * (1.0 - l_discount))
+                        * 1000.0 + 0.5) AS BIGINT)) AS u
+  FROM lineitem GROUP BY 1),
+ser AS (
+  SELECT t, u, count(*) OVER () AS n, sum(u) OVER () AS tot
+  FROM daily),
+dev AS (
+  SELECT t, CAST(n AS BIGINT) AS n,
+         CAST(n AS HUGEINT) * u - CAST(tot AS HUGEINT) AS d
+  FROM ser),
+dd AS (SELECT t, n, d, sum(d * d) OVER () AS den FROM dev),
+lags AS (SELECT unnest(range(1, 11)) AS lg),
+pairs AS (
+  SELECT a.lg, a.n, a.den, a.d * b.d AS p
+  FROM (SELECT dd.*, lg FROM dd CROSS JOIN lags) a
+  JOIN dd b ON b.t = a.t + a.lg),
+acf_t AS (
+  SELECT lg AS lag, CAST(max(n) AS BIGINT) AS n,
+         round(CASE WHEN max(den) > 0 THEN
+                 CAST(sum(p) AS DOUBLE)
+                 / CAST(max(den) AS DOUBLE) END, 6) AS acf
+  FROM pairs GROUP BY 1)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       CAST(count(*) AS INTEGER) AS m_lags,
+       round(CASE WHEN count(*) = count(acf) THEN
+           CAST(max(n) AS DOUBLE) * (CAST(max(n) AS DOUBLE) + 2.0)
+           * {_det_sum('(acf * acf) / CAST(n - lag AS DOUBLE)')}
+         END, 6) AS q_stat,
+       CAST(count(*) AS INTEGER) AS df
+FROM acf_t
 """,
         "purchase_click_lead_lag": r"""
 WITH spine AS (

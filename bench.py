@@ -110,7 +110,7 @@ _FAMILIES = [
     ("sampling", ("sample", "split", "kfold", "packing", "budget",
                   "corpus_mix")),
     ("quality-stats", ("psi", "drift", "anomal", "benford", "t_test", "auc", "jsd", "dispersion", "runs_test", "ridge", "odds_mh", "kappa", "pettitt", "_bh", "partial_corr", "conformal", "hazard",
-                       "z_test", "ks_test", "mann_whitney", "spearman", "anova", "bootstrap", "randomization", "log_rank", "kruskal", "durbin", "jarque", "grubbs", "friedman",
+                       "z_test", "ks_test", "mann_whitney", "spearman", "anova", "bootstrap", "randomization", "log_rank", "kruskal", "durbin", "jarque", "grubbs", "friedman", "rmst", "hits",
                        "chi2", "target_encoding", "quantile_norm", "ordinal",
                        "trend", "cusum", "survival", "gumbel",
                        "linkage", "mutual", "diversity", "profile",
@@ -119,7 +119,7 @@ _FAMILIES = [
                        "fs_", "dp_", "calibration", "eval_report", "brier",
                        "correlations", "zipf", "entropy",
                        "compression")),
-    ("analytics-timeseries", ("twap", "ohlc", "interpolat", "gap_", "decomposition", "_acf", "lead_lag", "holt_winters",
+    ("analytics-timeseries", ("twap", "ohlc", "interpolat", "gap_", "decomposition", "_acf", "lead_lag", "holt_winters", "ljung",
                               "asof", "range_", "overlap",
                               "concurrent", "ewma", "seasonal",
                               "growth", "retention", "funnel", "rfm", "markov",

@@ -717,3 +717,36 @@ def holt_winters_additive(df: DataFrame, t_col: str, y_col: str,
         F.round(F.col("_f.b"), 6).alias("trend"),
         F.round(F.col("_f.sse"), 6).alias("sse_insample"),
         F.col("_n").cast("bigint").alias("n"))
+
+
+def ljung_box(df: DataFrame, t_col: str, units_col: str,
+              max_lag: int = 10) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test (public formula) — "are
+    the first m autocorrelations jointly zero?", the standard residual
+    diagnostic after any fit (`trend_fit`, `holt_winters_additive`):
+
+        Q = n(n+2)·Σ_{k=1..m} ρ̂_k²/(n−k)   (~χ²_m under white noise)
+
+    Composes :func:`autocorrelation` (exact integer deviation ratios,
+    6dp-pinned in both engines); the ≤m addends det-quantize, so Q is
+    combine-order-free. Lags whose ACF is undefined (constant series)
+    force a NULL Q rather than a silently partial sum. One row:
+    (n, m_lags, q_stat, df) @6dp; df = lags actually present.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_sum
+
+    ac = autocorrelation(df, t_col, units_col, max_lag=max_lag)
+    addend = ((F.col("acf") * F.col("acf"))
+              / (F.col("n") - F.col("lag")).cast("double"))
+    agg = ac.agg(F.max("n").alias("n"),
+                 F.count("*").alias("_m"),
+                 F.count("acf").alias("_mn"),
+                 det_sum(addend).alias("_s"))
+    nd = F.col("n").cast("double")
+    q = F.when(F.col("_m") == F.col("_mn"),
+               nd * (nd + 2.0) * F.col("_s"))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("_m").cast("int").alias("m_lags"),
+        F.round(q, 6).alias("q_stat"),
+        F.col("_m").cast("int").alias("df"))

@@ -411,3 +411,31 @@ def test_holt_winters_matches_reference_recursion(spark):
     for h in (1, 2, 3):
         want = l + h * b + s[(n + h - 1) % m]
         assert abs(out[h]["forecast"] - round(want, 6)) < 2e-6
+
+
+def test_ljung_box_numpy_cross_check(spark):
+    """Q on a fixed random series matches an independent numpy
+    computation with the same rounded-ACF convention; a constant
+    series (all ACFs undefined) returns NULL."""
+    import random
+    import numpy as np
+    from pipelines_rj_sms_spark.operators.timeseries import ljung_box
+    rng = random.Random(17)
+    ys = [rng.randrange(0, 1000) for _ in range(120)]
+    df = spark.createDataFrame(list(enumerate(ys)), ["t", "u"])
+    out = ljung_box(df, "t", "u", max_lag=5).collect()[0]
+    x = np.array(ys, dtype=float)
+    n = len(x)
+    d = x - x.mean()
+    den = np.sum(d * d)
+    q = 0.0
+    for k in range(1, 6):
+        rho = round(float(np.sum(d[:-k] * d[k:]) / den), 6)
+        q += rho * rho / (n - k)
+    q *= n * (n + 2)
+    assert out["n"] == 120 and out["m_lags"] == 5 and out["df"] == 5
+    assert abs(out["q_stat"] - q) < 1e-4
+    const = spark.createDataFrame(
+        [(t, 7) for t in range(30)], ["t", "u"])
+    assert ljung_box(const, "t", "u",
+                     max_lag=3).collect()[0]["q_stat"] is None
