@@ -1421,3 +1421,105 @@ def friedman_test(df: DataFrame, block_col: str, treatment_col: str,
         F.col("k_treatments").cast("int").alias("k_treatments"),
         F.round(t1, 6).alias("statistic"),
         (F.col("k_treatments") - 1).cast("int").alias("df"))
+
+
+def hellinger_distance(df: DataFrame, group_col: str, value_col: str,
+                       group_a, group_b, lo: float, hi: float,
+                       n_bins: int = 20) -> DataFrame:
+    """Hellinger distance + Bhattacharyya coefficient between two
+    groups' binned value distributions (public formulas) — the
+    [0, 1]-bounded METRIC companion to `jensen_shannon_divergence`
+    (JSD isn't a metric; Hellinger triangle-inequalities, so it
+    composes into clustering/thresholding):
+
+        BC = Σ √(p_i·q_i),  H = √(1 − BC),  B-dist = −ln BC
+
+    Same fixed equal-width [lo, hi) binning as the JSD gate (edges
+    clamp, no quantile estimation); p/q are exact BIGINT rationals;
+    the ≤n_bins √pq addends det-quantize. 1 − BC is clamped at 0
+    before the √ (quantization can land −1e-9 when p ≡ q). One row:
+    (n_a, n_b, bhattacharyya, hellinger, b_distance) @6dp.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_sum
+
+    width = (float(hi) - float(lo)) / int(n_bins)
+    raw_bin = F.floor((F.col(value_col) - F.lit(float(lo)))
+                      / F.lit(width)).cast("int")
+    bin_c = F.least(F.greatest(raw_bin, F.lit(0)),
+                    F.lit(int(n_bins) - 1))
+    per = (df.filter(F.col(value_col).isNotNull()
+                     & F.col(group_col).isin(group_a, group_b))
+           .groupBy(bin_c.alias("bin"))
+           .agg(F.sum((F.col(group_col) == group_a).cast("long"))
+                .alias("_ca"),
+                F.sum((F.col(group_col) == group_b).cast("long"))
+                .alias("_cb")))
+    tot = F.broadcast(per.agg(F.sum("_ca").alias("_na"),
+                              F.sum("_cb").alias("_nb")))
+    p = F.col("_ca").cast("double") / F.col("_na").cast("double")
+    q = F.col("_cb").cast("double") / F.col("_nb").cast("double")
+    agg = (per.crossJoin(tot)
+           .agg(F.max("_na").alias("n_a"), F.max("_nb").alias("n_b"),
+                det_sum(F.sqrt(p * q)).alias("_bc")))
+    bc = F.col("_bc")
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(bc, 6).alias("bhattacharyya"),
+        F.round(F.sqrt(F.greatest(F.lit(1.0) - bc, F.lit(0.0))), 6)
+        .alias("hellinger"),
+        F.round(F.when(bc > 0, -F.log(bc)), 6).alias("b_distance"))
+
+
+def cohens_d(df: DataFrame, group_col: str, units_col: str,
+             group_a, group_b) -> DataFrame:
+    """Cohen's d / Hedges' g standardized mean difference between two
+    groups (public formulas) — the EFFECT SIZE the t-test's p-value
+    doesn't carry (significance scales with N; d doesn't):
+
+        d = (x̄_a − x̄_b) / s_pooled,
+        s_pooled² = [(n_a−1)s_a² + (n_b−1)s_b²] / (n_a+n_b−2)
+        g = d·(1 − 3/(4(n_a+n_b) − 9))    (small-sample correction)
+
+    Integer-unit inputs; one conditional hash aggregation produces
+    both groups' DECIMAL(38,0) moments; (n−1)s² = (nΣx²−S²)/n keeps
+    the numerators exact, and d/g are fixed double expressions. One
+    row: (n_a, n_b, mean_a, mean_b, cohens_d, hedges_g) @6dp; NULL
+    when either group has <2 rows or zero pooled variance.
+    """
+    d38 = "decimal(38,0)"
+    u = F.col(units_col).cast(d38)
+    in_a = (F.col(group_col) == F.lit(group_a))
+    in_b = (F.col(group_col) == F.lit(group_b))
+    m = (df.filter((in_a | in_b) & F.col(units_col).isNotNull())
+         .agg(F.sum(in_a.cast("long")).cast(d38).alias("_n1"),
+              F.sum(in_b.cast("long")).cast(d38).alias("_n2"),
+              F.sum(F.when(in_a, u).otherwise(F.lit(0)).cast(d38))
+              .cast(d38).alias("_s1"),
+              F.sum(F.when(in_b, u).otherwise(F.lit(0)).cast(d38))
+              .cast(d38).alias("_s2"),
+              F.sum(F.when(in_a, (u * u).cast(d38))
+                    .otherwise(F.lit(0)).cast(d38)).cast(d38)
+              .alias("_q1"),
+              F.sum(F.when(in_b, (u * u).cast(d38))
+                    .otherwise(F.lit(0)).cast(d38)).cast(d38)
+              .alias("_q2")))
+    n1, n2 = F.col("_n1"), F.col("_n2")
+    v1 = ((n1 * F.col("_q1") - F.col("_s1") * F.col("_s1"))
+          .cast("double") / n1.cast("double"))
+    v2 = ((n2 * F.col("_q2") - F.col("_s2") * F.col("_s2"))
+          .cast("double") / n2.cast("double"))
+    mean1 = F.col("_s1").cast("double") / n1.cast("double")
+    mean2 = F.col("_s2").cast("double") / n2.cast("double")
+    sp = F.sqrt((v1 + v2) / (n1 + n2 - 2).cast("double"))
+    ok = (n1 > 1) & (n2 > 1) & (sp > 0)
+    d = (mean1 - mean2) / sp
+    g = d * (F.lit(1.0)
+             - F.lit(3.0) / (F.lit(4.0) * (n1 + n2).cast("double")
+                             - F.lit(9.0)))
+    return m.select(
+        n1.cast("bigint").alias("n_a"), n2.cast("bigint").alias("n_b"),
+        F.round(mean1, 6).alias("mean_a"),
+        F.round(mean2, 6).alias("mean_b"),
+        F.round(F.when(ok, d), 6).alias("cohens_d"),
+        F.round(F.when(ok, g), 6).alias("hedges_g"))

@@ -661,3 +661,36 @@ def test_friedman_all_tied_null(spark):
         spark.createDataFrame(rows, ["blk", "trt", "v"]),
         "blk", "trt", "v").collect()[0]
     assert out["statistic"] is None
+
+
+def test_hellinger_identical_and_disjoint(spark):
+    """Identical distributions: BC = 1, H = 0. Disjoint supports:
+    BC = 0, H = 1, B-distance NULL (ln 0 guarded)."""
+    from pipelines_rj_sms_spark.quality.stats import hellinger_distance
+    same = spark.createDataFrame(
+        [("a", 10.0), ("b", 10.0), ("a", 60.0), ("b", 60.0)],
+        ["g", "v"])
+    out = hellinger_distance(same, "g", "v", "a", "b",
+                             lo=0.0, hi=100.0, n_bins=10).collect()[0]
+    assert out["bhattacharyya"] == 1.0 and out["hellinger"] == 0.0
+    assert out["b_distance"] == 0.0
+    disj = spark.createDataFrame(
+        [("a", 10.0), ("a", 15.0), ("b", 90.0)], ["g", "v"])
+    out2 = hellinger_distance(disj, "g", "v", "a", "b",
+                              lo=0.0, hi=100.0, n_bins=10).collect()[0]
+    assert out2["bhattacharyya"] == 0.0 and out2["hellinger"] == 1.0
+    assert out2["b_distance"] is None
+
+
+def test_cohens_d_hand_computed(spark):
+    """Groups {2,4} and {1,3} with variances 2: s_pooled = sqrt(2),
+    d = 1/sqrt(2), g = d*(1 - 3/(4*4-9)) = d*4/7."""
+    import math
+    from pipelines_rj_sms_spark.quality.stats import cohens_d
+    rows = [("a", 2), ("a", 4), ("b", 1), ("b", 3)]
+    out = cohens_d(spark.createDataFrame(rows, ["g", "u"]),
+                   "g", "u", "a", "b").collect()[0]
+    assert out["mean_a"] == 3.0 and out["mean_b"] == 2.0
+    assert abs(out["cohens_d"] - 1 / math.sqrt(2)) < 1e-6
+    assert abs(out["hedges_g"]
+               - (1 / math.sqrt(2)) * (1 - 3 / 7)) < 1e-6
