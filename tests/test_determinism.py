@@ -281,3 +281,72 @@ def test_session3_stats_partition_invariant(spark):
         [(rng.randrange(1, 30), rng.randrange(0, 2))
          for _ in range(1000)], ["dur", "ev"])
     inv(surv, lambda d: nelson_aalen(d, "dur", "ev"))
+
+
+def test_session4_stats_partition_invariant(spark):
+    """Round-6 session-4 operators: det-quantized / exact-integer
+    statistics must be bit-identical under repartition(1) vs (64)."""
+    import random
+    from pyspark.sql import functions as F
+    from pipelines_rj_sms_spark.operators.analytics import (
+        gumbel_block_maxima, restricted_mean_survival)
+    from pipelines_rj_sms_spark.operators.classify import (
+        brier_decomposition)
+    from pipelines_rj_sms_spark.operators.graph import (hits,
+                                                        link_prediction)
+    from pipelines_rj_sms_spark.operators.terms import (
+        good_turing_richness, ranking_metrics)
+    from pipelines_rj_sms_spark.operators.timeseries import ljung_box
+    from pipelines_rj_sms_spark.quality.stats import (
+        cohens_d, durbin_watson, friedman_test, grubbs_statistic,
+        hellinger_distance, jarque_bera)
+
+    rng = random.Random(99)
+
+    def inv(df, fn):
+        a = sorted(map(tuple, fn(df.repartition(1)).collect()))
+        b = sorted(map(tuple, fn(df.repartition(64)).collect()))
+        assert a == b and a
+
+    ser = spark.createDataFrame(
+        [(t, rng.randrange(0, 5000)) for t in range(400)], ["t", "u"])
+    inv(ser, lambda d: durbin_watson(d, "t", "u"))
+    inv(ser, lambda d: jarque_bera(d, "u"))
+    inv(ser, lambda d: grubbs_statistic(d, "u"))
+    inv(ser, lambda d: ljung_box(d, "t", "u", max_lag=5))
+    inv(ser.withColumn("blk", F.col("t") % 12),
+        lambda d: gumbel_block_maxima(d, "blk", "u"))
+
+    grp = spark.createDataFrame(
+        [("abcd"[rng.randrange(4)], rng.randrange(0, 300))
+         for _ in range(2000)], ["g", "v"])
+    inv(grp, lambda d: cohens_d(d, "g", "v", "a", "b"))
+    inv(grp, lambda d: hellinger_distance(
+        d.withColumn("v", F.col("v").cast("double")),
+        "g", "v", "a", "b", lo=0.0, hi=300.0, n_bins=15))
+    inv(grp.withColumn("blk", F.col("v") % 17),
+        lambda d: friedman_test(
+            d.groupBy("blk", "g").agg(F.count("*").alias("c")),
+            "blk", "g", "c"))
+    inv(grp.select("g", (F.col("v") <= 150).cast("int").alias("y"),
+                   (F.col("v") / 300.0).alias("p")),
+        lambda d: brier_decomposition(d, "p", "y"))
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(str(rng.randrange(0, 80))
+                      for _ in range(30)), "s" + str(i % 3))
+         for i in range(300)], ["doc_id", "text", "source"])
+    inv(docs, lambda d: good_turing_richness(d, "text", ["source"]))
+
+    pool = spark.createDataFrame(
+        [("q" + str(i % 4), i, float(rng.randrange(0, 1000)),
+          rng.randrange(0, 4)) for i in range(800)],
+        ["q", "id", "s", "rel"])
+    inv(pool, lambda d: ranking_metrics(d, "q", "id", "s", "rel"))
+
+    edges = spark.createDataFrame(
+        [(rng.randrange(0, 60), 100 + rng.randrange(0, 60))
+         for _ in range(400)], ["src", "dst"]).distinct()
+    inv(edges, lambda d: link_prediction(d))
+    inv(edges, lambda d: hits(d, n_iter=2, edges_distinct=True)[0])
+    inv(edges, lambda d: hits(d, n_iter=2, edges_distinct=True)[1])
