@@ -466,6 +466,12 @@ Query key -> SURVEY §2 rows covered:
                             (metric-valued, det-summed sqrt(pq))
   purchase_click_cohens_d   Cohen's d / Hedges' g effect size (exact
                             DECIMAL pooled-variance moments)
+  purchase_click_cvm        Cramér-von Mises integrated-ECDF test
+                            (collapsed support, exact BIGINT ECDF
+                            rationals, det_sum_big quadratic gaps)
+  brand_return_rate_eb      empirical-Bayes beta-binomial shrinkage
+                            of per-brand return rates (method-of-
+                            moments prior, det-summed rate moments)
 """
 
 from __future__ import annotations
@@ -4465,6 +4471,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, "event_type", "value", "purchase", "click",
             lo=0.0, hi=500.0, n_bins=20)
 
+    def cvm_q(spark, sf_dir):
+        """Cramér-von Mises integrated-ECDF two-sample test between
+        purchase and click values — collapsed support, exact BIGINT
+        ECDF rationals, det_sum_big weighted quadratic gaps."""
+        from pipelines_rj_sms_spark.quality.stats import (
+            cramer_von_mises)
+        ev = _t(spark, sf_dir, "events")
+        return cramer_von_mises(ev, "event_type", "value",
+                                "purchase", "click")
+
+    def eb_q(spark, sf_dir):
+        """Empirical-Bayes beta-binomial shrinkage of per-brand
+        return rates — method-of-moments prior over the brand rollup,
+        small brands pull toward the global rate."""
+        from pipelines_rj_sms_spark.quality.stats import (
+            eb_shrunk_rates)
+        from pipelines_rj_sms_spark.operators import joins
+        li = _t(spark, sf_dir, "lineitem")
+        part = _t(spark, sf_dir, "part")
+        j = joins.lookup(li.select("l_partkey", "l_returnflag"),
+                         part.select("p_partkey", "p_brand"),
+                         on=[F.col("l_partkey") == F.col("p_partkey")],
+                         how="inner")
+        per = j.groupBy("p_brand").agg(
+            F.count("*").alias("trials"),
+            F.sum((F.col("l_returnflag") == "R").cast("long"))
+            .alias("hits"))
+        return eb_shrunk_rates(per, ["p_brand"], "hits", "trials")
+
     def hellinger_q(spark, sf_dir):
         """Hellinger distance + Bhattacharyya coefficient between
         purchase and click value distributions — same fixed 20-bin
@@ -5099,6 +5134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_revenue_ljung_box": ljung_q,
         "purchase_click_hellinger": hellinger_q,
         "purchase_click_cohens_d": cohens_d_q,
+        "purchase_click_cvm": cvm_q,
+        "brand_return_rate_eb": eb_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -8971,6 +9008,79 @@ SELECT lg AS lag, CAST(max(n) AS BIGINT) AS n,
                / sqrt(CAST(max(vx) AS DOUBLE)
                       * CAST(max(vy) AS DOUBLE)) END, 6) AS xcorr
 FROM pairs GROUP BY 1
+""",
+        "purchase_click_cvm": rf"""
+WITH counts AS (
+  SELECT value AS v,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS ca,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+  GROUP BY 1),
+c AS (
+  SELECT ca, cb,
+         sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cuma,
+         sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cumb,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM counts),
+agg AS (
+  SELECT max(na) AS na, max(nb) AS nb,
+         {_det_sum_big(
+             "CAST(ca + cb AS DOUBLE)"
+             " * (CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)"
+             "    - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))"
+             " * (CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)"
+             "    - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))")} AS s
+  FROM c)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(CASE WHEN na > 0 AND nb > 0 THEN
+           (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+            / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+               * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))) * s
+         END, 6) AS t_stat
+FROM agg
+""",
+        "brand_return_rate_eb": rf"""
+WITH per AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS trials,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS hits
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         {_det_sum('CAST(hits AS DOUBLE) / CAST(trials AS DOUBLE)')}
+           AS sr,
+         {_det_sum(
+             "(CAST(hits AS DOUBLE) / CAST(trials AS DOUBLE))"
+             " * (CAST(hits AS DOUBLE) / CAST(trials AS DOUBLE))")}
+           AS srr
+  FROM per WHERE trials > 0),
+e AS (
+  SELECT sr / CAST(k AS DOUBLE) AS mu,
+         srr / CAST(k AS DOUBLE)
+           - (sr / CAST(k AS DOUBLE)) * (sr / CAST(k AS DOUBLE)) AS v
+  FROM m),
+ab AS (
+  SELECT mu, v,
+         (v > 0 AND mu * (1.0 - mu) > v) AS good,
+         mu * (1.0 - mu) / v - 1.0 AS s0
+  FROM e)
+SELECT p_brand, hits, trials,
+       round(CAST(hits AS DOUBLE) / CAST(trials AS DOUBLE), 6)
+         AS raw_rate,
+       round(CASE WHEN good THEN mu * s0 END, 6) AS alpha,
+       round(CASE WHEN good THEN (1.0 - mu) * s0 END, 6) AS beta,
+       round(CASE WHEN good THEN
+               (CAST(hits AS DOUBLE) + mu * s0)
+               / (CAST(trials AS DOUBLE) + mu * s0 + (1.0 - mu) * s0)
+             ELSE CAST(hits AS DOUBLE) / CAST(trials AS DOUBLE)
+             END, 6) AS shrunk_rate
+FROM per, ab
+WHERE trials > 0
 """,
         "purchase_click_hellinger": rf"""
 WITH base AS (

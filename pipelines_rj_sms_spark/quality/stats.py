@@ -1523,3 +1523,107 @@ def cohens_d(df: DataFrame, group_col: str, units_col: str,
         F.round(mean2, 6).alias("mean_b"),
         F.round(F.when(ok, d), 6).alias("cohens_d"),
         F.round(F.when(ok, g), 6).alias("hedges_g"))
+
+
+def cramer_von_mises(df: DataFrame, group_col: str, value_col: str,
+                     group_a, group_b) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic — the INTEGRATED ECDF
+    distance (public formula), more sensitive than the KS supremum to
+    distributional differences spread across the whole range:
+
+        T = n_a·n_b/(n_a+n_b)² · Σ_x w_x·(F_a(x) − F_b(x))²
+
+    summed over the combined sample (w_x = combined multiplicity at
+    x — the standard tie-adapted spelling on a collapsed support).
+
+    Same collapsed-support discipline as `ks_two_sample`: one hash
+    agg to per-value (count_a, count_b), one ordered window for the
+    cumulative ECDFs (exact BIGINT rationals), det_sum_big for the
+    w·ΔF² addends (each ≤ w_x; Σ ≤ n_a+n_b — capacity survives
+    billion-row groups), one closed-form final expression. One row:
+    (n_a, n_b, t_stat) @6dp.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_sum_big
+
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    counts = (df.filter((in_a | in_b) & F.col(value_col).isNotNull())
+              .groupBy(F.col(value_col).alias("_v"))
+              .agg(F.sum(in_a.cast("long")).alias("_ca"),
+                   F.sum(in_b.cast("long")).alias("_cb")))
+    w = (Window.orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy(F.lit(1))
+    cum_a = F.sum("_ca").over(w)
+    cum_b = F.sum("_cb").over(w)
+    na = F.sum("_ca").over(wt)
+    nb = F.sum("_cb").over(wt)
+    df_gap = (cum_a.cast("double") / na.cast("double")
+              - cum_b.cast("double") / nb.cast("double"))
+    addend = ((F.col("_ca") + F.col("_cb")).cast("double")
+              * df_gap * df_gap)
+    agg = (counts.select(F.max(na).over(wt).alias("_na"),
+                         F.max(nb).over(wt).alias("_nb"),
+                         addend.alias("_w"))
+           .agg(F.max("_na").alias("n_a"), F.max("_nb").alias("n_b"),
+                det_sum_big(F.col("_w")).alias("_s")))
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    t = (nad * nbd / ((nad + nbd) * (nad + nbd))) * F.col("_s")
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), t), 6)
+        .alias("t_stat"))
+
+
+def eb_shrunk_rates(df: DataFrame, key_cols: list[str],
+                    hits_col: str, trials_col: str) -> DataFrame:
+    """Empirical-Bayes rate shrinkage (beta-binomial, method of
+    moments — public technique): fit Beta(α, β) to the observed
+    per-key rates, then shrink each key toward the prior mean in
+    proportion to its evidence:
+
+        α+β from  μ(1−μ)/v − 1,   shrunk = (h + α)/(t + α + β)
+
+    — small-sample keys pull hard toward the global rate, large keys
+    barely move: the standard fix for "tiny group tops the leaderboard
+    with 1/1". Input is the caller's per-key (hits, trials) rollup.
+
+    Exactness: raw rates are exact BIGINT rationals; μ and v come
+    from det-quantized sums over the ≤|keys| rollup; α/β/shrunk are
+    fixed double expressions broadcast back. NULL α/β (degenerate
+    variance) passes raw rates through. Returns one row per key:
+    (keys..., hits, trials, raw_rate, alpha, beta, shrunk_rate) @6dp.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_sum
+
+    keys = list(key_cols)
+    h = F.col(hits_col).cast("double")
+    t = F.col(trials_col).cast("double")
+    r = h / t
+    base = df.filter(F.col(trials_col) > 0).select(
+        *keys, F.col(hits_col).cast("bigint").alias("hits"),
+        F.col(trials_col).cast("bigint").alias("trials"),
+        r.alias("_r"))
+    m = F.broadcast(base.agg(
+        F.count("*").alias("_k"),
+        det_sum(F.col("_r")).alias("_sr"),
+        det_sum(F.col("_r") * F.col("_r")).alias("_srr")))
+    kd = F.col("_k").cast("double")
+    mu = F.col("_sr") / kd
+    v = F.col("_srr") / kd - mu * mu
+    good = (v > 0) & (mu * (F.lit(1.0) - mu) > v)
+    ab = mu * (F.lit(1.0) - mu) / v - F.lit(1.0)
+    alpha = F.when(good, mu * ab)
+    beta = F.when(good, (F.lit(1.0) - mu) * ab)
+    hd = F.col("hits").cast("double")
+    td = F.col("trials").cast("double")
+    shrunk = F.when(good, (hd + alpha) / (td + alpha + beta)) \
+        .otherwise(hd / td)
+    return (base.crossJoin(m)
+            .select(*keys, "hits", "trials",
+                    F.round(hd / td, 6).alias("raw_rate"),
+                    F.round(alpha, 6).alias("alpha"),
+                    F.round(beta, 6).alias("beta"),
+                    F.round(shrunk, 6).alias("shrunk_rate")))

@@ -694,3 +694,41 @@ def test_cohens_d_hand_computed(spark):
     assert abs(out["cohens_d"] - 1 / math.sqrt(2)) < 1e-6
     assert abs(out["hedges_g"]
                - (1 / math.sqrt(2)) * (1 - 3 / 7)) < 1e-6
+
+
+def test_cramer_von_mises_identical_and_shifted(spark):
+    """Identical samples: T = 0 exactly. A hand-checkable 2x2 case:
+    a = {1, 2}, b = {3, 4} -> gaps 0.5, 1.0, 0.5 with weight 1 each,
+    T = (4/16) * (0.25 + 1 + 0.25) = 0.375."""
+    from pipelines_rj_sms_spark.quality.stats import cramer_von_mises
+    same = spark.createDataFrame(
+        [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)],
+        ["g", "v"])
+    out = cramer_von_mises(same, "g", "v", "a", "b").collect()[0]
+    assert out["t_stat"] == 0.0
+    shift = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("b", 4)], ["g", "v"])
+    out2 = cramer_von_mises(shift, "g", "v", "a", "b").collect()[0]
+    assert abs(out2["t_stat"] - 0.375) < 1e-6
+
+
+def test_eb_shrinkage_pulls_small_samples(spark):
+    """A 1/1 key shrinks far below 1.0 and toward the prior mean; a
+    500-trial key barely moves; degenerate variance passes raw rates
+    through with NULL alpha/beta."""
+    from pipelines_rj_sms_spark.quality.stats import eb_shrunk_rates
+    rows = [("tiny", 1, 1), ("big", 150, 500), ("mid1", 30, 100),
+            ("mid2", 20, 100), ("mid3", 25, 100), ("mid4", 35, 100)]
+    df = spark.createDataFrame(rows, ["k", "hits", "trials"])
+    out = {r["k"]: r for r in
+           eb_shrunk_rates(df, ["k"], "hits", "trials").collect()}
+    assert out["tiny"]["raw_rate"] == 1.0
+    assert out["tiny"]["shrunk_rate"] < 0.75
+    assert abs(out["big"]["shrunk_rate"] - 0.3) < 0.02
+    assert out["tiny"]["alpha"] is not None
+    const = spark.createDataFrame(
+        [("x", 1, 2), ("y", 2, 4)], ["k", "hits", "trials"])
+    co = {r["k"]: r for r in
+          eb_shrunk_rates(const, ["k"], "hits", "trials").collect()}
+    assert co["x"]["alpha"] is None
+    assert co["x"]["shrunk_rate"] == 0.5
