@@ -472,6 +472,10 @@ Query key -> SURVEY §2 rows covered:
   brand_return_rate_eb      empirical-Bayes beta-binomial shrinkage
                             of per-brand return rates (method-of-
                             moments prior, det-summed rate moments)
+  retrieval_rbo_overlap     rank-biased overlap between BM25 and
+                            dense top-10 lists (per-doc suffix-weight
+                            fold, Python-literal weights, no runtime
+                            pow)
 """
 
 from __future__ import annotations
@@ -1149,6 +1153,78 @@ p{i} AS (
         prev = f"p{i}"
     parts.append(f"\nSELECT node, round(pr, 6) AS pr FROM {prev}")
     return "".join(parts)
+
+
+def _rbo_suffix_weights(k: int = 10, p: float = 0.9) -> list[float]:
+    """Suffix sums of the RBO depth weights — the SAME Python floats
+    feed F.lit() on the Spark side and {w!r} literals in the oracle,
+    so no runtime pow/libm parity is involved."""
+    w = [(1.0 - p) * p ** (d - 1) / d for d in range(1, k + 1)]
+    return [sum(w[m - 1:]) for m in range(1, k + 1)]
+
+
+def _duck_rbo_sql(k: int = 10, p: float = 0.9) -> str:
+    suffix = _rbo_suffix_weights(k, p)
+    case = ("CASE md " + " ".join(
+        f"WHEN {m} THEN {suffix[m - 1]!r}" for m in range(1, k + 1))
+        + " ELSE 0.0 END")
+    return rf"""
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+toks AS (
+  SELECT doc_id, CAST(len(l) AS DOUBLE) AS dl, unnest(l) AS term
+  FROM lists),
+qt AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM toks WHERE term IN ('spark', 'join', 'vector')
+  GROUP BY 1, 2, 3),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(len(l)) AS DOUBLE) / count(*) AS avgdl FROM lists),
+dfq AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM qt),
+lex AS (
+  SELECT doc_id,
+         {_det_sum('''ln(1.0 + (n - df + 0.5) / (df + 0.5))
+             * (tf * 2.2)
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))''')} AS s
+  FROM dfq CROSS JOIN stats
+  GROUP BY doc_id
+  ORDER BY s DESC, doc_id
+  LIMIT {k}),
+ra AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS r
+  FROM lex),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+       WHERE vec_id = 0),
+dsc AS (
+  SELECT vec_id AS doc_id,
+         round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+           / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(qv, qv))), 6) AS cs
+  FROM embeddings, qv),
+dense AS (
+  SELECT doc_id, cs FROM dsc ORDER BY cs DESC, doc_id LIMIT {k}),
+rb AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cs DESC, doc_id) AS r
+  FROM dense),
+j AS (
+  SELECT greatest(coalesce(ra.r, {k + 1}), coalesce(rb.r, {k + 1}))
+           AS md
+  FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id)
+SELECT CAST(sum(CASE WHEN md <= {k} THEN 1 ELSE 0 END) AS BIGINT)
+         AS overlap_at_k,
+       round(CAST(sum(CASE WHEN md <= {k} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS jaccard_at_k,
+       round({_det_sum(case)}, 6) AS rbo_at_k
+FROM j
+"""
 
 
 def _duck_hits_sql(n_iter: int = 3) -> str:
@@ -4471,6 +4547,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, "event_type", "value", "purchase", "click",
             lo=0.0, hi=500.0, n_bins=20)
 
+    def rbo_q(spark, sf_dir):
+        """Rank-biased overlap between the BM25 lexical top-10 and
+        the dense cosine top-10 — rank-weighted ranker agreement;
+        Python-literal suffix weights shared with the oracle, one
+        full-outer join of two k-row lists."""
+        from pipelines_rj_sms_spark.operators.similarity import (
+            cosine, rbo_truncated)
+        from pipelines_rj_sms_spark.operators.terms import bm25_top_k
+        from pyspark.sql import Window as W
+        docs = _t(spark, sf_dir, "documents")
+        emb = _t(spark, sf_dir, "embeddings")
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+                .select("embedding").first()[0]]
+        lex = bm25_top_k(docs, "doc_id", "text",
+                         ["spark", "join", "vector"], k=10)
+        ra = lex.select(
+            "doc_id",
+            F.row_number().over(
+                W.orderBy(F.col("score").desc(), "doc_id"))
+            .alias("rank"))
+        q = F.array(*[F.lit(float(x)) for x in qvec])
+        dense = (emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding").cast("array<double>"),
+                           q), 6).alias("cs"))
+            .orderBy(F.col("cs").desc(), "doc_id").limit(10))
+        rb = dense.select(
+            "doc_id",
+            F.row_number().over(
+                W.orderBy(F.col("cs").desc(), "doc_id"))
+            .alias("rank"))
+        return rbo_truncated(ra, rb, "doc_id", k=10, p=0.9)
+
     def cvm_q(spark, sf_dir):
         """Cramér-von Mises integrated-ECDF two-sample test between
         purchase and click values — collapsed support, exact BIGINT
@@ -5136,6 +5245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_click_cohens_d": cohens_d_q,
         "purchase_click_cvm": cvm_q,
         "brand_return_rate_eb": eb_q,
+        "retrieval_rbo_overlap": rbo_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -5757,6 +5867,7 @@ FROM miss JOIN med USING (event_type)
         "pagerank_part_supplier": _duck_pagerank_sql(3, 0.85),
         "personalized_pagerank_brand11": _duck_ppr_sql(3, 0.85),
         "supplier_hits_scores": _duck_hits_sql(3),
+        "retrieval_rbo_overlap": _duck_rbo_sql(10, 0.9),
         # the sketch estimate is audited, not hash-compared (CMS
         # guarantees: never undercounts; overcount bounded) — the
         # oracle pins the exact join size and the audit verdicts

@@ -97,7 +97,7 @@ HEADLINE = [
 _FAMILIES = [
     ("dedup", ("dedup", "minhash", "simhash", "jaccard", "containment",
                "winnow", "contamination", "negative_pairs")),
-    ("similarity", ("similarity", "ann_", "embedding", "hybrid_rrf",
+    ("similarity", ("similarity", "ann_", "embedding", "hybrid_rrf", "rbo",
                     "pca")),
     ("graph", ("pagerank", "graph", "kcore", "communities", "triangle", "link_prediction", "hits",
                "cooccurrence", "copurchase", "resolved", "linked",

@@ -641,3 +641,47 @@ def sq_top_k(df: DataFrame, query_vec: list[float], k: int = 10,
         out = out.select(id_col,
                          F.round("sq_cosine", round_to).alias("sq_cosine"))
     return out
+
+
+def rbo_truncated(a_ranked: DataFrame, b_ranked: DataFrame,
+                  id_col: str, rank_col: str = "rank",
+                  k: int = 10, p: float = 0.9) -> DataFrame:
+    """Truncated rank-biased overlap (Webber et al. 2010, public
+    formula) between two top-k rankings — "how much do two rankers
+    agree, weighted toward the top?", the standard ranker-swap
+    regression gate (KS/Jaccard ignore rank position):
+
+        RBO@k = Σ_{d=1..k} (1−p)·p^{d−1} · |A_d ∩ B_d| / d
+
+    Rewritten as a PER-DOC fold: a doc first appearing in both
+    prefixes at depth m = max(rank_a, rank_b) contributes the suffix
+    weight Σ_{d=m..k} w_d — so one full-outer join of the two k-row
+    lists replaces the depth explode. The suffix weights are Python-
+    computed literals injected into BOTH engines (no runtime pow —
+    libm parity never enters), and the ≤k contributions det-quantize.
+    Returns one row: (overlap_at_k, jaccard_at_k, rbo_at_k) @6dp.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_sum
+
+    w = [(1.0 - p) * p ** (d - 1) / d for d in range(1, k + 1)]
+    suffix = [sum(w[m - 1:]) for m in range(1, k + 1)]
+    a = a_ranked.select(F.col(id_col).alias("_id"),
+                        F.col(rank_col).alias("_ra"))
+    b = b_ranked.select(F.col(id_col).alias("_id"),
+                        F.col(rank_col).alias("_rb"))
+    j = a.join(b, "_id", "full")
+    md = F.greatest(F.coalesce(F.col("_ra"), F.lit(k + 1)),
+                    F.coalesce(F.col("_rb"), F.lit(k + 1)))
+    contrib = F.lit(0.0)
+    for m in range(k, 0, -1):
+        contrib = F.when(md == m, F.lit(suffix[m - 1])) \
+            .otherwise(contrib)
+    both = (md <= k).cast("long")
+    agg = j.agg(F.sum(both).alias("_x"),
+                F.count("*").alias("_u"),
+                det_sum(contrib).alias("_rbo"))
+    return agg.select(
+        F.col("_x").cast("bigint").alias("overlap_at_k"),
+        F.round(F.col("_x").cast("double")
+                / F.col("_u").cast("double"), 6).alias("jaccard_at_k"),
+        F.round(F.col("_rbo"), 6).alias("rbo_at_k"))

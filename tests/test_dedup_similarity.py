@@ -431,3 +431,32 @@ def test_scalar_quantize_codes_and_accuracy(spark):
     # top-1 (the query itself) survives quantization
     top = sq_top_k(df, query, k=1).collect()[0]
     assert top["vec_id"] == 1
+
+
+def test_rbo_identical_disjoint_and_hand(spark):
+    """Identical rankings: RBO@k = full truncated mass (sum of all
+    depth weights). Disjoint rankings: 0. One-swap case cross-checked
+    against the direct depth-sum formula."""
+    from pipelines_rj_sms_spark.operators.similarity import (
+        rbo_truncated)
+    k, p = 5, 0.9
+    w = [(1.0 - p) * p ** (d - 1) / d for d in range(1, k + 1)]
+    a = spark.createDataFrame(
+        [(i, i) for i in range(1, 6)], ["doc_id", "rank"])
+    out = rbo_truncated(a, a, "doc_id", k=k, p=p).collect()[0]
+    # identical lists: X_d = d, so RBO = sum_d (1-p)p^(d-1) = 1-p^k
+    full = sum(w[d - 1] * d for d in range(1, k + 1))
+    assert abs(full - (1 - p ** k)) < 1e-12
+    assert out["overlap_at_k"] == 5
+    assert abs(out["rbo_at_k"] - full) < 1e-6
+    b = spark.createDataFrame(
+        [(100 + i, i) for i in range(1, 6)], ["doc_id", "rank"])
+    out2 = rbo_truncated(a, b, "doc_id", k=k, p=p).collect()[0]
+    assert out2["rbo_at_k"] == 0.0 and out2["jaccard_at_k"] == 0.0
+    # swap ranks 1 and 2 in list b: X_1 = 0, X_d = d for d >= 2
+    c = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 3), (4, 4), (5, 5)], ["doc_id", "rank"])
+    out3 = rbo_truncated(a, c, "doc_id", k=k, p=p).collect()[0]
+    expect = sum(w[d - 1] * (0 if d == 1 else d)
+                 for d in range(1, k + 1))
+    assert abs(out3["rbo_at_k"] - expect) < 1e-6
