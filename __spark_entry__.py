@@ -476,6 +476,12 @@ Query key -> SURVEY §2 rows covered:
                             dense top-10 lists (per-doc suffix-weight
                             fold, Python-literal weights, no runtime
                             pow)
+  purchase_click_wasserstein  Wasserstein-1 earth-mover drift over
+                            the collapsed support (exact ECDF
+                            rationals, det-summed gap x |dF|)
+  ab_cuped_adjusted         CUPED variance-reduced A/B means (pooled
+                            covariance ratio from exact DECIMAL
+                            moments, per-arm adjustment)
 """
 
 from __future__ import annotations
@@ -4547,6 +4553,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, "event_type", "value", "purchase", "click",
             lo=0.0, hi=500.0, n_bins=20)
 
+    def w1_q(spark, sf_dir):
+        """Wasserstein-1 (earth-mover) distance between purchase and
+        click value distributions — value-scaled drift over the
+        collapsed support; exact ECDF rationals, det-summed
+        gap×|ΔF| addends."""
+        from pipelines_rj_sms_spark.quality.stats import wasserstein_1d
+        ev = _t(spark, sf_dir, "events")
+        return wasserstein_1d(ev, "event_type", "value",
+                              "purchase", "click")
+
+    def cuped_q(spark, sf_dir):
+        """CUPED variance-reduced A/B readout: post-period mean value
+        per arm (user_id parity) adjusted by pre-period imbalance via
+        the pooled covariance ratio — exact DECIMAL moments."""
+        from pipelines_rj_sms_spark.quality.stats import (
+            cuped_adjusted_means)
+        ev = _t(spark, sf_dir, "events")
+        cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+        cut = F.lit("2024-02-01").cast("timestamp")
+        per_user = ev.groupBy("user_id").agg(
+            F.coalesce(F.sum(F.when(F.col("ts") < cut, cents)
+                             .otherwise(F.lit(0))), F.lit(0))
+            .alias("pre"),
+            F.coalesce(F.sum(F.when(F.col("ts") >= cut, cents)
+                             .otherwise(F.lit(0))), F.lit(0))
+            .alias("post"))
+        base = per_user.select(
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            "pre", "post")
+        return cuped_adjusted_means(base, "arm", "pre", "post")
+
     def rbo_q(spark, sf_dir):
         """Rank-biased overlap between the BM25 lexical top-10 and
         the dense cosine top-10 — rank-weighted ranker agreement;
@@ -5246,6 +5283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_click_cvm": cvm_q,
         "brand_return_rate_eb": eb_q,
         "retrieval_rbo_overlap": rbo_q,
+        "purchase_click_wasserstein": w1_q,
+        "ab_cuped_adjusted": cuped_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -9119,6 +9158,79 @@ SELECT lg AS lag, CAST(max(n) AS BIGINT) AS n,
                / sqrt(CAST(max(vx) AS DOUBLE)
                       * CAST(max(vy) AS DOUBLE)) END, 6) AS xcorr
 FROM pairs GROUP BY 1
+""",
+        "purchase_click_wasserstein": rf"""
+WITH counts AS (
+  SELECT value AS v,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS ca,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+  GROUP BY 1),
+c AS (
+  SELECT v, ca, cb,
+         sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cuma,
+         sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cumb,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb,
+         lead(v) OVER (ORDER BY v) AS nv
+  FROM counts),
+agg AS (
+  SELECT max(na) AS na, max(nb) AS nb,
+         {_det_sum(
+             "CASE WHEN nv IS NOT NULL THEN"
+             " (CAST(nv AS DOUBLE) - CAST(v AS DOUBLE))"
+             " * abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)"
+             "       - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))"
+             " ELSE 0.0 END")} AS s
+  FROM c)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(CASE WHEN na > 0 AND nb > 0 THEN s END, 6)
+         AS w1_distance
+FROM agg
+""",
+        "ab_cuped_adjusted": r"""
+WITH pu AS (
+  SELECT user_id,
+    coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-02-01'
+             THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+             ELSE 0 END), 0) AS pre,
+    coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-02-01'
+             THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+             ELSE 0 END), 0) AS post
+  FROM events GROUP BY 1),
+base AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS grp, pre, post FROM pu),
+m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS np,
+         CAST(sum(CAST(pre AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(post AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(pre AS HUGEINT) * pre) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(pre AS HUGEINT) * post) AS HUGEINT) AS sxy
+  FROM base),
+g AS (
+  SELECT grp, CAST(count(*) AS HUGEINT) AS ng,
+         CAST(sum(CAST(pre AS HUGEINT)) AS HUGEINT) AS gx,
+         CAST(sum(CAST(post AS HUGEINT)) AS HUGEINT) AS gy
+  FROM base GROUP BY 1)
+SELECT grp, CAST(ng AS BIGINT) AS n,
+       round(CAST(gx AS DOUBLE) / CAST(ng AS DOUBLE), 6) AS mean_pre,
+       round(CAST(gy AS DOUBLE) / CAST(ng AS DOUBLE), 6)
+         AS mean_post,
+       round(CASE WHEN np * sxx - sx * sx > 0 THEN
+           CAST(np * sxy - sx * sy AS DOUBLE)
+           / CAST(np * sxx - sx * sx AS DOUBLE) END, 6) AS kappa,
+       round(CASE WHEN np * sxx - sx * sx > 0 THEN
+           CAST(gy AS DOUBLE) / CAST(ng AS DOUBLE)
+           - (CAST(np * sxy - sx * sy AS DOUBLE)
+              / CAST(np * sxx - sx * sx AS DOUBLE))
+             * (CAST(gx AS DOUBLE) / CAST(ng AS DOUBLE)
+                - CAST(sx AS DOUBLE) / CAST(np AS DOUBLE))
+         ELSE CAST(gy AS DOUBLE) / CAST(ng AS DOUBLE) END, 6)
+         AS adjusted_mean
+FROM g, m
 """,
         "purchase_click_cvm": rf"""
 WITH counts AS (

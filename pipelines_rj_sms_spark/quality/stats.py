@@ -1627,3 +1627,101 @@ def eb_shrunk_rates(df: DataFrame, key_cols: list[str],
                     F.round(alpha, 6).alias("alpha"),
                     F.round(beta, 6).alias("beta"),
                     F.round(shrunk, 6).alias("shrunk_rate")))
+
+
+def wasserstein_1d(df: DataFrame, group_col: str, value_col: str,
+                   group_a, group_b) -> DataFrame:
+    """One-dimensional Wasserstein-1 (earth-mover) distance between
+    two groups' value distributions (public formula) — the
+    VALUE-SCALED drift number ("how far did the distribution move, in
+    the metric's own units") where PSI/JSD are dimensionless and CvM
+    is rank-scaled:
+
+        W1 = ∫ |F_a(x) − F_b(x)| dx
+           = Σ_support gap_to_next(x) · |F_a(x) − F_b(x)|
+
+    Collapsed-support construction: one hash agg to per-value counts,
+    one ordered window for the exact BIGINT ECDF rationals and the
+    lead-value gap, det-quantized |ΔF|·Δx addends. One row:
+    (n_a, n_b, w1_distance) @6dp.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_sum
+
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    counts = (df.filter((in_a | in_b) & F.col(value_col).isNotNull())
+              .groupBy(F.col(value_col).alias("_v"))
+              .agg(F.sum(in_a.cast("long")).alias("_ca"),
+                   F.sum(in_b.cast("long")).alias("_cb")))
+    wo = Window.orderBy("_v")
+    w = wo.rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy(F.lit(1))
+    na = F.sum("_ca").over(wt)
+    nb = F.sum("_cb").over(wt)
+    gap = (F.lead("_v").over(wo).cast("double")
+           - F.col("_v").cast("double"))
+    dfq = (F.sum("_ca").over(w).cast("double") / na.cast("double")
+           - F.sum("_cb").over(w).cast("double") / nb.cast("double"))
+    addend = F.when(gap.isNotNull(), gap * F.abs(dfq)) \
+        .otherwise(F.lit(0.0))
+    agg = (counts.select(na.alias("_na"), nb.alias("_nb"),
+                         addend.alias("_w"))
+           .agg(F.max("_na").alias("n_a"), F.max("_nb").alias("n_b"),
+                det_sum(F.col("_w")).alias("_s")))
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                       F.col("_s")), 6).alias("w1_distance"))
+
+
+def cuped_adjusted_means(df: DataFrame, group_col: str,
+                         pre_units: str, post_units: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013,
+    public formula): adjust each arm's post-period mean by its
+    pre-period imbalance, using the pooled regression coefficient
+
+        κ = cov(x, y) / var(x),
+        adj_g = ȳ_g − κ·(x̄_g − x̄)
+
+    — the industry-standard way to cut A/B variance with pre-exposure
+    data, turning week-long experiments into day-long ones. Inputs
+    are integer-unit per-subject (pre, post) columns.
+
+    Exactness: one DECIMAL(38,0) moment aggregation (pooled) + one
+    per-arm integer rollup; κ and the adjustments are fixed double
+    expressions. Returns one row per arm: (group, n, mean_pre,
+    mean_post, kappa, adjusted_mean) @6dp; κ NULL (adjustment = raw
+    mean) when var(x) = 0.
+    """
+    d38 = "decimal(38,0)"
+    x = F.col(pre_units).cast(d38)
+    y = F.col(post_units).cast(d38)
+    pooled = F.broadcast(df.agg(
+        F.count("*").alias("_n"),
+        F.sum(x).cast(d38).alias("_sx"),
+        F.sum(y).cast(d38).alias("_sy"),
+        F.sum((x * x).cast(d38)).cast(d38).alias("_sxx"),
+        F.sum((x * y).cast(d38)).cast(d38).alias("_sxy")))
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast(d38).alias("_gx"),
+        F.sum(y).cast(d38).alias("_gy"))
+    n = F.col("_n").cast(d38)
+    var_x = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+    kappa = F.when(
+        var_x > 0,
+        (n * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        .cast("double") / var_x.cast("double"))
+    mean_x_all = (F.col("_sx").cast("double")
+                  / F.col("_n").cast("double"))
+    gx = F.col("_gx").cast("double") / F.col("n").cast("double")
+    gy = F.col("_gy").cast("double") / F.col("n").cast("double")
+    adj = F.when(kappa.isNotNull(),
+                 gy - kappa * (gx - mean_x_all)).otherwise(gy)
+    return (per.crossJoin(pooled)
+            .select("grp", F.col("n").cast("bigint").alias("n"),
+                    F.round(gx, 6).alias("mean_pre"),
+                    F.round(gy, 6).alias("mean_post"),
+                    F.round(kappa, 6).alias("kappa"),
+                    F.round(adj, 6).alias("adjusted_mean")))

@@ -732,3 +732,42 @@ def test_eb_shrinkage_pulls_small_samples(spark):
           eb_shrunk_rates(const, ["k"], "hits", "trials").collect()}
     assert co["x"]["alpha"] is None
     assert co["x"]["shrunk_rate"] == 0.5
+
+
+def test_wasserstein_point_masses(spark):
+    """Point mass at 0 vs point mass at 5: W1 = 5 exactly; identical
+    distributions give 0."""
+    from pipelines_rj_sms_spark.quality.stats import wasserstein_1d
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("b", 5), ("b", 5)], ["g", "v"])
+    out = wasserstein_1d(df, "g", "v", "a", "b").collect()[0]
+    assert out["w1_distance"] == 5.0
+    same = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("a", 9), ("b", 9)], ["g", "v"])
+    assert wasserstein_1d(
+        same, "g", "v", "a", "b").collect()[0]["w1_distance"] == 0.0
+
+
+def test_cuped_removes_preperiod_imbalance(spark):
+    """post = pre + arm-independent noise: after CUPED both arms'
+    adjusted means coincide (kappa = 1 when y = x + c per arm
+    structure is pure pre-driven); zero pre-variance passes raw."""
+    from pipelines_rj_sms_spark.quality.stats import (
+        cuped_adjusted_means)
+    rows = []
+    # arm 0 users happen to have high pre; arm 1 low pre; post = pre+10
+    for i in range(50):
+        rows.append((0, 100 + i, 110 + i))
+        rows.append((1, i, 10 + i))
+    df = spark.createDataFrame(rows, ["arm", "pre", "post"])
+    out = {r["grp"]: r for r in
+           cuped_adjusted_means(df, "arm", "pre", "post").collect()}
+    assert abs(out[0]["kappa"] - 1.0) < 1e-9
+    assert abs(out[0]["adjusted_mean"] - out[1]["adjusted_mean"]) < 1e-6
+    assert abs(out[0]["mean_post"] - out[1]["mean_post"] - 100) < 1e-6
+    flat = spark.createDataFrame(
+        [(0, 5, 7), (1, 5, 9)], ["arm", "pre", "post"])
+    fo = {r["grp"]: r for r in
+          cuped_adjusted_means(flat, "arm", "pre", "post").collect()}
+    assert fo[0]["kappa"] is None
+    assert fo[0]["adjusted_mean"] == fo[0]["mean_post"]
