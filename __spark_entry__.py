@@ -482,6 +482,12 @@ Query key -> SURVEY §2 rows covered:
   ab_cuped_adjusted         CUPED variance-reduced A/B means (pooled
                             covariance ratio from exact DECIMAL
                             moments, per-arm adjustment)
+  ab_did_estimate           difference-in-differences with Welch SE
+                            (four exact DECIMAL moment cells, one
+                            conditional aggregation)
+  daily_count_breusch_pagan Breusch-Pagan heteroskedasticity screen
+                            (exact-moment OLS, det_sum_big e^2-moment
+                            second stage, closed-form n.R^2)
 """
 
 from __future__ import annotations
@@ -562,6 +568,14 @@ def _det_sum(x: str) -> str:
 def _det_sum_big(x: str) -> str:
     from pipelines_rj_sms_spark.functions.numeric import det_sum_big_sql
     return det_sum_big_sql(x)
+
+
+def _det_sum_big_s(x: str, scale: int) -> str:
+    """det_sum_big mirror at an explicit scale — HUGEINT-capacity
+    accumulation for addends whose quantized units exceed BIGINT-sum
+    headroom (e⁴-magnitude second-stage moments)."""
+    from pipelines_rj_sms_spark.functions.numeric import det_sum_big_sql
+    return det_sum_big_sql(x, scale)
 
 
 def _det_sum_s(x: str, scale: int) -> str:
@@ -4553,6 +4567,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, "event_type", "value", "purchase", "click",
             lo=0.0, hi=500.0, n_bins=20)
 
+    def did_q(spark, sf_dir):
+        """Difference-in-differences on event values: user-parity
+        arms × pre/post periods — four exact DECIMAL moment cells,
+        Welch-style SE, closed-form z."""
+        from pipelines_rj_sms_spark.quality.stats import diff_in_diff
+        ev = _t(spark, sf_dir, "events")
+        cut = F.lit("2024-02-01").cast("timestamp")
+        base = ev.select(
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            F.when(F.col("ts") < cut, F.lit("pre"))
+            .otherwise(F.lit("post")).alias("period"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long")
+            .alias("u"))
+        return diff_in_diff(base, "arm", "period", "u",
+                            treat=1, control=0, pre="pre",
+                            post="post")
+
+    def bp_q(spark, sf_dir):
+        """Breusch-Pagan heteroskedasticity screen on the daily
+        event-count trend residuals — exact-moment OLS, det_sum_big
+        second-stage moments, closed-form n·R²."""
+        from pipelines_rj_sms_spark.quality.stats import breusch_pagan
+        ev = _t(spark, sf_dir, "events")
+        daily = (ev.groupBy(
+            F.datediff(F.to_date("ts"),
+                       F.lit("2024-01-01").cast("date")).alias("t"))
+            .agg(F.count("*").alias("c")))
+        return breusch_pagan(daily, "t", "c")
+
     def w1_q(spark, sf_dir):
         """Wasserstein-1 (earth-mover) distance between purchase and
         click value distributions — value-scaled drift over the
@@ -5285,6 +5328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_rbo_overlap": rbo_q,
         "purchase_click_wasserstein": w1_q,
         "ab_cuped_adjusted": cuped_q,
+        "ab_did_estimate": did_q,
+        "daily_count_breusch_pagan": bp_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -9158,6 +9203,124 @@ SELECT lg AS lag, CAST(max(n) AS BIGINT) AS n,
                / sqrt(CAST(max(vx) AS DOUBLE)
                       * CAST(max(vy) AS DOUBLE)) END, 6) AS xcorr
 FROM pairs GROUP BY 1
+""",
+        "ab_did_estimate": r"""
+WITH base AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+         CASE WHEN ts < TIMESTAMP '2024-02-01'
+              THEN 'pre' ELSE 'post' END AS period,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS u
+  FROM events WHERE value IS NOT NULL),
+m AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 1 AND period = 'post' THEN 1 ELSE 0 END)
+         AS HUGEINT) AS ntp,
+    CAST(sum(CASE WHEN arm = 1 AND period = 'post'
+             THEN CAST(u AS HUGEINT) ELSE 0 END) AS HUGEINT) AS stp,
+    CAST(sum(CASE WHEN arm = 1 AND period = 'post'
+             THEN CAST(u AS HUGEINT) * u ELSE 0 END) AS HUGEINT)
+      AS qtp,
+    CAST(sum(CASE WHEN arm = 1 AND period = 'pre' THEN 1 ELSE 0 END)
+         AS HUGEINT) AS ntr,
+    CAST(sum(CASE WHEN arm = 1 AND period = 'pre'
+             THEN CAST(u AS HUGEINT) ELSE 0 END) AS HUGEINT) AS str_,
+    CAST(sum(CASE WHEN arm = 1 AND period = 'pre'
+             THEN CAST(u AS HUGEINT) * u ELSE 0 END) AS HUGEINT)
+      AS qtr,
+    CAST(sum(CASE WHEN arm = 0 AND period = 'post' THEN 1 ELSE 0 END)
+         AS HUGEINT) AS ncp,
+    CAST(sum(CASE WHEN arm = 0 AND period = 'post'
+             THEN CAST(u AS HUGEINT) ELSE 0 END) AS HUGEINT) AS scp,
+    CAST(sum(CASE WHEN arm = 0 AND period = 'post'
+             THEN CAST(u AS HUGEINT) * u ELSE 0 END) AS HUGEINT)
+      AS qcp,
+    CAST(sum(CASE WHEN arm = 0 AND period = 'pre' THEN 1 ELSE 0 END)
+         AS HUGEINT) AS ncr,
+    CAST(sum(CASE WHEN arm = 0 AND period = 'pre'
+             THEN CAST(u AS HUGEINT) ELSE 0 END) AS HUGEINT) AS scr,
+    CAST(sum(CASE WHEN arm = 0 AND period = 'pre'
+             THEN CAST(u AS HUGEINT) * u ELSE 0 END) AS HUGEINT)
+      AS qcr
+  FROM base),
+e AS (
+  SELECT ntp, ntr, ncp, ncr,
+         (ntp > 1 AND ntr > 1 AND ncp > 1 AND ncr > 1) AS ok,
+         (CAST(stp AS DOUBLE) / CAST(ntp AS DOUBLE)
+          - CAST(str_ AS DOUBLE) / CAST(ntr AS DOUBLE))
+         - (CAST(scp AS DOUBLE) / CAST(ncp AS DOUBLE)
+            - CAST(scr AS DOUBLE) / CAST(ncr AS DOUBLE)) AS did,
+         sqrt(CAST(ntp * qtp - stp * stp AS DOUBLE)
+                / CAST(ntp * (ntp - 1) AS DOUBLE)
+                / CAST(ntp AS DOUBLE)
+              + CAST(ntr * qtr - str_ * str_ AS DOUBLE)
+                / CAST(ntr * (ntr - 1) AS DOUBLE)
+                / CAST(ntr AS DOUBLE)
+              + CAST(ncp * qcp - scp * scp AS DOUBLE)
+                / CAST(ncp * (ncp - 1) AS DOUBLE)
+                / CAST(ncp AS DOUBLE)
+              + CAST(ncr * qcr - scr * scr AS DOUBLE)
+                / CAST(ncr * (ncr - 1) AS DOUBLE)
+                / CAST(ncr AS DOUBLE)) AS se
+  FROM m)
+SELECT CAST(ntp AS BIGINT) AS n_tp, CAST(ntr AS BIGINT) AS n_tr,
+       CAST(ncp AS BIGINT) AS n_cp, CAST(ncr AS BIGINT) AS n_cr,
+       round(CASE WHEN ok THEN did END, 6) AS did,
+       round(CASE WHEN ok THEN se END, 6) AS se,
+       round(CASE WHEN ok AND se > 0 THEN did / se END, 6) AS z_stat
+FROM e
+""",
+        "daily_count_breusch_pagan": rf"""
+WITH daily AS (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+         count(*) AS c
+  FROM events GROUP BY 1),
+m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT) AS st,
+         CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+         CAST(sum(CAST(t AS HUGEINT) * c) AS HUGEINT) AS sty
+  FROM daily),
+ab AS (
+  SELECT n, st, stt,
+         CAST(n * sty - st * sy AS DOUBLE)
+           / CAST(n * stt - st * st AS DOUBLE) AS b
+  FROM m),
+ab2 AS (
+  SELECT ab.n AS n, ab.st AS st, ab.stt AS stt, b,
+         (CAST(m.sy AS DOUBLE) - b * CAST(m.st AS DOUBLE))
+           / CAST(ab.n AS DOUBLE) AS a
+  FROM ab, m),
+gr AS (
+  SELECT t, n, st, stt,
+         (CAST(c AS DOUBLE) - (a + b * CAST(t AS DOUBLE)))
+         * (CAST(c AS DOUBLE) - (a + b * CAST(t AS DOUBLE))) AS g
+  FROM daily, ab2),
+agg AS (
+  SELECT max(n) AS n,
+         max(CAST(st AS DOUBLE)) AS std,
+         max(CAST(stt AS DOUBLE)) AS sttd,
+         {_det_sum_big_s('g', 1_000_000)} AS sg,
+         {_det_sum_big_s('g * g', 1_000_000)} AS sgg,
+         {_det_sum_big_s('CAST(t AS DOUBLE) * g', 1_000_000)} AS stg
+  FROM gr)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CASE WHEN CAST(n AS DOUBLE) * sttd - std * std > 0
+                   AND CAST(n AS DOUBLE) * sgg - sg * sg > 0 THEN
+           (CAST(n AS DOUBLE) * stg - std * sg)
+           * (CAST(n AS DOUBLE) * stg - std * sg)
+           / ((CAST(n AS DOUBLE) * sttd - std * std)
+              * (CAST(n AS DOUBLE) * sgg - sg * sg)) END, 6)
+         AS r_squared,
+       round(CASE WHEN CAST(n AS DOUBLE) * sttd - std * std > 0
+                   AND CAST(n AS DOUBLE) * sgg - sg * sg > 0 THEN
+           CAST(n AS DOUBLE)
+           * ((CAST(n AS DOUBLE) * stg - std * sg)
+              * (CAST(n AS DOUBLE) * stg - std * sg)
+              / ((CAST(n AS DOUBLE) * sttd - std * std)
+                 * (CAST(n AS DOUBLE) * sgg - sg * sg))) END, 6)
+         AS bp_stat
+FROM agg
 """,
         "purchase_click_wasserstein": rf"""
 WITH counts AS (

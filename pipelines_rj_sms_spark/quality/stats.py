@@ -1725,3 +1725,130 @@ def cuped_adjusted_means(df: DataFrame, group_col: str,
                     F.round(gy, 6).alias("mean_post"),
                     F.round(kappa, 6).alias("kappa"),
                     F.round(adj, 6).alias("adjusted_mean")))
+
+
+def diff_in_diff(df: DataFrame, group_col: str, period_col: str,
+                 units_col: str, treat, control,
+                 pre, post) -> DataFrame:
+    """Two-by-two difference-in-differences estimator (public
+    formula) — the observational companion to the randomized CUPED
+    readout: how much more did the treated arm move than the control
+    arm moved on its own?
+
+        DiD = (ȳ_treat,post − ȳ_treat,pre)
+            − (ȳ_ctrl,post − ȳ_ctrl,pre)
+        SE  = √(Σ_cells s²_cell/n_cell)     (unpooled, Welch-style)
+
+    One conditional DECIMAL(38,0) moment aggregation produces all
+    four cells; means/variances/DiD/SE/z are fixed double
+    expressions. One row: (n_tp, n_tr, n_cp, n_cr, did, se, z_stat)
+    @6dp — cell suffixes t/c × r(pre)/p(post).
+    """
+    d38 = "decimal(38,0)"
+    u = F.col(units_col).cast(d38)
+    cells = {
+        "tp": (F.col(group_col) == F.lit(treat))
+        & (F.col(period_col) == F.lit(post)),
+        "tr": (F.col(group_col) == F.lit(treat))
+        & (F.col(period_col) == F.lit(pre)),
+        "cp": (F.col(group_col) == F.lit(control))
+        & (F.col(period_col) == F.lit(post)),
+        "cr": (F.col(group_col) == F.lit(control))
+        & (F.col(period_col) == F.lit(pre)),
+    }
+    aggs = []
+    for k, cond in cells.items():
+        aggs += [
+            F.sum(cond.cast("long")).cast(d38).alias(f"_n{k}"),
+            F.sum(F.when(cond, u).otherwise(F.lit(0)).cast(d38))
+            .cast(d38).alias(f"_s{k}"),
+            F.sum(F.when(cond, (u * u).cast(d38)).otherwise(F.lit(0))
+                  .cast(d38)).cast(d38).alias(f"_q{k}")]
+    m = df.filter(F.col(units_col).isNotNull()).agg(*aggs)
+
+    def mean(k):
+        return (F.col(f"_s{k}").cast("double")
+                / F.col(f"_n{k}").cast("double"))
+
+    def var_over_n(k):
+        n = F.col(f"_n{k}")
+        sv = ((n * F.col(f"_q{k}") - F.col(f"_s{k}") * F.col(f"_s{k}"))
+              .cast("double") / (n * (n - 1)).cast("double"))
+        return sv / n.cast("double")
+
+    ok = None
+    for k in cells:
+        c = F.col(f"_n{k}") > 1
+        ok = c if ok is None else (ok & c)
+    did = (mean("tp") - mean("tr")) - (mean("cp") - mean("cr"))
+    se = F.sqrt(var_over_n("tp") + var_over_n("tr")
+                + var_over_n("cp") + var_over_n("cr"))
+    return m.select(
+        F.col("_ntp").cast("bigint").alias("n_tp"),
+        F.col("_ntr").cast("bigint").alias("n_tr"),
+        F.col("_ncp").cast("bigint").alias("n_cp"),
+        F.col("_ncr").cast("bigint").alias("n_cr"),
+        F.round(F.when(ok, did), 6).alias("did"),
+        F.round(F.when(ok, se), 6).alias("se"),
+        F.round(F.when(ok & (se > 0), did / se), 6).alias("z_stat"))
+
+
+def breusch_pagan(df: DataFrame, t_col: str,
+                  units_col: str) -> DataFrame:
+    """Breusch-Pagan heteroskedasticity screen for the series' OLS
+    trend (public formula, Koenker's studentized form): regress the
+    squared residuals on t; BP = n·R² (~χ²₁) — "is the noise level
+    itself trending?", the check `durbin_watson`'s serial-correlation
+    lens misses.
+
+    The OLS fit reuses the exact DECIMAL moment construction
+    (`durbin_watson`); residual squares are fixed IEEE expressions
+    det-quantized at 1e-6 units into the second-stage moments
+    (Σg, Σg², Σt·g with g = e²); R² is one closed-form double
+    expression. One row: (n, r_squared, bp_stat) @6dp; NULL when
+    var(t) or var(g) is 0.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_sum_big
+
+    d38 = "decimal(38,0)"
+    t = F.col(t_col).cast(d38)
+    y = F.col(units_col).cast(d38)
+    m = F.broadcast(df.agg(
+        F.count("*").alias("_n"),
+        F.sum(t).cast(d38).alias("_st"),
+        F.sum(y).cast(d38).alias("_sy"),
+        F.sum((t * t).cast(d38)).cast(d38).alias("_stt"),
+        F.sum((t * y).cast(d38)).cast(d38).alias("_sty")))
+    n = F.col("_n").cast(d38)
+    b = ((n * F.col("_sty") - F.col("_st") * F.col("_sy"))
+         .cast("double")
+         / (n * F.col("_stt") - F.col("_st") * F.col("_st"))
+         .cast("double"))
+    a = ((F.col("_sy").cast("double")
+          - b * F.col("_st").cast("double"))
+         / F.col("_n").cast("double"))
+    e = (F.col(units_col).cast("double")
+         - (a + b * F.col(t_col).cast("double")))
+    g = e * e
+    # det_sum_big: the g² addends are e⁴-magnitude, so the quantized
+    # units exceed BIGINT-sum headroom on long series — DECIMAL(38,0)
+    # accumulation keeps the sums exact (functions/numeric.py)
+    scale = 1_000_000
+    agg = (df.crossJoin(m)
+           .agg(F.max("_n").alias("n"),
+                F.max(F.col("_st").cast("double")).alias("_std"),
+                F.max(F.col("_stt").cast("double")).alias("_sttd"),
+                det_sum_big(g, scale).alias("_sg"),
+                det_sum_big(g * g, scale).alias("_sgg"),
+                det_sum_big(F.col(t_col).cast("double") * g, scale)
+                .alias("_stg")))
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("_stg") - F.col("_std") * F.col("_sg")
+    var_t = nd * F.col("_sttd") - F.col("_std") * F.col("_std")
+    var_g = nd * F.col("_sgg") - F.col("_sg") * F.col("_sg")
+    ok = (var_t > 0) & (var_g > 0)
+    r2 = cov * cov / (var_t * var_g)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.when(ok, r2), 6).alias("r_squared"),
+        F.round(F.when(ok, nd * r2), 6).alias("bp_stat"))

