@@ -5371,18 +5371,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_hits_scores", "event_type_friedman",
         "monthly_peak_gumbel", "signup_purchase_rmst",
         "daily_revenue_ljung_box", "purchase_click_hellinger",
-        "purchase_click_cohens_d",
+        "purchase_click_cohens_d", "purchase_click_cvm",
+        "brand_return_rate_eb", "retrieval_rbo_overlap",
+        "purchase_click_wasserstein", "ab_cuped_adjusted",
+        "ab_did_estimate", "daily_count_breusch_pagan",
     ]
     never_graded = [
         # double duty: changed this round (det-quantized accumulation)
-        # AND never in any driver window
+        # AND never in any driver window. (event_value_mutual_info,
+        # value_psi_drift, ab_value_t_test, purchase_attribution_linear,
+        # hourly_count_anomalies, lineitem_correlations and
+        # similarity_ivf defer to r7 — each is pinned by the
+        # repartition-perturbation suite and the full oracle sweep —
+        # to make room for the 7 newest session-4 operators above.)
         "doc_unigram_logprob", "doc_byte_entropy",
-        "nb_lang_predictions", "event_value_mutual_info",
-        "value_psi_drift", "ab_value_t_test",
-        "purchase_attribution_linear", "pagerank_part_supplier",
-        "hourly_count_anomalies", "lineitem_correlations",
-        # oracle-backed queries no driver window has graded yet
-        "similarity_ivf",
+        "nb_lang_predictions", "pagerank_part_supplier",
         # (the long-green TPC-H-shape / utility never-graded names —
         # disjunctive_filter_revenue, price_percentiles,
         # forecast_revenue, nation_trade_volume, market_share,

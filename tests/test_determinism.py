@@ -298,8 +298,10 @@ def test_session4_stats_partition_invariant(spark):
         good_turing_richness, ranking_metrics)
     from pipelines_rj_sms_spark.operators.timeseries import ljung_box
     from pipelines_rj_sms_spark.quality.stats import (
-        cohens_d, durbin_watson, friedman_test, grubbs_statistic,
-        hellinger_distance, jarque_bera)
+        breusch_pagan, cohens_d, cramer_von_mises,
+        cuped_adjusted_means, diff_in_diff, durbin_watson,
+        eb_shrunk_rates, friedman_test, grubbs_statistic,
+        hellinger_distance, jarque_bera, wasserstein_1d)
 
     rng = random.Random(99)
 
@@ -314,6 +316,7 @@ def test_session4_stats_partition_invariant(spark):
     inv(ser, lambda d: jarque_bera(d, "u"))
     inv(ser, lambda d: grubbs_statistic(d, "u"))
     inv(ser, lambda d: ljung_box(d, "t", "u", max_lag=5))
+    inv(ser, lambda d: breusch_pagan(d, "t", "u"))
     inv(ser.withColumn("blk", F.col("t") % 12),
         lambda d: gumbel_block_maxima(d, "blk", "u"))
 
@@ -321,6 +324,19 @@ def test_session4_stats_partition_invariant(spark):
         [("abcd"[rng.randrange(4)], rng.randrange(0, 300))
          for _ in range(2000)], ["g", "v"])
     inv(grp, lambda d: cohens_d(d, "g", "v", "a", "b"))
+    inv(grp, lambda d: cramer_von_mises(d, "g", "v", "a", "b"))
+    inv(grp, lambda d: wasserstein_1d(d, "g", "v", "a", "b"))
+    inv(grp.withColumn("pre", F.col("v") % 97)
+        .withColumn("post", F.col("v") % 89),
+        lambda d: cuped_adjusted_means(d, "g", "pre", "post"))
+    inv(grp.withColumn("p", F.when(F.col("v") % 2 == 0, "pre")
+                       .otherwise("post")),
+        lambda d: diff_in_diff(d, "g", "p", "v", treat="a",
+                               control="b", pre="pre", post="post"))
+    inv(grp.groupBy("g").agg(
+            F.count("*").alias("trials"),
+            F.sum((F.col("v") < 100).cast("long")).alias("hits")),
+        lambda d: eb_shrunk_rates(d, ["g"], "hits", "trials"))
     inv(grp, lambda d: hellinger_distance(
         d.withColumn("v", F.col("v").cast("double")),
         "g", "v", "a", "b", lo=0.0, hi=300.0, n_bins=15))
