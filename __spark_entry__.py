@@ -4383,7 +4383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         li = _t(spark, sf_dir, "lineitem")
         e = li.select(F.col("l_suppkey").alias("src"),
                       F.col("l_partkey").alias("dst")).distinct()
-        hubs, auths = hits(e, n_iter=3, edges_distinct=True)
+        hubs, auths = hits(e, n_iter=3, edges_distinct=True,
+                           broadcast_scores=True)
         top_h = (hubs.orderBy(F.col("score").desc(), "node").limit(10)
                  .select(F.lit("hub").alias("node_type"), "node",
                          F.round("score", 6).alias("score")))
