@@ -488,6 +488,10 @@ Query key -> SURVEY §2 rows covered:
   daily_count_breusch_pagan Breusch-Pagan heteroskedasticity screen
                             (exact-moment OLS, det_sum_big e^2-moment
                             second stage, closed-form n.R^2)
+  stream_dedup_user_types   TRUE streaming dropDuplicatesWithin-
+                            Watermark execution (replay microbatches,
+                            no-eviction watermark = batch DISTINCT,
+                            memory-sink append gate)
 """
 
 from __future__ import annotations
@@ -2598,6 +2602,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.stop()
         q.awaitTermination(60)
         return spark.table("replay_stream_gate")
+
+    def stream_dedup_counts(spark, sf_dir):
+        """TRUE streaming dedup under the correctness gate: events
+        replay in paced microbatches through
+        dropDuplicatesWithinWatermark on (user_id, event_type) with a
+        watermark delay longer than the corpus span — no state
+        eviction, so the streamed result is exactly the batch
+        DISTINCT — appended to a memory sink and rolled up. Pins the
+        bounded-state dedup path (streaming/incremental.stream_dedup)
+        end-to-end against a DuckDB distinct-count oracle."""
+        import tempfile
+
+        from pipelines_rj_sms_spark.sources.pyds import (
+            ReplayDataSource)
+        from pipelines_rj_sms_spark.streaming.incremental import (
+            stream_dedup)
+
+        spark.dataSource.register(ReplayDataSource)
+        stream = (spark.readStream.format("replay")
+                  .option("rowsPerBatch", 5000)
+                  .load(os.path.join(sf_dir, "events.parquet"))
+                  # watermarks require TIMESTAMP (with zone); the
+                  # replayed parquet is NTZ — session TZ is pinned
+                  # UTC, so the cast is value-stable
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+        deduped = stream_dedup(stream, ["user_id", "event_type"],
+                               "ts", delay="4000 days")
+        ck = tempfile.mkdtemp(prefix="stream_dedup_ck_")
+        q = (deduped.select("user_id", "event_type")
+             .writeStream.format("memory")
+             .queryName("stream_dedup_gate")
+             .option("checkpointLocation", ck)
+             .outputMode("append").start())
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        return (spark.table("stream_dedup_gate")
+                .groupBy("event_type")
+                .agg(F.count("*").alias("uniq_users")))
 
     def canonical_docs(spark, sf_dir):
         """Quality-aware canonicalization: collapse near-dup clusters
@@ -5331,6 +5374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_cuped_adjusted": cuped_q,
         "ab_did_estimate": did_q,
         "daily_count_breusch_pagan": bp_q,
+        "stream_dedup_user_types": stream_dedup_counts,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -5807,6 +5851,11 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
         "incremental_dedup_new_docs": _INCR_DEDUP_DUCK,
+        "stream_dedup_user_types": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS uniq_users
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY 1
+""",
         "replay_stream_event_counts": """
 SELECT event_type, count(*) AS qtd,
        CAST(SUM(CAST(floor(value*1000000+0.5) AS BIGINT)) AS DOUBLE)

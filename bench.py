@@ -106,7 +106,7 @@ _FAMILIES = [
               "token", "nb_", "lang", "readability", "chunk",
               "feature_hash", "pii", "accent")),
     ("sketch", ("sketch", "theta", "kll", "freq_", "bloom")),
-    ("streaming", ("stream", "replay", "session", "cdc")),
+    ("streaming", ("stream", "replay", "session", "cdc", "dedup_user")),
     ("sampling", ("sample", "split", "kfold", "packing", "budget",
                   "corpus_mix")),
     ("quality-stats", ("psi", "drift", "anomal", "benford", "t_test", "auc", "jsd", "dispersion", "runs_test", "ridge", "odds_mh", "kappa", "pettitt", "_bh", "partial_corr", "conformal", "hazard",
