@@ -226,7 +226,31 @@ def test_every_query_plans_clean(spark):
                     # 1-row corpus-horizon + totals broadcasts — the
                     # same duration construction as the KM/log-rank
                     # queries
-                    "signup_purchase_cum_hazard"}
+                    "signup_purchase_cum_hazard",
+                    # session-4 additions — every entry below is a
+                    # 1-row scalar broadcast by construction:
+                    # KW totals/ties rows over the k-group rollup
+                    "doc_length_kruskal_wallis",
+                    # BM25 corpus-stats row (same as bm25_search)
+                    "retrieval_ndcg_report",
+                    # OLS-moment / pooled-moment 1-row frames
+                    "daily_count_durbin_watson",
+                    "daily_revenue_jarque_bera",
+                    "price_grubbs_outlier",
+                    "daily_count_breusch_pagan",
+                    "ab_cuped_adjusted",
+                    # bin-total / group-total 1-row frames
+                    "en_score_brier", "purchase_click_hellinger",
+                    "purchase_click_cvm", "purchase_click_wasserstein",
+                    # EB prior row over the per-brand rollup
+                    "brand_return_rate_eb",
+                    # per-iteration 1-row max-normalizer broadcasts
+                    "supplier_hits_scores",
+                    # Friedman totals row over the k-treatment rollup
+                    "event_type_friedman",
+                    # corpus-horizon row (KM construction) + k-row
+                    # ranked-list full-outer under 1-row totals
+                    "signup_purchase_rmst", "retrieval_rbo_overlap"}
     failures = []
     for name, fn in entry.queries().items():
         try:
