@@ -492,6 +492,14 @@ Query key -> SURVEY §2 rows covered:
                             Watermark execution (replay microbatches,
                             no-eviction watermark = batch DISTINCT,
                             memory-sink append gate)
+  quantity_return_best_split  decision-stump split screen: every
+                            threshold scored by information gain in
+                            ONE collapsed-support window pass
+  brand_price_elasticity    per-brand log-log demand elasticity (OLS
+                            on det-quantized ln moments, r^2)
+  event_type_negbin_fit     negative-binomial method-of-moments fit
+                            of daily counts (exact DECIMAL moments,
+                            closed-form r/p, NULL when Poisson-ish)
 """
 
 from __future__ import annotations
@@ -4611,6 +4619,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, "event_type", "value", "purchase", "click",
             lo=0.0, hi=500.0, n_bins=20)
 
+    def best_split_q(spark, sf_dir):
+        """Decision-stump screen: which quantity threshold best
+        predicts a returned line? One collapsed-support pass scores
+        every candidate split by information gain; top 3."""
+        from pipelines_rj_sms_spark.operators.features import (
+            best_split_binary)
+        li = _t(spark, sf_dir, "lineitem")
+        base = li.select(
+            "l_quantity",
+            (F.col("l_returnflag") == "R").alias("is_ret"))
+        return best_split_binary(base, "l_quantity", "is_ret", top=3)
+
+    def elasticity_q(spark, sf_dir):
+        """Per-brand log-log price elasticity of demand — OLS slope
+        of ln(qty) on ln(unit price) from det-quantized ln moments,
+        with r² fit quality."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            loglog_elasticity)
+        from pipelines_rj_sms_spark.operators import joins
+        li = _t(spark, sf_dir, "lineitem")
+        part = _t(spark, sf_dir, "part")
+        j = joins.lookup(
+            li.select("l_partkey", "l_quantity", "l_extendedprice"),
+            part.select("p_partkey", "p_brand"),
+            on=[F.col("l_partkey") == F.col("p_partkey")],
+            how="inner")
+        base = j.select(
+            "p_brand", F.col("l_quantity").alias("q"),
+            (F.col("l_extendedprice") / F.col("l_quantity"))
+            .alias("up"))
+        return loglog_elasticity(base, "q", "up", ["p_brand"])
+
+    def negbin_q(spark, sf_dir):
+        """Negative-binomial method-of-moments fit of daily event
+        counts per type — the model half of the overdispersion
+        screen; exact DECIMAL moments, closed-form r/p."""
+        from pipelines_rj_sms_spark.quality.stats import (
+            negative_binomial_fit)
+        ev = _t(spark, sf_dir, "events")
+        daily = (ev.groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"))
+            .agg(F.count("*").alias("c")))
+        return negative_binomial_fit(daily, "c", ["event_type"])
+
     def did_q(spark, sf_dir):
         """Difference-in-differences on event values: user-parity
         arms × pre/post periods — four exact DECIMAL moment cells,
@@ -5375,6 +5428,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_did_estimate": did_q,
         "daily_count_breusch_pagan": bp_q,
         "stream_dedup_user_types": stream_dedup_counts,
+        "quantity_return_best_split": best_split_q,
+        "brand_price_elasticity": elasticity_q,
+        "event_type_negbin_fit": negbin_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -9256,6 +9312,119 @@ SELECT lg AS lag, CAST(max(n) AS BIGINT) AS n,
                / sqrt(CAST(max(vx) AS DOUBLE)
                       * CAST(max(vy) AS DOUBLE)) END, 6) AS xcorr
 FROM pairs GROUP BY 1
+""",
+        "quantity_return_best_split": r"""
+WITH sup AS (
+  SELECT l_quantity AS v, count(*) AS c,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1),
+base AS (
+  SELECT v,
+         sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS nl,
+         sum(p) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS pl,
+         sum(c) OVER () AS n, sum(p) OVER () AS pt
+  FROM sup),
+f AS (SELECT * FROM base WHERE nl < n),
+scored AS (
+  SELECT v AS split_value,
+         CAST(nl AS BIGINT) AS n_left,
+         CAST(n - nl AS BIGINT) AS n_right,
+         CAST(pl AS BIGINT) AS pos_left,
+         CAST(pt - pl AS BIGINT) AS pos_right,
+         round(
+           (CASE WHEN pt > 0 AND pt < n THEN
+              -(CAST(pt AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln(CAST(pt AS DOUBLE) / CAST(n AS DOUBLE))
+            ELSE 0.0 END
+            + CASE WHEN pt > 0 AND pt < n THEN
+              -(1.0 - CAST(pt AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln(1.0 - CAST(pt AS DOUBLE) / CAST(n AS DOUBLE))
+            ELSE 0.0 END)
+           - ((CAST(nl AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CASE WHEN pl > 0 AND pl < nl THEN
+                   -(CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                   * ln(CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                 ELSE 0.0 END
+                 + CASE WHEN pl > 0 AND pl < nl THEN
+                   -(1.0 - CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                   * ln(1.0 - CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                 ELSE 0.0 END)
+              + (CAST(n - nl AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CASE WHEN pt - pl > 0 AND pt - pl < n - nl THEN
+                   -(CAST(pt - pl AS DOUBLE) / CAST(n - nl AS DOUBLE))
+                   * ln(CAST(pt - pl AS DOUBLE)
+                        / CAST(n - nl AS DOUBLE))
+                 ELSE 0.0 END
+                 + CASE WHEN pt - pl > 0 AND pt - pl < n - nl THEN
+                   -(1.0 - CAST(pt - pl AS DOUBLE)
+                     / CAST(n - nl AS DOUBLE))
+                   * ln(1.0 - CAST(pt - pl AS DOUBLE)
+                        / CAST(n - nl AS DOUBLE))
+                 ELSE 0.0 END)), 6) AS gain
+  FROM f)
+SELECT * FROM scored
+ORDER BY gain DESC, split_value
+LIMIT 3
+""",
+        "brand_price_elasticity": rf"""
+WITH j AS (
+  SELECT p_brand, l_quantity AS q,
+         l_extendedprice / l_quantity AS up
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+f AS (
+  SELECT p_brand, ln(CAST(up AS DOUBLE)) AS x,
+         ln(CAST(q AS DOUBLE)) AS y
+  FROM j WHERE q > 0 AND up > 0),
+agg AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+         {_det_sum('x')} AS sx, {_det_sum('y')} AS sy,
+         {_det_sum('x * x')} AS sxx, {_det_sum('y * y')} AS syy,
+         {_det_sum('x * y')} AS sxy
+  FROM f GROUP BY 1)
+SELECT p_brand, n,
+       round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                   AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n AS DOUBLE) * sxx - sx * sx) END, 6)
+         AS elasticity,
+       round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                   AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+           * (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+              * (CAST(n AS DOUBLE) * syy - sy * sy)) END, 6)
+         AS r_squared
+FROM agg
+""",
+        "event_type_negbin_fit": r"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+  FROM daily GROUP BY 1),
+e AS (
+  SELECT event_type, n,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         CAST(n * q - s * s AS DOUBLE)
+           / CAST(n * (n - 1) AS DOUBLE) AS svar
+  FROM agg)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(mean, 6) AS mean,
+       round(CASE WHEN n > 1 THEN svar END, 6) AS var,
+       round(CASE WHEN n > 1 AND svar > mean AND mean > 0 THEN
+           mean * mean / (svar - mean) END, 6) AS nb_r,
+       round(CASE WHEN n > 1 AND svar > mean AND mean > 0 THEN
+           mean / svar END, 6) AS nb_p
+FROM e
 """,
         "ab_did_estimate": r"""
 WITH base AS (

@@ -1203,3 +1203,42 @@ def restricted_mean_survival(df: DataFrame, duration_col: str,
             .agg(F.count("*").cast("bigint").alias("n_durations"),
                  F.max("duration").cast("bigint").alias("tau"),
                  F.round(det_sum(F.col("_a")), 6).alias("rmst")))
+
+
+def loglog_elasticity(df: DataFrame, qty_col: str, price_col: str,
+                      key_cols: list[str] | None = None) -> DataFrame:
+    """Per-key log-log price elasticity of demand (public formula):
+    the OLS slope of ln(quantity) on ln(unit price) — "a 1% price
+    increase moves volume by ε%", the pricing readout behind every
+    revenue-optimization dashboard.
+
+        ε = (n·Σxy − Σx·Σy) / (n·Σxx − (Σx)²),
+        x = ln(price), y = ln(qty);  plus r² for fit quality.
+
+    Positive-value rows only (logs must exist). The ln values are
+    fixed IEEE expressions; all five moments det-quantize (addends
+    are |ln|²-bounded — tiny), so slope/r² are combine-order-free.
+    One hash aggregation per key. Returns (keys..., n, elasticity,
+    r_squared) @6dp; NULL when var(x) or var(y) is 0.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_sum
+
+    keys = list(key_cols or [])
+    ok = (F.col(qty_col) > 0) & (F.col(price_col) > 0)
+    x = F.log(F.col(price_col).cast("double"))
+    y = F.log(F.col(qty_col).cast("double"))
+    agg = (df.filter(ok).groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        det_sum(x).alias("_sx"), det_sum(y).alias("_sy"),
+        det_sum(x * x).alias("_sxx"), det_sum(y * y).alias("_syy"),
+        det_sum(x * y).alias("_sxy")))
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    vx = nd * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = nd * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    good = (vx > 0) & (vy > 0)
+    return agg.select(
+        *keys, F.col("n").cast("bigint").alias("n"),
+        F.round(F.when(good, cov / vx), 6).alias("elasticity"),
+        F.round(F.when(good, cov * cov / (vx * vy)), 6)
+        .alias("r_squared"))

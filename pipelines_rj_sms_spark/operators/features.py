@@ -347,3 +347,67 @@ def split_conformal_2f(df: DataFrame, x1_units: str, x2_units: str,
                        F.col("_qu").cast("double")
                        / F.lit(float(resid_scale))), 6)
         .alias("q_hat"))
+
+
+def best_split_binary(df: DataFrame, feature_col: str, label_col: str,
+                      top: int = 3) -> DataFrame:
+    """1-D decision-stump split finder: rank every candidate threshold
+    "feature ≤ v" by information gain against a binary label (public
+    formula) — the feature-screening primitive behind tree learners
+    and binning pipelines ("which quantity cutoff best predicts a
+    return?").
+
+        gain(v) = h(p) − [n_l/N·h(p_l) + n_r/N·h(p_r)],
+        h(p) = −p·ln p − (1−p)·ln(1−p)   (0·ln 0 = 0)
+
+    Scale shape: ONE hash aggregation collapses the facts to the
+    (value, count, positives) support; cumulative windows over that
+    collapsed domain give every split's four cell counts at once
+    (no per-threshold rescan — |support| thresholds for one pass);
+    shares are exact BIGINT rationals, entropies fixed IEEE
+    expressions, ordering on (rounded gain DESC, v ASC) is engine-
+    deterministic. Returns the ``top`` rows:
+    (split_value, n_left, n_right, pos_left, pos_right, gain) @6dp.
+    """
+    lab = F.col(label_col).cast("long")
+    sup = (df.filter(F.col(feature_col).isNotNull()
+                     & F.col(label_col).isNotNull())
+           .groupBy(F.col(feature_col).alias("_v"))
+           .agg(F.count("*").alias("_c"), F.sum(lab).alias("_p")))
+    w = (Window.orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy(F.lit(1))
+    nl = F.sum("_c").over(w)
+    pl = F.sum("_p").over(w)
+    n = F.sum("_c").over(wt)
+    p = F.sum("_p").over(wt)
+    base = sup.select(
+        "_v", nl.alias("_nl"), pl.alias("_pl"),
+        n.alias("_n"), p.alias("_pt"))
+    # drop the degenerate full split (right side empty)
+    base = base.filter(F.col("_nl") < F.col("_n"))
+
+    def h(pos, tot):
+        share = pos.cast("double") / tot.cast("double")
+        term1 = F.when((pos > 0) & (pos < tot),
+                       -share * F.log(share)).otherwise(F.lit(0.0))
+        term2 = F.when((pos > 0) & (pos < tot),
+                       -(F.lit(1.0) - share)
+                       * F.log(F.lit(1.0) - share)).otherwise(F.lit(0.0))
+        return term1 + term2
+
+    nr = F.col("_n") - F.col("_nl")
+    pr = F.col("_pt") - F.col("_pl")
+    wl = F.col("_nl").cast("double") / F.col("_n").cast("double")
+    wr = nr.cast("double") / F.col("_n").cast("double")
+    gain = (h(F.col("_pt"), F.col("_n"))
+            - (wl * h(F.col("_pl"), F.col("_nl")) + wr * h(pr, nr)))
+    scored = base.select(
+        F.col("_v").alias("split_value"),
+        F.col("_nl").cast("bigint").alias("n_left"),
+        nr.cast("bigint").alias("n_right"),
+        F.col("_pl").cast("bigint").alias("pos_left"),
+        pr.cast("bigint").alias("pos_right"),
+        F.round(gain, 6).alias("gain"))
+    return (scored.orderBy(F.col("gain").desc(), "split_value")
+            .limit(top))

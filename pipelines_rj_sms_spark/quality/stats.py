@@ -1852,3 +1852,38 @@ def breusch_pagan(df: DataFrame, t_col: str,
         F.col("n").cast("bigint").alias("n"),
         F.round(F.when(ok, r2), 6).alias("r_squared"),
         F.round(F.when(ok, nd * r2), 6).alias("bp_stat"))
+
+
+def negative_binomial_fit(df: DataFrame, count_col: str,
+                          key_cols: list[str] | None = None) -> DataFrame:
+    """Method-of-moments negative-binomial fit per key over a count
+    rollup (public formulas) — the MODEL half of `dispersion_index`'s
+    screen: once VMR > 1 says "not Poisson", NB(r, p) is the standard
+    overdispersed replacement (burst modeling, demand simulation):
+
+        r̂ = μ² / (s² − μ),   p̂ = μ / s²     (requires s² > μ)
+
+    Exact DECIMAL(38,0) integer moments (same aggregation as the
+    dispersion screen), sample variance, fixed double closed forms.
+    Returns (keys..., n, mean, var, nb_r, nb_p) @6dp; NULL fit when
+    the data is under-dispersed (s² ≤ μ) or n < 2.
+    """
+    keys = list(key_cols or [])
+    d38 = "decimal(38,0)"
+    c = F.col(count_col).cast(d38)
+    agg = df.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum(c).cast(d38).alias("_s"),
+        F.sum((c * c).cast(d38)).cast(d38).alias("_q"))
+    n = F.col("n").cast(d38)
+    mean = F.col("_s").cast("double") / F.col("n").cast("double")
+    svar = ((n * F.col("_q") - F.col("_s") * F.col("_s"))
+            .cast("double") / (n * (n - 1)).cast("double"))
+    good = (F.col("n") > 1) & (svar > mean) & (mean > 0)
+    return agg.select(
+        *keys, F.col("n").cast("bigint").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(F.when(F.col("n") > 1, svar), 6).alias("var"),
+        F.round(F.when(good, mean * mean / (svar - mean)), 6)
+        .alias("nb_r"),
+        F.round(F.when(good, mean / svar), 6).alias("nb_p"))

@@ -700,3 +700,51 @@ def test_split_conformal_alpha_too_small_null(spark):
     out = split_conformal_2f(df, "x1", "x2", "y", key_cols=["id"],
                              alpha=0.001).collect()[0]
     assert out["q_hat"] is None and out["k"] > out["n_cal"]
+
+
+def test_best_split_separates_perfectly(spark):
+    """Labels = (x > 5): the split at 5 has gain equal to the root
+    entropy (perfect separation) and ranks first."""
+    import math
+    from pipelines_rj_sms_spark.operators.features import (
+        best_split_binary)
+    rows = [(float(x), x > 5) for x in range(1, 11)]
+    out = best_split_binary(
+        spark.createDataFrame(rows, ["x", "y"]), "x", "y",
+        top=2).collect()
+    top = out[0]
+    assert top["split_value"] == 5.0
+    assert top["pos_left"] == 0 and top["pos_right"] == 5
+    assert abs(top["gain"] - math.log(2)) < 1e-6   # h(0.5), nats
+    assert out[1]["gain"] < top["gain"]
+
+
+def test_loglog_elasticity_recovers_exponent(spark):
+    """q = up^(-2) exactly: elasticity = -2 with r² = 1."""
+    from pipelines_rj_sms_spark.operators.analytics import (
+        loglog_elasticity)
+    rows = [("b", float(u), float(u) ** -2.0)
+            for u in (1.0, 2.0, 4.0, 8.0)]
+    out = loglog_elasticity(
+        spark.createDataFrame(rows, ["k", "up", "q"]),
+        "q", "up", ["k"]).collect()[0]
+    assert abs(out["elasticity"] + 2.0) < 1e-6
+    assert abs(out["r_squared"] - 1.0) < 1e-6
+
+
+def test_negative_binomial_fit_moments(spark):
+    """Counts {1,2,3,6}: mean 3, s² = 14/3; r = 9/(14/3-3) = 5.4,
+    p = 3/(14/3) = 9/14. An under-dispersed series yields NULL."""
+    from pipelines_rj_sms_spark.quality.stats import (
+        negative_binomial_fit)
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", 6)], ["k", "c"])
+    out = negative_binomial_fit(df, "c", ["k"]).collect()[0]
+    assert out["mean"] == 3.0
+    assert abs(out["var"] - 14 / 3) < 1e-6
+    assert abs(out["nb_r"] - 9 / (14 / 3 - 3)) < 1e-5
+    assert abs(out["nb_p"] - 9 / 14) < 1e-6
+    under = spark.createDataFrame(
+        [("a", 3), ("a", 3), ("a", 4)], ["k", "c"])
+    assert negative_binomial_fit(
+        under, "c", ["k"]).collect()[0]["nb_r"] is None
