@@ -294,6 +294,10 @@ def test_session4_stats_partition_invariant(spark):
         brier_decomposition)
     from pipelines_rj_sms_spark.operators.graph import (hits,
                                                         link_prediction)
+    from pipelines_rj_sms_spark.operators.analytics import (
+        loglog_elasticity)
+    from pipelines_rj_sms_spark.operators.features import (
+        best_split_binary)
     from pipelines_rj_sms_spark.operators.terms import (
         good_turing_richness, ranking_metrics)
     from pipelines_rj_sms_spark.operators.timeseries import ljung_box
@@ -301,7 +305,8 @@ def test_session4_stats_partition_invariant(spark):
         breusch_pagan, cohens_d, cramer_von_mises,
         cuped_adjusted_means, diff_in_diff, durbin_watson,
         eb_shrunk_rates, friedman_test, grubbs_statistic,
-        hellinger_distance, jarque_bera, wasserstein_1d)
+        hellinger_distance, jarque_bera, negative_binomial_fit,
+        wasserstein_1d)
 
     rng = random.Random(99)
 
@@ -324,6 +329,12 @@ def test_session4_stats_partition_invariant(spark):
         [("abcd"[rng.randrange(4)], rng.randrange(0, 300))
          for _ in range(2000)], ["g", "v"])
     inv(grp, lambda d: cohens_d(d, "g", "v", "a", "b"))
+    inv(grp, lambda d: best_split_binary(
+        d.withColumn("y", F.col("v") % 3 == 0), "v", "y", top=5))
+    inv(grp.filter(F.col("v") > 0)
+        .withColumn("up", (F.col("v") % 13 + 1).cast("double")),
+        lambda d: loglog_elasticity(d, "v", "up", ["g"]))
+    inv(grp, lambda d: negative_binomial_fit(d, "v", ["g"]))
     inv(grp, lambda d: cramer_von_mises(d, "g", "v", "a", "b"))
     inv(grp, lambda d: wasserstein_1d(d, "g", "v", "a", "b"))
     inv(grp.withColumn("pre", F.col("v") % 97)
