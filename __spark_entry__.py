@@ -5476,6 +5476,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_return_rate_eb", "retrieval_rbo_overlap",
         "purchase_click_wasserstein", "ab_cuped_adjusted",
         "ab_did_estimate", "daily_count_breusch_pagan",
+        # (the four late-session-4 additions — stream_dedup_user_types,
+        # quantity_return_best_split, brand_price_elasticity,
+        # event_type_negbin_fit — don't fit the 50-slot window this
+        # round; they are sweep-verified and invariance-pinned, and
+        # should HEAD the r7 changed list)
     ]
     never_graded = [
         # double duty: changed this round (det-quantized accumulation)
