@@ -500,6 +500,9 @@ Query key -> SURVEY §2 rows covered:
   event_type_negbin_fit     negative-binomial method-of-moments fit
                             of daily counts (exact DECIMAL moments,
                             closed-form r/p, NULL when Poisson-ish)
+  rare_event_croston        Croston + SBA intermittent-demand rate
+                            (sequential size/interval smoothing as a
+                            Catalyst fold, recursive-CTE oracle)
 """
 
 from __future__ import annotations
@@ -1605,6 +1608,62 @@ def _duck_lang_id_sql() -> str:
 WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
 sc AS (SELECT doc_id, {score_cols} FROM toks)
 SELECT doc_id, CASE {cascade}END AS lang_pred FROM sc
+"""
+
+
+def _duck_croston_sql(alpha: float = 0.1,
+                      threshold: float = 450.0) -> str:
+    """Croston oracle: the size/interval smoothing state machine
+    replayed as a bounded recursive CTE with the SAME float literals
+    and branch structure as the Catalyst fold in
+    `timeseries.croston_forecast`."""
+    a = float(alpha)
+    oa = 1.0 - a
+    sba = 1.0 - a / 2.0
+    return f"""
+WITH RECURSIVE bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+  FROM events),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+    AS day
+  FROM bounds),
+d AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events WHERE value > {threshold!r} GROUP BY 1),
+ser AS (
+  SELECT row_number() OVER (ORDER BY s.day) - 1 AS i,
+         CAST(coalesce(d.c, 0) AS DOUBLE) AS y
+  FROM spine s LEFT JOIN d ON s.day = d.day),
+st AS (
+  -- anchor state columns must be CAST: DuckDB types a bare 0.0 as
+  -- DECIMAL(2,1), which the recursive arm then overflows
+  SELECT CAST(-1 AS BIGINT) AS i, 0 AS ini,
+         CAST(0.0 AS DOUBLE) AS z, CAST(0.0 AS DOUBLE) AS x,
+         CAST(0.0 AS DOUBLE) AS q, 0 AS nz
+  UNION ALL
+  SELECT ser.i,
+         CASE WHEN ser.y > 0 THEN 1 ELSE st.ini END,
+         CASE WHEN ser.y > 0 AND st.ini = 0 THEN ser.y
+              WHEN ser.y > 0 THEN {a!r} * ser.y + {oa!r} * st.z
+              ELSE st.z END,
+         CASE WHEN ser.y > 0 AND st.ini = 0 THEN st.q + 1.0
+              WHEN ser.y > 0 THEN {a!r} * (st.q + 1.0) + {oa!r} * st.x
+              ELSE st.x END,
+         CASE WHEN ser.y > 0 THEN 0.0 ELSE st.q + 1.0 END,
+         st.nz + CASE WHEN ser.y > 0 THEN 1 ELSE 0 END
+  FROM st JOIN ser ON ser.i = st.i + 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ser),
+fin AS (SELECT * FROM st ORDER BY i DESC LIMIT 1)
+SELECT n, CAST(nz AS BIGINT) AS n_nonzero,
+       round(CASE WHEN ini = 1 AND x > 0 THEN z END, 6) AS size_hat,
+       round(CASE WHEN ini = 1 AND x > 0 THEN x END, 6)
+         AS interval_hat,
+       round(CASE WHEN ini = 1 AND x > 0 THEN z / x END, 6)
+         AS croston_rate,
+       round(CASE WHEN ini = 1 AND x > 0 THEN {sba!r} * (z / x) END,
+             6) AS sba_rate
+FROM fin, nn
 """
 
 
@@ -4619,6 +4678,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, "event_type", "value", "purchase", "click",
             lo=0.0, hi=500.0, n_bins=20)
 
+    def croston_q(spark, sf_dir):
+        """Croston intermittent-demand forecast of rare high-value
+        events (value > 450) on a gap-filled daily spine — the
+        genuinely sequential size/interval smoothing as ONE Catalyst
+        aggregate fold; bounded recursive-CTE oracle."""
+        from pipelines_rj_sms_spark.operators.timeseries import (
+            croston_forecast)
+        ev = _t(spark, sf_dir, "events")
+        daily = (ev.filter(F.col("value") > 450)
+                 .groupBy(F.to_date("ts").alias("day"))
+                 .agg(F.count("*").alias("c")))
+        bounds = ev.agg(F.min(F.to_date("ts")).alias("lo"),
+                        F.max(F.to_date("ts")).alias("hi"))
+        spine = bounds.select(
+            F.explode(F.sequence("lo", "hi")).alias("day"))
+        full = (spine.join(daily, "day", "left")
+                .select("day", F.coalesce("c", F.lit(0)).alias("c")))
+        return croston_forecast(full, "day", "c", alpha=0.1)
+
     def best_split_q(spark, sf_dir):
         """Decision-stump screen: which quantity threshold best
         predicts a returned line? One collapsed-support pass scores
@@ -5431,6 +5509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_return_best_split": best_split_q,
         "brand_price_elasticity": elasticity_q,
         "event_type_negbin_fit": negbin_q,
+        "rare_event_croston": croston_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -10255,6 +10334,7 @@ SELECT duration, CAST(n_at_risk AS BIGINT) AS n_at_risk,
 FROM s
 """,
         "daily_revenue_holt_winters": _duck_hw_sql(),
+        "rare_event_croston": _duck_croston_sql(0.1, 450.0),
         "doc_length_kruskal_wallis": f"""
 WITH vals AS (
   SELECT lang AS g, len({_DUCK_TOKS}) AS v FROM documents

@@ -750,3 +750,74 @@ def ljung_box(df: DataFrame, t_col: str, units_col: str,
         F.col("_m").cast("int").alias("m_lags"),
         F.round(q, 6).alias("q_stat"),
         F.col("_m").cast("int").alias("df"))
+
+
+def croston_forecast(df: DataFrame, t_col: str, y_col: str,
+                     alpha: float = 0.1) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (public method, plus
+    the Syntetos-Boylan bias correction): separate exponential
+    smoothing of the nonzero demand sizes z and the inter-demand
+    intervals x, forecast rate = z/x per period — the standard
+    forecaster where Holt-Winters/EWMA smear zeros into nonsense
+    (spare parts, rare-event volumes).
+
+        on demand:  z ← α·y + (1−α)z,  x ← α·q + (1−α)x,  q ← 0
+        otherwise:  q ← q + 1                   (q = periods waited)
+
+    Same execution model as `holt_winters_additive`: the caller
+    passes the COLLAPSED (gap-filled) series; the genuinely
+    sequential recursion folds as ONE Catalyst `aggregate` expression
+    over the sorted value array — codegen state machine
+    (initialized, z, x, q, n_nonzero), no Python, no driver loop.
+    Smoothing constants are Python float literals shared with the
+    recursive-CTE oracle, so the fold is bit-identical cross-engine.
+    One row: (n, n_nonzero, size_hat, interval_hat, croston_rate,
+    sba_rate) @6dp; NULL forecast when no nonzero demand.
+    """
+    a = float(alpha)
+    one_a = 1.0 - a
+    sba_f = 1.0 - a / 2.0
+    ser = (df.select(F.col(t_col).alias("_t"),
+                     F.col(y_col).cast("double").alias("_y"))
+           .agg(F.sort_array(F.collect_list(F.struct(
+               F.col("_t").alias("t"), F.col("_y").alias("y"))))
+               .alias("_arr")))
+    ys = F.transform(F.col("_arr"), lambda s: s["y"])
+    ser = ser.select(ys.alias("_ys"), F.size(ys).alias("_n")) \
+        .filter(F.col("_n") > 0)
+    state0 = F.struct(F.lit(0).alias("ini"), F.lit(0.0).alias("z"),
+                      F.lit(0.0).alias("x"), F.lit(0.0).alias("q"),
+                      F.lit(0).alias("nz"))
+    idx = F.sequence(F.lit(0), F.col("_n") - 1)
+
+    def step(acc, i):
+        y = F.get(F.col("_ys"), i)
+        hit = y > 0
+        z_new = F.when(
+            hit, F.when(acc["ini"] == 0, y)
+            .otherwise(F.lit(a) * y + F.lit(one_a) * acc["z"])) \
+            .otherwise(acc["z"])
+        x_new = F.when(
+            hit, F.when(acc["ini"] == 0, acc["q"] + F.lit(1.0))
+            .otherwise(F.lit(a) * (acc["q"] + F.lit(1.0))
+                       + F.lit(one_a) * acc["x"])) \
+            .otherwise(acc["x"])
+        q_new = F.when(hit, F.lit(0.0)) \
+            .otherwise(acc["q"] + F.lit(1.0))
+        ini_new = F.when(hit, F.lit(1)).otherwise(acc["ini"])
+        nz_new = acc["nz"] + F.when(hit, F.lit(1)).otherwise(F.lit(0))
+        return F.struct(ini_new.alias("ini"), z_new.alias("z"),
+                        x_new.alias("x"), q_new.alias("q"),
+                        nz_new.alias("nz"))
+
+    fin = F.aggregate(idx, state0, step)
+    out = ser.select("_n", fin.alias("_f"))
+    ok = (F.col("_f.ini") == 1) & (F.col("_f.x") > 0)
+    rate = F.col("_f.z") / F.col("_f.x")
+    return out.select(
+        F.col("_n").cast("bigint").alias("n"),
+        F.col("_f.nz").cast("bigint").alias("n_nonzero"),
+        F.round(F.when(ok, F.col("_f.z")), 6).alias("size_hat"),
+        F.round(F.when(ok, F.col("_f.x")), 6).alias("interval_hat"),
+        F.round(F.when(ok, rate), 6).alias("croston_rate"),
+        F.round(F.when(ok, F.lit(sba_f) * rate), 6).alias("sba_rate"))

@@ -439,3 +439,24 @@ def test_ljung_box_numpy_cross_check(spark):
         [(t, 7) for t in range(30)], ["t", "u"])
     assert ljung_box(const, "t", "u",
                      max_lag=3).collect()[0]["q_stat"] is None
+
+
+def test_croston_hand_computed(spark):
+    """Series [0, 3, 0, 0, 6]: init at t=1 (z=3, x=2), demand at t=4
+    with q=2: z = .1*6+.9*3 = 3.3, x = .1*3+.9*2 = 2.1; rate 3.3/2.1
+    and SBA = 0.95*rate. All-zero demand is NULL."""
+    from pipelines_rj_sms_spark.operators.timeseries import (
+        croston_forecast)
+    rows = list(enumerate([0, 3, 0, 0, 6]))
+    out = croston_forecast(
+        spark.createDataFrame(rows, ["t", "y"]), "t", "y",
+        alpha=0.1).collect()[0]
+    assert out["n"] == 5 and out["n_nonzero"] == 2
+    assert abs(out["size_hat"] - 3.3) < 1e-9
+    assert abs(out["interval_hat"] - 2.1) < 1e-9
+    assert abs(out["croston_rate"] - 3.3 / 2.1) < 1e-6
+    assert abs(out["sba_rate"] - 0.95 * (3.3 / 2.1)) < 1e-6
+    zero = spark.createDataFrame(
+        [(t, 0) for t in range(4)], ["t", "y"])
+    z = croston_forecast(zero, "t", "y").collect()[0]
+    assert z["croston_rate"] is None and z["n_nonzero"] == 0
