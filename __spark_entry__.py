@@ -503,6 +503,9 @@ Query key -> SURVEY §2 rows covered:
   rare_event_croston        Croston + SBA intermittent-demand rate
                             (sequential size/interval smoothing as a
                             Catalyst fold, recursive-CTE oracle)
+  purchase_attribution_position  U-shaped 40/20/40 multi-touch
+                            attribution (bounded-lookback join,
+                            det-summed rational credits)
 """
 
 from __future__ import annotations
@@ -4678,6 +4681,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, "event_type", "value", "purchase", "click",
             lo=0.0, hi=500.0, n_bins=20)
 
+    def attribution_pos_q(spark, sf_dir):
+        """Position-based (U-shaped 40/20/40) multi-touch attribution
+        — first and last touch carry 0.4 each, middles split 0.2;
+        same bounded-lookback join as the linear model."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            attribution_credits)
+        ev = _t(spark, sf_dir, "events")
+        return attribution_credits(
+            ev, "user_id", "ts", "event_type",
+            conversion_events=["purchase"],
+            touch_events=["view", "click", "signup"],
+            model="position", lookback_seconds=604800)
+
     def croston_q(spark, sf_dir):
         """Croston intermittent-demand forecast of rare high-value
         events (value > 450) on a gap-filled daily spine — the
@@ -5510,6 +5526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_price_elasticity": elasticity_q,
         "event_type_negbin_fit": negbin_q,
         "rare_event_croston": croston_q,
+        "purchase_attribution_position": attribution_pos_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -6615,6 +6632,34 @@ cred AS (
 SELECT channel, round({_det_sum('credit')}, 6) AS credited,
        CAST(count(*) AS BIGINT) AS n_touches
 FROM cred GROUP BY 1
+""",
+        "purchase_attribution_position": rf"""
+WITH conv AS (
+  SELECT user_id AS u, ts AS cts FROM events
+  WHERE event_type = 'purchase'),
+touch AS (
+  SELECT user_id AS tu, ts AS tts, event_type AS channel FROM events
+  WHERE event_type IN ('view', 'click', 'signup')),
+joined AS (
+  SELECT u, cts, tts, channel
+  FROM conv JOIN touch
+    ON u = tu AND tts < cts AND tts >= cts - INTERVAL 604800 SECOND),
+cred AS (
+  SELECT channel,
+         count(*) OVER (PARTITION BY u, cts) AS n,
+         row_number() OVER (PARTITION BY u, cts
+                            ORDER BY tts ASC, channel ASC) AS rn
+  FROM joined),
+cr AS (
+  SELECT channel,
+         CASE WHEN n = 1 THEN 1.0
+              WHEN n = 2 THEN 0.5
+              WHEN rn = 1 OR rn = n THEN 0.4
+              ELSE 0.2 / CAST(n - 2 AS DOUBLE) END AS credit
+  FROM cred)
+SELECT channel, round({_det_sum('credit')}, 6) AS credited,
+       CAST(count(*) AS BIGINT) AS n_touches
+FROM cr GROUP BY 1
 """,
         "ab_value_t_test": rf"""
 WITH raw AS (

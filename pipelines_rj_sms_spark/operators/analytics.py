@@ -321,7 +321,8 @@ def attribution_credits(df: DataFrame, user_col: str, ts_col: str,
     ``credited`` sums each conversion's [0, 1] credit per touch channel,
     rounded to 6.
     """
-    if model not in ("linear", "first_touch", "last_touch"):
+    if model not in ("linear", "first_touch", "last_touch",
+                     "position"):
         raise ValueError(f"unknown attribution model: {model}")
     conv = df.filter(F.col(event_col).isin(list(conversion_events))).select(
         F.col(user_col).alias("_u"), F.col(ts_col).alias("_cts"))
@@ -337,6 +338,18 @@ def attribution_credits(df: DataFrame, user_col: str, ts_col: str,
     w = Window.partitionBy("_u", "_cts")
     if model == "linear":
         credit = F.lit(1.0) / F.count("*").over(w)
+    elif model == "position":
+        # U-shaped 40/20/40: first and last touch get 0.4 each, the
+        # middles split the remaining 0.2 (1 touch -> 1.0, 2 -> 0.5
+        # each) — the standard position-based model (public)
+        wo = w.orderBy(F.col("_tts").asc(), F.col("channel").asc())
+        n = F.count("*").over(w)
+        rn = F.row_number().over(wo)
+        credit = (
+            F.when(n == 1, F.lit(1.0))
+            .when(n == 2, F.lit(0.5))
+            .when((rn == 1) | (rn == n), F.lit(0.4))
+            .otherwise(F.lit(0.2) / (n - 2).cast("double")))
     else:
         # row_number (not a min/max-struct match) so EXACTLY one touch
         # row per conversion carries the credit even under duplicate

@@ -61,3 +61,39 @@ def test_credit_mass_equals_attributable_conversions(spark):
         got = _credits(df, model)
         # u3's conversion has no prior touch -> 4 attributable
         assert sum(got.values()) == pytest.approx(4.0)
+
+
+def test_position_model_u_shape(spark):
+    """4 touches -> 0.4/0.1/0.1/0.4; 2 touches -> 0.5 each; 1 touch
+    -> 1.0. Credits per conversion always sum to 1."""
+    from pipelines_rj_sms_spark.operators.analytics import (
+        attribution_credits)
+    rows = [
+        # user 1: four touches then purchase
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 11:00:00", "click"),
+        (1, "2024-01-01 12:00:00", "click"),
+        (1, "2024-01-01 13:00:00", "signup"),
+        (1, "2024-01-01 14:00:00", "purchase"),
+        # user 2: two touches
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 11:00:00", "signup"),
+        (2, "2024-01-01 12:00:00", "purchase"),
+        # user 3: one touch
+        (3, "2024-01-01 10:00:00", "click"),
+        (3, "2024-01-01 11:00:00", "purchase"),
+    ]
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(rows, ["u", "ts", "e"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["channel"]: r for r in attribution_credits(
+        df, "u", "ts", "e", conversion_events=["purchase"],
+        touch_events=["view", "click", "signup"],
+        model="position").collect()}
+    # user1: view 0.4, click 0.1+0.1, signup 0.4
+    # user2: view 0.5, signup 0.5 ; user3: click 1.0
+    assert abs(out["view"]["credited"] - (0.4 + 0.5)) < 1e-6
+    assert abs(out["click"]["credited"] - (0.2 + 1.0)) < 1e-6
+    assert abs(out["signup"]["credited"] - (0.4 + 0.5)) < 1e-6
+    total = sum(r["credited"] for r in out.values())
+    assert abs(total - 3.0) < 1e-6

@@ -300,7 +300,8 @@ def test_session4_stats_partition_invariant(spark):
         best_split_binary)
     from pipelines_rj_sms_spark.operators.terms import (
         good_turing_richness, ranking_metrics)
-    from pipelines_rj_sms_spark.operators.timeseries import ljung_box
+    from pipelines_rj_sms_spark.operators.timeseries import (
+        croston_forecast, ljung_box)
     from pipelines_rj_sms_spark.quality.stats import (
         breusch_pagan, cohens_d, cramer_von_mises,
         cuped_adjusted_means, diff_in_diff, durbin_watson,
@@ -322,6 +323,9 @@ def test_session4_stats_partition_invariant(spark):
     inv(ser, lambda d: grubbs_statistic(d, "u"))
     inv(ser, lambda d: ljung_box(d, "t", "u", max_lag=5))
     inv(ser, lambda d: breusch_pagan(d, "t", "u"))
+    inv(ser.withColumn("u", F.when(F.col("u") % 7 == 0, F.col("u"))
+                       .otherwise(F.lit(0))),
+        lambda d: croston_forecast(d, "t", "u"))
     inv(ser.withColumn("blk", F.col("t") % 12),
         lambda d: gumbel_block_maxima(d, "blk", "u"))
 
