@@ -499,3 +499,43 @@ def good_turing_richness(df: DataFrame, text_col: str,
                 + f1 * (f1 - 1.0)
                 / (2.0 * (F.col("f2").cast("double") + 1.0)), 6)
         .alias("chao1"))
+
+
+def vocabulary_overlap(df: DataFrame, key_col: str,
+                       text_col: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus slices (sources,
+    langs, snapshots) — "are these two feeds the same text genre?",
+    the corpus-level diagnostic behind mix planning and provenance
+    checks.
+
+    Scale shape: ONE distinct (key, term) projection; the pairwise
+    intersection is an equi-join ON THE TERM (per-term fan-out is
+    bounded by #keys², never rows²) with key_a < key_b; set sizes
+    ride back as a broadcast. Exact integer counts; one final double
+    divide. Returns (key_a, key_b, inter_size, size_a, size_b,
+    jaccard) @6dp.
+    """
+    ts = (df.select(F.col(key_col).alias("_k"),
+                    F.explode(tokens(text_col)).alias("_t"))
+          .distinct())
+    sizes = ts.groupBy("_k").agg(F.count("*").alias("_sz"))
+    a = ts.select(F.col("_k").alias("key_a"), "_t")
+    b = ts.select(F.col("_k").alias("key_b"), "_t")
+    inter = (a.join(b, "_t")
+             .filter(F.col("key_a") < F.col("key_b"))
+             .groupBy("key_a", "key_b")
+             .agg(F.count("*").alias("inter_size")))
+    sa = F.broadcast(sizes.select(F.col("_k").alias("key_a"),
+                                  F.col("_sz").alias("size_a")))
+    sb = F.broadcast(sizes.select(F.col("_k").alias("key_b"),
+                                  F.col("_sz").alias("size_b")))
+    out = inter.join(sa, "key_a").join(sb, "key_b")
+    union = (F.col("size_a") + F.col("size_b")
+             - F.col("inter_size"))
+    return out.select(
+        "key_a", "key_b",
+        F.col("inter_size").cast("bigint").alias("inter_size"),
+        F.col("size_a").cast("bigint").alias("size_a"),
+        F.col("size_b").cast("bigint").alias("size_b"),
+        F.round(F.col("inter_size").cast("double")
+                / union.cast("double"), 6).alias("jaccard"))

@@ -226,3 +226,19 @@ def test_good_turing_hand_computed(spark):
     assert a["gt_unseen_mass"] == 0.5 and a["chao1"] == 3.5
     b = out["B"]
     assert b["gt_unseen_mass"] == 1.0 and b["chao1"] == 3.0
+
+
+def test_vocabulary_overlap_hand_computed(spark):
+    """A={a,b,c}, B={b,c,d}, C={x}: AB jaccard = 2/4, AC = BC = 0
+    (pairs with empty intersection don't appear)."""
+    from pipelines_rj_sms_spark.operators.terms import (
+        vocabulary_overlap)
+    df = spark.createDataFrame(
+        [("A", "a b c b"), ("B", "b c d"), ("C", "x x")],
+        ["src", "text"])
+    out = {(r["key_a"], r["key_b"]): r for r in
+           vocabulary_overlap(df, "src", "text").collect()}
+    assert set(out) == {("A", "B")}
+    r = out[("A", "B")]
+    assert (r["inter_size"], r["size_a"], r["size_b"]) == (2, 3, 3)
+    assert r["jaccard"] == 0.5
