@@ -512,6 +512,9 @@ Query key -> SURVEY §2 rows covered:
   source_vocab_overlap      pairwise vocabulary Jaccard between
                             sources (term-key equi-join intersection,
                             fan-out bounded by #keys per term)
+  revenue_forecast_backtest Holt-Winters holdout backtest with
+                            per-step APE/sMAPE scoring (same fold and
+                            literals as the fit, last-7-day holdout)
 """
 
 from __future__ import annotations
@@ -1737,6 +1740,83 @@ SELECT CAST(h AS INTEGER) AS h,
        round(sse, 6) AS sse_insample,
        CAST(n AS BIGINT) AS n
 FROM fin CROSS JOIN hs
+"""
+
+
+def _duck_hw_backtest_sql(m: int = 7, horizon: int = 7,
+                          alpha: float = 0.3, beta: float = 0.1,
+                          gamma: float = 0.2) -> str:
+    """Holt-Winters BACKTEST oracle: same recursion as _duck_hw_sql
+    but trained only on days t <= max(t) - horizon, with the held-out
+    tail joined back by forecast step for APE/sMAPE scoring."""
+    a, b_, g = float(alpha), float(beta), float(gamma)
+    oa, ob, og = 1.0 - a, 1.0 - b_, 1.0 - g
+    els = ", ".join(
+        f"max(CASE WHEN i = {k} THEN y END) AS y{k}"
+        for k in range(2 * m))
+    mean1 = "(" + " + ".join(f"y{k}" for k in range(m)) \
+        + f") / {float(m)!r}"
+    mean2 = "(" + " + ".join(f"y{k}" for k in range(m, 2 * m)) \
+        + f") / {float(m)!r}"
+    s0 = "[" + ", ".join(f"y{k} - l0" for k in range(m)) + "]"
+    si = f"s[(rec.i % {m}) + 1]"
+    l_new = f"({a!r} * (ix.y - {si}) + {oa!r} * (rec.l + rec.b))"
+    s_val = f"({g!r} * (ix.y - {l_new}) + {og!r} * {si})"
+    pred = f"(rec.l + rec.b + {si})"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT date_diff('day', DATE '1995-01-01',
+                   CAST(l_shipdate AS DATE)) AS t,
+         SUM(CAST(floor((l_extendedprice * (1.0 - l_discount))
+                        * 1000.0 + 0.5) AS BIGINT)) AS u
+  FROM lineitem GROUP BY 1),
+mx AS (SELECT max(t) AS mt FROM daily),
+train AS (
+  SELECT t, u FROM daily CROSS JOIN mx WHERE t <= mt - {horizon}),
+ix AS (
+  SELECT CAST(row_number() OVER (ORDER BY t) - 1 AS INTEGER) AS i,
+         CAST(u AS DOUBLE) / 1000.0 AS y
+  FROM train),
+els AS (SELECT {els}, CAST(count(*) AS INTEGER) AS n FROM ix),
+init AS (
+  SELECT n, {mean1} AS l0,
+         ({mean2} - {mean1}) / {float(m)!r} AS b0
+  FROM els WHERE n >= {2 * m}),
+s_init AS (
+  SELECT init.n, init.l0, init.b0, {s0} AS s0
+  FROM init JOIN els ON TRUE),
+rec AS (
+  SELECT CAST({m} AS INTEGER) AS i, l0 AS l, b0 AS b, s0 AS s,
+         CAST(0.0 AS DOUBLE) AS sse, n
+  FROM s_init
+  UNION ALL
+  SELECT rec.i + 1,
+         {l_new},
+         ({b_!r} * ({l_new} - rec.l) + {ob!r} * rec.b),
+         s[1:(rec.i % {m})] || [{s_val}]
+           || s[(rec.i % {m}) + 2:{m}],
+         rec.sse + (ix.y - {pred}) * (ix.y - {pred}),
+         rec.n
+  FROM rec JOIN ix ON ix.i = rec.i),
+fin AS (SELECT * FROM rec WHERE i = n),
+hs AS (SELECT unnest(range(1, {horizon + 1})) AS h),
+fc AS (
+  SELECT CAST(h AS INTEGER) AS h,
+         round(l + CAST(h AS DOUBLE) * b
+               + s[((n + h - 1) % {m}) + 1], 6) AS forecast
+  FROM fin CROSS JOIN hs),
+test AS (
+  SELECT CAST(row_number() OVER (ORDER BY t) AS INTEGER) AS h,
+         CAST(u AS DOUBLE) / 1000.0 AS actual
+  FROM daily CROSS JOIN mx WHERE t > mt - {horizon})
+SELECT fc.h, fc.forecast, round(test.actual, 6) AS actual,
+       round(abs(fc.forecast - test.actual), 6) AS abs_err,
+       round(CASE WHEN test.actual <> 0 THEN
+           abs(fc.forecast - test.actual) / abs(test.actual) END, 6)
+         AS ape,
+       round(2.0 * abs(fc.forecast - test.actual)
+             / (abs(fc.forecast) + abs(test.actual)), 6) AS smape
+FROM fc JOIN test USING (h)
 """
 
 
@@ -4687,6 +4767,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, "event_type", "value", "purchase", "click",
             lo=0.0, hi=500.0, n_bins=20)
 
+    def hw_backtest_q(spark, sf_dir):
+        """Forecast backtest: Holt-Winters trained with the last 7
+        days held out, scored per step with APE/sMAPE against the
+        actuals — the accuracy loop every production forecaster
+        needs; same Catalyst fold, same literals as the fit query."""
+        from pipelines_rj_sms_spark.operators.timeseries import (
+            holt_winters_additive)
+        from pyspark.sql import Window as W
+        li = _t(spark, sf_dir, "lineitem")
+        daily = (li.groupBy(
+            F.datediff(F.to_date("l_shipdate"),
+                       F.lit("1995-01-01").cast("date")).alias("t"))
+            .agg((F.sum(F.floor(
+                (F.col("l_extendedprice") * (F.lit(1.0)
+                                             - F.col("l_discount")))
+                * 1000.0 + F.lit(0.5)).cast("long")).cast("double")
+                / F.lit(1000.0)).alias("y")))
+        mx = F.broadcast(daily.agg(F.max("t").alias("mt")))
+        train = (daily.crossJoin(mx)
+                 .filter(F.col("t") <= F.col("mt") - 7)
+                 .select("t", "y"))
+        fc = holt_winters_additive(train, "t", "y", period=7,
+                                   alpha=0.3, beta=0.1, gamma=0.2,
+                                   horizon=7).select("h", "forecast")
+        test = (daily.crossJoin(mx)
+                .filter(F.col("t") > F.col("mt") - 7)
+                .select(F.row_number().over(W.orderBy("t"))
+                        .alias("h"), F.col("y").alias("actual")))
+        j = fc.join(test, "h")
+        err = F.abs(F.col("forecast") - F.col("actual"))
+        return j.select(
+            "h", "forecast",
+            F.round("actual", 6).alias("actual"),
+            F.round(err, 6).alias("abs_err"),
+            F.round(F.when(F.col("actual") != 0,
+                           err / F.abs(F.col("actual"))), 6)
+            .alias("ape"),
+            F.round(2.0 * err / (F.abs(F.col("forecast"))
+                                 + F.abs(F.col("actual"))), 6)
+            .alias("smape"))
+
     def src_ppl_q(spark, sf_dir):
         """Per-source bigram perplexity under the corpus's own
         smoothed bigram LM — the slice-level quality screen (a source
@@ -5559,6 +5680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_attribution_position": attribution_pos_q,
         "source_bigram_perplexity": src_ppl_q,
         "source_vocab_overlap": vocab_overlap_q,
+        "revenue_forecast_backtest": hw_backtest_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -10472,6 +10594,7 @@ FROM s
 """,
         "daily_revenue_holt_winters": _duck_hw_sql(),
         "rare_event_croston": _duck_croston_sql(0.1, 450.0),
+        "revenue_forecast_backtest": _duck_hw_backtest_sql(),
         "doc_length_kruskal_wallis": f"""
 WITH vals AS (
   SELECT lang AS g, len({_DUCK_TOKS}) AS v FROM documents

@@ -460,3 +460,26 @@ def test_croston_hand_computed(spark):
         [(t, 0) for t in range(4)], ["t", "y"])
     z = croston_forecast(zero, "t", "y").collect()[0]
     assert z["croston_rate"] is None and z["n_nonzero"] == 0
+
+
+def test_hw_backtest_shape_and_perfect_series(spark):
+    """A perfectly periodic series forecasts itself: APE ~ 0 on every
+    held-out step when the pattern repeats exactly."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from pipelines_rj_sms_spark.operators.timeseries import (
+        holt_winters_additive)
+    pat = [10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0]
+    rows = [(t, pat[t % 7]) for t in range(6 * 7)]
+    daily = spark.createDataFrame(rows, ["t", "y"])
+    train = daily.filter(F.col("t") < 5 * 7)
+    fc = holt_winters_additive(train, "t", "y", period=7,
+                               alpha=0.3, beta=0.1, gamma=0.2,
+                               horizon=7)
+    test = (daily.filter(F.col("t") >= 5 * 7)
+            .select(F.row_number().over(W.orderBy("t")).alias("h"),
+                    F.col("y").alias("a")))
+    out = fc.join(test, "h").collect()
+    assert len(out) == 7
+    for r in out:
+        assert abs(r["forecast"] - r["a"]) < 0.5
