@@ -295,11 +295,11 @@ def test_session4_stats_partition_invariant(spark):
     from pipelines_rj_sms_spark.operators.graph import (hits,
                                                         link_prediction)
     from pipelines_rj_sms_spark.operators.analytics import (
-        loglog_elasticity)
+        attribution_credits, loglog_elasticity)
     from pipelines_rj_sms_spark.operators.features import (
         best_split_binary)
     from pipelines_rj_sms_spark.operators.terms import (
-        good_turing_richness, ranking_metrics)
+        good_turing_richness, ranking_metrics, vocabulary_overlap)
     from pipelines_rj_sms_spark.operators.timeseries import (
         croston_forecast, ljung_box)
     from pipelines_rj_sms_spark.quality.stats import (
@@ -368,6 +368,18 @@ def test_session4_stats_partition_invariant(spark):
                       for _ in range(30)), "s" + str(i % 3))
          for i in range(300)], ["doc_id", "text", "source"])
     inv(docs, lambda d: good_turing_richness(d, "text", ["source"]))
+    inv(docs, lambda d: vocabulary_overlap(d, "source", "text"))
+
+    ev = spark.createDataFrame(
+        [(rng.randrange(0, 40),
+          "2024-01-01 0%d:0%d:00" % (rng.randrange(1, 10),
+                                     rng.randrange(1, 10)),
+          ["view", "click", "signup", "purchase"][rng.randrange(4)])
+         for _ in range(2000)], ["u", "ts", "e"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    inv(ev, lambda d: attribution_credits(
+        d, "u", "ts", "e", conversion_events=["purchase"],
+        touch_events=["view", "click", "signup"], model="position"))
 
     pool = spark.createDataFrame(
         [("q" + str(i % 4), i, float(rng.randrange(0, 1000)),
