@@ -515,6 +515,9 @@ Query key -> SURVEY §2 rows covered:
   revenue_forecast_backtest Holt-Winters holdout backtest with
                             per-step APE/sMAPE scoring (same fold and
                             literals as the fit, last-7-day holdout)
+  monthly_fisher_price_index  Laspeyres/Paasche/Fisher matched-basket
+                            inflation vs the base month (exact unit-
+                            price ratios, det-quantized basket sums)
 """
 
 from __future__ import annotations
@@ -4767,6 +4770,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, "event_type", "value", "purchase", "click",
             lo=0.0, hi=500.0, n_bins=20)
 
+    def fisher_q(spark, sf_dir):
+        """Monthly Laspeyres/Paasche/Fisher price indexes vs the
+        first month over the part basket — matched-basket inflation,
+        exact integer unit-price ratios, det-quantized basket sums."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            price_indexes)
+        li = _t(spark, sf_dir, "lineitem")
+        base = li.select(
+            F.trunc(F.to_date("l_shipdate"), "month").alias("mon"),
+            "l_partkey",
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("long").alias("pc"),
+            F.floor(F.col("l_quantity") + 0.5).cast("long")
+            .alias("qu"))
+        return price_indexes(base, "mon", "l_partkey", "pc", "qu")
+
     def hw_backtest_q(spark, sf_dir):
         """Forecast backtest: Holt-Winters trained with the last 7
         days held out, scored per step with APE/sMAPE against the
@@ -5681,6 +5700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_bigram_perplexity": src_ppl_q,
         "source_vocab_overlap": vocab_overlap_q,
         "revenue_forecast_backtest": hw_backtest_q,
+        "monthly_fisher_price_index": fisher_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -10595,6 +10615,42 @@ FROM s
         "daily_revenue_holt_winters": _duck_hw_sql(),
         "rare_event_croston": _duck_croston_sql(0.1, 450.0),
         "revenue_forecast_backtest": _duck_hw_backtest_sql(),
+        "monthly_fisher_price_index": rf"""
+WITH per AS (
+  SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS per_,
+         l_partkey AS it,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS HUGEINT) AS sp,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+              AS HUGEINT) AS sq
+  FROM lineitem GROUP BY 1, 2
+  HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 0),
+b AS (SELECT min(per_) AS bp FROM per),
+base AS (
+  SELECT it, CAST(sp AS DOUBLE) / CAST(sq AS DOUBLE) AS p0,
+         CAST(sq AS DOUBLE) AS q0
+  FROM per, b WHERE per_ = bp),
+j AS (
+  SELECT per_, CAST(sp AS DOUBLE) / CAST(sq AS DOUBLE) AS pt,
+         CAST(sq AS DOUBLE) AS qt, p0, q0
+  FROM per JOIN base USING (it)),
+agg AS (
+  SELECT per_, CAST(count(*) AS BIGINT) AS n_items,
+         {_det_sum_s('pt * q0', 1_000_000)} AS l_num,
+         {_det_sum_s('p0 * q0', 1_000_000)} AS l_den,
+         {_det_sum_s('pt * qt', 1_000_000)} AS p_num,
+         {_det_sum_s('p0 * qt', 1_000_000)} AS p_den
+  FROM j GROUP BY 1)
+SELECT per_ AS period, n_items,
+       round(CASE WHEN l_den > 0 THEN l_num / l_den END, 6)
+         AS laspeyres,
+       round(CASE WHEN p_den > 0 THEN p_num / p_den END, 6)
+         AS paasche,
+       round(sqrt((CASE WHEN l_den > 0 THEN l_num / l_den END)
+                  * (CASE WHEN p_den > 0 THEN p_num / p_den END)), 6)
+         AS fisher
+FROM agg
+""",
         "doc_length_kruskal_wallis": f"""
 WITH vals AS (
   SELECT lang AS g, len({_DUCK_TOKS}) AS v FROM documents

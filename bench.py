@@ -124,7 +124,7 @@ _FAMILIES = [
                               "concurrent", "ewma", "seasonal",
                               "growth", "retention", "funnel", "rfm", "markov",
                               "attribution", "decomposition",
-                              "concentration", "gini", "standardized",
+                              "concentration", "gini", "standardized", "fisher_price",
                               "geohash", "density", "nearest",
                               "timeline", "paths", "histogram",
                               "winsorized", "mad_", "imputed",

@@ -1255,3 +1255,58 @@ def loglog_elasticity(df: DataFrame, qty_col: str, price_col: str,
         F.round(F.when(good, cov / vx), 6).alias("elasticity"),
         F.round(F.when(good, cov * cov / (vx * vy)), 6)
         .alias("r_squared"))
+
+
+def price_indexes(df: DataFrame, period_col: str, item_col: str,
+                  price_units: str, qty_units: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indexes per period vs the
+    FIRST period (public formulas) — "how much did the same basket
+    inflate", the economics-grade alternative to a naive average-price
+    trend (which confuses mix shift with price change):
+
+        L_t = Σ p_t·q_0 / Σ p_0·q_0     (base-period basket)
+        P_t = Σ p_t·q_t / Σ p_0·q_t     (current basket)
+        F_t = √(L_t·P_t)
+
+    Inputs are integer-unit price/qty fact columns; per-(period, item)
+    unit prices are exact integer ratios (Σprice_units/Σqty_units);
+    the base period rides back as a broadcast item join (items absent
+    from the base drop — the matched-basket rule); basket sums
+    det-quantize at 1e-6 units (p·q addends overflow the default
+    1e-9 capacity). One row per period: (period, n_items, laspeyres,
+    paasche, fisher) @6dp, base period = 1 by construction.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_sum
+
+    scale = 1_000_000
+    per = (df.groupBy(F.col(period_col).alias("_per"),
+                      F.col(item_col).alias("_it"))
+           .agg(F.sum(F.col(price_units)).alias("_sp"),
+                F.sum(F.col(qty_units)).alias("_sq"))
+           .filter(F.col("_sq") > 0))
+    base_per = F.broadcast(per.agg(F.min("_per").alias("_b")))
+    base = (per.crossJoin(base_per)
+            .filter(F.col("_per") == F.col("_b"))
+            .select(F.col("_it"),
+                    (F.col("_sp").cast("double")
+                     / F.col("_sq").cast("double")).alias("_p0"),
+                    F.col("_sq").cast("double").alias("_q0")))
+    j = per.join(F.broadcast(base), "_it")
+    pt = F.col("_sp").cast("double") / F.col("_sq").cast("double")
+    qt = F.col("_sq").cast("double")
+    agg = j.groupBy("_per").agg(
+        F.count("*").alias("n_items"),
+        det_sum(pt * F.col("_q0"), scale).alias("_l_num"),
+        det_sum(F.col("_p0") * F.col("_q0"), scale).alias("_l_den"),
+        det_sum(pt * qt, scale).alias("_p_num"),
+        det_sum(F.col("_p0") * qt, scale).alias("_p_den"))
+    lasp = F.when(F.col("_l_den") > 0,
+                  F.col("_l_num") / F.col("_l_den"))
+    paas = F.when(F.col("_p_den") > 0,
+                  F.col("_p_num") / F.col("_p_den"))
+    return agg.select(
+        F.col("_per").alias("period"),
+        F.col("n_items").cast("bigint").alias("n_items"),
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"))

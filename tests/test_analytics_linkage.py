@@ -391,3 +391,26 @@ def test_rmst_hand_computed(spark):
     zero = spark.createDataFrame([(0, 1), (0, 1)], ["dur", "ev"])
     assert restricted_mean_survival(
         zero, "dur", "ev").collect()[0]["rmst"] == 0.0
+
+
+def test_price_indexes_hand_computed(spark):
+    """Two items, two periods; unit prices move +100% (item A,
+    10→20) and −50% (item B, 20→10) with A's quantity doubling:
+    the indexes follow the matched-basket formulas and the base
+    period is exactly 1."""
+    from pipelines_rj_sms_spark.operators.analytics import (
+        price_indexes)
+    rows = [
+        (1, "A", 10, 1), (1, "B", 20, 1),
+        (2, "A", 40, 2), (2, "B", 10, 1),
+    ]
+    df = spark.createDataFrame(rows, ["per", "it", "pc", "qu"])
+    out = {r["period"]: r for r in
+           price_indexes(df, "per", "it", "pc", "qu").collect()}
+    assert out[1]["laspeyres"] == 1.0 and out[1]["fisher"] == 1.0
+    lasp = (20 * 1 + 10 * 1) / (10 * 1 + 20 * 1)
+    paas = (20 * 2 + 10 * 1) / (10 * 2 + 20 * 1)
+    import math
+    assert abs(out[2]["laspeyres"] - lasp) < 1e-6
+    assert abs(out[2]["paasche"] - paas) < 1e-6
+    assert abs(out[2]["fisher"] - math.sqrt(lasp * paas)) < 1e-6
