@@ -518,6 +518,9 @@ Query key -> SURVEY §2 rows covered:
   monthly_fisher_price_index  Laspeyres/Paasche/Fisher matched-basket
                             inflation vs the base month (exact unit-
                             price ratios, det-quantized basket sums)
+  cohort_ltv_curve          cumulative value per user by signup
+                            cohort and month age (integer month
+                            arithmetic, collapsed-grid cumsum)
 """
 
 from __future__ import annotations
@@ -4770,6 +4773,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, "event_type", "value", "purchase", "click",
             lo=0.0, hi=500.0, n_bins=20)
 
+    def ltv_q(spark, sf_dir):
+        """Cohort LTV curve: cumulative event value per user by
+        signup-cohort month and month age — integer month arithmetic,
+        exact cents, cumsum over the collapsed cohort×age grid."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            cohort_ltv_curve)
+        ev = _t(spark, sf_dir, "events")
+        base = ev.select(
+            "user_id", "ts",
+            F.coalesce(F.floor(F.col("value") * 100 + 0.5)
+                       .cast("long"), F.lit(0)).alias("vc"))
+        return cohort_ltv_curve(base, "user_id", "ts", "vc")
+
     def fisher_q(spark, sf_dir):
         """Monthly Laspeyres/Paasche/Fisher price indexes vs the
         first month over the part basket — matched-basket inflation,
@@ -5701,6 +5717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_vocab_overlap": vocab_overlap_q,
         "revenue_forecast_backtest": hw_backtest_q,
         "monthly_fisher_price_index": fisher_q,
+        "cohort_ltv_curve": ltv_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -10615,6 +10632,33 @@ FROM s
         "daily_revenue_holt_winters": _duck_hw_sql(),
         "rare_event_croston": _duck_croston_sql(0.1, 450.0),
         "revenue_forecast_backtest": _duck_hw_backtest_sql(),
+        "cohort_ltv_curve": r"""
+WITH base AS (
+  SELECT user_id AS u,
+         year(ts) * 12 + month(ts) - 1 AS p,
+         coalesce(CAST(floor(value * 100 + 0.5) AS BIGINT), 0) AS v
+  FROM events),
+cohorts AS (SELECT u, min(p) AS cohort FROM base GROUP BY 1),
+sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS sz
+          FROM cohorts GROUP BY 1),
+per AS (
+  SELECT cohort, b.p - cohort AS age,
+         CAST(sum(v) AS BIGINT) AS val
+  FROM base b JOIN cohorts c ON b.u = c.u
+  GROUP BY 1, 2),
+cum AS (
+  SELECT cohort, age, val, sz,
+         sum(val) OVER (PARTITION BY cohort ORDER BY age
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cv
+  FROM per JOIN sizes USING (cohort))
+SELECT CAST(cohort AS BIGINT) AS cohort_month,
+       CAST(age AS INTEGER) AS month_age,
+       sz AS cohort_size, val AS period_value,
+       round(CAST(cv AS DOUBLE) / CAST(sz AS DOUBLE), 6)
+         AS cum_value_per_user
+FROM cum
+""",
         "monthly_fisher_price_index": rf"""
 WITH per AS (
   SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS per_,

@@ -1310,3 +1310,42 @@ def price_indexes(df: DataFrame, period_col: str, item_col: str,
         F.round(lasp, 6).alias("laspeyres"),
         F.round(paas, 6).alias("paasche"),
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"))
+
+
+def cohort_ltv_curve(df: DataFrame, user_col: str, ts_col: str,
+                     value_units: str) -> DataFrame:
+    """Cohort lifetime-value curve: users bucketed by first-activity
+    month, CUMULATIVE value per cohort member by month age — the
+    "how much is a January signup worth by month 3" readout that
+    retention counts alone can't give (public construction).
+
+    Integer month arithmetic (year·12+month) keeps cohorts/ages
+    engine-exact; per-(cohort, age) value sums are exact integer
+    units; cohort sizes ride back on a broadcast; the cumulative sum
+    runs over the COLLAPSED (cohort, age) grid. Returns one row per
+    (cohort_month, month_age): (cohort_size, period_value,
+    cum_value_per_user) @6dp.
+    """
+    period = (F.year(F.col(ts_col)) * 12
+              + F.month(F.col(ts_col)) - 1).alias("_p")
+    base = df.select(F.col(user_col).alias("_u"), period,
+                     F.col(value_units).alias("_v"))
+    cohorts = base.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    sizes = cohorts.groupBy("_cohort").agg(
+        F.count("*").alias("_size"))
+    per = (base.join(cohorts, "_u")
+           .groupBy("_cohort",
+                    (F.col("_p") - F.col("_cohort")).alias("_age"))
+           .agg(F.sum("_v").alias("_val")))
+    w = (Window.partitionBy("_cohort").orderBy("_age")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = (per.join(F.broadcast(sizes), "_cohort")
+           .withColumn("_cum", F.sum("_val").over(w)))
+    return out.select(
+        F.col("_cohort").cast("bigint").alias("cohort_month"),
+        F.col("_age").cast("int").alias("month_age"),
+        F.col("_size").cast("bigint").alias("cohort_size"),
+        F.col("_val").cast("bigint").alias("period_value"),
+        F.round(F.col("_cum").cast("double")
+                / F.col("_size").cast("double"), 6)
+        .alias("cum_value_per_user"))

@@ -414,3 +414,25 @@ def test_price_indexes_hand_computed(spark):
     assert abs(out[2]["laspeyres"] - lasp) < 1e-6
     assert abs(out[2]["paasche"] - paas) < 1e-6
     assert abs(out[2]["fisher"] - math.sqrt(lasp * paas)) < 1e-6
+
+
+def test_cohort_ltv_cumulates_per_user(spark):
+    """Two cohorts: Jan cohort (2 users) spends 100 in Jan and 50 in
+    Feb -> cum/user = 50 then 75; Feb cohort (1 user) spends 30."""
+    from pyspark.sql import functions as F
+    from pipelines_rj_sms_spark.operators.analytics import (
+        cohort_ltv_curve)
+    rows = [
+        (1, "2024-01-05", 60), (2, "2024-01-20", 40),
+        (1, "2024-02-10", 50),
+        (3, "2024-02-01", 30),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "v"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r["cohort_month"], r["month_age"]): r
+           for r in cohort_ltv_curve(df, "u", "ts", "v").collect()}
+    jan = 2024 * 12 + 0
+    assert out[(jan, 0)]["cohort_size"] == 2
+    assert out[(jan, 0)]["cum_value_per_user"] == 50.0
+    assert out[(jan, 1)]["cum_value_per_user"] == 75.0
+    assert out[(jan + 1, 0)]["cum_value_per_user"] == 30.0
