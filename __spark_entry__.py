@@ -521,6 +521,9 @@ Query key -> SURVEY §2 rows covered:
   cohort_ltv_curve          cumulative value per user by signup
                             cohort and month age (integer month
                             arithmetic, collapsed-grid cumsum)
+  daily_count_gesd_outliers Rosner GESD multi-outlier screen (3
+                            unrolled remove-the-extreme rounds,
+                            exact moments, struct-max argmax)
 """
 
 from __future__ import annotations
@@ -4773,6 +4776,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, "event_type", "value", "purchase", "click",
             lo=0.0, hi=500.0, n_bins=20)
 
+    def gesd_q(spark, sf_dir):
+        """Rosner GESD multi-outlier screen on daily event counts —
+        3 unrolled remove-the-extreme rounds, exact DECIMAL moments
+        per round, argmax by max(struct) with full tiebreaks."""
+        from pipelines_rj_sms_spark.quality.stats import gesd_outliers
+        ev = _t(spark, sf_dir, "events")
+        daily = (ev.groupBy(
+            F.datediff(F.to_date("ts"),
+                       F.lit("2024-01-01").cast("date")).alias("t"))
+            .agg(F.count("*").alias("c")))
+        return gesd_outliers(daily, "t", "c", k=3)
+
     def ltv_q(spark, sf_dir):
         """Cohort LTV curve: cumulative event value per user by
         signup-cohort month and month age — integer month arithmetic,
@@ -5718,6 +5733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_forecast_backtest": hw_backtest_q,
         "monthly_fisher_price_index": fisher_q,
         "cohort_ltv_curve": ltv_q,
+        "daily_count_gesd_outliers": gesd_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -10632,6 +10648,71 @@ FROM s
         "daily_revenue_holt_winters": _duck_hw_sql(),
         "rare_event_croston": _duck_croston_sql(0.1, 450.0),
         "revenue_forecast_backtest": _duck_hw_backtest_sql(),
+        "daily_count_gesd_outliers": r"""
+WITH r0 AS (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+         count(*) AS u
+  FROM events GROUP BY 1),
+m1 AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(u AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS q
+  FROM r0),
+s1 AS (
+  SELECT t, u,
+         CASE WHEN n > 2 AND
+              sqrt(CAST(n * q - s * s AS DOUBLE)
+                   / CAST(n * (n - 1) AS DOUBLE)) > 0 THEN
+           abs(CAST(u AS DOUBLE)
+               - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt(CAST(n * q - s * s AS DOUBLE)
+                  / CAST(n * (n - 1) AS DOUBLE)) END AS d
+  FROM r0, m1),
+t1 AS (SELECT t, u, d FROM s1 WHERE d IS NOT NULL
+       ORDER BY d DESC, u DESC, t DESC LIMIT 1),
+r1 AS (SELECT r0.t, r0.u FROM r0, t1 WHERE r0.t <> t1.t),
+m2 AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(u AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS q
+  FROM r1),
+s2 AS (
+  SELECT t, u,
+         CASE WHEN n > 2 AND
+              sqrt(CAST(n * q - s * s AS DOUBLE)
+                   / CAST(n * (n - 1) AS DOUBLE)) > 0 THEN
+           abs(CAST(u AS DOUBLE)
+               - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt(CAST(n * q - s * s AS DOUBLE)
+                  / CAST(n * (n - 1) AS DOUBLE)) END AS d
+  FROM r1, m2),
+t2 AS (SELECT t, u, d FROM s2 WHERE d IS NOT NULL
+       ORDER BY d DESC, u DESC, t DESC LIMIT 1),
+r2 AS (SELECT r1.t, r1.u FROM r1, t2 WHERE r1.t <> t2.t),
+m3 AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(u AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS q
+  FROM r2),
+s3 AS (
+  SELECT t, u,
+         CASE WHEN n > 2 AND
+              sqrt(CAST(n * q - s * s AS DOUBLE)
+                   / CAST(n * (n - 1) AS DOUBLE)) > 0 THEN
+           abs(CAST(u AS DOUBLE)
+               - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt(CAST(n * q - s * s AS DOUBLE)
+                  / CAST(n * (n - 1) AS DOUBLE)) END AS d
+  FROM r2, m3),
+t3 AS (SELECT t, u, d FROM s3 WHERE d IS NOT NULL
+       ORDER BY d DESC, u DESC, t DESC LIMIT 1)
+SELECT 1 AS round, t AS t_removed, CAST(u AS BIGINT)
+         AS value_removed, round(d, 6) AS r_stat FROM t1
+UNION ALL
+SELECT 2, t, CAST(u AS BIGINT), round(d, 6) FROM t2
+UNION ALL
+SELECT 3, t, CAST(u AS BIGINT), round(d, 6) FROM t3
+""",
         "cohort_ltv_curve": r"""
 WITH base AS (
   SELECT user_id AS u,

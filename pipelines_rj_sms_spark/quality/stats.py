@@ -1887,3 +1887,58 @@ def negative_binomial_fit(df: DataFrame, count_col: str,
         F.round(F.when(good, mean * mean / (svar - mean)), 6)
         .alias("nb_r"),
         F.round(F.when(good, mean / svar), 6).alias("nb_p"))
+
+
+def gesd_outliers(df: DataFrame, t_col: str, units_col: str,
+                  k: int = 3) -> DataFrame:
+    """Generalized extreme studentized deviate (Rosner's GESD, public
+    formula) — ``k`` unrolled rounds of "compute mean/sd over the
+    REMAINING points, report and remove the most extreme one": the
+    masking-proof multi-outlier screen a single Grubbs pass misses
+    (two adjacent spikes hide each other by inflating s).
+
+    Each round is one exact DECIMAL(38,0) moment aggregation
+    broadcast back, one fixed studentized-deviation expression, one
+    order-free max(struct) argmax (ties: larger value, then later t),
+    and one key anti-filter — no double accumulation anywhere, so no
+    quantization is even needed. Zero-variance rounds emit nothing
+    (deviations undefined). Returns ≤k rows:
+    (round, t_removed, value_removed, r_stat) @6dp.
+    """
+    d38 = "decimal(38,0)"
+    remaining = df.select(F.col(t_col).alias("_t"),
+                          F.col(units_col).alias("_u"))
+    outs = []
+    for j in range(1, int(k) + 1):
+        u = F.col("_u").cast(d38)
+        m = F.broadcast(remaining.agg(
+            F.count("*").alias("_n"),
+            F.sum(u).cast(d38).alias("_s"),
+            F.sum((u * u).cast(d38)).cast(d38).alias("_q")))
+        n = F.col("_n").cast(d38)
+        mu = F.col("_s").cast("double") / F.col("_n").cast("double")
+        sd = F.sqrt((n * F.col("_q") - F.col("_s") * F.col("_s"))
+                    .cast("double")
+                    / (n * (n - 1)).cast("double"))
+        dev = F.when((F.col("_n") > 2) & (sd > 0),
+                     F.abs(F.col("_u").cast("double") - mu) / sd)
+        scored = (remaining.crossJoin(m)
+                  .select("_t", "_u", dev.alias("_d"))
+                  .filter(F.col("_d").isNotNull()))
+        top = F.broadcast(scored.agg(
+            F.max(F.struct(F.col("_d").alias("d"),
+                           F.col("_u").alias("u"),
+                           F.col("_t").alias("t"))).alias("_m")))
+        outs.append(top.select(
+            F.lit(j).alias("round"),
+            F.col("_m.t").alias("t_removed"),
+            F.col("_m.u").alias("value_removed"),
+            F.round(F.col("_m.d"), 6).alias("r_stat"))
+            .filter(F.col("r_stat").isNotNull()))
+        remaining = (remaining.crossJoin(top)
+                     .filter(F.col("_t") != F.col("_m.t"))
+                     .select("_t", "_u"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -817,3 +817,19 @@ def test_breusch_pagan_detects_trending_variance(spark):
     r = np.corrcoef(t, g)[0, 1] ** 2
     assert abs(out["r_squared"] - r) < 1e-3
     assert abs(out["bp_stat"] - 300 * r) < 0.5
+
+
+def test_gesd_unmasks_adjacent_outliers(spark):
+    """Two planted spikes mask each other for a single Grubbs pass
+    but GESD removes them in order (largest first), and round-3's
+    statistic drops sharply once both are gone."""
+    from pipelines_rj_sms_spark.quality.stats import gesd_outliers
+    vals = [100 + (i % 5) for i in range(40)] + [500, 480]
+    df = spark.createDataFrame(list(enumerate(vals)), ["t", "u"])
+    out = {r["round"]: r for r in
+           gesd_outliers(df, "t", "u", k=3).collect()}
+    assert out[1]["value_removed"] == 500
+    assert out[2]["value_removed"] == 480
+    assert out[2]["r_stat"] > 3 and out[3]["r_stat"] < 3
+    tiny = spark.createDataFrame([(0, 5), (1, 5)], ["t", "u"])
+    assert gesd_outliers(tiny, "t", "u", k=2).collect() == []
