@@ -295,7 +295,8 @@ def test_session4_stats_partition_invariant(spark):
     from pipelines_rj_sms_spark.operators.graph import (hits,
                                                         link_prediction)
     from pipelines_rj_sms_spark.operators.analytics import (
-        attribution_credits, loglog_elasticity)
+        attribution_credits, cohort_ltv_curve, loglog_elasticity,
+        price_indexes)
     from pipelines_rj_sms_spark.operators.features import (
         best_split_binary)
     from pipelines_rj_sms_spark.operators.terms import (
@@ -303,7 +304,7 @@ def test_session4_stats_partition_invariant(spark):
     from pipelines_rj_sms_spark.operators.timeseries import (
         croston_forecast, ljung_box)
     from pipelines_rj_sms_spark.quality.stats import (
-        breusch_pagan, cohens_d, cramer_von_mises,
+        breusch_pagan, cohens_d, cramer_von_mises, gesd_outliers,
         cuped_adjusted_means, diff_in_diff, durbin_watson,
         eb_shrunk_rates, friedman_test, grubbs_statistic,
         hellinger_distance, jarque_bera, negative_binomial_fit,
@@ -323,6 +324,7 @@ def test_session4_stats_partition_invariant(spark):
     inv(ser, lambda d: grubbs_statistic(d, "u"))
     inv(ser, lambda d: ljung_box(d, "t", "u", max_lag=5))
     inv(ser, lambda d: breusch_pagan(d, "t", "u"))
+    inv(ser, lambda d: gesd_outliers(d, "t", "u", k=3))
     inv(ser.withColumn("u", F.when(F.col("u") % 7 == 0, F.col("u"))
                        .otherwise(F.lit(0))),
         lambda d: croston_forecast(d, "t", "u"))
@@ -339,6 +341,9 @@ def test_session4_stats_partition_invariant(spark):
         .withColumn("up", (F.col("v") % 13 + 1).cast("double")),
         lambda d: loglog_elasticity(d, "v", "up", ["g"]))
     inv(grp, lambda d: negative_binomial_fit(d, "v", ["g"]))
+    inv(grp.withColumn("per", F.col("v") % 5)
+        .withColumn("qu", F.col("v") % 9 + 1),
+        lambda d: price_indexes(d, "per", "g", "v", "qu"))
     inv(grp, lambda d: cramer_von_mises(d, "g", "v", "a", "b"))
     inv(grp, lambda d: wasserstein_1d(d, "g", "v", "a", "b"))
     inv(grp.withColumn("pre", F.col("v") % 97)
@@ -377,6 +382,9 @@ def test_session4_stats_partition_invariant(spark):
           ["view", "click", "signup", "purchase"][rng.randrange(4)])
          for _ in range(2000)], ["u", "ts", "e"]) \
         .withColumn("ts", F.col("ts").cast("timestamp"))
+    inv(ev.withColumn("vc", (F.col("u") * 10).cast("long"))
+        .withColumn("mts", F.col("ts")),
+        lambda d: cohort_ltv_curve(d, "u", "ts", "vc"))
     inv(ev, lambda d: attribution_credits(
         d, "u", "ts", "e", conversion_events=["purchase"],
         touch_events=["view", "click", "signup"], model="position"))
