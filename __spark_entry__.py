@@ -524,6 +524,10 @@ Query key -> SURVEY §2 rows covered:
   daily_count_gesd_outliers Rosner GESD multi-outlier screen (3
                             unrolled remove-the-extreme rounds,
                             exact moments, struct-max argmax)
+  event_type_brown_forsythe Brown-Forsythe equal-variance gate
+                            (exact group medians, deviation ANOVA)
+  en_rules_mcnemar          McNemar paired-classifier test (exact
+                            integer discordant cells)
 """
 
 from __future__ import annotations
@@ -4776,6 +4780,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, "event_type", "value", "purchase", "click",
             lo=0.0, hi=500.0, n_bins=20)
 
+    def bf_q(spark, sf_dir):
+        """Brown-Forsythe equal-variance gate across event types —
+        exact interpolated group medians broadcast back, ANOVA on
+        the absolute deviations."""
+        from pipelines_rj_sms_spark.quality.stats import brown_forsythe
+        ev = _t(spark, sf_dir, "events")
+        return brown_forsythe(ev, "event_type", "value")
+
+    def mcnemar_q(spark, sf_dir):
+        """McNemar paired test between two English detectors (marker
+        score > 0.05 vs contains-'the') on the same documents —
+        exact integer discordant cells."""
+        from pipelines_rj_sms_spark.quality.stats import mcnemar_test
+        docs = _t(spark, sf_dir, "documents")
+        pred_a = F.round(text.lang_score("text", "en"), 6) > 0.05
+        pred_b = F.array_contains(text.tokens("text"), "the")
+        truth = F.col("lang") == "en"
+        return mcnemar_test(docs, pred_a, pred_b, truth)
+
     def gesd_q(spark, sf_dir):
         """Rosner GESD multi-outlier screen on daily event counts —
         3 unrolled remove-the-extreme rounds, exact DECIMAL moments
@@ -5734,6 +5757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_fisher_price_index": fisher_q,
         "cohort_ltv_curve": ltv_q,
         "daily_count_gesd_outliers": gesd_q,
+        "event_type_brown_forsythe": bf_q,
+        "en_rules_mcnemar": mcnemar_q,
     }
     # The declared dict groups queries by family, but the driver's
     # correctness sample grades the FIRST 50 entries. Rotate so the
@@ -9279,6 +9304,80 @@ FROM tr JOIN seas USING (pos)
 """,
         # one-way ANOVA: det-quantized group moments; the second-level
         # sums over the k-row rollup quantize at 1e-6 units
+        "event_type_brown_forsythe": rf"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS md
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1),
+dv AS (
+  SELECT e.event_type, abs(e.value - med.md) AS value
+  FROM events e JOIN med USING (event_type)
+  WHERE e.value IS NOT NULL),
+g AS (
+  SELECT event_type,
+         count(*) AS n,
+         {_det_sum('value')} AS s,
+         {_det_sum_big('value * value')} AS q
+  FROM dv
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1),
+agg AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(CAST(floor((s * s / n) * 1000000.0 + 0.5) AS HUGEINT))
+              AS DOUBLE) / 1000000.0 AS sb_term,
+         CAST(sum(CAST(floor(q * 1000000.0 + 0.5) AS HUGEINT))
+              AS DOUBLE) / 1000000.0 AS qt,
+         CAST(sum(CAST(floor(s * 1000000.0 + 0.5) AS HUGEINT))
+              AS DOUBLE) / 1000000.0 AS st
+  FROM g)
+SELECT n_rows, n_groups,
+       round(CASE WHEN (qt - st * st / n_rows)
+                       - (sb_term - st * st / n_rows) > 0
+                   AND n_groups > 1 AND n_rows - n_groups > 0 THEN
+               ((sb_term - st * st / n_rows) / (n_groups - 1))
+               / (((qt - st * st / n_rows)
+                   - (sb_term - st * st / n_rows))
+                  / (n_rows - n_groups)) END, 6) AS f_stat,
+       round(CASE WHEN (qt - st * st / n_rows) > 0 THEN
+               (sb_term - st * st / n_rows)
+               / (qt - st * st / n_rows) END, 6) AS eta_sq,
+       round(sb_term - st * st / n_rows, 6) AS ss_between,
+       round((qt - st * st / n_rows)
+             - (sb_term - st * st / n_rows), 6) AS ss_within
+FROM agg
+""",
+        "en_rules_mcnemar": f"""
+WITH base AS (
+  SELECT
+    CASE WHEN round(len(list_filter({_DUCK_TOKS},
+                  x -> list_contains([{_EN_MARKERS}], x)))
+           / greatest(len({_DUCK_TOKS}), 1), 6) > 0.05
+         THEN 1 ELSE 0 END AS a_pred,
+    CASE WHEN list_contains({_DUCK_TOKS}, 'the')
+         THEN 1 ELSE 0 END AS b_pred,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a_pred = y AND b_pred = y
+                  THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+         CAST(sum(CASE WHEN a_pred <> y AND b_pred <> y
+                  THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong,
+         CAST(sum(CASE WHEN a_pred = y AND b_pred <> y
+                  THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+         CAST(sum(CASE WHEN a_pred <> y AND b_pred = y
+                  THEN 1 ELSE 0 END) AS BIGINT) AS only_b
+  FROM base)
+SELECT n, both_right, both_wrong, only_a, only_b,
+       round(CASE WHEN only_a + only_b > 0 THEN
+           (CAST(only_a AS DOUBLE) - CAST(only_b AS DOUBLE))
+           * (CAST(only_a AS DOUBLE) - CAST(only_b AS DOUBLE))
+           / (CAST(only_a AS DOUBLE) + CAST(only_b AS DOUBLE))
+         END, 6) AS chi2
+FROM m
+""",
         "event_type_value_anova": rf"""
 WITH g AS (
   SELECT event_type,

@@ -111,7 +111,7 @@ _FAMILIES = [
                   "corpus_mix")),
     ("quality-stats", ("psi", "drift", "anomal", "gesd", "benford", "t_test", "auc", "jsd", "dispersion", "runs_test", "ridge", "odds_mh", "kappa", "pettitt", "_bh", "partial_corr", "conformal", "hazard",
                        "z_test", "ks_test", "mann_whitney", "spearman", "anova", "bootstrap", "randomization", "log_rank", "kruskal", "durbin", "jarque", "grubbs", "friedman", "rmst", "hits", "hellinger", "cohens", "cvm", "_eb", "wasserstein", "cuped", "_did", "breusch", "best_split", "elasticity", "negbin",
-                       "chi2", "target_encoding", "quantile_norm", "ordinal",
+                       "chi2", "target_encoding", "quantile_norm", "ordinal", "mcnemar", "forsythe",
                        "trend", "cusum", "survival", "gumbel",
                        "linkage", "mutual", "diversity", "profile",
                        "quality", "contract", "reconcil", "freshness",

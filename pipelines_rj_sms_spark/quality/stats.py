@@ -1942,3 +1942,65 @@ def gesd_outliers(df: DataFrame, t_col: str, units_col: str,
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def brown_forsythe(df: DataFrame, group_col: str,
+                   value_col: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test for equal
+    variances across groups (public formula) — the assumption check
+    in FRONT of `one_way_anova` (whose F inflates under unequal
+    spreads), robust to non-normality because centers are medians:
+
+        W = one-way ANOVA F on z_gi = |x_gi − median_g|
+
+    Group medians are the exact interpolated percentile(0.5) (the
+    same engine-portable definition every quantile query here uses),
+    broadcast back; the deviations feed the det-quantized ANOVA
+    moments. Output = the ANOVA row over deviations:
+    (n_rows, n_groups, f_stat, eta_sq, ss_between, ss_within) @6dp.
+    """
+    med = (df.filter(F.col(value_col).isNotNull()
+                     & F.col(group_col).isNotNull())
+           .groupBy(group_col)
+           .agg(F.expr(f"percentile({value_col}, 0.5)")
+                .alias("_med")))
+    dev = (df.join(F.broadcast(med), group_col)
+           .select(F.col(group_col),
+                   F.abs(F.col(value_col) - F.col("_med"))
+                   .alias("_dev")))
+    return one_way_anova(dev, group_col, "_dev")
+
+
+def mcnemar_test(df: DataFrame, pred_a, pred_b, truth) -> DataFrame:
+    """McNemar's paired-classifier test (public formula) — "do two
+    rules disagree more in one direction than the other on the SAME
+    examples?", the right comparison when accuracies come from paired
+    predictions (a two-proportion z on the marginals is wrong there):
+
+        chi2 = (b − c)² / (b + c)
+
+    with b = A-right/B-wrong and c = A-wrong/B-right discordant
+    counts (continuity correction left off; both engines identical).
+    Pass boolean Column expressions. Exact integers end-to-end; one
+    conditional aggregation. One row: (n, both_right, both_wrong,
+    only_a, only_b, chi2) @6dp; NULL chi2 when b + c = 0.
+    """
+    a_ok = (pred_a == truth).cast("long")
+    b_ok = (pred_b == truth).cast("long")
+    m = df.agg(
+        F.count("*").alias("n"),
+        F.sum(a_ok * b_ok).alias("both_right"),
+        F.sum((1 - a_ok) * (1 - b_ok)).alias("both_wrong"),
+        F.sum(a_ok * (1 - b_ok)).alias("only_a"),
+        F.sum((1 - a_ok) * b_ok).alias("only_b"))
+    b = F.col("only_a").cast("double")
+    c = F.col("only_b").cast("double")
+    chi2 = F.when(F.col("only_a") + F.col("only_b") > 0,
+                  (b - c) * (b - c) / (b + c))
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("both_right").cast("bigint").alias("both_right"),
+        F.col("both_wrong").cast("bigint").alias("both_wrong"),
+        F.col("only_a").cast("bigint").alias("only_a"),
+        F.col("only_b").cast("bigint").alias("only_b"),
+        F.round(chi2, 6).alias("chi2"))

@@ -833,3 +833,36 @@ def test_gesd_unmasks_adjacent_outliers(spark):
     assert out[2]["r_stat"] > 3 and out[3]["r_stat"] < 3
     tiny = spark.createDataFrame([(0, 5), (1, 5)], ["t", "u"])
     assert gesd_outliers(tiny, "t", "u", k=2).collect() == []
+
+
+def test_brown_forsythe_unequal_spread_detected(spark):
+    """Same centers, one group 10x the spread: W (the deviation
+    ANOVA F) is large; identical spreads give F near 0."""
+    import random
+    from pipelines_rj_sms_spark.quality.stats import brown_forsythe
+    rng = random.Random(41)
+    rows = ([("tight", 100 + rng.randrange(-2, 3)) for _ in range(300)]
+            + [("wide", 100 + rng.randrange(-40, 41))
+               for _ in range(300)])
+    out = brown_forsythe(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v").collect()[0]
+    assert out["f_stat"] > 50
+    same = ([("a", 100 + rng.randrange(-5, 6)) for _ in range(300)]
+            + [("b", 200 + rng.randrange(-5, 6)) for _ in range(300)])
+    out2 = brown_forsythe(
+        spark.createDataFrame(same, ["g", "v"]), "g", "v").collect()[0]
+    assert out2["f_stat"] < 5
+
+
+def test_mcnemar_hand_cells(spark):
+    """Constructed paired predictions: b=3, c=1 -> chi2 = 4/4 = 1."""
+    from pyspark.sql import functions as F
+    from pipelines_rj_sms_spark.quality.stats import mcnemar_test
+    rows = ([(1, 1, 1)] * 5 + [(0, 0, 1)] * 2
+            + [(1, 0, 1)] * 3 + [(0, 1, 1)] * 1)
+    df = spark.createDataFrame(rows, ["a", "b", "y"])
+    out = mcnemar_test(df, F.col("a") == 1, F.col("b") == 1,
+                       F.col("y") == 1).collect()[0]
+    assert (out["both_right"], out["both_wrong"]) == (5, 2)
+    assert (out["only_a"], out["only_b"]) == (3, 1)
+    assert out["chi2"] == 1.0
