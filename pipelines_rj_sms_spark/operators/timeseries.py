@@ -821,3 +821,85 @@ def croston_forecast(df: DataFrame, t_col: str, y_col: str,
         F.round(F.when(ok, F.col("_f.x")), 6).alias("interval_hat"),
         F.round(F.when(ok, rate), 6).alias("croston_rate"),
         F.round(F.when(ok, F.lit(sba_f) * rate), 6).alias("sba_rate"))
+
+
+def hurst_rs(df: DataFrame, t_col: str, units_col: str,
+             window_sizes: tuple[int, ...] = (8, 16, 32, 64)) -> DataFrame:
+    """Hurst exponent by classical rescaled-range (R/S) analysis
+    (public method): long-memory diagnostic of a series — H ≈ 0.5
+    random walk, > 0.5 trending/persistent, < 0.5 mean-reverting —
+    the regime summary ACF lag plots only hint at.
+
+    For each window size w: split the indexed series into FULL
+    consecutive buckets, compute the range of cumulative deviations
+    R and the population σ per bucket, average ln(R/S) over buckets,
+    then H = slope of mean-ln(R/S) on ln(w).
+
+    Exactness: bucket deviations use the n-scaled-integer trick
+    (d = w·u − Σu, exact DECIMAL), so the running cumdev, its
+    max/min, and R are EXACT integers; R/S = R2/√(w·Σu²−S²) is one
+    fixed double expression; per-w means and the 4-point slope
+    det-quantize. Degenerate buckets (zero range or variance) drop
+    in both engines. Scale: the explode is |series|×|sizes| rows of
+    the COLLAPSED series; two hash aggs + one bucket window. Returns
+    one row per window size: (window, n_buckets, mean_log_rs, hurst)
+    @6dp with the slope repeated per row.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_sum
+
+    d38 = "decimal(38,0)"
+    sizes = [int(w) for w in window_sizes]
+    base = (df.select(F.col(t_col).alias("_t"),
+                      F.col(units_col).alias("_u"))
+            .withColumn("_i", F.row_number().over(
+                Window.orderBy("_t")) - 1))
+    ex = base.select(
+        "_i", "_u",
+        F.explode(F.array(*[F.lit(w) for w in sizes])).alias("_w"))
+    # explicit floor: Spark's double->int cast truncates but DuckDB's
+    # ROUNDS — floor() is the portable spelling (i >= 0 here)
+    ex = ex.withColumn("_b", F.floor(F.col("_i") / F.col("_w"))
+                       .cast("int"))
+    grp = (ex.groupBy("_w", "_b")
+           .agg(F.count("*").alias("_c"),
+                F.sum(F.col("_u").cast(d38)).cast(d38).alias("_s"),
+                F.sum((F.col("_u").cast(d38) * F.col("_u").cast(d38))
+                      .cast(d38)).cast(d38).alias("_q"))
+           .filter(F.col("_c") == F.col("_w")))
+    j = ex.join(grp, ["_w", "_b"])
+    d = (F.col("_w").cast(d38) * F.col("_u").cast(d38)
+         - F.col("_s")).cast(d38)
+    wc = (Window.partitionBy("_w", "_b").orderBy("_i")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = F.sum(d).over(wc)
+    per_b = (j.select("_w", "_b", "_s", "_q", cum.alias("_cum"))
+             .groupBy("_w", "_b")
+             .agg(F.max("_cum").alias("_mx"), F.min("_cum").alias("_mn"),
+                  F.max("_s").alias("_s2"), F.max("_q").alias("_q2")))
+    w_d = F.col("_w").cast(d38)
+    var_num = (w_d * F.col("_q2") - F.col("_s2") * F.col("_s2"))
+    r2 = (F.col("_mx") - F.col("_mn")).cast("double")
+    rs = r2 / F.sqrt(var_num.cast("double"))
+    ok = (F.col("_mx") > F.col("_mn")) & (var_num > 0)
+    log_rs = F.when(ok, F.log(rs))
+    per_w = (per_b.filter(ok)
+             .groupBy("_w")
+             .agg(F.count("*").alias("n_buckets"),
+                  (det_sum(log_rs)
+                   / F.count("*").cast("double")).alias("_mlr")))
+    x = F.log(F.col("_w").cast("double"))
+    fit = F.broadcast(per_w.agg(
+        F.count("*").alias("_k"),
+        det_sum(x).alias("_sx"), det_sum(F.col("_mlr")).alias("_sy"),
+        det_sum(x * x).alias("_sxx"),
+        det_sum(x * F.col("_mlr")).alias("_sxy")))
+    kd = F.col("_k").cast("double")
+    slope = F.when(
+        kd * F.col("_sxx") - F.col("_sx") * F.col("_sx") > 0,
+        (kd * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        / (kd * F.col("_sxx") - F.col("_sx") * F.col("_sx")))
+    return (per_w.crossJoin(fit)
+            .select(F.col("_w").cast("int").alias("window"),
+                    F.col("n_buckets").cast("bigint").alias("n_buckets"),
+                    F.round(F.col("_mlr"), 6).alias("mean_log_rs"),
+                    F.round(slope, 6).alias("hurst")))

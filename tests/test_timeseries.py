@@ -483,3 +483,24 @@ def test_hw_backtest_shape_and_perfect_series(spark):
     assert len(out) == 7
     for r in out:
         assert abs(r["forecast"] - r["a"]) < 0.5
+
+
+def test_hurst_white_noise_near_half_and_trend_near_one(spark):
+    """Seeded white noise gives H around 0.5 (R/S small-sample bias
+    runs high, so allow a wide band but well below the trending
+    case); a strong deterministic trend pushes H toward 1."""
+    import random
+    from pipelines_rj_sms_spark.operators.timeseries import hurst_rs
+    rng = random.Random(12)
+    noise = [(t, rng.randrange(0, 10000)) for t in range(512)]
+    out = hurst_rs(spark.createDataFrame(noise, ["t", "u"]),
+                   "t", "u").collect()
+    h_noise = out[0]["hurst"]
+    assert all(abs(r["hurst"] - h_noise) < 1e-9 for r in out)
+    assert 0.3 < h_noise < 0.75
+    trend = [(t, 100 * t + rng.randrange(0, 50)) for t in range(512)]
+    h_trend = hurst_rs(
+        spark.createDataFrame(trend, ["t", "u"]),
+        "t", "u").collect()[0]["hurst"]
+    assert h_trend > 0.9
+    assert h_trend > h_noise + 0.2
