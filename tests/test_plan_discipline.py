@@ -250,7 +250,15 @@ def test_every_query_plans_clean(spark):
                     "event_type_friedman",
                     # corpus-horizon row (KM construction) + k-row
                     # ranked-list full-outer under 1-row totals
-                    "signup_purchase_rmst", "retrieval_rbo_overlap"}
+                    "signup_purchase_rmst", "retrieval_rbo_overlap",
+                    # late-session-4 1-row scalar broadcasts:
+                    # per-round moment rows (GESD), the 4-point
+                    # log-log fit row (Hurst), the max-t horizon row
+                    # (backtest), the corpus vocab row (perplexity —
+                    # same LM-stats shape as doc_unigram_logprob)
+                    "daily_count_gesd_outliers", "daily_revenue_hurst",
+                    "revenue_forecast_backtest",
+                    "source_bigram_perplexity"}
     failures = []
     for name, fn in entry.queries().items():
         try:
