@@ -119,7 +119,7 @@ _FAMILIES = [
                        "fs_", "dp_", "calibration", "eval_report", "brier",
                        "correlations", "zipf", "entropy",
                        "compression")),
-    ("analytics-timeseries", ("twap", "ohlc", "interpolat", "gap_", "decomposition", "_acf", "lead_lag", "holt_winters", "ljung", "croston", "backtest", "hurst",
+    ("analytics-timeseries", ("twap", "ohlc", "interpolat", "gap_", "decomposition", "_acf", "lead_lag", "holt_winters", "ljung", "croston", "backtest", "hurst", "pacf", "mood",
                               "asof", "range_", "overlap",
                               "concurrent", "ewma", "seasonal",
                               "growth", "retention", "funnel", "rfm", "markov", "ltv",

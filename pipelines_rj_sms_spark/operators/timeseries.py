@@ -903,3 +903,83 @@ def hurst_rs(df: DataFrame, t_col: str, units_col: str,
                     F.col("n_buckets").cast("bigint").alias("n_buckets"),
                     F.round(F.col("_mlr"), 6).alias("mean_log_rs"),
                     F.round(slope, 6).alias("hurst")))
+
+
+class _SqlExpr:
+    """Tiny arithmetic-expression wrapper so ONE Python builder can
+    emit the identical Durbin-Levinson expression tree as Spark
+    Columns AND as oracle SQL text (parenthesized at every node, so
+    precedence can't diverge)."""
+
+    def __init__(self, s: str):
+        self.s = s
+
+    def __add__(self, o):
+        return _SqlExpr(f"({self.s} + {o.s})")
+
+    def __sub__(self, o):
+        return _SqlExpr(f"({self.s} - {o.s})")
+
+    def __mul__(self, o):
+        return _SqlExpr(f"({self.s} * {o.s})")
+
+    def __truediv__(self, o):
+        return _SqlExpr(f"({self.s} / {o.s})")
+
+
+def durbin_levinson_pacf(rhos: list, one) -> list:
+    """Partial autocorrelations φ_kk from autocorrelations ρ_1..ρ_m by
+    the Durbin-Levinson recursion (public formula), built SYMBOLICALLY:
+    ``rhos`` may be Spark Columns or _SqlExpr wrappers — the SAME
+    loop constructs the same tree for both engines, so every multiply
+    and divide happens in the same order and the results are
+    bit-identical given identical ρ inputs. ``one`` is the matching
+    1.0 literal. Returns [φ_11..φ_mm].
+    """
+    m = len(rhos)
+    pacf = [rhos[0]]
+    phi = [rhos[0]]
+    for k in range(2, m + 1):
+        num = rhos[k - 1]
+        den = one
+        for j in range(1, k):
+            num = num - phi[j - 1] * rhos[k - j - 1]
+            den = den - phi[j - 1] * rhos[j - 1]
+        pkk = num / den
+        phi = [phi[j - 1] - pkk * phi[k - 1 - j]
+               for j in range(1, k)] + [pkk]
+        pacf.append(pkk)
+    return pacf
+
+
+def pacf(df: DataFrame, t_col: str, units_col: str,
+         max_lag: int = 5) -> DataFrame:
+    """Sample partial autocorrelation function at lags 1..max_lag —
+    the AR-order diagnostic (PACF cuts off at p for an AR(p)) that
+    completes the ACF / Ljung-Box identification trio.
+
+    Composes :func:`autocorrelation` (exact integer ratios, 6dp-
+    pinned), pivots the ≤m ACF rows to one row, and applies the
+    symbolic Durbin-Levinson recursion (`durbin_levinson_pacf`) —
+    the same Python loop emits the oracle's SQL tree, so no engine
+    ever re-associates the arithmetic. Driver-free: the pivot is a
+    hash agg, the recursion is ONE projection. Returns (lag, acf,
+    pacf) @6dp rows; requires all m lags present (gapless collapsed
+    series), NULL pacf otherwise propagates naturally.
+    """
+    m = int(max_lag)
+    ac = autocorrelation(df, t_col, units_col, max_lag=m)
+    row = ac.agg(*[
+        F.max(F.when(F.col("lag") == k, F.col("acf")))
+        .alias(f"_r{k}") for k in range(1, m + 1)])
+    rhos = [F.col(f"_r{k}") for k in range(1, m + 1)]
+    pk = durbin_levinson_pacf(rhos, F.lit(1.0))
+    arr = F.array(*[
+        F.struct(F.lit(k).alias("lag"),
+                 F.col(f"_r{k}").alias("acf"),
+                 F.round(pk[k - 1], 6).alias("pacf"))
+        for k in range(1, m + 1)])
+    return (row.select(F.explode(arr).alias("_e"))
+            .select(F.col("_e.lag").alias("lag"),
+                    F.col("_e.acf").alias("acf"),
+                    F.col("_e.pacf").alias("pacf")))

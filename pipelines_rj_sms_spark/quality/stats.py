@@ -2004,3 +2004,34 @@ def mcnemar_test(df: DataFrame, pred_a, pred_b, truth) -> DataFrame:
         F.col("only_a").cast("bigint").alias("only_a"),
         F.col("only_b").cast("bigint").alias("only_b"),
         F.round(chi2, 6).alias("chi2"))
+
+
+def mood_median_test(df: DataFrame, group_col: str,
+                     value_col: str) -> DataFrame:
+    """Mood's median test (public formula) — "do the groups share a
+    median?": classify every value against the GLOBAL exact
+    interpolated median, drop ties (the standard convention), and run
+    the chi-square independence test on the k×2 (group, above/below)
+    table. The crudest-but-most-robust k-group location test — keeps
+    its nerve under heavy tails where ANOVA and even Kruskal-Wallis
+    lose power to outlier leverage.
+
+    One global percentile (broadcast row), one conditional flag, then
+    `quality/profile.chi2_independence`'s det-quantized cell fold.
+    Output = the chi2 row: (n_rows, n_a, n_b, dof, chi2, cramers_v)
+    — n_a = groups, n_b = 2 sides.
+    """
+    from pipelines_rj_sms_spark.quality.profile import (
+        chi2_independence)
+
+    med = F.broadcast(
+        df.filter(F.col(value_col).isNotNull())
+        .agg(F.expr(f"percentile({value_col}, 0.5)").alias("_med")))
+    flagged = (df.crossJoin(med)
+               .filter(F.col(value_col).isNotNull()
+                       & (F.col(value_col) != F.col("_med")))
+               .select(F.col(group_col),
+                       F.when(F.col(value_col) > F.col("_med"),
+                              F.lit("above")).otherwise(F.lit("below"))
+                       .alias("_side")))
+    return chi2_independence(flagged, group_col, "_side")

@@ -866,3 +866,20 @@ def test_mcnemar_hand_cells(spark):
     assert (out["both_right"], out["both_wrong"]) == (5, 2)
     assert (out["only_a"], out["only_b"]) == (3, 1)
     assert out["chi2"] == 1.0
+
+
+def test_mood_median_shifted_group_detected(spark):
+    """One group sits mostly above the global median: chi2 is large;
+    identically-distributed groups give a small statistic."""
+    import random
+    from pipelines_rj_sms_spark.quality.stats import mood_median_test
+    rng = random.Random(61)
+    rows = ([("lo", rng.randrange(0, 100)) for _ in range(300)]
+            + [("hi", rng.randrange(80, 180)) for _ in range(300)])
+    out = mood_median_test(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v").collect()[0]
+    assert out["chi2"] > 100
+    same = [("ab"[i % 2], rng.randrange(0, 100)) for i in range(600)]
+    out2 = mood_median_test(
+        spark.createDataFrame(same, ["g", "v"]), "g", "v").collect()[0]
+    assert out2["chi2"] < 10

@@ -504,3 +504,37 @@ def test_hurst_white_noise_near_half_and_trend_near_one(spark):
         "t", "u").collect()[0]["hurst"]
     assert h_trend > 0.9
     assert h_trend > h_noise + 0.2
+
+
+def test_pacf_ar1_cuts_off_after_lag_one(spark):
+    """An AR(1)-ish integer series: PACF lag 1 is large, lags 2+
+    shrink sharply (the identification signature); cross-checked
+    against an independent numpy Durbin-Levinson on the same
+    rounded ACF inputs."""
+    import random
+    import numpy as np
+    from pipelines_rj_sms_spark.operators.timeseries import pacf
+    rng = random.Random(8)
+    xs, x = [], 5000.0
+    for _ in range(400):
+        x = 0.7 * x + 0.3 * 5000 + rng.randrange(-500, 501)
+        xs.append(int(x))
+    df = spark.createDataFrame(list(enumerate(xs)), ["t", "u"])
+    out = {r["lag"]: r for r in pacf(df, "t", "u",
+                                     max_lag=4).collect()}
+    rho = [out[k]["acf"] for k in range(1, 5)]
+    # independent Durbin-Levinson replay
+    p = [rho[0]]
+    phi = [rho[0]]
+    for k in range(2, 5):
+        num = rho[k - 1] - sum(phi[j] * rho[k - 2 - j]
+                               for j in range(k - 1))
+        den = 1.0 - sum(phi[j] * rho[j] for j in range(k - 1))
+        pkk = num / den
+        phi = [phi[j] - pkk * phi[k - 2 - j]
+               for j in range(k - 1)] + [pkk]
+        p.append(pkk)
+    for k in range(1, 5):
+        assert abs(out[k]["pacf"] - p[k - 1]) < 1e-5
+    assert out[1]["pacf"] > 0.5
+    assert abs(out[2]["pacf"]) < 0.25
