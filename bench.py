@@ -111,7 +111,7 @@ _FAMILIES = [
                   "corpus_mix")),
     ("quality-stats", ("psi", "drift", "anomal", "gesd", "benford", "t_test", "auc", "jsd", "dispersion", "runs_test", "ridge", "odds_mh", "kappa", "pettitt", "_bh", "partial_corr", "conformal", "hazard",
                        "z_test", "ks_test", "mann_whitney", "spearman", "anova", "bootstrap", "randomization", "log_rank", "kruskal", "durbin", "jarque", "grubbs", "friedman", "rmst", "hits", "hellinger", "cohens", "cvm", "_eb", "wasserstein", "cuped", "_did", "breusch", "best_split", "elasticity", "negbin",
-                       "chi2", "target_encoding", "quantile_norm", "ordinal", "mcnemar", "forsythe",
+                       "chi2", "target_encoding", "quantile_norm", "ordinal", "mcnemar", "forsythe", "mood",
                        "trend", "cusum", "survival", "gumbel",
                        "linkage", "mutual", "diversity", "profile",
                        "quality", "contract", "reconcil", "freshness",
@@ -119,7 +119,7 @@ _FAMILIES = [
                        "fs_", "dp_", "calibration", "eval_report", "brier",
                        "correlations", "zipf", "entropy",
                        "compression")),
-    ("analytics-timeseries", ("twap", "ohlc", "interpolat", "gap_", "decomposition", "_acf", "lead_lag", "holt_winters", "ljung", "croston", "backtest", "hurst", "pacf", "mood",
+    ("analytics-timeseries", ("twap", "ohlc", "interpolat", "gap_", "decomposition", "_acf", "lead_lag", "holt_winters", "ljung", "croston", "backtest", "hurst", "pacf",
                               "asof", "range_", "overlap",
                               "concurrent", "ewma", "seasonal",
                               "growth", "retention", "funnel", "rfm", "markov", "ltv",
