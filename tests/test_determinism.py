@@ -302,10 +302,10 @@ def test_session4_stats_partition_invariant(spark):
     from pipelines_rj_sms_spark.operators.terms import (
         good_turing_richness, ranking_metrics, vocabulary_overlap)
     from pipelines_rj_sms_spark.operators.timeseries import (
-        croston_forecast, hurst_rs, ljung_box)
+        croston_forecast, hurst_rs, ljung_box, pacf)
     from pipelines_rj_sms_spark.quality.stats import (
         breusch_pagan, brown_forsythe, cohens_d, cramer_von_mises,
-        gesd_outliers, mcnemar_test,
+        gesd_outliers, mcnemar_test, mood_median_test,
         cuped_adjusted_means, diff_in_diff, durbin_watson,
         eb_shrunk_rates, friedman_test, grubbs_statistic,
         hellinger_distance, jarque_bera, negative_binomial_fit,
@@ -327,6 +327,7 @@ def test_session4_stats_partition_invariant(spark):
     inv(ser, lambda d: breusch_pagan(d, "t", "u"))
     inv(ser, lambda d: gesd_outliers(d, "t", "u", k=3))
     inv(ser, lambda d: hurst_rs(d, "t", "u", (8, 16, 32)))
+    inv(ser, lambda d: pacf(d, "t", "u", max_lag=4))
     inv(ser.withColumn("u", F.when(F.col("u") % 7 == 0, F.col("u"))
                        .otherwise(F.lit(0))),
         lambda d: croston_forecast(d, "t", "u"))
@@ -348,6 +349,7 @@ def test_session4_stats_partition_invariant(spark):
         lambda d: price_indexes(d, "per", "g", "v", "qu"))
     inv(grp, lambda d: cramer_von_mises(d, "g", "v", "a", "b"))
     inv(grp, lambda d: brown_forsythe(d, "g", "v"))
+    inv(grp, lambda d: mood_median_test(d, "g", "v"))
     inv(grp, lambda d: mcnemar_test(
         d, F.col("v") % 2 == 0, F.col("v") % 3 == 0,
         F.col("v") % 5 == 0))
