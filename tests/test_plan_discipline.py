@@ -258,7 +258,9 @@ def test_every_query_plans_clean(spark):
                     # same LM-stats shape as doc_unigram_logprob)
                     "daily_count_gesd_outliers", "daily_revenue_hurst",
                     "revenue_forecast_backtest",
-                    "source_bigram_perplexity"}
+                    "source_bigram_perplexity",
+                    # 1-row global-median broadcast (Mood side split)
+                    "event_type_mood_median"}
     failures = []
     for name, fn in entry.queries().items():
         try:
