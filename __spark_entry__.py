@@ -5913,7 +5913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # source_vocab_overlap, revenue_forecast_backtest,
         # monthly_fisher_price_index, cohort_ltv_curve,
         # daily_count_gesd_outliers, event_type_brown_forsythe,
-        # en_rules_mcnemar, daily_revenue_hurst — don't fit the
+        # en_rules_mcnemar, daily_revenue_hurst,
+        # event_type_mood_median, daily_revenue_pacf — don't fit the
         # 50-slot window this round; each is sweep-verified and
         # invariance-pinned, and they should HEAD the r7 changed
         # list)
