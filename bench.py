@@ -122,7 +122,7 @@ _FAMILIES = [
     ("analytics-timeseries", ("twap", "ohlc", "interpolat", "gap_", "decomposition", "_acf", "lead_lag", "holt_winters", "ljung", "croston", "backtest", "hurst", "pacf",
                               "asof", "range_", "overlap",
                               "concurrent", "ewma", "seasonal",
-                              "growth", "retention", "funnel", "rfm", "markov", "ltv",
+                              "growth", "retention", "funnel", "rfm", "markov", "ltv", "entropy_rate",
                               "attribution", "decomposition",
                               "concentration", "gini", "standardized", "fisher_price",
                               "geohash", "density", "nearest",

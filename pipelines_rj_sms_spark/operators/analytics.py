@@ -1349,3 +1349,60 @@ def cohort_ltv_curve(df: DataFrame, user_col: str, ts_col: str,
         F.round(F.col("_cum").cast("double")
                 / F.col("_size").cast("double"), 6)
         .alias("cum_value_per_user"))
+
+
+def markov_entropy_rate(df: DataFrame, seq_col: str, state_col: str,
+                        order_cols: list[str]) -> DataFrame:
+    """Empirical entropy rate of the first-order Markov chain over
+    per-key event sequences (public formula) — "how predictable is
+    the next event given the current one", the single-number summary
+    of the `markov_transitions` matrix:
+
+        H_rate = −Σ_ij (n_ij/N)·ln(n_ij/n_i·)
+        H_marg = −Σ_i (n_i·/N)·ln(n_i·/N)
+        predictability = 1 − H_rate/H_marg
+
+    (H_rate ≤ H_marg always; equality = next state independent of
+    current.) Same windowed pair construction as the transition
+    matrix; everything after runs on the ≤K² collapsed rollup with
+    exact integer rationals inside the ln and det-summed ≤K²
+    addends. One row: (n_transitions, n_states, entropy_rate,
+    marginal_entropy, predictability) @6dp.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_sum
+
+    w = Window.partitionBy(seq_col).orderBy(*order_cols)
+    pairs = (df.select(F.col(state_col).alias("_src"),
+                       F.lead(state_col).over(w).alias("_dst"))
+             .filter(F.col("_dst").isNotNull()))
+    rollup = (pairs.groupBy("_src", "_dst")
+              .agg(F.count("*").alias("_c")))
+    wsrc = Window.partitionBy("_src")
+    wall = Window.partitionBy(F.lit(1))
+    rollup = (rollup
+              .withColumn("_st", F.sum("_c").over(wsrc))
+              .withColumn("_n", F.sum("_c").over(wall)))
+    cd = F.col("_c").cast("double")
+    std = F.col("_st").cast("double")
+    nd = F.col("_n").cast("double")
+    rate_add = (cd / nd) * F.log(cd / std)
+    agg = rollup.agg(
+        F.max("_n").alias("n_transitions"),
+        F.count_distinct("_src").alias("_ks"),
+        det_sum(rate_add).alias("_hr"))
+    srcs = (rollup.groupBy("_src")
+            .agg(F.max("_st").alias("_st2"), F.max("_n").alias("_n2")))
+    sd2 = F.col("_st2").cast("double")
+    nd2 = F.col("_n2").cast("double")
+    marg = F.broadcast(srcs.agg(
+        det_sum((sd2 / nd2) * F.log(sd2 / nd2)).alias("_hm")))
+    out = agg.crossJoin(marg)
+    hr = -F.col("_hr")
+    hm = -F.col("_hm")
+    return out.select(
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        F.col("_ks").cast("int").alias("n_states"),
+        F.round(hr, 6).alias("entropy_rate"),
+        F.round(hm, 6).alias("marginal_entropy"),
+        F.round(F.when(hm > 0, F.lit(1.0) - hr / hm), 6)
+        .alias("predictability"))

@@ -436,3 +436,25 @@ def test_cohort_ltv_cumulates_per_user(spark):
     assert out[(jan, 0)]["cum_value_per_user"] == 50.0
     assert out[(jan, 1)]["cum_value_per_user"] == 75.0
     assert out[(jan + 1, 0)]["cum_value_per_user"] == 30.0
+
+
+def test_markov_entropy_deterministic_vs_independent(spark):
+    """A strictly alternating chain (a->b->a->...) has entropy rate 0
+    and predictability 1; an i.i.d.-ish chain has rate close to its
+    marginal entropy (predictability near 0)."""
+    import math
+    import random
+    from pipelines_rj_sms_spark.operators.analytics import (
+        markov_entropy_rate)
+    alt = [(1, t, t, "ab"[t % 2]) for t in range(200)]
+    df = spark.createDataFrame(alt, ["u", "ts", "eid", "s"])
+    out = markov_entropy_rate(df, "u", "s", ["ts", "eid"]).collect()[0]
+    assert out["entropy_rate"] == 0.0
+    assert out["predictability"] == 1.0
+    assert abs(out["marginal_entropy"] - math.log(2)) < 0.01
+    rng = random.Random(77)
+    iid = [(1, t, t, "abcd"[rng.randrange(4)]) for t in range(4000)]
+    out2 = markov_entropy_rate(
+        spark.createDataFrame(iid, ["u", "ts", "eid", "s"]),
+        "u", "s", ["ts", "eid"]).collect()[0]
+    assert abs(out2["predictability"]) < 0.02

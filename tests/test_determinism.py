@@ -296,7 +296,7 @@ def test_session4_stats_partition_invariant(spark):
                                                         link_prediction)
     from pipelines_rj_sms_spark.operators.analytics import (
         attribution_credits, cohort_ltv_curve, loglog_elasticity,
-        price_indexes)
+        markov_entropy_rate, price_indexes)
     from pipelines_rj_sms_spark.operators.features import (
         best_split_binary)
     from pipelines_rj_sms_spark.operators.terms import (
@@ -393,6 +393,10 @@ def test_session4_stats_partition_invariant(spark):
     inv(ev.withColumn("vc", (F.col("u") * 10).cast("long"))
         .withColumn("mts", F.col("ts")),
         lambda d: cohort_ltv_curve(d, "u", "ts", "vc"))
+    seqdf = spark.createDataFrame(
+        [(rng.randrange(0, 30), t, "abcde"[rng.randrange(5)])
+         for t in range(3000)], ["u", "t", "s"])
+    inv(seqdf, lambda d: markov_entropy_rate(d, "u", "s", ["t"]))
     inv(ev, lambda d: attribution_credits(
         d, "u", "ts", "e", conversion_events=["purchase"],
         touch_events=["view", "click", "signup"], model="position"))

@@ -260,7 +260,10 @@ def test_every_query_plans_clean(spark):
                     "revenue_forecast_backtest",
                     "source_bigram_perplexity",
                     # 1-row global-median broadcast (Mood side split)
-                    "event_type_mood_median"}
+                    "event_type_mood_median",
+                    # 1-row marginal-entropy broadcast under the K²
+                    # transition rollup
+                    "event_markov_entropy"}
     failures = []
     for name, fn in entry.queries().items():
         try:
