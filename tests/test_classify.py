@@ -1,5 +1,10 @@
 import math
 
+
+def _pin(x):
+    # mirror of functions/numeric.det_log_units: 1e-6-grid pinned ln
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
 from pyspark.sql import functions as F
 
 from pipelines_rj_sms_spark.operators.classify import (
@@ -21,11 +26,11 @@ def test_nb_train_model_shapes(spark):
     terms, classes = nb_train(df, "label", "text")
     c = {r["label"]: r.asDict() for r in classes.collect()}
     assert set(c) == {"spam", "ham"}
-    # equal priors: ln(2/4)
-    assert abs(c["spam"]["ln_prior"] - math.log(0.5)) < 1e-12
+    # equal priors: ln(2/4), pinned to the shared 1e-6 grid
+    assert c["spam"]["ln_prior"] == _pin(math.log(0.5))
     t = {(r["label"], r["term"]): r["lw"] for r in terms.collect()}
-    # "cheap" appears 3x in spam -> ln(4)
-    assert abs(t[("spam", "cheap")] - math.log(4.0)) < 1e-12
+    # "cheap" appears 3x in spam -> ln(4), pinned
+    assert t[("spam", "cheap")] == _pin(math.log(4.0))
     assert ("ham", "cheap") not in t
 
 
@@ -43,10 +48,12 @@ def test_nb_score_matches_hand_computation(spark):
                 "project review meeting tomorrow").split()
     vocab = len(set(toks_spam) | set(toks_ham))
     denom = len(toks_spam) + vocab
-    expect = math.log(0.5)
+    # hand model replays the engine's pinned-ln decomposition:
+    # ln p(t|c) = lw - ln_denom with each ln pinned at 1e-6
+    expect = _pin(math.log(0.5)) - 4 * _pin(math.log(denom))
     for tok in "cheap pills cheap offer".split():
-        expect += math.log((toks_spam.count(tok) + 1) / denom)
-    assert abs(got[(2, "spam")] - round(expect, 6)) < 1e-6
+        expect += _pin(math.log(toks_spam.count(tok) + 1))
+    assert abs(got[(2, "spam")] - round(expect, 6)) < 2e-6
 
 
 def test_nb_predict_separates_classes(spark):

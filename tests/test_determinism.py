@@ -413,3 +413,49 @@ def test_session4_stats_partition_invariant(spark):
     inv(edges, lambda d: link_prediction(d))
     inv(edges, lambda d: hits(d, n_iter=2, edges_distinct=True)[0])
     inv(edges, lambda d: hits(d, n_iter=2, edges_distinct=True)[1])
+
+
+# --- round 7: pinned-transcendental flip-surface certification ---------
+#
+# det_sum removes combine-order dependence but NOT cross-engine libm
+# divergence: ln() may differ by 1 ulp between the JVM and DuckDB's C
+# libm, and when the addend is tf * ln(p) the ulp is amplified by
+# tf*scale before the floor — the r6 driver-red class on
+# doc_{uni,bi}gram_logprob. The fix pins ln(p) itself to a 1e-6 grid
+# (functions/numeric.det_log_units) before the multiply. These tests
+# certify, on the actual test corpus, that every pinned value sits far
+# enough from an integer grid boundary that a 1-ulp ln divergence
+# (~1e-9 in grid units for |ln|~30) cannot flip the floor.
+
+@needs_data
+def test_unigram_pinned_ln_margin(spark):
+    """Every distinct unigram model ln(p), pinned at 1e6, must sit
+    > 1e-6 grid-units from the nearest integer — >100× the worst
+    1-ulp cross-engine ln divergence."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pipelines_rj_sms_spark.functions.text import tokens
+    toks = _docs(spark).select(F.explode(tokens("text")).alias("term"))
+    cnt = toks.groupBy("term").agg(F.count("*").alias("ct"))
+    tot, vocab = cnt.agg(F.sum("ct"), F.count("*")).first()
+    vals = {r[0] for r in cnt.select("ct").distinct().collect()}
+    for ct in vals:
+        v = math.log((ct + 1.0) / (float(tot) + float(vocab))) * 1e6 + 0.5
+        margin = abs(v - round(v))
+        assert margin > 1e-6, (ct, margin)
+
+
+@needs_data
+def test_det_log_units_ulp_immune(spark):
+    """Perturbing the ln input by ±1 ulp must not change the pinned
+    BIGINT unit for the corpus's model probabilities."""
+    import math
+
+    vals = [(ct + 1.0) / 60000.0 for ct in range(1, 2000)]
+    for p in vals:
+        base = math.floor(math.log(p) * 1e6 + 0.5)
+        for sign in (1, -1):
+            pert = math.log(math.nextafter(p, sign * math.inf))
+            assert math.floor(pert * 1e6 + 0.5) == base, p
