@@ -109,6 +109,10 @@ _FAMILIES = [
     ("streaming", ("stream", "replay", "session", "cdc", "dedup_user")),
     ("sampling", ("sample", "split", "kfold", "packing", "budget",
                   "corpus_mix")),
+    # markov/entropy-rate queries are timeseries-family; matched BEFORE
+    # quality-stats so its bare "entropy" substring can't claim them
+    # (first match wins — same family name, just earlier precedence)
+    ("analytics-timeseries", ("markov", "entropy_rate")),
     ("quality-stats", ("psi", "drift", "anomal", "gesd", "benford", "t_test", "auc", "jsd", "dispersion", "runs_test", "ridge", "odds_mh", "kappa", "pettitt", "_bh", "partial_corr", "conformal", "hazard",
                        "z_test", "ks_test", "mann_whitney", "spearman", "anova", "bootstrap", "randomization", "log_rank", "kruskal", "durbin", "jarque", "grubbs", "friedman", "rmst", "hits", "hellinger", "cohens", "cvm", "_eb", "wasserstein", "cuped", "_did", "breusch", "best_split", "elasticity", "negbin",
                        "chi2", "target_encoding", "quantile_norm", "ordinal", "mcnemar", "forsythe", "mood",

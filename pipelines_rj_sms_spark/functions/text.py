@@ -343,7 +343,7 @@ def char_entropy(col: Column | str) -> Column:
     so the value is bit-identical in any engine; ties in nothing,
     order in nothing. Empty/null texts yield null.
     """
-    from pipelines_rj_sms_spark.functions.numeric import DET_SCALE
+    from pipelines_rj_sms_spark.functions.numeric import LOG_SCALE
     c = F.col(col) if isinstance(col, str) else col
     chars = F.filter(F.split(c, ""), lambda x: x != F.lit(""))
 
@@ -351,9 +351,14 @@ def char_entropy(col: Column | str) -> Column:
         n = F.size(ch)
 
         def term(u):
-            cnt = F.size(F.filter(ch, lambda x: x == u)).cast("double")
-            return F.floor(cnt * F.log(cnt)
-                           * F.lit(float(DET_SCALE)) + F.lit(0.5))
+            # cnt * pinned-ln(cnt): ln pinned to the shared 1e-6 grid
+            # BEFORE the count multiply, so a cross-engine libm ulp
+            # cannot be amplified past a quantization boundary
+            # (functions/numeric.py "pinned transcendental values")
+            cnt = F.size(F.filter(ch, lambda x: x == u))
+            lnp = F.floor(F.log(cnt.cast("double"))
+                          * F.lit(float(LOG_SCALE)) + F.lit(0.5))
+            return cnt.cast("long") * lnp
 
         su = F.aggregate(
             F.transform(F.array_distinct(ch), term),
@@ -361,6 +366,6 @@ def char_entropy(col: Column | str) -> Column:
         return F.when(
             n > 0,
             F.log(n.cast("double"))
-            - (su.cast("double") / float(DET_SCALE)) / n)
+            - (su.cast("double") / float(LOG_SCALE)) / n)
 
     return _bind(chars, _h)

@@ -606,9 +606,15 @@ def survival_curve(df: DataFrame, duration_col: str, event_col: str,
     frame = joined.withColumn("n_at_risk", at_risk)
     dead = (F.col("n_events") >= F.col("n_at_risk")).cast("int")
     wc = wo.rowsBetween(Window.unboundedPreceding, 0)
-    ln_term = F.when(F.col("n_events") < F.col("n_at_risk"),
-                     F.log(1.0 - F.col("n_events")
-                           / F.col("n_at_risk"))).otherwise(F.lit(0.0))
+    from pipelines_rj_sms_spark.functions.numeric import (LOG_SCALE,
+                                                          det_log_units)
+    # ln pinned to the 1e-6 grid (functions/numeric.py "pinned
+    # transcendental values"): libm ln may differ in the last ulp
+    # across engines; the pin keeps the cumsum addends bit-identical
+    ln_term = F.when(
+        F.col("n_events") < F.col("n_at_risk"),
+        det_log_units(1.0 - F.col("n_events") / F.col("n_at_risk"))
+        / F.lit(float(LOG_SCALE))).otherwise(F.lit(0.0))
     # quantize the ln terms before the window cumsum: the frame's
     # addition order is engine-internal (sequential vs segment-tree),
     # so a raw double cumsum can differ in the last ulp across engines;
@@ -1234,12 +1240,19 @@ def loglog_elasticity(df: DataFrame, qty_col: str, price_col: str,
     One hash aggregation per key. Returns (keys..., n, elasticity,
     r_squared) @6dp; NULL when var(x) or var(y) is 0.
     """
-    from pipelines_rj_sms_spark.functions.numeric import det_sum
+    from pipelines_rj_sms_spark.functions.numeric import (LOG_SCALE,
+                                                          det_log_units,
+                                                          det_sum)
 
     keys = list(key_cols or [])
     ok = (F.col(qty_col) > 0) & (F.col(price_col) > 0)
-    x = F.log(F.col(price_col).cast("double"))
-    y = F.log(F.col(qty_col).cast("double"))
+    # ln pinned to the 1e-6 grid: the moments det-sum ~n ln-products
+    # where a cross-engine libm ulp would be amplified by the 1e9
+    # quantizer (functions/numeric.py "pinned transcendental values")
+    x = (det_log_units(F.col(price_col).cast("double"))
+         / F.lit(float(LOG_SCALE)))
+    y = (det_log_units(F.col(qty_col).cast("double"))
+         / F.lit(float(LOG_SCALE)))
     agg = (df.filter(ok).groupBy(*keys).agg(
         F.count("*").alias("n"),
         det_sum(x).alias("_sx"), det_sum(y).alias("_sy"),
@@ -1369,7 +1382,9 @@ def markov_entropy_rate(df: DataFrame, seq_col: str, state_col: str,
     addends. One row: (n_transitions, n_states, entropy_rate,
     marginal_entropy, predictability) @6dp.
     """
-    from pipelines_rj_sms_spark.functions.numeric import det_sum
+    from pipelines_rj_sms_spark.functions.numeric import (LOG_SCALE,
+                                                          det_log_units,
+                                                          det_sum)
 
     w = Window.partitionBy(seq_col).orderBy(*order_cols)
     pairs = (df.select(F.col(state_col).alias("_src"),
@@ -1385,7 +1400,10 @@ def markov_entropy_rate(df: DataFrame, seq_col: str, state_col: str,
     cd = F.col("_c").cast("double")
     std = F.col("_st").cast("double")
     nd = F.col("_n").cast("double")
-    rate_add = (cd / nd) * F.log(cd / std)
+    # ln pinned to the 1e-6 grid before the probability multiply
+    # (functions/numeric.py "pinned transcendental values")
+    rate_add = (cd / nd) * (det_log_units(cd / std)
+                            / F.lit(float(LOG_SCALE)))
     agg = rollup.agg(
         F.max("_n").alias("n_transitions"),
         F.count_distinct("_src").alias("_ks"),
@@ -1395,7 +1413,8 @@ def markov_entropy_rate(df: DataFrame, seq_col: str, state_col: str,
     sd2 = F.col("_st2").cast("double")
     nd2 = F.col("_n2").cast("double")
     marg = F.broadcast(srcs.agg(
-        det_sum((sd2 / nd2) * F.log(sd2 / nd2)).alias("_hm")))
+        det_sum((sd2 / nd2) * (det_log_units(sd2 / nd2)
+                               / F.lit(float(LOG_SCALE)))).alias("_hm")))
     out = agg.crossJoin(marg)
     hr = -F.col("_hr")
     hm = -F.col("_hm")

@@ -778,6 +778,9 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     from pipelines_rj_sms_spark.functions.numeric import det_sum
     from pipelines_rj_sms_spark.operators.cache import track
 
+    if n_iter < 1:
+        raise ValueError("hits() needs n_iter >= 1 (the authorities "
+                         "frame only exists after a half-step)")
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     if not edges_distinct:
         e = e.distinct()

@@ -194,6 +194,25 @@ def decode_jpeg(content: bytes):
                 scan[cs] = (tdta >> 4, tdta & 0xF)
             if frame is None:
                 raise ValueError("SOS before SOF")
+            # clean gates instead of raw KeyErrors mid-decode: every
+            # frame component must appear in this scan (a scan subset
+            # = non-interleaved multi-scan baseline, which this
+            # single-scan decoder doesn't implement), and every
+            # referenced Huffman/quant table must have been defined
+            for c in frame["comps"]:
+                if c["id"] not in scan:
+                    raise NotImplementedError(
+                        "non-interleaved scan (component "
+                        f"{c['id']} absent from SOS)")
+                td, ta = scan[c["id"]]
+                if (0, td) not in huff or (1, ta) not in huff:
+                    raise ValueError(
+                        f"SOS references undefined Huffman table "
+                        f"(dc={td}, ac={ta})")
+                if c["tq"] not in qt:
+                    raise ValueError(
+                        f"frame references undefined quant table "
+                        f"{c['tq']}")
             return _decode_scan(data, pos + seg_len, frame, scan, qt,
                                 huff, restart_interval)
         pos += seg_len

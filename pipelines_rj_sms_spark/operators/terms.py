@@ -295,9 +295,16 @@ def zipf_fit(df: DataFrame, text_col: str,
 
     ranked_ids = dense_global_ids(
         cnt.withColumn("_nc", -F.col("c")), ["_nc", "t"], id_col="_rk")
+    # ln(rank)/ln(freq) pinned to the 1e-6 grid: the OLS co-moments
+    # det-sum ~|V| ln-products, where a cross-engine libm ulp would be
+    # amplified by the 1e9 quantizer (functions/numeric.py)
+    from pipelines_rj_sms_spark.functions.numeric import (LOG_SCALE,
+                                                          det_log_units)
     ranked = ranked_ids.select(
-        F.log((F.col("_rk") + 1).cast("double")).alias("lr"),
-        F.log(F.col("c").cast("double")).alias("lf"))
+        (det_log_units((F.col("_rk") + 1).cast("double"))
+         / F.lit(float(LOG_SCALE))).alias("lr"),
+        (det_log_units(F.col("c").cast("double"))
+         / F.lit(float(LOG_SCALE))).alias("lf"))
     from pipelines_rj_sms_spark.functions.numeric import det_sum_big
     from pipelines_rj_sms_spark.operators.cache import track
 
@@ -461,7 +468,9 @@ def ranking_metrics(df: DataFrame, query_col: str, id_col: str,
     hits = F.sum((F.col("_rel") > 0).cast("long")).over(wc)
     top = base.filter(F.col("_rk") <= k).select(
         "_q", "_rel", "_rk",
-        (gain_num / F.log(F.col("_rk").cast("double") + 1.0))
+        # discount ln pinned to the 1e-6 grid (functions/numeric.py)
+        (gain_num / (det_log_units(F.col("_rk").cast("double") + 1.0)
+                     / F.lit(float(LOG_SCALE))))
         .alias("_gain"),
         F.when(F.col("_rel") > 0,
                hits.cast("double") / F.col("_rk").cast("double"))
@@ -473,7 +482,8 @@ def ranking_metrics(df: DataFrame, query_col: str, id_col: str,
     itop = base.filter(F.col("_irk") <= k)
     idcg = itop.groupBy("_q").agg(
         det_sum(gain_num
-                / F.log(F.col("_irk").cast("double") + 1.0))
+                / (det_log_units(F.col("_irk").cast("double") + 1.0)
+                   / F.lit(float(LOG_SCALE))))
         .alias("_idcg"))
     out = (per_q.join(dcg, "_q").join(idcg, "_q"))
     r_base = F.least(F.col("n_relevant"), F.lit(k)).cast("double")

@@ -192,5 +192,8 @@ def t_closeness_report(df: DataFrame, quasi_cols: list[str],
                            det_sum(F.col("_t"))
                            / (F.first("_m") - 1))
                     .otherwise(F.lit(0.0)), 6).alias("emd")))
-    return (out.withColumn("violates", F.col("emd") > F.lit(float(t)))
-            .orderBy(*quasi_cols))
+    from pipelines_rj_sms_spark.operators.cache import track
+    return track(
+        out.withColumn("violates", F.col("emd") > F.lit(float(t)))
+        .orderBy(*quasi_cols),
+        joint)

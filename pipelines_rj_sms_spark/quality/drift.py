@@ -56,6 +56,9 @@ def psi_report(expected: DataFrame, actual: DataFrame, value_col: str,
                 .select("bucket",
                         (F.col("_n") / F.col("_tot")).alias(alias)))
 
+    from pipelines_rj_sms_spark.functions.numeric import (
+        LOG_SCALE, det_log_units)
+
     e = shares(expected, "expected_share")
     a = shares(actual, "actual_share")
     pe = F.greatest(F.coalesce("expected_share", F.lit(0.0)),
@@ -68,4 +71,7 @@ def psi_report(expected: DataFrame, actual: DataFrame, value_col: str,
                 .alias("expected_share"),
                 F.coalesce("actual_share", F.lit(0.0))
                 .alias("actual_share"),
-                ((pa - pe) * F.log(pa / pe)).alias("psi_contrib")))
+                # ln pinned to the 1e-6 grid (functions/numeric.py)
+                ((pa - pe) * (det_log_units(pa / pe)
+                              / F.lit(float(LOG_SCALE))))
+                .alias("psi_contrib")))

@@ -148,7 +148,12 @@ def mutual_information(df: DataFrame, col_a: str,
     pij = F.col("_n") / tot
     pi = F.sum("_n").over(wa) / tot
     pj = F.sum("_n").over(wb) / tot
-    contrib = pij * F.log(pij / (pi * pj))
+    # ln pinned to the 1e-6 grid before the p_ij multiply
+    # (functions/numeric.py "pinned transcendental values")
+    from pipelines_rj_sms_spark.functions.numeric import (LOG_SCALE,
+                                                          det_log_units)
+    contrib = pij * (det_log_units(pij / (pi * pj))
+                     / F.lit(float(LOG_SCALE)))
     # det_sum: the MI contributions are computed doubles summed across
     # partitions — quantized accumulation keeps the single-row output
     # identical under any combine order (functions/numeric.py)
@@ -311,6 +316,13 @@ def diversity_report(df, group_cols: list[str], category_col: str):
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    from pipelines_rj_sms_spark.functions.numeric import (LOG_SCALE,
+                                                          det_log_units)
+
+    def _pln(x):
+        return det_log_units(x) / F.lit(float(LOG_SCALE))
+
     gcols = [F.col(c) for c in group_cols]
     joint = df.groupBy(*gcols, F.col(category_col).alias("_cat")).agg(
         F.count("*").alias("_n"))
@@ -322,14 +334,16 @@ def diversity_report(df, group_cols: list[str], category_col: str):
             .groupBy(*gcols)
             .agg(F.sum("_n").cast("bigint").alias("n_rows"),
                  F.count("*").alias("n_categories"),
-                 # det_sum on every p-term: order-independent under
-                 # partial aggregation (functions/numeric.py)
-                 F.round(det_sum(-F.col("_p") * F.log("_p")), 6)
+                 # det_sum on every p-term, with each ln pinned to the
+                 # 1e-6 grid (functions/numeric.py "pinned
+                 # transcendental values") — order-independent AND
+                 # cross-engine-libm-proof
+                 F.round(det_sum(-F.col("_p") * _pln(F.col("_p"))), 6)
                  .alias("entropy"),
                  F.round(F.when(
                      F.count("*") > 1,
-                     det_sum(-F.col("_p") * F.log("_p"))
-                     / F.log(F.count("*").cast("double")))
+                     det_sum(-F.col("_p") * _pln(F.col("_p")))
+                     / _pln(F.count("*").cast("double")))
                      .otherwise(F.lit(0.0)), 6)
                  .alias("entropy_normalized"),
                  F.round(det_sum(F.col("_p") * F.col("_p")), 6)

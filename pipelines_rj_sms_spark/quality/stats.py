@@ -600,10 +600,15 @@ def jensen_shannon_divergence(df: DataFrame, group_col: str,
     p = F.col("_ca").cast("double") / F.col("_na").cast("double")
     q = F.col("_cb").cast("double") / F.col("_nb").cast("double")
     m = (p + q) / F.lit(2.0)
+    # ln pinned to the 1e-6 grid (functions/numeric.py "pinned
+    # transcendental values")
+    from pipelines_rj_sms_spark.functions.numeric import (LOG_SCALE,
+                                                          det_log_units)
+    _pln = lambda x: det_log_units(x) / F.lit(float(LOG_SCALE))
     term = (F.when(F.col("_ca") > 0,
-                   F.lit(0.5) * p * F.log(p / m)).otherwise(F.lit(0.0))
+                   F.lit(0.5) * p * _pln(p / m)).otherwise(F.lit(0.0))
             + F.when(F.col("_cb") > 0,
-                     F.lit(0.5) * q * F.log(q / m))
+                     F.lit(0.5) * q * _pln(q / m))
             .otherwise(F.lit(0.0)))
     return (base
             .withColumn("share_a", F.round(p, 6))
@@ -941,20 +946,27 @@ def uncertainty_coefficient(df: DataFrame, x_col: str,
     denominator entropy is 0 (constant column).
     """
     c = F.col("_c")
-    clnc = c.cast("double") * F.log(c.cast("double"))
+    # c * pinned-ln(c): ln pinned to the shared 1e-6 grid BEFORE the
+    # count multiply (a raw c*ln(c) addend amplifies a cross-engine
+    # libm ulp by c*scale — functions/numeric.py "pinned
+    # transcendental values"); decimal(38,0) accumulator survives
+    # margin counts ~N at 100 TB scale
+    from pipelines_rj_sms_spark.functions.numeric import LOG_SCALE
+    clnc_u = (c.cast("long")
+              * F.floor(F.log(c.cast("double"))
+                        * F.lit(float(LOG_SCALE)) + F.lit(0.5)))
+    _pin_sum = (lambda: F.sum(clnc_u.cast("decimal(38,0)"))
+                .cast("double") / float(LOG_SCALE))
     cells = (df.groupBy(F.col(x_col).alias("_x"),
                         F.col(y_col).alias("_y"))
              .agg(F.count("*").alias("_c")))
     tot = cells.agg(
         F.sum("_c").cast("bigint").alias("n"),
-        (F.sum(det_units(clnc)).cast("double")
-         / float(DET_SCALE)).alias("_sxy"))
+        _pin_sum().alias("_sxy"))
     mx = (cells.groupBy("_x").agg(F.sum("_c").alias("_c"))
-          .agg((F.sum(det_units(clnc)).cast("double")
-                / float(DET_SCALE)).alias("_sx")))
+          .agg(_pin_sum().alias("_sx")))
     my = (cells.groupBy("_y").agg(F.sum("_c").alias("_c"))
-          .agg((F.sum(det_units(clnc)).cast("double")
-                / float(DET_SCALE)).alias("_sy")))
+          .agg(_pin_sum().alias("_sy")))
     out = tot.join(F.broadcast(mx)).join(F.broadcast(my))
     nd = F.col("n").cast("double")
     h_x = F.log(nd) - F.col("_sx") / nd

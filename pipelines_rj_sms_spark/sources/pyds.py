@@ -340,15 +340,21 @@ class _AvroCommitWriter(DataSourceWriter):
         import shutil
 
         staging = os.path.join(self.path, "_staging")
-        if self.overwrite:
-            for old in os.listdir(self.path):
-                if old.endswith(".avro"):
-                    os.remove(os.path.join(self.path, old))
+        # crash-safety ordering: publish the staged files FIRST, delete
+        # stale ones LAST — a driver crash mid-commit then leaves a
+        # superset (old + new files) rather than a truncated table.
+        # (The jsonl sink's _SUCCESS manifest is the stronger protocol;
+        # avro readers key on file presence, so ordering is the guard.)
+        stale = ({f for f in os.listdir(self.path) if f.endswith(".avro")}
+                 if self.overwrite else set())
         for m in messages:
             if m is None:
                 continue
             os.replace(os.path.join(staging, m.fname),
                        os.path.join(self.path, m.fname))
+            stale.discard(m.fname)
+        for old in stale:
+            os.remove(os.path.join(self.path, old))
         shutil.rmtree(staging, ignore_errors=True)
 
     def abort(self, messages) -> None:
