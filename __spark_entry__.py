@@ -644,6 +644,17 @@ def _pin_ln(x: str) -> str:
 _PIN = 1000000.0  # LOG_SCALE mirror: 1e-6 pinned-ln grid
 
 
+def _grid_mean(s: str, n: str) -> str:
+    """DuckDB mirror of functions/numeric.grid_mean — exact integer
+    half-away-from-zero rounding of a pinned-grid-unit sum divided by a
+    count, emitted as DOUBLE units/1e6. Replaces round(S/(1e6*n), 6) on
+    a double: the pin grid manufactures exact .5e-6 rounding ties
+    (whenever 2S/n is odd) that Spark's HALF_UP and DuckDB's float
+    round() resolve differently (VERDICT r7 #1)."""
+    from pipelines_rj_sms_spark.functions.numeric import grid_mean_sql
+    return grid_mean_sql(s, n)
+
+
 def _det_sum_s(x: str, scale: int) -> str:
     """det_sum mirror at an explicit quantization scale — for sums
     whose addends exceed the default 1e9-unit capacity bound
@@ -6871,8 +6882,8 @@ cnt AS (SELECT term, count(*) AS ct FROM toks GROUP BY 1),
 tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS tot,
                CAST(count(*) AS DOUBLE) AS vocab FROM cnt)
 SELECT doc_id,
-       round(sum(tf * {_pin_ln('(ct + 1.0) / (tot + vocab)')})
-             / ({_PIN!r} * sum(tf)), 6)
+       {_grid_mean(f"sum(tf * {_pin_ln('(ct + 1.0) / (tot + vocab)')})",
+                   "sum(tf)")}
          AS mean_logprob,
        sum(tf) AS n_tokens
 FROM tf JOIN cnt USING (term) CROSS JOIN tot
@@ -7966,8 +7977,8 @@ vocab AS (
   SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab
   FROM (SELECT unnest(toks) AS tok FROM t))
 SELECT doc_id,
-       round(sum(tf * {_pin_ln('(cbg + 1.0) / (cv + vocab)')})
-             / ({_PIN!r} * sum(tf)), 6)
+       {_grid_mean(f"sum(tf * {_pin_ln('(cbg + 1.0) / (cv + vocab)')})",
+                   "sum(tf)")}
          AS mean_bigram_logprob,
        sum(tf) AS n_bigrams
 FROM tf
@@ -10811,38 +10822,47 @@ SELECT CAST(n AS BIGINT) AS n, CAST(t AS INTEGER) AS change_t,
              END, 6) AS p_value
 FROM best
 """,
-        "source_lang_uncertainty": r"""
+        "source_lang_uncertainty": f"""
 WITH cells AS (
   SELECT source AS x, lang AS y, count(*) AS c
   FROM documents GROUP BY 1, 2),
 tot AS (
   SELECT CAST(sum(c) AS BIGINT) AS n,
-         CAST(SUM(CAST(c AS HUGEINT)
+         SUM(CAST(c AS HUGEINT)
              * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
-                    AS HUGEINT)) AS DOUBLE) / 1000000.0 AS sxy
+                    AS HUGEINT)) AS sxy
   FROM cells),
 mx AS (
-  SELECT CAST(SUM(CAST(c AS HUGEINT)
+  SELECT SUM(CAST(c AS HUGEINT)
              * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
-                    AS HUGEINT)) AS DOUBLE) / 1000000.0 AS sx
+                    AS HUGEINT)) AS sx
   FROM (SELECT x, sum(c) AS c FROM cells GROUP BY 1)),
 my AS (
-  SELECT CAST(SUM(CAST(c AS HUGEINT)
+  SELECT SUM(CAST(c AS HUGEINT)
              * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
-                    AS HUGEINT)) AS DOUBLE) / 1000000.0 AS sy
+                    AS HUGEINT)) AS sy
   FROM (SELECT y, sum(c) AS c FROM cells GROUP BY 1)),
 o AS (
   SELECT n,
-         ln(CAST(n AS DOUBLE)) - sx / CAST(n AS DOUBLE) AS hx,
-         ln(CAST(n AS DOUBLE)) - sy / CAST(n AS DOUBLE) AS hy,
-         ln(CAST(n AS DOUBLE)) - sxy / CAST(n AS DOUBLE) AS hxy
+         CAST(n AS HUGEINT)
+           * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS HUGEINT) - sx AS hx_num,
+         CAST(n AS HUGEINT)
+           * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS HUGEINT) - sy AS hy_num,
+         CAST(n AS HUGEINT)
+           * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS HUGEINT) - sx - sy + sxy AS mi_num
   FROM tot CROSS JOIN mx CROSS JOIN my)
-SELECT n, round(hx, 6) AS h_x, round(hy, 6) AS h_y,
-       round(hx + hy - hxy, 6) AS mi,
-       round(CASE WHEN hy > 0 THEN (hx + hy - hxy) / hy END, 6)
-         AS u_y_given_x,
-       round(CASE WHEN hx > 0 THEN (hx + hy - hxy) / hx END, 6)
-         AS u_x_given_y
+SELECT n, {_grid_mean('hx_num', 'n')} AS h_x,
+       {_grid_mean('hy_num', 'n')} AS h_y,
+       {_grid_mean('mi_num', 'n')} AS mi,
+       CASE WHEN hy_num > 0
+            THEN {_grid_mean('mi_num * CAST(1000000 AS HUGEINT)',
+                             'hy_num')} END AS u_y_given_x,
+       CASE WHEN hx_num > 0
+            THEN {_grid_mean('mi_num * CAST(1000000 AS HUGEINT)',
+                             'hx_num')} END AS u_x_given_y
 FROM o
 """,
         "event_type_value_bh": _duck_bh_sql(),

@@ -338,10 +338,11 @@ def char_entropy(col: Column | str) -> Column:
     shuffle: at corpus scale this is a projection, where a
     char-explode + groupBy would shuffle one row per character.
 
-    Determinism: the Σ term quantizes each cnt·ln(cnt) addend to 1e-9
-    fixed-point units and folds exact BIGINTs (functions/numeric.py),
-    so the value is bit-identical in any engine; ties in nothing,
-    order in nothing. Empty/null texts yield null.
+    Determinism: ln(cnt) is pinned to the shared 1e-6 grid BEFORE the
+    count multiply (functions/numeric.py "pinned transcendental
+    values") and the cnt·units products fold as exact BIGINTs, so the
+    value is bit-identical in any engine; ties in nothing, order in
+    nothing. Empty/null texts yield null.
     """
     from pipelines_rj_sms_spark.functions.numeric import LOG_SCALE
     c = F.col(col) if isinstance(col, str) else col

@@ -730,10 +730,13 @@ def link_prediction(edges: DataFrame, src: str = "src",
                       F.col("_p.v").alias("_v"), "_wdeg"))
     cand = (wedges.groupBy("_u", "_v")
             .agg(F.count("*").alias("common_neighbors"),
-                 # scale 1e6 = the pinned-transcendental grid: the
-                 # addend IS a runtime ln, so quantizing at 1e-6 makes
-                 # a cross-engine libm ulp (~1e-17 here) unable to
-                 # flip the unit (functions/numeric.py)
+                 # scale 1e6 = the pinned-transcendental grid. The
+                 # addend is a runtime 1/ln(wdeg), so the coarse grid
+                 # SHRINKS the cross-engine libm flip surface to one
+                 # boundary check per DISTINCT degree (a ~1e-17 ulp
+                 # must land within ~1e-11 of a unit edge) rather than
+                 # eliminating it like the pinned-ln contract; kept
+                 # because the oracle mirrors this exact expression
                  det_sum(F.lit(1.0)
                          / F.log(F.col("_wdeg").cast("double")),
                          scale=1_000_000)

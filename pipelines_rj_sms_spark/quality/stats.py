@@ -938,25 +938,30 @@ def uncertainty_coefficient(df: DataFrame, x_col: str,
 
     Scale shape: one hash aggregation to the |X|·|Y| contingency
     cells; margins are rollups OF THE CELLS; the three c·ln c sums
-    accumulate det-quantized (1e-9 units — at extreme N·ln N
-    magnitudes pass a smaller scale via det_units' capacity rule) so
-    the one-row output is order-independent; the 1-row margin frames
-    cross-join as scalar broadcasts. Returns (n, h_x, h_y, mi,
-    u_y_given_x, u_x_given_y) rounded to 6; NULL U when the
-    denominator entropy is 0 (constant column).
+    accumulate as exact DECIMAL(38,0) integer sums of counts times
+    1e-6-grid-pinned ln values, so the one-row output is
+    order-independent; the 1-row margin frames cross-join as scalar
+    broadcasts. ln N is pinned to the SAME grid, so a constant
+    column's entropy is exactly 0 (N·pin(ln N) − N·pin(ln N)), not a
+    sub-grid artifact — the NULL-U guard then fires correctly.
+    Returns (n, h_x, h_y, mi, u_y_given_x, u_x_given_y) rounded to 6;
+    NULL U when the denominator entropy is 0 (constant column).
     """
     c = F.col("_c")
     # c * pinned-ln(c): ln pinned to the shared 1e-6 grid BEFORE the
     # count multiply (a raw c*ln(c) addend amplifies a cross-engine
     # libm ulp by c*scale — functions/numeric.py "pinned
-    # transcendental values"); decimal(38,0) accumulator survives
-    # margin counts ~N at 100 TB scale
-    from pipelines_rj_sms_spark.functions.numeric import LOG_SCALE
-    clnc_u = (c.cast("long")
+    # transcendental values"). Cast c to decimal(38,0) BEFORE the
+    # multiply: an int64 product wraps at margin counts c ≈ 3.3e11
+    # (c·|ln c|·1e6 > 2^63) while the oracle multiplies in HUGEINT —
+    # the decimal must protect the per-row product, not just the sum.
+    from pipelines_rj_sms_spark.functions.numeric import (LOG_SCALE,
+                                                          grid_mean)
+    clnc_u = (c.cast("decimal(38,0)")
               * F.floor(F.log(c.cast("double"))
-                        * F.lit(float(LOG_SCALE)) + F.lit(0.5)))
-    _pin_sum = (lambda: F.sum(clnc_u.cast("decimal(38,0)"))
-                .cast("double") / float(LOG_SCALE))
+                        * F.lit(float(LOG_SCALE)) + F.lit(0.5))
+              .cast("decimal(38,0)"))
+    _pin_sum = lambda: F.sum(clnc_u)  # noqa: E731 — exact decimal units
     cells = (df.groupBy(F.col(x_col).alias("_x"),
                         F.col(y_col).alias("_y"))
              .agg(F.count("*").alias("_c")))
@@ -969,17 +974,28 @@ def uncertainty_coefficient(df: DataFrame, x_col: str,
           .agg(_pin_sum().alias("_sy")))
     out = tot.join(F.broadcast(mx)).join(F.broadcast(my))
     nd = F.col("n").cast("double")
-    h_x = F.log(nd) - F.col("_sx") / nd
-    h_y = F.log(nd) - F.col("_sy") / nd
-    h_xy = F.log(nd) - F.col("_sxy") / nd
-    mi = h_x + h_y - h_xy
+    # Everything below is EXACT integer arithmetic in grid units until
+    # the final grid_mean rounding: H·N·scale numerators are
+    # N·pin(ln N) − Σ c·pin(ln c) (decimal), so a constant column's
+    # entropy numerator is exactly 0 (the NULL-U guard is an integer
+    # compare), mi numerators telescope (the ln N terms cancel
+    # symbolically), and no double round() tie is ever resolved.
+    pin_n = (F.floor(F.log(nd) * F.lit(float(LOG_SCALE)) + F.lit(0.5))
+             .cast("decimal(38,0)"))
+    nn = F.col("n").cast("decimal(38,0)")
+    hx_num = nn * pin_n - F.col("_sx")
+    hy_num = nn * pin_n - F.col("_sy")
+    mi_num = nn * pin_n - F.col("_sx") - F.col("_sy") + F.col("_sxy")
+    million = F.lit(1_000_000).cast("decimal(38,0)")
     return out.select(
         "n",
-        F.round(h_x, 6).alias("h_x"),
-        F.round(h_y, 6).alias("h_y"),
-        F.round(mi, 6).alias("mi"),
-        F.round(F.when(h_y > 0, mi / h_y), 6).alias("u_y_given_x"),
-        F.round(F.when(h_x > 0, mi / h_x), 6).alias("u_x_given_y"))
+        grid_mean(hx_num, F.col("n")).alias("h_x"),
+        grid_mean(hy_num, F.col("n")).alias("h_y"),
+        grid_mean(mi_num, F.col("n")).alias("mi"),
+        F.when(hy_num > 0,
+               grid_mean(mi_num * million, hy_num)).alias("u_y_given_x"),
+        F.when(hx_num > 0,
+               grid_mean(mi_num * million, hx_num)).alias("u_x_given_y"))
 
 
 # Abramowitz & Stegun 7.1.26 erfc coefficients (public; |err| < 1.5e-7

@@ -459,3 +459,38 @@ def test_det_log_units_ulp_immune(spark):
         for sign in (1, -1):
             pert = math.log(math.nextafter(p, sign * math.inf))
             assert math.floor(pert * 1e6 + 0.5) == base, p
+
+
+def test_grid_mean_tie_exact_cross_engine(spark):
+    """VERDICT r7 #1 regression: sums whose S/n lands EXACTLY on a
+    .5e-6 grid tie (2S/n odd) must round identically in Spark and
+    DuckDB. grid_mean computes the rounding in exact integer
+    arithmetic (half away from zero), so there is no tie left for a
+    float round() to resolve."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from pipelines_rj_sms_spark.functions.numeric import (grid_mean,
+                                                          grid_mean_sql)
+    # (S, n): exact ties (2S/n odd), near-ties, positives, big values
+    cases = [(-567835, 2), (567835, 2), (-851753, 3), (-1135671, 4),
+             (-1135670, 4), (5, 2), (-5, 2), (3, 2), (1, 3),
+             (-999999999999999, 7), (0, 5)]
+    exp = []
+    for s, n in cases:
+        k = (-2 * s + n) // (2 * n) if s < 0 else (2 * s + n) // (2 * n)
+        exp.append((-k if s < 0 else k) / 1e6)
+    df = spark.createDataFrame(cases, "s long, n long")
+    got = [r["m"] for r in
+           df.select(F.col("s"), F.col("n"),
+                     grid_mean(F.col("s"), F.col("n")).alias("m"))
+           .orderBy("s", "n").collect()]
+    order = sorted(range(len(cases)), key=lambda i: cases[i])
+    assert got == [exp[i] for i in order]
+    duck = duckdb.connect()
+    for (s, n), e in zip(cases, exp):
+        d = duck.sql(
+            f"SELECT {grid_mean_sql(f'CAST({s} AS HUGEINT)', str(n))} "
+            "AS m").fetchone()[0]
+        assert d == e, (s, n, d, e)

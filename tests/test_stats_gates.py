@@ -458,7 +458,9 @@ def test_uncertainty_coefficient_determined_and_independent(spark):
         [(x, y) for x in "ab" for y in "AB" for _ in range(3)],
         ["x", "y"])
     o2 = uncertainty_coefficient(ind, "x", "y").collect()[0]
-    assert o2["mi"] == 0.0 and o2["u_y_given_x"] == 0.0
+    # the 1e-6 pin grid breaks the exact ln identities MI=0 rests on
+    # (pin(ln 6) != pin(ln 2) + pin(ln 3)); exact to grid precision
+    assert abs(o2["mi"]) <= 2e-6 and abs(o2["u_y_given_x"]) <= 3e-6
 
 
 def test_uncertainty_coefficient_constant_column_null(spark):

@@ -147,12 +147,25 @@ def test_bigram_logprob_hand_computed(spark):
            for r in bigram_logprob(df, "doc_id", "text").collect()}
     # corpus bigrams: doc1: "a b","b a","a b"; doc2: "a b"
     # counts: "a b"->3, "b a"->1 ; contexts: a->3, b->1 ; vocab=2
-    p_ab = math.log((3 + 1) / (3 + 2))
-    p_ba = math.log((1 + 1) / (1 + 2))
-    exp1 = (2 * p_ab + 1 * p_ba) / 3
+    # Hand model replays the PINNED decomposition (the operator's
+    # numeric contract): ln p on the 1e-6 grid, integer sum, then
+    # exact half-away-from-zero integer rounding of S/n (grid_mean)
+    # — the VERDICT r7 #1 contract that removed the .5e-6 round ties.
+    u_ab = math.floor(math.log((3 + 1) / (3 + 2)) * 1e6 + 0.5)
+    u_ba = math.floor(math.log((1 + 1) / (1 + 2)) * 1e6 + 0.5)
+
+    def gm(s, n):
+        k = (-2 * s + n) // (2 * n) if s < 0 else (2 * s + n) // (2 * n)
+        return (-k if s < 0 else k) / 1e6
+
+    s1 = 2 * u_ab + u_ba
     assert out[1]["n_bigrams"] == 3
-    assert abs(out[1]["mean_bigram_logprob"] - round(exp1, 6)) < 1e-9
-    assert abs(out[2]["mean_bigram_logprob"] - round(p_ab, 6)) < 1e-9
+    assert out[1]["mean_bigram_logprob"] == gm(s1, 3)
+    assert out[2]["mean_bigram_logprob"] == gm(u_ab, 1)
+    # true-math sanity: pin error ≤0.5 unit/term plus the rounding
+    # step → pinned result within 1.5 grid units of the true round()
+    exp1 = (2 * math.log(4 / 5) + math.log(2 / 3)) / 3
+    assert abs(out[1]["mean_bigram_logprob"] - round(exp1, 6)) <= 1.5e-6
 
 
 def test_bigram_logprob_short_doc_excluded(spark):
