@@ -819,24 +819,31 @@ FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 """
 
-_QUALITY_EXPR_SPARK = """
-  round((
-    least(n_tok / 20.0, 1.0)
-    + (len_alpha / n_chars)
-    + (1.0 - least((len_punct / n_chars) * 4, 1.0))
-    + CASE WHEN (n_chars / CAST(greatest(n_tok, 1) AS DOUBLE)) >= 2
-                AND (n_chars / CAST(greatest(n_tok, 1) AS DOUBLE)) <= 12
-           THEN 1.0 ELSE 0.0 END
-  ) / 4, 6) AS quality
-"""
+# Composite quality score as ONE exact integer ratio, rounded at 6dp
+# by integer division (no double round(), no .5e-6 tie for engines to
+# resolve differently — tools/tie_audit.py found quality values landing
+# exactly on ties, e.g. 611/640):
+#   score = [min(ntok,20)/20 + A/C + (C - min(4P, C))/C + W] / 4
+#         = [min(ntok,20)·C + 20A + 20(C - min(4P,C)) + 20CW] / (80C)
+# round(1e6·p/q) half-away (p,q > 0) = (2e6·p + q) idiv (2q); idiv is
+# the dialect integer division ("div" Spark, "//" DuckDB).
+def _quality_expr(idiv: str) -> str:
+    p = ("least(n_tok, 20) * n_chars + 20 * len_alpha"
+         " + 20 * (n_chars - least(4 * len_punct, n_chars))"
+         " + CASE WHEN 2 * greatest(n_tok, 1) <= n_chars"
+         " AND n_chars <= 12 * greatest(n_tok, 1)"
+         " THEN 20 * n_chars ELSE 0 END")
+    return (f"  CAST((2000000 * ({p}) + 80 * n_chars) {idiv}"
+            f" (160 * n_chars) AS DOUBLE) / 1000000.0 AS quality")
+
 
 _TEXT_QUALITY_TEMPLATE = """
 WITH base AS (
   SELECT doc_id,
          {n_tok} AS n_tok,
-         CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars,
-         CAST(length(regexp_replace(text, '[^a-zA-Z]', ''{g_flag})) AS DOUBLE) AS len_alpha,
-         CAST(length(regexp_replace(text, {punct_re}, ''{g_flag})) AS DOUBLE) AS len_punct
+         CAST(greatest(length(text), 1) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', ''{g_flag})) AS BIGINT) AS len_alpha,
+         CAST(length(regexp_replace(text, {punct_re}, ''{g_flag})) AS BIGINT) AS len_punct
   FROM documents)
 SELECT doc_id, {quality}
 FROM base
@@ -1513,7 +1520,8 @@ tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT count(*) AS n_docs FROM documents)
 SELECT doc_id, term,
-       round(tf * ((n_docs + 1.0) / (df + 1.0)), 6) AS score
+       {_grid_mean('CAST(tf AS HUGEINT) * 1000000 * (n_docs + 1)',
+                   'df + 1')} AS score
 FROM tf JOIN dfreq USING (term), n
 QUALIFY row_number() OVER (
   PARTITION BY doc_id
@@ -2418,7 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def quality(spark, sf_dir):
         load_tables(spark, sf_dir)
         return spark.sql(_TEXT_QUALITY_TEMPLATE.format(
-            n_tok=_SPARK_NTOK, quality=_QUALITY_EXPR_SPARK,
+            n_tok=_SPARK_NTOK, quality=_quality_expr('div'),
             punct_re=_SPARK_PUNCT_RE, g_flag=""))
 
     def fingerprint_q(spark, sf_dir):
@@ -2477,11 +2485,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("text").alias("media_type"),
         )
         feats = extract_features(media, media_type_col="media_type")
+        from pipelines_rj_sms_spark.functions.numeric import pin_round6
         return feats.select(
             "media_id", "n_bytes",
             # features are float32 (the Arrow contract for embedding
-            # kernels); widen BEFORE rounding so f0 is a clean double
-            F.round(F.element_at("features", 1).cast("double"), 6)
+            # kernels); widen BEFORE rounding so f0 is a clean double.
+            # pin_round6, not F.round: float32 grid points are dyadic
+            # rationals that land EXACTLY on .5e-6 ties (25/128 etc.,
+            # 4 rows at sf0.01 per tools/tie_audit.py) which engines'
+            # round() conventions may resolve differently
+            pin_round6(F.element_at("features", 1).cast("double"))
             .alias("f0"),
         )
 
@@ -2905,7 +2918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         comp = dedup.connected_components(edges, nodes=docs,
                                           node_col="doc_id")
         scored = spark.sql(_TEXT_QUALITY_TEMPLATE.format(
-            n_tok=_SPARK_NTOK, quality=_QUALITY_EXPR_SPARK,
+            n_tok=_SPARK_NTOK, quality=_quality_expr('div'),
             punct_re=_SPARK_PUNCT_RE, g_flag=""))
         return dedup.canonical_per_cluster(
             comp, scored, id_col="doc_id", score_col="quality")
@@ -6166,7 +6179,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "text_quality_score": _TEXT_QUALITY_TEMPLATE.format(
-            n_tok=_DUCK_NTOK, quality=_QUALITY_EXPR_SPARK,
+            n_tok=_DUCK_NTOK, quality=_quality_expr('//'),
             punct_re=_DUCK_PUNCT_RE, g_flag=", 'g'"),
         "text_fingerprint": (
             f"WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents), "
@@ -6266,11 +6279,11 @@ FROM pts, model
         "multimodal_features": """
 SELECT doc_id AS media_id,
        CAST(length(text) AS BIGINT) AS n_bytes,
-       round(CAST(CAST(
+       floor(CAST(CAST(
                len(list_filter(range(length(text)),
                    i -> ascii(substr(text, i + 1, 1)) % 16 = 0))
                / CAST(greatest(length(text), 1) AS DOUBLE)
-             AS REAL) AS DOUBLE), 6) AS f0
+             AS REAL) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS f0
 FROM documents
 """,
         "order_fill_ratio": """
@@ -7431,8 +7444,8 @@ WITH daily AS (
   FROM orders GROUP BY 1),
 s AS (SELECT day, revenue, revenue AS v FROM daily)
 SELECT day, revenue,
-       round((CASE WHEN v IS NOT NULL THEN 1.0 * v END + coalesce(CASE WHEN lag(v, 1) OVER w IS NOT NULL THEN 0.7 * lag(v, 1) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 2) OVER w IS NOT NULL THEN 0.48999999999999994 * lag(v, 2) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 3) OVER w IS NOT NULL THEN 0.3429999999999999 * lag(v, 3) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 4) OVER w IS NOT NULL THEN 0.24009999999999995 * lag(v, 4) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 5) OVER w IS NOT NULL THEN 0.16806999999999994 * lag(v, 5) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 6) OVER w IS NOT NULL THEN 0.11764899999999996 * lag(v, 6) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 7) OVER w IS NOT NULL THEN 0.08235429999999996 * lag(v, 7) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 8) OVER w IS NOT NULL THEN 0.05764800999999997 * lag(v, 8) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 9) OVER w IS NOT NULL THEN 0.04035360699999998 * lag(v, 9) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 10) OVER w IS NOT NULL THEN 0.028247524899999984 * lag(v, 10) OVER w END, 0.0))
-             / (CASE WHEN v IS NOT NULL THEN 1.0 END + coalesce(CASE WHEN lag(v, 1) OVER w IS NOT NULL THEN 0.7 END, 0.0) + coalesce(CASE WHEN lag(v, 2) OVER w IS NOT NULL THEN 0.48999999999999994 END, 0.0) + coalesce(CASE WHEN lag(v, 3) OVER w IS NOT NULL THEN 0.3429999999999999 END, 0.0) + coalesce(CASE WHEN lag(v, 4) OVER w IS NOT NULL THEN 0.24009999999999995 END, 0.0) + coalesce(CASE WHEN lag(v, 5) OVER w IS NOT NULL THEN 0.16806999999999994 END, 0.0) + coalesce(CASE WHEN lag(v, 6) OVER w IS NOT NULL THEN 0.11764899999999996 END, 0.0) + coalesce(CASE WHEN lag(v, 7) OVER w IS NOT NULL THEN 0.08235429999999996 END, 0.0) + coalesce(CASE WHEN lag(v, 8) OVER w IS NOT NULL THEN 0.05764800999999997 END, 0.0) + coalesce(CASE WHEN lag(v, 9) OVER w IS NOT NULL THEN 0.04035360699999998 END, 0.0) + coalesce(CASE WHEN lag(v, 10) OVER w IS NOT NULL THEN 0.028247524899999984 END, 0.0)), 6) AS ewma
+       floor(((CASE WHEN v IS NOT NULL THEN 1.0 * v END + coalesce(CASE WHEN lag(v, 1) OVER w IS NOT NULL THEN 0.7 * lag(v, 1) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 2) OVER w IS NOT NULL THEN 0.48999999999999994 * lag(v, 2) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 3) OVER w IS NOT NULL THEN 0.3429999999999999 * lag(v, 3) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 4) OVER w IS NOT NULL THEN 0.24009999999999995 * lag(v, 4) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 5) OVER w IS NOT NULL THEN 0.16806999999999994 * lag(v, 5) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 6) OVER w IS NOT NULL THEN 0.11764899999999996 * lag(v, 6) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 7) OVER w IS NOT NULL THEN 0.08235429999999996 * lag(v, 7) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 8) OVER w IS NOT NULL THEN 0.05764800999999997 * lag(v, 8) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 9) OVER w IS NOT NULL THEN 0.04035360699999998 * lag(v, 9) OVER w END, 0.0) + coalesce(CASE WHEN lag(v, 10) OVER w IS NOT NULL THEN 0.028247524899999984 * lag(v, 10) OVER w END, 0.0))
+             / (CASE WHEN v IS NOT NULL THEN 1.0 END + coalesce(CASE WHEN lag(v, 1) OVER w IS NOT NULL THEN 0.7 END, 0.0) + coalesce(CASE WHEN lag(v, 2) OVER w IS NOT NULL THEN 0.48999999999999994 END, 0.0) + coalesce(CASE WHEN lag(v, 3) OVER w IS NOT NULL THEN 0.3429999999999999 END, 0.0) + coalesce(CASE WHEN lag(v, 4) OVER w IS NOT NULL THEN 0.24009999999999995 END, 0.0) + coalesce(CASE WHEN lag(v, 5) OVER w IS NOT NULL THEN 0.16806999999999994 END, 0.0) + coalesce(CASE WHEN lag(v, 6) OVER w IS NOT NULL THEN 0.11764899999999996 END, 0.0) + coalesce(CASE WHEN lag(v, 7) OVER w IS NOT NULL THEN 0.08235429999999996 END, 0.0) + coalesce(CASE WHEN lag(v, 8) OVER w IS NOT NULL THEN 0.05764800999999997 END, 0.0) + coalesce(CASE WHEN lag(v, 9) OVER w IS NOT NULL THEN 0.04035360699999998 END, 0.0) + coalesce(CASE WHEN lag(v, 10) OVER w IS NOT NULL THEN 0.028247524899999984 END, 0.0))) * 1000000.0 + 0.5) / 1000000.0 AS ewma
 FROM s
 WINDOW w AS (ORDER BY day)
 """,
@@ -8846,7 +8859,7 @@ FROM score ORDER BY round(s, 6) DESC, vec_id LIMIT 10
         "dedup_canonical_docs": f"""
 WITH comp AS ({_COMPONENTS_DUCK}),
 q AS ({_TEXT_QUALITY_TEMPLATE.format(
-    n_tok=_DUCK_NTOK, quality=_QUALITY_EXPR_SPARK,
+    n_tok=_DUCK_NTOK, quality=_quality_expr('//'),
     punct_re=_DUCK_PUNCT_RE, g_flag=", 'g'")})
 SELECT c.component, c.node AS doc_id, q.quality
 FROM comp c JOIN q ON q.doc_id = c.node

@@ -172,6 +172,24 @@ def grid_mean(sum_units: Column, n: Column, scale: int = LOG_SCALE) -> Column:
     return (sign * k).cast("double") / F.lit(float(scale))
 
 
+def pin_round6(x: Column) -> Column:
+    """Engine-independent replacement for ``round(x, 6)`` on a DOUBLE:
+    half-away-from-zero computed as floor(|x|·1e6 + 0.5) — one IEEE
+    multiply plus an exact floor on the binary double, so every engine
+    resolves boundary values identically. Spark's round (BigDecimal of
+    the shortest decimal repr, HALF_UP) and a float-path round() can
+    disagree exactly ON .5e-6 ties — dyadic rationals like 25/128 hit
+    them (tools/tie_audit.py). Requires |x| < 2^53/1e6 ≈ 9e9."""
+    u = F.floor(F.abs(x) * F.lit(1e6) + F.lit(0.5))
+    return F.when(x < 0, -u).otherwise(u) / F.lit(1e6)
+
+
+def pin_round6_sql(x: str) -> str:
+    """DuckDB mirror of pin_round6 — same IEEE ops, same tie rule."""
+    return (f"(CASE WHEN ({x}) < 0 THEN -floor(-({x}) * 1000000.0 + 0.5)"
+            f" ELSE floor(({x}) * 1000000.0 + 0.5) END / 1000000.0)")
+
+
 def grid_mean_sql(s: str, n: str, scale: int = LOG_SCALE) -> str:
     """DuckDB mirror of grid_mean. ``s`` should be a HUGEINT-capable
     integer sum expression, ``n`` a positive integer count; `//` on

@@ -523,7 +523,11 @@ def ewma_smooth(df: DataFrame, ts_col: str, value_col: str,
         dterm = F.when(xj.isNotNull(), F.lit(wj))
         num = term if num is None else num + F.coalesce(term, F.lit(0.0))
         den = dterm if den is None else den + F.coalesce(dterm, F.lit(0.0))
-    return df.withColumn(out_col, F.round(num / den, 6))
+    # pin_round6, not F.round: the weighted sums of 2dp-unit inputs
+    # produce dyadic rationals that can land exactly on .5e-6 ties,
+    # which engines' round() conventions resolve differently
+    from pipelines_rj_sms_spark.functions.numeric import pin_round6
+    return df.withColumn(out_col, pin_round6(num / den))
 
 
 def concentration_metrics(df: DataFrame, key_cols: list[str],

@@ -142,24 +142,37 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
     """Top ``top_n`` terms per document by tf * (N+1)/(df+1).
 
     Ties break lexicographically on the term so results are
-    deterministic. Returns (id, term, score) with score rounded to 6.
+    deterministic. Returns (id, term, score) with score rounded to 6
+    in EXACT integer arithmetic (``grid_mean`` on 1e6·tf·(N+1) over
+    df+1): the score is an integer ratio whose 6dp value lands exactly
+    on .5e-6 ties for dyadic denominators (30 rows at sf0.01,
+    tools/tie_audit.py) — a double round() resolves those
+    engine-dependently. Ordering stays on the float score (identical
+    two-IEEE-op expression in both engines).
     """
+    from pipelines_rj_sms_spark.functions.numeric import grid_mean
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     # corpus size as a broadcast 1-row join, NOT df.count(): a driver
     # count would be a second full scan of the corpus per invocation
-    n_docs = F.broadcast(df.agg(F.count("*").cast("double").alias("_n")))
+    n_docs = F.broadcast(df.agg(F.count("*").cast("double").alias("_n"),
+                                F.count("*").alias("_ni")))
 
     # tf has one row per (doc, term), so count(*) per term = doc frequency
     dfreq = F.count("*").over(Window.partitionBy("term"))
     score = F.col("tf") * ((F.col("_n") + F.lit(1.0))
                            / (F.col("df") + F.lit(1.0)))
+    # decimal BEFORE the multiplies: 1e6·tf·(N+1) wraps int64 at
+    # corpus sizes ~1e9 with tf ~1e4
+    score6 = grid_mean(F.col("tf").cast("decimal(38,0)")
+                       * (F.col("_ni") + F.lit(1)) * F.lit(1_000_000),
+                       F.col("df") + F.lit(1))
     w = Window.partitionBy(id_col).orderBy(score.desc(), F.col("term").asc())
     return (
         tf.withColumn("df", dfreq).crossJoin(n_docs)
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= top_n)
-        .select(F.col(id_col), "term", F.round(score, 6).alias("score"))
+        .select(F.col(id_col), "term", score6.alias("score"))
     )
 
 
