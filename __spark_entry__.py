@@ -5926,54 +5926,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # are pinned BEHIND the graded window: in it they can only read as
     # reds — the in-suite sweep keeps them honest instead.
     changed = [
-        # ROUND 7 HEAD: the two r5/r6 driver-reds, now fixed at the
-        # root (per-term ln pinned to a shared 1e-6 grid in BOTH
-        # engines before the tf multiply — functions/numeric.py
-        # "pinned transcendental values"). They stay at the head until
-        # the external oracle confirms hash-green.
+        # ROUND 8 HEAD: the r5/r6/r7 driver-reds, now fixed at the
+        # ROOT CAUSE the r7 verdict demonstrated (the 1e-6 pin grid
+        # manufactures exact .5e-6 rounding ties that a double
+        # round(x, 6) resolves engine-dependently). The 6dp mean is
+        # now rounded in EXACT INTEGER arithmetic in both engines
+        # (grid_mean / grid_mean_sql, functions/numeric.py) — no tie
+        # exists to resolve. They stay at the head until the external
+        # oracle confirms hash-green.
         "doc_bigram_logprob", "doc_unigram_logprob",
-        # every other query whose Spark AND oracle expressions changed
-        # in the r7 pinned-transcendental sweep (all re-verified
-        # locally at sf0.01) — graded so the fix class is externally
-        # confirmed, not just in-suite:
-        "source_bigram_perplexity", "nb_lang_predictions",
-        "nb_lang_eval_report", "nb_score_calibration",
-        "bm25_search_results", "hybrid_rrf_search",
-        "retrieval_ndcg_report", "corpus_zipf_fit", "doc_byte_entropy",
-        "source_lang_uncertainty", "part_link_prediction",
-        "daily_revenue_hurst", "event_value_mutual_info",
-        "event_markov_entropy", "source_lang_diversity",
-        "purchase_click_jsd", "value_psi_drift", "psi_value_drift",
-        "signup_purchase_survival", "signup_purchase_rmst",
-        "brand_price_elasticity",
-        # late round-6 session-4 additions that did not fit the r6
-        # window (rotation promise kept) — never driver-graded:
-        "stream_dedup_user_types", "quantity_return_best_split",
-        "event_type_negbin_fit", "rare_event_croston",
-        "purchase_attribution_position", "source_vocab_overlap",
-        "revenue_forecast_backtest", "monthly_fisher_price_index",
-        "cohort_ltv_curve", "daily_count_gesd_outliers",
-        "event_type_brown_forsythe", "en_rules_mcnemar",
-        "event_type_mood_median", "daily_revenue_pacf",
+        # every other query whose emitted values were re-expressed in
+        # the r8 tie-elimination sweep (tools/tie_audit.py found exact
+        # .5e-6 boundary values at sf0.01 in each) — all re-verified
+        # vs the oracle locally:
+        "source_lang_uncertainty", "text_quality_score",
+        "dedup_canonical_docs", "tfidf_top_terms",
+        "multimodal_features", "ewma_daily_revenue",
+        "curate_documents",
     ]
     never_graded = [
-        # the r6-deferred det-converted set (changed in r6, never
-        # driver-graded):
-        "ab_value_t_test", "purchase_attribution_linear",
-        "hourly_count_anomalies", "lineitem_correlations",
-        "similarity_ivf",
-        # SURVEY §2 core gates the driver has never graded (VERDICT r6
-        # "What's missing" #1) — sweep-verified since r2, now getting
-        # external confirmation:
-        "accent_clean", "cpf_validation", "age_computation",
-        "asof_purchase_signup", "profit_by_nation_year",
-        "late_supplier_waits", "min_balance_supplier_per_part",
-        # (remaining never-graded names — day_window_fanout,
-        # row_to_json, count_reconciliation, heavy_red_suppliers,
-        # freshness_gate, order_fill_ratio, coalesce_segments,
-        # nation_key_setops, grouping_sets_counts, the
-        # disjunctive_filter_revenue..group_sample_100 TPC-H shapes —
-        # defer to r8; all stay verified by the in-suite full sweep.)
+        # queries riding the r8 distributed-rank/ECDF conversions
+        # (global_cumsum/global_shift — values unchanged by design,
+        # oracle-verified; grade them while the plans are fresh):
+        "purchase_click_ks_test", "purchase_click_mann_whitney",
+        "en_score_auc", "event_value_quantile_norm",
+        "quantity_price_spearman",
+        # SURVEY §2 core gates the driver has never graded (VERDICT r7
+        # "What's missing" #1 names these explicitly):
+        "day_window_fanout", "row_to_json", "count_reconciliation",
+        "heavy_red_suppliers", "freshness_gate", "order_fill_ratio",
+        "coalesce_segments", "nation_key_setops",
+        "grouping_sets_counts", "pivot_linestatus",
+        "disjunctive_filter_revenue", "price_percentiles",
+        "market_share", "returned_items_top20", "rich_idle_customers",
+        # remaining never-graded TPC-H / window / sampling shapes:
+        "forecast_revenue", "nation_trade_volume",
+        "priority_line_counts", "top_supplier_revenue",
+        "supplier_cnt_by_part", "customer_order_ranks",
+        "nation_value_share", "train_test_split", "group_sample_100",
+        # never-graded time-series / text / dedup operators:
+        "range_error_purchases", "ohlc_hourly_events",
+        "text_rolling_fingerprint", "gap_filled_hourly_counts",
+        "winsorized_prices", "mad_outlier_flags",
+        "session_window_stats", "variant_props_extract",
+        "winnow_fingerprint_sets", "dedup_components",
+        "order_lines_fanout",
     ]
     head = {"flagship_pricing_summary":
             q.pop("flagship_pricing_summary")}

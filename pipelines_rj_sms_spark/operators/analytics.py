@@ -962,20 +962,25 @@ def log_rank_test(df: DataFrame, duration_col: str, event_col: str,
                 F.sum(F.when(in_a, 1 - ev).otherwise(0)).alias("_ca"),
                 F.sum(F.when(in_b, ev).otherwise(0)).alias("_db"),
                 F.sum(F.when(in_b, 1 - ev).otherwise(0)).alias("_cb")))
-    wt = Window.partitionBy()
-    wo = (Window.orderBy("_t")
-          .rowsBetween(Window.unboundedPreceding, -1))
-    tot_a = F.sum(F.col("_da") + F.col("_ca")).over(wt)
-    tot_b = F.sum(F.col("_db") + F.col("_cb")).over(wt)
-    prior_a = F.coalesce(
-        F.sum(F.col("_da") + F.col("_ca")).over(wo), F.lit(0))
-    prior_b = F.coalesce(
-        F.sum(F.col("_db") + F.col("_cb")).over(wo), F.lit(0))
-    frame = per.select(
+    # distributed prefix sums over the duration support; exclusive
+    # prior = inclusive cum − own row, totals = broadcast last cums —
+    # no SinglePartition exchange (operators/ids.global_cumsum)
+    from pipelines_rj_sms_spark.operators.cache import track
+    from pipelines_rj_sms_spark.operators.ids import global_cumsum
+    cc = global_cumsum(
+        per.withColumn("_ga", F.col("_da") + F.col("_ca"))
+        .withColumn("_gb", F.col("_db") + F.col("_cb")),
+        ["_t"], ["_ga", "_gb"])
+    tots = F.broadcast(cc.agg(F.max("_cum__ga").alias("_ta0"),
+                              F.max("_cum__gb").alias("_tb0")))
+    prior_a = F.col("_cum__ga") - F.col("_ga")
+    prior_b = F.col("_cum__gb") - F.col("_gb")
+    frame = cc.crossJoin(tots).select(
         "_da", "_db",
-        tot_a.alias("_ta"), tot_b.alias("_tb"),
-        (tot_a - prior_a).alias("_na"),
-        (tot_a - prior_a + tot_b - prior_b).alias("_n"))
+        F.col("_ta0").alias("_ta"), F.col("_tb0").alias("_tb"),
+        (F.col("_ta0") - prior_a).alias("_na"),
+        (F.col("_ta0") - prior_a + F.col("_tb0") - prior_b)
+        .alias("_n"))
     d = F.col("_da") + F.col("_db")
     na, n = F.col("_na"), F.col("_n")
     e_term = F.when(d > 0, d * na / n)
@@ -993,11 +998,11 @@ def log_rank_test(df: DataFrame, duration_col: str, event_col: str,
          / F.lit(float(scale))).alias("_v"))
     z = F.when(F.col("_v") > 0,
                (F.col("observed_a") - F.col("_e")) / F.sqrt("_v"))
-    return agg.select(
+    return track(agg.select(
         "n_a", "n_b", "observed_a",
         F.round("_e", 6).alias("expected_a"),
         F.round(z * z, 6).alias("chi2"),
-        F.round(z, 6).alias("z_stat"))
+        F.round(z, 6).alias("z_stat")), cc)
 
 
 def markov_transitions(df: DataFrame, seq_col: str, state_col: str,
@@ -1218,14 +1223,20 @@ def restricted_mean_survival(df: DataFrame, duration_col: str,
     from pipelines_rj_sms_spark.functions.numeric import det_sum
 
     km = survival_curve(df, duration_col, event_col)
-    w = Window.orderBy("duration")
-    sp = F.lag("survival", 1, 1.0).over(w)
-    tp = F.lag("duration", 1, 0).over(w)
+    # distributed lag over the K-M rollup (operators/ids.global_shift)
+    # — no SinglePartition global-sort window
+    from pipelines_rj_sms_spark.operators.cache import track
+    from pipelines_rj_sms_spark.operators.ids import global_shift
+    km = global_shift(km, ["duration"], ["survival", "duration"],
+                      offset=-1)
+    sp = F.coalesce(F.col("_lag_survival"), F.lit(1.0))
+    tp = F.coalesce(F.col("_lag_duration"), F.lit(0))
     addend = sp * (F.col("duration") - tp).cast("double")
-    return (km.select("duration", addend.alias("_a"))
-            .agg(F.count("*").cast("bigint").alias("n_durations"),
-                 F.max("duration").cast("bigint").alias("tau"),
-                 F.round(det_sum(F.col("_a")), 6).alias("rmst")))
+    return track(
+        km.select("duration", addend.alias("_a"))
+        .agg(F.count("*").cast("bigint").alias("n_durations"),
+             F.max("duration").cast("bigint").alias("tau"),
+             F.round(det_sum(F.col("_a")), 6).alias("rmst")), km)
 
 
 def loglog_elasticity(df: DataFrame, qty_col: str, price_col: str,

@@ -251,10 +251,13 @@ def binary_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
             .select(F.col(score_col).alias("_s"), lab.alias("_y")))
     sv = base.groupBy("_s").agg(F.sum("_y").alias("_p"),
                                 F.count("*").alias("_t"))
-    w = (Window.orderBy("_s")
-         .rowsBetween(Window.unboundedPreceding, 0))
+    # distributed rank cumsum over the collapsed score support — no
+    # SinglePartition exchange (operators/ids.global_cumsum)
+    from pipelines_rj_sms_spark.operators.cache import track
+    from pipelines_rj_sms_spark.operators.ids import global_cumsum
+    sv = global_cumsum(sv, ["_s"], ["_t"])
     d38 = "decimal(38,0)"
-    r2 = (2 * F.sum("_t").over(w) - F.col("_t") + 1).cast(d38)
+    r2 = (2 * F.col("_cum__t") - F.col("_t") + 1).cast(d38)
     agg = (sv.select("_p", "_t", r2.alias("_r2"))
            .agg(F.sum("_p").cast(d38).alias("_np"),
                 F.sum(F.col("_t") - F.col("_p")).cast(d38).alias("_nn"),
@@ -265,10 +268,10 @@ def binary_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
         (np_ > 0) & (nn > 0),
         (F.col("_rp2") - np_ * (np_ + 1)).cast("double")
         / (2 * np_ * nn).cast("double"))
-    return agg.select(
+    return track(agg.select(
         np_.cast("bigint").alias("n_pos"),
         nn.cast("bigint").alias("n_neg"),
-        F.round(auc, 6).alias("auc"))
+        F.round(auc, 6).alias("auc")), sv)
 
 
 def brier_decomposition(df: DataFrame, prob_col: str, outcome_col: str,

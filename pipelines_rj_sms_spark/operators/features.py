@@ -180,10 +180,11 @@ def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
               .withColumn("_k", F.greatest(
                   F.lit(1).cast("long"),
                   F.expr("_num div (2 * _ng)"))))
-    glob = (gv.groupBy("_v").agg(F.sum("_ct").alias("_ct"))
-            .withColumn("_pos", F.sum("_ct").over(
-                Window.orderBy("_v")
-                .rowsBetween(Window.unboundedPreceding, 0))))
+    from pipelines_rj_sms_spark.operators.ids import (global_cumsum,
+                                                      global_running_last)
+    glob = (global_cumsum(gv.groupBy("_v").agg(F.sum("_ct").alias("_ct")),
+                          ["_v"], ["_ct"])
+            .withColumn("_pos", F.col("_cum__ct")))
     lookups = glob.select(
         F.col("_pos"), F.lit(1).alias("_lk"),
         F.col("_v").alias("_tgt"))
@@ -193,16 +194,18 @@ def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
         F.lit(None).cast(vtype).alias("_tgt"))
     unioned = queries_.unionByName(lookups, allowMissingColumns=True)
     # first lookup value at position >= k == running last-non-null
-    # over the DESCENDING order. (Spelled forward — first() over a
-    # [current, unboundedFollowing] frame — Spark recomputes the frame
-    # per row, O(support²); the reversed running frame is incremental,
-    # O(support). Measured 4.6 s -> 0.5 s on the sf0.01 support.)
+    # over the DESCENDING order (the sort-merge interval-lookup trick;
+    # forward first() recomputes its frame per row, O(support²)).
+    # Spelled as global_running_last over the NEGATED keys — a
+    # distributed two-phase running window, no SinglePartition
+    # exchange even when the pooled support approaches data size.
     # At equal position the lookup sorts before the query in the
     # reversed order, so k == cum still resolves to that value.
-    nxt = F.last("_tgt", ignorenulls=True).over(
-        Window.orderBy(F.col("_pos").desc(), F.col("_lk").desc())
-        .rowsBetween(Window.unboundedPreceding, 0))
-    mapping = (unioned.withColumn("_mapped", nxt)
+    shifted = global_running_last(
+        unioned.withColumn("_npos", -F.col("_pos"))
+        .withColumn("_nlk", -F.col("_lk")),
+        ["_npos", "_nlk"], "_tgt", "_mapped")
+    mapping = (shifted
                .filter(F.col("_lk") == 0)
                .select(F.col("_g"), F.col("_v"),
                        F.col("_mapped").alias(out_col)))
@@ -211,7 +214,7 @@ def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
                          (F.col(group_col) == mapping["_g"])
                          & (F.col(value_col) == mapping["_v"]),
                          "left")
-                 .drop("_g", "_v"), gv)
+                 .drop("_g", "_v"), gv, glob, shifted)
 
 
 def ridge_regression_2f(df: DataFrame, x1_units: str, x2_units: str,
@@ -324,11 +327,13 @@ def split_conformal_2f(df: DataFrame, x1_units: str, x2_units: str,
                       "coef_x2", "intercept")
            .groupBy("_r", "n_fit", "coef_x1", "coef_x2", "intercept")
            .agg(F.count("*").alias("_c")))
-    w_all = Window.partitionBy(F.lit(1))
-    w_cum = (Window.orderBy("_r")
-             .rowsBetween(Window.unboundedPreceding, 0))
-    sup = (sup.withColumn("_ncal", F.sum("_c").over(w_all))
-           .withColumn("_cum", F.sum("_c").over(w_cum))
+    # distributed prefix sum over the residual-unit support — no
+    # SinglePartition exchange (operators/ids.global_cumsum)
+    from pipelines_rj_sms_spark.operators.ids import global_cumsum
+    sup = global_cumsum(sup, ["_r"], ["_c"])
+    ntot = F.broadcast(sup.agg(F.max("_cum__c").alias("_ncal")))
+    sup = (sup.crossJoin(ntot)
+           .withColumn("_cum", F.col("_cum__c"))
            .withColumn("_k", F.ceil((F.col("_ncal") + 1)
                                     * F.lit(1.0 - float(alpha)))
                        .cast("long")))
@@ -374,16 +379,15 @@ def best_split_binary(df: DataFrame, feature_col: str, label_col: str,
                      & F.col(label_col).isNotNull())
            .groupBy(F.col(feature_col).alias("_v"))
            .agg(F.count("*").alias("_c"), F.sum(lab).alias("_p")))
-    w = (Window.orderBy("_v")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    wt = Window.partitionBy(F.lit(1))
-    nl = F.sum("_c").over(w)
-    pl = F.sum("_p").over(w)
-    n = F.sum("_c").over(wt)
-    p = F.sum("_p").over(wt)
-    base = sup.select(
-        "_v", nl.alias("_nl"), pl.alias("_pl"),
-        n.alias("_n"), p.alias("_pt"))
+    # distributed prefix sums over the collapsed support + broadcast
+    # grand totals (= last prefix sums) — no SinglePartition exchange
+    from pipelines_rj_sms_spark.operators.ids import global_cumsum
+    cc = global_cumsum(sup, ["_v"], ["_c", "_p"])
+    tots = F.broadcast(cc.agg(F.max("_cum__c").alias("_n"),
+                              F.max("_cum__p").alias("_pt")))
+    base = (cc.crossJoin(tots)
+            .select("_v", F.col("_cum__c").alias("_nl"),
+                    F.col("_cum__p").alias("_pl"), "_n", "_pt"))
     # drop the degenerate full split (right side empty)
     base = base.filter(F.col("_nl") < F.col("_n"))
 

@@ -110,3 +110,85 @@ def global_cumsum(df: DataFrame, order_cols: list[str],
                              F.col(f"{prefix}_{c}") + F.col(f"_off_{c}"))
     out = out.drop("_gc_pid", *[f"_off_{c}" for c in value_cols])
     return track(out, base)
+
+
+def with_global_index(df: DataFrame, order_cols: list[str],
+                      id_col: str = "_gidx",
+                      num_partitions: int | None = None) -> DataFrame:
+    """``row_number() OVER (ORDER BY ...)`` without the SinglePartition
+    exchange: 1-based consecutive position in ``order_cols`` order via
+    :func:`global_cumsum` of a ones column. Same total-order
+    requirement as the other helpers here."""
+    out = global_cumsum(df.withColumn("_gc_one", F.lit(1)),
+                        order_cols, ["_gc_one"], prefix="_gcix",
+                        num_partitions=num_partitions)
+    return (out.withColumn(id_col, F.col("_gcix__gc_one"))
+            .drop("_gc_one", "_gcix__gc_one"))
+
+
+def global_shift(df: DataFrame, order_cols: list[str],
+                 cols: list[str], offset: int = 1,
+                 prefix: str | None = None,
+                 num_partitions: int | None = None) -> DataFrame:
+    """Distributed ``lead``/``lag`` over a global order — the
+    scale-safe replacement for ``F.lag(x).over(Window.orderBy(v))``.
+
+    Positive ``offset`` = lead, negative = lag. Built as a dense
+    global index (:func:`with_global_index`) plus an equi-join of the
+    frame against itself shifted by ``offset`` — one bounded-key
+    shuffle instead of a single-task global sort. Adds
+    ``{prefix}_<col>`` per shifted column (prefix defaults to
+    ``_lead``/``_lag``)."""
+    if prefix is None:
+        prefix = "_lead" if offset > 0 else "_lag"
+    idx = with_global_index(df, order_cols, num_partitions=num_partitions)
+    shifted = idx.select(
+        (F.col("_gidx") - offset).alias("_gidx"),
+        *[F.col(c).alias(f"{prefix}_{c}") for c in cols])
+    out = idx.join(shifted, "_gidx", "left")
+    return track(out, idx)
+
+
+def global_running_last(df: DataFrame, order_cols: list[str],
+                        value_col: str, out_col: str,
+                        num_partitions: int | None = None) -> DataFrame:
+    """Distributed ``last(value, ignorenulls=True) OVER (ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)`` — running last-non-null in a global
+    ascending order without a SinglePartition window.
+
+    Two-phase like :func:`global_cumsum`: range-partition on the order
+    keys, within-partition running last (a PARTITIONed window), then
+    each partition's final non-null value is collected (one bounded
+    row per partition), prefix-combined into a per-partition carry on
+    the driver, and coalesced back in as a broadcast dim. Descending
+    orders: negate the key columns before calling."""
+    part = (df.repartitionByRange(num_partitions, *order_cols)
+            if num_partitions else df.repartitionByRange(*order_cols))
+    base = part.withColumn("_gc_pid", F.spark_partition_id()).persist()
+    w = (Window.partitionBy("_gc_pid").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    local = base.withColumn(
+        out_col, F.last(value_col, ignorenulls=True).over(w))
+    # per-partition final non-null value = max over (order, value)
+    # structs of the non-null rows — bounded rows, driver-combined
+    stats = (base.filter(F.col(value_col).isNotNull())
+             .groupBy("_gc_pid")
+             .agg(F.max(F.struct(*[F.col(c) for c in order_cols],
+                                 F.col(value_col).alias("_gc_v")))
+                  .alias("_gc_last"))
+             .select("_gc_pid", F.col("_gc_last._gc_v").alias("_gc_v"))
+             .collect())
+    finals = {r["_gc_pid"]: r["_gc_v"] for r in stats}
+    carry_rows, carry = [], None
+    for pid in range(int(base.rdd.getNumPartitions())):
+        carry_rows.append((pid, carry))
+        if pid in finals and finals[pid] is not None:
+            carry = finals[pid]
+    vtype = dict(df.dtypes)[value_col]
+    offsets = F.broadcast(df.sparkSession.createDataFrame(
+        carry_rows, f"_gc_pid int, _gc_carry {vtype}"))
+    out = (local.join(offsets, "_gc_pid")
+           .withColumn(out_col,
+                       F.coalesce(F.col(out_col), F.col("_gc_carry")))
+           .drop("_gc_pid", "_gc_carry"))
+    return track(out, base)

@@ -849,10 +849,13 @@ def hurst_rs(df: DataFrame, t_col: str, units_col: str,
 
     d38 = "decimal(38,0)"
     sizes = [int(w) for w in window_sizes]
-    base = (df.select(F.col(t_col).alias("_t"),
-                      F.col(units_col).alias("_u"))
-            .withColumn("_i", F.row_number().over(
-                Window.orderBy("_t")) - 1))
+    # distributed 0-based position (operators/ids.with_global_index) —
+    # no SinglePartition row_number window over the series
+    from pipelines_rj_sms_spark.operators.ids import with_global_index
+    base = (with_global_index(
+        df.select(F.col(t_col).alias("_t"),
+                  F.col(units_col).alias("_u")), ["_t"], id_col="_i")
+        .withColumn("_i", F.col("_i") - 1))
     ex = base.select(
         "_i", "_u",
         F.explode(F.array(*[F.lit(w) for w in sizes])).alias("_w"))

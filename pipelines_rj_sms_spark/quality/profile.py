@@ -143,8 +143,12 @@ def mutual_information(df: DataFrame, col_a: str,
         .groupBy("_a", "_b").agg(F.count("*").alias("_n")))
     wa = Window.partitionBy("_a")
     wb = Window.partitionBy("_b")
-    wt = Window.partitionBy()
-    tot = F.sum("_n").over(wt).cast("double")
+    # grand total as a broadcast 1-row aggregate, not a whole-frame
+    # window (which exchanges every joint cell to one partition)
+    tot_row = F.broadcast(joint.agg(
+        F.sum("_n").cast("double").alias("_tot"),
+        F.sum("_n").cast("bigint").alias("_nr")))
+    tot = F.col("_tot")
     pij = F.col("_n") / tot
     pi = F.sum("_n").over(wa) / tot
     pj = F.sum("_n").over(wb) / tot
@@ -157,10 +161,10 @@ def mutual_information(df: DataFrame, col_a: str,
     # det_sum: the MI contributions are computed doubles summed across
     # partitions — quantized accumulation keeps the single-row output
     # identical under any combine order (functions/numeric.py)
-    return (joint
-            .select(contrib.alias("_mi"), F.col("_n"))
+    return (joint.crossJoin(tot_row)
+            .select(contrib.alias("_mi"), F.col("_nr"))
             .agg(det_sum(F.col("_mi")).alias("mi_nats"),
-                 F.sum("_n").cast("bigint").alias("n_rows")))
+                 F.max("_nr").alias("n_rows")))
 
 
 def spearman_correlation(df: DataFrame, col_a: str,
@@ -200,13 +204,15 @@ def spearman_correlation(df: DataFrame, col_a: str,
     def rank_map(c):
         # avg rank of value v = (#less) + (count(v) + 1) / 2; in
         # half-units: 2*cum - cnt + 1 with cum the inclusive cumsum
-        # over the ordered DISTINCT-value table
-        vals = joint.groupBy(c).agg(F.sum("_n").alias("_c"))
-        cum = F.sum("_c").over(
-            Window.orderBy(c)
-            .rowsBetween(Window.unboundedPreceding, 0))
+        # over the ordered DISTINCT-value table — a DISTRIBUTED
+        # prefix sum (operators/ids.global_cumsum), so a
+        # near-continuous column whose support approaches data size
+        # never funnels through a SinglePartition window
+        from pipelines_rj_sms_spark.operators.ids import global_cumsum
+        vals = global_cumsum(
+            joint.groupBy(c).agg(F.sum("_n").alias("_c")), [c], ["_c"])
         return vals.select(
-            c, (2 * cum - F.col("_c") + 1).alias(f"_r2{c}"))
+            c, (2 * F.col("_cum__c") - F.col("_c") + 1).alias(f"_r2{c}"))
 
     d38 = "decimal(38,0)"
     rx = F.col("_r2_x").cast(d38)
@@ -263,11 +269,15 @@ def chi2_independence(df: DataFrame, col_a: str,
         F.coalesce(F.col(col_b).cast("string"), F.lit("\x00null"))
         .alias("_b"))
         .groupBy("_a", "_b").agg(F.count("*").alias("_n")))
-    wa, wb, wt = (Window.partitionBy("_a"), Window.partitionBy("_b"),
-                  Window.partitionBy())
+    wa, wb = Window.partitionBy("_a"), Window.partitionBy("_b")
+    # grand total as a broadcast 1-row aggregate, not a whole-frame
+    # window (which exchanges every joint cell to one partition)
+    nt_row = F.broadcast(joint.agg(
+        F.sum("_n").cast("double").alias("_nt")))
+    joint = joint.crossJoin(nt_row)
     ra = F.sum("_n").over(wa).cast("double")
     cb = F.sum("_n").over(wb).cast("double")
-    nt = F.sum("_n").over(wt).cast("double")
+    nt = F.col("_nt")
     e = ra * cb / nt
     term = (F.col("_n").cast("double") - e) * (F.col("_n") - e) / e
     scale = 1_000_000  # chi2 cells can reach N; 1e-6 units keep

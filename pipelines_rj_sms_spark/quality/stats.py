@@ -236,15 +236,18 @@ def ks_two_sample(df: DataFrame, group_col: str, value_col: str,
 
     Scale shape: the data collapses to per-distinct-value counts for
     each group in ONE conditional hash aggregation; the ECDF cumsums
-    run over the COLLAPSED value table (cardinality |support|, never
-    the data). Exactness: the gap is held as the integer cross-product
-    |cum_a·n_b − cum_b·n_a| (DECIMAL(38,0) — exact past 2**63), so the
-    max and its location are exact; the single division to D and the
-    one-term asymptotic p ≈ 2·exp(−2·m·D²) (m = harmonic sample size)
-    happen once, on the driver-side scalar row. Returns one row:
-    (n_a, n_b, d_numerator, ks_stat, at_value, p_approx).
+    run as DISTRIBUTED prefix sums over the collapsed value table
+    (``global_cumsum`` — range-partitioned, no SinglePartition
+    exchange, so a near-continuous value column whose support
+    approaches data size still parallelizes). Exactness: the gap is
+    held as the integer cross-product |cum_a·n_b − cum_b·n_a|
+    (DECIMAL(38,0) — exact past 2**63), so the max and its location
+    are exact; the single division to D and the one-term asymptotic
+    p ≈ 2·exp(−2·m·D²) (m = harmonic sample size) happen once, on the
+    driver-side scalar row. Returns one row: (n_a, n_b, d_numerator,
+    ks_stat, at_value, p_approx).
     """
-    from pyspark.sql import Window
+    from pipelines_rj_sms_spark.operators.ids import global_cumsum
 
     in_a = F.col(group_col) == F.lit(group_a)
     in_b = F.col(group_col) == F.lit(group_b)
@@ -252,22 +255,22 @@ def ks_two_sample(df: DataFrame, group_col: str, value_col: str,
               .groupBy(F.col(value_col).alias("_v"))
               .agg(F.sum(in_a.cast("long")).alias("_ca"),
                    F.sum(in_b.cast("long")).alias("_cb")))
-    w = (Window.orderBy("_v")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    wt = Window.partitionBy()
+    cc = global_cumsum(counts, ["_v"], ["_ca", "_cb"])
     d38 = "decimal(38,0)"
-    cum_a = F.sum("_ca").over(w).cast(d38)
-    cum_b = F.sum("_cb").over(w).cast(d38)
-    na = F.sum("_ca").over(wt).cast(d38)
-    nb = F.sum("_cb").over(wt).cast(d38)
-    gap = F.abs(cum_a * nb - cum_b * na)
+    # grand totals = last prefix sums (cum is monotone); the 1-row agg
+    # rides back as a broadcast scalar frame
+    tots = F.broadcast(cc.agg(
+        F.max("_cum__ca").cast(d38).alias("_na"),
+        F.max("_cum__cb").cast(d38).alias("_nb")))
+    gap = F.abs(F.col("_cum__ca").cast(d38) * F.col("_nb")
+                - F.col("_cum__cb").cast(d38) * F.col("_na"))
     # winner = largest gap, smallest value on ties (max over the
     # struct with the value negated) — deterministic
     best = F.max(F.struct(F.col("_gap").alias("g"),
                           (-F.col("_v")).alias("nv")))
-    agg = (counts
+    agg = (cc.crossJoin(tots)
            .select(F.col("_v"), gap.alias("_gap"),
-                   na.alias("_na"), nb.alias("_nb"))
+                   F.col("_na"), F.col("_nb"))
            .agg(best.alias("_best"),
                 F.max("_na").alias("_n_a"),
                 F.max("_nb").alias("_n_b")))
@@ -275,7 +278,8 @@ def ks_two_sample(df: DataFrame, group_col: str, value_col: str,
          / (F.col("_n_a") * F.col("_n_b")).cast("double"))
     m = ((F.col("_n_a") * F.col("_n_b")).cast("double")
          / (F.col("_n_a") + F.col("_n_b")).cast("double"))
-    return agg.select(
+    from pipelines_rj_sms_spark.operators.cache import track
+    return track(agg.select(
         F.col("_n_a").cast("bigint").alias("n_a"),
         F.col("_n_b").cast("bigint").alias("n_b"),
         F.col("_best.g").cast("bigint").alias("d_numerator"),
@@ -283,7 +287,7 @@ def ks_two_sample(df: DataFrame, group_col: str, value_col: str,
         (-F.col("_best.nv")).alias("at_value"),
         F.round(F.least(F.lit(1.0),
                         2.0 * F.exp(-2.0 * m * d * d)), 6)
-        .alias("p_approx"))
+        .alias("p_approx")), cc)
 
 
 def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
@@ -295,30 +299,31 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
 
     Ranks use the same exact half-unit average-rank construction as
     ``quality/profile.spearman_correlation``: the combined sample
-    collapses to per-value counts, the rank window runs over the
-    collapsed support, and R_a accumulates as exact DECIMAL(38,0)
-    integers (2·U is an integer even with .5 average ranks). The tie
-    term Σ(t³−t) is exact the same way. Only z's final expression runs
-    in doubles — engine-identical. One row: (n_a, n_b, u_a, u_b,
-    z_stat), floats rounded to 6.
+    collapses to per-value counts, the rank cumsum runs as a
+    DISTRIBUTED prefix sum over the collapsed support
+    (``global_cumsum`` — no SinglePartition exchange), and R_a
+    accumulates as exact DECIMAL(38,0) integers (2·U is an integer
+    even with .5 average ranks). The tie term Σ(t³−t) is exact the
+    same way. Only z's final expression runs in doubles —
+    engine-identical. One row: (n_a, n_b, u_a, u_b, z_stat), floats
+    rounded to 6.
     """
-    from pyspark.sql import Window
+    from pipelines_rj_sms_spark.operators.cache import track
+    from pipelines_rj_sms_spark.operators.ids import global_cumsum
 
     in_a = F.col(group_col) == F.lit(group_a)
     in_b = F.col(group_col) == F.lit(group_b)
     counts = (df.filter((in_a | in_b) & F.col(value_col).isNotNull())
               .groupBy(F.col(value_col).alias("_v"))
               .agg(F.sum(in_a.cast("long")).alias("_ca"),
-                   F.sum(in_b.cast("long")).alias("_cb")))
-    w = (Window.orderBy("_v")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    t = F.col("_ca") + F.col("_cb")
-    cum = F.sum(t).over(w)
+                   F.sum(in_b.cast("long")).alias("_cb"))
+              .withColumn("_t", F.col("_ca") + F.col("_cb")))
+    cc = global_cumsum(counts, ["_v"], ["_t"])
     # average rank of tied block in half-units: 2*cum - t + 1
     d38 = "decimal(38,0)"
-    r2 = (2 * cum - t + 1).cast(d38)
-    agg = (counts
-           .select("_ca", "_cb", t.alias("_t"), r2.alias("_r2"))
+    r2 = (2 * F.col("_cum__t") - F.col("_t") + 1).cast(d38)
+    agg = (cc
+           .select("_ca", "_cb", "_t", r2.alias("_r2"))
            .agg(F.sum("_ca").cast(d38).alias("_na"),
                 F.sum("_cb").cast(d38).alias("_nb"),
                 F.sum(F.col("_ca").cast(d38) * F.col("_r2"))
@@ -342,13 +347,13 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
     # delta = (U_a - U_b) / (n_a * n_b), an exact rational in 2U units
     delta = ((u2_a - u2_b).cast("double")
              / (2 * na * nb).cast("double"))
-    return agg.select(
+    return track(agg.select(
         na.cast("bigint").alias("n_a"),
         nb.cast("bigint").alias("n_b"),
         (u2_a.cast("double") / 2.0).alias("u_a"),
         (u2_b.cast("double") / 2.0).alias("u_b"),
         F.round(z, 6).alias("z_stat"),
-        F.round(delta, 6).alias("cliffs_delta"))
+        F.round(delta, 6).alias("cliffs_delta")), cc)
 
 
 def one_way_anova(df: DataFrame, group_col: str,
@@ -690,13 +695,17 @@ def runs_test(df: DataFrame, t_col: str, units_col: str) -> DataFrame:
            .select(F.col(t_col).alias("_t"),
                    (F.col(units_col).cast("double") > F.col("_med"))
                    .cast("int").alias("_s")))
-    w = Window.orderBy("_t")
-    chg = (F.col("_s") != F.lag("_s").over(w)).cast("int")
+    # distributed lag (operators/ids.global_shift) — no global-sort
+    # SinglePartition window even if the bucket series grows
+    from pipelines_rj_sms_spark.operators.cache import track
+    from pipelines_rj_sms_spark.operators.ids import global_shift
+    ser = global_shift(ser, ["_t"], ["_s"], offset=-1)
+    chg = (F.col("_s") != F.col("_lag__s")).cast("int")
     ser = ser.withColumn("_chg", F.coalesce(chg, F.lit(0)))
-    agg = ser.agg(
+    agg = track(ser.agg(
         F.sum("_s").cast("bigint").alias("n_above"),
         (F.count("*") - F.sum("_s")).cast("bigint").alias("n_below"),
-        (F.sum("_chg") + 1).cast("bigint").alias("runs"))
+        (F.sum("_chg") + 1).cast("bigint").alias("runs")), ser)
     n1 = F.col("n_above").cast("double")
     n2 = F.col("n_below").cast("double")
     m = n1 + n2
@@ -889,30 +898,39 @@ def pettitt_test(df: DataFrame, t_col: str,
     Exactness: ranks use the half-unit integer construction
     (2R = 2·rank_min + ties − 1, the MWU convention), so U_t is an
     exact integer in 2U units; only the final p expression runs in
-    doubles. Scale shape: all windows run over the COLLAPSED
-    (bucket, units) series — rank over the value order, cumsum over
-    the time order, both single-partition over bucket counts (the
-    rank-statistics posture; thousands of rows for years of daily
-    data, never the facts). Returns one row (n, change_t, k_stat,
-    p_value) rounded to 6; NULL for n < 2.
+    doubles. Scale shape: both global orders — the value-order rank
+    and the time-order cumsum — run as DISTRIBUTED prefix sums over
+    collapsed supports (``global_cumsum``: range-partitioned, no
+    SinglePartition exchange), so neither a near-continuous value
+    column nor a long series funnels through one task. Returns one
+    row (n, change_t, k_stat, p_value) rounded to 6; NULL for n < 2.
     """
-    w_all = Window.partitionBy(F.lit(1))
-    r2 = (2 * F.rank().over(Window.orderBy("_u"))
-          + F.count("*").over(Window.partitionBy("_u")) - 1)
-    ser = (df.select(F.col(t_col).alias("_t"),
+    from pipelines_rj_sms_spark.operators.cache import track
+    from pipelines_rj_sms_spark.operators.ids import (global_cumsum,
+                                                      with_global_index)
+    ser0 = df.select(F.col(t_col).alias("_t"),
                      F.col(units_col).alias("_u"))
-           .withColumn("_r2", r2.cast("long"))
-           .withColumn("_n", F.count("*").over(w_all)))
-    wt = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, 0)
-    ser = (ser.withColumn("_idx", F.row_number().over(Window.orderBy("_t")))
-           .withColumn(
-               "_u2", F.sum("_r2").over(wt)
-               - F.col("_idx") * (F.col("_n") + 1)))
+    # half-unit average ranks from the collapsed value support:
+    # 2R = 2·cum − ties + 1 (the MWU convention), distributed
+    support = global_cumsum(
+        ser0.groupBy("_u").agg(F.count("*").alias("_c")),
+        ["_u"], ["_c"])
+    rmap = support.select(
+        "_u", (2 * F.col("_cum__c") - F.col("_c") + 1).alias("_r2"))
+    tot = F.broadcast(support.agg(
+        F.max("_cum__c").cast("long").alias("_n")))
+    ser = (ser0.join(rmap, "_u").crossJoin(tot)
+           .withColumn("_r2", F.col("_r2").cast("long")))
+    ser = global_cumsum(with_global_index(ser, ["_t"], id_col="_idx"),
+                        ["_t"], ["_r2"])
+    ser = ser.withColumn(
+        "_u2", F.col("_cum__r2") - F.col("_idx") * (F.col("_n") + 1))
     inner = ser.filter(F.col("_idx") < F.col("_n"))
-    best = inner.agg(
+    best = track(inner.agg(
         F.max("_n").cast("bigint").alias("n"),
         F.max(F.struct(F.abs(F.col("_u2")).alias("k2"),
-                       (-F.col("_t")).alias("mt"))).alias("_b"))
+                       (-F.col("_t")).alias("mt"))).alias("_b")),
+        support, ser)
     nd = F.col("n").cast("double")
     k = F.col("_b.k2").cast("double") / F.lit(2.0)
     p = F.least(F.lit(1.0),
@@ -1190,11 +1208,13 @@ def kruskal_wallis(df: DataFrame, group_col: str,
               .groupBy(F.col(group_col).alias("_g"),
                        F.col(value_col).alias("_v"))
               .agg(F.count("*").alias("_c")))
-    support = counts.groupBy("_v").agg(F.sum("_c").alias("_t"))
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    from pipelines_rj_sms_spark.operators.ids import global_cumsum
+    support = global_cumsum(
+        counts.groupBy("_v").agg(F.sum("_c").alias("_t")),
+        ["_v"], ["_t"])
     ranked = support.select(
         "_v",
-        (2 * F.sum("_t").over(w) - F.col("_t") + 1).cast(d38)
+        (2 * F.col("_cum__t") - F.col("_t") + 1).cast(d38)
         .alias("_r2"))
     per_group = (counts.join(ranked, "_v")
                  .groupBy("_g")
@@ -1224,12 +1244,13 @@ def kruskal_wallis(df: DataFrame, group_col: str,
     h = F.when(c_tie > 0, F.col("_h0") / c_tie)
     kd = F.col("_k").cast("double")
     eps2 = F.when(n2 > kd, (h - kd + 1.0) / (n2 - kd))
-    return stat.select(
+    from pipelines_rj_sms_spark.operators.cache import track
+    return track(stat.select(
         F.col("_n").cast("bigint").alias("n_total"),
         F.col("_k").cast("int").alias("k_groups"),
         F.round(h, 6).alias("h_stat"),
         (F.col("_k") - 1).cast("int").alias("df"),
-        F.round(eps2, 6).alias("epsilon_sq"))
+        F.round(eps2, 6).alias("epsilon_sq")), support)
 
 
 def durbin_watson(df: DataFrame, t_col: str,
@@ -1275,12 +1296,17 @@ def durbin_watson(df: DataFrame, t_col: str,
          / F.col("_n").cast("double"))
     e = (F.col(units_col).cast("double")
          - (a + b * F.col(t_col).cast("double")))
-    w = Window.orderBy(t_col)
     scale = 1_000_000
-    rows = (df.crossJoin(m)
-            .select(F.col(t_col), e.alias("_e"),
-                    F.lag(e).over(w).alias("_ep"),
-                    F.col("_n"), a.alias("_a"), b.alias("_b")))
+    # distributed lag of the residual series (operators/ids
+    # .global_shift) — no SinglePartition global-sort window
+    from pipelines_rj_sms_spark.operators.cache import track
+    from pipelines_rj_sms_spark.operators.ids import global_shift
+    rows = global_shift(
+        df.crossJoin(m)
+        .select(F.col(t_col).alias("_gt"), e.alias("_e"),
+                F.col("_n"), a.alias("_a"), b.alias("_b")),
+        ["_gt"], ["_e"], offset=-1)
+    rows = rows.withColumn("_ep", F.col("_lag__e"))
     agg = rows.agg(
         F.max("_n").alias("n"),
         F.max("_a").alias("intercept"),
@@ -1290,12 +1316,13 @@ def durbin_watson(df: DataFrame, t_col: str,
                        * (F.col("_e") - F.col("_ep")))
                 .otherwise(F.lit(0.0)), scale).alias("_num"),
         det_sum(F.col("_e") * F.col("_e"), scale).alias("_den"))
-    return agg.select(
+    return track(agg.select(
         F.col("n").cast("bigint").alias("n"),
         F.round("slope", 6).alias("slope"),
         F.round("intercept", 6).alias("intercept"),
         F.round(F.when(F.col("_den") > 0,
-                       F.col("_num") / F.col("_den")), 6).alias("dw"))
+                       F.col("_num") / F.col("_den")), 6).alias("dw")),
+        rows)
 
 
 def jarque_bera(df: DataFrame, units_col: str) -> DataFrame:
@@ -1575,34 +1602,33 @@ def cramer_von_mises(df: DataFrame, group_col: str, value_col: str,
 
     in_a = F.col(group_col) == F.lit(group_a)
     in_b = F.col(group_col) == F.lit(group_b)
+    from pipelines_rj_sms_spark.operators.cache import track
+    from pipelines_rj_sms_spark.operators.ids import global_cumsum
     counts = (df.filter((in_a | in_b) & F.col(value_col).isNotNull())
               .groupBy(F.col(value_col).alias("_v"))
               .agg(F.sum(in_a.cast("long")).alias("_ca"),
                    F.sum(in_b.cast("long")).alias("_cb")))
-    w = (Window.orderBy("_v")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    wt = Window.partitionBy(F.lit(1))
-    cum_a = F.sum("_ca").over(w)
-    cum_b = F.sum("_cb").over(w)
-    na = F.sum("_ca").over(wt)
-    nb = F.sum("_cb").over(wt)
-    df_gap = (cum_a.cast("double") / na.cast("double")
-              - cum_b.cast("double") / nb.cast("double"))
+    # distributed ECDF cumsums + broadcast grand totals (= last prefix
+    # sums) — no SinglePartition exchange on the value support
+    cc = global_cumsum(counts, ["_v"], ["_ca", "_cb"])
+    tots = F.broadcast(cc.agg(F.max("_cum__ca").alias("_na"),
+                              F.max("_cum__cb").alias("_nb")))
+    df_gap = (F.col("_cum__ca").cast("double") / F.col("_na").cast("double")
+              - F.col("_cum__cb").cast("double") / F.col("_nb").cast("double"))
     addend = ((F.col("_ca") + F.col("_cb")).cast("double")
               * df_gap * df_gap)
-    agg = (counts.select(F.max(na).over(wt).alias("_na"),
-                         F.max(nb).over(wt).alias("_nb"),
-                         addend.alias("_w"))
+    agg = (cc.crossJoin(tots)
+           .select(F.col("_na"), F.col("_nb"), addend.alias("_w"))
            .agg(F.max("_na").alias("n_a"), F.max("_nb").alias("n_b"),
                 det_sum_big(F.col("_w")).alias("_s")))
     nad = F.col("n_a").cast("double")
     nbd = F.col("n_b").cast("double")
     t = (nad * nbd / ((nad + nbd) * (nad + nbd))) * F.col("_s")
-    return agg.select(
+    return track(agg.select(
         F.col("n_a").cast("bigint").alias("n_a"),
         F.col("n_b").cast("bigint").alias("n_b"),
         F.round(F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), t), 6)
-        .alias("t_stat"))
+        .alias("t_stat")), cc)
 
 
 def eb_shrunk_rates(df: DataFrame, key_cols: list[str],
@@ -1681,26 +1707,30 @@ def wasserstein_1d(df: DataFrame, group_col: str, value_col: str,
               .groupBy(F.col(value_col).alias("_v"))
               .agg(F.sum(in_a.cast("long")).alias("_ca"),
                    F.sum(in_b.cast("long")).alias("_cb")))
-    wo = Window.orderBy("_v")
-    w = wo.rowsBetween(Window.unboundedPreceding, 0)
-    wt = Window.partitionBy(F.lit(1))
-    na = F.sum("_ca").over(wt)
-    nb = F.sum("_cb").over(wt)
-    gap = (F.lead("_v").over(wo).cast("double")
+    from pipelines_rj_sms_spark.operators.cache import track
+    from pipelines_rj_sms_spark.operators.ids import (global_cumsum,
+                                                      global_shift)
+    # distributed ECDF cumsums + distributed lead for the support gap
+    # — no SinglePartition exchange on the value support
+    cc = global_shift(global_cumsum(counts, ["_v"], ["_ca", "_cb"]),
+                      ["_v"], ["_v"], offset=1)
+    tots = F.broadcast(cc.agg(F.max("_cum__ca").alias("_na"),
+                              F.max("_cum__cb").alias("_nb")))
+    gap = (F.col("_lead__v").cast("double")
            - F.col("_v").cast("double"))
-    dfq = (F.sum("_ca").over(w).cast("double") / na.cast("double")
-           - F.sum("_cb").over(w).cast("double") / nb.cast("double"))
+    dfq = (F.col("_cum__ca").cast("double") / F.col("_na").cast("double")
+           - F.col("_cum__cb").cast("double") / F.col("_nb").cast("double"))
     addend = F.when(gap.isNotNull(), gap * F.abs(dfq)) \
         .otherwise(F.lit(0.0))
-    agg = (counts.select(na.alias("_na"), nb.alias("_nb"),
-                         addend.alias("_w"))
+    agg = (cc.crossJoin(tots)
+           .select(F.col("_na"), F.col("_nb"), addend.alias("_w"))
            .agg(F.max("_na").alias("n_a"), F.max("_nb").alias("n_b"),
                 det_sum(F.col("_w")).alias("_s")))
-    return agg.select(
+    return track(agg.select(
         F.col("n_a").cast("bigint").alias("n_a"),
         F.col("n_b").cast("bigint").alias("n_b"),
         F.round(F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
-                       F.col("_s")), 6).alias("w1_distance"))
+                       F.col("_s")), 6).alias("w1_distance")), cc)
 
 
 def cuped_adjusted_means(df: DataFrame, group_col: str,

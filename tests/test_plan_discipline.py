@@ -263,7 +263,14 @@ def test_every_query_plans_clean(spark):
                     "event_type_mood_median",
                     # 1-row marginal-entropy broadcast under the K²
                     # transition rollup
-                    "event_markov_entropy"}
+                    "event_markov_entropy",
+                    # round-8 distributed-rank conversions: grand
+                    # totals became broadcast 1-row crossJoins against
+                    # the collapsed support (global_cumsum replaces
+                    # the whole-frame window — ids.py)
+                    "purchase_click_ks_test", "event_value_mutual_info",
+                    "event_count_pettitt", "quantity_return_best_split",
+                    "priority_status_chi2"}
     failures = []
     for name, fn in entry.queries().items():
         try:
