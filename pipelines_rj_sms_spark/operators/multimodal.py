@@ -17,9 +17,14 @@ Decode support is tiered honestly:
   sniffing
   with `decode_stub=False`. These exercise the full
   bytes->decode->feature/resize path end-to-end in tests.
-- Formats needing PIL/ffmpeg/torchaudio (progressive jpeg, mp3,
-  mp4/...) raise NotImplementedError at the exact kernel slot a real
-  codec plugs into.
+- mp3: the frame-header walk (`parse_mp3_headers`, public MPEG header
+  layout) is REAL — duration / sample rate / frame count / bitrate /
+  VBR-ness for lake bookkeeping; PCM synthesis and formats needing
+  PIL/ffmpeg/torchaudio (progressive jpeg, mp4 container/video) raise
+  NotImplementedError at the exact kernel slot a real codec plugs
+  into — mp4 is a PERMANENT out-of-scope declaration (COVERAGE.md):
+  an ISO-BMFF demuxer plus AAC/H.264 decode is a codec library, not
+  an analytics-engine concern.
 - `decode_stub=True` (default) keeps the deterministic byte-histogram
   stand-in for pipeline tests that don't care about pixels.
 
@@ -170,6 +175,70 @@ def decode_wav(content: bytes):
     return rate, n, x
 
 
+def parse_mp3_headers(content: bytes):
+    """MPEG-1/2/2.5 Layer III frame-header walk (public ISO 11172-3 /
+    13818-3 header layout): skips an ID3v2 tag (synchsafe size), then
+    steps frame to frame via the header's bitrate/samplerate/padding
+    fields. Returns (sample_rate, n_frames, total_samples, duration_s,
+    avg_bitrate_kbps, is_vbr). This is the METADATA half of mp3
+    support — real, tested, and enough for lake bookkeeping (duration,
+    rate, VBR-ness); PCM synthesis (huffman + IMDCT + polyphase)
+    stays honestly gated in `_real_features`.
+    """
+    _BR_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112,
+              128, 160, 192, 224, 256, 320)
+    _BR_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+              144, 160)
+    _SR = {3: (44100, 48000, 32000),      # MPEG1
+           2: (22050, 24000, 16000),      # MPEG2
+           0: (11025, 12000, 8000)}       # MPEG2.5
+    if content is None or len(content) < 4:
+        raise ValueError("not an MPEG audio stream")
+    pos = 0
+    if content[:3] == b"ID3" and len(content) > 10:
+        size = ((content[6] & 0x7F) << 21 | (content[7] & 0x7F) << 14
+                | (content[8] & 0x7F) << 7 | (content[9] & 0x7F))
+        pos = 10 + size
+    n_frames = total_samples = 0
+    bitrates: set[int] = set()
+    br_sum = 0
+    rate = None
+    while pos + 4 <= len(content):
+        b0, b1, b2 = content[pos], content[pos + 1], content[pos + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            if n_frames == 0:
+                pos += 1              # resync before the first frame
+                continue
+            break                     # trailing tag / garbage: stop
+        version = (b1 >> 3) & 3       # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 3         # 1 = Layer III
+        if version == 1 or layer != 1:
+            raise NotImplementedError(
+                "only MPEG-1/2/2.5 Layer III headers are parsed")
+        br_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 3
+        padding = (b2 >> 1) & 1
+        if br_idx in (0, 15) or sr_idx == 3:
+            break                     # free-format / invalid: stop
+        table = _BR_V1 if version == 3 else _BR_V2
+        kbps = table[br_idx]
+        rate = _SR[version][sr_idx]
+        samples = 1152 if version == 3 else 576
+        frame_len = samples // 8 * kbps * 1000 // rate + padding
+        if frame_len <= 4:
+            break
+        n_frames += 1
+        total_samples += samples
+        bitrates.add(kbps)
+        br_sum += kbps
+        pos += frame_len
+    if n_frames == 0 or rate is None:
+        raise ValueError("no MPEG audio frames found")
+    duration = total_samples / rate
+    return (rate, n_frames, total_samples, duration,
+            br_sum / n_frames, len(bitrates) > 1)
+
+
 def _image_feats(w: int, h: int, px, dim: int):
     """Shared image feature recipe: [w, h, mean RGB, (dim-5)-bucket
     luminance histogram] — identical regardless of which codec
@@ -224,10 +293,21 @@ def _real_features(content: bytes, dim: int = _FEATURE_DIM):
     if content[:4] == b"fLaC":
         from pipelines_rj_sms_spark.operators.flac import decode_flac
         return "audio", _audio_feats(*decode_flac(content), dim)
+    if (content[:3] == b"ID3"
+            or (len(content) > 1 and content[0] == 0xFF
+                and (content[1] & 0xE0) == 0xE0)):
+        # mp3: the frame-header walk is real (duration / rate /
+        # bitrate / VBR-ness); the signal slots are zero because PCM
+        # synthesis (huffman + IMDCT + polyphase filterbank) is the
+        # codec that plugs in here
+        rate, n_frames, _tot, dur, kbps, vbr = parse_mp3_headers(content)
+        meta = [dur, float(rate), float(n_frames), kbps / 320.0,
+                1.0 if vbr else 0.0]
+        return "audio", (meta + [0.0] * dim)[:dim]
     raise NotImplementedError(
-        "native decode covers BMP, baseline JPEG and PCM WAV; this "
-        "payload needs PIL/ffmpeg — plug the codec into "
-        "_real_features's slot")
+        "native decode covers BMP, baseline JPEG, PNG, PCM WAV, FLAC "
+        "and mp3 headers; this payload needs PIL/ffmpeg — plug the "
+        "codec into _real_features's slot")
 
 
 def extract_features(df: DataFrame, content_col: str = "content",

@@ -21,7 +21,13 @@ from pyspark.sql import DataFrame
 
 FORBIDDEN_KEYWORDS = ("drop ", "truncate ", "delete ", "grant ", "revoke ", "alter ")
 
-TRANSIENT_MARKERS = ("deadlock", "lock wait timeout", "try restarting transaction")
+# MySQL spellings (the reference's deadlock policy) plus Derby's
+# lock-timeout message — the same transient class, and the dialect the
+# in-container e2e can actually produce (tests/test_jdbc_read_e2e.py
+# provokes a real two-connection lock conflict through the real driver)
+TRANSIENT_MARKERS = ("deadlock", "lock wait timeout",
+                     "try restarting transaction",
+                     "lock could not be obtained")
 
 
 def validate_statement(sql: str) -> None:

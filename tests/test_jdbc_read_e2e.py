@@ -131,3 +131,50 @@ def test_execute_with_retry_deadlock_then_success():
         execute_with_retry(
             lambda: (_ for _ in ()).throw(ValueError("syntax error")),
             max_retries=5, backoff_s=0.0)
+
+
+def test_retry_real_lock_conflict_e2e(spark, derby):
+    """execute_with_retry against a REAL engine lock conflict through
+    the real JDBC driver (VERDICT r6 #6 / r7 order #7): connection A
+    holds a row lock in an open transaction; the retried UPDATE on
+    connection B hits Derby's lock timeout (a genuine
+    SQLTransactionRollbackException surfacing through py4j), the
+    classifier marks it transient, the rollback hook releases A, and
+    the retry succeeds. (A MySQL-engine run needs a jar this container
+    doesn't ship — the MySQL dialect SQL and marker spellings are
+    asserted textually in test_sources_sinks.py.)"""
+    from pipelines_rj_sms_spark.sinks.jdbc_upsert import (
+        execute_with_retry)
+
+    jvm = spark._jvm
+    jvm.java.lang.System.setProperty("derby.locks.waitTimeout", "1")
+    try:
+        conn_a = jvm.java.sql.DriverManager.getConnection(derby)
+        conn_b = jvm.java.sql.DriverManager.getConnection(derby)
+        try:
+            conn_a.setAutoCommit(False)
+            st_a = conn_a.createStatement()
+            st_a.executeUpdate(
+                'UPDATE people SET "name" = \'locked\' WHERE "id" = 7')
+            st_b = conn_b.createStatement()
+            attempts = {"n": 0}
+
+            def contended():
+                attempts["n"] += 1
+                return st_b.executeUpdate(
+                    'UPDATE people SET "name" = \'won\' WHERE "id" = 7')
+
+            out = execute_with_retry(
+                contended, rollback=conn_a.commit,
+                max_retries=4, backoff_s=0.0)
+            assert out == 1 and attempts["n"] >= 2
+            conn_b.commit()
+            rs = conn_b.createStatement().executeQuery(
+                'SELECT "name" FROM people WHERE "id" = 7')
+            rs.next()
+            assert rs.getString(1) == "won"
+        finally:
+            conn_a.close()
+            conn_b.close()
+    finally:
+        jvm.java.lang.System.clearProperty("derby.locks.waitTimeout")

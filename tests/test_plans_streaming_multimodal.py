@@ -344,3 +344,48 @@ def test_local_file_store_atomic_and_sandboxed(tmp_path):
     assert names == ["b.json"]
     with _pytest.raises(ValueError):
         st.put("../escape.json", b"x")
+
+
+def _mk_mp3(n_frames=38, kbps=128, rate=44100, pad_id3=True,
+            vbr_second=None):
+    """Synthesize a structurally-valid MPEG1 Layer III byte stream:
+    correct headers + junk payload (the header walk never reads the
+    audio data)."""
+    br_idx = (0, 32, 40, 48, 56, 64, 80, 96, 112,
+              128, 160, 192, 224, 256, 320).index(kbps)
+    sr_idx = (44100, 48000, 32000).index(rate)
+    out = bytearray()
+    if pad_id3:
+        tag = b"junkjunk"  # 8 bytes, synchsafe size
+        out += b"ID3\x04\x00\x00" + bytes(
+            [0, 0, 0, len(tag)]) + tag
+    for i in range(n_frames):
+        k = kbps if vbr_second is None or i % 2 == 0 else vbr_second
+        bi = (0, 32, 40, 48, 56, 64, 80, 96, 112,
+              128, 160, 192, 224, 256, 320).index(k)
+        hdr = bytes([0xFF, 0xFB, (bi << 4) | (sr_idx << 2), 0x00])
+        flen = 144 * k * 1000 // rate
+        out += hdr + b"\x00" * (flen - 4)
+    return bytes(out)
+
+
+def test_parse_mp3_headers_cbr_and_vbr():
+    from pipelines_rj_sms_spark.operators.multimodal import (
+        parse_mp3_headers)
+    rate, n, tot, dur, kbps, vbr = parse_mp3_headers(_mk_mp3())
+    assert (rate, n, tot) == (44100, 38, 38 * 1152)
+    assert abs(dur - 38 * 1152 / 44100) < 1e-9
+    assert kbps == 128.0 and not vbr
+    _, n2, _, _, kbps2, vbr2 = parse_mp3_headers(
+        _mk_mp3(n_frames=10, vbr_second=192, pad_id3=False))
+    assert n2 == 10 and vbr2 and 128 < kbps2 < 192
+
+
+def test_real_features_mp3_metadata_path():
+    from pipelines_rj_sms_spark.operators.multimodal import (
+        _FEATURE_DIM, _real_features)
+    kind, feats = _real_features(_mk_mp3())
+    assert kind == "audio" and len(feats) == _FEATURE_DIM
+    assert abs(feats[0] - 38 * 1152 / 44100) < 1e-9   # duration
+    assert feats[1] == 44100.0 and feats[2] == 38.0
+    assert feats[3] == 128.0 / 320.0 and feats[4] == 0.0
