@@ -644,6 +644,15 @@ def _pin_ln(x: str) -> str:
 _PIN = 1000000.0  # LOG_SCALE mirror: 1e-6 pinned-ln grid
 
 
+def _pin6(x: str) -> str:
+    """DuckDB mirror of functions/numeric.pin_round6 — engine-
+    independent half-away-from-zero 6dp rounding of a mirrored-float
+    expression (explicit floor, identical IEEE ops both sides; no
+    round()-convention tie to resolve)."""
+    from pipelines_rj_sms_spark.functions.numeric import pin_round6_sql
+    return pin_round6_sql(x)
+
+
 def _grid_mean(s: str, n: str) -> str:
     """DuckDB mirror of functions/numeric.grid_mean — exact integer
     half-away-from-zero rounding of a pinned-grid-unit sum divided by a
@@ -7773,26 +7782,29 @@ SELECT o_orderpriority, month, revenue,
 FROM monthly
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
 """,
-        "event_dow_seasonality": r"""
+        "event_dow_seasonality": f"""
 WITH per AS (
   SELECT event_type, dayofweek(ts) + 1 AS season_idx,
-         sum(CAST(floor(value * 1000000000.0 + 0.5) AS BIGINT)) AS su,
-         count(*) AS n_obs
+         CAST(sum(CAST(floor(value * 1000000000.0 + 0.5) AS BIGINT))
+              AS HUGEINT) AS su,
+         CAST(count(*) AS HUGEINT) AS n_obs
   FROM events GROUP BY 1, 2),
 overall AS (
-  SELECT event_type,
-         CAST(sum(su) AS DOUBLE) / 1000000000.0 / sum(n_obs) AS omean
+  SELECT event_type, CAST(sum(su) AS HUGEINT) AS osu,
+         CAST(sum(n_obs) AS HUGEINT) AS onn
   FROM per GROUP BY 1),
-m AS (
-  SELECT event_type, season_idx, n_obs, omean,
-         CAST(su AS DOUBLE) / 1000000000.0 / n_obs AS mean
-  FROM per JOIN overall USING (event_type))
-SELECT event_type, season_idx, n_obs,
-       round(mean, 6) AS season_mean,
-       round(omean, 6) AS overall_mean,
-       round(mean - omean, 6) AS deviation,
-       round(CASE WHEN omean <> 0 THEN mean / omean END, 6)
-         AS seasonal_index
+m AS (SELECT * FROM per JOIN overall USING (event_type))
+SELECT event_type, season_idx, CAST(n_obs AS BIGINT) AS n_obs,
+       {_grid_mean('su', 'n_obs * 1000')} AS season_mean,
+       {_grid_mean('osu', 'onn * 1000')} AS overall_mean,
+       {_grid_mean('su * onn - osu * n_obs',
+                   'n_obs * onn * 1000')} AS deviation,
+       CASE WHEN osu > 0
+            THEN {_grid_mean('su * onn * 1000000', 'osu * n_obs')}
+            WHEN osu < 0
+            THEN {_grid_mean('-(su * onn * 1000000)',
+                             '-(osu * n_obs)')}
+       END AS seasonal_index
 FROM m
 """,
         "brand_cooccurrence_graph": r"""
@@ -9280,7 +9292,7 @@ mo AS (
          CAST(sum(m * m) AS HUGEINT) AS q
   FROM mx),
 fit AS (
-  SELECT nb,
+  SELECT nb, s,
          CAST(s AS DOUBLE) / CAST(nb AS DOUBLE) AS mean,
          CASE WHEN nb > 1 AND
               CAST(nb * q - s * s AS DOUBLE)
@@ -9290,12 +9302,13 @@ fit AS (
            * (sqrt(6.0) / 3.141592653589793) END AS beta
   FROM mo),
 fit2 AS (
-  SELECT nb, mean, beta,
+  SELECT nb, s, mean, beta,
          mean - 0.5772156649015329 * beta AS mu
   FROM fit)
-SELECT CAST(nb AS BIGINT) AS n_blocks, round(mean, 6) AS mean_max,
-       round(beta, 6) AS beta, round(mu, 6) AS mu,
-       round(mu - beta * ln(-ln(1.0 - 1.0 / 12.0)), 6)
+SELECT CAST(nb AS BIGINT) AS n_blocks,
+       {_grid_mean('s * 1000000', 'nb')} AS mean_max,
+       {_pin6('beta')} AS beta, {_pin6('mu')} AS mu,
+       {_pin6('mu - beta * ln(-ln(1.0 - 1.0 / 12.0))')}
          AS return_level
 FROM fit2
 """,
@@ -9424,7 +9437,7 @@ FROM pa, ta, tb, nr
         # additive decomposition: trend = centered 7-day MA; seasonal
         # means det-quantized at 1e-6 units; centering over the 7-row
         # collapsed position table
-        "daily_count_decomposition": """
+        "daily_count_decomposition": f"""
 WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket,
          count(*) AS observed
@@ -9450,9 +9463,9 @@ seas AS (
   FROM sraw)
 SELECT bucket, pos,
        CAST(observed AS BIGINT) AS observed,
-       round(trend, 6) AS trend,
-       round(seasonal, 6) AS seasonal,
-       round(observed - trend - seasonal, 6) AS resid
+       {_pin6('trend')} AS trend,
+       {_pin6('seasonal')} AS seasonal,
+       {_pin6('observed - trend - seasonal')} AS resid
 FROM tr JOIN seas USING (pos)
 """,
         # one-way ANOVA: det-quantized group moments; the second-level
@@ -9848,7 +9861,7 @@ FROM terms
 """,
         # composed: the decomposition oracle as a CTE + det-quantized
         # residual spread
-        "daily_count_seasonal_anomalies": """
+        "daily_count_seasonal_anomalies": f"""
 WITH dec AS (
 WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket,
@@ -9875,9 +9888,9 @@ seas AS (
   FROM sraw)
 SELECT bucket, pos,
        CAST(observed AS BIGINT) AS observed,
-       round(trend, 6) AS trend,
-       round(seasonal, 6) AS seasonal,
-       round(observed - trend - seasonal, 6) AS resid
+       {_pin6('trend')} AS trend,
+       {_pin6('seasonal')} AS seasonal,
+       {_pin6('observed - trend - seasonal')} AS resid
 FROM tr JOIN seas USING (pos)
 ),
 st AS (
@@ -9888,8 +9901,8 @@ st AS (
                        AS HUGEINT)) AS DOUBLE) / 1000000.0 AS q
   FROM dec WHERE resid IS NOT NULL)
 SELECT bucket, pos, observed, trend, seasonal, resid,
-       round(CASE WHEN sqrt((q - s * s / n) / n) > 0
-             THEN resid / sqrt((q - s * s / n) / n) END, 6) AS resid_z,
+       {_pin6("CASE WHEN sqrt((q - s * s / n) / n) > 0 "
+              "THEN resid / sqrt((q - s * s / n) / n) END")} AS resid_z,
        coalesce(abs(CASE WHEN sqrt((q - s * s / n) / n) > 0
                     THEN resid / sqrt((q - s * s / n) / n) END) > 2.0,
                 false) AS is_anomaly

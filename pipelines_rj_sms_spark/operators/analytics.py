@@ -720,29 +720,41 @@ def seasonal_profile(df: DataFrame, ts_col: str, value_col: str,
     else:
         raise ValueError(f"season must be dow|hour: {season}")
     from pipelines_rj_sms_spark.functions.numeric import (DET_SCALE,
-                                                          det_units)
+                                                          LOG_SCALE,
+                                                          det_units,
+                                                          grid_mean)
     keys = [F.col(k) for k in (key_cols or [])]
     kn = list(key_cols or [])
-    # carry quantized BIGINT units through BOTH aggregation levels so
-    # the season and overall means are combine-order-exact; dividing
-    # back to doubles only at the final projection
-    # (functions/numeric.py)
+    # carry quantized BIGINT units through BOTH aggregation levels and
+    # round every emitted ratio IN EXACT INTEGER ARITHMETIC
+    # (grid_mean): means of fixed-point units are integer rationals
+    # that land exactly on .5e-6 rounding ties (tools/tie_audit.py
+    # flagged this family at sf0.001), and a double round() resolves
+    # those engine-dependently (functions/numeric.py)
     per = df.groupBy(*keys, idx).agg(
         F.sum(det_units(F.col(value_col))).alias("_su"),
         F.count("*").alias("n_obs"))
     overall = per.groupBy(*keys).agg(
-        ((F.sum("_su").cast("double") / float(DET_SCALE))
-         / F.sum("n_obs")).alias("_omean"))
+        F.sum("_su").cast("decimal(38,0)").alias("_osu"),
+        F.sum("n_obs").cast("decimal(38,0)").alias("_on"))
     joined = (per.join(F.broadcast(overall), kn) if kn
               else per.crossJoin(F.broadcast(overall)))
-    mean = (F.col("_su").cast("double") / float(DET_SCALE)
-            / F.col("n_obs"))
+    d38 = "decimal(38,0)"
+    fac = DET_SCALE // LOG_SCALE          # unit grid -> 6dp grid
+    su = F.col("_su").cast(d38)
+    n = F.col("n_obs").cast(d38)
+    osu, on = F.col("_osu"), F.col("_on")
     return joined.select(
         *kn, "season_idx", "n_obs",
-        F.round(mean, 6).alias("season_mean"),
-        F.round(F.col("_omean"), 6).alias("overall_mean"),
-        F.round(mean - F.col("_omean"), 6).alias("deviation"),
-        F.round(F.when(F.col("_omean") != 0, mean / F.col("_omean")), 6)
+        grid_mean(su, n * fac).alias("season_mean"),
+        grid_mean(osu, on * fac).alias("overall_mean"),
+        # mean - omean = (su*on - osu*n) / (DET_SCALE * n * on)
+        grid_mean(su * on - osu * n, n * on * fac).alias("deviation"),
+        # mean / omean = su*on / (osu*n), rounded at 1e-6 exactly;
+        # grid_mean needs a positive denominator, so osu's sign moves
+        # to the numerator
+        F.when(osu > 0, grid_mean(su * on * LOG_SCALE, osu * n))
+        .when(osu < 0, grid_mean(-su * on * LOG_SCALE, -osu * n))
         .alias("seasonal_index"))
 
 
@@ -1197,12 +1209,20 @@ def gumbel_block_maxima(df: DataFrame, block_col: str, units_col: str,
     mu = mean - F.lit(0.5772156649015329) * beta
     t = float(return_period)
     rl = mu - beta * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / F.lit(t)))
+    # grid_mean / pin_round6, not F.round: mean_max = s/nb is an
+    # integer ratio that lands exactly on .5e-6 rounding ties
+    # (tools/tie_audit.py flagged it at sf0.001), and the float
+    # mu/beta chain inherits the boundary — engines' round()
+    # conventions can split there
+    from pipelines_rj_sms_spark.functions.numeric import (grid_mean,
+                                                          pin_round6)
     return agg.select(
         F.col("_nb").cast("bigint").alias("n_blocks"),
-        F.round(mean, 6).alias("mean_max"),
-        F.round(F.when(ok, beta), 6).alias("beta"),
-        F.round(F.when(ok, mu), 6).alias("mu"),
-        F.round(F.when(ok, rl), 6).alias("return_level"))
+        grid_mean(F.col("_s") * 1_000_000, F.col("_nb"))
+        .alias("mean_max"),
+        pin_round6(F.when(ok, beta)).alias("beta"),
+        pin_round6(F.when(ok, mu)).alias("mu"),
+        pin_round6(F.when(ok, rl)).alias("return_level"))
 
 
 def restricted_mean_survival(df: DataFrame, duration_col: str,

@@ -458,14 +458,20 @@ def seasonal_decompose(df: DataFrame, ts_col: str,
               .over(Window.partitionBy()).cast("double")
               / float(scale) / F.count("*").over(Window.partitionBy()))
     seas = seas.withColumn("seasonal", F.col("_s_raw") - center)
+    # pin_round6, not F.round: the seasonal component is a rational
+    # that lands on (or within double-eps of) .5e-6 rounding ties
+    # (tools/tie_audit.py flagged it at sf0.001) — engines' round()
+    # conventions can split there; the explicit floor is the same
+    # IEEE op on the same mirrored doubles in both engines
+    from pipelines_rj_sms_spark.functions.numeric import pin_round6
     out = (base.join(F.broadcast(seas.select("pos", "seasonal")), "pos")
            .select(
                "bucket", "pos",
                F.col("observed").cast("bigint").alias("observed"),
-               F.round("trend", 6).alias("trend"),
-               F.round("seasonal", 6).alias("seasonal"),
-               F.round(F.col("observed") - F.col("trend")
-                       - F.col("seasonal"), 6).alias("resid")))
+               pin_round6(F.col("trend")).alias("trend"),
+               pin_round6(F.col("seasonal")).alias("seasonal"),
+               pin_round6(F.col("observed") - F.col("trend")
+                          - F.col("seasonal")).alias("resid")))
     return out
 
 
@@ -492,10 +498,11 @@ def seasonal_anomalies(df: DataFrame, ts_col: str, period: int = 7,
         / F.col("_n")
     sigma = F.sqrt(var)
     z = F.when(sigma > 0, r / sigma)
+    from pipelines_rj_sms_spark.functions.numeric import pin_round6
     return (dec.crossJoin(stats)
             .select("bucket", "pos", "observed", "trend", "seasonal",
                     "resid",
-                    F.round(z, 6).alias("resid_z"),
+                    pin_round6(z).alias("resid_z"),
                     F.coalesce(F.abs(z) > F.lit(float(n_sigma)),
                                F.lit(False)).alias("is_anomaly")))
 
