@@ -2021,11 +2021,11 @@ tot AS (SELECT CAST(sum(c) AS HUGEINT) AS n,
         FROM cells)
 SELECT CAST(n AS BIGINT) AS n,
        CAST(diag AS BIGINT) AS observed_agree,
-       round(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
-       round(CAST(s AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS pe,
-       round(CASE WHEN CAST(n * n - s AS DOUBLE) != 0.0 THEN
-               CAST(n * diag - s AS DOUBLE)
-               / CAST(n * n - s AS DOUBLE) END, 6) AS kappa
+       {_pin6('CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)')} AS po,
+       {_pin6('CAST(s AS DOUBLE) / CAST(n * n AS DOUBLE)')} AS pe,
+       {_pin6("CASE WHEN CAST(n * n - s AS DOUBLE) != 0.0 THEN "
+              "CAST(n * diag - s AS DOUBLE) "
+              "/ CAST(n * n - s AS DOUBLE) END")} AS kappa
 FROM tot CROSS JOIN s
 """
 
@@ -3387,11 +3387,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             cluster_cohesion)
         emb = _t(spark, sf_dir, "embeddings")
         out = cluster_cohesion(emb, "label", "embedding")
+        from pipelines_rj_sms_spark.functions.numeric import pin_round6
         return out.select(
             F.col("label").cast("int").alias("label"),
             F.col("n_vectors").cast("bigint").alias("n_vectors"),
-            F.round("mean_cos", 6).alias("mean_cos"),
-            F.round("min_cos", 6).alias("min_cos"))
+            pin_round6(F.col("mean_cos")).alias("mean_cos"),
+            pin_round6(F.col("min_cos")).alias("min_cos"))
 
     def snapshot_diff_q(spark, sf_dir):
         """CDC without a changelog: classify every order key across two
@@ -6762,10 +6763,10 @@ enriched AS (
   FROM strata)
 SELECT CAST(sum(n) AS BIGINT) AS n_total,
        CAST(sum(ev) AS BIGINT) AS events_total,
-       round(1000.0 * sum(ev) / sum(n), 6) AS crude_rate,
-       round(1000.0 * {_det_sum('w * ev / n')}
-             / {_det_sum('w')}, 6) AS dsr,
-       round(sum(ev) / {_det_sum('n * ref / 1000.0')}, 6) AS smr
+       {_pin6('1000.0 * sum(ev) / sum(n)')} AS crude_rate,
+       {_pin6(f"1000.0 * {_det_sum('w * ev / n')} / {_det_sum('w')}")}
+         AS dsr,
+       {_pin6(f"sum(ev) / {_det_sum('n * ref / 1000.0')}")} AS smr
 FROM enriched
 """,
         "psi_value_drift": rf"""
@@ -6950,7 +6951,7 @@ SELECT b.doc_id, b.label AS predicted_lang, b.score,
        d.lang AS actual_lang, b.label = d.lang AS match
 FROM best b JOIN documents d ON b.doc_id = d.doc_id
 """,
-        "brand_basket_rules": r"""
+        "brand_basket_rules": rf"""
 WITH base AS (
   SELECT DISTINCT l_orderkey AS b, p_brand AS i
   FROM lineitem JOIN part ON l_partkey = p_partkey),
@@ -6963,10 +6964,10 @@ pairs AS (
   FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
   GROUP BY 1, 2 HAVING count(*) >= 3)
 SELECT item_a, item_b, pair_count,
-       round(pair_count / n, 6) AS support,
-       round(pair_count / na.ni, 6) AS conf_a_to_b,
-       round(pair_count / nb.ni, 6) AS conf_b_to_a,
-       round(pair_count * n / (na.ni * nb.ni), 6) AS lift
+       {_pin6('pair_count / n')} AS support,
+       {_pin6('pair_count / na.ni')} AS conf_a_to_b,
+       {_pin6('pair_count / nb.ni')} AS conf_b_to_a,
+       {_pin6('pair_count * n / (na.ni * nb.ni)')} AS lift
 FROM pairs
 JOIN ic na ON item_a = na.i
 JOIN ic nb ON item_b = nb.i
@@ -7489,7 +7490,7 @@ SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
 FROM h GROUP BY 1, 2
 HAVING sum(s) <> 0
 """,
-        "market_concentration_by_segment": r"""
+        "market_concentration_by_segment": rf"""
 WITH per_cust AS (
   SELECT c_mktsegment, c_custkey,
          sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS u
@@ -7506,9 +7507,10 @@ agg AS (
          sum(CAST(u AS HUGEINT) * u) AS sq
   FROM ranked GROUP BY 1)
 SELECT c_mktsegment, n, round(tot / 100.0, 2) AS total,
-       round(mx / tot, 6) AS top_share,
-       round(CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * tot), 6) AS hhi,
-       round(2.0 * rx / (n * tot) - (n + 1.0) / n, 6) AS gini
+       {_pin6('mx / tot')} AS top_share,
+       {_pin6('CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * tot)')}
+         AS hhi,
+       {_pin6('2.0 * rx / (n * tot) - (n + 1.0) / n')} AS gini
 FROM agg
 """,
         "signup_purchase_survival": r"""
@@ -7911,9 +7913,8 @@ bnd AS (
   FROM scored)
 SELECT len(list_filter(bb, x -> x < score)) AS bucket,
        count(*) AS n,
-       round((CAST(SUM(CAST(floor((score) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0) / count(*), 6) AS mean_score,
-       round(CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 6) AS accuracy
+       {_pin6('(CAST(SUM(CAST(floor((score) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0) / count(*)')} AS mean_score,
+       {_pin6("CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS accuracy
 FROM scored CROSS JOIN bnd
 GROUP BY 1
 """,
@@ -8299,11 +8300,11 @@ agg AS (
            AS f2
   FROM cnt GROUP BY 1)
 SELECT source, n_tokens, vocab_size, f1, f2,
-       round(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+       {_pin6('CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)')}
          AS gt_unseen_mass,
-       round(CAST(vocab_size AS DOUBLE)
-             + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
-               / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) AS chao1
+       {_pin6("CAST(vocab_size AS DOUBLE)"
+              " + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)"
+              " / (2.0 * (CAST(f2 AS DOUBLE) + 1.0))")} AS chao1
 FROM agg
 """,
         "part_copurchase_communities": """
@@ -8728,8 +8729,8 @@ scored AS (
             * sqrt(list_dot_product(cents.c, cents.c))) AS cos
   FROM vs JOIN cents USING (label))
 SELECT CAST(label AS INT) AS label, CAST(count(*) AS BIGINT) AS n_vectors,
-       round((CAST(SUM(CAST(floor((cos) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0) / count(*), 6) AS mean_cos,
-       round(min(cos), 6) AS min_cos
+       {_pin6('(CAST(SUM(CAST(floor((cos) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0) / count(*)')} AS mean_cos,
+       {_pin6('min(cos)')} AS min_cos
 FROM scored GROUP BY label
 """,
         "order_snapshot_diff": """
@@ -9110,7 +9111,7 @@ SELECT o_orderkey, o_custkey,
              / 100.0, 6) AS te_loo
 FROM base JOIN stats USING (o_custkey) CROSS JOIN gmean
 """,
-        "doc_lexical_diversity": r"""
+        "doc_lexical_diversity": rf"""
 WITH toks AS (
   SELECT doc_id,
          unnest(list_filter(string_split_regex(lower(text), '\s+'),
@@ -9122,9 +9123,9 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_types,
        CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_hapax,
-       round(CAST(count(*) AS DOUBLE) / sum(tf), 6) AS ttr,
-       round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / sum(tf), 6) AS hapax_share
+       {_pin6('CAST(count(*) AS DOUBLE) / sum(tf)')} AS ttr,
+       {_pin6("CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)"
+              " / sum(tf)")} AS hapax_share
 FROM tf GROUP BY doc_id
 """,
         "corpus_vocabulary_report": r"""
@@ -9145,7 +9146,7 @@ FROM cnt
 """,
         # KS: exact integer ECDF cross-products over the collapsed
         # support; only D and the one-term p are doubles
-        "purchase_click_ks_test": """
+        "purchase_click_ks_test": f"""
 WITH counts AS (
   SELECT value AS v,
          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
@@ -9170,13 +9171,13 @@ best AS (
   ORDER BY gap DESC, v ASC LIMIT 1)
 SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        CAST(gap AS BIGINT) AS d_numerator,
-       round(CAST(gap AS DOUBLE) / CAST(na * nb AS DOUBLE), 6)
+       {_pin6('CAST(gap AS DOUBLE) / CAST(na * nb AS DOUBLE)')}
          AS ks_stat,
        v AS at_value,
-       round(least(1.0, 2.0 * exp(
-         -2.0 * (CAST(na * nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
-         * (CAST(gap AS DOUBLE) / CAST(na * nb AS DOUBLE))
-         * (CAST(gap AS DOUBLE) / CAST(na * nb AS DOUBLE)))), 6)
+       {_pin6("least(1.0, 2.0 * exp("
+              "-2.0 * (CAST(na * nb AS DOUBLE) / CAST(na + nb AS DOUBLE))"
+              " * (CAST(gap AS DOUBLE) / CAST(na * nb AS DOUBLE))"
+              " * (CAST(gap AS DOUBLE) / CAST(na * nb AS DOUBLE))))")}
          AS p_approx
 FROM best
 """,
@@ -10380,7 +10381,7 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
          AS w1_distance
 FROM agg
 """,
-        "ab_cuped_adjusted": r"""
+        "ab_cuped_adjusted": rf"""
 WITH pu AS (
   SELECT user_id,
     coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-02-01'
@@ -10405,19 +10406,19 @@ g AS (
          CAST(sum(CAST(post AS HUGEINT)) AS HUGEINT) AS gy
   FROM base GROUP BY 1)
 SELECT grp, CAST(ng AS BIGINT) AS n,
-       round(CAST(gx AS DOUBLE) / CAST(ng AS DOUBLE), 6) AS mean_pre,
-       round(CAST(gy AS DOUBLE) / CAST(ng AS DOUBLE), 6)
+       {_pin6('CAST(gx AS DOUBLE) / CAST(ng AS DOUBLE)')} AS mean_pre,
+       {_pin6('CAST(gy AS DOUBLE) / CAST(ng AS DOUBLE)')}
          AS mean_post,
-       round(CASE WHEN np * sxx - sx * sx > 0 THEN
-           CAST(np * sxy - sx * sy AS DOUBLE)
-           / CAST(np * sxx - sx * sx AS DOUBLE) END, 6) AS kappa,
-       round(CASE WHEN np * sxx - sx * sx > 0 THEN
-           CAST(gy AS DOUBLE) / CAST(ng AS DOUBLE)
-           - (CAST(np * sxy - sx * sy AS DOUBLE)
-              / CAST(np * sxx - sx * sx AS DOUBLE))
-             * (CAST(gx AS DOUBLE) / CAST(ng AS DOUBLE)
-                - CAST(sx AS DOUBLE) / CAST(np AS DOUBLE))
-         ELSE CAST(gy AS DOUBLE) / CAST(ng AS DOUBLE) END, 6)
+       {_pin6("CASE WHEN np * sxx - sx * sx > 0 THEN "
+              "CAST(np * sxy - sx * sy AS DOUBLE) "
+              "/ CAST(np * sxx - sx * sx AS DOUBLE) END")} AS kappa,
+       {_pin6("CASE WHEN np * sxx - sx * sx > 0 THEN "
+              "CAST(gy AS DOUBLE) / CAST(ng AS DOUBLE) "
+              "- (CAST(np * sxy - sx * sy AS DOUBLE) "
+              "/ CAST(np * sxx - sx * sx AS DOUBLE)) "
+              "* (CAST(gx AS DOUBLE) / CAST(ng AS DOUBLE) "
+              "- CAST(sx AS DOUBLE) / CAST(np AS DOUBLE)) "
+              "ELSE CAST(gy AS DOUBLE) / CAST(ng AS DOUBLE) END")}
          AS adjusted_mean
 FROM g, m
 """,
@@ -10594,7 +10595,7 @@ SELECT bin, round(p, 6) AS share_a, round(q, 6) AS share_b,
              / 1000000000.0, 6) AS jsd_total
 FROM tt
 """,
-        "event_type_dispersion": r"""
+        "event_type_dispersion": rf"""
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
   FROM events GROUP BY 1, 2),
@@ -10605,14 +10606,14 @@ agg AS (
          CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
   FROM daily GROUP BY 1)
 SELECT event_type, n,
-       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
-       round(CASE WHEN n > 1 AND s > 0 THEN
-               CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE)
-               / CAST((CAST(n AS HUGEINT) - 1) * s AS DOUBLE) END, 6)
+       {_pin6('CAST(s AS DOUBLE) / CAST(n AS DOUBLE)')} AS mean,
+       {_pin6("CASE WHEN n > 1 AND s > 0 THEN "
+              "CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE) "
+              "/ CAST((CAST(n AS HUGEINT) - 1) * s AS DOUBLE) END")}
          AS vmr,
-       round(CASE WHEN n > 1 AND s > 0 THEN
-               CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE)
-               / CAST(s AS DOUBLE) END, 6) AS chi2
+       {_pin6("CASE WHEN n > 1 AND s > 0 THEN "
+              "CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE) "
+              "/ CAST(s AS DOUBLE) END")} AS chi2
 FROM agg
 """,
         "daily_revenue_runs_test": r"""
@@ -10784,7 +10785,7 @@ SELECT n_strata, observed_exposed_cases,
 FROM agg
 """,
         "lang_id_kappa": _duck_lang_kappa_sql(),
-        "priority_return_trend": r"""
+        "priority_return_trend": rf"""
 WITH ret AS (
   SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
 base AS (
@@ -10808,11 +10809,11 @@ o AS (
          aa * (nn - aa) * (nn * swwn - swn * swn) AS vbig
   FROM agg)
 SELECT CAST(nn AS BIGINT) AS n, CAST(aa AS BIGINT) AS successes,
-       round(CAST(tn AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS t_scaled,
-       round(CASE WHEN vbig > 0 THEN
-               CAST(tn AS DOUBLE)
-               / sqrt(CAST(vbig AS DOUBLE) / CAST(nn AS DOUBLE))
-             END, 6) AS z_ca
+       {_pin6('CAST(tn AS DOUBLE) / CAST(nn AS DOUBLE)')} AS t_scaled,
+       {_pin6("CASE WHEN vbig > 0 THEN "
+              "CAST(tn AS DOUBLE) "
+              "/ sqrt(CAST(vbig AS DOUBLE) / CAST(nn AS DOUBLE)) END")}
+         AS z_ca
 FROM o
 """,
         "event_count_pettitt": r"""

@@ -22,7 +22,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pipelines_rj_sms_spark.functions.numeric import det_sum, det_units
+from pipelines_rj_sms_spark.functions.numeric import (det_sum,
+                                                      det_units)
+from pipelines_rj_sms_spark.functions.numeric import \
+    pin_round6 as _p6
 
 
 def funnel_stages(df: DataFrame, user_col: str, ts_col: str,
@@ -285,13 +288,15 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
         .crossJoin(n_baskets)
         .select(
             "item_a", "item_b", "pair_count",
-            F.round(F.col("pair_count") / F.col("_n"), 6).alias("support"),
-            F.round(F.col("pair_count") / F.col("_na"), 6)
+            # pin_round6: support/confidence/lift are exact integer
+            # ratios — the .5e-6-tie class (functions/numeric.py)
+            _p6(F.col("pair_count") / F.col("_n")).alias("support"),
+            _p6(F.col("pair_count") / F.col("_na"))
             .alias("conf_a_to_b"),
-            F.round(F.col("pair_count") / F.col("_nb"), 6)
+            _p6(F.col("pair_count") / F.col("_nb"))
             .alias("conf_b_to_a"),
-            F.round(F.col("pair_count") * F.col("_n")
-                    / (F.col("_na") * F.col("_nb")), 6).alias("lift")))
+            _p6(F.col("pair_count") * F.col("_n")
+                / (F.col("_na") * F.col("_nb"))).alias("lift")))
 
 
 def attribution_credits(df: DataFrame, user_col: str, ts_col: str,
@@ -567,14 +572,16 @@ def concentration_metrics(df: DataFrame, key_cols: list[str],
               * F.col(value_col).cast("decimal(19,0)")).alias("_sq"))
     gini = (2.0 * F.col("_rx") / (F.col("n") * F.col("_tot"))
             - (F.col("n") + 1.0) / F.col("n"))
+    # pin_round6: share/HHI/Gini are exact integer ratios — the
+    # .5e-6-tie class (functions/numeric.py)
     return agg.select(
         *key_cols, "n",
         F.round("_tot", 6).alias("total"),
-        F.round(F.col("_mx") / F.col("_tot"), 6).alias("top_share"),
-        F.round(F.col("_sq").cast("double")
-                / (F.col("_tot").cast("double")
-                   * F.col("_tot")), 6).alias("hhi"),
-        F.round(gini, 6).alias("gini"))
+        _p6(F.col("_mx") / F.col("_tot")).alias("top_share"),
+        _p6(F.col("_sq").cast("double")
+            / (F.col("_tot").cast("double")
+               * F.col("_tot"))).alias("hhi"),
+        _p6(gini).alias("gini"))
 
 
 def survival_curve(df: DataFrame, duration_col: str, event_col: str,
@@ -870,19 +877,23 @@ def standardized_rates(df: DataFrame, strata_col: str,
         "_s", "_n", "_ev", wcol.alias("_w"),
         refcol.alias("_ref") if reference_rates else
         F.lit(None).cast("double").alias("_ref"))
+    # pin_round6, not F.round: crude_rate is an exact integer ratio
+    # (the .5e-6-tie class) and dsr/smr ride mirrored det-sum doubles
+    from pipelines_rj_sms_spark.functions.numeric import pin_round6
     out = enriched.agg(
         F.sum("_n").alias("n_total"),
         F.sum("_ev").alias("events_total"),
-        F.round(F.lit(per) * F.sum("_ev") / F.sum("_n"), 6)
+        pin_round6(F.lit(per) * F.sum("_ev") / F.sum("_n"))
         .alias("crude_rate"),
         # det_sum on the weighted-rate terms: per-stratum doubles whose
         # combine order must not move the 6dp result
-        F.round(F.lit(per)
-                * det_sum(F.col("_w") * F.col("_ev") / F.col("_n"))
-                / det_sum(F.col("_w")), 6).alias("dsr"),
-        *([F.round(F.sum("_ev")
-                   / det_sum(F.col("_n") * F.col("_ref") / F.lit(per)),
-                   6).alias("smr")] if reference_rates else []))
+        pin_round6(F.lit(per)
+                   * det_sum(F.col("_w") * F.col("_ev") / F.col("_n"))
+                   / det_sum(F.col("_w"))).alias("dsr"),
+        *([pin_round6(
+            F.sum("_ev")
+            / det_sum(F.col("_n") * F.col("_ref") / F.lit(per)))
+           .alias("smr")] if reference_rates else []))
     return out
 
 

@@ -39,6 +39,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pipelines_rj_sms_spark.functions.numeric import \
+    pin_round6 as _p6
+
 from pipelines_rj_sms_spark.functions.numeric import (LOG_SCALE,
                                                       det_log_units,
                                                       det_sum)
@@ -217,9 +220,11 @@ def calibration_report(df: DataFrame, score_col: str, correct_col: str,
             # a plain avg drifts with combine order; accuracy's 0/1
             # ints would stay exact either way but mirror the spelling
             .agg(F.count("*").alias("n"),
-                 F.round(det_sum(F.col("_s")) / F.count("*"), 6)
+                 # pin_round6: unit-sum/count and int ratios are the
+                 # .5e-6-tie class (functions/numeric.py)
+                 _p6(det_sum(F.col("_s")) / F.count("*"))
                  .alias("mean_score"),
-                 F.round(F.sum("_c").cast("double") / F.count("*"), 6)
+                 _p6(F.sum("_c").cast("double") / F.count("*"))
                  .alias("accuracy")))
 
 

@@ -26,6 +26,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pipelines_rj_sms_spark.functions.numeric import \
+    pin_round6 as _p6
+
 from pipelines_rj_sms_spark.functions.numeric import (LOG_SCALE,
                                                       det_log_units, det_sum,
                                                       grid_mean)
@@ -377,10 +380,11 @@ def lexical_diversity(df: DataFrame, id_col: str,
         .cast("bigint").alias("n_hapax"))
         .select(
             id_col, "n_tokens", "n_types", "n_hapax",
-            F.round(F.col("n_types").cast("double") / F.col("n_tokens"),
-                    6).alias("ttr"),
-            F.round(F.col("n_hapax").cast("double") / F.col("n_tokens"),
-                    6).alias("hapax_share")))
+            # pin_round6: integer ratios — the .5e-6-tie class
+            _p6(F.col("n_types").cast("double") / F.col("n_tokens"))
+            .alias("ttr"),
+            _p6(F.col("n_hapax").cast("double") / F.col("n_tokens"))
+            .alias("hapax_share")))
 
 
 def corpus_vocabulary_report(df: DataFrame, id_col: str,
@@ -548,11 +552,12 @@ def good_turing_richness(df: DataFrame, text_col: str,
     f1 = F.col("f1").cast("double")
     return agg.select(
         *keys, "n_tokens", "vocab_size", "f1", "f2",
-        F.round(f1 / F.col("n_tokens").cast("double"), 6)
+        # pin_round6: integer ratios — the .5e-6-tie class
+        _p6(f1 / F.col("n_tokens").cast("double"))
         .alias("gt_unseen_mass"),
-        F.round(F.col("vocab_size").cast("double")
-                + f1 * (f1 - 1.0)
-                / (2.0 * (F.col("f2").cast("double") + 1.0)), 6)
+        _p6(F.col("vocab_size").cast("double")
+            + f1 * (f1 - 1.0)
+            / (2.0 * (F.col("f2").cast("double") + 1.0)))
         .alias("chao1"))
 
 

@@ -278,15 +278,18 @@ def ks_two_sample(df: DataFrame, group_col: str, value_col: str,
          / (F.col("_n_a") * F.col("_n_b")).cast("double"))
     m = ((F.col("_n_a") * F.col("_n_b")).cast("double")
          / (F.col("_n_a") + F.col("_n_b")).cast("double"))
+    # pin_round6: ks_stat is an exact integer ratio (gap/(n_a*n_b))
+    # — the .5e-6-tie class (functions/numeric.py)
+    from pipelines_rj_sms_spark.functions.numeric import pin_round6
     from pipelines_rj_sms_spark.operators.cache import track
     return track(agg.select(
         F.col("_n_a").cast("bigint").alias("n_a"),
         F.col("_n_b").cast("bigint").alias("n_b"),
         F.col("_best.g").cast("bigint").alias("d_numerator"),
-        F.round(d, 6).alias("ks_stat"),
+        pin_round6(d).alias("ks_stat"),
         (-F.col("_best.nv")).alias("at_value"),
-        F.round(F.least(F.lit(1.0),
-                        2.0 * F.exp(-2.0 * m * d * d)), 6)
+        pin_round6(F.least(F.lit(1.0),
+                           2.0 * F.exp(-2.0 * m * d * d)))
         .alias("p_approx")), cc)
 
 
@@ -654,13 +657,16 @@ def dispersion_index(df: DataFrame, count_col: str,
     n = F.col("n").cast(d38)
     num = (n * F.col("_q") - F.col("_s") * F.col("_s")).cast("double")
     ok = (F.col("n") > 1) & (F.col("_s") > 0)
+    # pin_round6: mean/vmr/chi2 are exact integer ratios — the
+    # .5e-6-tie class (functions/numeric.py)
+    from pipelines_rj_sms_spark.functions.numeric import pin_round6
     return agg.select(
         *keys, F.col("n").cast("bigint").alias("n"),
-        F.round(F.col("_s").cast("double")
-                / F.col("n").cast("double"), 6).alias("mean"),
-        F.round(F.when(ok, num / ((n - 1) * F.col("_s"))
-                       .cast("double")), 6).alias("vmr"),
-        F.round(F.when(ok, num / F.col("_s").cast("double")), 6)
+        pin_round6(F.col("_s").cast("double")
+                   / F.col("n").cast("double")).alias("mean"),
+        pin_round6(F.when(ok, num / ((n - 1) * F.col("_s"))
+                          .cast("double"))).alias("vmr"),
+        pin_round6(F.when(ok, num / F.col("_s").cast("double")))
         .alias("chi2"))
 
 
@@ -822,14 +828,18 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     out = tot.join(F.broadcast(s))
     n, diag, sv = F.col("_n"), F.col("_diag"), F.col("_s")
     den = (n * n - sv).cast("double")
+    # pin_round6, not F.round: po/pe/kappa are exact integer ratios —
+    # the class that lands on .5e-6 rounding ties engines resolve
+    # differently (functions/numeric.py, tools/tie_audit.py)
+    from pipelines_rj_sms_spark.functions.numeric import pin_round6
     return out.select(
         n.cast("bigint").alias("n"),
         diag.cast("bigint").alias("observed_agree"),
-        F.round(diag.cast("double") / n.cast("double"), 6).alias("po"),
-        F.round(sv.cast("double") / (n * n).cast("double"), 6)
+        pin_round6(diag.cast("double") / n.cast("double")).alias("po"),
+        pin_round6(sv.cast("double") / (n * n).cast("double"))
         .alias("pe"),
-        F.round(F.when(den != 0.0,
-                       (n * diag - sv).cast("double") / den), 6)
+        pin_round6(F.when(den != 0.0,
+                          (n * diag - sv).cast("double") / den))
         .alias("kappa"))
 
 
@@ -876,12 +886,15 @@ def cochran_armitage(df: DataFrame, score_col: str,
                - F.col("_swn") * F.col("_swn"))).cast(d38)
     z = tn.cast("double") / F.sqrt(vbig.cast("double")
                                    / n.cast("double"))
+    # pin_round6: t_scaled is an exact integer ratio — the
+    # .5e-6-tie class (functions/numeric.py)
+    from pipelines_rj_sms_spark.functions.numeric import pin_round6
     return agg.select(
         n.cast("bigint").alias("n"),
         a.cast("bigint").alias("successes"),
-        F.round(tn.cast("double") / n.cast("double"), 6)
+        pin_round6(tn.cast("double") / n.cast("double"))
         .alias("t_scaled"),
-        F.round(F.when(vbig > 0, z), 6).alias("z_ca"))
+        pin_round6(F.when(vbig > 0, z)).alias("z_ca"))
 
 
 def pettitt_test(df: DataFrame, t_col: str,
@@ -1777,12 +1790,15 @@ def cuped_adjusted_means(df: DataFrame, group_col: str,
     gy = F.col("_gy").cast("double") / F.col("n").cast("double")
     adj = F.when(kappa.isNotNull(),
                  gy - kappa * (gx - mean_x_all)).otherwise(gy)
+    # pin_round6: the arm means are exact integer ratios — the
+    # .5e-6-tie class (functions/numeric.py)
+    from pipelines_rj_sms_spark.functions.numeric import pin_round6
     return (per.crossJoin(pooled)
             .select("grp", F.col("n").cast("bigint").alias("n"),
-                    F.round(gx, 6).alias("mean_pre"),
-                    F.round(gy, 6).alias("mean_post"),
-                    F.round(kappa, 6).alias("kappa"),
-                    F.round(adj, 6).alias("adjusted_mean")))
+                    pin_round6(gx).alias("mean_pre"),
+                    pin_round6(gy).alias("mean_post"),
+                    pin_round6(kappa).alias("kappa"),
+                    pin_round6(adj).alias("adjusted_mean")))
 
 
 def diff_in_diff(df: DataFrame, group_col: str, period_col: str,

@@ -137,6 +137,10 @@ def main() -> None:
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
+    # register the table views up front so the first query's row does
+    # not absorb the 10 one-time CreateViewCommand executions
+    from pipelines_rj_sms_spark.session import load_tables
+    load_tables(spark, sf_dir)
 
     lines = [
         "# PLANS — executed-plan audit of the bench headline queries",
