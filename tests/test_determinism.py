@@ -494,3 +494,30 @@ def test_grid_mean_tie_exact_cross_engine(spark):
             f"SELECT {grid_mean_sql(f'CAST({s} AS HUGEINT)', str(n))} "
             "AS m").fetchone()[0]
         assert d == e, (s, n, d, e)
+
+
+def test_pin_round6_matches_duckdb_on_ties(spark):
+    """pin_round6 and its SQL mirror must agree bit-for-bit on exact
+    dyadic .5e-6 ties (25/128-style float32 grid points), negative
+    values, and plain values — the round() replacement contract."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from pipelines_rj_sms_spark.functions.numeric import (pin_round6,
+                                                          pin_round6_sql)
+    vals = [25.0 / 128, -25.0 / 128, 0.1796875, 0.9546875, -0.9546875,
+            1.6683675, 0.1234564999, -0.1234564999, 0.0, 123.456789123,
+            3414986998.1445785]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r["x"]: r["y"] for r in
+           df.select("x", pin_round6(F.col("x")).alias("y")).collect()}
+    duck = duckdb.connect()
+    for v in vals:
+        # CAST: a bare decimal literal parses as DECIMAL in DuckDB and
+        # overflows the 1e6 multiply; the contract is about DOUBLEs
+        d = duck.sql(f"SELECT {pin_round6_sql(f'CAST({v!r} AS DOUBLE)')}"
+                     " AS y").fetchone()[0]
+        assert got[v] == d, (v, got[v], d)
+    # half-away-from-zero on the exact dyadic tie
+    assert got[25.0 / 128] == 0.195313 and got[-25.0 / 128] == -0.195313

@@ -128,7 +128,8 @@ def _merge(a: dict, b: dict) -> dict:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:] if a != "--full"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
 
     import __spark_entry__ as entry
     from bench import HEADLINE
@@ -164,7 +165,7 @@ def main() -> None:
     full = "--full" in sys.argv
     names = sorted(qs) if full else list(HEADLINE)
     for name in names:
-
+        print(f"auditing {name}", flush=True)
         before = set(_executions(spark))
         df = qs[name](spark, sf_dir)
         # collect() executes THIS DataFrame's own QueryExecution under
