@@ -1493,9 +1493,9 @@ WITH h AS (
          ) AS hashes
   FROM documents)
 SELECT doc_id,
-       list_sort(list_distinct(list_transform(
+       array_to_string(list_sort(list_distinct(list_transform(
          range(greatest(len(hashes) - 3, 1)),
-         j -> list_min(hashes[j + 1 : j + 4])))) AS fps
+         j -> list_min(hashes[j + 1 : j + 4])))), ',') AS fps
 FROM h
 """
 
@@ -2684,11 +2684,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("n_shared").cast("bigint").alias("n_shared"))
 
     def winnow_sets(spark, sf_dir):
+        # Emits the fingerprint set as a comma-joined scalar string:
+        # array-valued outputs break the driver's pandas canonicalizer
+        # (r8 ERR — unhashable list in sort_values), so every queries()
+        # entry must emit scalar-only columns.
         docs = _t(spark, sf_dir, "documents")
+        fps = text.winnow_fingerprints("text", k=8, w=4, hash_fn="md5")
         return docs.select(
             "doc_id",
-            text.winnow_fingerprints("text", k=8, w=4, hash_fn="md5")
-            .alias("fps"),
+            F.concat_ws(
+                ",", F.transform(F.sort_array(fps),
+                                 lambda x: x.cast("string")),
+            ).alias("fps"),
         )
 
     def pii_scrub(spark, sf_dir):
@@ -6562,8 +6569,11 @@ WITH vt AS (
 counts AS (
   SELECT "column", value, count(*) AS cnt FROM vt GROUP BY 1, 2),
 agg AS (
-  SELECT "column", sum(cnt) AS n_rows,
-         sum(CASE WHEN value IS NULL THEN cnt ELSE 0 END) AS n_nulls,
+  -- CAST: DuckDB sum() returns HUGEINT, which pandas renders float64
+  -- while Spark emits int64 — the driver hashes the rendering
+  SELECT "column", CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN value IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_nulls,
          count(CASE WHEN value IS NOT NULL THEN 1 END) AS n_distinct,
          min(value) AS min_value, max(value) AS max_value
   FROM counts GROUP BY 1),
@@ -6905,7 +6915,7 @@ SELECT doc_id,
        {_grid_mean(f"sum(tf * {_pin_ln('(ct + 1.0) / (tot + vocab)')})",
                    "sum(tf)")}
          AS mean_logprob,
-       sum(tf) AS n_tokens
+       CAST(sum(tf) AS BIGINT) AS n_tokens
 FROM tf JOIN cnt USING (term) CROSS JOIN tot
 GROUP BY doc_id
 """,
@@ -8003,7 +8013,7 @@ SELECT doc_id,
        {_grid_mean(f"sum(tf * {_pin_ln('(cbg + 1.0) / (cv + vocab)')})",
                    "sum(tf)")}
          AS mean_bigram_logprob,
-       sum(tf) AS n_bigrams
+       CAST(sum(tf) AS BIGINT) AS n_bigrams
 FROM tf
 JOIN cnt USING (bg)
 JOIN ctx ON string_split(bg, ' ')[1] = ctx.v

@@ -182,9 +182,11 @@ def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
                   F.expr("_num div (2 * _ng)"))))
     from pipelines_rj_sms_spark.operators.ids import (global_cumsum,
                                                       global_running_last)
-    glob = (global_cumsum(gv.groupBy("_v").agg(F.sum("_ct").alias("_ct")),
+    glob0 = global_cumsum(gv.groupBy("_v").agg(F.sum("_ct").alias("_ct")),
                           ["_v"], ["_ct"])
-            .withColumn("_pos", F.col("_cum__ct")))
+    # keep glob0 (direct helper return) for track() — withColumn drops
+    # the attr chain global_cumsum attached
+    glob = glob0.withColumn("_pos", F.col("_cum__ct"))
     lookups = glob.select(
         F.col("_pos"), F.lit(1).alias("_lk"),
         F.col("_v").alias("_tgt"))
@@ -214,7 +216,7 @@ def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
                          (F.col(group_col) == mapping["_g"])
                          & (F.col(value_col) == mapping["_v"]),
                          "left")
-                 .drop("_g", "_v"), gv, glob, shifted)
+                 .drop("_g", "_v"), gv, glob0, shifted)
 
 
 def ridge_regression_2f(df: DataFrame, x1_units: str, x2_units: str,
@@ -330,9 +332,9 @@ def split_conformal_2f(df: DataFrame, x1_units: str, x2_units: str,
     # distributed prefix sum over the residual-unit support — no
     # SinglePartition exchange (operators/ids.global_cumsum)
     from pipelines_rj_sms_spark.operators.ids import global_cumsum
-    sup = global_cumsum(sup, ["_r"], ["_c"])
-    ntot = F.broadcast(sup.agg(F.max("_cum__c").alias("_ncal")))
-    sup = (sup.crossJoin(ntot)
+    sup_cum = global_cumsum(sup, ["_r"], ["_c"])
+    ntot = F.broadcast(sup_cum.agg(F.max("_cum__c").alias("_ncal")))
+    sup = (sup_cum.crossJoin(ntot)
            .withColumn("_cum", F.col("_cum__c"))
            .withColumn("_k", F.ceil((F.col("_ncal") + 1)
                                     * F.lit(1.0 - float(alpha)))
@@ -346,12 +348,13 @@ def split_conformal_2f(df: DataFrame, x1_units: str, x2_units: str,
         F.max("intercept").alias("intercept"),
         F.min(F.when(F.col("_cum") >= F.col("_k"), F.col("_r")))
         .alias("_qu"))
-    return agg.select(
+    from pipelines_rj_sms_spark.operators.cache import track
+    return track(agg.select(
         "n_fit", "n_cal", "k", "coef_x1", "coef_x2", "intercept",
         F.round(F.when(F.col("k") <= F.col("n_cal"),
                        F.col("_qu").cast("double")
                        / F.lit(float(resid_scale))), 6)
-        .alias("q_hat"))
+        .alias("q_hat")), sup_cum)
 
 
 def best_split_binary(df: DataFrame, feature_col: str, label_col: str,
@@ -381,6 +384,7 @@ def best_split_binary(df: DataFrame, feature_col: str, label_col: str,
            .agg(F.count("*").alias("_c"), F.sum(lab).alias("_p")))
     # distributed prefix sums over the collapsed support + broadcast
     # grand totals (= last prefix sums) — no SinglePartition exchange
+    from pipelines_rj_sms_spark.operators.cache import track
     from pipelines_rj_sms_spark.operators.ids import global_cumsum
     cc = global_cumsum(sup, ["_v"], ["_c", "_p"])
     tots = F.broadcast(cc.agg(F.max("_cum__c").alias("_n"),
@@ -413,5 +417,5 @@ def best_split_binary(df: DataFrame, feature_col: str, label_col: str,
         F.col("_pl").cast("bigint").alias("pos_left"),
         pr.cast("bigint").alias("pos_right"),
         F.round(gain, 6).alias("gain"))
-    return (scored.orderBy(F.col("gain").desc(), "split_value")
-            .limit(top))
+    return track(scored.orderBy(F.col("gain").desc(), "split_value")
+                 .limit(top), cc)

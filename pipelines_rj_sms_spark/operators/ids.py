@@ -16,6 +16,16 @@ the same values.
 
 Use cases: training-shard row addressing, stable example ids after a
 curation pass, reproducible dataset ordering.
+
+EAGER-EXECUTION CAVEAT: every helper here runs a blocking Spark job at
+DataFrame-CONSTRUCTION time (the per-partition stats collect() that
+computes broadcast offsets) and persists its shuffled base — building
+a plan through these helpers is not side-effect free the way plain
+DataFrame transforms are. Composed callers (global_shift →
+with_global_index → global_cumsum) launch 2-3 jobs before the caller
+executes anything. The offsets are per-partition scalars (≤ shuffle
+partition count), so the collected data is bounded regardless of input
+size; the cost is job-launch latency, not data movement.
 """
 
 from __future__ import annotations
@@ -35,6 +45,9 @@ def dense_global_ids(df: DataFrame, order_cols: list[str],
 
     Release the persisted intermediate via ``operators.cache.release``
     when done.
+
+    Eager: runs a bounded per-partition stats job at construction
+    time (see module docstring).
     """
     part = (df.repartitionByRange(num_partitions, *order_cols)
             if num_partitions else df.repartitionByRange(*order_cols))
@@ -61,7 +74,8 @@ def dense_global_ids(df: DataFrame, order_cols: list[str],
                        (F.col("_off") + F.col("_mid") - F.col("_mid0"))
                        .cast("long"))
            .drop("_pid", "_mid", "_off", "_mid0"))
-    return track(out, base)
+    # `df` carries any upstream chain (repartitionByRange dropped it)
+    return track(out, base, df)
 
 
 def global_cumsum(df: DataFrame, order_cols: list[str],
@@ -82,6 +96,9 @@ def global_cumsum(df: DataFrame, order_cols: list[str],
     are collapsed DISTINCT-value supports, where it is by
     construction); ``value_cols`` must be integral. Release the
     persisted intermediate via ``operators.cache.release`` when done.
+
+    Eager: runs a bounded per-partition stats job at construction
+    time (see module docstring).
     """
     part = (df.repartitionByRange(num_partitions, *order_cols)
             if num_partitions else df.repartitionByRange(*order_cols))
@@ -109,7 +126,8 @@ def global_cumsum(df: DataFrame, order_cols: list[str],
         out = out.withColumn(f"{prefix}_{c}",
                              F.col(f"{prefix}_{c}") + F.col(f"_off_{c}"))
     out = out.drop("_gc_pid", *[f"_off_{c}" for c in value_cols])
-    return track(out, base)
+    # `df` carries any upstream chain (repartitionByRange dropped it)
+    return track(out, base, df)
 
 
 def with_global_index(df: DataFrame, order_cols: list[str],
@@ -122,8 +140,11 @@ def with_global_index(df: DataFrame, order_cols: list[str],
     out = global_cumsum(df.withColumn("_gc_one", F.lit(1)),
                         order_cols, ["_gc_one"], prefix="_gcix",
                         num_partitions=num_partitions)
-    return (out.withColumn(id_col, F.col("_gcix__gc_one"))
-            .drop("_gc_one", "_gcix__gc_one"))
+    # withColumn/drop return NEW DataFrames that do not carry the
+    # _rj_sms_persisted attr track() set inside global_cumsum — re-attach
+    # the chain so release() can free the persisted cumsum base
+    return track(out.withColumn(id_col, F.col("_gcix__gc_one"))
+                 .drop("_gc_one", "_gcix__gc_one"), out)
 
 
 def global_shift(df: DataFrame, order_cols: list[str],
@@ -191,4 +212,5 @@ def global_running_last(df: DataFrame, order_cols: list[str],
            .withColumn(out_col,
                        F.coalesce(F.col(out_col), F.col("_gc_carry")))
            .drop("_gc_pid", "_gc_carry"))
-    return track(out, base)
+    # `df` carries any upstream chain (repartitionByRange dropped it)
+    return track(out, base, df)

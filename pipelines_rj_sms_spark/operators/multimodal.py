@@ -213,6 +213,13 @@ def parse_mp3_headers(content: bytes):
         version = (b1 >> 3) & 3       # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
         layer = (b1 >> 1) & 3         # 1 = Layer III
         if version == 1 or layer != 1:
+            if n_frames == 0:
+                # a false 0xFF Ex sync inside pre-frame garbage or ID3
+                # padding: treat reserved-version / non-Layer-III bits
+                # as a resync miss until a first real frame anchors the
+                # stream — only then is a foreign header an error
+                pos += 1
+                continue
             raise NotImplementedError(
                 "only MPEG-1/2/2.5 Layer III headers are parsed")
         br_idx = b2 >> 4

@@ -859,10 +859,12 @@ def hurst_rs(df: DataFrame, t_col: str, units_col: str,
     # distributed 0-based position (operators/ids.with_global_index) —
     # no SinglePartition row_number window over the series
     from pipelines_rj_sms_spark.operators.ids import with_global_index
-    base = (with_global_index(
+    idx0 = with_global_index(
         df.select(F.col(t_col).alias("_t"),
                   F.col(units_col).alias("_u")), ["_t"], id_col="_i")
-        .withColumn("_i", F.col("_i") - 1))
+    # keep idx0 (direct helper return) for track() — withColumn drops
+    # the attr chain with_global_index attached
+    base = idx0.withColumn("_i", F.col("_i") - 1)
     ex = base.select(
         "_i", "_u",
         F.explode(F.array(*[F.lit(w) for w in sizes])).alias("_w"))
@@ -913,11 +915,13 @@ def hurst_rs(df: DataFrame, t_col: str, units_col: str,
         kd * F.col("_sxx") - F.col("_sx") * F.col("_sx") > 0,
         (kd * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
         / (kd * F.col("_sxx") - F.col("_sx") * F.col("_sx")))
-    return (per_w.crossJoin(fit)
-            .select(F.col("_w").cast("int").alias("window"),
-                    F.col("n_buckets").cast("bigint").alias("n_buckets"),
-                    F.round(F.col("_mlr"), 6).alias("mean_log_rs"),
-                    F.round(slope, 6).alias("hurst")))
+    from pipelines_rj_sms_spark.operators.cache import track
+    return track(per_w.crossJoin(fit)
+                 .select(F.col("_w").cast("int").alias("window"),
+                         F.col("n_buckets").cast("bigint")
+                         .alias("n_buckets"),
+                         F.round(F.col("_mlr"), 6).alias("mean_log_rs"),
+                         F.round(slope, 6).alias("hurst")), idx0)
 
 
 class _SqlExpr:

@@ -211,8 +211,10 @@ def spearman_correlation(df: DataFrame, col_a: str,
         from pipelines_rj_sms_spark.operators.ids import global_cumsum
         vals = global_cumsum(
             joint.groupBy(c).agg(F.sum("_n").alias("_c")), [c], ["_c"])
-        return vals.select(
-            c, (2 * F.col("_cum__c") - F.col("_c") + 1).alias(f"_r2{c}"))
+        # re-attach: select() drops the attr chain track() set on vals
+        return track(vals.select(
+            c, (2 * F.col("_cum__c") - F.col("_c") + 1).alias(f"_r2{c}")),
+            vals)
 
     d38 = "decimal(38,0)"
     rx = F.col("_r2_x").cast(d38)
@@ -225,9 +227,10 @@ def spearman_correlation(df: DataFrame, col_a: str,
     cx = rx - (n_tot + 1)
     cy = ry - (n_tot + 1)
     tot = F.broadcast(joint.agg(F.sum("_n").alias("_nt")))
+    rmx, rmy = rank_map("_x"), rank_map("_y")
     moments = (joint
-               .join(rank_map("_x"), "_x")
-               .join(rank_map("_y"), "_y")
+               .join(rmx, "_x")
+               .join(rmy, "_y")
                .crossJoin(tot)
                .agg(F.max("_nt").alias("n_rows"),
                     F.sum(w * cx * cy).alias("_sxy"),
@@ -240,7 +243,7 @@ def spearman_correlation(df: DataFrame, col_a: str,
                  * F.col("_syy").cast("double")))
     return track(moments.select(
         F.col("n_rows").cast("bigint").alias("n_rows"),
-        F.round(rho, 6).alias("rho_spearman")), joint)
+        F.round(rho, 6).alias("rho_spearman")), joint, rmx, rmy)
 
 
 def chi2_independence(df: DataFrame, col_a: str,

@@ -705,13 +705,15 @@ def runs_test(df: DataFrame, t_col: str, units_col: str) -> DataFrame:
     # SinglePartition window even if the bucket series grows
     from pipelines_rj_sms_spark.operators.cache import track
     from pipelines_rj_sms_spark.operators.ids import global_shift
-    ser = global_shift(ser, ["_t"], ["_s"], offset=-1)
+    shifted = global_shift(ser, ["_t"], ["_s"], offset=-1)
     chg = (F.col("_s") != F.col("_lag__s")).cast("int")
-    ser = ser.withColumn("_chg", F.coalesce(chg, F.lit(0)))
-    agg = track(ser.agg(
+    # pass `shifted` (not the transformed frame) so the attr chain
+    # track() set inside global_shift reaches release()
+    ser = shifted.withColumn("_chg", F.coalesce(chg, F.lit(0)))
+    agg = ser.agg(
         F.sum("_s").cast("bigint").alias("n_above"),
         (F.count("*") - F.sum("_s")).cast("bigint").alias("n_below"),
-        (F.sum("_chg") + 1).cast("bigint").alias("runs")), ser)
+        (F.sum("_chg") + 1).cast("bigint").alias("runs"))
     n1 = F.col("n_above").cast("double")
     n2 = F.col("n_below").cast("double")
     m = n1 + n2
@@ -719,12 +721,13 @@ def runs_test(df: DataFrame, t_col: str, units_col: str) -> DataFrame:
     var = (F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - m)
            / (m * m * (m - F.lit(1.0))))
     ok = (F.col("n_above") > 0) & (F.col("n_below") > 0) & (var > 0)
-    return agg.select(
+    # track the FINAL frame — any later select would drop the chain
+    return track(agg.select(
         "n_above", "n_below", "runs",
         F.round(F.when((F.col("n_above") > 0) & (F.col("n_below") > 0),
                        mu), 6).alias("expected_runs"),
         F.round(F.when(ok, (F.col("runs").cast("double") - mu)
-                       / F.sqrt(var)), 6).alias("z"))
+                       / F.sqrt(var)), 6).alias("z")), shifted)
 
 
 def mantel_haenszel(df: DataFrame, stratum_col: str, exposed_col,
@@ -934,25 +937,28 @@ def pettitt_test(df: DataFrame, t_col: str,
         F.max("_cum__c").cast("long").alias("_n")))
     ser = (ser0.join(rmap, "_u").crossJoin(tot)
            .withColumn("_r2", F.col("_r2").cast("long")))
-    ser = global_cumsum(with_global_index(ser, ["_t"], id_col="_idx"),
-                        ["_t"], ["_r2"])
-    ser = ser.withColumn(
+    ser_cum = global_cumsum(with_global_index(ser, ["_t"], id_col="_idx"),
+                            ["_t"], ["_r2"])
+    # track ser_cum (the direct helper return — withColumn would drop
+    # its attr chain) so release() frees both persisted cumsum bases
+    ser = ser_cum.withColumn(
         "_u2", F.col("_cum__r2") - F.col("_idx") * (F.col("_n") + 1))
     inner = ser.filter(F.col("_idx") < F.col("_n"))
-    best = track(inner.agg(
+    best = inner.agg(
         F.max("_n").cast("bigint").alias("n"),
         F.max(F.struct(F.abs(F.col("_u2")).alias("k2"),
-                       (-F.col("_t")).alias("mt"))).alias("_b")),
-        support, ser)
+                       (-F.col("_t")).alias("mt"))).alias("_b"))
     nd = F.col("n").cast("double")
     k = F.col("_b.k2").cast("double") / F.lit(2.0)
     p = F.least(F.lit(1.0),
                 F.lit(2.0) * F.exp(F.lit(-6.0) * k * k
                                    / (nd * nd * nd + nd * nd)))
-    return best.select(
+    # track the FINAL frame — any later select would drop the chain
+    return track(best.select(
         "n", (-F.col("_b.mt")).alias("change_t"),
         F.round(k, 6).alias("k_stat"),
-        F.round(F.when(F.col("n") > 1, p), 6).alias("p_value"))
+        F.round(F.when(F.col("n") > 1, p), 6).alias("p_value")),
+        support, ser_cum)
 
 
 def uncertainty_coefficient(df: DataFrame, x_col: str,
@@ -1314,12 +1320,14 @@ def durbin_watson(df: DataFrame, t_col: str,
     # .global_shift) — no SinglePartition global-sort window
     from pipelines_rj_sms_spark.operators.cache import track
     from pipelines_rj_sms_spark.operators.ids import global_shift
-    rows = global_shift(
+    rows0 = global_shift(
         df.crossJoin(m)
         .select(F.col(t_col).alias("_gt"), e.alias("_e"),
                 F.col("_n"), a.alias("_a"), b.alias("_b")),
         ["_gt"], ["_e"], offset=-1)
-    rows = rows.withColumn("_ep", F.col("_lag__e"))
+    # keep rows0 (direct helper return) for track() — withColumn drops
+    # the attr chain global_shift attached
+    rows = rows0.withColumn("_ep", F.col("_lag__e"))
     agg = rows.agg(
         F.max("_n").alias("n"),
         F.max("_a").alias("intercept"),
@@ -1335,7 +1343,7 @@ def durbin_watson(df: DataFrame, t_col: str,
         F.round("intercept", 6).alias("intercept"),
         F.round(F.when(F.col("_den") > 0,
                        F.col("_num") / F.col("_den")), 6).alias("dw")),
-        rows)
+        rows0)
 
 
 def jarque_bera(df: DataFrame, units_col: str) -> DataFrame:

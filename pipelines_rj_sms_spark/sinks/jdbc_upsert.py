@@ -27,7 +27,11 @@ FORBIDDEN_KEYWORDS = ("drop ", "truncate ", "delete ", "grant ", "revoke ", "alt
 # provokes a real two-connection lock conflict through the real driver)
 TRANSIENT_MARKERS = ("deadlock", "lock wait timeout",
                      "try restarting transaction",
-                     "lock could not be obtained")
+                     "lock could not be obtained",
+                     # MySQL error CODES (1205 = lock wait timeout,
+                     # 1213 = deadlock): drivers that surface only the
+                     # numeric code, or a localized message, still match
+                     "(1205,", "(1213,")
 
 
 def validate_statement(sql: str) -> None:

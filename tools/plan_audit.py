@@ -35,7 +35,8 @@ def audit(plan: str) -> dict[str, object]:
         join_counts[j] = join_counts.get(j, 0) + 1
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     return {
-        "exchanges": plan.count("Exchange hashpartitioning"),
+        "exchanges": plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning"),
         "joins": join_counts,
         "pushed_filters": sum(1 for p in pushed if p.strip()),
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
@@ -73,7 +74,11 @@ def audit_formatted(desc: str) -> dict[str, object]:
         if nid not in blocks:
             continue
         name, body = blocks[nid]
-        if name == "Exchange" and "hashpartitioning" in body:
+        if name == "Exchange" and ("hashpartitioning" in body
+                                   or "rangepartitioning" in body):
+            # rangepartitioning: the repartitionByRange passes from
+            # operators/ids.py (global_cumsum & co.) are real shuffles
+            # and must show in the shuffle column
             exchanges += 1
         if name in _JOIN_NAMES:
             joins[name] = joins.get(name, 0) + 1

@@ -1,30 +1,141 @@
 """Local t2-mimic: run every queries() entry on Spark and its oracle_sql()
-on DuckDB at a given sf, compare row count + column names + sorted values.
+on DuckDB at a given sf, compare through *pandas* exactly like the driver
+does — row count, column names, per-column pandas dtype kind, and exact
+value rendering (no float rounding forgiveness).
+
+Why pandas: the r7/r8 driver reds (doc_{uni,bi}gram_logprob) were invisible
+to a fetchall()-based comparison because DuckDB sum(BIGINT) returns HUGEINT,
+which pandas materializes as float64 (100.0) while Spark returns int64
+(100) — bit-identical values, different pandas rendering, split hash.
+Fetching both sides through pandas (sdf.toPandas() / con.execute(...).df())
+makes that class of mismatch, plus unhashable array columns (the r8
+winnow_fingerprint_sets ERR), visible locally before the driver sees them.
 
 Usage: python tools/verify_oracle.py [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 import sys
 
 sys.path.insert(0, "/root/repo")
 
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
-def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
-    """Sort columns by name, then rows; render floats via repr."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
 
-    def cell(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "nan"
-            return repr(round(v, 9))
-        return str(v)
+def _kind(series) -> str:
+    """Collapse a pandas Series to a dtype-kind tag the driver's
+    canonicalizer would distinguish: 'i' (integer), 'f' (float),
+    'b' (bool), 's' (string), 'M' (timestamp), 'D' (date),
+    'dec' (Decimal objects), 'bytes', 'ARRAY' (unhashable — driver ERR),
+    '?' (all-null)."""
+    import numpy as np
 
-    out = [tuple(cell(r[i]) for i in order) for r in rows]
-    return sorted(out)
+    k = series.dtype.kind
+    if k in "iu":
+        return "i"
+    if k == "f":
+        return "f"
+    if k == "b":
+        return "b"
+    if k == "M":
+        return "M"
+    # object dtype: classify from the first non-null value
+    for v in series:
+        if v is None:
+            continue
+        if isinstance(v, float) and math.isnan(v):
+            continue
+        if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+            return "ARRAY"
+        if isinstance(v, bool):
+            return "b"
+        if isinstance(v, (int, np.integer)):
+            return "i"
+        if isinstance(v, (float, np.floating)):
+            return "f"
+        if isinstance(v, decimal.Decimal):
+            return "dec"
+        if isinstance(v, datetime.datetime):
+            return "M"
+        if isinstance(v, datetime.date):
+            return "D"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        if isinstance(v, str):
+            return "s"
+        return type(v).__name__
+    return "?"
+
+
+def _cell(v) -> str:
+    """Render one pandas cell the way the driver's hash would see it:
+    ints and floats render differently (100 vs 100.0), no rounding.
+
+    Driver-proven equivalences (queries green in CORRECTNESS_r08 that
+    would otherwise diff here): NULL is one token whether it arrives as
+    None, NaN, or NaT; a DATE equals the midnight TIMESTAMP DuckDB's
+    .df() turns it into."""
+    import numpy as np
+
+    if v is None:
+        return "∅"
+    if isinstance(v, (list, tuple, set, dict, np.ndarray)):
+        # unhashable in the driver's sort_values — flagged via _kind;
+        # render deterministically so value diffs still print
+        return "ARRAY:" + repr(list(v) if not isinstance(v, dict) else v)
+    if isinstance(v, (bool, np.bool_)):
+        return repr(bool(v))
+    if isinstance(v, np.integer):
+        return repr(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "∅" if math.isnan(f) else repr(f)
+    if isinstance(v, decimal.Decimal):
+        return "dec:" + str(v)
+    if isinstance(v, datetime.datetime):  # covers pd.Timestamp
+        if (v.hour == v.minute == v.second == 0
+                and getattr(v, "microsecond", 0) == 0
+                and getattr(v, "nanosecond", 0) == 0):
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
+    try:
+        import pandas as pd
+        if v is pd.NaT:
+            return "∅"
+    except Exception:
+        pass
+    return str(v)
+
+
+def _canon(df):
+    """(sorted col names, {col: kind}, sorted rendered rows)."""
+    cols = sorted(df.columns)
+    kinds = {c: _kind(df[c]) for c in cols}
+    rows = sorted(
+        tuple(_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    )
+    return cols, kinds, rows
+
+
+# Kind pairs that render identically in pandas and are therefore NOT a
+# driver hash risk (e.g. Spark datetime64[ns] vs DuckDB datetime64[us]).
+_COMPAT = {("M", "M"), ("D", "D"), ("D", "M")}
+
+
+def _kinds_compatible(ks: str, kd: str) -> bool:
+    if ks == kd:
+        return True
+    return (ks, kd) in _COMPAT or (kd, ks) in _COMPAT
 
 
 def run_sweep(spark, sf_dir: str, only: set[str] | None = None,
@@ -38,8 +149,7 @@ def run_sweep(spark, sf_dir: str, only: set[str] | None = None,
     import __spark_entry__ as entry_mod
 
     con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
+    for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entry_mod.queries()
@@ -55,38 +165,51 @@ def run_sweep(spark, sf_dir: str, only: set[str] | None = None,
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:
             failures.append(f"{name}: spark error: {exc}")
             say(f"FAIL  {failures[-1]}")
             n_fail += 1
             continue
+        scols, skinds, srows = _canon(spdf)
+        arr_cols = [c for c, k in skinds.items() if k == "ARRAY"]
         if name not in oracles:
-            say(f"ROWS  {name}: rows={len(srows)} (no oracle)")
-            n_rows_only += 1
+            if arr_cols:
+                failures.append(
+                    f"{name}: array-valued column(s) {arr_cols} — the "
+                    "driver's pandas canonicalizer cannot sort these")
+                say(f"FAIL  {failures[-1]}")
+                n_fail += 1
+            else:
+                say(f"ROWS  {name}: rows={len(srows)} (no oracle)")
+                n_rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).df()
         except Exception as exc:
             failures.append(f"{name}: duckdb error: {exc}")
             say(f"FAIL  {failures[-1]}")
             n_fail += 1
             continue
+        dcols, dkinds, drows = _canon(dpdf)
         problems = []
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if arr_cols:
+            problems.append(f"array-valued column(s) {arr_cols} break the "
+                            "driver's pandas canonicalizer")
+        if scols != dcols:
+            problems.append(f"cols spark={scols} duck={dcols}")
+        else:
+            bad = [f"{c}: spark={skinds[c]} duck={dkinds[c]}"
+                   for c in scols
+                   if not _kinds_compatible(skinds[c], dkinds[c])]
+            if bad:
+                problems.append("dtype-kind mismatch (driver hash splits "
+                                "on pandas rendering): " + "; ".join(bad))
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if not problems:
-            sn = normalize(srows, scols)
-            dn = normalize(drows, dcols)
-            if sn != dn:
-                diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
-                problems.append(f"values differ, first diffs: {diffs}")
+        if not problems and srows != drows:
+            diffs = [(a, b) for a, b in zip(srows, drows) if a != b][:3]
+            problems.append(f"values differ, first diffs: {diffs}")
         if problems:
             failures.append(f"{name}: " + "; ".join(problems))
             say(f"FAIL  {failures[-1]}")
