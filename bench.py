@@ -175,6 +175,7 @@ def run_full() -> None:
         f["n"] += 1
         if sec > f["max_sec"]:
             f["max_sec"], f["max_query"] = sec, name
+    regressions = _family_regressions(fams)
     print(json.dumps({
         "metric": "full-surface wall clock",
         "value": round(sum(timings.values()), 3),
@@ -182,11 +183,50 @@ def run_full() -> None:
         "n_queries": len(timings),
         "families": dict(sorted(fams.items(),
                                 key=lambda kv: -kv[1]["sec"])),
+        "family_regressions": regressions,
         "queries": timings,
         "errors": errors,
         "sf": sf,
     }))
     spark.stop()
+    if regressions:
+        sys.exit(3)  # distinct code: timings recorded, gate tripped
+
+
+def _family_regressions(fams: dict, threshold: float = 0.15,
+                        min_family_sec: float = 2.0) -> dict:
+    """Per-family regression gate vs the newest FULLBENCH_r*.json:
+    flag any family whose per-query mean grew >``threshold`` (query
+    counts change between rounds, so totals are normalized to means).
+    Families under ``min_family_sec`` baseline total are skipped —
+    sub-second families are all JVM noise. Keeps iterative-graph
+    families from silently absorbing the suite budget as it grows."""
+    import glob
+    baselines = sorted(glob.glob(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "FULLBENCH_r*.json")))
+    if not baselines:
+        return {}
+    try:
+        base = json.load(open(baselines[-1])).get("families", {})
+    except Exception:
+        return {}
+    out = {}
+    for fam, cur in fams.items():
+        b = base.get(fam)
+        if not b or b["n"] == 0 or cur["n"] == 0:
+            continue
+        if b["sec"] < min_family_sec:
+            continue
+        base_mean, cur_mean = b["sec"] / b["n"], cur["sec"] / cur["n"]
+        if cur_mean > base_mean * (1.0 + threshold):
+            out[fam] = {
+                "baseline": os.path.basename(baselines[-1]),
+                "base_mean_sec": round(base_mean, 3),
+                "cur_mean_sec": round(cur_mean, 3),
+                "drift_pct": round(100 * (cur_mean / base_mean - 1), 1),
+            }
+    return out
 
 
 def main() -> None:

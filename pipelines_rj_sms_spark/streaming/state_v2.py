@@ -126,3 +126,87 @@ def running_monitor(events: DataFrame, key_col: str, value_col: str,
             timeMode="None",
         )
     )
+
+
+def protobuf_available() -> bool:
+    """transformWithState's Python worker speaks protobuf to the JVM
+    state server; absent the package, use the foreachBatch fallback."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def running_monitor_foreach_batch(events: DataFrame, key_col: str,
+                                  value_col: str, ts_col: str,
+                                  state_dir: str, out_dir: str,
+                                  checkpoint_dir: str,
+                                  keep_versions: int = 3):
+    """foreachBatch fallback for :func:`running_monitor` — identical
+    update-mode semantics (one refreshed row per touched key per
+    microbatch) with state in versioned parquet instead of the
+    RocksDB store, so it runs where protobuf is unavailable.
+
+    Scale shape: per microbatch, ONE hash aggregation collapses the
+    batch to its touched keys, a full-outer merge against the prior
+    state snapshot combines running totals (key-partitioned join —
+    state never funnels through the driver), and the merged snapshot
+    is written to ``state_dir/v{batch_id}`` (versioned, so readers of
+    the prior snapshot are never overwritten mid-read; the last
+    ``keep_versions`` are retained). Touched-key refreshed rows append
+    to ``out_dir``. State size is O(distinct keys) — the same bound
+    the ValueState store gives, minus TTL eviction (add a WHERE on
+    last_ts_micros at read time for that).
+
+    Returns the started StreamingQuery.
+    """
+    import glob
+    import shutil
+
+    spark = events.sparkSession
+
+    def _latest_state():
+        versions = sorted(glob.glob(f"{state_dir}/v*"),
+                          key=lambda p: int(p.rsplit("v", 1)[1]))
+        return versions[-1] if versions else None
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        agg = (batch_df.groupBy(F.col(key_col).alias("key"))
+               .agg(F.count("*").alias("_bn"),
+                    F.sum(value_col).cast("double").alias("_bt"),
+                    F.max(F.unix_micros(F.col(ts_col).cast("timestamp")))
+                    .cast("long").alias("_bl")))
+        prior_path = _latest_state()
+        if prior_path:
+            prior = spark.read.parquet(prior_path)
+        else:
+            prior = spark.createDataFrame([], MONITOR_SCHEMA)
+        merged = (prior.join(agg, "key", "full_outer")
+                  .select(
+                      "key",
+                      (F.coalesce("n_events", F.lit(0))
+                       + F.coalesce("_bn", F.lit(0))).alias("n_events"),
+                      (F.coalesce("total_value", F.lit(0.0))
+                       + F.coalesce("_bt", F.lit(0.0)))
+                      .alias("total_value"),
+                      F.greatest(
+                          F.coalesce("last_ts_micros", F.lit(0)),
+                          F.coalesce("_bl", F.lit(0)))
+                      .alias("last_ts_micros")))
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        # update-mode emission: refreshed rows for TOUCHED keys only
+        touched = (spark.read.parquet(f"{state_dir}/v{batch_id}")
+                   .join(agg.select("key"), "key", "semi"))
+        touched.write.mode("append").parquet(out_dir)
+        # bounded retention
+        versions = sorted(glob.glob(f"{state_dir}/v*"),
+                          key=lambda p: int(p.rsplit("v", 1)[1]))
+        for old in versions[:-keep_versions]:
+            shutil.rmtree(old, ignore_errors=True)
+
+    return (events.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
