@@ -106,6 +106,9 @@ Query key -> SURVEY §2 rows covered:
   variant_props_extract     Spark 4 VARIANT typed path extraction (C14)
   winnow_fingerprint_sets   text: full winnowing sketch (MOSS algorithm)
   winnow_overlap_pairs      dedup: substring-overlap pairs via winnowing
+  dedup_duplicate_spans     dedup: maximal exact duplicated token spans
+                            (Lee et al. 2022 windowed form; hash-only
+                            shuffle, per-doc span merge)
   tfidf_top_terms           text: corpus-relative term ranking (rational idf)
   dedup_components          dedup: cluster collapse via iterative min-label
                             propagation (oracle: recursive-CTE closure)
@@ -1499,6 +1502,37 @@ SELECT doc_id,
 FROM h
 """
 
+# DuckDB replay of dedup.duplicate_token_spans(k=8): same whitespace
+# tokenization, same 60-bit md5-prefix window hashes, same dup set and
+# per-doc consecutive-position span merge.
+_DUP_SPANS_DUCK = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(greatest(len(toks) - 7, 0)),
+           i -> struct_pack(
+             pos := i + 1,
+             h := CAST(('0x' || substr(md5(array_to_string(
+                    toks[i + 1 : i + 8], ' ')), 1, 15)) AS BIGINT)))) AS s
+  FROM t),
+wins AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM w),
+dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM wins JOIN dup USING (h))
+SELECT doc_id,
+       CAST(min(pos) - 1 AS BIGINT) AS span_start,
+       CAST(max(pos) + 8 - 2 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM runs GROUP BY doc_id, grp
+"""
+
 _WINNOW_PAIRS_DUCK = """
 WITH h AS (
   SELECT doc_id,
@@ -2697,6 +2731,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  lambda x: x.cast("string")),
             ).alias("fps"),
         )
+
+    def dup_spans_q(spark, sf_dir):
+        """Exact duplicated-substring spans (Lee et al. 2022, windowed
+        form): every maximal token span whose every 8-token window
+        occurs more than once in the corpus. Only (id, pos, 60-bit
+        hash) triples shuffle; the span merge is a per-document window
+        over that document's duplicated positions."""
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.duplicate_token_spans(docs, "doc_id", "text", k=8)
 
     def pii_scrub(spark, sf_dir):
         """PII masking over free text. The synthetic identifiers are
@@ -5744,6 +5787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_stats": session_window_stats,
         "variant_props_extract": variant_props,
         "winnow_fingerprint_sets": winnow_sets,
+        "dedup_duplicate_spans": dup_spans_q,
         "winnow_overlap_pairs": winnow_pairs,
         "tfidf_top_terms": tfidf_terms,
         "dedup_components": dedup_components,
@@ -5969,6 +6013,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    the two recall legs — one brute-force scan, not two);
         #    values unchanged, re-grade while fresh.
         "ann_recall_report",
+        # 6) NEW this round: exact duplicated-substring spans
+        #    (Lee et al. 2022 windowed form) — grade on arrival.
+        "dedup_duplicate_spans",
     ]
     never_graded = [
         # burning down the 62-query never-graded exposure (44 here;
@@ -5997,7 +6044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_equi_depth_histogram", "nearest_supplier_sites",
         "props_autoflatten", "resolved_document_entities",
         "customer_density_clusters", "overlapping_error_purchases",
-        "temporal_split_counts", "imputed_event_values",
+        "temporal_split_counts",
     ]
     head = {"flagship_pricing_summary":
             q.pop("flagship_pricing_summary")}
@@ -6388,6 +6435,7 @@ FROM documents
         "session_window_stats": _SESSION_WINDOW_DUCK,
         "variant_props_extract": _VARIANT_DUCK,
         "winnow_fingerprint_sets": _WINNOW_DUCK,
+        "dedup_duplicate_spans": _DUP_SPANS_DUCK,
         "winnow_overlap_pairs": _WINNOW_PAIRS_DUCK,
         "tfidf_top_terms": _TFIDF_DUCK,
         "dedup_components": _COMPONENTS_DUCK,

@@ -790,3 +790,120 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
                    F.round(ca, 6).alias("containment_a"),
                    F.round(cb, 6).alias("containment_b")))
     return track(out, sh, exploded)
+
+
+def _token_windows(df: DataFrame, id_col: str, text_col: str,
+                   k: int) -> DataFrame:
+    """(id, _pos, _h): one row per k-token window, _pos 1-based over the
+    whitespace tokenization, _h a 60-bit portable hash (first 15 md5
+    hex chars — replayable by any SQL engine, same construction as
+    winnowing's 32-bit variant but wider because span dedup treats a
+    collision as a false duplicate, not just a candidate to verify)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != F.lit(""))
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    # NB: Spark sequence(1, 0) yields DESCENDING [1, 0], not empty —
+    # docs shorter than k tokens must produce an explicit empty array
+    n_wins = F.size("_toks") - k + 1
+    idx = F.when(n_wins >= 1, F.sequence(F.lit(1), n_wins)) \
+        .otherwise(F.array().cast("array<int>"))
+    wins = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice("_toks", i, k))),
+                        1, 15), 16, 10).cast("long"))
+    return base.select(
+        id_col, F.posexplode(wins).alias("_pos0", "_h")
+    ).select(id_col, (F.col("_pos0") + 1).alias("_pos"), "_h")
+
+
+def duplicate_token_spans(df: DataFrame, id_col: str, text_col: str,
+                          k: int = 8) -> DataFrame:
+    """Exact duplicated-substring detection, Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better") in its
+    windowed form: every maximal token span whose every k-token window
+    occurs MORE THAN ONCE in the corpus (in another document or at
+    another position of the same one). The suffix-array construction of
+    the paper finds spans >= k exactly; the k-token window form here is
+    its shuffle-friendly equivalent — a span of w >= k duplicated
+    tokens is covered by w-k+1 duplicated windows, which merge back
+    into one maximal span per document.
+
+    Returns one row per (document, maximal span): (id, span_start,
+    span_end, n_windows) with 0-based inclusive token positions.
+
+    Scale shape: tokenize once, hash per window (expression-only),
+    shuffle ONLY (id, pos, 60-bit hash) triples — never text; the
+    duplicate-hash set is a hash-keyed aggregation with map-side
+    partial counts; span merge is a per-document window over that
+    document's duplicated positions (bounded per-group frame, the
+    sanctioned window class). Nothing all-pairs, nothing driver-side.
+    """
+    wins = _token_windows(df, id_col, text_col, k).persist()
+    dup = (wins.groupBy("_h").agg(F.count("*").alias("_c"))
+           .filter(F.col("_c") > 1).select("_h"))
+    hits = wins.join(dup, "_h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    runs = hits.withColumn("_grp", F.col("_pos") - F.row_number().over(w))
+    out = (runs.groupBy(id_col, "_grp")
+           .agg(F.min("_pos").alias("_s"), F.max("_pos").alias("_e"),
+                F.count("*").alias("n_windows"))
+           .select(F.col(id_col),
+                   (F.col("_s") - 1).cast("long").alias("span_start"),
+                   (F.col("_e") + k - 2).cast("long").alias("span_end"),
+                   F.col("n_windows").cast("long").alias("n_windows")))
+    return track(out, wins)
+
+
+def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                           k: int = 8,
+                           out_col: str | None = None) -> DataFrame:
+    """Companion cleanup to :func:`duplicate_token_spans`: drop every
+    token covered only by duplicated windows, EXCEPT in the occurrence
+    holding each window-hash's global first position (min (id, pos) —
+    the deterministic "keep one copy" rule), then reassemble each
+    document from its surviving tokens in order. Documents reduced to
+    nothing drop out (the C4/paragraph_dedup posture).
+
+    Cost note: coverage explodes each duplicated window to its k
+    covered positions — k x duplicated-window rows, the direct
+    trade for never materializing suffix arrays. Hash-and-position
+    triples only; text stays in the final per-document rebuild.
+    """
+    out_col = out_col or text_col
+    # original-case tokens for the rebuild (hashing lowercases inside
+    # _token_windows; positions align because the split is identical)
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda x: x != F.lit(""))
+    base = df.select(F.col(id_col), toks.alias("_toks")).persist()
+    tokens = base.select(
+        id_col, F.posexplode("_toks").alias("_tpos0", "_tok")
+    ).select(id_col, (F.col("_tpos0") + 1).alias("_tpos"), "_tok")
+
+    wins = _token_windows(df, id_col, text_col, k).persist()
+    byh = (wins.groupBy("_h")
+           .agg(F.count("*").alias("_c"),
+                F.min(F.struct(id_col, "_pos")).alias("_first")))
+    dup_wins = (wins.join(byh.filter(F.col("_c") > 1), "_h")
+                .withColumn("_keep",
+                            (F.col(f"_first.{id_col}") == F.col(id_col))
+                            & (F.col("_first._pos") == F.col("_pos"))))
+    # positions covered by >=1 removable duplicated window, minus
+    # positions covered by any kept (first-occurrence) window
+    cover = dup_wins.select(
+        id_col, "_keep",
+        F.explode(F.sequence(F.col("_pos"),
+                             F.col("_pos") + k - 1)).alias("_tpos"))
+    removable = (cover.filter(~F.col("_keep"))
+                 .select(id_col, "_tpos").distinct()
+                 .join(cover.filter(F.col("_keep"))
+                       .select(id_col, "_tpos").distinct(),
+                       [id_col, "_tpos"], "left_anti"))
+    survivors = tokens.join(removable, [id_col, "_tpos"], "left_anti")
+    out = (survivors.groupBy(id_col)
+           .agg(F.array_sort(F.collect_list(F.struct("_tpos", "_tok")))
+                .alias("_ts"))
+           .select(F.col(id_col),
+                   F.array_join(F.transform("_ts", lambda s: s["_tok"]),
+                                " ").alias(out_col)))
+    return track(out, base, wins)

@@ -1,0 +1,100 @@
+"""Exact duplicated-substring spans (Lee et al. 2022, windowed form):
+duplicate_token_spans finds the maximal shared span, remove_duplicate_spans
+keeps exactly one copy (the global first occurrence).
+
+Hand-built fixture: doc 0 is 20 unique tokens a0..a19; doc 1 copies
+doc 0's tokens 5..14 (10 tokens, >= k+2 so the span merge has work to
+do) surrounded by unique b-tokens; doc 2 is all-unique and shorter
+than k (no windows at all)."""
+
+from pyspark.sql import functions as F
+
+from pipelines_rj_sms_spark.operators import dedup
+from pipelines_rj_sms_spark.operators.cache import release
+
+K = 8
+SHARED = " ".join(f"a{i}" for i in range(5, 15))          # 10 tokens
+DOC0 = " ".join(f"a{i}" for i in range(20))
+DOC1 = " ".join(["b0", "b1", "b2", SHARED, "b3", "b4"])
+DOC2 = "c0 c1 c2"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(0, DOC0), (1, DOC1), (2, DOC2)], "doc_id long, text string")
+
+
+def test_duplicate_spans_finds_maximal_shared_span(spark):
+    out = dedup.duplicate_token_spans(_docs(spark), "doc_id", "text", k=K)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    release(out)
+    assert set(rows) == {0, 1}                 # doc 2: no dup, no windows
+    # doc 0: shared tokens at 0-based positions 5..14 -> windows at
+    # 5,6,7 (w - k + 1 = 3), merged to ONE maximal span
+    assert (rows[0]["span_start"], rows[0]["span_end"],
+            rows[0]["n_windows"]) == (5, 14, 3)
+    # doc 1: copy sits after 3 unique tokens -> positions 3..12
+    assert (rows[1]["span_start"], rows[1]["span_end"],
+            rows[1]["n_windows"]) == (3, 12, 3)
+
+
+def test_duplicate_spans_partition_invariant(spark):
+    docs = _docs(spark)
+    a = dedup.duplicate_token_spans(docs, "doc_id", "text", k=K)
+    got_a = sorted(map(tuple, a.collect()))
+    release(a)
+    b = dedup.duplicate_token_spans(docs.repartition(7), "doc_id",
+                                    "text", k=K)
+    got_b = sorted(map(tuple, b.collect()))
+    release(b)
+    assert got_a == got_b
+
+
+def test_duplicate_spans_within_doc_repeat(spark):
+    # the SAME doc repeating its own k-gram is a duplicate too
+    # (Lee et al. removes within-doc repeats): 8 tokens repeated twice
+    eight = " ".join(f"d{i}" for i in range(K))
+    df = spark.createDataFrame([(7, f"{eight} {eight}")],
+                               "doc_id long, text string")
+    out = dedup.duplicate_token_spans(df, "doc_id", "text", k=K)
+    rows = out.collect()
+    release(out)
+    # windows at 0-based 0 and 8 match each other; each is its own
+    # maximal run (positions 0 and 8 are not consecutive)
+    assert sorted((r["span_start"], r["span_end"]) for r in rows) \
+        == [(0, 7), (8, 15)]
+
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    out = dedup.remove_duplicate_spans(_docs(spark), "doc_id", "text",
+                                       k=K, out_col="clean")
+    rows = {r["doc_id"]: r["clean"] for r in out.collect()}
+    release(out)
+    # doc 0 holds every dup window's global first occurrence -> intact
+    assert rows[0] == DOC0
+    # doc 1 loses exactly the copied tokens, keeps its own
+    assert rows[1] == "b0 b1 b2 b3 b4"
+    # doc 2 untouched
+    assert rows[2] == DOC2
+
+
+def test_remove_preserves_case_outside_spans(spark):
+    df = spark.createDataFrame(
+        [(0, DOC0), (1, "B0 B1 B2 " + SHARED + " B3")],
+        "doc_id long, text string")
+    out = dedup.remove_duplicate_spans(df, "doc_id", "text", k=K,
+                                       out_col="clean")
+    rows = {r["doc_id"]: r["clean"] for r in out.collect()}
+    release(out)
+    assert rows[1] == "B0 B1 B2 B3"   # original case survives
+
+
+def test_remove_drops_fully_duplicated_doc(spark):
+    # doc 1 is an exact copy of doc 0 (>= k tokens): doc 0 keeps all
+    # (first occurrence), doc 1 reduces to nothing and drops out
+    df = spark.createDataFrame([(0, DOC0), (1, DOC0)],
+                               "doc_id long, text string")
+    out = dedup.remove_duplicate_spans(df, "doc_id", "text", k=K)
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    release(out)
+    assert rows == {0: DOC0}
