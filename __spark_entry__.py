@@ -109,6 +109,8 @@ Query key -> SURVEY §2 rows covered:
   dedup_duplicate_spans     dedup: maximal exact duplicated token spans
                             (Lee et al. 2022 windowed form; hash-only
                             shuffle, per-doc span merge)
+  dedup_lsh_recall_report   dedup: recall/precision of LSH banding vs
+                            the exact jaccard pair set (index gate)
   tfidf_top_terms           text: corpus-relative term ranking (rational idf)
   dedup_components          dedup: cluster collapse via iterative min-label
                             propagation (oracle: recursive-CTE closure)
@@ -1502,6 +1504,33 @@ SELECT doc_id,
 FROM h
 """
 
+# Dedup-index recall/precision: exact jaccard pair set vs LSH banding
+# candidates, both replayed by their own standalone oracles as CTEs;
+# ratios via exact integer grid_mean (integer-ratio tie class).
+def _lsh_recall_duck() -> str:
+    from pipelines_rj_sms_spark.functions.numeric import grid_mean_sql
+    return f"""
+WITH ex AS ({_NGRAM_JACCARD_DUCK}),
+cand AS ({_MINHASH_DUCK}),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM cand c
+       WHERE EXISTS (SELECT 1 FROM ex e
+                     WHERE e.id_a = c.id_a AND e.id_b = c.id_b))
+SELECT n_exact, n_candidates, n_hits,
+       CASE WHEN n_exact > 0
+            THEN {grid_mean_sql('n_hits * 1000000', 'n_exact')}
+       END AS recall,
+       CASE WHEN n_candidates > 0
+            THEN {grid_mean_sql('n_hits * 1000000', 'n_candidates')}
+       END AS candidate_precision
+FROM ne, nc, nh
+"""
+
+
+_LSH_RECALL_DUCK = _lsh_recall_duck()
+
+
 # DuckDB replay of dedup.duplicate_token_spans(k=8): same whitespace
 # tokenization, same 60-bit md5-prefix window hashes, same dup set and
 # per-doc consecutive-position span merge.
@@ -2731,6 +2760,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  lambda x: x.cast("string")),
             ).alias("fps"),
         )
+
+    def lsh_dedup_recall_q(spark, sf_dir):
+        """Dedup-index quality harness (the dedup analogue of
+        ann_recall_report): recall and candidate-precision of the
+        MinHash+LSH banding against the exact n-gram-Jaccard pair set
+        at the same threshold — the accept/reject gate you run before
+        trusting a banded index to stand in for exact verification at
+        corpus scale. Pair sets join on (id_a, id_b) hash keys; the
+        exact set is persisted (consumed by the count and the semi
+        join); ratios round via exact integer grid_mean (integer-ratio
+        outputs are the .5e-6 tie class)."""
+        from pipelines_rj_sms_spark.functions.numeric import grid_mean
+        from pipelines_rj_sms_spark.operators.cache import track
+        docs = _t(spark, sf_dir, "documents")
+        exact = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.5
+        ).select("id_a", "id_b").persist()
+        cand = dedup.minhash_lsh_candidates(
+            docs, "doc_id", "text", num_hashes=8, bands=4,
+            hash_fn="md5").select("id_a", "id_b")
+        ne = exact.agg(F.count("*").cast("long").alias("n_exact"))
+        nc = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+        nh = (cand.join(exact, ["id_a", "id_b"], "left_semi")
+              .agg(F.count("*").cast("long").alias("n_hits")))
+        out = ne.crossJoin(nc).crossJoin(nh).select(
+            "n_exact", "n_candidates", "n_hits",
+            F.when(F.col("n_exact") > 0,
+                   grid_mean(F.col("n_hits") * 1_000_000,
+                             F.col("n_exact"))).alias("recall"),
+            F.when(F.col("n_candidates") > 0,
+                   grid_mean(F.col("n_hits") * 1_000_000,
+                             F.col("n_candidates")))
+            .alias("candidate_precision"))
+        return track(out, exact)
 
     def dup_spans_q(spark, sf_dir):
         """Exact duplicated-substring spans (Lee et al. 2022, windowed
@@ -5788,6 +5851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_props_extract": variant_props,
         "winnow_fingerprint_sets": winnow_sets,
         "dedup_duplicate_spans": dup_spans_q,
+        "dedup_lsh_recall_report": lsh_dedup_recall_q,
         "winnow_overlap_pairs": winnow_pairs,
         "tfidf_top_terms": tfidf_terms,
         "dedup_components": dedup_components,
@@ -6016,6 +6080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 6) NEW this round: exact duplicated-substring spans
         #    (Lee et al. 2022 windowed form) — grade on arrival.
         "dedup_duplicate_spans",
+        # 7) NEW this round: LSH dedup-index recall gate.
+        "dedup_lsh_recall_report",
     ]
     never_graded = [
         # burning down the 62-query never-graded exposure (44 here;
@@ -6044,7 +6110,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_equi_depth_histogram", "nearest_supplier_sites",
         "props_autoflatten", "resolved_document_entities",
         "customer_density_clusters", "overlapping_error_purchases",
-        "temporal_split_counts",
     ]
     head = {"flagship_pricing_summary":
             q.pop("flagship_pricing_summary")}
@@ -6436,6 +6501,7 @@ FROM documents
         "variant_props_extract": _VARIANT_DUCK,
         "winnow_fingerprint_sets": _WINNOW_DUCK,
         "dedup_duplicate_spans": _DUP_SPANS_DUCK,
+        "dedup_lsh_recall_report": _LSH_RECALL_DUCK,
         "winnow_overlap_pairs": _WINNOW_PAIRS_DUCK,
         "tfidf_top_terms": _TFIDF_DUCK,
         "dedup_components": _COMPONENTS_DUCK,

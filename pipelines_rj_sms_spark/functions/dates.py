@@ -78,11 +78,24 @@ def age_years(birth: Column | str, as_of: Column | None = None) -> Column:
     return (F.year(ref) - F.year(b) - not_yet).alias("age")
 
 
+def _check_window_order(start: str, end: str) -> None:
+    """Spark `sequence(a, b)` with b < a silently steps BACKWARD —
+    a reversed backfill range would emit descending windows instead of
+    erroring. Guard driver-side where the bounds are parseable."""
+    try:
+        s, e = date.fromisoformat(start[:10]), date.fromisoformat(end[:10])
+    except ValueError:
+        return  # non-ISO spellings: let Spark's cast semantics decide
+    if e < s:
+        raise ValueError(f"window end {end!r} precedes start {start!r}")
+
+
 def day_windows(spark: SparkSession, start: str, end: str) -> DataFrame:
     """C6: one row per day in [start, end] — `sequence` + `explode`,
     computed on executors (no driver loop), so a 10-year backfill plan
     is still a single narrow stage.
     """
+    _check_window_order(start, end)
     return spark.range(1).select(
         F.explode(
             F.sequence(F.lit(start).cast("date"), F.lit(end).cast("date"))
@@ -92,6 +105,7 @@ def day_windows(spark: SparkSession, start: str, end: str) -> DataFrame:
 
 def hour_windows(spark: SparkSession, start: str, end: str, hours: int = 2) -> DataFrame:
     """C6: tumbling N-hour extraction windows (cientificalab 2h pattern)."""
+    _check_window_order(start, end)
     return spark.range(1).select(
         F.explode(
             F.sequence(

@@ -68,3 +68,16 @@ def test_day_windows(spark):
 def test_hour_windows(spark):
     w = hour_windows(spark, "2024-01-01 00:00:00", "2024-01-01 23:59:59", hours=2)
     assert w.count() == 12
+
+
+def test_window_generators_reject_reversed_range(spark):
+    """Spark sequence(a, b) with b < a silently steps backward; the
+    generators must error instead of emitting descending windows."""
+    import pytest
+
+    from pipelines_rj_sms_spark.functions.dates import (day_windows,
+                                                        hour_windows)
+    with pytest.raises(ValueError, match="precedes"):
+        day_windows(spark, "2024-02-01", "2024-01-01")
+    with pytest.raises(ValueError, match="precedes"):
+        hour_windows(spark, "2024-02-01 00:00:00", "2024-01-31 00:00:00")

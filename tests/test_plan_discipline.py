@@ -270,7 +270,10 @@ def test_every_query_plans_clean(spark):
                     # the whole-frame window — ids.py)
                     "purchase_click_ks_test", "event_value_mutual_info",
                     "event_count_pettitt", "quantity_return_best_split",
-                    "priority_status_chi2"}
+                    "priority_status_chi2",
+                    # round-9: 1-row (n_exact × n_candidates × n_hits)
+                    # scalar crossJoins in the dedup-index recall gate
+                    "dedup_lsh_recall_report"}
     failures = []
     for name, fn in entry.queries().items():
         try:
