@@ -155,7 +155,9 @@ def main() -> None:
         "execs (SQL executions the query triggered — iterative",
         "operators and eager per-operator collects show their true",
         "count; the first row also absorbs the 10 one-time view",
-        "registrations), shuffles (hash-partitioning exchanges,",
+        "registrations), shuffles (hash- AND range-partitioning",
+        "exchanges — the repartitionByRange passes of the ids.py",
+        "prefix-sum helpers are real shuffle work,",
         "summed over all executions), join strategies, scans with",
         "non-empty `PushedFilters`, whole-stage-codegen spans,",
         "Arrow-batched Python operators (the sanctioned slow path),",
