@@ -111,6 +111,8 @@ Query key -> SURVEY §2 rows covered:
                             shuffle, per-doc span merge)
   dedup_lsh_recall_report   dedup: recall/precision of LSH banding vs
                             the exact jaccard pair set (index gate)
+  dedup_span_removed_docs   dedup: the Lee-et-al keep-one-copy span
+                            removal TRANSFORM (oracle-gated rebuild)
   tfidf_top_terms           text: corpus-relative term ranking (rational idf)
   dedup_components          dedup: cluster collapse via iterative min-label
                             propagation (oracle: recursive-CTE closure)
@@ -1562,6 +1564,63 @@ SELECT doc_id,
 FROM runs GROUP BY doc_id, grp
 """
 
+# DuckDB replay of dedup.remove_duplicate_spans(k=8): hashes from the
+# LOWERED tokens (same as the span oracle), rebuild from the original-
+# case tokens (same-length arrays, positions align); keep = the global
+# min (doc_id, pos) struct per duplicated hash; removable = covered by
+# a non-kept dup window minus covered by any kept one; docs rebuilt
+# from surviving tokens in order (whitespace-normalized both engines);
+# fully-duplicated docs drop out.
+_SPAN_REMOVE_DUCK = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'),
+                     x -> x <> '') AS toks,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ltoks
+  FROM documents),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(greatest(len(ltoks) - 7, 0)),
+           i -> struct_pack(
+             pos := i + 1,
+             h := CAST(('0x' || substr(md5(array_to_string(
+                    ltoks[i + 1 : i + 8], ' ')), 1, 15)) AS BIGINT)))) AS s
+  FROM t),
+wins AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM w),
+byh AS (
+  SELECT h, count(*) AS c,
+         min(struct_pack(d := doc_id, p := pos)) AS firstw
+  FROM wins GROUP BY h),
+dw AS (
+  SELECT wins.doc_id, pos,
+         (byh.firstw.d = wins.doc_id AND byh.firstw.p = pos) AS keep
+  FROM wins JOIN byh USING (h) WHERE byh.c > 1),
+cover AS (
+  SELECT doc_id, keep, unnest(range(pos, pos + 8)) AS tpos FROM dw),
+removable AS (
+  SELECT DISTINCT doc_id, tpos FROM cover WHERE NOT keep
+  EXCEPT
+  SELECT DISTINCT doc_id, tpos FROM cover WHERE keep),
+tokens AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(len(toks)),
+           i -> struct_pack(p := i + 1, tok := toks[i + 1]))) AS s
+  FROM t),
+surv AS (
+  SELECT tk.doc_id, tk.s.p AS p, tk.s.tok AS tok
+  FROM tokens tk
+  WHERE NOT EXISTS (SELECT 1 FROM removable r
+                    WHERE r.doc_id = tk.doc_id AND r.tpos = tk.s.p))
+SELECT doc_id,
+       array_to_string(
+         list_transform(list_sort(list(struct_pack(p := p, tok := tok))),
+                        s -> s.tok), ' ') AS clean_text
+FROM surv GROUP BY doc_id
+"""
+
 _WINNOW_PAIRS_DUCK = """
 WITH h AS (
   SELECT doc_id,
@@ -2760,6 +2819,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  lambda x: x.cast("string")),
             ).alias("fps"),
         )
+
+    def span_removed_q(spark, sf_dir):
+        """The Lee-et-al cleanup TRANSFORM (not just the span report):
+        every token covered only by non-first-occurrence duplicated
+        8-token windows is dropped; the global min (doc_id, pos)
+        occurrence keeps its copy; documents rebuild from surviving
+        tokens (whitespace-normalized on both engines), fully-
+        duplicated docs drop out."""
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.remove_duplicate_spans(
+            docs.select("doc_id", "text"), "doc_id", "text",
+            k=8, out_col="clean_text")
 
     def lsh_dedup_recall_q(spark, sf_dir):
         """Dedup-index quality harness (the dedup analogue of
@@ -5851,6 +5922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_props_extract": variant_props,
         "winnow_fingerprint_sets": winnow_sets,
         "dedup_duplicate_spans": dup_spans_q,
+        "dedup_span_removed_docs": span_removed_q,
         "dedup_lsh_recall_report": lsh_dedup_recall_q,
         "winnow_overlap_pairs": winnow_pairs,
         "tfidf_top_terms": tfidf_terms,
@@ -6082,6 +6154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_duplicate_spans",
         # 7) NEW this round: LSH dedup-index recall gate.
         "dedup_lsh_recall_report",
+        # 8) NEW this round: the span-removal transform itself.
+        "dedup_span_removed_docs",
     ]
     never_graded = [
         # burning down the 62-query never-graded exposure (44 here;
@@ -6501,6 +6575,7 @@ FROM documents
         "variant_props_extract": _VARIANT_DUCK,
         "winnow_fingerprint_sets": _WINNOW_DUCK,
         "dedup_duplicate_spans": _DUP_SPANS_DUCK,
+        "dedup_span_removed_docs": _SPAN_REMOVE_DUCK,
         "dedup_lsh_recall_report": _LSH_RECALL_DUCK,
         "winnow_overlap_pairs": _WINNOW_PAIRS_DUCK,
         "tfidf_top_terms": _TFIDF_DUCK,

@@ -91,6 +91,7 @@ HEADLINE = [
     "standardized_purchase_rates",
     # round 9: exact-substring span dedup + LSH-index recall gate
     "dedup_duplicate_spans",
+    "dedup_span_removed_docs",
     "dedup_lsh_recall_report",
 ]
 
