@@ -98,3 +98,57 @@ def test_remove_drops_fully_duplicated_doc(spark):
     rows = {r["doc_id"]: r["text"] for r in out.collect()}
     release(out)
     assert rows == {0: DOC0}
+
+
+def _py_remove(docs: dict, k: int) -> dict:
+    """Pure-Python reference of remove_duplicate_spans: same windowed
+    hashing semantics (window identity = its token tuple), same global
+    first-occurrence keep rule, same coverage subtraction."""
+    toks = {d: t.split() for d, t in docs.items()}
+    lowered = {d: [w.lower() for w in ws] for d, ws in toks.items()}
+    occ = {}
+    for d in sorted(lowered):
+        ws = lowered[d]
+        for i in range(len(ws) - k + 1):
+            occ.setdefault(tuple(ws[i:i + k]), []).append((d, i))
+    removable = {d: set() for d in toks}
+    kept_cover = {d: set() for d in toks}
+    for gram, sites in occ.items():
+        if len(sites) < 2:
+            continue
+        first = min(sites)
+        for (d, i) in sites:
+            target = kept_cover if (d, i) == first else removable
+            target[d].update(range(i, i + k))
+    out = {}
+    for d, ws in toks.items():
+        keep = [w for j, w in enumerate(ws)
+                if j not in (removable[d] - kept_cover[d])]
+        if keep:
+            out[d] = " ".join(keep)
+    return out
+
+
+def test_remove_matches_python_reference_on_random_corpora(spark):
+    """Randomized equivalence vs an independent pure-Python model:
+    small alphabets force heavy window collisions, overlapping spans,
+    and within-doc repeats — the cases hand fixtures under-sample."""
+    import random
+
+    rng = random.Random(0)
+    for trial in range(5):
+        n_docs = rng.randint(2, 6)
+        docs = {}
+        for d in range(n_docs):
+            n = rng.randint(0, 30)
+            docs[d] = " ".join(
+                rng.choice(["a", "b", "c", "D"]) for _ in range(n))
+        df = spark.createDataFrame(
+            [(d, t) for d, t in docs.items()],
+            "doc_id long, text string")
+        out = dedup.remove_duplicate_spans(df, "doc_id", "text", k=3,
+                                           out_col="clean")
+        got = {r["doc_id"]: r["clean"] for r in out.collect()}
+        release(out)
+        want = _py_remove(docs, 3)
+        assert got == want, f"trial {trial}: {got} != {want} on {docs}"
