@@ -113,6 +113,9 @@ Query key -> SURVEY §2 rows covered:
                             the exact jaccard pair set (index gate)
   dedup_span_removed_docs   dedup: the Lee-et-al keep-one-copy span
                             removal TRANSFORM (oracle-gated rebuild)
+  dedup_incremental_spans   dedup: continuous-ingestion span removal
+                            vs a window-hash store (corpus never
+                            re-read; arrival order keeps the copy)
   tfidf_top_terms           text: corpus-relative term ranking (rational idf)
   dedup_components          dedup: cluster collapse via iterative min-label
                             propagation (oracle: recursive-CTE closure)
@@ -1506,6 +1509,68 @@ SELECT doc_id,
 FROM h
 """
 
+# DuckDB replay of incremental_span_dedup over the even/odd corpus
+# split: store = distinct window hashes of even-id docs; batch = odd-id
+# docs. Keep rule mirrored exactly: store-duplicated windows removable
+# in every batch occurrence (batch-first does NOT protect them);
+# among store-unseen hashes, batch-global min (doc_id, pos) keeps.
+_INC_SPANS_DUCK = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'),
+                     x -> x <> '') AS toks,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ltoks
+  FROM documents),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(greatest(len(ltoks) - 7, 0)),
+           i -> struct_pack(
+             pos := i + 1,
+             h := CAST(('0x' || substr(md5(array_to_string(
+                    ltoks[i + 1 : i + 8], ' ')), 1, 15)) AS BIGINT)))) AS s
+  FROM t),
+wins AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM w),
+store AS (SELECT DISTINCT h FROM wins WHERE doc_id % 2 = 0),
+bw AS (SELECT doc_id, pos, h,
+              EXISTS (SELECT 1 FROM store st WHERE st.h = wins.h)
+                AS in_store
+       FROM wins WHERE doc_id % 2 = 1),
+byh AS (
+  SELECT h, count(*) AS c,
+         min(struct_pack(d := doc_id, p := pos)) AS firstw
+  FROM bw GROUP BY h),
+dw AS (
+  SELECT bw.doc_id, pos,
+         (byh.firstw.d = bw.doc_id AND byh.firstw.p = pos
+          AND NOT in_store) AS keep
+  FROM bw JOIN byh USING (h)
+  WHERE byh.c > 1 OR in_store),
+cover AS (
+  SELECT doc_id, keep, unnest(range(pos, pos + 8)) AS tpos FROM dw),
+removable AS (
+  SELECT DISTINCT doc_id, tpos FROM cover WHERE NOT keep
+  EXCEPT
+  SELECT DISTINCT doc_id, tpos FROM cover WHERE keep),
+tokens AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(len(toks)),
+           i -> struct_pack(p := i + 1, tok := toks[i + 1]))) AS s
+  FROM t WHERE doc_id % 2 = 1),
+surv AS (
+  SELECT tk.doc_id, tk.s.p AS p, tk.s.tok AS tok
+  FROM tokens tk
+  WHERE NOT EXISTS (SELECT 1 FROM removable r
+                    WHERE r.doc_id = tk.doc_id AND r.tpos = tk.s.p))
+SELECT doc_id,
+       array_to_string(
+         list_transform(list_sort(list(struct_pack(p := p, tok := tok))),
+                        s -> s.tok), ' ') AS clean_text
+FROM surv GROUP BY doc_id
+"""
+
 # Dedup-index recall/precision: exact jaccard pair set vs LSH banding
 # candidates, both replayed by their own standalone oracles as CTEs;
 # ratios via exact integer grid_mean (integer-ratio tie class).
@@ -2831,6 +2896,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.remove_duplicate_spans(
             docs.select("doc_id", "text"), "doc_id", "text",
             k=8, out_col="clean_text")
+
+    def inc_span_q(spark, sf_dir):
+        """Continuous-ingestion span dedup: the even-id half of the
+        corpus plays the already-ingested store (window hashes only —
+        8 bytes per window, text never re-read); the odd-id half is
+        the arriving batch. Store-duplicated content loses EVERY batch
+        occurrence (the corpus holds the keeper); batch-internal
+        duplicates of store-unseen content keep their global first
+        occurrence."""
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        hist = docs.filter(F.col("doc_id") % 2 == 0)
+        new = docs.filter(F.col("doc_id") % 2 == 1)
+        store = dedup.span_hash_store(hist, "doc_id", "text", k=8)
+        cleaned, _hashes = dedup.incremental_span_dedup(
+            new, store, "doc_id", "text", k=8, out_col="clean_text")
+        return cleaned
 
     def lsh_dedup_recall_q(spark, sf_dir):
         """Dedup-index quality harness (the dedup analogue of
@@ -5923,6 +6004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint_sets": winnow_sets,
         "dedup_duplicate_spans": dup_spans_q,
         "dedup_span_removed_docs": span_removed_q,
+        "dedup_incremental_spans": inc_span_q,
         "dedup_lsh_recall_report": lsh_dedup_recall_q,
         "winnow_overlap_pairs": winnow_pairs,
         "tfidf_top_terms": tfidf_terms,
@@ -6156,6 +6238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_recall_report",
         # 8) NEW this round: the span-removal transform itself.
         "dedup_span_removed_docs",
+        # 9) NEW this round: its continuous-ingestion form.
+        "dedup_incremental_spans",
     ]
     never_graded = [
         # burning down the 62-query never-graded exposure (44 here;
@@ -6576,6 +6660,7 @@ FROM documents
         "winnow_fingerprint_sets": _WINNOW_DUCK,
         "dedup_duplicate_spans": _DUP_SPANS_DUCK,
         "dedup_span_removed_docs": _SPAN_REMOVE_DUCK,
+        "dedup_incremental_spans": _INC_SPANS_DUCK,
         "dedup_lsh_recall_report": _LSH_RECALL_DUCK,
         "winnow_overlap_pairs": _WINNOW_PAIRS_DUCK,
         "tfidf_top_terms": _TFIDF_DUCK,

@@ -92,6 +92,7 @@ HEADLINE = [
     # round 9: exact-substring span dedup + LSH-index recall gate
     "dedup_duplicate_spans",
     "dedup_span_removed_docs",
+    "dedup_incremental_spans",
     "dedup_lsh_recall_report",
 ]
 

@@ -907,3 +907,99 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
                    F.array_join(F.transform("_ts", lambda s: s["_tok"]),
                                 " ").alias(out_col)))
     return track(out, base, wins)
+
+
+def span_hash_store(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 8) -> DataFrame:
+    """Bootstrap a window-hash store for :func:`incremental_span_dedup`
+    from an existing corpus: one row per k-token window hash (column
+    ``_h``). Expression-only projection + explode; distinct is left to
+    the store writer (the probe side only checks existence)."""
+    return _token_windows(df, id_col, text_col, k).select("_h")
+
+
+def incremental_span_dedup(new_df: DataFrame,
+                           span_store: DataFrame | None,
+                           id_col: str, text_col: str, k: int = 8,
+                           out_col: str | None = None,
+                           ) -> tuple[DataFrame, DataFrame]:
+    """Exact-substring span dedup of an ingest batch against an
+    already-ingested corpus WITHOUT re-reading the corpus — the
+    continuous-ingestion form of :func:`remove_duplicate_spans`
+    (same shape as :func:`incremental_lsh_dedup`).
+
+    ``span_store`` is the persisted window-hash table of everything
+    accepted so far: one 60-bit hash per k-token window in column
+    ``_h`` — 8 bytes per window; the corpus text never participates.
+    Removal rule (arrival order defines the kept copy): a window whose
+    hash exists in the store is removable in EVERY batch occurrence
+    (the corpus holds the keeper — a batch-first occurrence does NOT
+    protect it); among store-unseen hashes duplicated within the
+    batch, the global min (id, pos) occurrence keeps its copy.
+
+    Returns ``(cleaned, new_hashes)`` where ``new_hashes`` are the
+    window hashes of the CLEANED text (the store stays an exact image
+    of stored content — kept copies re-emit their hashes; removed
+    spans' hashes are already in the store or kept elsewhere in the
+    batch). Append ``new_hashes`` to the store for the next batch;
+    re-appending is harmless (the store is only probed for existence).
+
+    Scale: window hashing is expression-only; the store probe is ONE
+    equi-join on the 8-byte hash with the batch's windows as the small
+    side; the within-batch pass is the :func:`remove_duplicate_spans`
+    machinery on the batch alone. Store growth is O(corpus tokens) of
+    8-byte hashes — ~2% of corpus bytes at k=8 whitespace tokens.
+    """
+    out_col = out_col or text_col
+    wins = _token_windows(new_df, id_col, text_col, k).persist()
+
+    if span_store is not None:
+        store_h = (span_store.select(F.col("_h")).distinct()
+                   .withColumn("_in_store", F.lit(True)))
+        marked = wins.join(store_h, "_h", "left")
+    else:
+        marked = wins.withColumn("_in_store",
+                                 F.lit(None).cast("boolean"))
+    in_store = F.coalesce(F.col("_in_store"), F.lit(False))
+
+    byh = (wins.groupBy("_h")
+           .agg(F.count("*").alias("_c"),
+                F.min(F.struct(id_col, "_pos")).alias("_first")))
+    dup_wins = (
+        marked.join(byh, "_h")
+        .filter((F.col("_c") > 1) | in_store)
+        .withColumn(
+            "_keep",
+            (F.col(f"_first.{id_col}") == F.col(id_col))
+            & (F.col("_first._pos") == F.col("_pos"))
+            & ~in_store)
+        .select(id_col, "_pos", "_keep"))
+
+    cover = dup_wins.select(
+        id_col, "_keep",
+        F.explode(F.sequence(F.col("_pos"),
+                             F.col("_pos") + k - 1)).alias("_tpos"))
+    removable = (cover.filter(~F.col("_keep"))
+                 .select(id_col, "_tpos").distinct()
+                 .join(cover.filter(F.col("_keep"))
+                       .select(id_col, "_tpos").distinct(),
+                       [id_col, "_tpos"], "left_anti"))
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda x: x != F.lit(""))
+    tokens = (new_df.select(F.col(id_col), toks.alias("_toks"))
+              .select(id_col,
+                      F.posexplode("_toks").alias("_tpos0", "_tok"))
+              .select(id_col, (F.col("_tpos0") + 1).alias("_tpos"),
+                      "_tok"))
+    survivors = tokens.join(removable, [id_col, "_tpos"], "left_anti")
+    cleaned = (survivors.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("_tpos", "_tok"))).alias("_ts"))
+               .select(F.col(id_col),
+                       F.array_join(F.transform(
+                           "_ts", lambda s: s["_tok"]), " ")
+                       .alias(out_col)))
+    new_hashes = _token_windows(
+        cleaned, id_col, out_col, k).select("_h")
+    return track(cleaned, wins), new_hashes

@@ -152,3 +152,56 @@ def test_remove_matches_python_reference_on_random_corpora(spark):
         release(out)
         want = _py_remove(docs, 3)
         assert got == want, f"trial {trial}: {got} != {want} on {docs}"
+
+
+def test_incremental_span_dedup_two_batches(spark):
+    """Streaming-shape span dedup: batch 2 loses content already in the
+    store (even where it would be batch-first), keeps novel content,
+    and the returned hashes reflect the CLEANED text."""
+    b1 = spark.createDataFrame([(0, DOC0)], "doc_id long, text string")
+    clean1, h1 = dedup.incremental_span_dedup(
+        b1, None, "doc_id", "text", k=K)
+    rows1 = {r["doc_id"]: r["text"] for r in clean1.collect()}
+    assert rows1 == {0: DOC0}          # nothing to dedup against
+    store = h1.persist()
+    assert store.count() == 20 - K + 1  # one hash per window
+
+    # batch 2: doc 10 repeats DOC0's middle span twice (so it is ALSO
+    # batch-internal-first for that content) plus novel tokens; doc 11
+    # is pure novel content
+    b2 = spark.createDataFrame(
+        [(10, f"n0 n1 {SHARED} n2 {SHARED} n3"),
+         (11, "m0 m1 m2 m3 m4 m5 m6 m7 m8")],
+        "doc_id long, text string")
+    clean2, h2 = dedup.incremental_span_dedup(
+        b2, store, "doc_id", "text", k=K)
+    rows2 = {r["doc_id"]: r["text"] for r in clean2.collect()}
+    from pipelines_rj_sms_spark.operators.cache import release
+    release(clean2)
+    # the store copy wins BOTH occurrences — batch-first does not
+    # protect store-duplicated content
+    assert rows2[10] == "n0 n1 n2 n3"
+    assert rows2[11] == "m0 m1 m2 m3 m4 m5 m6 m7 m8"
+    # new hashes come from cleaned text: doc 10 has < k tokens left ->
+    # contributes nothing; doc 11 contributes 9-k+1 = 2 windows
+    assert h2.count() == 2
+    release(clean1)
+    store.unpersist()
+
+
+def test_incremental_span_dedup_rerun_is_idempotent(spark):
+    """Re-ingesting an already-stored batch removes everything
+    store-duplicated; only sub-k fragments survive."""
+    b1 = spark.createDataFrame([(0, DOC0)], "doc_id long, text string")
+    clean1, h1 = dedup.incremental_span_dedup(
+        b1, None, "doc_id", "text", k=K)
+    clean1.collect()
+    store = h1.persist()
+    again, _ = dedup.incremental_span_dedup(
+        spark.createDataFrame([(99, DOC0)], "doc_id long, text string"),
+        store, "doc_id", "text", k=K)
+    assert again.collect() == []       # fully duplicated -> drops out
+    from pipelines_rj_sms_spark.operators.cache import release
+    release(again)
+    release(clean1)
+    store.unpersist()
