@@ -56,6 +56,8 @@ Query key -> SURVEY §2 rows covered:
   similarity_lsh            ANN: hyperplane-LSH bucketed top-k
   embedding_near_dupes      dedup: embedding cosine near-dup
   multimodal_features       multimodal plumbing (rows-only)
+  image_dhash_catalog       multimodal dedup: perceptual dHash (encode->decode->hash, exact oracle)
+  image_hamming_near_dupes  multimodal dedup: pigeonhole Hamming banding (exact oracle)
   order_priority_exists     J6 (correlated EXISTS, TPC-H Q4 shape)
   small_qty_revenue         J6 (correlated scalar subquery, Q17 shape)
   order_count_distribution  J6 A1 (left-outer + re-aggregation, Q13 shape)
@@ -1492,6 +1494,58 @@ SELECT event_id,
 FROM events
 """
 
+# DuckDB replay of the image_dhash_catalog pipeline WITHOUT any image
+# decode: the per-doc BMPs are generated from a pure integer pixel
+# formula (see _doc_bmps), so the oracle computes the same 63-bit
+# gradient hash straight from that formula. The Spark leg must agree
+# through the REAL path (encode_bmp -> decode_bmp -> integer luma ->
+# exact 2x2 box means -> bit pack), making this a value-exact gate on
+# the whole codec+hash plumbing. Gray pixels make luma == pixel and
+# constant 2x2 blocks make the box mean exact, so no rounding exists
+# on either leg.
+_DHASH_DUCK_H = """
+WITH grid AS (
+  SELECT i.range AS i, j.range AS j
+  FROM range(0, 7) i, range(0, 10) j
+),
+blocks AS (
+  SELECT d.doc_id, g.i, g.j,
+         ((g.i * 37 + g.j * (53 + 8 * (d.doc_id % 25))
+           + (d.doc_id % 25) * 83) % 150 + 20
+          + CASE WHEN (d.doc_id % 50) >= 25
+                  AND g.i = (d.doc_id % 50) % 7
+                  AND g.j = (d.doc_id % 50) % 10
+                 THEN 80 ELSE 0 END) AS bv
+  FROM documents d, grid g
+),
+bits AS (
+  SELECT a.doc_id,
+         CASE WHEN b.bv > a.bv THEN 1 ELSE 0 END AS bit,
+         a.i * 9 + a.j AS pos
+  FROM blocks a JOIN blocks b
+    ON b.doc_id = a.doc_id AND b.i = a.i AND b.j = a.j + 1
+  WHERE a.j < 9
+),
+h AS (
+  SELECT doc_id,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << pos)) AS BIGINT) AS dhash
+  FROM bits GROUP BY doc_id
+)
+"""
+
+_DHASH_CATALOG_DUCK = _DHASH_DUCK_H + """
+SELECT doc_id AS media_id, dhash,
+       CAST(20 AS BIGINT) AS width, CAST(14 AS BIGINT) AS height
+FROM h
+"""
+
+_DHASH_PAIRS_DUCK = _DHASH_DUCK_H + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming_dist
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+"""
+
 # DuckDB replay of text.winnow_fingerprints(k=8, w=4, hash_fn='md5'):
 # same k-gram hashes, same sliding-window mins, same distinct+sort.
 _WINNOW_DUCK = """
@@ -2693,6 +2747,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pin_round6(F.element_at("features", 1).cast("double"))
             .alias("f0"),
         )
+
+    def _doc_bmps(docs):
+        """One deterministic 20x14 24bpp BMP per doc_id: a 7x10 block
+        gradient (2x2 pixel blocks) whose stride depends on doc_id%25,
+        with a +80 'edit' bump on one block for doc_id%50 >= 25 — so
+        the corpus contains exact dups, near dups (<=2 gradient bits)
+        and far pairs. The pixel formula is pure integer arithmetic,
+        reproduced by the DuckDB oracle WITHOUT decoding: any bug in
+        encode_bmp/decode_bmp/dhash splits the hash."""
+        import pandas as pd
+
+        def kernel(batches):
+            import numpy as np
+            from pipelines_rj_sms_spark.operators.multimodal import encode_bmp
+
+            for pdf in batches:
+                content = []
+                for did in pdf["doc_id"]:
+                    g = int(did) % 25
+                    v = int(did) % 50
+                    i = np.arange(7)[:, None]
+                    j = np.arange(10)[None, :]
+                    bv = (i * 37 + j * (53 + 8 * g) + g * 83) % 150 + 20
+                    if v >= 25:
+                        bv = bv.copy()
+                        bv[v % 7, v % 10] += 80
+                    px = np.repeat(np.repeat(bv, 2, 0), 2, 1).astype(np.uint8)
+                    content.append(
+                        bytearray(encode_bmp(np.stack([px, px, px], -1))))
+                yield pd.DataFrame(
+                    {"media_id": pdf["doc_id"], "content": content})
+
+        return docs.mapInPandas(kernel, "media_id long, content binary")
+
+    def image_dhash_catalog(spark, sf_dir):
+        """Perceptual dHash catalog: encode_bmp -> dhash_images
+        (decode + integer luma + exact box means + 63-bit gradient
+        pack, all inside one Arrow-batched kernel)."""
+        from pipelines_rj_sms_spark.operators import imagehash
+        docs = _t(spark, sf_dir, "documents").select("doc_id")
+        return imagehash.dhash_images(_doc_bmps(docs)).select(
+            "media_id", "dhash", "width", "height")
+
+    def image_hamming_pairs(spark, sf_dir):
+        """Image near-dup pairs via pigeonhole banded self-join on the
+        dHash (recall 1.0 for <= max_dist by construction), exact
+        bit_count verify on candidates only — never an all-pairs
+        product (plan-pinned in tests/test_imagehash.py)."""
+        from pipelines_rj_sms_spark.operators import imagehash
+        docs = _t(spark, sf_dir, "documents").select("doc_id")
+        hashes = imagehash.dhash_images(_doc_bmps(docs))
+        return imagehash.hamming_near_dupes(hashes, max_dist=4).select(
+            "id_a", "id_b",
+            F.col("hamming_dist").cast("bigint").alias("hamming_dist"))
 
     def pivot_linestatus(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
@@ -5949,6 +6057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": sim_lsh,
         "embedding_near_dupes": emb_near_dupes,
         "multimodal_features": multimodal_features,
+        "image_dhash_catalog": image_dhash_catalog,
+        "image_hamming_near_dupes": image_hamming_pairs,
         "order_priority_exists": _sql(_Q4_EXISTS),
         "small_qty_revenue": _sql(_Q17_CORRELATED),
         "order_count_distribution": _sql(_Q13_DISTRIBUTION),
@@ -6658,6 +6768,8 @@ FROM documents
         "session_window_stats": _SESSION_WINDOW_DUCK,
         "variant_props_extract": _VARIANT_DUCK,
         "winnow_fingerprint_sets": _WINNOW_DUCK,
+        "image_dhash_catalog": _DHASH_CATALOG_DUCK,
+        "image_hamming_near_dupes": _DHASH_PAIRS_DUCK,
         "dedup_duplicate_spans": _DUP_SPANS_DUCK,
         "dedup_span_removed_docs": _SPAN_REMOVE_DUCK,
         "dedup_incremental_spans": _INC_SPANS_DUCK,

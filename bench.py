@@ -101,7 +101,8 @@ HEADLINE = [
 # wins, fallback "relational" (the TPC-H-shape SQL core)
 _FAMILIES = [
     ("dedup", ("dedup", "minhash", "simhash", "jaccard", "containment",
-               "winnow", "contamination", "negative_pairs")),
+               "winnow", "contamination", "negative_pairs", "image_",
+               "hamming")),
     ("similarity", ("similarity", "ann_", "embedding", "hybrid_rrf", "rbo",
                     "pca")),
     ("graph", ("pagerank", "graph", "kcore", "communities", "triangle", "link_prediction", "hits",

@@ -1,0 +1,190 @@
+"""Perceptual image hashing + Hamming-distance near-duplicate detection.
+
+The multimodal extension of the dedup family (`operators/dedup.py`):
+where MinHash buckets *text*, a perceptual hash buckets *pixels*. The
+reference pipeline stores binary media columns (SURVEY §2 multimodal
+rows); at training-data-lake scale the standard curation step over
+those columns is near-duplicate image removal (dHash / aHash family —
+public difference-hash construction, e.g. the widely documented
+"dHash" gradient hash), which this module provides end to end:
+
+  bytes -> decode (BMP/JPEG/PNG, `operators/multimodal.py` /
+  `operators/jpeg.py` native decoders) -> integer luma -> exact
+  box-downsample -> 63/64-bit gradient hash -> pigeonhole banded
+  self-join -> exact Hamming verify.
+
+Design notes for scale:
+- Decode + hash run inside one Arrow-batched `mapInPandas` kernel
+  (bytes never reach the driver; one batch of images in flight per
+  task — the `extract_features` memory contract).
+- EVERY arithmetic step is integer-exact (floor-division luma and
+  box means), so hashes are bit-identical across engines and
+  partitionings — the property the DuckDB oracle checks.
+- Near-dup candidate generation is a *banded equi-join* (pigeonhole:
+  two hashes within Hamming distance d agree exactly on at least one
+  of d+1 disjoint bit-bands), never an O(n²) cross product — the same
+  posture as MinHash-LSH banding. Exact `bit_count(a XOR b)` runs
+  only on candidates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from pipelines_rj_sms_spark.operators.cache import track
+
+_DHASH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("dhash", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+])
+
+
+def _decode_pixels(content: bytes):
+    """Magic-byte-routed image decode -> (w, h, HxWx3 RGB uint8).
+
+    Same routing table as `multimodal._real_features`; raises at the
+    codec slot for formats that need PIL/ffmpeg.
+    """
+    from pipelines_rj_sms_spark.operators.multimodal import decode_bmp
+
+    if content is None:
+        raise ValueError("NULL image payload")
+    if content[:2] == b"BM":
+        return decode_bmp(content)
+    if content[:2] == b"\xff\xd8":
+        from pipelines_rj_sms_spark.operators.jpeg import decode_jpeg
+        return decode_jpeg(content)
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        from pipelines_rj_sms_spark.operators.jpeg import decode_png
+        return decode_png(content)
+    raise NotImplementedError(
+        "perceptual hashing decodes BMP, baseline JPEG and PNG "
+        "natively; this payload needs a PIL/ffmpeg codec")
+
+
+def dhash_bits(px, hash_w: int = 9, hash_h: int = 7) -> int:
+    """Difference hash of an HxWx3 uint8 RGB array: `hash_h` rows ×
+    `hash_w` horizontal-gradient bits, packed LSB-first at position
+    ``row*hash_w + col`` (bit set when the right block is brighter).
+
+    Integer-exact by construction, so the same image always produces
+    the same hash on any engine:
+    - luma = (299·R + 587·G + 114·B) // 1000 (integer ITU-R 601);
+    - the luma plane is reduced to a (hash_h, hash_w+1) block grid by
+      exact integer box means (floor of block sum / block area) when
+      the dimensions divide evenly, else by nearest-grid-point
+      sampling (the `resize_images` index map).
+
+    hash_w*hash_h > 63 wraps into a signed 64-bit long (two's
+    complement) so the result always fits a Spark LongType.
+    """
+    import numpy as np
+
+    h, w = px.shape[:2]
+    gw, gh = hash_w + 1, hash_h
+    p = px.astype(np.int64)
+    luma = (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
+    if h % gh == 0 and w % gw == 0:
+        bh, bw = h // gh, w // gw
+        blocks = luma.reshape(gh, bh, gw, bw).sum(axis=(1, 3)) // (bh * bw)
+    else:
+        ys = (np.arange(gh) * (h / gh)).astype(int)
+        xs = (np.arange(gw) * (w / gw)).astype(int)
+        blocks = luma[ys][:, xs]
+    bits = (blocks[:, 1:] > blocks[:, :-1]).astype(object)
+    pos = np.arange(hash_w * hash_h).reshape(hash_h, hash_w)
+    val = int((bits << pos).sum())
+    if val >= 1 << 63:                       # two's-complement wrap
+        val -= 1 << 64
+    return val
+
+
+def dhash_images(df: DataFrame, content_col: str = "content",
+                 id_col: str = "media_id",
+                 hash_w: int = 9, hash_h: int = 7) -> DataFrame:
+    """Per-image dHash via mapInPandas -> (media_id, dhash, width,
+    height). The default 9×7 = 63-bit grid keeps the packed hash a
+    positive BIGINT (no sign games in band math or oracles); pass
+    8×8 for the classic 64-bit dHash (sign-wrapped, still exact)."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "dhash": [], "width": [], "height": []}
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                w, h, px = _decode_pixels(content)
+                out["media_id"].append(mid)
+                out["dhash"].append(dhash_bits(px, hash_w, hash_h))
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(kernel, _DHASH_SCHEMA)
+
+
+def hamming_near_dupes(hashes: DataFrame, id_col: str = "media_id",
+                       hash_col: str = "dhash", max_dist: int = 4,
+                       n_bits: int = 63,
+                       n_bands: int | None = None) -> DataFrame:
+    """All pairs within Hamming distance ``max_dist`` of each other,
+    as (id_a, id_b, hamming_dist) with id_a < id_b.
+
+    Pigeonhole banding: the ``n_bits`` hash is cut into ``n_bands``
+    disjoint contiguous bit-bands (default ``max_dist + 1``); two
+    hashes with at most ``max_dist`` differing bits must agree
+    *exactly* on at least one band, so an equi-join on
+    (band_idx, band_val) finds every qualifying pair — recall 1.0 by
+    construction, verified by `bit_count(a XOR b) <= max_dist` on the
+    (much smaller) candidate set. The join key is a short (int, long)
+    pair; the corpus never cross-joins.
+
+    Scale: one explode (×n_bands), one self-equi-join on banded keys,
+    one distinct. Hot band values (e.g. all-zero bands from flat
+    images) bound candidate blowup by band-value group size — cap
+    upstream with a frequency filter if a corpus is degenerate.
+    """
+    if n_bands is None:
+        n_bands = max_dist + 1
+    if n_bands < max_dist + 1:
+        raise ValueError(
+            f"n_bands={n_bands} < max_dist+1={max_dist + 1}: pigeonhole "
+            "recall guarantee needs at least max_dist+1 bands")
+    width = -(-n_bits // n_bands)            # ceil
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.shiftrightunsigned(F.col(hash_col), b * width)
+            .bitwiseAND(F.lit((1 << min(width, n_bits - b * width)) - 1))
+            .alias("band_val"),
+        )
+        for b in range(n_bands)
+    ])
+    banded = track(
+        hashes.select(
+            F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"),
+            F.explode(bands).alias("_b"))
+        .select("_id", "_h", "_b.band_idx", "_b.band_val")
+        .persist())
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                F.col("a._h").alias("_ha"), F.col("b._h").alias("_hb"))
+        .distinct()
+        .withColumn("hamming_dist",
+                    F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+        .filter(F.col("hamming_dist") <= max_dist)
+        .drop("_ha", "_hb")
+    )
+    return track(pairs, banded)

@@ -1,0 +1,103 @@
+"""Perceptual dHash + Hamming near-dup (operators/imagehash.py)."""
+
+import numpy as np
+import pytest
+
+from pipelines_rj_sms_spark.operators.imagehash import (
+    dhash_bits,
+    dhash_images,
+    hamming_near_dupes,
+)
+from pipelines_rj_sms_spark.operators.multimodal import encode_bmp
+
+
+def _grad_image(blocks, scale=2):
+    """(gh, gw) int block grid -> HxWx3 gray RGB uint8 at scale."""
+    px = np.repeat(np.repeat(np.asarray(blocks), scale, 0), scale, 1)
+    return np.stack([px, px, px], axis=-1).astype(np.uint8)
+
+
+def test_dhash_hand_computed_bits():
+    # 2 rows x 3 block-cols -> hash_w=2, hash_h=2: 4 bits.
+    # row 0: 10 < 20 (bit0=1), 20 > 5 (bit1=0)
+    # row 1: 7 > 3 (bit2=0),  3 < 9 (bit3=1)
+    img = _grad_image([[10, 20, 5], [7, 3, 9]])
+    assert dhash_bits(img, hash_w=2, hash_h=2) == 0b1001
+
+
+def test_dhash_brightness_invariance():
+    rng = np.random.default_rng(7)
+    blocks = rng.integers(0, 200, size=(7, 10))
+    base = dhash_bits(_grad_image(blocks))
+    assert dhash_bits(_grad_image(blocks + 30)) == base
+    assert base != dhash_bits(_grad_image(blocks[::-1]))
+
+
+def test_dhash_64bit_sign_wrap_fits_long():
+    # Monotonically increasing blocks -> every bit set -> with an
+    # 8x8 grid the packed value wraps to -1 (all 64 bits on).
+    blocks = np.arange(8 * 9).reshape(8, 9) * 2
+    val = dhash_bits(_grad_image(blocks), hash_w=8, hash_h=8)
+    assert val == -1
+    assert -(1 << 63) <= val < (1 << 63)
+
+
+def test_dhash_nearest_grid_fallback_non_divisible():
+    # 15x21 image does not divide the 7x10 grid evenly -> sampling
+    # path; still deterministic and brightness-invariant.
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 200, size=(15, 21))
+    img = np.stack([px, px, px], -1).astype(np.uint8)
+    v1 = dhash_bits(img)
+    v2 = dhash_bits(np.clip(img.astype(int) + 20, 0, 255).astype(np.uint8))
+    assert v1 == v2
+
+
+def test_dhash_images_spark_matches_local(spark):
+    rng = np.random.default_rng(11)
+    rows, want = [], {}
+    for mid in range(20):
+        blocks = rng.integers(0, 200, size=(7, 10))
+        content = encode_bmp(_grad_image(blocks))
+        rows.append((mid, bytearray(content)))
+        want[mid] = dhash_bits(_grad_image(blocks))
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: (r["dhash"], r["width"], r["height"])
+           for r in dhash_images(df).collect()}
+    assert {k: v[0] for k, v in got.items()} == want
+    assert got[0][1:] == (20, 14)
+
+
+def test_hamming_near_dupes_recall_vs_brute_force(spark):
+    # Random 63-bit hashes + planted near pairs; banded join must
+    # find EXACTLY the brute-force pair set (pigeonhole recall 1.0).
+    rng = np.random.default_rng(23)
+    hs = [int(x) for x in rng.integers(0, 1 << 63, size=60, dtype=np.uint64)]
+    for i in range(0, 20, 2):              # plant near pairs
+        flip = 0
+        for bit in rng.choice(63, size=int(rng.integers(0, 5)),
+                              replace=False):
+            flip |= 1 << int(bit)
+        hs[i + 1] = hs[i] ^ flip
+    brute = {
+        (a, b, bin(hs[a] ^ hs[b]).count("1"))
+        for a in range(60) for b in range(a + 1, 60)
+        if bin(hs[a] ^ hs[b]).count("1") <= 4
+    }
+    df = spark.createDataFrame(list(enumerate(hs)), "media_id long, dhash long")
+    got = {(r["id_a"], r["id_b"], r["hamming_dist"])
+           for r in hamming_near_dupes(df, max_dist=4).collect()}
+    assert got == brute
+    assert brute                           # planted pairs really exist
+
+
+def test_hamming_near_dupes_plan_no_cartesian(spark):
+    df = spark.createDataFrame([(1, 5), (2, 7)], "media_id long, dhash long")
+    plan = hamming_near_dupes(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_hamming_near_dupes_rejects_too_few_bands():
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_near_dupes(None, max_dist=4, n_bands=3)
