@@ -85,6 +85,8 @@ Query key -> SURVEY §2 rows covered:
   coalesce_segments         J3 (keyed join + per-column coalesce)
   similarity_ivf            ANN: IVF coarse-quantize + probe (exact oracle)
   curate_documents          curation funnel: exact+near dedup -> quality
+  dsir_log_weights          DSIR hashed-unigram importance weights (exact oracle)
+  dsir_selected_docs        DSIR deterministic top-k pool selection (exact oracle)
                             -> lang filters (exact oracle, md5 minhash)
   asof_purchase_signup      as-of join (union+window, single shuffle)
   range_error_purchases     bucketed range join (point-in-interval)
@@ -1544,6 +1546,44 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming_dist
 FROM h a JOIN h b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+"""
+
+# DuckDB replay of curation.dsir_log_weights(target = lang='en',
+# n_buckets=512, alpha=1): same expression-only feature hash, same
+# add-one smoothed bucket models, same pinned-ln units, same exact
+# integer per-doc sums. Ends at the `w` CTE so both the weights and
+# the top-k selection oracle share one body.
+_DSIR_WEIGHTS_DUCK = rf"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tb AS (
+  SELECT doc_id, is_t,
+         (length(term) * 131 + ascii(term) * 7
+          + ascii(right(term, 1))) % 512 AS b
+  FROM toks),
+buckets AS (
+  SELECT b,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct_t,
+         sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS ct_r
+  FROM tb GROUP BY b),
+tot AS (SELECT CAST(sum(ct_t) AS DOUBLE) AS tt,
+               CAST(sum(ct_r) AS DOUBLE) AS tr FROM buckets),
+lam AS (
+  SELECT b,
+         {_pin_ln('(ct_t + 1.0) / (tt + 512.0)')}
+         - {_pin_ln('(ct_r + 1.0) / (tr + 512.0)')} AS lam_u
+  FROM buckets CROSS JOIN tot),
+tf AS (SELECT doc_id, b, count(*) AS tf, max(is_t) AS is_t
+       FROM tb GROUP BY 1, 2),
+w AS (
+  SELECT doc_id, max(is_t) AS is_target,
+         CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(sum(CAST(tf AS HUGEINT) * lam_u) AS DOUBLE)
+           / 1000000.0 AS log_weight
+  FROM tf JOIN lam USING (b) GROUP BY doc_id)
 """
 
 # DuckDB replay of text.winnow_fingerprints(k=8, w=4, hash_fn='md5'):
@@ -4176,6 +4216,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             with_report=False)
         return curated.select("doc_id")
 
+    def dsir_weights_q(spark, sf_dir):
+        """DSIR (Xie et al. 2023) hashed-unigram log importance weight
+        of every doc against the English subcorpus as the target
+        distribution — two hash aggs + a 512-row broadcast log-ratio
+        dim; pinned-ln exact-integer sums (the logprob contract)."""
+        from pipelines_rj_sms_spark.operators.curation import (
+            dsir_log_weights)
+        docs = _t(spark, sf_dir, "documents")
+        out = dsir_log_weights(docs, F.col("lang") == "en", n_buckets=512)
+        return out.select(
+            "doc_id", "is_target",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "log_weight")
+
+    def dsir_selected_q(spark, sf_dir):
+        """Deterministic top-k DSIR selection from the non-English pool
+        (ties on id) — TakeOrderedAndProject, never a global sort."""
+        from pipelines_rj_sms_spark.operators.curation import dsir_select
+        docs = _t(spark, sf_dir, "documents")
+        out = dsir_select(docs, F.col("lang") == "en", k=50, n_buckets=512)
+        return out.select(
+            "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "log_weight")
+
     def nb_lang_pred(spark, sf_dir):
         """Multinomial Naive Bayes trained on the corpus's own lang
         labels, then applied back to every document — the fastText-style
@@ -6091,6 +6155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coalesce_segments": coalesce_segments,
         "similarity_ivf": similarity_ivf,
         "curate_documents": curate_docs,
+        "dsir_log_weights": dsir_weights_q,
+        "dsir_selected_docs": dsir_selected_q,
         "asof_purchase_signup": asof_purchase_signup,
         "range_error_purchases": range_error_purchases,
         "priority_line_counts": _sql(_Q12_PRIORITY),
@@ -6770,6 +6836,19 @@ FROM documents
         "winnow_fingerprint_sets": _WINNOW_DUCK,
         "image_dhash_catalog": _DHASH_CATALOG_DUCK,
         "image_hamming_near_dupes": _DHASH_PAIRS_DUCK,
+        # DSIR: same hashed-unigram feature map (len·131 + first·7 +
+        # last codepoint, mod 512 — ascii/right verified codepoint-
+        # identical across engines incl. unicode), same pinned-ln
+        # log-ratio, same exact HUGEINT unit sums.
+        "dsir_log_weights": _DSIR_WEIGHTS_DUCK + """
+SELECT doc_id, is_target, n_tokens, log_weight FROM w
+""",
+        "dsir_selected_docs": _DSIR_WEIGHTS_DUCK + """
+SELECT doc_id, n_tokens, log_weight
+FROM w WHERE NOT is_target
+ORDER BY log_weight DESC, doc_id
+LIMIT 50
+""",
         "dedup_duplicate_spans": _DUP_SPANS_DUCK,
         "dedup_span_removed_docs": _SPAN_REMOVE_DUCK,
         "dedup_incremental_spans": _INC_SPANS_DUCK,

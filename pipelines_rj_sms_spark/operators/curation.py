@@ -20,10 +20,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pipelines_rj_sms_spark.functions.text import lang_id, quality_score
+from pipelines_rj_sms_spark.functions.text import lang_id, quality_score, tokens
 from pipelines_rj_sms_spark.operators import dedup
 from pipelines_rj_sms_spark.operators.cache import track
 
@@ -81,3 +81,108 @@ def curate_documents(df: DataFrame, id_col: str = "doc_id",
         n_after_lang=curated.count(),
     )
     return curated, report
+
+
+# --- Data Selection via Importance Resampling (DSIR) ----------------------
+#
+# Public method (Xie et al. 2023, "Data Selection for Language Models
+# via Importance Resampling"): score every document in a raw pool by
+# how much more likely its hashed-n-gram features are under the TARGET
+# distribution than under the RAW distribution, then keep the
+# highest-weight documents. Both bag-of-hashed-features models are
+# plain smoothed count tables, so the whole estimator is two hash
+# aggregations plus one bounded broadcast join — no model training, no
+# Python, and the per-bucket state is capped at ``n_buckets`` rows
+# regardless of corpus size.
+
+
+def feature_bucket(term: Column, n_buckets: int) -> Column:
+    """Hashing-trick feature bucket of a token.
+
+    Deliberately NOT a library hash: (len·131 + first-codepoint·7 +
+    last-codepoint) mod n_buckets is expression-only and reproduced
+    verbatim by the DuckDB oracle — the hashing trick only needs a
+    fixed spreading map, not a cryptographic one. Swap in xxhash64 for
+    production corpora where adversarial collisions matter.
+    """
+    return (
+        F.length(term) * 131 + F.ascii(term) * 7
+        + F.ascii(F.right(term, F.lit(1)))
+    ) % n_buckets
+
+
+def dsir_log_weights(df: DataFrame, target: Column,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n_buckets: int = 4096,
+                     alpha: float = 1.0) -> DataFrame:
+    """Per-document DSIR log importance weight
+    ``log p_target(features) - log p_raw(features)`` under add-alpha
+    smoothed hashed-unigram models. Returns
+    (id, is_target, n_tokens, log_weight); select the pool rows
+    (``NOT is_target``) with the largest ``log_weight`` to build a
+    target-like corpus (see :func:`dsir_select`).
+
+    ``target`` is a boolean Column over ``df``'s columns defining the
+    distribution to match (e.g. ``F.col("lang") == "en"``).
+
+    Scale shape: one token explode feeding two hash aggregations —
+    (doc, bucket) term frequencies and per-bucket conditional counts —
+    then the ≤``n_buckets``-row log-ratio table rides into the doc
+    rollup as a broadcast. Nothing driver-side, nothing O(n²).
+
+    Numeric contract: each ln is pinned to the shared 1e-6 grid
+    (``det_log_units``) BEFORE multiplying by term frequency, the
+    per-doc sum runs in exact DECIMAL(38,0) units, and only the final
+    units/1e6 division is IEEE — one correctly-rounded op on identical
+    integers, so the weight is bit-identical across engines and
+    partitionings (the doc_unigram_logprob contract).
+    """
+    from pipelines_rj_sms_spark.functions.numeric import det_log_units
+
+    toks = df.select(
+        F.col(id_col), target.alias("_is_t"),
+        F.explode(tokens(text_col)).alias("_term"))
+    b = toks.withColumn("_b", feature_bucket(F.col("_term"), n_buckets))
+    buckets = b.groupBy("_b").agg(
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_ct_t"),
+        F.sum(F.when(~F.col("_is_t"), 1).otherwise(0)).alias("_ct_r"))
+    totals = F.broadcast(buckets.agg(
+        F.sum("_ct_t").cast("double").alias("_tt"),
+        F.sum("_ct_r").cast("double").alias("_tr")))
+    lam = buckets.crossJoin(totals).select(
+        "_b",
+        (det_log_units((F.col("_ct_t") + F.lit(alpha))
+                       / (F.col("_tt") + F.lit(alpha * n_buckets)))
+         - det_log_units((F.col("_ct_r") + F.lit(alpha))
+                         / (F.col("_tr") + F.lit(alpha * n_buckets)))
+         ).alias("_lam_u"))
+    tf = b.groupBy(id_col, "_b").agg(
+        F.count("*").alias("_tf"), F.max("_is_t").alias("_is_t"))
+    return (
+        tf.join(F.broadcast(lam), "_b")
+        .groupBy(id_col)
+        .agg(F.max("_is_t").alias("is_target"),
+             F.sum(F.col("_tf").cast("decimal(38,0)")
+                   * F.col("_lam_u")).alias("_su"),
+             F.sum("_tf").alias("n_tokens"))
+        .select(id_col, "is_target", "n_tokens",
+                (F.col("_su").cast("double") / F.lit(1e6))
+                .alias("log_weight"))
+    )
+
+
+def dsir_select(df: DataFrame, target: Column, k: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                n_buckets: int = 4096, alpha: float = 1.0) -> DataFrame:
+    """Top-``k`` pool documents by DSIR log weight (the deterministic
+    top-k variant of the paper's Gumbel resampling — ties break on id,
+    so the selection is reproducible run to run). Only non-target rows
+    compete: target rows define the distribution, they are not
+    re-selected. orderBy+limit plans TakeOrderedAndProject — per-
+    partition heaps then a k-row merge, never a global sort."""
+    w = dsir_log_weights(df, target, id_col=id_col, text_col=text_col,
+                         n_buckets=n_buckets, alpha=alpha)
+    return (w.filter(~F.col("is_target"))
+            .orderBy(F.col("log_weight").desc(), F.col(id_col))
+            .limit(k)
+            .select(id_col, "n_tokens", "log_weight"))
