@@ -87,6 +87,7 @@ Query key -> SURVEY §2 rows covered:
   curate_documents          curation funnel: exact+near dedup -> quality
   dsir_log_weights          DSIR hashed-unigram importance weights (exact oracle)
   dsir_selected_docs        DSIR deterministic top-k pool selection (exact oracle)
+  url_canonical_dedup       URL canonicalization dedup key (exact oracle)
                             -> lang filters (exact oracle, md5 minhash)
   asof_purchase_signup      as-of join (union+window, single shuffle)
   range_error_purchases     bucketed range join (point-in-interval)
@@ -1546,6 +1547,61 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming_dist
 FROM h a JOIN h b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+"""
+
+# DuckDB replay of functions/urls.canonicalize_url over the same
+# deterministically-messy URL corpus (same construction expression,
+# same regex steps — every regexp_replace is anchored/single-match so
+# DuckDB's replace-first and Spark's replace-all agree; list_sort and
+# array_sort are both bytewise on these ASCII params).
+_URL_CANON_DUCK = r"""
+WITH raw AS (
+  SELECT
+    (CASE WHEN o_orderkey % 2 = 0 THEN 'HTTPS://WWW.Shop'
+          ELSE 'http://shop' END)
+    || CAST(o_orderkey % 5 AS VARCHAR)
+    || (CASE WHEN o_orderkey % 2 = 0 THEN '.COM:443' ELSE '.com:80' END)
+    || '/Products/' || CAST(o_orderkey % 13 AS VARCHAR)
+    || (CASE WHEN o_orderkey % 3 = 0 THEN '/' ELSE '' END)
+    || '?utm_source=news&id=' || CAST(o_orderkey % 7 AS VARCHAR)
+    || (CASE WHEN o_orderkey % 6 = 0 THEN '&ref=x' ELSE '' END)
+    || (CASE WHEN o_orderkey % 2 = 0 THEN '&b=2&a=1' ELSE '&a=1&b=2' END)
+    || (CASE WHEN o_orderkey % 11 = 0 THEN '#section-2' ELSE '' END) AS url
+  FROM orders),
+s1 AS (SELECT regexp_replace(url, '#.*$', '') AS u FROM raw),
+s2 AS (SELECT
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+           AS scheme,
+         regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest
+       FROM s1),
+s3 AS (SELECT scheme,
+         lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+         regexp_replace(rest, '^[^/?]*', '') AS pathq
+       FROM s2),
+s4 AS (SELECT scheme,
+         regexp_replace(
+           CASE WHEN scheme = 'http'
+                  THEN regexp_replace(hostport, ':80$', '')
+                WHEN scheme = 'https'
+                  THEN regexp_replace(hostport, ':443$', '')
+                ELSE hostport END,
+           '^www\.', '') AS host,
+         regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                        '/+$', '') AS path,
+         regexp_extract(pathq, '\?(.*)$', 1) AS query
+       FROM s3),
+s5 AS (SELECT scheme, host, path,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+           p -> p <> ''
+            AND NOT starts_with(string_split(p, '=')[1], 'utm_')
+            AND string_split(p, '=')[1]
+                NOT IN ('fbclid', 'gclid', 'msclkid', 'mc_eid', 'ref'))),
+           '&') AS qs
+       FROM s4)
+SELECT scheme || '://' || host || path
+       || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical_url,
+       count(*) AS n_urls
+FROM s5 GROUP BY 1
 """
 
 # DuckDB replay of curation.dsir_log_weights(target = lang='en',
@@ -4216,6 +4272,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             with_report=False)
         return curated.select("doc_id")
 
+    def url_canonical_dedup(spark, sf_dir):
+        """Stage-zero web-corpus dedup: canonicalize messy URLs
+        (fragment/port/www/tracking-param/param-order/trailing-slash
+        variants, built deterministically from order keys on BOTH
+        engines) and count collapses per canonical form. Expression-
+        only — runs at scan speed inside codegen."""
+        from pipelines_rj_sms_spark.functions.urls import canonicalize_url
+        k = F.col("o_orderkey")
+        url = F.concat(
+            F.when(k % 2 == 0, F.lit("HTTPS://WWW.Shop"))
+            .otherwise(F.lit("http://shop")),
+            (k % 5).cast("string"),
+            F.when(k % 2 == 0, F.lit(".COM:443")).otherwise(F.lit(".com:80")),
+            F.lit("/Products/"), (k % 13).cast("string"),
+            F.when(k % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=news&id="), (k % 7).cast("string"),
+            F.when(k % 6 == 0, F.lit("&ref=x")).otherwise(F.lit("")),
+            F.when(k % 2 == 0, F.lit("&b=2&a=1")).otherwise(F.lit("&a=1&b=2")),
+            F.when(k % 11 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+        )
+        o = _t(spark, sf_dir, "orders")
+        return (o.select(canonicalize_url(url).alias("canonical_url"))
+                .groupBy("canonical_url")
+                .agg(F.count("*").alias("n_urls")))
+
     def dsir_weights_q(spark, sf_dir):
         """DSIR (Xie et al. 2023) hashed-unigram log importance weight
         of every doc against the English subcorpus as the target
@@ -6157,6 +6238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_documents": curate_docs,
         "dsir_log_weights": dsir_weights_q,
         "dsir_selected_docs": dsir_selected_q,
+        "url_canonical_dedup": url_canonical_dedup,
         "asof_purchase_signup": asof_purchase_signup,
         "range_error_purchases": range_error_purchases,
         "priority_line_counts": _sql(_Q12_PRIORITY),
@@ -6849,6 +6931,7 @@ FROM w WHERE NOT is_target
 ORDER BY log_weight DESC, doc_id
 LIMIT 50
 """,
+        "url_canonical_dedup": _URL_CANON_DUCK,
         "dedup_duplicate_spans": _DUP_SPANS_DUCK,
         "dedup_span_removed_docs": _SPAN_REMOVE_DUCK,
         "dedup_incremental_spans": _INC_SPANS_DUCK,

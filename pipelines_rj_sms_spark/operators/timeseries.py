@@ -985,6 +985,15 @@ def pacf(df: DataFrame, t_col: str, units_col: str,
     hash agg, the recursion is ONE projection. Returns (lag, acf,
     pacf) @6dp rows; requires all m lags present (gapless collapsed
     series), NULL pacf otherwise propagates naturally.
+
+    Known benign fallback: at max_lag=5 the expanded recursion tree
+    exceeds janino's method-size limit, so Spark logs one "Failed to
+    compile the generated Java code" ERROR and evaluates the
+    projection interpreted. The projection runs over exactly ONE
+    pivoted row, so the interpreted path costs microseconds and is
+    semantically identical (same Catalyst expressions) — accepted
+    over splitting the recursion into barriered stages, which would
+    add real jobs to dodge a log line.
     """
     m = int(max_lag)
     ac = autocorrelation(df, t_col, units_col, max_lag=m)

@@ -1,0 +1,65 @@
+"""URL canonicalization (functions/urls.py)."""
+
+from pyspark.sql import functions as F
+
+from pipelines_rj_sms_spark.functions.urls import canonicalize_url, url_key
+
+
+def _canon(spark, *urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r[0] for r in df.select(canonicalize_url("url")).collect()]
+
+
+def test_canonicalize_full_normalization(spark):
+    got = _canon(
+        spark,
+        "HTTPS://WWW.Example.COM:443/Products/1/?b=2&utm_source=x&a=1#frag",
+    )
+    assert got == ["https://example.com/Products/1?a=1&b=2"]
+
+
+def test_canonicalize_equivalence_classes(spark):
+    variants = [
+        "https://example.com/a?x=1&y=2",
+        "https://EXAMPLE.com:443/a/?y=2&x=1",
+        "https://www.example.com/a//?x=1&y=2&fbclid=abc#sec",
+        "https://example.com/a?utm_campaign=c&utm_medium=m&x=1&y=2",
+    ]
+    assert len(set(_canon(spark, *variants))) == 1
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    assert df.select(url_key("url")).distinct().count() == 1
+
+
+def test_canonicalize_preserves_meaningful_differences(spark):
+    distinct = [
+        "https://example.com/a",       # path case matters
+        "https://example.com/A",
+        "http://example.com/a",        # scheme matters
+        "https://example.com/a?x=1",   # real params matter
+        "https://example.com:8443/a",  # non-default port kept
+        "https://sub.example.com/a",   # subdomain (non-www) kept
+    ]
+    got = _canon(spark, *distinct)
+    assert len(set(got)) == len(distinct)
+    assert "https://example.com:8443/a" in got
+
+
+def test_canonicalize_port_strip_is_scheme_aware(spark):
+    # :443 is only default for https, :80 only for http
+    got = _canon(spark, "http://example.com:443/a",
+                 "https://example.com:80/a")
+    assert got == ["http://example.com:443/a", "https://example.com:80/a"]
+
+
+def test_canonicalize_keeps_empty_query_clean(spark):
+    got = _canon(spark, "https://example.com/a?utm_source=x",
+                 "https://example.com/")
+    assert got == ["https://example.com/a", "https://example.com"]
+
+
+def test_canonicalize_plan_stays_codegen(spark):
+    df = spark.createDataFrame([("https://x.com/a",)], "url string")
+    plan = (df.select(canonicalize_url("url"))
+            ._jdf.queryExecution().executedPlan().toString())
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
