@@ -88,6 +88,7 @@ Query key -> SURVEY §2 rows covered:
   dsir_log_weights          DSIR hashed-unigram importance weights (exact oracle)
   dsir_selected_docs        DSIR deterministic top-k pool selection (exact oracle)
   url_canonical_dedup       URL canonicalization dedup key (exact oracle)
+  ngram_repetition_report   Gopher n-gram repetition signals (exact oracle)
                             -> lang filters (exact oracle, md5 minhash)
   asof_purchase_signup      as-of join (union+window, single shuffle)
   range_error_purchases     bucketed range join (point-in-interval)
@@ -4272,6 +4273,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             with_report=False)
         return curated.select("doc_id")
 
+    def ngram_repetition_q(spark, sf_dir):
+        """Gopher n-gram repetition signals (dup-bigram fraction +
+        top-bigram character share) per document — the looped-
+        boilerplate detector; two hash aggs, struct-min tie-break,
+        exact integer-grid ratios."""
+        from pipelines_rj_sms_spark.operators.terms import ngram_repetition
+        docs = _t(spark, sf_dir, "documents")
+        return ngram_repetition(docs, "doc_id", "text", n=2)
+
     def url_canonical_dedup(spark, sf_dir):
         """Stage-zero web-corpus dedup: canonicalize messy URLs
         (fragment/port/www/tracking-param/param-order/trailing-slash
@@ -6239,6 +6249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_log_weights": dsir_weights_q,
         "dsir_selected_docs": dsir_selected_q,
         "url_canonical_dedup": url_canonical_dedup,
+        "ngram_repetition_report": ngram_repetition_q,
         "asof_purchase_signup": asof_purchase_signup,
         "range_error_purchases": range_error_purchases,
         "priority_line_counts": _sql(_Q12_PRIORITY),
@@ -6932,6 +6943,38 @@ ORDER BY log_weight DESC, doc_id
 LIMIT 50
 """,
         "url_canonical_dedup": _URL_CANON_DUCK,
+        # ngram repetition: same tokenization, same bigram windows,
+        # same (cnt DESC, gram ASC) tie-break, same integer-grid
+        # ratios (grid_mean) — docs under 2 tokens emit no row in
+        # either engine.
+        "ngram_repetition_report": rf"""
+WITH toks AS (
+  SELECT doc_id, length(text) AS nchar,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+grams AS (
+  SELECT doc_id, nchar, array_to_string(l[i : i + 1], ' ') AS gram
+  FROM (SELECT doc_id, nchar, l, unnest(range(1, len(l))) AS i
+        FROM toks)),
+gc AS (SELECT doc_id, max(nchar) AS nchar_g, gram, count(*) AS cnt
+       FROM grams GROUP BY doc_id, gram),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+           FROM gc),
+per AS (SELECT doc_id, max(nchar_g) AS nchar,
+               sum(cnt) AS tot, count(*) AS dist,
+               max(CASE WHEN rn = 1 THEN gram END) AS top_gram,
+               max(CASE WHEN rn = 1 THEN cnt END) AS top_cnt
+        FROM ranked GROUP BY doc_id)
+SELECT doc_id,
+       CAST(tot AS BIGINT) AS n_grams,
+       {_grid_mean('(tot - dist) * 1000000', 'tot')} AS dup_frac,
+       top_gram,
+       {_grid_mean('top_cnt * length(top_gram) * 1000000', 'nchar')}
+         AS top_char_frac
+FROM per
+""",
         "dedup_duplicate_spans": _DUP_SPANS_DUCK,
         "dedup_span_removed_docs": _SPAN_REMOVE_DUCK,
         "dedup_incremental_spans": _INC_SPANS_DUCK,

@@ -108,7 +108,7 @@ _FAMILIES = [
     ("graph", ("pagerank", "graph", "kcore", "communities", "triangle", "link_prediction", "hits",
                "cooccurrence", "copurchase", "resolved", "linked",
                "fuzzy_pairs")),
-    ("text", ("doc_", "text_", "corpus", "tfidf", "bm25", "pmi", "bpe", "retrieval", "good_turing",
+    ("text", ("doc_", "text_", "corpus", "tfidf", "bm25", "pmi", "bpe", "retrieval", "good_turing", "repetition",
               "token", "nb_", "lang", "readability", "chunk",
               "feature_hash", "pii", "accent")),
     ("sketch", ("sketch", "theta", "kll", "freq_", "bloom")),

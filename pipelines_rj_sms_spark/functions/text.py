@@ -154,6 +154,19 @@ def token_bigrams(col: Column | str) -> Column:
     ).otherwise(F.array().cast("array<string>")))
 
 
+def token_ngrams(col: Column | str, n: int) -> Column:
+    """Adjacent word n-grams ("a b c") of the whitespace tokens; empty
+    array below ``n`` tokens. Like :func:`token_bigrams`, no explode
+    here — callers choose where the fan-out lands in the plan."""
+    if n < 1:
+        raise ValueError("token_ngrams needs n >= 1")
+    return _bind(tokens(col), lambda t: F.when(
+        F.size(t) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                    lambda i: F.array_join(F.slice(t, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>")))
+
+
 def rolling_fingerprint(col: Column | str, hash_fn: str = "xxhash64",
                         modulus: int = 1_000_000_007,
                         multiplier: int = 31) -> Column:

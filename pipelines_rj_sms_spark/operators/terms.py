@@ -599,3 +599,53 @@ def vocabulary_overlap(df: DataFrame, key_col: str,
         F.col("size_b").cast("bigint").alias("size_b"),
         F.round(F.col("inter_size").cast("double")
                 / union.cast("double"), 6).alias("jaccard"))
+
+
+def ngram_repetition(df: DataFrame, id_col: str, text_col: str,
+                     n: int = 2) -> DataFrame:
+    """Gopher-style n-gram repetition signals per document (Rae et
+    al. 2021, public rule set): the fraction of word n-grams that are
+    repeats and the character share of the single most frequent
+    n-gram — the two cheap detectors for looped boilerplate and
+    keyword-stuffed spam that survive a unigram-only filter.
+
+    Returns (id, n_grams, dup_frac, top_gram, top_char_frac):
+    - ``dup_frac``  = (total n-grams - distinct n-grams) / total;
+    - ``top_gram``  = most frequent n-gram (ties: lexicographic min,
+      via a single struct-min aggregate — no window, no extra
+      shuffle);
+    - ``top_char_frac`` = chars covered by top_gram's occurrences
+      (count × gram length) over the document's characters.
+    Documents with fewer than ``n`` tokens emit no row.
+
+    Both fractions are exact integer ratios rounded on the 1e-6 grid
+    in integer arithmetic (``grid_mean``) — integer-ratio 6dp values
+    land exactly on .5e-6 ties, which a double round() resolves
+    engine-dependently (the tfidf_top_terms contract).
+
+    Scale shape: one explode, two hash aggregations keyed (doc, gram)
+    then (doc) — document bodies never move after tokenization.
+    """
+    from pipelines_rj_sms_spark.functions.text import token_ngrams
+
+    base = df.select(F.col(id_col),
+                     F.length(text_col).alias("_nchar"),
+                     F.explode(token_ngrams(text_col, n)).alias("_gram"))
+    gc = base.groupBy(id_col, "_gram").agg(
+        F.count("*").alias("_cnt"), F.max("_nchar").alias("_nchar"))
+    per = gc.groupBy(id_col).agg(
+        F.max("_nchar").alias("_nchar"),
+        F.sum("_cnt").alias("_tot"),
+        F.count("*").alias("_dist"),
+        F.min(F.struct((-F.col("_cnt")).alias("nc"),
+                       F.col("_gram").alias("g"))).alias("_top"))
+    return per.select(
+        F.col(id_col),
+        F.col("_tot").cast("bigint").alias("n_grams"),
+        grid_mean((F.col("_tot") - F.col("_dist")) * F.lit(1000000),
+                  F.col("_tot")).alias("dup_frac"),
+        F.col("_top.g").alias("top_gram"),
+        grid_mean((-F.col("_top.nc")) * F.length(F.col("_top.g"))
+                  * F.lit(1000000),
+                  F.col("_nchar")).alias("top_char_frac"),
+    )

@@ -255,3 +255,48 @@ def test_vocabulary_overlap_hand_computed(spark):
     r = out[("A", "B")]
     assert (r["inter_size"], r["size_a"], r["size_b"]) == (2, 3, 3)
     assert r["jaccard"] == 0.5
+
+
+def test_token_ngrams_builds_windows(spark):
+    from pyspark.sql import functions as F
+
+    from pipelines_rj_sms_spark.functions.text import token_ngrams
+    df = spark.createDataFrame([("A b c d",), ("x",), ("",)], ["text"])
+    got = [r[0] for r in df.select(token_ngrams("text", 3)).collect()]
+    assert got == [["a b c", "b c d"], [], []]
+
+
+def test_ngram_repetition_hand_computed(spark):
+    """doc 1: "go go go stop" -> bigrams [go go, go go, go stop]:
+    tot=3 dist=2 dup=1/3; top = "go go" (cnt 2, len 5) over 13 chars.
+    doc 2: all-distinct bigrams -> dup_frac 0. doc 3: 1 token -> no
+    row."""
+    from pipelines_rj_sms_spark.operators.terms import ngram_repetition
+    df = spark.createDataFrame(
+        [(1, "go go go stop"), (2, "a b c"), (3, "solo")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           ngram_repetition(df, "doc_id", "text", n=2).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert (r1["n_grams"], r1["top_gram"]) == (3, "go go")
+    assert r1["dup_frac"] == 0.333333          # round6(1/3)
+    assert r1["top_char_frac"] == 0.769231     # round6(2*5/13)
+    r2 = out[2]
+    assert (r2["n_grams"], r2["dup_frac"]) == (2, 0.0)
+
+
+def test_ngram_repetition_tie_breaks_lexicographic(spark):
+    from pipelines_rj_sms_spark.operators.terms import ngram_repetition
+    # "b a b a": bigrams [b a, a b, b a] -> counts {b a: 2, a b: 1};
+    # "z y z y x y z y": ties between "z y" (2) and "y z" (2) -> min
+    df = spark.createDataFrame([(1, "z y z y x y z y")],
+                               ["doc_id", "text"])
+    [r] = ngram_repetition(df, "doc_id", "text", n=2).collect()
+    # counts: "z y":3, "y z":2, "y x":1, "x y":1 -> top is z y
+    assert r["top_gram"] == "z y"
+    df2 = spark.createDataFrame([(1, "b a c a b a c a")],
+                                ["doc_id", "text"])
+    [r2] = ngram_repetition(df2, "doc_id", "text", n=2).collect()
+    # "a b":1 "b a":2 "a c":2 "c a":2 -> tie at 2, lexicographic min "a c"
+    assert r2["top_gram"] == "a c"
