@@ -89,6 +89,7 @@ Query key -> SURVEY §2 rows covered:
   dsir_selected_docs        DSIR deterministic top-k pool selection (exact oracle)
   url_canonical_dedup       URL canonicalization dedup key (exact oracle)
   ngram_repetition_report   Gopher n-gram repetition signals (exact oracle)
+  unicode_nfc_keys          UAX#15 NFC dedup keys vs DuckDB's normalizer (exact oracle)
                             -> lang filters (exact oracle, md5 minhash)
   asof_purchase_signup      as-of join (union+window, single shuffle)
   range_error_purchases     bucketed range join (point-in-interval)
@@ -4273,6 +4274,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             with_report=False)
         return curated.select("doc_id")
 
+    def unicode_nfc_keys(spark, sf_dir):
+        """NFC-normalized dedup keys: each doc's text is prefixed with
+        decomposed/compatibility codepoints (e + combining acute,
+        ANGSTROM SIGN) that NFC must rewrite to their precomposed
+        forms — the oracle builds the identical pre-NFC string from
+        chr() codepoints and DuckDB's own nfc_normalize must land on
+        the same md5/length, gating the UDF against an independent
+        UAX #15 implementation."""
+        from pipelines_rj_sms_spark.functions.cleaning import (
+            normalize_unicode)
+        docs = _t(spark, sf_dir, "documents")
+        # decomposed e + U+0301 and compatibility U+212B ANGSTROM
+        # SIGN: NFC composes the first, maps the second to U+00C5
+        decorated = F.concat(F.lit("Cafe\u0301 \u212B "),
+                             F.col("text"))
+        nfc = normalize_unicode(decorated, form="NFC")
+        return docs.select(
+            "doc_id",
+            F.md5(nfc.cast("binary")).alias("nfc_md5"),
+            F.length(nfc).cast("bigint").alias("nfc_len"))
+
     def ngram_repetition_q(spark, sf_dir):
         """Gopher n-gram repetition signals (dup-bigram fraction +
         top-bigram character share) per document — the looped-
@@ -6250,6 +6272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_selected_docs": dsir_selected_q,
         "url_canonical_dedup": url_canonical_dedup,
         "ngram_repetition_report": ngram_repetition_q,
+        "unicode_nfc_keys": unicode_nfc_keys,
         "asof_purchase_signup": asof_purchase_signup,
         "range_error_purchases": range_error_purchases,
         "priority_line_counts": _sql(_Q12_PRIORITY),
@@ -6943,6 +6966,18 @@ ORDER BY log_weight DESC, doc_id
 LIMIT 50
 """,
         "url_canonical_dedup": _URL_CANON_DUCK,
+        # unicode NFC: the oracle builds the identical decomposed
+        # string from chr() codepoints and runs DuckDB's own
+        # nfc_normalize — an independent UAX #15 implementation the
+        # pandas-UDF leg must agree with byte-for-byte (md5 + length).
+        "unicode_nfc_keys": """
+SELECT doc_id,
+       md5(nfc_normalize('Cafe' || chr(769) || ' ' || chr(8491)
+                         || ' ' || text)) AS nfc_md5,
+       CAST(length(nfc_normalize('Cafe' || chr(769) || ' ' || chr(8491)
+                                 || ' ' || text)) AS BIGINT) AS nfc_len
+FROM documents
+""",
         # ngram repetition: same tokenization, same bigram windows,
         # same (cnt DESC, gram ASC) tie-break, same integer-grid
         # ratios (grid_mean) — docs under 2 tokens emit no row in

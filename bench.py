@@ -109,7 +109,7 @@ _FAMILIES = [
                "cooccurrence", "copurchase", "resolved", "linked",
                "fuzzy_pairs")),
     ("text", ("doc_", "text_", "corpus", "tfidf", "bm25", "pmi", "bpe", "retrieval", "good_turing", "repetition",
-              "token", "nb_", "lang", "readability", "chunk",
+              "token", "nb_", "lang", "readability", "chunk", "unicode",
               "feature_hash", "pii", "accent")),
     ("sketch", ("sketch", "theta", "kll", "freq_", "bloom")),
     ("streaming", ("stream", "replay", "session", "cdc", "dedup_user")),

@@ -18,6 +18,7 @@ from __future__ import annotations
 import re
 import unicodedata
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -164,3 +165,32 @@ def shorten_column_names(df: DataFrame, max_len: int = 30,
         shorten_column_name(c, max_len, junk_patterns, keep_prefixes)
         for c in df.columns])
     return df.toDF(*short)
+
+
+def normalize_unicode(col: Column | str, form: str = "NFC",
+                      casefold: bool = False) -> Column:
+    """Unicode-normalize text (UAX #15: NFC/NFKC/NFD/NFKD), optionally
+    casefolding — the dedup pre-step that makes byte-identical hashing
+    see through composed-vs-decomposed encodings ("café" typed two
+    ways), compatibility forms (① vs 1, ﬁ ligatures) and case
+    (casefold, not lower: ß -> ss), before exact/MinHash keys are cut.
+
+    Arrow-batched pandas UDF over stdlib ``unicodedata`` — Spark has
+    no normalization builtin, and this is the sanctioned Python slot
+    (one vectorized map, no JVM round-trips per row). Keep it OUT of
+    hot filter paths: normalize once, persist the normalized column,
+    hash that.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            y = unicodedata.normalize(form, x)
+            return y.casefold() if casefold else y
+        return s.map(one)
+
+    return _norm(F.col(col) if isinstance(col, str) else col)

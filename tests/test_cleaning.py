@@ -82,3 +82,26 @@ def test_shorten_column_names_frame_dedup(spark):
     out = shorten_column_names(df, max_len=24)
     a, b = out.columns
     assert a != b and all(len(c) <= 26 for c in (a, b))  # _N suffix may add
+
+
+def test_normalize_unicode_nfc_composes(spark):
+    import pytest
+
+    from pipelines_rj_sms_spark.functions.cleaning import normalize_unicode
+    df = spark.createDataFrame(
+        [("Café",), ("Å",), (None,)], "t string")
+    got = [r[0] for r in df.select(normalize_unicode("t")).collect()]
+    assert got == ["Café", "Å", None]
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_unicode("t", form="NFX")
+
+
+def test_normalize_unicode_nfkc_casefold_dedup_key(spark):
+    from pipelines_rj_sms_spark.functions.cleaning import normalize_unicode
+    # compatibility digits/ligatures + casefold (ß -> ss, not lower)
+    df = spark.createDataFrame(
+        [("① ﬁle STRASSE",), ("1 file strasse",)], "t string")
+    got = [r[0] for r in
+           df.select(normalize_unicode("t", form="NFKC",
+                                       casefold=True)).collect()]
+    assert got[0] == got[1] == "1 file strasse"
