@@ -90,6 +90,7 @@ Query key -> SURVEY §2 rows covered:
   url_canonical_dedup       URL canonicalization dedup key (exact oracle)
   ngram_repetition_report   Gopher n-gram repetition signals (exact oracle)
   unicode_nfc_keys          UAX#15 NFC dedup keys vs DuckDB's normalizer (exact oracle)
+  bitext_margin_pairs       margin-based bitext mining, mutual argmax (exact oracle)
                             -> lang filters (exact oracle, md5 minhash)
   asof_purchase_signup      as-of join (union+window, single shuffle)
   range_error_purchases     bucketed range join (point-in-interval)
@@ -659,6 +660,13 @@ def _pin_ln(x: str) -> str:
 
 
 _PIN = 1000000.0  # LOG_SCALE mirror: 1e-6 pinned-ln grid
+
+
+def _pin_units_sql(x: str) -> str:
+    """DuckDB mirror of functions/numeric.pin_units — BIGINT units of
+    a double on the shared 1e-6 grid (floor(x*1e6 + 0.5))."""
+    from pipelines_rj_sms_spark.functions.numeric import pin_units_sql
+    return pin_units_sql(x)
 
 
 def _pin6(x: str) -> str:
@@ -4274,6 +4282,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             with_report=False)
         return curated.select("doc_id")
 
+    def bitext_pairs_q(spark, sf_dir):
+        """Margin-based bitext mining (Artetxe & Schwenk) between the
+        even- and odd-id halves of the embedding table: mutual
+        argmax-margin pairs with k=4 neighborhoods. Pinned-cosine
+        units, integer grid means, one-IEEE-expression margins."""
+        from pipelines_rj_sms_spark.operators.similarity import (
+            bitext_margin_pairs)
+        emb = _t(spark, sf_dir, "embeddings")
+        x = emb.filter(F.col("vec_id") % 2 == 0)
+        y = emb.filter(F.col("vec_id") % 2 == 1)
+        return bitext_margin_pairs(x, y, k=4)
+
     def unicode_nfc_keys(spark, sf_dir):
         """NFC-normalized dedup keys: each doc's text is prefixed with
         decomposed/compatibility codepoints (e + combining acute,
@@ -6273,6 +6293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": url_canonical_dedup,
         "ngram_repetition_report": ngram_repetition_q,
         "unicode_nfc_keys": unicode_nfc_keys,
+        "bitext_margin_pairs": bitext_pairs_q,
         "asof_purchase_signup": asof_purchase_signup,
         "range_error_purchases": range_error_purchases,
         "priority_line_counts": _sql(_Q12_PRIORITY),
@@ -6966,6 +6987,51 @@ ORDER BY log_weight DESC, doc_id
 LIMIT 50
 """,
         "url_canonical_dedup": _URL_CANON_DUCK,
+        # bitext margin mining: brute-force replay of the two batched
+        # top-k passes (raw-cosine ranking with id tiebreaks — the
+        # similarity_bruteforce parity contract), pin_units cosines,
+        # grid_mean neighborhood averages, identical one-IEEE-op
+        # margin, mutual-argmax via the same two row_number windows.
+        "bitext_margin_pairs": rf"""
+WITH xs AS (SELECT vec_id AS x_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id % 2 = 0),
+ys AS (SELECT vec_id AS y_id, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings WHERE vec_id % 2 = 1),
+allp AS (
+  SELECT x_id, y_id,
+         list_dot_product(xs.v, ys.v)
+           / (sqrt(list_dot_product(xs.v, xs.v))
+              * sqrt(list_dot_product(ys.v, ys.v))) AS c
+  FROM xs, ys),
+up AS (SELECT x_id, y_id, {_pin_units_sql('c')} AS u, c FROM allp),
+fwd AS (SELECT x_id, y_id, u FROM (
+          SELECT x_id, y_id, u, row_number() OVER (
+            PARTITION BY x_id ORDER BY c DESC, y_id) AS rn FROM up)
+        WHERE rn <= 4),
+bwd AS (SELECT x_id, y_id, u FROM (
+          SELECT x_id, y_id, u, row_number() OVER (
+            PARTITION BY y_id ORDER BY c DESC, x_id) AS rn FROM up)
+        WHERE rn <= 4),
+ax AS (SELECT x_id, {_grid_mean('sum(u)', 'count(*)')} AS a
+       FROM fwd GROUP BY 1),
+ay AS (SELECT y_id, {_grid_mean('sum(u)', 'count(*)')} AS a
+       FROM bwd GROUP BY 1),
+cands AS (SELECT DISTINCT x_id, y_id, u FROM (
+            SELECT * FROM fwd UNION ALL SELECT * FROM bwd)),
+scored AS (
+  SELECT c.x_id, c.y_id, c.u,
+         (c.u / 1000000.0) / ((ax.a + ay.a) / 2.0) AS m
+  FROM cands c JOIN ax USING (x_id) JOIN ay USING (y_id)),
+ranked AS (
+  SELECT *, row_number() OVER (
+              PARTITION BY x_id ORDER BY m DESC, y_id) AS rx,
+            row_number() OVER (
+              PARTITION BY y_id ORDER BY m DESC, x_id) AS ry
+  FROM scored)
+SELECT x_id, y_id, u / 1000000.0 AS cosine_sim,
+       {_pin6('m')} AS margin
+FROM ranked WHERE rx = 1 AND ry = 1
+""",
         # unicode NFC: the oracle builds the identical decomposed
         # string from chr() codepoints and runs DuckDB's own
         # nfc_normalize — an independent UAX #15 implementation the

@@ -104,7 +104,7 @@ _FAMILIES = [
                "winnow", "contamination", "negative_pairs", "image_",
                "hamming", "url_")),
     ("similarity", ("similarity", "ann_", "embedding", "hybrid_rrf", "rbo",
-                    "pca")),
+                    "pca", "bitext")),
     ("graph", ("pagerank", "graph", "kcore", "communities", "triangle", "link_prediction", "hits",
                "cooccurrence", "copurchase", "resolved", "linked",
                "fuzzy_pairs")),

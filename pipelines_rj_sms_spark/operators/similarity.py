@@ -685,3 +685,77 @@ def rbo_truncated(a_ranked: DataFrame, b_ranked: DataFrame,
         F.round(F.col("_x").cast("double")
                 / F.col("_u").cast("double"), 6).alias("jaccard_at_k"),
         F.round(F.col("_rbo"), 6).alias("rbo_at_k"))
+
+
+def bitext_margin_pairs(x_df: DataFrame, y_df: DataFrame, k: int = 4,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        mutual: bool = True,
+                        min_margin: float | None = None) -> DataFrame:
+    """Margin-based parallel-pair mining between two embedding sets
+    (Artetxe & Schwenk 2019, the public CCMatrix/LASER recipe): a
+    candidate pair (x, y) scores cos(x,y) normalized by the average
+    similarity of each side's own k-NN neighborhood —
+    ``margin = cos / ((avg_kNN(x) + avg_kNN(y)) / 2)`` — which
+    suppresses hub vectors that are close to *everything*. With
+    ``mutual=True`` (the paper's strongest strategy) a pair survives
+    only if each side is the other's argmax-margin candidate.
+
+    Returns (x_id, y_id, cosine_sim, margin) — both values 6dp.
+
+    Scale shape: candidate generation is two :func:`batch_top_k`
+    passes (each one corpus scan; swap in IVF/LSH candidates upstream
+    when |X| no longer broadcasts); everything after is narrow
+    (x, y, units) triplets — two hash aggs for the neighborhood
+    means, two equi-joins, two row_number windows. Embeddings never
+    move past the top-k stage.
+
+    Numeric contract: each cosine is pinned to the 1e-6 grid
+    (``pin_units`` BIGINT), neighborhood means are exact integer
+    ``grid_mean``s, and the margin is one IEEE expression over those
+    exact 6dp operands with ``pin_round6`` output — bit-identical
+    across engines/partitionings. Ranking uses the raw margin with id
+    tiebreaks.
+    """
+    from pyspark.sql import Window
+
+    from pipelines_rj_sms_spark.functions.numeric import (
+        grid_mean,
+        pin_round6,
+        pin_units,
+    )
+
+    xq = x_df.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    yq = y_df.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    fwd = (batch_top_k(y_df, xq, k=k, id_col=id_col, vec_col=vec_col)
+           .select(F.col("query_id").alias("x_id"),
+                   F.col(id_col).alias("y_id"),
+                   pin_units(F.col("cosine_sim")).alias("_u")))
+    bwd = (batch_top_k(x_df, yq, k=k, id_col=id_col, vec_col=vec_col)
+           .select(F.col(id_col).alias("x_id"),
+                   F.col("query_id").alias("y_id"),
+                   pin_units(F.col("cosine_sim")).alias("_u")))
+    ax = fwd.groupBy("x_id").agg(
+        grid_mean(F.sum("_u"), F.count("*")).alias("_ax"))
+    ay = bwd.groupBy("y_id").agg(
+        grid_mean(F.sum("_u"), F.count("*")).alias("_ay"))
+    cands = fwd.unionByName(bwd).distinct()
+    scored = (cands.join(ax, "x_id").join(ay, "y_id")
+              .select("x_id", "y_id", "_u",
+                      ((F.col("_u") / F.lit(1e6))
+                       / ((F.col("_ax") + F.col("_ay")) / F.lit(2.0))
+                       ).alias("_m")))
+    if min_margin is not None:
+        scored = scored.filter(F.col("_m") >= min_margin)
+    if mutual:
+        wx = Window.partitionBy("x_id").orderBy(F.col("_m").desc(), "y_id")
+        wy = Window.partitionBy("y_id").orderBy(F.col("_m").desc(), "x_id")
+        scored = (scored
+                  .withColumn("_rx", F.row_number().over(wx))
+                  .withColumn("_ry", F.row_number().over(wy))
+                  .filter((F.col("_rx") == 1) & (F.col("_ry") == 1))
+                  .drop("_rx", "_ry"))
+    return scored.select(
+        "x_id", "y_id",
+        (F.col("_u") / F.lit(1e6)).alias("cosine_sim"),
+        pin_round6(F.col("_m")).alias("margin"))

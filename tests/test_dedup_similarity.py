@@ -460,3 +460,52 @@ def test_rbo_identical_disjoint_and_hand(spark):
     expect = sum(w[d - 1] * (0 if d == 1 else d)
                  for d in range(1, k + 1))
     assert abs(out3["rbo_at_k"] - expect) < 1e-6
+
+
+def test_bitext_margin_pairs_mutual_matches(spark):
+    from pipelines_rj_sms_spark.operators.similarity import (
+        bitext_margin_pairs)
+    # x1~y1 and x2~y2 are the obvious alignments; y3 sits between
+    x = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    y = spark.createDataFrame(
+        [(1, [0.99, 0.1, 0.0]), (3, [0.1, 0.99, 0.0]),
+         (5, [0.6, 0.6, 0.5])],
+        "vec_id long, embedding array<double>")
+    out = bitext_margin_pairs(x, y, k=2)
+    got = {(r["x_id"], r["y_id"]): r for r in out.collect()}
+    assert set(got) == {(0, 1), (2, 3)}
+    for r in got.values():
+        assert r["margin"] > 1.0          # true pairs beat their hood
+        assert 0.0 < r["cosine_sim"] <= 1.0
+
+
+def test_bitext_margin_pairs_partition_invariant(spark):
+    import numpy as np
+
+    from pipelines_rj_sms_spark.operators.similarity import (
+        bitext_margin_pairs)
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(v) for v in rng.normal(size=8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    x = df.filter("vec_id % 2 = 0")
+    y = df.filter("vec_id % 2 = 1")
+    a = {tuple(r) for r in bitext_margin_pairs(
+        x.coalesce(1), y.coalesce(1), k=3).collect()}
+    b = {tuple(r) for r in bitext_margin_pairs(
+        x.repartition(8), y.repartition(8), k=3).collect()}
+    assert a == b and a
+
+
+def test_bitext_margin_min_margin_filters(spark):
+    from pipelines_rj_sms_spark.operators.similarity import (
+        bitext_margin_pairs)
+    x = spark.createDataFrame([(0, [1.0, 0.0])],
+                              "vec_id long, embedding array<double>")
+    y = spark.createDataFrame([(1, [1.0, 0.0]), (3, [0.9, 0.1])],
+                              "vec_id long, embedding array<double>")
+    all_pairs = bitext_margin_pairs(x, y, k=2, mutual=False).collect()
+    strict = bitext_margin_pairs(x, y, k=2, mutual=False,
+                                 min_margin=1.0).collect()
+    assert len(strict) < len(all_pairs)
