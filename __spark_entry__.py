@@ -91,6 +91,7 @@ Query key -> SURVEY §2 rows covered:
   ngram_repetition_report   Gopher n-gram repetition signals (exact oracle)
   unicode_nfc_keys          UAX#15 NFC dedup keys vs DuckDB's normalizer (exact oracle)
   bitext_margin_pairs       margin-based bitext mining, mutual argmax (exact oracle)
+  image_dedup_clusters      dHash pairs -> connected components labeling (exact oracle)
                             -> lang filters (exact oracle, md5 minhash)
   asof_purchase_signup      as-of join (union+window, single shuffle)
   range_error_purchases     bucketed range join (point-in-interval)
@@ -1619,6 +1620,28 @@ FROM s5 GROUP BY 1
 # add-one smoothed bucket models, same pinned-ln units, same exact
 # integer per-doc sums. Ends at the `w` CTE so both the weights and
 # the top-k selection oracle share one body.
+# Image dedup end-to-end: the dhash pair join as the edge set, then
+# the same transitive-closure component labeling the text dedup oracle
+# uses (_COMPONENTS_DUCK shape) — fine for oracle scale, while the
+# Spark leg runs the O(diameter) min-label rounds.
+_IMG_COMPONENTS_DUCK = (
+    _DHASH_DUCK_H.rstrip() + """,
+jp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM h a JOIN h b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 4),
+und AS (SELECT id_a AS src, id_b AS dst FROM jp
+        UNION SELECT id_b, id_a FROM jp),
+walk(src, dst) AS (
+    SELECT src, dst FROM und
+    UNION
+    SELECT w.src, u.dst FROM walk w JOIN und u ON w.dst = u.src),
+reach AS (SELECT src, min(dst) AS min_reach FROM walk GROUP BY src)
+SELECT d.doc_id AS node,
+       least(d.doc_id, coalesce(r.min_reach, d.doc_id)) AS component
+FROM documents d LEFT JOIN reach r ON d.doc_id = r.src
+""").replace("WITH grid", "WITH RECURSIVE grid")
+
 _DSIR_WEIGHTS_DUCK = rf"""
 WITH toks AS (
   SELECT doc_id, lang = 'en' AS is_t,
@@ -4282,6 +4305,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             with_report=False)
         return curated.select("doc_id")
 
+    def image_dedup_clusters(spark, sf_dir):
+        """Multimodal dedup end to end: dHash -> banded Hamming pairs
+        -> min-label connected components (O(diameter) rounds, never a
+        transitive closure) -> each image labeled with its cluster's
+        canonical min id."""
+        from pipelines_rj_sms_spark.operators import imagehash
+        docs = _t(spark, sf_dir, "documents").select("doc_id")
+        hashes = imagehash.dhash_images(_doc_bmps(docs))
+        pairs = imagehash.hamming_near_dupes(hashes, max_dist=4)
+        return dedup.connected_components(
+            pairs, nodes=hashes.select(F.col("media_id").alias("doc_id")),
+            node_col="doc_id")
+
     def bitext_pairs_q(spark, sf_dir):
         """Margin-based bitext mining (Artetxe & Schwenk) between the
         even- and odd-id halves of the embedding table: mutual
@@ -6294,6 +6330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition_report": ngram_repetition_q,
         "unicode_nfc_keys": unicode_nfc_keys,
         "bitext_margin_pairs": bitext_pairs_q,
+        "image_dedup_clusters": image_dedup_clusters,
         "asof_purchase_signup": asof_purchase_signup,
         "range_error_purchases": range_error_purchases,
         "priority_line_counts": _sql(_Q12_PRIORITY),
@@ -6973,6 +7010,7 @@ FROM documents
         "winnow_fingerprint_sets": _WINNOW_DUCK,
         "image_dhash_catalog": _DHASH_CATALOG_DUCK,
         "image_hamming_near_dupes": _DHASH_PAIRS_DUCK,
+        "image_dedup_clusters": _IMG_COMPONENTS_DUCK,
         # DSIR: same hashed-unigram feature map (len·131 + first·7 +
         # last codepoint, mod 512 — ascii/right verified codepoint-
         # identical across engines incl. unicode), same pinned-ln
