@@ -92,6 +92,7 @@ Query key -> SURVEY §2 rows covered:
   unicode_nfc_keys          UAX#15 NFC dedup keys vs DuckDB's normalizer (exact oracle)
   bitext_margin_pairs       margin-based bitext mining, mutual argmax (exact oracle)
   image_dedup_clusters      dHash pairs -> connected components labeling (exact oracle)
+  temperature_mix_rates     exponent-smoothed corpus mix rates (exact oracle)
                             -> lang filters (exact oracle, md5 minhash)
   asof_purchase_signup      as-of join (union+window, single shuffle)
   range_error_purchases     bucketed range join (point-in-interval)
@@ -4305,6 +4306,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             with_report=False)
         return curated.select("doc_id")
 
+    def temperature_mix_q(spark, sf_dir):
+        """Exponent-smoothed (T=2) mixing rates over the language
+        groups, targeting half the corpus — the multilingual sampling
+        recipe with pinned transcendentals and exact integer rate
+        ratios."""
+        from pipelines_rj_sms_spark.functions.sampling import (
+            temperature_mix_rates)
+        docs = _t(spark, sf_dir, "documents")
+        out = temperature_mix_rates(docs, "lang", temperature=2.0,
+                                    target_frac=0.5)
+        return out.select(F.col("lang"), "n_rows", "mix_rate")
+
     def image_dedup_clusters(spark, sf_dir):
         """Multimodal dedup end to end: dHash -> banded Hamming pairs
         -> min-label connected components (O(diameter) rounds, never a
@@ -6331,6 +6344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc_keys": unicode_nfc_keys,
         "bitext_margin_pairs": bitext_pairs_q,
         "image_dedup_clusters": image_dedup_clusters,
+        "temperature_mix_rates": temperature_mix_q,
         "asof_purchase_signup": asof_purchase_signup,
         "range_error_purchases": range_error_purchases,
         "priority_line_counts": _sql(_Q12_PRIORITY),
@@ -7074,6 +7088,22 @@ FROM ranked WHERE rx = 1 AND ry = 1
         # string from chr() codepoints and runs DuckDB's own
         # nfc_normalize — an independent UAX #15 implementation the
         # pandas-UDF leg must agree with byte-for-byte (md5 + length).
+        # temperature mixing: same pinned ln -> *alpha -> pinned exp
+        # chain, same exact integer rate ratio (grid_mean), same cap.
+        "temperature_mix_rates": rf"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+tot AS (SELECT sum(n) AS ntot FROM counts),
+w AS (SELECT lang, n, ntot,
+        {_pin_units_sql(
+            'exp((' + _pin_ln('n / ntot') + ' / 1000000.0) * 0.5)')} AS wu
+      FROM counts CROSS JOIN tot),
+ws AS (SELECT sum(wu) AS s FROM w)
+SELECT lang, CAST(n AS BIGINT) AS n_rows,
+       least(1.0, {_grid_mean(
+           'CAST(wu AS HUGEINT) * CAST(floor(ntot * 0.5) AS BIGINT)'
+           ' * 1000000', 's * n')}) AS mix_rate
+FROM w CROSS JOIN ws
+""",
         "unicode_nfc_keys": """
 SELECT doc_id,
        md5(nfc_normalize('Cafe' || chr(769) || ' ' || chr(8491)

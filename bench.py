@@ -114,7 +114,7 @@ _FAMILIES = [
     ("sketch", ("sketch", "theta", "kll", "freq_", "bloom")),
     ("streaming", ("stream", "replay", "session", "cdc", "dedup_user")),
     ("sampling", ("sample", "split", "kfold", "packing", "budget",
-                  "corpus_mix", "dsir")),
+                  "corpus_mix", "dsir", "temperature")),
     # markov/entropy-rate queries are timeseries-family; matched BEFORE
     # quality-stats so its bare "entropy" substring can't claim them
     # (first match wins — same family name, just earlier precedence)

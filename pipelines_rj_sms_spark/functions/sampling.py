@@ -291,3 +291,51 @@ def negative_pairs(df: DataFrame, key_cols: list[str],
     return (anchors.join(partners, "_tgt")
             .select(*key_cols, F.col("_j").alias("neg_index"),
                     *[f"neg_{c}" for c in key_cols]))
+
+
+def temperature_mix_rates(df: DataFrame, group_col: str,
+                          temperature: float = 1.0,
+                          target_frac: float = 1.0) -> DataFrame:
+    """Exponent-smoothed corpus-mixing rates (the public multilingual
+    sampling recipe — sample groups ∝ p_g^(1/T), so high temperature
+    flattens the mix toward small groups instead of letting the head
+    language/source dominate). Returns one row per group:
+    (group, n_rows, mix_rate), where ``mix_rate`` is the per-row keep
+    probability that makes the expected mix of ``target_frac * N``
+    rows follow the tempered distribution (capped at 1 — a group
+    can't be upsampled by a filter). Feed the rates straight into
+    :func:`sample_by_rates`.
+
+    Scale shape: one hash aggregation to per-group counts, then two
+    1-row broadcast totals over the ≤|groups| rollup — the corpus is
+    scanned once, nothing is collected.
+
+    Numeric contract: the only transcendentals (ln, exp) are pinned to
+    the shared 1e-6 grid (``det_log_units`` / ``pin_units``) and the
+    final rate is an exact integer ratio rounded on the grid
+    (``grid_mean``), so rates replay bit-identically across engines —
+    and therefore so does the downstream hash sample.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import (
+        det_log_units,
+        grid_mean,
+        pin_units,
+    )
+
+    alpha = 1.0 / float(temperature)
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_rows"))
+    tot = F.broadcast(counts.agg(F.sum("n_rows").alias("_N")))
+    w = counts.crossJoin(tot).select(
+        group_col, "n_rows", "_N",
+        pin_units(F.exp(
+            (det_log_units(F.col("n_rows") / F.col("_N")) / F.lit(1e6))
+            * F.lit(alpha))).alias("_wu"))
+    wsum = F.broadcast(w.agg(F.sum("_wu").alias("_ws")))
+    n_target = F.floor(F.col("_N") * F.lit(float(target_frac)))
+    return w.crossJoin(wsum).select(
+        F.col(group_col),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.least(F.lit(1.0), grid_mean(
+            F.col("_wu").cast("decimal(38,0)")
+            * n_target.cast("decimal(38,0)") * F.lit(1000000),
+            F.col("_ws") * F.col("n_rows"))).alias("mix_rate"))

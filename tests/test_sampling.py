@@ -278,3 +278,53 @@ def test_negative_pairs_roughly_uniform(spark):
     # no target hoards more than a quarter of the mass
     assert len(hits) >= 35
     assert max(hits.values()) < 100
+
+
+def test_temperature_mix_rates_t1_is_uniform_downsample(spark):
+    """T=1 keeps the raw distribution, so every group's keep rate is
+    exactly target_frac (q_g = p_g -> p_g*N_tgt/n_g = N_tgt/N)."""
+    from pipelines_rj_sms_spark.functions.sampling import (
+        temperature_mix_rates)
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = {r["src"]: r for r in
+           temperature_mix_rates(df, "src", temperature=1.0,
+                                 target_frac=0.5).collect()}
+    assert out["big"]["n_rows"] == 80 and out["small"]["n_rows"] == 20
+    assert out["big"]["mix_rate"] == 0.5
+    assert out["small"]["mix_rate"] == 0.5
+
+
+def test_temperature_mix_rates_flattens_toward_small_groups(spark):
+    from pipelines_rj_sms_spark.functions.sampling import (
+        temperature_mix_rates)
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = {r["src"]: r["mix_rate"] for r in
+           temperature_mix_rates(df, "src", temperature=3.0,
+                                 target_frac=0.5).collect()}
+    # tempering shifts mass to the small group
+    assert out["small"] > 0.5 > out["big"]
+    # cap: tiny group + generous budget saturates at 1.0
+    full = {r["src"]: r["mix_rate"] for r in
+            temperature_mix_rates(df, "src", temperature=100.0,
+                                  target_frac=1.0).collect()}
+    assert full["small"] == 1.0
+
+
+def test_temperature_mix_feeds_sample_by_rates(spark):
+    from pipelines_rj_sms_spark.functions.sampling import (
+        sample_by_rates,
+        temperature_mix_rates,
+    )
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    rates = {r["src"]: r["mix_rate"] for r in
+             temperature_mix_rates(df, "src", temperature=2.0,
+                                   target_frac=0.5).collect()}
+    kept = sample_by_rates(df, "src", ["id"], rates)
+    n = kept.count()
+    assert 0 < n < 300
+    # deterministic: same rates, same rows
+    assert kept.collect() == sample_by_rates(df, "src", ["id"],
+                                             rates).collect()
