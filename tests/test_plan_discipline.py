@@ -136,6 +136,11 @@ def test_every_query_plans_clean(spark):
     #   corpus count joined to every row), the standard plan for a
     #   scalar subquery: build side is exactly one row
     allowed_bnlj = {"similarity_batch_topk", "monitor_recent",
+                    # two batch_top_k brute-force legs (corpus x
+                    # broadcast(queries)) — the documented exact
+                    # candidate generator; swap IVF/LSH candidates
+                    # upstream at scale (similarity.py docstring)
+                    "bitext_margin_pairs",
                     # BM25 corpus-stats 1-row broadcast inside the
                     # lexical leg of the hybrid fusion
                     "hybrid_rrf_search",
@@ -153,6 +158,11 @@ def test_every_query_plans_clean(spark):
                     # one row by construction
                     "join_size_estimate", "bloom_filtered_orders",
                     "bm25_search_results", "doc_unigram_logprob",
+                    # 1-row corpus-total broadcasts (target/raw token
+                    # totals; bucket-weight sum) — the DSIR and
+                    # temperature-mix scalar dims
+                    "dsir_log_weights", "dsir_selected_docs",
+                    "temperature_mix_rates",
                     # 1-row totals joined to the top-N skew keys
                     "user_key_skew_report",
                     # 1-row percentile-boundary broadcast
