@@ -93,6 +93,7 @@ Query key -> SURVEY §2 rows covered:
   bitext_margin_pairs       margin-based bitext mining, mutual argmax (exact oracle)
   image_dedup_clusters      dHash pairs -> connected components labeling (exact oracle)
   temperature_mix_rates     exponent-smoothed corpus mix rates (exact oracle)
+  audio_envelope_hashes     PCM envelope-gradient fingerprints (exact oracle)
                             -> lang filters (exact oracle, md5 minhash)
   asof_purchase_signup      as-of join (union+window, single shuffle)
   range_error_purchases     bucketed range join (point-in-interval)
@@ -4306,6 +4307,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             with_report=False)
         return curated.select("doc_id")
 
+    def _doc_wavs(docs):
+        """One deterministic 16-bit mono PCM WAV per doc_id whose
+        time-energy envelope grid equals the SAME 7x10 integer block
+        formula as the _doc_bmps images (each cell's value held for 16
+        samples) — so the envelope hash must land on the image
+        oracle's generative values through the REAL wave-encode ->
+        decode_wav -> energy path."""
+        import pandas as pd
+
+        def kernel(batches):
+            import io
+            import wave as _wave
+
+            import numpy as np
+
+            for pdf in batches:
+                content = []
+                for did in pdf["doc_id"]:
+                    g = int(did) % 25
+                    v = int(did) % 50
+                    i = np.arange(7)[:, None]
+                    j = np.arange(10)[None, :]
+                    bv = (i * 37 + j * (53 + 8 * g) + g * 83) % 150 + 20
+                    if v >= 25:
+                        bv = bv.copy()
+                        bv[v % 7, v % 10] += 80
+                    s = np.repeat(bv.reshape(-1), 16).astype("<i2")
+                    buf = io.BytesIO()
+                    with _wave.open(buf, "wb") as f:
+                        f.setnchannels(1)
+                        f.setsampwidth(2)
+                        f.setframerate(8000)
+                        f.writeframes(s.tobytes())
+                    content.append(bytearray(buf.getvalue()))
+                yield pd.DataFrame(
+                    {"media_id": pdf["doc_id"], "content": content})
+
+        return docs.mapInPandas(kernel, "media_id long, content binary")
+
+    def audio_envelope_hashes(spark, sf_dir):
+        """Audio near-dup fingerprints: PCM encode -> decode_wav ->
+        integer block energies -> gradient hash, all in one Arrow
+        kernel; the oracle recomputes the hash from the generative
+        envelope formula without decoding."""
+        from pipelines_rj_sms_spark.operators import imagehash
+        docs = _t(spark, sf_dir, "documents").select("doc_id")
+        return imagehash.wav_envelope_hash(_doc_wavs(docs)).select(
+            "media_id", "dhash", "sample_rate", "n_samples")
+
     def temperature_mix_q(spark, sf_dir):
         """Exponent-smoothed (T=2) mixing rates over the language
         groups, targeting half the corpus — the multilingual sampling
@@ -6345,6 +6395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_margin_pairs": bitext_pairs_q,
         "image_dedup_clusters": image_dedup_clusters,
         "temperature_mix_rates": temperature_mix_q,
+        "audio_envelope_hashes": audio_envelope_hashes,
         "asof_purchase_signup": asof_purchase_signup,
         "range_error_purchases": range_error_purchases,
         "priority_line_counts": _sql(_Q12_PRIORITY),
@@ -7025,6 +7076,16 @@ FROM documents
         "image_dhash_catalog": _DHASH_CATALOG_DUCK,
         "image_hamming_near_dupes": _DHASH_PAIRS_DUCK,
         "image_dedup_clusters": _IMG_COMPONENTS_DUCK,
+        # audio envelope: the WAV clips hold each 7x10 block value for
+        # 16 samples, so block energies are 16x the image formula and
+        # the gradient hash is IDENTICAL — one generative oracle body
+        # gates two decoders (BMP pixels and PCM samples).
+        "audio_envelope_hashes": _DHASH_DUCK_H + """
+SELECT doc_id AS media_id, dhash,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1120 AS BIGINT) AS n_samples
+FROM h
+""",
         # DSIR: same hashed-unigram feature map (len·131 + first·7 +
         # last codepoint, mod 512 — ascii/right verified codepoint-
         # identical across engines incl. unicode), same pinned-ln

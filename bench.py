@@ -102,7 +102,7 @@ HEADLINE = [
 _FAMILIES = [
     ("dedup", ("dedup", "minhash", "simhash", "jaccard", "containment",
                "winnow", "contamination", "negative_pairs", "image_",
-               "hamming", "url_")),
+               "hamming", "url_", "audio")),
     ("similarity", ("similarity", "ann_", "embedding", "hybrid_rrf", "rbo",
                     "pca", "bitext")),
     ("graph", ("pagerank", "graph", "kcore", "communities", "triangle", "link_prediction", "hits",

@@ -73,6 +73,22 @@ def _decode_pixels(content: bytes):
         "natively; this payload needs a PIL/ffmpeg codec")
 
 
+def pack_gradient_bits(blocks, hash_w: int, hash_h: int) -> int:
+    """Pack a (hash_h, hash_w+1) integer grid into the gradient hash:
+    bit ``row*hash_w + col`` set when the right cell is larger.
+    Shared core of the image dHash and the audio envelope hash —
+    values >= 2^63 wrap into a signed 64-bit long."""
+    import numpy as np
+
+    blocks = np.asarray(blocks)
+    bits = (blocks[:, 1:] > blocks[:, :-1]).astype(object)
+    pos = np.arange(hash_w * hash_h).reshape(hash_h, hash_w)
+    val = int((bits << pos).sum())
+    if val >= 1 << 63:                       # two's-complement wrap
+        val -= 1 << 64
+    return val
+
+
 def dhash_bits(px, hash_w: int = 9, hash_h: int = 7) -> int:
     """Difference hash of an HxWx3 uint8 RGB array: `hash_h` rows ×
     `hash_w` horizontal-gradient bits, packed LSB-first at position
@@ -102,12 +118,7 @@ def dhash_bits(px, hash_w: int = 9, hash_h: int = 7) -> int:
         ys = (np.arange(gh) * (h / gh)).astype(int)
         xs = (np.arange(gw) * (w / gw)).astype(int)
         blocks = luma[ys][:, xs]
-    bits = (blocks[:, 1:] > blocks[:, :-1]).astype(object)
-    pos = np.arange(hash_w * hash_h).reshape(hash_h, hash_w)
-    val = int((bits << pos).sum())
-    if val >= 1 << 63:                       # two's-complement wrap
-        val -= 1 << 64
-    return val
+    return pack_gradient_bits(blocks, hash_w, hash_h)
 
 
 def dhash_images(df: DataFrame, content_col: str = "content",
@@ -129,6 +140,65 @@ def dhash_images(df: DataFrame, content_col: str = "content",
             yield pd.DataFrame(out)
 
     return df.select(id_col, content_col).mapInPandas(kernel, _DHASH_SCHEMA)
+
+
+def envelope_bits(samples, hash_w: int = 9, hash_h: int = 7,
+                  block: int = 16) -> int:
+    """Gradient hash of a PCM clip's time-energy envelope: the first
+    ``hash_h * (hash_w+1) * block`` samples form a
+    (hash_h, hash_w+1) grid of absolute-amplitude block energies,
+    packed by the same gradient rule as the image dHash (the
+    energy-envelope analog of the public Haitsma-Kalker band-energy
+    fingerprint, with time segments instead of spectral bands so the
+    math stays integer-exact and oracle-replayable).
+
+    ``samples`` is decode_wav's [-1, 1] float output; 16-bit PCM
+    levels are dyadic rationals, so scaling back by 32768 recovers
+    the exact integers and every energy is an exact integer sum.
+    Raises on clips shorter than the grid."""
+    import numpy as np
+
+    gw, gh = hash_w + 1, hash_h
+    need = gw * gh * block
+    if samples.shape[0] < need:
+        raise ValueError(
+            f"clip has {samples.shape[0]} samples; envelope grid needs "
+            f"{need} ({gh}x{gw} cells x {block})")
+    s = np.abs(np.rint(np.asarray(samples[:need]) * 32768.0)) \
+        .astype(np.int64)
+    grid = s.reshape(gh, gw, block).sum(axis=2)
+    return pack_gradient_bits(grid, hash_w, hash_h)
+
+
+def wav_envelope_hash(df: DataFrame, content_col: str = "content",
+                      id_col: str = "media_id", hash_w: int = 9,
+                      hash_h: int = 7, block: int = 16) -> DataFrame:
+    """Per-clip envelope hash via mapInPandas -> (media_id, dhash,
+    sample_rate, n_samples). Same Arrow-batch contract and the same
+    downstream :func:`hamming_near_dupes` banding as images — the
+    audio leg of multimodal near-dup removal."""
+    from pipelines_rj_sms_spark.operators.multimodal import decode_wav
+
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("dhash", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "dhash": [],
+                   "sample_rate": [], "n_samples": []}
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                rate, n, x = decode_wav(content)
+                out["media_id"].append(mid)
+                out["dhash"].append(envelope_bits(x, hash_w, hash_h, block))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(kernel, schema)
 
 
 def hamming_near_dupes(hashes: DataFrame, id_col: str = "media_id",

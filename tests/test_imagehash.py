@@ -101,3 +101,61 @@ def test_hamming_near_dupes_plan_no_cartesian(spark):
 def test_hamming_near_dupes_rejects_too_few_bands():
     with pytest.raises(ValueError, match="pigeonhole"):
         hamming_near_dupes(None, max_dist=4, n_bands=3)
+
+
+def test_envelope_bits_matches_grid_formula():
+    import io
+    import wave
+
+    from pipelines_rj_sms_spark.operators.imagehash import (
+        envelope_bits,
+        pack_gradient_bits,
+    )
+    from pipelines_rj_sms_spark.operators.multimodal import decode_wav
+
+    rng = np.random.default_rng(13)
+    grid = rng.integers(-300, 300, size=(7, 10))
+    s = np.repeat(grid.reshape(-1), 16).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(s.tobytes())
+    _, _, x = decode_wav(buf.getvalue())
+    # energies are |value| * 16 -> gradient bits follow |grid|
+    want = pack_gradient_bits(np.abs(grid) * 16, 9, 7)
+    assert envelope_bits(x) == want
+
+
+def test_envelope_bits_rejects_short_clip():
+    with pytest.raises(ValueError, match="envelope grid"):
+        from pipelines_rj_sms_spark.operators.imagehash import envelope_bits
+        envelope_bits(np.zeros(100))
+
+
+def test_wav_envelope_hash_spark_roundtrip(spark):
+    import io
+    import wave
+
+    from pipelines_rj_sms_spark.operators.imagehash import (
+        envelope_bits,
+        wav_envelope_hash,
+    )
+    rng = np.random.default_rng(29)
+    rows, want = [], {}
+    for mid in range(8):
+        s = rng.integers(-2000, 2000, size=1120).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(16000)
+            f.writeframes(s.tobytes())
+        rows.append((mid, bytearray(buf.getvalue())))
+        want[mid] = envelope_bits(s.astype(np.float64) / 32768.0)
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: (r["dhash"], r["sample_rate"], r["n_samples"])
+           for r in wav_envelope_hash(df).collect()}
+    assert {k: v[0] for k, v in got.items()} == want
+    assert got[0][1:] == (16000, 1120)
