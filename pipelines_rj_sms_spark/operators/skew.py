@@ -41,15 +41,30 @@ def salted_join(probe: DataFrame, build: DataFrame, on: str,
     return out.drop("_salt")
 
 
-def write_bucketed(df: DataFrame, table_name: str, bucket_col: str,
-                   n_buckets: int = 32) -> None:
+def write_bucketed(df: DataFrame, table_name: str,
+                   bucket_col: str | list[str],
+                   n_buckets: int = 32,
+                   sort_cols: list[str] | None = None) -> None:
     """Persist hash-bucketed + sorted by the join key (catalog table —
     bucket metadata lives in the metastore, so later reads skip the
-    exchange on this side of a join/aggregation)."""
+    exchange on this side of a join/aggregation).
+
+    ``bucket_col`` may be one column or a composite key list;
+    ``sort_cols`` defaults to the bucket key (pass extra columns to
+    also pre-sort for merge-join or range pruning within buckets).
+    Pick ``n_buckets`` so one bucket of the LARGER table fits an
+    executor scan partition (~bytes/128 MiB); co-location requires
+    both sides to use the same count, so size for the fact table.
+
+    Note the planner only *uses* the bucketed layout when it picks a
+    shuffle join — at toy scale a broadcastable dim bypasses it (scan
+    shows "Bucketed: false (disabled by query planner)"); the test
+    pins the fact-fact case with a merge hint."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
     (
         df.write.mode("overwrite")
-        .bucketBy(n_buckets, bucket_col)
-        .sortBy(bucket_col)
+        .bucketBy(n_buckets, *cols)
+        .sortBy(*(sort_cols or cols))
         .format("parquet")
         .saveAsTable(table_name)
     )

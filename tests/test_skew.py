@@ -46,13 +46,43 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     write_bucketed(orders, "bkt_orders", "o_key", n_buckets=8)
     write_bucketed(items, "bkt_lineitem", "o_key", n_buckets=8)
 
-    joined = read_bucketed(spark, "bkt_orders").join(
-        read_bucketed(spark, "bkt_lineitem"), "o_key")
+    # merge hint: at toy scale the dim fits a broadcast, which planned
+    # BroadcastHashJoin with "Bucketed: false (disabled by query
+    # planner)" — making the old no-Exchange assert VACUOUS (a
+    # broadcast join never has a hashpartitioning exchange). At 100 TB
+    # (two fact tables) SMJ is what the planner picks on its own; the
+    # hint pins that case so the assert exercises the bucketed path.
+    joined = read_bucketed(spark, "bkt_orders").hint("merge").join(
+        read_bucketed(spark, "bkt_lineitem").hint("merge"), "o_key")
     plan = joined._jdf.queryExecution().executedPlan().toString()
     # both sides bucketed on the key with equal bucket counts:
-    # the join needs no shuffle exchange
-    assert "Exchange hashpartitioning" not in plan
+    # the join needs no shuffle exchange — and no sort either
+    # (buckets are written pre-sorted)
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
     assert joined.count() == 5000
+
+    # same-key aggregation also rides the bucket layout shuffle-free
+    agg = read_bucketed(spark, "bkt_lineitem").groupBy("o_key").count()
+    assert "Exchange" not in (
+        agg._jdf.queryExecution().executedPlan().toString())
+
+    # correctness: identical to the plain (shuffled) join
+    plain = orders.join(items, "o_key")
+    assert (sorted(map(tuple, joined.collect()))
+            == sorted(map(tuple, plain.collect())))
+
+    # mismatched bucket counts can't co-locate — Spark falls back to
+    # shuffling a side, and results stay right
+    spark.sql("DROP TABLE IF EXISTS bkt_o4")
+    loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    import shutil as _sh
+    _sh.rmtree(f"{loc}/bkt_o4", ignore_errors=True)
+    write_bucketed(orders, "bkt_o4", "o_key", n_buckets=4)
+    mixed = read_bucketed(spark, "bkt_orders").join(
+        read_bucketed(spark, "bkt_o4"), "o_key")
+    assert mixed.count() == 1000
 
 
 def test_key_skew_report_finds_hot_key(spark):
