@@ -94,6 +94,12 @@ HEADLINE = [
     "dedup_span_removed_docs",
     "dedup_incremental_spans",
     "dedup_lsh_recall_report",
+    # round 9 (session 2): multimodal + curation additions — one
+    # representative per new family member
+    "image_hamming_near_dupes",
+    "dsir_selected_docs",
+    "url_canonical_dedup",
+    "bitext_margin_pairs",
 ]
 
 
