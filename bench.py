@@ -187,7 +187,7 @@ def run_full() -> None:
         f["n"] += 1
         if sec > f["max_sec"]:
             f["max_sec"], f["max_query"] = sec, name
-    regressions = _family_regressions(fams)
+    regressions = _family_regressions(timings)
     print(json.dumps({
         "metric": "full-surface wall clock",
         "value": round(sum(timings.values()), 3),
@@ -205,11 +205,14 @@ def run_full() -> None:
         sys.exit(3)  # distinct code: timings recorded, gate tripped
 
 
-def _family_regressions(fams: dict, threshold: float = 0.30,
+def _family_regressions(timings: dict, threshold: float = 0.30,
                         min_family_sec: float = 2.0) -> dict:
     """Per-family regression gate vs the NEWEST FULLBENCH_r*.json:
-    flag any family whose per-query mean grew >``threshold`` (query
-    counts change between rounds, so totals are normalized to means).
+    flag any family whose per-query mean grew >``threshold``, computed
+    over the INTERSECTION of query names present in both runs — so a
+    round that adds new (legitimately expensive) queries to a family
+    cannot fire the gate by shifting the family mean, and a removed
+    query cannot mask a real regression in the survivors.
     The newest file is the baseline — the gate exists to catch NEW
     quadratic blowups as the suite grows, not to re-litigate documented
     plan changes from earlier eras; the threshold is 30% because this
@@ -224,20 +227,26 @@ def _family_regressions(fams: dict, threshold: float = 0.30,
     if not paths:
         return {}
     try:
-        base = json.load(open(paths[-1])).get("families", {})
+        base_q = json.load(open(paths[-1])).get("queries", {})
     except Exception:
         return {}
+    shared = set(base_q) & set(timings)
+    agg: dict[str, dict] = {}
+    for name in shared:
+        a = agg.setdefault(_family(name),
+                           {"base": 0.0, "cur": 0.0, "n": 0})
+        a["base"] += base_q[name]
+        a["cur"] += timings[name]
+        a["n"] += 1
     out = {}
-    for fam, cur in fams.items():
-        b = base.get(fam)
-        if not b or not b.get("n") or cur["n"] == 0:
+    for fam, a in agg.items():
+        if a["base"] < min_family_sec or a["n"] == 0:
             continue
-        if b["sec"] < min_family_sec:
-            continue
-        base_mean, cur_mean = b["sec"] / b["n"], cur["sec"] / cur["n"]
+        base_mean, cur_mean = a["base"] / a["n"], a["cur"] / a["n"]
         if cur_mean > base_mean * (1.0 + threshold):
             out[fam] = {
                 "baseline": os.path.basename(paths[-1]),
+                "n_shared_queries": a["n"],
                 "base_mean_sec": round(base_mean, 3),
                 "cur_mean_sec": round(cur_mean, 3),
                 "drift_pct": round(100 * (cur_mean / base_mean - 1), 1),

@@ -1,6 +1,7 @@
 """bench.py --full family regression gate: passes same-era noise,
-trips genuine family blowups (no Spark needed — pure arithmetic over
-the recorded FULLBENCH_r*.json baselines)."""
+trips genuine family blowups, and is immune to suite-composition
+changes (no Spark needed — pure arithmetic over the recorded
+FULLBENCH_r*.json baselines)."""
 
 import importlib.util
 import json
@@ -17,42 +18,50 @@ def _bench():
     return mod
 
 
-def _newest_families():
+def _newest_queries():
     import glob
     paths = sorted(glob.glob(os.path.join(REPO, "FULLBENCH_r*.json")))
-    return json.load(open(paths[-1]))["families"], os.path.basename(
+    return json.load(open(paths[-1]))["queries"], os.path.basename(
         paths[-1])
 
 
 def test_gate_passes_identical_run():
     b = _bench()
-    fams, _ = _newest_families()
-    assert b._family_regressions({k: dict(v) for k, v in fams.items()}) \
-        == {}
+    timings, _ = _newest_queries()
+    assert b._family_regressions(dict(timings)) == {}
 
 
 def test_gate_trips_genuine_family_blowup():
     b = _bench()
-    fams, src = _newest_families()
-    worse = {k: dict(v) for k, v in fams.items()}
-    # pick the largest family by total seconds and blow it up 1.5x
-    fam = max(worse, key=lambda k: worse[k]["sec"])
-    worse[fam]["sec"] = round(worse[fam]["sec"] * 1.5, 3)
+    timings, src = _newest_queries()
+    # blow up the largest family by 1.5x, query by query
+    fams = {}
+    for name, sec in timings.items():
+        fams.setdefault(b._family(name), []).append(name)
+    fam = max(fams, key=lambda f: sum(timings[n] for n in fams[f]))
+    worse = {n: (sec * 1.5 if b._family(n) == fam else sec)
+             for n, sec in timings.items()}
     flagged = b._family_regressions(worse)
     assert fam in flagged
     assert flagged[fam]["baseline"] == src
     assert flagged[fam]["drift_pct"] >= 45
 
 
+def test_gate_immune_to_new_queries_in_family():
+    """Adding NEW (legitimately expensive) queries to a family must
+    not fire the gate: drift is computed over the intersection of
+    query names, so composition changes are invisible."""
+    b = _bench()
+    timings, _ = _newest_queries()
+    cur = dict(timings)
+    cur["dedup_brand_new_expensive_query"] = 99.0
+    assert "dedup" not in b._family_regressions(cur)
+
+
 def test_gate_ignores_subsecond_families():
     b = _bench()
-    fams = {"tiny": {"sec": 0.4, "n": 2, "max_query": "x", "max_sec": 0.3}}
-    # even a 10x blowup of a sub-2s family is JVM noise, not signal
-    cur = {"tiny": {"sec": 4.0, "n": 2, "max_query": "x", "max_sec": 3.0}}
     import glob
     if not glob.glob(os.path.join(REPO, "FULLBENCH_r*.json")):
         return
-    # the recorded baselines have no "tiny" family; absent families and
-    # sub-threshold totals are skipped without error
-    assert b._family_regressions(cur) == {} or "tiny" not in \
-        b._family_regressions(cur)
+    # a query set disjoint from the baseline shares nothing -> no gate
+    assert b._family_regressions({"nonexistent_query_zz": 9.9}) == {}
