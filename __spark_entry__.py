@@ -4369,17 +4369,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(F.col("lang"), "n_rows", "mix_rate")
 
     def image_dedup_clusters(spark, sf_dir):
-        """Multimodal dedup end to end: dHash -> banded Hamming pairs
-        -> min-label connected components (O(diameter) rounds, never a
-        transitive closure) -> each image labeled with its cluster's
-        canonical min id."""
+        """Multimodal dedup end to end: dHash -> exact-dup collapse ->
+        banded Hamming pairs over DISTINCT hashes only -> min-label
+        connected components -> membership joined back, so huge
+        exact-duplicate groups never pair-explode (imagehash.
+        dedup_clusters — labeling provably equals all-pairs
+        components)."""
         from pipelines_rj_sms_spark.operators import imagehash
         docs = _t(spark, sf_dir, "documents").select("doc_id")
         hashes = imagehash.dhash_images(_doc_bmps(docs))
-        pairs = imagehash.hamming_near_dupes(hashes, max_dist=4)
-        return dedup.connected_components(
-            pairs, nodes=hashes.select(F.col("media_id").alias("doc_id")),
-            node_col="doc_id")
+        return imagehash.dedup_clusters(hashes, max_dist=4).select(
+            F.col("node").cast("bigint").alias("node"), "component")
 
     def bitext_pairs_q(spark, sf_dir):
         """Margin-based bitext mining (Artetxe & Schwenk) between the

@@ -258,3 +258,46 @@ def hamming_near_dupes(hashes: DataFrame, id_col: str = "media_id",
         .drop("_ha", "_hb")
     )
     return track(pairs, banded)
+
+
+def dedup_clusters(hashes: DataFrame, id_col: str = "media_id",
+                   hash_col: str = "dhash", max_dist: int = 4,
+                   n_bits: int = 63,
+                   n_bands: int | None = None) -> DataFrame:
+    """Near-dup cluster labels (id, component) with component = the
+    smallest member id — the degenerate-proof form of
+    ``hamming_near_dupes`` + connected components.
+
+    A real media corpus has huge exact-duplicate groups (solid-color
+    thumbnails, retransmitted files): pairing them directly is
+    O(group²) in the PAIR OUTPUT itself, before any join strategy can
+    help. This operator collapses each distinct hash to one
+    representative (min id — one hash agg), runs the banded Hamming
+    join over DISTINCT hashes only, labels representative clusters
+    with O(diameter) min-label rounds, and joins membership back — so
+    a million identical images cost one representative row in the
+    quadratic stage and the output stays O(n).
+
+    The labeling equals running components over all-member pairs:
+    every member of a hash group is trivially distance-0 from its
+    representative, and min-over-cluster = min-over-representatives
+    because each representative is already its group's min.
+    """
+    from pipelines_rj_sms_spark.operators.dedup import connected_components
+
+    reps = track(
+        hashes.groupBy(hash_col).agg(F.min(id_col).alias("_rep"))
+        .persist())
+    rep_pairs = hamming_near_dupes(
+        reps.select(F.col("_rep").alias(id_col), F.col(hash_col)),
+        id_col=id_col, hash_col=hash_col, max_dist=max_dist,
+        n_bits=n_bits, n_bands=n_bands)
+    comp = connected_components(
+        rep_pairs, nodes=reps.select(F.col("_rep").alias(id_col)),
+        node_col=id_col)
+    out = (hashes.select(id_col, hash_col)
+           .join(reps, hash_col)
+           .join(comp.select(F.col("node").alias("_rep"), "component"),
+                 "_rep")
+           .select(F.col(id_col).alias("node"), "component"))
+    return track(out, reps)

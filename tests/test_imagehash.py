@@ -1,6 +1,7 @@
 """Perceptual dHash + Hamming near-dup (operators/imagehash.py)."""
 
 import numpy as np
+from pyspark.sql import functions as F
 import pytest
 
 from pipelines_rj_sms_spark.operators.imagehash import (
@@ -159,3 +160,37 @@ def test_wav_envelope_hash_spark_roundtrip(spark):
            for r in wav_envelope_hash(df).collect()}
     assert {k: v[0] for k, v in got.items()} == want
     assert got[0][1:] == (16000, 1120)
+
+
+def test_dedup_clusters_matches_all_pairs_components(spark):
+    from pipelines_rj_sms_spark.operators.dedup import connected_components
+    from pipelines_rj_sms_spark.operators.imagehash import dedup_clusters
+
+    rng = np.random.default_rng(41)
+    hs = [int(x) for x in rng.integers(0, 1 << 63, size=30, dtype=np.uint64)]
+    hs[1] = hs[0]                     # exact dup group
+    hs[2] = hs[0]
+    hs[3] = hs[0] ^ 0b11              # near dup of the group
+    hs[11] = hs[10] ^ (1 << 40)       # separate near pair
+    df = spark.createDataFrame(list(enumerate(hs)),
+                               "media_id long, dhash long")
+    fast = {(r["node"], r["component"])
+            for r in dedup_clusters(df, max_dist=4).collect()}
+    pairs = hamming_near_dupes(df, max_dist=4)
+    slow = {(r["node"], r["component"]) for r in connected_components(
+        pairs, nodes=df.select("media_id"), node_col="media_id").collect()}
+    assert fast == slow
+    comp = dict(fast)
+    assert comp[0] == comp[1] == comp[2] == comp[3] == 0
+    assert comp[11] == comp[10]
+
+
+def test_dedup_clusters_degenerate_corpus_bands_once(spark):
+    """1000 identical images = ONE distinct hash: the banded stage
+    sees one representative row, not 10^6 pairs."""
+    from pipelines_rj_sms_spark.operators.imagehash import dedup_clusters
+    df = spark.range(1000).select(
+        F.col("id").alias("media_id"), F.lit(12345).alias("dhash"))
+    out = dedup_clusters(df)
+    assert out.count() == 1000
+    assert out.select("component").distinct().collect()[0][0] == 0
