@@ -194,3 +194,29 @@ def test_dedup_clusters_degenerate_corpus_bands_once(spark):
     out = dedup_clusters(df)
     assert out.count() == 1000
     assert out.select("component").distinct().collect()[0][0] == 0
+
+
+def test_hamming_near_dupes_sign_wrapped_64bit(spark):
+    """64-bit hashes with the top bit set are NEGATIVE longs; the
+    unsigned band shifts and xor/bit_count must still be exact."""
+    rng = np.random.default_rng(53)
+    hs = []
+    for x in rng.integers(0, 1 << 64, size=40, dtype=np.uint64):
+        v = int(x)
+        hs.append(v - (1 << 64) if v >= 1 << 63 else v)
+    hs[1] = hs[0] ^ 0b101              # near pair across the sign bit
+    hs[3] = hs[2] ^ (1 << 63)          # differs ONLY in the sign bit
+    if hs[3] >= 1 << 63:
+        hs[3] -= 1 << 64
+    brute = {
+        (a, b, bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1"))
+        for a in range(40) for b in range(a + 1, 40)
+        if bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1") <= 4
+    }
+    df = spark.createDataFrame(list(enumerate(hs)),
+                               "media_id long, dhash long")
+    got = {(r["id_a"], r["id_b"], r["hamming_dist"])
+           for r in hamming_near_dupes(df, max_dist=4,
+                                       n_bits=64).collect()}
+    assert got == brute
+    assert any(p[:2] == (2, 3) for p in got)   # sign-bit-only pair found
