@@ -91,3 +91,16 @@ def test_feature_bucket_matches_python(spark):
            df.select(feature_bucket(F.col("t"), 512)).collect()]
     want = [(len(t) * 131 + ord(t[0]) * 7 + ord(t[-1])) % 512 for t in toks]
     assert got == want
+
+
+def test_dsir_empty_target_side_is_defined(spark):
+    """No target docs: p_t collapses to the uniform smoothing prior
+    (alpha / (0 + alpha*B)) — weights stay finite and well-defined."""
+    df = spark.createDataFrame(
+        [(1, "aa bb", False), (2, "cc dd", False)],
+        "doc_id long, text string, is_t boolean")
+    rows = dsir_log_weights(df, F.col("is_t"), n_buckets=64).collect()
+    assert len(rows) == 2
+    assert all(r["log_weight"] is not None for r in rows)
+    import math
+    assert all(math.isfinite(r["log_weight"]) for r in rows)

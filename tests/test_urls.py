@@ -63,3 +63,12 @@ def test_canonicalize_plan_stays_codegen(spark):
             ._jdf.queryExecution().executedPlan().toString())
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_canonicalize_schemeless_input_is_stable(spark):
+    """Relative/schemeless rows are not repaired (it's a dedup key,
+    not a validator) — but they must canonicalize deterministically
+    and never throw."""
+    got = _canon(spark, "example.com/a?utm_source=x&b=1",
+                 "EXAMPLE.com/a?b=1")
+    assert got[0] == got[1] == "://example.com/a?b=1"
