@@ -725,16 +725,26 @@ def bitext_margin_pairs(x_df: DataFrame, y_df: DataFrame, k: int = 4,
         pin_units,
     )
 
+    from pipelines_rj_sms_spark.operators.cache import track
+
     xq = x_df.select(F.col(id_col).alias("query_id"), F.col(vec_col))
     yq = y_df.select(F.col(id_col).alias("query_id"), F.col(vec_col))
-    fwd = (batch_top_k(y_df, xq, k=k, id_col=id_col, vec_col=vec_col)
-           .select(F.col("query_id").alias("x_id"),
-                   F.col(id_col).alias("y_id"),
-                   pin_units(F.col("cosine_sim")).alias("_u")))
-    bwd = (batch_top_k(x_df, yq, k=k, id_col=id_col, vec_col=vec_col)
-           .select(F.col(id_col).alias("x_id"),
-                   F.col("query_id").alias("y_id"),
-                   pin_units(F.col("cosine_sim")).alias("_u")))
+    # persist both top-k legs: each is consumed twice (its neighborhood
+    # mean AND the candidate union) — without the persist the
+    # brute-force corpus scan re-executes per consumer (observed as
+    # 3x the BroadcastNestedLoop passes in the audited plan)
+    fwd = track((batch_top_k(y_df, xq, k=k, id_col=id_col,
+                             vec_col=vec_col)
+                 .select(F.col("query_id").alias("x_id"),
+                         F.col(id_col).alias("y_id"),
+                         pin_units(F.col("cosine_sim")).alias("_u")))
+                .persist())
+    bwd = track((batch_top_k(x_df, yq, k=k, id_col=id_col,
+                             vec_col=vec_col)
+                 .select(F.col(id_col).alias("x_id"),
+                         F.col("query_id").alias("y_id"),
+                         pin_units(F.col("cosine_sim")).alias("_u")))
+                .persist())
     ax = fwd.groupBy("x_id").agg(
         grid_mean(F.sum("_u"), F.count("*")).alias("_ax"))
     ay = bwd.groupBy("y_id").agg(
@@ -755,7 +765,8 @@ def bitext_margin_pairs(x_df: DataFrame, y_df: DataFrame, k: int = 4,
                   .withColumn("_ry", F.row_number().over(wy))
                   .filter((F.col("_rx") == 1) & (F.col("_ry") == 1))
                   .drop("_rx", "_ry"))
-    return scored.select(
+    out = scored.select(
         "x_id", "y_id",
         (F.col("_u") / F.lit(1e6)).alias("cosine_sim"),
         pin_round6(F.col("_m")).alias("margin"))
+    return track(out, fwd, bwd)
