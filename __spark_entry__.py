@@ -4443,7 +4443,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.when(k % 2 == 0, F.lit("&b=2&a=1")).otherwise(F.lit("&a=1&b=2")),
             F.when(k % 11 == 0, F.lit("#section-2")).otherwise(F.lit("")),
         )
-        o = _t(spark, sf_dir, "orders")
+        # the sf parquet is one file = one scan task; spread the
+        # regex-heavy projection across the cluster first (at real
+        # scale file splits already provide this — dedup.py's
+        # _parallelize_narrow rationale)
+        from pipelines_rj_sms_spark.operators.dedup import (
+            _parallelize_narrow)
+        o = _parallelize_narrow(_t(spark, sf_dir, "orders")
+                                .select("o_orderkey"))
         return (o.select(canonicalize_url(url).alias("canonical_url"))
                 .groupBy("canonical_url")
                 .agg(F.count("*").alias("n_urls")))
