@@ -338,4 +338,7 @@ def temperature_mix_rates(df: DataFrame, group_col: str,
         F.least(F.lit(1.0), grid_mean(
             F.col("_wu").cast("decimal(38,0)")
             * n_target.cast("decimal(38,0)") * F.lit(1000000),
-            F.col("_ws") * F.col("n_rows"))).alias("mix_rate"))
+            # _ws is up to |groups|*1e6 units: the product with n_rows
+            # can pass 2^63 on ~1e12-row groups, so multiply in decimal.
+            F.col("_ws").cast("decimal(38,0)")
+            * F.col("n_rows").cast("decimal(38,0)"))).alias("mix_rate"))

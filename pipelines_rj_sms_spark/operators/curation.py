@@ -96,15 +96,36 @@ def curate_documents(df: DataFrame, id_col: str = "doc_id",
 # regardless of corpus size.
 
 
-def feature_bucket(term: Column, n_buckets: int) -> Column:
-    """Hashing-trick feature bucket of a token.
+_POLY_MOD = 2147483647          # 2^31-1: acc*31+cp < 2^36, ANSI-safe
 
-    Deliberately NOT a library hash: (len·131 + first-codepoint·7 +
-    last-codepoint) mod n_buckets is expression-only and reproduced
-    verbatim by the DuckDB oracle — the hashing trick only needs a
-    fixed spreading map, not a cryptographic one. Swap in xxhash64 for
-    production corpora where adversarial collisions matter.
+
+def feature_bucket(term: Column, n_buckets: int,
+                   hash_fn: str = "portable") -> Column:
+    """Hashing-trick feature bucket of a token. Three spreading maps:
+
+    - ``portable`` (default): (len·131 + first-codepoint·7 +
+      last-codepoint) mod n_buckets — expression-only, reproduced
+      verbatim by the DuckDB oracle. Deliberately weak: it ignores
+      middle characters, so adversarial corpora can collide it.
+    - ``poly``: full-content polynomial codepoint hash
+      ``fold(acc*31 + codepoint) mod 2^31-1`` — every character
+      contributes, every step stays < 2^36 (no overflow, ANSI-safe),
+      and the left fold is replayed exactly by DuckDB's list_reduce,
+      so it keeps an exact oracle while closing the
+      middle-characters-ignored hole.
+    - ``xxhash64``: Spark's built-in 64-bit xxHash (pmod into
+      buckets) — the production choice for corpora where adversarial
+      collisions matter; no SQL oracle exists (DuckDB has no
+      xxhash64), gated by unit tests instead.
     """
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(term), F.lit(n_buckets))
+    if hash_fn == "poly":
+        codes = F.transform(F.split(term, ""),
+                            lambda c: F.ascii(c).cast("long"))
+        h = F.aggregate(codes, F.lit(0).cast("long"),
+                        lambda acc, cp: (acc * 31 + cp) % _POLY_MOD)
+        return h % n_buckets
     return (
         F.length(term) * 131 + F.ascii(term) * 7
         + F.ascii(F.right(term, F.lit(1)))
@@ -114,7 +135,8 @@ def feature_bucket(term: Column, n_buckets: int) -> Column:
 def dsir_log_weights(df: DataFrame, target: Column,
                      id_col: str = "doc_id", text_col: str = "text",
                      n_buckets: int = 4096,
-                     alpha: float = 1.0) -> DataFrame:
+                     alpha: float = 1.0,
+                     hash_fn: str = "portable") -> DataFrame:
     """Per-document DSIR log importance weight
     ``log p_target(features) - log p_raw(features)`` under add-alpha
     smoothed hashed-unigram models. Returns
@@ -142,7 +164,8 @@ def dsir_log_weights(df: DataFrame, target: Column,
     toks = df.select(
         F.col(id_col), target.alias("_is_t"),
         F.explode(tokens(text_col)).alias("_term"))
-    b = toks.withColumn("_b", feature_bucket(F.col("_term"), n_buckets))
+    b = toks.withColumn("_b", feature_bucket(F.col("_term"), n_buckets,
+                                             hash_fn=hash_fn))
     buckets = b.groupBy("_b").agg(
         F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_ct_t"),
         F.sum(F.when(~F.col("_is_t"), 1).otherwise(0)).alias("_ct_r"))
@@ -173,7 +196,8 @@ def dsir_log_weights(df: DataFrame, target: Column,
 
 def dsir_select(df: DataFrame, target: Column, k: int,
                 id_col: str = "doc_id", text_col: str = "text",
-                n_buckets: int = 4096, alpha: float = 1.0) -> DataFrame:
+                n_buckets: int = 4096, alpha: float = 1.0,
+                hash_fn: str = "portable") -> DataFrame:
     """Top-``k`` pool documents by DSIR log weight (the deterministic
     top-k variant of the paper's Gumbel resampling — ties break on id,
     so the selection is reproducible run to run). Only non-target rows
@@ -181,7 +205,8 @@ def dsir_select(df: DataFrame, target: Column, k: int,
     re-selected. orderBy+limit plans TakeOrderedAndProject — per-
     partition heaps then a k-row merge, never a global sort."""
     w = dsir_log_weights(df, target, id_col=id_col, text_col=text_col,
-                         n_buckets=n_buckets, alpha=alpha)
+                         n_buckets=n_buckets, alpha=alpha,
+                         hash_fn=hash_fn)
     return (w.filter(~F.col("is_target"))
             .orderBy(F.col("log_weight").desc(), F.col(id_col))
             .limit(k)

@@ -115,8 +115,11 @@ def dhash_bits(px, hash_w: int = 9, hash_h: int = 7) -> int:
         bh, bw = h // gh, w // gw
         blocks = luma.reshape(gh, bh, gw, bw).sum(axis=(1, 3)) // (bh * bw)
     else:
-        ys = (np.arange(gh) * (h / gh)).astype(int)
-        xs = (np.arange(gw) * (w / gw)).astype(int)
+        # Integer-exact nearest-grid sampling (floor of i*h/gh) — float
+        # math here could flip an index at large dims and break the
+        # bit-identical-across-engines contract.
+        ys = np.arange(gh) * h // gh
+        xs = np.arange(gw) * w // gw
         blocks = luma[ys][:, xs]
     return pack_gradient_bits(blocks, hash_w, hash_h)
 
@@ -201,6 +204,94 @@ def wav_envelope_hash(df: DataFrame, content_col: str = "content",
     return df.select(id_col, content_col).mapInPandas(kernel, schema)
 
 
+def wav_windowed_envelope_hash(df: DataFrame, content_col: str = "content",
+                               id_col: str = "media_id", hash_w: int = 9,
+                               hash_h: int = 7, block: int = 16,
+                               n_windows: int = 4,
+                               stride: int | None = None) -> DataFrame:
+    """Offset-robust envelope fingerprints: one gradient hash per time
+    window -> (media_id, win_idx, dhash, sample_rate, n_samples).
+
+    :func:`wav_envelope_hash` fingerprints only the first
+    ``gh*gw*block`` samples, so a leading-silence pad or a one-block
+    offset defeats it. This variant hashes up to ``n_windows``
+    overlapping grids per clip — window ``w`` covers samples
+    ``[w*stride, w*stride + grid_len)`` (default stride = one energy
+    block) and is emitted only when it fits entirely inside the clip,
+    so every hash is a full-grid hash on both engines. A clip shifted
+    by k <= n_windows-1 blocks still collides with the original on
+    the window pair (k, 0) — the same pigeonhole posture as image
+    banding, applied on the time axis. Feed the output to
+    :func:`windowed_near_dupes` for clip-level pairs.
+    """
+    from pipelines_rj_sms_spark.operators.multimodal import decode_wav
+
+    stride = block if stride is None else stride
+    need = (hash_w + 1) * hash_h * block
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("win_idx", LongType()),
+        StructField("dhash", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "win_idx": [], "dhash": [],
+                   "sample_rate": [], "n_samples": []}
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                rate, n, x = decode_wav(content)
+                for w in range(n_windows):
+                    lo = w * stride
+                    if lo + need > n:
+                        break
+                    out["media_id"].append(mid)
+                    out["win_idx"].append(w)
+                    out["dhash"].append(
+                        envelope_bits(x[lo:], hash_w, hash_h, block))
+                    out["sample_rate"].append(rate)
+                    out["n_samples"].append(n)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(kernel, schema)
+
+
+def windowed_near_dupes(win_hashes: DataFrame, id_col: str = "media_id",
+                        win_col: str = "win_idx", hash_col: str = "dhash",
+                        max_dist: int = 4, n_bits: int = 63,
+                        n_bands: int | None = None,
+                        max_windows: int = 64) -> DataFrame:
+    """Clip-level near-dup pairs from windowed hashes: (id_a, id_b,
+    min_hamming) with id_a < id_b, where two clips match when ANY
+    window pair agrees within ``max_dist``.
+
+    Runs the standard banded :func:`hamming_near_dupes` over composite
+    (clip, window) ids — ``clip_id * max_windows + win_idx`` (ids must
+    be non-negative and win_idx < max_windows) — then collapses window
+    pairs back to clip pairs with a min-distance agg. Same-clip window
+    pairs (adjacent windows of one clip are often similar) are dropped
+    before the agg. Cost shape is unchanged from the unwindowed path:
+    the explode factor is windows x bands, still never all-pairs.
+    """
+    comp = win_hashes.select(
+        (F.col(id_col) * max_windows + F.col(win_col)).alias("_wid"),
+        F.col(hash_col))
+    pairs = hamming_near_dupes(comp, id_col="_wid", hash_col=hash_col,
+                               max_dist=max_dist, n_bits=n_bits,
+                               n_bands=n_bands)
+    a_clip = F.expr(f"id_a div {max_windows}")
+    b_clip = F.expr(f"id_b div {max_windows}")
+    return (pairs
+            .select(a_clip.alias("_a"), b_clip.alias("_b"), "hamming_dist")
+            .filter(F.col("_a") != F.col("_b"))
+            .select(F.least("_a", "_b").alias("id_a"),
+                    F.greatest("_a", "_b").alias("id_b"),
+                    "hamming_dist")
+            .groupBy("id_a", "id_b")
+            .agg(F.min("hamming_dist").alias("min_hamming")))
+
+
 def hamming_near_dupes(hashes: DataFrame, id_col: str = "media_id",
                        hash_col: str = "dhash", max_dist: int = 4,
                        n_bits: int = 63,
@@ -228,12 +319,23 @@ def hamming_near_dupes(hashes: DataFrame, id_col: str = "media_id",
         raise ValueError(
             f"n_bands={n_bands} < max_dist+1={max_dist + 1}: pigeonhole "
             "recall guarantee needs at least max_dist+1 bands")
-    width = -(-n_bits // n_bands)            # ceil
+    if n_bands > n_bits:
+        raise ValueError(
+            f"n_bands={n_bands} > n_bits={n_bits}: every band needs at "
+            "least one bit or its band value is a constant and the "
+            "banded join degenerates to an all-pairs cross product")
+    # Balanced widths (n_bits//n_bands, +1 for the first n_bits%n_bands
+    # bands) so no band is ever zero-width: with ceil widths a config
+    # like n_bits=64, n_bands=9 put band 8 past bit 64 with mask 0 — a
+    # constant band value that silently cross-joined the whole corpus.
+    widths = [n_bits // n_bands + (1 if b < n_bits % n_bands else 0)
+              for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band_idx"),
-            F.shiftrightunsigned(F.col(hash_col), b * width)
-            .bitwiseAND(F.lit((1 << min(width, n_bits - b * width)) - 1))
+            F.shiftrightunsigned(F.col(hash_col), offsets[b])
+            .bitwiseAND(F.lit((1 << widths[b]) - 1))
             .alias("band_val"),
         )
         for b in range(n_bands)

@@ -171,6 +171,44 @@ def assign_ivf_cells(df: DataFrame, centroids: list[list[float]],
     return df.withColumn(cell_col, F.array_max(scored)["cell"])
 
 
+def ivf_candidate_pairs(x_df: DataFrame, y_df: DataFrame,
+                        centroids: list[list[float]], nprobe: int = 2,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Blocked (x_id, y_id) candidate pairs for cross-corpus mining
+    (the ``candidates=`` input of :func:`bitext_margin_pairs`): the y
+    side is indexed by its single nearest IVF cell, each x probes its
+    ``nprobe`` nearest cells, and one equi-join on the cell id yields
+    the candidates — never a cross product, and neither corpus is
+    broadcast. Cell scoring is expression-only (centroid literals),
+    like :func:`assign_ivf_cells`; the x-side explode is x``nprobe``
+    on narrow (id, cell) rows.
+    """
+    import math
+
+    vec = F.col(vec_col).cast("array<double>")
+
+    def cell_scores():
+        return F.array(*[
+            F.struct(
+                (dot(vec, F.array(*[F.lit(v) for v in c])) /
+                 (norm(vec) * math.sqrt(sum(v * v for v in c))))
+                .alias("sim"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ])
+
+    y_cells = y_df.select(F.col(id_col).alias("y_id"),
+                          F.array_max(cell_scores())["cell"].alias("_cell"))
+    probes = F.slice(F.reverse(F.array_sort(cell_scores())), 1, nprobe)
+    x_cells = (x_df
+               .select(F.col(id_col).alias("x_id"),
+                       F.explode(probes).alias("_p"))
+               .select("x_id", F.col("_p")["cell"].alias("_cell")))
+    return x_cells.join(y_cells, "_cell").select("x_id", "y_id")
+
+
 def ivf_top_k(df: DataFrame, centroids: list[list[float]],
               query_vec: list[float], k: int = 10, nprobe: int = 4,
               id_col: str = "vec_id", vec_col: str = "embedding",
@@ -691,7 +729,8 @@ def bitext_margin_pairs(x_df: DataFrame, y_df: DataFrame, k: int = 4,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         mutual: bool = True,
-                        min_margin: float | None = None) -> DataFrame:
+                        min_margin: float | None = None,
+                        candidates: DataFrame | None = None) -> DataFrame:
     """Margin-based parallel-pair mining between two embedding sets
     (Artetxe & Schwenk 2019, the public CCMatrix/LASER recipe): a
     candidate pair (x, y) scores cos(x,y) normalized by the average
@@ -703,12 +742,20 @@ def bitext_margin_pairs(x_df: DataFrame, y_df: DataFrame, k: int = 4,
 
     Returns (x_id, y_id, cosine_sim, margin) — both values 6dp.
 
-    Scale shape: candidate generation is two :func:`batch_top_k`
-    passes (each one corpus scan; swap in IVF/LSH candidates upstream
-    when |X| no longer broadcasts); everything after is narrow
-    (x, y, units) triplets — two hash aggs for the neighborhood
+    Scale shape: with ``candidates=None`` candidate generation is two
+    :func:`batch_top_k` passes (each one corpus scan) — the exact
+    small-|X| default, deliberate bounded query-broadcast. When
+    NEITHER side broadcasts (the CCMatrix regime, 10^8 x 10^8), pass
+    ``candidates`` — an (x_id, y_id) DataFrame from any blocked
+    generator (IVF cell equi-join: :func:`ivf_candidate_pairs`; LSH
+    buckets; an external index) — and the whole pipeline becomes
+    narrow equi-joins: cosines are computed ONLY for candidate pairs
+    (two hash joins to fetch the vectors) and each side's k-NN mean is
+    taken over its candidate neighborhood, the standard approximation
+    the paper's large-scale deployments make. Everything after is
+    narrow (x, y, units) triplets — two hash aggs for the neighborhood
     means, two equi-joins, two row_number windows. Embeddings never
-    move past the top-k stage.
+    move past the scoring stage.
 
     Numeric contract: each cosine is pinned to the 1e-6 grid
     (``pin_units`` BIGINT), neighborhood means are exact integer
@@ -727,24 +774,52 @@ def bitext_margin_pairs(x_df: DataFrame, y_df: DataFrame, k: int = 4,
 
     from pipelines_rj_sms_spark.operators.cache import track
 
-    xq = x_df.select(F.col(id_col).alias("query_id"), F.col(vec_col))
-    yq = y_df.select(F.col(id_col).alias("query_id"), F.col(vec_col))
-    # persist both top-k legs: each is consumed twice (its neighborhood
-    # mean AND the candidate union) — without the persist the
-    # brute-force corpus scan re-executes per consumer (observed as
-    # 3x the BroadcastNestedLoop passes in the audited plan)
-    fwd = track((batch_top_k(y_df, xq, k=k, id_col=id_col,
-                             vec_col=vec_col)
-                 .select(F.col("query_id").alias("x_id"),
-                         F.col(id_col).alias("y_id"),
-                         pin_units(F.col("cosine_sim")).alias("_u")))
-                .persist())
-    bwd = track((batch_top_k(x_df, yq, k=k, id_col=id_col,
-                             vec_col=vec_col)
-                 .select(F.col(id_col).alias("x_id"),
-                         F.col("query_id").alias("y_id"),
-                         pin_units(F.col("cosine_sim")).alias("_u")))
-                .persist())
+    if candidates is not None:
+        # Blocked path: score ONLY the injected (x_id, y_id) pairs —
+        # two narrow hash joins fetch the vectors, then the pair table
+        # (persisted: consumed by both per-side top-k windows) replaces
+        # the corpus scans entirely. No broadcast of either side.
+        xv = x_df.select(F.col(id_col).alias("x_id"),
+                         F.col(vec_col).cast("array<double>").alias("_xv"))
+        yv = y_df.select(F.col(id_col).alias("y_id"),
+                         F.col(vec_col).cast("array<double>").alias("_yv"))
+        scored_cands = track(
+            (candidates.select("x_id", "y_id").distinct()
+             .join(xv, "x_id").join(yv, "y_id")
+             .select("x_id", "y_id",
+                     pin_units(cosine(F.col("_xv"), F.col("_yv")))
+                     .alias("_u")))
+            .persist())
+        wxk = Window.partitionBy("x_id").orderBy(
+            F.col("_u").desc(), "y_id")
+        wyk = Window.partitionBy("y_id").orderBy(
+            F.col("_u").desc(), "x_id")
+        fwd = (scored_cands.withColumn("_r", F.row_number().over(wxk))
+               .filter(F.col("_r") <= k).drop("_r"))
+        bwd = (scored_cands.withColumn("_r", F.row_number().over(wyk))
+               .filter(F.col("_r") <= k).drop("_r"))
+        legs = (scored_cands,)
+    else:
+        xq = x_df.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+        yq = y_df.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+        # persist both top-k legs: each is consumed twice (its
+        # neighborhood mean AND the candidate union) — without the
+        # persist the brute-force corpus scan re-executes per consumer
+        # (observed as 3x the BroadcastNestedLoop passes in the audited
+        # plan)
+        fwd = track((batch_top_k(y_df, xq, k=k, id_col=id_col,
+                                 vec_col=vec_col)
+                     .select(F.col("query_id").alias("x_id"),
+                             F.col(id_col).alias("y_id"),
+                             pin_units(F.col("cosine_sim")).alias("_u")))
+                    .persist())
+        bwd = track((batch_top_k(x_df, yq, k=k, id_col=id_col,
+                                 vec_col=vec_col)
+                     .select(F.col(id_col).alias("x_id"),
+                             F.col("query_id").alias("y_id"),
+                             pin_units(F.col("cosine_sim")).alias("_u")))
+                    .persist())
+        legs = (fwd, bwd)
     ax = fwd.groupBy("x_id").agg(
         grid_mean(F.sum("_u"), F.count("*")).alias("_ax"))
     ay = bwd.groupBy("y_id").agg(
@@ -769,4 +844,4 @@ def bitext_margin_pairs(x_df: DataFrame, y_df: DataFrame, k: int = 4,
         "x_id", "y_id",
         (F.col("_u") / F.lit(1e6)).alias("cosine_sim"),
         pin_round6(F.col("_m")).alias("margin"))
-    return track(out, fwd, bwd)
+    return track(out, *legs)

@@ -509,3 +509,87 @@ def test_bitext_margin_min_margin_filters(spark):
     strict = bitext_margin_pairs(x, y, k=2, mutual=False,
                                  min_margin=1.0).collect()
     assert len(strict) < len(all_pairs)
+
+
+def test_bitext_candidates_path_matches_brute_on_full_candidates(spark):
+    """With the FULL candidate grid injected, the blocked path must
+    reproduce the brute-force result exactly (same pinned cosines,
+    same k-NN means, same mutual-margin filter)."""
+    import numpy as np
+
+    from pipelines_rj_sms_spark.operators.similarity import (
+        bitext_margin_pairs)
+    rng = np.random.default_rng(9)
+    rows = [(i, [float(v) for v in rng.normal(size=8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    x = df.filter("vec_id % 2 = 0")
+    y = df.filter("vec_id % 2 = 1")
+    full = (x.select(F.col("vec_id").alias("x_id"))
+            .crossJoin(y.select(F.col("vec_id").alias("y_id"))))
+    brute = {tuple(r) for r in bitext_margin_pairs(x, y, k=3).collect()}
+    blocked = {tuple(r) for r in bitext_margin_pairs(
+        x, y, k=3, candidates=full).collect()}
+    assert blocked == brute and brute
+
+
+def test_bitext_ivf_candidates_no_broadcast_nested_loop(spark):
+    """The CCMatrix-scale path: IVF candidates -> narrow equi-joins
+    only. The executed plan must contain no BroadcastNestedLoop and
+    no CartesianProduct anywhere."""
+    import numpy as np
+
+    from pipelines_rj_sms_spark.operators.similarity import (
+        bitext_margin_pairs,
+        ivf_candidate_pairs,
+    )
+    rng = np.random.default_rng(13)
+    rows = [(i, [float(v) for v in rng.normal(size=8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    x = df.filter("vec_id % 2 = 0")
+    y = df.filter("vec_id % 2 = 1")
+    cents = [[float((c * 37 + d * 11) % 19 - 9) for d in range(8)]
+             for c in range(4)]
+    cands = ivf_candidate_pairs(x, y, cents, nprobe=2)
+    out = bitext_margin_pairs(x, y, k=3, candidates=cands)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    got = out.collect()
+    assert got                              # pairs actually mined
+    for r in got:
+        assert r["x_id"] % 2 == 0 and r["y_id"] % 2 == 1
+
+
+def test_ivf_candidate_pairs_recall_within_probed_cells(spark):
+    """Every (x, y) whose y-cell is among x's nprobe cells must appear;
+    nothing outside the blocking may appear."""
+    import math
+
+    import numpy as np
+
+    from pipelines_rj_sms_spark.operators.similarity import (
+        ivf_candidate_pairs)
+    rng = np.random.default_rng(17)
+    rows = [(i, [float(v) for v in rng.normal(size=6)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    x = df.filter("vec_id % 2 = 0")
+    y = df.filter("vec_id % 2 = 1")
+    cents = [[float((c * 7 + d * 3) % 11 - 5) for d in range(6)]
+             for c in range(4)]
+
+    def cos(a, b):
+        num = sum(p * q for p, q in zip(a, b))
+        return num / (math.sqrt(sum(p * p for p in a))
+                      * math.sqrt(sum(q * q for q in b)))
+
+    vecs = dict(rows)
+    ycell = {i: max(range(4), key=lambda c: (cos(vecs[i], cents[c]), c))
+             for i in vecs if i % 2 == 1}
+    xprobe = {i: set(sorted(range(4),
+                            key=lambda c: (-cos(vecs[i], cents[c]), -c))[:2])
+              for i in vecs if i % 2 == 0}
+    want = {(xi, yi) for xi in xprobe for yi in ycell
+            if ycell[yi] in xprobe[xi]}
+    got = {(r["x_id"], r["y_id"]) for r in
+           ivf_candidate_pairs(x, y, cents, nprobe=2).collect()}
+    assert got == want and want

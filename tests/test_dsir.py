@@ -104,3 +104,61 @@ def test_dsir_empty_target_side_is_defined(spark):
     assert all(r["log_weight"] is not None for r in rows)
     import math
     assert all(math.isfinite(r["log_weight"]) for r in rows)
+
+
+def test_feature_bucket_poly_matches_python(spark):
+    """Poly hash: left fold (acc*31 + codepoint) mod 2^31-1 — content-
+    sensitive (middle chars count), exact vs a Python reference."""
+    toks = ["hello", "中文", "a", "Straße", "abXcd", "abYcd"]
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    got = [r[0] for r in
+           df.select(feature_bucket(F.col("t"), 512,
+                                    hash_fn="poly")).collect()]
+
+    def poly(t):
+        h = 0
+        for ch in t:
+            h = (h * 31 + ord(ch)) % 2147483647
+        return h % 512
+
+    assert got == [poly(t) for t in toks]
+    # the portable hash CANNOT see a middle-char change; poly must
+    assert feature_bucket is not None
+    assert poly("abXcd") != poly("abYcd")
+    weak = [(len(t) * 131 + ord(t[0]) * 7 + ord(t[-1])) % 512
+            for t in ("abXcd", "abYcd")]
+    assert weak[0] == weak[1]
+
+
+def test_feature_bucket_xxhash64_bounds_and_determinism(spark):
+    """Production path: pmod(xxhash64, n) is in range, deterministic
+    across runs/partitionings, and spreads middle-char changes."""
+    toks = [f"tok{i}middle{i}end" for i in range(200)] + ["abXcd", "abYcd"]
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    col = feature_bucket(F.col("t"), 512, hash_fn="xxhash64")
+    a = [r[0] for r in df.coalesce(1).select(col).collect()]
+    b = [r[1] for r in df.repartition(8).select(F.col("t"), col)
+         .orderBy("t").collect()]
+    sorted_a = [x for _, x in sorted(zip(toks, a))]
+    assert sorted_a == b
+    assert all(0 <= x < 512 for x in a)
+    assert len(set(a)) > 100              # real spread, not constant
+    assert a[-2] != a[-1]                 # middle-char change visible
+
+
+def test_dsir_log_weights_hash_fn_variants_consistent(spark):
+    """All three bucket functions yield the same n_tokens/is_target
+    (hash-invariant) and each is partition-invariant."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, is_t boolean")
+    outs = {}
+    for fn in ("portable", "poly", "xxhash64"):
+        one = dsir_log_weights(df.coalesce(1), F.col("is_t"),
+                               n_buckets=512, hash_fn=fn).collect()
+        many = dsir_log_weights(df.repartition(8), F.col("is_t"),
+                                n_buckets=512, hash_fn=fn).collect()
+        assert {tuple(r) for r in one} == {tuple(r) for r in many}
+        outs[fn] = {r["doc_id"]: r for r in one}
+    for fn in ("poly", "xxhash64"):
+        for did, r in outs["portable"].items():
+            assert outs[fn][did]["n_tokens"] == r["n_tokens"]
+            assert outs[fn][did]["is_target"] == r["is_target"]

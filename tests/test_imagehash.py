@@ -220,3 +220,112 @@ def test_hamming_near_dupes_sign_wrapped_64bit(spark):
                                        n_bits=64).collect()}
     assert got == brute
     assert any(p[:2] == (2, 3) for p in got)   # sign-bit-only pair found
+
+
+def test_hamming_bands_never_zero_width(spark):
+    """The ADVICE regression: classic 64-bit dHash (8x8) with
+    max_dist=8 gives 9 bands over 64 bits — ceil-banding put band 8
+    past bit 64 with a constant-zero mask, silently cross-joining the
+    corpus. Balanced widths must keep every band >= 1 bit AND keep
+    exact recall."""
+    rng = np.random.default_rng(61)
+    hs = []
+    for x in rng.integers(0, 1 << 64, size=40, dtype=np.uint64):
+        v = int(x)
+        hs.append(v - (1 << 64) if v >= 1 << 63 else v)
+    hs[1] = hs[0] ^ 0xFF                  # dist 8 pair (the max)
+    brute = {
+        (a, b, bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1"))
+        for a in range(40) for b in range(a + 1, 40)
+        if bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1") <= 8
+    }
+    df = spark.createDataFrame(list(enumerate(hs)),
+                               "media_id long, dhash long")
+    got = {(r["id_a"], r["id_b"], r["hamming_dist"])
+           for r in hamming_near_dupes(df, max_dist=8,
+                                       n_bits=64).collect()}
+    assert got == brute
+    assert any(p[:2] == (0, 1) for p in got)
+
+
+def test_hamming_rejects_more_bands_than_bits():
+    with pytest.raises(ValueError, match="at least one bit"):
+        hamming_near_dupes(None, max_dist=70, n_bits=63)
+
+
+def test_dhash_fallback_index_math_is_integer_exact():
+    """Nearest-grid sampling must use floor(i*h/gh) in INTEGER math —
+    compare against the pure-integer reference on awkward dims."""
+    rng = np.random.default_rng(67)
+    h, w = 1021, 1471                      # primes: worst-case strides
+    px = rng.integers(0, 255, size=(h, w))
+    img = np.stack([px, px, px], -1).astype(np.uint8)
+    gh, gw = 7, 10
+    ys = [i * h // gh for i in range(gh)]
+    xs = [j * w // gw for j in range(gw)]
+    from pipelines_rj_sms_spark.operators.imagehash import (
+        pack_gradient_bits,
+    )
+    want = pack_gradient_bits(
+        [[int(px[y][x]) for x in xs] for y in ys], 9, 7)
+    assert dhash_bits(img) == want
+
+
+def _wav_bytes(samples_i2):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(np.asarray(samples_i2, dtype="<i2").tobytes())
+    return bytearray(buf.getvalue())
+
+
+def test_windowed_hashes_catch_time_shifted_duplicate(spark):
+    """A clip prefixed with 2 blocks of silence defeats the single
+    fixed-origin hash but MUST be caught by the windowed variant:
+    window 2 of the padded clip == window 0 of the original."""
+    from pipelines_rj_sms_spark.operators.imagehash import (
+        wav_envelope_hash,
+        wav_windowed_envelope_hash,
+        windowed_near_dupes,
+    )
+    rng = np.random.default_rng(71)
+    sig = rng.integers(50, 2000, size=1120)
+    pad = np.concatenate([np.zeros(32, dtype=int), sig])
+    other = rng.integers(50, 2000, size=1120)
+    df = spark.createDataFrame(
+        [(0, _wav_bytes(sig)), (1, _wav_bytes(pad)), (2, _wav_bytes(other))],
+        "media_id long, content binary")
+
+    single = {r["media_id"]: r["dhash"]
+              for r in wav_envelope_hash(df).collect()}
+    assert single[0] != single[1]          # fixed-origin hash defeated
+
+    wh = wav_windowed_envelope_hash(df, n_windows=4)
+    rows = wh.collect()
+    # clip 0 fits 1 window (exactly grid-length), clip 1 fits 3
+    assert sum(1 for r in rows if r["media_id"] == 0) == 1
+    assert sum(1 for r in rows if r["media_id"] == 1) == 3
+    by_key = {(r["media_id"], r["win_idx"]): r["dhash"] for r in rows}
+    assert by_key[(1, 2)] == by_key[(0, 0)]
+
+    pairs = {(r["id_a"], r["id_b"]): r["min_hamming"]
+             for r in windowed_near_dupes(wh, max_dist=4).collect()}
+    assert pairs.get((0, 1)) == 0          # shifted duplicate caught
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_windowed_near_dupes_plan_no_cartesian(spark):
+    from pipelines_rj_sms_spark.operators.imagehash import (
+        windowed_near_dupes,
+    )
+    df = spark.createDataFrame([(1, 0, 5), (2, 0, 7)],
+                               "media_id long, win_idx long, dhash long")
+    plan = windowed_near_dupes(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
