@@ -28,7 +28,10 @@ def _newest_queries():
 def test_gate_passes_identical_run():
     b = _bench()
     timings, _ = _newest_queries()
-    assert b._family_regressions(dict(timings)) == {}
+    reg, delta = b._family_regressions(dict(timings))
+    assert reg == {}
+    assert delta["removed_vs_baseline"] == []
+    assert delta["added_vs_baseline"] == []
 
 
 def test_gate_trips_genuine_family_blowup():
@@ -41,7 +44,7 @@ def test_gate_trips_genuine_family_blowup():
     fam = max(fams, key=lambda f: sum(timings[n] for n in fams[f]))
     worse = {n: (sec * 1.5 if b._family(n) == fam else sec)
              for n, sec in timings.items()}
-    flagged = b._family_regressions(worse)
+    flagged, _ = b._family_regressions(worse)
     assert fam in flagged
     assert flagged[fam]["baseline"] == src
     assert flagged[fam]["drift_pct"] >= 45
@@ -55,7 +58,10 @@ def test_gate_immune_to_new_queries_in_family():
     timings, _ = _newest_queries()
     cur = dict(timings)
     cur["dedup_brand_new_expensive_query"] = 99.0
-    assert "dedup" not in b._family_regressions(cur)
+    reg, delta = b._family_regressions(cur)
+    assert "dedup" not in reg
+    # ...but the composition change is VISIBLE in the artifact
+    assert "dedup_brand_new_expensive_query" in delta["added_vs_baseline"]
 
 
 def test_gate_ignores_subsecond_families():
@@ -64,4 +70,7 @@ def test_gate_ignores_subsecond_families():
     if not glob.glob(os.path.join(REPO, "FULLBENCH_r*.json")):
         return
     # a query set disjoint from the baseline shares nothing -> no gate
-    assert b._family_regressions({"nonexistent_query_zz": 9.9}) == {}
+    reg, delta = b._family_regressions({"nonexistent_query_zz": 9.9})
+    assert reg == {}
+    # renames can't trip the gate, but they can't hide either
+    assert len(delta["removed_vs_baseline"]) > 0

@@ -171,6 +171,9 @@ def main() -> None:
     ]
     full = "--full" in sys.argv
     names = sorted(qs) if full else list(HEADLINE)
+    from pipelines_rj_sms_spark.operators.cache import release, release_all
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    persist_leaks: list[str] = []
     for name in names:
         print(f"auditing {name}", flush=True)
         before = set(_executions(spark))
@@ -179,6 +182,20 @@ def main() -> None:
         # a new SQL execution id — it lands in the status store AND
         # finalizes AQE (isFinalPlan=false hides join/codegen choices)
         df.collect()
+        # Persist-ledger guard (VERDICT r9 #7): every query result must
+        # carry its FULL release chain — release(df) alone has to empty
+        # the cache. A block left behind means an operator persisted
+        # without track() (or a post-track transform orphaned the
+        # chain, the operators/ids.py:144 bug class). release_all()
+        # then recovers via the session registry so one leak doesn't
+        # poison every later row, but the query is still flagged and
+        # the audit exits non-zero.
+        release(df)
+        if not cache_mgr.isEmpty():
+            recovered = release_all()
+            spark.catalog.clearCache()      # truly untracked blocks
+            persist_leaks.append(
+                f"{name} (registry recovered {recovered})")
         # cumulative audit over every SQL execution the query ran —
         # construction-time collects and per-iteration jobs included
         a: dict = {}
@@ -202,10 +219,16 @@ def main() -> None:
     if full:
         lines[0] = ("# PLANS_FULL — executed-plan audit of EVERY "
                     "declared query")
+    if persist_leaks:
+        lines += ["", "## PERSIST LEAKS (release(df) left cached blocks)",
+                  ""] + [f"- {x}" for x in persist_leaks]
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out} ({len(names)} queries)")
     spark.stop()
+    if persist_leaks:
+        print("PERSIST LEAKS:", ", ".join(persist_leaks))
+        sys.exit(4)
 
 
 if __name__ == "__main__":
