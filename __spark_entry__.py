@@ -4695,6 +4695,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .groupBy("canonical_url")
                 .agg(F.count("*").alias("n_urls")))
 
+    def domain_cap_q(spark, sf_dir):
+        """Per-domain frequency cap (RefinedWeb/FineWeb curation):
+        registrable-domain extraction (multi-part public-suffix aware)
+        + keep <=8 rows per domain in deterministic md5-hash order —
+        the two-stage windowed cut, so a hot domain never funnels its
+        whole slice through one reducer. URLs built deterministically
+        from order keys on BOTH engines."""
+        from pipelines_rj_sms_spark.functions.urls import (
+            domain_cap_sample)
+        from pipelines_rj_sms_spark.operators.dedup import (
+            _parallelize_narrow)
+        k = F.col("o_orderkey")
+        url = F.concat(
+            F.when(k % 4 == 0, F.lit("https://sub.site"))
+            .when(k % 4 == 1, F.lit("http://www.site"))
+            .when(k % 4 == 2, F.lit("https://site"))
+            .otherwise(F.lit("http://a.b.site")),
+            (k % 3).cast("string"),
+            F.when(k % 4 == 0, F.lit(".co.uk"))
+            .when(k % 4 == 1, F.lit(".com"))
+            .when(k % 4 == 2, F.lit(".com.br:443"))
+            .otherwise(F.lit(".org")),
+            F.lit("/p/"), k.cast("string"))
+        o = _parallelize_narrow(_t(spark, sf_dir, "orders")
+                                .select("o_orderkey"))
+        out = domain_cap_sample(
+            o.select("o_orderkey", url.alias("url")), "url", cap=8,
+            key_cols=["o_orderkey"], hash_fn="md5", salt="cap")
+        return out.select("o_orderkey", "domain")
+
+    def boilerplate_removed_q(spark, sf_dir):
+        """Corpus-level boilerplate line removal (RefinedWeb line-wise
+        correction): lines verbatim-shared by >=5% of docs (integer
+        cross-multiplied threshold — no float-ceil boundary) are
+        dropped from every doc; synthetic nav/footer lines are added
+        to all docs and a 'subscribe' line to ~1/37 of them, so the
+        common lines must go and the rare one must stay."""
+        from pipelines_rj_sms_spark.operators.curation import (
+            remove_boilerplate_lines)
+        docs = _t(spark, sf_dir, "documents")
+        t = F.concat(
+            F.lit("NAV MENU HOME\n"), F.col("text"),
+            F.when(F.col("doc_id") % 37 == 0,
+                   F.lit("\nsubscribe now")).otherwise(F.lit("")),
+            F.lit("\ncopyright corp"))
+        out = remove_boilerplate_lines(
+            docs.select("doc_id", t.alias("text")),
+            min_doc_frac=(1, 20), min_docs=2)
+        return out.select("doc_id", "clean_text", "n_lines_removed")
+
     def dsir_weights_q(spark, sf_dir):
         """DSIR (Xie et al. 2023) hashed-unigram log importance weight
         of every doc against the English subcorpus as the target
@@ -6656,6 +6706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_log_weights_poly": dsir_weights_poly_q,
         "dsir_selected_docs": dsir_selected_q,
         "url_canonical_dedup": url_canonical_dedup,
+        "domain_cap_sampled": domain_cap_q,
+        "boilerplate_removed_docs": boilerplate_removed_q,
         "ngram_repetition_report": ngram_repetition_q,
         "unicode_nfc_keys": unicode_nfc_keys,
         "bitext_margin_pairs": bitext_pairs_q,
@@ -6909,6 +6961,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # newly ORACLED this session (was rows-only behind the window
         # since r7): the recursive-CTE BPE replay — grade on arrival
         "bpe_merge_table",
+        # NEW: per-domain frequency cap (registrable-domain aware)
+        "domain_cap_sampled",
+        # NEW: corpus-level boilerplate line removal
+        "boilerplate_removed_docs",
     ]
     never_graded = [
         # ROUND 10: burn the exposure gap to zero. These 34 are the
@@ -6982,6 +7038,60 @@ SELECT n_rows, n_replicas,
        round(lo, 6) AS ci_lo,
        round(hi, 6) AS ci_hi
 FROM ci, obs
+"""
+
+
+def _domain_cap_sql() -> str:
+    """DuckDB replay of domain_cap_sampled: same URL construction,
+    same registrable-domain rule (suffix IN-list generated from the
+    SAME Python tuple the Spark expression uses), same md5 hash order,
+    one global per-domain row_number (provably equal to the Spark
+    side's two-stage cut)."""
+    from pipelines_rj_sms_spark.functions.urls import MULTI_PART_SUFFIXES
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_PART_SUFFIXES)
+    return rf"""
+WITH raw AS (
+  SELECT o_orderkey AS k,
+         (CASE o_orderkey % 4 WHEN 0 THEN 'https://sub.site'
+               WHEN 1 THEN 'http://www.site'
+               WHEN 2 THEN 'https://site'
+               ELSE 'http://a.b.site' END)
+         || CAST(o_orderkey % 3 AS VARCHAR)
+         || (CASE o_orderkey % 4 WHEN 0 THEN '.co.uk'
+                  WHEN 1 THEN '.com'
+                  WHEN 2 THEN '.com.br:443'
+                  ELSE '.org' END)
+         || '/p/' || CAST(o_orderkey AS VARCHAR) AS url
+  FROM orders),
+hostx AS (
+  SELECT k,
+         regexp_replace(
+           lower(regexp_extract(
+             regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
+             '^([^/?]*)', 1)),
+           ':\d+$', '') AS h
+  FROM raw),
+dom AS (
+  SELECT k,
+         CASE WHEN len(string_split(h, '.')) <= 2 THEN h
+              WHEN string_split(h, '.')[-2] || '.'
+                   || string_split(h, '.')[-1] IN ({suffixes})
+                THEN string_split(h, '.')[-3] || '.'
+                     || string_split(h, '.')[-2] || '.'
+                     || string_split(h, '.')[-1]
+              ELSE string_split(h, '.')[-2] || '.'
+                   || string_split(h, '.')[-1] END AS domain
+  FROM hostx),
+hashed AS (
+  SELECT k, domain,
+         CAST(('0x' || substr(md5('cap' || CAST(k AS VARCHAR)), 1, 8))
+              AS BIGINT) AS hh
+  FROM dom),
+ranked AS (
+  SELECT k, domain, row_number() OVER (
+           PARTITION BY domain ORDER BY hh, k) AS rn
+  FROM hashed)
+SELECT k AS o_orderkey, domain FROM ranked WHERE rn <= 8
 """
 
 
@@ -7376,6 +7486,37 @@ ORDER BY log_weight DESC, doc_id
 LIMIT 50
 """,
         "url_canonical_dedup": _URL_CANON_DUCK,
+        "domain_cap_sampled": _domain_cap_sql(),
+        # boilerplate removal: same synthetic nav/footer construction,
+        # same integer cross-multiplied 5% threshold, same ordered
+        # line rebuild (list ORDER BY pos FILTER not-boilerplate).
+        "boilerplate_removed_docs": """
+WITH base AS (
+  SELECT doc_id,
+         'NAV MENU HOME' || chr(10) || text
+         || CASE WHEN doc_id % 37 = 0
+                 THEN chr(10) || 'subscribe now' ELSE '' END
+         || chr(10) || 'copyright corp' AS t
+  FROM documents),
+lns AS (
+  SELECT doc_id, i.pos, l[i.pos + 1] AS line
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS l FROM base),
+       LATERAL (SELECT unnest(range(0, len(l))) AS pos) i),
+nd AS (SELECT count(*) AS n FROM base),
+bad AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS df FROM lns GROUP BY line)
+  CROSS JOIN nd
+  WHERE df >= 2 AND df * 20 >= n * 1)
+SELECT l.doc_id,
+       COALESCE(array_to_string(
+         list(l.line ORDER BY l.pos) FILTER (WHERE b.line IS NULL),
+         chr(10)), '') AS clean_text,
+       CAST(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_lines_removed
+FROM lns l LEFT JOIN bad b ON b.line = l.line
+GROUP BY l.doc_id
+""",
         # bitext margin mining: brute-force replay of the two batched
         # top-k passes (raw-cosine ranking with id tiebreaks — the
         # similarity_bruteforce parity contract), pin_units cosines,

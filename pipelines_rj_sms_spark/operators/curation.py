@@ -211,3 +211,57 @@ def dsir_select(df: DataFrame, target: Column, k: int,
             .orderBy(F.col("log_weight").desc(), F.col(id_col))
             .limit(k)
             .select(id_col, "n_tokens", "log_weight"))
+
+
+def remove_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             min_doc_frac: tuple[int, int] = (1, 20),
+                             min_docs: int = 2,
+                             out_col: str = "clean_text") -> DataFrame:
+    """Corpus-level boilerplate line removal (the RefinedWeb-style
+    "line-wise correction"): a line that appears VERBATIM in at least
+    ``max(min_docs, min_doc_frac)`` of the documents is boilerplate
+    (nav bars, cookie banners, copyright footers — content that
+    repeats across pages, unlike content lines which are unique) and
+    is dropped from every document. Returns one row per input doc:
+    (id, out_col, n_lines_removed) with surviving lines re-joined in
+    their original order; a doc whose every line is boilerplate comes
+    back as the empty string, not a missing row.
+
+    ``min_doc_frac`` is a (num, den) rational and the threshold test
+    is the integer cross-multiplication ``doc_freq * den >= num *
+    n_docs`` — no float ceil at the boundary, so the cut replays
+    bit-identically on any engine (a float 0.05*500 is 25.0000...01
+    and ceils to 26; the rational form has no such edge).
+
+    Scale shape: one posexplode; one (line) hash agg for distinct-doc
+    frequencies; the 1-row doc count broadcast; one equi-join of the
+    line table against the (much smaller) boilerplate set — join on
+    the line value itself here, swap in xxhash64(line) keys when lines
+    are long; one per-doc rebuild agg (array_sort by position, then
+    array_join). No UDFs, no cross products, nothing driver-side.
+    """
+    num, den = min_doc_frac
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("_pos", "_line"))
+    n_docs = F.broadcast(df.agg(F.count("*").alias("_n")))
+    bad = (lines.groupBy("_line")
+           .agg(F.countDistinct(id_col).alias("_df"))
+           .crossJoin(n_docs)
+           .filter((F.col("_df") >= min_docs)
+                   & (F.col("_df") * den >= F.col("_n") * num))
+           .select("_line", F.lit(True).alias("_bad")))
+    flagged = lines.join(bad, "_line", "left")
+    return (flagged.groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.when(
+                             F.col("_bad").isNull(),
+                             F.struct("_pos", "_line")))),
+                         lambda s: s["_line"]),
+                     "\n").alias(out_col),
+                 F.sum(F.when(F.col("_bad").isNotNull(), 1)
+                       .otherwise(0)).cast("bigint")
+                 .alias("n_lines_removed")))

@@ -40,3 +40,4 @@ def test_canonical_plan_single_window_no_python(spark):
     # the rank()=1 filter is pushed below the sort as a group-limit, so
     # each partition keeps only its winner before the full window sort
     assert "WindowGroupLimit" in plan
+

@@ -161,8 +161,12 @@ def test_every_query_plans_clean(spark):
                     # 1-row corpus-total broadcasts (target/raw token
                     # totals; bucket-weight sum) — the DSIR and
                     # temperature-mix scalar dims
-                    "dsir_log_weights", "dsir_selected_docs",
+                    "dsir_log_weights", "dsir_log_weights_poly",
+                    "dsir_selected_docs",
                     "temperature_mix_rates",
+                    # 1-row doc-count broadcast feeding the integer
+                    # cross-multiplied boilerplate threshold
+                    "boilerplate_removed_docs",
                     # 1-row totals joined to the top-N skew keys
                     "user_key_skew_report",
                     # 1-row percentile-boundary broadcast

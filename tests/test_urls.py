@@ -72,3 +72,58 @@ def test_canonicalize_schemeless_input_is_stable(spark):
     got = _canon(spark, "example.com/a?utm_source=x&b=1",
                  "EXAMPLE.com/a?b=1")
     assert got[0] == got[1] == "://example.com/a?b=1"
+
+
+def test_registrable_domain_rules(spark):
+    from pipelines_rj_sms_spark.functions.urls import registrable_domain
+    cases = [
+        ("https://sub.example.co.uk/x", "example.co.uk"),
+        ("http://www.example.com/x", "example.com"),
+        ("https://a.b.c.example.org:8080/x", "example.org"),
+        ("http://example.com.br/x", "example.com.br"),
+        ("http://localhost/x", "localhost"),
+        ("https://site.io/x", "site.io"),
+        ("HTTPS://WWW.EXAMPLE.COM/X", "example.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(registrable_domain("url")).collect()]
+    assert got == [d for _, d in cases]
+
+
+def test_domain_cap_sample_two_stage_equals_global_window(spark):
+    """The skew-safe two-stage cut must pick EXACTLY the rows a single
+    global per-domain window would, at any partitioning."""
+    from pyspark.sql import Window
+
+    from pipelines_rj_sms_spark.functions.sampling import _key_hash
+    from pipelines_rj_sms_spark.functions.urls import (
+        domain_cap_sample,
+        registrable_domain,
+    )
+    rows = [(i, f"https://www.site{i % 5}.com/p/{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, url string")
+    capped = {(r["id"], r["domain"]) for r in domain_cap_sample(
+        df.repartition(8), "url", cap=6, key_cols=["id"],
+        hash_fn="md5", salt="t").collect()}
+    h = _key_hash([F.col("id")], "md5", "t")
+    w = Window.partitionBy("domain").orderBy(h.asc(), F.col("id").asc())
+    want = {(r["id"], r["domain"]) for r in
+            df.withColumn("domain", registrable_domain("url"))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= 6).collect()}
+    assert capped == want
+    # exactly 6 per domain, 5 domains
+    assert len(capped) == 30
+
+
+def test_domain_cap_sample_partition_invariant(spark):
+    from pipelines_rj_sms_spark.functions.urls import domain_cap_sample
+    rows = [(i, f"http://d{i % 3}.co.uk/{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, url string")
+    a = {tuple(r) for r in domain_cap_sample(
+        df.coalesce(1), "url", cap=4, key_cols=["id"],
+        hash_fn="md5").collect()}
+    b = {tuple(r) for r in domain_cap_sample(
+        df.repartition(16), "url", cap=4, key_cols=["id"],
+        hash_fn="md5").collect()}
+    assert a == b and len(a) == 12
