@@ -288,9 +288,11 @@ def negative_pairs(df: DataFrame, key_cols: list[str],
     partners = ranked.select(
         *[F.col(c).alias(f"neg_{c}") for c in key_cols],
         F.col("_rk").alias("_tgt"))
-    return (anchors.join(partners, "_tgt")
-            .select(*key_cols, F.col("_j").alias("neg_index"),
-                    *[f"neg_{c}" for c in key_cols]))
+    from pipelines_rj_sms_spark.operators.cache import track
+
+    return track(anchors.join(partners, "_tgt")
+                 .select(*key_cols, F.col("_j").alias("neg_index"),
+                         *[f"neg_{c}" for c in key_cols]), ranked)
 
 
 def temperature_mix_rates(df: DataFrame, group_col: str,

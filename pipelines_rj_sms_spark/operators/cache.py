@@ -51,6 +51,13 @@ def track(result: DataFrame, *persisted: DataFrame) -> DataFrame:
             chain.append(p)
     for p in chain:
         _register(p)
+    # register the result itself too when it is cached: the common
+    # single-arg idiom ``track(df.persist())`` would otherwise leave
+    # df invisible to release_all() — release(df) frees it, but any
+    # post-track transform orphans it with no backstop (the
+    # plan_audit persist-leak class).
+    if result.is_cached:
+        _register(result)
     setattr(result, _ATTR, tuple(chain))
     return result
 

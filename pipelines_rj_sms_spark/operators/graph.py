@@ -94,6 +94,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                 .unionByName(e.select(F.col("_d").alias("node")))
                 .distinct())
     base = base.persist()
+    pins = [base]
     deg = e.groupBy("_s").agg(F.count("*").alias("_outdeg")).persist()
     n = F.broadcast(base.agg(F.count("*").cast("double").alias("_n")))
     if personalization is not None:
@@ -103,9 +104,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         wtot = F.broadcast(seeds.agg(F.sum("_w").alias("_wt")))
         pv = seeds.crossJoin(wtot).select(
             "node", (F.col("_w") / F.col("_wt")).alias("_pv"))
+        # rebinding `base` must not orphan the first persist — both
+        # frames stay cached and both must ride the release ledger
         base = (base.join(F.broadcast(pv), "node", "left")
                 .select("node", F.coalesce("_pv", F.lit(0.0)).alias("_pv"))
                 .persist())
+        pins.append(base)
 
     # non-eager checkpoints: lineage still truncates per round, but
     # materialization folds into the caller's single action instead of
@@ -158,7 +162,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # the caches before any action ever consumes them, forcing every
     # iteration to recompute the edge list from source (measured 3x
     # slower at sf0.1)
-    return track(pr, e, deg, base)
+    return track(pr, e, deg, *pins)
 
 
 def degrees(edges: DataFrame, src: str = "src",
@@ -748,12 +752,12 @@ def link_prediction(edges: DataFrame, src: str = "src",
     dv = deg.select(F.col("_a").alias("_v"), F.col("_deg").alias("_dv"))
     out = (non_edges.join(du, "_u").join(dv, "_v"))
     union_size = F.col("_du") + F.col("_dv") - F.col("common_neighbors")
-    return out.select(
+    return track(out.select(
         F.col("_u").alias(src), F.col("_v").alias(dst),
         "common_neighbors",
         F.round(F.col("common_neighbors").cast("double")
                 / union_size.cast("double"), 6).alias("jaccard"),
-        F.round(F.col("_aa"), 6).alias("adamic_adar"))
+        F.round(F.col("_aa"), 6).alias("adamic_adar")), und, sets)
 
 
 def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -788,6 +792,7 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     if not edges_distinct:
         e = e.distinct()
     e = track(e.persist())
+    pins: list[DataFrame] = [e]
     h = e.select("_s").distinct().withColumn("_h", F.lit(1.0))
     a = None
     for _ in range(n_iter):
@@ -802,17 +807,21 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
         hj = F.broadcast(h) if broadcast_scores else h
         ar = track((e.join(hj, "_s").groupBy("_d")
                     .agg(det_sum(F.col("_h")).alias("_r"))).persist())
+        pins.append(ar)
         amax = F.broadcast(ar.agg(F.max("_r").alias("_m")))
         a = ar.crossJoin(amax).select(
             "_d", (F.col("_r") / F.col("_m")).alias("_a"))
         aj = F.broadcast(a) if broadcast_scores else a
         hr = track((e.join(aj, "_d").groupBy("_s")
                     .agg(det_sum(F.col("_a")).alias("_r"))).persist())
+        pins.append(hr)
         hmax = F.broadcast(hr.agg(F.max("_r").alias("_m")))
         h = hr.crossJoin(hmax).select(
             "_s", (F.col("_r") / F.col("_m")).alias("_h"))
-    hubs = h.select(F.col("_s").alias("node"),
-                    F.col("_h").alias("score"))
-    auths = a.select(F.col("_d").alias("node"),
-                     F.col("_a").alias("score"))
+    # both outputs carry the FULL persist ledger (edges + every
+    # per-iteration rollup) so release() on either frees the session
+    hubs = track(h.select(F.col("_s").alias("node"),
+                          F.col("_h").alias("score")), *pins)
+    auths = track(a.select(F.col("_d").alias("node"),
+                           F.col("_a").alias("score")), *pins)
     return hubs, auths
