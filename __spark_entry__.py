@@ -5331,6 +5331,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       personalization=seeds)
         return pr.select("node", F.round("pr", 6).alias("pr"))
 
+    def kn_bigram_lm_q(spark, sf_dir):
+        """Per-doc mean bigram log-probability under interpolated
+        Kneser-Ney (D=0.75) trained on the corpus itself — the
+        KenLM/CCNet-style LM quality filter with the continuation-count
+        novelty signal add-one smoothing can't see. One IEEE expression
+        per bigram type, pinned ln, exact unit sums."""
+        from pipelines_rj_sms_spark.operators.terms import (
+            kn_bigram_logprob)
+        docs = _t(spark, sf_dir, "documents")
+        return kn_bigram_logprob(docs, "doc_id", "text")
+
     def bigram_lm_q(spark, sf_dir):
         """Per-doc mean bigram log-probability under the corpus's own
         add-one bigram LM — the sharper perplexity proxy (catches
@@ -6863,6 +6874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_score_calibration": calibration_q,
         "personalized_pagerank_brand11": ppr_q,
         "doc_bigram_logprob": bigram_lm_q,
+        "doc_kn_bigram_logprob": kn_bigram_lm_q,
         "corpus_zipf_fit": zipf_q,
         "doc_compression_ratio": compression_q,
         "doc_byte_entropy": byte_entropy_q,
@@ -6992,6 +7004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap_sampled",
         # NEW: corpus-level boilerplate line removal
         "boilerplate_removed_docs",
+        # NEW: Kneser-Ney LM quality filter
+        "doc_kn_bigram_logprob",
     ]
     never_graded = [
         # ROUND 10: burn the exposure gap to zero. These 34 are the
@@ -9365,6 +9379,51 @@ FROM tf
 JOIN cnt USING (bg)
 JOIN ctx ON string_split(bg, ' ')[1] = ctx.v
 CROSS JOIN vocab
+GROUP BY doc_id
+""",
+        # Kneser-Ney: identical count tables (context totals, distinct
+        # continuations N1+(v.), distinct left-contexts N1+(.w), the
+        # bigram-type total, the vocab), the SAME IEEE expression in
+        # the same operation order, the same pinned ln + grid mean.
+        "doc_kn_bigram_logprob": rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+bgs AS (
+  SELECT doc_id, bg,
+         string_split(bg, ' ')[1] AS v, string_split(bg, ' ')[2] AS w
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) > 1
+                       THEN list_transform(range(len(toks) - 1),
+                                           i -> toks[i+1] || ' ' || toks[i+2])
+                       ELSE [] END) AS bg
+    FROM t)),
+tf AS (SELECT doc_id, bg, count(*) AS tf FROM bgs GROUP BY 1, 2),
+cnt AS (SELECT bg, count(*) AS cbg FROM bgs GROUP BY 1),
+ctx AS (SELECT v, count(*) AS cv, count(DISTINCT w) AS n1v
+        FROM bgs GROUP BY 1),
+contw AS (SELECT w, count(DISTINCT v) AS n1w FROM bgs GROUP BY 1),
+n1t AS (SELECT CAST(count(*) AS DOUBLE) AS n1tot FROM cnt),
+vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab
+  FROM (SELECT unnest(toks) AS tok FROM t))
+SELECT doc_id,
+       {_grid_mean(
+           "sum(tf * " + _pin_ln(
+               "greatest(cbg - 0.75, 0.0) / cv"
+               " + (0.75 * n1v / cv)"
+               " * ((n1w + 1.0) / (n1tot + vocab))") + ")",
+           "sum(tf)")}
+         AS mean_kn_logprob,
+       CAST(sum(tf) AS BIGINT) AS n_bigrams
+FROM tf
+JOIN cnt USING (bg)
+JOIN ctx ON string_split(tf.bg, ' ')[1] = ctx.v
+JOIN contw ON string_split(tf.bg, ' ')[2] = contw.w
+CROSS JOIN n1t CROSS JOIN vocab
 GROUP BY doc_id
 """,
         "doc_byte_entropy": r"""

@@ -294,6 +294,66 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                     "n_bigrams"))
 
 
+def kn_bigram_logprob(df: DataFrame, id_col: str, text_col: str,
+                      discount: float = 0.75) -> DataFrame:
+    """Per-document mean bigram log-probability under interpolated
+    Kneser-Ney smoothing (the KenLM/CCNet-style language-model filter;
+    Kneser & Ney 1995, public formulation) trained on the corpus
+    itself:
+
+        p_KN(w|v) = max(c(vw) - D, 0)/c(v.) + D*N1+(v.)/c(v.) * p_cont(w)
+        p_cont(w) = (N1+(.w) + 1) / (N1+(..) + V)
+
+    where N1+(v.) counts distinct continuations of v, N1+(.w) counts
+    distinct left-contexts of w (the "how many contexts has this word
+    appeared in" novelty signal that makes KN the standard over
+    add-one), N1+(..) is the distinct-bigram-type total and the +1/+V
+    add-one on the continuation distribution keeps every observed
+    word's probability positive (a word seen only sentence-initially
+    has N1+(.w)=0). Docs under 2 tokens emit no row.
+
+    Same scale shape as :func:`bigram_logprob`: narrow bigram explode,
+    hash aggs on short strings, two 1-row broadcasts (type total,
+    vocab), one IEEE expression per bigram TYPE whose ln is pinned to
+    the 1e-6 grid before the tf multiply, exact DECIMAL unit sums and
+    ``grid_mean`` 6dp output — bit-identical across engines and
+    partitionings.
+    """
+    d = float(discount)
+    bgs = (df.select(F.col(id_col),
+                     F.explode(token_bigrams(text_col)).alias("bg"))
+           .withColumn("v", F.split(F.col("bg"), " ")[0])
+           .withColumn("w", F.split(F.col("bg"), " ")[1]))
+    tf = bgs.groupBy(id_col, "bg").agg(F.count("*").alias("tf"))
+    cnt = bgs.groupBy("bg").agg(F.count("*").alias("cbg"))
+    ctx = bgs.groupBy("v").agg(F.count("*").alias("cv"),
+                               F.count_distinct("w").alias("n1v"))
+    contw = bgs.groupBy("w").agg(F.count_distinct("v").alias("n1w"))
+    n1tot = F.broadcast(cnt.agg(
+        F.count("*").cast("double").alias("_n1tot")))
+    vocab = F.broadcast(
+        df.select(F.explode(tokens(text_col)).alias("t"))
+        .agg(F.count_distinct("t").cast("double").alias("_vocab")))
+    pkn = (F.greatest(F.col("cbg") - F.lit(d), F.lit(0.0)) / F.col("cv")
+           + (F.lit(d) * F.col("n1v") / F.col("cv"))
+           * ((F.col("n1w") + F.lit(1.0))
+              / (F.col("_n1tot") + F.col("_vocab"))))
+    logp_u = det_log_units(pkn)
+    return (tf.join(cnt, "bg")
+            .withColumn("v", F.split(F.col("bg"), " ")[0])
+            .withColumn("w", F.split(F.col("bg"), " ")[1])
+            .join(ctx, "v").join(contw, "w")
+            .crossJoin(n1tot).crossJoin(vocab)
+            .groupBy(id_col)
+            .agg(F.sum(F.col("tf").cast("decimal(38,0)") * logp_u)
+                 .alias("_s"),
+                 F.sum("tf").alias("n_bigrams"))
+            .select(id_col,
+                    grid_mean(F.col("_s"), F.col("n_bigrams"))
+                    .alias("mean_kn_logprob"),
+                    "n_bigrams"))
+
+
 def zipf_fit(df: DataFrame, text_col: str,
              min_count: int = 2) -> DataFrame:
     """Zipf's-law diagnostic of the corpus's token frequency spectrum:

@@ -75,6 +75,22 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
+    # Executor Python workers must resolve this package no matter the
+    # driver's cwd: a kernel that does `import pipelines_rj_sms_spark`
+    # inside a pandas-UDF runs in a fresh worker whose sys.path has the
+    # WORKER's cwd, not the driver's repo checkout — launched from a
+    # neutral cwd, every mapInPandas/UDTF/Python-DataSource query dies
+    # with ModuleNotFoundError while plain-expression queries pass.
+    # Prepend the repo root to PYTHONPATH (inherited by local-mode
+    # workers) and to spark.executorEnv.PYTHONPATH (cluster executors).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pp if pp else ""))
+    builder = builder.config(
+        "spark.executorEnv.PYTHONPATH",
+        os.environ["PYTHONPATH"])
     return builder.getOrCreate()
 
 

@@ -103,3 +103,46 @@ def test_explicit_schema_fallback(spark, nanos_parquet):
     n_fallback = df.count()
     n_normal = read_parquet_normalized(spark, nanos_parquet).count()
     assert n_fallback == n_normal
+
+
+def test_python_workers_resolve_package_from_neutral_cwd():
+    """Executor Python workers must import pipelines_rj_sms_spark no
+    matter the driver's cwd: a pandas-UDF kernel importing the package
+    runs in a fresh worker whose sys.path has the WORKER's cwd — from
+    a neutral cwd every mapInPandas/UDTF/Python-DataSource query died
+    with ModuleNotFoundError until get_spark pinned the repo root onto
+    PYTHONPATH. Run the real thing in a subprocess from /tmp."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from pipelines_rj_sms_spark.session import get_spark\n"
+        "from pyspark.sql import functions as F\n"
+        "spark = get_spark('cwd-test', master='local[2]')\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "df = spark.range(4).selectExpr('id as media_id')\n"
+        "from pipelines_rj_sms_spark.operators.imagehash import "
+        "dhash_images\n"
+        "import pandas as pd\n"
+        "def gen(batches):\n"
+        "    import numpy as np\n"
+        "    from pipelines_rj_sms_spark.operators.multimodal import "
+        "encode_bmp\n"
+        "    for pdf in batches:\n"
+        "        px = np.zeros((14, 20, 3), dtype=np.uint8)\n"
+        "        yield pd.DataFrame({'media_id': pdf['media_id'],"
+        " 'content': [bytearray(encode_bmp(px))] * len(pdf)})\n"
+        "wavs = df.mapInPandas(gen, 'media_id long, content binary')\n"
+        "n = dhash_images(wavs).count()\n"
+        "assert n == 4, n\n"
+        "print('WORKER_IMPORT_OK')\n"
+        "spark.stop()\n" % repo
+    )
+    out = subprocess.run([sys.executable, "-c", code], cwd="/tmp",
+                         env=env, capture_output=True, text=True,
+                         timeout=300)
+    assert "WORKER_IMPORT_OK" in out.stdout, out.stderr[-2000:]

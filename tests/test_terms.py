@@ -300,3 +300,63 @@ def test_ngram_repetition_tie_breaks_lexicographic(spark):
     [r2] = ngram_repetition(df2, "doc_id", "text", n=2).collect()
     # "a b":1 "b a":2 "a c":2 "c a":2 -> tie at 2, lexicographic min "a c"
     assert r2["top_gram"] == "a c"
+
+
+def test_kn_bigram_logprob_hand_computed(spark):
+    import math
+
+    from pipelines_rj_sms_spark.operators.terms import kn_bigram_logprob
+    docs = [(1, "a b a b"), (2, "a b")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict()
+           for r in kn_bigram_logprob(df, "doc_id", "text").collect()}
+    # corpus bigrams: "a b" x3, "b a" x1
+    # cv: a->3, b->1 ; N1+(a.)=1, N1+(b.)=1 ; N1+(.b)=1, N1+(.a)=1
+    # N1+(..)=2 types ; V=2
+    D = 0.75
+
+    def pkn(cbg, cv, n1v, n1w):
+        return (max(cbg - D, 0.0) / cv
+                + (D * n1v / cv) * ((n1w + 1.0) / (2.0 + 2.0)))
+
+    u_ab = math.floor(math.log(pkn(3, 3, 1, 1)) * 1e6 + 0.5)
+    u_ba = math.floor(math.log(pkn(1, 1, 1, 1)) * 1e6 + 0.5)
+
+    def gm(s, n):
+        k = (-2 * s + n) // (2 * n) if s < 0 else (2 * s + n) // (2 * n)
+        return (-k if s < 0 else k) / 1e6
+
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["mean_kn_logprob"] == gm(2 * u_ab + u_ba, 3)
+    assert out[2]["mean_kn_logprob"] == gm(u_ab, 1)
+    # probabilities are proper: every pkn in (0, 1]
+    assert 0 < pkn(3, 3, 1, 1) <= 1 and 0 < pkn(1, 1, 1, 1) <= 1
+
+
+def test_kn_novelty_signal_beats_add_one(spark):
+    """The KN continuation count penalizes a word that only ever
+    follows ONE context ('francisco' after 'san') when it shows up in
+    a new context — the novelty signal add-one smoothing lacks.
+    p_cont is per-WORD: the unseen bigram 'of francisco' must score
+    below 'of the' (the = seen after many contexts)."""
+    from pipelines_rj_sms_spark.operators.terms import kn_bigram_logprob
+    corpus = [(i, "san francisco") for i in range(10)]
+    corpus += [(100 + i, t) for i, t in enumerate(
+        ["a the", "b the", "c the", "d the", "of a", "of b"])]
+    probe = [(900, "of francisco"), (901, "of the")]
+    df = spark.createDataFrame(corpus + probe, ["doc_id", "text"])
+    out = {r["doc_id"]: r["mean_kn_logprob"]
+           for r in kn_bigram_logprob(df, "doc_id", "text").collect()}
+    assert out[900] < out[901]
+
+
+def test_kn_bigram_partition_invariant(spark):
+    from pipelines_rj_sms_spark.operators.terms import kn_bigram_logprob
+    docs = [(i, f"w{i % 5} w{(i + 1) % 7} w{i % 3} w{(i * 3) % 11}")
+            for i in range(60)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    a = {tuple(r) for r in kn_bigram_logprob(
+        df.coalesce(1), "doc_id", "text").collect()}
+    b = {tuple(r) for r in kn_bigram_logprob(
+        df.repartition(16), "doc_id", "text").collect()}
+    assert a == b and len(a) == 60
