@@ -4767,6 +4767,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_doc_frac=(1, 20), min_docs=2)
         return out.select("doc_id", "clean_text", "n_lines_removed")
 
+    def intra_doc_dedup_q(spark, sf_dir):
+        """Within-doc exact line dedup (C4-style line rules): each doc
+        gets a chorus line injected twice and its own text duplicated;
+        the transform must keep only first occurrences, in order."""
+        from pipelines_rj_sms_spark.operators.curation import (
+            dedup_intra_doc_lines)
+        docs = _t(spark, sf_dir, "documents")
+        t = F.concat(
+            F.col("text"), F.lit("\nchorus "),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("\n"), F.col("text"),
+            F.lit("\nchorus "), (F.col("doc_id") % 3).cast("string"))
+        out = dedup_intra_doc_lines(
+            docs.select("doc_id", t.alias("text")))
+        return out.select("doc_id", "clean_text", "n_lines_removed")
+
     def dsir_weights_q(spark, sf_dir):
         """DSIR (Xie et al. 2023) hashed-unigram log importance weight
         of every doc against the English subcorpus as the target
@@ -6741,6 +6757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": url_canonical_dedup,
         "domain_cap_sampled": domain_cap_q,
         "boilerplate_removed_docs": boilerplate_removed_q,
+        "intra_doc_line_dedup": intra_doc_dedup_q,
         "ngram_repetition_report": ngram_repetition_q,
         "unicode_nfc_keys": unicode_nfc_keys,
         "bitext_margin_pairs": bitext_pairs_q,
@@ -7006,6 +7023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removed_docs",
         # NEW: Kneser-Ney LM quality filter
         "doc_kn_bigram_logprob",
+        # NEW: within-doc exact line dedup (C4 line rules)
+        "intra_doc_line_dedup",
     ]
     never_graded = [
         # ROUND 10: burn the exposure gap to zero. These 34 are the
@@ -9425,6 +9444,31 @@ JOIN ctx ON string_split(tf.bg, ' ')[1] = ctx.v
 JOIN contw ON string_split(tf.bg, ' ')[2] = contw.w
 CROSS JOIN n1t CROSS JOIN vocab
 GROUP BY doc_id
+""",
+        # intra-doc line dedup: same synthetic chorus/duplicate-text
+        # construction, first-occurrence row_number, ordered rebuild.
+        "intra_doc_line_dedup": """
+WITH base AS (
+  SELECT doc_id,
+         text || chr(10) || 'chorus ' || CAST(doc_id % 3 AS VARCHAR)
+         || chr(10) || text
+         || chr(10) || 'chorus ' || CAST(doc_id % 3 AS VARCHAR) AS t
+  FROM documents),
+lns AS (
+  SELECT doc_id, i.pos, l[i.pos + 1] AS line
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS l FROM base),
+       LATERAL (SELECT unnest(range(0, len(l))) AS pos) i),
+occ AS (
+  SELECT doc_id, pos, line, row_number() OVER (
+           PARTITION BY doc_id, line ORDER BY pos) AS rn
+  FROM lns)
+SELECT doc_id,
+       COALESCE(array_to_string(
+         list(line ORDER BY pos) FILTER (WHERE rn = 1), chr(10)), '')
+         AS clean_text,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lines_removed
+FROM occ GROUP BY doc_id
 """,
         "doc_byte_entropy": r"""
 WITH b AS (

@@ -265,3 +265,41 @@ def remove_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
                  F.sum(F.when(F.col("_bad").isNotNull(), 1)
                        .otherwise(0)).cast("bigint")
                  .alias("n_lines_removed")))
+
+
+def dedup_intra_doc_lines(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          out_col: str = "clean_text") -> DataFrame:
+    """Within-document exact line dedup (the C4 "three-sentence/
+    duplicate-line" family of line-wise rules, applied per doc):
+    every repeated occurrence of a line inside one document is dropped,
+    keeping the FIRST, and survivors are re-joined in original order.
+    Complements :func:`remove_boilerplate_lines` (which drops lines
+    shared ACROSS documents): chorus-style repetition inside a page —
+    lyrics, spammy keyword walls, templated list spam — deflates here
+    even when no other doc shares the line.
+
+    Returns (id, out_col, n_lines_removed). One posexplode and one
+    window keyed (id, line) ordered by position — the window key
+    includes the doc id, so partition skew is bounded by the largest
+    single DOCUMENT, never a corpus-wide hot line; then the same
+    ordered array_sort rebuild as the boilerplate transform. No UDFs.
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("_pos", "_line"))
+    w = Window.partitionBy(id_col, "_line").orderBy("_pos")
+    flagged = lines.withColumn("_occ", F.row_number().over(w))
+    return (flagged.groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.when(
+                             F.col("_occ") == 1,
+                             F.struct("_pos", "_line")))),
+                         lambda s: s["_line"]),
+                     "\n").alias(out_col),
+                 F.sum(F.when(F.col("_occ") > 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_lines_removed")))

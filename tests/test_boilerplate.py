@@ -57,3 +57,37 @@ def test_boilerplate_partition_invariant_and_plan(spark):
     assert "CartesianProduct" not in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_intra_doc_line_dedup_keeps_first_in_order(spark):
+    from pipelines_rj_sms_spark.operators.curation import (
+        dedup_intra_doc_lines,
+    )
+    rows = [
+        (0, "a\nb\na\nc\nb\na"),      # dups of a (x2) and b (x1)
+        (1, "x\ny"),                   # nothing to remove
+        (2, "same\nsame\nsame"),       # collapses to one line
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup_intra_doc_lines(df).collect()}
+    assert out[0]["clean_text"] == "a\nb\nc"
+    assert out[0]["n_lines_removed"] == 3
+    assert out[1]["clean_text"] == "x\ny"
+    assert out[1]["n_lines_removed"] == 0
+    assert out[2]["clean_text"] == "same"
+    assert out[2]["n_lines_removed"] == 2
+
+
+def test_intra_doc_line_dedup_partition_invariant(spark):
+    from pipelines_rj_sms_spark.operators.curation import (
+        dedup_intra_doc_lines,
+    )
+    rows = [(i, f"l{i % 4}\nl{(i + 1) % 4}\nl{i % 4}\nu{i}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {tuple(r) for r in dedup_intra_doc_lines(
+        df.coalesce(1)).collect()}
+    b = {tuple(r) for r in dedup_intra_doc_lines(
+        df.repartition(16)).collect()}
+    assert a == b and len(a) == 40
