@@ -199,6 +199,11 @@ def test_every_query_plans_clean(spark):
                     "personalized_pagerank_brand11",
                     # 1-row vocab / total-delta scalar broadcasts
                     "doc_bigram_logprob",
+                    # Kneser-Ney: two 1-row scalar broadcasts (bigram-
+                    # type total + vocab size, operators/terms.py
+                    # kn_bigram_logprob) — same class as
+                    # doc_unigram_logprob/doc_bigram_logprob above
+                    "doc_kn_bigram_logprob",
                     "segment_revenue_decomposition",
                     # 1-row corpus-size frame under the rank pairing
                     "doc_negative_pairs",
