@@ -2729,9 +2729,12 @@ def _with_construction_ledger(fn):
     @functools.wraps(fn)
     def wrapped(spark, sf_dir):
         from pipelines_rj_sms_spark.operators.cache import _LIVE, track
-        before = len(_LIVE)
+        # diff by identity, not position: a release() during
+        # construction mutates _LIVE indices, which would make a
+        # positional slice attach a wrong or incomplete ledger
+        prior = {id(p) for p in _LIVE}
         df = fn(spark, sf_dir)
-        return track(df, *_LIVE[before:])
+        return track(df, *[p for p in _LIVE if id(p) not in prior])
 
     return wrapped
 
@@ -4787,11 +4790,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """DSIR (Xie et al. 2023) hashed-unigram log importance weight
         of every doc against the English subcorpus as the target
         distribution — two hash aggs + a 512-row broadcast log-ratio
-        dim; pinned-ln exact-integer sums (the logprob contract)."""
+        dim; pinned-ln exact-integer sums (the logprob contract).
+        Uses the library DEFAULT bucket hash (poly since r11 — full-
+        content fold, exact DuckDB list_reduce oracle)."""
         from pipelines_rj_sms_spark.operators.curation import (
             dsir_log_weights)
         docs = _t(spark, sf_dir, "documents")
         out = dsir_log_weights(docs, F.col("lang") == "en", n_buckets=512)
+        return out.select(
+            "doc_id", "is_target",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "log_weight")
+
+    def dsir_weights_portable_q(spark, sf_dir):
+        """Legacy ``portable`` bucket hash (len/first/last codepoints
+        only — the pre-r11 default), kept as an explicit option so
+        previously-graded runs stay reproducible and oracle-gated.
+        New pipelines get ``poly`` by default (full-content, same
+        cost class, no middle-characters-ignored hole)."""
+        from pipelines_rj_sms_spark.operators.curation import (
+            dsir_log_weights)
+        docs = _t(spark, sf_dir, "documents")
+        out = dsir_log_weights(docs, F.col("lang") == "en",
+                               n_buckets=512, hash_fn="portable")
         return out.select(
             "doc_id", "is_target",
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
@@ -6753,6 +6774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_documents": curate_docs,
         "dsir_log_weights": dsir_weights_q,
         "dsir_log_weights_poly": dsir_weights_poly_q,
+        "dsir_log_weights_portable": dsir_weights_portable_q,
         "dsir_selected_docs": dsir_selected_q,
         "url_canonical_dedup": url_canonical_dedup,
         "domain_cap_sampled": domain_cap_q,
@@ -7003,51 +7025,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # honest instead. bpe_merge_table left this set in r10 (recursive-
     # CTE oracle).
     changed = [
-        # ROUND 10 HEAD: nothing changed semantics this round yet;
-        # new-this-session entries (bitext IVF candidates, windowed
-        # audio fingerprints, DSIR xxhash64 path) are appended to
-        # new_this_session as they land.
+        # ROUND 11 HEAD: these two changed semantics this round —
+        # the DSIR default bucket hash flipped portable→poly (their
+        # oracles were re-pointed to _DSIR_POLY_DUCK) — re-grade:
+        "dsir_log_weights",
+        "dsir_selected_docs",
+        # host-extraction hardening (userinfo@/#) touched the
+        # registrable-domain grouping key and its oracle — re-grade:
+        "domain_cap_sampled",
     ]
     new_this_session = [
-        # NEW operator variants added this session — grade on arrival
+        # NEW queries added this session — grade on arrival
         # (each oracle-verified locally before entering the window):
-        "bitext_margin_pairs_ivf",
-        "audio_windowed_hashes",
-        "dsir_log_weights_poly",
-        # newly ORACLED this session (was rows-only behind the window
-        # since r7): the recursive-CTE BPE replay — grade on arrival
-        "bpe_merge_table",
-        # NEW: per-domain frequency cap (registrable-domain aware)
-        "domain_cap_sampled",
-        # NEW: corpus-level boilerplate line removal
-        "boilerplate_removed_docs",
-        # NEW: Kneser-Ney LM quality filter
-        "doc_kn_bigram_logprob",
-        # NEW: within-doc exact line dedup (C4 line rules)
-        "intra_doc_line_dedup",
+        # legacy portable DSIR bucket hash as an explicit entry
+        "dsir_log_weights_portable",
     ]
     never_graded = [
-        # ROUND 10: burn the exposure gap to zero. These 34 are the
-        # complete never-driver-graded set after r9
-        # (tools/list_ungraded.py — graded union was 264/298); with
-        # this head the union reaches 298.
-        "resolved_document_entities", "brand_basket_rules",
-        "bloom_filtered_orders", "scd2_user_state_history",
-        "customer_density_clusters", "copurchase_assortativity",
-        "signup_purchase_log_rank", "purchase_click_randomization_test",
-        "event_value_bootstrap_ci", "join_size_estimate",
-        "props_autoflatten", "linked_addresses_jw",
-        "weighted_corpus_sample", "daily_count_seasonal_anomalies",
-        "kfold_assignment", "order_snapshot_diff",
-        "embedding_label_cohesion", "concurrent_events_timeline",
-        "cns_validation", "user_key_skew_report",
-        "top_event_paths", "value_equi_depth_histogram",
-        "nearest_supplier_sites", "overlapping_error_purchases",
-        "temporal_split_counts", "imputed_event_values",
-        "priority_status_chi2", "customer_target_encoding",
-        "doc_lexical_diversity", "corpus_vocabulary_report",
-        "quantity_discount_ordinal_assoc", "daily_count_decomposition",
-        "event_type_value_anova", "copurchase_community_modularity",
+        # ROUND 11: graded-union reached 305/305 in r10 — no
+        # never-graded queries remain. Per the r10 verdict's window
+        # policy, the rest of the head is a rotating re-grade of the
+        # OLDEST graded families (r1-r2 vintage, last independently
+        # checked 9+ rounds ago) so drift can't hide behind an old
+        # green:
+        "shipping_priority_top10", "market_share",
+        "order_fill_ratio", "rate_metrics_by_type",
+        "order_bounds", "union_nation_keys",
+        "nation_key_setops", "dedup_keep_last_events",
+        "filter_isin_notnull", "safe_cast_date_filter",
+        "regex_filter_by_source", "cpf_validation",
+        "revenue_by_brand", "day_window_fanout",
+        "row_to_json", "dedup_exact_docs",
+        "dedup_minhash_lsh", "simhash_near_dupes",
+        "ngram_jaccard_pairs", "similarity_batch_topk",
+        "text_lang_id", "text_quality_score",
+        "text_token_stats", "text_fingerprint",
+        "tfidf_top_terms", "bm25_search_results",
+        "winsorized_prices", "mad_outlier_flags",
+        "freq_heavy_users", "top_pmi_collocations",
+        "latest_order_per_customer", "heavy_red_suppliers",
+        "coalesce_segments", "asof_purchase_signup",
+        "range_error_purchases", "grouping_sets_counts",
+        "pivot_linestatus", "customer_rfm_segments",
     ]
     head = {"flagship_pricing_summary":
             q.pop("flagship_pricing_summary")}
@@ -7126,9 +7144,11 @@ WITH raw AS (
 hostx AS (
   SELECT k,
          regexp_replace(
-           lower(regexp_extract(
-             regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
-             '^([^/?]*)', 1)),
+           lower(regexp_replace(
+             regexp_extract(
+               regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
+               '^([^/?#]*)', 1),
+             '^[^/]*@', '')),
            ':\d+$', '') AS h
   FROM raw),
 dom AS (
@@ -7529,17 +7549,21 @@ SELECT doc_id AS media_id, dhash,
 FROM h
 """,
         "audio_windowed_hashes": _AUDIO_WINDOWED_DUCK,
-        # DSIR: same hashed-unigram feature map (len·131 + first·7 +
-        # last codepoint, mod 512 — ascii/right verified codepoint-
-        # identical across engines incl. unicode), same pinned-ln
-        # log-ratio, same exact HUGEINT unit sums.
-        "dsir_log_weights": _DSIR_WEIGHTS_DUCK + """
+        # DSIR: the default bucket hash is poly since r11 (full-
+        # content left fold replayed by DuckDB list_reduce); the
+        # legacy portable map (len·131 + first·7 + last codepoint,
+        # mod 512) stays oracle-gated under its own explicit entry.
+        # Same pinned-ln log-ratio, same exact HUGEINT unit sums.
+        "dsir_log_weights": _DSIR_POLY_DUCK + """
 SELECT doc_id, is_target, n_tokens, log_weight FROM w
 """,
         "dsir_log_weights_poly": _DSIR_POLY_DUCK + """
 SELECT doc_id, is_target, n_tokens, log_weight FROM w
 """,
-        "dsir_selected_docs": _DSIR_WEIGHTS_DUCK + """
+        "dsir_log_weights_portable": _DSIR_WEIGHTS_DUCK + """
+SELECT doc_id, is_target, n_tokens, log_weight FROM w
+""",
+        "dsir_selected_docs": _DSIR_POLY_DUCK + """
 SELECT doc_id, n_tokens, log_weight
 FROM w WHERE NOT is_target
 ORDER BY log_weight DESC, doc_id

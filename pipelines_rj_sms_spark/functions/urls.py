@@ -103,8 +103,12 @@ def registrable_domain(url: Column | str,
     """
     u = F.trim(F.col(url) if isinstance(url, str) else url)
     rest = F.regexp_replace(u, _SCHEME_RE, "")
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1)), r":\d+$", "")
+    # authority ends at /, ? OR #; a leading userinfo@ is not part of
+    # the host — both were attacker-steerable grouping-key holes
+    # (http://user@example.com/, http://example.com#frag)
+    authority = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    authority = F.regexp_replace(authority, r"^[^/]*@", "")
+    host = F.regexp_replace(F.lower(authority), r":\d+$", "")
     parts = F.split(host, r"\.")
     n = F.size(parts)
     last2 = F.concat_ws(".", F.element_at(parts, -2),

@@ -100,19 +100,20 @@ _POLY_MOD = 2147483647          # 2^31-1: acc*31+cp < 2^36, ANSI-safe
 
 
 def feature_bucket(term: Column, n_buckets: int,
-                   hash_fn: str = "portable") -> Column:
+                   hash_fn: str = "poly") -> Column:
     """Hashing-trick feature bucket of a token. Three spreading maps:
 
-    - ``portable`` (default): (len·131 + first-codepoint·7 +
-      last-codepoint) mod n_buckets — expression-only, reproduced
-      verbatim by the DuckDB oracle. Deliberately weak: it ignores
-      middle characters, so adversarial corpora can collide it.
-    - ``poly``: full-content polynomial codepoint hash
+    - ``poly`` (default): full-content polynomial codepoint hash
       ``fold(acc*31 + codepoint) mod 2^31-1`` — every character
       contributes, every step stays < 2^36 (no overflow, ANSI-safe),
       and the left fold is replayed exactly by DuckDB's list_reduce,
-      so it keeps an exact oracle while closing the
+      so it keeps an exact oracle with no
       middle-characters-ignored hole.
+    - ``portable`` (legacy): (len·131 + first-codepoint·7 +
+      last-codepoint) mod n_buckets — expression-only, reproduced
+      verbatim by the DuckDB oracle. Deliberately weak: it ignores
+      middle characters, so adversarial corpora can collide it. Kept
+      as an explicit option for reproducing previously-graded runs.
     - ``xxhash64``: Spark's built-in 64-bit xxHash (pmod into
       buckets) — the production choice for corpora where adversarial
       collisions matter; no SQL oracle exists (DuckDB has no
@@ -136,7 +137,7 @@ def dsir_log_weights(df: DataFrame, target: Column,
                      id_col: str = "doc_id", text_col: str = "text",
                      n_buckets: int = 4096,
                      alpha: float = 1.0,
-                     hash_fn: str = "portable") -> DataFrame:
+                     hash_fn: str = "poly") -> DataFrame:
     """Per-document DSIR log importance weight
     ``log p_target(features) - log p_raw(features)`` under add-alpha
     smoothed hashed-unigram models. Returns
@@ -197,7 +198,7 @@ def dsir_log_weights(df: DataFrame, target: Column,
 def dsir_select(df: DataFrame, target: Column, k: int,
                 id_col: str = "doc_id", text_col: str = "text",
                 n_buckets: int = 4096, alpha: float = 1.0,
-                hash_fn: str = "portable") -> DataFrame:
+                hash_fn: str = "poly") -> DataFrame:
     """Top-``k`` pool documents by DSIR log weight (the deterministic
     top-k variant of the paper's Gumbel resampling — ties break on id,
     so the selection is reproducible run to run). Only non-target rows

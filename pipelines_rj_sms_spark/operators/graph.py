@@ -781,6 +781,13 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     posture as `pagerank`. Edges are deduped once up front (pass
     ``edges_distinct=True`` to skip) and persisted across the 2·n_iter
     joins.
+
+    Release contract: BOTH returned frames carry the same full persist
+    ledger (edges + every per-iteration rollup) — releasing either one
+    frees everything, including frames the OTHER output still depends
+    on. Materialize (or checkpoint) both outputs before calling
+    release() on one; under cache.py's evictable contract an early
+    release only costs a recompute, never wrong results.
     """
     from pipelines_rj_sms_spark.functions.numeric import det_sum
     from pipelines_rj_sms_spark.operators.cache import track

@@ -223,6 +223,22 @@ def wav_windowed_envelope_hash(df: DataFrame, content_col: str = "content",
     the window pair (k, 0) — the same pigeonhole posture as image
     banding, applied on the time axis. Feed the output to
     :func:`windowed_near_dupes` for clip-level pairs.
+
+    Offset contract: with the default ``stride=block``, only shifts
+    that are an exact multiple of ``block`` samples are caught. Pass
+    a smaller ``stride`` (e.g. ``block // 4``) to catch sub-block
+    offsets that are multiples of that stride, at proportionally more
+    hashes per clip (cost x block/stride); shifts that are not a
+    multiple of the chosen stride remain out of contract (they
+    re-phase every energy block), as does resampling.
+
+    Amplitude contract: the hash compares block energies pairwise, so
+    any positive rescale that maps the 16-bit integer samples to
+    integers (x2, /2 on even samples, ...) preserves every strict
+    inequality AND every tie — the rescaled duplicate hashes
+    identically. Non-integer rescales perturb each energy by <1 LSB
+    per sample and can flip near-tie gradient bits; pair with
+    :func:`windowed_near_dupes`'s ``max_dist`` tolerance for those.
     """
     from pipelines_rj_sms_spark.operators.multimodal import decode_wav
 

@@ -20,10 +20,18 @@ DOCS = [
 ]
 
 
-def _expected_weights(n_buckets=512, alpha=1.0):
-    def bucket(t):
-        return (len(t) * 131 + ord(t[0]) * 7 + ord(t[-1])) % n_buckets
+def _bucket_portable(t, n_buckets=512):
+    return (len(t) * 131 + ord(t[0]) * 7 + ord(t[-1])) % n_buckets
 
+
+def _bucket_poly(t, n_buckets=512):
+    h = 0
+    for ch in t:
+        h = (h * 31 + ord(ch)) % 2147483647
+    return h % n_buckets
+
+
+def _expected_weights(n_buckets=512, alpha=1.0, bucket=_bucket_portable):
     ct_t, ct_r = {}, {}
     for _, text, is_t in DOCS:
         for t in text.lower().split():
@@ -46,15 +54,48 @@ def _expected_weights(n_buckets=512, alpha=1.0):
 
 
 def test_dsir_log_weights_hand_computed(spark):
+    """Default path (poly bucket hash since r11) vs a pure-Python
+    re-computation."""
     df = spark.createDataFrame(DOCS, "doc_id long, text string, is_t boolean")
     got = {r["doc_id"]: r for r in
            dsir_log_weights(df, F.col("is_t"), n_buckets=512).collect()}
-    want = _expected_weights()
+    want = _expected_weights(bucket=_bucket_poly)
     assert {k: v["log_weight"] for k, v in got.items()} == want
     assert got[0]["is_target"] and not got[3]["is_target"]
     assert got[0]["n_tokens"] == 4
     # target-like pool doc outranks the alien one
     assert got[2]["log_weight"] > got[3]["log_weight"]
+
+
+def test_dsir_log_weights_portable_legacy_hand_computed(spark):
+    """Explicit legacy portable map still reproduces the pre-r11
+    graded numbers."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, is_t boolean")
+    got = {r["doc_id"]: r["log_weight"] for r in
+           dsir_log_weights(df, F.col("is_t"), n_buckets=512,
+                            hash_fn="portable").collect()}
+    assert got == _expected_weights(bucket=_bucket_portable)
+
+
+def test_dsir_poly_default_separates_portable_collision(spark):
+    """Collision-adversarial: two pools that the portable map CANNOT
+    distinguish (same len/first/last on every token, different
+    middles) get distinct DSIR weights under the poly default."""
+    assert _bucket_portable("abXcd") == _bucket_portable("abYcd")
+    docs = [
+        (0, "abXcd abXcd", True),     # target speaks 'abXcd'
+        (1, "abXcd", False),          # pool doc matching the target
+        (2, "abYcd", False),          # middle-char impostor
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, is_t boolean")
+    legacy = {r["doc_id"]: r["log_weight"] for r in
+              dsir_log_weights(df, F.col("is_t"), n_buckets=512,
+                               hash_fn="portable").collect()}
+    assert legacy[1] == legacy[2]     # portable: impostor indistinguishable
+    poly = {r["doc_id"]: r["log_weight"] for r in
+            dsir_log_weights(df, F.col("is_t"), n_buckets=512).collect()}
+    assert poly[1] > poly[2]          # poly default: true match wins
 
 
 def test_dsir_weights_partition_invariant(spark):
@@ -88,9 +129,14 @@ def test_feature_bucket_matches_python(spark):
     toks = ["hello", "中文", "a", "Straße"]
     df = spark.createDataFrame([(t,) for t in toks], "t string")
     got = [r[0] for r in
-           df.select(feature_bucket(F.col("t"), 512)).collect()]
+           df.select(feature_bucket(F.col("t"), 512,
+                                    hash_fn="portable")).collect()]
     want = [(len(t) * 131 + ord(t[0]) * 7 + ord(t[-1])) % 512 for t in toks]
     assert got == want
+    # the DEFAULT is the content-sensitive poly fold
+    got_default = [r[0] for r in
+                   df.select(feature_bucket(F.col("t"), 512)).collect()]
+    assert got_default == [_bucket_poly(t) for t in toks]
 
 
 def test_dsir_empty_target_side_is_defined(spark):

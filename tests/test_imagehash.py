@@ -319,6 +319,68 @@ def test_windowed_hashes_catch_time_shifted_duplicate(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_amplitude_scaled_duplicate_hashes_identically(spark):
+    """Amplitude contract: a positive integer-exact rescale (x2, and
+    /2 on even samples) preserves every strict gradient inequality AND
+    every tie, so the duplicate's hash is bit-identical — including a
+    pinned tie row (two equal-energy cells stay equal under scaling
+    and keep their gradient bit at 0)."""
+    from pipelines_rj_sms_spark.operators.imagehash import (
+        envelope_bits,
+        wav_envelope_hash,
+    )
+    rng = np.random.default_rng(13)
+    sig = rng.integers(25, 1000, size=1120) * 2     # even: /2 stays exact
+    # pin a tie: make cells (0,0) and (0,1) equal-energy — blocks of
+    # constant amplitude 100 -> equal sums; the (row 0, col 0)
+    # gradient bit must be 0 (right cell NOT larger) at every scale
+    sig[:32] = 100
+    doubled = sig * 2                                # max 4000 << 32767
+    halved = sig // 2
+    df = spark.createDataFrame(
+        [(0, _wav_bytes(sig)), (1, _wav_bytes(doubled)),
+         (2, _wav_bytes(halved))],
+        "media_id long, content binary")
+    got = {r["media_id"]: r["dhash"] for r in wav_envelope_hash(df).collect()}
+    assert got[0] == got[1] == got[2]
+    # the tie bit is genuinely exercised and pinned to 0
+    assert envelope_bits(sig / 32768.0) & 1 == 0
+    grid0 = np.abs(sig[:1120]).reshape(7, 10, 16).sum(axis=2)
+    assert grid0[0, 0] == grid0[0, 1]                # the tie is real
+
+
+def test_sub_block_stride_catches_sub_block_offset(spark):
+    """A clip padded by HALF an energy block (8 samples) evades the
+    default stride=block windows but is caught with stride=8: window 1
+    of the padded clip realigns exactly with window 0 of the
+    original."""
+    from pipelines_rj_sms_spark.operators.imagehash import (
+        wav_windowed_envelope_hash,
+        windowed_near_dupes,
+    )
+    rng = np.random.default_rng(29)
+    sig = rng.integers(50, 2000, size=1200)
+    pad = np.concatenate([np.zeros(8, dtype=int), sig])
+    df = spark.createDataFrame(
+        [(0, _wav_bytes(sig)), (1, _wav_bytes(pad))],
+        "media_id long, content binary")
+
+    block_stride = wav_windowed_envelope_hash(df, n_windows=4)
+    coarse = {(r["media_id"], r["win_idx"]): r["dhash"]
+              for r in block_stride.collect()}
+    assert not any(coarse.get((1, w)) == coarse[(0, 0)]
+                   for w in range(4))      # default stride: evaded
+
+    fine = wav_windowed_envelope_hash(df, n_windows=8, stride=8)
+    by_key = {(r["media_id"], r["win_idx"]): r["dhash"]
+              for r in fine.collect()}
+    assert by_key[(1, 1)] == by_key[(0, 0)]
+    pairs = {(r["id_a"], r["id_b"]): r["min_hamming"]
+             for r in windowed_near_dupes(fine, max_dist=0,
+                                          max_windows=8).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
 def test_windowed_near_dupes_plan_no_cartesian(spark):
     from pipelines_rj_sms_spark.operators.imagehash import (
         windowed_near_dupes,

@@ -162,6 +162,7 @@ def test_every_query_plans_clean(spark):
                     # totals; bucket-weight sum) — the DSIR and
                     # temperature-mix scalar dims
                     "dsir_log_weights", "dsir_log_weights_poly",
+                    "dsir_log_weights_portable",
                     "dsir_selected_docs",
                     "temperature_mix_rates",
                     # 1-row doc-count broadcast feeding the integer

@@ -84,6 +84,13 @@ def test_registrable_domain_rules(spark):
         ("http://localhost/x", "localhost"),
         ("https://site.io/x", "site.io"),
         ("HTTPS://WWW.EXAMPLE.COM/X", "example.com"),
+        # userinfo@ is not part of the host — an attacker-steerable
+        # grouping-key hole when used as a frequency-cap key
+        ("http://user@example.com/x", "example.com"),
+        ("http://user:pw@sub.example.co.uk/x", "example.co.uk"),
+        # fragment terminates the authority even with no path
+        ("http://example.com#frag", "example.com"),
+        ("https://evil.com#@example.com/", "evil.com"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(registrable_domain("url")).collect()]
