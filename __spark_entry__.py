@@ -5379,6 +5379,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return kn_bigram_logprob(docs, "doc_id", "text")
 
+    def src_kn_ppl_q(spark, sf_dir):
+        """Per-source Kneser-Ney bigram perplexity — the corpus-quality
+        dashboard the CCNet recipe ships (slice-level KenLM readout):
+        kn_bigram_logprob keyed by the source slice instead of the
+        doc, plus exp(-mean) perplexity. A source whose text the
+        corpus KN model finds surprising is a genre or junk outlier.
+        Same plan as doc_kn_bigram_logprob (narrow bigram explode,
+        four hash aggs, two 1-row broadcasts) — only the grouping key
+        widens, so the rollup is |sources| rows."""
+        from pipelines_rj_sms_spark.operators.terms import (
+            kn_bigram_logprob)
+        docs = _t(spark, sf_dir, "documents")
+        out = kn_bigram_logprob(docs, "source", "text")
+        return out.select(
+            "source", "mean_kn_logprob",
+            F.round(F.exp(-F.col("mean_kn_logprob")), 6)
+            .alias("kn_perplexity"),
+            "n_bigrams")
+
     def bigram_lm_q(spark, sf_dir):
         """Per-doc mean bigram log-probability under the corpus's own
         add-one bigram LM — the sharper perplexity proxy (catches
@@ -6914,6 +6933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank_brand11": ppr_q,
         "doc_bigram_logprob": bigram_lm_q,
         "doc_kn_bigram_logprob": kn_bigram_lm_q,
+        "source_kn_perplexity": src_kn_ppl_q,
         "corpus_zipf_fit": zipf_q,
         "doc_compression_ratio": compression_q,
         "doc_byte_entropy": byte_entropy_q,
@@ -7039,6 +7059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (each oracle-verified locally before entering the window):
         # legacy portable DSIR bucket hash as an explicit entry
         "dsir_log_weights_portable",
+        # per-source Kneser-Ney perplexity dashboard (CCNet readout)
+        "source_kn_perplexity",
     ]
     never_graded = [
         # ROUND 11: graded-union reached 305/305 in r10 — no
@@ -9468,6 +9490,55 @@ JOIN ctx ON string_split(tf.bg, ' ')[1] = ctx.v
 JOIN contw ON string_split(tf.bg, ' ')[2] = contw.w
 CROSS JOIN n1t CROSS JOIN vocab
 GROUP BY doc_id
+""",
+        # per-source KN perplexity: the doc_kn body keyed by source,
+        # plus the exp(-mean) readout (rounded like its add-one
+        # sibling source_bigram_perplexity).
+        "source_kn_perplexity": rf"""
+WITH t AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+bgs AS (
+  SELECT source, bg,
+         string_split(bg, ' ')[1] AS v, string_split(bg, ' ')[2] AS w
+  FROM (
+    SELECT source,
+           unnest(CASE WHEN len(toks) > 1
+                       THEN list_transform(range(len(toks) - 1),
+                                           i -> toks[i+1] || ' ' || toks[i+2])
+                       ELSE [] END) AS bg
+    FROM t)),
+tf AS (SELECT source, bg, count(*) AS tf FROM bgs GROUP BY 1, 2),
+cnt AS (SELECT bg, count(*) AS cbg FROM bgs GROUP BY 1),
+ctx AS (SELECT v, count(*) AS cv, count(DISTINCT w) AS n1v
+        FROM bgs GROUP BY 1),
+contw AS (SELECT w, count(DISTINCT v) AS n1w FROM bgs GROUP BY 1),
+n1t AS (SELECT CAST(count(*) AS DOUBLE) AS n1tot FROM cnt),
+vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab
+  FROM (SELECT unnest(toks) AS tok FROM t)),
+per AS (
+  SELECT source,
+         {_grid_mean(
+             "sum(tf * " + _pin_ln(
+                 "greatest(cbg - 0.75, 0.0) / cv"
+                 " + (0.75 * n1v / cv)"
+                 " * ((n1w + 1.0) / (n1tot + vocab))") + ")",
+             "sum(tf)")}
+           AS mean_kn_logprob,
+         CAST(sum(tf) AS BIGINT) AS n_bigrams
+  FROM tf
+  JOIN cnt USING (bg)
+  JOIN ctx ON string_split(tf.bg, ' ')[1] = ctx.v
+  JOIN contw ON string_split(tf.bg, ' ')[2] = contw.w
+  CROSS JOIN n1t CROSS JOIN vocab
+  GROUP BY source)
+SELECT source, mean_kn_logprob,
+       round(exp(-mean_kn_logprob), 6) AS kn_perplexity,
+       n_bigrams
+FROM per
 """,
         # intra-doc line dedup: same synthetic chorus/duplicate-text
         # construction, first-occurrence row_number, ordered rebuild.

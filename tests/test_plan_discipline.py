@@ -203,8 +203,9 @@ def test_every_query_plans_clean(spark):
                     # Kneser-Ney: two 1-row scalar broadcasts (bigram-
                     # type total + vocab size, operators/terms.py
                     # kn_bigram_logprob) — same class as
-                    # doc_unigram_logprob/doc_bigram_logprob above
-                    "doc_kn_bigram_logprob",
+                    # doc_unigram_logprob/doc_bigram_logprob above;
+                    # the per-source readout shares the plan
+                    "doc_kn_bigram_logprob", "source_kn_perplexity",
                     "segment_revenue_decomposition",
                     # 1-row corpus-size frame under the rank pairing
                     "doc_negative_pairs",
