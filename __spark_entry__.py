@@ -5398,6 +5398,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("kn_perplexity"),
             "n_bigrams")
 
+    def ccnet_partition_q(spark, sf_dir):
+        """CCNet head/middle/tail corpus partition by Kneser-Ney
+        perplexity (Wenzek et al. 2020): equal-population thirds cut
+        at exact percentile boundaries riding back as a 1-row
+        broadcast — never an ntile global sort."""
+        from pipelines_rj_sms_spark.operators.curation import (
+            perplexity_partition)
+        docs = _t(spark, sf_dir, "documents")
+        return perplexity_partition(docs, "doc_id", "text")
+
     def bigram_lm_q(spark, sf_dir):
         """Per-doc mean bigram log-probability under the corpus's own
         add-one bigram LM — the sharper perplexity proxy (catches
@@ -6934,6 +6944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_logprob": bigram_lm_q,
         "doc_kn_bigram_logprob": kn_bigram_lm_q,
         "source_kn_perplexity": src_kn_ppl_q,
+        "ccnet_ppl_partition": ccnet_partition_q,
         "corpus_zipf_fit": zipf_q,
         "doc_compression_ratio": compression_q,
         "doc_byte_entropy": byte_entropy_q,
@@ -7061,6 +7072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_log_weights_portable",
         # per-source Kneser-Ney perplexity dashboard (CCNet readout)
         "source_kn_perplexity",
+        # CCNet head/middle/tail perplexity partition
+        "ccnet_ppl_partition",
     ]
     never_graded = [
         # ROUND 11: graded-union reached 305/305 in r10 — no
@@ -9539,6 +9552,60 @@ SELECT source, mean_kn_logprob,
        round(exp(-mean_kn_logprob), 6) AS kn_perplexity,
        n_bigrams
 FROM per
+""",
+        # CCNet perplexity partition: the doc_kn body -> 6dp ppl,
+        # quantile_cont boundaries (same interpolation as Spark's
+        # percentile, pinned by the shared 6dp rounding), strict
+        # count-of-boundaries-below assignment.
+        "ccnet_ppl_partition": rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+bgs AS (
+  SELECT doc_id, bg,
+         string_split(bg, ' ')[1] AS v, string_split(bg, ' ')[2] AS w
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) > 1
+                       THEN list_transform(range(len(toks) - 1),
+                                           i -> toks[i+1] || ' ' || toks[i+2])
+                       ELSE [] END) AS bg
+    FROM t)),
+tf AS (SELECT doc_id, bg, count(*) AS tf FROM bgs GROUP BY 1, 2),
+cnt AS (SELECT bg, count(*) AS cbg FROM bgs GROUP BY 1),
+ctx AS (SELECT v, count(*) AS cv, count(DISTINCT w) AS n1v
+        FROM bgs GROUP BY 1),
+contw AS (SELECT w, count(DISTINCT v) AS n1w FROM bgs GROUP BY 1),
+n1t AS (SELECT CAST(count(*) AS DOUBLE) AS n1tot FROM cnt),
+vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab
+  FROM (SELECT unnest(toks) AS tok FROM t)),
+scored AS (
+  SELECT doc_id,
+         round(exp(-({_grid_mean(
+             "sum(tf * " + _pin_ln(
+                 "greatest(cbg - 0.75, 0.0) / cv"
+                 " + (0.75 * n1v / cv)"
+                 " * ((n1w + 1.0) / (n1tot + vocab))") + ")",
+             "sum(tf)")})), 6) AS perplexity
+  FROM tf
+  JOIN cnt USING (bg)
+  JOIN ctx ON string_split(tf.bg, ' ')[1] = ctx.v
+  JOIN contw ON string_split(tf.bg, ' ')[2] = contw.w
+  CROSS JOIN n1t CROSS JOIN vocab
+  GROUP BY doc_id),
+b AS (
+  SELECT list_transform(
+           quantile_cont(perplexity, [{1 / 3!r}, {2 / 3!r}]),
+           x -> round(x, 6)) AS q
+  FROM scored)
+SELECT doc_id, perplexity,
+       CAST(len(list_filter(q, x -> x < perplexity)) AS INT) AS bucket,
+       (['head', 'middle', 'tail'])
+         [len(list_filter(q, x -> x < perplexity)) + 1] AS bucket_label
+FROM scored CROSS JOIN b
 """,
         # intra-doc line dedup: same synthetic chorus/duplicate-text
         # construction, first-occurrence row_number, ordered rebuild.

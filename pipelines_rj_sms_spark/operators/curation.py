@@ -304,3 +304,58 @@ def dedup_intra_doc_lines(df: DataFrame, id_col: str = "doc_id",
                      "\n").alias(out_col),
                  F.sum(F.when(F.col("_occ") > 1, 1).otherwise(0))
                  .cast("bigint").alias("n_lines_removed")))
+
+
+# --- CCNet perplexity partitioning ----------------------------------------
+
+
+def perplexity_partition(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         labels: tuple[str, ...] = ("head", "middle",
+                                                    "tail"),
+                         discount: float = 0.75) -> DataFrame:
+    """CCNet-style perplexity partition (Wenzek et al. 2020, public
+    method): score every document under the corpus's own Kneser-Ney
+    bigram LM, then split the corpus into ``len(labels)`` equal-
+    population buckets by perplexity — ``head`` is the most-fluent
+    (lowest-perplexity) slice that CCNet keeps outright, ``tail`` the
+    one it drops or down-samples. Returns (id, perplexity, bucket,
+    bucket_label); docs under 2 tokens emit no row (no bigram score
+    exists — same contract as :func:`~.terms.kn_bigram_logprob`).
+
+    Scale shape: the KN scorer's narrow aggs, then ONE exact-
+    percentile aggregation over the |docs|-row (id, ppl) frame whose
+    boundary list rides back as a 1-row broadcast; assignment is a
+    codegen'd count-of-boundaries-below — the ntile() spelling would
+    funnel every row through a single-partition sort, this never does
+    (the `equi_depth_histogram` discipline). Boundaries are rounded
+    to 6 dp before assignment and perplexities are already 6 dp, so
+    the cut is deterministic and engine-replayable; values equal to a
+    boundary land in the lower bucket.
+    """
+    from pipelines_rj_sms_spark.operators.cache import track
+    from pipelines_rj_sms_spark.operators.terms import kn_bigram_logprob
+
+    n_buckets = len(labels)
+    if n_buckets < 2:
+        raise ValueError("perplexity_partition needs >= 2 labels")
+    scores = kn_bigram_logprob(df, id_col, text_col, discount=discount)
+    scored = scores.select(
+        F.col(id_col),
+        F.round(F.exp(-F.col("mean_kn_logprob")), 6).alias("perplexity"))
+    # persisted: consumed by the percentile agg AND the assignment scan
+    scored = scored.persist()
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = F.broadcast(scored.agg(F.transform(
+        F.expr(f"percentile(perplexity, array({', '.join(map(str, qs))}))"),
+        lambda b: F.round(b, 6)).alias("_b")))
+    bucket = F.size(F.filter(F.col("_b"),
+                             lambda b: b < F.col("perplexity")))
+    label = F.element_at(F.array(*[F.lit(x) for x in labels]),
+                         bucket + 1)
+    return track(
+        scored.crossJoin(bounds)
+        .select(id_col, "perplexity",
+                bucket.cast("int").alias("bucket"),
+                label.alias("bucket_label")),
+        scored)
