@@ -5398,6 +5398,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("kn_perplexity"),
             "n_bigrams")
 
+    def logreg_quality_q(spark, sf_dir):
+        """fastText/CCNet-style discriminative quality classifier:
+        full-batch GD logistic regression over hashed unigram features
+        (poly bucket hash), trained to separate the English slice from
+        the pool, then scored back over the corpus. Bit-deterministic:
+        integer-grid weights, exact BIGINT margins, pinned sigmoid,
+        grid_mean-rounded updates (operators/classify.py)."""
+        from pipelines_rj_sms_spark.operators.classify import (
+            logreg_hashed_train, logreg_score)
+        docs = _t(spark, sf_dir, "documents")
+        w, feat = logreg_hashed_train(
+            docs, F.col("lang") == "en", "text", "doc_id",
+            n_buckets=128, n_iter=4)
+        return logreg_score(feat, w, "doc_id")
+
     def ccnet_partition_q(spark, sf_dir):
         """CCNet head/middle/tail corpus partition by Kneser-Ney
         perplexity (Wenzek et al. 2020): equal-population thirds cut
@@ -6945,6 +6960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kn_bigram_logprob": kn_bigram_lm_q,
         "source_kn_perplexity": src_kn_ppl_q,
         "ccnet_ppl_partition": ccnet_partition_q,
+        "logreg_quality_scores": logreg_quality_q,
         "corpus_zipf_fit": zipf_q,
         "doc_compression_ratio": compression_q,
         "doc_byte_entropy": byte_entropy_q,
@@ -7074,6 +7090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_kn_perplexity",
         # CCNet head/middle/tail perplexity partition
         "ccnet_ppl_partition",
+        # fastText-style hashed-logreg quality classifier
+        "logreg_quality_scores",
     ]
     never_graded = [
         # ROUND 11: graded-union reached 305/305 in r10 — no
@@ -7152,6 +7170,65 @@ SELECT n_rows, n_replicas,
        round(hi, 6) AS ci_hi
 FROM ci, obs
 """
+
+
+def _logreg_sql(n_buckets: int = 128, n_iter: int = 4,
+                lr_num: int = 1, lr_den: int = 2) -> str:
+    """DuckDB replay of logreg_quality_scores: identical poly feature
+    hash, intercept row, integer-grid weights, exact HUGEINT margins,
+    pinned sigmoid, and the grid_mean half-away-from-zero update —
+    one chained CTE pair (margin/residual -> gradient -> weights) per
+    training iteration, all in exact integer arithmetic except the
+    single pinned exp per distinct margin."""
+    poly_b = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+              "list_transform(string_split(term, ''), "
+              "c -> CAST(unicode(c) AS BIGINT))), "
+              "(a, cp) -> (a * 31 + cp) % 2147483647) "
+              f"% {n_buckets}")
+    sig_u = ("CAST(floor(1000000.0 / (1.0 + exp(-(CAST(mu AS DOUBLE) "
+             "/ 1000000.0))) + 0.5) AS BIGINT)")
+    parts = [rf"""
+WITH toks AS (
+  SELECT doc_id, CAST(lang = 'en' AS INT) AS y,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+fb AS (SELECT doc_id, y, {poly_b} AS b FROM toks),
+feat AS (
+  SELECT doc_id, y, b, CAST(count(*) AS BIGINT) AS tf
+  FROM fb GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT doc_id, CAST(lang = 'en' AS INT), -1, 1 FROM documents),
+nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM documents),
+w0 AS (SELECT DISTINCT b, CAST(0 AS HUGEINT) AS wu FROM feat)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+m{i} AS (
+  SELECT doc_id, y, SUM(CAST(tf AS HUGEINT) * wu) AS mu
+  FROM feat JOIN w{i - 1} USING (b) GROUP BY 1, 2),
+p{i} AS (SELECT doc_id, {sig_u} - y * 1000000 AS ru FROM m{i}),
+g{i} AS (
+  SELECT b, SUM(CAST(tf AS HUGEINT) * ru) AS g
+  FROM feat JOIN p{i} USING (doc_id) GROUP BY 1),
+w{i} AS (
+  SELECT w.b,
+         w.wu - COALESCE(
+           CASE WHEN g.g < 0
+                THEN -((2 * {lr_num} * (-g.g) + n * {lr_den})
+                       // (2 * {lr_den} * n))
+                ELSE ((2 * {lr_num} * g.g + n * {lr_den})
+                      // (2 * {lr_den} * n)) END, 0) AS wu
+  FROM w{i - 1} w LEFT JOIN g{i} g USING (b) CROSS JOIN nn)""")
+    parts.append(f""",
+mfin AS (
+  SELECT doc_id, y, SUM(CAST(tf AS HUGEINT) * wu) AS mu
+  FROM feat JOIN w{n_iter} USING (b) GROUP BY 1, 2)
+SELECT doc_id, y,
+       CAST(mu AS DOUBLE) / 1000000.0 AS margin,
+       CAST({sig_u} AS DOUBLE) / 1000000.0 AS prob,
+       CAST(mu >= 0 AS INT) AS predicted
+FROM mfin""")
+    return "".join(parts)
 
 
 def _domain_cap_sql() -> str:
@@ -7606,6 +7683,7 @@ LIMIT 50
 """,
         "url_canonical_dedup": _URL_CANON_DUCK,
         "domain_cap_sampled": _domain_cap_sql(),
+        "logreg_quality_scores": _logreg_sql(),
         # boilerplate removal: same synthetic nav/footer construction,
         # same integer cross-multiplied 5% threshold, same ordered
         # line rebuild (list ORDER BY pos FILTER not-boilerplate).

@@ -341,3 +341,130 @@ def brier_decomposition(df: DataFrame, prob_col: str, outcome_col: str,
         F.round(unc, 6).alias("uncertainty"),
         F.round(F.col("_bs") - (F.col("_rel") - F.col("_res") + unc),
                 6).alias("within_bin_term"))
+
+
+# --- hashed logistic regression (fastText-style quality classifier) ------
+
+
+def logreg_hashed_train(df: DataFrame, target, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        n_buckets: int = 256, n_iter: int = 5,
+                        lr_num: int = 1, lr_den: int = 2,
+                        hash_fn: str = "poly",
+                        ) -> tuple[DataFrame, DataFrame]:
+    """Full-batch gradient-descent logistic regression over
+    hashing-trick unigram features — the discriminative sibling of
+    DSIR and the gradient-trained counterpart of :func:`nb_train`
+    (the fastText/CCNet-style quality-classifier recipe: a linear
+    model over hashed bag-of-words, trained to separate a target
+    slice from the pool; Joulin et al. 2016, Wenzek et al. 2020,
+    public formulations). Returns ``(weights, features)``:
+    ``weights`` = (b, wu) final per-bucket weights in integer 1e-6
+    units (bucket -1 is the intercept), ``features`` = the persisted
+    (id, b, tf, y) design frame for scoring reuse.
+
+    Deterministic by the repo's integer-grid contract: weights live
+    on the 1e-6 unit grid, margins are exact BIGINT dot products of
+    (tf x weight-units), the sigmoid is the ONLY transcendental and
+    is pinned to the grid immediately (``pin_units`` — same accepted
+    libm-ulp flip surface as the pinned-ln family), residuals and
+    gradients are exact DECIMAL(38,0) sums, and the update step
+    rounds lr*G/n half-away-from-zero in pure integer arithmetic
+    (the ``grid_mean`` construction). Same inputs => bit-identical
+    weights on any engine at any partitioning.
+
+    Scale shape (the HITS posture): the design frame is one token
+    explode + hash agg, persisted once and reused by all iterations;
+    each iteration is one broadcast equi-join with the <=n_buckets-row
+    weight frame, one per-doc hash agg, one per-bucket hash agg, and
+    a 1-row doc-count broadcast — O(n_iter) shuffles of narrow rows,
+    nothing driver-side, nothing O(n^2). Weight frames are persisted
+    per iteration (each is consumed by the next round AND the final
+    output) and carried on the returned frames' ledger.
+    """
+    from pipelines_rj_sms_spark.functions.numeric import LOG_SCALE, pin_units
+    from pipelines_rj_sms_spark.operators.cache import track
+    from pipelines_rj_sms_spark.operators.curation import feature_bucket
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        target.cast("int").alias("_y"),
+        F.explode(tokens(text_col)).alias("_t"))
+    feat = (toks
+            .select("_id", "_y",
+                    feature_bucket(F.col("_t"), n_buckets,
+                                   hash_fn=hash_fn).alias("_b"))
+            .groupBy("_id", "_y", "_b")
+            .agg(F.count("*").alias("_tf")))
+    # intercept: bucket -1 with tf=1 under every doc
+    feat = feat.unionByName(
+        df.select(F.col(id_col).alias("_id"),
+                  target.cast("int").alias("_y"),
+                  F.lit(-1).cast("long").alias("_b"),
+                  F.lit(1).cast("long").alias("_tf")))
+    feat = feat.persist()
+    pins = [feat]
+
+    n_docs = F.broadcast(
+        df.agg(F.count("*").cast("decimal(38,0)").alias("_n")))
+    w = feat.select("_b").distinct().withColumn(
+        "_wu", F.lit(0).cast("long"))
+    for _ in range(n_iter):
+        w = track(w.persist())
+        pins.append(w)
+        # exact integer margin units, one broadcast join + hash agg
+        m = (feat.join(F.broadcast(w), "_b")
+             .groupBy("_id", "_y")
+             .agg(F.sum(F.col("_tf") * F.col("_wu")).alias("_mu")))
+        # pinned sigmoid (the only transcendental; grid flip surface
+        # is per DISTINCT margin — the pinned-ln contract)
+        p = m.select(
+            "_id",
+            (pin_units(F.lit(1.0)
+                       / (F.lit(1.0)
+                          + F.exp(-(F.col("_mu").cast("double")
+                                    / F.lit(float(LOG_SCALE))))))
+             - F.col("_y") * F.lit(LOG_SCALE)).alias("_ru"))
+        g = (feat.join(p, "_id")
+             .groupBy("_b")
+             .agg(F.sum((F.col("_tf") * F.col("_ru"))
+                        .cast("decimal(38,0)")).alias("_g")))
+        # exact half-away-from-zero Δu = round(lr*G / n): the
+        # grid_mean construction — a - a%b is exactly divisible
+        a = F.abs(F.col("_g")) * F.lit(2 * lr_num) + F.col("_n") * F.lit(lr_den)
+        b = F.col("_n") * F.lit(2 * lr_den)
+        du = ((a - a % b) / b).cast("long") * \
+            F.when(F.col("_g") < 0, F.lit(-1)).otherwise(F.lit(1))
+        w = (w.join(g.crossJoin(n_docs), "_b", "left")
+             .select("_b",
+                     (F.col("_wu") - F.coalesce(du, F.lit(0)))
+                     .alias("_wu")))
+    weights = track(w.select(F.col("_b").alias("b"), F.col("_wu").alias("wu")),
+                    *pins)
+    features = track(feat.select(F.col("_id").alias(id_col),
+                                 F.col("_y").alias("y"),
+                                 F.col("_b").alias("b"),
+                                 F.col("_tf").alias("tf")), *pins)
+    return weights, features
+
+
+def logreg_score(features: DataFrame, weights: DataFrame,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Score the :func:`logreg_hashed_train` design frame with a
+    weight frame: (id, y, margin, prob, predicted). Margin is the
+    exact integer dot product emitted on the 1e-6 grid; prob is the
+    pinned sigmoid of that margin; predicted = prob >= 0.5 (margin
+    sign — exact). One broadcast equi-join + one hash agg."""
+    from pipelines_rj_sms_spark.functions.numeric import LOG_SCALE, pin_units
+
+    m = (features.join(F.broadcast(weights), "b")
+         .groupBy(F.col(id_col), F.col("y"))
+         .agg(F.sum(F.col("tf") * F.col("wu")).alias("_mu")))
+    margin = F.col("_mu").cast("double") / F.lit(float(LOG_SCALE))
+    prob = pin_units(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))) \
+        / F.lit(float(LOG_SCALE))
+    return m.select(
+        F.col(id_col), F.col("y"),
+        margin.alias("margin"),
+        prob.alias("prob"),
+        (F.col("_mu") >= 0).cast("int").alias("predicted"))

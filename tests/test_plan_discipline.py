@@ -209,6 +209,9 @@ def test_every_query_plans_clean(spark):
                     # KN scalar broadcasts + the 1-row percentile-
                     # boundary broadcast (equi_depth discipline)
                     "ccnet_ppl_partition",
+                    # 1-row doc-count broadcast under each GD update
+                    # (operators/classify.py logreg_hashed_train)
+                    "logreg_quality_scores",
                     "segment_revenue_decomposition",
                     # 1-row corpus-size frame under the rank pairing
                     "doc_negative_pairs",
