@@ -5398,6 +5398,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("kn_perplexity"),
             "n_bigrams")
 
+    def kn_trigram_lm_q(spark, sf_dir):
+        """Per-doc mean trigram log-probability under interpolated
+        Kneser-Ney with full continuation backoff (KenLM order 3) —
+        the sharper LM filter one order above doc_kn_bigram_logprob.
+        Seven hash aggs, five equi-joins on n-gram keys, two 1-row
+        broadcasts; pinned-ln exact sums."""
+        from pipelines_rj_sms_spark.operators.terms import (
+            kn_trigram_logprob)
+        docs = _t(spark, sf_dir, "documents")
+        return kn_trigram_logprob(docs, "doc_id", "text")
+
     def logreg_quality_q(spark, sf_dir):
         """fastText/CCNet-style discriminative quality classifier:
         full-batch GD logistic regression over hashed unigram features
@@ -6961,6 +6972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_kn_perplexity": src_kn_ppl_q,
         "ccnet_ppl_partition": ccnet_partition_q,
         "logreg_quality_scores": logreg_quality_q,
+        "doc_kn_trigram_logprob": kn_trigram_lm_q,
         "corpus_zipf_fit": zipf_q,
         "doc_compression_ratio": compression_q,
         "doc_byte_entropy": byte_entropy_q,
@@ -7092,6 +7104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_ppl_partition",
         # fastText-style hashed-logreg quality classifier
         "logreg_quality_scores",
+        # KenLM order-3: trigram KN with continuation backoff
+        "doc_kn_trigram_logprob",
     ]
     never_graded = [
         # ROUND 11: graded-union reached 305/305 in r10 — no
@@ -9630,6 +9644,73 @@ SELECT source, mean_kn_logprob,
        round(exp(-mean_kn_logprob), 6) AS kn_perplexity,
        n_bigrams
 FROM per
+""",
+        # trigram KN with continuation backoff: highest-order stats
+        # from the trigram multiset, unigram-continuation floor from
+        # the bigram-type set (the operator's documented count
+        # contract), pinned-ln grid_mean.
+        "doc_kn_trigram_logprob": rf"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+tgs AS MATERIALIZED (
+  SELECT doc_id, tg,
+         string_split(tg, ' ')[1] AS u, string_split(tg, ' ')[2] AS v,
+         string_split(tg, ' ')[3] AS w
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) > 2
+                       THEN list_transform(range(len(toks) - 2),
+                                           i -> toks[i+1] || ' ' || toks[i+2]
+                                                || ' ' || toks[i+3])
+                       ELSE [] END) AS tg
+    FROM t)),
+tf AS (SELECT doc_id, tg, count(*) AS tf FROM tgs GROUP BY 1, 2),
+cnt3 AS (SELECT tg, count(*) AS c3 FROM tgs GROUP BY 1),
+ctx3 AS (SELECT u, v, count(*) AS cuv, count(DISTINCT w) AS n1uv
+         FROM tgs GROUP BY 1, 2),
+cont_vw AS (SELECT v, w, count(DISTINCT u) AS n1vw
+            FROM tgs GROUP BY 1, 2),
+cont_v AS (
+  SELECT v, count(*) AS n1v_mid, count(DISTINCT w) AS n1v_hi
+  FROM (SELECT DISTINCT u, v, w FROM tgs) GROUP BY 1),
+bg_types AS MATERIALIZED (
+  SELECT DISTINCT string_split(bg, ' ')[1] AS bv,
+         string_split(bg, ' ')[2] AS bw
+  FROM (
+    SELECT unnest(CASE WHEN len(toks) > 1
+                       THEN list_transform(range(len(toks) - 1),
+                                           i -> toks[i+1] || ' ' || toks[i+2])
+                       ELSE [] END) AS bg
+    FROM t)),
+contw AS (SELECT bw AS w, count(*) AS n1w FROM bg_types GROUP BY 1),
+n1t AS (SELECT CAST(count(*) AS DOUBLE) AS n1tot FROM bg_types),
+vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab
+  FROM (SELECT unnest(toks) AS tok FROM t))
+SELECT doc_id,
+       {_grid_mean(
+           "sum(tf * " + _pin_ln(
+               "greatest(c3 - 0.75, 0.0) / cuv"
+               " + (0.75 * n1uv / cuv) * ("
+               "greatest(n1vw - 0.75, 0.0) / n1v_mid"
+               " + (0.75 * n1v_hi / n1v_mid)"
+               " * ((n1w + 1.0) / (n1tot + vocab)))") + ")",
+           "sum(tf)")}
+         AS mean_kn3_logprob,
+       CAST(sum(tf) AS BIGINT) AS n_trigrams
+FROM tf
+JOIN cnt3 USING (tg)
+JOIN ctx3 ON string_split(tf.tg, ' ')[1] = ctx3.u
+         AND string_split(tf.tg, ' ')[2] = ctx3.v
+JOIN cont_vw ON string_split(tf.tg, ' ')[2] = cont_vw.v
+            AND string_split(tf.tg, ' ')[3] = cont_vw.w
+JOIN cont_v ON string_split(tf.tg, ' ')[2] = cont_v.v
+JOIN contw ON string_split(tf.tg, ' ')[3] = contw.w
+CROSS JOIN n1t CROSS JOIN vocab
+GROUP BY doc_id
 """,
         # CCNet perplexity partition: the doc_kn body -> 6dp ppl,
         # quantile_cont boundaries (same interpolation as Spark's

@@ -354,6 +354,88 @@ def kn_bigram_logprob(df: DataFrame, id_col: str, text_col: str,
                     "n_bigrams"))
 
 
+def kn_trigram_logprob(df: DataFrame, id_col: str, text_col: str,
+                       discount: float = 0.75) -> DataFrame:
+    """Per-document mean TRIGRAM log-probability under interpolated
+    Kneser-Ney with full continuation-count backoff (the KenLM order-3
+    model; Kneser & Ney 1995 / Chen & Goodman 1998, public
+    formulations), trained on the corpus itself:
+
+        p3(w|u,v) = max(c(uvw)-D,0)/c(uv.)
+                    + D*N1+(uv.)/c(uv.) * p2c(w|v)
+        p2c(w|v)  = max(N1+(.vw)-D,0)/N1+(.v.)
+                    + D*N1c(v.)/N1+(.v.) * p1c(w)
+        p1c(w)    = (N1+(.w) + 1) / (N1+(..) + V)
+
+    Count contract (documented; the oracle replays it verbatim):
+    highest-order stats come from the corpus TRIGRAM multiset
+    (c(uvw), c(uv.), N1+(uv.) distinct w after uv; N1+(.vw) distinct
+    u before vw; N1+(.v.) distinct (u,w) around v; N1c(v.) distinct w
+    after v *within trigrams*), while the unigram continuation floor
+    reuses the BIGRAM-set stats of :func:`kn_bigram_logprob`
+    (N1+(.w), N1+(..), V) so the lowest order sees clause-final
+    bigrams trigrams cannot. Docs under 3 tokens emit no row.
+
+    Scale shape: one trigram + one bigram explode (narrow strings),
+    seven hash aggs, five equi-joins keyed on (u,v,w)/(u,v)/(v,w)/v/w,
+    and two 1-row broadcasts (bigram-type total, vocab). One IEEE
+    expression per trigram TYPE pinned to the 1e-6 ln grid before the
+    tf multiply, exact DECIMAL sums, ``grid_mean`` 6dp output — the
+    bit-identical cross-engine contract of the whole logprob family.
+    """
+    from pipelines_rj_sms_spark.functions.text import token_ngrams
+
+    d = float(discount)
+    tgs = (df.select(F.col(id_col),
+                     F.explode(token_ngrams(text_col, 3)).alias("tg"))
+           .withColumn("u", F.split(F.col("tg"), " ")[0])
+           .withColumn("v", F.split(F.col("tg"), " ")[1])
+           .withColumn("w", F.split(F.col("tg"), " ")[2]))
+    tf = tgs.groupBy(id_col, "tg").agg(F.count("*").alias("tf"))
+    cnt3 = tgs.groupBy("tg").agg(F.count("*").alias("c3"))
+    ctx3 = tgs.groupBy("u", "v").agg(F.count("*").alias("cuv"),
+                                     F.count_distinct("w").alias("n1uv"))
+    cont_vw = tgs.groupBy("v", "w").agg(
+        F.count_distinct("u").alias("n1vw"))
+    cont_v = (tgs.select("u", "v", "w").distinct()
+              .groupBy("v").agg(F.count("*").alias("n1v_mid"),
+                                F.count_distinct("w").alias("n1v_hi")))
+    bgs = (df.select(F.explode(token_bigrams(text_col)).alias("bg"))
+           .withColumn("bv", F.split(F.col("bg"), " ")[0])
+           .withColumn("bw", F.split(F.col("bg"), " ")[1]))
+    bg_types = bgs.select("bv", "bw").distinct()
+    contw = bg_types.groupBy(F.col("bw").alias("w")).agg(
+        F.count("*").alias("n1w"))
+    n1tot = F.broadcast(bg_types.agg(
+        F.count("*").cast("double").alias("_n1tot")))
+    vocab = F.broadcast(
+        df.select(F.explode(tokens(text_col)).alias("t"))
+        .agg(F.count_distinct("t").cast("double").alias("_vocab")))
+    p1c = ((F.col("n1w") + F.lit(1.0))
+           / (F.col("_n1tot") + F.col("_vocab")))
+    p2c = (F.greatest(F.col("n1vw") - F.lit(d), F.lit(0.0))
+           / F.col("n1v_mid")
+           + (F.lit(d) * F.col("n1v_hi") / F.col("n1v_mid")) * p1c)
+    p3 = (F.greatest(F.col("c3") - F.lit(d), F.lit(0.0)) / F.col("cuv")
+          + (F.lit(d) * F.col("n1uv") / F.col("cuv")) * p2c)
+    logp_u = det_log_units(p3)
+    return (tf.join(cnt3, "tg")
+            .withColumn("u", F.split(F.col("tg"), " ")[0])
+            .withColumn("v", F.split(F.col("tg"), " ")[1])
+            .withColumn("w", F.split(F.col("tg"), " ")[2])
+            .join(ctx3, ["u", "v"]).join(cont_vw, ["v", "w"])
+            .join(cont_v, "v").join(contw, "w")
+            .crossJoin(n1tot).crossJoin(vocab)
+            .groupBy(id_col)
+            .agg(F.sum(F.col("tf").cast("decimal(38,0)") * logp_u)
+                 .alias("_s"),
+                 F.sum("tf").alias("n_trigrams"))
+            .select(id_col,
+                    grid_mean(F.col("_s"), F.col("n_trigrams"))
+                    .alias("mean_kn3_logprob"),
+                    "n_trigrams"))
+
+
 def zipf_fit(df: DataFrame, text_col: str,
              min_count: int = 2) -> DataFrame:
     """Zipf's-law diagnostic of the corpus's token frequency spectrum:

@@ -206,6 +206,7 @@ def test_every_query_plans_clean(spark):
                     # doc_unigram_logprob/doc_bigram_logprob above;
                     # the per-source readout shares the plan
                     "doc_kn_bigram_logprob", "source_kn_perplexity",
+                    "doc_kn_trigram_logprob",
                     # KN scalar broadcasts + the 1-row percentile-
                     # boundary broadcast (equi_depth discipline)
                     "ccnet_ppl_partition",

@@ -360,3 +360,44 @@ def test_kn_bigram_partition_invariant(spark):
     b = {tuple(r) for r in kn_bigram_logprob(
         df.repartition(16), "doc_id", "text").collect()}
     assert a == b and len(a) == 60
+
+
+def test_kn_trigram_short_doc_contract_and_counts(spark):
+    from pipelines_rj_sms_spark.operators.terms import kn_trigram_logprob
+    docs = [(1, "a b c d"), (2, "a b"), (3, ""), (4, "x y z")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r
+           for r in kn_trigram_logprob(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 4}           # <3 tokens emit no row
+    assert out[1]["n_trigrams"] == 2    # "a b c", "b c d"
+    assert out[4]["n_trigrams"] == 1
+    # proper probabilities: mean logprob strictly negative
+    assert all(r["mean_kn3_logprob"] < 0 for r in out.values())
+
+
+def test_kn_trigram_sharper_than_bigram_on_templated_text(spark):
+    """Order 3 separates fixed 3-word collocations from shuffled ones
+    that share every BIGRAM context distribution as much as possible:
+    the doc made of the corpus-dominant trigram scores above a doc of
+    never-seen trigrams built from seen words."""
+    from pipelines_rj_sms_spark.operators.terms import kn_trigram_logprob
+    corpus = [(i, "new york city") for i in range(10)]
+    corpus += [(50, "york city new"), (51, "city new york")]
+    probe = [(900, "new york city new york city"),
+             (901, "york new city york new city")]
+    df = spark.createDataFrame(corpus + probe, ["doc_id", "text"])
+    out = {r["doc_id"]: r["mean_kn3_logprob"]
+           for r in kn_trigram_logprob(df, "doc_id", "text").collect()}
+    assert out[900] > out[901]
+
+
+def test_kn_trigram_partition_invariant(spark):
+    from pipelines_rj_sms_spark.operators.terms import kn_trigram_logprob
+    docs = [(i, f"w{i % 5} w{(i + 1) % 7} w{i % 3} w{(i * 3) % 11} w{i % 2}")
+            for i in range(60)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    a = {tuple(r) for r in kn_trigram_logprob(
+        df.coalesce(1), "doc_id", "text").collect()}
+    b = {tuple(r) for r in kn_trigram_logprob(
+        df.repartition(16), "doc_id", "text").collect()}
+    assert a == b and len(a) == 60
