@@ -5398,6 +5398,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("kn_perplexity"),
             "n_bigrams")
 
+    def kmeans_q(spark, sf_dir):
+        """Distributed Lloyd's k-means over the embeddings table (k=8,
+        4 iterations) — whole-corpus training, bit-deterministic
+        (pinned seeds/centroids, left-fold distances, grid_mean
+        updates); the sampled-driver IVF trainer's exact sibling."""
+        from pipelines_rj_sms_spark.operators.similarity import (
+            kmeans_lloyd)
+        emb = _t(spark, sf_dir, "embeddings")
+        return kmeans_lloyd(emb, "vec_id", "embedding", k=8, n_iter=4)
+
     def kn_trigram_lm_q(spark, sf_dir):
         """Per-doc mean trigram log-probability under interpolated
         Kneser-Ney with full continuation backoff (KenLM order 3) —
@@ -6973,6 +6983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_ppl_partition": ccnet_partition_q,
         "logreg_quality_scores": logreg_quality_q,
         "doc_kn_trigram_logprob": kn_trigram_lm_q,
+        "kmeans_embedding_clusters": kmeans_q,
         "corpus_zipf_fit": zipf_q,
         "doc_compression_ratio": compression_q,
         "doc_byte_entropy": byte_entropy_q,
@@ -7106,6 +7117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_quality_scores",
         # KenLM order-3: trigram KN with continuation backoff
         "doc_kn_trigram_logprob",
+        # distributed Lloyd's k-means over embeddings
+        "kmeans_embedding_clusters",
     ]
     never_graded = [
         # ROUND 11: graded-union reached 305/305 in r10 — no
@@ -7184,6 +7197,60 @@ SELECT n_rows, n_replicas,
        round(hi, 6) AS ci_hi
 FROM ci, obs
 """
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 4) -> str:
+    """DuckDB replay of kmeans_embedding_clusters: identical pinned
+    seeds, left-fold squared-L2 (list_prepend 0 + list_reduce — the
+    same addition order as Spark's aggregate-over-zip_with), (d2, cl)
+    tie-broken assignment, and grid_mean centroid updates — one CTE
+    triple per Lloyd iteration."""
+    from pipelines_rj_sms_spark.functions.numeric import grid_mean_sql
+    d2 = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+          "list_transform(range(len(xv)), "
+          "j -> (xv[j+1] - cv[j+1]) * (xv[j+1] - cv[j+1]))), "
+          "(acc, v) -> acc + v)")
+    gm = grid_mean_sql(
+        "SUM(CAST(floor(v * 1000000.0 + 0.5) AS HUGEINT))", "count(*)")
+    parts = [f"""
+WITH x AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xv
+  FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
+         list_transform(xv,
+           v -> floor(v * 1000000.0 + 0.5) / 1000000.0) AS cv
+  FROM (SELECT vec_id, xv FROM x ORDER BY vec_id LIMIT {k}))"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+a{i} AS MATERIALIZED (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY {d2}, cl) AS rn
+    FROM x CROSS JOIN c{i - 1}) WHERE rn = 1),
+u{i} AS (
+  SELECT cl, dim, {gm} AS cvv
+  FROM (SELECT a.cl, j.dim, x.xv[j.dim + 1] AS v
+        FROM a{i} a JOIN x USING (vec_id),
+             LATERAL (SELECT unnest(range(0, len(x.xv))) AS dim) j)
+  GROUP BY cl, dim),
+n{i} AS (SELECT cl, list(cvv ORDER BY dim) AS cv FROM u{i} GROUP BY cl),
+c{i} AS (
+  SELECT c.cl, COALESCE(n.cv, c.cv) AS cv
+  FROM c{i - 1} c LEFT JOIN n{i} n USING (cl))""")
+    parts.append(f"""
+SELECT vec_id, CAST(cl AS INT) AS cluster,
+       floor(d2v * 1000000.0 + 0.5) / 1000000.0 AS d2
+FROM (
+  SELECT vec_id, cl, d2v,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2v, cl) AS rn
+  FROM (SELECT vec_id, cl, {d2} AS d2v
+        FROM x CROSS JOIN c{n_iter}))
+WHERE rn = 1""")
+    return "".join(parts)
 
 
 def _logreg_sql(n_buckets: int = 128, n_iter: int = 4,
@@ -7698,6 +7765,7 @@ LIMIT 50
         "url_canonical_dedup": _URL_CANON_DUCK,
         "domain_cap_sampled": _domain_cap_sql(),
         "logreg_quality_scores": _logreg_sql(),
+        "kmeans_embedding_clusters": _kmeans_sql(),
         # boilerplate removal: same synthetic nav/footer construction,
         # same integer cross-multiplied 5% threshold, same ordered
         # line rebuild (list ORDER BY pos FILTER not-boilerplate).

@@ -845,3 +845,97 @@ def bitext_margin_pairs(x_df: DataFrame, y_df: DataFrame, k: int = 4,
         (F.col("_u") / F.lit(1e6)).alias("cosine_sim"),
         pin_round6(F.col("_m")).alias("margin"))
     return track(out, *legs)
+
+
+# --- distributed Lloyd's k-means (oracle-exact) ---------------------------
+
+
+def kmeans_lloyd(df: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding", k: int = 8,
+                 n_iter: int = 4) -> DataFrame:
+    """Fully distributed Lloyd's k-means over an embedding column —
+    the whole-corpus counterpart of :func:`train_ivf_centroids`
+    (which trains on a bounded driver sample, the FAISS recipe). Use
+    this when the sample would bias the quantizer or when the cluster
+    assignment itself IS the product (corpus bucketing for SemDeDup /
+    diversity mixes). Returns (id, cluster, d2): the final hard
+    assignment and its squared L2 distance (1e-6-pinned).
+
+    Bit-deterministic on any engine at any partitioning:
+
+    - seeds are the ``k`` lowest-id vectors, every dimension pinned to
+      the 1e-6 grid; cluster index = rank of the seed id;
+    - distances fold left over the dimension array (``zip_with`` +
+      ``aggregate`` — fixed order, so the IEEE sum is reproducible,
+      unlike a SUM over an exploded frame);
+    - assignment is ``min(struct(d2, cluster))`` — one hash agg, ties
+      break on the lower cluster id, never a sort window;
+    - centroid updates are exact: per-(cluster, dim) BIGINT sums of
+      1e-6-pinned values, divided with ``grid_mean``'s half-away
+      integer rounding, so every new centroid lands on the grid;
+    - empty clusters keep their previous centroid (documented).
+
+    Scale shape (the HITS/logreg posture): the pinned design frame is
+    persisted once; each iteration is one broadcast of the k-row
+    centroid frame under every vector (the sanctioned |C|-row pattern
+    — cost k*n narrow rows, never data x data), one assignment hash
+    agg, and one (cluster, dim)-keyed update agg bounded by k*dims
+    output rows. O(n_iter) shuffles; nothing driver-side.
+    """
+    from pyspark.sql import Window
+
+    from pipelines_rj_sms_spark.functions.numeric import (grid_mean,
+                                                          pin_units)
+    from pipelines_rj_sms_spark.operators.cache import track
+
+    def pin6(c: Column) -> Column:
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    x = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col),
+                    lambda v: v.cast("double")).alias("_x")).persist()
+    pins = [x]
+    # k seed rows -> a k-row window is fine; the data never sorts
+    seeds = x.orderBy("_id").limit(k)
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("_id")) - 1).alias("_cl"),
+        F.transform("_x", pin6).alias("_c"))
+
+    def d2_col() -> Column:
+        return F.aggregate(
+            F.zip_with("_x", "_c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    def assign_frame(cframe: DataFrame) -> DataFrame:
+        d2 = (x.crossJoin(F.broadcast(cframe))
+              .select("_id", "_cl", d2_col().alias("_d2")))
+        return (d2.groupBy("_id")
+                .agg(F.min(F.struct("_d2", "_cl")).alias("_m"))
+                .select("_id", F.col("_m._cl").alias("_cl"),
+                        F.col("_m._d2").alias("_d2")))
+
+    for _ in range(n_iter):
+        cents = track(cents.persist())
+        pins.append(cents)
+        assign = assign_frame(cents).select("_id", "_cl")
+        dims = (assign.join(x, "_id")
+                .select("_cl", F.posexplode("_x").alias("_dim", "_v")))
+        upd = (dims.groupBy("_cl", "_dim")
+               .agg(F.sum(pin_units(F.col("_v"))).alias("_su"),
+                    F.count("*").alias("_n"))
+               .select("_cl", "_dim",
+                       grid_mean(F.col("_su"), F.col("_n")).alias("_cv")))
+        new_c = (upd.groupBy("_cl")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("_dim", "_cv"))),
+                     lambda s: s["_cv"]).alias("_c")))
+        cents = (cents.select("_cl", F.col("_c").alias("_c_old"))
+                 .join(new_c, "_cl", "left")
+                 .select("_cl",
+                         F.coalesce("_c", "_c_old").alias("_c")))
+    out = assign_frame(cents).select(
+        F.col("_id").alias(id_col),
+        F.col("_cl").cast("int").alias("cluster"),
+        pin6(F.col("_d2")).alias("d2"))
+    return track(out, *pins)

@@ -213,6 +213,10 @@ def test_every_query_plans_clean(spark):
                     # 1-row doc-count broadcast under each GD update
                     # (operators/classify.py logreg_hashed_train)
                     "logreg_quality_scores",
+                    # k-row centroid frame under every vector (the
+                    # sanctioned |C|-row pattern, similarity.py
+                    # kmeans_lloyd)
+                    "kmeans_embedding_clusters",
                     "segment_revenue_decomposition",
                     # 1-row corpus-size frame under the rank pairing
                     "doc_negative_pairs",
