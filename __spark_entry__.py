@@ -3812,6 +3812,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = similarity.semantic_dedup(emb, cents, threshold=0.3)
         return out.select("vec_id")
 
+    def semdedup_kmeans_q(spark, sf_dir):
+        """SemDeDup with the paper's own cell construction (Abbas et
+        al. 2023): whole-corpus Lloyd's k-means cells (k=8, 4 iters,
+        bit-deterministic) instead of the sampled-IVF approximation,
+        then drop rows with a lower-id same-cell neighbor above the
+        cosine threshold. Pair cost is within-cell only."""
+        from pipelines_rj_sms_spark.operators.similarity import (
+            kmeans_lloyd, semantic_dedup)
+        emb = _t(spark, sf_dir, "embeddings")
+        cells = kmeans_lloyd(emb, "vec_id", "embedding",
+                             k=8, n_iter=4).withColumnRenamed(
+            "cluster", "ivf_cell")
+        out = semantic_dedup(emb, None, threshold=0.3, cells_df=cells)
+        return out.select("vec_id")
+
     def event_funnel(spark, sf_dir):
         """Windowed-funnel aggregate (ClickHouse windowFunnel shape):
         furthest signup→click→purchase stage per user via ONE hash agg
@@ -6906,6 +6921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_sample": corpus_mix_sample,
         "l_diversity_violations_daily": l_diversity_check,
         "semantic_dedup_survivors": semantic_dedup_q,
+        "semdedup_kmeans_survivors": semdedup_kmeans_q,
         "event_funnel_conversion": event_funnel,
         "cohort_retention_monthly": cohort_retention_q,
         "linked_addresses": linked_addresses,
@@ -7119,6 +7135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kn_trigram_logprob",
         # distributed Lloyd's k-means over embeddings
         "kmeans_embedding_clusters",
+        # SemDeDup over whole-corpus k-means cells (paper recipe)
+        "semdedup_kmeans_survivors",
     ]
     never_graded = [
         # ROUND 11: graded-union reached 305/305 in r10 — no
@@ -7199,12 +7217,13 @@ FROM ci, obs
 """
 
 
-def _kmeans_sql(k: int = 8, n_iter: int = 4) -> str:
-    """DuckDB replay of kmeans_embedding_clusters: identical pinned
-    seeds, left-fold squared-L2 (list_prepend 0 + list_reduce — the
-    same addition order as Spark's aggregate-over-zip_with), (d2, cl)
-    tie-broken assignment, and grid_mean centroid updates — one CTE
-    triple per Lloyd iteration."""
+def _kmeans_cte(k: int = 8, n_iter: int = 4) -> str:
+    """DuckDB replay of kmeans_lloyd, ending at the final-assignment
+    CTE ``afin(vec_id, cl, d2v)``: identical pinned seeds, left-fold
+    squared-L2 (list_prepend 0 + list_reduce — the same addition order
+    as Spark's aggregate-over-zip_with), (d2, cl) tie-broken
+    assignment, and grid_mean centroid updates — one CTE triple per
+    Lloyd iteration. Shared by the k-means and SemDeDup oracles."""
     from pipelines_rj_sms_spark.functions.numeric import grid_mean_sql
     d2 = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
           "list_transform(range(len(xv)), "
@@ -7240,17 +7259,42 @@ n{i} AS (SELECT cl, list(cvv ORDER BY dim) AS cv FROM u{i} GROUP BY cl),
 c{i} AS (
   SELECT c.cl, COALESCE(n.cv, c.cv) AS cv
   FROM c{i - 1} c LEFT JOIN n{i} n USING (cl))""")
-    parts.append(f"""
+    parts.append(f""",
+afin AS MATERIALIZED (
+  SELECT vec_id, cl, d2v FROM (
+    SELECT vec_id, cl, d2v,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2v, cl) AS rn
+    FROM (SELECT vec_id, cl, {d2} AS d2v
+          FROM x CROSS JOIN c{n_iter}))
+  WHERE rn = 1)""")
+    return "".join(parts)
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 4) -> str:
+    return _kmeans_cte(k, n_iter) + """
 SELECT vec_id, CAST(cl AS INT) AS cluster,
        floor(d2v * 1000000.0 + 0.5) / 1000000.0 AS d2
-FROM (
-  SELECT vec_id, cl, d2v,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY d2v, cl) AS rn
-  FROM (SELECT vec_id, cl, {d2} AS d2v
-        FROM x CROSS JOIN c{n_iter}))
-WHERE rn = 1""")
-    return "".join(parts)
+FROM afin"""
+
+
+def _semdedup_kmeans_sql(k: int = 8, n_iter: int = 4,
+                         threshold: float = 0.3) -> str:
+    """SemDeDup over the k-means cells: the _kmeans_cte assignment
+    chain, then the same within-cell lower-id cosine drop rule the
+    IVF-cell oracle uses."""
+    return _kmeans_cte(k, n_iter) + f""",
+memb AS (SELECT a.vec_id, a.cl, x.xv AS v
+         FROM afin a JOIN x USING (vec_id)),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM memb a JOIN memb b
+    ON a.cl = b.cl AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))) >= {threshold!r})
+SELECT vec_id FROM x
+WHERE vec_id NOT IN (SELECT vec_id FROM drops)"""
 
 
 def _logreg_sql(n_buckets: int = 128, n_iter: int = 4,
@@ -7766,6 +7810,7 @@ LIMIT 50
         "domain_cap_sampled": _domain_cap_sql(),
         "logreg_quality_scores": _logreg_sql(),
         "kmeans_embedding_clusters": _kmeans_sql(),
+        "semdedup_kmeans_survivors": _semdedup_kmeans_sql(),
         # boilerplate removal: same synthetic nav/footer construction,
         # same integer cross-multiplied 5% threshold, same ordered
         # line rebuild (list ORDER BY pos FILTER not-boilerplate).

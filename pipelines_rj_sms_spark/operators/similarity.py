@@ -500,10 +500,11 @@ def lsh_multiprobe_top_k(df: DataFrame, query_vec: list[float],
     )
 
 
-def semantic_dedup(df: DataFrame, centroids: list[list[float]],
+def semantic_dedup(df: DataFrame, centroids: list[list[float]] | None,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    threshold: float = 0.9,
-                   cell_col: str = "ivf_cell") -> DataFrame:
+                   cell_col: str = "ivf_cell",
+                   cells_df: DataFrame | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the embeddings, then drop every
     row that has a LOWER-id neighbor with cosine >= ``threshold``
@@ -520,8 +521,17 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
     k ~ sqrt(n) cells (the SemDeDup recipe) to bound cell fan-out, and
     feed `train_ivf_centroids` output at scale. The drop list carries
     only ids; survivors come from one left_anti join.
+
+    ``cells_df``: precomputed (id_col, cell_col) assignments replace
+    the centroid-literal cell step — feed :func:`kmeans_lloyd` output
+    for the paper's exact recipe (whole-corpus k-means cells) instead
+    of the sampled-IVF approximation. ``centroids`` is ignored then.
     """
-    cells = assign_ivf_cells(df, centroids, vec_col, cell_col)
+    if cells_df is not None:
+        cells = df.join(
+            cells_df.select(F.col(id_col), F.col(cell_col)), id_col)
+    else:
+        cells = assign_ivf_cells(df, centroids, vec_col, cell_col)
     vec = F.col(vec_col).cast("array<double>")
     slim = cells.select(F.col(id_col), vec.alias("_v"), F.col(cell_col))
     a, b = slim.alias("a"), slim.alias("b")

@@ -58,3 +58,24 @@ def test_kmeans_zero_iterations_assigns_to_pinned_seeds(spark):
            kmeans_lloyd(df, k=2, n_iter=0).collect()}
     # seeds are ids 0 and 1 -> clusters 0 and 1; nearest-seed assignment
     assert out == {0: 0, 1: 1, 2: 0, 3: 1}
+
+
+def test_semdedup_with_kmeans_cells(spark):
+    """cells_df path: near-identical vectors land in one k-means cell
+    and the lower id survives; the cross-blob pair never pairs."""
+    from pipelines_rj_sms_spark.operators.similarity import (
+        kmeans_lloyd,
+        semantic_dedup,
+    )
+    rows = [
+        (0, [10.0, 10.0, 10.0, 10.0]),
+        (1, [10.0, 10.0, 10.0, 10.01]),      # near-dup of 0
+        (2, [-10.0, -10.0, -10.0, -10.0]),
+        (3, [-10.0, -10.0, -10.0, -10.02]),  # near-dup of 2
+        (4, [10.0, -10.0, 10.0, -10.0]),     # lone
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cells = kmeans_lloyd(df, k=3, n_iter=3).withColumnRenamed(
+        "cluster", "ivf_cell")
+    out = semantic_dedup(df, None, threshold=0.99, cells_df=cells)
+    assert sorted(r["vec_id"] for r in out.collect()) == [0, 2, 4]

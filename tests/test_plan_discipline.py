@@ -217,6 +217,7 @@ def test_every_query_plans_clean(spark):
                     # sanctioned |C|-row pattern, similarity.py
                     # kmeans_lloyd)
                     "kmeans_embedding_clusters",
+                    "semdedup_kmeans_survivors",
                     "segment_revenue_decomposition",
                     # 1-row corpus-size frame under the rank pairing
                     "doc_negative_pairs",
