@@ -562,6 +562,26 @@ Query key -> SURVEY §2 rows covered:
   event_markov_entropy      entropy rate vs marginal entropy of the
                             event-type Markov chain (predictability
                             score; exact rationals inside the ln)
+  dsir_log_weights_portable legacy portable DSIR bucket hash kept as
+                            an explicit oracle-gated option (default
+                            flipped to the poly fold in r11)
+  source_kn_perplexity      per-source Kneser-Ney perplexity — the
+                            CCNet corpus-quality dashboard readout
+  ccnet_ppl_partition       head/middle/tail equal-population corpus
+                            partition by KN perplexity (exact pinned
+                            percentile boundaries, no ntile sort)
+  logreg_quality_scores     fastText-style hashed-logreg quality
+                            classifier (full-batch GD, integer-grid
+                            weights, pinned sigmoid — bit-exact
+                            chained-CTE oracle)
+  doc_kn_trigram_logprob    trigram KN with full continuation backoff
+                            (KenLM order 3; trigram-multiset stats +
+                            bigram-type continuation floor)
+  kmeans_embedding_clusters distributed Lloyd's k-means over the
+                            embeddings (pinned seeds, left-fold L2,
+                            grid_mean updates — whole-corpus trainer)
+  semdedup_kmeans_survivors SemDeDup on whole-corpus k-means cells
+                            (the Abbas et al. recipe proper)
 """
 
 from __future__ import annotations
