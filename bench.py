@@ -100,6 +100,13 @@ HEADLINE = [
     "dsir_selected_docs",
     "url_canonical_dedup",
     "bitext_margin_pairs",
+    # round 11: one representative per new family member — the
+    # iterative trainers (GD logreg, Lloyd's k-means), the heaviest
+    # new LM (trigram KN), and the KN-percentile composition
+    "logreg_quality_scores",
+    "kmeans_embedding_clusters",
+    "doc_kn_trigram_logprob",
+    "ccnet_ppl_partition",
 ]
 
 
@@ -116,7 +123,8 @@ _FAMILIES = [
                "fuzzy_pairs")),
     ("text", ("doc_", "text_", "corpus", "tfidf", "bm25", "pmi", "bpe", "retrieval", "good_turing", "repetition",
               "token", "nb_", "lang", "readability", "chunk", "unicode",
-              "feature_hash", "pii", "accent")),
+              "feature_hash", "pii", "accent", "perplexity", "ccnet",
+              "logreg")),
     ("sketch", ("sketch", "theta", "kll", "freq_", "bloom")),
     ("streaming", ("stream", "replay", "session", "cdc", "dedup_user")),
     ("sampling", ("sample", "split", "kfold", "packing", "budget",
@@ -166,8 +174,20 @@ def run_full() -> None:
     sf = float(m.group(1)) if m else None
     spark = get_spark("bench-full")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entry_mod.queries()
+    # Deterministic NAME order, not queries() dict order: the dict is
+    # the driver's grading window, which rotates every round — benching
+    # in that order made each query's warm-cache neighborhood rotate
+    # too, and the r11 rotation swung single queries up to 8x (cold
+    # parquet scan + JIT landing on whichever query ran first in its
+    # family). Sorted order pins the neighborhood across rounds so the
+    # family gate compares like against like.
+    qs = dict(sorted(entry_mod.queries().items()))
     load_tables(spark, sf_dir)
+    # Warm pass: touch every table once so no measured query pays the
+    # one-time cold parquet scan / codegen warm-up for its inputs.
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        spark.table(t).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
