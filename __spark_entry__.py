@@ -5425,11 +5425,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         widens, so the rollup is |sources| rows."""
         from pipelines_rj_sms_spark.operators.terms import (
             kn_bigram_logprob)
+        from pipelines_rj_sms_spark.functions.numeric import pin_round6
         docs = _t(spark, sf_dir, "documents")
         out = kn_bigram_logprob(docs, "source", "text")
         return out.select(
             "source", "mean_kn_logprob",
-            F.round(F.exp(-F.col("mean_kn_logprob")), 6)
+            pin_round6(F.exp(-F.col("mean_kn_logprob")))
             .alias("kn_perplexity"),
             "n_bigrams")
 
@@ -9774,7 +9775,7 @@ per AS (
   CROSS JOIN n1t CROSS JOIN vocab
   GROUP BY source)
 SELECT source, mean_kn_logprob,
-       round(exp(-mean_kn_logprob), 6) AS kn_perplexity,
+       {_pin6('exp(-mean_kn_logprob)')} AS kn_perplexity,
        n_bigrams
 FROM per
 """,
@@ -9876,12 +9877,12 @@ vocab AS (
   FROM (SELECT unnest(toks) AS tok FROM t)),
 scored AS (
   SELECT doc_id,
-         round(exp(-({_grid_mean(
+         {_pin6("exp(-(" + _grid_mean(
              "sum(tf * " + _pin_ln(
                  "greatest(cbg - 0.75, 0.0) / cv"
                  " + (0.75 * n1v / cv)"
                  " * ((n1w + 1.0) / (n1tot + vocab))") + ")",
-             "sum(tf)")})), 6) AS perplexity
+             "sum(tf)") + "))")} AS perplexity
   FROM tf
   JOIN cnt USING (bg)
   JOIN ctx ON string_split(tf.bg, ' ')[1] = ctx.v

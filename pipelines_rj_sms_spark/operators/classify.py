@@ -412,10 +412,15 @@ def logreg_hashed_train(df: DataFrame, target, text_col: str = "text",
     for _ in range(n_iter):
         w = track(w.persist())
         pins.append(w)
-        # exact integer margin units, one broadcast join + hash agg
+        # exact integer margin units, one broadcast join + hash agg;
+        # accumulated in DECIMAL(38,0) like the gradient sum — the
+        # DuckDB oracle sums in HUGEINT, so a LONG here would overflow
+        # (ANSI error / wrap) before the oracle does at extreme
+        # corpus-scale tf x weight-unit products
         m = (feat.join(F.broadcast(w), "_b")
              .groupBy("_id", "_y")
-             .agg(F.sum(F.col("_tf") * F.col("_wu")).alias("_mu")))
+             .agg(F.sum((F.col("_tf") * F.col("_wu"))
+                        .cast("decimal(38,0)")).alias("_mu")))
         # pinned sigmoid (the only transcendental; grid flip surface
         # is per DISTINCT margin — the pinned-ln contract)
         p = m.select(
@@ -457,9 +462,12 @@ def logreg_score(features: DataFrame, weights: DataFrame,
     sign — exact). One broadcast equi-join + one hash agg."""
     from pipelines_rj_sms_spark.functions.numeric import LOG_SCALE, pin_units
 
+    # DECIMAL(38,0) margin accumulation for engine symmetry with the
+    # oracle's HUGEINT sum (same contract as the training loop)
     m = (features.join(F.broadcast(weights), "b")
          .groupBy(F.col(id_col), F.col("y"))
-         .agg(F.sum(F.col("tf") * F.col("wu")).alias("_mu")))
+         .agg(F.sum((F.col("tf") * F.col("wu"))
+                    .cast("decimal(38,0)")).alias("_mu")))
     margin = F.col("_mu").cast("double") / F.lit(float(LOG_SCALE))
     prob = pin_units(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))) \
         / F.lit(float(LOG_SCALE))

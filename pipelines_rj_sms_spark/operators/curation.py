@@ -333,6 +333,7 @@ def perplexity_partition(df: DataFrame, id_col: str = "doc_id",
     the cut is deterministic and engine-replayable; values equal to a
     boundary land in the lower bucket.
     """
+    from pipelines_rj_sms_spark.functions.numeric import pin_round6
     from pipelines_rj_sms_spark.operators.cache import track
     from pipelines_rj_sms_spark.operators.terms import kn_bigram_logprob
 
@@ -340,9 +341,13 @@ def perplexity_partition(df: DataFrame, id_col: str = "doc_id",
     if n_buckets < 2:
         raise ValueError("perplexity_partition needs >= 2 labels")
     scores = kn_bigram_logprob(df, id_col, text_col, discount=discount)
+    # pin_round6, not F.round: the perplexity feeds strict boundary
+    # comparisons below, and a .5e-6 tie resolved differently by the
+    # two engines' round() would flip a bucket assignment (the repo's
+    # pinned-rounding doctrine; functions/numeric.py)
     scored = scores.select(
         F.col(id_col),
-        F.round(F.exp(-F.col("mean_kn_logprob")), 6).alias("perplexity"))
+        pin_round6(F.exp(-F.col("mean_kn_logprob"))).alias("perplexity"))
     # persisted: consumed by the percentile agg AND the assignment scan
     scored = scored.persist()
     qs = [i / n_buckets for i in range(1, n_buckets)]

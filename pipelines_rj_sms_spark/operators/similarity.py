@@ -526,10 +526,15 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]] | None,
     the centroid-literal cell step — feed :func:`kmeans_lloyd` output
     for the paper's exact recipe (whole-corpus k-means cells) instead
     of the sampled-IVF approximation. ``centroids`` is ignored then.
+    The join is a LEFT join: a row of ``df`` missing from ``cells_df``
+    is exempt from dedup and passes through as a SURVIVOR (its NULL
+    cell matches nothing in the self-join), never silently dropped —
+    a partial assignment frame weakens the dedup, it cannot lose data.
     """
     if cells_df is not None:
         cells = df.join(
-            cells_df.select(F.col(id_col), F.col(cell_col)), id_col)
+            cells_df.select(F.col(id_col), F.col(cell_col)),
+            id_col, "left")
     else:
         cells = assign_ivf_cells(df, centroids, vec_col, cell_col)
     vec = F.col(vec_col).cast("array<double>")
