@@ -111,8 +111,12 @@ Query key -> SURVEY §2 rows covered:
   train_test_split          sampling: deterministic hash split (md5 replay)
   group_sample_100          sampling: per-group hash-ranked N (md5 replay)
   gap_filled_hourly_counts  timeseries: sequence+explode spine densify
-  winsorized_prices         robust stats: percentile clip (exact quantile)
-  mad_outlier_flags         robust stats: median-absolute-deviation outliers
+  winsorized_prices         robust stats: percentile clip via the
+                            winsorize_column operator (exact quantile
+                            = oracle path; approx= is the scale path)
+  mad_outlier_flags         robust stats: MAD outliers via the
+                            mad_outlier_flags operator (exact medians
+                            = oracle path; approx= is the scale path)
   session_window_stats      native session_window vs lag+cumsum oracle
   variant_props_extract     Spark 4 VARIANT typed path extraction (C14)
   winnow_fingerprint_sets   text: full winnowing sketch (MOSS algorithm)
@@ -582,6 +586,13 @@ Query key -> SURVEY §2 rows covered:
                             grid_mean updates — whole-corpus trainer)
   semdedup_kmeans_survivors SemDeDup on whole-corpus k-means cells
                             (the Abbas et al. recipe proper)
+  ccnet_ppl_partition_approx  the partition's 100-TB boundary path:
+                            approx_percentile (bounded sketch) cuts,
+                            audited by equal-population tolerance
+                            (sketch-audit oracle pattern)
+  value_equi_depth_histogram_approx  equi-depth histogram with
+                            bounded-memory approx boundaries, same
+                            population-tolerance audit gate
 """
 
 from __future__ import annotations
@@ -3847,6 +3858,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = semantic_dedup(emb, None, threshold=0.3, cells_df=cells)
         return out.select("vec_id")
 
+    def winsorized_q(spark, sf_dir):
+        """Corpus-wide price winsorization through the stats operator
+        (exact percentile boundaries — the oracle contract; the
+        operator's approx=True is the 100-TB path, gated by
+        tests/test_stats_gates.py's rank-error unit)."""
+        from pipelines_rj_sms_spark.quality.stats import winsorize_column
+        o = _t(spark, sf_dir, "orders")
+        return winsorize_column(o, "o_orderkey", "o_totalprice",
+                                lower=0.05, upper=0.95,
+                                out_col="clipped")
+
+    def mad_flags_q(spark, sf_dir):
+        """MAD outlier screen through the stats operator (exact
+        medians — the oracle contract; approx=True swaps both medians
+        to bounded approx_percentile sketches for the scale path)."""
+        from pipelines_rj_sms_spark.quality.stats import mad_outlier_flags
+        ev = _t(spark, sf_dir, "events")
+        return mad_outlier_flags(ev, "event_id", "value", k=3.0)
+
+    def ccnet_partition_approx_q(spark, sf_dir):
+        """The CCNet partition's 100-TB boundary path: approx_percentile
+        (bounded Greenwald-Khanna state, rank error <= 1e-4 at the
+        default accuracy) replaces the exact percentile whose final
+        aggregator buffers every distinct per-doc perplexity. Audited
+        the sketch way (the freq_heavy_users pattern — approximate
+        machinery, exact auditable claim): each bucket's population
+        must sit within 5% of the equal-population target, and the
+        oracle hash-verifies the 3-row audit verdict."""
+        from pipelines_rj_sms_spark.operators.curation import (
+            perplexity_partition)
+        docs = _t(spark, sf_dir, "documents")
+        out = perplexity_partition(docs, "doc_id", "text", approx=True)
+        per = out.groupBy("bucket", "bucket_label").agg(
+            F.count("*").alias("_n"))
+        tot = F.broadcast(per.agg(
+            F.sum("_n").cast("double").alias("_t")))
+        ok = (F.abs(F.col("_n") - F.col("_t") / 3.0)
+              <= F.lit(0.05) * F.col("_t"))
+        return (per.crossJoin(tot)
+                .select(F.col("bucket").cast("int").alias("bucket"),
+                        F.col("bucket_label"),
+                        ok.alias("within_tolerance")))
+
+    def equi_depth_approx_q(spark, sf_dir):
+        """Equal-population histogram with approx_percentile
+        boundaries — the bounded-memory twin of
+        value_equi_depth_histogram for continuous columns where exact
+        percentile's distinct-value map grows with the corpus. The
+        audit claim (hash-verified): all 8 buckets exist and each
+        holds within 5% of n/8 (sketch rank error is 1e-4; the
+        tolerance also absorbs boundary-tie quantization)."""
+        from pipelines_rj_sms_spark.operators.analytics import (
+            equi_depth_histogram)
+        ev = _t(spark, sf_dir, "events")
+        out = equi_depth_histogram(ev, "value", 8, approx=True)
+        tot = F.broadcast(out.agg(
+            F.sum("cnt").cast("double").alias("_t")))
+        ok = (F.abs(F.col("cnt") - F.col("_t") / 8.0)
+              <= F.lit(0.05) * F.col("_t"))
+        return (out.crossJoin(tot)
+                .select(F.col("bucket").cast("int").alias("bucket"),
+                        ok.alias("within_tolerance")))
+
     def event_funnel(spark, sf_dir):
         """Windowed-funnel aggregate (ClickHouse windowFunnel shape):
         furthest signup→click→purchase stage per user via ONE hash agg
@@ -6905,8 +6979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": train_test_split,
         "group_sample_100": group_sample,
         "gap_filled_hourly_counts": gap_filled_hourly,
-        "winsorized_prices": _sql(_winsorize_sql("percentile")),
-        "mad_outlier_flags": _sql(_mad_outlier_sql("percentile")),
+        "winsorized_prices": winsorized_q,
+        "mad_outlier_flags": mad_flags_q,
         "session_window_stats": session_window_stats,
         "variant_props_extract": variant_props,
         "winnow_fingerprint_sets": winnow_sets,
@@ -7018,6 +7092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kn_bigram_logprob": kn_bigram_lm_q,
         "source_kn_perplexity": src_kn_ppl_q,
         "ccnet_ppl_partition": ccnet_partition_q,
+        "ccnet_ppl_partition_approx": ccnet_partition_approx_q,
+        "value_equi_depth_histogram_approx": equi_depth_approx_q,
         "logreg_quality_scores": logreg_quality_q,
         "doc_kn_trigram_logprob": kn_trigram_lm_q,
         "kmeans_embedding_clusters": kmeans_q,
@@ -9899,6 +9975,20 @@ SELECT doc_id, perplexity,
        (['head', 'middle', 'tail'])
          [len(list_filter(q, x -> x < perplexity)) + 1] AS bucket_label
 FROM scored CROSS JOIN b
+""",
+        # sketch-audit oracles (the freq_heavy_users pattern): the
+        # Spark side runs the approx_percentile boundary path and
+        # asserts its bucket populations within tolerance; the oracle
+        # pins the exact shape of a PASSING audit — any bucket missing
+        # or out of tolerance hash-mismatches.
+        "ccnet_ppl_partition_approx": """
+SELECT * FROM (VALUES (0, 'head', true), (1, 'middle', true),
+                      (2, 'tail', true))
+  AS t(bucket, bucket_label, within_tolerance)
+""",
+        "value_equi_depth_histogram_approx": """
+SELECT CAST(r.range AS INT) AS bucket, true AS within_tolerance
+FROM range(8) r
 """,
         # intra-doc line dedup: same synthetic chorus/duplicate-text
         # construction, first-occurrence row_number, ordered rebuild.

@@ -177,23 +177,37 @@ def rolling_anomalies(df: DataFrame, ts_col: str, value_col: str,
 
 
 def equi_depth_histogram(df: DataFrame, value_col: str,
-                         n_buckets: int = 10) -> DataFrame:
+                         n_buckets: int = 10,
+                         approx: bool = False,
+                         approx_accuracy: int = 10000) -> DataFrame:
     """Equal-population histogram WITHOUT a global sort: bucket
-    boundaries are the exact interpolated percentiles (one aggregation
-    row, broadcast), assignment is a codegen'd count-of-boundaries-
-    below filter, and per-bucket (cnt, min, max) is one hash agg. The
+    boundaries are interpolated percentiles (one aggregation row,
+    broadcast), assignment is a codegen'd count-of-boundaries-below
+    filter, and per-bucket (cnt, min, max) is one hash agg. The
     ntile() spelling forces every row through a single-partition sort
     — this shape never does. Values equal to a boundary land in the
     lower bucket (strict comparison), so assignment is deterministic.
+
+    ``approx``: exact ``percentile`` (the default — the oracle/replay
+    contract) buffers EVERY DISTINCT value of ``value_col`` in its
+    final aggregator; over a continuous raw-event column that map is
+    ~|rows| and will not survive 100x scale. ``approx=True`` swaps in
+    ``approx_percentile`` (bounded sketch, rank error <=
+    1/``approx_accuracy`` at any n) for the boundary step — bucket
+    populations then deviate from n/n_buckets by at most the rank
+    error; opt-in because the result is no longer bit-replayable.
     """
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    qarr = ", ".join(map(str, qs))
     # boundaries are rounded to 6 dp before assignment: engines
     # interpolate (1-f)a+fb vs a+f(b-a), which differ in the last ulp
     # exactly when a quantile lands on duplicated values — rounding
     # pins the cut points so assignment is replayable cross-engine
+    pct = (f"approx_percentile({value_col}, array({qarr}), "
+           f"{approx_accuracy})" if approx
+           else f"percentile({value_col}, array({qarr}))")
     bounds = F.broadcast(df.agg(F.transform(
-        F.expr(f"percentile({value_col}, "
-               f"array({', '.join(map(str, qs))}))"),
+        F.expr(pct),
         lambda b: F.round(b, 6)).alias("_b")))
     bucket = F.size(F.filter(
         F.col("_b"), lambda b: b < F.col(value_col)))
@@ -440,7 +454,8 @@ def cusum_deviations(df: DataFrame, ts_col: str, value_col: str,
 
 def rfm_scores(df: DataFrame, entity_col: str, ts_col: str,
                amount_col: str, n_tiers: int = 5,
-               asof_ts=None) -> DataFrame:
+               asof_ts=None, approx: bool = False,
+               approx_accuracy: int = 10000) -> DataFrame:
     """RFM segmentation: per entity recency / frequency / monetary plus
     1..``n_tiers`` quantile scores on each dimension.
 
@@ -457,6 +472,16 @@ def rfm_scores(df: DataFrame, entity_col: str, ts_col: str,
     Shape: one hash agg entity-rollup from the fact table, one
     boundary aggregation over the rollup, one broadcast-assignment
     projection. The fact table is scanned once.
+
+    ``approx``: tier boundaries default to exact ``percentile``,
+    whose final aggregator buffers every distinct value of each RFM
+    dimension — bounded by |entities| here (a per-entity rollup, one
+    or two orders below the fact count, and recency/frequency are
+    small-integer-valued), so exact is usually fine; for a
+    billion-entity rollup with continuous monetary values pass
+    ``approx=True`` (``approx_percentile``, bounded sketch, rank
+    error <= 1/``approx_accuracy``) — tier cuts move by at most the
+    rank error, the result is then not bit-replayable (opt-in).
     """
     units = F.floor(F.col(amount_col) * 100 + 0.5).cast("bigint")
     per = df.groupBy(F.col(entity_col).alias("entity")).agg(
@@ -477,9 +502,10 @@ def rfm_scores(df: DataFrame, entity_col: str, ts_col: str,
     qlist = ", ".join(map(str, qs))
 
     def _bounds(col: str) -> F.Column:
-        return F.transform(
-            F.expr(f"percentile({col}, array({qlist}))"),
-            lambda b: F.round(b, 6))
+        pct = (f"approx_percentile({col}, array({qlist}), "
+               f"{approx_accuracy})" if approx
+               else f"percentile({col}, array({qlist}))")
+        return F.transform(F.expr(pct), lambda b: F.round(b, 6))
 
     bounds = F.broadcast(per.agg(
         _bounds("recency_days").alias("_rb"),

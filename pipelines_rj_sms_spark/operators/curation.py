@@ -313,7 +313,9 @@ def perplexity_partition(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text",
                          labels: tuple[str, ...] = ("head", "middle",
                                                     "tail"),
-                         discount: float = 0.75) -> DataFrame:
+                         discount: float = 0.75,
+                         approx: bool = False,
+                         approx_accuracy: int = 10000) -> DataFrame:
     """CCNet-style perplexity partition (Wenzek et al. 2020, public
     method): score every document under the corpus's own Kneser-Ney
     bigram LM, then split the corpus into ``len(labels)`` equal-
@@ -323,15 +325,28 @@ def perplexity_partition(df: DataFrame, id_col: str = "doc_id",
     bucket_label); docs under 2 tokens emit no row (no bigram score
     exists — same contract as :func:`~.terms.kn_bigram_logprob`).
 
-    Scale shape: the KN scorer's narrow aggs, then ONE exact-
-    percentile aggregation over the |docs|-row (id, ppl) frame whose
-    boundary list rides back as a 1-row broadcast; assignment is a
-    codegen'd count-of-boundaries-below — the ntile() spelling would
-    funnel every row through a single-partition sort, this never does
-    (the `equi_depth_histogram` discipline). Boundaries are rounded
-    to 6 dp before assignment and perplexities are already 6 dp, so
-    the cut is deterministic and engine-replayable; values equal to a
+    Scale shape: the KN scorer's narrow aggs, then ONE percentile
+    aggregation over the |docs|-row (id, ppl) frame whose boundary
+    list rides back as a 1-row broadcast; assignment is a codegen'd
+    count-of-boundaries-below — the ntile() spelling would funnel
+    every row through a single-partition sort, this never does (the
+    `equi_depth_histogram` discipline). Boundaries are rounded to
+    6 dp before assignment and perplexities are already 6 dp, so the
+    cut is deterministic and engine-replayable; values equal to a
     boundary land in the lower bucket.
+
+    ``approx``: the default exact ``percentile`` is sort-based per
+    aggregation buffer — its final aggregator holds EVERY DISTINCT
+    value of the column, and per-doc 6-dp perplexity is effectively
+    continuous, so that map grows ~linearly with the corpus: exact is
+    the oracle/replay contract, NOT the 100-TB path. ``approx=True``
+    swaps in ``approx_percentile`` (Greenwald-Khanna, bounded state:
+    rank error <= 1/``approx_accuracy`` regardless of n) for the
+    boundary step only — bucket populations then deviate from equal
+    by at most the rank error, which is immaterial for the CCNet
+    head/middle/tail use; the result is no longer bit-replayable
+    cross-engine, hence opt-in (the same exact/approx split as
+    quality.stats.population_stability_index).
     """
     from pipelines_rj_sms_spark.functions.numeric import pin_round6
     from pipelines_rj_sms_spark.operators.cache import track
@@ -351,8 +366,12 @@ def perplexity_partition(df: DataFrame, id_col: str = "doc_id",
     # persisted: consumed by the percentile agg AND the assignment scan
     scored = scored.persist()
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    qarr = ", ".join(map(str, qs))
+    pct = (f"approx_percentile(perplexity, array({qarr}), "
+           f"{approx_accuracy})" if approx
+           else f"percentile(perplexity, array({qarr}))")
     bounds = F.broadcast(scored.agg(F.transform(
-        F.expr(f"percentile(perplexity, array({', '.join(map(str, qs))}))"),
+        F.expr(pct),
         lambda b: F.round(b, 6)).alias("_b")))
     bucket = F.size(F.filter(F.col("_b"),
                              lambda b: b < F.col("perplexity")))

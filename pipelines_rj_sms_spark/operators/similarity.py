@@ -500,11 +500,51 @@ def lsh_multiprobe_top_k(df: DataFrame, query_vec: list[float],
     )
 
 
+def _bound_cells(slim: DataFrame, id_col: str, cell_col: str,
+                 max_cell_size: int, on_oversize: str) -> DataFrame:
+    """semantic_dedup's cell-size guard (see its docstring): verify no
+    cell exceeds ``max_cell_size`` (one hash agg + a 1-row driver
+    probe — the bounded-collect class) and either raise naming the
+    worst offender or slice oversized cells into hard-capped
+    sub-cells along the component-sum projection order."""
+    from pyspark.sql import Window
+
+    if max_cell_size < 2:
+        raise ValueError(
+            f"max_cell_size must be >= 2: {max_cell_size}")
+    worst = (slim.filter(F.col(cell_col).isNotNull())
+             .groupBy(cell_col).agg(F.count("*").alias("_n"))
+             .filter(F.col("_n") > max_cell_size)
+             .orderBy(F.col("_n").desc(), F.col(cell_col))
+             .limit(1).collect())
+    if not worst:
+        return slim
+    if on_oversize == "raise":
+        r = worst[0]
+        raise ValueError(
+            f"semantic_dedup cell {r[cell_col]!r} holds {r['_n']} rows"
+            f" > max_cell_size={max_cell_size}: the within-cell pair"
+            f" join would cost |cell|^2. Re-cluster with larger k"
+            f" (k ~ n/target_cell_size) or pass on_oversize='split'"
+            f" for hard-capped bounded-recall slices.")
+    proj = F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: a + x)
+    w = Window.partitionBy(cell_col).orderBy(proj, F.col(id_col))
+    sub = F.floor((F.row_number().over(w) - 1) / F.lit(max_cell_size))
+    return slim.withColumn(
+        cell_col,
+        F.when(F.col(cell_col).isNull(),
+               F.lit(None).cast("string"))
+        .otherwise(F.concat(F.col(cell_col).cast("string"),
+                            F.lit("#"), sub.cast("string"))))
+
+
 def semantic_dedup(df: DataFrame, centroids: list[list[float]] | None,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    threshold: float = 0.9,
                    cell_col: str = "ivf_cell",
-                   cells_df: DataFrame | None = None) -> DataFrame:
+                   cells_df: DataFrame | None = None,
+                   max_cell_size: int | None = None,
+                   on_oversize: str = "raise") -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the embeddings, then drop every
     row that has a LOWER-id neighbor with cosine >= ``threshold``
@@ -530,7 +570,34 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]] | None,
     is exempt from dedup and passes through as a SURVIVOR (its NULL
     cell matches nothing in the self-join), never silently dropped —
     a partial assignment frame weakens the dedup, it cannot lose data.
+
+    ``max_cell_size``: the within-cell pair join costs |cell|² per
+    cell — with a caller-chosen small k (or a degenerate clustering
+    that funnels the corpus into one cell) that silently becomes
+    corpus², the exact footgun the cell structure exists to prevent.
+    Rule of thumb: pick k ∝ n / target_cell_size (SemDeDup's own
+    deployment used ~11k cells for ~100M docs ≈ 10k-row cells). The
+    guard checks actual cell sizes (one hash agg + a 1-row probe)
+    and, for cells over the cap, either:
+
+    - ``on_oversize="raise"`` (default): ValueError naming the worst
+      cell — the caller picked k too small for the corpus; or
+    - ``on_oversize="split"``: bounds the cost by slicing each
+      oversized cell into ``ceil(size/max_cell_size)`` sub-cells of
+      at most ``max_cell_size`` rows, ordered by the vectors'
+      projection onto the all-ones direction (a deterministic 1-d
+      locality key: near-duplicate vectors have near-identical
+      component sums, so they land in the same slice except at slice
+      boundaries) — the bounded-recall analogue of the paper's
+      hierarchical re-cluster fallback, with a HARD cost cap. Pairs
+      straddling a slice boundary are not compared (documented
+      recall loss; shrink k upstream instead of leaning on the
+      guard). The slicing window is keyed by the cell id, so its
+      shuffle skew is bounded by the largest cell's rows — the same
+      rows the pair join would otherwise square.
     """
+    if on_oversize not in ("raise", "split"):
+        raise ValueError(f"on_oversize must be raise|split: {on_oversize}")
     if cells_df is not None:
         cells = df.join(
             cells_df.select(F.col(id_col), F.col(cell_col)),
@@ -539,6 +606,9 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]] | None,
         cells = assign_ivf_cells(df, centroids, vec_col, cell_col)
     vec = F.col(vec_col).cast("array<double>")
     slim = cells.select(F.col(id_col), vec.alias("_v"), F.col(cell_col))
+    if max_cell_size is not None:
+        slim = _bound_cells(slim, id_col, cell_col,
+                            max_cell_size, on_oversize)
     a, b = slim.alias("a"), slim.alias("b")
     drops = (
         a.join(b, (F.col(f"a.{cell_col}") == F.col(f"b.{cell_col}"))

@@ -2117,3 +2117,73 @@ def mood_median_test(df: DataFrame, group_col: str,
                               F.lit("above")).otherwise(F.lit("below"))
                        .alias("_side")))
     return chi2_independence(flagged, group_col, "_side")
+
+
+def winsorize_column(df: DataFrame, id_col: str, value_col: str,
+                     lower: float = 0.05, upper: float = 0.95,
+                     out_col: str = "clipped",
+                     approx: bool = False,
+                     approx_accuracy: int = 10000) -> DataFrame:
+    """Winsorize ``value_col`` to its corpus-wide [lower, upper]
+    quantiles: (id, out_col) with out_col = round(clip(v, lo, hi), 6)
+    — the standard robust-stats tail clamp before moment-based
+    modeling (public method).
+
+    Scale shape: ONE percentile aggregation whose (lo, hi) row rides
+    back broadcast; clipping is a codegen'd projection — the facts
+    never shuffle. ``approx``: the exact ``percentile`` default (the
+    oracle/replay contract) buffers EVERY DISTINCT value of the
+    column in its final aggregator — bounded for fixed-point prices,
+    ~|rows| for a continuous column, where it will not survive 100x
+    scale; ``approx=True`` swaps in ``approx_percentile`` (bounded
+    sketch, rank error <= 1/``approx_accuracy``), moving each clamp
+    threshold by at most the rank error; opt-in because the result
+    is then not bit-replayable cross-engine.
+    """
+    pcts = (f"approx_percentile({value_col}, array({lower}, {upper}), "
+            f"{approx_accuracy})" if approx
+            else f"percentile({value_col}, array({lower}, {upper}))")
+    b = F.broadcast(df.agg(
+        F.element_at(F.expr(pcts), 1).alias("_lo"),
+        F.element_at(F.expr(pcts), 2).alias("_hi")))
+    return (df.crossJoin(b)
+            .select(F.col(id_col),
+                    F.round(F.least(F.greatest(F.col(value_col),
+                                               F.col("_lo")),
+                                    F.col("_hi")), 6).alias(out_col)))
+
+
+def mad_outlier_flags(df: DataFrame, id_col: str, value_col: str,
+                      k: float = 3.0, consistency: float = 1.4826,
+                      out_col: str = "is_outlier",
+                      approx: bool = False,
+                      approx_accuracy: int = 10000) -> DataFrame:
+    """Median-absolute-deviation outlier screen: flag rows where
+    |v - median| > k * 1.4826 * MAD (the Gaussian-consistent robust
+    z-score, public method — the screen that, unlike mean/stddev,
+    cannot be dragged by the outliers it is hunting).
+
+    Scale shape: two percentile aggregations (median, then MAD over
+    the |v - med| projection), each a 1-row broadcast; the flag is a
+    codegen'd projection, facts never shuffle. ``approx``: exact
+    ``percentile`` (default — oracle contract) buffers every distinct
+    value of the column per aggregation, ~|rows| for continuous
+    metrics; ``approx=True`` uses ``approx_percentile`` (bounded
+    sketch, rank error <= 1/``approx_accuracy``) for both medians —
+    the flag then moves only for rows within the rank-error band of
+    the cut; opt-in, not bit-replayable.
+    """
+    def _med(col: str) -> Column:
+        return (F.expr(f"approx_percentile({col}, 0.5, "
+                       f"{approx_accuracy})") if approx
+                else F.expr(f"percentile({col}, 0.5)"))
+
+    med = F.broadcast(df.agg(_med(value_col).alias("_med")))
+    dev = (df.crossJoin(med)
+           .select(F.col(id_col), F.col(value_col), F.col("_med"),
+                   F.abs(F.col(value_col) - F.col("_med")).alias("_ad")))
+    mad = F.broadcast(dev.agg(_med("_ad").alias("_mad")))
+    return (dev.crossJoin(mad)
+            .select(F.col(id_col),
+                    (F.col("_ad") > F.lit(k) * F.lit(consistency)
+                     * F.col("_mad")).alias(out_col)))

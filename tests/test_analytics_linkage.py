@@ -220,6 +220,35 @@ def test_equi_depth_histogram_balanced_no_global_sort(spark):
     assert "Sort [v" not in plan
 
 
+def test_equi_depth_histogram_approx_within_rank_error(spark):
+    """The approx (bounded-memory) boundary path on a SKEWED corpus:
+    per-bucket populations must match the exact histogram within the
+    sketch's rank-error bound. accuracy=1000 => rank error eps=1e-3;
+    a bucket is bounded by two boundaries, each off by at most eps*n
+    ranks, so |cnt_approx - cnt_exact| <= 2*eps*n per bucket. The
+    corpus is adversarial: 20% of mass on one duplicated minimum
+    (absorbed by bucket 0 on both paths — ties cancel in the
+    comparison) and a long quadratic tail."""
+    from pipelines_rj_sms_spark.operators.analytics import (
+        equi_depth_histogram)
+    n = 20_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 5 == 0, F.lit(0.0))
+        .otherwise((F.col("id") * F.col("id") % 99991).cast("double")
+                   + 1.0).alias("v"))
+    exact = {r["bucket"]: r["cnt"]
+             for r in equi_depth_histogram(df, "v", 8).collect()}
+    approx = {r["bucket"]: r["cnt"]
+              for r in equi_depth_histogram(
+                  df, "v", 8, approx=True,
+                  approx_accuracy=1000).collect()}
+    assert sum(exact.values()) == sum(approx.values()) == n
+    bound = 2 * (1.0 / 1000) * n  # 2 * eps * n = 40 rows
+    for b in exact:
+        assert abs(approx.get(b, 0) - exact[b]) <= bound, (
+            b, approx.get(b, 0), exact[b])
+
+
 def test_resolve_entities_clusters_duplicates(spark):
     """Perturbed copies resolve to their source's entity; unrelated
     records keep their own id as entity."""

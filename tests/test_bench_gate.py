@@ -74,3 +74,18 @@ def test_gate_ignores_subsecond_families():
     assert reg == {}
     # renames can't trip the gate, but they can't hide either
     assert len(delta["removed_vs_baseline"]) > 0
+
+
+def test_headline_baseline_loads_newest_headbench():
+    """The 3x contention-rescue reference: newest HEADBENCH_r*.json
+    per-query timings, with the source file recorded for the bench
+    artifact."""
+    b = _bench()
+    base = b._headline_baseline()
+    assert base, "no HEADBENCH baseline found"
+    assert b._headline_baseline.last_file.startswith("HEADBENCH_r")
+    # every headline query benched last round has a positive timing
+    assert all(isinstance(v, (int, float)) and v > 0
+               for v in base.values())
+    # the flagship is always in the headline set
+    assert "flagship_pricing_summary" in base

@@ -91,6 +91,20 @@ def test_partition_plan_no_global_sort_no_python(spark):
         assert node not in plan
 
 
+def test_partition_approx_matches_exact_at_small_n(spark):
+    """approx=True (the bounded-memory 100-TB boundary path): the GK
+    sketch is exact below its compression threshold, so on a small
+    corpus the approx partition must reproduce the exact one row for
+    row — this gates the wiring; the rank-error-bound-under-skew
+    proof lives in the equi-depth/winsorize units (pure numeric)."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    exact = {r["doc_id"]: (r["bucket"], r["perplexity"])
+             for r in perplexity_partition(df).collect()}
+    approx = {r["doc_id"]: (r["bucket"], r["perplexity"])
+              for r in perplexity_partition(df, approx=True).collect()}
+    assert exact == approx
+
+
 def test_partition_rejects_single_label(spark):
     import pytest
 

@@ -302,6 +302,69 @@ def test_semantic_dedup_plan_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_dedup_cell_guard_raises_on_skew(spark):
+    """Deliberately skewed assignment — one cell holding nearly the
+    whole corpus (the small-k footgun): the guard names the offender
+    and refuses the |cell|^2 join."""
+    import pytest
+
+    from pipelines_rj_sms_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [1.0, float(i % 7) / 100.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cells = spark.createDataFrame(
+        [(i, 0 if i < 38 else 1) for i in range(40)],
+        ["vec_id", "ivf_cell"])
+    with pytest.raises(ValueError, match="max_cell_size"):
+        semantic_dedup(df, None, threshold=0.99, cells_df=cells,
+                       max_cell_size=10)
+    # under the cap -> passes through untouched
+    ok = semantic_dedup(df, None, threshold=1.0001, cells_df=cells,
+                        max_cell_size=40)
+    assert ok.count() == 40
+
+
+def test_semantic_dedup_cell_guard_split_caps_and_dedups(spark):
+    """on_oversize='split': oversized cells slice into hard-capped
+    sub-cells along the component-sum projection, the plan stays
+    equi-join-only, and exact duplicates (identical projection,
+    adjacent in slice order) still dedup within their slice."""
+    from pipelines_rj_sms_spark.operators.similarity import (
+        _bound_cells, semantic_dedup)
+
+    # 30 rows in one cell: 15 exact-dup pairs (identical vectors,
+    # consecutive ids -> adjacent in projection order); distinct
+    # pairs sit 0.35 rad apart (cos ~ 0.94, far below threshold)
+    import math
+
+    rows = []
+    for i in range(15):
+        v = [math.cos(0.35 * i), math.sin(0.35 * i)]
+        rows += [(2 * i, v), (2 * i + 1, v)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cells = spark.createDataFrame(
+        [(i, 7) for i in range(30)], ["vec_id", "ivf_cell"])
+    out = semantic_dedup(df, None, threshold=0.9999, cells_df=cells,
+                         max_cell_size=6, on_oversize="split")
+    survivors = {r["vec_id"] for r in out.collect()}
+    # every odd id has its even twin at the same projection rank
+    # neighbor: slices hold 6 rows = 3 whole dup pairs, so no pair
+    # straddles a boundary and all 15 dups drop
+    assert survivors == {2 * i for i in range(15)}
+    # the guard's sub-cells are hard-capped
+    slim = df.join(cells, "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v"),
+        "ivf_cell")
+    bounded = _bound_cells(slim, "vec_id", "ivf_cell", 6, "split")
+    sizes = bounded.groupBy("ivf_cell").count().collect()
+    assert all(r["count"] <= 6 for r in sizes)
+    assert {r["ivf_cell"] for r in sizes} == {f"7#{j}" for j in range(5)}
+    # plan discipline: equi-joins only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_label_centroids_exact_mean(spark):
     from pipelines_rj_sms_spark.operators.similarity import label_centroids
     df = spark.createDataFrame(

@@ -210,6 +210,10 @@ def test_every_query_plans_clean(spark):
                     # KN scalar broadcasts + the 1-row percentile-
                     # boundary broadcast (equi_depth discipline)
                     "ccnet_ppl_partition",
+                    # same shape with approx_percentile boundaries,
+                    # plus the 1-row population-total audit broadcast
+                    "ccnet_ppl_partition_approx",
+                    "value_equi_depth_histogram_approx",
                     # 1-row doc-count broadcast under each GD update
                     # (operators/classify.py logreg_hashed_train)
                     "logreg_quality_scores",

@@ -45,3 +45,20 @@ def test_rfm_single_scan_plan(spark):
     # 1-row broadcast frames only: asof + boundaries (+ the boundary
     # aggregation's own replay of the asof frame)
     assert plan.count("BroadcastNestedLoopJoin") <= 3
+
+
+def test_rfm_approx_matches_exact_at_small_n(spark):
+    """approx=True (bounded-memory tier boundaries): GK is exact
+    below its compression threshold, so small-corpus tiers must match
+    the exact path row for row — wiring gate; the skew/rank-error
+    bound is proven in the equi-depth/winsorize units."""
+    from datetime import datetime as T
+    rows = [(i, T(2024, 1 + i % 3, 1 + i % 27), float(10 * i + 5))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["cust", "ts", "amt"])
+    exact = {r["entity"]: (r["r_score"], r["f_score"], r["m_score"])
+             for r in rfm_scores(df, "cust", "ts", "amt").collect()}
+    approx = {r["entity"]: (r["r_score"], r["f_score"], r["m_score"])
+              for r in rfm_scores(df, "cust", "ts", "amt",
+                                  approx=True).collect()}
+    assert exact == approx

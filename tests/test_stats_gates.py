@@ -266,6 +266,80 @@ def test_psi_approx_edges_close_to_exact(spark):
     assert abs(exact[0]["psi_total"] - approx[0]["psi_total"]) < 0.05
 
 
+def test_winsorize_column_exact_clamps_tails(spark):
+    from pipelines_rj_sms_spark.quality.stats import winsorize_column
+    # 1..100 uniform: p05 boundary = 5.95, p95 = 95.05 (exact
+    # (n-1)p interpolation); interior values pass through unclipped
+    df = spark.range(1, 101).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    out = {r["k"]: r["clipped"]
+           for r in winsorize_column(df, "k", "v").collect()}
+    assert out[1] == 5.95 and out[3] == 5.95
+    assert out[100] == 95.05 and out[98] == 95.05
+    assert out[50] == 50.0 and out[6] == 6.0 and out[95] == 95.0
+
+
+def test_winsorize_column_approx_within_rank_error(spark):
+    """Approx (bounded-memory) clamp thresholds on a skewed column sit
+    within the sketch's rank-error band of the exact ones: the SET OF
+    CLIPPED ROWS differs from exact by at most eps*n per tail. (The
+    clamp VALUE legitimately differs on every clipped row — exact
+    interpolates between data values, the sketch returns an actual
+    one — so the invariant is membership, not the emitted value.)"""
+    from pipelines_rj_sms_spark.quality.stats import winsorize_column
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * F.col("id") % 99991).cast("double").alias("v"))
+
+    def _clip_set(out):
+        return {r["k"] for r in
+                out.join(df, "k")
+                .filter(F.col("clipped") != F.round("v", 6))
+                .select("k").collect()}
+
+    exact = _clip_set(winsorize_column(df, "k", "v"))
+    approx = _clip_set(winsorize_column(df, "k", "v", approx=True,
+                                        approx_accuracy=1000))
+    # membership may differ only inside the rank-error band of each
+    # tail threshold: eps*n per tail, 2 tails
+    assert len(exact ^ approx) <= 2 * (1.0 / 1000) * n
+    # both paths clip ~5% + 5% of rows
+    assert abs(len(exact) - 0.10 * n) <= 0.02 * n
+
+
+def test_mad_outlier_flags_exact_known(spark):
+    from pipelines_rj_sms_spark.quality.stats import mad_outlier_flags
+    # median 5, MAD 2 -> cut 3*1.4826*2 = 8.8956: only the 100.0
+    # planted spike exceeds |v-5| > 8.8956
+    vals = [1.0, 3.0, 4.0, 5.0, 5.0, 6.0, 7.0, 9.0, 100.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["k", "v"])
+    out = {r["k"]: r["is_outlier"]
+           for r in mad_outlier_flags(df, "k", "v").collect()}
+    assert out[8] is True
+    assert all(out[i] is False for i in range(8))
+
+
+def test_mad_outlier_flags_approx_agrees_outside_band(spark):
+    """Approx medians move each cut by at most the rank error; flags
+    may only flip for rows inside that band — on a corpus where the
+    planted outliers sit far beyond it, approx == exact."""
+    from pipelines_rj_sms_spark.quality.stats import mad_outlier_flags
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 1000 == 0, F.lit(1e7))
+        .otherwise((F.col("id") % 997).cast("double")).alias("v"))
+    exact = {r["k"]: r["is_outlier"]
+             for r in mad_outlier_flags(df, "k", "v").collect()}
+    approx = {r["k"]: r["is_outlier"]
+              for r in mad_outlier_flags(df, "k", "v", approx=True,
+                                         approx_accuracy=1000).collect()}
+    assert exact == approx
+    assert sum(exact.values()) == n // 1000
+
+
 def test_jsd_identical_distributions_zero(spark):
     """Same distribution in both groups → every term 0, total 0."""
     from pipelines_rj_sms_spark.quality.stats import (
