@@ -593,6 +593,14 @@ Query key -> SURVEY §2 rows covered:
   value_equi_depth_histogram_approx  equi-depth histogram with
                             bounded-memory approx boundaries, same
                             population-tolerance audit gate
+  corpus_vocab_growth       Heaps'-law measurement: cumulative token /
+                            distinct-token counts at 8 integer-range
+                            doc-id checkpoints (no percentile, no
+                            window — two collapsed-table hash aggs)
+  corpus_heaps_fit          Heaps exponent: pinned-ln OLS over the
+                            growth checkpoints (zipf closed form);
+                            beta ~ 0.5 natural, ~1 unbounded-novelty
+                            noise, ~0 closed template vocabulary
 """
 
 from __future__ import annotations
@@ -5571,6 +5579,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return zipf_fit(docs, "text", min_count=2)
 
+    def vocab_growth_q(spark, sf_dir):
+        """Cumulative vocabulary-growth curve (the Heaps'-law
+        measurement): token and distinct-token counts at 8 doc-id
+        checkpoints — one explode, two hash aggs over collapsed
+        tables, K conditional sums; thresholds are integer range
+        fractions (min/max only — deliberately no percentile)."""
+        from pipelines_rj_sms_spark.operators.terms import (
+            vocab_growth_checkpoints)
+        docs = _t(spark, sf_dir, "documents")
+        out = vocab_growth_checkpoints(docs, "doc_id", "text", 8)
+        return out.select(
+            F.col("checkpoint").cast("bigint").alias("checkpoint"),
+            "doc_id_threshold", "n_tokens_cum", "vocab_cum")
+
+    def heaps_q(spark, sf_dir):
+        """Heaps'-law exponent: OLS of ln(vocab) on ln(tokens) over
+        the growth checkpoints (pinned lns, det-quantized co-moments
+        — the zipf_fit closed form). Natural text ~ 0.5; beta ~ 1
+        flags unbounded-novel-token noise, ~ 0 a closed template
+        vocabulary."""
+        from pipelines_rj_sms_spark.operators.terms import heaps_fit
+        docs = _t(spark, sf_dir, "documents")
+        return heaps_fit(docs, "doc_id", "text", 8)
+
     def compression_q(spark, sf_dir):
         """Gopher-style redundancy signal: zlib compression ratio per
         document via the sanctioned Arrow-batched pandas UDF (rows-only
@@ -7098,6 +7130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kn_trigram_logprob": kn_trigram_lm_q,
         "kmeans_embedding_clusters": kmeans_q,
         "corpus_zipf_fit": zipf_q,
+        "corpus_vocab_growth": vocab_growth_q,
+        "corpus_heaps_fit": heaps_q,
         "doc_compression_ratio": compression_q,
         "doc_byte_entropy": byte_entropy_q,
         "bpe_merge_table": bpe_q,
@@ -10030,6 +10064,87 @@ SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
                 AS DOUBLE) / 1000000.0) / len(ch) END, 6)
          AS char_entropy_nats
 FROM b
+""",
+        # Heaps'-law growth curve: same tokenizer, integer-div
+        # thresholds, conditional sums over the two collapsed tables.
+        "corpus_vocab_growth": r"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+per_doc AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+firsts AS (SELECT tok, min(doc_id) AS fd FROM t GROUP BY 1),
+rng AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+cks AS (SELECT r.range + 1 AS checkpoint,
+               lo + ((hi - lo) * (r.range + 1)) // 8 AS thr
+        FROM range(8) r CROSS JOIN rng),
+n_cum AS (
+  SELECT checkpoint, thr,
+         CAST(sum(CASE WHEN doc_id <= thr THEN n ELSE 0 END) AS BIGINT)
+           AS n_tokens_cum
+  FROM per_doc CROSS JOIN cks GROUP BY 1, 2),
+v_cum AS (
+  SELECT checkpoint,
+         CAST(sum(CASE WHEN fd <= thr THEN 1 ELSE 0 END) AS BIGINT)
+           AS vocab_cum
+  FROM firsts CROSS JOIN cks GROUP BY 1)
+SELECT checkpoint, thr AS doc_id_threshold, n_tokens_cum, vocab_cum
+FROM n_cum JOIN v_cum USING (checkpoint)
+""",
+        # Heaps OLS over the pinned-ln growth points (the zipf OLS
+        # shape verbatim, K points instead of |V|).
+        "corpus_heaps_fit": rf"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+per_doc AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+firsts AS (SELECT tok, min(doc_id) AS fd FROM t GROUP BY 1),
+rng AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+cks AS (SELECT r.range + 1 AS checkpoint,
+               lo + ((hi - lo) * (r.range + 1)) // 8 AS thr
+        FROM range(8) r CROSS JOIN rng),
+pts AS (
+  SELECT n_cum.checkpoint,
+         CAST(sum_n AS BIGINT) AS n_tok, CAST(v AS BIGINT) AS voc
+  FROM (SELECT checkpoint,
+               sum(CASE WHEN doc_id <= thr THEN n ELSE 0 END) AS sum_n
+        FROM per_doc CROSS JOIN cks GROUP BY 1) n_cum
+  JOIN (SELECT checkpoint,
+               sum(CASE WHEN fd <= thr THEN 1 ELSE 0 END) AS v
+        FROM firsts CROSS JOIN cks GROUP BY 1) v_cum
+    USING (checkpoint)),
+ranked AS (
+  SELECT floor(ln(CAST(n_tok AS DOUBLE)) * 1000000.0 + 0.5)
+           / 1000000.0 AS lx,
+         floor(ln(CAST(voc AS DOUBLE)) * 1000000.0 + 0.5)
+           / 1000000.0 AS ly
+  FROM pts WHERE n_tok > 0 AND voc > 0),
+raw AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_checkpoints,
+         {_det_sum_big('lx')} AS sx, {_det_sum_big('ly')} AS sy,
+         {_det_sum_big('lx * ly')} AS sxy,
+         {_det_sum_big('lx * lx')} AS sxx,
+         {_det_sum_big('ly * ly')} AS syy
+  FROM ranked),
+o AS (
+  SELECT n_checkpoints,
+         CAST(n_checkpoints AS DOUBLE) * sxy - sx * sy AS cov_n,
+         CAST(n_checkpoints AS DOUBLE) * sxx - sx * sx AS varx_n,
+         CAST(n_checkpoints AS DOUBLE) * syy - sy * sy AS vary_n,
+         sx, sy
+  FROM raw)
+SELECT n_checkpoints,
+       round(CASE WHEN varx_n <> 0 THEN cov_n / varx_n END, 6) + 0.0
+         AS beta,
+       round((sy - (CASE WHEN varx_n <> 0 THEN cov_n / varx_n END) * sx)
+             / CAST(n_checkpoints AS DOUBLE), 6) + 0.0 AS intercept,
+       round(CASE WHEN varx_n <> 0 AND vary_n <> 0
+                  THEN cov_n * cov_n / (varx_n * vary_n) END, 6) + 0.0
+         AS r2
+FROM o
 """,
         "corpus_zipf_fit": r"""
 WITH cnt AS (

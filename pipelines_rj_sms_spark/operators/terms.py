@@ -498,6 +498,117 @@ def zipf_fit(df: DataFrame, text_col: str,
         ranked_ids)
 
 
+def vocab_growth_checkpoints(df: DataFrame, id_col: str,
+                             text_col: str,
+                             n_checkpoints: int = 8) -> DataFrame:
+    """Cumulative vocabulary-growth curve — the measurement half of
+    Heaps' law (V(N) ~ K·N^beta, public): at each of ``n_checkpoints``
+    doc-id thresholds, how many token OCCURRENCES the corpus prefix
+    holds (n_tokens_cum) and how many DISTINCT tokens have appeared
+    (vocab_cum). Natural text grows vocabulary sublinearly
+    (beta ~ 0.4-0.6); a curve bending to beta ~ 1 means unbounded
+    novel tokens (OCR noise, serial numbers, random strings), one
+    flattening to ~0 means a closed template vocabulary — both
+    corpus-health signals next to :func:`zipf_fit`.
+
+    Checkpoint thresholds are integer fractions of the [min, max]
+    doc-id range (pure min/max aggregation — deliberately NOT a
+    percentile, so no distinct-value buffering anywhere). "First
+    appearance" of a term = its min doc id; both curves then come
+    from ONE token explode feeding two hash aggs — per-doc token
+    counts (|docs| rows) and per-term min-id (|V| rows) — and K
+    conditional sums over each collapsed table. The explode result is
+    persisted across the two aggs (released via the track ledger).
+    Nothing driver-side, no windows over raw tokens. (hi-lo)*K must
+    stay under 2^63 — true for any real id space.
+
+    Returns (checkpoint, doc_id_threshold, n_tokens_cum, vocab_cum),
+    one row per checkpoint; empty-prefix checkpoints report zeros.
+    """
+    from pipelines_rj_sms_spark.operators.cache import track
+
+    k = int(n_checkpoints)
+    if k < 2:
+        raise ValueError("vocab_growth needs >= 2 checkpoints")
+    toks = df.select(F.col(id_col).cast("long").alias("_id"),
+                     F.explode(tokens(text_col)).alias("_t")).persist()
+    per_doc = toks.groupBy("_id").agg(F.count("*").alias("_n"))
+    first = toks.groupBy("_t").agg(F.min("_id").alias("_fd"))
+    rng = F.broadcast(df.agg(
+        F.min(F.col(id_col).cast("long")).alias("_lo"),
+        F.max(F.col(id_col).cast("long")).alias("_hi")))
+    cks = F.broadcast(
+        rng.select(F.explode(F.sequence(F.lit(1), F.lit(k)))
+                   .alias("checkpoint"), "_lo", "_hi")
+        .select("checkpoint",
+                # integer `div`, not float floor(x/k): exact at any id
+                # magnitude (a double division loses ulps past 2^53)
+                (F.col("_lo") + F.expr(
+                    f"(( _hi - _lo) * checkpoint) div {k}"))
+                .alias("doc_id_threshold")))
+    n_cum = (per_doc.crossJoin(cks)
+             .groupBy("checkpoint", "doc_id_threshold")
+             .agg(F.sum(F.when(F.col("_id") <= F.col("doc_id_threshold"),
+                               F.col("_n")).otherwise(F.lit(0)))
+                  .cast("bigint").alias("n_tokens_cum")))
+    v_cum = (first.crossJoin(cks)
+             .groupBy("checkpoint")
+             .agg(F.sum(F.when(F.col("_fd") <= F.col("doc_id_threshold"),
+                               1).otherwise(0))
+                  .cast("bigint").alias("vocab_cum")))
+    return track(n_cum.join(v_cum, "checkpoint")
+                 .select("checkpoint", "doc_id_threshold",
+                         "n_tokens_cum", "vocab_cum"), toks)
+
+
+def heaps_fit(df: DataFrame, id_col: str, text_col: str,
+              n_checkpoints: int = 8) -> DataFrame:
+    """Heaps'-law OLS fit over the vocabulary-growth checkpoints:
+    ln(vocab) against ln(n_tokens), slope = the Heaps exponent beta,
+    exp(intercept) = the K prefactor. Natural corpora sit near
+    beta ~ 0.5; see :func:`vocab_growth_checkpoints` for the
+    diagnostic reading and the scale shape (this adds only a K-row
+    OLS — the zipf_fit closed form over det-quantized pinned lns).
+    Returns one row (n_checkpoints, beta, intercept, r2), floats
+    rounded to 6; checkpoints with an empty prefix are excluded from
+    the fit (ln 0)."""
+    from pipelines_rj_sms_spark.functions.numeric import (
+        LOG_SCALE, det_log_units, det_sum_big)
+    from pipelines_rj_sms_spark.operators.cache import track
+
+    pts = vocab_growth_checkpoints(df, id_col, text_col, n_checkpoints)
+    ranked = pts.filter((F.col("n_tokens_cum") > 0)
+                        & (F.col("vocab_cum") > 0)).select(
+        (det_log_units(F.col("n_tokens_cum").cast("double"))
+         / F.lit(float(LOG_SCALE))).alias("lx"),
+        (det_log_units(F.col("vocab_cum").cast("double"))
+         / F.lit(float(LOG_SCALE))).alias("ly"))
+    lx, ly = F.col("lx"), F.col("ly")
+    agg = ranked.agg(
+        F.count("*").cast("bigint").alias("n_checkpoints"),
+        det_sum_big(lx).alias("_sx"),
+        det_sum_big(ly).alias("_sy"),
+        det_sum_big(lx * ly).alias("_sxy"),
+        det_sum_big(lx * lx).alias("_sxx"),
+        det_sum_big(ly * ly).alias("_syy"))
+    n = F.col("n_checkpoints").cast("double")
+    cov_n = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    varx_n = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vary_n = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = F.when(varx_n != 0, cov_n / varx_n)
+    # + 0.0 canonicalizes IEEE negative zero: a saturated vocabulary
+    # yields cov_n = -0.0 on one engine and 0.0 on the other, and the
+    # driver's value hash distinguishes the renderings
+    return track(agg.select(
+        "n_checkpoints",
+        (F.round(slope, 6) + F.lit(0.0)).alias("beta"),
+        (F.round((F.col("_sy") - slope * F.col("_sx")) / n, 6)
+         + F.lit(0.0)).alias("intercept"),
+        (F.round(F.when((varx_n != 0) & (vary_n != 0),
+                        cov_n * cov_n / (varx_n * vary_n)), 6)
+         + F.lit(0.0)).alias("r2")), pts)
+
+
 def lexical_diversity(df: DataFrame, id_col: str,
                       text_col: str) -> DataFrame:
     """Per-document lexical-diversity metrics — the vocabulary-richness

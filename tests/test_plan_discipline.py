@@ -214,6 +214,11 @@ def test_every_query_plans_clean(spark):
                     # plus the 1-row population-total audit broadcast
                     "ccnet_ppl_partition_approx",
                     "value_equi_depth_histogram_approx",
+                    # K-row (8) checkpoint frame under the two
+                    # collapsed growth tables + the 1-row min/max
+                    # range broadcast (operators/terms.py
+                    # vocab_growth_checkpoints)
+                    "corpus_vocab_growth", "corpus_heaps_fit",
                     # 1-row doc-count broadcast under each GD update
                     # (operators/classify.py logreg_hashed_train)
                     "logreg_quality_scores",

@@ -401,3 +401,47 @@ def test_kn_trigram_partition_invariant(spark):
     b = {tuple(r) for r in kn_trigram_logprob(
         df.repartition(16), "doc_id", "text").collect()}
     assert a == b and len(a) == 60
+
+
+def test_vocab_growth_checkpoints_exact(spark):
+    """Hand-checkable curve: doc i = one novel token + one shared
+    token. Threshold_i = (9*i) div 8; prefix of t+1 docs holds
+    2*(t+1) occurrences and (t+1)+1 distinct tokens."""
+    from pipelines_rj_sms_spark.operators.terms import (
+        vocab_growth_checkpoints)
+    df = spark.createDataFrame(
+        [(i, f"w{i} common") for i in range(10)],
+        "doc_id long, text string")
+    rows = {r["checkpoint"]: r for r in
+            vocab_growth_checkpoints(df, "doc_id", "text", 8).collect()}
+    assert set(rows) == set(range(1, 9))
+    for i in range(1, 9):
+        thr = (9 * i) // 8
+        assert rows[i]["doc_id_threshold"] == thr
+        assert rows[i]["n_tokens_cum"] == 2 * (thr + 1)
+        assert rows[i]["vocab_cum"] == thr + 2
+
+
+def test_heaps_fit_open_and_closed_vocab(spark):
+    """Unbounded-novelty corpus fits beta ~ 1; a closed vocabulary
+    fits beta == +0.0 (negative zero canonicalized — the saturated
+    cov_n = -0.0 class)."""
+    import math
+
+    from pipelines_rj_sms_spark.operators.terms import heaps_fit
+
+    open_v = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(5)))
+         for i in range(40)], "doc_id long, text string")
+    fit = heaps_fit(open_v, "doc_id", "text", 8).collect()[0]
+    assert fit["n_checkpoints"] == 8
+    assert 0.9 <= fit["beta"] <= 1.0
+    assert fit["r2"] > 0.999
+
+    closed = spark.createDataFrame(
+        [(i, "same small vocab here") for i in range(40)],
+        "doc_id long, text string")
+    fit2 = heaps_fit(closed, "doc_id", "text", 8).collect()[0]
+    assert fit2["beta"] == 0.0
+    assert math.copysign(1.0, fit2["beta"]) == 1.0
+    assert fit2["r2"] == 0.0
