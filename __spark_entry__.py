@@ -601,6 +601,11 @@ Query key -> SURVEY §2 rows covered:
                             growth checkpoints (zipf closed form);
                             beta ~ 0.5 natural, ~1 unbounded-novelty
                             noise, ~0 closed template vocabulary
+  doremi_domain_weights     DoReMi multiplicative-weights domain
+                            mixture over static per-source excess
+                            loss (self vs shared bigram model);
+                            exact-integer MW steps, chained-CTE
+                            HUGEINT oracle
 """
 
 from __future__ import annotations
@@ -5593,6 +5598,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("checkpoint").cast("bigint").alias("checkpoint"),
             "doc_id_threshold", "n_tokens_cum", "vocab_cum")
 
+    def doremi_q(spark, sf_dir):
+        """DoReMi multiplicative-weights domain mixture over static
+        per-source excess loss (self add-one bigram model vs the
+        shared corpus model) — 5 exponentiated-gradient steps with
+        renormalize + 1/10-uniform smoothing, all in exact integer
+        units (the logreg discipline); chained-CTE HUGEINT oracle."""
+        from pipelines_rj_sms_spark.operators.curation import (
+            doremi_domain_weights)
+        docs = _t(spark, sf_dir, "documents")
+        return doremi_domain_weights(docs, "source", "text", n_iter=5)
+
     def heaps_q(spark, sf_dir):
         """Heaps'-law exponent: OLS of ln(vocab) on ln(tokens) over
         the growth checkpoints (pinned lns, det-quantized co-moments
@@ -7132,6 +7148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_zipf_fit": zipf_q,
         "corpus_vocab_growth": vocab_growth_q,
         "corpus_heaps_fit": heaps_q,
+        "doremi_domain_weights": doremi_q,
         "doc_compression_ratio": compression_q,
         "doc_byte_entropy": byte_entropy_q,
         "bpe_merge_table": bpe_q,
@@ -7306,6 +7323,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fill = max(0, 50 - len(head))
     return {**head, **dict(items[-fill:] if fill else []), **no_oracle,
             **dict(items[:-fill] if fill else items)}
+
+
+def _doremi_sql(n_iter: int = 5, eta: tuple = (1, 1),
+                c: tuple = (1, 10)) -> str:
+    """Chained-CTE HUGEINT replay of doremi_domain_weights: the two
+    n-gram legs (shared model via pinned-ln grid_mean, self model with
+    per-source counts/contexts/vocab), the pinned exp multiplier, and
+    ``n_iter`` unrolled multiplicative-weight steps — each one exact
+    half-up integer rounding ((2x + y) // (2y)) for the renormalize
+    and the (1-c)w + c/k smoothing, matching the operator's
+    a - a%b construction bit for bit."""
+    eta_num, eta_den = eta
+    c_num, c_den = c
+    head = rf"""
+WITH t AS MATERIALIZED (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+bgs AS MATERIALIZED (
+  SELECT source, bg, string_split(bg, ' ')[1] AS v
+  FROM (
+    SELECT source,
+           unnest(CASE WHEN len(toks) > 1
+                       THEN list_transform(range(len(toks) - 1),
+                                           i -> toks[i+1] || ' ' || toks[i+2])
+                       ELSE [] END) AS bg
+    FROM t)),
+tf_sh AS (SELECT source, bg, count(*) AS tf FROM bgs GROUP BY 1, 2),
+cnt AS (SELECT bg, count(*) AS cbg FROM bgs GROUP BY 1),
+ctx AS (SELECT v, count(*) AS cv FROM bgs GROUP BY 1),
+vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab
+  FROM (SELECT unnest(toks) AS tok FROM t)),
+shared AS (
+  SELECT source,
+         {_grid_mean(
+             "sum(tf * " + _pin_ln('(cbg + 1.0) / (cv + vocab)') + ")",
+             "sum(tf)")} AS sh
+  FROM tf_sh
+  JOIN cnt USING (bg)
+  JOIN ctx ON string_split(tf_sh.bg, ' ')[1] = ctx.v
+  CROSS JOIN vocab
+  GROUP BY source),
+cnt_s AS (SELECT source, bg, string_split(bg, ' ')[1] AS v,
+                 count(*) AS c
+          FROM bgs GROUP BY 1, 2, 3),
+ctx_s AS (SELECT source, v, count(*) AS cv FROM bgs GROUP BY 1, 2),
+voc_s AS (
+  SELECT source, CAST(count(DISTINCT tok) AS DOUBLE) AS vs
+  FROM (SELECT source, unnest(toks) AS tok FROM t) GROUP BY source),
+selfm AS (
+  SELECT cnt_s.source,
+         {_grid_mean(
+             "sum(c * " + _pin_ln('(c + 1.0) / (cv + vs)') + ")",
+             "sum(c)")} AS sf
+  FROM cnt_s
+  JOIN ctx_s ON cnt_s.source = ctx_s.source AND cnt_s.v = ctx_s.v
+  JOIN voc_s ON cnt_s.source = voc_s.source
+  GROUP BY cnt_s.source),
+base AS (
+  SELECT shared.source AS d,
+         greatest(CAST(floor((sf - sh) * 1000000.0 + 0.5) AS BIGINT),
+                  0) AS ex_u
+  FROM shared JOIN selfm ON shared.source = selfm.source),
+m AS (
+  SELECT d, ex_u,
+         CAST(floor(exp(CAST(ex_u AS DOUBLE) * {eta_num}.0
+                        / {eta_den}.0 / 1000000.0)
+                    * 1000000.0 + 0.5) AS HUGEINT) AS m_u
+  FROM base),
+kk AS (SELECT CAST(count(*) AS HUGEINT) AS k FROM m),
+a0 AS (SELECT d, ex_u, m_u, (2 * 1000000 + k) // (2 * k) AS w
+       FROM m CROSS JOIN kk)"""
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(f""",
+p{i} AS (SELECT d, ex_u, m_u, CAST(w * m_u AS HUGEINT) AS p
+        FROM a{i - 1}),
+z{i} AS (SELECT CAST(sum(p) AS HUGEINT) AS z FROM p{i}),
+n{i} AS (SELECT d, ex_u, m_u,
+                (2 * p * 1000000 + z) // (2 * z) AS wn
+        FROM p{i} CROSS JOIN z{i}),
+a{i} AS (SELECT d, ex_u, m_u,
+                (2 * ({c_den - c_num} * wn * k + {c_num} * 1000000)
+                 + {c_den} * k) // (2 * {c_den} * k) AS w
+        FROM n{i} CROSS JOIN kk)""")
+    tail = f"""
+SELECT d AS source,
+       CAST(ex_u AS DOUBLE) / 1000000.0 AS excess_loss,
+       CAST(w AS DOUBLE) / 1000000.0 AS weight
+FROM a{n_iter}
+"""
+    return head + "".join(steps) + tail
 
 
 def _bootstrap_ci_sql() -> str:
@@ -11846,6 +11957,7 @@ FROM agg
         # quality.stats.POISSON1_CDF — bit-identical literals in both
         # engines; draws replay the md5 (salt, id, replica) uniform
         "event_value_bootstrap_ci": _bootstrap_ci_sql(),
+        "doremi_domain_weights": _doremi_sql(n_iter=5),
         # randomization test: same generated-draw parity as the
         # bootstrap (md5 (salt, id, replica) uniforms)
         "purchase_click_randomization_test": """

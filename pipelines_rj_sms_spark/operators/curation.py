@@ -383,3 +383,124 @@ def perplexity_partition(df: DataFrame, id_col: str = "doc_id",
                 bucket.cast("int").alias("bucket"),
                 label.alias("bucket_label")),
         scored)
+
+
+# --- DoReMi-style domain mixture weights ----------------------------------
+
+
+def doremi_domain_weights(df: DataFrame, domain_col: str = "source",
+                          text_col: str = "text",
+                          n_iter: int = 5,
+                          eta: tuple[int, int] = (1, 1),
+                          smoothing: tuple[int, int] = (1, 10),
+                          ) -> DataFrame:
+    """Domain mixture weights by multiplicative-weights ascent on
+    per-domain excess loss — the update rule of DoReMi (Xie et al.
+    2023, "Doremi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining", public method), instantiated on STATIC excess
+    losses: where the paper re-measures excess loss each step from a
+    proxy model being trained, this engine-side variant measures it
+    once from corpus-own n-gram models and runs the same
+    exponentiated-gradient + renormalize + uniform-smoothing loop —
+    the mixture initialization the paper's full training loop would
+    refine, and the standing answer to "which domains does the
+    current uniform mixture underserve".
+
+    Excess loss per domain (clamped at 0, as the paper clips):
+    ``mean_self_logprob - mean_shared_logprob`` — the slice's own
+    add-one bigram model (:func:`~.terms.bigram_logprob_within`, the
+    reference/specialist leg) minus the single corpus-wide model
+    scored on the slice (:func:`~.terms.bigram_logprob` keyed by the
+    domain, the proxy/generalist leg). A domain the shared model
+    already fits has ~0 excess and decays toward the smoothing floor;
+    a poorly-served domain compounds ``exp(eta * excess)`` per step.
+
+    Determinism contract (the logreg discipline): both mean logprobs
+    are ``grid_mean`` 6-dp outputs, the excess is re-pinned to BIGINT
+    1e-6 units, ``exp(eta*excess)`` is ``pin_units``-pinned (the one
+    transcendental), and every iteration is EXACT integer arithmetic:
+    weight units x multiplier units, a DECIMAL(38,0) normalizer sum,
+    and half-up integer rounding for both the renormalize and the
+    ``(1-c)*w + c/k`` smoothing step (``a - a%b`` exact-division
+    construction). Same inputs => bit-identical weights at any
+    partitioning, replayed verbatim by a chained-CTE HUGEINT oracle.
+
+    Scale shape: two n-gram scoring passes (narrow explodes + hash
+    aggs), then ``n_iter`` iterations over the |domains|-row frame —
+    each one 1-row-normalizer broadcast + a projection; per-iteration
+    frames are persisted and carried on the release ledger. Domains
+    with no bigram at all emit no row (no model exists to score them).
+
+    Returns (domain_col, excess_loss, weight): weight on the 1e-6
+    grid, summing to ~1 (±k rounding units).
+    """
+    from pipelines_rj_sms_spark.functions.numeric import (LOG_SCALE,
+                                                          pin_units)
+    from pipelines_rj_sms_spark.operators.cache import track
+    from pipelines_rj_sms_spark.operators.terms import (
+        bigram_logprob, bigram_logprob_within)
+
+    eta_num, eta_den = eta
+    c_num, c_den = smoothing
+    if not (0 <= c_num <= c_den) or eta_den <= 0:
+        raise ValueError("smoothing must be a [0,1] rational, eta > 0")
+    shared = bigram_logprob(df, domain_col, text_col).select(
+        F.col(domain_col).alias("_d"),
+        F.col("mean_bigram_logprob").alias("_shared"))
+    self_ = bigram_logprob_within(df, domain_col, text_col).select(
+        F.col(domain_col).alias("_d"),
+        F.col("mean_self_logprob").alias("_self"))
+    # excess re-pinned to integer units: both means are exact grid
+    # multiples, so the float subtraction is within 1 ulp of the true
+    # k/1e6 and the half-up floor recovers k exactly on both engines
+    ex_u = F.greatest(
+        F.floor((F.col("_self") - F.col("_shared"))
+                * F.lit(float(LOG_SCALE)) + F.lit(0.5)).cast("long"),
+        F.lit(0).cast("long"))
+    m_u = pin_units(F.exp(F.col("_ex_u").cast("double")
+                          * F.lit(float(eta_num))
+                          / F.lit(float(eta_den))
+                          / F.lit(float(LOG_SCALE)))).cast("long")
+    base = (shared.join(self_, "_d")
+            .withColumn("_ex_u", ex_u)
+            .withColumn("_m_u", m_u))
+    k_row = F.broadcast(base.agg(
+        F.count("*").cast("decimal(38,0)").alias("_k")))
+    scale = F.lit(LOG_SCALE).cast("decimal(38,0)")
+
+    def _half_up(a: F.Column, b: F.Column) -> F.Column:
+        """round(a/b) for non-negative DECIMAL a, positive b, in exact
+        integer arithmetic: (2a + b) div 2b via a - a%b."""
+        num = a * 2 + b
+        den = b * 2
+        return ((num - num % den) / den).cast("decimal(38,0)")
+
+    # w0 = round(SCALE/k) for every domain
+    w = (base.crossJoin(k_row)
+         .select("_d", "_ex_u", "_m_u",
+                 _half_up(scale, F.col("_k")).alias("_w_u"), "_k"))
+    pins = []
+    for _ in range(int(n_iter)):
+        w = track(w.persist())
+        pins.append(w)
+        p = w.withColumn("_p", F.col("_w_u") * F.col("_m_u"))
+        z = F.broadcast(p.agg(
+            F.sum("_p").cast("decimal(38,0)").alias("_z")))
+        w = (p.crossJoin(z)
+             .select("_d", "_ex_u", "_m_u", "_k",
+                     _half_up(F.col("_p") * scale, F.col("_z"))
+                     .alias("_wn")))
+        # smoothing: w = round(((den-num)*wn*k + num*SCALE) / (den*k))
+        w = w.select(
+            "_d", "_ex_u", "_m_u", "_k",
+            _half_up(F.lit(c_den - c_num).cast("decimal(38,0)")
+                     * F.col("_wn") * F.col("_k")
+                     + F.lit(c_num).cast("decimal(38,0)") * scale,
+                     F.lit(c_den).cast("decimal(38,0)") * F.col("_k"))
+            .alias("_w_u"))
+    return track(w.select(
+        F.col("_d").alias(domain_col),
+        (F.col("_ex_u").cast("double") / F.lit(float(LOG_SCALE)))
+        .alias("excess_loss"),
+        (F.col("_w_u").cast("double") / F.lit(float(LOG_SCALE)))
+        .alias("weight")), *pins)

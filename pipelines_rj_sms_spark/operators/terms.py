@@ -498,6 +498,47 @@ def zipf_fit(df: DataFrame, text_col: str,
         ranked_ids)
 
 
+def bigram_logprob_within(df: DataFrame, key_col: str,
+                          text_col: str) -> DataFrame:
+    """Per-key mean bigram log-probability where each key's slice is
+    scored under ITS OWN add-one bigram model (counts, contexts, and
+    vocabulary all keyed) — the specialist/reference model leg of a
+    domain-mixture computation, against :func:`bigram_logprob` keyed
+    by the same column (which scores every slice under the single
+    corpus-wide model). A slice always fits itself at least as well
+    as the shared model fits it; the gap is the domain's excess loss.
+
+    Scale shape: the :func:`bigram_logprob` plan with every hash agg
+    key widened by ``key_col`` — narrow bigram explode, (key, bigram)
+    and (key, context) hash aggs, a |keys|-row vocabulary rollup
+    joined back on the key (broadcast-sized: one row per domain).
+    Same pinned-ln + DECIMAL-sum + ``grid_mean`` contract. Keys whose
+    every doc is under 2 tokens emit no row (no bigram exists).
+    Returns (key, mean_self_logprob, n_bigrams).
+    """
+    bgs = (df.select(F.col(key_col).alias("_k"),
+                     F.explode(token_bigrams(text_col)).alias("bg"))
+           .withColumn("v", F.split(F.col("bg"), " ")[0]))
+    cnt = bgs.groupBy("_k", "bg", "v").agg(F.count("*").alias("c"))
+    ctx = bgs.groupBy("_k", "v").agg(F.count("*").alias("cv"))
+    vocab = (df.select(F.col(key_col).alias("_k"),
+                       F.explode(tokens(text_col)).alias("t"))
+             .groupBy("_k")
+             .agg(F.count_distinct("t").cast("double").alias("_vocab")))
+    logp_u = det_log_units(
+        (F.col("c") + 1.0) / (F.col("cv") + F.col("_vocab")))
+    return (cnt.join(ctx, ["_k", "v"])
+            .join(F.broadcast(vocab), "_k")
+            .groupBy("_k")
+            .agg(F.sum(F.col("c").cast("decimal(38,0)") * logp_u)
+                 .alias("_s"),
+                 F.sum("c").alias("n_bigrams"))
+            .select(F.col("_k").alias(key_col),
+                    grid_mean(F.col("_s"), F.col("n_bigrams"))
+                    .alias("mean_self_logprob"),
+                    "n_bigrams"))
+
+
 def vocab_growth_checkpoints(df: DataFrame, id_col: str,
                              text_col: str,
                              n_checkpoints: int = 8) -> DataFrame:

@@ -208,3 +208,45 @@ def test_dsir_log_weights_hash_fn_variants_consistent(spark):
         for did, r in outs["portable"].items():
             assert outs[fn][did]["n_tokens"] == r["n_tokens"]
             assert outs[fn][did]["is_target"] == r["is_target"]
+
+
+def test_doremi_uniform_corpus_stays_uniform(spark):
+    """Identical slices have ~0 excess loss -> the MW loop leaves the
+    mixture at (smoothed) uniform, summing to ~1."""
+    from pipelines_rj_sms_spark.operators.curation import (
+        doremi_domain_weights)
+    rows = [(i, "the cat sat on the mat the end", f"s{i % 4}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in
+           doremi_domain_weights(df, "source", "text", n_iter=5)
+           .collect()}
+    assert len(out) == 4
+    for r in out.values():
+        assert r["excess_loss"] == 0.0
+        assert abs(r["weight"] - 0.25) < 1e-5
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-4
+
+
+def test_doremi_underserved_domain_gains_weight(spark):
+    """A domain the shared model fits poorly (disjoint vocabulary,
+    1/4 of the corpus) carries the largest excess loss and ends with
+    the largest mixture weight; weights still sum to ~1."""
+    from pipelines_rj_sms_spark.operators.curation import (
+        doremi_domain_weights)
+    rows = ([(i, "the cat sat on the mat and the dog ran", "en1")
+             for i in range(12)]
+            + [(100 + i, "the cat sat on the mat and a dog sat", "en2")
+               for i in range(12)]
+            + [(200 + i, "zq wv pk lm zq bn wv pk zq lm", "odd")
+               for i in range(8)])
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in
+           doremi_domain_weights(df, "source", "text", n_iter=5)
+           .collect()}
+    assert out["odd"]["excess_loss"] == max(
+        r["excess_loss"] for r in out.values())
+    assert out["odd"]["weight"] == max(
+        r["weight"] for r in out.values())
+    assert out["odd"]["weight"] > 1.0 / 3
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-4

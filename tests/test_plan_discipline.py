@@ -219,6 +219,10 @@ def test_every_query_plans_clean(spark):
                     # range broadcast (operators/terms.py
                     # vocab_growth_checkpoints)
                     "corpus_vocab_growth", "corpus_heaps_fit",
+                    # 1-row vocab / domain-count / normalizer
+                    # broadcasts per MW step (operators/curation.py
+                    # doremi_domain_weights — the logreg class)
+                    "doremi_domain_weights",
                     # 1-row doc-count broadcast under each GD update
                     # (operators/classify.py logreg_hashed_train)
                     "logreg_quality_scores",

@@ -445,3 +445,22 @@ def test_heaps_fit_open_and_closed_vocab(spark):
     assert fit2["beta"] == 0.0
     assert math.copysign(1.0, fit2["beta"]) == 1.0
     assert fit2["r2"] == 0.0
+
+
+def test_bigram_logprob_within_fits_own_slice_better(spark):
+    """The specialist leg: every key's self-model mean logprob is >=
+    the shared corpus model's mean on that key (same add-one family,
+    fitted to a subset)."""
+    from pipelines_rj_sms_spark.operators.terms import (
+        bigram_logprob, bigram_logprob_within)
+    rows = ([(i, "the cat sat on the mat", "a") for i in range(6)]
+            + [(10 + i, "zq wv zq pk wv zq", "b") for i in range(6)])
+    df = spark.createDataFrame(rows, ["doc_id", "text", "src"])
+    shared = {r["src"]: r["mean_bigram_logprob"]
+              for r in bigram_logprob(df, "src", "text").collect()}
+    self_ = {r["src"]: r["mean_self_logprob"]
+             for r in bigram_logprob_within(df, "src", "text")
+             .collect()}
+    assert set(shared) == set(self_) == {"a", "b"}
+    for k in shared:
+        assert self_[k] >= shared[k], (k, self_[k], shared[k])
