@@ -606,6 +606,11 @@ Query key -> SURVEY §2 rows covered:
                             loss (self vs shared bigram model);
                             exact-integer MW steps, chained-CTE
                             HUGEINT oracle
+  doc_watermark_zscore      greenlist watermark detector
+                            (Kirchenbauer et al. 2023, hash-seeded
+                            variant) — the LLM-generated-text
+                            contamination screen; one explode + one
+                            hash agg, exact-integer z numerator
 """
 
 from __future__ import annotations
@@ -5598,6 +5603,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("checkpoint").cast("bigint").alias("checkpoint"),
             "doc_id_threshold", "n_tokens_cum", "vocab_cum")
 
+    def watermark_q(spark, sf_dir):
+        """Greenlist watermark z-score per document (Kirchenbauer et
+        al. 2023 detector, hash-seeded variant) — the LLM-generated-
+        contamination screen: one bigram explode + one per-doc hash
+        agg, exact-integer z numerator, md5 seed replayed by the
+        oracle."""
+        from pipelines_rj_sms_spark.operators.terms import (
+            watermark_greenlist_zscore)
+        docs = _t(spark, sf_dir, "documents")
+        return watermark_greenlist_zscore(docs, "doc_id", "text")
+
     def doremi_q(spark, sf_dir):
         """DoReMi multiplicative-weights domain mixture over static
         per-source excess loss (self add-one bigram model vs the
@@ -7149,6 +7165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab_growth": vocab_growth_q,
         "corpus_heaps_fit": heaps_q,
         "doremi_domain_weights": doremi_q,
+        "doc_watermark_zscore": watermark_q,
         "doc_compression_ratio": compression_q,
         "doc_byte_entropy": byte_entropy_q,
         "bpe_merge_table": bpe_q,
@@ -10175,6 +10192,36 @@ SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
                 AS DOUBLE) / 1000000.0) / len(ch) END, 6)
          AS char_entropy_nats
 FROM b
+""",
+        # Greenlist watermark detector: md5-seeded green test per
+        # bigram position, exact-integer z numerator, pinned 6dp.
+        "doc_watermark_zscore": rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+bgs AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) > 1
+                     THEN list_transform(range(len(toks) - 1),
+                                         i -> toks[i+1] || ' ' || toks[i+2])
+                     ELSE [] END) AS bg
+  FROM t),
+sc AS (
+  SELECT doc_id,
+         CASE WHEN ({_duck_md5_bucket("'wm' || bg")} % 2) < 1
+              THEN 1 ELSE 0 END AS gr
+  FROM bgs),
+per AS (SELECT doc_id, count(*) AS n, sum(gr) AS g
+        FROM sc GROUP BY 1)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_scored,
+       CAST(g AS BIGINT) AS n_green,
+       {_pin6('CAST(g AS DOUBLE) / n')} AS green_frac,
+       {_pin6('CAST(g * 2 - n AS DOUBLE)'
+              ' / sqrt(CAST(n AS DOUBLE))')} AS z
+FROM per
 """,
         # Heaps'-law growth curve: same tokenizer, integer-div
         # thresholds, conditional sums over the two collapsed tables.

@@ -539,6 +539,67 @@ def bigram_logprob_within(df: DataFrame, key_col: str,
                     "n_bigrams"))
 
 
+def watermark_greenlist_zscore(df: DataFrame, id_col: str,
+                               text_col: str,
+                               gamma: tuple[int, int] = (1, 2),
+                               salt: str = "wm",
+                               hash_fn: str = "md5") -> DataFrame:
+    """Greenlist watermark detector (Kirchenbauer et al. 2023, "A
+    Watermark for Large Language Models", public method) — the
+    screen a training-data pipeline runs to keep watermarked
+    LLM-generated text OUT of the corpus. The scheme seeds a
+    per-position "green" token subset from the previous token; a
+    generator biased toward green tokens leaves a count detectable
+    without the model: under H0 (human text) each scored token is
+    green with probability ``gamma``, so
+
+        z = (g - n*gamma) / sqrt(n*gamma*(1-gamma))
+
+    and z above ~4 is essentially certain watermark. This detector
+    uses the hash-seeded variant: token i is green iff
+    hash(salt, prev_token + ' ' + token) mod den < num with
+    ``gamma = num/den`` — exactly reproducible by any party holding
+    the salt (and by the DuckDB oracle via the md5 path;
+    ``hash_fn='xxhash64'`` is the faster production choice, unit-
+    gated like the other xxhash64 variants).
+
+    Numeric contract: g and n are exact integers; z's numerator is
+    the exact integer ``g*den - n*num`` and its denominator one
+    correctly-rounded sqrt of the exact integer ``n*num*(den-num)``
+    — both engines compute identical doubles, pinned to 6 dp.
+
+    Scale shape: one bigram explode (narrow, position pairs only) and
+    ONE per-doc hash agg — no joins, no windows, nothing driver-side.
+    Docs under 2 tokens emit no row (no seeded position exists).
+    Returns (id, n_scored, n_green, green_frac, z).
+    """
+    num, den = gamma
+    if not (0 < num < den):
+        raise ValueError(f"gamma must be a (0,1) rational: {gamma}")
+    bgs = df.select(F.col(id_col),
+                    F.explode(token_bigrams(text_col)).alias("bg"))
+    if hash_fn == "md5":
+        h = F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("bg"))), 1, 8),
+            16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        h = F.abs(F.xxhash64(F.lit(salt), F.col("bg")))
+    else:
+        raise ValueError(f"hash_fn must be md5|xxhash64: {hash_fn}")
+    green = (h % den < num).cast("long")
+    per = bgs.groupBy(id_col).agg(
+        F.count("*").alias("_n"), F.sum(green).alias("_g"))
+    n, g = F.col("_n"), F.col("_g")
+    z = ((g * den - n * num).cast("double")
+         / F.sqrt((n * num * (den - num)).cast("double")))
+    return per.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_scored"),
+        g.cast("bigint").alias("n_green"),
+        _p6(g.cast("double") / n.cast("double")).alias("green_frac"),
+        _p6(z).alias("z"))
+
+
 def vocab_growth_checkpoints(df: DataFrame, id_col: str,
                              text_col: str,
                              n_checkpoints: int = 8) -> DataFrame:

@@ -464,3 +464,39 @@ def test_bigram_logprob_within_fits_own_slice_better(spark):
     assert set(shared) == set(self_) == {"a", "b"}
     for k in shared:
         assert self_[k] >= shared[k], (k, self_[k], shared[k])
+
+
+def test_watermark_zscore_flags_greenlist_text(spark):
+    """A doc constructed by always choosing a green continuation
+    (the watermarked-generator simulation) scores z = sqrt(n); human
+    word salad sits near green_frac 0.5. Sub-2-token docs emit no
+    row."""
+    import hashlib
+
+    from pipelines_rj_sms_spark.operators.terms import (
+        watermark_greenlist_zscore)
+
+    vocab = [f"w{i}" for i in range(50)]
+
+    def green(prev, cand):
+        h = int(hashlib.md5(f"wm{prev} {cand}".encode())
+                .hexdigest()[:8], 16)
+        return h % 2 < 1
+
+    toks = ["w0"]
+    while len(toks) < 50:
+        toks.append(next(c for c in vocab if green(toks[-1], c)))
+    marked = " ".join(toks)
+    salad = " ".join(vocab)
+    df = spark.createDataFrame(
+        [(0, marked), (1, salad), (2, "single")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           watermark_greenlist_zscore(df, "doc_id", "text").collect()}
+    assert set(out) == {0, 1}          # 1-token doc emits no row
+    assert out[0]["n_green"] == out[0]["n_scored"] == 49
+    assert out[0]["green_frac"] == 1.0
+    assert out[0]["z"] == round(49 / 49 ** 0.5, 6)
+    assert out[0]["z"] > 4
+    assert abs(out[1]["green_frac"] - 0.5) < 0.25
+    assert abs(out[1]["z"]) < 4
