@@ -7276,59 +7276,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # honest instead. bpe_merge_table left this set in r10 (recursive-
     # CTE oracle).
     changed = [
-        # ROUND 11 HEAD: these two changed semantics this round —
-        # the DSIR default bucket hash flipped portable→poly (their
-        # oracles were re-pointed to _DSIR_POLY_DUCK) — re-grade:
-        "dsir_log_weights",
-        "dsir_selected_docs",
-        # host-extraction hardening (userinfo@/#) touched the
-        # registrable-domain grouping key and its oracle — re-grade:
-        "domain_cap_sampled",
+        # ROUND 12 HEAD: implementation or numeric contract changed
+        # this round — re-grade (each oracle-verified locally first):
+        # pin_round6 perplexity readout (both engines; ADVICE r11)
+        "ccnet_ppl_partition", "source_kn_perplexity",
+        # DECIMAL(38,0) margin accumulation (ADVICE r11)
+        "logreg_quality_scores",
+        # cells_df assignment flipped to a left-join pass-through
+        # (ADVICE r11)
+        "semdedup_kmeans_survivors", "semantic_dedup_survivors",
+        # repointed from inline SQL to the new winsorize_column /
+        # mad_outlier_flags operators (exact path)
+        "winsorized_prices", "mad_outlier_flags",
     ]
     new_this_session = [
         # NEW queries added this session — grade on arrival
         # (each oracle-verified locally before entering the window):
-        # legacy portable DSIR bucket hash as an explicit entry
-        "dsir_log_weights_portable",
-        # per-source Kneser-Ney perplexity dashboard (CCNet readout)
-        "source_kn_perplexity",
-        # CCNet head/middle/tail perplexity partition
-        "ccnet_ppl_partition",
-        # fastText-style hashed-logreg quality classifier
-        "logreg_quality_scores",
-        # KenLM order-3: trigram KN with continuation backoff
-        "doc_kn_trigram_logprob",
-        # distributed Lloyd's k-means over embeddings
-        "kmeans_embedding_clusters",
-        # SemDeDup over whole-corpus k-means cells (paper recipe)
-        "semdedup_kmeans_survivors",
+        # approx_percentile boundary paths, population-audit gates
+        "ccnet_ppl_partition_approx",
+        "value_equi_depth_histogram_approx",
+        # Heaps'-law growth curve + OLS exponent
+        "corpus_vocab_growth", "corpus_heaps_fit",
+        # DoReMi multiplicative-weights domain mixture
+        "doremi_domain_weights",
+        # greenlist watermark (LLM-contamination) detector
+        "doc_watermark_zscore",
     ]
     never_graded = [
-        # ROUND 11: graded-union reached 305/305 in r10 — no
-        # never-graded queries remain. Per the r10 verdict's window
-        # policy, the rest of the head is a rotating re-grade of the
-        # OLDEST graded families (r1-r2 vintage, last independently
-        # checked 9+ rounds ago) so drift can't hide behind an old
-        # green:
-        "shipping_priority_top10", "market_share",
-        "order_fill_ratio", "rate_metrics_by_type",
-        "order_bounds", "union_nation_keys",
-        "nation_key_setops", "dedup_keep_last_events",
-        "filter_isin_notnull", "safe_cast_date_filter",
-        "regex_filter_by_source", "cpf_validation",
-        "revenue_by_brand", "day_window_fanout",
-        "row_to_json", "dedup_exact_docs",
-        "dedup_minhash_lsh", "simhash_near_dupes",
-        "ngram_jaccard_pairs", "similarity_batch_topk",
-        "text_lang_id", "text_quality_score",
-        "text_token_stats", "text_fingerprint",
-        "tfidf_top_terms", "bm25_search_results",
-        "winsorized_prices", "mad_outlier_flags",
-        "freq_heavy_users", "top_pmi_collocations",
-        "latest_order_per_customer", "heavy_red_suppliers",
-        "coalesce_segments", "asof_purchase_signup",
-        "range_error_purchases", "grouping_sets_counts",
-        "pivot_linestatus", "customer_rfm_segments",
+        # ROUND 12: no never-graded queries remain (union 312/312 at
+        # r11). Window-absentee repair first (VERDICT r11 #8): these
+        # two were graded in r10 but missed the r11 head slot their
+        # siblings got —
+        "doc_kn_bigram_logprob", "intra_doc_line_dedup",
+        # — then the rotating re-grade of the next-oldest graded
+        # families (r1-r4 vintage, none in the r11 window) so drift
+        # can't hide behind an old green:
+        "local_supplier_revenue", "monitor_recent",
+        "running_total_by_customer", "stream_window_counts",
+        "sessionize_events", "order_priority_exists",
+        "order_count_distribution", "promo_revenue_share",
+        "returned_items_top20", "curate_documents",
+        "profit_by_nation_year", "late_supplier_waits",
+        "ohlc_hourly_events", "text_rolling_fingerprint",
+        "session_window_stats", "train_test_split",
+        "gap_filled_hourly_counts", "similarity_bruteforce",
+        "accent_clean", "age_computation",
+        "rich_idle_customers", "event_funnel_conversion",
+        "scd2_user_state_history", "hourly_count_anomalies",
+        "bloom_filtered_orders", "order_snapshot_diff",
+        "pagerank_part_supplier", "embedding_label_cohesion",
+        "supplier_cooccurrence_triangles", "part_graph_kcore",
+        "brand_basket_rules", "resolved_document_entities",
+        "doc_containment_pairs", "winnow_overlap_pairs",
     ]
     head = {"flagship_pricing_summary":
             q.pop("flagship_pricing_summary")}
