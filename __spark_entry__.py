@@ -611,6 +611,10 @@ Query key -> SURVEY §2 rows covered:
                             variant) — the LLM-generated-text
                             contamination screen; one explode + one
                             hash agg, exact-integer z numerator
+  doc_ngram_novelty         per-doc fraction of distinct 3-grams
+                            appearing in no other document — the
+                            self-BLEU corpus-diversity signal read
+                            from doc frequencies, never pairwise
 """
 
 from __future__ import annotations
@@ -5603,6 +5607,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("checkpoint").cast("bigint").alias("checkpoint"),
             "doc_id_threshold", "n_tokens_cum", "vocab_cum")
 
+    def novelty_q(spark, sf_dir):
+        """Per-doc 3-gram novelty vs the rest of the corpus (the
+        self-BLEU diversity signal from doc frequencies, never
+        pairwise): one distinct-shingle explode, one gram hash agg,
+        one equi-join, one rollup."""
+        from pipelines_rj_sms_spark.operators.terms import ngram_novelty
+        docs = _t(spark, sf_dir, "documents")
+        return ngram_novelty(docs, "doc_id", "text", n=3)
+
     def watermark_q(spark, sf_dir):
         """Greenlist watermark z-score per document (Kirchenbauer et
         al. 2023 detector, hash-seeded variant) — the LLM-generated-
@@ -7166,6 +7179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_heaps_fit": heaps_q,
         "doremi_domain_weights": doremi_q,
         "doc_watermark_zscore": watermark_q,
+        "doc_ngram_novelty": novelty_q,
         "doc_compression_ratio": compression_q,
         "doc_byte_entropy": byte_entropy_q,
         "bpe_merge_table": bpe_q,
@@ -7301,6 +7315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doremi_domain_weights",
         # greenlist watermark (LLM-contamination) detector
         "doc_watermark_zscore",
+        # per-doc n-gram novelty (self-BLEU-style diversity signal)
+        "doc_ngram_novelty",
     ]
     never_graded = [
         # ROUND 12: no never-graded queries remain (union 312/312 at
@@ -7327,7 +7343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_part_supplier", "embedding_label_cohesion",
         "supplier_cooccurrence_triangles", "part_graph_kcore",
         "brand_basket_rules", "resolved_document_entities",
-        "doc_containment_pairs", "winnow_overlap_pairs",
+        "doc_containment_pairs",
     ]
     head = {"flagship_pricing_summary":
             q.pop("flagship_pricing_summary")}
@@ -10191,6 +10207,23 @@ SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
                 AS DOUBLE) / 1000000.0) / len(ch) END, 6)
          AS char_entropy_nats
 FROM b
+""",
+        # Per-doc n-gram novelty: distinct 3-shingles, doc frequency,
+        # fraction with df = 1 (pinned 6dp).
+        "doc_ngram_novelty": f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+dfq AS (SELECT g, count(*) AS dfr FROM ex GROUP BY 1),
+per AS (
+  SELECT doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN dfr = 1 THEN 1 ELSE 0 END) AS n_novel
+  FROM ex JOIN dfq USING (g) GROUP BY 1)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       {_pin6('CAST(n_novel AS DOUBLE) / n_shingles')} AS novelty
+FROM per
 """,
         # Greenlist watermark detector: md5-seeded green test per
         # bigram position, exact-integer z numerator, pinned 6dp.

@@ -539,6 +539,39 @@ def bigram_logprob_within(df: DataFrame, key_col: str,
                     "n_bigrams"))
 
 
+def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty — the corpus-DIVERSITY dashboard
+    next to the within-doc repetition stats: the fraction of a doc's
+    DISTINCT word n-grams that appear in NO other document. A corpus
+    whose mean novelty collapses release-over-release is filling with
+    templated/regurgitated text (the self-BLEU signal, read from doc
+    frequencies instead of O(n²) pairwise BLEU); a single doc at ~0
+    novelty is assembled entirely from corpus commonplaces.
+
+    Scale shape: one shingle explode of per-doc DISTINCT n-grams (so
+    the per-gram count below IS document frequency), one gram-keyed
+    hash agg, one equi-join back, one per-doc rollup. Shuffle rows are
+    (id, gram) pairs; a corpus-hot gram's key fan-out is bounded by
+    |docs|, the same posture as the TF-IDF df computation. Returns
+    (id, n_shingles, n_novel, novelty) with novelty pinned to 6 dp;
+    empty docs score novelty over their single whole-doc shingle.
+    """
+    from pipelines_rj_sms_spark.functions.text import shingles
+
+    grams = df.select(F.col(id_col),
+                      F.explode(shingles(text_col, n)).alias("_g"))
+    dfreq = grams.groupBy("_g").agg(F.count("*").alias("_df"))
+    return (grams.join(dfreq, "_g")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_shingles"),
+                 F.sum((F.col("_df") == 1).cast("long"))
+                 .cast("bigint").alias("n_novel"))
+            .select(F.col(id_col), "n_shingles", "n_novel",
+                    _p6(F.col("n_novel").cast("double")
+                        / F.col("n_shingles")).alias("novelty")))
+
+
 def watermark_greenlist_zscore(df: DataFrame, id_col: str,
                                text_col: str,
                                gamma: tuple[int, int] = (1, 2),

@@ -500,3 +500,25 @@ def test_watermark_zscore_flags_greenlist_text(spark):
     assert out[0]["z"] > 4
     assert abs(out[1]["green_frac"] - 0.5) < 0.25
     assert abs(out[1]["z"]) < 4
+
+
+def test_ngram_novelty_shared_vs_unique(spark):
+    """Twin docs score 0 novelty (every shingle shared), a
+    disjoint-vocab doc scores 1, a half-borrowed doc in between."""
+    from pipelines_rj_sms_spark.operators.terms import ngram_novelty
+    shared = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [(0, shared), (1, shared),
+         (2, "zeta eta theta iota kappa"),
+         (3, shared + " only here tail words")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           ngram_novelty(df, "doc_id", "text", 3).collect()}
+    assert out[0]["novelty"] == 0.0 and out[1]["novelty"] == 0.0
+    assert out[2]["novelty"] == 1.0
+    assert out[2]["n_shingles"] == 3 and out[2]["n_novel"] == 3
+    # doc 3: 9 tokens -> 7 shingles; the 3 fully inside the shared
+    # prefix have df >= 2, the 4 crossing into the tail are novel
+    assert out[3]["n_shingles"] == 7
+    assert out[3]["n_novel"] == 4
+    assert out[3]["novelty"] == round(4 / 7, 6)
