@@ -4034,9 +4034,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.substring("text", 6, 35)).alias("t"))
         allr = (clean.unionByName(dirty)
                 .withColumn("blk", F.substring("t", 1, 4)))
+        # banded Levenshtein (r12): every t is <= 40 chars by
+        # construction, so max_dist = ceil((1-0.7)*40) = 12 selects the
+        # IDENTICAL pair set as the exact DP (pairs beyond the band
+        # score -1.0 < 0.7; in-band pairs score bit-identically) at
+        # ~0.3x the per-pair cost — oracle unchanged, hash-verified
         out = resolve_entities(
             allr, "doc_id", ["lang", "blk"],
-            levenshtein_ratio("l_t", "r_t"), 0.7, ["t"])
+            levenshtein_ratio("l_t", "r_t", max_dist=12), 0.7, ["t"])
         return out.select("doc_id", "entity_id")
 
     def correlations_q(spark, sf_dir):

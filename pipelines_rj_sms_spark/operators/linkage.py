@@ -41,15 +41,35 @@ def phonetic_block_key(name_col: Column | str,
     return key
 
 
-def levenshtein_ratio(a: Column | str, b: Column | str) -> Column:
+def levenshtein_ratio(a: Column | str, b: Column | str,
+                      max_dist: int | None = None) -> Column:
     """Normalized edit similarity in [0, 1]: 1 - lev(a,b)/max(len).
     Integer Levenshtein is engine-exact, so the ratio reproduces
-    bit-identically in any SQL engine."""
+    bit-identically in any SQL engine.
+
+    ``max_dist`` switches to Spark's BANDED Levenshtein (the
+    ``threshold`` argument, 3.5+): the DP explores only a 2·max_dist
+    diagonal band — O(max_dist·n) instead of O(n²) per pair, the
+    per-task-work lever (guide §1.2 step 2) for threshold-filtered
+    linkage scoring where most candidate pairs are far apart. Pairs
+    beyond the band score **-1.0** (below every sane threshold in
+    [0, 1]) instead of their true ratio, so a downstream
+    ``ratio >= t`` filter selects the IDENTICAL pair set as the exact
+    spelling whenever ``max_dist >= (1 - t) * max_possible_len`` —
+    the caller owns that bound (e.g. fixed-width blocking keys or a
+    length cap upstream). Exact ratios of in-band pairs are
+    bit-identical to the unbanded form."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
-    return (F.lit(1.0)
-            - F.levenshtein(ca, cb)
-            / F.greatest(F.length(ca), F.length(cb), F.lit(1)))
+    if max_dist is None:
+        return (F.lit(1.0)
+                - F.levenshtein(ca, cb)
+                / F.greatest(F.length(ca), F.length(cb), F.lit(1)))
+    lev = F.levenshtein(ca, cb, int(max_dist))
+    return (F.when(lev < 0, F.lit(-1.0))
+            .otherwise(F.lit(1.0) - lev
+                       / F.greatest(F.length(ca), F.length(cb),
+                                    F.lit(1))))
 
 
 def _jaro_winkler_py(a: str, b: str, prefix_weight: float = 0.1,
@@ -167,24 +187,43 @@ def resolve_entities(df: DataFrame, id_col: str, block_cols: list[str],
     (id_a < id_b); records sharing no block with anyone stay their own
     entity.
     """
-    from pipelines_rj_sms_spark.operators.dedup import connected_components
+    from pipelines_rj_sms_spark.operators.cache import track
+    from pipelines_rj_sms_spark.operators.dedup import (
+        _parallelize_narrow, connected_components)
 
     payload_cols = payload_cols or []
+    # the similarity filter is compute-dense but byte-light (string-DP
+    # per candidate pair), so a single-file input would run it on one
+    # or two cores and AQE's byte-based coalescing can't help; the
+    # repo's narrow-input widening is a no-op at real scale (file
+    # splits already give parallelism) and pays one tiny shuffle here
+    # (r12 stage profile: the scoring stage ran on 2 tasks, 3.2 s /
+    # 7.2 s skewed)
+    df = _parallelize_narrow(df)
     left = df.select(
         F.col(id_col).alias("_ida"), *block_cols,
         *[F.col(c).alias(f"l_{c}") for c in payload_cols])
     right = df.select(
         F.col(id_col).alias("_idb"), *block_cols,
         *[F.col(c).alias(f"r_{c}") for c in payload_cols])
+    # persist the scored edges: connected_components consumes them
+    # TWICE (the symmetric src/dst union), and without the persist the
+    # whole blocking join + similarity scoring — the expensive stage —
+    # re-executes per reference (measured 2 full evaluations in the
+    # r12 stage profile of resolved_document_entities; guide §5
+    # "reused and recomputing is more expensive"). Narrow (id, id)
+    # rows only, released via the track ledger.
     edges = (left.join(right, block_cols)
              .filter(F.col("_ida") < F.col("_idb"))
              .filter(score_expr >= F.lit(threshold))
-             .select("_ida", "_idb"))
+             .select("_ida", "_idb")
+             .persist())
     comp = connected_components(edges, "_ida", "_idb",
                                 nodes=df, node_col=id_col,
                                 max_iter=max_iter)
-    return comp.select(F.col("node").alias(id_col),
-                       F.col("component").alias("entity_id"))
+    return track(comp.select(F.col("node").alias(id_col),
+                             F.col("component").alias("entity_id")),
+                 edges)
 
 
 def fs_u_probabilities(left: DataFrame, right: DataFrame,

@@ -487,3 +487,42 @@ def test_markov_entropy_deterministic_vs_independent(spark):
         spark.createDataFrame(iid, ["u", "ts", "eid", "s"]),
         "u", "s", ["ts", "eid"]).collect()[0]
     assert abs(out2["predictability"]) < 0.02
+
+
+def test_levenshtein_ratio_banded_matches_exact_in_band(spark):
+    """r12: the banded scorer (max_dist) returns the bit-identical
+    ratio for in-band pairs, -1.0 (below every threshold in [0, 1])
+    beyond the band, and selects the same >= t pair set as the exact
+    spelling whenever max_dist >= (1 - t) * max_len."""
+    rows = [("abcdef", "abcdxf"),      # dist 1, in band
+            ("abcdef", "abcdef"),      # dist 0
+            ("abcdef", "zzzzzz"),      # dist 6, beyond band 2
+            ("short", "shortest"),     # dist 3
+            (None, "x"), ("x", None)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = df.select(
+        levenshtein_ratio("a", "b").alias("exact"),
+        levenshtein_ratio("a", "b", max_dist=2).alias("banded"),
+    ).collect()
+    for r in got:
+        if r["exact"] is None:
+            assert r["banded"] is None
+        elif r["banded"] == -1.0:
+            # beyond the band: the exact ratio must be below the
+            # 1 - max_dist/max_len threshold the band guarantees
+            assert r["exact"] < 1.0
+        else:
+            assert r["banded"] == r["exact"]
+    # pair-set equivalence at t=0.7 with max_dist >= 0.3 * max_len
+    names = [(i, s) for i, s in enumerate(
+        ["johnsmith", "jonsmith", "johnsmyth", "peterpan", "peterpen",
+         "completelyother"])]
+    ndf = spark.createDataFrame(names, ["id", "n"])
+    a = ndf.select(F.col("id").alias("ia"), F.col("n").alias("na"))
+    b = ndf.select(F.col("id").alias("ib"), F.col("n").alias("nb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib"))
+    exact = {(r["ia"], r["ib"]) for r in pairs.filter(
+        levenshtein_ratio("na", "nb") >= 0.7).collect()}
+    banded = {(r["ia"], r["ib"]) for r in pairs.filter(
+        levenshtein_ratio("na", "nb", max_dist=5) >= 0.7).collect()}
+    assert exact == banded and exact
