@@ -351,55 +351,69 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
     cleaning pass before community/centrality analysis (drops pendant
     chains and weak periphery that inflate linkage clusters).
 
-    Each peel round is one degree hash-aggregation + two semi-joins on
-    node keys — narrow (src, dst) rows only, ``localCheckpoint``
-    lineage truncation per round like the other iterative operators.
-    Convergence is DETECTED, not assumed: the per-round
-    localCheckpoint already materializes the edge set, so reading its
-    count is free, and peeling stops the first round the edge count
-    stops shrinking (peeling is monotone — equal count means no node
-    fell below k, i.e. the true fixpoint). Most real graphs converge
-    in a handful of rounds, but adversarial shapes (long pendant
-    chains shed one tip per round) need O(diameter); if ``max_rounds``
-    is hit first the function RAISES rather than silently returning a
-    superset of the core. Returns (node, degree) of the surviving
-    core with its within-core degree.
+    Iteration state is the ALIVE-NODE SET, not the edge list (r12):
+    the canonical edge list is cached ONCE and every peel round is a
+    single scan of it — two semi-joins against the (small, broadcast)
+    alive set, one exploded-endpoint degree hash-aggregation, and a
+    lazy ``localCheckpoint`` + count of the new alive set (node-scale
+    rows, so the per-round materialization is |nodes|, not |edges|).
+    The previous spelling localCheckpoint-ed the FULL edge list every
+    round and scanned that materialization three times per round
+    (degree union x2 + semi-join input) — at sf0.1 that was ~190 MB of
+    deserialized row blocks re-read per round for an 11 MB edge set,
+    and at 100 TB it would re-materialize the corpus-scale edge list
+    O(rounds) times. Round arithmetic is IDENTICAL (induced degrees
+    over the alive set = degrees of the peeled edge list), so the
+    fixpoint and the returned frame are unchanged.
+
+    Convergence is DETECTED, not assumed: peeling is monotone, so an
+    unchanged alive-node count means no node fell below k — the true
+    fixpoint. Most real graphs converge in a handful of rounds, but
+    adversarial shapes (long pendant chains shed one tip per round)
+    need O(diameter); if ``max_rounds`` is hit first the function
+    RAISES rather than silently returning a superset of the core.
+    Returns (node, degree) of the surviving core with its within-core
+    degree.
     """
+    from pipelines_rj_sms_spark.operators.cache import track
+
     if edges_canonical:  # src < dst deduped by contract: skip the
         e = (edges.select(F.col(src).alias("_a"),  # canonicalize pass
                           F.col(dst).alias("_b"))
-             .localCheckpoint(False))
+             .persist())
     else:
         e = (edges.select(F.least(F.col(src), F.col(dst)).alias("_a"),
                           F.greatest(F.col(src), F.col(dst)).alias("_b"))
              .filter(F.col("_a") != F.col("_b"))
              .distinct()
-             .localCheckpoint(False))
-    n_edges = e.count()
-    converged = n_edges == 0
+             .persist())
+    alive = None          # None = every node alive (round 1)
+    n_alive = None
+    deg_kept = None
+    converged = False
     for _ in range(max_rounds):
-        if converged:
-            break
-        deg = (e.select(F.col("_a").alias("node"))
-               .unionByName(e.select(F.col("_b").alias("node")))
+        ef = e
+        if alive is not None:
+            ef = (e.join(alive.withColumnRenamed("node", "_a"),
+                         "_a", "semi")
+                  .join(alive.withColumnRenamed("node", "_b"),
+                        "_b", "semi"))
+        deg = (ef.select(F.explode(F.array("_a", "_b")).alias("node"))
                .groupBy("node").agg(F.count("*").alias("degree")))
-        keep = deg.filter(F.col("degree") >= k).select("node")
-        e = (e.join(keep.withColumnRenamed("node", "_a"), "_a", "semi")
-             .join(keep.withColumnRenamed("node", "_b"), "_b", "semi")
-             .localCheckpoint(False))
-        remaining = e.count()
-        converged = remaining == n_edges or remaining == 0
-        n_edges = remaining
+        deg_kept = deg.filter(F.col("degree") >= k).localCheckpoint(False)
+        alive = deg_kept.select("node")
+        m = deg_kept.count()
+        if m == 0 or m == n_alive:
+            converged = True
+            break
+        n_alive = m
     if not converged:
         raise RuntimeError(
             f"k_core did not reach its fixpoint within {max_rounds} "
-            f"rounds ({n_edges} edges still peeling); raise max_rounds "
+            f"rounds ({n_alive} nodes still peeling); raise max_rounds "
             "— the result would otherwise be a superset of the true "
             f"{k}-core.")
-    deg = (e.select(F.col("_a").alias("node"))
-           .unionByName(e.select(F.col("_b").alias("node")))
-           .groupBy("node").agg(F.count("*").alias("degree")))
-    return deg.filter(F.col("degree") >= k)
+    return track(deg_kept, e)
 
 
 def project_bipartite(df: DataFrame, group_col: str, item_col: str,
