@@ -522,8 +522,14 @@ def label_propagation(edges: DataFrame, n_rounds: int = 5,
         labels = (nbr.groupBy("node").agg(best.alias("_b"))
                   .select("node", F.col("_b.l").alias("label"))
                   .localCheckpoint(False))
-    und.unpersist()
-    return labels.select("node", F.col("label").alias("community"))
+    # register und on the release ledger instead of unpersisting here:
+    # the per-round checkpoints are LAZY, so an eager unpersist would
+    # evict the cache before the caller's first action ever runs the
+    # rounds — each round then recomputes the symmetrized+repartitioned
+    # edge build from source (the pagerank lazy-release lesson, r12)
+    from pipelines_rj_sms_spark.operators.cache import track
+    return track(labels.select("node", F.col("label").alias("community")),
+                 und)
 
 
 def assortativity(edges: DataFrame, src: str = "src",
