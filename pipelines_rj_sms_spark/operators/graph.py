@@ -694,8 +694,11 @@ def bfs_hops(edges: DataFrame, source, max_hops: int = 3,
                .localCheckpoint(False))
         visited = visited.unionByName(nxt).localCheckpoint(False)
         frontier = nxt
-    und.unpersist()
-    return visited
+    # lazy checkpoints: the levels run at the CALLER's first action, so
+    # und must stay cached until then — release ledger, not an eager
+    # unpersist (the LPA lesson, r12)
+    from pipelines_rj_sms_spark.operators.cache import track
+    return track(visited, und)
 
 
 def link_prediction(edges: DataFrame, src: str = "src",
