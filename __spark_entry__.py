@@ -4343,9 +4343,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         # symmetric graph: the src column alone is the full vertex set
         # (half the distinct input of the default src∪dst union)
+        # nodes= dropped (r12): with assume_no_dangling the operator
+        # derives the vertex set from the degree frame it already
+        # computes — same set (distinct src), one less full edge scan
         pr = pagerank(edges, n_iter=3, assume_no_dangling=True,
-                      broadcast_ranks=True, assume_distinct_edges=True,
-                      nodes=edges, node_col="src")
+                      broadcast_ranks=True, assume_distinct_edges=True)
         return pr.select("node", F.round("pr", 6).alias("pr"))
 
     def join_size_est(spark, sf_dir):
@@ -5498,9 +5500,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seeds = (part.filter(F.col("p_brand") == "Brand#11")
                  .select(F.col("p_partkey").alias("node"),
                          F.lit(1.0).alias("weight")))
+        # nodes= dropped (r12): vertex set derives from the degree
+        # frame under assume_no_dangling — identical set, one less scan
         pr = pagerank(edges, n_iter=3, assume_no_dangling=True,
                       assume_distinct_edges=True, broadcast_ranks=True,
-                      nodes=edges, node_col="src",
                       personalization=seeds)
         return pr.select("node", F.round("pr", 6).alias("pr"))
 

@@ -85,17 +85,22 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         # shuffled at all, so the extra pass would be pure waste.)
         e = e.repartition(F.col("_s")).sortWithinPartitions("_s")
     e = e.persist()
+    deg = e.groupBy("_s").agg(F.count("*").alias("_outdeg")).persist()
     if nodes is not None:
         if node_col is None:
             raise ValueError("node_col required when nodes is given")
         base = nodes.select(F.col(node_col).alias("node")).distinct()
+    elif assume_no_dangling:
+        # every node has an out-edge, so the source set IS the vertex
+        # set — derive it from the degree frame (already computed)
+        # instead of paying another full edge scan + distinct (r12)
+        base = deg.select(F.col("_s").alias("node"))
     else:
         base = (e.select(F.col("_s").alias("node"))
                 .unionByName(e.select(F.col("_d").alias("node")))
                 .distinct())
     base = base.persist()
     pins = [base]
-    deg = e.groupBy("_s").agg(F.count("*").alias("_outdeg")).persist()
     n = F.broadcast(base.agg(F.count("*").cast("double").alias("_n")))
     if personalization is not None:
         seeds = personalization.select(
@@ -123,20 +128,24 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     d = float(damping)
     for _i in range(n_iter):
-        ranks = pr.select(F.col("node").alias("_s"),
-                          F.col("pr").alias("_spr"))
-        degs = deg
+        # fold the outdeg join into the rank frame BEFORE the edge
+        # join (r12): _spr/_outdeg is a per-SOURCE value, so dividing
+        # in the node-scale frame and joining once produces the exact
+        # per-edge addend the old rank⋈deg double join produced — one
+        # broadcast build and one join per iteration instead of two
+        ranks = (pr.join(deg, pr["node"] == deg["_s"])
+                 .select(F.col("_s"),
+                         (F.col("pr") / F.col("_outdeg")).alias("_cu")))
         if broadcast_ranks:
-            ranks, degs = F.broadcast(ranks), F.broadcast(degs)
+            ranks = F.broadcast(ranks)
         contrib = (
             e.join(ranks, "_s")
-            .join(degs, "_s")
             .groupBy("_d")
             # det_sum: rank mass is a double sum over a node's
             # in-edges; quantized accumulation keeps every round's
             # state identical under any combine order, so iterations
             # can't compound a last-ulp divergence
-            .agg(det_sum(F.col("_spr") / F.col("_outdeg")).alias("_m"))
+            .agg(det_sum(F.col("_cu")).alias("_m"))
             .select(F.col("_d").alias("node"), "_m")
         )
         nxt = base.join(contrib, "node", "left").crossJoin(n)
