@@ -120,7 +120,11 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    cnt = toks.groupBy("term").agg(F.count("*").alias("ct"))
+    # corpus counts DERIVED from the collapsed (doc, term) frame, not a
+    # second aggregation of the exploded multiset: sum(tf) per term ==
+    # count(*) per term exactly, and the corpus is tokenized+exploded
+    # ONCE instead of twice (r12, guide §2.3 aggregate-before-shuffle)
+    cnt = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
     totals = F.broadcast(cnt.agg(
         F.sum("ct").cast("double").alias("_tot"),
         F.count("*").cast("double").alias("_vocab")))
@@ -194,14 +198,19 @@ def pmi_collocations(df: DataFrame, text_col: str,
     final top-k is TakeOrderedAndProject. Ties break on the bigram
     text. Returns (bigram, n_ab, pmi) with pmi rounded to 6.
     """
+    from pipelines_rj_sms_spark.operators.cache import track
+
     bgs = df.select(F.explode(token_bigrams(text_col)).alias("bg"))
-    big = (bgs.groupBy("bg").agg(F.count("*").alias("n_ab"))
-           .filter(F.col("n_ab") >= min_count))
+    bigt = bgs.groupBy("bg").agg(F.count("*").alias("n_ab")).persist()
+    big = bigt.filter(F.col("n_ab") >= min_count)
     toks = df.select(F.explode(tokens(text_col)).alias("t"))
-    uni = toks.groupBy("t").agg(F.count("*").alias("_n"))
+    uni = toks.groupBy("t").agg(F.count("*").alias("_n")).persist()
+    # corpus totals derived from the collapsed type tables (sum of the
+    # type counts == multiset count, exactly) instead of two more full
+    # explode passes over the corpus (r12, guide §2.3)
     totals = F.broadcast(
-        bgs.agg(F.count("*").cast("double").alias("_nbig")).crossJoin(
-            toks.agg(F.count("*").cast("double").alias("_ntok"))))
+        bigt.agg(F.sum("n_ab").cast("double").alias("_nbig")).crossJoin(
+            uni.agg(F.sum("_n").cast("double").alias("_ntok"))))
     w1 = F.split(F.col("bg"), " ")[0]
     w2 = F.split(F.col("bg"), " ")[1]
     ua = uni.select(F.col("t").alias("_w1"), F.col("_n").alias("_na"))
@@ -209,12 +218,14 @@ def pmi_collocations(df: DataFrame, text_col: str,
     pmi = F.log((F.col("n_ab") / F.col("_nbig"))
                 / ((F.col("_na") / F.col("_ntok"))
                    * (F.col("_nb") / F.col("_ntok"))))
-    return (big.withColumn("_w1", w1).withColumn("_w2", w2)
-            .join(ua, "_w1").join(ub, "_w2")
-            .crossJoin(totals)
-            .select("bg", "n_ab", F.round(pmi, 6).alias("pmi"))
-            .orderBy(F.col("pmi").desc(), F.col("bg").asc())
-            .limit(k))
+    return track(
+        big.withColumn("_w1", w1).withColumn("_w2", w2)
+        .join(ua, "_w1").join(ub, "_w2")
+        .crossJoin(totals)
+        .select("bg", "n_ab", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("bg").asc())
+        .limit(k),
+        bigt, uni)
 
 
 def feature_hash(df: DataFrame, id_col: str, text_col: str,
@@ -269,29 +280,40 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     multiply, and the 6dp mean is rounded in exact integer arithmetic
     (``grid_mean`` — same tie-free contract as unigram_logprob).
     """
+    from pipelines_rj_sms_spark.operators.cache import track
+
     bgs = df.select(F.col(id_col),
                     F.explode(token_bigrams(text_col)).alias("bg"))
     tf = bgs.groupBy(id_col, "bg").agg(F.count("*").alias("tf"))
-    cnt = bgs.groupBy("bg").agg(F.count("*").alias("cbg"))
-    ctx = (bgs.select(F.split(F.col("bg"), " ")[0].alias("v"))
-           .groupBy("v").agg(F.count("*").alias("cv")))
+    # ONE full-multiset aggregation (tf); the corpus bigram counts and
+    # the context totals both derive from collapsed frames — sum(tf)
+    # per bg == count(*) per bg, sum(cbg) per v == count(*) per v —
+    # so the corpus is exploded once for the bigram stats instead of
+    # three times (r12). The per-TYPE log-probability is computed on
+    # the |types|-row frame and joined back once, instead of joining
+    # every per-doc row through the stat chain.
+    types = (tf.groupBy("bg").agg(F.sum("tf").alias("cbg"))
+             .withColumn("v", F.split(F.col("bg"), " ")[0])
+             .persist())
+    ctx = types.groupBy("v").agg(F.sum("cbg").alias("cv"))
     vocab = F.broadcast(
         df.select(F.explode(tokens(text_col)).alias("t"))
         .agg(F.count_distinct("t").cast("double").alias("_vocab")))
     logp_u = det_log_units(
         (F.col("cbg") + 1.0) / (F.col("cv") + F.col("_vocab")))
-    return (tf.join(cnt, "bg")
-            .withColumn("v", F.split(F.col("bg"), " ")[0])
-            .join(ctx, "v")
-            .crossJoin(vocab)
-            .groupBy(id_col)
-            .agg(F.sum(F.col("tf").cast("decimal(38,0)") * logp_u)
-                 .alias("_s"),
-                 F.sum("tf").alias("n_bigrams"))
-            .select(id_col,
-                    grid_mean(F.col("_s"), F.col("n_bigrams"))
-                    .alias("mean_bigram_logprob"),
-                    "n_bigrams"))
+    type_logp = (types.join(ctx, "v").crossJoin(vocab)
+                 .select("bg", logp_u.alias("_lpu")))
+    return track(
+        tf.join(type_logp, "bg")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf").cast("decimal(38,0)") * F.col("_lpu"))
+             .alias("_s"),
+             F.sum("tf").alias("n_bigrams"))
+        .select(id_col,
+                grid_mean(F.col("_s"), F.col("n_bigrams"))
+                .alias("mean_bigram_logprob"),
+                "n_bigrams"),
+        types)
 
 
 def kn_bigram_logprob(df: DataFrame, id_col: str, text_col: str,
@@ -319,17 +341,28 @@ def kn_bigram_logprob(df: DataFrame, id_col: str, text_col: str,
     ``grid_mean`` 6dp output — bit-identical across engines and
     partitionings.
     """
+    from pipelines_rj_sms_spark.operators.cache import track
+
     d = float(discount)
-    bgs = (df.select(F.col(id_col),
-                     F.explode(token_bigrams(text_col)).alias("bg"))
-           .withColumn("v", F.split(F.col("bg"), " ")[0])
-           .withColumn("w", F.split(F.col("bg"), " ")[1]))
+    bgs = df.select(F.col(id_col),
+                    F.explode(token_bigrams(text_col)).alias("bg"))
     tf = bgs.groupBy(id_col, "bg").agg(F.count("*").alias("tf"))
-    cnt = bgs.groupBy("bg").agg(F.count("*").alias("cbg"))
-    ctx = bgs.groupBy("v").agg(F.count("*").alias("cv"),
-                               F.count_distinct("w").alias("n1v"))
-    contw = bgs.groupBy("w").agg(F.count_distinct("v").alias("n1w"))
-    n1tot = F.broadcast(cnt.agg(
+    # ONE full-multiset aggregation (tf); every KN statistic derives
+    # from the collapsed frames (r12): cbg = sum(tf) per bg; cv =
+    # sum(cbg) per v; n1v = count of types per v (distinct w); n1w =
+    # count of types per w (distinct v); n1tot = type count. The
+    # corpus is exploded once for the bigram stats instead of four
+    # times, and the per-TYPE p_KN is joined back to the per-doc tf
+    # frame in one equi-join instead of running the whole stat chain
+    # on per-doc rows.
+    types = (tf.groupBy("bg").agg(F.sum("tf").alias("cbg"))
+             .withColumn("v", F.split(F.col("bg"), " ")[0])
+             .withColumn("w", F.split(F.col("bg"), " ")[1])
+             .persist())
+    ctx = types.groupBy("v").agg(F.sum("cbg").alias("cv"),
+                                 F.count("*").alias("n1v"))
+    contw = types.groupBy("w").agg(F.count("*").alias("n1w"))
+    n1tot = F.broadcast(types.agg(
         F.count("*").cast("double").alias("_n1tot")))
     vocab = F.broadcast(
         df.select(F.explode(tokens(text_col)).alias("t"))
@@ -339,19 +372,20 @@ def kn_bigram_logprob(df: DataFrame, id_col: str, text_col: str,
            * ((F.col("n1w") + F.lit(1.0))
               / (F.col("_n1tot") + F.col("_vocab"))))
     logp_u = det_log_units(pkn)
-    return (tf.join(cnt, "bg")
-            .withColumn("v", F.split(F.col("bg"), " ")[0])
-            .withColumn("w", F.split(F.col("bg"), " ")[1])
-            .join(ctx, "v").join(contw, "w")
-            .crossJoin(n1tot).crossJoin(vocab)
-            .groupBy(id_col)
-            .agg(F.sum(F.col("tf").cast("decimal(38,0)") * logp_u)
-                 .alias("_s"),
-                 F.sum("tf").alias("n_bigrams"))
-            .select(id_col,
-                    grid_mean(F.col("_s"), F.col("n_bigrams"))
-                    .alias("mean_kn_logprob"),
-                    "n_bigrams"))
+    type_logp = (types.join(ctx, "v").join(contw, "w")
+                 .crossJoin(n1tot).crossJoin(vocab)
+                 .select("bg", logp_u.alias("_lpu")))
+    return track(
+        tf.join(type_logp, "bg")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf").cast("decimal(38,0)") * F.col("_lpu"))
+             .alias("_s"),
+             F.sum("tf").alias("n_bigrams"))
+        .select(id_col,
+                grid_mean(F.col("_s"), F.col("n_bigrams"))
+                .alias("mean_kn_logprob"),
+                "n_bigrams"),
+        types)
 
 
 def kn_trigram_logprob(df: DataFrame, id_col: str, text_col: str,
@@ -376,34 +410,52 @@ def kn_trigram_logprob(df: DataFrame, id_col: str, text_col: str,
     (N1+(.w), N1+(..), V) so the lowest order sees clause-final
     bigrams trigrams cannot. Docs under 3 tokens emit no row.
 
-    Scale shape: one trigram + one bigram explode (narrow strings),
-    seven hash aggs, five equi-joins keyed on (u,v,w)/(u,v)/(v,w)/v/w,
-    and two 1-row broadcasts (bigram-type total, vocab). One IEEE
-    expression per trigram TYPE pinned to the 1e-6 ln grid before the
-    tf multiply, exact DECIMAL sums, ``grid_mean`` 6dp output — the
-    bit-identical cross-engine contract of the whole logprob family.
+    Scale shape (r12): ONE full aggregation of the exploded trigram
+    multiset (the per-doc tf frame); every corpus-level statistic
+    derives from the collapsed trigram-TYPE frame (sum-of-tf and
+    type-count aggregations — exactly the multiset counts), the
+    four stat joins run at type scale, and the per-type p3 joins back
+    to the tf frame in one equi-join. Plus one bigram-type distinct
+    and one token-vocab pass, and two 1-row broadcasts (bigram-type
+    total, vocab). One IEEE expression per trigram TYPE pinned to the
+    1e-6 ln grid before the tf multiply, exact DECIMAL sums,
+    ``grid_mean`` 6dp output — the bit-identical cross-engine
+    contract of the whole logprob family.
     """
     from pipelines_rj_sms_spark.functions.text import token_ngrams
 
+    from pipelines_rj_sms_spark.operators.cache import track
+
     d = float(discount)
-    tgs = (df.select(F.col(id_col),
-                     F.explode(token_ngrams(text_col, 3)).alias("tg"))
-           .withColumn("u", F.split(F.col("tg"), " ")[0])
-           .withColumn("v", F.split(F.col("tg"), " ")[1])
-           .withColumn("w", F.split(F.col("tg"), " ")[2]))
+    tgs = df.select(F.col(id_col),
+                    F.explode(token_ngrams(text_col, 3)).alias("tg"))
     tf = tgs.groupBy(id_col, "tg").agg(F.count("*").alias("tf"))
-    cnt3 = tgs.groupBy("tg").agg(F.count("*").alias("c3"))
-    ctx3 = tgs.groupBy("u", "v").agg(F.count("*").alias("cuv"),
-                                     F.count_distinct("w").alias("n1uv"))
-    cont_vw = tgs.groupBy("v", "w").agg(
-        F.count_distinct("u").alias("n1vw"))
-    cont_v = (tgs.select("u", "v", "w").distinct()
-              .groupBy("v").agg(F.count("*").alias("n1v_mid"),
-                                F.count_distinct("w").alias("n1v_hi")))
+    # ONE full trigram-multiset aggregation (tf); every trigram-level
+    # KN statistic derives from the collapsed TYPE frame (r12):
+    # c3 = sum(tf) per tg; cuv = sum(c3) per (u,v); n1uv/n1vw/
+    # n1v_mid = type counts per (u,v)/(v,w)/v (the type frame is
+    # distinct (u,v,w) by construction, so count(*) == the old
+    # count_distinct over the multiset); n1v_hi = distinct w per v
+    # over types. The corpus is exploded once for the trigram stats
+    # instead of five times, and the per-TYPE p3 — a pure function of
+    # (u,v,w) — is joined back to the per-doc tf frame in ONE
+    # equi-join instead of dragging per-doc rows through the five-way
+    # stat chain.
+    types = (tf.groupBy("tg").agg(F.sum("tf").alias("c3"))
+             .withColumn("u", F.split(F.col("tg"), " ")[0])
+             .withColumn("v", F.split(F.col("tg"), " ")[1])
+             .withColumn("w", F.split(F.col("tg"), " ")[2])
+             .persist())
+    ctx3 = types.groupBy("u", "v").agg(F.sum("c3").alias("cuv"),
+                                       F.count("*").alias("n1uv"))
+    cont_vw = types.groupBy("v", "w").agg(F.count("*").alias("n1vw"))
+    cont_v = types.groupBy("v").agg(
+        F.count("*").alias("n1v_mid"),
+        F.count_distinct("w").alias("n1v_hi"))
     bgs = (df.select(F.explode(token_bigrams(text_col)).alias("bg"))
            .withColumn("bv", F.split(F.col("bg"), " ")[0])
            .withColumn("bw", F.split(F.col("bg"), " ")[1]))
-    bg_types = bgs.select("bv", "bw").distinct()
+    bg_types = bgs.select("bv", "bw").distinct().persist()
     contw = bg_types.groupBy(F.col("bw").alias("w")).agg(
         F.count("*").alias("n1w"))
     n1tot = F.broadcast(bg_types.agg(
@@ -419,21 +471,22 @@ def kn_trigram_logprob(df: DataFrame, id_col: str, text_col: str,
     p3 = (F.greatest(F.col("c3") - F.lit(d), F.lit(0.0)) / F.col("cuv")
           + (F.lit(d) * F.col("n1uv") / F.col("cuv")) * p2c)
     logp_u = det_log_units(p3)
-    return (tf.join(cnt3, "tg")
-            .withColumn("u", F.split(F.col("tg"), " ")[0])
-            .withColumn("v", F.split(F.col("tg"), " ")[1])
-            .withColumn("w", F.split(F.col("tg"), " ")[2])
-            .join(ctx3, ["u", "v"]).join(cont_vw, ["v", "w"])
-            .join(cont_v, "v").join(contw, "w")
-            .crossJoin(n1tot).crossJoin(vocab)
-            .groupBy(id_col)
-            .agg(F.sum(F.col("tf").cast("decimal(38,0)") * logp_u)
-                 .alias("_s"),
-                 F.sum("tf").alias("n_trigrams"))
-            .select(id_col,
-                    grid_mean(F.col("_s"), F.col("n_trigrams"))
-                    .alias("mean_kn3_logprob"),
-                    "n_trigrams"))
+    type_logp = (types
+                 .join(ctx3, ["u", "v"]).join(cont_vw, ["v", "w"])
+                 .join(cont_v, "v").join(contw, "w")
+                 .crossJoin(n1tot).crossJoin(vocab)
+                 .select("tg", logp_u.alias("_lpu")))
+    return track(
+        tf.join(type_logp, "tg")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf").cast("decimal(38,0)") * F.col("_lpu"))
+             .alias("_s"),
+             F.sum("tf").alias("n_trigrams"))
+        .select(id_col,
+                grid_mean(F.col("_s"), F.col("n_trigrams"))
+                .alias("mean_kn3_logprob"),
+                "n_trigrams"),
+        types, bg_types)
 
 
 def zipf_fit(df: DataFrame, text_col: str,
@@ -520,7 +573,10 @@ def bigram_logprob_within(df: DataFrame, key_col: str,
                      F.explode(token_bigrams(text_col)).alias("bg"))
            .withColumn("v", F.split(F.col("bg"), " ")[0]))
     cnt = bgs.groupBy("_k", "bg", "v").agg(F.count("*").alias("c"))
-    ctx = bgs.groupBy("_k", "v").agg(F.count("*").alias("cv"))
+    # context totals derive from the collapsed (key, bigram) frame —
+    # sum(c) per (key, v) == count(*) per (key, v) exactly — one
+    # bigram explode pass instead of two (r12)
+    ctx = cnt.groupBy("_k", "v").agg(F.sum("c").alias("cv"))
     vocab = (df.select(F.col(key_col).alias("_k"),
                        F.explode(tokens(text_col)).alias("t"))
              .groupBy("_k")
