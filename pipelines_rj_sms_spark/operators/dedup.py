@@ -376,10 +376,18 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         # compare (~2x faster at sf0.1; collision odds over a 100 TB
         # corpus' distinct shingles are ~2^-64 per pair — below any
         # practical dedup threshold concern)
+        #
+        # persist the EXPLODED+HASHED frame, not just sh (r12): both
+        # self-join sides consume `exploded`, and caching one level
+        # below it left the explode + per-shingle xxhash64 running
+        # twice (r12 stage profile of leakage_safe_split: two
+        # identical 12 MB map stages, 15.1 s + 4.8 s executor). Narrow
+        # (id, n, hash) rows, MEMORY_AND_DISK evictable, released via
+        # the track ledger like every candidate generator here.
         exploded = sh.select(
             id_col, "_n",
             F.explode(F.transform("_sh", lambda s: F.xxhash64(s))).alias("_s"),
-        )
+        ).persist()
         a = exploded.alias("a")
         b = exploded.alias("b")
         # length-ratio prune (PPJoin-style): jaccard <= min(n)/max(n), so
@@ -425,7 +433,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .select("id_a", "id_b", "jaccard")
     )
     out = track(out, sh)
-    if candidates is not None:
+    if candidates is None:
+        out = track(out, exploded)
+    else:
         out = track(out, candidates)
     return out
 
