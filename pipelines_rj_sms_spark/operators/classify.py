@@ -402,7 +402,14 @@ def logreg_hashed_train(df: DataFrame, target, text_col: str = "text",
                   target.cast("int").alias("_y"),
                   F.lit(-1).cast("long").alias("_b"),
                   F.lit(1).cast("long").alias("_tf")))
-    feat = feat.persist()
+    # pin the cached design frame's partitioning to _id (r12): the
+    # margin agg groups by (_id, _y), the gradient step joins back on
+    # _id, and the final score groups by (_id, _y) — all of them are
+    # satisfied by hash(_id) via the subset-clustering rule, so one
+    # repartition at build time replaces a full design-frame Exchange
+    # in EVERY iteration (2 per round + 1 in logreg_score). Row values
+    # are untouched — only placement changes.
+    feat = feat.repartition("_id").persist()
     pins = [feat]
 
     n_docs = F.broadcast(
