@@ -1003,9 +1003,21 @@ def kmeans_lloyd(df: DataFrame, id_col: str = "vec_id",
     for _ in range(n_iter):
         cents = track(cents.persist())
         pins.append(cents)
-        assign = assign_frame(cents).select("_id", "_cl")
-        dims = (assign.join(x, "_id")
-                .select("_cl", F.posexplode("_x").alias("_dim", "_v")))
+        # carry _x THROUGH the assignment aggregation instead of
+        # joining assignments back to the design frame (r12): every
+        # row of an _id group holds the same _x, and the min-struct
+        # winner is decided by the (_d2, _cl) prefix (_cl is unique
+        # per group), so min(struct(_d2, _cl, _x)) picks the identical
+        # assignment and saves one full-vector shuffle join per
+        # iteration
+        d2 = (x.crossJoin(F.broadcast(cents))
+              .select("_id", "_cl", d2_col().alias("_d2"), "_x"))
+        assign = (d2.groupBy("_id")
+                  .agg(F.min(F.struct("_d2", "_cl", "_x")).alias("_m"))
+                  .select(F.col("_m._cl").alias("_cl"),
+                          F.col("_m._x").alias("_x")))
+        dims = assign.select(
+            "_cl", F.posexplode("_x").alias("_dim", "_v"))
         upd = (dims.groupBy("_cl", "_dim")
                .agg(F.sum(pin_units(F.col("_v"))).alias("_su"),
                     F.count("*").alias("_n"))
