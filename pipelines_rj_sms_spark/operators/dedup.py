@@ -567,10 +567,18 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     executor loss matters, set a checkpoint dir and swap in reliable
     ``checkpoint()``; the truncation requirement is the same.
     """
+    # materialize the caller's edge pipeline ONCE before symmetrizing:
+    # the two union branches each embed the full (often expensive —
+    # ngram-Jaccard / blocking+scoring) edge computation, and a plain
+    # persist cannot dedupe the cold start because AQE materializes the
+    # branches' subtrees as concurrent jobs that race the cache. The
+    # eager node-pair checkpoint is narrow (two ids per edge) and this
+    # operator already runs actions (the per-round convergence probe).
+    ed = edges.select(F.col(id_a).alias("src"),
+                      F.col(id_b).alias("dst")).localCheckpoint()
     und = (
-        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        ed.unionByName(ed.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
         .distinct()
         .persist()
     )
