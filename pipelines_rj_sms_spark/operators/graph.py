@@ -811,11 +811,11 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     ≤|V|-row score table plus one hash agg; the max rides back as a
     1-row broadcast. O(n_iter) shuffles of (node, score) — the same
     posture as `pagerank`. Edges are deduped once up front (pass
-    ``edges_distinct=True`` to skip) and persisted across the 2·n_iter
-    joins.
+    ``edges_distinct=True`` to skip) and eagerly localCheckpoint-ed so
+    every half-step join reads the materialized (src, dst) pairs.
 
     Release contract: BOTH returned frames carry the same full persist
-    ledger (edges + every per-iteration rollup) — releasing either one
+    ledger (every per-iteration rollup) — releasing either one
     frees everything, including frames the OTHER output still depends
     on. Materialize (or checkpoint) both outputs before calling
     release() on one; under cache.py's evictable contract an early
@@ -830,8 +830,15 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     if not edges_distinct:
         e = e.distinct()
-    e = track(e.persist())
-    pins: list[DataFrame] = [e]
+    # eager checkpoint, not a lazy persist (r12): the 2*n_iter
+    # max-normalizer broadcasts are materialized by AQE as separate
+    # jobs, and with a lazy cache each of them re-derived the edge
+    # frame from source (profiled at sf0.01: seven full scans of the
+    # caller's edge build, 52 s executor time for a 3-iteration run).
+    # The checkpoint pins the narrow (src, dst) pairs once; every
+    # half-step join reads it.
+    e = e.localCheckpoint()
+    pins: list[DataFrame] = []
     h = e.select("_s").distinct().withColumn("_h", F.lit(1.0))
     a = None
     for _ in range(n_iter):
