@@ -461,9 +461,14 @@ def doremi_domain_weights(df: DataFrame, domain_col: str = "source",
                           * F.lit(float(eta_num))
                           / F.lit(float(eta_den))
                           / F.lit(float(LOG_SCALE)))).cast("long")
+    # eager checkpoint (r12): this |domains|-row frame embeds BOTH
+    # corpus-scale n-gram scoring passes, and each iteration's 1-row
+    # normalizer broadcast is a separate AQE job that would otherwise
+    # re-derive them from source (the HITS pathology — profiled 20 s
+    # executor time at sf0.01 for 5 iterations over 20 rows)
     base = (shared.join(self_, "_d")
             .withColumn("_ex_u", ex_u)
-            .withColumn("_m_u", m_u))
+            .withColumn("_m_u", m_u)).localCheckpoint()
     k_row = F.broadcast(base.agg(
         F.count("*").cast("decimal(38,0)").alias("_k")))
     scale = F.lit(LOG_SCALE).cast("decimal(38,0)")
