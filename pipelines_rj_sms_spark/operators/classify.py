@@ -408,9 +408,16 @@ def logreg_hashed_train(df: DataFrame, target, text_col: str = "text",
     # satisfied by hash(_id) via the subset-clustering rule, so one
     # repartition at build time replaces a full design-frame Exchange
     # in EVERY iteration (2 per round + 1 in logreg_score). Row values
-    # are untouched — only placement changes.
-    feat = feat.repartition("_id").persist()
-    pins = [feat]
+    # are untouched — only placement changes. Eager checkpoint, not a
+    # persist (r12): each iteration's weight broadcast is a separate
+    # AQE job, and with a cache every one of them re-derived the
+    # tokenize+hash design build from source — measured 24.6 s
+    # executorRunTime lazy-cached and 26.9 s even with an eager
+    # count() fill (the broadcast jobs miss the plan-keyed entry),
+    # vs 1.2 s with the checkpoint. The checkpoint also pins the
+    # hash(_id) placement the loop relies on.
+    feat = feat.repartition("_id").localCheckpoint()
+    pins = []
 
     n_docs = F.broadcast(
         df.agg(F.count("*").cast("decimal(38,0)").alias("_n")))
