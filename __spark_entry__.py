@@ -3412,9 +3412,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact = dedup.ngram_jaccard_pairs(
             docs, "doc_id", "text", shingle_n=3, threshold=0.5
         ).select("id_a", "id_b").persist()
+        # materialize both pair sets EAGERLY: each has two consumers
+        # (count agg + semi join) whose jobs race a lazy cache and
+        # re-run the full candidate pipeline (r12 stage profile: the
+        # exact side's scorer ran twice, 10.5 s + 6.4 s; the LSH
+        # banding pipeline ran twice un-persisted)
+        exact.count()
         cand = dedup.minhash_lsh_candidates(
             docs, "doc_id", "text", num_hashes=8, bands=4,
-            hash_fn="md5").select("id_a", "id_b")
+            hash_fn="md5").select("id_a", "id_b").persist()
+        cand.count()
         ne = exact.agg(F.count("*").cast("long").alias("n_exact"))
         nc = cand.agg(F.count("*").cast("long").alias("n_candidates"))
         nh = (cand.join(exact, ["id_a", "id_b"], "left_semi")
@@ -3428,7 +3435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    grid_mean(F.col("n_hits") * 1_000_000,
                              F.col("n_candidates")))
             .alias("candidate_precision"))
-        return track(out, exact)
+        return track(out, exact, cand)
 
     def dup_spans_q(spark, sf_dir):
         """Exact duplicated-substring spans (Lee et al. 2022, windowed

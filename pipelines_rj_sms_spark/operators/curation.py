@@ -363,8 +363,13 @@ def perplexity_partition(df: DataFrame, id_col: str = "doc_id",
     scored = scores.select(
         F.col(id_col),
         pin_round6(F.exp(-F.col("mean_kn_logprob"))).alias("perplexity"))
-    # persisted: consumed by the percentile agg AND the assignment scan
+    # persisted EAGERLY: consumed by the percentile agg AND the
+    # assignment scan — those are separate jobs (the boundary broadcast
+    # build vs the main query's AQE-materialized exchanges) that race a
+    # lazy cache, each re-running the whole KN scorer pipeline (r12
+    # stage profile: two near-identical 10-12 s stages)
     scored = scored.persist()
+    scored.count()
     qs = [i / n_buckets for i in range(1, n_buckets)]
     qarr = ", ".join(map(str, qs))
     pct = (f"approx_percentile(perplexity, array({qarr}), "

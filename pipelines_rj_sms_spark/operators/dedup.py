@@ -786,7 +786,14 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
         hot = (exploded.groupBy("_s").agg(F.count("*").alias("_df"))
                .filter(F.col("_df") > max_df).select("_s"))
         exploded = exploded.join(hot, "_s", "left_anti")
-    exploded = exploded.persist()  # both self-join sides + sizes
+    # Materialize EAGERLY: the filtered frame has THREE consumers (the
+    # two per-doc size aggs below key on different output aliases, so
+    # their exchanges cannot be reused, plus the self-join) and AQE
+    # submits their subtree jobs concurrently — with a lazy persist all
+    # three raced the cache and re-derived the explode+hash from `sh`
+    # (r12 stage profile: three near-identical 6-9 s stages).
+    exploded = exploded.persist()
+    exploded.count()
     sized = exploded.groupBy(id_col).agg(F.count("*").alias("_n"))
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
