@@ -40,8 +40,13 @@ ENGINE_DEFAULTS: dict[str, str] = {
     "spark.sql.parquet.compression.codec": "snappy",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # At 100 TB the default 128m split is fine; shuffle partitions are
-    # sized by AQE from this initial value.
-    "spark.sql.shuffle.partitions": "32",
+    # sized by AQE from this initial value. The value is the INITIAL
+    # hint only (AQE coalesces down to advisoryPartitionSizeInBytes);
+    # env-overridable so a cluster deployment raises it to ~2-3x total
+    # cores without a code change — the local default keeps the
+    # driver's bench comparable across rounds (r12, guide §2.2/§9).
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     # Local mode runs driver and executors in ONE JVM; the 1g default
     # heap can't hold broadcast builds + iterative-operator
