@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pipelines_rj_sms_spark.functions.numeric import det_sum
+from pipelines_rj_sms_spark.functions.numeric import (det_sum, det_sum_units,
+                                                      det_units)
 from pipelines_rj_sms_spark.operators.cache import track
 
 
@@ -761,21 +762,30 @@ def link_prediction(edges: DataFrame, src: str = "src",
         "_nb", lambda x, i: F.transform(
             F.slice(F.col("_nb"), i + 2, F.size("_nb")),
             lambda y: F.struct(x.alias("u"), y.alias("v")))))
-    wedges = (centers.select("_wdeg", F.explode(pairs).alias("_p"))
+    # scale 1e6 = the pinned-transcendental grid. The addend is a
+    # runtime 1/ln(wdeg), so the coarse grid SHRINKS the cross-engine
+    # libm flip surface to one boundary check per DISTINCT degree (a
+    # ~1e-17 ulp must land within ~1e-11 of a unit edge) rather than
+    # eliminating it like the pinned-ln contract; kept because the
+    # oracle mirrors this exact expression. The units are quantized
+    # ONCE PER CENTER — every wedge of a center carries the identical
+    # floor(x*scale+0.5) BIGINT, so summing the carried units is
+    # bit-identical to quantizing per wedge while keeping the log /
+    # divide / floor out of the per-wedge inner loop.
+    # degree-1 centers emit no wedges; filtering them here both skips
+    # their rows and keeps the ANSI divide away from ln(1)=0 (the
+    # addend expression now runs per CENTER row, not per wedge)
+    wedges = (centers.filter(F.col("_wdeg") >= 2)
+              .withColumn(
+                  "_aau", det_units(F.lit(1.0)
+                                    / F.log(F.col("_wdeg").cast("double")),
+                                    scale=1_000_000))
+              .select("_aau", F.explode(pairs).alias("_p"))
               .select(F.col("_p.u").alias("_u"),
-                      F.col("_p.v").alias("_v"), "_wdeg"))
+                      F.col("_p.v").alias("_v"), "_aau"))
     cand = (wedges.groupBy("_u", "_v")
             .agg(F.count("*").alias("common_neighbors"),
-                 # scale 1e6 = the pinned-transcendental grid. The
-                 # addend is a runtime 1/ln(wdeg), so the coarse grid
-                 # SHRINKS the cross-engine libm flip surface to one
-                 # boundary check per DISTINCT degree (a ~1e-17 ulp
-                 # must land within ~1e-11 of a unit edge) rather than
-                 # eliminating it like the pinned-ln contract; kept
-                 # because the oracle mirrors this exact expression
-                 det_sum(F.lit(1.0)
-                         / F.log(F.col("_wdeg").cast("double")),
-                         scale=1_000_000)
+                 det_sum_units(F.col("_aau"), scale=1_000_000)
                  .alias("_aa")))
     non_edges = cand.join(
         und.select(F.col("_a").alias("_u"), F.col("_b").alias("_v")),
