@@ -6668,13 +6668,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sets = (po.groupBy("l_orderkey")
                 .agg(F.sort_array(F.collect_set("l_suppkey"))
                      .alias("_it")))
-        pairs = F.flatten(F.transform(
-            "_it", lambda x, i: F.transform(
-                F.slice(F.col("_it"), i + 2, F.size("_it")),
-                lambda y: F.struct(x.alias("u"), y.alias("v")))))
-        wp = (sets.select(F.explode(pairs).alias("_p"))
-              .select(F.col("_p.u").alias("src"),
-                      F.col("_p.v").alias("dst"))
+        # posexplode + explode(slice): same pair multiset as the
+        # struct-array enumeration, without materializing each
+        # order's full pair array (the graph.py form)
+        wp = (sets.select("_it", F.posexplode("_it").alias("_i", "_u"))
+              .select(F.col("_u").alias("src"),
+                      F.explode(F.slice(F.col("_it"), F.col("_i") + 2,
+                                        F.size("_it"))).alias("dst"))
               .groupBy("src", "dst").agg(F.count("*").alias("w"))
               .filter(F.col("w") >= 32)
               .select("src", "dst"))
