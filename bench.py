@@ -244,6 +244,11 @@ def run_full() -> None:
         "family_regressions": regressions,
         "query_set_delta": renamed,
         "suite_budget": budget_info,
+        # pacing-independent per-batch processing-time readout for the
+        # TRUE-streaming queries (their wall above is replay pacing by
+        # design) — a throughput number that CAN regress (r13)
+        "streaming_throughput": dict(
+            getattr(entry_mod, "STREAM_METRICS", {})),
         "loadavg": list(os.getloadavg()),
         "queries": timings,
         "errors": errors,
@@ -359,15 +364,26 @@ def main() -> None:
     # partly from the session cache, so their min reflects warm-session
     # throughput — consistent with the no-release policy above.
     timings: dict[str, float] = {}
+    # Cold pass-1 wall per query, recorded ALONGSIDE the tracked
+    # min-of-2 (r13, additions-only): ~10 operators persist()
+    # intermediates, so their pass 2 partly serves from the session
+    # cache and the min reflects warm-session throughput. Pass-1 keeps
+    # the steady-state (cache-cold within the session) cost visible so
+    # a regression cannot hide in cache warmth. The tracked metric
+    # ("value"/"queries") is unchanged.
+    pass1: dict[str, float] = {}
     query_loadavg: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _ in range(2):
+        for i in range(2):
             t0 = time.monotonic()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            if time.monotonic() - t0 < best:
-                best = time.monotonic() - t0
+            took = time.monotonic() - t0
+            if i == 0:
+                pass1[name] = round(took, 3)
+            if took < best:
+                best = took
                 # 1-min load observed at the BEST pass: lets a later
                 # reader attribute an inflated number to host
                 # contention per-query, not just suite-wide
@@ -413,6 +429,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # cold first-pass walls (see loop comment) — additions-only,
+        # the tracked metric stays the min-of-2 above
+        "queries_pass1": pass1,
         # 1/5/15-min load at run time: lets a later reader separate
         # shared-host noise from plan drift without re-deriving it.
         "loadavg": list(os.getloadavg()),
