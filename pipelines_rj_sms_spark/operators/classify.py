@@ -381,6 +381,11 @@ def logreg_hashed_train(df: DataFrame, target, text_col: str = "text",
     nothing driver-side, nothing O(n^2). Weight frames are persisted
     per iteration (each is consumed by the next round AND the final
     output) and carried on the returned frames' ledger.
+
+    EAGER EXECUTION CONTRACT: calling this function runs Spark jobs
+    at construction time (the design frame is eagerly
+    ``localCheckpoint``-ed so per-iteration broadcasts don't re-derive
+    it) — it is an executor, not a lazy plan builder.
     """
     from pipelines_rj_sms_spark.functions.numeric import LOG_SCALE, pin_units
     from pipelines_rj_sms_spark.operators.cache import track

@@ -436,6 +436,11 @@ def doremi_domain_weights(df: DataFrame, domain_col: str = "source",
     frames are persisted and carried on the release ledger. Domains
     with no bigram at all emit no row (no model exists to score them).
 
+    EAGER EXECUTION CONTRACT: calling this function runs Spark jobs
+    at construction time (the |domains|-row base frame embedding both
+    n-gram scoring passes is eagerly ``localCheckpoint``-ed) — it is
+    an executor, not a lazy plan builder.
+
     Returns (domain_col, excess_loss, weight): weight on the 1e-6
     grid, summing to ~1 (±k rounding units).
     """

@@ -559,6 +559,13 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     ``nodes``/``node_col`` adds isolated nodes (no edges) as their own
     singleton components.
 
+    EAGER EXECUTION CONTRACT: calling this function runs Spark jobs at
+    DataFrame-construction time (the edge projection is eagerly
+    ``localCheckpoint``-ed, and each label round runs a convergence
+    probe) — it is an executor, not a lazy plan builder. Callers that
+    compose plans speculatively should defer the call until the edges
+    are final.
+
     Each round's labels are ``localCheckpoint``-ed: without lineage
     truncation the logical plan doubles per iteration (labels(i) embeds
     the full join tree of labels(i-1)) and plan compilation itself OOMs

@@ -420,6 +420,10 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
             break
         n_alive = m
     if not converged:
+        # free the persisted edge cache before raising — on the
+        # failure path no track() ledger is attached, so without this
+        # the edge blocks would pin executor storage for the session
+        e.unpersist()
         raise RuntimeError(
             f"k_core did not reach its fixpoint within {max_rounds} "
             f"rounds ({n_alive} nodes still peeling); raise max_rounds "
@@ -815,6 +819,11 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     authorities": a = Σ_{u→v} h(u), h = Σ_{u→v} a(v), renormalized
     each half-step. Returns (hubs, authorities) DataFrames with
     (node, score).
+
+    EAGER EXECUTION CONTRACT: calling this function runs a Spark job
+    at construction time (the distinct edge list is eagerly
+    ``localCheckpoint``-ed so the 2·n_iter normalizer broadcasts don't
+    re-derive it) — it is an executor, not a lazy plan builder.
 
     Determinism: normalization divides by the MAX score (the standard
     max-norm HITS variant) instead of the L2 norm — max is order-free

@@ -206,24 +206,26 @@ def resolve_entities(df: DataFrame, id_col: str, block_cols: list[str],
     right = df.select(
         F.col(id_col).alias("_idb"), *block_cols,
         *[F.col(c).alias(f"r_{c}") for c in payload_cols])
-    # persist the scored edges: connected_components consumes them
-    # TWICE (the symmetric src/dst union), and without the persist the
-    # whole blocking join + similarity scoring — the expensive stage —
-    # re-executes per reference (measured 2 full evaluations in the
-    # r12 stage profile of resolved_document_entities; guide §5
-    # "reused and recomputing is more expensive"). Narrow (id, id)
-    # rows only, released via the track ledger.
+    # No persist here (r13): connected_components eagerly
+    # localCheckpoints its (src, dst) edge projection before the
+    # symmetrizing union (dedup.py), so the blocking join + similarity
+    # scoring — the expensive stage — executes exactly once into that
+    # checkpoint and the scored-edge frame has exactly ONE consumer; a
+    # persist would only hold a duplicate copy of the edge rows in
+    # executor memory until release (ADVICE r12).
     edges = (left.join(right, block_cols)
              .filter(F.col("_ida") < F.col("_idb"))
              .filter(score_expr >= F.lit(threshold))
-             .select("_ida", "_idb")
-             .persist())
+             .select("_ida", "_idb"))
     comp = connected_components(edges, "_ida", "_idb",
                                 nodes=df, node_col=id_col,
                                 max_iter=max_iter)
+    # passing comp carries connected_components' own persist ledger
+    # (symmetrized edges, label frames) onto the returned frame, so
+    # release(result) frees them without the release_all() backstop
     return track(comp.select(F.col("node").alias(id_col),
                              F.col("component").alias("entity_id")),
-                 edges)
+                 comp)
 
 
 def fs_u_probabilities(left: DataFrame, right: DataFrame,
