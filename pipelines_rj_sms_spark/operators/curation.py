@@ -22,6 +22,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pipelines_rj_sms_spark.functions.text import lang_id, quality_score, tokens
 from pipelines_rj_sms_spark.operators import dedup
@@ -148,10 +149,12 @@ def dsir_log_weights(df: DataFrame, target: Column,
     ``target`` is a boolean Column over ``df``'s columns defining the
     distribution to match (e.g. ``F.col("lang") == "en"``).
 
-    Scale shape: one token explode feeding two hash aggregations —
-    (doc, bucket) term frequencies and per-bucket conditional counts —
-    then the ≤``n_buckets``-row log-ratio table rides into the doc
-    rollup as a broadcast. Nothing driver-side, nothing O(n²).
+    Scale shape: ONE token explode feeding ONE hash aggregation — the
+    (doc, bucket) term frequencies — from which the per-bucket
+    conditional counts are derived at (doc, bucket) scale (exchange
+    reuse materializes the frequency shuffle once for both consumers);
+    the ≤``n_buckets``-row log-ratio table rides into the doc rollup
+    as a broadcast. Nothing driver-side, nothing O(n²).
 
     Numeric contract: each ln is pinned to the shared 1e-6 grid
     (``det_log_units``) BEFORE multiplying by term frequency, the
@@ -167,21 +170,45 @@ def dsir_log_weights(df: DataFrame, target: Column,
         F.explode(tokens(text_col)).alias("_term"))
     b = toks.withColumn("_b", feature_bucket(F.col("_term"), n_buckets,
                                              hash_fn=hash_fn))
-    buckets = b.groupBy("_b").agg(
-        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_ct_t"),
-        F.sum(F.when(~F.col("_is_t"), 1).otherwise(0)).alias("_ct_r"))
-    totals = F.broadcast(buckets.agg(
-        F.sum("_ct_t").cast("double").alias("_tt"),
-        F.sum("_ct_r").cast("double").alias("_tr")))
-    lam = buckets.crossJoin(totals).select(
+    # ONE pass over the token explode (r13): the (doc, bucket) term
+    # frequencies are the full multiset, so the per-bucket conditional
+    # counts are DERIVED from them (sum of _tf split by the doc's
+    # target flag — exact integers, _is_t is constant per doc) instead
+    # of a second aggregation over a second run of the explode. No
+    # persist: the explode + tf aggregation is fully deterministic, so
+    # Catalyst/AQE exchange reuse materializes tf's shuffle ONCE and
+    # both consumers (the lam/totals broadcast chain and the final doc
+    # rollup) read it — and unlike an InMemoryRelation, the reused
+    # shuffle stays AQE-coalescible, so its partitioning adapts to the
+    # data size instead of freezing at the initial hint (a persist was
+    # A/B-profiled here: it froze 32 cache partitions and cost more in
+    # per-task overhead at bench scale than the saved explode).
+    tf = b.groupBy(id_col, "_b").agg(
+        F.count("*").alias("_tf"), F.max("_is_t").alias("_is_t"))
+    buckets = tf.groupBy("_b").agg(
+        F.sum(F.when(F.col("_is_t"), F.col("_tf")).otherwise(F.lit(0)))
+        .alias("_ct_t"),
+        F.sum(F.when(~F.col("_is_t"), F.col("_tf")).otherwise(F.lit(0)))
+        .alias("_ct_r"))
+    # corpus totals as a global window over the ≤n_buckets-row bucket
+    # frame (r13) instead of a separate 1-row broadcast crossJoined
+    # back: the old spelling computed the buckets aggregation TWICE
+    # (once under the totals broadcast, once under lam — broadcast
+    # builds run in their own threads and race past exchange reuse)
+    # and chained two sequential broadcast builds. Same long sums cast
+    # to double — bit-identical log-ratio.
+    wall_b = Window.partitionBy()
+    lam = buckets.select(
+        "_b", "_ct_t", "_ct_r",
+        F.sum("_ct_t").over(wall_b).cast("double").alias("_tt"),
+        F.sum("_ct_r").over(wall_b).cast("double").alias("_tr")
+    ).select(
         "_b",
         (det_log_units((F.col("_ct_t") + F.lit(alpha))
                        / (F.col("_tt") + F.lit(alpha * n_buckets)))
          - det_log_units((F.col("_ct_r") + F.lit(alpha))
                          / (F.col("_tr") + F.lit(alpha * n_buckets)))
          ).alias("_lam_u"))
-    tf = b.groupBy(id_col, "_b").agg(
-        F.count("*").alias("_tf"), F.max("_is_t").alias("_is_t"))
     return (
         tf.join(F.broadcast(lam), "_b")
         .groupBy(id_col)
