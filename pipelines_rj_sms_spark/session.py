@@ -99,6 +99,19 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def _footer_path(path: str) -> str:
+    """A concrete parquet file for footer inspection: ``path`` itself
+    for a single-file table (the driver testdata layout), or the first
+    part file inside a Spark-written directory table (e.g. the
+    heavy-tier dataset) — pyarrow footer readers need a file."""
+    if not os.path.isdir(path):
+        return path
+    for entry in sorted(os.listdir(path)):
+        if entry.endswith(".parquet") and not entry.startswith(("_", ".")):
+            return os.path.join(path, entry)
+    return path
+
+
 def _nanos_timestamp_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — footer-only read."""
     try:
@@ -106,7 +119,7 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
         import pyarrow as pa
     except ImportError:  # pragma: no cover
         return []
-    schema = pq.read_schema(path)
+    schema = pq.read_schema(_footer_path(path))
     return [
         f.name for f in schema
         if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
@@ -177,7 +190,7 @@ def _long_for_nanos_schema(path: str):
             return T.MapType(_to_spark(t.key_type), _to_spark(t.item_type))
         raise TypeError(f"unmapped arrow type {t} in {path}")
 
-    schema = pq.read_schema(path)
+    schema = pq.read_schema(_footer_path(path))
     return T.StructType([
         T.StructField(f.name, _to_spark(f.type), f.nullable) for f in schema
     ])

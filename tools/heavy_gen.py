@@ -20,9 +20,15 @@ not alias each other in content space (which would manufacture
 cross-copy near-duplicate clusters no real 10x corpus has):
 
 - documents.text: every whitespace token of copy k>0 gets an
-  alphanumeric suffix ``q<k>`` (survives any tokenizer unsplit), so
+  alphanumeric PREFIX ``q<k>`` (survives any tokenizer unsplit), so
   each copy has its own disjoint vocabulary; within-copy duplicate /
   n-gram structure is preserved verbatim. n_chars is recomputed.
+  A prefix, not a suffix: blocking-style operators key on text
+  PREFIXES (resolve_entities blocks on substring(text,1,4)), and a
+  suffix tag left all K copies in the SAME blocks — the blocked pair
+  enumeration then grew K^2, a cross-copy near-duplicate explosion no
+  real 10x corpus has (measured: the sf1 scoring stage ran >15 min
+  before this fix, ~linear after it).
 - embeddings.embedding: copy k adds k/1024 to every component — far
   above float-epsilon, far below inter-cluster distances.
 
@@ -85,7 +91,7 @@ def generate(src_dir: str, out_dir: str, copies: int) -> None:
                         F.array_join(
                             F.transform(F.split("text", " "),
                                         lambda x: F.concat(
-                                            x, F.lit(f"q{k}"))),
+                                            F.lit(f"q{k}"), x)),
                             " ")).withColumn(
                         "n_chars", F.length("text").cast("long"))
                 if name == "embeddings" and k > 0:
