@@ -5758,28 +5758,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         reject gate you run before trusting an approximate index at
         scale. Each method's hit set intersects the exact top-k via a
         semi-join; one summary row per method."""
-        from pipelines_rj_sms_spark.operators.cache import track
         emb = _t(spark, sf_dir, "embeddings")
         qv = _embedding_query_vec(spark, sf_dir)
-        # persist the exact top-k (k rows): both union legs semi-join
-        # against it, and without the persist each leg re-runs the
-        # full brute-force corpus scan (TakeOrdered is not an
-        # exchange, so Spark cannot reuse it across legs)
-        exact = similarity.brute_force_top_k(emb, qv, k=10, round_to=6) \
-            .select("vec_id").persist()
+        # exact top-k ids as k driver scalars (r13, guide §5 driver
+        # discipline — the bounded-collect class, k=10 rows): the old
+        # spelling persisted the exact frame and broadcast-semi-joined
+        # it into both union legs, which ran TWO BroadcastExchange
+        # build jobs against a LAZY cache — the concurrent builds race
+        # past the cache fill, so the full brute-force corpus scan
+        # could execute twice, plus two broadcast barriers of driver
+        # latency. Collecting the k ids once turns each leg into a
+        # scan→filter(isin literal)→count with NO exchange; the exact
+        # scan runs exactly once. Same intersection, same two rows.
+        exact_ids = [r[0] for r in similarity
+                     .brute_force_top_k(emb, qv, k=10)
+                     .select("vec_id").collect()]
         rows = []
         for method, fn in (
                 ("lsh", similarity.lsh_top_k),
                 ("multiprobe", similarity.lsh_multiprobe_top_k)):
             hits = (fn(emb, qv, k=10, n_planes=8).select("vec_id")
-                    .join(F.broadcast(exact), "vec_id", "semi")
+                    .filter(F.col("vec_id").isin(exact_ids))
                     .agg(F.count("*").alias("n_hits"))
                     .select(F.lit(method).alias("method"),
                             F.col("n_hits").cast("bigint").alias("n_hits"),
                             F.round(F.col("n_hits") / 10.0, 6)
                             .alias("recall_at_10")))
             rows.append(hits)
-        return track(rows[0].unionByName(rows[1]), exact)
+        return rows[0].unionByName(rows[1])
 
     def theil_sen_q(spark, sf_dir):
         """Outlier-immune drift per event type: Theil–Sen slope
