@@ -719,7 +719,8 @@ def bfs_hops(edges: DataFrame, source, max_hops: int = 3,
 
 def link_prediction(edges: DataFrame, src: str = "src",
                     dst: str = "dst",
-                    max_center_degree: int | None = None) -> DataFrame:
+                    max_center_degree: int | None = None,
+                    packed_keys: bool | None = None) -> DataFrame:
     """Neighborhood link-prediction scores for 2-hop NON-edges —
     common neighbors, Jaccard, and Adamic-Adar (public formulas;
     Liben-Nowell & Kleinberg 2003), the classic "which edge appears
@@ -743,6 +744,24 @@ def link_prediction(edges: DataFrame, src: str = "src",
     candidate pairs each weighted a negligible 1/ln(10⁵) — pruning
     them is the standard approximation; None keeps exact semantics
     for bounded graphs).
+
+    ``packed_keys`` (r13, the triangle_counts closing-join lever
+    applied to the SAME wedge-scale structures here): when node ids
+    are nonnegative integers below 2^31 (auto-detected via one bounded
+    aggregate over the persisted edge list), each wedge's (u, v) pair
+    is packed into ONE BIGINT ``u << 32 | v`` BEFORE the candidate
+    aggregation — the wedge-scale groupBy then keys on a single long
+    (Spark's fast-hash-map / dense-relation path instead of a generic
+    two-column UnsafeRow map) and the existing-edge anti-join probes a
+    specialized long-keyed build. The shuffled wedge row shrinks from
+    (u, v, aau) to (uv, aau) — one third fewer bytes at the Σdeg²-
+    scale exchange, the only data-sized shuffle in the operator (guide
+    §2.3 narrower types / §3 join strategy; heavy-tier measurement in
+    OPTIMIZATION_r13.md). The packing is bijective on the detected
+    range and u < v is preserved, so the candidate multiset, the
+    anti-join semantics and every score are unchanged; decode restores
+    the input id dtype. Non-integral or out-of-range ids fall back to
+    the two-column spelling.
     """
     # persist the (possibly expensive to derive) edge set: it feeds
     # the symmetrization twice AND the final anti-join
@@ -792,16 +811,71 @@ def link_prediction(edges: DataFrame, src: str = "src",
               .select("_aau", "_u",
                       F.explode(F.slice(F.col("_nb"), F.col("_i") + 2,
                                         F.size("_nb"))).alias("_v")))
-    cand = (wedges.groupBy("_u", "_v")
-            .agg(F.count("*").alias("common_neighbors"),
-                 det_sum_units(F.col("_aau"), scale=1_000_000)
-                 .alias("_aa")))
-    non_edges = cand.join(
-        und.select(F.col("_a").alias("_u"), F.col("_b").alias("_v")),
-        ["_u", "_v"], "left_anti")
+    # packed-key auto-detect: one bounded aggregate (two scalars) over
+    # the persisted edge list — the same driver-scalar discipline and
+    # detection rule as triangle_counts; it doubles as the cache fill
+    # for und, whose lazy persist the sets/anti-join consumers would
+    # otherwise race.
+    if packed_keys is None:
+        dt = dict(und.dtypes)["_a"]
+        if dt in ("int", "bigint", "smallint", "tinyint"):
+            mm = und.agg(
+                F.min(F.least("_a", "_b")).alias("mn"),
+                F.max(F.greatest("_a", "_b")).alias("mx")).first()
+            packed_keys = (mm["mn"] is not None and mm["mn"] >= 0
+                           and mm["mx"] < (1 << 31))
+        else:
+            packed_keys = False
+    # existing-edge anti-join strategy: the edge side carries a
+    # SHUFFLE_HASH hint. Unhinted, Catalyst broadcasts the edge
+    # projection and pushes the anti-join below the candidate
+    # aggregation — but the build is EDGE-scale, so the BroadcastExchange
+    # collects the whole edge set to the driver (measured: a 1041 MiB
+    # driver collect at ~sf1 that aborts on spark.driver.maxResultSize;
+    # at 100 TB it is a guaranteed driver OOM — guide §3.1). With the
+    # hint, the anti-join keys on the aggregation's own grouping key,
+    # so the candidate side REUSES the agg exchange (zero extra shuffle
+    # of the Σdeg²-scale rows) and only the edge set — orders of
+    # magnitude smaller than the wedge stream — is shuffled, hashed
+    # per-partition, and probed without sorting the candidates.
+    if packed_keys:
+        id_dt = dict(und.dtypes)["_a"]
+        wk = wedges.select(
+            (F.shiftleft(F.col("_u").cast("long"), 32)
+             + F.col("_v").cast("long")).alias("_uv"), "_aau")
+        cand = (wk.groupBy("_uv")
+                .agg(F.count("*").alias("common_neighbors"),
+                     det_sum_units(F.col("_aau"), scale=1_000_000)
+                     .alias("_aa")))
+        non_edges = (cand.join(
+            und.select((F.shiftleft(F.col("_a").cast("long"), 32)
+                        + F.col("_b").cast("long")).alias("_uv"))
+            .hint("shuffle_hash"),
+            "_uv", "left_anti")
+            .select(F.shiftright(F.col("_uv"), 32).cast(id_dt)
+                    .alias("_u"),
+                    F.col("_uv").bitwiseAND(F.lit((1 << 32) - 1))
+                    .cast(id_dt).alias("_v"),
+                    "common_neighbors", "_aa"))
+    else:
+        cand = (wedges.groupBy("_u", "_v")
+                .agg(F.count("*").alias("common_neighbors"),
+                     det_sum_units(F.col("_aau"), scale=1_000_000)
+                     .alias("_aa")))
+        non_edges = cand.join(
+            und.select(F.col("_a").alias("_u"), F.col("_b").alias("_v"))
+            .hint("shuffle_hash"),
+            ["_u", "_v"], "left_anti")
     du = deg.select(F.col("_a").alias("_u"), F.col("_deg").alias("_du"))
     dv = deg.select(F.col("_a").alias("_v"), F.col("_deg").alias("_dv"))
-    out = (non_edges.join(du, "_u").join(dv, "_v"))
+    # EXPLICIT broadcast of the node-scale degree frames (guide §3.1:
+    # estimates after an aggregation + anti-join are badly wrong — at
+    # ~sf1 the planner estimated the candidate side small enough to
+    # BUILD ON IT, collecting the Σdeg²-scale frame to the driver:
+    # measured 15 GB attempted broadcast, maxResultSize abort). The
+    # hint pins the build to the |V|-row side, the pagerank posture.
+    out = (non_edges.join(F.broadcast(du), "_u")
+           .join(F.broadcast(dv), "_v"))
     union_size = F.col("_du") + F.col("_dv") - F.col("common_neighbors")
     return track(out.select(
         F.col("_u").alias(src), F.col("_v").alias(dst),

@@ -47,6 +47,25 @@ ENGINE_DEFAULTS: dict[str, str] = {
     # driver's bench comparable across rounds (r12, guide §2.2/§9).
     "spark.sql.shuffle.partitions": os.environ.get(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+    # Scale-adaptive reduce parallelism (r13, guide §2.2): AQE can only
+    # coalesce partitions DOWN from the initial number, never split
+    # them up, so a 32-partition initial hint that is right at sf0.1
+    # silently serializes data-bound reduce stages at 10x the data
+    # (measured on the ~sf1 heavy tier: part_link_prediction's 12 GB
+    # wedge exchange landed on 32 reduce tasks — 370 MB + ~8M hash-agg
+    # groups per task, all 32 sharing one executor heap → spill; the
+    # same query with a 512-way initial exchange runs 1.8x faster).
+    # The LOCAL DEFAULT stays unset (= shuffle.partitions) because the
+    # wide initial exchange costs real per-round overhead in the
+    # iterative graph operators at bench scale (A/B'd: headline suite
+    # 58.4 s → 68.2 s with a 512 default, concentrated in
+    # kcore/pagerank/LPA) — set SPARK_GRAFT_INITIAL_PARTITIONS on any
+    # deployment whose exchanges carry data-sized payloads (clusters:
+    # ~2-3x total cores; tools/heavy_bench.py sets 512 as its
+    # documented methodology). See OPTIMIZATION_r13.md.
+    **({"spark.sql.adaptive.coalescePartitions.initialPartitionNum":
+        os.environ["SPARK_GRAFT_INITIAL_PARTITIONS"]}
+       if os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS") else {}),
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     # Local mode runs driver and executors in ONE JVM; the 1g default
     # heap can't hold broadcast builds + iterative-operator

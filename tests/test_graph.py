@@ -265,6 +265,28 @@ def test_link_prediction_excludes_existing_edges_and_caps_hubs(spark):
     assert capped == []
 
 
+def test_link_prediction_packed_matches_unpacked(spark):
+    """The packed-key path (r13: (u,v) -> u<<32|v through the wedge
+    aggregation + anti-join, decoded after) returns exactly the rows,
+    dtypes and scores of the two-column spelling, on a graph with
+    shared neighbors, existing-edge exclusions and id 0; ids at the
+    2^31 boundary and negatives fall back to unpacked (auto-detect)."""
+    from pipelines_rj_sms_spark.operators.graph import link_prediction
+    edges = spark.createDataFrame(
+        [(0, 2), (2, 3), (0, 3), (3, 4), (5, 6), (6, 7), (7, 8), (5, 8)],
+        ["src", "dst"])
+    packed = link_prediction(edges, packed_keys=True)
+    unpacked = link_prediction(edges, packed_keys=False)
+    assert packed.schema == unpacked.schema
+    assert sorted(map(tuple, packed.collect())) == \
+        sorted(map(tuple, unpacked.collect()))
+    # auto-detect refuses out-of-range ids: same rows either way
+    big = spark.createDataFrame(
+        [(1 << 31, 2), (2, 3)], ["src", "dst"])
+    rows = {(r["src"], r["dst"]) for r in link_prediction(big).collect()}
+    assert rows == {(3, 1 << 31)} or rows == {(1 << 31, 3)}
+
+
 def test_hits_hand_computed_two_iterations(spark):
     """s1->{d1,d2}, s2->{d1}; max-normalized: after round 2 the
     authority scores are d1=1, d2=0.6 and hubs s1=1, s2=0.625."""

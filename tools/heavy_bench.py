@@ -46,6 +46,14 @@ HEAVY = [
 
 
 def main() -> None:
+    # Cluster-posture reduce parallelism (documented methodology): the
+    # heavy tier exists to measure DATA-bound scaling, and AQE can only
+    # coalesce the initial partition number down, never split it up —
+    # with the local 32 default a ~12 GB exchange lands on 32 reduce
+    # tasks sharing one heap (spill, 1.8x slower). 512 is the
+    # production posture session.py documents for data-sized
+    # exchanges; AQE coalesces small exchanges back to ~core count.
+    os.environ.setdefault("SPARK_GRAFT_INITIAL_PARTITIONS", "512")
     from pipelines_rj_sms_spark.session import get_spark, load_tables
     from pipelines_rj_sms_spark.operators.cache import release, release_all
     import __spark_entry__ as entry_mod
