@@ -19,7 +19,9 @@ measurement computes its full pipeline from parquet. Single-pass
 because a min-of-2 at this scale would serve persist-heavy pass 2
 from cache and hide exactly the data work this tool exists to see.
 
-Usage: python tools/heavy_bench.py [query ...]   (default: all HEAVY)
+Usage: python tools/heavy_bench.py [--isolated] [query ...]
+       (default: all HEAVY; --isolated = one cold subprocess per query,
+       the artifact-grade mode — see _isolated's docstring)
 """
 
 from __future__ import annotations
@@ -45,6 +47,48 @@ HEAVY = [
 ]
 
 
+def _isolated(names: list[str]) -> None:
+    """One SUBPROCESS (cold JVM + session) per query, results merged.
+
+    Measuring all 10 queries in one session poisons the numbers with
+    cross-query JVM state: after part_link_prediction's ~12 GB shuffle
+    the shared heap is full of garbage and the NEXT queries pay its GC
+    — measured doc_kn_trigram_logprob at 34.6 s in suite position vs
+    9.5 s isolated (3.5x inflation), which destroys an 8-vs-32-core
+    ratio. Per-query processes make every measurement independent of
+    ordering; each subprocess still does its own sf0.01 warm pass so
+    codegen/JIT stay out of the timed region.
+    """
+    import subprocess
+    timings: dict[str, float] = {}
+    query_loadavg: dict[str, float] = {}
+    for name in names:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), name],
+            capture_output=True, text=True)
+        line = out.stdout.strip().splitlines()[-1] if out.stdout else ""
+        try:
+            d = json.loads(line)
+        except (json.JSONDecodeError, IndexError):
+            sys.stderr.write(f"{name}: subprocess failed\n"
+                             + out.stderr[-2000:] + "\n")
+            continue
+        timings[name] = d["queries"][name]
+        query_loadavg[name] = d["query_loadavg_1m"][name]
+    print(json.dumps({
+        "metric": "heavy-tier wall clock (isolated)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0),
+        "heavy_dir": os.environ.get("SPARK_GRAFT_HEAVY_DIR",
+                                    "/root/heavydata/sf1"),
+        "loadavg": list(os.getloadavg()),
+        "query_loadavg_1m": query_loadavg,
+        "isolated": True,
+    }))
+
+
 def main() -> None:
     # Cluster-posture reduce parallelism (documented methodology): the
     # heavy tier exists to measure DATA-bound scaling, and AQE can only
@@ -54,6 +98,10 @@ def main() -> None:
     # production posture session.py documents for data-sized
     # exchanges; AQE coalesces small exchanges back to ~core count.
     os.environ.setdefault("SPARK_GRAFT_INITIAL_PARTITIONS", "512")
+    names_cli = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if "--isolated" in sys.argv[1:]:
+        _isolated(names_cli or HEAVY)
+        return
     from pipelines_rj_sms_spark.session import get_spark, load_tables
     from pipelines_rj_sms_spark.operators.cache import release, release_all
     import __spark_entry__ as entry_mod
@@ -63,7 +111,7 @@ def main() -> None:
     if not os.path.isdir(heavy_dir):
         sys.exit(f"heavy dataset missing: {heavy_dir} "
                  f"(run tools/heavy_gen.py first)")
-    names = [a for a in sys.argv[1:] if not a.startswith("-")] or HEAVY
+    names = names_cli or HEAVY
 
     spark = get_spark("heavy-bench")
     spark.sparkContext.setLogLevel("ERROR")
